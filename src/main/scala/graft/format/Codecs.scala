@@ -1,0 +1,732 @@
+package graft.format
+
+import scala.collection.mutable
+
+/** Encoding library.
+  *
+  * Re-expresses the reference's encoding set (reference:
+  * dwio/nimble/common/Types.h:69-163, dwio/nimble/encodings/, docs/Encodings.md)
+  * for the JVM. Each stream chunk is self-describing:
+  *
+  *   [codecId u8][physType u8][rowCount varint][payload]
+  *
+  * Cascading: composite codecs (RLE, Dictionary, Delta, FOR, MainlyConstant,
+  * SparseBool, Nullable) store sub-streams as length-prefixed blocks, each
+  * recursively encoded with independently selected codecs
+  * (reference: docs/Encodings.md:28-56 "cascading"). Recursion depth is
+  * bounded (default budget 1 below top level, like
+  * dwio/nimble/common/Types.h:221-248 OptimalSearchParams.allowedRecursions).
+  *
+  * Selection: all gated candidates are actually encoded and the cheapest by
+  * `size * readFactor` wins — same cost model as the reference's
+  * ManualEncodingSelectionPolicy (docs/Encodings.md:76-90) with exact instead
+  * of estimated sizes (affordable because chunks are <= ~16K rows).
+  */
+object Codecs {
+  // codec ids (aligned with the reference's EncodingType enum where possible)
+  final val TRIVIAL: Byte = 0
+  final val RLE: Byte = 1
+  final val DICT: Byte = 2
+  final val FBW: Byte = 3 // fixed bit width, baseline 0
+  final val NULLABLE: Byte = 5
+  final val SPARSEBOOL: Byte = 6
+  final val VARINT: Byte = 7
+  final val DELTA: Byte = 8
+  final val CONST: Byte = 9
+  final val MAINLYCONST: Byte = 10
+  final val PREFIX: Byte = 11
+  final val ALP: Byte = 12
+  final val FOR: Byte = 18 // frame-of-reference: baseline + bit-packed residuals
+
+  /** Decode-speed priors, reference docs/Encodings.md:80-90. */
+  private def readFactor(id: Byte): Double = id match {
+    case TRIVIAL => 0.7
+    case FBW => 0.9
+    case _ => 1.0
+  }
+
+  private final val MaxDepth = 2 // top level + one cascade level
+
+  // ---------------------------------------------------------------- entry
+
+  /** Encode a column (with nulls handled via the Nullable wrapper,
+    * reference: dwio/nimble/encodings/NullableEncoding.h:44). */
+  def encodeColumn(col: Column, sink: ByteSink): Unit = {
+    val nc = col.nullCount
+    if (nc == 0) encodeValues(stripNulls(col), sink, 0)
+    else {
+      sink.writeByte(NULLABLE)
+      sink.writeByte(physOf(col))
+      sink.writeVarint(col.len.toLong)
+      val isNull = col.nulls
+      val nullsSink = new ByteSink()
+      encodeValues(BoolsCol(isNull), nullsSink, 1)
+      sink.writeBlock(nullsSink.toArray)
+      val valuesSink = new ByteSink()
+      encodeValues(compactNonNull(col), valuesSink, 1)
+      sink.writeBlock(valuesSink.toArray)
+    }
+  }
+
+  def decodeColumn(cur: ByteCursor): Column = {
+    val id = cur.buf(cur.pos) // peek
+    if (id == NULLABLE) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      val n = cur.readVarint().toInt
+      val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+      val inner = decodeValues(cur.readBlock())
+      scatter(inner, isNull, n, phys)
+    } else decodeValues(cur)
+  }
+
+  /** View a decoded column as a plain Boolean array (struct-nulls streams). */
+  def asBools(col: Column): Array[Boolean] = col.asInstanceOf[BoolsCol].values
+
+  private def physOf(col: Column): Byte = col match {
+    case c: LongsCol => c.phys
+    case c: DoublesCol => if (c.isFloat) PhysType.F32 else PhysType.F64
+    case _: BoolsCol => PhysType.Bool
+    case _: BytesCol => PhysType.Bytes
+  }
+
+  private def stripNulls(col: Column): Column = col match {
+    case c: LongsCol => if (c.nulls == null) c else c.copy(nulls = null)
+    case c: DoublesCol => if (c.nulls == null) c else c.copy(nulls = null)
+    case c: BoolsCol => if (c.nulls == null) c else c.copy(nulls = null)
+    case c: BytesCol => if (c.nulls == null) c else c.copy(nulls = null)
+  }
+
+  private def compactNonNull(col: Column): Column = {
+    val isNull = col.nulls
+    val n = col.len
+    var m = 0
+    var i = 0
+    while (i < n) { if (!isNull(i)) m += 1; i += 1 }
+    col match {
+      case c: LongsCol =>
+        val out = new Array[Long](m); var j = 0; i = 0
+        while (i < n) { if (!isNull(i)) { out(j) = c.values(i); j += 1 }; i += 1 }
+        LongsCol(out, c.phys)
+      case c: DoublesCol =>
+        val out = new Array[Double](m); var j = 0; i = 0
+        while (i < n) { if (!isNull(i)) { out(j) = c.values(i); j += 1 }; i += 1 }
+        DoublesCol(out, c.isFloat)
+      case c: BoolsCol =>
+        val out = new Array[Boolean](m); var j = 0; i = 0
+        while (i < n) { if (!isNull(i)) { out(j) = c.values(i); j += 1 }; i += 1 }
+        BoolsCol(out)
+      case c: BytesCol =>
+        val offs = new Array[Int](m + 1)
+        var total = 0; var j = 0; i = 0
+        while (i < n) {
+          if (!isNull(i)) { total += c.offsets(i + 1) - c.offsets(i); j += 1; offs(j) = total }
+          i += 1
+        }
+        val bytes = new Array[Byte](total); j = 0; i = 0
+        while (i < n) {
+          if (!isNull(i)) {
+            val l = c.offsets(i + 1) - c.offsets(i)
+            System.arraycopy(c.bytes, c.offsets(i), bytes, offs(j), l)
+            j += 1
+          }
+          i += 1
+        }
+        BytesCol(offs, bytes)
+    }
+  }
+
+  private def scatter(inner: Column, isNull: Array[Boolean], n: Int, phys: Byte): Column =
+    inner match {
+      case c: LongsCol =>
+        val out = new Array[Long](n); var j = 0; var i = 0
+        while (i < n) { if (!isNull(i)) { out(i) = c.values(j); j += 1 }; i += 1 }
+        LongsCol(out, c.phys, isNull)
+      case c: DoublesCol =>
+        val out = new Array[Double](n); var j = 0; var i = 0
+        while (i < n) { if (!isNull(i)) { out(i) = c.values(j); j += 1 }; i += 1 }
+        DoublesCol(out, c.isFloat, isNull)
+      case c: BoolsCol =>
+        val out = new Array[Boolean](n); var j = 0; var i = 0
+        while (i < n) { if (!isNull(i)) { out(i) = c.values(j); j += 1 }; i += 1 }
+        BoolsCol(out, isNull)
+      case c: BytesCol =>
+        val offs = new Array[Int](n + 1); var j = 0; var i = 0
+        while (i < n) {
+          offs(i + 1) = offs(i) + (if (isNull(i)) 0 else c.offsets(j + 1) - c.offsets(j))
+          if (!isNull(i)) j += 1
+          i += 1
+        }
+        // bytes are already contiguous in compacted order == scattered order
+        BytesCol(offs, c.bytes, isNull)
+    }
+
+  // ------------------------------------------------------- value streams
+
+  /** Encode a null-free value stream, choosing the cheapest codec. */
+  def encodeValues(col: Column, sink: ByteSink, depth: Int): Unit = col match {
+    case c: LongsCol => encodeLongs(c.values, c.phys, sink, depth)
+    case c: DoublesCol => encodeDoubles(c, sink, depth)
+    case c: BoolsCol => encodeBools(c.values, sink, depth)
+    case c: BytesCol => encodeBytes(c, sink, depth)
+  }
+
+  def decodeValues(cur: ByteCursor): Column = {
+    val id = cur.readByte().toByte
+    val phys = cur.readByte().toByte
+    val n = cur.readVarint().toInt
+    phys match {
+      case PhysType.Bool => BoolsCol(decodeBoolPayload(id, cur, n))
+      case PhysType.Bytes => decodeBytesPayload(id, cur, n)
+      case PhysType.F32 | PhysType.F64 => decodeDoublePayload(id, phys, cur, n)
+      case _ => LongsCol(decodeLongPayloadTyped(id, phys, cur, n), phys)
+    }
+  }
+
+  private def header(sink: ByteSink, id: Byte, phys: Byte, n: Int): Unit = {
+    sink.writeByte(id); sink.writeByte(phys); sink.writeVarint(n.toLong)
+  }
+
+  // ---------------------------------------------------------------- longs
+
+  private final class LongStats(values: Array[Long]) {
+    val n = values.length
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var runCount = 1
+    var dMin = Long.MaxValue // delta stats
+    var dMax = Long.MinValue
+    var deltaOverflow = false
+    val distinct = new mutable.HashMap[Long, Int]()
+    var distinctCapped = false
+    locally {
+      var i = 0
+      var prev = 0L
+      while (i < n) {
+        val v = values(i)
+        if (v < min) min = v
+        if (v > max) max = v
+        if (i > 0) {
+          if (v != prev) runCount += 1
+          val d = v - prev
+          // detect overflow of (v - prev)
+          if (((v ^ prev) & (v ^ d)) < 0) deltaOverflow = true
+          if (d < dMin) dMin = d
+          if (d > dMax) dMax = d
+        }
+        if (!distinctCapped) {
+          distinct.updateWith(v) { case Some(c) => Some(c + 1); case None => Some(1) }
+          if (distinct.size > 4096) { distinctCapped = true; distinct.clear() }
+        }
+        prev = v
+        i += 1
+      }
+      if (n == 0) { min = 0L; max = 0L }
+    }
+    def rangeOverflow: Boolean = (max >= 0 && min < max - Long.MaxValue)
+    def topFreq: Int = if (distinctCapped || distinct.isEmpty) 0 else distinct.valuesIterator.max
+    def modeValue: Long = distinct.maxBy(_._2)._1
+  }
+
+  private def bitsFor(range: Long): Int =
+    if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+
+  private def encodeLongs(values: Array[Long], phys: Byte, sink: ByteSink, depth: Int): Unit = {
+    val n = values.length
+    val st = new LongStats(values)
+    if (n == 0) { header(sink, TRIVIAL, phys, 0); return }
+    if (st.min == st.max) { // Constant
+      header(sink, CONST, phys, n); sink.writeZigZag(st.min); return
+    }
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    def tryC(id: Byte)(body: ByteSink => Unit): Unit = {
+      val s = new ByteSink(); body(s); candidates += ((id, s.toArray))
+    }
+    // Trivial — always a candidate (fixed natural width)
+    tryC(TRIVIAL)(s => trivialLongs(values, phys, s))
+    // FOR (baseline+bitpack) when range fits without overflow
+    if (!st.rangeOverflow) {
+      val w = bitsFor(st.max - st.min)
+      if (w < PhysType.byteWidth(phys) * 8) tryC(FOR) { s =>
+        s.writeZigZag(st.min); s.writeByte(w)
+        packBits(values, st.min, w, s)
+      }
+    }
+    // Varint when magnitudes small on average
+    if (st.min > -(1L << 40) && st.max < (1L << 40)) tryC(VARINT) { s =>
+      var i = 0; while (i < n) { s.writeZigZag(values(i)); i += 1 }
+    }
+    // RLE when runs pay off
+    if (st.runCount <= n / 3 && depth < MaxDepth) tryC(RLE) { s =>
+      val lens = new Array[Long](st.runCount)
+      val vals = new Array[Long](st.runCount)
+      var r = -1; var i = 0
+      while (i < n) {
+        if (i == 0 || values(i) != values(i - 1)) { r += 1; vals(r) = values(i); lens(r) = 0 }
+        lens(r) += 1; i += 1
+      }
+      val ls = new ByteSink(); encodeLongs(lens, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
+      val vs = new ByteSink(); encodeLongs(vals, phys, vs, depth + 1); s.writeBlock(vs.toArray)
+    }
+    // Dictionary when cardinality low
+    if (!st.distinctCapped && st.distinct.size <= n / 3 && depth < MaxDepth) tryC(DICT) { s =>
+      val alphabet = st.distinct.keysIterator.toArray
+      java.util.Arrays.sort(alphabet)
+      val index = new mutable.HashMap[Long, Int]()
+      var i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
+      val indices = new Array[Long](n)
+      i = 0; while (i < n) { indices(i) = index(values(i)).toLong; i += 1 }
+      val as = new ByteSink(); encodeLongs(alphabet, phys, as, depth + 1); s.writeBlock(as.toArray)
+      val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); s.writeBlock(is.toArray)
+    }
+    // Delta when consecutive deltas are narrow (e.g. monotonic ids)
+    if (!st.deltaOverflow && n > 1 && depth < MaxDepth) {
+      val dw = bitsFor(math.max(math.abs(st.dMin), math.abs(st.dMax)) << 1)
+      if (dw < 32) tryC(DELTA) { s =>
+        s.writeZigZag(values(0))
+        val deltas = new Array[Long](n - 1)
+        var i = 1; while (i < n) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
+        val ds = new ByteSink(); encodeLongs(deltas, PhysType.I64, ds, depth + 1); s.writeBlock(ds.toArray)
+      }
+    }
+    // MainlyConstant when one value dominates
+    if (!st.distinctCapped && st.topFreq >= (n * 7) / 10 && depth < MaxDepth) tryC(MAINLYCONST) { s =>
+      val common = st.modeValue
+      s.writeZigZag(common)
+      val isCommon = new Array[Boolean](n)
+      var nOther = 0
+      var i = 0
+      while (i < n) { isCommon(i) = values(i) == common; if (!isCommon(i)) nOther += 1; i += 1 }
+      val others = new Array[Long](nOther)
+      var j = 0; i = 0
+      while (i < n) { if (!isCommon(i)) { others(j) = values(i); j += 1 }; i += 1 }
+      val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
+      val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
+    }
+    emitBest(candidates, phys, n, sink)
+  }
+
+  private def emitBest(candidates: mutable.ArrayBuffer[(Byte, Array[Byte])], phys: Byte, n: Int, sink: ByteSink): Unit = {
+    var best: (Byte, Array[Byte]) = null
+    var bestCost = Double.MaxValue
+    for ((id, payload) <- candidates) {
+      val cost = payload.length * readFactor(id)
+      if (cost < bestCost) { bestCost = cost; best = (id, payload) }
+    }
+    header(sink, best._1, phys, n)
+    sink.writeBytes(best._2)
+  }
+
+  private def trivialLongs(values: Array[Long], phys: Byte, s: ByteSink): Unit = {
+    val n = values.length
+    var i = 0
+    phys match {
+      case PhysType.I8 => while (i < n) { s.writeByte(values(i).toInt); i += 1 }
+      case PhysType.I16 => while (i < n) { s.writeShort(values(i).toInt); i += 1 }
+      case PhysType.I32 => while (i < n) { s.writeInt(values(i).toInt); i += 1 }
+      case _ => while (i < n) { s.writeLong(values(i)); i += 1 }
+    }
+  }
+
+  /** Pack (v - baseline) in w bits each, little-endian bit order. */
+  private def packBits(values: Array[Long], baseline: Long, w: Int, s: ByteSink): Unit = {
+    val n = values.length
+    val nBytes = ((n.toLong * w + 7) / 8).toInt
+    val out = new Array[Byte](nBytes)
+    var bit = 0L
+    var i = 0
+    while (i < n) {
+      val v = values(i) - baseline
+      var b = 0
+      while (b < w) {
+        if (((v >>> b) & 1L) != 0) {
+          val pos = bit + b
+          out((pos >>> 3).toInt) = (out((pos >>> 3).toInt) | (1 << (pos & 7))).toByte
+        }
+        b += 1
+      }
+      bit += w
+      i += 1
+    }
+    s.writeBytes(out)
+  }
+
+  private def unpackBits(buf: Array[Byte], off: Int, baseline: Long, w: Int, n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var bit = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var b = 0
+      while (b < w) {
+        val pos = bit + b
+        if ((buf(off + (pos >>> 3).toInt) & (1 << (pos & 7))) != 0) v |= (1L << b)
+        b += 1
+      }
+      out(i) = v + baseline
+      bit += w
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- bools
+
+  private def encodeBools(values: Array[Boolean], sink: ByteSink, depth: Int): Unit = {
+    val n = values.length
+    var trues = 0
+    var i = 0
+    while (i < n) { if (values(i)) trues += 1; i += 1 }
+    if (n == 0 || trues == 0 || trues == n) {
+      header(sink, CONST, PhysType.Bool, n)
+      sink.writeByte(if (trues == n && n > 0) 1 else 0)
+      return
+    }
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    // Trivial: bit-packed
+    val ts = new ByteSink()
+    val packed = new Array[Byte]((n + 7) / 8)
+    i = 0
+    while (i < n) { if (values(i)) packed(i >> 3) = (packed(i >> 3) | (1 << (i & 7))).toByte; i += 1 }
+    ts.writeBytes(packed)
+    candidates += ((TRIVIAL, ts.toArray))
+    // SparseBool: positions of minority value
+    val minority = math.min(trues, n - trues)
+    if (minority <= n / 16 && depth < MaxDepth) {
+      val ss = new ByteSink()
+      val sparseVal = trues <= n - trues // true = minority is `true`
+      ss.writeByte(if (sparseVal) 1 else 0)
+      val pos = new Array[Long](minority)
+      var j = 0; i = 0
+      while (i < n) { if (values(i) == sparseVal) { pos(j) = i.toLong; j += 1 }; i += 1 }
+      val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1); ss.writeBlock(ps.toArray)
+      candidates += ((SPARSEBOOL, ss.toArray))
+    }
+    emitBest(candidates, PhysType.Bool, n, sink)
+  }
+
+  private def decodeBoolPayload(id: Byte, cur: ByteCursor, n: Int): Array[Boolean] = id match {
+    case CONST =>
+      val v = cur.readByte() != 0
+      val out = new Array[Boolean](n)
+      if (v) java.util.Arrays.fill(out, true)
+      out
+    case TRIVIAL =>
+      val packed = cur.readBytes((n + 7) / 8)
+      val out = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { out(i) = (packed(i >> 3) & (1 << (i & 7))) != 0; i += 1 }
+      out
+    case SPARSEBOOL =>
+      val sparseVal = cur.readByte() != 0
+      val pos = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Boolean](n)
+      if (!sparseVal) java.util.Arrays.fill(out, true)
+      var i = 0
+      while (i < pos.length) { out(pos(i).toInt) = sparseVal; i += 1 }
+      out
+    case _ => throw new IllegalStateException(s"bad bool codec $id")
+  }
+
+  // -------------------------------------------------------------- doubles
+
+  private def encodeDoubles(col: DoublesCol, sink: ByteSink, depth: Int): Unit = {
+    val values = col.values
+    val phys = if (col.isFloat) PhysType.F32 else PhysType.F64
+    val n = values.length
+    if (n == 0) { header(sink, TRIVIAL, phys, 0); return }
+    // bit-cast view for constant/rle/dict candidates
+    val bits = new Array[Long](n)
+    var i = 0
+    if (col.isFloat) while (i < n) { bits(i) = java.lang.Float.floatToRawIntBits(values(i).toFloat).toLong & 0xffffffffL; i += 1 }
+    else while (i < n) { bits(i) = java.lang.Double.doubleToRawLongBits(values(i)); i += 1 }
+    var allEq = true
+    i = 1
+    while (i < n && allEq) { if (bits(i) != bits(0)) allEq = false; i += 1 }
+    if (allEq) { header(sink, CONST, phys, n); sink.writeLong(bits(0)); return }
+
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    // Trivial raw
+    val ts = new ByteSink()
+    i = 0
+    if (col.isFloat) while (i < n) { ts.writeInt(bits(i).toInt); i += 1 }
+    else while (i < n) { ts.writeLong(bits(i)); i += 1 }
+    candidates += ((TRIVIAL, ts.toArray))
+    // ALP-lite: value == scaled / 10^e losslessly for a single small e
+    // (reference: dwio/nimble/encodings/ALPEncoding.h; published ALP paper)
+    if (!col.isFloat && depth < MaxDepth) {
+      var e = 0
+      var found = -1
+      while (e <= 10 && found < 0) {
+        val scale = math.pow(10, e)
+        var ok = true
+        i = 0
+        while (i < n && ok) {
+          val r = math.rint(values(i) * scale)
+          // bit-exact round-trip required (protects -0.0 and NaN payloads)
+          if (math.abs(r) > (1L << 50).toDouble ||
+            java.lang.Double.doubleToLongBits(r / scale) != java.lang.Double.doubleToLongBits(values(i))) ok = false
+          i += 1
+        }
+        if (ok) found = e
+        e += 1
+      }
+      if (found >= 0) {
+        val as = new ByteSink()
+        as.writeByte(found)
+        val scale = math.pow(10, found)
+        val scaled = new Array[Long](n)
+        i = 0
+        while (i < n) { scaled(i) = math.rint(values(i) * scale).toLong; i += 1 }
+        val ss = new ByteSink(); encodeLongs(scaled, PhysType.I64, ss, depth + 1); as.writeBlock(ss.toArray)
+        candidates += ((ALP, as.toArray))
+      }
+    }
+    // Dictionary on raw bits for low-cardinality doubles
+    if (depth < MaxDepth) {
+      val distinct = new mutable.HashSet[Long]()
+      i = 0
+      var capped = false
+      while (i < n && !capped) { distinct += bits(i); if (distinct.size > n / 3 || distinct.size > 4096) capped = true; i += 1 }
+      if (!capped) {
+        val ds = new ByteSink()
+        val alphabet = distinct.toArray
+        java.util.Arrays.sort(alphabet)
+        val index = new mutable.HashMap[Long, Int]()
+        i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
+        val indices = new Array[Long](n)
+        i = 0; while (i < n) { indices(i) = index(bits(i)).toLong; i += 1 }
+        val as2 = new ByteSink(); encodeLongs(alphabet, PhysType.I64, as2, depth + 1); ds.writeBlock(as2.toArray)
+        val is2 = new ByteSink(); encodeLongs(indices, PhysType.I64, is2, depth + 1); ds.writeBlock(is2.toArray)
+        candidates += ((DICT, ds.toArray))
+      }
+    }
+    emitBest(candidates, phys, n, sink)
+  }
+
+  private def decodeDoublePayload(id: Byte, phys: Byte, cur: ByteCursor, n: Int): DoublesCol = {
+    val isFloat = phys == PhysType.F32
+    def fromBits(bits: Array[Long]): Array[Double] = {
+      val out = new Array[Double](n)
+      var i = 0
+      if (isFloat) while (i < n) { out(i) = java.lang.Float.intBitsToFloat(bits(i).toInt).toDouble; i += 1 }
+      else while (i < n) { out(i) = java.lang.Double.longBitsToDouble(bits(i)); i += 1 }
+      out
+    }
+    id match {
+      case CONST =>
+        val b = cur.readLong()
+        val v = if (isFloat) java.lang.Float.intBitsToFloat(b.toInt).toDouble else java.lang.Double.longBitsToDouble(b)
+        val out = new Array[Double](n)
+        java.util.Arrays.fill(out, v)
+        DoublesCol(out, isFloat)
+      case TRIVIAL =>
+        val out = new Array[Double](n)
+        var i = 0
+        if (isFloat) while (i < n) { out(i) = cur.readFloat().toDouble; i += 1 }
+        else while (i < n) { out(i) = cur.readDouble(); i += 1 }
+        DoublesCol(out, isFloat)
+      case ALP =>
+        val e = cur.readByte()
+        val scale = math.pow(10, e)
+        val scaled = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = scaled(i).toDouble / scale; i += 1 }
+        DoublesCol(out, isFloat)
+      case DICT =>
+        val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val indices = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val bits = new Array[Long](n)
+        var i = 0
+        while (i < n) { bits(i) = alphabet(indices(i).toInt); i += 1 }
+        DoublesCol(fromBits(bits), isFloat)
+      case _ => throw new IllegalStateException(s"bad double codec $id")
+    }
+  }
+
+  // ---------------------------------------------------------------- bytes
+
+  private def encodeBytes(col: BytesCol, sink: ByteSink, depth: Int): Unit = {
+    val n = col.len
+    if (n == 0) { header(sink, TRIVIAL, PhysType.Bytes, 0); sink.writeBlock(Array.emptyByteArray); return }
+    // constant?
+    var allEq = true
+    val l0 = col.offsets(1) - col.offsets(0)
+    var i = 1
+    while (i < n && allEq) {
+      val l = col.offsets(i + 1) - col.offsets(i)
+      if (l != l0) allEq = false
+      else {
+        var k = 0
+        while (k < l && allEq) {
+          if (col.bytes(col.offsets(i) + k) != col.bytes(col.offsets(0) + k)) allEq = false
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (allEq) {
+      header(sink, CONST, PhysType.Bytes, n)
+      sink.writeVarint(l0.toLong)
+      sink.writeBytes(col.bytes, col.offsets(0), l0)
+      return
+    }
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    // Trivial: lengths sub-stream + raw bytes
+    val ts = new ByteSink()
+    val lengths = new Array[Long](n)
+    i = 0
+    while (i < n) { lengths(i) = (col.offsets(i + 1) - col.offsets(i)).toLong; i += 1 }
+    val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
+    ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
+    ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
+    candidates += ((TRIVIAL, ts.toArray))
+    // Dictionary for low-cardinality strings
+    if (depth < MaxDepth) {
+      val index = new mutable.HashMap[String, Int]() // key: latin-1 view of bytes (lossless for bytes)
+      val order = mutable.ArrayBuffer[(Int, Int)]() // (offset, len) of first occurrence
+      val indices = new Array[Long](n)
+      var capped = false
+      i = 0
+      while (i < n && !capped) {
+        val off = col.offsets(i)
+        val len = col.offsets(i + 1) - off
+        val key = new String(col.bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val id2 = index.getOrElseUpdate(key, { order += ((off, len)); index.size })
+        indices(i) = id2.toLong
+        if (index.size > 1 + n / 3 || index.size > 65536) capped = true
+        i += 1
+      }
+      if (!capped) {
+        val ds = new ByteSink()
+        // alphabet as a Trivial bytes stream in first-occurrence order
+        val aOffs = new Array[Int](order.length + 1)
+        var total = 0
+        i = 0
+        while (i < order.length) { total += order(i)._2; aOffs(i + 1) = total; i += 1 }
+        val aBytes = new Array[Byte](total)
+        i = 0
+        while (i < order.length) { System.arraycopy(col.bytes, order(i)._1, aBytes, aOffs(i), order(i)._2); i += 1 }
+        val as = new ByteSink(); encodeBytes(BytesCol(aOffs, aBytes), as, MaxDepth); ds.writeBlock(as.toArray)
+        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); ds.writeBlock(is.toArray)
+        candidates += ((DICT, ds.toArray))
+      }
+    }
+    emitBest(candidates, PhysType.Bytes, n, sink)
+  }
+
+  private def decodeBytesPayload(id: Byte, cur: ByteCursor, n: Int): BytesCol = id match {
+    case CONST =>
+      val l = cur.readVarint().toInt
+      val v = cur.readBytes(l)
+      val offs = new Array[Int](n + 1)
+      val bytes = new Array[Byte](l * n)
+      var i = 0
+      while (i < n) { System.arraycopy(v, 0, bytes, i * l, l); offs(i + 1) = (i + 1) * l; i += 1 }
+      BytesCol(offs, bytes)
+    case TRIVIAL =>
+      if (n == 0) { cur.readBlock(); return BytesCol(new Array[Int](1), Array.emptyByteArray) }
+      val lengths = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val total = cur.readVarint().toInt
+      val bytes = cur.readBytes(total)
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { offs(i + 1) = offs(i) + lengths(i).toInt; i += 1 }
+      BytesCol(offs, bytes)
+    case DICT =>
+      val alphabet = decodeValues(cur.readBlock()).asInstanceOf[BytesCol]
+      val indices = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val offs = new Array[Int](n + 1)
+      var total = 0
+      var i = 0
+      while (i < n) {
+        val a = indices(i).toInt
+        total += alphabet.offsets(a + 1) - alphabet.offsets(a)
+        offs(i + 1) = total
+        i += 1
+      }
+      val bytes = new Array[Byte](total)
+      i = 0
+      while (i < n) {
+        val a = indices(i).toInt
+        System.arraycopy(alphabet.bytes, alphabet.offsets(a), bytes, offs(i), alphabet.offsets(a + 1) - alphabet.offsets(a))
+        i += 1
+      }
+      BytesCol(offs, bytes)
+    case _ => throw new IllegalStateException(s"bad bytes codec $id")
+  }
+
+  // -------------------------------------------------- long payload decode
+
+  /** Decode with phys known (called from decodeValues). */
+  private def decodeLongPayloadTyped(id: Byte, phys: Byte, cur: ByteCursor, n: Int): Array[Long] = id match {
+    case CONST =>
+      val v = cur.readZigZag()
+      val out = new Array[Long](n)
+      java.util.Arrays.fill(out, v)
+      out
+    case TRIVIAL =>
+      val out = new Array[Long](n)
+      var i = 0
+      phys match {
+        case PhysType.I8 => while (i < n) { out(i) = cur.readByte().toByte.toLong; i += 1 }
+        case PhysType.I16 => while (i < n) { out(i) = cur.readShort().toShort.toLong; i += 1 }
+        case PhysType.I32 => while (i < n) { out(i) = cur.readInt().toLong; i += 1 }
+        case _ => while (i < n) { out(i) = cur.readLong(); i += 1 }
+      }
+      out
+    case FOR =>
+      val baseline = cur.readZigZag()
+      val w = cur.readByte()
+      val nBytes = ((n.toLong * w + 7) / 8).toInt
+      val out = unpackBits(cur.buf, cur.pos, baseline, w, n)
+      cur.pos += nBytes
+      out
+    case VARINT =>
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = cur.readZigZag(); i += 1 }
+      out
+    case RLE =>
+      val lens = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val vals = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      var i = 0
+      var r = 0
+      while (r < lens.length) {
+        var k = 0L
+        while (k < lens(r)) { out(i) = vals(r); i += 1; k += 1 }
+        r += 1
+      }
+      out
+    case DICT =>
+      val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val indices = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = alphabet(indices(i).toInt); i += 1 }
+      out
+    case DELTA =>
+      val first = cur.readZigZag()
+      val deltas = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      out(0) = first
+      var i = 1
+      while (i < n) { out(i) = out(i - 1) + deltas(i - 1); i += 1 }
+      out
+    case MAINLYCONST =>
+      val common = cur.readZigZag()
+      val isCommon = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+      val others = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        if (isCommon(i)) out(i) = common else { out(i) = others(j); j += 1 }
+        i += 1
+      }
+      out
+    case _ => throw new IllegalStateException(s"bad long codec $id")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.format
+
+/** Physical types of a value stream.
+  *
+  * Mirrors the reference's `DataType` (reference: dwio/nimble/common/Types.h:169-183)
+  * reduced to JVM-signed types; Spark has no unsigned integers so the unsigned
+  * variants are widened at the schema layer (SURVEY.md §1.2).
+  */
+object PhysType {
+  final val Bool: Byte = 0
+  final val I8: Byte = 1
+  final val I16: Byte = 2
+  final val I32: Byte = 3
+  final val I64: Byte = 4
+  final val F32: Byte = 5
+  final val F64: Byte = 6
+  final val Bytes: Byte = 7 // string / binary
+
+  def byteWidth(t: Byte): Int = t match {
+    case I8 => 1
+    case I16 => 2
+    case I32 => 4
+    case I64 => 8
+    case F32 => 4
+    case F64 => 8
+    case Bool => 1
+    case _ => -1
+  }
+}
+
+/** Decoded representation of one value stream (one chunk's worth).
+  *
+  * Integers (and dates/timestamps, and float/double raw bits where a codec
+  * wants an integral view) travel as Array[Long]; variable-width values as
+  * offsets+bytes. `nulls(i)` true means row i is null; values of null rows are
+  * undefined (not stored by the Nullable wrapper).
+  */
+sealed trait Column {
+  def len: Int
+  def nulls: Array[Boolean] // null => no nulls array allocated
+  final def hasNulls: Boolean = nulls != null
+  final def nullCount: Int = {
+    if (nulls == null) 0
+    else { var c = 0; var i = 0; while (i < nulls.length) { if (nulls(i)) c += 1; i += 1 }; c }
+  }
+}
+
+final case class LongsCol(values: Array[Long], phys: Byte, nulls: Array[Boolean] = null) extends Column {
+  def len: Int = values.length
+}
+final case class DoublesCol(values: Array[Double], isFloat: Boolean, nulls: Array[Boolean] = null) extends Column {
+  def len: Int = values.length
+}
+final case class BoolsCol(values: Array[Boolean], nulls: Array[Boolean] = null) extends Column {
+  def len: Int = values.length
+}
+/** offsets.length == len+1; value i = bytes[offsets(i) until offsets(i+1)). */
+final case class BytesCol(offsets: Array[Int], bytes: Array[Byte], nulls: Array[Boolean] = null) extends Column {
+  def len: Int = offsets.length - 1
+  def apply(i: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
+}

@@ -1,0 +1,383 @@
+package graft.format
+
+import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import scala.collection.mutable
+
+/** Physical file layout ("tablet").
+  *
+  * Mirrors the reference's tablet structure (reference:
+  * dwio/nimble/tablet/TabletWriter.h:51, tablet/Footer.fbs:78-83,
+  * tablet/Postscript.h:31): stripe data, then a footer (schema, stripe
+  * directory, per-stripe stream directory, column stats, sort-key ranges),
+  * then a fixed postscript + magic. Metadata is a hand-rolled binary section
+  * instead of FlatBuffers; the Spark schema travels as `StructType.json`.
+  *
+  * Streams are sequences of chunks framed inline
+  * ([byteLen i32][rowCount varint][compression u8][encoded payload]) so each
+  * chunk is independently decodable with predictable memory — the reference's
+  * "block encoding, not stream encoding" property (README.md:47-48). All
+  * streams of a stripe chunk at the same top-level row boundaries so a reader
+  * can zip chunk k of every projected stream into one output batch.
+  */
+object Tablet {
+  val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
+  val Version: Int = 1
+
+  // compression kinds (reference: dwio/nimble/common/Types.h:190-197)
+  final val CompNone: Byte = 0
+  final val CompZstd: Byte = 1
+
+  /** Zstd accept policy: keep iff compressed <= 0.8 x raw and raw >= 25B
+    * (reference: common/Types.h:217 acceptRatio, compression/COMPRESSION.md:26-33). */
+  def compressChunk(raw: Array[Byte]): (Byte, Array[Byte]) = {
+    if (raw.length < 25) return (CompNone, raw)
+    val comp = com.github.luben.zstd.Zstd.compress(raw, 3)
+    if (comp.length.toDouble <= raw.length * 0.8) (CompZstd, comp) else (CompNone, raw)
+  }
+
+  def decompressChunk(kind: Byte, data: Array[Byte], rawLen: Int): Array[Byte] = kind match {
+    case CompNone => data
+    case CompZstd => com.github.luben.zstd.Zstd.decompress(data, rawLen)
+    case _ => throw new IllegalStateException(s"bad compression $kind")
+  }
+
+  // ------------------------------------------------------------- metadata
+
+  /** Typed min/max + null/value counts for one stream in one stripe (or the
+    * whole file). Reference: velox/stats/ColumnStatsUtils.h:30-37. */
+  final case class Stats(
+      var valueCount: Long = 0L,
+      var nullCount: Long = 0L,
+      var hasMinMax: Boolean = false,
+      var minLong: Long = 0L, var maxLong: Long = 0L,
+      var minDouble: Double = 0d, var maxDouble: Double = 0d,
+      var minBytes: Array[Byte] = null, var maxBytes: Array[Byte] = null,
+      var kind: Byte = 0 // PhysType of min/max domain
+  ) {
+    def mergeColumn(col: Column): Unit = {
+      val nc = col.nullCount
+      nullCount += nc
+      valueCount += col.len
+      col match {
+        case c: LongsCol =>
+          kind = c.phys
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i)) {
+              val v = c.values(i)
+              if (!hasMinMax) { minLong = v; maxLong = v; hasMinMax = true }
+              else { if (v < minLong) minLong = v; if (v > maxLong) maxLong = v }
+            }
+            i += 1
+          }
+        case c: DoublesCol =>
+          kind = if (c.isFloat) PhysType.F32 else PhysType.F64
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i)) {
+              val v = c.values(i)
+              if (!v.isNaN) {
+                if (!hasMinMax) { minDouble = v; maxDouble = v; hasMinMax = true }
+                else { if (v < minDouble) minDouble = v; if (v > maxDouble) maxDouble = v }
+              }
+            }
+            i += 1
+          }
+        case c: BytesCol =>
+          kind = PhysType.Bytes
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i)) {
+              val v = c(i)
+              if (!hasMinMax) { minBytes = trunc(v); maxBytes = trunc(v); hasMinMax = true }
+              else {
+                if (compareBytes(v, minBytes) < 0) minBytes = trunc(v)
+                if (compareBytes(v, maxBytes) > 0) maxBytes = trunc(v)
+              }
+            }
+            i += 1
+          }
+        case _: BoolsCol => kind = PhysType.Bool
+      }
+    }
+    def merge(o: Stats): Unit = {
+      valueCount += o.valueCount
+      nullCount += o.nullCount
+      kind = o.kind
+      if (o.hasMinMax) {
+        if (!hasMinMax) {
+          minLong = o.minLong; maxLong = o.maxLong
+          minDouble = o.minDouble; maxDouble = o.maxDouble
+          minBytes = o.minBytes; maxBytes = o.maxBytes
+          hasMinMax = true
+        } else {
+          if (o.minLong < minLong) minLong = o.minLong
+          if (o.maxLong > maxLong) maxLong = o.maxLong
+          if (o.minDouble < minDouble) minDouble = o.minDouble
+          if (o.maxDouble > maxDouble) maxDouble = o.maxDouble
+          if (o.minBytes != null && (minBytes == null || compareBytes(o.minBytes, minBytes) < 0)) minBytes = o.minBytes
+          if (o.maxBytes != null && (maxBytes == null || compareBytes(o.maxBytes, maxBytes) > 0)) maxBytes = o.maxBytes
+        }
+      }
+    }
+    private def trunc(b: Array[Byte]): Array[Byte] =
+      if (b.length <= 64) b.clone() else java.util.Arrays.copyOf(b, 64)
+  }
+
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def writeStats(s: ByteSink, st: Stats): Unit = {
+    s.writeVarint(st.valueCount)
+    s.writeVarint(st.nullCount)
+    s.writeByte(st.kind)
+    s.writeByte(if (st.hasMinMax) 1 else 0)
+    if (st.hasMinMax) st.kind match {
+      case PhysType.F32 | PhysType.F64 => s.writeDouble(st.minDouble); s.writeDouble(st.maxDouble)
+      case PhysType.Bytes =>
+        s.writeBlock(if (st.minBytes == null) Array.emptyByteArray else st.minBytes)
+        s.writeBlock(if (st.maxBytes == null) Array.emptyByteArray else st.maxBytes)
+      case _ => s.writeZigZag(st.minLong); s.writeZigZag(st.maxLong)
+    }
+  }
+
+  private def readStats(c: ByteCursor): Stats = {
+    val st = Stats()
+    st.valueCount = c.readVarint()
+    st.nullCount = c.readVarint()
+    st.kind = c.readByte().toByte
+    st.hasMinMax = c.readByte() != 0
+    if (st.hasMinMax) st.kind match {
+      case PhysType.F32 | PhysType.F64 => st.minDouble = c.readDouble(); st.maxDouble = c.readDouble()
+      case PhysType.Bytes =>
+        val mb = c.readBlock(); st.minBytes = mb.readBytes(mb.remaining)
+        val xb = c.readBlock(); st.maxBytes = xb.readBytes(xb.remaining)
+      case _ => st.minLong = c.readZigZag(); st.maxLong = c.readZigZag()
+    }
+    st
+  }
+
+  /** Per-stripe, per-stream location within the file. */
+  final case class StreamLoc(offset: Long, length: Long)
+  final case class StripeInfo(
+      offset: Long, length: Long, rowCount: Long,
+      streams: Array[StreamLoc], // indexed by stream id; length 0 = absent
+      stats: Array[Stats])
+  final case class Footer(
+      version: Int,
+      schemaJson: String,
+      sortColumns: Seq[String], // declared sort order (ClusterIndex-lite)
+      rowCount: Long,
+      streamKeys: Array[String],
+      stripes: Array[StripeInfo],
+      fileStats: Array[Stats])
+
+  def writeFooter(f: Footer): Array[Byte] = {
+    val s = new ByteSink(1 << 16)
+    s.writeByte(Version)
+    s.writeBlock(f.schemaJson.getBytes("UTF-8"))
+    s.writeVarint(f.sortColumns.length.toLong)
+    f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
+    s.writeVarint(f.rowCount)
+    s.writeVarint(f.streamKeys.length.toLong)
+    f.streamKeys.foreach(k => s.writeBlock(k.getBytes("UTF-8")))
+    s.writeVarint(f.stripes.length.toLong)
+    for (st <- f.stripes) {
+      s.writeVarint(st.offset)
+      s.writeVarint(st.length)
+      s.writeVarint(st.rowCount)
+      for (sl <- st.streams) { s.writeVarint(sl.offset); s.writeVarint(sl.length) }
+      for (x <- st.stats) writeStats(s, x)
+    }
+    for (x <- f.fileStats) writeStats(s, x)
+    s.toArray
+  }
+
+  def readFooter(bytes: Array[Byte]): Footer = {
+    val c = new ByteCursor(bytes)
+    val version = c.readByte()
+    val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
+    val nSort = c.readVarint().toInt
+    val sortCols = (0 until nSort).map { _ =>
+      val b = c.readBlock(); new String(b.readBytes(b.remaining), "UTF-8")
+    }
+    val rowCount = c.readVarint()
+    val nStreams = c.readVarint().toInt
+    val keys = new Array[String](nStreams)
+    var i = 0
+    while (i < nStreams) {
+      val b = c.readBlock(); keys(i) = new String(b.readBytes(b.remaining), "UTF-8"); i += 1
+    }
+    val nStripes = c.readVarint().toInt
+    val stripes = new Array[StripeInfo](nStripes)
+    var sI = 0
+    while (sI < nStripes) {
+      val off = c.readVarint(); val len = c.readVarint(); val rc = c.readVarint()
+      val locs = new Array[StreamLoc](nStreams)
+      i = 0
+      while (i < nStreams) { locs(i) = StreamLoc(c.readVarint(), c.readVarint()); i += 1 }
+      val stats = new Array[Stats](nStreams)
+      i = 0
+      while (i < nStreams) { stats(i) = readStats(c); i += 1 }
+      stripes(sI) = StripeInfo(off, len, rc, locs, stats)
+      sI += 1
+    }
+    val fileStats = new Array[Stats](nStreams)
+    i = 0
+    while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
+    Footer(version, schemaJson, sortCols, rowCount, keys, stripes, fileStats)
+  }
+
+  // --------------------------------------------------------------- writer
+
+  /** Streaming tablet writer. Chunks are framed and buffered per stream until
+    * the stripe flushes (size- or row-bound), keeping writer memory bounded
+    * like the reference's flush policy (writer/FlushPolicy.h:74,114). */
+  final class Writer(
+      path: String,
+      schemaJson: String,
+      streamKeys: Array[String],
+      sortColumns: Seq[String] = Nil) {
+    private val out = new java.io.DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    out.write(Magic)
+    private var fileOffset: Long = Magic.length.toLong
+
+    private val nStreams = streamKeys.length
+    private var stripeBufs: Array[ByteSink] = Array.fill(nStreams)(new ByteSink(4096))
+    private var stripeStats: Array[Stats] = Array.fill(nStreams)(Stats())
+    private var stripeRows: Long = 0L
+    private val stripes = mutable.ArrayBuffer[StripeInfo]()
+    private val fileStats: Array[Stats] = Array.fill(nStreams)(Stats())
+    private var totalRows: Long = 0L
+
+    def bufferedBytes: Long = {
+      var t = 0L; var i = 0
+      while (i < nStreams) { t += stripeBufs(i).size; i += 1 }
+      t
+    }
+
+    /** Append one encoded chunk for stream `id` covering `rows` top-level rows
+      * (pass rows only once per row-range, via `addRows`). */
+    def writeChunk(id: Int, col: Column): Unit = {
+      val enc = new ByteSink(1024)
+      Codecs.encodeColumn(col, enc)
+      val raw = enc.toArray
+      val (kind, data) = compressChunk(raw)
+      val b = stripeBufs(id)
+      b.writeInt(data.length)
+      b.writeVarint(raw.length.toLong)
+      b.writeByte(kind)
+      b.writeBytes(data)
+      stripeStats(id).mergeColumn(col)
+    }
+
+    def addRows(n: Long): Unit = { stripeRows += n; totalRows += n }
+
+    def flushStripe(): Unit = {
+      if (stripeRows == 0) return
+      val locs = new Array[StreamLoc](nStreams)
+      val start = fileOffset
+      var i = 0
+      while (i < nStreams) {
+        val bytes = stripeBufs(i).toArray
+        locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
+        out.write(bytes)
+        fileOffset += bytes.length
+        i += 1
+      }
+      stripes += StripeInfo(start, fileOffset - start, stripeRows, locs, stripeStats)
+      i = 0
+      while (i < nStreams) { fileStats(i).merge(stripeStats(i)); i += 1 }
+      stripeBufs = Array.fill(nStreams)(new ByteSink(4096))
+      stripeStats = Array.fill(nStreams)(Stats())
+      stripeRows = 0
+    }
+
+    def close(): Long = {
+      flushStripe()
+      val footer = Footer(Version, schemaJson, sortColumns, totalRows,
+        streamKeys, stripes.toArray, fileStats)
+      val fb = writeFooter(footer)
+      out.write(fb)
+      fileOffset += fb.length
+      // postscript: footer length (4) + magic (4)
+      out.writeInt(java.lang.Integer.reverseBytes(fb.length)) // little-endian
+      out.write(Magic)
+      out.flush()
+      out.close()
+      fileOffset + 8
+    }
+  }
+
+  // --------------------------------------------------------------- reader
+
+  final class Reader(path: String) extends AutoCloseable {
+    private val file = new RandomAccessFile(path, "r")
+    val footer: Footer = {
+      val len = file.length()
+      file.seek(len - 8)
+      val lenBuf = new Array[Byte](8)
+      file.readFully(lenBuf)
+      require(java.util.Arrays.equals(java.util.Arrays.copyOfRange(lenBuf, 4, 8), Magic),
+        s"not a nimble-spark tablet: $path")
+      val fLen = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) | ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
+      val fb = new Array[Byte](fLen)
+      file.seek(len - 8 - fLen)
+      file.readFully(fb)
+      readFooter(fb)
+    }
+    private val streamIndex: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
+
+    def streamId(key: String): Int = streamIndex.getOrElse(key, -1)
+
+    def readStreamBytes(stripe: Int, id: Int): Array[Byte] = {
+      val loc = footer.stripes(stripe).streams(id)
+      val b = new Array[Byte](loc.length.toInt)
+      synchronized {
+        file.seek(loc.offset)
+        file.readFully(b)
+      }
+      b
+    }
+
+    override def close(): Unit = file.close()
+  }
+
+  /** Iterator over a stream's chunks (decoded columns). */
+  final class ChunkCursor(bytes: Array[Byte]) {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    /** Advance past the next chunk without decompressing or decoding. */
+    def skip(): Unit = {
+      val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      pos += 4
+      val cur0 = new ByteCursor(bytes, pos, bytes.length)
+      cur0.readVarint()
+      cur0.readByte()
+      pos = cur0.pos + compLen
+    }
+    def next(): Column = {
+      val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      pos += 4
+      val cur0 = new ByteCursor(bytes, pos, bytes.length)
+      val rawLen = cur0.readVarint().toInt
+      val kind = cur0.readByte().toByte
+      pos = cur0.pos
+      val data = java.util.Arrays.copyOfRange(bytes, pos, pos + compLen)
+      pos += compLen
+      val raw = decompressChunk(kind, data, rawLen)
+      Codecs.decodeColumn(new ByteCursor(raw))
+    }
+  }
+}

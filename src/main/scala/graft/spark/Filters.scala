@@ -1,0 +1,269 @@
+package graft.spark
+
+import graft.format._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pushed-filter evaluation: stripe pruning from footer stats and row-level
+  * evaluation on decoded columns.
+  *
+  * Mirrors the reference's ScanSpec filter application during decode
+  * (reference: dwio/nimble/velox/selective/ColumnReader.*,
+  * docs/develop/nimble_selective_reader.rst:159-213): each pushed filter
+  * narrows the surviving row set before vectors are built. Stripe pruning is
+  * the ClusterIndex/chunk-stats analog (reference: dwio/nimble/index/ClusterIndex.h:76,
+  * tablet/ChunkStats.fbs) driven by footer min/max.
+  */
+object Filters {
+
+  /** Is this filter fully evaluable by our scan (so Spark need not re-run it)? */
+  def supported(f: Filter, atomicCols: Set[String]): Boolean = f match {
+    case EqualTo(a, _) => atomicCols(a)
+    case EqualNullSafe(a, _) => atomicCols(a)
+    case GreaterThan(a, _) => atomicCols(a)
+    case GreaterThanOrEqual(a, _) => atomicCols(a)
+    case LessThan(a, _) => atomicCols(a)
+    case LessThanOrEqual(a, _) => atomicCols(a)
+    case In(a, _) => atomicCols(a)
+    case IsNull(a) => atomicCols(a)
+    case IsNotNull(a) => atomicCols(a)
+    case StringStartsWith(a, _) => atomicCols(a)
+    case StringEndsWith(a, _) => atomicCols(a)
+    case StringContains(a, _) => atomicCols(a)
+    case And(l, r) => supported(l, atomicCols) && supported(r, atomicCols)
+    case Or(l, r) => supported(l, atomicCols) && supported(r, atomicCols)
+    case Not(c) => supported(c, atomicCols)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** External literal -> internal primitive comparable against decoded data. */
+  private def toLong(v: Any): Long = v match {
+    case b: Boolean => if (b) 1L else 0L
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case d: java.sql.Date => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp => org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case t: java.time.Instant => org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+    case t: java.time.LocalDateTime => org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)
+    case d: java.math.BigDecimal => d.unscaledValue().longValueExact()
+    case d: BigDecimal => d.underlying().unscaledValue().longValueExact()
+    case other => throw new IllegalArgumentException(s"not an integral literal: $other (${other.getClass})")
+  }
+  private def toDouble(v: Any): Double = v match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case other => toLong(other).toDouble
+  }
+  private def toBytes(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes("UTF-8")
+    case u: UTF8String => u.getBytes
+    case b: Array[Byte] => b
+    case other => other.toString.getBytes("UTF-8")
+  }
+
+  // ----------------------------------------------------- stripe pruning
+
+  /** True if the stripe can be skipped: the filter provably matches no row.
+    * Conservative: returns false when unsure. */
+  def pruneStripe(f: Filter, stats: String => Option[Tablet.Stats]): Boolean = f match {
+    case And(l, r) => pruneStripe(l, stats) || pruneStripe(r, stats)
+    case Or(l, r) => pruneStripe(l, stats) && pruneStripe(r, stats)
+    case IsNull(a) => stats(a).exists(s => s.nullCount == 0)
+    case IsNotNull(a) => stats(a).exists(s => s.nullCount == s.valueCount)
+    case EqualTo(a, v) => outsideRange(a, v, stats, lo = true, hi = true)
+    case EqualNullSafe(a, v) if v != null => outsideRange(a, v, stats, lo = true, hi = true)
+    case GreaterThan(a, v) => aboveMax(a, v, stats, orEqual = true)
+    case GreaterThanOrEqual(a, v) => aboveMax(a, v, stats, orEqual = false)
+    case LessThan(a, v) => belowMin(a, v, stats, orEqual = true)
+    case LessThanOrEqual(a, v) => belowMin(a, v, stats, orEqual = false)
+    case In(a, vs) => vs.nonEmpty && vs.forall(v => outsideRange(a, v, stats, lo = true, hi = true))
+    case AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** All-null stripes fail any comparison. */
+  private def statsFor(a: String, stats: String => Option[Tablet.Stats]): Option[Tablet.Stats] = stats(a)
+
+  private def outsideRange(a: String, v: Any, stats: String => Option[Tablet.Stats], lo: Boolean, hi: Boolean): Boolean =
+    statsFor(a, stats).exists { s =>
+      if (!s.hasMinMax) s.valueCount > 0 // all nulls -> comparison never true
+      else s.kind match {
+        case PhysType.F32 | PhysType.F64 =>
+          val x = toDouble(v); x < s.minDouble || x > s.maxDouble
+        case PhysType.Bytes =>
+          val x = toBytes(v)
+          // maxBytes may be truncated at 64B: only prune on the low side
+          // definitively; on the high side require untruncated max.
+          Tablet.compareBytes(x, s.minBytes) < 0 ||
+            (s.maxBytes.length < 64 && Tablet.compareBytes(x, s.maxBytes) > 0)
+        case PhysType.Bool => false
+        case _ =>
+          val x = toLong(v); x < s.minLong || x > s.maxLong
+      }
+    }
+
+  /** filter col > v (orEqual=false: col >= v): prune if v above stripe max. */
+  private def aboveMax(a: String, v: Any, stats: String => Option[Tablet.Stats], orEqual: Boolean): Boolean =
+    statsFor(a, stats).exists { s =>
+      if (!s.hasMinMax) s.valueCount > 0
+      else s.kind match {
+        case PhysType.F32 | PhysType.F64 =>
+          val x = toDouble(v); if (orEqual) s.maxDouble <= x else s.maxDouble < x
+        case PhysType.Bytes =>
+          val x = toBytes(v)
+          s.maxBytes.length < 64 && (if (orEqual) Tablet.compareBytes(s.maxBytes, x) <= 0 else Tablet.compareBytes(s.maxBytes, x) < 0)
+        case PhysType.Bool => false
+        case _ =>
+          val x = toLong(v); if (orEqual) s.maxLong <= x else s.maxLong < x
+      }
+    }
+
+  private def belowMin(a: String, v: Any, stats: String => Option[Tablet.Stats], orEqual: Boolean): Boolean =
+    statsFor(a, stats).exists { s =>
+      if (!s.hasMinMax) s.valueCount > 0
+      else s.kind match {
+        case PhysType.F32 | PhysType.F64 =>
+          val x = toDouble(v); if (orEqual) s.minDouble >= x else s.minDouble > x
+        case PhysType.Bytes =>
+          val x = toBytes(v)
+          if (orEqual) Tablet.compareBytes(s.minBytes, x) >= 0 else Tablet.compareBytes(s.minBytes, x) > 0
+        case PhysType.Bool => false
+        case _ =>
+          val x = toLong(v); if (orEqual) s.minLong >= x else s.minLong > x
+      }
+    }
+
+  // ----------------------------------------------------- row-level eval
+
+  /** Compile a filter into a per-row predicate over decoded columns.
+    * `col(name)` returns the decoded chunk column for a referenced field. */
+  def compile(f: Filter, dts: String => DataType, col: String => Column): Int => Boolean = f match {
+    case And(l, r) =>
+      val cl = compile(l, dts, col); val cr = compile(r, dts, col)
+      i => cl(i) && cr(i)
+    case Or(l, r) =>
+      val cl = compile(l, dts, col); val cr = compile(r, dts, col)
+      i => cl(i) || cr(i)
+    case Not(c) =>
+      val cc = compile(c, dts, col)
+      // SQL boolean logic: Not(null) is null (not true) — our compiled
+      // predicates return false for null inputs, and Not must not turn that
+      // into true when the underlying value was null. Handle by checking
+      // null-ness of all referenced columns.
+      val refs = c.references
+      val cols = refs.map(col)
+      i => {
+        var anyNull = false
+        var j = 0
+        while (j < cols.length && !anyNull) {
+          val cn = cols(j).nulls
+          if (cn != null && cn(i)) anyNull = true
+          j += 1
+        }
+        !anyNull && !cc(i)
+      }
+    case IsNull(a) =>
+      val c = col(a)
+      i => c.nulls != null && c.nulls(i)
+    case IsNotNull(a) =>
+      val c = col(a)
+      i => c.nulls == null || !c.nulls(i)
+    case AlwaysTrue() => _ => true
+    case AlwaysFalse() => _ => false
+    case EqualTo(a, v) => cmpPred(col(a), v, r => r == 0)
+    case EqualNullSafe(a, v) =>
+      val c = col(a)
+      if (v == null) { i => c.nulls != null && c.nulls(i) }
+      else cmpPred(c, v, r => r == 0)
+    case GreaterThan(a, v) => cmpPred(col(a), v, r => r > 0)
+    case GreaterThanOrEqual(a, v) => cmpPred(col(a), v, r => r >= 0)
+    case LessThan(a, v) => cmpPred(col(a), v, r => r < 0)
+    case LessThanOrEqual(a, v) => cmpPred(col(a), v, r => r <= 0)
+    case In(a, vs) =>
+      val c = col(a)
+      c match {
+        case lc: LongsCol =>
+          val set = vs.map(toLong).toSet
+          i => notNull(lc, i) && set.contains(lc.values(i))
+        case dc: DoublesCol =>
+          val set = vs.map(toDouble).toSet
+          i => notNull(dc, i) && set.contains(dc.values(i))
+        case bc: BytesCol =>
+          val set = vs.map(v => new String(toBytes(v), java.nio.charset.StandardCharsets.ISO_8859_1)).toSet
+          i => notNull(bc, i) && set.contains(new String(bc.bytes, bc.offsets(i), bc.offsets(i + 1) - bc.offsets(i), java.nio.charset.StandardCharsets.ISO_8859_1))
+        case bl: BoolsCol =>
+          val set = vs.map { case b: Boolean => b }.toSet
+          i => notNull(bl, i) && set.contains(bl.values(i))
+      }
+    case StringStartsWith(a, p) =>
+      val c = col(a).asInstanceOf[BytesCol]
+      val pb = p.getBytes("UTF-8")
+      i => notNull(c, i) && regionStartsWith(c, i, pb)
+    case StringEndsWith(a, p) =>
+      val c = col(a).asInstanceOf[BytesCol]
+      val pb = p.getBytes("UTF-8")
+      i =>
+        notNull(c, i) && {
+          val len = c.offsets(i + 1) - c.offsets(i)
+          len >= pb.length && regionEquals(c.bytes, c.offsets(i + 1) - pb.length, pb)
+        }
+    case StringContains(a, p) =>
+      val c = col(a).asInstanceOf[BytesCol]
+      val pb = p.getBytes("UTF-8")
+      i => notNull(c, i) && contains(c.bytes, c.offsets(i), c.offsets(i + 1), pb)
+    case other => throw new UnsupportedOperationException(s"filter $other")
+  }
+
+  @inline private def notNull(c: Column, i: Int): Boolean = c.nulls == null || !c.nulls(i)
+
+  private def cmpPred(c: Column, v: Any, test: Int => Boolean): Int => Boolean = c match {
+    case lc: LongsCol =>
+      val x = toLong(v)
+      i => notNull(lc, i) && test(java.lang.Long.compare(lc.values(i), x))
+    case dc: DoublesCol =>
+      val x = toDouble(v)
+      i => notNull(dc, i) && test(java.lang.Double.compare(dc.values(i), x))
+    case bc: BytesCol =>
+      val x = toBytes(v)
+      i => notNull(bc, i) && test(compareRegion(bc, i, x))
+    case bl: BoolsCol =>
+      val x = v.asInstanceOf[Boolean]
+      i => notNull(bl, i) && test(java.lang.Boolean.compare(bl.values(i), x))
+  }
+
+  private def compareRegion(c: BytesCol, i: Int, x: Array[Byte]): Int = {
+    val off = c.offsets(i); val len = c.offsets(i + 1) - off
+    val n = math.min(len, x.length)
+    var k = 0
+    while (k < n) {
+      val d = (c.bytes(off + k) & 0xff) - (x(k) & 0xff)
+      if (d != 0) return d
+      k += 1
+    }
+    len - x.length
+  }
+
+  private def regionStartsWith(c: BytesCol, i: Int, p: Array[Byte]): Boolean = {
+    val off = c.offsets(i); val len = c.offsets(i + 1) - off
+    len >= p.length && regionEquals(c.bytes, off, p)
+  }
+  private def regionEquals(bytes: Array[Byte], off: Int, p: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < p.length) { if (bytes(off + k) != p(k)) return false; k += 1 }
+    true
+  }
+  private def contains(bytes: Array[Byte], from: Int, to: Int, p: Array[Byte]): Boolean = {
+    if (p.length == 0) return true
+    var i = from
+    while (i <= to - p.length) {
+      if (regionEquals(bytes, i, p)) return true
+      i += 1
+    }
+    false
+  }
+}

@@ -1,0 +1,442 @@
+package graft.spark
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.format._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+/** DataSource V2 connector for the graft tablet format:
+  * `spark.read.format("nimble")` / `df.write.format("nimble")`.
+  *
+  * Spark-first equivalent of the reference's reader/writer surface
+  * (reference: dwio/nimble/velox/VeloxReader.h:86-153,
+  * velox/selective/SelectiveNimbleReader.h:23, writer/VeloxWriter.h:51):
+  * column projection via SupportsPushDownRequiredColumns, predicate pushdown
+  * evaluated during decode, stripe pruning from footer stats, columnar
+  * batches into Spark's vectorized pipeline, per-task writers with bounded
+  * memory. One InputPartition per stripe (stripe == split granularity, like a
+  * Parquet row group).
+  */
+class NimbleSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nimble"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "nimble: 'path' option required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = NimbleSource.listFiles(pathOf(options))
+    require(files.nonEmpty, s"nimble: no .gft files under ${pathOf(options)}")
+    val footer = NimbleSource.footerOf(files.head)
+    DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NimbleTable(properties.get("path"), schema)
+}
+
+object NimbleSource {
+  def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(f.getPath)
+    else if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && x.getName.endsWith(".gft")).map(_.getPath).sorted.toSeq
+    else Seq.empty
+  }
+
+  /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h). */
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Tablet.Footer)]()
+  def footerOf(file: String): Tablet.Footer = {
+    val mtime = new java.io.File(file).lastModified()
+    val cached = footerCache.get(file)
+    if (cached != null && cached._1 == mtime) return cached._2
+    val r = new Tablet.Reader(file)
+    try {
+      footerCache.put(file, (mtime, r.footer))
+      r.footer
+    } finally r.close()
+  }
+}
+
+class NimbleTable(path: String, schema: StructType) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"nimble:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NimbleScanBuilder(path, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NimbleWriteBuilder(path, info.schema(), info.options())
+}
+
+// ------------------------------------------------------------------ read
+
+class NimbleScanBuilder(path: String, dataSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val atomicCols: Set[String] =
+    dataSchema.fields.filter(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }).map(_.name).toSet
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = dataSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => Filters.supported(f, atomicCols))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new NimbleScan(path, dataSchema, required, pushed)
+}
+
+case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
+
+class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = mutable.ArrayBuffer[InputPartition]()
+    var pruned = 0L
+    for (file <- NimbleSource.listFiles(path)) {
+      val footer = NimbleSource.footerOf(file)
+      val keyIdx = footer.streamKeys.zipWithIndex.toMap
+      var s = 0
+      while (s < footer.stripes.length) {
+        val info = footer.stripes(s)
+        val statsOf: String => Option[Tablet.Stats] =
+          name => keyIdx.get(name).map(info.stats)
+        val skip = filters.exists(f => Filters.pruneStripe(f, statsOf))
+        if (!skip) parts += NimbleStripePartition(file, s) else pruned += 1
+        s += 1
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NimbleReaderFactory(dataSchema, required, filters)
+
+  override def estimateStatistics(): Statistics = {
+    var rows = 0L
+    var bytes = 0L
+    for (file <- NimbleSource.listFiles(path)) {
+      val footer = NimbleSource.footerOf(file)
+      rows += footer.rowCount
+      bytes += new java.io.File(file).length()
+    }
+    val r = rows; val b = math.max(bytes, 1L)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(b)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(r)
+    }
+  }
+}
+
+class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+
+  private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  })
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = allAtomic
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[NimbleStripePartition]
+    new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[NimbleStripePartition]
+    val batches = new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+      private var mask: Array[Boolean] = null
+      private var rowIdx = -1
+      private var cur: InternalRow = null
+      override def next(): Boolean = {
+        while (true) {
+          while (rows.hasNext) {
+            val r = rows.next()
+            rowIdx += 1
+            if (mask == null || mask(rowIdx)) { cur = r; return true }
+          }
+          if (!batches.next()) return false
+          rows = batches.get().rowIterator()
+          mask = batches.currentMask
+          rowIdx = -1
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = batches.close()
+    }
+  }
+}
+
+/** Reads one stripe chunk-batch-wise: for each aligned chunk index, decodes
+  * filter columns first, builds a selection, then fills only surviving rows
+  * into fresh OnHeapColumnVectors (filter-before-materialize, the selective
+  * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
+class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
+    required: StructType, filters: Array[Filter]) extends PartitionReader[ColumnarBatch] {
+
+  private val reader = new Tablet.Reader(file)
+  private val footer = reader.footer
+  private val keyIdx: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
+
+  private val filterCols: Array[String] =
+    filters.flatMap(_.references).distinct.filterNot(c => required.fieldNames.contains(c))
+
+  // streams needed: all leaf streams of required fields + extra filter columns
+  private val neededKeys: Array[String] = {
+    val ks = Fields.streamKeys(required) ++ filterCols.filter(c => keyIdx.contains(c))
+    ks.distinct
+  }
+
+  private val streamBytes: Map[String, Array[Byte]] =
+    neededKeys.iterator.map { k =>
+      val id = keyIdx.getOrElse(k, -1)
+      require(id >= 0, s"nimble: stream $k not found in $file")
+      k -> reader.readStreamBytes(stripe, id)
+    }.toMap
+
+  private val cursors: Map[String, Tablet.ChunkCursor] =
+    streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+
+  private val fieldReaders: Array[Fields.FieldReader] =
+    required.fields.map(f => Fields.readerFor(f.name, f.dataType, cursors(_)))
+
+  // separate readers (cursors) for filter-only columns
+  private val filterReaders: Map[String, Fields.PrimR] =
+    filterCols.filter(keyIdx.contains).map { c =>
+      val dt = dataSchema(c).dataType
+      c -> new Fields.PrimR(c, dt, cursors(_))
+    }.toMap
+
+  // required fields that are themselves filter references: decode raw first,
+  // evaluate, then reuse the same decoded chunk for the vector fill.
+  private val requiredFilterRefs: Set[String] =
+    filters.flatMap(_.references).toSet.intersect(required.fieldNames.toSet)
+
+  private val anchor: Tablet.ChunkCursor = {
+    // any stream tracks chunk progression; use the first needed (or none)
+    if (neededKeys.nonEmpty) cursors(neededKeys.head) else null
+  }
+
+  private val allAtomicProjection: Boolean = required.fields.forall(f => f.dataType match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  })
+
+  private var rowsRemaining: Long = footer.stripes(stripe).rowCount
+  private var current: ColumnarBatch = null
+  /** In nested-projection mode with pushed filters: per-row survivor mask of
+    * the current (uncompacted) batch; null = all rows pass. */
+  var currentMask: Array[Boolean] = null
+
+  private val hasFilters = filters.nonEmpty
+
+  override def next(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    currentMask = null
+    while (true) {
+      if (anchor == null) {
+        // zero-column projection with no filters (count(*)): synthesize rows
+        if (rowsRemaining <= 0) return false
+        val n = math.min(rowsRemaining, 16384L).toInt
+        rowsRemaining -= n
+        current = new ColumnarBatch(Array.empty[ColumnVector], n)
+        return true
+      }
+      if (!anchor.hasNext) return false
+      if (!hasFilters) return fillBatch(null, -1)
+
+      // decode filter columns, evaluate the pushed predicates per row
+      val decoded = mutable.HashMap[String, graft.format.Column]()
+      for ((c, r) <- filterReaders) decoded(c) = r.decodeRaw()
+      var fi = 0
+      while (fi < fieldReaders.length) {
+        val name = required.fields(fi).name
+        if (requiredFilterRefs.contains(name))
+          decoded(name) = fieldReaders(fi).decodeRaw()
+        fi += 1
+      }
+      val chunkRows = decoded.valuesIterator.next().len
+      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, decoded(_)))
+      val passed = new Array[Boolean](chunkRows)
+      var m = 0
+      var i = 0
+      while (i < chunkRows) {
+        var ok = true
+        var j = 0
+        while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
+        passed(i) = ok
+        if (ok) m += 1
+        i += 1
+      }
+      for ((_, r) <- filterReaders) r.readChunkDiscard()
+      if (m == 0) {
+        // nothing survives: consume this chunk everywhere and move on
+        var k = 0
+        while (k < fieldReaders.length) {
+          fieldReaders(k) match {
+            case p: Fields.PrimR => p.readChunkDiscard()
+            case other => other.readChunk(discardVector(required.fields(k).dataType), null)
+          }
+          k += 1
+        }
+      } else if (allAtomicProjection) {
+        // compact survivors during the vector fill
+        val selection = if (m == chunkRows) null
+        else {
+          val sel = new Array[Int](m)
+          var s = 0; i = 0
+          while (i < chunkRows) { if (passed(i)) { sel(s) = i; s += 1 }; i += 1 }
+          sel
+        }
+        return fillBatch(selection, chunkRows)
+      } else {
+        // nested projection: fill full chunk, expose the mask (row reader filters)
+        val ok = fillBatch(null, chunkRows)
+        currentMask = if (m == chunkRows) null else passed
+        return ok
+      }
+    }
+    false
+  }
+
+  private def discardVector(dt: DataType): OnHeapColumnVector =
+    new OnHeapColumnVector(16, dt)
+
+  private def fillBatch(selection: Array[Int], chunkRowsHint: Int): Boolean = {
+    val vecs = new Array[OnHeapColumnVector](required.fields.length)
+    var outRows = -1
+    var i = 0
+    while (i < required.fields.length) {
+      val f = required.fields(i)
+      vecs(i) = new OnHeapColumnVector(
+        math.max(16, if (selection == null) 16384 else selection.length), f.dataType)
+      val n = fieldReaders(i).readChunk(vecs(i), selection)
+      if (outRows < 0) outRows = n
+      i += 1
+    }
+    if (outRows < 0) // zero projected columns but pushed filters present
+      outRows = if (selection != null) selection.length else chunkRowsHint
+    current = new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]], outRows)
+    true
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    if (current != null) current.close()
+    reader.close()
+  }
+}
+
+// ----------------------------------------------------------------- write
+
+class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst,
+      Option(options.get("sortColumns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+  }
+}
+
+class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
+    sortColumns: Seq[String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    if (truncateFirst && dir.exists()) {
+      dir.listFiles().filter(_.getName.endsWith(".gft")).foreach(_.delete())
+    }
+    dir.mkdirs()
+    NimbleWriterFactory(path, schema.json, sortColumns)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns)
+}
+
+/** Per-task file writer: buffers `rowsPerChunk` rows, encodes chunk, flushes
+  * stripes at a raw-size threshold — bounded memory regardless of input size
+  * (reference: dwio/nimble/writer/FlushPolicy.h:74,114 and
+  * docs/develop/nimble_writer.rst:211-282). */
+class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String],
+    rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20)
+    extends DataWriter[InternalRow] {
+
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val streamKeys = Fields.streamKeys(schema)
+  private val keyIdx = streamKeys.zipWithIndex.toMap
+  private val tablet = new Tablet.Writer(file, schemaJson, streamKeys, sortColumns)
+  private val writers: Array[Fields.FieldWriter] =
+    schema.fields.map(f => Fields.writerFor(f.name, f.dataType, keyIdx(_)))
+  private var pendingRows = 0
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < writers.length) { writers(i).add(row, i); i += 1 }
+    pendingRows += 1
+    if (pendingRows >= rowsPerChunk) flushChunk()
+  }
+
+  private def flushChunk(): Unit = {
+    if (pendingRows == 0) return
+    var i = 0
+    while (i < writers.length) { writers(i).flushChunk(tablet); i += 1 }
+    tablet.addRows(pendingRows.toLong)
+    pendingRows = 0
+    if (tablet.bufferedBytes >= stripeRawBytes) tablet.flushStripe()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushChunk()
+    tablet.close()
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = {
+    try tablet.close() catch { case _: Throwable => () }
+    new java.io.File(file).delete()
+  }
+  override def close(): Unit = ()
+}
