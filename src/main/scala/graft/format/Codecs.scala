@@ -463,9 +463,11 @@ object Codecs {
         i = 0
         while (i < n && ok) {
           val r = math.rint(values(i) * scale)
-          // bit-exact round-trip required (protects -0.0 and NaN payloads)
+          // bit-exact round-trip through the stored long is required
+          // (protects -0.0, NaN payloads, and out-of-range values)
           if (math.abs(r) > (1L << 50).toDouble ||
-            java.lang.Double.doubleToLongBits(r / scale) != java.lang.Double.doubleToLongBits(values(i))) ok = false
+            java.lang.Double.doubleToLongBits(r.toLong.toDouble / scale) !=
+              java.lang.Double.doubleToLongBits(values(i))) ok = false
           i += 1
         }
         if (ok) found = e
