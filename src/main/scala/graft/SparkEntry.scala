@@ -1,13 +1,384 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.9 + §2.8.
+  *
+  * Every query reads the driver testdata THROUGH the nimble connector
+  * (parquet -> tablet conversion cached per scale factor by [[Tables]]), so
+  * each entry exercises format write, scan, projection/filter pushdown, and
+  * stripe pruning end-to-end; the DuckDB oracle runs equivalent ANSI SQL on
+  * the original parquet.
+  *
+  * Float determinism: aggregate sums route through DECIMAL casts (exact,
+  * order-independent) and only the final value is cast to DOUBLE; ratios are
+  * single divisions of exact values — so hashes match the oracle bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: TPC-H Q1 over the nimble connector on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  /** Register nimble-backed temp views for the named tables. */
+  private def views(s: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(t => Tables.nimble(s, dir, t).createOrReplaceTempView(t))
+
+  private def q(tables: Seq[String], sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { views(s, dir, tables: _*); s.sql(sql) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.9 scan/pushdown family (connector capabilities) ----
+    "q01_scan_full" -> q(Seq("lineitem"),
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         unix_millis(cast(l_shipdate AS TIMESTAMP)) AS l_shipdate_ms FROM lineitem"""),
+    "q02_projection" -> q(Seq("lineitem"),
+      "SELECT l_orderkey, l_quantity FROM lineitem"),
+    "q03_filter_num" -> q(Seq("lineitem"),
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"),
+    "q04_filter_str_in" -> q(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+         WHERE l_returnflag IN ('A','N') AND l_linestatus = 'F'"""),
+    "q05_filter_null" -> q(Seq("lineitem"),
+      """SELECT l_returnflag, count(1) AS cnt FROM lineitem
+         WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+         GROUP BY l_returnflag"""),
+    "q06_filter_range" -> q(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, unix_millis(cast(l_shipdate AS TIMESTAMP)) AS sd_ms FROM lineitem
+         WHERE l_shipdate >= timestamp'1996-01-01 00:00:00'
+           AND l_shipdate < timestamp'1997-01-01 00:00:00'"""),
+    "q07_topk" -> q(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 100"""),
+    "q08_stats_agg" -> q(Seq("lineitem"),
+      """SELECT count(1) AS cnt, count(l_quantity) AS cnt_q,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+         min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+         min(unix_millis(cast(l_shipdate AS TIMESTAMP))) AS min_sd, max(unix_millis(cast(l_shipdate AS TIMESTAMP))) AS max_sd
+         FROM lineitem"""),
+    "q09_index_scan" -> q(Seq("orders"),
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         unix_millis(cast(o_orderdate AS TIMESTAMP)) AS o_orderdate_ms, o_orderpriority
+         FROM orders WHERE o_custkey = 371"""),
+    "q10_nested" -> ((s, dir) => {
+      val orders = Tables.nimble(s, dir, "orders")
+      val nested = orders.select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("st"),
+        array(col("o_totalprice"), col("o_totalprice") * 2.0).as("arr"),
+        map(lit("s"), col("o_orderstatus")).as("m"))
+      val rt = Tables.roundTrip(s, dir, "q10_nested", nested)
+      rt.select(
+        col("o_orderkey"),
+        col("st.status").as("status"),
+        col("st.total").as("total"),
+        explode(col("arr")).as("v"),
+        col("m")(lit("s")).as("ms"))
+    }),
+    "q11_flatmap_proj" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      val asMap = docs.select(col("doc_id"), map(col("source"), col("n_chars")).as("m"))
+      val rt = Tables.roundTrip(s, dir, "q11_flatmap", asMap)
+      rt.select(
+        col("doc_id"),
+        col("m")(lit("src3")).as("v_src3"),
+        col("m")(lit("src7")).as("v_src7"))
+    }),
+    "q12_encoding_grid" -> q(Seq("events"),
+      """SELECT count(1) AS cnt, min(event_id) AS min_id, max(event_id) AS max_id,
+         min(user_id) AS min_u, max(user_id) AS max_u,
+         min(event_type) AS min_et, max(event_type) AS max_et,
+         count(DISTINCT event_type) AS ndv_et,
+         min(value) AS min_v, max(value) AS max_v,
+         min(ts DIV 1000) AS min_ts_us, max(ts DIV 1000) AS max_ts_us
+         FROM events"""),
+
+    // ---- relational inventory inherited from Spark (§2.7) ----
+    "q13_tpch_q1" -> q(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_disc,
+         count(1) AS count_order
+         FROM lineitem WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus"""),
+    "q14_tpch_q6" -> q(Seq("lineitem"),
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= timestamp'1996-01-01 00:00:00'
+           AND l_shipdate < timestamp'1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""),
+    "q15_join_agg" -> q(Seq("orders", "customer"),
+      """SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         count(1) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""),
+    "q16_window" -> q(Seq("orders"),
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3"""),
+    "q17_setops" -> q(Seq("customer", "orders"),
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders"""),
+    "q18_rollup" -> q(Seq("nation", "region"),
+      """SELECT coalesce(r_name, '__ALL__') AS region, coalesce(n_name, '__ALL__') AS nation,
+         count(1) AS cnt
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)"""),
+    "q19_semijoin" -> q(Seq("customer", "orders"),
+      """SELECT count(1) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+    "q20_events_window" -> q(Seq("events"),
+      """SELECT event_type, ts - ts % 3600000000000 AS hour_ns,
+         count(1) AS cnt, min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY event_type, ts - ts % 3600000000000"""),
+
+    // ---- LLM-data-pipeline extensions (§2.8) ----
+    "x01_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
+    "x02_neardup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+    "x03_neardup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
+        n = 3, numPerms = 32, bands = 8, threshold = 0.5)),
+    "x04_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
+    "x05_embed_topk" -> ((s, dir) => {
+      val emb = Tables.nimble(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
+    }),
+    "x06_embed_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.nimble(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 3, dims = 64, planes = 6)
+    }),
+    "x07_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
+    "x08_token_count" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))
+    }),
+    "x09_langid" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    }),
+    "x10_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
+    "x11_multimodal" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      val media = Multimodal.decodeStub(Multimodal.binarize(docs, "doc_id", col("text"), "text/plain"))
+      media.select(
+        col("doc_id"),
+        col("meta.size").as("media_size"),
+        col("meta.sha").as("media_sha"),
+        col("decoded.width").as("w"),
+        col("decoded.height").as("h"),
+        ceil(col("meta.size").cast("double") / 64.0).cast("int").as("n_frames"))
+    }),
+    "x12_frame_sample" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      val media = Multimodal.binarize(docs, "doc_id", col("text"), "text/plain")
+      Multimodal.sampleFrames(media, "doc_id", frameBytes = 64, everyNth = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_size"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val shinglesCte =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w)-3,0)+1),
+              i -> array_to_string(w[i+1:i+3], ' '))) AS s FROM w)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_full" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         epoch_ms(l_shipdate) AS l_shipdate_ms FROM lineitem""",
+    "q02_projection" -> "SELECT l_orderkey, l_quantity FROM lineitem",
+    "q03_filter_num" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+    "q04_filter_str_in" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+         WHERE l_returnflag IN ('A','N') AND l_linestatus = 'F'""",
+    "q05_filter_null" ->
+      """SELECT l_returnflag, count(1) AS cnt FROM lineitem
+         WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+         GROUP BY l_returnflag""",
+    "q06_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS sd_ms FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""",
+    "q07_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q08_stats_agg" ->
+      """SELECT count(1) AS cnt, count(l_quantity) AS cnt_q,
+         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+         min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+         min(epoch_ms(l_shipdate)) AS min_sd, max(epoch_ms(l_shipdate)) AS max_sd
+         FROM lineitem""",
+    "q09_index_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+         FROM orders WHERE o_custkey = 371""",
+    "q10_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+         unnest([o_totalprice, o_totalprice * 2.0]) AS v, o_orderstatus AS ms
+         FROM orders""",
+    "q11_flatmap_proj" ->
+      """SELECT doc_id,
+         CASE WHEN source = 'src3' THEN n_chars END AS v_src3,
+         CASE WHEN source = 'src7' THEN n_chars END AS v_src7
+         FROM documents""",
+    "q12_encoding_grid" ->
+      """SELECT count(1) AS cnt, min(event_id) AS min_id, max(event_id) AS max_id,
+         min(user_id) AS min_u, max(user_id) AS max_u,
+         min(event_type) AS min_et, max(event_type) AS max_et,
+         count(DISTINCT event_type) AS ndv_et,
+         min(value) AS min_v, max(value) AS max_v,
+         min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+         FROM events""",
+    "q13_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_disc,
+         count(1) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q14_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "q15_join_agg" ->
+      """SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         count(1) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q16_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3""",
+    "q17_setops" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders""",
+    "q18_rollup" ->
+      """SELECT coalesce(r_name, '__ALL__') AS region, coalesce(n_name, '__ALL__') AS nation,
+         count(1) AS cnt
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q19_semijoin" ->
+      """SELECT count(1) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q20_events_window" ->
+      """SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS hour_ns,
+         count(1) AS cnt, min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1, 2""",
+    "x01_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+         count(1) AS cnt, min(doc_id) AS keeper
+         FROM documents GROUP BY 1""",
+    "x02_neardup_jaccard" -> (shinglesCte +
+      """, inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb, count(1) AS inter
+               FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4)
+         SELECT a, b, inter, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+         FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5"""),
+    "x04_simhash" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
+                       FROM documents),
+         h AS (SELECT doc, ('0x' || substr(md5(t), 25, 8))::BIGINT AS h FROM toks),
+         bits AS (SELECT doc, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                  GROUP BY doc, b.bit)
+         SELECT doc, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         FROM bits GROUP BY doc""",
+    "x05_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         scored AS (
+           SELECT q.q, c.vec_id AS neighbor,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS sim
+           FROM q CROSS JOIN embeddings c WHERE q.q <> c.vec_id),
+         ranked AS (SELECT q, neighbor,
+             row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank
+           FROM scored)
+         SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
+    "x07_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_uniq_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS n_stopwords,
+         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+           CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS uniq_ratio
+         FROM documents""",
+    "x08_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+         FROM documents""",
+    "x09_langid" ->
+      """SELECT doc_id,
+         CASE
+           WHEN len(regexp_extract_all(lower(text), '[一-鿿]')) > len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|a)\b'))
+            AND len(regexp_extract_all(lower(text), '[一-鿿]')) > len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+            AND len(regexp_extract_all(lower(text), '[一-鿿]')) > len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))
+            AND len(regexp_extract_all(lower(text), '[一-鿿]')) > len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) THEN 'zh'
+           WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) > len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|a)\b'))
+            AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) > len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))
+            AND len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) > len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) THEN 'de'
+           WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) > len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|a)\b'))
+            AND len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) > len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) THEN 'fr'
+           WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) > len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|a)\b')) THEN 'es'
+           ELSE 'en'
+         END AS pred_lang
+         FROM documents""",
+    "x10_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_fp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+             t -> CAST(length(t) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_fp
+         FROM documents""",
+    "x11_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS media_size,
+         sha256(text) AS media_sha,
+         ('0x' || substr(hex(encode(text)), 1, 4))::BIGINT % 1920 AS w,
+         ('0x' || substr(hex(encode(text)), 5, 4))::BIGINT % 1080 AS h,
+         CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+         FROM documents""",
+    "x12_frame_sample" ->
+      """SELECT doc_id, f.frame_idx,
+         least(64, octet_length(encode(text)) - f.frame_idx * 64) AS frame_size
+         FROM documents, LATERAL (
+           SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2)) AS frame_idx) f"""
+  )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the driver testdata, routed through the nimble connector:
+  * parquet tables are converted once per (sfDir, table) into tablet files in
+  * a temp cache, then every query reads `format("nimble")` — so the whole
+  * query inventory exercises the format end-to-end (write + scan + pushdown).
+  */
+object Tables {
+  private val cacheRoot = sys.props.getOrElse("graft.cache",
+    s"${System.getProperty("java.io.tmpdir")}/graft-nimble")
+
+  private val lock = new Object
+
+  /** Parquet view of a driver table. */
+  def parquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Nimble view of a driver table (converted + cached on first use). */
+  def nimble(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val dir = nimbleDir(spark, sfDir, table)
+    spark.read.format("nimble").load(dir)
+  }
+
+  /** Round-trip an arbitrary DataFrame through the nimble format (used by
+    * queries that exercise nested/map writers in the checked path). */
+  def roundTrip(spark: SparkSession, sfDir: String, key: String, df: DataFrame): DataFrame = {
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"$cacheRoot/$sfKey/rt_$key"
+    lock.synchronized {
+      df.write.format("nimble").mode("overwrite").save(dir)
+    }
+    spark.read.format("nimble").load(dir)
+  }
+
+  def nimbleDir(spark: SparkSession, sfDir: String, table: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"$cacheRoot/$key/$table"
+    lock.synchronized {
+      val d = new java.io.File(dir)
+      val ready = d.isDirectory && d.listFiles().exists(_.getName.endsWith(".gft"))
+      if (!ready) {
+        val sort = table match {
+          case "orders" => Some("o_custkey")
+          case "lineitem" => Some("l_orderkey")
+          case _ => None
+        }
+        var w = parquet(spark, sfDir, table)
+        // declared sort order -> ClusterIndex-lite stripe/chunk key ranges
+        // (reference: dwio/nimble/index/ClusterIndex.h:76 — data must arrive
+        // sorted; the writer validates, Spark produces the order here)
+        sort.foreach(c => w = w.repartition(1).sortWithinPartitions(c))
+        val writer = w.write.format("nimble").mode("overwrite")
+        sort.foreach(c => writer.option("sortColumns", c))
+        writer.save(dir)
+      }
+    }
+    dir
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators (SURVEY.md §2.8).
+  *
+  * All operators are pure DataFrame compositions (codegen'd `functions._`,
+  * no UDFs) and scale by shuffle-on-key: exact/fingerprint dedup is a single
+  * hash aggregation; n-gram Jaccard uses an inverted shingle index with a
+  * document-frequency cap so hot shingles cannot quadratically explode the
+  * pair join at 100 TB; MinHash/LSH buckets candidates by band signature so
+  * the join is linear in bucket sizes, then verifies candidates exactly.
+  */
+object Dedup {
+
+  /** Tokenized, lower-cased words. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles of `text`. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** Stable 32-bit shingle/token id from md5 (reproducible everywhere,
+    * including SQL engines: conv(substr(md5(s),25,8),16,10)). */
+  def hash32(c: Column): Column = conv(substr(md5(c), lit(25), lit(8)), 16, 10).cast("long")
+
+  /** Exact duplicate removal on a key set — one hash aggregation. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = df.dropDuplicates(cols)
+
+  /** Fingerprint dedup: md5 of whitespace-normalized lower-cased text;
+    * returns one group row per fingerprint with the keeper id (min). */
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
+    *
+    * Scale path: explode distinct shingles -> (shingle, doc) -> optional
+    * doc-frequency cap (drops shingles appearing in > maxDf docs; a hot
+    * shingle contributes ~maxDf^2 candidate pairs) -> self-join on shingle ->
+    * per-pair intersection counts -> Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    * Exact (recall 1.0) when maxDf disabled (<=0). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val docs = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv0 = docs.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
+    val inv =
+      if (maxDf > 0) {
+        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("s")
+        inv0.join(broadcast(hot), Seq("s"), "left_anti")
+      } else inv0
+    val a = inv.select(col("s"), col("doc").as("a"), col("sz").as("sza"))
+    val b = inv.select(col("s"), col("doc").as("b"), col("sz").as("szb"))
+    a.join(b, Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "sza", "szb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates with exact verification.
+    *
+    * numPerms permutations h_j(x) = (a_j*x + b_j) mod p over 32-bit shingle
+    * ids, banded into `bands` groups of numPerms/bands rows; docs sharing any
+    * band signature become candidates; candidates are verified with exact
+    * shingle-set Jaccard (so precision 1.0; recall is the LSH probability).
+    * Reference capability: SURVEY.md §2.8 (MinHashLSH). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    val p = 4294967311L // first prime > 2^32
+    val rows = numPerms / bands
+    val perms = (0 until numPerms).map(j => (j, 2L * j + 1L, (j * 12582917L + 3L) % p))
+    val permDf = spark.createDataFrame(perms).toDF("j", "pa", "pb")
+
+    val docs = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val ids = docs.select(col("doc"), explode(col("sh")).as("s"))
+      .withColumn("h", hash32(col("s")))
+    // minhash per (doc, perm)
+    val mh = ids.crossJoin(broadcast(permDf))
+      .groupBy("doc", "j")
+      .agg(min((col("pa") * col("h") + col("pb")) % p).as("mh"))
+      .withColumn("band", (col("j") / rows).cast("int"))
+    // band signature
+    val sigs = mh.groupBy("doc", "band")
+      .agg(concat_ws(",", sort_array(collect_list(concat_ws(":", col("j"), col("mh"))))).as("sig"))
+    val l = sigs.select(col("band"), col("sig"), col("doc").as("a"))
+    val r = sigs.select(col("band"), col("sig"), col("doc").as("b"))
+    val candidates = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verify
+    val sets = docs.select(col("doc"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc", "a").withColumnRenamed("sh", "sha"), Seq("a"))
+      .join(sets.withColumnRenamed("doc", "b").withColumnRenamed("sh", "shb"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash signature per document: per-token md5-derived 32-bit
+    * hash; each bit votes +1/-1 weighted by token frequency; signature bit i
+    * set iff the vote sum is positive. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("t"))
+      .withColumn("h", hash32(col("t")))
+    val bits = toks.select(col("doc"), col("h"),
+      explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("vote", expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy("doc", "bit")
+      .agg(sum(col("vote")).as("v"))
+    bits.groupBy("doc")
+      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist (exercises
+    * bit_count; pairs all docs — at scale, band the signature bytes first). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val a = sig.select(col("doc").as("a"), col("simhash").as("ha"))
+    val b = sig.select(col("doc").as("b"), col("simhash").as("hb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+}

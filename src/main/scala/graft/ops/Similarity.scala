@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.8).
+  *
+  * Brute-force cosine top-k is the exact baseline (broadcast the query set,
+  * scan the corpus once — no shuffle of the corpus at all); the LSH-bucketed
+  * variant is the 100 TB scale path: random-hyperplane signs bucket the
+  * corpus so each query only joins its bucket. Dot products use
+  * `zip_with` + `aggregate` with explicit left-to-right summation so results
+  * are bit-deterministic.
+  */
+object Similarity {
+
+  /** Deterministic left-to-right cosine similarity of two float arrays. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Output: (q, neighbor, rank, sim). Excludes self-matches. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("q") =!= col("neighbor"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("q").orderBy(round(col("sim"), 6).desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("neighbor"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id for a vector: sign bits of dot products
+    * with `planes` pseudo-random hyperplanes derived deterministically from
+    * dimension index (no data-dependent state — reproducible cluster-wide). */
+  def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+    // plane p, dim d weight = deterministic pseudo-random in [-1, 1)
+    val sigs = (0 until planes).map { p =>
+      val weighted = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dims - 1)),
+          (v, d) => v.cast("double") *
+            (pmod(d * lit(2654435761L) + lit(p.toLong * 40503L + 7L), lit(1000003L)).cast("double") / 500001.5 - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(weighted >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    sigs.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries join only their LSH bucket (plus no
+    * multiprobe in v1). Falls back to empty result for queries whose bucket
+    * contains no corpus vectors — callers union with brute force on misses if
+    * full recall is required. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dims, planes))
+    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), dims, planes))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q") =!= col("neighbor"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("q").orderBy(round(col("sim"), 6).desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("neighbor"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table of (cid, vec)); ANN search then
+    * probes only the query's cell. The centroid table stands in for a trained
+    * codebook (k-means training is a separate offline job). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("sim", cosine(col(vecCol), col("cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
+}
