@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   private val cacheRoot = sys.props.getOrElse("graft.cache",
-    s"${System.getProperty("java.io.tmpdir")}/graft-nimble")
+    s"${System.getProperty("java.io.tmpdir")}/graft-nimble-v${graft.format.Tablet.Version}")
 
   private val lock = new Object
 

@@ -21,7 +21,7 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 1
+  val Version: Int = 2
 
   // compression kinds (reference: dwio/nimble/common/Types.h:190-197)
   final val CompNone: Byte = 0
@@ -52,7 +52,8 @@ object Tablet {
       var minLong: Long = 0L, var maxLong: Long = 0L,
       var minDouble: Double = 0d, var maxDouble: Double = 0d,
       var minBytes: Array[Byte] = null, var maxBytes: Array[Byte] = null,
-      var kind: Byte = 0 // PhysType of min/max domain
+      var kind: Byte = 0, // PhysType of min/max domain
+      var hasNaN: Boolean = false // float/double streams: NaN present (excluded from min/max)
   ) {
     def mergeColumn(col: Column): Unit = {
       val nc = col.nullCount
@@ -76,7 +77,8 @@ object Tablet {
           while (i < c.len) {
             if (c.nulls == null || !c.nulls(i)) {
               val v = c.values(i)
-              if (!v.isNaN) {
+              if (v.isNaN) hasNaN = true
+              else {
                 if (!hasMinMax) { minDouble = v; maxDouble = v; hasMinMax = true }
                 else { if (v < minDouble) minDouble = v; if (v > maxDouble) maxDouble = v }
               }
@@ -104,6 +106,7 @@ object Tablet {
       valueCount += o.valueCount
       nullCount += o.nullCount
       kind = o.kind
+      hasNaN ||= o.hasNaN
       if (o.hasMinMax) {
         if (!hasMinMax) {
           minLong = o.minLong; maxLong = o.maxLong
@@ -139,6 +142,7 @@ object Tablet {
     s.writeVarint(st.valueCount)
     s.writeVarint(st.nullCount)
     s.writeByte(st.kind)
+    s.writeByte(if (st.hasNaN) 1 else 0)
     s.writeByte(if (st.hasMinMax) 1 else 0)
     if (st.hasMinMax) st.kind match {
       case PhysType.F32 | PhysType.F64 => s.writeDouble(st.minDouble); s.writeDouble(st.maxDouble)
@@ -154,6 +158,7 @@ object Tablet {
     st.valueCount = c.readVarint()
     st.nullCount = c.readVarint()
     st.kind = c.readByte().toByte
+    st.hasNaN = c.readByte() != 0
     st.hasMinMax = c.readByte() != 0
     if (st.hasMinMax) st.kind match {
       case PhysType.F32 | PhysType.F64 => st.minDouble = c.readDouble(); st.maxDouble = c.readDouble()

@@ -1,0 +1,141 @@
+package graft.spark
+
+import graft.format.Tablet
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aggregate pushdown: COUNT/COUNT(col)/MIN/MAX answered straight from the
+  * footer column statistics — O(metadata), zero data bytes read.
+  *
+  * Mirrors the reference's stats + ValueHook aggregation fast path
+  * (reference: dwio/nimble/velox/stats/ColumnStatsUtils.h:30-37,
+  * velox/selective/ColumnLoader.h:42; SURVEY.md §2.3/§2.6). Acceptance is
+  * decided entirely on the driver against every file footer; if any footer
+  * cannot answer exactly (possible NaN in a double max, truncated string
+  * bounds, unsupported function), pushdown is refused and Spark falls back to
+  * a normal scan — never a wrong answer.
+  */
+object AggPushdown {
+
+  private def colName(e: Expression): Option[String] = e match {
+    case n: NamedReference if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  def outputSchema(agg: Aggregation, schema: StructType): StructType = {
+    val fields = agg.aggregateExpressions().zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (m: Min, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
+      case (m: Max, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
+      case (other, _) => throw new IllegalStateException(other.toString)
+    }
+    StructType(fields)
+  }
+
+  /** Per-file partial rows, or None if any aggregate is not exactly
+    * answerable from stats. */
+  def tryCompute(agg: Aggregation, schema: StructType, files: Seq[String]): Option[Seq[InternalRow]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val shapeOk = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct => colName(c.column()).exists(schema.fieldNames.contains)
+      case m: Min => colName(m.column()).exists(schema.fieldNames.contains)
+      case m: Max => colName(m.column()).exists(schema.fieldNames.contains)
+      case _ => false
+    }
+    if (!shapeOk || files.isEmpty) return None
+    val rows = files.map { f =>
+      val footer = NimbleSource.footerOf(f)
+      rowForFooter(agg, schema, footer).getOrElse(return None)
+    }
+    Some(rows)
+  }
+
+  private def rowForFooter(agg: Aggregation, schema: StructType, footer: Tablet.Footer): Option[InternalRow] = {
+    val keyIdx = footer.streamKeys.zipWithIndex.toMap
+    val values: Array[Any] = agg.aggregateExpressions().map {
+      case _: CountStar => java.lang.Long.valueOf(footer.rowCount): Any
+      case c: Count =>
+        val n = colName(c.column()).get
+        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        java.lang.Long.valueOf(s.valueCount - s.nullCount): Any
+      case m: Min =>
+        val n = colName(m.column()).get
+        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        statValue(s, schema(n).dataType, isMin = true) match {
+          case Some(v) => v
+          case None => return None
+        }
+      case m: Max =>
+        val n = colName(m.column()).get
+        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        statValue(s, schema(n).dataType, isMin = false) match {
+          case Some(v) => v
+          case None => return None
+        }
+      case other => throw new IllegalStateException(other.toString)
+    }
+    Some(new GenericInternalRow(values))
+  }
+
+  /** Exact stat value as a Catalyst internal value; None = cannot answer
+    * exactly. Returns Some(null) for an all-null column (correct partial). */
+  private def statValue(s: Tablet.Stats, dt: DataType, isMin: Boolean): Option[Any] = {
+    if (!s.hasMinMax) {
+      // no non-null, non-NaN values in this file
+      return if (s.hasNaN) None else Some(null)
+    }
+    dt match {
+      case ByteType => Some(java.lang.Byte.valueOf((if (isMin) s.minLong else s.maxLong).toByte))
+      case ShortType => Some(java.lang.Short.valueOf((if (isMin) s.minLong else s.maxLong).toShort))
+      case IntegerType | DateType => Some(java.lang.Integer.valueOf((if (isMin) s.minLong else s.maxLong).toInt))
+      case LongType | TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(if (isMin) s.minLong else s.maxLong))
+      case FloatType =>
+        // Spark sorts NaN greatest: max is NaN if present; min unaffected
+        if (!isMin && s.hasNaN) None
+        else Some(java.lang.Float.valueOf((if (isMin) s.minDouble else s.maxDouble).toFloat))
+      case DoubleType =>
+        if (!isMin && s.hasNaN) None
+        else Some(java.lang.Double.valueOf(if (isMin) s.minDouble else s.maxDouble))
+      case StringType =>
+        val b = if (isMin) s.minBytes else s.maxBytes
+        if (b == null || b.length >= 64) None // >=64 may be truncated
+        else Some(UTF8String.fromBytes(b))
+      case BinaryType =>
+        val b = if (isMin) s.minBytes else s.maxBytes
+        if (b == null || b.length >= 64) None else Some(b)
+      case _ => None
+    }
+  }
+}
+
+/** Scan yielding the driver-precomputed per-file partial rows. */
+class NimbleAggScan(path: String, out: StructType, rows: Seq[InternalRow])
+    extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String = s"nimble stats-agg path=$path (${rows.length} partials, 0 data bytes)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(NimbleAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory = new NimbleAggReaderFactory
+}
+
+case class NimbleAggPartition(rows: Seq[InternalRow]) extends InputPartition
+
+class NimbleAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[NimbleAggPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

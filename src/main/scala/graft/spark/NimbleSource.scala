@@ -90,7 +90,8 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 // ------------------------------------------------------------------ read
 
 class NimbleScanBuilder(path: String, dataSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val atomicCols: Set[String] =
     dataSchema.fields.filter(f => f.dataType match {
@@ -109,7 +110,26 @@ class NimbleScanBuilder(path: String, dataSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new NimbleScan(path, dataSchema, required, pushed)
+  private var aggOut: StructType = null
+  private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
+
+  /** Footer-stats aggregate pushdown (COUNT/MIN/MAX, no group-by, no
+    * filters); partial rows are computed on the driver and never touch data
+    * bytes. Refused (false) whenever stats cannot answer exactly. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    AggPushdown.tryCompute(agg, dataSchema, NimbleSource.listFiles(path)) match {
+      case Some(rows) =>
+        aggOut = AggPushdown.outputSchema(agg, dataSchema)
+        aggRows = rows
+        true
+      case None => false
+    }
+  }
+
+  override def build(): Scan =
+    if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
+    else new NimbleScan(path, dataSchema, required, pushed)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
