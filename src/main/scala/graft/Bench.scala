@@ -21,6 +21,15 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  /** Warm once (codegen + JIT + footer caches), then report the better of two
+    * timed runs — measures steady-state scan cost, not compiler latency. */
+  private def timeWarm[A](body: => A): (Double, A) = {
+    body
+    val (t1, _) = time(body)
+    val (t2, r) = time(body)
+    (math.min(t1, t2), r)
+  }
+
   private def dirBytes(path: String): Long = {
     val f = new java.io.File(path)
     if (f.isFile) f.length()
@@ -64,18 +73,18 @@ object Bench {
     // ---- scans ----
     def fullScan(df: DataFrame): Long =
       df.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()(0).getLong(2)
-    results("scan_full_nimble") = time(fullScan(nb))._1
-    results("scan_full_parquet") = time(fullScan(li))._1
+    results("scan_full_nimble") = timeWarm(fullScan(nb))._1
+    results("scan_full_parquet") = timeWarm(fullScan(li))._1
     results("scan_full_vs_parquet_ratio") = results("scan_full_nimble") / results("scan_full_parquet")
 
     def prunedScan(df: DataFrame): Long =
       df.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
         .agg(count(lit(1))).collect()(0).getLong(0)
-    results("scan_pruned_nimble") = time(prunedScan(nb))._1
-    results("scan_pruned_parquet") = time(prunedScan(li))._1
+    results("scan_pruned_nimble") = timeWarm(prunedScan(nb))._1
+    results("scan_pruned_parquet") = timeWarm(prunedScan(li))._1
 
     // ---- stats-answerable aggregate ----
-    results("agg_from_stats") = time {
+    results("agg_from_stats") = timeWarm {
       nb.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"),
         min("l_quantity"), max("l_quantity")).collect()
     }._1
@@ -92,7 +101,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       // warm plan + conversion outside the timed region
       fn(spark, sfDir).limit(1).collect()
-      results(name) = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())._1
+      results(name) = timeWarm(fn(spark, sfDir).write.format("noop").mode("overwrite").save())._1
     }
 
     // ---- codec grid (ns/element, encode+decode on 100K longs) ----

@@ -328,42 +328,55 @@ object Codecs {
     }
   }
 
-  /** Pack (v - baseline) in w bits each, little-endian bit order. */
+  /** Pack (v - baseline) in w bits each (w <= 57), little-endian bit order.
+    * Word-accumulated: bits land in a long[] then copy out once. */
   private def packBits(values: Array[Long], baseline: Long, w: Int, s: ByteSink): Unit = {
     val n = values.length
-    val nBytes = ((n.toLong * w + 7) / 8).toInt
-    val out = new Array[Byte](nBytes)
+    val nBits = n.toLong * w
+    val nWords = ((nBits + 63) / 64).toInt
+    val words = new Array[Long](nWords)
     var bit = 0L
     var i = 0
     while (i < n) {
       val v = values(i) - baseline
-      var b = 0
-      while (b < w) {
-        if (((v >>> b) & 1L) != 0) {
-          val pos = bit + b
-          out((pos >>> 3).toInt) = (out((pos >>> 3).toInt) | (1 << (pos & 7))).toByte
-        }
-        b += 1
-      }
+      val wi = (bit >>> 6).toInt
+      val sh = (bit & 63).toInt
+      words(wi) |= v << sh
+      if (sh + w > 64) words(wi + 1) |= v >>> (64 - sh)
       bit += w
       i += 1
+    }
+    val nBytes = ((nBits + 7) / 8).toInt
+    val out = new Array[Byte](nBytes)
+    var b = 0
+    while (b < nBytes) {
+      out(b) = (words(b >>> 3) >>> ((b & 7) << 3)).toByte
+      b += 1
     }
     s.writeBytes(out)
   }
 
+  /** Word-wise unpack: one unaligned 64-bit little-endian load per value. */
   private def unpackBits(buf: Array[Byte], off: Int, baseline: Long, w: Int, n: Int): Array[Long] = {
     val out = new Array[Long](n)
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val nBytes = ((n.toLong * w + 7) / 8).toInt
+    // copy into a padded word array once; then every read is in-bounds
+    val nWords = (nBytes + 7) / 8 + 1
+    val words = new Array[Long](nWords)
+    var b = 0
+    while (b < nBytes) {
+      words(b >>> 3) |= (buf(off + b) & 0xffL) << ((b & 7) << 3)
+      b += 1
+    }
     var bit = 0L
     var i = 0
     while (i < n) {
-      var v = 0L
-      var b = 0
-      while (b < w) {
-        val pos = bit + b
-        if ((buf(off + (pos >>> 3).toInt) & (1 << (pos & 7))) != 0) v |= (1L << b)
-        b += 1
-      }
-      out(i) = v + baseline
+      val wi = (bit >>> 6).toInt
+      val sh = (bit & 63).toInt
+      var v = words(wi) >>> sh
+      if (sh + w > 64) v |= words(wi + 1) << (64 - sh)
+      out(i) = (v & mask) + baseline
       bit += w
       i += 1
     }
@@ -524,9 +537,16 @@ object Codecs {
         DoublesCol(out, isFloat)
       case TRIVIAL =>
         val out = new Array[Double](n)
+        val bb = java.nio.ByteBuffer.wrap(cur.buf, cur.pos, cur.end - cur.pos)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var i = 0
-        if (isFloat) while (i < n) { out(i) = cur.readFloat().toDouble; i += 1 }
-        else while (i < n) { out(i) = cur.readDouble(); i += 1 }
+        if (isFloat) {
+          while (i < n) { out(i) = bb.getFloat(cur.pos + 4 * i).toDouble; i += 1 }
+          cur.pos += 4 * n
+        } else {
+          while (i < n) { out(i) = bb.getDouble(cur.pos + 8 * i); i += 1 }
+          cur.pos += 8 * n
+        }
         DoublesCol(out, isFloat)
       case ALP =>
         val e = cur.readByte()
@@ -670,12 +690,22 @@ object Codecs {
       out
     case TRIVIAL =>
       val out = new Array[Long](n)
+      val bb = java.nio.ByteBuffer.wrap(cur.buf, cur.pos, cur.end - cur.pos)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
       phys match {
-        case PhysType.I8 => while (i < n) { out(i) = cur.readByte().toByte.toLong; i += 1 }
-        case PhysType.I16 => while (i < n) { out(i) = cur.readShort().toShort.toLong; i += 1 }
-        case PhysType.I32 => while (i < n) { out(i) = cur.readInt().toLong; i += 1 }
-        case _ => while (i < n) { out(i) = cur.readLong(); i += 1 }
+        case PhysType.I8 =>
+          while (i < n) { out(i) = bb.get(cur.pos + i).toLong; i += 1 }
+          cur.pos += n
+        case PhysType.I16 =>
+          while (i < n) { out(i) = bb.getShort(cur.pos + 2 * i).toLong; i += 1 }
+          cur.pos += 2 * n
+        case PhysType.I32 =>
+          while (i < n) { out(i) = bb.getInt(cur.pos + 4 * i).toLong; i += 1 }
+          cur.pos += 4 * n
+        case _ =>
+          while (i < n) { out(i) = bb.getLong(cur.pos + 8 * i); i += 1 }
+          cur.pos += 8 * n
       }
       out
     case FOR =>
