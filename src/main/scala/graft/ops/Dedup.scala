@@ -47,21 +47,38 @@ object Dedup {
     * Exact (recall 1.0) when maxDf disabled (<=0). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = -1): DataFrame = {
-    val spark = df.sparkSession
     val docs = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+    // Prefix filtering (PPJoin-style, EXACT): order shingles by ascending
+    // global document frequency; a pair with Jaccard >= t must share at least
+    // one shingle within each side's first (sz - ceil(t*sz) + 1) shingles in
+    // that order — only those prefix shingles enter the candidate join, so
+    // hot shingles stop driving a quadratic pair blowup while recall stays
+    // 1.0 (candidates are then verified with the exact intersection count).
     val inv0 = docs.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
-    val inv =
-      if (maxDf > 0) {
-        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("s")
-        inv0.join(broadcast(hot), Seq("s"), "left_anti")
-      } else inv0
-    val a = inv.select(col("s"), col("doc").as("a"), col("sz").as("sza"))
-    val b = inv.select(col("s"), col("doc").as("b"), col("sz").as("szb"))
-    a.join(b, Seq("s"))
+    val dfTab = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = inv0.join(dfTab, Seq("s"))
+      .groupBy("doc", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("doc"), col("sz"),
+        explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
+      .select(col("doc"), col("sz"), col("p.s").as("s"), col("p.df").as("df"))
+      // optional recall-trading cap for adversarial corpora: drop prefix
+      // entries whose shingle is hotter than maxDf (maxDf <= 0 keeps exact)
+      .filter(if (maxDf > 0) col("df") <= maxDf else lit(true))
+    val a = ranked.select(col("s"), col("doc").as("a"), col("sz").as("sza"))
+    val b = ranked.select(col("s"), col("doc").as("b"), col("sz").as("szb"))
+    val candidates = a.join(b, Seq("s"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b", "sza", "szb")
-      .agg(count(lit(1)).as("inter"))
+      .select("a", "b").distinct()
+    // exact verification on full shingle sets
+    val sets = docs.select(col("doc"), col("sh"), col("sz"))
+    candidates
+      .join(sets.select(col("doc").as("a"), col("sh").as("sha"), col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col("doc").as("b"), col("sh").as("shb"), col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
