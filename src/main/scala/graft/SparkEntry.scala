@@ -149,7 +149,7 @@ object SparkEntry {
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
     "x02_neardup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)),
+        n = 3, threshold = 0.8)),
     "x03_neardup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
         n = 3, numPerms = 32, bands = 8, threshold = 0.5)),
@@ -309,7 +309,7 @@ object SparkEntry {
                FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
                GROUP BY 1, 2, 3, 4)
          SELECT a, b, inter, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
-         FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5"""),
+         FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8"""),
     "x04_simhash" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
                        FROM documents),
