@@ -361,6 +361,20 @@ object Tablet {
   final class ChunkCursor(bytes: Array[Byte]) {
     private var pos = 0
     def hasNext: Boolean = pos < bytes.length
+    /** Codec id of the next chunk without consuming it (tooling). */
+    def peekCodec(): Byte = {
+      val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      val cur0 = new ByteCursor(bytes, pos + 4, bytes.length)
+      val rawLen = cur0.readVarint().toInt
+      val kind = cur0.readByte().toByte
+      if (kind == CompNone) bytes(cur0.pos)
+      else {
+        val data = java.util.Arrays.copyOfRange(bytes, cur0.pos, cur0.pos + compLen)
+        decompressChunk(kind, data, rawLen)(0)
+      }
+    }
+
     /** Advance past the next chunk without decompressing or decoding. */
     def skip(): Unit = {
       val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |

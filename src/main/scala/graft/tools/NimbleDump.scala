@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft.format._
+
+/** Inspection CLI — the `nimble_dump` / NimbleDSL equivalent (reference:
+  * dwio/nimble/tools/NimbleDumpLib.h:25,37-58, tools/NimbleDslVm.h:28-46,
+  * docs/NimbleDSL.md:22-135).
+  *
+  * Usage: NimbleDump <cmd> <file-or-dir> [args]
+  *   info     — row counts, stripe count, sizes, version
+  *   schema   — the Spark schema (DESCRIBE)
+  *   stripes  — per-stripe rows/offsets/bytes (SHOW STRIPES)
+  *   streams  — per-stream encoded bytes + stats (SHOW STREAMS / SHOW STATS)
+  *   encoding — codec tree histogram over all chunks (SHOW ENCODING)
+  *   layout   — file layout walk (SHOW FILE LAYOUT)
+  *   content  — first N rows of each leaf stream (SELECT ... LIMIT)
+  */
+object NimbleDump {
+  private def files(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(path)
+    else f.listFiles().filter(_.getName.endsWith(".gft")).map(_.getPath).sorted.toSeq
+  }
+
+  private def codecName(id: Byte): String = id match {
+    case Codecs.TRIVIAL => "Trivial"
+    case Codecs.RLE => "RLE"
+    case Codecs.DICT => "Dictionary"
+    case Codecs.FBW => "FixedBitWidth"
+    case Codecs.NULLABLE => "Nullable"
+    case Codecs.SPARSEBOOL => "SparseBool"
+    case Codecs.VARINT => "Varint"
+    case Codecs.DELTA => "Delta"
+    case Codecs.CONST => "Constant"
+    case Codecs.MAINLYCONST => "MainlyConstant"
+    case Codecs.PREFIX => "Prefix"
+    case Codecs.ALP => "ALP"
+    case Codecs.FOR => "FOR"
+    case other => s"codec#$other"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("info")
+    val path = args.lift(1).getOrElse {
+      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|layout|content> <file>")
+      sys.exit(2)
+    }
+    for (f <- files(path)) {
+      val r = new Tablet.Reader(f)
+      val ft = r.footer
+      println(s"== $f")
+      cmd match {
+        case "info" =>
+          println(s"  version=${ft.version} rows=${ft.rowCount} stripes=${ft.stripes.length} " +
+            s"streams=${ft.streamKeys.length} bytes=${new java.io.File(f).length()} " +
+            s"sortColumns=${ft.sortColumns.mkString(",")}")
+        case "schema" =>
+          println(org.apache.spark.sql.types.DataType.fromJson(ft.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].treeString)
+        case "stripes" =>
+          for ((s, i) <- ft.stripes.zipWithIndex)
+            println(f"  stripe $i%3d offset=${s.offset}%10d bytes=${s.length}%10d rows=${s.rowCount}%8d")
+        case "streams" =>
+          for ((k, i) <- ft.streamKeys.zipWithIndex) {
+            val bytes = ft.stripes.map(_.streams(i).length).sum
+            val st = ft.fileStats(i)
+            val mm =
+              if (!st.hasMinMax) ""
+              else st.kind match {
+                case PhysType.F32 | PhysType.F64 => s" min=${st.minDouble} max=${st.maxDouble}"
+                case PhysType.Bytes =>
+                  s" min=${new String(st.minBytes, "UTF-8").take(20)} max=${new String(st.maxBytes, "UTF-8").take(20)}"
+                case _ => s" min=${st.minLong} max=${st.maxLong}"
+              }
+            println(f"  $k%-28s bytes=$bytes%10d values=${st.valueCount}%8d nulls=${st.nullCount}%6d$mm")
+          }
+        case "encoding" =>
+          val hist = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+          for (s <- ft.stripes.indices; i <- ft.streamKeys.indices) {
+            val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
+            while (cur.hasNext) { hist(codecName(cur.peekCodec())) += 1; cur.skip() }
+          }
+          hist.toSeq.sortBy(-_._2).foreach { case (c, n) => println(f"  $c%-16s $n%6d chunks") }
+        case "layout" =>
+          println(s"  [magic 4B][stripe data ...][footer][postscript 8B][magic]")
+          for ((s, i) <- ft.stripes.zipWithIndex)
+            println(s"  stripe $i @ ${s.offset} (+${s.length})")
+          println(s"  footer @ ${ft.stripes.lastOption.map(s => s.offset + s.length).getOrElse(4L)}")
+        case "content" =>
+          val n = args.lift(2).map(_.toInt).getOrElse(10)
+          for ((k, i) <- ft.streamKeys.zipWithIndex) {
+            val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, i))
+            if (cur.hasNext) {
+              val col = cur.next()
+              val vals = col match {
+                case c: LongsCol => c.values.take(n).mkString(",")
+                case c: DoublesCol => c.values.take(n).mkString(",")
+                case c: BoolsCol => c.values.take(n).mkString(",")
+                case c: BytesCol => (0 until math.min(n, c.len)).map(j => new String(c(j), "UTF-8").take(16)).mkString(",")
+              }
+              println(s"  $k: $vals")
+            }
+          }
+        case other => System.err.println(s"unknown command $other")
+      }
+      r.close()
+    }
+  }
+}
