@@ -40,9 +40,10 @@ class NimbleSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = NimbleSource.listFiles(pathOf(options))
-    require(files.nonEmpty, s"nimble: no .gft files under ${pathOf(options)}")
-    val footer = NimbleSource.footerOf(files.head)
-    DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+    // empty (e.g. a fresh streaming-sink dir): the write path supplies the
+    // schema via LogicalWriteInfo; reads of an empty table see no columns
+    if (files.isEmpty) new StructType()
+    else DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -78,6 +79,7 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -391,10 +393,35 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = { truncateFirst = true; this }
 
+  private def sortCols: Seq[String] =
+    Option(options.get("sortColumns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst,
-      Option(options.get("sortColumns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols)
+    /** Structured Streaming sink: files are immutable and appended per epoch,
+      * which matches the format's append-only tablet model exactly; epoch id
+      * lands in the file name so replayed epochs overwrite deterministically
+      * (exactly-once via Spark's commit protocol). */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new NimbleStreamingWrite(path, schema.json, sortCols)
   }
+}
+
+class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    NimbleStreamingWriterFactory(path, schemaJson, sortColumns)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new NimbleDataWriter(s"$path/epoch-$epochId-part-%05d.gft".format(partitionId), schemaJson, sortColumns)
 }
 
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,

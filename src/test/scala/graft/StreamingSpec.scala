@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** Structured Streaming integration (SURVEY.md §1.4/§7: the format is an
+  * append-only file sink; watermarked windows and arbitrary state come from
+  * Spark): events pipeline -> windowed counts -> nimble streaming sink;
+  * sessionization via mapGroupsWithState. */
+class StreamingSpec extends SparkTestBase {
+  import org.apache.spark.sql.Encoders
+
+  test("watermarked windowed aggregation into the nimble streaming sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val out = tmpDir("stream-sink")
+    val q = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_v"))
+      .writeStream
+      .format("nimble")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .outputMode("append")
+      .start()
+
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(1, 5), "click", 1.0), (ts(1, 20), "click", 2.0), (ts(1, 30), "view", 5.0))
+    input.addData((ts(3, 0), "click", 4.0)) // advances watermark past hour 1
+    q.processAllAvailable()
+    q.stop()
+
+    val res = spark.read.format("nimble").load(out)
+    // hour-1 windows are final once watermark passed
+    val rows = res.collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("click", 2L, 3.0)), s"got ${rows.mkString(";")}")
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("stateful sessionization with mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)](spark) // (user, ts-seconds)
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    input.addData((1L, 10L), (1L, 20L), (2L, 30L))
+    q.processAllAvailable()
+    input.addData((1L, 40L))
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.sql("SELECT * FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(m(1L) == 3L && m(2L) == 1L, m.toString)
+  }
+}
