@@ -102,7 +102,7 @@ object Fields {
     /** Append the value at `ordinal` of `g` (g may be a row or array view). */
     def add(g: SpecializedGetters, ordinal: Int): Unit
     def addNull(): Unit
-    def flushChunk(t: Tablet.Writer): Unit
+    def flushChunk(t: Tablet.ChunkSink): Unit
     def rawSize: Long
   }
 
@@ -153,7 +153,7 @@ object Fields {
       else if (bools != null) bools.add(false)
       else bytesB.addEmpty()
     }
-    def flushChunk(t: Tablet.Writer): Unit = {
+    def flushChunk(t: Tablet.ChunkSink): Unit = {
       val nl = nulls.resultOrNull
       val col: Column =
         if (longs != null) LongsCol(longs.result(), phys, nl)
@@ -187,7 +187,7 @@ object Fields {
       var i = 0
       while (i < children.length) { children(i).addNull(); i += 1 }
     }
-    def flushChunk(t: Tablet.Writer): Unit = {
+    def flushChunk(t: Tablet.ChunkSink): Unit = {
       t.writeChunk(nullsId, BoolsCol(nulls.result()))
       nulls.clear()
       children.foreach(_.flushChunk(t))
@@ -209,7 +209,7 @@ object Fields {
       while (i < arr.numElements()) { elem.add(arr, i); i += 1 }
     }
     def addNull(): Unit = { lenNulls.add(true); lens.add(0L) }
-    def flushChunk(t: Tablet.Writer): Unit = {
+    def flushChunk(t: Tablet.ChunkSink): Unit = {
       t.writeChunk(lenId, LongsCol(lens.result(), PhysType.I32, lenNulls.resultOrNull))
       lens.clear(); lenNulls.clear()
       elem.flushChunk(t)
@@ -233,7 +233,7 @@ object Fields {
       while (i < mp.numElements()) { keyW.add(ks, i); valW.add(vs, i); i += 1 }
     }
     def addNull(): Unit = { lenNulls.add(true); lens.add(0L) }
-    def flushChunk(t: Tablet.Writer): Unit = {
+    def flushChunk(t: Tablet.ChunkSink): Unit = {
       t.writeChunk(lenId, LongsCol(lens.result(), PhysType.I32, lenNulls.resultOrNull))
       lens.clear(); lenNulls.clear()
       keyW.flushChunk(t)

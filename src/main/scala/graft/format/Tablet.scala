@@ -243,6 +243,12 @@ object Tablet {
 
   // --------------------------------------------------------------- writer
 
+  /** Anything that accepts encoded chunks per stream id (the tablet writer,
+    * or the row-batch serializer's collector). */
+  trait ChunkSink {
+    def writeChunk(id: Int, col: Column): Unit
+  }
+
   /** Streaming tablet writer. Chunks are framed and buffered per stream until
     * the stripe flushes (size- or row-bound), keeping writer memory bounded
     * like the reference's flush policy (writer/FlushPolicy.h:74,114). */
@@ -250,7 +256,7 @@ object Tablet {
       path: String,
       schemaJson: String,
       streamKeys: Array[String],
-      sortColumns: Seq[String] = Nil) {
+      sortColumns: Seq[String] = Nil) extends ChunkSink {
     private val out = new java.io.DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     out.write(Magic)
