@@ -54,6 +54,15 @@ final class ByteSink(initial: Int = 1024) {
   /** Length-prefixed child block (used for cascaded sub-streams). */
   def writeBlock(b: Array[Byte]): Unit = { writeVarint(b.length.toLong); writeBytes(b) }
 
+  /** Copy `len` already-written bytes starting at `off` to the end (prefix
+    * decoding: previous value's shared prefix). */
+  def writeBytesFromSelf(off: Int, len: Int): Unit = {
+    ensure(len)
+    var i = 0
+    while (i < len) { buf(pos + i) = buf(off + i); i += 1 }
+    pos += len
+  }
+
   def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, pos)
 }
 

@@ -28,6 +28,7 @@ object Codecs {
   final val RLE: Byte = 1
   final val DICT: Byte = 2
   final val FBW: Byte = 3 // fixed bit width, baseline 0
+  final val SENTINEL: Byte = 4
   final val NULLABLE: Byte = 5
   final val SPARSEBOOL: Byte = 6
   final val VARINT: Byte = 7
@@ -53,19 +54,62 @@ object Codecs {
     * reference: dwio/nimble/encodings/NullableEncoding.h:44). */
   def encodeColumn(col: Column, sink: ByteSink): Unit = {
     val nc = col.nullCount
-    if (nc == 0) encodeValues(stripNulls(col), sink, 0)
-    else {
-      sink.writeByte(NULLABLE)
-      sink.writeByte(physOf(col))
-      sink.writeVarint(col.len.toLong)
-      val isNull = col.nulls
-      val nullsSink = new ByteSink()
-      encodeValues(BoolsCol(isNull), nullsSink, 1)
-      sink.writeBlock(nullsSink.toArray)
-      val valuesSink = new ByteSink()
-      encodeValues(compactNonNull(col), valuesSink, 1)
-      sink.writeBlock(valuesSink.toArray)
+    if (nc == 0) { encodeValues(stripNulls(col), sink, 0); return }
+    // Nullable wrapper: null bitmap sub-stream + compacted values sub-stream
+    // (reference: dwio/nimble/encodings/NullableEncoding.h:44)
+    val nullableSink = new ByteSink()
+    nullableSink.writeByte(NULLABLE)
+    nullableSink.writeByte(physOf(col))
+    nullableSink.writeVarint(col.len.toLong)
+    val isNull = col.nulls
+    val nullsSink = new ByteSink()
+    encodeValues(BoolsCol(isNull), nullsSink, 1)
+    nullableSink.writeBlock(nullsSink.toArray)
+    val valuesSink = new ByteSink()
+    encodeValues(compactNonNull(col), valuesSink, 1)
+    nullableSink.writeBlock(valuesSink.toArray)
+    val nullableBytes = nullableSink.toArray
+    // Sentinel alternative for integer streams: nulls stored in-band as an
+    // unused value (reference: dwio/nimble/encodings/SentinelEncoding.h:44)
+    val sentinelBytes = col match {
+      case c: LongsCol => trySentinel(c)
+      case _ => null
     }
+    if (sentinelBytes != null && sentinelBytes.length < nullableBytes.length)
+      sink.writeBytes(sentinelBytes)
+    else sink.writeBytes(nullableBytes)
+  }
+
+  private def trySentinel(c: LongsCol): Array[Byte] = {
+    val n = c.len
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      if (!c.nulls(i)) {
+        val v = c.values(i)
+        if (v < min) min = v
+        if (v > max) max = v
+      }
+      i += 1
+    }
+    if (min == Long.MaxValue) { min = 0; max = 0 } // all null
+    val sentinel =
+      if (max < Long.MaxValue) max + 1
+      else if (min > Long.MinValue) min - 1
+      else return null
+    val filled = new Array[Long](n)
+    i = 0
+    while (i < n) { filled(i) = if (c.nulls(i)) sentinel else c.values(i); i += 1 }
+    val s = new ByteSink()
+    s.writeByte(SENTINEL)
+    s.writeByte(c.phys)
+    s.writeVarint(n.toLong)
+    s.writeZigZag(sentinel)
+    val vs = new ByteSink()
+    encodeLongs(filled, c.phys, vs, 1)
+    s.writeBlock(vs.toArray)
+    s.toArray
   }
 
   def decodeColumn(cur: ByteCursor): Column = {
@@ -77,6 +121,16 @@ object Codecs {
       val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
       val inner = decodeValues(cur.readBlock())
       scatter(inner, isNull, n, phys)
+    } else if (id == SENTINEL) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      val n = cur.readVarint().toInt
+      val sentinel = cur.readZigZag()
+      val values = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val isNull = new Array[Boolean](n)
+      var i = 0
+      while (i < n) { if (values(i) == sentinel) { isNull(i) = true; values(i) = 0L }; i += 1 }
+      LongsCol(values, phys, isNull)
     } else decodeValues(cur)
   }
 
@@ -604,6 +658,40 @@ object Codecs {
     ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
     ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
     candidates += ((TRIVIAL, ts.toArray))
+    // Prefix (front coding): share a prefix with the previous value —
+    // effective on sorted / shared-prefix strings (reference:
+    // dwio/nimble/encodings/PrefixEncoding.h:64)
+    if (n > 1) {
+      val ps = new ByteSink()
+      var i2 = 1
+      var shared = 0L
+      // quick gate: does prefix sharing save anything?
+      while (i2 < n) {
+        val aOff = col.offsets(i2 - 1); val aLen = col.offsets(i2) - aOff
+        val bOff = col.offsets(i2); val bLen = col.offsets(i2 + 1) - bOff
+        var k = 0
+        val m = math.min(aLen, bLen)
+        while (k < m && col.bytes(aOff + k) == col.bytes(bOff + k)) k += 1
+        shared += k
+        i2 += 1
+      }
+      if (shared * 4 > col.offsets(n) - col.offsets(0)) { // >25% shared
+        var prevOff = 0; var prevLen = 0
+        var i3 = 0
+        while (i3 < n) {
+          val off = col.offsets(i3); val len = col.offsets(i3 + 1) - off
+          var k = 0
+          val m = math.min(prevLen, len)
+          while (k < m && col.bytes(prevOff + k) == col.bytes(off + k)) k += 1
+          ps.writeVarint(k.toLong)
+          ps.writeVarint((len - k).toLong)
+          ps.writeBytes(col.bytes, off + k, len - k)
+          prevOff = off; prevLen = len
+          i3 += 1
+        }
+        candidates += ((PREFIX, ps.toArray))
+      }
+    }
     // Dictionary for low-cardinality strings
     if (depth < MaxDepth) {
       val index = new mutable.HashMap[String, Int]() // key: latin-1 view of bytes (lossless for bytes)
@@ -656,6 +744,23 @@ object Codecs {
       var i = 0
       while (i < n) { offs(i + 1) = offs(i) + lengths(i).toInt; i += 1 }
       BytesCol(offs, bytes)
+    case PREFIX =>
+      val offs = new Array[Int](n + 1)
+      val out = new ByteSink(1024)
+      var prevOff = 0; var prevLen = 0
+      var i = 0
+      while (i < n) {
+        val common = cur.readVarint().toInt
+        val sufLen = cur.readVarint().toInt
+        val start = out.size
+        if (common > 0) out.writeBytesFromSelf(prevOff, common)
+        out.writeBytes(cur.readBytes(sufLen))
+        prevOff = start
+        prevLen = common + sufLen
+        offs(i + 1) = offs(i) + prevLen
+        i += 1
+      }
+      BytesCol(offs, out.toArray)
     case DICT =>
       val alphabet = decodeValues(cur.readBlock()).asInstanceOf[BytesCol]
       val indices = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
