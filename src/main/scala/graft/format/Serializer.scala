@@ -47,7 +47,7 @@ object Serializer {
       val b = cur.readBlock()
       k -> new Tablet.ChunkCursor(b.readBytes(b.remaining))
     }.toMap
-    val readers = schema.fields.map(f => Fields.readerFor(f.name, f.dataType, streams(_)))
+    val readers = schema.fields.map(f => Fields.readerFor(f.name, f.dataType, streams(_), keys.toSet))
     val vecs = schema.fields.map(f =>
       new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(math.max(n, 1), f.dataType))
     readers.zip(vecs).foreach { case (r, v) => r.readChunk(v, null) }

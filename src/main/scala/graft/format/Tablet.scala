@@ -262,13 +262,29 @@ object Tablet {
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong
 
-    private val nStreams = streamKeys.length
-    private var stripeBufs: Array[ByteSink] = Array.fill(nStreams)(new ByteSink(4096))
-    private var stripeStats: Array[Stats] = Array.fill(nStreams)(Stats())
+    // dynamic stream registry: FlatMap key streams are discovered during the
+    // write (reference: dwio/nimble/velox/FieldWriter.cpp:1415)
+    private val keys = mutable.ArrayBuffer[String](streamKeys: _*)
+    private val keyIndex = mutable.HashMap[String, Int](streamKeys.zipWithIndex.toSeq: _*)
+    private val stripeBufs = mutable.ArrayBuffer[ByteSink](Array.fill(streamKeys.length)(new ByteSink(4096)): _*)
+    private val stripeStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
+    private val fileStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private var stripeRows: Long = 0L
-    private val stripes = mutable.ArrayBuffer[StripeInfo]()
-    private val fileStats: Array[Stats] = Array.fill(nStreams)(Stats())
+    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats])]()
     private var totalRows: Long = 0L
+
+    private def nStreams = keys.length
+
+    /** Id of an existing stream, or register a new one (flatmap keys). */
+    def ensureStream(key: String): Int = keyIndex.getOrElseUpdate(key, {
+      keys += key
+      stripeBufs += new ByteSink(4096)
+      stripeStats += Stats()
+      fileStats += Stats()
+      keys.length - 1
+    })
+
+    def streamId(key: String): Int = keyIndex.getOrElse(key, -1)
 
     def bufferedBytes: Long = {
       var t = 0L; var i = 0
@@ -305,18 +321,32 @@ object Tablet {
         fileOffset += bytes.length
         i += 1
       }
-      stripes += StripeInfo(start, fileOffset - start, stripeRows, locs, stripeStats)
+      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray))
       i = 0
-      while (i < nStreams) { fileStats(i).merge(stripeStats(i)); i += 1 }
-      stripeBufs = Array.fill(nStreams)(new ByteSink(4096))
-      stripeStats = Array.fill(nStreams)(Stats())
+      while (i < nStreams) {
+        fileStats(i).merge(stripeStats(i))
+        stripeBufs(i) = new ByteSink(4096)
+        stripeStats(i) = Stats()
+        i += 1
+      }
       stripeRows = 0
     }
 
     def close(): Long = {
       flushStripe()
+      // streams registered after a stripe flushed get zero-length locations
+      // (and empty stats) in that stripe — the reader treats them as absent
+      val finalStripes = stripes.map { case (off, len, rows, locs, stats) =>
+        val fullLocs =
+          if (locs.length == nStreams) locs
+          else locs ++ Array.fill(nStreams - locs.length)(StreamLoc(0L, 0L))
+        val fullStats =
+          if (stats.length == nStreams) stats
+          else stats ++ Array.fill(nStreams - stats.length)(Stats())
+        StripeInfo(off, len, rows, fullLocs, fullStats)
+      }.toArray
       val footer = Footer(Version, schemaJson, sortColumns, totalRows,
-        streamKeys, stripes.toArray, fileStats)
+        keys.toArray, finalStripes, fileStats.toArray)
       val fb = writeFooter(footer)
       out.write(fb)
       fileOffset += fb.length

@@ -42,8 +42,27 @@ class NimbleSource extends TableProvider with DataSourceRegister {
     val files = NimbleSource.listFiles(pathOf(options))
     // empty (e.g. a fresh streaming-sink dir): the write path supplies the
     // schema via LogicalWriteInfo; reads of an empty table see no columns
-    if (files.isEmpty) new StructType()
-    else DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty) return new StructType()
+    val base = DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
+    // FlatMap feature projection (SURVEY.md §2.2): option
+    // flatMapStruct.<col> = "k1,k2" surfaces a flatmap-written map column as
+    // struct<k1: V, k2: V>; only those key streams are read.
+    var schema = base
+    options.asCaseSensitiveMap().forEach { (k, v) =>
+      if (k.startsWith("flatMapStruct.")) {
+        val colName = k.substring("flatMapStruct.".length)
+        val keys = v.split(",").map(_.trim).filter(_.nonEmpty)
+        schema = StructType(schema.fields.map { f =>
+          if (f.name == colName) f.dataType match {
+            case m: MapType =>
+              f.copy(dataType = StructType(keys.map(key =>
+                StructField(key, m.valueType, nullable = true))))
+            case other => f
+          } else f
+        })
+      }
+    }
+    schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -239,9 +258,13 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val filterCols: Array[String] =
     filters.flatMap(_.references).distinct.filterNot(c => required.fieldNames.contains(c))
 
-  // streams needed: all leaf streams of required fields + extra filter columns
+  private val footerKeySet: Set[String] = keyIdx.keySet
+
+  // streams needed: all leaf streams of required fields (layout-aware) +
+  // extra filter columns
   private val neededKeys: Array[String] = {
-    val ks = Fields.streamKeys(required) ++ filterCols.filter(c => keyIdx.contains(c))
+    val ks = required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
+      filterCols.filter(c => keyIdx.contains(c))
     ks.distinct
   }
 
@@ -256,7 +279,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
 
   private val fieldReaders: Array[Fields.FieldReader] =
-    required.fields.map(f => Fields.readerFor(f.name, f.dataType, cursors(_)))
+    required.fields.map(f => Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet))
 
   // separate readers (cursors) for filter-only columns
   private val filterReaders: Map[String, Fields.PrimR] =
@@ -396,8 +419,16 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
   private def sortCols: Seq[String] =
     Option(options.get("sortColumns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  private def csvOpt(name: String): Set[String] =
+    Option(options.get(name)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private def writeOpts: Fields.WriteOptions = Fields.WriteOptions(
+    flatMap = csvOpt("flatMapColumns"),
+    dictArray = csvOpt("dictionaryArrayColumns"),
+    dedupMap = csvOpt("deduplicatedMapColumns"))
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols)
+    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts)
     /** Structured Streaming sink: files are immutable and appended per epoch,
       * which matches the format's append-only tablet model exactly; epoch id
       * lands in the file name so replayed epochs overwrite deterministically
@@ -425,23 +456,25 @@ case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortCo
 }
 
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
-    sortColumns: Seq[String]) extends BatchWrite {
+    sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions()) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     if (truncateFirst && dir.exists()) {
       dir.listFiles().filter(_.getName.endsWith(".gft")).foreach(_.delete())
     }
     dir.mkdirs()
-    NimbleWriterFactory(path, schema.json, sortColumns)
+    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String])
+case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions())
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns)
+    new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns,
+      writeOpts = writeOpts)
 }
 
 /** Per-task file writer: buffers `rowsPerChunk` rows, encodes chunk, flushes
@@ -449,15 +482,14 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
   * (reference: dwio/nimble/writer/FlushPolicy.h:74,114 and
   * docs/develop/nimble_writer.rst:211-282). */
 class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String],
-    rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20)
+    rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20,
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions())
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  private val streamKeys = Fields.streamKeys(schema)
-  private val keyIdx = streamKeys.zipWithIndex.toMap
-  private val tablet = new Tablet.Writer(file, schemaJson, streamKeys, sortColumns)
+  private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns)
   private val writers: Array[Fields.FieldWriter] =
-    schema.fields.map(f => Fields.writerFor(f.name, f.dataType, keyIdx(_)))
+    schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0
 
   override def write(row: InternalRow): Unit = {
@@ -473,7 +505,11 @@ class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String
     while (i < writers.length) { writers(i).flushChunk(tablet); i += 1 }
     tablet.addRows(pendingRows.toLong)
     pendingRows = 0
-    if (tablet.bufferedBytes >= stripeRawBytes) tablet.flushStripe()
+    if (tablet.bufferedBytes >= stripeRawBytes) {
+      tablet.flushStripe()
+      i = 0
+      while (i < writers.length) { writers(i).onStripeFlush(); i += 1 }
+    }
   }
 
   override def commit(): WriterCommitMessage = {

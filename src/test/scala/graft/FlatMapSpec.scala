@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** F4 fixture: FlatMap per-key shredding, ArrayWithOffsets dedup,
+  * SlidingWindowMap dedup (reference: dwio/nimble/velox/tests/
+  * VeloxReaderTest.cpp:1463,2027,2097; SURVEY.md §1.3). */
+class FlatMapSpec extends SparkTestBase {
+
+  private def fixture = spark.sql("""
+    SELECT id AS uid,
+      CASE WHEN id % 13 = 0 THEN NULL ELSE
+        map_filter(map(
+          concat('f', id % 7), cast(id AS float),
+          concat('g', id % 5), cast(id * 2 AS float),
+          'common', cast(id % 3 AS float)), (k, v) -> id % 4 != 0 OR k = 'common')
+      END AS features,
+      CASE WHEN id % 11 = 0 THEN NULL
+           ELSE array(id % 3, (id % 3) + 1) END AS id_list,  -- ~70% consecutive repeats
+      map(cast(id % 2 AS int), cast(id % 2 AS double)) AS window_feats
+    FROM range(5000)
+  """)
+
+  test("flatmap write + merged map read equals plain map round-trip") {
+    val df = fixture
+    val dir = tmpDir("fm")
+    df.write.format("nimble").mode("overwrite")
+      .option("flatMapColumns", "features")
+      .option("dictionaryArrayColumns", "id_list")
+      .option("deduplicatedMapColumns", "window_feats")
+      .save(dir)
+    val back = spark.read.format("nimble").load(dir)
+    val a = df.select("uid", "features", "id_list", "window_feats").collect()
+      .map(r => (r.getLong(0), Option(r.getMap[String, Float](1)).map(_.toMap),
+        Option(r.getSeq[Long](2)).map(_.toList), r.getMap[Int, Double](3).toMap)).sortBy(_._1)
+    val b = back.select("uid", "features", "id_list", "window_feats").collect()
+      .map(r => (r.getLong(0), Option(r.getMap[String, Float](1)).map(_.toMap),
+        Option(r.getSeq[Long](2)).map(_.toList), r.getMap[Int, Double](3).toMap)).sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    // per-key shredding visible in the footer
+    val files = graft.spark.NimbleSource.listFiles(dir)
+    val keys = graft.spark.NimbleSource.footerOf(files.head).streamKeys
+    assert(keys.exists(_.startsWith("features#in:")), keys.mkString(","))
+    assert(keys.contains("id_list#idx") && keys.contains("window_feats#idx"), keys.mkString(","))
+    assert(!keys.contains("features#len"))
+  }
+
+  test("flatmap feature projection reads only requested key streams") {
+    val df = fixture
+    val dir = tmpDir("fmproj")
+    df.write.format("nimble").mode("overwrite")
+      .option("flatMapColumns", "features").save(dir)
+    val proj = spark.read.format("nimble")
+      .option("flatMapStruct.features", "common,f1,doesnotexist")
+      .load(dir)
+    assert(proj.schema("features").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val rows = proj.selectExpr("uid", "features.common", "features.f1", "features.doesnotexist")
+      .collect()
+    val expected = fixture.select(col("uid"),
+      col("features")(lit("common")), col("features")(lit("f1")), lit(null)).collect()
+    val fmt = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).sortBy(_._1).toSeq
+    assert(fmt(rows) == fmt(expected))
+  }
+
+  test("dedup layouts reduce size on repetitive data") {
+    val rep = spark.sql("""
+      SELECT id, array('a','b','c','d','e','f','g','h') AS arr
+      FROM range(20000)""") // identical array every row
+    val d1 = tmpDir("dd1"); val d2 = tmpDir("dd2")
+    rep.coalesce(1).write.format("nimble").mode("overwrite").save(d1)
+    rep.coalesce(1).write.format("nimble").mode("overwrite")
+      .option("dictionaryArrayColumns", "arr").save(d2)
+    def size(d: String) = graft.spark.NimbleSource.listFiles(d).map(new java.io.File(_).length()).sum
+    assert(size(d2) < size(d1), s"dedup ${size(d2)} should beat plain ${size(d1)}")
+    assert(spark.read.format("nimble").load(d2).selectExpr("sum(size(arr))").collect()(0).getLong(0) == 160000L)
+  }
+}
