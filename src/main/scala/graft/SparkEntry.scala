@@ -80,9 +80,12 @@ object SparkEntry {
         col("m")(lit("s")).as("ms"))
     }),
     "q11_flatmap_proj" -> ((s, dir) => {
+      // written as a FLATMAP (per-key shredded streams), read back merged —
+      // the full §1.3 FlatMap path inside the oracle-checked loop
       val docs = Tables.nimble(s, dir, "documents")
       val asMap = docs.select(col("doc_id"), map(col("source"), col("n_chars")).as("m"))
-      val rt = Tables.roundTrip(s, dir, "q11_flatmap", asMap)
+      val rt = Tables.roundTrip(s, dir, "q11_flatmap", asMap,
+        Map("flatMapColumns" -> "m"))
       rt.select(
         col("doc_id"),
         col("m")(lit("src3")).as("v_src3"),

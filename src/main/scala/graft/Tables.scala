@@ -24,12 +24,15 @@ object Tables {
   }
 
   /** Round-trip an arbitrary DataFrame through the nimble format (used by
-    * queries that exercise nested/map writers in the checked path). */
-  def roundTrip(spark: SparkSession, sfDir: String, key: String, df: DataFrame): DataFrame = {
+    * queries that exercise nested/map/flatmap writers in the checked path). */
+  def roundTrip(spark: SparkSession, sfDir: String, key: String, df: DataFrame,
+      writerOptions: Map[String, String] = Map.empty): DataFrame = {
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"$cacheRoot/$sfKey/rt_$key"
     lock.synchronized {
-      df.write.format("nimble").mode("overwrite").save(dir)
+      var w = df.write.format("nimble").mode("overwrite")
+      writerOptions.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(dir)
     }
     spark.read.format("nimble").load(dir)
   }

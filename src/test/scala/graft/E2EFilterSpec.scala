@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** F5: randomized filter-pushdown equivalence — `scan(pushdown=F)` must equal
+  * `scan(no-pushdown) then filter(F)` for random filter sets (reference:
+  * dwio/nimble/velox/selective/tests/E2EFilterTest.cpp). Also F7: footer
+  * stats must equal Spark-computed aggregates. */
+class E2EFilterSpec extends SparkTestBase {
+  private val rnd = new scala.util.Random(1234)
+
+  test("random filter sets: pushdown == post-filter (lineitem sf0.001)") {
+    val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val dir = tmpDir("e2e")
+    pq.write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+
+    def randomPredicate(): org.apache.spark.sql.Column = {
+      rnd.nextInt(6) match {
+        case 0 =>
+          val c = numCols(rnd.nextInt(numCols.length))
+          col(c) > lit(rnd.nextInt(10000))
+        case 1 =>
+          val c = dblCols(rnd.nextInt(dblCols.length))
+          col(c) <= lit(rnd.nextDouble() * 100)
+        case 2 =>
+          val c = strCols(rnd.nextInt(strCols.length))
+          col(c) === lit(if (rnd.nextBoolean()) "A" else "N")
+        case 3 =>
+          val c = strCols(rnd.nextInt(strCols.length))
+          col(c).isin("A", "R")
+        case 4 =>
+          val c = numCols(rnd.nextInt(numCols.length))
+          col(c).between(lit(rnd.nextInt(500)), lit(500 + rnd.nextInt(10000)))
+        case _ =>
+          val c = dblCols(rnd.nextInt(dblCols.length))
+          !(col(c) < lit(rnd.nextDouble() * 50))
+      }
+    }
+
+    for (trial <- 0 until 25) {
+      var pred = randomPredicate()
+      for (_ <- 0 until rnd.nextInt(3))
+        pred = if (rnd.nextBoolean()) pred && randomPredicate() else pred || randomPredicate()
+      val expected = pq.filter(pred).count()
+      val got = nb.filter(pred).count()
+      assert(got == expected, s"trial $trial: $pred -> $got vs $expected")
+    }
+  }
+
+  test("footer stats equal Spark-computed aggregates (F7)") {
+    val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val dir = tmpDir("stats")
+    pq.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val files = graft.spark.NimbleSource.listFiles(dir)
+    val footer = graft.spark.NimbleSource.footerOf(files.head)
+    val keyIdx = footer.streamKeys.zipWithIndex.toMap
+    val exp = pq.agg(
+      count(lit(1)), min("l_orderkey"), max("l_orderkey"),
+      min("l_quantity"), max("l_quantity"),
+      min("l_returnflag"), max("l_returnflag")).collect()(0)
+    assert(footer.rowCount == exp.getLong(0))
+    val okStats = footer.fileStats(keyIdx("l_orderkey"))
+    assert(okStats.valueCount == exp.getLong(0) && okStats.nullCount == 0)
+    assert(okStats.minLong == exp.getLong(1) && okStats.maxLong == exp.getLong(2))
+    val qStats = footer.fileStats(keyIdx("l_quantity"))
+    assert(qStats.minDouble == exp.getDouble(3) && qStats.maxDouble == exp.getDouble(4))
+    val rfStats = footer.fileStats(keyIdx("l_returnflag"))
+    assert(new String(rfStats.minBytes, "UTF-8") == exp.getString(5))
+    assert(new String(rfStats.maxBytes, "UTF-8") == exp.getString(6))
+  }
+
+  test("sorted file + range predicate prunes stripes (F6 / Q9 metrics)") {
+    // many small stripes via tiny stripe threshold: use multiple files instead
+    val df = spark.range(200000).toDF("id").withColumn("payload", expr("repeat('x', 20)"))
+    val dir = tmpDir("prunemetrics")
+    df.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val all = nb.rdd.getNumPartitions
+    val pruned = nb.filter(col("id") === 123456L)
+    val prunedParts = pruned.rdd.getNumPartitions
+    assert(prunedParts < all, s"pruning: $prunedParts of $all partitions")
+    assert(pruned.count() == 1)
+  }
+}
