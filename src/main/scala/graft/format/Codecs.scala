@@ -251,6 +251,7 @@ object Codecs {
     var dMin = Long.MaxValue // delta stats
     var dMax = Long.MinValue
     var deltaOverflow = false
+    var varintBytes = 0L // exact size of the Varint candidate
     val distinct = new mutable.HashMap[Long, Int]()
     var distinctCapped = false
     locally {
@@ -260,6 +261,8 @@ object Codecs {
         val v = values(i)
         if (v < min) min = v
         if (v > max) max = v
+        val zz = (v << 1) ^ (v >> 63)
+        varintBytes += (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
         if (i > 0) {
           if (v != prev) runCount += 1
           val d = v - prev
@@ -268,14 +271,29 @@ object Codecs {
           if (d < dMin) dMin = d
           if (d > dMax) dMax = d
         }
-        if (!distinctCapped) {
-          distinct.updateWith(v) { case Some(c) => Some(c + 1); case None => Some(1) }
-          if (distinct.size > 4096) { distinctCapped = true; distinct.clear() }
-        }
         prev = v
         i += 1
       }
       if (n == 0) { min = 0L; max = 0L }
+      // cardinality pass: array counts for narrow ranges (no boxing), capped
+      // hash otherwise
+      if (n > 0 && !rangeOverflow && max - min <= 65536) {
+        val counts = new Array[Int]((max - min).toInt + 1)
+        i = 0
+        while (i < n) { counts((values(i) - min).toInt) += 1; i += 1 }
+        i = 0
+        while (i < counts.length) {
+          if (counts(i) > 0) distinct((min + i)) = counts(i)
+          i += 1
+        }
+      } else {
+        i = 0
+        while (i < n && !distinctCapped) {
+          distinct.updateWith(values(i)) { case Some(c) => Some(c + 1); case None => Some(1) }
+          if (distinct.size > 4096) { distinctCapped = true; distinct.clear() }
+          i += 1
+        }
+      }
     }
     def rangeOverflow: Boolean = (max >= 0 && min < max - Long.MaxValue)
     def topFreq: Int = if (distinctCapped || distinct.isEmpty) 0 else distinct.valuesIterator.max
@@ -292,70 +310,82 @@ object Codecs {
     if (st.min == st.max) { // Constant
       header(sink, CONST, phys, n); sink.writeZigZag(st.min); return
     }
-    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
-    def tryC(id: Byte)(body: ByteSink => Unit): Unit = {
-      val s = new ByteSink(); body(s); candidates += ((id, s.toArray))
-    }
-    // Trivial — always a candidate (fixed natural width)
-    tryC(TRIVIAL)(s => trivialLongs(values, phys, s))
-    // FOR (baseline+bitpack) when range fits without overflow
+    // Analytic size estimates per gated candidate (reference:
+    // dwio/nimble/encodings/selection/EncodingSizeEstimation.h) — only the
+    // best two by estimated cost are actually encoded.
+    val width = PhysType.byteWidth(phys)
+    val plans = mutable.ArrayBuffer[(Byte, Double, ByteSink => Unit)]()
+    plans += ((TRIVIAL, (n.toLong * width).toDouble, s => trivialLongs(values, phys, s)))
     if (!st.rangeOverflow) {
       val w = bitsFor(st.max - st.min)
-      if (w < PhysType.byteWidth(phys) * 8) tryC(FOR) { s =>
+      if (w < width * 8) plans += ((FOR, 10.0 + n.toLong * w / 8.0, { s =>
         s.writeZigZag(st.min); s.writeByte(w)
         packBits(values, st.min, w, s)
-      }
+      }))
     }
-    // Varint when magnitudes small on average
-    if (st.min > -(1L << 40) && st.max < (1L << 40)) tryC(VARINT) { s =>
-      var i = 0; while (i < n) { s.writeZigZag(values(i)); i += 1 }
+    if (st.min > -(1L << 40) && st.max < (1L << 40))
+      plans += ((VARINT, st.varintBytes.toDouble, { s =>
+        var i = 0; while (i < n) { s.writeZigZag(values(i)); i += 1 }
+      }))
+    if (st.runCount <= n / 3 && depth < MaxDepth)
+      plans += ((RLE, st.runCount * (2.0 + math.min(width, 8)) + 16, { s =>
+        val lens = new Array[Long](st.runCount)
+        val vals = new Array[Long](st.runCount)
+        var r = -1; var i = 0
+        while (i < n) {
+          if (i == 0 || values(i) != values(i - 1)) { r += 1; vals(r) = values(i); lens(r) = 0 }
+          lens(r) += 1; i += 1
+        }
+        val ls = new ByteSink(); encodeLongs(lens, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
+        val vs = new ByteSink(); encodeLongs(vals, phys, vs, depth + 1); s.writeBlock(vs.toArray)
+      }))
+    if (!st.distinctCapped && st.distinct.size <= n / 3 && depth < MaxDepth) {
+      val ndv = st.distinct.size
+      plans += ((DICT, ndv.toDouble * width + n.toLong * bitsFor(math.max(ndv - 1, 1).toLong) / 8.0 + 16, { s =>
+        val alphabet = st.distinct.keysIterator.toArray
+        java.util.Arrays.sort(alphabet)
+        val indices = new Array[Long](n)
+        if (!st.rangeOverflow && st.max - st.min <= 65536) {
+          // array-based reverse index: no boxing on the hot path
+          val idxOf = new Array[Int]((st.max - st.min).toInt + 1)
+          var i = 0; while (i < alphabet.length) { idxOf((alphabet(i) - st.min).toInt) = i; i += 1 }
+          i = 0; while (i < n) { indices(i) = idxOf((values(i) - st.min).toInt).toLong; i += 1 }
+        } else {
+          val index = new mutable.HashMap[Long, Int]()
+          var i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
+          i = 0; while (i < n) { indices(i) = index(values(i)).toLong; i += 1 }
+        }
+        val as = new ByteSink(); encodeLongs(alphabet, phys, as, depth + 1); s.writeBlock(as.toArray)
+        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); s.writeBlock(is.toArray)
+      }))
     }
-    // RLE when runs pay off
-    if (st.runCount <= n / 3 && depth < MaxDepth) tryC(RLE) { s =>
-      val lens = new Array[Long](st.runCount)
-      val vals = new Array[Long](st.runCount)
-      var r = -1; var i = 0
-      while (i < n) {
-        if (i == 0 || values(i) != values(i - 1)) { r += 1; vals(r) = values(i); lens(r) = 0 }
-        lens(r) += 1; i += 1
-      }
-      val ls = new ByteSink(); encodeLongs(lens, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
-      val vs = new ByteSink(); encodeLongs(vals, phys, vs, depth + 1); s.writeBlock(vs.toArray)
-    }
-    // Dictionary when cardinality low
-    if (!st.distinctCapped && st.distinct.size <= n / 3 && depth < MaxDepth) tryC(DICT) { s =>
-      val alphabet = st.distinct.keysIterator.toArray
-      java.util.Arrays.sort(alphabet)
-      val index = new mutable.HashMap[Long, Int]()
-      var i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
-      val indices = new Array[Long](n)
-      i = 0; while (i < n) { indices(i) = index(values(i)).toLong; i += 1 }
-      val as = new ByteSink(); encodeLongs(alphabet, phys, as, depth + 1); s.writeBlock(as.toArray)
-      val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); s.writeBlock(is.toArray)
-    }
-    // Delta when consecutive deltas are narrow (e.g. monotonic ids)
     if (!st.deltaOverflow && n > 1 && depth < MaxDepth) {
       val dw = bitsFor(math.max(math.abs(st.dMin), math.abs(st.dMax)) << 1)
-      if (dw < 32) tryC(DELTA) { s =>
+      if (dw < 32) plans += ((DELTA, 10.0 + (n - 1).toLong * dw / 8.0, { s =>
         s.writeZigZag(values(0))
         val deltas = new Array[Long](n - 1)
         var i = 1; while (i < n) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
         val ds = new ByteSink(); encodeLongs(deltas, PhysType.I64, ds, depth + 1); s.writeBlock(ds.toArray)
-      }
+      }))
     }
-    // MainlyConstant when one value dominates
-    if (!st.distinctCapped && st.topFreq >= (n * 7) / 10 && depth < MaxDepth) tryC(MAINLYCONST) { s =>
-      val common = st.modeValue
-      s.writeZigZag(common)
-      val isCommon = new Array[Boolean](n)
-      var nOther = 0
-      var i = 0
-      while (i < n) { isCommon(i) = values(i) == common; if (!isCommon(i)) nOther += 1; i += 1 }
-      val others = new Array[Long](nOther)
-      var j = 0; i = 0
-      while (i < n) { if (!isCommon(i)) { others(j) = values(i); j += 1 }; i += 1 }
-      val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
-      val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
+    if (!st.distinctCapped && st.topFreq >= (n * 7) / 10 && depth < MaxDepth)
+      plans += ((MAINLYCONST, n / 8.0 + (n - st.topFreq).toLong * width + 10, { s =>
+        val common = st.modeValue
+        s.writeZigZag(common)
+        val isCommon = new Array[Boolean](n)
+        var nOther = 0
+        var i = 0
+        while (i < n) { isCommon(i) = values(i) == common; if (!isCommon(i)) nOther += 1; i += 1 }
+        val others = new Array[Long](nOther)
+        var j = 0; i = 0
+        while (i < n) { if (!isCommon(i)) { others(j) = values(i); j += 1 }; i += 1 }
+        val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
+        val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
+      }))
+    val top = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }.take(2)
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    for ((id, _, enc) <- top) {
+      val s = new ByteSink(); enc(s); candidates += ((id, s.toArray))
     }
     emitBest(candidates, phys, n, sink)
   }
@@ -373,13 +403,17 @@ object Codecs {
 
   private def trivialLongs(values: Array[Long], phys: Byte, s: ByteSink): Unit = {
     val n = values.length
+    val w = PhysType.byteWidth(phys)
+    val out = new Array[Byte](n * w)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
     phys match {
-      case PhysType.I8 => while (i < n) { s.writeByte(values(i).toInt); i += 1 }
-      case PhysType.I16 => while (i < n) { s.writeShort(values(i).toInt); i += 1 }
-      case PhysType.I32 => while (i < n) { s.writeInt(values(i).toInt); i += 1 }
-      case _ => while (i < n) { s.writeLong(values(i)); i += 1 }
+      case PhysType.I8 => while (i < n) { out(i) = values(i).toByte; i += 1 }
+      case PhysType.I16 => while (i < n) { bb.putShort(2 * i, values(i).toShort); i += 1 }
+      case PhysType.I32 => while (i < n) { bb.putInt(4 * i, values(i).toInt); i += 1 }
+      case _ => while (i < n) { bb.putLong(8 * i, values(i)); i += 1 }
     }
+    s.writeBytes(out)
   }
 
   /** Pack (v - baseline) in w bits each (w <= 57), little-endian bit order.

@@ -130,8 +130,17 @@ object Dedup {
 
   /** 32-bit SimHash signature per document: per-token md5-derived 32-bit
     * hash; each bit votes +1/-1 weighted by token frequency; signature bit i
-    * set iff the vote sum is positive. */
+    * set iff the vote sum is positive. Uses the native single-pass
+    * [[graft.functions.SimHash32]] expression (no 32-way explode). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.SimHash32.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+      call_function("graft_simhash32", col(textCol)).as("simhash"))
+  }
+
+  /** Composed-operator SimHash (explode + bit votes) — same semantics as
+    * [[simhash]]; kept as the cross-validation reference implementation. */
+  def simhashViaExplode(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("t"))
       .withColumn("h", hash32(col("t")))
     val bits = toks.select(col("doc"), col("h"),

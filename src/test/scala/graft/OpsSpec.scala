@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the LLM-pipeline operators (§2.8). */
+class OpsSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("native SimHash32 expression == composed explode pipeline") {
+    val fast = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val slow = Dedup.simhashViaExplode(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == slow, s"diff keys: ${(fast.toSet diff slow.toSet).take(3)}")
+  }
+
+  test("minhash LSH finds most high-jaccard pairs (recall vs exact)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, numPerms = 32,
+      bands = 8, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH verified pairs must be a subset of exact pairs")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall (found ${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash pairs: near-dup docs have small hamming distance") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // very-high-jaccard pairs should mostly collide in simhash space
+    if (exact.nonEmpty) {
+      val caught = exact.intersect(sh).size.toDouble / exact.size
+      assert(caught >= 0.5, s"simhash caught $caught of jaccard>=0.9 pairs")
+    }
+  }
+
+  test("LSH ANN results are true neighbors (subset sanity) and IVF assigns cells") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val ann = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3, dims = 64, planes = 4)
+    assert(ann.count() > 0)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    assert(assign.count() == emb.count())
+    assert(assign.select("cid").distinct().count() > 1)
+  }
+
+  test("exact dedup and multimodal frame math") {
+    import graft.ops.Multimodal
+    val d = Dedup.exact(docs, Seq("text"))
+    assert(d.count() == docs.select("text").distinct().count())
+    val media = Multimodal.binarize(docs, "doc_id", col("text"), "text/plain")
+    val frames = Multimodal.sampleFrames(media, "doc_id", frameBytes = 100)
+    val total = frames.groupBy("doc_id").agg(sum("frame_size").as("s"))
+      .join(media.select(col("doc_id"), col("meta.size").as("sz")), "doc_id")
+    assert(total.filter(col("s") =!= col("sz")).count() == 0, "frames must cover payload exactly")
+  }
+}
