@@ -170,12 +170,20 @@ object Tablet {
     st
   }
 
+  /** XXH64 over a byte range (reference uses XXH3_64 whole-file,
+    * common/Types.h:204; same family, available on Spark's classpath via
+    * lz4-java). */
+  def xxh64(bytes: Array[Byte], off: Int, len: Int): Long =
+    net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+      .hash64().hash(bytes, off, len, 0L)
+
   /** Per-stripe, per-stream location within the file. */
   final case class StreamLoc(offset: Long, length: Long)
   final case class StripeInfo(
       offset: Long, length: Long, rowCount: Long,
       streams: Array[StreamLoc], // indexed by stream id; length 0 = absent
-      stats: Array[Stats])
+      stats: Array[Stats],
+      checksum: Long = 0L) // XXH64 of the stripe's bytes
   final case class Footer(
       version: Int,
       schemaJson: String,
@@ -199,6 +207,7 @@ object Tablet {
       s.writeVarint(st.offset)
       s.writeVarint(st.length)
       s.writeVarint(st.rowCount)
+      s.writeLong(st.checksum)
       for (sl <- st.streams) { s.writeVarint(sl.offset); s.writeVarint(sl.length) }
       for (x <- st.stats) writeStats(s, x)
     }
@@ -226,13 +235,14 @@ object Tablet {
     var sI = 0
     while (sI < nStripes) {
       val off = c.readVarint(); val len = c.readVarint(); val rc = c.readVarint()
+      val checksum = c.readLong()
       val locs = new Array[StreamLoc](nStreams)
       i = 0
       while (i < nStreams) { locs(i) = StreamLoc(c.readVarint(), c.readVarint()); i += 1 }
       val stats = new Array[Stats](nStreams)
       i = 0
       while (i < nStreams) { stats(i) = readStats(c); i += 1 }
-      stripes(sI) = StripeInfo(off, len, rc, locs, stats)
+      stripes(sI) = StripeInfo(off, len, rc, locs, stats, checksum)
       sI += 1
     }
     val fileStats = new Array[Stats](nStreams)
@@ -270,7 +280,7 @@ object Tablet {
     private val stripeStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private val fileStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private var stripeRows: Long = 0L
-    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats])]()
+    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long)]()
     private var totalRows: Long = 0L
 
     private def nStreams = keys.length
@@ -313,15 +323,17 @@ object Tablet {
       if (stripeRows == 0) return
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
+      val hasher = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().newStreamingHash64(0L)
       var i = 0
       while (i < nStreams) {
         val bytes = stripeBufs(i).toArray
         locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
         out.write(bytes)
+        hasher.update(bytes, 0, bytes.length)
         fileOffset += bytes.length
         i += 1
       }
-      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray))
+      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, hasher.getValue))
       i = 0
       while (i < nStreams) {
         fileStats(i).merge(stripeStats(i))
@@ -336,14 +348,14 @@ object Tablet {
       flushStripe()
       // streams registered after a stripe flushed get zero-length locations
       // (and empty stats) in that stripe — the reader treats them as absent
-      val finalStripes = stripes.map { case (off, len, rows, locs, stats) =>
+      val finalStripes = stripes.map { case (off, len, rows, locs, stats, checksum) =>
         val fullLocs =
           if (locs.length == nStreams) locs
           else locs ++ Array.fill(nStreams - locs.length)(StreamLoc(0L, 0L))
         val fullStats =
           if (stats.length == nStreams) stats
           else stats ++ Array.fill(nStreams - stats.length)(Stats())
-        StripeInfo(off, len, rows, fullLocs, fullStats)
+        StripeInfo(off, len, rows, fullLocs, fullStats, checksum)
       }.toArray
       val footer = Footer(Version, schemaJson, sortColumns, totalRows,
         keys.toArray, finalStripes, fileStats.toArray)

@@ -112,7 +112,7 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 
 class NimbleScanBuilder(path: String, dataSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val atomicCols: Set[String] =
     dataSchema.fields.filter(f => f.dataType match {
@@ -130,6 +130,13 @@ class NimbleScanBuilder(path: String, dataSchema: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  private var limit: Int = -1
+
+  /** Partial limit pushdown: each partition stops decoding after `limit`
+    * surviving rows (row-range skipping analog, SURVEY §2.3); Spark still
+    * applies the global limit. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   private var aggOut: StructType = null
   private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
@@ -150,22 +157,37 @@ class NimbleScanBuilder(path: String, dataSchema: StructType)
 
   override def build(): Scan =
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
-    else new NimbleScan(path, dataSchema, required, pushed)
+    else new NimbleScan(path, dataSchema, required, pushed, limit)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
 
-class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
+    limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
+    * safe because they are conservative semi-join filters. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    dataSchema.fields.collect {
+      case f if !f.dataType.isInstanceOf[StructType] && !f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType] =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+  override def filter(newFilters: Array[Filter]): Unit = runtimeFilters = newFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.fieldNames.mkString(",")}"
+    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.fieldNames.mkString(",")}" +
+      (if (limit >= 0) s", limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = mutable.ArrayBuffer[InputPartition]()
     var pruned = 0L
+    val pruningFilters = filters ++ runtimeFilters
     for (file <- NimbleSource.listFiles(path)) {
       val footer = NimbleSource.footerOf(file)
       val keyIdx = footer.streamKeys.zipWithIndex.toMap
@@ -174,7 +196,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         val info = footer.stripes(s)
         val statsOf: String => Option[Tablet.Stats] =
           name => keyIdx.get(name).map(info.stats)
-        val skip = filters.exists(f => Filters.pruneStripe(f, statsOf))
+        val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf))
         if (!skip) parts += NimbleStripePartition(file, s) else pruned += 1
         s += 1
       }
@@ -183,7 +205,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters)
+    new NimbleReaderFactory(dataSchema, required, filters, limit)
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -201,7 +223,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 }
 
-class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter])
+class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter],
+    limit: Int = -1)
     extends PartitionReaderFactory {
 
   private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
@@ -213,12 +236,12 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[NimbleStripePartition]
-    new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters)
+    new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters, limit)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[NimbleStripePartition]
-    val batches = new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters)
+    val batches = new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters, limit)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
       private var mask: Array[Boolean] = null
@@ -249,7 +272,10 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   * into fresh OnHeapColumnVectors (filter-before-materialize, the selective
   * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
-    required: StructType, filters: Array[Filter]) extends PartitionReader[ColumnarBatch] {
+    required: StructType, filters: Array[Filter], limit: Int = -1)
+    extends PartitionReader[ColumnarBatch] {
+
+  private var emitted = 0L
 
   private val reader = new Tablet.Reader(file)
   private val footer = reader.footer
@@ -314,6 +340,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
     currentMask = null
+    if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (anchor == null) {
         // zero-column projection with no filters (count(*)): synthesize rows
@@ -374,6 +401,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         // nested projection: fill full chunk, expose the mask (row reader filters)
         val ok = fillBatch(null, chunkRows)
         currentMask = if (m == chunkRows) null else passed
+        emitted -= (chunkRows - m) // only survivors count against the limit
         return ok
       }
     }
@@ -398,6 +426,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     if (outRows < 0) // zero projected columns but pushed filters present
       outRows = if (selection != null) selection.length else chunkRowsHint
     current = new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]], outRows)
+    emitted += outRows
     true
   }
 

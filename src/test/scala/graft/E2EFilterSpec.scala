@@ -75,6 +75,37 @@ class E2EFilterSpec extends SparkTestBase {
     assert(new String(rfStats.maxBytes, "UTF-8") == exp.getString(6))
   }
 
+  test("stripe checksums verify; corruption detected") {
+    val df = spark.range(10000).toDF("id")
+    val dir = tmpDir("cksum")
+    df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val file = graft.spark.NimbleSource.listFiles(dir).head
+    val footer = graft.spark.NimbleSource.footerOf(file)
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    val s0 = footer.stripes(0)
+    val buf = new Array[Byte](s0.length.toInt)
+    raf.seek(s0.offset); raf.readFully(buf)
+    assert(graft.format.Tablet.xxh64(buf, 0, buf.length) == s0.checksum)
+    // flip a byte -> checksum must mismatch
+    raf.seek(s0.offset + 10)
+    val orig = buf(10)
+    raf.write(~orig & 0xff)
+    raf.seek(s0.offset); raf.readFully(buf)
+    assert(graft.format.Tablet.xxh64(buf, 0, buf.length) != s0.checksum)
+    raf.seek(s0.offset + 10); raf.write(orig) // restore
+    raf.close()
+  }
+
+  test("limit pushdown stops decoding early, counts stay correct") {
+    val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val dir = tmpDir("limit")
+    pq.write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    assert(nb.limit(5).collect().length == 5)
+    assert(nb.filter(col("l_quantity") > 45).limit(7).collect().length == 7)
+    assert(nb.select(col("l_orderkey")).limit(10000).count() == 6000) // fewer rows than limit
+  }
+
   test("sorted file + range predicate prunes stripes (F6 / Q9 metrics)") {
     // many small stripes via tiny stripe threshold: use multiple files instead
     val df = spark.range(200000).toDF("id").withColumn("payload", expr("repeat('x', 20)"))
