@@ -171,7 +171,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    dataSchema.fields.collect {
+    required.fields.collect { // must resolve against the scan OUTPUT
       case f if !f.dataType.isInstanceOf[StructType] && !f.dataType.isInstanceOf[ArrayType] &&
         !f.dataType.isInstanceOf[MapType] =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans must be the ones we want at 100 TB —
+  * pushdown reaching the scan, columnar batches feeding codegen, broadcast
+  * joins for small dims, stats-aggregates skipping data entirely. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection reach the nimble scan node") {
+    val p = plan(SparkEntry.queries("q03_filter_num")(spark, sf()))
+    assert(p.contains("nimble"), p)
+    assert(p.contains("GreaterThan(l_quantity"), s"filter not pushed:\n$p")
+    val p2 = plan(SparkEntry.queries("q02_projection")(spark, sf()))
+    assert(!p2.contains("l_extendedprice"), s"projection leaked columns:\n$p2")
+  }
+
+  test("scan is columnar (batches feed whole-stage codegen)") {
+    val p = plan(SparkEntry.queries("q01_scan_full")(spark, sf()))
+    assert(p.contains("ColumnarToRow") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("join of orders with customer broadcasts the small side") {
+    val p = plan(SparkEntry.queries("q15_join_agg")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("stats aggregate produces the metadata-only scan") {
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val nb = spark.read.format("nimble").load(dir)
+    val p = plan(nb.agg(count(lit(1)), min("l_orderkey")))
+    assert(p.contains("stats-agg"), s"aggregate not answered from stats:\n$p")
+  }
+
+  test("limit lands in the scan description") {
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val nb = spark.read.format("nimble").load(dir)
+    val p = plan(nb.limit(42))
+    assert(p.contains("limit=42"), s"limit not pushed:\n$p")
+  }
+
+  test("driver entry smoke: flagship query returns rows at sf0.001") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+  }
+
+  test("partial aggregation is map-side (no raw-row shuffle for q13)") {
+    val p = plan(SparkEntry.queries("q13_tpch_q1")(spark, sf()))
+    // HashAggregate appears twice: partial before exchange, final after
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+}
