@@ -146,6 +146,21 @@ object SparkEntry {
       """SELECT event_type, ts - ts % 3600000000000 AS hour_ns,
          count(1) AS cnt, min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY event_type, ts - ts % 3600000000000"""),
+    "q21_sessionize" -> q(Seq("events"),
+      """SELECT user_id, count(1) AS n_sessions, max(session_len) AS max_len FROM (
+           SELECT user_id, session_id, count(1) AS session_len FROM (
+             SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+               FROM events) t1) t2
+           GROUP BY user_id, session_id) t3
+         GROUP BY user_id"""),
+    "q22_json_extract" -> q(Seq("events"),
+      """SELECT get_json_object(props, '$.k') AS k, count(1) AS cnt
+         FROM events GROUP BY get_json_object(props, '$.k')"""),
 
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
@@ -197,6 +212,10 @@ object SparkEntry {
       val media = Multimodal.binarize(docs, "doc_id", col("text"), "text/plain")
       Multimodal.sampleFrames(media, "doc_id", frameBytes = 64, everyNth = 2)
         .select(col("doc_id"), col("frame_idx"), col("frame_size"))
+    }),
+    "x13_embed_neardup" -> ((s, dir) => {
+      val emb = Tables.nimble(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
     })
   )
 
@@ -382,6 +401,31 @@ object SparkEntry {
       """SELECT doc_id, f.frame_idx,
          least(64, octet_length(encode(text)) - f.frame_idx * 64) AS frame_size
          FROM documents, LATERAL (
-           SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2)) AS frame_idx) f"""
+           SELECT unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2)) AS frame_idx) f""",
+    "x13_embed_neardup" ->
+      """WITH sims AS (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT a, b, sim FROM sims WHERE sim >= 0.4""",
+    "q21_sessionize" ->
+      """SELECT user_id, count(1) AS n_sessions, max(session_len) AS max_len FROM (
+           SELECT user_id, session_id, count(1) AS session_len FROM (
+             SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+               FROM events) t1) t2
+           GROUP BY user_id, session_id) t3
+         GROUP BY user_id""",
+    "q22_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(1) AS cnt
+         FROM events GROUP BY json_extract_string(props, '$.k')"""
   )
 }

@@ -21,7 +21,7 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 2
+  val Version: Int = 3
 
   // compression kinds (reference: dwio/nimble/common/Types.h:190-197)
   final val CompNone: Byte = 0

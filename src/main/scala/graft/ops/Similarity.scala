@@ -38,6 +38,20 @@ object Similarity {
       .select(col("q"), col("neighbor"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs above a
+    * similarity threshold (rounded for cross-engine determinism). The 100 TB
+    * path buckets with [[lshBucket]] first; this exact form is the
+    * correctness baseline and the verification step after LSH candidates. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("av"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("bv"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucket id for a vector: sign bits of dot products
     * with `planes` pseudo-random hyperplanes derived deterministically from
     * dimension index (no data-dependent state — reproducible cluster-wide). */
