@@ -98,7 +98,7 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -180,6 +180,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NimbleMicroBatchStream(path, dataSchema, required, filters)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s", limit=$limit" else "")

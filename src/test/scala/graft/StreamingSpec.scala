@@ -41,6 +41,23 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("readStream from nimble dir: micro-batches track appended files") {
+    import spark.implicits._
+    val dir = tmpDir("stream-src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("nimble").mode("append").save(dir)
+    val q = spark.readStream.format("nimble").load(dir)
+      .writeStream.format("memory").queryName("nimble_src")
+      .option("checkpointLocation", tmpDir("src-ckpt"))
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(1) FROM nimble_src").collect()(0).getLong(0) == 2)
+    Seq((3L, "c")).toDF("id", "v").write.format("nimble").mode("append").save(dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT count(1) FROM nimble_src").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT sum(id) FROM nimble_src").collect()(0).getLong(0) == 6)
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
