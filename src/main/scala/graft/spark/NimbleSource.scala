@@ -183,7 +183,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new NimbleMicroBatchStream(path, dataSchema, required, filters)
   override def description(): String =
-    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.fieldNames.mkString(",")}" +
+    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (limit >= 0) s", limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {

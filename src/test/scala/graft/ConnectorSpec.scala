@@ -111,6 +111,23 @@ class ConnectorSpec extends SparkTestBase {
     assertSameData(df.filter(col("id") === 17), nb.filter(col("id") === 17))
   }
 
+  test("nested schema pruning: only requested struct fields are read") {
+    val df = spark.sql("""
+      SELECT id, named_struct('a', id, 'b', concat('big_', repeat('x', 100)),
+                              'c', id * 2) AS st
+      FROM range(2000)""")
+    val dir = tmpDir("nestprune")
+    df.write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val sel = nb.select(col("id"), col("st.a"))
+    assertSameData(df.select(col("id"), col("st.a")), sel)
+    // the pruned scan schema must not mention the heavy field b
+    val scanLine = sel.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("read=")).getOrElse("")
+    assert(scanLine.contains("st:struct<a:bigint>"), s"nested pruning missing: $scanLine")
+    assert(!scanLine.contains("b:string"), s"nested pruning leaked field b: $scanLine")
+  }
+
   test("stripe pruning via footer stats") {
     // ids 0..99999 sorted -> multiple chunks; filter to a narrow range
     val df = spark.range(100000).toDF("id").withColumn("v", col("id") * 2)
