@@ -63,15 +63,20 @@ object Dedup {
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
       .select(col("doc"), col("sz"),
-        explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
-      .select(col("doc"), col("sz"), col("p.s").as("s"), col("p.df").as("df"))
+        posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("pos", "p")))
+      .select(col("doc"), col("sz"), col("pos"), col("p.s").as("s"), col("p.df").as("df"))
       // optional recall-trading cap for adversarial corpora: drop prefix
       // entries whose shingle is hotter than maxDf (maxDf <= 0 keeps exact)
       .filter(if (maxDf > 0) col("df") <= maxDf else lit(true))
-    val a = ranked.select(col("s"), col("doc").as("a"), col("sz").as("sza"))
-    val b = ranked.select(col("s"), col("doc").as("b"), col("sz").as("szb"))
+    val a = ranked.select(col("s"), col("doc").as("a"), col("sz").as("sza"), col("pos").as("pa"))
+    val b = ranked.select(col("s"), col("doc").as("b"), col("sz").as("szb"), col("pos").as("pb"))
+    // PPJoin positional filter (exact): a shared shingle at sorted positions
+    // (pa, pb) caps the possible overlap at 1 + min(remaining_a, remaining_b);
+    // Jaccard >= t needs overlap >= t/(1+t) * (|A|+|B|).
     val candidates = a.join(b, Seq("s"))
       .filter(col("a") < col("b"))
+      .filter((lit(1) + least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("sza") + col("szb"))))
       .select("a", "b").distinct()
     // exact verification on full shingle sets
     val sets = docs.select(col("doc"), col("sh"), col("sz"))
