@@ -57,11 +57,19 @@ object Dedup {
     // 1.0 (candidates are then verified with the exact intersection count).
     val inv0 = docs.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
     val dfTab = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+    // length-aware prefix (exact): any partner B of A has |B| >= max(Lmin,
+    // ceil(t*|A|)) (below that Jaccard can't reach t), so the required
+    // overlap is at least ceil(t/(1+t) * (|A| + that bound)) — which shortens
+    // the indexed prefix well below the naive |A| - ceil(t*|A|) + 1.
+    val minSz = docs.agg(min(col("sz")).as("lmin"))
     val ranked = inv0.join(dfTab, Seq("s"))
       .groupBy("doc", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-      .withColumn("plen",
-        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .crossJoin(broadcast(minSz))
+      .withColumn("omin",
+        ceil(lit(threshold / (1 + threshold)) *
+          (col("sz") + greatest(col("lmin"), ceil(lit(threshold) * col("sz"))))))
+      .withColumn("plen", greatest(col("sz") - col("omin") + 1, lit(1)).cast("int"))
       .select(col("doc"), col("sz"),
         posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("pos", "p")))
       .select(col("doc"), col("sz"), col("pos"), col("p.s").as("s"), col("p.df").as("df"))
