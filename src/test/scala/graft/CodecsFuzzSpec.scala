@@ -1,0 +1,152 @@
+package graft
+
+import graft.format._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based codec fuzzing, mirroring the reference's fuzzer layer
+  * (reference: dwio/nimble/fuzzer/encoding/EncodingFuzzerTest.cpp,
+  * velox/tests/VeloxWriterFuzzTest.cpp): arbitrary values + arbitrary null
+  * patterns must round-trip bit-exactly through encode/decode, for every
+  * physical type, including pattern mixtures the heuristic gates interact
+  * with. */
+class CodecsFuzzSpec extends AnyFunSuite {
+
+  private def genLongs(r: scala.util.Random): Array[Long] = {
+    val n = r.nextInt(3000)
+    val mode = r.nextInt(6)
+    mode match {
+      case 0 => Array.fill(n)(r.nextLong())
+      case 1 => Array.fill(n)(r.nextInt(100).toLong) // low card + narrow
+      case 2 => // runs
+        val a = new Array[Long](n); var i = 0
+        while (i < n) { val v = r.nextInt(5).toLong; val run = math.min(1 + r.nextInt(20), n - i)
+          java.util.Arrays.fill(a, i, i + run, v); i += run }
+        a
+      case 3 => { var v = r.nextLong() % 1000000; Array.fill(n) { v += r.nextInt(100) - 30; v } }
+      case 4 => Array.fill(n)(if (r.nextInt(10) == 0) r.nextLong() else 7L) // mainly const
+      case _ => Array.fill(n)(Seq(Long.MinValue, Long.MaxValue, 0L, -1L)(r.nextInt(4)))
+    }
+  }
+
+  private val nullFracs = Array(0.0, 0.01, 0.5, 0.95, 1.0)
+
+  test("longs round-trip under fuzz (values x null patterns)") {
+    for (trial <- 0 until 60) {
+        val r = new scala.util.Random(1000 + trial)
+        val values = genLongs(r)
+        val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+        val nulls = if (nullFrac == 0.0) null
+        else values.map(_ => r.nextDouble() < nullFrac)
+        val sink = new ByteSink()
+        Codecs.encodeColumn(LongsCol(values, PhysType.I64, nulls), sink)
+        val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[LongsCol]
+        assert(out.len == values.length)
+        var i = 0
+        while (i < values.length) {
+          val isNull = nulls != null && nulls(i)
+          if (isNull) assert(out.nulls(i))
+          else {
+            assert(out.nulls == null || !out.nulls(i))
+            assert(out.values(i) == values(i))
+          }
+          i += 1
+        }
+    }
+  }
+
+  private def genDoubles(r: scala.util.Random): Array[Double] = {
+    val n = r.nextInt(2000)
+    val mode = r.nextInt(4)
+    mode match {
+        case 0 => Array.fill(n)(r.nextDouble() * 1e12 - 5e11)
+        case 1 => Array.fill(n)(r.nextInt(100000) / 100.0) // ALP territory
+        case 2 => Array.fill(n)(Seq(Double.NaN, Double.PositiveInfinity,
+          Double.NegativeInfinity, -0.0, 0.0)(r.nextInt(5)))
+        case _ => Array.fill(n)(r.nextInt(5).toDouble) // low-card
+    }
+  }
+
+  test("doubles round-trip under fuzz incl. specials") {
+    for (trial <- 0 until 60) {
+        val r = new scala.util.Random(2000 + trial)
+        val values = genDoubles(r)
+        val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+        val nulls = if (nullFrac == 0.0) null else values.map(_ => r.nextDouble() < nullFrac)
+        val sink = new ByteSink()
+        Codecs.encodeColumn(DoublesCol(values, isFloat = false, nulls), sink)
+        val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[DoublesCol]
+        var i = 0
+        while (i < values.length) {
+          val isNull = nulls != null && nulls(i)
+          if (!isNull) assert(java.lang.Double.doubleToLongBits(out.values(i)) ==
+            java.lang.Double.doubleToLongBits(values(i)), s"row $i")
+          i += 1
+        }
+    }
+  }
+
+  private def genStrings(r: scala.util.Random): Array[String] = {
+      val n = r.nextInt(1500)
+      val mode = r.nextInt(4)
+      val arr = mode match {
+        case 0 => Array.fill(n)(r.nextString(r.nextInt(40)))
+        case 1 => Array.fill(n)(s"key_${r.nextInt(10)}")
+        case 2 => Array.fill(n)(if (r.nextBoolean()) "" else "日本語" + r.nextInt(3))
+        case _ => Array.fill(n)(f"prefix_shared_${r.nextInt(1000)}%06d")
+      }
+      if (mode == 3) java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+      arr
+  }
+
+  test("strings round-trip under fuzz (unicode, empties, dups, sorted)") {
+    for (trial <- 0 until 60) {
+        val r = new scala.util.Random(3000 + trial)
+        val values = genStrings(r)
+        val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+        val nulls = if (nullFrac == 0.0) null else values.map(_ => r.nextDouble() < nullFrac)
+        val bb = new ByteSink()
+        val offs = new Array[Int](values.length + 1)
+        var i = 0
+        while (i < values.length) { bb.writeBytes(values(i).getBytes("UTF-8")); offs(i + 1) = bb.size; i += 1 }
+        val sink = new ByteSink()
+        Codecs.encodeColumn(BytesCol(offs, bb.toArray, nulls), sink)
+        val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[BytesCol]
+        i = 0
+        while (i < values.length) {
+          val isNull = nulls != null && nulls(i)
+          if (!isNull) assert(new String(out(i), "UTF-8") == values(i), s"row $i")
+          else assert(out.nulls(i))
+          i += 1
+        }
+    }
+  }
+
+  test("serializer fuzz: random scalar rows round-trip") {
+    import org.apache.spark.sql.types._
+    for (trial <- 0 until 15) {
+        val r = new scala.util.Random(4000 + trial)
+        val n = r.nextInt(300)
+        val schema = StructType(Seq(
+          StructField("a", LongType), StructField("b", StringType, nullable = true),
+          StructField("c", DoubleType), StructField("d", BooleanType)))
+        val rows = (0 until n).map { _ =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            r.nextLong(),
+            if (r.nextInt(5) == 0) null else org.apache.spark.unsafe.types.UTF8String.fromString(r.nextString(8)),
+            r.nextDouble(), r.nextBoolean())
+        }
+        val blob = Serializer.serialize(schema, rows.iterator)
+        val (s2, back) = Serializer.deserialize(blob)
+        assert(s2 == schema && back.length == n)
+        var i = 0
+        while (i < n) {
+          assert(back(i).getLong(0) == rows(i).getLong(0))
+          assert(back(i).isNullAt(1) == rows(i).isNullAt(1))
+          if (!rows(i).isNullAt(1)) assert(back(i).getUTF8String(1) == rows(i).getUTF8String(1))
+          assert(back(i).getDouble(2) == rows(i).getDouble(2))
+          assert(back(i).getBoolean(3) == rows(i).getBoolean(3))
+          i += 1
+        }
+    }
+  }
+}
