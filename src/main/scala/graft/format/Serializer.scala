@@ -60,6 +60,35 @@ object Serializer {
     (schema, out.toSeq)
   }
 
+  /** Project a subset of top-level columns out of a serialized blob without
+    * decoding the others — the Serializer Projector analog (reference:
+    * dwio/nimble/serializer/Projector.h). Stream blocks are length-prefixed,
+    * so unprojected streams are skipped byte-wise. */
+  def deserializeProjected(blob: Array[Byte], columns: Set[String]): (StructType, Seq[InternalRow]) = {
+    val cur = new ByteCursor(blob)
+    val sj = cur.readBlock()
+    val full = DataType.fromJson(new String(sj.readBytes(sj.remaining), "UTF-8")).asInstanceOf[StructType]
+    val n = cur.readVarint().toInt
+    val keys = Fields.streamKeys(full)
+    val wanted = StructType(full.fields.filter(f => columns(f.name)))
+    val wantedKeys = Fields.streamKeys(wanted).toSet
+    val streams = keys.flatMap { k =>
+      val b = cur.readBlock()
+      if (wantedKeys(k)) Some(k -> new Tablet.ChunkCursor(b.readBytes(b.remaining))) else None
+    }.toMap
+    val readers = wanted.fields.map(f => Fields.readerFor(f.name, f.dataType, streams(_), wantedKeys))
+    val vecs = wanted.fields.map(f =>
+      new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(math.max(n, 1), f.dataType))
+    readers.zip(vecs).foreach { case (r, v) => r.readChunk(v, null) }
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], n)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n)
+    val it = batch.rowIterator()
+    while (it.hasNext) out += it.next().copy()
+    batch.close()
+    (wanted, out.toSeq)
+  }
+
   /** ChunkSink that just captures encoded chunks per stream. */
   private final class ChunkCollector(chunks: Array[Array[Byte]]) extends Tablet.ChunkSink {
     def writeChunk(id: Int, col: Column): Unit = {

@@ -21,7 +21,43 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 3
+  val Version: Int = 4
+
+  /** Per-stripe Bloom filter for membership pruning (reference:
+    * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
+    * bits/value, 7 probes via double hashing of XXH64. */
+  final class Bloom(val bits: Array[Long]) {
+    def this(expectedValues: Int) =
+      this(new Array[Long](math.max(64, math.min(expectedValues * 10, 8 << 20)) / 64))
+    private val m = bits.length * 64
+    def addHash(h: Long): Unit = {
+      val h2 = (h >>> 32) | 1L
+      var i = 0
+      while (i < 7) {
+        val pos = java.lang.Math.floorMod(h + i * h2, m.toLong).toInt
+        bits(pos >> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    def mightContain(h: Long): Boolean = {
+      val h2 = (h >>> 32) | 1L
+      var i = 0
+      while (i < 7) {
+        val pos = java.lang.Math.floorMod(h + i * h2, m.toLong).toInt
+        if ((bits(pos >> 6) & (1L << (pos & 63))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  def hashLongValue(v: Long): Long = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = (v >> (8 * i)).toByte; i += 1 }
+    xxh64(b, 0, 8)
+  }
+  def hashBytesValue(b: Array[Byte], off: Int, len: Int): Long = xxh64(b, off, len)
 
   // compression kinds (reference: dwio/nimble/common/Types.h:190-197)
   final val CompNone: Byte = 0
@@ -183,7 +219,8 @@ object Tablet {
       offset: Long, length: Long, rowCount: Long,
       streams: Array[StreamLoc], // indexed by stream id; length 0 = absent
       stats: Array[Stats],
-      checksum: Long = 0L) // XXH64 of the stripe's bytes
+      checksum: Long = 0L, // XXH64 of the stripe's bytes
+      blooms: Map[Int, Bloom] = Map.empty) // streamId -> membership filter
   final case class Footer(
       version: Int,
       schemaJson: String,
@@ -208,6 +245,13 @@ object Tablet {
       s.writeVarint(st.length)
       s.writeVarint(st.rowCount)
       s.writeLong(st.checksum)
+      s.writeVarint(st.blooms.size.toLong)
+      for ((id, bloom) <- st.blooms.toSeq.sortBy(_._1)) {
+        s.writeVarint(id.toLong)
+        s.writeVarint(bloom.bits.length.toLong)
+        var bi = 0
+        while (bi < bloom.bits.length) { s.writeLong(bloom.bits(bi)); bi += 1 }
+      }
       for (sl <- st.streams) { s.writeVarint(sl.offset); s.writeVarint(sl.length) }
       for (x <- st.stats) writeStats(s, x)
     }
@@ -236,13 +280,22 @@ object Tablet {
     while (sI < nStripes) {
       val off = c.readVarint(); val len = c.readVarint(); val rc = c.readVarint()
       val checksum = c.readLong()
+      val nBlooms = c.readVarint().toInt
+      val blooms = (0 until nBlooms).map { _ =>
+        val id = c.readVarint().toInt
+        val nw = c.readVarint().toInt
+        val bits = new Array[Long](nw)
+        var bi = 0
+        while (bi < nw) { bits(bi) = c.readLong(); bi += 1 }
+        id -> new Bloom(bits)
+      }.toMap
       val locs = new Array[StreamLoc](nStreams)
       i = 0
       while (i < nStreams) { locs(i) = StreamLoc(c.readVarint(), c.readVarint()); i += 1 }
       val stats = new Array[Stats](nStreams)
       i = 0
       while (i < nStreams) { stats(i) = readStats(c); i += 1 }
-      stripes(sI) = StripeInfo(off, len, rc, locs, stats, checksum)
+      stripes(sI) = StripeInfo(off, len, rc, locs, stats, checksum, blooms)
       sI += 1
     }
     val fileStats = new Array[Stats](nStreams)
@@ -266,7 +319,8 @@ object Tablet {
       path: String,
       schemaJson: String,
       streamKeys: Array[String],
-      sortColumns: Seq[String] = Nil) extends ChunkSink {
+      sortColumns: Seq[String] = Nil,
+      bloomColumns: Set[String] = Set.empty) extends ChunkSink {
     private val out = new java.io.DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     out.write(Magic)
@@ -280,7 +334,9 @@ object Tablet {
     private val stripeStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private val fileStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private var stripeRows: Long = 0L
-    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long)]()
+    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long, Map[Int, Bloom])]()
+    // per-stripe value hashes for bloom-configured streams (built at flush)
+    private val bloomHashes = mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
     private var totalRows: Long = 0L
 
     private def nStreams = keys.length
@@ -315,6 +371,25 @@ object Tablet {
       b.writeByte(kind)
       b.writeBytes(data)
       stripeStats(id).mergeColumn(col)
+      if (bloomColumns(keys(id))) {
+        val buf = bloomHashes.getOrElseUpdate(id, mutable.ArrayBuffer[Long]())
+        col match {
+          case c: LongsCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i)) buf += hashLongValue(c.values(i))
+              i += 1
+            }
+          case c: BytesCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i))
+                buf += hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
+              i += 1
+            }
+          case _ => () // doubles/bools: equality pruning not supported
+        }
+      }
     }
 
     def addRows(n: Long): Unit = { stripeRows += n; totalRows += n }
@@ -333,7 +408,13 @@ object Tablet {
         fileOffset += bytes.length
         i += 1
       }
-      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, hasher.getValue))
+      val blooms = bloomHashes.iterator.map { case (id, hashes) =>
+        val bloom = new Bloom(hashes.length)
+        hashes.foreach(bloom.addHash)
+        id -> bloom
+      }.toMap
+      bloomHashes.clear()
+      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, hasher.getValue, blooms))
       i = 0
       while (i < nStreams) {
         fileStats(i).merge(stripeStats(i))
@@ -348,14 +429,14 @@ object Tablet {
       flushStripe()
       // streams registered after a stripe flushed get zero-length locations
       // (and empty stats) in that stripe — the reader treats them as absent
-      val finalStripes = stripes.map { case (off, len, rows, locs, stats, checksum) =>
+      val finalStripes = stripes.map { case (off, len, rows, locs, stats, checksum, blooms) =>
         val fullLocs =
           if (locs.length == nStreams) locs
           else locs ++ Array.fill(nStreams - locs.length)(StreamLoc(0L, 0L))
         val fullStats =
           if (stats.length == nStreams) stats
           else stats ++ Array.fill(nStreams - stats.length)(Stats())
-        StripeInfo(off, len, rows, fullLocs, fullStats, checksum)
+        StripeInfo(off, len, rows, fullLocs, fullStats, checksum, blooms)
       }.toArray
       val footer = Footer(Version, schemaJson, sortColumns, totalRows,
         keys.toArray, finalStripes, fileStats.toArray)

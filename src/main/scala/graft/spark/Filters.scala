@@ -69,22 +69,45 @@ object Filters {
   // ----------------------------------------------------- stripe pruning
 
   /** True if the stripe can be skipped: the filter provably matches no row.
-    * Conservative: returns false when unsure. */
-  def pruneStripe(f: Filter, stats: String => Option[Tablet.Stats]): Boolean = f match {
-    case And(l, r) => pruneStripe(l, stats) || pruneStripe(r, stats)
-    case Or(l, r) => pruneStripe(l, stats) && pruneStripe(r, stats)
+    * Conservative: returns false when unsure. Equality/In predicates consult
+    * the stripe Bloom filter when the column has one (reference:
+    * dwio/nimble/index/BloomFilter.h:34). */
+  def pruneStripe(f: Filter, stats: String => Option[Tablet.Stats],
+      bloom: String => Option[Tablet.Bloom] = _ => None): Boolean = f match {
+    case And(l, r) => pruneStripe(l, stats, bloom) || pruneStripe(r, stats, bloom)
+    case Or(l, r) => pruneStripe(l, stats, bloom) && pruneStripe(r, stats, bloom)
     case IsNull(a) => stats(a).exists(s => s.nullCount == 0)
     case IsNotNull(a) => stats(a).exists(s => s.nullCount == s.valueCount)
-    case EqualTo(a, v) => outsideRange(a, v, stats, lo = true, hi = true)
-    case EqualNullSafe(a, v) if v != null => outsideRange(a, v, stats, lo = true, hi = true)
+    case EqualTo(a, v) =>
+      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom)
+    case EqualNullSafe(a, v) if v != null =>
+      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom)
     case GreaterThan(a, v) => aboveMax(a, v, stats, orEqual = true)
     case GreaterThanOrEqual(a, v) => aboveMax(a, v, stats, orEqual = false)
     case LessThan(a, v) => belowMin(a, v, stats, orEqual = true)
     case LessThanOrEqual(a, v) => belowMin(a, v, stats, orEqual = false)
-    case In(a, vs) => vs.nonEmpty && vs.forall(v => outsideRange(a, v, stats, lo = true, hi = true))
+    case In(a, vs) => vs.nonEmpty && vs.forall(v =>
+      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))
     case AlwaysFalse() => true
     case _ => false
   }
+
+  /** Definitely-absent per the stripe's Bloom filter. Hashing must mirror the
+    * writer (Tablet.hashLongValue / hashBytesValue on the stored physical
+    * representation); doubles/bools carry no bloom. */
+  private def bloomAbsent(a: String, v: Any, stats: String => Option[Tablet.Stats],
+      bloom: String => Option[Tablet.Bloom]): Boolean =
+    bloom(a).exists { b =>
+      stats(a).exists { s =>
+        s.kind match {
+          case PhysType.Bytes => !b.mightContain(Tablet.hashBytesValue(toBytes(v), 0, toBytes(v).length))
+          case PhysType.F32 | PhysType.F64 | PhysType.Bool => false
+          case _ =>
+            try !b.mightContain(Tablet.hashLongValue(toLong(v)))
+            catch { case _: IllegalArgumentException => false }
+        }
+      }
+    }
 
   /** All-null stripes fail any comparison. */
   private def statsFor(a: String, stats: String => Option[Tablet.Stats]): Option[Tablet.Stats] = stats(a)

@@ -198,7 +198,9 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         val info = footer.stripes(s)
         val statsOf: String => Option[Tablet.Stats] =
           name => keyIdx.get(name).map(info.stats)
-        val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf))
+        val bloomOf: String => Option[Tablet.Bloom] =
+          name => keyIdx.get(name).flatMap(info.blooms.get)
+        val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
         if (!skip) parts += NimbleStripePartition(file, s) else pruned += 1
         s += 1
       }
@@ -459,7 +461,8 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     dedupMap = csvOpt("deduplicatedMapColumns"))
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts)
+    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
+      csvOpt("bloomFilterColumns"))
     /** Structured Streaming sink: files are immutable and appended per epoch,
       * which matches the format's append-only tablet model exactly; epoch id
       * lands in the file name so replayed epochs overwrite deterministically
@@ -487,25 +490,27 @@ case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortCo
 }
 
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
-    sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions()) extends BatchWrite {
+    sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
+    bloomColumns: Set[String] = Set.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     if (truncateFirst && dir.exists()) {
       dir.listFiles().filter(_.getName.endsWith(".gft")).foreach(_.delete())
     }
     dir.mkdirs()
-    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts)
+    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
-    writeOpts: Fields.WriteOptions = Fields.WriteOptions())
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
+    bloomColumns: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns,
-      writeOpts = writeOpts)
+      writeOpts = writeOpts, bloomColumns = bloomColumns)
 }
 
 /** Per-task file writer: buffers `rowsPerChunk` rows, encodes chunk, flushes
@@ -514,11 +519,12 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
   * docs/develop/nimble_writer.rst:211-282). */
 class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String],
     rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20,
-    writeOpts: Fields.WriteOptions = Fields.WriteOptions())
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
+    bloomColumns: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns)
+  private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns, bloomColumns)
   private val writers: Array[Fields.FieldWriter] =
     schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0

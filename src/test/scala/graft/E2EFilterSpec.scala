@@ -75,6 +75,26 @@ class E2EFilterSpec extends SparkTestBase {
     assert(new String(rfStats.maxBytes, "UTF-8") == exp.getString(6))
   }
 
+  test("bloom filters prune equality lookups on unsorted keys") {
+    // values hashed by range partition -> each file holds a disjoint UNSORTED
+    // value set; min/max overlap but blooms separate them
+    val df = spark.range(100000).toDF("id")
+      .withColumn("k", concat(lit("user_"), (col("id") * 2654435761L % 99991).cast("string")))
+    val dir = tmpDir("bloom")
+    df.repartition(8, col("k"))
+      .write.format("nimble").option("bloomFilterColumns", "k").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val all = nb.rdd.getNumPartitions
+    val probe = nb.filter(col("k") === "user_12345")
+    assert(probe.rdd.getNumPartitions < all,
+      s"bloom should prune: ${probe.rdd.getNumPartitions} of $all")
+    val expected = df.filter(col("k") === "user_12345").count()
+    assert(probe.count() == expected)
+    // negative lookup prunes everything
+    assert(nb.filter(col("k") === "no_such_user").rdd.getNumPartitions == 0)
+    assert(nb.filter(col("k") === "no_such_user").count() == 0)
+  }
+
   test("stripe checksums verify; corruption detected") {
     val df = spark.range(10000).toDF("id")
     val dir = tmpDir("cksum")

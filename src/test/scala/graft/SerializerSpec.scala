@@ -36,6 +36,35 @@ class SerializerSpec extends SparkTestBase {
     }
   }
 
+  test("projector: subset decode without touching other streams") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType), StructField("c", DoubleType)))
+    val rows = (0 until 100).map(i => Row(i.toLong, s"s$i", i * 0.5))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    val blob = Serializer.serialize(schema, rows.map(r => enc(r).copy()).iterator)
+    val (projSchema, back) = Serializer.deserializeProjected(blob, Set("a", "c"))
+    assert(projSchema.fieldNames.toSeq == Seq("a", "c"))
+    assert(back.length == 100)
+    assert(back(7).getLong(0) == 7L && back(7).getDouble(1) == 3.5)
+  }
+
+  test("point lookup bypasses Spark (index-reader analog)") {
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("lookup")
+    sparkDf.coalesce(1).sortWithinPartitions("o_custkey").write.format("nimble")
+      .option("sortColumns", "o_custkey")
+      .option("bloomFilterColumns", "o_orderkey").mode("overwrite").save(dir)
+    val expected = sparkDf.filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L)
+      .collect()
+    val got = graft.format.Lookup.pointLookup(dir, "o_orderkey", 42L)
+    assert(got.length == expected.length)
+    if (expected.nonEmpty) {
+      assert(got.head("o_custkey") == expected.head.getAs[Long]("o_custkey"))
+      assert(got.head("o_orderstatus") == expected.head.getAs[String]("o_orderstatus"))
+    }
+    assert(graft.format.Lookup.pointLookup(dir, "o_orderkey", -999L).isEmpty)
+  }
+
   test("empty batch") {
     val schema = StructType(Seq(StructField("x", IntegerType)))
     val blob = Serializer.serialize(schema, Iterator.empty)
