@@ -63,6 +63,12 @@ object Bench {
     }
     results("write_lineitem") = wSec
     results("write_rows_per_sec") = liRows / wSec
+    val (wpSec, _) = time {
+      li.repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet")
+    }
+    results("write_parquet_sec") = wpSec
+    results("write_vs_parquet_ratio") = wSec / wpSec
 
     // pre-convert the rest (not timed per-table)
     for (t <- Seq("orders", "customer", "documents", "embeddings", "events"))

@@ -382,7 +382,13 @@ object Codecs {
         val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
         val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
       }))
-    val top = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }.take(2)
+    val sorted = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }
+    // encode the runner-up only when the estimates are close (composite-codec
+    // estimates are approximate; exact ones don't need a second opinion)
+    val top =
+      if (sorted.length >= 2 && sorted(0)._2 * readFactor(sorted(0)._1) < 0.75 * sorted(1)._2 * readFactor(sorted(1)._1))
+        sorted.take(1)
+      else sorted.take(2)
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     for ((id, _, enc) <- top) {
       val s = new ByteSink(); enc(s); candidates += ((id, s.toArray))

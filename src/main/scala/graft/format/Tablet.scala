@@ -358,13 +358,25 @@ object Tablet {
       t
     }
 
+    // adaptive compression policy (reference: compression/CompressionPolicy.h):
+    // streams that keep rejecting zstd stop paying for the attempt (retry
+    // every 8th chunk in case the data distribution shifts)
+    private val zstdRejects = mutable.HashMap[Int, Int]()
+
     /** Append one encoded chunk for stream `id` covering `rows` top-level rows
       * (pass rows only once per row-range, via `addRows`). */
     def writeChunk(id: Int, col: Column): Unit = {
       val enc = new ByteSink(1024)
       Codecs.encodeColumn(col, enc)
       val raw = enc.toArray
-      val (kind, data) = compressChunk(raw)
+      val rejects = zstdRejects.getOrElse(id, 0)
+      val (kind, data) =
+        if (rejects >= 3 && rejects % 8 != 0) { zstdRejects(id) = rejects + 1; (CompNone, raw) }
+        else {
+          val r = compressChunk(raw)
+          zstdRejects(id) = if (r._1 == CompNone && raw.length >= 25) rejects + 1 else 0
+          r
+        }
       val b = stripeBufs(id)
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
