@@ -86,8 +86,11 @@ object Filters {
     case GreaterThanOrEqual(a, v) => aboveMax(a, v, stats, orEqual = false)
     case LessThan(a, v) => belowMin(a, v, stats, orEqual = true)
     case LessThanOrEqual(a, v) => belowMin(a, v, stats, orEqual = false)
-    case In(a, vs) => vs.nonEmpty && vs.forall(v =>
-      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))
+    case In(a, vs) =>
+      // a null element never matches any row (SQL three-valued logic), so it
+      // doesn't extend the matchable set
+      vs.nonEmpty && vs.forall(v => v == null ||
+        outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))
     case AlwaysFalse() => true
     case _ => false
   }
@@ -207,7 +210,8 @@ object Filters {
     case GreaterThanOrEqual(a, v) => cmpPred(col(a), v, r => r >= 0)
     case LessThan(a, v) => cmpPred(col(a), v, r => r < 0)
     case LessThanOrEqual(a, v) => cmpPred(col(a), v, r => r <= 0)
-    case In(a, vs) =>
+    case In(a, vs0) =>
+      val vs = vs0.filter(_ != null) // null elements match nothing
       val c = col(a)
       c match {
         case lc: LongsCol =>

@@ -75,6 +75,18 @@ class E2EFilterSpec extends SparkTestBase {
     assert(new String(rfStats.maxBytes, "UTF-8") == exp.getString(6))
   }
 
+  test("In filter containing null literal (three-valued logic)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "c")).toDF("id", "s")
+    val dir = tmpDir("innull")
+    df.write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    // isin with null: null never matches
+    val got = nb.filter(col("id").isin(1L, null)).collect().map(_.getLong(0)).toSet
+    val exp = df.filter(col("id").isin(1L, null)).collect().map(_.getLong(0)).toSet
+    assert(got == exp && got == Set(1L))
+  }
+
   test("bloom filters prune equality lookups on unsorted keys") {
     // values hashed by range partition -> each file holds a disjoint UNSORTED
     // value set; min/max overlap but blooms separate them
