@@ -168,9 +168,12 @@ object SparkEntry {
     "x02_neardup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8)),
+    // bands=32 (r=1): a pair at Jaccard J is missed only with prob (1-J)^32
+    // (2.3e-10 at the 0.5 threshold) and every candidate is exact-verified,
+    // so the output equals the exact all-pairs result — full DuckDB oracle.
     "x03_neardup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text",
-        n = 3, numPerms = 32, bands = 8, threshold = 0.5)),
+        n = 3, numPerms = 32, bands = 32, threshold = 0.5)),
     "x04_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
     "x05_embed_topk" -> ((s, dir) => {
@@ -332,6 +335,13 @@ object SparkEntry {
                GROUP BY 1, 2, 3, 4)
          SELECT a, b, inter, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
          FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.8"""),
+    "x03_neardup_minhash" -> (shinglesCte +
+      """, inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb, count(1) AS inter
+               FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4)
+         SELECT a, b, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+         FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5"""),
     "x04_simhash" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
                        FROM documents),
@@ -339,7 +349,7 @@ object SparkEntry {
          bits AS (SELECT doc, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
                   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
                   GROUP BY doc, b.bit)
-         SELECT doc, sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         SELECT doc, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc""",
     "x05_embed_topk" ->
       """WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings WHERE vec_id < 20),
