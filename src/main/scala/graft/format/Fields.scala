@@ -564,6 +564,28 @@ object Fields {
     vec.reserve(n)
     val nulls = col.nulls
     def srcIdx(i: Int): Int = if (selection == null) i else selection(i)
+    // Bulk fast path for full, null-free chunks (the common scan shape):
+    // single System.arraycopy into the vector instead of n virtual puts —
+    // the same trick Spark's vectorized parquet reader plays.
+    if (selection == null && nulls == null) col match {
+      case c: LongsCol if dt == LongType || dt == TimestampType || dt == TimestampNTZType ||
+          dt.isInstanceOf[DecimalType] =>
+        vec.putLongs(0, n, c.values, 0)
+        return n
+      case c: DoublesCol if dt == DoubleType =>
+        vec.putDoubles(0, n, c.values, 0)
+        return n
+      case c: BytesCol =>
+        // pre-size the child byte vector once, then append without regrowth
+        vec.arrayData().reserve(c.offsets(n) - c.offsets(0))
+        var i = 0
+        while (i < n) {
+          vec.putByteArray(i, c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
+          i += 1
+        }
+        return n
+      case _ => ()
+    }
     col match {
       case c: LongsCol =>
         dt match {

@@ -534,10 +534,16 @@ object Tablet {
       val rawLen = cur0.readVarint().toInt
       val kind = cur0.readByte().toByte
       pos = cur0.pos
-      val data = java.util.Arrays.copyOfRange(bytes, pos, pos + compLen)
-      pos += compLen
-      val raw = decompressChunk(kind, data, rawLen)
-      Codecs.decodeColumn(new ByteCursor(raw))
+      if (kind == CompNone) {
+        // zero-copy: decode straight out of the stream buffer
+        val cur = new ByteCursor(bytes, pos, pos + compLen)
+        pos += compLen
+        Codecs.decodeColumn(cur)
+      } else {
+        val data = java.util.Arrays.copyOfRange(bytes, pos, pos + compLen)
+        pos += compLen
+        Codecs.decodeColumn(new ByteCursor(decompressChunk(kind, data, rawLen)))
+      }
     }
   }
 }

@@ -47,7 +47,12 @@ object Dedup {
     * Exact (recall 1.0) when maxDf disabled (<=0). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = -1): DataFrame = {
-    val docs = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // 64-bit-hash the shingles once up front: every downstream shuffle,
+    // sort_array, join key and array_intersect then works on longs instead of
+    // ~n-word strings (same sets — a 64-bit collision inside one pair's union
+    // has probability ~|union|^2/2^64, irrelevant even at 100 TB).
+    val docs = df.select(col(idCol).as("doc"),
+        array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
       .withColumn("sz", size(col("sh")))
     // Prefix filtering (PPJoin-style, EXACT): order shingles by ascending
     // global document frequency; a pair with Jaccard >= t must share at least

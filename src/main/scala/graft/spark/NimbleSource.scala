@@ -341,8 +341,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
   private val hasFilters = filters.nonEmpty
 
+  // Reusable output vectors/batch (reset per chunk, closed once at reader
+  // close — avoids per-batch allocation + GC churn, like Spark's
+  // VectorizedParquetRecordReader).
+  private var reusableVecs: Array[OnHeapColumnVector] = null
+  private var reusableBatch: ColumnarBatch = null
+
   override def next(): Boolean = {
-    if (current != null) { current.close(); current = null }
+    current = null
     currentMask = null
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
@@ -416,27 +422,29 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     new OnHeapColumnVector(16, dt)
 
   private def fillBatch(selection: Array[Int], chunkRowsHint: Int): Boolean = {
-    val vecs = new Array[OnHeapColumnVector](required.fields.length)
+    if (reusableVecs == null) {
+      reusableVecs = required.fields.map(f => new OnHeapColumnVector(16384, f.dataType))
+      reusableBatch = new ColumnarBatch(reusableVecs.asInstanceOf[Array[ColumnVector]], 0)
+    }
     var outRows = -1
     var i = 0
     while (i < required.fields.length) {
-      val f = required.fields(i)
-      vecs(i) = new OnHeapColumnVector(
-        math.max(16, if (selection == null) 16384 else selection.length), f.dataType)
-      val n = fieldReaders(i).readChunk(vecs(i), selection)
+      reusableVecs(i).reset()
+      val n = fieldReaders(i).readChunk(reusableVecs(i), selection)
       if (outRows < 0) outRows = n
       i += 1
     }
     if (outRows < 0) // zero projected columns but pushed filters present
       outRows = if (selection != null) selection.length else chunkRowsHint
-    current = new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]], outRows)
+    reusableBatch.setNumRows(outRows)
+    current = reusableBatch
     emitted += outRows
     true
   }
 
   override def get(): ColumnarBatch = current
   override def close(): Unit = {
-    if (current != null) current.close()
+    if (reusableBatch != null) reusableBatch.close()
     reader.close()
   }
 }
