@@ -364,6 +364,27 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank
            FROM scored)
          SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
+    // Full oracle: the hyperplane weights are a pure arithmetic formula
+    // (pmod-hash of (plane, dim)), so DuckDB replays the exact bucketing +
+    // exact re-rank — the oracle verifies the whole LSH pipeline, not just
+    // row counts.
+    "x06_embed_lsh_ann" ->
+      """WITH planes AS (SELECT unnest(range(0, 6)) AS p),
+         b AS (SELECT vec_id, sum(CASE WHEN list_sum(list_transform(range(0, 64),
+                 d -> CAST(embedding[d+1] AS DOUBLE) * (((d*2654435761 + p*40503 + 7) % 1000003) / 500001.5 - 1.0))) >= 0
+               THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
+             FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+           SELECT qb.vec_id AS q, cb.vec_id AS neighbor,
+             list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))) AS sim
+           FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+           JOIN e qe ON qe.vec_id = qb.vec_id JOIN e ce ON ce.vec_id = cb.vec_id
+           WHERE qb.vec_id < 20),
+         ranked AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank FROM scored)
+         SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
     "x07_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
          len(regexp_extract_all(text, '\S+')) AS n_tokens,

