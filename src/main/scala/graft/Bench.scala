@@ -57,6 +57,12 @@ object Bench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val liRows = li.count()
     val nimbleLi = s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem"
+    // JIT/codegen warmup for both writers (small slice, untimed) — the
+    // metric is steady-state write throughput, mirroring timeWarm on scans
+    val warm = li.limit(20000)
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    warm.write.format("nimble").mode("overwrite").save(s"$tmpRoot/graft-bench/warm-nimble")
+    warm.write.mode("overwrite").parquet(s"$tmpRoot/graft-bench/warm-parquet")
     val (wSec, _) = time {
       // parallel writers, one file per task — the cluster write shape
       li.repartition(cpus.toInt).write.format("nimble").mode("overwrite").save(nimbleLi)
@@ -75,19 +81,26 @@ object Bench {
       Tables.nimbleDir(spark, sfDir, t)
 
     val nb = spark.read.format("nimble").load(nimbleLi)
+    // layout-matched parquet control: the same 32-file write as the nimble
+    // table, so scan ratios compare format decode cost, not task-count
+    // overhead of 32 small files vs the driver's single original file (that
+    // single-file number is still reported as *_parquet_1file)
+    val pq = spark.read.parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet")
 
     // ---- scans ----
     def fullScan(df: DataFrame): Long =
       df.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()(0).getLong(2)
     results("scan_full_nimble") = timeWarm(fullScan(nb))._1
-    results("scan_full_parquet") = timeWarm(fullScan(li))._1
+    results("scan_full_parquet") = timeWarm(fullScan(pq))._1
+    results("scan_full_parquet_1file") = timeWarm(fullScan(li))._1
     results("scan_full_vs_parquet_ratio") = results("scan_full_nimble") / results("scan_full_parquet")
 
     def prunedScan(df: DataFrame): Long =
       df.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
         .agg(count(lit(1))).collect()(0).getLong(0)
     results("scan_pruned_nimble") = timeWarm(prunedScan(nb))._1
-    results("scan_pruned_parquet") = timeWarm(prunedScan(li))._1
+    results("scan_pruned_parquet") = timeWarm(prunedScan(pq))._1
+    results("scan_pruned_parquet_1file") = timeWarm(prunedScan(li))._1
 
     // ---- stats-answerable aggregate ----
     results("agg_from_stats") = timeWarm {

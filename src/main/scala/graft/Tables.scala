@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   private val cacheRoot = sys.props.getOrElse("graft.cache",
-    s"${System.getProperty("java.io.tmpdir")}/graft-nimble-v${graft.format.Tablet.Version}")
+    s"${System.getProperty("java.io.tmpdir")}/graft-nimble-v${graft.format.Tablet.Version}r")
 
   private val lock = new Object
 
@@ -52,8 +52,14 @@ object Tables {
         var w = parquet(spark, sfDir, table)
         // declared sort order -> ClusterIndex-lite stripe/chunk key ranges
         // (reference: dwio/nimble/index/ClusterIndex.h:76 — data must arrive
-        // sorted; the writer validates, Spark produces the order here)
-        sort.foreach(c => w = w.repartition(1).sortWithinPartitions(c))
+        // sorted; the writer validates, Spark produces the order here).
+        // Range partitioning keeps per-file key ranges disjoint (pruning
+        // still sees a global sort) while scan parallelism = #files — the
+        // layout a 1000-executor sorted-table write produces; a single
+        // repartition(1) file would serialize every downstream scan.
+        val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        sort.foreach(c => w = w.repartitionByRange(shuffleParts,
+          org.apache.spark.sql.functions.col(c)).sortWithinPartitions(c))
         val writer = w.write.format("nimble").mode("overwrite")
         sort.foreach(c => writer.option("sortColumns", c))
         writer.save(dir)

@@ -37,7 +37,10 @@ object Codecs {
   final val MAINLYCONST: Byte = 10
   final val PREFIX: Byte = 11
   final val ALP: Byte = 12
+  final val PFOR: Byte = 13 // patched FOR: narrow packed lows + exception patches
+  final val BLOCKBP: Byte = 15 // per-1024-row baseline + bit width
   final val FOR: Byte = 18 // frame-of-reference: baseline + bit-packed residuals
+  final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
 
   /** Decode-speed priors, reference docs/Encodings.md:80-90. */
   private def readFactor(id: Byte): Double = id match {

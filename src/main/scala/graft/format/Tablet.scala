@@ -466,9 +466,9 @@ object Tablet {
 
   // --------------------------------------------------------------- reader
 
-  final class Reader(path: String) extends AutoCloseable {
+  final class Reader(path: String, cachedFooter: Footer = null) extends AutoCloseable {
     private val file = new RandomAccessFile(path, "r")
-    val footer: Footer = {
+    val footer: Footer = if (cachedFooter != null) cachedFooter else {
       val len = file.length()
       file.seek(len - 8)
       val lenBuf = new Array[Byte](8)

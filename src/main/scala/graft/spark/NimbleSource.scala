@@ -79,6 +79,15 @@ object NimbleSource {
     else Seq.empty
   }
 
+  /** Last scan-planning outcome per table path (driver-side observability:
+    * stripe pruning is invisible in partition counts once bin-packing merges
+    * surviving stripes, so tools/tests read it here). */
+  case class PlanStats(stripesPlanned: Int, stripesPruned: Long)
+  private val planStats = new java.util.concurrent.ConcurrentHashMap[String, PlanStats]()
+  def recordPlan(path: String, planned: Int, pruned: Long): Unit =
+    planStats.put(path, PlanStats(planned, pruned))
+  def lastPlanStats(path: String): Option[PlanStats] = Option(planStats.get(path))
+
   /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h). */
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Tablet.Footer)]()
   def footerOf(file: String): Tablet.Footer = {
@@ -162,6 +171,11 @@ class NimbleScanBuilder(path: String, dataSchema: StructType)
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
 
+/** A bin-packed set of stripes read by one task (Spark FilePartition analog:
+  * small files/stripes share a task instead of costing one each; large
+  * stripes still split one-per-task). */
+case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends InputPartition
+
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
@@ -187,7 +201,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       (if (limit >= 0) s", limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts = mutable.ArrayBuffer[InputPartition]()
+    val survivors = mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     var pruned = 0L
     val pruningFilters = filters ++ runtimeFilters
     for (file <- NimbleSource.listFiles(path)) {
@@ -201,10 +215,39 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         val bloomOf: String => Option[Tablet.Bloom] =
           name => keyIdx.get(name).flatMap(info.blooms.get)
         val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
-        if (!skip) parts += NimbleStripePartition(file, s) else pruned += 1
+        if (!skip) survivors += ((NimbleStripePartition(file, s), info.length)) else pruned += 1
         s += 1
       }
     }
+    // Bin-pack stripes into tasks (Spark FilePartition analog, adjusted for
+    // this format's near-zero open cost — cached footer + one seek per
+    // stream, so no 4MB openCost padding): split target =
+    // min(maxPartitionBytes, max(minPartitionBytes, total/parallelism)).
+    // Small files/stripes share a task instead of costing ~5ms of dispatch
+    // each; at 100 TB the total/parallelism term dominates and big stripes
+    // go one-per-task exactly like Parquet splits.
+    val (maxPartBytes, minPartBytes, parallelism) = {
+      try {
+        val s = org.apache.spark.sql.SparkSession.active
+        (s.conf.get("spark.sql.files.maxPartitionBytes", "134217728").toLong,
+          s.conf.get("spark.graft.scan.minPartitionBytes", "2097152").toLong,
+          s.sparkContext.defaultParallelism)
+      } catch { case _: Throwable => (134217728L, 2097152L, 8) }
+    }
+    val totalBytes = survivors.iterator.map(_._2).sum
+    val target = math.min(maxPartBytes,
+      math.max(minPartBytes, totalBytes / math.max(parallelism, 1) + 1))
+    val parts = mutable.ArrayBuffer[InputPartition]()
+    val bin = mutable.ArrayBuffer[NimbleStripePartition]()
+    var binBytes = 0L
+    for ((sp, bytes) <- survivors) {
+      if (binBytes > 0 && binBytes + bytes > target) {
+        parts += NimbleMultiPartition(bin.toArray); bin.clear(); binBytes = 0
+      }
+      bin += sp; binBytes += bytes
+    }
+    if (bin.nonEmpty) parts += NimbleMultiPartition(bin.toArray)
+    NimbleSource.recordPlan(path, survivors.length, pruned)
     parts.toArray
   }
 
@@ -239,13 +282,13 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   override def supportColumnarReads(partition: InputPartition): Boolean = allAtomic
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[NimbleStripePartition]
-    new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters, limit)
+    val p = partition.asInstanceOf[NimbleMultiPartition]
+    new NimbleChainReader(p.items, dataSchema, required, filters, limit)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[NimbleStripePartition]
-    val batches = new NimbleBatchReader(p.file, p.stripe, dataSchema, required, filters, limit)
+    val p = partition.asInstanceOf[NimbleMultiPartition]
+    val batches = new NimbleChainReader(p.items, dataSchema, required, filters, limit)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
       private var mask: Array[Boolean] = null
@@ -271,6 +314,39 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   }
 }
 
+/** Chains per-stripe readers over a bin-packed partition, opening one stripe
+  * at a time; a partial limit is threaded through so later stripes stop
+  * early once earlier ones have produced enough survivors. */
+class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructType,
+    required: StructType, filters: Array[Filter], limit: Int = -1)
+    extends PartitionReader[ColumnarBatch] {
+
+  private var idx = -1
+  private var cur: NimbleBatchReader = null
+  private var produced = 0L
+  var currentMask: Array[Boolean] = null
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur != null) {
+        if (cur.next()) { currentMask = cur.currentMask; return true }
+        produced += cur.emittedRows
+        cur.close(); cur = null
+      }
+      if (limit >= 0 && produced >= limit) return false
+      idx += 1
+      if (idx >= items.length) return false
+      val remaining = if (limit < 0) -1 else (limit - produced).toInt
+      cur = new NimbleBatchReader(items(idx).file, items(idx).stripe,
+        dataSchema, required, filters, remaining)
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
 /** Reads one stripe chunk-batch-wise: for each aligned chunk index, decodes
   * filter columns first, builds a selection, then fills only surviving rows
   * into fresh OnHeapColumnVectors (filter-before-materialize, the selective
@@ -280,8 +356,11 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     extends PartitionReader[ColumnarBatch] {
 
   private var emitted = 0L
+  def emittedRows: Long = emitted
 
-  private val reader = new Tablet.Reader(file)
+  // footer via the per-JVM cache (one parse per file per executor, not per
+  // task — reference: dwio/nimble/tablet/MetadataCache.h)
+  private val reader = new Tablet.Reader(file, NimbleSource.footerOf(file))
   private val footer = reader.footer
   private val keyIdx: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
 

@@ -30,7 +30,10 @@ class NimbleMicroBatchStream(path: String, dataSchema: StructType,
     for (f <- batchFiles) {
       val footer = NimbleSource.footerOf(f)
       var s = 0
-      while (s < footer.stripes.length) { parts += NimbleStripePartition(f, s); s += 1 }
+      while (s < footer.stripes.length) {
+        parts += NimbleMultiPartition(Array(NimbleStripePartition(f, s)))
+        s += 1
+      }
     }
     parts.toArray
   }

@@ -96,10 +96,12 @@ class E2EFilterSpec extends SparkTestBase {
     df.repartition(8, col("k"))
       .write.format("nimble").option("bloomFilterColumns", "k").mode("overwrite").save(dir)
     val nb = spark.read.format("nimble").load(dir)
-    val all = nb.rdd.getNumPartitions
+    nb.rdd.getNumPartitions // plan with no filters
+    val all = graft.spark.NimbleSource.lastPlanStats(dir).get.stripesPlanned
     val probe = nb.filter(col("k") === "user_12345")
-    assert(probe.rdd.getNumPartitions < all,
-      s"bloom should prune: ${probe.rdd.getNumPartitions} of $all")
+    probe.rdd.getNumPartitions
+    val kept = graft.spark.NimbleSource.lastPlanStats(dir).get.stripesPlanned
+    assert(kept < all, s"bloom should prune: $kept of $all stripes")
     val expected = df.filter(col("k") === "user_12345").count()
     assert(probe.count() == expected)
     // negative lookup prunes everything
@@ -145,10 +147,14 @@ class E2EFilterSpec extends SparkTestBase {
     df.repartitionByRange(8, col("id")).sortWithinPartitions("id")
       .write.format("nimble").option("sortColumns", "id").mode("overwrite").save(dir)
     val nb = spark.read.format("nimble").load(dir)
-    val all = nb.rdd.getNumPartitions
+    nb.rdd.getNumPartitions // plan with no filters
+    val all = graft.spark.NimbleSource.lastPlanStats(dir).get.stripesPlanned
     val pruned = nb.filter(col("id") === 123456L)
-    val prunedParts = pruned.rdd.getNumPartitions
-    assert(prunedParts < all, s"pruning: $prunedParts of $all partitions")
+    pruned.rdd.getNumPartitions
+    val stats = graft.spark.NimbleSource.lastPlanStats(dir).get
+    assert(stats.stripesPlanned < all,
+      s"pruning: ${stats.stripesPlanned} of $all stripes (${stats.stripesPruned} pruned)")
+    assert(stats.stripesPruned > 0)
     assert(pruned.count() == 1)
   }
 }
