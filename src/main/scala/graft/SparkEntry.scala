@@ -219,7 +219,21 @@ object SparkEntry {
     "x13_embed_neardup" -> ((s, dir) => {
       val emb = Tables.nimble(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
-    })
+    }),
+    // IVF coarse quantization (the ANN scale path's other half): every 50th
+    // vector stands in for a trained centroid codebook; each vector joins its
+    // nearest cell only. Oracle replays the argmax-cosine assignment in SQL.
+    "x14_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.nimble(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    }),
+    // SimHash near-dup pairs by hamming distance over the x04 signatures —
+    // the banding-free exact form (at 100 TB, band the signature bytes first
+    // and verify candidates, same shape as minhash LSH).
+    "x15_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text", maxDist = 4))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -443,6 +457,31 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT a, b, sim FROM sims WHERE sim >= 0.4""",
+    "x14_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT e.vec_id, c.cid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))), 6) AS sim
+           FROM embeddings e CROSS JOIN c),
+         ranked AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+           FROM scored)
+         SELECT vec_id, cid FROM ranked WHERE rn = 1""",
+    "x15_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
+                       FROM documents),
+         h AS (SELECT doc, ('0x' || substr(md5(t), 25, 8))::BIGINT AS h FROM toks),
+         bits AS (SELECT doc, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                  GROUP BY doc, b.bit),
+         sig AS (SELECT doc, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bits GROUP BY doc)
+         SELECT a.doc AS a, b.doc AS b, bit_count(xor(a.simhash, b.simhash)) AS dist
+         FROM sig a JOIN sig b ON a.doc < b.doc
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
     "q21_sessionize" ->
       """SELECT user_id, count(1) AS n_sessions, max(session_len) AS max_len FROM (
            SELECT user_id, session_id, count(1) AS session_len FROM (

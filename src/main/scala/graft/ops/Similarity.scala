@@ -112,7 +112,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val scored = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .withColumn("sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 6))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col(idCol), col("cid"))
