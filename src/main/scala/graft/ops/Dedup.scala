@@ -65,13 +65,16 @@ object Dedup {
     // hot shingles stop driving a quadratic pair blowup while recall stays
     // 1.0 (candidates are then verified with the exact intersection count).
     val inv0 = docs.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
-    val dfTab = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+    // document frequency via a window over the inverted index — one shuffle
+    // on s (reused as-is by nothing downstream) instead of groupBy + join-back
+    val withDf = inv0.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
     // length-aware prefix (exact): any partner B of A has |B| >= max(Lmin,
     // ceil(t*|A|)) (below that Jaccard can't reach t), so the required
     // overlap is at least ceil(t/(1+t) * (|A| + that bound)) — which shortens
     // the indexed prefix well below the naive |A| - ceil(t*|A|) + 1.
     val minSz = docs.agg(min(col("sz")).as("lmin"))
-    val ranked = inv0.join(dfTab, Seq("s"))
+    val ranked = withDf
       .groupBy("doc", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
       .crossJoin(broadcast(minSz))
