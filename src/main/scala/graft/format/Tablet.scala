@@ -62,18 +62,30 @@ object Tablet {
   // compression kinds (reference: dwio/nimble/common/Types.h:190-197)
   final val CompNone: Byte = 0
   final val CompZstd: Byte = 1
+  final val CompLz4: Byte = 2
 
-  /** Zstd accept policy: keep iff compressed <= 0.8 x raw and raw >= 25B
-    * (reference: common/Types.h:217 acceptRatio, compression/COMPRESSION.md:26-33). */
-  def compressChunk(raw: Array[Byte]): (Byte, Array[Byte]) = {
-    if (raw.length < 25) return (CompNone, raw)
-    val comp = com.github.luben.zstd.Zstd.compress(raw, 3)
-    if (comp.length.toDouble <= raw.length * 0.8) (CompZstd, comp) else (CompNone, raw)
+  @transient private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  /** Accept policy: keep iff compressed <= 0.8 x raw and raw >= per-codec
+    * minimum — zstd level 3 min 25B, lz4 min 12B (reference:
+    * common/Types.h:217 acceptRatio, compression/COMPRESSION.md:26-33). */
+  def compressChunk(raw: Array[Byte], codec: String = "zstd"): (Byte, Array[Byte]) = codec match {
+    case "zstd" =>
+      if (raw.length < 25) return (CompNone, raw)
+      val comp = com.github.luben.zstd.Zstd.compress(raw, 3)
+      if (comp.length.toDouble <= raw.length * 0.8) (CompZstd, comp) else (CompNone, raw)
+    case "lz4" =>
+      if (raw.length < 12) return (CompNone, raw)
+      val comp = lz4.fastCompressor().compress(raw)
+      if (comp.length.toDouble <= raw.length * 0.8) (CompLz4, comp) else (CompNone, raw)
+    case "none" => (CompNone, raw)
+    case other => throw new IllegalArgumentException(s"nimble: unknown compression '$other'")
   }
 
   def decompressChunk(kind: Byte, data: Array[Byte], rawLen: Int): Array[Byte] = kind match {
     case CompNone => data
     case CompZstd => com.github.luben.zstd.Zstd.decompress(data, rawLen)
+    case CompLz4 => lz4.fastDecompressor().decompress(data, rawLen)
     case _ => throw new IllegalStateException(s"bad compression $kind")
   }
 
@@ -320,7 +332,8 @@ object Tablet {
       schemaJson: String,
       streamKeys: Array[String],
       sortColumns: Seq[String] = Nil,
-      bloomColumns: Set[String] = Set.empty) extends ChunkSink {
+      bloomColumns: Set[String] = Set.empty,
+      compression: String = "zstd") extends ChunkSink {
     private val out = new java.io.DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
     out.write(Magic)
@@ -373,7 +386,7 @@ object Tablet {
       val (kind, data) =
         if (rejects >= 3 && rejects % 8 != 0) { zstdRejects(id) = rejects + 1; (CompNone, raw) }
         else {
-          val r = compressChunk(raw)
+          val r = compressChunk(raw, compression)
           zstdRejects(id) = if (r._1 == CompNone && raw.length >= 25) rejects + 1 else 0
           r
         }

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for 100 TB joins (SURVEY.md north-star scale notes).
+  *
+  * AQE's skew-join split handles sort-merge joins at runtime; this manual
+  * salting pattern covers the cases AQE can't re-plan — broadcast-ineligible
+  * dimension joins against a hot-key fact side, or any shuffle whose skew is
+  * known up front. Result is row-identical to the plain equi-join: the salt
+  * only changes row placement, never matching.
+  */
+object Skew {
+
+  /** Salted equi-join: the big side scatters each row to one of `salt`
+    * sub-keys, the small side is replicated `salt` ways, and the join runs on
+    * (key, salt) — a hot key's rows now land on `salt` reducers instead of
+    * one. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // deterministic scatter: hash of the key + a per-row discriminator (the
+    // partition-local row id), so replays place rows identically
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

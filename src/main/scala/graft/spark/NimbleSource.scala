@@ -549,7 +549,7 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
-      csvOpt("bloomFilterColumns"))
+      csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"))
     /** Structured Streaming sink: files are immutable and appended per epoch,
       * which matches the format's append-only tablet model exactly; epoch id
       * lands in the file name so replayed epochs overwrite deterministically
@@ -578,14 +578,14 @@ case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortCo
 
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
-    bloomColumns: Set[String] = Set.empty) extends BatchWrite {
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     if (truncateFirst && dir.exists()) {
       dir.listFiles().filter(_.getName.endsWith(".gft")).foreach(_.delete())
     }
     dir.mkdirs()
-    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns)
+    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -593,11 +593,11 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
 case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
-    bloomColumns: Set[String] = Set.empty)
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns,
-      writeOpts = writeOpts, bloomColumns = bloomColumns)
+      writeOpts = writeOpts, bloomColumns = bloomColumns, compression = compression)
 }
 
 /** Per-task file writer: buffers `rowsPerChunk` rows, encodes chunk, flushes
@@ -607,11 +607,12 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
 class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String],
     rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20,
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
-    bloomColumns: Set[String] = Set.empty)
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd")
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns, bloomColumns)
+  private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns, bloomColumns,
+    compression)
   private val writers: Array[Fields.FieldWriter] =
     schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0

@@ -46,6 +46,15 @@ class ConnectorSpec extends SparkTestBase {
     assertSameData(pq, roundTrip(pq, "emb"))
   }
 
+  test("compression codecs: lz4 and none round-trip, zstd is the default") {
+    val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    for (codec <- Seq("lz4", "none")) {
+      val dir = tmpDir(s"comp-$codec")
+      pq.write.format("nimble").option("compression", codec).mode("overwrite").save(dir)
+      assertSameData(pq, spark.read.format("nimble").load(dir))
+    }
+  }
+
   test("projection pushdown reads only selected columns") {
     val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val nb = roundTrip(pq, "proj").select("l_orderkey", "l_quantity")

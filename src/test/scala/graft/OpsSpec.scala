@@ -80,6 +80,20 @@ class OpsSpec extends SparkTestBase {
     assert(assign.select("cid").distinct().count() > 1)
   }
 
+  test("salted join == plain join on a skewed key distribution") {
+    import graft.ops.Skew
+    import spark.implicits._
+    // 90% of fact rows share one key — the classic hot-key shape
+    val fact = spark.range(20000)
+      .withColumn("k", when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 100))
+      .withColumn("v", col("id") * 3)
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("exact dedup and multimodal frame math") {
     import graft.ops.Multimodal
     val d = Dedup.exact(docs, Seq("text"))
