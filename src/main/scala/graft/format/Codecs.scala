@@ -40,6 +40,7 @@ object Codecs {
   final val PFOR: Byte = 13 // patched FOR: narrow packed lows + exception patches
   final val BLOCKBP: Byte = 15 // per-1024-row baseline + bit width
   final val FOR: Byte = 18 // frame-of-reference: baseline + bit-packed residuals
+  final val FSST: Byte = 19 // trained symbol-table string compression, random access
   final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
 
   /** Decode-speed priors, reference docs/Encodings.md:80-90. */
@@ -894,10 +895,56 @@ object Codecs {
         candidates += ((DICT, ds.toArray))
       }
     }
+    // FSST: per-chunk trained symbol table (codes 0..253, escape 255+literal)
+    // keeps every string independently decodable — unlike chunk-level zstd —
+    // while compressing repeated substrings (reference:
+    // dwio/nimble/encodings/FsstEncoding.h:79; Boncz/Neumann/Leis FSST paper).
+    // Trained on a sample; only fully encoded when the sample compresses.
+    if (depth < MaxDepth) {
+      val totalBytes = col.offsets(n) - col.offsets(0)
+      if (totalBytes >= 2048) {
+        val table = Fsst.train(col.bytes, col.offsets(0), math.min(totalBytes, 16384))
+        if (table != null && Fsst.sampleRatio(table, col.bytes, col.offsets(0),
+            math.min(totalBytes, 4096)) < 0.8) {
+          val fs = new ByteSink()
+          Fsst.writeTable(table, fs)
+          val encLens = new Array[Long](n)
+          val body = new ByteSink(totalBytes / 2 + 64)
+          i = 0
+          while (i < n) {
+            val before = body.size
+            Fsst.encode(table, col.bytes, col.offsets(i), col.offsets(i + 1), body)
+            encLens(i) = (body.size - before).toLong
+            i += 1
+          }
+          val lse = new ByteSink(); encodeLongs(encLens, PhysType.I32, lse, depth + 1)
+          fs.writeBlock(lse.toArray)
+          fs.writeVarint(body.size.toLong)
+          fs.writeBytes(body.toArray)
+          candidates += ((FSST, fs.toArray))
+        }
+      }
+    }
     emitBest(candidates, PhysType.Bytes, n, sink)
   }
 
   private def decodeBytesPayload(id: Byte, cur: ByteCursor, n: Int): BytesCol = id match {
+    case FSST =>
+      val symbols = Fsst.readTable(cur)
+      val encLens = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val totalEnc = cur.readVarint().toInt
+      val enc = cur.readBytes(totalEnc)
+      val out = new ByteSink(totalEnc * 2 + 64)
+      val offs = new Array[Int](n + 1)
+      var pos = 0
+      var i = 0
+      while (i < n) {
+        val l = encLens(i).toInt
+        offs(i + 1) = offs(i) + Fsst.decode(symbols, enc, pos, pos + l, out)
+        pos += l
+        i += 1
+      }
+      BytesCol(offs, out.toArray)
     case CONST =>
       val l = cur.readVarint().toInt
       val v = cur.readBytes(l)
