@@ -74,17 +74,21 @@ object Dedup {
     // overlap is at least ceil(t/(1+t) * (|A| + that bound)) — which shortens
     // the indexed prefix well below the naive |A| - ceil(t*|A|) + 1.
     val minSz = docs.agg(min(col("sz")).as("lmin"))
+    // rank each doc's shingles by ascending global frequency with a window
+    // (one shuffle on doc; no per-doc array materialization — the previous
+    // collect_list + sort_array + posexplode stage at 10x the memory), then
+    // keep only the PPJoin prefix
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("df"), col("s"))
     val ranked = withDf
-      .groupBy("doc", "sz")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .withColumn("pos", row_number().over(byRarity) - 1)
       .crossJoin(broadcast(minSz))
       .withColumn("omin",
         ceil(lit(threshold / (1 + threshold)) *
           (col("sz") + greatest(col("lmin"), ceil(lit(threshold) * col("sz"))))))
       .withColumn("plen", greatest(col("sz") - col("omin") + 1, lit(1)).cast("int"))
-      .select(col("doc"), col("sz"),
-        posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("pos", "p")))
-      .select(col("doc"), col("sz"), col("pos"), col("p.s").as("s"), col("p.df").as("df"))
+      .filter(col("pos") < col("plen"))
+      .select(col("doc"), col("sz"), col("pos"), col("s"), col("df"))
       // optional recall-trading cap for adversarial corpora: drop prefix
       // entries whose shingle is hotter than maxDf (maxDf <= 0 keeps exact)
       .filter(if (maxDf > 0) col("df") <= maxDf else lit(true))
