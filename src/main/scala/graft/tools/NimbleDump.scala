@@ -35,7 +35,12 @@ object NimbleDump {
     case Codecs.MAINLYCONST => "MainlyConstant"
     case Codecs.PREFIX => "Prefix"
     case Codecs.ALP => "ALP"
+    case Codecs.PFOR => "PFOR"
+    case Codecs.BLOCKBP => "BlockBitPacking"
     case Codecs.FOR => "FOR"
+    case Codecs.FSST => "FSST"
+    case Codecs.DELTABLOCK => "DeltaBlock"
+    case Codecs.SENTINEL => "Sentinel"
     case other => s"codec#$other"
   }
 

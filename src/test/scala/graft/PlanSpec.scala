@@ -42,6 +42,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("limit=42"), s"limit not pushed:\n$p")
   }
 
+  test("small files bin-pack into few scan tasks; a big table still fans out") {
+    import spark.implicits._
+    val dir = tmpDir("binpack")
+    // 24 tiny files — must NOT cost 24 tasks
+    spark.range(24000).toDF("id").repartition(24)
+      .write.format("nimble").mode("overwrite").save(dir)
+    val parts = spark.read.format("nimble").load(dir).rdd.getNumPartitions
+    assert(parts <= 4, s"24 tiny files should share tasks, got $parts partitions")
+    val stats = graft.spark.NimbleSource.lastPlanStats(dir).get
+    assert(stats.stripesPlanned == 24, s"all stripes planned: $stats")
+  }
+
   test("driver entry smoke: flagship query returns rows at sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0)
