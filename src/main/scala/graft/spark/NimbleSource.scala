@@ -279,7 +279,11 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
     case _ => true
   })
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = allAtomic
+  // Nested projections emit columnar batches too — the field readers fill
+  // nested OnHeapColumnVectors directly. Only a pushed filter forces the
+  // row path (survivor masks can't ride on an uncompacted nested batch).
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allAtomic || filters.isEmpty
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[NimbleMultiPartition]
