@@ -589,7 +589,11 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
       dir.listFiles().filter(_.getName.endsWith(".gft")).foreach(_.delete())
     }
     dir.mkdirs()
-    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression)
+    // per-job tag in file names: task ids restart at 0 in a new Spark
+    // application, so append jobs would otherwise silently overwrite files
+    // from an earlier run (parquet embeds a job UUID the same way)
+    val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
+    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -597,11 +601,12 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
 case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
-    bloomColumns: Set[String] = Set.empty, compression: String = "zstd")
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
+    jobTag: String = "0")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NimbleDataWriter(s"$path/part-%05d-$taskId.gft".format(partitionId), schemaJson, sortColumns,
-      writeOpts = writeOpts, bloomColumns = bloomColumns, compression = compression)
+    new NimbleDataWriter(s"$path/part-%05d-$jobTag-$taskId.gft".format(partitionId), schemaJson,
+      sortColumns, writeOpts = writeOpts, bloomColumns = bloomColumns, compression = compression)
 }
 
 /** Per-task file writer: buffers `rowsPerChunk` rows, encodes chunk, flushes

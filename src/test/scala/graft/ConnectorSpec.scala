@@ -46,6 +46,19 @@ class ConnectorSpec extends SparkTestBase {
     assertSameData(pq, roundTrip(pq, "emb"))
   }
 
+  test("append mode accumulates files; job-tagged names cannot collide") {
+    import spark.implicits._
+    val dir = tmpDir("append")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    a.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    b.coalesce(1).write.format("nimble").mode("append").save(dir)
+    val files = graft.spark.NimbleSource.listFiles(dir)
+    assert(files.length == 2, s"expected 2 files, got $files")
+    val got = spark.read.format("nimble").load(dir).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("compression codecs: lz4 and none round-trip, zstd is the default") {
     val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
     for (codec <- Seq("lz4", "none")) {
