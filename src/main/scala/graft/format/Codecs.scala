@@ -41,6 +41,7 @@ object Codecs {
   final val BLOCKBP: Byte = 15 // per-1024-row baseline + bit width
   final val FOR: Byte = 18 // frame-of-reference: baseline + bit-packed residuals
   final val FSST: Byte = 19 // trained symbol-table string compression, random access
+  final val HUFFMAN: Byte = 20 // canonical Huffman over a small value alphabet
   final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
 
   /** Decode-speed priors, reference docs/Encodings.md:80-90. */
@@ -499,6 +500,29 @@ object Codecs {
           b = e
         }
       }))
+    }
+    // Huffman: canonical codes over a small alphabet — beats Dictionary's
+    // fixed-width indices when the value distribution is skewed (reference:
+    // dwio/nimble/encodings/HuffmanEncoding.h:62). Code lengths double as the
+    // exact size estimate.
+    if (!st.distinctCapped && st.distinct.size >= 2 && st.distinct.size <= 256 &&
+        depth < MaxDepth) {
+      val sym = st.distinct.toArray.sortBy(_._1) // (value, freq), stable order
+      val lens = Huffman.codeLengths(sym.map(_._2.toLong))
+      if (lens != null) {
+        var bits = 0L
+        var k = 0
+        while (k < sym.length) { bits += sym(k)._2.toLong * lens(k); k += 1 }
+        val est = bits / 8.0 + sym.length * (1.0 + width / 2.0) + 16
+        plans += ((HUFFMAN, est, { s =>
+          s.writeVarint(sym.length.toLong)
+          val vs = new ByteSink(); encodeLongs(sym.map(_._1), phys, vs, depth + 1)
+          s.writeBlock(vs.toArray)
+          var i = 0
+          while (i < sym.length) { s.writeByte(lens(i)); i += 1 }
+          Huffman.encode(values, sym.map(_._1), lens, s)
+        }))
+      }
     }
     if (!st.distinctCapped && st.topFreq >= (n * 7) / 10 && depth < MaxDepth)
       plans += ((MAINLYCONST, n / 8.0 + (n - st.topFreq).toLong * width + 10, { s =>
@@ -1082,6 +1106,13 @@ object Codecs {
         i += 1
       }
       out
+    case HUFFMAN =>
+      val nSym = cur.readVarint().toInt
+      val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val lens = new Array[Int](nSym)
+      var i = 0
+      while (i < nSym) { lens(i) = cur.readByte(); i += 1 }
+      Huffman.decode(alphabet, lens, cur, n)
     case PFOR =>
       val baseline = cur.readZigZag()
       val w = cur.readByte()
