@@ -44,10 +44,14 @@ object Codecs {
   final val HUFFMAN: Byte = 20 // canonical Huffman over a small value alphabet
   final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
 
-  /** Decode-speed priors, reference docs/Encodings.md:80-90. */
+  /** Decode-speed priors, reference docs/Encodings.md:80-90 (Trivial 0.7,
+    * FixedBitWidth 0.9, others 1.0); Huffman penalized beyond the reference
+    * set because its bit-serial decode is genuinely slower than the
+    * word-wise codecs — it must win by >30% size to be chosen. */
   private def readFactor(id: Byte): Double = id match {
     case TRIVIAL => 0.7
     case FBW => 0.9
+    case HUFFMAN => 1.3
     case _ => 1.0
   }
 
