@@ -53,6 +53,45 @@ class E2EFilterSpec extends SparkTestBase {
     }
   }
 
+  test("writer-options matrix: documents round-trip + filters under every codec combo") {
+    // documents.text is the stream most likely to engage FSST; the matrix
+    // crosses compression codecs with bloom/sort options so every new codec
+    // path runs under the connector, not just unit round-trips
+    val pq = spark.read.parquet(s"${sf()}/documents.parquet")
+    val expected = pq.count()
+    val expFiltered = pq.filter(col("n_chars") > 200).count()
+    for (comp <- Seq("zstd", "lz4", "none"); extras <- Seq(true, false)) {
+      val dir = tmpDir(s"matrix-$comp-$extras")
+      var w = pq.repartition(2).write.format("nimble").option("compression", comp)
+      if (extras) w = w.option("bloomFilterColumns", "doc_id").option("sortColumns", "doc_id")
+      w.mode("overwrite").save(dir)
+      val nb = spark.read.format("nimble").load(dir)
+      assert(nb.count() == expected, s"$comp/$extras count")
+      assert(nb.filter(col("n_chars") > 200).count() == expFiltered, s"$comp/$extras filter")
+      val gotText = nb.select("doc_id", "text").orderBy("doc_id").collect()
+      val expText = pq.select("doc_id", "text").orderBy("doc_id").collect()
+      assert(gotText.sameElements(expText), s"$comp/$extras text round-trip")
+    }
+  }
+
+  test("FSST inside Nullable: big repeated-substring strings with nulls") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(77)
+    val rows = (0L until 3000L).map { i =>
+      val s = if (i % 7 == 0) null
+        else s"https://corpus.example.org/doc/${rnd2.nextInt(100000)}/rev/${rnd2.nextLong()}"
+      (i, s)
+    }
+    val df = rows.toDF("id", "url")
+    val dir = tmpDir("fsstnull")
+    df.coalesce(1).write.format("nimble").option("compression", "none").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val got = nb.orderBy("id").collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq == rows)
+    assert(nb.filter(col("url").isNull).count() == rows.count(_._2 == null))
+    assert(nb.filter(col("url").startsWith("https://corpus")).count() == rows.count(_._2 != null))
+  }
+
   test("footer stats equal Spark-computed aggregates (F7)") {
     val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val dir = tmpDir("stats")
