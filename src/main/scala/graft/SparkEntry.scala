@@ -233,7 +233,18 @@ object SparkEntry {
     // the banding-free exact form (at 100 TB, band the signature bytes first
     // and verify candidates, same shape as minhash LSH).
     "x15_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text", maxDist = 4))
+      Dedup.simhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text", maxDist = 4)),
+    // Salted fact⋈dim join (hot-key mitigation for when AQE/broadcast can't
+    // help): row-identical to the plain join, so the oracle is the plain SQL.
+    "x16_salted_join" -> ((s, dir) => {
+      val li = Tables.nimble(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+      val supp = Tables.nimble(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(li, supp, "suppkey", salt = 8)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("qty"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -482,6 +493,11 @@ object SparkEntry {
          SELECT a.doc AS a, b.doc AS b, bit_count(xor(a.simhash, b.simhash)) AS dist
          FROM sig a JOIN sig b ON a.doc < b.doc
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
+    "x16_salted_join" ->
+      """SELECT s_nationkey AS nation, count(1) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
     "q21_sessionize" ->
       """SELECT user_id, count(1) AS n_sessions, max(session_len) AS max_len FROM (
            SELECT user_id, session_id, count(1) AS session_len FROM (

@@ -930,7 +930,9 @@ object Codecs {
     // Trained on a sample; only fully encoded when the sample compresses.
     if (depth < MaxDepth) {
       val totalBytes = col.offsets(n) - col.offsets(0)
-      if (totalBytes >= 2048) {
+      // short strings are dictionary territory — multi-byte symbols can't
+      // pay for the table, and skipping the training keeps writes fast
+      if (totalBytes >= 2048 && totalBytes >= 4L * n) {
         val table = Fsst.train(col.bytes, col.offsets(0), math.min(totalBytes, 16384))
         if (table != null && Fsst.sampleRatio(table, col.bytes, col.offsets(0),
             math.min(totalBytes, 4096)) < 0.8) {
