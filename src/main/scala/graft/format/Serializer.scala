@@ -100,6 +100,7 @@ object Serializer {
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
       b.writeByte(kind)
+      b.writeByte(0) // no chunk stats in serializer blobs
       b.writeBytes(data)
       chunks(id) = b.toArray
     }

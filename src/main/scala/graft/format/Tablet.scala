@@ -21,7 +21,7 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 4
+  val Version: Int = 5 // v5: per-chunk stats in the chunk frame (chunk skipping)
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -390,12 +390,19 @@ object Tablet {
           zstdRejects(id) = if (r._1 == CompNone && raw.length >= 25) rejects + 1 else 0
           r
         }
+      // per-chunk stats ride in the chunk frame (reference:
+      // dwio/nimble/tablet/ChunkStatsWriter.h — chunk skipping); the stripe
+      // stats merge from them, so no second pass over the column
+      val cst = Stats()
+      cst.mergeColumn(col)
       val b = stripeBufs(id)
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
       b.writeByte(kind)
+      b.writeByte(1) // stats present
+      writeStats(b, cst)
       b.writeBytes(data)
-      stripeStats(id).mergeColumn(col)
+      stripeStats(id).merge(cst)
       if (bloomColumns(keys(id))) {
         val buf = bloomHashes.getOrElseUpdate(id, mutable.ArrayBuffer[Long]())
         col match {
@@ -511,50 +518,53 @@ object Tablet {
     override def close(): Unit = file.close()
   }
 
-  /** Iterator over a stream's chunks (decoded columns). */
+  /** Iterator over a stream's chunks (decoded columns). Frame:
+    * [dataLen i32][rawLen varint][compression u8][statsFlag u8][stats?][data]
+    * — the optional per-chunk stats enable decode-free chunk skipping. */
   final class ChunkCursor(bytes: Array[Byte]) {
     private var pos = 0
     def hasNext: Boolean = pos < bytes.length
-    /** Codec id of the next chunk without consuming it (tooling). */
-    def peekCodec(): Byte = {
+
+    /** Parse the frame header at `pos`: (compLen, rawLen, kind, stats, dataPos). */
+    private def header(): (Int, Int, Byte, Stats, Int) = {
       val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
         ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
       val cur0 = new ByteCursor(bytes, pos + 4, bytes.length)
       val rawLen = cur0.readVarint().toInt
       val kind = cur0.readByte().toByte
-      if (kind == CompNone) bytes(cur0.pos)
+      val stats = if (cur0.readByte() != 0) readStats(cur0) else null
+      (compLen, rawLen, kind, stats, cur0.pos)
+    }
+
+    /** Stats of the next chunk without consuming it (chunk skipping). */
+    def peekStats(): Option[Stats] = Option(header()._4)
+
+    /** Codec id of the next chunk without consuming it (tooling). */
+    def peekCodec(): Byte = {
+      val (compLen, rawLen, kind, _, dataPos) = header()
+      if (kind == CompNone) bytes(dataPos)
       else {
-        val data = java.util.Arrays.copyOfRange(bytes, cur0.pos, cur0.pos + compLen)
+        val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
         decompressChunk(kind, data, rawLen)(0)
       }
     }
 
     /** Advance past the next chunk without decompressing or decoding. */
     def skip(): Unit = {
-      val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
-        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
-      pos += 4
-      val cur0 = new ByteCursor(bytes, pos, bytes.length)
-      cur0.readVarint()
-      cur0.readByte()
-      pos = cur0.pos + compLen
+      val (compLen, _, _, _, dataPos) = header()
+      pos = dataPos + compLen
     }
+
     def next(): Column = {
-      val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
-        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
-      pos += 4
-      val cur0 = new ByteCursor(bytes, pos, bytes.length)
-      val rawLen = cur0.readVarint().toInt
-      val kind = cur0.readByte().toByte
-      pos = cur0.pos
+      val (compLen, rawLen, kind, _, dataPos) = header()
       if (kind == CompNone) {
         // zero-copy: decode straight out of the stream buffer
-        val cur = new ByteCursor(bytes, pos, pos + compLen)
-        pos += compLen
+        val cur = new ByteCursor(bytes, dataPos, dataPos + compLen)
+        pos = dataPos + compLen
         Codecs.decodeColumn(cur)
       } else {
-        val data = java.util.Arrays.copyOfRange(bytes, pos, pos + compLen)
-        pos += compLen
+        val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
+        pos = dataPos + compLen
         Codecs.decodeColumn(new ByteCursor(decompressChunk(kind, data, rawLen)))
       }
     }

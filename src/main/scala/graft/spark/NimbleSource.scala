@@ -82,6 +82,10 @@ object NimbleSource {
   /** Last scan-planning outcome per table path (driver-side observability:
     * stripe pruning is invisible in partition counts once bin-packing merges
     * surviving stripes, so tools/tests read it here). */
+  /** Per-JVM count of chunks skipped via chunk-frame stats (observability +
+    * tests; mirrors the stripe-level PlanStats). */
+  val chunksSkipped = new java.util.concurrent.atomic.AtomicLong()
+
   case class PlanStats(stripesPlanned: Int, stripesPruned: Long)
   private val planStats = new java.util.concurrent.ConcurrentHashMap[String, PlanStats]()
   def recordPlan(path: String, planned: Int, pruned: Long): Unit =
@@ -446,6 +450,40 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       if (!anchor.hasNext) return false
       if (!hasFilters) return fillBatch(null, -1)
 
+      // Chunk skipping via chunk-frame stats (reference:
+      // dwio/nimble/tablet/ChunkStats.h): if any pushed filter proves the
+      // chunk empty from min/max/nullCount, advance every stream cursor past
+      // it without decompressing or decoding. Atomic projections only —
+      // their streams are all chunk-aligned single streams.
+      if (allAtomicProjection) {
+        val statsOf: String => Option[Tablet.Stats] =
+          name => cursors.get(name).flatMap(_.peekStats())
+        var pruned = false
+        var pi = 0
+        while (pi < filters.length && !pruned) {
+          if (Filters.pruneStripe(filters(pi), statsOf, _ => None)) pruned = true
+          pi += 1
+        }
+        if (pruned) {
+          cursors.valuesIterator.foreach(_.skip())
+          NimbleSource.chunksSkipped.incrementAndGet()
+        } else {
+          val r = decodeAndFilterChunk()
+          if (r != 0) return r > 0
+        }
+      } else {
+        val r = decodeAndFilterChunk()
+        if (r != 0) return r > 0
+      }
+    }
+    false
+  }
+
+  /** Decode filter columns of the next chunk, evaluate pushed predicates,
+    * fill survivors. Returns 1 = batch ready, -1 = end, 0 = chunk fully
+    * filtered (caller continues the loop). */
+  private def decodeAndFilterChunk(): Int = {
+    {
       // decode filter columns, evaluate the pushed predicates per row
       val decoded = mutable.HashMap[String, graft.format.Column]()
       for ((c, r) <- filterReaders) decoded(c) = r.decodeRaw()
@@ -480,6 +518,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           }
           k += 1
         }
+        0
       } else if (allAtomicProjection) {
         // compact survivors during the vector fill
         val selection = if (m == chunkRows) null
@@ -489,16 +528,15 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           while (i < chunkRows) { if (passed(i)) { sel(s) = i; s += 1 }; i += 1 }
           sel
         }
-        return fillBatch(selection, chunkRows)
+        if (fillBatch(selection, chunkRows)) 1 else -1
       } else {
         // nested projection: fill full chunk, expose the mask (row reader filters)
         val ok = fillBatch(null, chunkRows)
         currentMask = if (m == chunkRows) null else passed
         emitted -= (chunkRows - m) // only survivors count against the limit
-        return ok
+        if (ok) 1 else -1
       }
     }
-    false
   }
 
   private def discardVector(dt: DataType): OnHeapColumnVector =

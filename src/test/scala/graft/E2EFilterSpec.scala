@@ -179,6 +179,23 @@ class E2EFilterSpec extends SparkTestBase {
     assert(nb.select(col("l_orderkey")).limit(10000).count() == 6000) // fewer rows than limit
   }
 
+  test("chunk-frame stats skip non-matching chunks inside a stripe") {
+    // one file, one stripe, ~12 chunks (16K rows each): a point predicate on
+    // the sorted column must skip most chunks without decoding them
+    val df = spark.range(200000).toDF("id").withColumn("v", col("id") * 3)
+    val dir = tmpDir("chunkskip")
+    df.coalesce(1).sortWithinPartitions("id").write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val before = graft.spark.NimbleSource.chunksSkipped.get()
+    val rows = nb.filter(col("id") === 123456L).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 123456L * 3)
+    val skipped = graft.spark.NimbleSource.chunksSkipped.get() - before
+    assert(skipped >= 8, s"expected most of ~12 chunks skipped, got $skipped")
+    // range predicate spanning two chunks: correct rows, still skips the rest
+    val cnt = nb.filter(col("id").between(16000L, 17000L)).count()
+    assert(cnt == 1001)
+  }
+
   test("sorted file + range predicate prunes stripes (F6 / Q9 metrics)") {
     // many small stripes via tiny stripe threshold: use multiple files instead
     val df = spark.range(200000).toDF("id").withColumn("payload", expr("repeat('x', 20)"))
