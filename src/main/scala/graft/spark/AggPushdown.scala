@@ -116,26 +116,13 @@ object AggPushdown {
 }
 
 /** Scan yielding the driver-precomputed per-file partial rows. */
-class NimbleAggScan(path: String, out: StructType, rows: Seq[InternalRow])
-    extends Scan with Batch {
+/** Footer-stats aggregate results as a [[org.apache.spark.sql.connector.read.LocalScan]]:
+  * Spark plans a LocalTableScanExec over the driver-computed partials — no
+  * job, no tasks, truly O(metadata). */
+class NimbleAggScan(path: String, out: StructType, resultRows: Seq[InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = out
-  override def toBatch: Batch = this
-  override def description(): String = s"nimble stats-agg path=$path (${rows.length} partials, 0 data bytes)"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(NimbleAggPartition(rows))
-  override def createReaderFactory(): PartitionReaderFactory = new NimbleAggReaderFactory
-}
-
-case class NimbleAggPartition(rows: Seq[InternalRow]) extends InputPartition
-
-class NimbleAggReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[NimbleAggPartition].rows.iterator
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean = { if (rows.hasNext) { cur = rows.next(); true } else false }
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
-    }
-  }
+  override def rows(): Array[InternalRow] = resultRows.toArray
+  override def description(): String =
+    s"nimble stats-agg path=$path (${resultRows.length} partials, 0 data bytes, local)"
 }

@@ -23,7 +23,7 @@ class AggPushdownSpec extends SparkTestBase {
     val got = agg.collect()(0)
     assert(got.toSeq == expected.toSeq, s"$got vs $expected")
     val plan = agg.queryExecution.executedPlan.toString
-    assert(plan.contains("stats-agg"), s"aggregate not pushed:\n$plan")
+    assert(plan.contains("LocalTableScan"), s"aggregate not pushed (expected LocalTableScan from the stats LocalScan):\n$plan")
   }
 
   test("max(double) refused when NaN possible; all-null column answered null") {

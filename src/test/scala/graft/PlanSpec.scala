@@ -32,7 +32,7 @@ class PlanSpec extends SparkTestBase {
     val dir = Tables.nimbleDir(spark, sf(), "lineitem")
     val nb = spark.read.format("nimble").load(dir)
     val p = plan(nb.agg(count(lit(1)), min("l_orderkey")))
-    assert(p.contains("stats-agg"), s"aggregate not answered from stats:\n$p")
+    assert(p.contains("LocalTableScan"), s"aggregate not answered from stats (expected LocalTableScan):\n$p")
   }
 
   test("limit lands in the scan description") {

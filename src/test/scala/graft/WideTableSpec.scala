@@ -50,7 +50,7 @@ class WideTableSpec extends SparkTestBase {
     assert(footer.streamKeys.length == nCols)
     // aggregate over one column answered from stats (no data read)
     val agg = nb.agg(min("c0"), max("c0"), count(lit(1)))
-    assert(agg.queryExecution.executedPlan.toString.contains("stats-agg"))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     val r = agg.collect()(0)
     assert(r.getLong(2) == nRows)
   }
