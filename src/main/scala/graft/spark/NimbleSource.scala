@@ -115,7 +115,8 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NimbleScanBuilder(path, schema)
+    new NimbleScanBuilder(path, schema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NimbleWriteBuilder(path, info.schema(), info.options())
@@ -123,7 +124,7 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 
 // ------------------------------------------------------------------ read
 
-class NimbleScanBuilder(path: String, dataSchema: StructType)
+class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -170,7 +171,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType)
 
   override def build(): Scan =
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
-    else new NimbleScan(path, dataSchema, required, pushed, limit)
+    else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -181,7 +182,7 @@ case class NimbleStripePartition(file: String, stripe: Int) extends InputPartiti
 case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends InputPartition
 
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
-    limit: Int = -1)
+    limit: Int = -1, maxFilesPerTrigger: Int = -1)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
@@ -199,7 +200,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NimbleMicroBatchStream(path, dataSchema, required, filters)
+    new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (limit >= 0) s", limit=$limit" else "")

@@ -58,6 +58,23 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum(id) FROM nimble_src").collect()(0).getLong(0) == 6)
   }
 
+  test("maxFilesPerTrigger rate-limits ingestion but drains everything") {
+    import spark.implicits._
+    val dir = tmpDir("stream-rate")
+    for (i <- 0 until 6)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format("nimble").mode("append").save(dir)
+    var batches = 0
+    val q = spark.readStream.format("nimble").option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("nimble_rate")
+      .option("checkpointLocation", tmpDir("rate-ckpt"))
+      .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => { batches += 1; () })
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 3, s"6 files at 2/trigger should take >= 3 batches, got $batches")
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
