@@ -91,6 +91,24 @@ object Filters {
       // doesn't extend the matchable set
       vs.nonEmpty && vs.forall(v => v == null ||
         outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))
+    case StringStartsWith(a, v) =>
+      // a value with prefix p is >= p and shares its first |p| bytes, so a
+      // stripe/chunk is skippable when max < p, or when min's first |p|
+      // bytes already compare above p. Stats byte values are truncated at
+      // 64B: the min side stays exact for |p| <= 64 (prefix dominance); the
+      // max side is only trusted untruncated.
+      stats(a).exists { s =>
+        s.hasMinMax && s.kind == PhysType.Bytes && s.minBytes != null && s.maxBytes != null && {
+          val p = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          p.length <= 64 && {
+            val minHead = if (s.minBytes.length <= p.length) s.minBytes
+              else java.util.Arrays.copyOf(s.minBytes, p.length)
+            val minAbove = Tablet.compareBytes(minHead, p) > 0
+            val maxBelow = s.maxBytes.length < 64 && Tablet.compareBytes(s.maxBytes, p) < 0
+            minAbove || maxBelow
+          }
+        }
+      }
     case AlwaysFalse() => true
     case _ => false
   }

@@ -179,6 +179,21 @@ class E2EFilterSpec extends SparkTestBase {
     assert(nb.select(col("l_orderkey")).limit(10000).count() == 6000) // fewer rows than limit
   }
 
+  test("StartsWith prunes stripes and chunks on a sorted string key") {
+    import spark.implicits._
+    val df = (0 until 100000).map(i => (i.toLong, f"key_$i%06d")).toDF("id", "k")
+    val dir = tmpDir("prefixprune")
+    df.coalesce(1).sortWithinPartitions("k").write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val before = graft.spark.NimbleSource.chunksSkipped.get()
+    val got = nb.filter(col("k").startsWith("key_0777")).count()
+    assert(got == df.filter(col("k").startsWith("key_0777")).count())
+    val skipped = graft.spark.NimbleSource.chunksSkipped.get() - before
+    assert(skipped >= 4, s"prefix filter should skip most chunks, got $skipped")
+    // no-match prefix past the max: everything pruned, zero rows
+    assert(nb.filter(col("k").startsWith("zzz")).count() == 0)
+  }
+
   test("chunk-frame stats skip non-matching chunks inside a stripe") {
     // one file, one stripe, ~12 chunks (16K rows each): a point predicate on
     // the sorted column must skip most chunks without decoding them
