@@ -274,6 +274,10 @@ object Tablet {
   def readFooter(bytes: Array[Byte]): Footer = {
     val c = new ByteCursor(bytes)
     val version = c.readByte()
+    // the chunk frame changed in v5 (per-chunk stats) — decoding an older
+    // file with this reader would silently mis-parse, so fail loudly
+    require(version == Version,
+      s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
     val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
     val nSort = c.readVarint().toInt
     val sortCols = (0 until nSort).map { _ =>

@@ -47,7 +47,7 @@ object NimbleDump {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
-      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|layout|content> <file>")
+      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|chunkstats|layout|content|verify> <file>")
       sys.exit(2)
     }
     for (f <- files(path)) {
@@ -86,6 +86,32 @@ object NimbleDump {
             while (cur.hasNext) { hist(codecName(cur.peekCodec())) += 1; cur.skip() }
           }
           hist.toSeq.sortBy(-_._2).foreach { case (c, n) => println(f"  $c%-16s $n%6d chunks") }
+        case "chunkstats" =>
+          // per-chunk min/max/nulls of one stream (arg 3) or the first stream
+          val want = args.lift(2)
+          for ((k, i) <- ft.streamKeys.zipWithIndex
+               if want.forall(_ == k) || (want.isEmpty && i == 0)) {
+            println(s"  stream $k")
+            for (s <- ft.stripes.indices) {
+              val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
+              var c = 0
+              while (cur.hasNext) {
+                val mm = cur.peekStats() match {
+                  case Some(st) if st.hasMinMax => st.kind match {
+                    case PhysType.F32 | PhysType.F64 => s"min=${st.minDouble} max=${st.maxDouble}"
+                    case PhysType.Bytes =>
+                      s"min=${new String(st.minBytes, "UTF-8").take(16)} max=${new String(st.maxBytes, "UTF-8").take(16)}"
+                    case _ => s"min=${st.minLong} max=${st.maxLong}"
+                  }
+                  case Some(_) => "(no minmax)"
+                  case None => "(no stats)"
+                }
+                val nulls = cur.peekStats().map(_.nullCount).getOrElse(-1L)
+                println(f"    stripe $s%3d chunk $c%4d nulls=$nulls%6d $mm")
+                cur.skip(); c += 1
+              }
+            }
+          }
         case "layout" =>
           println(s"  [magic 4B][stripe data ...][footer][postscript 8B][magic]")
           for ((s, i) <- ft.stripes.zipWithIndex)
