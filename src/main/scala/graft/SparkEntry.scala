@@ -234,6 +234,15 @@ object SparkEntry {
     // and verify candidates, same shape as minhash LSH).
     "x15_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.nimble(s, dir, "documents"), "doc_id", "text", maxDist = 4)),
+    // int8 embedding quantization (4x storage cut before ANN indexing);
+    // checked via derived scalars (sum/min/max of the quantized vector) so
+    // the oracle is array-layout-agnostic.
+    "x17_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(Tables.nimble(s, dir, "embeddings"), "vec_id", "embedding")
+      q.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))
+    }),
     // Salted fact⋈dim join (hot-key mitigation for when AQE/broadcast can't
     // help): row-identical to the plain join, so the oracle is the plain SQL.
     "x16_salted_join" -> ((s, dir) => {
@@ -493,6 +502,18 @@ object SparkEntry {
          SELECT a.doc AS a, b.doc AS b, bit_count(xor(a.simhash, b.simhash)) AS dist
          FROM sig a JOIN sig b ON a.doc < b.doc
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
+    "x17_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings),
+         q AS (SELECT vec_id, scale,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT) END) AS qv
+           FROM s)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           list_min(qv) AS qmin, list_max(qv) AS qmax
+         FROM q""",
     "x16_salted_join" ->
       """SELECT s_nationkey AS nation, count(1) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -103,6 +103,22 @@ object Similarity {
       .select(col("q"), col("neighbor"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale =
+    * max |v_i|, q_i = round(v_i / scale * 127). The 4x storage cut every
+    * large embedding corpus applies before indexing; scale rides along for
+    * dequantization. Deterministic (max is order-independent, one division
+    * per element). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withScale = df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double")))))
+    withScale.select(col(idCol),
+      col("scale"),
+      transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("scale") * 127).cast("int"))).as("q"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (cid, vec)); ANN search then
     * probes only the query's cell. The centroid table stands in for a trained
