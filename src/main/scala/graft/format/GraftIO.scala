@@ -1,0 +1,159 @@
+package graft.format
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+
+/** Filesystem abstraction for the tablet format.
+  *
+  * The reference reads and writes through Velox's filesystem layer behind the
+  * Hive connector (reference: docs/develop/nimble_selective_reader.rst:33-62),
+  * so any warehouse path works. Here: schemeless and `file:` paths use raw
+  * `java.io` (no LocalFileSystem checksum shadow files, no stream overhead —
+  * this is the bench-critical path), everything else (`hdfs://`, `s3a://`,
+  * ...) goes through `org.apache.hadoop.fs.FileSystem`, which Spark already
+  * ships and configures.
+  */
+object GraftIO {
+
+  final case class FileMeta(path: String, length: Long, mtime: Long)
+
+  /** Positional-read handle; implementations are safe for concurrent reads. */
+  trait SeekableInput extends AutoCloseable {
+    def length: Long
+    def readFully(offset: Long, buf: Array[Byte]): Unit
+  }
+
+  private val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:".r
+
+  private def scheme(path: String): Option[String] =
+    schemeRe.findFirstIn(path).map(_.dropRight(1))
+
+  def isLocal(path: String): Boolean = scheme(path) match {
+    case None => true
+    case Some(s) => s.equalsIgnoreCase("file")
+    case _ => false
+  }
+
+  /** file:///x, file:/x, file://host/x → /x ; schemeless passes through. */
+  def localPath(path: String): String =
+    if (scheme(path).isEmpty) path
+    else {
+      val uri = new java.net.URI(path)
+      if (uri.getPath == null || uri.getPath.isEmpty) path.stripPrefix("file:") else uri.getPath
+    }
+
+  /** Hadoop conf: the active session's (so `spark.hadoop.*` settings apply)
+    * when called on the driver; plain `Configuration()` (core-site.xml from
+    * the classpath) on executors or outside Spark. */
+  def hadoopConf: org.apache.hadoop.conf.Configuration =
+    try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+
+  private def fsOf(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  // ----------------------------------------------------------------- open
+
+  private final class LocalInput(path: String) extends SeekableInput {
+    private val raf = new RandomAccessFile(path, "r")
+    val length: Long = raf.length()
+    def readFully(offset: Long, buf: Array[Byte]): Unit = synchronized {
+      raf.seek(offset)
+      raf.readFully(buf)
+    }
+    def close(): Unit = raf.close()
+  }
+
+  private final class HadoopInput(path: String) extends SeekableInput {
+    private val (fs, p) = fsOf(path)
+    val length: Long = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    // FSDataInputStream positional reads (pread) are thread-safe by contract
+    def readFully(offset: Long, buf: Array[Byte]): Unit =
+      in.readFully(offset, buf, 0, buf.length)
+    def close(): Unit = in.close()
+  }
+
+  def open(path: String): SeekableInput =
+    if (isLocal(path)) new LocalInput(localPath(path)) else new HadoopInput(path)
+
+  def create(path: String): DataOutputStream =
+    if (isLocal(path))
+      new DataOutputStream(new BufferedOutputStream(new FileOutputStream(localPath(path)), 1 << 20))
+    else {
+      val (fs, p) = fsOf(path)
+      new DataOutputStream(new BufferedOutputStream(fs.create(p, true), 1 << 20))
+    }
+
+  // ------------------------------------------------------------- metadata
+
+  def status(path: String): FileMeta =
+    if (isLocal(path)) {
+      val f = new java.io.File(localPath(path))
+      FileMeta(path, f.length(), f.lastModified())
+    } else {
+      val (fs, p) = fsOf(path)
+      val st = fs.getFileStatus(p)
+      FileMeta(path, st.getLen, st.getModificationTime)
+    }
+
+  def exists(path: String): Boolean =
+    if (isLocal(path)) new java.io.File(localPath(path)).exists()
+    else { val (fs, p) = fsOf(path); fs.exists(p) }
+
+  /** `.gft` files directly under `path` (or `path` itself if a file), with
+    * length+mtime from the same listing round-trip — one RPC per directory,
+    * not per file, which matters when the object store is 100ms away. Never
+    * recurses, so `_temporary/` working dirs are invisible to readers. */
+  def listGft(path: String): Seq[FileMeta] =
+    if (isLocal(path)) {
+      val f = new java.io.File(localPath(path))
+      if (f.isFile) Seq(FileMeta(path, f.length(), f.lastModified()))
+      else if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && x.getName.endsWith(".gft"))
+          .sortBy(_.getName)
+          .map(x => FileMeta(x.getPath, x.length(), x.lastModified())).toSeq
+      else Seq.empty
+    } else {
+      val (fs, p) = fsOf(path)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Seq(FileMeta(path, st.getLen, st.getModificationTime))
+        else
+          fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".gft"))
+            .sortBy(_.getPath.getName)
+            .map(s => FileMeta(s.getPath.toString, s.getLen, s.getModificationTime)).toSeq
+      }
+    }
+
+  // ------------------------------------------------------------ mutation
+
+  def mkdirs(path: String): Unit =
+    if (isLocal(path)) { new java.io.File(localPath(path)).mkdirs(); () }
+    else { val (fs, p) = fsOf(path); fs.mkdirs(p); () }
+
+  def delete(path: String, recursive: Boolean = false): Boolean =
+    if (isLocal(path)) {
+      val f = new java.io.File(localPath(path))
+      if (recursive && f.isDirectory) {
+        def rec(d: java.io.File): Boolean = {
+          val kids = d.listFiles()
+          (kids == null || kids.forall(k => if (k.isDirectory) rec(k) else k.delete())) && d.delete()
+        }
+        rec(f)
+      } else f.delete()
+    } else {
+      val (fs, p) = fsOf(path)
+      fs.delete(p, recursive)
+    }
+
+  def rename(src: String, dst: String): Boolean =
+    if (isLocal(src)) new java.io.File(localPath(src)).renameTo(new java.io.File(localPath(dst)))
+    else { val (fs, s) = fsOf(src); fs.rename(s, new org.apache.hadoop.fs.Path(dst)) }
+
+  /** Join a child name onto a directory path, scheme-preserving. */
+  def child(dir: String, name: String): String =
+    if (dir.endsWith("/")) dir + name else dir + "/" + name
+}

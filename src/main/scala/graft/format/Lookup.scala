@@ -14,12 +14,7 @@ object Lookup {
   /** All rows where `column == value` across the tablet files under `path`.
     * Returns (columnName -> value) maps, one per matching row. */
   def pointLookup(path: String, column: String, value: Any): Seq[Map[String, Any]] = {
-    val files = {
-      val f = new java.io.File(path)
-      if (f.isFile) Seq(f.getPath)
-      else f.listFiles().filter(_.getName.endsWith(".gft")).map(_.getPath).sorted.toSeq
-    }
-    files.flatMap(lookupInFile(_, column, value))
+    GraftIO.listGft(path).map(_.path).flatMap(lookupInFile(_, column, value))
   }
 
   private def lookupInFile(file: String, column: String, value: Any): Seq[Map[String, Any]] = {

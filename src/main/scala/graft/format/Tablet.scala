@@ -1,6 +1,5 @@
 package graft.format
 
-import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
 import scala.collection.mutable
 
 /** Physical file layout ("tablet").
@@ -338,8 +337,7 @@ object Tablet {
       sortColumns: Seq[String] = Nil,
       bloomColumns: Set[String] = Set.empty,
       compression: String = "zstd") extends ChunkSink {
-    private val out = new java.io.DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    private val out = GraftIO.create(path)
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong
 
@@ -491,18 +489,16 @@ object Tablet {
   // --------------------------------------------------------------- reader
 
   final class Reader(path: String, cachedFooter: Footer = null) extends AutoCloseable {
-    private val file = new RandomAccessFile(path, "r")
+    private val file = GraftIO.open(path)
     val footer: Footer = if (cachedFooter != null) cachedFooter else {
-      val len = file.length()
-      file.seek(len - 8)
+      val len = file.length
       val lenBuf = new Array[Byte](8)
-      file.readFully(lenBuf)
+      file.readFully(len - 8, lenBuf)
       require(java.util.Arrays.equals(java.util.Arrays.copyOfRange(lenBuf, 4, 8), Magic),
         s"not a nimble-spark tablet: $path")
       val fLen = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) | ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
       val fb = new Array[Byte](fLen)
-      file.seek(len - 8 - fLen)
-      file.readFully(fb)
+      file.readFully(len - 8 - fLen, fb)
       readFooter(fb)
     }
     private val streamIndex: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
@@ -512,10 +508,7 @@ object Tablet {
     def readStreamBytes(stripe: Int, id: Int): Array[Byte] = {
       val loc = footer.stripes(stripe).streams(id)
       val b = new Array[Byte](loc.length.toInt)
-      synchronized {
-        file.seek(loc.offset)
-        file.readFully(b)
-      }
+      file.readFully(loc.offset, b)
       b
     }
 

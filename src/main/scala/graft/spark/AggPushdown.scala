@@ -50,6 +50,7 @@ object AggPushdown {
       case _ => false
     }
     if (!shapeOk || files.isEmpty) return None
+    NimbleSource.prefetchFooters(files) // parallel footer I/O, then cache hits
     val rows = files.map { f =>
       val footer = NimbleSource.footerOf(f)
       rowForFooter(agg, schema, footer).getOrElse(return None)

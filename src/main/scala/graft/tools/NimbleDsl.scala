@@ -57,11 +57,8 @@ object NimbleDsl {
     }
   }
 
-  private def files(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isFile) Seq(path)
-    else f.listFiles().filter(_.getName.endsWith(".gft")).map(_.getPath).sorted.toSeq
-  }
+  private def files(path: String): Seq[String] =
+    graft.format.GraftIO.listGft(path).map(_.path)
 
   private def select(path: String, colsReq: Array[String], wcol: Option[String],
       wop: Option[String], wval: Option[String], limit: Int): Unit = {

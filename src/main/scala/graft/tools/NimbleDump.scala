@@ -16,11 +16,8 @@ import graft.format._
   *   content  — first N rows of each leaf stream (SELECT ... LIMIT)
   */
 object NimbleDump {
-  private def files(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isFile) Seq(path)
-    else f.listFiles().filter(_.getName.endsWith(".gft")).map(_.getPath).sorted.toSeq
-  }
+  private def files(path: String): Seq[String] =
+    graft.format.GraftIO.listGft(path).map(_.path)
 
   private def codecName(id: Byte): String = id match {
     case Codecs.TRIVIAL => "Trivial"
@@ -57,7 +54,7 @@ object NimbleDump {
       cmd match {
         case "info" =>
           println(s"  version=${ft.version} rows=${ft.rowCount} stripes=${ft.stripes.length} " +
-            s"streams=${ft.streamKeys.length} bytes=${new java.io.File(f).length()} " +
+            s"streams=${ft.streamKeys.length} bytes=${graft.format.GraftIO.status(f).length} " +
             s"sortColumns=${ft.sortColumns.mkString(",")}")
         case "schema" =>
           println(org.apache.spark.sql.types.DataType.fromJson(ft.schemaJson)
