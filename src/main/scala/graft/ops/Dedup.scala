@@ -186,9 +186,42 @@ object Dedup {
       .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist (exercises
-    * bit_count; pairs all docs — at scale, band the signature bytes first). */
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist — EXACT banded
+    * join, no cartesian product.
+    *
+    * Pigeonhole: split the 32-bit signature into (maxDist+1) bit bands; any
+    * pair at Hamming distance <= maxDist has all its differing bits inside at
+    * most maxDist bands, so at least one band matches bit-exactly. Candidates
+    * come from an equi-join on (band index, band bits) — linear in bucket
+    * sizes, hash-partitioned, no driver state — then `bit_count(xor)`
+    * verifies the true distance. Identical output to the all-pairs form
+    * ([[simhashPairsAllPairs]], kept as the spec cross-check) by
+    * construction; recall 1.0 is guaranteed, not probabilistic. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val nBands = maxDist + 1
+    val bounds = (0 to nBands).map(i => i * 32 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val start = bounds(i)
+      val width = bounds(i + 1) - start
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sig.select(col("doc"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col("doc").as("a"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("bits"), col("doc").as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      // a pair can collide in several bands — dedupe (dist is functional in (a,b))
+      .select("a", "b", "dist").distinct()
+  }
+
+  /** All-pairs reference form of [[simhashPairs]] (cross-validation only —
+    * O(n^2) through one join, never the production path). */
+  def simhashPairsAllPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     val a = sig.select(col("doc").as("a"), col("simhash").as("ha"))
     val b = sig.select(col("doc").as("b"), col("simhash").as("hb"))
