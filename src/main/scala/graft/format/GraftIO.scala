@@ -41,12 +41,49 @@ object GraftIO {
       if (uri.getPath == null || uri.getPath.isEmpty) path.stripPrefix("file:") else uri.getPath
     }
 
-  /** Hadoop conf: the active session's (so `spark.hadoop.*` settings apply)
-    * when called on the driver; plain `Configuration()` (core-site.xml from
-    * the classpath) on executors or outside Spark. */
-  def hadoopConf: org.apache.hadoop.conf.Configuration =
-    try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-    catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+  /** Java-serializable Hadoop `Configuration` (the class itself is only
+    * `Writable`): carried inside the connector's reader/writer factories so
+    * executor JVMs see the driver's `spark.hadoop.*` settings — S3A
+    * credentials, endpoints — exactly like Spark's built-in file sources
+    * broadcast the driver conf to tasks. */
+  final class SerializableConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Process-wide conf used for all Hadoop-FS access. On the driver it is
+    * built once from the active session (so `spark.hadoop.*` applies) and
+    * cached — `newHadoopConf()` re-parses every SQL conf entry, far too
+    * expensive per file operation. On executors it starts as a bare
+    * `Configuration` and is replaced by the driver's via [[installConf]] when
+    * a reader/writer factory deserializes. */
+  @volatile private var cachedConf: org.apache.hadoop.conf.Configuration = null
+
+  def hadoopConf: org.apache.hadoop.conf.Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else {
+      val built =
+        try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        catch { case _: Throwable => new org.apache.hadoop.conf.Configuration() }
+      cachedConf = built
+      built
+    }
+  }
+
+  /** Capture the driver's conf for shipping inside a task factory. */
+  def captureConf(): SerializableConf = new SerializableConf(hadoopConf)
+
+  /** Install a driver-captured conf in this (executor) JVM. */
+  def installConf(sc: SerializableConf): Unit = if (sc != null) cachedConf = sc.conf
 
   private def fsOf(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -149,9 +186,23 @@ object GraftIO {
       fs.delete(p, recursive)
     }
 
-  def rename(src: String, dst: String): Boolean =
-    if (isLocal(src)) new java.io.File(localPath(src)).renameTo(new java.io.File(localPath(dst)))
-    else { val (fs, s) = fsOf(src); fs.rename(s, new org.apache.hadoop.fs.Path(dst)) }
+  /** No-replace rename: fails (false) if `dst` already exists, on every
+    * filesystem — local POSIX renameTo would silently replace, Hadoop
+    * fs.rename returns false; callers get one behavior. Mixed-scheme pairs
+    * are a usage error (the commit protocol always renames within a table
+    * directory), rejected loudly rather than misrouted via src's scheme. */
+  def rename(src: String, dst: String): Boolean = {
+    require(isLocal(src) == isLocal(dst) && (isLocal(src) || scheme(src) == scheme(dst)),
+      s"rename across schemes: $src -> $dst")
+    if (isLocal(src)) {
+      val d = new java.io.File(localPath(dst))
+      !d.exists() && new java.io.File(localPath(src)).renameTo(d)
+    } else {
+      val (fs, s) = fsOf(src)
+      val d = new org.apache.hadoop.fs.Path(dst)
+      !fs.exists(d) && fs.rename(s, d)
+    }
+  }
 
   /** Join a child name onto a directory path, scheme-preserving. */
   def child(dir: String, name: String): String =

@@ -115,12 +115,22 @@ object NimbleSource {
   /** Warm the footer cache for `files` in parallel; later `footerOf` calls
     * are cache hits. No-op for already-cached files. */
   def prefetchFooters(files: Seq[String]): Unit = if (files.length > 1) {
-    val tasks = files.map { f =>
-      new java.util.concurrent.Callable[Unit] { def call(): Unit = { footerOf(f); () } }
-    }
-    footerPool.invokeAll(scala.jdk.CollectionConverters.SeqHasAsJava(tasks).asJava)
-      .forEach(fut => fut.get()) // propagate the first failure
+    foreachParallel(files)(f => { footerOf(f); () })
   }
+
+  /** Run `body` over `items` on the driver-side I/O pool, propagating the
+    * first failure. Single-item (and empty) inputs run inline. Used for
+    * footer prefetch and commit renames — any driver-side per-file RPC that
+    * must not serialize at 10^5+ files. */
+  def foreachParallel[A](items: Seq[A])(body: A => Unit): Unit =
+    if (items.length <= 1) items.foreach(body)
+    else {
+      val tasks = items.map { it =>
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = body(it) }
+      }
+      footerPool.invokeAll(scala.jdk.CollectionConverters.SeqHasAsJava(tasks).asJava)
+        .forEach(fut => fut.get()) // propagate the first failure
+    }
 }
 
 class NimbleTable(path: String, schema: StructType) extends Table with SupportsRead with SupportsWrite {
@@ -276,7 +286,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters, limit)
+    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.captureConf())
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -296,7 +306,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 }
 
 class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter],
-    limit: Int = -1)
+    limit: Int = -1,
+    hadoopConf: GraftIO.SerializableConf = null)
     extends PartitionReaderFactory {
 
   private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
@@ -311,11 +322,13 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
     allAtomic || filters.isEmpty
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    GraftIO.installConf(hadoopConf)
     val p = partition.asInstanceOf[NimbleMultiPartition]
     new NimbleChainReader(p.items, dataSchema, required, filters, limit)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    GraftIO.installConf(hadoopConf)
     val p = partition.asInstanceOf[NimbleMultiPartition]
     val batches = new NimbleChainReader(p.items, dataSchema, required, filters, limit)
     new PartitionReader[InternalRow] {
@@ -664,17 +677,27 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
-    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag)
+    NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
+      GraftIO.captureConf())
   }
 
+  /** Consistency contract (FileOutputCommitter-v1 shape): commit is NOT
+    * atomic. In overwrite mode there is a window — old files deleted, new
+    * files not yet renamed in — where a concurrent reader sees an empty or
+    * partial table, and a driver crash inside it loses the old data while
+    * the new files sit in `_temporary`. Delete-first is deliberate: the
+    * rename-first alternative makes a concurrent reader silently see
+    * duplicate rows (old + new part files), which is worse than visibly
+    * missing ones. Renames fan out on the footer-I/O pool: a 100 TB job
+    * commits 10^4-10^6 files and one driver-serial RPC per file (a copy on
+    * S3A) would serialize job completion. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst)
       NimbleSource.listFiles(path).foreach(f => GraftIO.delete(f))
-    messages.foreach {
-      case NimbleCommitMessage(temp, dest) =>
-        if (!GraftIO.rename(temp, dest))
-          throw new java.io.IOException(s"nimble: commit failed renaming $temp -> $dest")
-      case _ => ()
+    val pairs = messages.collect { case NimbleCommitMessage(temp, dest) => (temp, dest) }
+    NimbleSource.foreachParallel(pairs.toSeq) { case (temp, dest) =>
+      if (!GraftIO.rename(temp, dest))
+        throw new java.io.IOException(s"nimble: commit failed renaming $temp -> $dest")
     }
     cleanTemp()
   }
@@ -683,18 +706,24 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
   private def cleanTemp(): Unit = {
     GraftIO.delete(tempDir, recursive = true)
-    // drop the shared _temporary parent too when this was the last job in it
-    // (non-recursive delete fails harmlessly while another job still writes)
-    GraftIO.delete(GraftIO.child(path, "_temporary"))
+    // drop the shared _temporary parent too when this was the last job in it.
+    // A non-empty parent (another job still writing) must not fail this
+    // job's commit: local File.delete returns false, but HDFS/S3A throw
+    // PathIsNotEmptyDirectoryException on a non-recursive delete.
+    try GraftIO.delete(GraftIO.child(path, "_temporary"))
+    catch { case _: java.io.IOException => () }
   }
 }
 
 case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    jobTag: String = "0")
+    jobTag: String = "0",
+    hadoopConf: GraftIO.SerializableConf = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // executor JVMs inherit the driver's spark.hadoop.* (S3A credentials etc.)
+    GraftIO.installConf(hadoopConf)
     val name = s"part-%05d-$jobTag.gft".format(partitionId)
     // taskId (attempt-unique) in the temp name keeps speculative attempts of
     // the same partition from clobbering each other mid-write

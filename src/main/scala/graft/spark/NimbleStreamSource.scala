@@ -55,7 +55,8 @@ class NimbleMicroBatchStream(path: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters)
+    new NimbleReaderFactory(dataSchema, required, filters,
+      hadoopConf = graft.format.GraftIO.captureConf())
 }
 
 case class NimbleFilesOffset(files: Seq[String]) extends Offset {
