@@ -21,13 +21,17 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
-  /** Warm once (codegen + JIT + footer caches), then report the better of two
-    * timed runs — measures steady-state scan cost, not compiler latency. */
+  /** Warm once (codegen + JIT + footer caches), then report the median of
+    * three timed runs — steady-state cost with outlier (GC/compile) rejection,
+    * so round-over-round deltas are attributable to code changes, not noise. */
   private def timeWarm[A](body: => A): (Double, A) = {
     body
     val (t1, _) = time(body)
-    val (t2, r) = time(body)
-    (math.min(t1, t2), r)
+    val (t2, _) = time(body)
+    val (t3, r) = time(body)
+    val ts = Array(t1, t2, t3)
+    java.util.Arrays.sort(ts)
+    (ts(1), r)
   }
 
   private def dirBytes(path: String): Long = {
@@ -139,12 +143,20 @@ object Bench {
       "lowcard64" -> { val alpha = Array.fill(64)(rnd.nextLong()); Array.fill(n)(alpha(rnd.nextInt(64))) })
     for ((pname, data) <- patterns) {
       val col = LongsCol(data, PhysType.I64)
-      // warm
       val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
-      val iters = 20
-      val (encSec, _) = time { var k = 0; while (k < iters) { val s = new ByteSink(); Codecs.encodeColumn(col, s); k += 1 } }
       val bytes = sink0.toArray
-      val (decSec, _) = time { var k = 0; while (k < iters) { Codecs.decodeColumn(new ByteCursor(bytes)); k += 1 } }
+      val iters = 20
+      // median of 5 passes (2 warmup) — GC pauses and JIT recompiles land in
+      // single-shot numbers and made this metric bounce across rounds
+      def medianPass(body: => Unit): Double = {
+        def pass(): Double = time { var k = 0; while (k < iters) { body; k += 1 } }._1
+        pass(); pass()
+        val ts = Array.fill(5)(pass())
+        java.util.Arrays.sort(ts)
+        ts(2)
+      }
+      val encSec = medianPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
+      val decSec = medianPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
       results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * iters)
       results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * iters)
       results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)

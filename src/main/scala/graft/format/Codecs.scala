@@ -263,15 +263,26 @@ object Codecs {
     var varintBytes = 0L // exact size of the Varint candidate
     val distinct = new mutable.HashMap[Long, Int]()
     var distinctCapped = false
+    // Boyer-Moore majority candidate: finds the mode whenever its frequency
+    // exceeds n/2, independent of cardinality — keeps MainlyConstant eligible
+    // on high-cardinality streams where `distinct` hits its cap (a 95%-common
+    // value among otherwise-unique values is exactly MainlyConstant's case).
+    var modeVal = 0L
+    var modeFreq = 0
     locally {
       var i = 0
       var prev = 0L
+      var bmCandidate = 0L
+      var bmCount = 0
       while (i < n) {
         val v = values(i)
         if (v < min) min = v
         if (v > max) max = v
         val zz = (v << 1) ^ (v >> 63)
         varintBytes += (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
+        if (bmCount == 0) { bmCandidate = v; bmCount = 1 }
+        else if (v == bmCandidate) bmCount += 1
+        else bmCount -= 1
         if (i > 0) {
           if (v != prev) runCount += 1
           val d = v - prev
@@ -282,6 +293,14 @@ object Codecs {
         }
         prev = v
         i += 1
+      }
+      // exact frequency of the majority candidate (second O(n) pass)
+      if (n > 0 && bmCount > 0) {
+        var c = 0
+        i = 0
+        while (i < n) { if (values(i) == bmCandidate) c += 1; i += 1 }
+        modeVal = bmCandidate
+        modeFreq = c
       }
       if (n == 0) { min = 0L; max = 0L }
       // cardinality pass: array counts for narrow ranges (no boxing), capped
@@ -305,8 +324,6 @@ object Codecs {
       }
     }
     def rangeOverflow: Boolean = (max >= 0 && min < max - Long.MaxValue)
-    def topFreq: Int = if (distinctCapped || distinct.isEmpty) 0 else distinct.valuesIterator.max
-    def modeValue: Long = distinct.maxBy(_._2)._1
   }
 
   private def bitsFor(range: Long): Int =
@@ -528,9 +545,9 @@ object Codecs {
         }))
       }
     }
-    if (!st.distinctCapped && st.topFreq >= (n * 7) / 10 && depth < MaxDepth)
-      plans += ((MAINLYCONST, n / 8.0 + (n - st.topFreq).toLong * width + 10, { s =>
-        val common = st.modeValue
+    if (st.modeFreq >= (n * 7) / 10 && depth < MaxDepth)
+      plans += ((MAINLYCONST, n / 8.0 + (n - st.modeFreq).toLong * width + 10, { s =>
+        val common = st.modeVal
         s.writeZigZag(common)
         val isCommon = new Array[Boolean](n)
         var nOther = 0
@@ -1102,16 +1119,44 @@ object Codecs {
       out
     case MAINLYCONST =>
       val common = cur.readZigZag()
-      val isCommon = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
-      val others = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
-      val out = new Array[Long](n)
-      var i = 0
-      var j = 0
-      while (i < n) {
-        if (isCommon(i)) out(i) = common else { out(i) = others(j); j += 1 }
-        i += 1
+      val boolBlk = cur.readBlock()
+      val bc = new ByteCursor(boolBlk.buf, boolBlk.pos, boolBlk.end)
+      val boolCodec = bc.readByte()
+      if (boolCodec == TRIVIAL) {
+        // fast path: fill with the common value, then patch only the
+        // exception rows found by scanning the packed bitmap's zero bits —
+        // O(exceptions) instead of a branch per row
+        bc.readByte(); bc.readVarint() // phys, rowCount (== n)
+        val nBytes = (n + 7) / 8
+        val packed = bc.buf
+        val base = bc.pos
+        val others = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Long](n)
+        java.util.Arrays.fill(out, common)
+        var i = 0
+        var j = 0
+        while (i < nBytes) {
+          var m = (~packed(base + i)) & 0xff
+          while (m != 0) {
+            val idx = (i << 3) + java.lang.Integer.numberOfTrailingZeros(m)
+            if (idx < n) { out(idx) = others(j); j += 1 }
+            m &= m - 1
+          }
+          i += 1
+        }
+        out
+      } else {
+        val isCommon = decodeValues(boolBlk).asInstanceOf[BoolsCol].values
+        val others = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Long](n)
+        var i = 0
+        var j = 0
+        while (i < n) {
+          if (isCommon(i)) out(i) = common else { out(i) = others(j); j += 1 }
+          i += 1
+        }
+        out
       }
-      out
     case HUFFMAN =>
       val nSym = cur.readVarint().toInt
       val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values

@@ -98,11 +98,15 @@ object Huffman {
     out.writeBytes(buf)
   }
 
+  /** Table-driven canonical decode: a 2^peek-entry lookup resolves every code
+    * of length <= peek (symbol + length) in one probe; rarer longer codes fall
+    * back to the per-length canonical scan. The bitstream is staged into
+    * MSB-first 64-bit words so a peek is two shifts, not a per-bit loop. */
   def decode(alphabet: Array[Long], lens: Array[Int], cur: ByteCursor, n: Int): Array[Long] = {
     val bits = cur.readVarint()
     val nBytes = ((bits + 7) / 8).toInt
     val buf = cur.readBytes(nBytes)
-    // canonical decode tables per length: firstCode, firstIndex into the
+    // canonical per-length tables: firstCode, firstIndex into the
     // (len, alphabet-position)-sorted symbol order
     val order = Array.range(0, lens.length).sortBy(i => (lens(i), i))
     val maxLen = lens.max
@@ -120,22 +124,58 @@ object Huffman {
       idx += countAt(l)
       l += 1
     }
+    // fast-path lookup table over the first `peek` bits
+    val peek = math.min(maxLen, 11)
+    val tblSym = new Array[Int](1 << peek)
+    val tblLen = new Array[Byte](1 << peek)
+    val codes = canonicalCodes(lens)
+    var s = 0
+    while (s < lens.length) {
+      val cl = lens(s)
+      if (cl <= peek) {
+        val base = (codes(s) << (peek - cl)).toInt
+        val cnt = 1 << (peek - cl)
+        var k = 0
+        while (k < cnt) { tblSym(base + k) = s; tblLen(base + k) = cl.toByte; k += 1 }
+      }
+      s += 1
+    }
+    // stage the bitstream as big-endian 64-bit words (zero-padded tail)
+    val nWords = (nBytes + 7) / 8 + 1
+    val words = new Array[Long](nWords)
+    var bi = 0
+    while (bi < nBytes) {
+      words(bi >>> 3) |= (buf(bi) & 0xffL) << (56 - ((bi & 7) << 3))
+      bi += 1
+    }
     val out = new Array[Long](n)
     var bitPos = 0L
     var i = 0
     while (i < n) {
-      var len = 0
-      var c = 0L
-      var sym = -1
-      while (sym < 0) {
-        val bit = (buf((bitPos >>> 3).toInt) >>> (7 - (bitPos & 7).toInt)) & 1
-        c = (c << 1) | bit
-        bitPos += 1
-        len += 1
-        if (countAt(len) > 0 && c - firstCode(len) < countAt(len) && c >= firstCode(len))
-          sym = order(firstIdx(len) + (c - firstCode(len)).toInt)
+      val wi = (bitPos >>> 6).toInt
+      val sh = (bitPos & 63).toInt
+      // 64-bit window starting at bitPos, MSB-aligned
+      val window =
+        if (sh == 0) words(wi)
+        else (words(wi) << sh) | (words(wi + 1) >>> (64 - sh))
+      val prefix = (window >>> (64 - peek)).toInt
+      val tl = tblLen(prefix)
+      if (tl > 0) {
+        out(i) = alphabet(tblSym(prefix))
+        bitPos += tl
+      } else {
+        // long-code fallback: canonical scan from peek+1 upward
+        var len = peek + 1
+        var sym = -1
+        while (sym < 0) {
+          val c = window >>> (64 - len)
+          if (countAt(len) > 0 && c >= firstCode(len) && c - firstCode(len) < countAt(len))
+            sym = order(firstIdx(len) + (c - firstCode(len)).toInt)
+          else len += 1
+        }
+        out(i) = alphabet(sym)
+        bitPos += len
       }
-      out(i) = alphabet(sym)
       i += 1
     }
     out
