@@ -286,7 +286,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.captureConf())
+    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.broadcastConf())
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -307,7 +307,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 
 class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1,
-    hadoopConf: GraftIO.SerializableConf = null)
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
     extends PartitionReaderFactory {
 
   private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
@@ -678,7 +678,7 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
     NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
-      GraftIO.captureConf())
+      GraftIO.broadcastConf())
   }
 
   /** Consistency contract (FileOutputCommitter-v1 shape): commit is NOT
@@ -719,7 +719,7 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     jobTag: String = "0",
-    hadoopConf: GraftIO.SerializableConf = null)
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // executor JVMs inherit the driver's spark.hadoop.* (S3A credentials etc.)

@@ -56,7 +56,7 @@ class NimbleMicroBatchStream(path: String, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NimbleReaderFactory(dataSchema, required, filters,
-      hadoopConf = graft.format.GraftIO.captureConf())
+      hadoopConf = graft.format.GraftIO.broadcastConf())
 }
 
 case class NimbleFilesOffset(files: Seq[String]) extends Offset {
