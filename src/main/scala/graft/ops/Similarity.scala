@@ -63,16 +63,20 @@ object Similarity {
     * is any single task or the driver. Grid scheme: each vector lands in
     * block g = hash(id) mod G; the G*(G+1)/2 unordered block pairs become the
     * join key, so the work is hash-partitioned into uniform block-x-block
-    * tiles across the cluster (each row shuffled ~G/2 times — the standard
-    * replication cost of distributed exact similarity joins), the per-tile
-    * compare pipelines through codegen'd filter before anything else
-    * shuffles, and no task holds more than (n/G)^2 candidates. G scales with
-    * cluster parallelism. */
+    * tiles across the cluster, the per-tile compare pipelines through
+    * codegen'd filter before anything else shuffles, and no task holds more
+    * than (n/G)^2 candidates. Replication cost: each row is shuffled into
+    * G+1 tiles total (G-blk as the a-side, blk+1 as the b-side), so G is the
+    * vector-column shuffle amplification — it must grow like sqrt(desired
+    * tasks), NOT linearly with cluster size. Default targets ~2 waves:
+    * G(G+1)/2 ~= 2*parallelism, i.e. G ~= 2*sqrt(parallelism), capped at 256
+    * (beyond which replication, not task count, dominates cost). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val g = if (blocks > 0) blocks
-      else math.max(4, math.min(256, spark.sparkContext.defaultParallelism))
+      else math.max(4, math.min(256,
+        math.ceil(2 * math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt))
     val blockPairs = spark.createDataFrame(
       for { i <- 0 until g; j <- i until g } yield (i, j)).toDF("bi", "bj")
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))

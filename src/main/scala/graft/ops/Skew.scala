@@ -20,10 +20,15 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // deterministic scatter: hash of the key + a per-row discriminator (the
-    // partition-local row id), so replays place rows identically
+    // Content-derived scatter: hash of ALL columns, so the salt is a pure
+    // function of row content and a retried/speculated task re-salts every
+    // row identically. (monotonically_increasing_id would depend on partition
+    // layout and row order — the classic nondeterministic-expression-before-
+    // shuffle hazard that double-counts or drops rows under partial stage
+    // retry.) Rows that are full duplicates share a salt; a hot KEY still
+    // scatters because payload columns differ across its rows.
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")

@@ -94,6 +94,42 @@ class OpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bucketed pair operators == all-pairs reference forms") {
+    // Equality with the cartesian reference forms is the semantic guard the
+    // PlanSpec no-cartesian assertions pair with: together they pin "same
+    // answer, scalable plan".
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val shAll = Dedup.simhashPairsAllPairs(docs, "doc_id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sh == shAll, s"simhashPairs != all-pairs: only-banded=${(sh diff shAll).take(3)} " +
+      s"only-allpairs=${(shAll diff sh).take(3)}")
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val nd = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ndAll = Similarity.cosineNearDupPairsAllPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nd == ndAll, s"cosineNearDupPairs != all-pairs: only-blocked=${(nd diff ndAll).take(3)} " +
+      s"only-allpairs=${(ndAll diff nd).take(3)}")
+  }
+
+  test("salted join is retry-safe: no nondeterministic expression in the plan") {
+    import graft.ops.Skew
+    import spark.implicits._
+    val fact = spark.range(1000)
+      .withColumn("k", when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 100))
+      .withColumn("v", col("id") * 3)
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+    // A nondeterministic salt (e.g. monotonically_increasing_id) re-salts
+    // rows differently when a failed stage recomputes a subset — rows double
+    // or vanish. Every expression in the plan must be deterministic.
+    def nonDet(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.expressions.filterNot(_.deterministic).map(_.sql) ++ p.children.flatMap(nonDet)
+    val bad = nonDet(salted.queryExecution.optimizedPlan)
+    assert(bad.isEmpty, s"nondeterministic expressions in salted join plan: $bad")
+  }
+
   test("exact dedup and multimodal frame math") {
     import graft.ops.Multimodal
     val d = Dedup.exact(docs, Seq("text"))

@@ -59,6 +59,17 @@ class PlanSpec extends SparkTestBase {
     assert(rows.length > 0)
   }
 
+  test("pair operators never plan a cartesian (x13/x15 regression guard)") {
+    // The bucketed/banded forms exist precisely so no task ever sees the
+    // all-pairs space; one refactor to a theta-join and Spark silently plans
+    // CartesianProduct/BroadcastNestedLoopJoin, which dies at 100 TB.
+    for (name <- Seq("x13_embed_neardup", "x15_simhash_pairs")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf()))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
   test("partial aggregation is map-side (no raw-row shuffle for q13)") {
     val p = plan(SparkEntry.queries("q13_tpch_q1")(spark, sf()))
     // HashAggregate appears twice: partial before exchange, final after
