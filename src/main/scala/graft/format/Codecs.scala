@@ -143,6 +143,54 @@ object Codecs {
     } else decodeValues(cur)
   }
 
+  /** Dictionary-preserving decode (filter columns only): when the value
+    * stream — under an optional Nullable wrapper — is DICT over bytes, return
+    * a [[DictBytesCol]] so predicates run once per alphabet entry instead of
+    * once per row (reference:
+    * dwio/nimble/velox/selective/StringColumnReader.cpp:330-504). Any other
+    * shape falls back to [[decodeColumn]]. */
+  def decodeColumnDict(cur: ByteCursor): Column = {
+    val save = cur.pos
+    val id = cur.buf(cur.pos)
+    if (id == NULLABLE) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      if (phys != PhysType.Bytes) { cur.pos = save; return decodeColumn(cur) }
+      val n = cur.readVarint().toInt
+      val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+      val dict = tryDecodeDict(cur.readBlock())
+      if (dict == null) { cur.pos = save; return decodeColumn(cur) }
+      // scatter the compacted (non-null) indices back to row positions
+      val out = new Array[Int](n)
+      var i = 0
+      var j = 0
+      while (i < n) { if (!isNull(i)) { out(i) = dict._2(j); j += 1 }; i += 1 }
+      DictBytesCol(dict._1, out, isNull)
+    } else {
+      val dict = tryDecodeDict(cur)
+      if (dict == null) { cur.pos = save; return decodeColumn(cur) }
+      DictBytesCol(dict._1, dict._2)
+    }
+  }
+
+  /** (alphabet, indices) when the value block at `cur` is DICT over bytes,
+    * else null (cursor position is then unspecified — callers re-decode from
+    * a saved position). */
+  private def tryDecodeDict(cur: ByteCursor): (BytesCol, Array[Int]) = {
+    val save = cur.pos
+    if (cur.buf(cur.pos) != DICT) { cur.pos = save; return null }
+    cur.readByte()
+    val phys = cur.readByte().toByte
+    if (phys != PhysType.Bytes) { cur.pos = save; return null }
+    val n = cur.readVarint().toInt
+    val alphabet = decodeValues(cur.readBlock()).asInstanceOf[BytesCol]
+    val idxL = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+    val idx = new Array[Int](n)
+    var i = 0
+    while (i < n) { idx(i) = idxL(i).toInt; i += 1 }
+    (alphabet, idx)
+  }
+
   /** View a decoded column as a plain Boolean array (struct-nulls streams). */
   def asBools(col: Column): Array[Boolean] = col.asInstanceOf[BoolsCol].values
 
@@ -151,6 +199,7 @@ object Codecs {
     case c: DoublesCol => if (c.isFloat) PhysType.F32 else PhysType.F64
     case _: BoolsCol => PhysType.Bool
     case _: BytesCol => PhysType.Bytes
+    case _: DictBytesCol => PhysType.Bytes
   }
 
   private def stripNulls(col: Column): Column = col match {
@@ -158,6 +207,7 @@ object Codecs {
     case c: DoublesCol => if (c.nulls == null) c else c.copy(nulls = null)
     case c: BoolsCol => if (c.nulls == null) c else c.copy(nulls = null)
     case c: BytesCol => if (c.nulls == null) c else c.copy(nulls = null)
+    case c: DictBytesCol => if (c.nulls == null) c else c.copy(nulls = null)
   }
 
   private def compactNonNull(col: Column): Column = {
@@ -196,6 +246,7 @@ object Codecs {
           i += 1
         }
         BytesCol(offs, bytes)
+      case c: DictBytesCol => compactNonNull(c.expand) // unreachable: filter path never re-encodes
     }
   }
 
@@ -222,6 +273,7 @@ object Codecs {
         }
         // bytes are already contiguous in compacted order == scattered order
         BytesCol(offs, c.bytes, isNull)
+      case c: DictBytesCol => scatter(c.expand, isNull, n, phys) // unreachable: decodeValues never dict-preserves
     }
 
   // ------------------------------------------------------- value streams
@@ -232,6 +284,7 @@ object Codecs {
     case c: DoublesCol => encodeDoubles(c, sink, depth)
     case c: BoolsCol => encodeBools(c.values, sink, depth)
     case c: BytesCol => encodeBytes(c, sink, depth)
+    case c: DictBytesCol => encodeBytes(c.expand, sink, depth)
   }
 
   def decodeValues(cur: ByteCursor): Column = {

@@ -547,6 +547,12 @@ object Fields {
     override def decodeRaw(): Column = {
       val c = cursor.next(); pending = c; c
     }
+    /** decodeRaw, but a DICT-coded string chunk stays dictionary-preserved
+      * ([[DictBytesCol]]) — predicates evaluate per alphabet entry and the
+      * later vector fill expands survivors only. */
+    def decodeRawDict(): Column = {
+      val c = cursor.nextDict(); pending = c; c
+    }
     /** Consume the next chunk without producing output. */
     def readChunkDiscard(): Unit = {
       if (pending != null) pending = null
@@ -622,6 +628,20 @@ object Fields {
           val s = srcIdx(i)
           if (nulls != null && nulls(s)) vec.putNull(i)
           else vec.putByteArray(i, c.bytes, c.offsets(s), c.offsets(s + 1) - c.offsets(s))
+          i += 1
+        }
+      case c: DictBytesCol =>
+        // expand via the alphabet at fill time: with a selection present only
+        // surviving rows ever materialize their string
+        val a = c.alphabet
+        var i = 0
+        while (i < n) {
+          val s = srcIdx(i)
+          if (nulls != null && nulls(s)) vec.putNull(i)
+          else {
+            val e = c.indices(s)
+            vec.putByteArray(i, a.bytes, a.offsets(e), a.offsets(e + 1) - a.offsets(e))
+          }
           i += 1
         }
     }
@@ -713,6 +733,11 @@ object Fields {
       case c: BytesCol =>
         if (c.nulls != null && c.nulls(src)) { vec.putNull(dst); return }
         vec.putByteArray(dst, c.bytes, c.offsets(src), c.offsets(src + 1) - c.offsets(src))
+      case c: DictBytesCol =>
+        if (c.nulls != null && c.nulls(src)) { vec.putNull(dst); return }
+        val e = c.indices(src)
+        vec.putByteArray(dst, c.alphabet.bytes, c.alphabet.offsets(e),
+          c.alphabet.offsets(e + 1) - c.alphabet.offsets(e))
     }
   }
 

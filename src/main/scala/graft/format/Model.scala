@@ -60,3 +60,38 @@ final case class BytesCol(offsets: Array[Int], bytes: Array[Byte], nulls: Array[
   def apply(i: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
 }
+
+/** Dictionary-preserved view of a bytes column: the DICT codec's alphabet and
+  * index streams kept separate instead of expanded row-wise (reference:
+  * dwio/nimble/velox/selective/StringColumnReader.cpp:330-504). String
+  * predicates evaluate once per alphabet entry and rows check a boolean by
+  * index; only surviving rows are ever materialized. Index values of null
+  * rows are undefined (0). */
+final case class DictBytesCol(alphabet: BytesCol, indices: Array[Int],
+    nulls: Array[Boolean] = null) extends Column {
+  def len: Int = indices.length
+
+  /** Row-wise materialization (generic paths that need a flat BytesCol). */
+  def expand: BytesCol = {
+    val n = indices.length
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      val e = indices(i)
+      val l = if (nulls != null && nulls(i)) 0 else alphabet.offsets(e + 1) - alphabet.offsets(e)
+      offs(i + 1) = offs(i) + l
+      i += 1
+    }
+    val bytes = new Array[Byte](offs(n))
+    i = 0
+    while (i < n) {
+      if (nulls == null || !nulls(i)) {
+        val e = indices(i)
+        System.arraycopy(alphabet.bytes, alphabet.offsets(e), bytes, offs(i),
+          alphabet.offsets(e + 1) - alphabet.offsets(e))
+      }
+      i += 1
+    }
+    BytesCol(offs, bytes, nulls)
+  }
+}

@@ -147,6 +147,9 @@ object Tablet {
             i += 1
           }
         case _: BoolsCol => kind = PhysType.Bool
+        case c: DictBytesCol => // write path never dict-preserves; kept total
+          nullCount -= nc; valueCount -= col.len
+          mergeColumn(c.expand)
       }
     }
     def merge(o: Stats): Unit = {
@@ -563,6 +566,21 @@ object Tablet {
         val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
         pos = dataPos + compLen
         Codecs.decodeColumn(new ByteCursor(decompressChunk(kind, data, rawLen)))
+      }
+    }
+
+    /** [[next]] but dictionary-preserving for DICT-coded bytes chunks (filter
+      * columns — predicates then run per alphabet entry, not per row). */
+    def nextDict(): Column = {
+      val (compLen, rawLen, kind, _, dataPos) = header()
+      if (kind == CompNone) {
+        val cur = new ByteCursor(bytes, dataPos, dataPos + compLen)
+        pos = dataPos + compLen
+        Codecs.decodeColumnDict(cur)
+      } else {
+        val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
+        pos = dataPos + compLen
+        Codecs.decodeColumnDict(new ByteCursor(decompressChunk(kind, data, rawLen)))
       }
     }
   }

@@ -241,30 +241,60 @@ object Filters {
         case bc: BytesCol =>
           val set = vs.map(v => new String(toBytes(v), java.nio.charset.StandardCharsets.ISO_8859_1)).toSet
           i => notNull(bc, i) && set.contains(new String(bc.bytes, bc.offsets(i), bc.offsets(i + 1) - bc.offsets(i), java.nio.charset.StandardCharsets.ISO_8859_1))
+        case dc: DictBytesCol =>
+          val set = vs.map(v => new String(toBytes(v), java.nio.charset.StandardCharsets.ISO_8859_1)).toSet
+          val a = dc.alphabet
+          dictPass(dc, e => set.contains(
+            new String(a.bytes, a.offsets(e), a.offsets(e + 1) - a.offsets(e),
+              java.nio.charset.StandardCharsets.ISO_8859_1)))
         case bl: BoolsCol =>
           val set = vs.map { case b: Boolean => b }.toSet
           i => notNull(bl, i) && set.contains(bl.values(i))
       }
     case StringStartsWith(a, p) =>
-      val c = col(a).asInstanceOf[BytesCol]
       val pb = p.getBytes("UTF-8")
-      i => notNull(c, i) && regionStartsWith(c, i, pb)
+      col(a) match {
+        case dc: DictBytesCol => dictPass(dc, e => regionStartsWith(dc.alphabet, e, pb))
+        case c: BytesCol => i => notNull(c, i) && regionStartsWith(c, i, pb)
+        case other => throw new IllegalStateException(s"string predicate on $other")
+      }
     case StringEndsWith(a, p) =>
-      val c = col(a).asInstanceOf[BytesCol]
       val pb = p.getBytes("UTF-8")
-      i =>
-        notNull(c, i) && {
-          val len = c.offsets(i + 1) - c.offsets(i)
-          len >= pb.length && regionEquals(c.bytes, c.offsets(i + 1) - pb.length, pb)
-        }
+      def ends(c: BytesCol, i: Int): Boolean = {
+        val len = c.offsets(i + 1) - c.offsets(i)
+        len >= pb.length && regionEquals(c.bytes, c.offsets(i + 1) - pb.length, pb)
+      }
+      col(a) match {
+        case dc: DictBytesCol => dictPass(dc, e => ends(dc.alphabet, e))
+        case c: BytesCol => i => notNull(c, i) && ends(c, i)
+        case other => throw new IllegalStateException(s"string predicate on $other")
+      }
     case StringContains(a, p) =>
-      val c = col(a).asInstanceOf[BytesCol]
       val pb = p.getBytes("UTF-8")
-      i => notNull(c, i) && contains(c.bytes, c.offsets(i), c.offsets(i + 1), pb)
+      col(a) match {
+        case dc: DictBytesCol =>
+          dictPass(dc, e => contains(dc.alphabet.bytes, dc.alphabet.offsets(e),
+            dc.alphabet.offsets(e + 1), pb))
+        case c: BytesCol => i => notNull(c, i) && contains(c.bytes, c.offsets(i), c.offsets(i + 1), pb)
+        case other => throw new IllegalStateException(s"string predicate on $other")
+      }
     case other => throw new UnsupportedOperationException(s"filter $other")
   }
 
   @inline private def notNull(c: Column, i: Int): Boolean = c.nulls == null || !c.nulls(i)
+
+  /** Dictionary-preserving predicate: evaluate `entryPred` once per alphabet
+    * entry (alphabet-size compares, not chunk-size), then rows test a boolean
+    * by index (reference:
+    * dwio/nimble/velox/selective/StringColumnReader.cpp:330-504). */
+  private def dictPass(dc: DictBytesCol, entryPred: Int => Boolean): Int => Boolean = {
+    val m = dc.alphabet.len
+    val pass = new Array[Boolean](m)
+    var e = 0
+    while (e < m) { pass(e) = entryPred(e); e += 1 }
+    val idx = dc.indices
+    i => notNull(dc, i) && pass(idx(i))
+  }
 
   private def cmpPred(c: Column, v: Any, test: Int => Boolean): Int => Boolean = c match {
     case lc: LongsCol =>
@@ -276,6 +306,9 @@ object Filters {
     case bc: BytesCol =>
       val x = toBytes(v)
       i => notNull(bc, i) && test(compareRegion(bc, i, x))
+    case dc: DictBytesCol =>
+      val x = toBytes(v)
+      dictPass(dc, e => test(compareRegion(dc.alphabet, e, x)))
     case bl: BoolsCol =>
       val x = v.asInstanceOf[Boolean]
       i => notNull(bl, i) && test(java.lang.Boolean.compare(bl.values(i), x))

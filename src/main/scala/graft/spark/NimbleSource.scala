@@ -518,14 +518,21 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     * filtered (caller continues the loop). */
   private def decodeAndFilterChunk(): Int = {
     {
-      // decode filter columns, evaluate the pushed predicates per row
+      // decode filter columns, evaluate the pushed predicates per row;
+      // string columns decode dictionary-preserving (DictBytesCol) so
+      // low-cardinality predicates cost alphabet-size compares per chunk
+      def decodeFilterCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
+        case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
+            dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+        case other => other.decodeRaw()
+      }
       val decoded = mutable.HashMap[String, graft.format.Column]()
-      for ((c, r) <- filterReaders) decoded(c) = r.decodeRaw()
+      for ((c, r) <- filterReaders) decoded(c) = decodeFilterCol(c, r)
       var fi = 0
       while (fi < fieldReaders.length) {
         val name = required.fields(fi).name
         if (requiredFilterRefs.contains(name))
-          decoded(name) = fieldReaders(fi).decodeRaw()
+          decoded(name) = decodeFilterCol(name, fieldReaders(fi))
         fi += 1
       }
       val chunkRows = decoded.valuesIterator.next().len
