@@ -66,14 +66,22 @@ object Bench {
     val li = li0.repartition(cpus.toInt).cache()
     val liRows = li.count()
     val nimbleLi = s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem"
+    // The write stack (codec candidate search + selection) is deep Scala that
+    // takes several invocations to reach C2-compiled steady state; a single
+    // untimed warmup still measures tier-1 code (observed: iterations 2-4 run
+    // 0.15-0.38s, steady state 0.09-0.11s). Both writers get the same extra
+    // warm passes — the metric is steady-state throughput, which is what a
+    // long-running ingest job sees.
+    for (_ <- 0 until 3) li.write.format("nimble").mode("overwrite").save(nimbleLi)
     val (wSec, _) = timeWarm {
       li.write.format("nimble").mode("overwrite").save(nimbleLi)
     }
     results("write_lineitem") = wSec
     results("write_rows_per_sec") = liRows / wSec
+    val pqDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet"
+    for (_ <- 0 until 3) li.write.mode("overwrite").parquet(pqDir)
     val (wpSec, _) = timeWarm {
-      li.write.mode("overwrite")
-        .parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet")
+      li.write.mode("overwrite").parquet(pqDir)
     }
     results("write_parquet_sec") = wpSec
     results("write_vs_parquet_ratio") = wSec / wpSec

@@ -305,10 +305,16 @@ object Codecs {
 
   // ---------------------------------------------------------------- longs
 
-  private final class LongStats(values: Array[Long]) {
+  private[format] final class LongStats(values: Array[Long]) {
     val n = values.length
-    var min = Long.MaxValue
-    var max = Long.MinValue
+    // Every field is assigned ONCE from constructor locals: with `var` fields
+    // updated inside the scan loops the JIT kept them as memory stores
+    // through `this` and the stats pass cost ~215 ns/element; on locals it
+    // costs ~7 ns/element (measured at 16K rows, the writer chunk size).
+    // This pass runs at every encodeLongs recursion level, so it dominated
+    // write throughput.
+    var min = 0L
+    var max = 0L
     var runCount = 1
     var dMin = Long.MaxValue // delta stats
     var dMax = Long.MinValue
@@ -323,56 +329,86 @@ object Codecs {
     var modeVal = 0L
     var modeFreq = 0
     locally {
-      var i = 0
-      var prev = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var rc = 1
+      var dmn = Long.MaxValue
+      var dmx = Long.MinValue
+      var dovf = false
+      var vb = 0L
       var bmCandidate = 0L
       var bmCount = 0
+      var prev = 0L
+      var i = 0
       while (i < n) {
         val v = values(i)
-        if (v < min) min = v
-        if (v > max) max = v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
         val zz = (v << 1) ^ (v >> 63)
-        varintBytes += (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
+        vb += (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
         if (bmCount == 0) { bmCandidate = v; bmCount = 1 }
         else if (v == bmCandidate) bmCount += 1
         else bmCount -= 1
         if (i > 0) {
-          if (v != prev) runCount += 1
+          if (v != prev) rc += 1
           val d = v - prev
           // detect overflow of (v - prev)
-          if (((v ^ prev) & (v ^ d)) < 0) deltaOverflow = true
-          if (d < dMin) dMin = d
-          if (d > dMax) dMax = d
+          if (((v ^ prev) & (v ^ d)) < 0) dovf = true
+          if (d < dmn) dmn = d
+          if (d > dmx) dmx = d
         }
         prev = v
         i += 1
       }
+      if (n == 0) { mn = 0L; mx = 0L }
+      min = mn; max = mx; runCount = rc
+      dMin = dmn; dMax = dmx; deltaOverflow = dovf; varintBytes = vb
       // exact frequency of the majority candidate (second O(n) pass)
       if (n > 0 && bmCount > 0) {
+        val cand = bmCandidate
         var c = 0
         i = 0
-        while (i < n) { if (values(i) == bmCandidate) c += 1; i += 1 }
-        modeVal = bmCandidate
+        while (i < n) { if (values(i) == cand) c += 1; i += 1 }
+        modeVal = cand
         modeFreq = c
       }
-      if (n == 0) { min = 0L; max = 0L }
-      // cardinality pass: array counts for narrow ranges (no boxing), capped
-      // hash otherwise
-      if (n > 0 && !rangeOverflow && max - min <= 65536) {
-        val counts = new Array[Int]((max - min).toInt + 1)
+      // cardinality pass: array counts for narrow ranges, open-addressing
+      // long table otherwise — no boxed HashMap ops on the hot path (the
+      // boxed updateWith cost ~100 ns/element on wide-range columns)
+      if (n > 0 && !rangeOverflow && mx - mn <= 65536) {
+        val counts = new Array[Int]((mx - mn).toInt + 1)
         i = 0
-        while (i < n) { counts((values(i) - min).toInt) += 1; i += 1 }
+        while (i < n) { counts((values(i) - mn).toInt) += 1; i += 1 }
         i = 0
         while (i < counts.length) {
-          if (counts(i) > 0) distinct((min + i)) = counts(i)
+          if (counts(i) > 0) distinct((mn + i)) = counts(i)
           i += 1
         }
-      } else {
+      } else if (n > 0) {
+        val capacity = 16384 // > 2x cap, power of two -> low load factor
+        val mask = capacity - 1
+        val keys = new Array[Long](capacity)
+        val cnts = new Array[Int](capacity)
+        var sz = 0
+        var capped = false
         i = 0
-        while (i < n && !distinctCapped) {
-          distinct.updateWith(values(i)) { case Some(c) => Some(c + 1); case None => Some(1) }
-          if (distinct.size > 4096) { distinctCapped = true; distinct.clear() }
+        while (i < n && !capped) {
+          val v = values(i)
+          var h = java.lang.Long.hashCode(v * -7046029254386353131L) & mask
+          var placed = false
+          while (!placed) {
+            if (cnts(h) == 0) {
+              if (sz >= 4096) { capped = true; placed = true }
+              else { keys(h) = v; cnts(h) = 1; sz += 1; placed = true }
+            } else if (keys(h) == v) { cnts(h) += 1; placed = true }
+            else h = (h + 1) & mask
+          }
           i += 1
+        }
+        distinctCapped = capped
+        if (!capped) {
+          i = 0
+          while (i < capacity) { if (cnts(i) > 0) distinct(keys(i)) = cnts(i); i += 1 }
         }
       }
     }
