@@ -183,7 +183,7 @@ object SparkEntry {
     "x06_embed_lsh_ann" -> ((s, dir) => {
       val emb = Tables.nimble(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-        k = 3, dims = 64, planes = 6)
+        k = 3, dims = 64, planes = 6, nprobes = 3)
     }),
     "x07_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -399,24 +399,34 @@ object SparkEntry {
            FROM scored)
          SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
     // Full oracle: the hyperplane weights are a pure arithmetic formula
-    // (pmod-hash of (plane, dim)), so DuckDB replays the exact bucketing +
-    // exact re-rank — the oracle verifies the whole LSH pipeline, not just
-    // row counts.
+    // (pmod-hash of (plane, dim)), so DuckDB replays the exact bucketing,
+    // the multi-probe flip order (|margin| rounded to 9 decimals, plane
+    // index tiebreak) and the exact re-rank — the oracle verifies the whole
+    // multi-probe LSH pipeline, not just row counts.
     "x06_embed_lsh_ann" ->
       """WITH planes AS (SELECT unnest(range(0, 6)) AS p),
-         b AS (SELECT vec_id, sum(CASE WHEN list_sum(list_transform(range(0, 64),
-                 d -> CAST(embedding[d+1] AS DOUBLE) * (((d*2654435761 + p*40503 + 7) % 1000003) / 500001.5 - 1.0))) >= 0
+         m AS (SELECT vec_id, p, list_sum(list_transform(range(0, 64),
+                 d -> CAST(embedding[d+1] AS DOUBLE) * (((d*2654435761 + p*40503 + 7) % 1000003) / 500001.5 - 1.0))) AS acc
+             FROM embeddings CROSS JOIN planes),
+         b AS (SELECT vec_id, sum(CASE WHEN acc >= 0
                THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
-             FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+             FROM m GROUP BY vec_id),
+         flips AS (SELECT vec_id, p,
+               row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(acc) * 1e9), p) AS rn
+             FROM m WHERE vec_id < 20),
+         qprobes AS (
+           SELECT vec_id, bucket AS probe FROM b WHERE vec_id < 20
+           UNION ALL
+           SELECT f.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << f.p) AS probe
+           FROM flips f JOIN b ON b.vec_id = f.vec_id WHERE f.rn <= 2),
          e AS (SELECT vec_id, embedding FROM embeddings),
          scored AS (
-           SELECT qb.vec_id AS q, cb.vec_id AS neighbor,
+           SELECT qp.vec_id AS q, cb.vec_id AS neighbor,
              list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))) /
              (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))) *
               sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))) AS sim
-           FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
-           JOIN e qe ON qe.vec_id = qb.vec_id JOIN e ce ON ce.vec_id = cb.vec_id
-           WHERE qb.vec_id < 20),
+           FROM qprobes qp JOIN b cb ON cb.bucket = qp.probe AND qp.vec_id <> cb.vec_id
+           JOIN e qe ON qe.vec_id = qp.vec_id JOIN e ce ON ce.vec_id = cb.vec_id),
          ranked AS (SELECT q, neighbor, row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank FROM scored)
          SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
     "x07_text_quality" ->

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector-similarity expressions (SURVEY.md §2.8 similarity search).
   *
@@ -81,12 +81,69 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Multi-probe LSH bucket list (ref probing in `dwio/nimble` has no
+  * equivalent; this is the standard multi-probe construction from Lv et al.,
+  * VLDB'07): the main bucket plus `nprobes - 1` single-bit flips of the
+  * planes with the smallest |margin| (= |dot(v, plane)|) — the sign decisions
+  * most likely to differ for a true near neighbor. Margins are compared
+  * rounded to 9 decimals with the plane index as tiebreak, so an oracle
+  * replaying the same arithmetic orders flips identically. Probe buckets are
+  * distinct by construction (distinct XOR masks), so a corpus row joins a
+  * query's probe list at most once. */
+case class LshProbes(first: Expression, second: Expression, third: Expression,
+    fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_probes"
+
+  override def nullSafeEval(vAny: Any, dimsAny: Any, planesAny: Any, nprobesAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val dims = dimsAny.asInstanceOf[Int]
+    val planes = planesAny.asInstanceOf[Int]
+    val nprobes = math.min(nprobesAny.asInstanceOf[Int], planes + 1)
+    if (v.numElements() != dims)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L))
+    val margin = new Array[Double](planes)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dims) {
+        if (v.isNullAt(d)) { acc = Double.NaN; d = dims }
+        else {
+          val w = ((d.toLong * 2654435761L + p.toLong * 40503L + 7L) % 1000003L).toDouble / 500001.5 - 1.0
+          acc += v.getFloat(d).toDouble * w
+          d += 1
+        }
+      }
+      if (acc >= 0) bucket += 1L << p
+      margin(p) = acc
+      p += 1
+    }
+    // flip order: rounded |margin| ascending, plane index as tiebreak
+    val order = (0 until planes).sortBy(p => (math.rint(math.abs(margin(p)) * 1e9), p))
+    val out = new Array[Long](math.max(nprobes, 1))
+    out(0) = bucket
+    var i = 1
+    while (i < out.length) { out(i) = bucket ^ (1L << order(i - 1)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorOps {
-  /** Register `graft_cosine(a, b)` and `graft_lsh_bucket(v, dims, planes)`
-    * (idempotent). */
+  /** Register `graft_cosine(a, b)`, `graft_lsh_bucket(v, dims, planes)` and
+    * `graft_lsh_probes(v, dims, planes, nprobes)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Registry.ensure(spark, "graft_cosine", exprs => CosineSim(exprs.head, exprs(1)))
     Registry.ensure(spark, "graft_lsh_bucket", exprs => LshBucket(exprs.head, exprs(1), exprs(2)))
+    Registry.ensure(spark, "graft_lsh_probes",
+      exprs => LshProbes(exprs.head, exprs(1), exprs(2), exprs(3)))
   }
 }
 

@@ -129,15 +129,46 @@ object Similarity {
     sigs.reduce(_ + _)
   }
 
-  /** Approximate top-k: queries join only their LSH bucket (plus no
-    * multiprobe in v1). Falls back to empty result for queries whose bucket
-    * contains no corpus vectors — callers union with brute force on misses if
-    * full recall is required. */
+  /** Multi-probe bucket list: main bucket + single-bit flips of the
+    * lowest-|margin| planes (see [[graft.functions.LshProbes]]). */
+  def lshProbes(vec: Column, dims: Int, planes: Int, nprobes: Int): Column = {
+    graft.functions.VectorOps.register(SparkSession.active)
+    call_function("graft_lsh_probes", vec, lit(dims), lit(planes), lit(nprobes))
+  }
+
+  /** Composed-operator multi-probe list (the cross-validation reference):
+    * same margin arithmetic as [[lshBucketComposed]], flips ordered by
+    * round(|margin| * 1e9) with plane index as tiebreak. */
+  def lshProbesComposed(vec: Column, dims: Int, planes: Int, nprobes: Int): Column = {
+    def margin(p: Int): Column = aggregate(
+      zip_with(vec, sequence(lit(0), lit(dims - 1)),
+        (v, d) => v.cast("double") *
+          (pmod(d * lit(2654435761L) + lit(p.toLong * 40503L + 7L), lit(1000003L)).cast("double") / 500001.5 - 1.0)),
+      lit(0.0), (acc, v) => acc + v)
+    val bucket = (0 until planes)
+      .map(p => when(margin(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // (rounded |margin|, plane, mask) sorted ascending give the flip order;
+    // the mask rides along so the lambda needs no dynamic shift
+    val ranked = array_sort(array((0 until planes).map(p =>
+      struct(round(abs(margin(p)) * 1e9).as("m"), lit(p).as("p"), lit(1L << p).as("mask"))): _*))
+    val flips = transform(slice(ranked, 1, math.min(nprobes - 1, planes)),
+      e => bucket.bitwiseXOR(e.getField("mask")))
+    concat(array(bucket), flips)
+  }
+
+  /** Approximate top-k with multi-probe: each query joins its own bucket plus
+    * the `nprobes - 1` buckets reached by flipping its least-confident sign
+    * bits — bucket-miss queries (empty main bucket) fall back to near-boundary
+    * buckets instead of returning nothing. The probe list explodes on the
+    * (small, broadcast) query side only; the corpus keeps one bucket per row,
+    * so corpus shuffle cost is unchanged and recall rises with nprobes at
+    * O(nprobes) extra probe-join fan-out. nprobes=1 is plain single-probe. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, dims: Int, planes: Int = 8): DataFrame = {
+      vecCol: String, k: Int, dims: Int, planes: Int = 8, nprobes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), dims, planes))
+      .withColumn("bucket", explode(lshProbes(col("qv"), dims, planes, nprobes)))
     val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), dims, planes))
     val scored = broadcast(q).join(c, Seq("bucket"))

@@ -647,18 +647,21 @@ class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[St
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftIO.mkdirs(path)
-    NimbleStreamingWriterFactory(path, schemaJson, sortColumns)
+    NimbleStreamingWriterFactory(path, schemaJson, sortColumns, GraftIO.broadcastConf())
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String])
+case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // epoch id in the name: a replayed epoch rewrites the same files, so the
   // streaming sink is idempotent without a rename step
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    GraftIO.installConf(hadoopConf)
     new NimbleDataWriter(s"$path/epoch-$epochId-part-%05d.gft".format(partitionId), schemaJson, sortColumns)
+  }
 }
 
 /** Task output committed via the message, not the filesystem. */

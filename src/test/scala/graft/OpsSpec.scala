@@ -80,6 +80,50 @@ class OpsSpec extends SparkTestBase {
     assert(assign.select("cid").distinct().count() > 1)
   }
 
+  test("native LshProbes expression == composed pipeline; probes distinct") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val rows = emb.select(
+      Similarity.lshProbes(col("embedding"), 64, 6, 4).as("fast"),
+      Similarity.lshProbesComposed(col("embedding"), 64, 6, 4).as("slow")).collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      val slow = r.getSeq[Long](1)
+      assert(fast == slow, s"probe lists differ: $fast vs $slow")
+      assert(fast.distinct.size == fast.size, s"probes must be distinct: $fast")
+      assert(fast.size == 4)
+    }
+    // nprobes=1 must equal the single bucket
+    val one = emb.select(
+      Similarity.lshProbes(col("embedding"), 64, 6, 1).as("probes"),
+      Similarity.lshBucket(col("embedding"), 64, 6).as("bucket")).collect()
+    assert(one.forall(r => r.getSeq[Long](0) == Seq(r.getLong(1))))
+  }
+
+  test("LSH multiprobe lifts recall over single-probe vs brute force") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 50)
+    // planes=6 => 64 buckets over a few hundred vectors: sparse enough that
+    // single-probe misses near-boundary neighbors, dense enough that probing
+    // the 3 least-confident flips recovers a meaningful share of them
+    val truth = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("q", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobes: Int): Double = {
+      val got = Similarity.lshTopK(q, emb, "vec_id", "embedding",
+        k = 3, dims = 64, planes = 6, nprobes = nprobes)
+        .select("q", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    val r7 = recall(7) // all Hamming-1 neighbors probed
+    assert(r4 > r1, s"multiprobe recall $r4 must beat single-probe $r1")
+    assert(r7 >= r4, s"recall must be monotone in nprobes: $r7 < $r4")
+    // floor calibrated on the (deterministic) test corpus: random vectors
+    // have weak locality, so 3.3x over single-probe is the signal; the floor
+    // guards against a probe-order regression, not an absolute ANN quality bar
+    assert(r7 >= 0.4, s"full Hamming-1 probe recall $r7 below floor (single-probe $r1)")
+  }
+
   test("salted join == plain join on a skewed key distribution") {
     import graft.ops.Skew
     import spark.implicits._
