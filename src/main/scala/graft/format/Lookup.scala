@@ -11,19 +11,33 @@ import org.apache.spark.sql.types._
   * SparkSession. Atomic columns only. */
 object Lookup {
 
+  /** Observability for the lookup path: how many rows were actually decoded
+    * vs how many the probed stripes hold. With a hash index the former stays
+    * ~chunk-sized per hit; without it every surviving stripe's key column
+    * decodes in full. */
+  final case class Metrics(var rowsDecoded: Long = 0L, var stripeRows: Long = 0L,
+      var stripesProbed: Int = 0, var indexProbes: Int = 0)
+
   /** All rows where `column == value` across the tablet files under `path`.
     * Returns (columnName -> value) maps, one per matching row. */
-  def pointLookup(path: String, column: String, value: Any): Seq[Map[String, Any]] = {
-    GraftIO.listGft(path).map(_.path).flatMap(lookupInFile(_, column, value))
+  def pointLookup(path: String, column: String, value: Any): Seq[Map[String, Any]] =
+    pointLookupMetered(path, column, value)._1
+
+  /** [[pointLookup]] plus decode-cost metrics (index-effectiveness specs). */
+  def pointLookupMetered(path: String, column: String, value: Any): (Seq[Map[String, Any]], Metrics) = {
+    val m = Metrics()
+    (GraftIO.listGft(path).map(_.path).flatMap(lookupInFile(_, column, value, m)), m)
   }
 
-  private def lookupInFile(file: String, column: String, value: Any): Seq[Map[String, Any]] = {
+  private def lookupInFile(file: String, column: String, value: Any,
+      m: Metrics): Seq[Map[String, Any]] = {
     val reader = new Tablet.Reader(file)
     try {
       val footer = reader.footer
       val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
       val keyIdx = footer.streamKeys.zipWithIndex.toMap
       val colId = keyIdx.getOrElse(column, return Nil)
+      val idxId = keyIdx.getOrElse(Tablet.indexStreamKey(column), -1)
       val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
       val out = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
       var s = 0
@@ -32,30 +46,131 @@ object Lookup {
         val st = info.stats(colId)
         val skip = !mightMatch(st, info.blooms.get(colId), value)
         if (!skip) {
-          // decode the key column; collect matching row ordinals per chunk
-          val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
-          val others = atomicFields.filter(_.name != column).map { f =>
-            f.name -> new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(f.name)))
-          }
-          while (keyCur.hasNext) {
-            val keyCol = keyCur.next()
-            val matches = matchRows(keyCol, value)
-            if (matches.isEmpty) {
-              others.foreach(_._2.skip())
-            } else {
-              val cols = others.map { case (n, cur) => n -> cur.next() }
-              for (r <- matches) {
-                val row = scala.collection.mutable.LinkedHashMap[String, Any](column -> value)
-                for ((n, c) <- cols) row(n) = valueAt(c, r)
-                out += row.toMap
-              }
-            }
-          }
+          m.stripesProbed += 1
+          m.stripeRows += info.rowCount
+          val hasIndex = idxId >= 0 && idxId < info.streams.length && info.streams(idxId).length > 0
+          if (hasIndex) lookupViaIndex(reader, s, idxId, colId, keyIdx, atomicFields, column, value, out, m)
+          else lookupByScan(reader, s, colId, keyIdx, atomicFields, column, value, out, m)
         }
         s += 1
       }
       out.toSeq
     } finally reader.close()
+  }
+
+  /** Index probe: binary-search the stripe's sorted (hash, position) table,
+    * then decode ONLY the chunks holding candidate positions — the key chunk
+    * to verify equality (hash collisions), the sibling chunks to materialize
+    * the row. O(log n) probe + O(chunk) decode per hit, vs O(stripe rows). */
+  private def lookupViaIndex(reader: Tablet.Reader, s: Int, idxId: Int, colId: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String, value: Any,
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    m.indexProbes += 1
+    val h = value match {
+      case str: String => val b = str.getBytes("UTF-8"); Tablet.hashBytesValue(b, 0, b.length)
+      case n: Number => Tablet.hashLongValue(n.longValue())
+      case _ => // unindexable probe type: full scan of the stripe
+        lookupByScan(reader, s, colId, keyIdx, atomicFields, column, value, out, m); return
+    }
+    val idx = new ByteCursor(reader.readStreamBytes(s, idxId))
+    val count = idx.readInt()
+    val hashBase = idx.pos
+    def hashAt(i: Int): Long = { idx.pos = hashBase + 8 * i; idx.readLong() }
+    def posAt(i: Int): Long = { idx.pos = hashBase + 8 * count + 8 * i; idx.readLong() }
+    // lower bound of h in the sorted hash run
+    var lo = 0; var hi = count
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (hashAt(mid) < h) lo = mid + 1 else hi = mid
+    }
+    // candidate (chunk, row) positions, already position-sorted within a hash
+    val cand = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = lo
+    while (i < count && hashAt(i) == h) { cand += posAt(i); i += 1 }
+    if (cand.isEmpty) return
+    val byChunk: Map[Int, Seq[Int]] = cand.groupBy(p => (p >>> 32).toInt)
+      .map { case (c, ps) => c -> ps.map(p => (p & 0xffffffffL).toInt).toSeq }
+    // verify candidates against the real key (collisions) chunk by chunk
+    val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
+    val verified = scala.collection.mutable.LinkedHashMap[Int, Seq[Int]]()
+    var ord = 0
+    var remaining = byChunk.size
+    while (keyCur.hasNext && remaining > 0) {
+      byChunk.get(ord) match {
+        case Some(rows) =>
+          val keyCol = keyCur.next()
+          m.rowsDecoded += keyCol.len
+          val ok = rows.filter(r => verifyAt(keyCol, r, value)).toSeq
+          if (ok.nonEmpty) verified(ord) = ok
+          remaining -= 1
+        case None => keyCur.skip()
+      }
+      ord += 1
+    }
+    if (verified.isEmpty) return
+    // materialize sibling columns for verified chunks only
+    val others = atomicFields.filter(_.name != column).map { f =>
+      f.name -> new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(f.name)))
+    }
+    val rowsOut = scala.collection.mutable.LinkedHashMap[(Int, Int), scala.collection.mutable.LinkedHashMap[String, Any]]()
+    for ((chunk, rows) <- verified; r <- rows)
+      rowsOut((chunk, r)) = scala.collection.mutable.LinkedHashMap[String, Any](column -> value)
+    for ((name, cur) <- others) {
+      var ord = 0
+      var left = verified.size
+      while (cur.hasNext && left > 0) {
+        verified.get(ord) match {
+          case Some(rows) =>
+            val c = cur.next()
+            m.rowsDecoded += c.len
+            for (r <- rows) rowsOut((ord, r))(name) = valueAt(c, r)
+            left -= 1
+          case None => cur.skip()
+        }
+        ord += 1
+      }
+    }
+    rowsOut.values.foreach(r => out += r.toMap)
+  }
+
+  /** Fallback scan: decode the whole key column of the stripe. */
+  private def lookupByScan(reader: Tablet.Reader, s: Int, colId: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String, value: Any,
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
+    val others = atomicFields.filter(_.name != column).map { f =>
+      f.name -> new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(f.name)))
+    }
+    while (keyCur.hasNext) {
+      val keyCol = keyCur.next()
+      m.rowsDecoded += keyCol.len
+      val matches = matchRows(keyCol, value)
+      if (matches.isEmpty) {
+        others.foreach(_._2.skip())
+      } else {
+        val cols = others.map { case (n, cur) => n -> cur.next() }
+        for ((_, c) <- cols) m.rowsDecoded += c.len
+        for (r <- matches) {
+          val row = scala.collection.mutable.LinkedHashMap[String, Any](column -> value)
+          for ((n, c) <- cols) row(n) = valueAt(c, r)
+          out += row.toMap
+        }
+      }
+    }
+  }
+
+  private def verifyAt(col: Column, i: Int, value: Any): Boolean = (col, value) match {
+    case (c: LongsCol, n: Number) =>
+      (c.nulls == null || !c.nulls(i)) && c.values(i) == n.longValue()
+    case (c: BytesCol, s: String) =>
+      val b = s.getBytes("UTF-8")
+      (c.nulls == null || !c.nulls(i)) &&
+        c.offsets(i + 1) - c.offsets(i) == b.length && {
+          var k = 0; var eq = true
+          while (k < b.length && eq) { eq = c.bytes(c.offsets(i) + k) == b(k); k += 1 }
+          eq
+        }
+    case _ => false
   }
 
   private def mightMatch(st: Tablet.Stats, bloom: Option[Tablet.Bloom], value: Any): Boolean = {

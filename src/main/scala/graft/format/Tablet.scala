@@ -333,13 +333,22 @@ object Tablet {
   /** Streaming tablet writer. Chunks are framed and buffered per stream until
     * the stripe flushes (size- or row-bound), keeping writer memory bounded
     * like the reference's flush policy (writer/FlushPolicy.h:74,114). */
+  /** Hidden per-stripe hash-index stream for `column` (never part of the
+    * schema, so scans ignore it): `[count i32][xxh64(key) 8B * count]
+    * [(chunk<<32 | rowInChunk) 8B * count]`, sorted by (hash, position).
+    * The exact point-lookup analog of the reference's HashIndex
+    * (dwio/nimble/index/HashIndex.h:57 — key -> row ids), scoped per stripe
+    * so the footer stays bounded and the index reads with the stripe. */
+  def indexStreamKey(column: String): String = "#idx:" + column
+
   final class Writer(
       path: String,
       schemaJson: String,
       streamKeys: Array[String],
       sortColumns: Seq[String] = Nil,
       bloomColumns: Set[String] = Set.empty,
-      compression: String = "zstd") extends ChunkSink {
+      compression: String = "zstd",
+      indexColumns: Set[String] = Set.empty) extends ChunkSink {
     private val out = GraftIO.create(path)
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong
@@ -355,6 +364,9 @@ object Tablet {
     private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long, Map[Int, Bloom])]()
     // per-stripe value hashes for bloom-configured streams (built at flush)
     private val bloomHashes = mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    // per-stripe (hash, chunk<<32|row) entries for index-configured streams
+    private val idxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
+    private val idxChunkOrd = mutable.HashMap[Int, Int]()
     private var totalRows: Long = 0L
 
     private def nStreams = keys.length
@@ -427,12 +439,50 @@ object Tablet {
           case _ => () // doubles/bools: equality pruning not supported
         }
       }
+      if (indexColumns(keys(id))) {
+        val ord = idxChunkOrd.getOrElse(id, 0)
+        val buf = idxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
+        col match {
+          case c: LongsCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i))
+                buf += ((hashLongValue(c.values(i)), (ord.toLong << 32) | i))
+              i += 1
+            }
+          case c: BytesCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i))
+                buf += ((hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i)),
+                  (ord.toLong << 32) | i))
+              i += 1
+            }
+          case _ => () // doubles/bools: point lookup goes through the scan path
+        }
+        idxChunkOrd(id) = ord + 1
+      }
     }
 
     def addRows(n: Long): Unit = { stripeRows += n; totalRows += n }
 
     def flushStripe(): Unit = {
       if (stripeRows == 0) return
+      // materialize index streams BEFORE the write loop so they register and
+      // flush with this stripe (sorted by hash for binary search; position as
+      // tiebreak keeps the layout deterministic)
+      if (idxEntries.nonEmpty) {
+        for ((id, entries) <- idxEntries.toSeq.sortBy(_._1)) {
+          val idxId = ensureStream(indexStreamKey(keys(id)))
+          val sorted = entries.sortBy(identity)
+          val b = stripeBufs(idxId)
+          b.writeInt(sorted.length)
+          sorted.foreach(e => b.writeLong(e._1))
+          sorted.foreach(e => b.writeLong(e._2))
+        }
+        idxEntries.clear()
+        idxChunkOrd.clear()
+      }
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
       val hasher = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().newStreamingHash64(0L)

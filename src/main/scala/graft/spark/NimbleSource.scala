@@ -632,7 +632,9 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
-      csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"))
+      csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
+      csvOpt("indexColumns"),
+      Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384))
     /** Structured Streaming sink: files are immutable and appended per epoch,
       * which matches the format's append-only tablet model exactly; epoch id
       * lands in the file name so replayed epochs overwrite deterministically
@@ -678,7 +680,8 @@ case class NimbleCommitMessage(tempFile: String, finalFile: String) extends Writ
   * commit time, so a failed overwrite job leaves the old table intact. */
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
-    bloomColumns: Set[String] = Set.empty, compression: String = "zstd") extends BatchWrite {
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384) extends BatchWrite {
 
   // per-job tag: task ids restart at 0 in a new Spark application, so append
   // jobs would otherwise silently overwrite files from an earlier run
@@ -688,7 +691,7 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
     NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
-      GraftIO.broadcastConf())
+      GraftIO.broadcastConf(), indexColumns, rowsPerChunk)
   }
 
   /** Consistency contract (FileOutputCommitter-v1 shape): commit is NOT
@@ -729,7 +732,8 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     jobTag: String = "0",
-    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // executor JVMs inherit the driver's spark.hadoop.* (S3A credentials etc.)
@@ -738,9 +742,10 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     // taskId (attempt-unique) in the temp name keeps speculative attempts of
     // the same partition from clobbering each other mid-write
     val temp = GraftIO.child(GraftIO.child(GraftIO.child(path, "_temporary"), jobTag), s"$taskId-$name")
-    new NimbleDataWriter(temp, schemaJson, sortColumns, writeOpts = writeOpts,
+    new NimbleDataWriter(temp, schemaJson, sortColumns, rowsPerChunk = rowsPerChunk,
+      writeOpts = writeOpts,
       bloomColumns = bloomColumns, compression = compression,
-      finalFile = GraftIO.child(path, name))
+      finalFile = GraftIO.child(path, name), indexColumns = indexColumns)
   }
 }
 
@@ -752,12 +757,12 @@ class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String
     rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20,
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    finalFile: String = null)
+    finalFile: String = null, indexColumns: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns, bloomColumns,
-    compression)
+    compression, indexColumns)
   private val writers: Array[Fields.FieldWriter] =
     schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0

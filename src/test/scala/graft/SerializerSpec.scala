@@ -65,6 +65,45 @@ class SerializerSpec extends SparkTestBase {
     assert(graft.format.Lookup.pointLookup(dir, "o_orderkey", -999L).isEmpty)
   }
 
+  test("hash index: point lookup decodes ~a chunk, not the stripe") {
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("lookup_idx")
+    // small chunks force many chunks per stripe so the decode-cost gap between
+    // indexed (one chunk) and scan (all chunks) is structural, not accidental
+    sparkDf.coalesce(1).write.format("nimble")
+      .option("indexColumns", "o_orderkey,o_orderstatus")
+      .option("rowsPerChunk", "64").mode("overwrite").save(dir)
+    val expected = sparkDf.filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L).collect()
+    val (got, m) = graft.format.Lookup.pointLookupMetered(dir, "o_orderkey", 42L)
+    assert(got.length == expected.length)
+    if (expected.nonEmpty)
+      assert(got.head("o_custkey") == expected.head.getAs[Long]("o_custkey"))
+    assert(m.indexProbes > 0, "index stream must be used")
+    assert(m.stripeRows > 0)
+    // the verdict-#9 bar: rows decoded << stripe row count (index reads the
+    // candidate chunks only; a full scan decodes every chunk of every column)
+    assert(m.rowsDecoded < m.stripeRows,
+      s"rowsDecoded=${m.rowsDecoded} should be well under stripeRows=${m.stripeRows}")
+    val (_, mScan) = graft.format.Lookup.pointLookupMetered(dir, "o_custkey", 42L)
+    assert(mScan.indexProbes == 0, "non-indexed column takes the scan path")
+    assert(m.rowsDecoded < mScan.rowsDecoded / 2,
+      s"indexed decode ${m.rowsDecoded} vs scan decode ${mScan.rowsDecoded}")
+    // string-key probe through the same index machinery
+    val (gotStr, mStr) = graft.format.Lookup.pointLookupMetered(dir, "o_orderstatus", "F")
+    val expStr = sparkDf.filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count()
+    assert(gotStr.length == expStr.toInt)
+    assert(mStr.indexProbes > 0)
+    // miss probes decode nothing
+    val (miss, mMiss) = graft.format.Lookup.pointLookupMetered(dir, "o_orderkey", -999L)
+    assert(miss.isEmpty && mMiss.rowsDecoded == 0)
+    // the hidden #idx: streams must be invisible to the Spark scan path
+    val back = spark.read.format("nimble").load(dir)
+    assert(back.count() == sparkDf.count())
+    assert(back.schema.fieldNames.toSet == sparkDf.schema.fieldNames.toSet)
+    assert(back.filter(org.apache.spark.sql.functions.col("o_orderkey") === 42L).count() ==
+      expected.length.toLong)
+  }
+
   test("empty batch") {
     val schema = StructType(Seq(StructField("x", IntegerType)))
     val blob = Serializer.serialize(schema, Iterator.empty)
