@@ -43,6 +43,7 @@ object Codecs {
   final val FSST: Byte = 19 // trained symbol-table string compression, random access
   final val HUFFMAN: Byte = 20 // canonical Huffman over a small value alphabet
   final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
+  final val SHAREDDICT: Byte = 22 // stripe-scoped alphabet (in an alphabet frame) + per-chunk indices
 
   /** Decode-speed priors, reference docs/Encodings.md:80-90 (Trivial 0.7,
     * FixedBitWidth 0.9, others 1.0); Huffman penalized beyond the reference

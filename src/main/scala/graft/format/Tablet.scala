@@ -20,7 +20,7 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 5 // v5: per-chunk stats in the chunk frame (chunk skipping)
+  val Version: Int = 6 // v6: shared-dictionary alphabet frames (flag byte 2); v5: per-chunk stats
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -369,6 +369,108 @@ object Tablet {
     private val idxChunkOrd = mutable.HashMap[Int, Int]()
     private var totalRows: Long = 0L
 
+    // ---- stripe-scoped shared dictionary (reference:
+    // dwio/nimble/encodings/SharedDictionaryEncoding.h:415 — alphabet shared
+    // across the chunks of a stripe instead of re-stored per chunk). Chunks of
+    // an eligible low-cardinality string stream buffer as index arrays; at
+    // stripe flush one alphabet frame (flag byte 2) precedes the index chunks
+    // in the stream, so the stream stays self-contained and chunk ordinals
+    // are unchanged (the cursor swallows alphabet frames transparently).
+    private final val SharedMaxEntries = 4096
+    private final val SharedMaxBytes = 1 << 20
+    private final class SharedState {
+      val index = mutable.HashMap[String, Int]()
+      val offsets = mutable.ArrayBuffer[Int](0)
+      val bytes = new ByteSink(4096)
+      val pending = mutable.ArrayBuffer[(Array[Int], Array[Boolean], Stats)]()
+      def alphabetCol: BytesCol = BytesCol(offsets.toArray, bytes.toArray)
+    }
+    private val sharedActive = mutable.HashMap[Int, SharedState]()
+    private val sharedOff = mutable.HashSet[Int]() // decided against, this stripe
+
+    /** Buffer `c` as shared-dictionary indices if the stream is (still)
+      * eligible this stripe; returns false when the chunk should be encoded
+      * normally. Latin-1 keys round-trip arbitrary bytes losslessly. */
+    private def trySharedDict(id: Int, c: BytesCol, cst: Stats): Boolean = {
+      import java.nio.charset.StandardCharsets.ISO_8859_1
+      if (sharedOff(id)) return false
+      val st = sharedActive.getOrElse(id, {
+        // stripe-scoped decision on the first chunk: engage only on strong
+        // reuse (distinct small in absolute terms AND relative to rows)
+        val distinct = mutable.HashSet[String]()
+        var i = 0
+        while (i < c.len && distinct.size <= SharedMaxEntries) {
+          if (c.nulls == null || !c.nulls(i))
+            distinct += new String(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i), ISO_8859_1)
+          i += 1
+        }
+        if (distinct.size > SharedMaxEntries || distinct.size.toLong * 3 > c.len) {
+          sharedOff += id; return false
+        }
+        val s = new SharedState(); sharedActive(id) = s; s
+      })
+      val idx = new Array[Int](c.len)
+      var i = 0
+      while (i < c.len) {
+        if (c.nulls == null || !c.nulls(i)) {
+          val key = new String(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i), ISO_8859_1)
+          idx(i) = st.index.getOrElseUpdate(key, {
+            st.bytes.writeBytes(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
+            st.offsets += st.bytes.size
+            st.index.size
+          })
+        }
+        i += 1
+      }
+      st.pending += ((idx, if (c.nulls == null) null else c.nulls.clone(), cst))
+      // cap blown mid-stripe (data shifted high-cardinality): materialize what
+      // we have as plain chunks — the alphabet covers every buffered value —
+      // and stop shared-coding this stream until the next stripe
+      if (st.index.size > SharedMaxEntries || st.bytes.size > SharedMaxBytes) {
+        materializePlain(id, st)
+        sharedActive -= id
+        sharedOff += id
+      }
+      true
+    }
+
+    /** Encode buffered shared-dict chunks as ordinary per-chunk frames. */
+    private def materializePlain(id: Int, st: SharedState): Unit = {
+      val alpha = st.alphabetCol
+      for ((idx, nulls, cst) <- st.pending) {
+        val enc = new ByteSink(1024)
+        Codecs.encodeColumn(DictBytesCol(alpha, idx, nulls).expand, enc)
+        emitFrame(id, enc.toArray, cst, 1)
+      }
+    }
+
+    /** Flush shared-dictionary streams: alphabet frame + index chunks when
+      * the alphabet was reused across >= 2 chunks, plain encodes otherwise
+      * (a single-chunk stripe gains nothing from the extra frame). */
+    private def flushSharedDict(): Unit = {
+      if (sharedActive.nonEmpty) {
+        for ((id, st) <- sharedActive.toSeq.sortBy(_._1)) {
+          if (st.pending.length <= 1) materializePlain(id, st)
+          else {
+            val aEnc = new ByteSink(1024)
+            Codecs.encodeColumn(st.alphabetCol, aEnc)
+            emitFrame(id, aEnc.toArray, null, 2)
+            for ((idx, nulls, cst) <- st.pending) {
+              val s = new ByteSink(1024)
+              s.writeByte(Codecs.SHAREDDICT)
+              val longs = new Array[Long](idx.length)
+              var i = 0
+              while (i < idx.length) { longs(i) = idx(i).toLong; i += 1 }
+              Codecs.encodeColumn(LongsCol(longs, PhysType.I32, nulls), s)
+              emitFrame(id, s.toArray, cst, 1)
+            }
+          }
+        }
+        sharedActive.clear()
+      }
+      sharedOff.clear()
+    }
+
     private def nStreams = keys.length
 
     /** Id of an existing stream, or register a new one (flatmap keys). */
@@ -396,9 +498,25 @@ object Tablet {
     /** Append one encoded chunk for stream `id` covering `rows` top-level rows
       * (pass rows only once per row-range, via `addRows`). */
     def writeChunk(id: Int, col: Column): Unit = {
-      val enc = new ByteSink(1024)
-      Codecs.encodeColumn(col, enc)
-      val raw = enc.toArray
+      // per-chunk stats ride in the chunk frame (reference:
+      // dwio/nimble/tablet/ChunkStatsWriter.h — chunk skipping); the stripe
+      // stats merge from them, so no second pass over the column
+      val cst = Stats()
+      cst.mergeColumn(col)
+      stripeStats(id).merge(cst)
+      collectAux(id, col)
+      col match {
+        case c: BytesCol if trySharedDict(id, c, cst) => () // buffered until flush
+        case _ =>
+          val enc = new ByteSink(1024)
+          Codecs.encodeColumn(col, enc)
+          emitFrame(id, enc.toArray, cst, 1)
+      }
+    }
+
+    /** Compress (adaptive accept policy) and frame one chunk payload.
+      * flag: 0 = no stats, 1 = stats follow, 2 = shared-dictionary alphabet. */
+    private def emitFrame(id: Int, raw: Array[Byte], cst: Stats, flag: Int): Unit = {
       val rejects = zstdRejects.getOrElse(id, 0)
       val (kind, data) =
         if (rejects >= 3 && rejects % 8 != 0) { zstdRejects(id) = rejects + 1; (CompNone, raw) }
@@ -407,19 +525,16 @@ object Tablet {
           zstdRejects(id) = if (r._1 == CompNone && raw.length >= 25) rejects + 1 else 0
           r
         }
-      // per-chunk stats ride in the chunk frame (reference:
-      // dwio/nimble/tablet/ChunkStatsWriter.h — chunk skipping); the stripe
-      // stats merge from them, so no second pass over the column
-      val cst = Stats()
-      cst.mergeColumn(col)
       val b = stripeBufs(id)
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
       b.writeByte(kind)
-      b.writeByte(1) // stats present
-      writeStats(b, cst)
+      b.writeByte(flag)
+      if (flag == 1) writeStats(b, cst)
       b.writeBytes(data)
-      stripeStats(id).merge(cst)
+    }
+
+    private def collectAux(id: Int, col: Column): Unit = {
       if (bloomColumns(keys(id))) {
         val buf = bloomHashes.getOrElseUpdate(id, mutable.ArrayBuffer[Long]())
         col match {
@@ -468,6 +583,7 @@ object Tablet {
 
     def flushStripe(): Unit = {
       if (stripeRows == 0) return
+      flushSharedDict()
       // materialize index streams BEFORE the write loop so they register and
       // flush with this stripe (sorted by hash for binary search; position as
       // tiebreak keeps the layout deterministic)
@@ -569,29 +685,52 @@ object Tablet {
   }
 
   /** Iterator over a stream's chunks (decoded columns). Frame:
-    * [dataLen i32][rawLen varint][compression u8][statsFlag u8][stats?][data]
-    * — the optional per-chunk stats enable decode-free chunk skipping. */
+    * [dataLen i32][rawLen varint][compression u8][flag u8][stats?][data]
+    * — flag 1: per-chunk stats follow (decode-free chunk skipping); flag 2:
+    * the frame is a stripe-scoped shared-dictionary alphabet, consumed
+    * transparently (it is not a data chunk — chunk ordinals count data
+    * frames only, so multi-stream zipping and the hash index stay aligned). */
   final class ChunkCursor(bytes: Array[Byte]) {
     private var pos = 0
-    def hasNext: Boolean = pos < bytes.length
+    private var sharedAlphabet: BytesCol = null
+    def hasNext: Boolean = { ensureData(); pos < bytes.length }
 
-    /** Parse the frame header at `pos`: (compLen, rawLen, kind, stats, dataPos). */
-    private def header(): (Int, Int, Byte, Stats, Int) = {
+    /** Parse the frame header at `pos`: (compLen, rawLen, kind, flag, stats, dataPos). */
+    private def header(): (Int, Int, Byte, Int, Stats, Int) = {
       val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
         ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
       val cur0 = new ByteCursor(bytes, pos + 4, bytes.length)
       val rawLen = cur0.readVarint().toInt
       val kind = cur0.readByte().toByte
-      val stats = if (cur0.readByte() != 0) readStats(cur0) else null
-      (compLen, rawLen, kind, stats, cur0.pos)
+      val flag = cur0.readByte()
+      val stats = if (flag == 1) readStats(cur0) else null
+      (compLen, rawLen, kind, flag, stats, cur0.pos)
+    }
+
+    private def payloadCursor(compLen: Int, rawLen: Int, kind: Byte, dataPos: Int): ByteCursor =
+      if (kind == CompNone) new ByteCursor(bytes, dataPos, dataPos + compLen) // zero-copy
+      else new ByteCursor(decompressChunk(kind,
+        java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen), rawLen))
+
+    /** Swallow any pending alphabet frame so `pos` always sits on a data
+      * frame (or the end) for the public methods. */
+    private def ensureData(): Unit = {
+      while (pos < bytes.length) {
+        val (compLen, rawLen, kind, flag, _, dataPos) = header()
+        if (flag != 2) return
+        sharedAlphabet = Codecs.decodeColumn(payloadCursor(compLen, rawLen, kind, dataPos))
+          .asInstanceOf[BytesCol]
+        pos = dataPos + compLen
+      }
     }
 
     /** Stats of the next chunk without consuming it (chunk skipping). */
-    def peekStats(): Option[Stats] = Option(header()._4)
+    def peekStats(): Option[Stats] = { ensureData(); Option(header()._5) }
 
     /** Codec id of the next chunk without consuming it (tooling). */
     def peekCodec(): Byte = {
-      val (compLen, rawLen, kind, _, dataPos) = header()
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
       if (kind == CompNone) bytes(dataPos)
       else {
         val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
@@ -601,37 +740,39 @@ object Tablet {
 
     /** Advance past the next chunk without decompressing or decoding. */
     def skip(): Unit = {
-      val (compLen, _, _, _, dataPos) = header()
+      ensureData()
+      val (compLen, _, _, _, _, dataPos) = header()
       pos = dataPos + compLen
     }
 
-    def next(): Column = {
-      val (compLen, rawLen, kind, _, dataPos) = header()
-      if (kind == CompNone) {
-        // zero-copy: decode straight out of the stream buffer
-        val cur = new ByteCursor(bytes, dataPos, dataPos + compLen)
-        pos = dataPos + compLen
-        Codecs.decodeColumn(cur)
-      } else {
-        val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
-        pos = dataPos + compLen
-        Codecs.decodeColumn(new ByteCursor(decompressChunk(kind, data, rawLen)))
-      }
+    private def decodeShared(cur: ByteCursor): DictBytesCol = {
+      require(sharedAlphabet != null, "shared-dict chunk before its alphabet frame")
+      val idxCol = Codecs.decodeColumn(cur).asInstanceOf[LongsCol]
+      val idx = new Array[Int](idxCol.len)
+      var i = 0
+      while (i < idx.length) { idx(i) = idxCol.values(i).toInt; i += 1 }
+      DictBytesCol(sharedAlphabet, idx, idxCol.nulls)
     }
 
-    /** [[next]] but dictionary-preserving for DICT-coded bytes chunks (filter
-      * columns — predicates then run per alphabet entry, not per row). */
+    def next(): Column = {
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur).expand }
+      else Codecs.decodeColumn(cur)
+    }
+
+    /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
+      * bytes chunks (filter columns — predicates then run per alphabet
+      * entry, not per row). */
     def nextDict(): Column = {
-      val (compLen, rawLen, kind, _, dataPos) = header()
-      if (kind == CompNone) {
-        val cur = new ByteCursor(bytes, dataPos, dataPos + compLen)
-        pos = dataPos + compLen
-        Codecs.decodeColumnDict(cur)
-      } else {
-        val data = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen)
-        pos = dataPos + compLen
-        Codecs.decodeColumnDict(new ByteCursor(decompressChunk(kind, data, rawLen)))
-      }
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
+      else Codecs.decodeColumnDict(cur)
     }
   }
 }

@@ -65,9 +65,12 @@ class FlatMapSpec extends SparkTestBase {
   }
 
   test("dedup layouts reduce size on repetitive data") {
+    // identical array every row; double elements so the win is structural
+    // (string element streams now shared-dict-collapse in the plain layout
+    // too, which erased the margin this spec asserts)
     val rep = spark.sql("""
-      SELECT id, array('a','b','c','d','e','f','g','h') AS arr
-      FROM range(20000)""") // identical array every row
+      SELECT id, array(1.5D, 2.5D, 3.5D, 4.5D, 5.5D, 6.5D, 7.5D, 8.5D) AS arr
+      FROM range(20000)""")
     val d1 = tmpDir("dd1"); val d2 = tmpDir("dd2")
     rep.coalesce(1).write.format("nimble").mode("overwrite").save(d1)
     rep.coalesce(1).write.format("nimble").mode("overwrite")

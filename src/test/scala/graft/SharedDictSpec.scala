@@ -1,0 +1,155 @@
+package graft
+
+import graft.format._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SharedDictionary encoding (reference:
+  * dwio/nimble/encodings/SharedDictionaryEncoding.h:415): a stripe-scoped
+  * alphabet stored once (alphabet frame) and reused by every chunk of the
+  * stream, instead of per-chunk DICT alphabets. */
+class SharedDictSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("shareddict").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name.gft"
+  }
+
+  private val schemaJson =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))).json
+
+  private def bytesCol(values: Seq[String], nulls: Array[Boolean] = null): BytesCol = {
+    val offs = new Array[Int](values.length + 1)
+    val sink = new ByteSink()
+    values.zipWithIndex.foreach { case (v, i) =>
+      if (nulls == null || !nulls(i)) sink.writeBytes(v.getBytes("UTF-8"))
+      offs(i + 1) = sink.size
+    }
+    BytesCol(offs, sink.toArray, nulls)
+  }
+
+  private def writeChunks(path: String, chunks: Seq[BytesCol], compression: String = "none"): Unit = {
+    val w = new Tablet.Writer(path, schemaJson, Array("s"), compression = compression)
+    chunks.foreach { c => w.writeChunk(0, c); w.addRows(c.len.toLong) }
+    w.close()
+  }
+
+  private def readAll(path: String, dict: Boolean = false): Seq[Seq[String]] = {
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      while (cur.hasNext) {
+        val col = (if (dict) cur.nextDict() else cur.next()) match {
+          case d: DictBytesCol => d.expand
+          case b: BytesCol => b
+          case other => fail(s"unexpected column $other")
+        }
+        out += (0 until col.len).map(i =>
+          if (col.nulls != null && col.nulls(i)) null else new String(col(i), "UTF-8"))
+      }
+      out.toSeq
+    } finally r.close()
+  }
+
+  private val lowCard = (0 until 8).map(i => s"category_value_$i")
+
+  test("low-card chunks share one stripe alphabet and round-trip (next + nextDict)") {
+    val chunks = (0 until 10).map(k => bytesCol((0 until 1000).map(i => lowCard((i + k) % 8))))
+    val path = tmp("shared")
+    writeChunks(path, chunks)
+    val back = readAll(path)
+    assert(back.length == 10)
+    chunks.zip(back).zipWithIndex.foreach { case ((c, b), k) =>
+      assert(b == (0 until c.len).map(i => new String(c(i), "UTF-8")), s"chunk $k")
+    }
+    // dict-preserving read returns DictBytesCol straight off the shared alphabet
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      assert(cur.peekCodec() == Codecs.SHAREDDICT, "data chunks must be shared-dict coded")
+      assert(cur.nextDict().isInstanceOf[DictBytesCol])
+    } finally r.close()
+  }
+
+  test("shared alphabet beats per-chunk re-encoding on size") {
+    // an alphabet big enough to dominate the chunk (256 x 40-char entries,
+    // random order so the index stream can't collapse to RLE/delta)
+    val rnd = new scala.util.Random(42)
+    val alpha = (0 until 256).map(i => f"shared_dictionary_alphabet_entry_$i%012d")
+    val chunkVals = (0 until 1000).map(_ => alpha(rnd.nextInt(256)))
+    val path = tmp("size10")
+    writeChunks(path, (0 until 10).map(_ => bytesCol(chunkVals)))
+    val shared = {
+      val r = new Tablet.Reader(path)
+      try r.footer.stripes(0).streams(0).length finally r.close()
+    }
+    // baseline: what ten standalone chunk encodes (per-chunk DICT alphabet) cost
+    val one = { val s = new ByteSink(); Codecs.encodeColumn(bytesCol(chunkVals), s); s.size }
+    assert(shared < one.toLong * 10,
+      s"shared stream $shared bytes should undercut 10 standalone chunks (${one * 10})")
+  }
+
+  test("nulls survive shared-dict chunks") {
+    val nulls = Array.tabulate(500)(_ % 7 == 0)
+    val chunks = (0 until 4).map(_ => bytesCol((0 until 500).map(i => lowCard(i % 8)), nulls.clone()))
+    val path = tmp("nulls")
+    writeChunks(path, chunks)
+    for (b <- readAll(path, dict = true)) {
+      (0 until 500).foreach { i =>
+        if (nulls(i)) assert(b(i) == null) else assert(b(i) == lowCard(i % 8))
+      }
+    }
+  }
+
+  test("skip() stays chunk-aligned across the alphabet frame") {
+    val chunks = (0 until 3).map(k => bytesCol((0 until 200).map(i => lowCard((i * (k + 1)) % 8))))
+    val path = tmp("skipalign")
+    writeChunks(path, chunks)
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      cur.skip() // chunk 0 (cursor must swallow the alphabet frame first)
+      val c1 = cur.next().asInstanceOf[BytesCol]
+      assert(new String(c1(0), "UTF-8") == lowCard(0))
+      assert(new String(c1(1), "UTF-8") == lowCard(2)) // k=1 stride
+    } finally r.close()
+  }
+
+  test("cap blowout mid-stripe falls back to plain chunks, data intact") {
+    val low = bytesCol((0 until 1000).map(i => lowCard(i % 8)))
+    // > 4096 fresh values in one chunk blows SharedMaxEntries
+    val high = bytesCol((0 until 5000).map(i => s"unique_value_$i"))
+    val path = tmp("abort")
+    writeChunks(path, Seq(low, high, low))
+    val back = readAll(path)
+    assert(back.length == 3)
+    assert(back(0) == (0 until 1000).map(i => lowCard(i % 8)))
+    assert(back(1) == (0 until 5000).map(i => s"unique_value_$i"))
+    assert(back(2) == (0 until 1000).map(i => lowCard(i % 8)))
+  }
+
+  test("single-chunk stripe skips the alphabet frame (selection gate)") {
+    val path = tmp("single")
+    writeChunks(path, Seq(bytesCol((0 until 1000).map(i => lowCard(i % 8)))))
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      assert(cur.peekCodec() != Codecs.SHAREDDICT, "one chunk gains nothing from shared coding")
+      assert(cur.next().isInstanceOf[BytesCol])
+      assert(!cur.hasNext)
+    } finally r.close()
+  }
+
+  test("high-cardinality first chunk never engages shared coding") {
+    val path = tmp("highcard")
+    val uniq = bytesCol((0 until 1000).map(i => s"u$i"))
+    writeChunks(path, Seq(uniq, uniq))
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      while (cur.hasNext) { assert(cur.peekCodec() != Codecs.SHAREDDICT); cur.next() }
+    } finally r.close()
+  }
+}
