@@ -43,12 +43,12 @@ object Lookup {
       var s = 0
       while (s < footer.stripes.length) {
         val info = footer.stripes(s)
-        val st = info.stats(colId)
-        val skip = !mightMatch(st, info.blooms.get(colId), value)
+        val st = reader.streamStats(s, colId)
+        val skip = !mightMatch(st, reader.streamBloom(s, colId), value)
         if (!skip) {
           m.stripesProbed += 1
           m.stripeRows += info.rowCount
-          val hasIndex = idxId >= 0 && idxId < info.streams.length && info.streams(idxId).length > 0
+          val hasIndex = idxId >= 0 && reader.streamLoc(s, idxId).length > 0
           if (hasIndex) lookupViaIndex(reader, s, idxId, colId, keyIdx, atomicFields, column, value, out, m)
           else lookupByScan(reader, s, colId, keyIdx, atomicFields, column, value, out, m)
         }

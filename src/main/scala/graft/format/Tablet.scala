@@ -20,7 +20,7 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 6 // v6: shared-dictionary alphabet frames (flag byte 2); v5: per-chunk stats
+  val Version: Int = 7 // v7: grouped per-stream directory; v6: shared-dict frames; v5: chunk stats
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -229,12 +229,24 @@ object Tablet {
 
   /** Per-stripe, per-stream location within the file. */
   final case class StreamLoc(offset: Long, length: Long)
-  final case class StripeInfo(
-      offset: Long, length: Long, rowCount: Long,
-      streams: Array[StreamLoc], // indexed by stream id; length 0 = absent
-      stats: Array[Stats],
-      checksum: Long = 0L, // XXH64 of the stripe's bytes
-      blooms: Map[Int, Bloom] = Map.empty) // streamId -> membership filter
+
+  /** Slim per-stripe core (O(1) per stripe in the footer). Per-stream
+    * locations/stats/blooms live in the grouped stream directory. */
+  final case class StripeInfo(offset: Long, length: Long, rowCount: Long, checksum: Long = 0L)
+
+  /** Location of one stripe group's directory section in the file. */
+  final case class GroupLoc(offset: Long, length: Long)
+
+  /** One stream's directory entry for one stripe. `bloom` null when absent. */
+  final case class DirEntry(loc: StreamLoc, stats: Stats, bloom: Bloom)
+
+  /** Stripes per directory group (reference: dwio/nimble/tablet/
+    * TabletWriter.h:179 metadataFlushThreshold / Footer.fbs:38 stripe
+    * groups): the stream directory is chunked per N stripes and laid out
+    * per-STREAM inside each group, so a reader fetches metadata proportional
+    * to (projected streams x stripes), never (all streams x all stripes). */
+  val DirGroupSize: Int = 32
+
   final case class Footer(
       version: Int,
       schemaJson: String,
@@ -242,7 +254,49 @@ object Tablet {
       rowCount: Long,
       streamKeys: Array[String],
       stripes: Array[StripeInfo],
-      fileStats: Array[Stats])
+      groupSize: Int,
+      groups: Array[GroupLoc],
+      fileStats: Array[Stats]) {
+    /** (group << 32 | streamId) -> that group's per-stripe entries. Lives on
+      * the Footer value — which the sources cache per JVM — so planning and
+      * every task in the JVM share one fetch per (group, stream). */
+    @transient lazy val dirCache: java.util.concurrent.ConcurrentHashMap[Long, Array[DirEntry]] =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[DirEntry]]()
+  }
+
+  private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom): Unit = {
+    s.writeVarint(loc.offset)
+    s.writeVarint(loc.length)
+    writeStats(s, st)
+    if (bloom == null) s.writeByte(0)
+    else {
+      s.writeByte(1)
+      s.writeVarint(bloom.bits.length.toLong)
+      var bi = 0
+      while (bi < bloom.bits.length) { s.writeLong(bloom.bits(bi)); bi += 1 }
+    }
+  }
+
+  private[format] def readDirEntries(c: ByteCursor, n: Int): Array[DirEntry] = {
+    val out = new Array[DirEntry](n)
+    var i = 0
+    while (i < n) {
+      val loc = StreamLoc(c.readVarint(), c.readVarint())
+      val st = readStats(c)
+      val bloom =
+        if (c.readByte() == 0) null
+        else {
+          val nw = c.readVarint().toInt
+          val bits = new Array[Long](nw)
+          var bi = 0
+          while (bi < nw) { bits(bi) = c.readLong(); bi += 1 }
+          new Bloom(bits)
+        }
+      out(i) = DirEntry(loc, st, bloom)
+      i += 1
+    }
+    out
+  }
 
   def writeFooter(f: Footer): Array[Byte] = {
     val s = new ByteSink(1 << 16)
@@ -259,16 +313,10 @@ object Tablet {
       s.writeVarint(st.length)
       s.writeVarint(st.rowCount)
       s.writeLong(st.checksum)
-      s.writeVarint(st.blooms.size.toLong)
-      for ((id, bloom) <- st.blooms.toSeq.sortBy(_._1)) {
-        s.writeVarint(id.toLong)
-        s.writeVarint(bloom.bits.length.toLong)
-        var bi = 0
-        while (bi < bloom.bits.length) { s.writeLong(bloom.bits(bi)); bi += 1 }
-      }
-      for (sl <- st.streams) { s.writeVarint(sl.offset); s.writeVarint(sl.length) }
-      for (x <- st.stats) writeStats(s, x)
     }
+    s.writeVarint(f.groupSize.toLong)
+    s.writeVarint(f.groups.length.toLong)
+    for (g <- f.groups) { s.writeVarint(g.offset); s.writeVarint(g.length) }
     for (x <- f.fileStats) writeStats(s, x)
     s.toArray
   }
@@ -276,7 +324,7 @@ object Tablet {
   def readFooter(bytes: Array[Byte]): Footer = {
     val c = new ByteCursor(bytes)
     val version = c.readByte()
-    // the chunk frame changed in v5 (per-chunk stats) — decoding an older
+    // the stream directory moved out of the footer in v7 — decoding an older
     // file with this reader would silently mis-parse, so fail loudly
     require(version == Version,
       s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
@@ -296,30 +344,18 @@ object Tablet {
     val stripes = new Array[StripeInfo](nStripes)
     var sI = 0
     while (sI < nStripes) {
-      val off = c.readVarint(); val len = c.readVarint(); val rc = c.readVarint()
-      val checksum = c.readLong()
-      val nBlooms = c.readVarint().toInt
-      val blooms = (0 until nBlooms).map { _ =>
-        val id = c.readVarint().toInt
-        val nw = c.readVarint().toInt
-        val bits = new Array[Long](nw)
-        var bi = 0
-        while (bi < nw) { bits(bi) = c.readLong(); bi += 1 }
-        id -> new Bloom(bits)
-      }.toMap
-      val locs = new Array[StreamLoc](nStreams)
-      i = 0
-      while (i < nStreams) { locs(i) = StreamLoc(c.readVarint(), c.readVarint()); i += 1 }
-      val stats = new Array[Stats](nStreams)
-      i = 0
-      while (i < nStreams) { stats(i) = readStats(c); i += 1 }
-      stripes(sI) = StripeInfo(off, len, rc, locs, stats, checksum, blooms)
+      stripes(sI) = StripeInfo(c.readVarint(), c.readVarint(), c.readVarint(), c.readLong())
       sI += 1
     }
+    val groupSize = c.readVarint().toInt
+    val nGroups = c.readVarint().toInt
+    val groups = new Array[GroupLoc](nGroups)
+    i = 0
+    while (i < nGroups) { groups(i) = GroupLoc(c.readVarint(), c.readVarint()); i += 1 }
     val fileStats = new Array[Stats](nStreams)
     i = 0
     while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
-    Footer(version, schemaJson, sortCols, rowCount, keys, stripes, fileStats)
+    Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats)
   }
 
   // --------------------------------------------------------------- writer
@@ -632,17 +668,52 @@ object Tablet {
       flushStripe()
       // streams registered after a stripe flushed get zero-length locations
       // (and empty stats) in that stripe — the reader treats them as absent
-      val finalStripes = stripes.map { case (off, len, rows, locs, stats, checksum, blooms) =>
+      val padded = stripes.map { case t @ (_, _, _, locs, stats, _, _) =>
         val fullLocs =
           if (locs.length == nStreams) locs
           else locs ++ Array.fill(nStreams - locs.length)(StreamLoc(0L, 0L))
         val fullStats =
           if (stats.length == nStreams) stats
           else stats ++ Array.fill(nStreams - stats.length)(Stats())
-        StripeInfo(off, len, rows, fullLocs, fullStats, checksum, blooms)
+        (t._1, t._2, t._3, fullLocs, fullStats, t._6, t._7)
       }.toArray
+      // grouped per-STREAM directory sections: within a group, one
+      // contiguous block per stream preceded by a fixed-width offset table,
+      // so a reader range-reads exactly the projected streams' metadata
+      val nGroups = (padded.length + DirGroupSize - 1) / DirGroupSize
+      val groups = new Array[GroupLoc](nGroups)
+      var g = 0
+      while (g < nGroups) {
+        val lo = g * DirGroupSize
+        val hi = math.min(lo + DirGroupSize, padded.length)
+        val entries = new ByteSink(1 << 14)
+        val table = new Array[Long](nStreams + 1)
+        var i = 0
+        while (i < nStreams) {
+          table(i) = entries.size.toLong
+          var s = lo
+          while (s < hi) {
+            val (_, _, _, locs, stats, _, blooms) = padded(s)
+            writeDirEntry(entries, locs(i), stats(i), blooms.getOrElse(i, null))
+            s += 1
+          }
+          i += 1
+        }
+        table(nStreams) = entries.size.toLong
+        val sect = new ByteSink(entries.size + 8 * (nStreams + 1))
+        table.foreach(sect.writeLong)
+        sect.writeBytes(entries.toArray)
+        val bytes = sect.toArray
+        out.write(bytes)
+        groups(g) = GroupLoc(fileOffset, bytes.length.toLong)
+        fileOffset += bytes.length
+        g += 1
+      }
+      val slim = padded.map { case (off, len, rows, _, _, checksum, _) =>
+        StripeInfo(off, len, rows, checksum)
+      }
       val footer = Footer(Version, schemaJson, sortColumns, totalRows,
-        keys.toArray, finalStripes, fileStats.toArray)
+        keys.toArray, slim, DirGroupSize, groups, fileStats.toArray)
       val fb = writeFooter(footer)
       out.write(fb)
       fileOffset += fb.length
@@ -658,7 +729,23 @@ object Tablet {
   // --------------------------------------------------------------- reader
 
   final class Reader(path: String, cachedFooter: Footer = null) extends AutoCloseable {
-    private val file = GraftIO.open(path)
+    // lazy open: with a cached footer and a warm directory cache a Reader
+    // performs no I/O at all (planning over cached metadata)
+    private var fileOpt: GraftIO.SeekableInput = null
+    private def file: GraftIO.SeekableInput = {
+      if (fileOpt == null) fileOpt = GraftIO.open(path)
+      fileOpt
+    }
+
+    /** Metadata bytes fetched by THIS reader (footer + directory sections) —
+      * the wide-table contract is that this scales with projected streams,
+      * not with total streams (WideTableSpec). */
+    var metaBytesRead: Long = 0L
+
+    /** Directory-section bytes alone (excludes the core footer, whose
+      * stream-name/file-stats tables are inherently O(streams)). */
+    var dirBytesRead: Long = 0L
+
     val footer: Footer = if (cachedFooter != null) cachedFooter else {
       val len = file.length
       val lenBuf = new Array[Byte](8)
@@ -668,20 +755,73 @@ object Tablet {
       val fLen = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) | ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
       val fb = new Array[Byte](fLen)
       file.readFully(len - 8 - fLen, fb)
+      metaBytesRead += 8L + fLen
       readFooter(fb)
     }
     private val streamIndex: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
 
     def streamId(key: String): Int = streamIndex.getOrElse(key, -1)
 
+    /** Below this a group's directory is fetched whole in one read (narrow
+      * tables: one I/O instead of one per stream); above it, per-stream
+      * range reads keep wide-table metadata I/O proportional to projection. */
+    private val SmallDirBytes = 256 << 10
+
+    /** Per-stripe directory entries of stream `id` in group `group`. */
+    def dirEntries(group: Int, id: Int): Array[DirEntry] = {
+      val key = (group.toLong << 32) | (id & 0xffffffffL)
+      val cached = footer.dirCache.get(key)
+      if (cached != null) return cached
+      val g = footer.groups(group)
+      val nStreams = footer.streamKeys.length
+      val inGroup = math.min(footer.groupSize, footer.stripes.length - group * footer.groupSize)
+      val tableBytes = 8L * (nStreams + 1)
+      if (g.length <= SmallDirBytes) {
+        val all = new Array[Byte](g.length.toInt)
+        file.readFully(g.offset, all)
+        metaBytesRead += g.length
+        dirBytesRead += g.length
+        val tc = new ByteCursor(all)
+        val table = new Array[Long](nStreams + 1)
+        var i = 0
+        while (i <= nStreams) { table(i) = tc.readLong(); i += 1 }
+        i = 0
+        while (i < nStreams) {
+          val c = new ByteCursor(all, (tableBytes + table(i)).toInt, (tableBytes + table(i + 1)).toInt)
+          footer.dirCache.putIfAbsent((group.toLong << 32) | (i & 0xffffffffL), readDirEntries(c, inGroup))
+          i += 1
+        }
+        footer.dirCache.get(key)
+      } else {
+        val tb = new Array[Byte](16)
+        file.readFully(g.offset + 8L * id, tb)
+        val lo = (0 until 8).map(k => (tb(k) & 0xffL) << (8 * k)).sum
+        val hi = (0 until 8).map(k => (tb(k + 8) & 0xffL) << (8 * k)).sum
+        val blk = new Array[Byte]((hi - lo).toInt)
+        file.readFully(g.offset + tableBytes + lo, blk)
+        metaBytesRead += 16L + blk.length
+        dirBytesRead += 16L + blk.length
+        val entries = readDirEntries(new ByteCursor(blk), inGroup)
+        footer.dirCache.putIfAbsent(key, entries)
+        footer.dirCache.get(key)
+      }
+    }
+
+    private def entry(stripe: Int, id: Int): DirEntry =
+      dirEntries(stripe / footer.groupSize, id)(stripe % footer.groupSize)
+
+    def streamLoc(stripe: Int, id: Int): StreamLoc = entry(stripe, id).loc
+    def streamStats(stripe: Int, id: Int): Stats = entry(stripe, id).stats
+    def streamBloom(stripe: Int, id: Int): Option[Bloom] = Option(entry(stripe, id).bloom)
+
     def readStreamBytes(stripe: Int, id: Int): Array[Byte] = {
-      val loc = footer.stripes(stripe).streams(id)
+      val loc = streamLoc(stripe, id)
       val b = new Array[Byte](loc.length.toInt)
       file.readFully(loc.offset, b)
       b
     }
 
-    override def close(): Unit = file.close()
+    override def close(): Unit = if (fileOpt != null) fileOpt.close()
   }
 
   /** Iterator over a stream's chunks (decoded columns). Frame:

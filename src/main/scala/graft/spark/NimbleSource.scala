@@ -238,20 +238,39 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     val pruningFilters = filters ++ runtimeFilters
     val files = NimbleSource.listFiles(path)
     NimbleSource.prefetchFooters(files)
+    // warm the grouped directory for the pruning columns in parallel — the
+    // sequential pruning loop below then runs over cached metadata (one
+    // serial range-read per file per group would gate planning at 10^5 files)
+    val filterRefs = pruningFilters.flatMap(_.references).distinct
+    if (filterRefs.nonEmpty) NimbleSource.foreachParallel(files) { f =>
+      val ft = NimbleSource.footerOf(f)
+      val kk = ft.streamKeys.zipWithIndex.toMap
+      val ids = filterRefs.flatMap(kk.get)
+      if (ids.nonEmpty && ft.stripes.nonEmpty) {
+        val r = new Tablet.Reader(f, ft)
+        try {
+          var g = 0
+          while (g < ft.groups.length) { ids.foreach(id => r.dirEntries(g, id)); g += 1 }
+        } finally r.close()
+      }
+    }
     for (file <- files) {
       val footer = NimbleSource.footerOf(file)
       val keyIdx = footer.streamKeys.zipWithIndex.toMap
-      var s = 0
-      while (s < footer.stripes.length) {
-        val info = footer.stripes(s)
-        val statsOf: String => Option[Tablet.Stats] =
-          name => keyIdx.get(name).map(info.stats)
-        val bloomOf: String => Option[Tablet.Bloom] =
-          name => keyIdx.get(name).flatMap(info.blooms.get)
-        val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
-        if (!skip) survivors += ((NimbleStripePartition(file, s), info.length)) else pruned += 1
-        s += 1
-      }
+      val r = new Tablet.Reader(file, footer)
+      try {
+        var s = 0
+        while (s < footer.stripes.length) {
+          val info = footer.stripes(s)
+          val statsOf: String => Option[Tablet.Stats] =
+            name => keyIdx.get(name).map(id => r.streamStats(s, id))
+          val bloomOf: String => Option[Tablet.Bloom] =
+            name => keyIdx.get(name).flatMap(id => r.streamBloom(s, id))
+          val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
+          if (!skip) survivors += ((NimbleStripePartition(file, s), info.length)) else pruned += 1
+          s += 1
+        }
+      } finally r.close()
     }
     // Bin-pack stripes into tasks (Spark FilePartition analog, adjusted for
     // this format's near-zero open cost — cached footer + one seek per

@@ -64,7 +64,7 @@ object NimbleDump {
             println(f"  stripe $i%3d offset=${s.offset}%10d bytes=${s.length}%10d rows=${s.rowCount}%8d")
         case "streams" =>
           for ((k, i) <- ft.streamKeys.zipWithIndex) {
-            val bytes = ft.stripes.map(_.streams(i).length).sum
+            val bytes = ft.stripes.indices.map(s => r.streamLoc(s, i).length).sum
             val st = ft.fileStats(i)
             val mm =
               if (!st.hasMinMax) ""

@@ -83,7 +83,7 @@ class SharedDictSpec extends AnyFunSuite {
     writeChunks(path, (0 until 10).map(_ => bytesCol(chunkVals)))
     val shared = {
       val r = new Tablet.Reader(path)
-      try r.footer.stripes(0).streams(0).length finally r.close()
+      try r.streamLoc(0, 0).length finally r.close()
     }
     // baseline: what ten standalone chunk encodes (per-chunk DICT alphabet) cost
     val one = { val s = new ByteSink(); Codecs.encodeColumn(bytesCol(chunkVals), s); s.size }

@@ -54,4 +54,48 @@ class WideTableSpec extends SparkTestBase {
     val r = agg.collect()(0)
     assert(r.getLong(2) == nRows)
   }
+
+  test("10K-stream directory: metadata reads scale with projection, not width") {
+    import graft.format._
+    val nCols = 10000
+    val keys = Array.tabulate(nCols)(i => s"c$i")
+    val schemaJson = StructType(keys.map(k => StructField(k, LongType))).json
+    val d = java.nio.file.Files.createTempDirectory("wide10k").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/t.gft"
+    val w = new Tablet.Writer(path, schemaJson, keys)
+    for (_ <- 0 until 3) { // 3 stripes in one directory group
+      var id = 0
+      while (id < nCols) { w.writeChunk(id, LongsCol(Array(1L, 2L, 3L), PhysType.I64)); id += 1 }
+      w.addRows(3)
+      w.flushStripe()
+    }
+    w.close()
+    // fresh Reader per probe: each parses its own footer, so dirCaches are
+    // independent and metaBytesRead measures cold-fetch cost
+    def dirBytes(streams: Int): Long = {
+      val r = new Tablet.Reader(path)
+      try {
+        var id = 0
+        while (id < streams) {
+          var g = 0
+          while (g < r.footer.groups.length) { r.dirEntries(g, id); g += 1 }
+          id += 1
+        }
+        r.dirBytesRead
+      } finally r.close()
+    }
+    val b3 = dirBytes(3)
+    val bAll = dirBytes(nCols)
+    // the reference's wide-table property (Footer.fbs:38 stripe groups):
+    // stream-directory bytes read scale with the projection, never the width
+    assert(b3 < bAll / 100, s"3-stream dir read $b3 B vs full $bAll B — not proportional")
+    // and the data itself is intact through the grouped directory
+    val r2 = new Tablet.Reader(path)
+    try {
+      assert(r2.footer.rowCount == 9L)
+      val cur = new Tablet.ChunkCursor(r2.readStreamBytes(2, 9999))
+      assert(cur.next().asInstanceOf[LongsCol].values.toSeq == Seq(1L, 2L, 3L))
+    } finally r2.close()
+  }
 }
