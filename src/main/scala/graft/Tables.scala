@@ -62,6 +62,10 @@ object Tables {
           org.apache.spark.sql.functions.col(c)).sortWithinPartitions(c))
         val writer = w.write.format("nimble").mode("overwrite")
         sort.foreach(c => writer.option("sortColumns", c))
+        // events.ts is epoch-nanos (nanosAsLong): store as the
+        // TimestampMicroNano split (micros stream + sub-µs remainder), so
+        // every events query (q20-q22) verifies the layout against its oracle
+        if (table == "events") writer.option("timestampNanosColumns", "ts")
         writer.save(dir)
       }
     }

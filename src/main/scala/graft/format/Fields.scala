@@ -28,7 +28,8 @@ object Fields {
       flatMap: Set[String] = Set.empty,
       dictArray: Set[String] = Set.empty,
       dedupMap: Set[String] = Set.empty,
-      maxFlatMapKeys: Int = 2000)
+      maxFlatMapKeys: Int = 2000,
+      tsNanos: Set[String] = Set.empty)
 
   def physFor(dt: DataType): Byte = dt match {
     case BooleanType => PhysType.Bool
@@ -127,7 +128,42 @@ object Fields {
     case s: StructType => new StructW(path, s, streamIds, opts)
     case a: ArrayType => new ArrayW(path, a, streamIds, opts)
     case m: MapType => new MapW(path, m, streamIds, opts)
+    case LongType if opts.tsNanos(path) => new TsNanosW(path, streamIds)
     case _ => new PrimW(path, dt, streamIds)
+  }
+
+  /** Epoch-nanos long column split into a micros stream (`path`) plus a
+    * 0-999 sub-microsecond remainder sibling (`path#nanos`) — the
+    * TimestampMicroNano layout (reference:
+    * dwio/nimble/velox/FieldReader.cpp:878-950). The micros stream
+    * delta-codes like any timestamp, the remainder stream is tiny (often
+    * constant 0 for ms/us-precision feeds), and a micros-only consumer can
+    * skip the sibling entirely. floorDiv/floorMod keep pre-1970 values
+    * exact: combined = micros * 1000 + rem, rem in [0, 999]. */
+  private final class TsNanosW(path: String, streamIds: String => Int) extends FieldWriter(LongType) {
+    private val microsId = streamIds(path)
+    private val nanosId = streamIds(s"$path#nanos")
+    private val nulls = new BoolBuf
+    private val micros = new LongBuf
+    private val rems = new LongBuf
+    private var raw = 0L
+    def add(g: SpecializedGetters, ordinal: Int): Unit = {
+      if (g.isNullAt(ordinal)) { addNull(); return }
+      nulls.add(false)
+      val v = g.getLong(ordinal)
+      micros.add(java.lang.Math.floorDiv(v, 1000L))
+      rems.add(java.lang.Math.floorMod(v, 1000L))
+      raw += 10L
+    }
+    def addNull(): Unit = { nulls.add(true); micros.add(0L); rems.add(0L); raw += 1 }
+    def flushChunk(t: Tablet.ChunkSink): Unit = {
+      val nl = nulls.resultOrNull
+      t.writeChunk(microsId, LongsCol(micros.result(), PhysType.I64, nl))
+      t.writeChunk(nanosId, LongsCol(rems.result(), PhysType.I16, nl))
+      nulls.clear(); micros.clear(); rems.clear()
+      raw = 0L
+    }
+    def rawSize: Long = raw
   }
 
   private final class PrimW(path: String, dt0: DataType, streamIds: String => Int) extends FieldWriter(dt0) {
@@ -503,6 +539,7 @@ object Fields {
     case s: StructType => new StructR(path, s, streams, footerKeys)
     case a: ArrayType => new ArrayR(path, a, streams, footerKeys)
     case m: MapType => new MapR(path, m, streams, footerKeys)
+    case LongType if footerKeys(s"$path#nanos") => new TsNanosR(path, streams)
     case _ => new PrimR(path, dt, streams)
   }
 
@@ -531,6 +568,7 @@ object Fields {
     case m: MapType =>
       Seq(s"$path#len") ++ neededKeys(s"$path#key", m.keyType, footerKeys) ++
         neededKeys(s"$path#val", m.valueType, footerKeys)
+    case LongType if footerKeys(s"$path#nanos") => Seq(path, s"$path#nanos")
     case _ => Seq(path)
   }
 
@@ -562,6 +600,34 @@ object Fields {
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
       val col = if (pending != null) { val c = pending; pending = null; c } else cursor.next()
       fillVector(vec, dt, col, selection)
+    }
+  }
+
+  /** Reader for the TimestampMicroNano split layout ([[neededKeys]] pulls
+    * both streams): recombines micros * 1000 + remainder into the logical
+    * epoch-nanos long. Chunk-aligned with every other stream — both sibling
+    * streams chunk at the same row boundaries by construction. */
+  final class TsNanosR(path: String, streams: String => Tablet.ChunkCursor) extends FieldReader {
+    private val microsCur = streams(path)
+    private val nanosCur = streams(s"$path#nanos")
+    private var pending: Column = null
+    def hasNext: Boolean = pending != null || microsCur.hasNext
+    private def combine(): Column = {
+      val m = microsCur.next().asInstanceOf[LongsCol]
+      val r = nanosCur.next().asInstanceOf[LongsCol]
+      val out = new Array[Long](m.len)
+      var i = 0
+      while (i < out.length) { out(i) = m.values(i) * 1000L + r.values(i); i += 1 }
+      LongsCol(out, PhysType.I64, m.nulls)
+    }
+    override def decodeRaw(): Column = { val c = combine(); pending = c; c }
+    def readChunkDiscard(): Unit = {
+      if (pending != null) pending = null
+      else if (microsCur.hasNext) { microsCur.skip(); nanosCur.skip() }
+    }
+    def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
+      val col = if (pending != null) { val c = pending; pending = null; c } else combine()
+      fillVector(vec, LongType, col, selection)
     }
   }
 

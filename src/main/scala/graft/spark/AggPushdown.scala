@@ -68,6 +68,9 @@ object AggPushdown {
         java.lang.Long.valueOf(s.valueCount - s.nullCount): Any
       case m: Min =>
         val n = colName(m.column()).get
+        // nanos-split column: micros-stream stats are not the logical value
+        // (exact-or-refuse contract -> refuse)
+        if (keyIdx.contains(n + "#nanos")) return None
         val s = footer.fileStats(keyIdx.getOrElse(n, return None))
         statValue(s, schema(n).dataType, isMin = true) match {
           case Some(v) => v
@@ -75,6 +78,7 @@ object AggPushdown {
         }
       case m: Max =>
         val n = colName(m.column()).get
+        if (keyIdx.contains(n + "#nanos")) return None
         val s = footer.fileStats(keyIdx.getOrElse(n, return None))
         statValue(s, schema(n).dataType, isMin = false) match {
           case Some(v) => v

@@ -91,6 +91,20 @@ object NimbleSource {
     planStats.put(path, PlanStats(planned, pruned))
   def lastPlanStats(path: String): Option[PlanStats] = Option(planStats.get(path))
 
+  /** Conservative combined-value bounds for a TimestampMicroNano split
+    * column, derived from its micros-stream stats: the logical epoch-nanos
+    * value of a row lies in [minMicros*1000, maxMicros*1000 + 999], so range
+    * pruning on the nanos column stays sound (blooms hash micros values and
+    * are suppressed instead). */
+  private[spark] def nanosScaledStats(st: Tablet.Stats): Tablet.Stats = {
+    val out = st.copy()
+    if (st.hasMinMax) {
+      out.minLong = st.minLong * 1000L
+      out.maxLong = st.maxLong * 1000L + 999L
+    }
+    out
+  }
+
   /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h). */
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Tablet.Footer)]()
   def footerOf(file: String): Tablet.Footer = {
@@ -263,9 +277,15 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         while (s < footer.stripes.length) {
           val info = footer.stripes(s)
           val statsOf: String => Option[Tablet.Stats] =
-            name => keyIdx.get(name).map(id => r.streamStats(s, id))
+            name => keyIdx.get(name).map { id =>
+              val st = r.streamStats(s, id)
+              // nanos-split column: micros-stream stats scale to conservative
+              // combined-value bounds (blooms hash micros, so they're off)
+              if (keyIdx.contains(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+            }
           val bloomOf: String => Option[Tablet.Bloom] =
-            name => keyIdx.get(name).flatMap(id => r.streamBloom(s, id))
+            name => keyIdx.get(name).filterNot(_ => keyIdx.contains(name + "#nanos"))
+              .flatMap(id => r.streamBloom(s, id))
           val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
           if (!skip) survivors += ((NimbleStripePartition(file, s), info.length)) else pruned += 1
           s += 1
@@ -435,6 +455,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val neededKeys: Array[String] = {
     val ks = required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
       filterCols.filter(c => keyIdx.contains(c))
+        .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))
     ks.distinct
   }
 
@@ -452,10 +473,13 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     required.fields.map(f => Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet))
 
   // separate readers (cursors) for filter-only columns
-  private val filterReaders: Map[String, Fields.PrimR] =
+  private val filterReaders: Map[String, Fields.FieldReader] =
     filterCols.filter(keyIdx.contains).map { c =>
       val dt = dataSchema(c).dataType
-      c -> new Fields.PrimR(c, dt, cursors(_))
+      val rdr: Fields.FieldReader =
+        if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
+        else new Fields.PrimR(c, dt, cursors(_))
+      c -> rdr
     }.toMap
 
   // required fields that are themselves filter references: decode raw first,
@@ -510,7 +534,9 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       // their streams are all chunk-aligned single streams.
       if (allAtomicProjection) {
         val statsOf: String => Option[Tablet.Stats] =
-          name => cursors.get(name).flatMap(_.peekStats())
+          name => cursors.get(name).flatMap(_.peekStats()).map { st =>
+            if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+          }
         var pruned = false
         var pi = 0
         while (pi < filters.length && !pruned) {
@@ -567,13 +593,18 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         if (ok) m += 1
         i += 1
       }
-      for ((_, r) <- filterReaders) r.readChunkDiscard()
+      for ((_, r) <- filterReaders) r match {
+        case p: Fields.PrimR => p.readChunkDiscard()
+        case t: Fields.TsNanosR => t.readChunkDiscard()
+        case _ => ()
+      }
       if (m == 0) {
         // nothing survives: consume this chunk everywhere and move on
         var k = 0
         while (k < fieldReaders.length) {
           fieldReaders(k) match {
             case p: Fields.PrimR => p.readChunkDiscard()
+            case t: Fields.TsNanosR => t.readChunkDiscard()
             case other => other.readChunk(discardVector(required.fields(k).dataType), null)
           }
           k += 1
@@ -647,7 +678,8 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
   private def writeOpts: Fields.WriteOptions = Fields.WriteOptions(
     flatMap = csvOpt("flatMapColumns"),
     dictArray = csvOpt("dictionaryArrayColumns"),
-    dedupMap = csvOpt("deduplicatedMapColumns"))
+    dedupMap = csvOpt("deduplicatedMapColumns"),
+    tsNanos = csvOpt("timestampNanosColumns"))
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,

@@ -170,6 +170,36 @@ class ConnectorSpec extends SparkTestBase {
     assertSameData(df, roundTrip(df, "ts"))
   }
 
+  test("nanosecond timestamps: TimestampMicroNano split round-trips losslessly") {
+    // epoch-nanos longs incl. sub-microsecond remainders, pre-1970 values
+    // and nulls — the shapes the micros/remainder split must keep exact
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id % 11 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE 1705312200123456789 + id * 1234567 - CASE WHEN id % 3 = 0 THEN 1705312210000000000 ELSE 0 END
+        END AS ts
+      FROM range(5000)""")
+    val dir = tmpDir("tsnanos")
+    df.write.format("nimble").option("timestampNanosColumns", "ts").mode("overwrite").save(dir)
+    val back = spark.read.format("nimble").load(dir)
+    assertSameData(df, back)
+    // the sibling remainder stream exists; the logical schema does not show it
+    val footer = graft.spark.NimbleSource.footerOf(graft.spark.NimbleSource.listFiles(dir).head)
+    assert(footer.streamKeys.contains("ts#nanos"))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "ts"))
+    // range filters on the combined value stay correct through the scaled
+    // micros-stream stats (stripe pruning + chunk skipping paths)
+    val cut = 1705312200123456789L + 2500L * 1234567L
+    assert(back.filter(col("ts") > cut).count() ==
+      df.filter(col("ts") > cut).count())
+    assert(back.filter(col("ts").isNull).count() == df.filter(col("ts").isNull).count())
+    // min/max refuse the stats shortcut (micros stats are not the value):
+    // answer must come from data and still be exact
+    val Array(gotMin, gotMax) = back.agg(min("ts"), max("ts")).collect()(0).toSeq.toArray
+    val Array(expMin, expMax) = df.agg(min("ts"), max("ts")).collect()(0).toSeq.toArray
+    assert(gotMin == expMin && gotMax == expMax)
+  }
+
   test("write options: sortColumns recorded, multi-stripe files readable") {
     val df = spark.range(50000).toDF("id").withColumn("k", col("id") / 100)
     val dir = tmpDir("sorted")
