@@ -64,6 +64,10 @@ final class ByteSink(initial: Int = 1024) {
   }
 
   def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+
+  /** Internal buffer view (valid up to [[size]]) — zero-copy handoff for
+    * decode-at-fill paths that immediately copy a range out. */
+  def buffer: Array[Byte] = buf
 }
 
 /** Little-endian cursor over an encoded byte region. */

@@ -174,6 +174,27 @@ object Codecs {
     }
   }
 
+  /** Lazy string decode for projection fill: a null-free FSST chunk stays
+    * encoded ([[LazyFsstBytesCol]] — rows decode at fill time, survivors
+    * only), DICT stays alphabet+indices; Nullable/Sentinel wrappers and every
+    * other shape decode eagerly via [[decodeColumnDict]]/[[decodeColumn]]. */
+  def decodeColumnLazy(cur: ByteCursor): Column = {
+    if (cur.buf(cur.pos) == FSST) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      require(phys == PhysType.Bytes, s"FSST over non-bytes phys $phys")
+      val n = cur.readVarint().toInt
+      val symbols = Fsst.readTable(cur)
+      val encLens = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val totalEnc = cur.readVarint().toInt
+      val enc = cur.readBytes(totalEnc)
+      val offs = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { offs(i + 1) = offs(i) + encLens(i).toInt; i += 1 }
+      LazyFsstBytesCol(symbols, enc, offs)
+    } else decodeColumnDict(cur)
+  }
+
   /** (alphabet, indices) when the value block at `cur` is DICT over bytes,
     * else null (cursor position is then unspecified — callers re-decode from
     * a saved position). */
@@ -1081,6 +1102,7 @@ object Codecs {
         pos += l
         i += 1
       }
+      Fsst.decodedStrings.add(n.toLong)
       BytesCol(offs, out.toArray)
     case CONST =>
       val l = cur.readVarint().toInt

@@ -581,6 +581,7 @@ object Fields {
   final class PrimR(path: String, dt: DataType, streams: String => Tablet.ChunkCursor) extends FieldReader {
     private val cursor = streams(path)
     private var pending: Column = null
+    private val isStringy = dt == StringType || dt == BinaryType
     def hasNext: Boolean = pending != null || cursor.hasNext
     override def decodeRaw(): Column = {
       val c = cursor.next(); pending = c; c
@@ -596,9 +597,14 @@ object Fields {
       if (pending != null) pending = null
       else if (cursor.hasNext) cursor.skip()
     }
-    /** Fill vector from the pending (or next) chunk. selection == null -> all rows. */
+    /** Fill vector from the pending (or next) chunk. selection == null -> all
+      * rows. String chunks decode lazily (dict-preserved / FSST-encoded), so
+      * with a selection only surviving rows materialize their bytes. */
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
-      val col = if (pending != null) { val c = pending; pending = null; c } else cursor.next()
+      val col =
+        if (pending != null) { val c = pending; pending = null; c }
+        else if (isStringy) cursor.nextLazy()
+        else cursor.next()
       fillVector(vec, dt, col, selection)
     }
   }
@@ -696,6 +702,18 @@ object Fields {
           else vec.putByteArray(i, c.bytes, c.offsets(s), c.offsets(s + 1) - c.offsets(s))
           i += 1
         }
+      case c: LazyFsstBytesCol =>
+        // decode-at-fill: with a selection present only surviving rows pay
+        // the FSST decode (lazy column materialization)
+        val scratch = new ByteSink(256)
+        var i = 0
+        while (i < n) {
+          val start = scratch.size
+          val l = c.decodeRow(srcIdx(i), scratch)
+          vec.putByteArray(i, scratch.buffer, start, l)
+          i += 1
+        }
+        Fsst.decodedStrings.add(n.toLong)
       case c: DictBytesCol =>
         // expand via the alphabet at fill time: with a selection present only
         // surviving rows ever materialize their string
@@ -804,6 +822,11 @@ object Fields {
         val e = c.indices(src)
         vec.putByteArray(dst, c.alphabet.bytes, c.alphabet.offsets(e),
           c.alphabet.offsets(e + 1) - c.alphabet.offsets(e))
+      case c: LazyFsstBytesCol =>
+        val scratch = new ByteSink(64)
+        val l = c.decodeRow(src, scratch)
+        vec.putByteArray(dst, scratch.buffer, 0, l)
+        Fsst.decodedStrings.add(1L)
     }
   }
 

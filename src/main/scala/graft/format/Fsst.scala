@@ -18,6 +18,11 @@ object Fsst {
   final val MaxSymbols = 254
   final val MaxLen = 8
 
+  /** Strings actually decoded (bulk-incremented per chunk/selection) —
+    * observability for the lazy-materialization contract: a selective scan
+    * projecting an FSST column should decode ~survivors, not ~rows. */
+  val decodedStrings = new java.util.concurrent.atomic.LongAdder
+
   final class Table(val symbols: Array[Array[Byte]],
       val lookup: java.util.HashMap[String, Integer])
 

@@ -61,6 +61,30 @@ final case class BytesCol(offsets: Array[Int], bytes: Array[Byte], nulls: Array[
     java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
 }
 
+/** FSST-coded string chunk kept encoded until fill time (lazy column
+  * materialization, reference: dwio/nimble/velox/selective/ColumnLoader.h:42
+  * — defer decode until the column is actually needed): with a filter
+  * selection present, only surviving rows ever decode their string. Null-free
+  * chunks only; the Nullable wrapper scatters eagerly and falls back. */
+final case class LazyFsstBytesCol(symbols: Array[Array[Byte]], enc: Array[Byte],
+    encOffs: Array[Int]) extends Column {
+  def len: Int = encOffs.length - 1
+  def nulls: Array[Boolean] = null
+  /** Decode row `i`, appending to `out`; returns the decoded length. */
+  def decodeRow(i: Int, out: ByteSink): Int =
+    Fsst.decode(symbols, enc, encOffs(i), encOffs(i + 1), out)
+  /** Eager materialization (paths without a selection). */
+  def expand: BytesCol = {
+    val n = len
+    val out = new ByteSink(enc.length * 2 + 64)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offs(i + 1) = offs(i) + decodeRow(i, out); i += 1 }
+    Fsst.decodedStrings.add(n.toLong)
+    BytesCol(offs, out.toArray)
+  }
+}
+
 /** Dictionary-preserved view of a bytes column: the DICT codec's alphabet and
   * index streams kept separate instead of expanded row-wise (reference:
   * dwio/nimble/velox/selective/StringColumnReader.cpp:330-504). String

@@ -914,5 +914,18 @@ object Tablet {
       if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
       else Codecs.decodeColumnDict(cur)
     }
+
+    /** [[next]] for projection fill of string columns: DICT/shared-dict
+      * chunks stay alphabet+indices and FSST chunks stay encoded
+      * ([[LazyFsstBytesCol]]) — with a filter selection, only surviving rows
+      * materialize their string at vector-fill time. */
+    def nextLazy(): Column = {
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
+      else Codecs.decodeColumnLazy(cur)
+    }
   }
 }

@@ -53,6 +53,66 @@ class E2EFilterSpec extends SparkTestBase {
     }
   }
 
+  test("nanos-split fuzz: pushed range filters == post-filter through scaled stats") {
+    // epoch-nanos values spanning pre-1970, sub-µs remainders, and nulls;
+    // small chunks so the scaled-stats chunk-skip path actually prunes
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id % 13 = 0 THEN CAST(NULL AS BIGINT)
+             ELSE (id - 2500) * 987654321 + id % 1000
+        END AS ts,
+        CAST(id % 97 AS BIGINT) AS k
+      FROM range(5000)""")
+    val dir = tmpDir("nanosfuzz")
+    df.write.format("nimble").option("timestampNanosColumns", "ts")
+      .option("rowsPerChunk", "256").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    for (trial <- 0 until 20) {
+      val bound = (rnd.nextLong() % (2500L * 987654321L))
+      val pred = rnd.nextInt(5) match {
+        case 0 => col("ts") > lit(bound)
+        case 1 => col("ts") <= lit(bound)
+        case 2 => col("ts").between(lit(-math.abs(bound)), lit(math.abs(bound)))
+        case 3 => col("ts").isNull
+        case _ => col("ts") > lit(bound) && col("k") < lit(50L)
+      }
+      val expected = df.filter(pred).count()
+      val got = nb.filter(pred).count()
+      assert(got == expected, s"trial $trial: $pred -> $got vs $expected")
+    }
+  }
+
+  test("lazy FSST materialization: selective scan decodes ~survivors, not ~rows") {
+    // high-distinct repeated-substring strings select FSST (not DICT/shared);
+    // the filter is on a different column, so the projected string column's
+    // decode cost is pure materialization — the lazy path's target
+    val df = spark.range(20000).toDF("id")
+      .selectExpr("id",
+        "concat('prefix_common_payload_', id, '_the_quick_brown_fox_jumps_over_', id * 7) AS s")
+    val dir = tmpDir("lazyfsst")
+    df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    // confirm the string stream actually chose FSST (else this test is vacuous)
+    val file = graft.spark.NimbleSource.listFiles(dir).head
+    val r = new graft.format.Tablet.Reader(file)
+    val codec = try {
+      val cur = new graft.format.Tablet.ChunkCursor(r.readStreamBytes(0, r.streamId("s")))
+      cur.peekCodec()
+    } finally r.close()
+    assert(codec == graft.format.Codecs.FSST, s"expected FSST string chunks, got codec $codec")
+    val before = graft.format.Fsst.decodedStrings.sum()
+    // pushable range predicate -> the selective reader builds a survivor
+    // selection (a non-pushable filter would scan-all and decode-all)
+    val got = nb.filter(col("id").between(5000, 5019)).select("s").collect()
+    val decoded = graft.format.Fsst.decodedStrings.sum() - before
+    assert(got.length == 20)
+    assert(got.map(_.getString(0)).sorted.head.startsWith("prefix_common_payload_5000_"))
+    // survivors-only contract: 20 of 20000 rows pass; eager decode would
+    // register ~20000 (every chunk fully decoded before the fill)
+    assert(decoded < 20000 / 4,
+      s"decoded $decoded strings for 20 survivors — lazy materialization regressed")
+  }
+
   test("writer-options matrix: documents round-trip + filters under every codec combo") {
     // documents.text is the stream most likely to engage FSST; the matrix
     // crosses compression codecs with bloom/sort options so every new codec
