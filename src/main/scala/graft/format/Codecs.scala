@@ -58,13 +58,41 @@ object Codecs {
 
   private final val MaxDepth = 2 // top level + one cascade level
 
+  /** Per-stream encoding-layout replay (reference:
+    * dwio/nimble/writer/EncodingLayoutTree.h:25, option
+    * writer/VeloxWriterOptions.h:195 — captured layout re-applied so stable
+    * streams skip candidate selection): after 3 consecutive chunks pick the
+    * same top-level codec, later chunks encode ONLY that codec; selection
+    * re-opens every 8th chunk so distribution shifts re-train. Replay
+    * applies at the top level of null-free chunks — cascade sub-streams and
+    * the Nullable wrapper always select normally. */
+  final class Replay {
+    private[format] var lastWinner: Byte = -1
+    private[format] var streak = 0
+    private[format] var chunk = 0
+    private[format] def lockedId: Byte = if (streak >= 3) lastWinner else -1
+    private[format] def reopen: Boolean = chunk % 8 == 0
+    private[format] def observe(winner: Byte, full: Boolean): Unit = {
+      chunk += 1
+      if (full) {
+        Codecs.selectionsRun.increment()
+        if (winner == lastWinner) streak += 1 else { lastWinner = winner; streak = 1 }
+      } else Codecs.replayHits.increment()
+    }
+  }
+  /** Observability: full candidate selections vs locked-layout replays. */
+  val selectionsRun = new java.util.concurrent.atomic.LongAdder
+  val replayHits = new java.util.concurrent.atomic.LongAdder
+
   // ---------------------------------------------------------------- entry
 
   /** Encode a column (with nulls handled via the Nullable wrapper,
     * reference: dwio/nimble/encodings/NullableEncoding.h:44). */
-  def encodeColumn(col: Column, sink: ByteSink): Unit = {
+  def encodeColumn(col: Column, sink: ByteSink): Unit = encodeColumn(col, sink, null)
+
+  def encodeColumn(col: Column, sink: ByteSink, replay: Replay): Unit = {
     val nc = col.nullCount
-    if (nc == 0) { encodeValues(stripNulls(col), sink, 0); return }
+    if (nc == 0) { encodeValues(stripNulls(col), sink, 0, replay); return }
     // Nullable wrapper: null bitmap sub-stream + compacted values sub-stream
     // (reference: dwio/nimble/encodings/NullableEncoding.h:44)
     val nullableSink = new ByteSink()
@@ -301,12 +329,12 @@ object Codecs {
   // ------------------------------------------------------- value streams
 
   /** Encode a null-free value stream, choosing the cheapest codec. */
-  def encodeValues(col: Column, sink: ByteSink, depth: Int): Unit = col match {
-    case c: LongsCol => encodeLongs(c.values, c.phys, sink, depth)
-    case c: DoublesCol => encodeDoubles(c, sink, depth)
+  def encodeValues(col: Column, sink: ByteSink, depth: Int, replay: Replay = null): Unit = col match {
+    case c: LongsCol => encodeLongs(c.values, c.phys, sink, depth, replay)
+    case c: DoublesCol => encodeDoubles(c, sink, depth, replay)
     case c: BoolsCol => encodeBools(c.values, sink, depth)
-    case c: BytesCol => encodeBytes(c, sink, depth)
-    case c: DictBytesCol => encodeBytes(c.expand, sink, depth)
+    case c: BytesCol => encodeBytes(c, sink, depth, replay)
+    case c: DictBytesCol => encodeBytes(c.expand, sink, depth, replay)
   }
 
   def decodeValues(cur: ByteCursor): Column = {
@@ -440,11 +468,13 @@ object Codecs {
   private def bitsFor(range: Long): Int =
     if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
 
-  private def encodeLongs(values: Array[Long], phys: Byte, sink: ByteSink, depth: Int): Unit = {
+  private def encodeLongs(values: Array[Long], phys: Byte, sink: ByteSink, depth: Int,
+      replay: Replay = null): Unit = {
     val n = values.length
     val st = new LongStats(values)
     if (n == 0) { header(sink, TRIVIAL, phys, 0); return }
     if (st.min == st.max) { // Constant
+      if (replay != null) replay.observe(CONST, full = true)
       header(sink, CONST, phys, n); sink.writeZigZag(st.min); return
     }
     // Analytic size estimates per gated candidate (reference:
@@ -671,20 +701,26 @@ object Codecs {
         val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
       }))
     val sorted = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }
+    // locked layout: encode the replayed winner alone when it is still gated
+    // in; otherwise (or every 8th chunk) run normal selection
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    val locked = lockedId >= 0 && sorted.exists(_._1 == lockedId)
     // encode the runner-up only when the estimates are close (composite-codec
     // estimates are approximate; exact ones don't need a second opinion)
     val top =
-      if (sorted.length >= 2 && sorted(0)._2 * readFactor(sorted(0)._1) < 0.75 * sorted(1)._2 * readFactor(sorted(1)._1))
+      if (locked) sorted.filter(_._1 == lockedId).take(1)
+      else if (sorted.length >= 2 && sorted(0)._2 * readFactor(sorted(0)._1) < 0.75 * sorted(1)._2 * readFactor(sorted(1)._1))
         sorted.take(1)
       else sorted.take(2)
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     for ((id, _, enc) <- top) {
       val s = new ByteSink(); enc(s); candidates += ((id, s.toArray))
     }
-    emitBest(candidates, phys, n, sink)
+    val winner = emitBest(candidates, phys, n, sink)
+    if (replay != null) replay.observe(winner, full = !locked)
   }
 
-  private def emitBest(candidates: mutable.ArrayBuffer[(Byte, Array[Byte])], phys: Byte, n: Int, sink: ByteSink): Unit = {
+  private def emitBest(candidates: mutable.ArrayBuffer[(Byte, Array[Byte])], phys: Byte, n: Int, sink: ByteSink): Byte = {
     var best: (Byte, Array[Byte]) = null
     var bestCost = Double.MaxValue
     for ((id, payload) <- candidates) {
@@ -693,6 +729,7 @@ object Codecs {
     }
     header(sink, best._1, phys, n)
     sink.writeBytes(best._2)
+    best._1
   }
 
   private def trivialLongs(values: Array[Long], phys: Byte, s: ByteSink): Unit = {
@@ -825,7 +862,8 @@ object Codecs {
 
   // -------------------------------------------------------------- doubles
 
-  private def encodeDoubles(col: DoublesCol, sink: ByteSink, depth: Int): Unit = {
+  private def encodeDoubles(col: DoublesCol, sink: ByteSink, depth: Int,
+      replay: Replay = null): Unit = {
     val values = col.values
     val phys = if (col.isFloat) PhysType.F32 else PhysType.F64
     val n = values.length
@@ -838,18 +876,26 @@ object Codecs {
     var allEq = true
     i = 1
     while (i < n && allEq) { if (bits(i) != bits(0)) allEq = false; i += 1 }
-    if (allEq) { header(sink, CONST, phys, n); sink.writeLong(bits(0)); return }
+    if (allEq) {
+      if (replay != null) replay.observe(CONST, full = true)
+      header(sink, CONST, phys, n); sink.writeLong(bits(0)); return
+    }
 
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    def want(id: Byte): Boolean = lockedId < 0 || lockedId == id
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     // Trivial raw
-    val ts = new ByteSink()
-    i = 0
-    if (col.isFloat) while (i < n) { ts.writeInt(bits(i).toInt); i += 1 }
-    else while (i < n) { ts.writeLong(bits(i)); i += 1 }
-    candidates += ((TRIVIAL, ts.toArray))
+    def buildTrivial(): Unit = {
+      val ts = new ByteSink()
+      var i1 = 0
+      if (col.isFloat) while (i1 < n) { ts.writeInt(bits(i1).toInt); i1 += 1 }
+      else while (i1 < n) { ts.writeLong(bits(i1)); i1 += 1 }
+      candidates += ((TRIVIAL, ts.toArray))
+    }
+    if (want(TRIVIAL)) buildTrivial()
     // ALP-lite: value == scaled / 10^e losslessly for a single small e
     // (reference: dwio/nimble/encodings/ALPEncoding.h; published ALP paper)
-    if (!col.isFloat && depth < MaxDepth) {
+    if (!col.isFloat && depth < MaxDepth && want(ALP)) {
       var e = 0
       var found = -1
       while (e <= 10 && found < 0) {
@@ -880,7 +926,7 @@ object Codecs {
       }
     }
     // Dictionary on raw bits for low-cardinality doubles
-    if (depth < MaxDepth) {
+    if (depth < MaxDepth && want(DICT)) {
       val distinct = new mutable.HashSet[Long]()
       i = 0
       var capped = false
@@ -898,7 +944,9 @@ object Codecs {
         candidates += ((DICT, ds.toArray))
       }
     }
-    emitBest(candidates, phys, n, sink)
+    if (candidates.isEmpty) buildTrivial()
+    val winner = emitBest(candidates, phys, n, sink)
+    if (replay != null) replay.observe(winner, full = lockedId < 0)
   }
 
   private def decodeDoublePayload(id: Byte, phys: Byte, cur: ByteCursor, n: Int): DoublesCol = {
@@ -951,9 +999,14 @@ object Codecs {
 
   // ---------------------------------------------------------------- bytes
 
-  private def encodeBytes(col: BytesCol, sink: ByteSink, depth: Int): Unit = {
+  private def encodeBytes(col: BytesCol, sink: ByteSink, depth: Int,
+      replay: Replay = null): Unit = {
     val n = col.len
     if (n == 0) { header(sink, TRIVIAL, PhysType.Bytes, 0); sink.writeBlock(Array.emptyByteArray); return }
+    // locked layout: build only the replayed winner's candidate (strings are
+    // where selection is expensive — every gated candidate fully encodes)
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    def want(id: Byte): Boolean = lockedId < 0 || lockedId == id
     // constant?
     var allEq = true
     val l0 = col.offsets(1) - col.offsets(0)
@@ -971,6 +1024,7 @@ object Codecs {
       i += 1
     }
     if (allEq) {
+      if (replay != null) replay.observe(CONST, full = true)
       header(sink, CONST, PhysType.Bytes, n)
       sink.writeVarint(l0.toLong)
       sink.writeBytes(col.bytes, col.offsets(0), l0)
@@ -978,18 +1032,21 @@ object Codecs {
     }
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     // Trivial: lengths sub-stream + raw bytes
-    val ts = new ByteSink()
-    val lengths = new Array[Long](n)
-    i = 0
-    while (i < n) { lengths(i) = (col.offsets(i + 1) - col.offsets(i)).toLong; i += 1 }
-    val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
-    ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
-    ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
-    candidates += ((TRIVIAL, ts.toArray))
+    def buildTrivial(): Unit = {
+      val ts = new ByteSink()
+      val lengths = new Array[Long](n)
+      var i1 = 0
+      while (i1 < n) { lengths(i1) = (col.offsets(i1 + 1) - col.offsets(i1)).toLong; i1 += 1 }
+      val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
+      ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
+      ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
+      candidates += ((TRIVIAL, ts.toArray))
+    }
+    if (want(TRIVIAL)) buildTrivial()
     // Prefix (front coding): share a prefix with the previous value —
     // effective on sorted / shared-prefix strings (reference:
     // dwio/nimble/encodings/PrefixEncoding.h:64)
-    if (n > 1) {
+    if (n > 1 && want(PREFIX)) {
       val ps = new ByteSink()
       var i2 = 1
       var shared = 0L
@@ -1021,7 +1078,7 @@ object Codecs {
       }
     }
     // Dictionary for low-cardinality strings
-    if (depth < MaxDepth) {
+    if (depth < MaxDepth && want(DICT)) {
       val index = new mutable.HashMap[String, Int]() // key: latin-1 view of bytes (lossless for bytes)
       val order = mutable.ArrayBuffer[(Int, Int)]() // (offset, len) of first occurrence
       val indices = new Array[Long](n)
@@ -1056,7 +1113,7 @@ object Codecs {
     // while compressing repeated substrings (reference:
     // dwio/nimble/encodings/FsstEncoding.h:79; Boncz/Neumann/Leis FSST paper).
     // Trained on a sample; only fully encoded when the sample compresses.
-    if (depth < MaxDepth) {
+    if (depth < MaxDepth && want(FSST)) {
       val totalBytes = col.offsets(n) - col.offsets(0)
       // short strings are dictionary territory — multi-byte symbols can't
       // pay for the table, and skipping the training keeps writes fast
@@ -1083,7 +1140,11 @@ object Codecs {
         }
       }
     }
-    emitBest(candidates, PhysType.Bytes, n, sink)
+    // locked candidate gated out this chunk (e.g. PREFIX stopped paying):
+    // fall back to Trivial rather than fail
+    if (candidates.isEmpty) buildTrivial()
+    val winner = emitBest(candidates, PhysType.Bytes, n, sink)
+    if (replay != null) replay.observe(winner, full = lockedId < 0)
   }
 
   private def decodeBytesPayload(id: Byte, cur: ByteCursor, n: Int): BytesCol = id match {

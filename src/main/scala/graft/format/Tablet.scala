@@ -531,6 +531,11 @@ object Tablet {
     // every 8th chunk in case the data distribution shifts)
     private val zstdRejects = mutable.HashMap[Int, Int]()
 
+    // per-stream encoding-layout replay (reference:
+    // writer/EncodingLayoutTree.h:25): stable streams skip candidate
+    // selection — see Codecs.Replay
+    private val replays = mutable.HashMap[Int, Codecs.Replay]()
+
     /** Append one encoded chunk for stream `id` covering `rows` top-level rows
       * (pass rows only once per row-range, via `addRows`). */
     def writeChunk(id: Int, col: Column): Unit = {
@@ -545,7 +550,7 @@ object Tablet {
         case c: BytesCol if trySharedDict(id, c, cst) => () // buffered until flush
         case _ =>
           val enc = new ByteSink(1024)
-          Codecs.encodeColumn(col, enc)
+          Codecs.encodeColumn(col, enc, replays.getOrElseUpdate(id, new Codecs.Replay))
           emitFrame(id, enc.toArray, cst, 1)
       }
     }
