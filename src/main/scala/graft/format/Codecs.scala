@@ -944,9 +944,10 @@ object Codecs {
         candidates += ((DICT, ds.toArray))
       }
     }
+    val lockedSatisfied = lockedId >= 0 && candidates.exists(_._1 == lockedId)
     if (candidates.isEmpty) buildTrivial()
     val winner = emitBest(candidates, phys, n, sink)
-    if (replay != null) replay.observe(winner, full = lockedId < 0)
+    if (replay != null) replay.observe(winner, full = !lockedSatisfied)
   }
 
   private def decodeDoublePayload(id: Byte, phys: Byte, cur: ByteCursor, n: Int): DoublesCol = {
@@ -1141,10 +1142,13 @@ object Codecs {
       }
     }
     // locked candidate gated out this chunk (e.g. PREFIX stopped paying):
-    // fall back to Trivial rather than fail
+    // fall back to Trivial rather than fail — and record the outcome as a
+    // FULL observation so the stale lock re-trains instead of pinning the
+    // fallback for the rest of the reopen window
+    val lockedSatisfied = lockedId >= 0 && candidates.exists(_._1 == lockedId)
     if (candidates.isEmpty) buildTrivial()
     val winner = emitBest(candidates, PhysType.Bytes, n, sink)
-    if (replay != null) replay.observe(winner, full = lockedId < 0)
+    if (replay != null) replay.observe(winner, full = !lockedSatisfied)
   }
 
   private def decodeBytesPayload(id: Byte, cur: ByteCursor, n: Int): BytesCol = id match {

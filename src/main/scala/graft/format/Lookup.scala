@@ -37,14 +37,21 @@ object Lookup {
       val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
       val keyIdx = footer.streamKeys.zipWithIndex.toMap
       val colId = keyIdx.getOrElse(column, return Nil)
-      val idxId = keyIdx.getOrElse(Tablet.indexStreamKey(column), -1)
+      // TimestampMicroNano split probe column: stats scale to combined-value
+      // bounds; blooms and the hash index (both built over MICROS values)
+      // are unusable for an epoch-nanos probe and are suppressed
+      val probeSplit = keyIdx.contains(column + "#nanos")
+      val idxId =
+        if (probeSplit) -1 else keyIdx.getOrElse(Tablet.indexStreamKey(column), -1)
       val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
       val out = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
       var s = 0
       while (s < footer.stripes.length) {
         val info = footer.stripes(s)
-        val st = reader.streamStats(s, colId)
-        val skip = !mightMatch(st, reader.streamBloom(s, colId), value)
+        val st0 = reader.streamStats(s, colId)
+        val st = if (probeSplit) Tablet.nanosScaledStats(st0) else st0
+        val bloom = if (probeSplit) None else reader.streamBloom(s, colId)
+        val skip = !mightMatch(st, bloom, value)
         if (!skip) {
           m.stripesProbed += 1
           m.stripeRows += info.rowCount
@@ -57,6 +64,33 @@ object Lookup {
       out.toSeq
     } finally reader.close()
   }
+
+  /** Cursor over a column's LOGICAL values: recombines the TimestampMicroNano
+    * split (micros * 1000 + remainder) when a '#nanos' sibling stream exists,
+    * so lookups report and compare epoch-nanos like every other reader. */
+  private final class ColCursor(main: Tablet.ChunkCursor, nanos: Tablet.ChunkCursor) {
+    def hasNext: Boolean = main.hasNext
+    def skip(): Unit = { main.skip(); if (nanos != null) nanos.skip() }
+    def next(): Column = {
+      val c = main.next()
+      if (nanos == null) c
+      else {
+        val mc = c.asInstanceOf[LongsCol]
+        val rc = nanos.next().asInstanceOf[LongsCol]
+        val out = new Array[Long](mc.len)
+        var i = 0
+        while (i < out.length) { out(i) = mc.values(i) * 1000L + rc.values(i); i += 1 }
+        LongsCol(out, mc.phys, mc.nulls)
+      }
+    }
+  }
+
+  private def colCursor(reader: Tablet.Reader, s: Int, keyIdx: Map[String, Int],
+      name: String): ColCursor =
+    new ColCursor(
+      new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(name))),
+      keyIdx.get(name + "#nanos")
+        .map(id => new Tablet.ChunkCursor(reader.readStreamBytes(s, id))).orNull)
 
   /** Index probe: binary-search the stripe's sorted (hash, position) table,
     * then decode ONLY the chunks holding candidate positions — the key chunk
@@ -91,6 +125,8 @@ object Lookup {
     val byChunk: Map[Int, Seq[Int]] = cand.groupBy(p => (p >>> 32).toInt)
       .map { case (c, ps) => c -> ps.map(p => (p & 0xffffffffL).toInt).toSeq }
     // verify candidates against the real key (collisions) chunk by chunk
+    // (the probe column is never nanos-split here — split probes take the
+    // scan path — but sibling columns may be)
     val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
     val verified = scala.collection.mutable.LinkedHashMap[Int, Seq[Int]]()
     var ord = 0
@@ -100,7 +136,7 @@ object Lookup {
         case Some(rows) =>
           val keyCol = keyCur.next()
           m.rowsDecoded += keyCol.len
-          val ok = rows.filter(r => verifyAt(keyCol, r, value)).toSeq
+          val ok = rows.filter(r => rowMatches(keyCol, r, value)).toSeq
           if (ok.nonEmpty) verified(ord) = ok
           remaining -= 1
         case None => keyCur.skip()
@@ -110,7 +146,7 @@ object Lookup {
     if (verified.isEmpty) return
     // materialize sibling columns for verified chunks only
     val others = atomicFields.filter(_.name != column).map { f =>
-      f.name -> new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(f.name)))
+      f.name -> colCursor(reader, s, keyIdx, f.name)
     }
     val rowsOut = scala.collection.mutable.LinkedHashMap[(Int, Int), scala.collection.mutable.LinkedHashMap[String, Any]]()
     for ((chunk, rows) <- verified; r <- rows)
@@ -137,9 +173,9 @@ object Lookup {
   private def lookupByScan(reader: Tablet.Reader, s: Int, colId: Int,
       keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String, value: Any,
       out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
-    val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
+    val keyCur = colCursor(reader, s, keyIdx, column)
     val others = atomicFields.filter(_.name != column).map { f =>
-      f.name -> new Tablet.ChunkCursor(reader.readStreamBytes(s, keyIdx(f.name)))
+      f.name -> colCursor(reader, s, keyIdx, f.name)
     }
     while (keyCur.hasNext) {
       val keyCol = keyCur.next()
@@ -159,11 +195,13 @@ object Lookup {
     }
   }
 
-  private def verifyAt(col: Column, i: Int, value: Any): Boolean = (col, value) match {
+  /** Does row `i` of `col` equal `value`? The single equality definition the
+    * index-verify and scan paths both use — they must never diverge. */
+  private def rowMatches(col: Column, i: Int, value: Any): Boolean = (col, value) match {
     case (c: LongsCol, n: Number) =>
       (c.nulls == null || !c.nulls(i)) && c.values(i) == n.longValue()
-    case (c: BytesCol, s: String) =>
-      val b = s.getBytes("UTF-8")
+    case (c: BytesCol, str: String) =>
+      val b = str.getBytes("UTF-8")
       (c.nulls == null || !c.nulls(i)) &&
         c.offsets(i + 1) - c.offsets(i) == b.length && {
           var k = 0; var eq = true
@@ -188,22 +226,8 @@ object Lookup {
     }
   }
 
-  private def matchRows(col: Column, value: Any): Seq[Int] = (col, value) match {
-    case (c: LongsCol, n: Number) =>
-      val v = n.longValue()
-      (0 until c.len).filter(i => (c.nulls == null || !c.nulls(i)) && c.values(i) == v)
-    case (c: BytesCol, s: String) =>
-      val b = s.getBytes("UTF-8")
-      (0 until c.len).filter { i =>
-        (c.nulls == null || !c.nulls(i)) &&
-          c.offsets(i + 1) - c.offsets(i) == b.length && {
-            var k = 0; var eq = true
-            while (k < b.length && eq) { eq = c.bytes(c.offsets(i) + k) == b(k); k += 1 }
-            eq
-          }
-      }
-    case _ => Nil
-  }
+  private def matchRows(col: Column, value: Any): Seq[Int] =
+    (0 until col.len).filter(i => rowMatches(col, i, value))
 
   private def valueAt(col: Column, i: Int): Any = col match {
     case c: LongsCol => if (c.nulls != null && c.nulls(i)) null else c.values(i)

@@ -177,6 +177,23 @@ object Tablet {
       if (b.length <= 64) b.clone() else java.util.Arrays.copyOf(b, 64)
   }
 
+  /** Conservative combined-value bounds for a TimestampMicroNano split
+    * column from its micros-stream stats: the logical epoch-nanos value lies
+    * in [min*1000, max*1000 + 999]. Saturating multiply: micros near
+    * Long.MIN/1000 would wrap and invert the bounds, silently pruning live
+    * stripes — clamp to +/-Long extremes instead (bounds stay conservative). */
+  def nanosScaledStats(st: Stats): Stats = {
+    val out = st.copy()
+    if (st.hasMinMax) {
+      out.minLong =
+        if (st.minLong < Long.MinValue / 1000L) Long.MinValue else st.minLong * 1000L
+      out.maxLong =
+        if (st.maxLong > (Long.MaxValue - 999L) / 1000L) Long.MaxValue
+        else st.maxLong * 1000L + 999L
+    }
+    out
+  }
+
   def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0

@@ -122,8 +122,11 @@ case class LshProbes(first: Expression, second: Expression, third: Expression,
       margin(p) = acc
       p += 1
     }
-    // flip order: rounded |margin| ascending, plane index as tiebreak
-    val order = (0 until planes).sortBy(p => (math.rint(math.abs(margin(p)) * 1e9), p))
+    // flip order: rounded |margin| ascending, plane index as tiebreak.
+    // HALF_UP (floor(x+0.5) on the non-negative |margin|) matches Spark's
+    // round() in the composed form and DuckDB's round() in the oracle — the
+    // same tie value must rank identically in all three replays
+    val order = (0 until planes).sortBy(p => (math.floor(math.abs(margin(p)) * 1e9 + 0.5), p))
     val out = new Array[Long](math.max(nprobes, 1))
     out(0) = bucket
     var i = 1

@@ -16,7 +16,15 @@ object Skew {
   /** Salted equi-join: the big side scatters each row to one of `salt`
     * sub-keys, the small side is replicated `salt` ways, and the join runs on
     * (key, salt) — a hot key's rows now land on `salt` reducers instead of
-    * one. */
+    * one.
+    *
+    * LIMITATION: the content-derived salt cannot scatter rows that are FULL
+    * duplicates (identical in every column) — they hash alike and stay on one
+    * reducer. That is the price of retry-determinism: any positional
+    * discriminator re-salts differently when a failed stage recomputes a
+    * subset, double-counting or dropping rows. Duplicate-heavy hot keys
+    * should deduplicate-with-count first (aggregate the multiplicity, join,
+    * re-expand) rather than rely on salting. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")

@@ -92,18 +92,11 @@ object NimbleSource {
   def lastPlanStats(path: String): Option[PlanStats] = Option(planStats.get(path))
 
   /** Conservative combined-value bounds for a TimestampMicroNano split
-    * column, derived from its micros-stream stats: the logical epoch-nanos
-    * value of a row lies in [minMicros*1000, maxMicros*1000 + 999], so range
-    * pruning on the nanos column stays sound (blooms hash micros values and
-    * are suppressed instead). */
-  private[spark] def nanosScaledStats(st: Tablet.Stats): Tablet.Stats = {
-    val out = st.copy()
-    if (st.hasMinMax) {
-      out.minLong = st.minLong * 1000L
-      out.maxLong = st.maxLong * 1000L + 999L
-    }
-    out
-  }
+    * column (see [[Tablet.nanosScaledStats]] — saturating, so extreme micros
+    * cannot wrap and invert the bounds). Blooms hash micros values and are
+    * suppressed instead. */
+  private[spark] def nanosScaledStats(st: Tablet.Stats): Tablet.Stats =
+    Tablet.nanosScaledStats(st)
 
   /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h). */
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Tablet.Footer)]()
@@ -558,6 +551,17 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     false
   }
 
+  /** Consume a reader's next chunk without output. Single dispatch point for
+    * every discard site: scalar readers skip their cursors cheaply, anything
+    * else decodes into a throwaway vector — there is deliberately no silent
+    * no-op arm, so a future reader type cannot desync chunk alignment. */
+  private def discardChunk(r: Fields.FieldReader, dt: org.apache.spark.sql.types.DataType): Unit =
+    r match {
+      case p: Fields.PrimR => p.readChunkDiscard()
+      case t: Fields.TsNanosR => t.readChunkDiscard()
+      case other => other.readChunk(discardVector(dt), null)
+    }
+
   /** Decode filter columns of the next chunk, evaluate pushed predicates,
     * fill survivors. Returns 1 = batch ready, -1 = end, 0 = chunk fully
     * filtered (caller continues the loop). */
@@ -593,20 +597,12 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         if (ok) m += 1
         i += 1
       }
-      for ((_, r) <- filterReaders) r match {
-        case p: Fields.PrimR => p.readChunkDiscard()
-        case t: Fields.TsNanosR => t.readChunkDiscard()
-        case _ => ()
-      }
+      for ((c, r) <- filterReaders) discardChunk(r, dataSchema(c).dataType)
       if (m == 0) {
         // nothing survives: consume this chunk everywhere and move on
         var k = 0
         while (k < fieldReaders.length) {
-          fieldReaders(k) match {
-            case p: Fields.PrimR => p.readChunkDiscard()
-            case t: Fields.TsNanosR => t.readChunkDiscard()
-            case other => other.readChunk(discardVector(required.fields(k).dataType), null)
-          }
+          discardChunk(fieldReaders(k), required.fields(k).dataType)
           k += 1
         }
         0

@@ -104,6 +104,28 @@ class SerializerSpec extends SparkTestBase {
       expected.length.toLong)
   }
 
+  test("point lookup on nanos-split tables reports and matches logical values") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql(
+      "SELECT id, id * 1234567891 + id % 1000 AS ts FROM range(2000)")
+    val dir = tmpDir("lookup_nanos")
+    df.coalesce(1).write.format("nimble")
+      .option("timestampNanosColumns", "ts").mode("overwrite").save(dir)
+    // sibling-column materialization: ts must come back recombined, not as
+    // the raw micros stream value
+    val byId = graft.format.Lookup.pointLookup(dir, "id", 42L)
+    assert(byId.length == 1)
+    assert(byId.head("ts") == 42L * 1234567891L + 42L)
+    // probing the split column itself: scan path with scaled stats; the
+    // epoch-nanos probe must find its row (micros-scale stats would prune
+    // every stripe and silently return nothing)
+    val probe = 77L * 1234567891L + 77L
+    val byTs = graft.format.Lookup.pointLookup(dir, "ts", probe)
+    assert(byTs.length == 1, s"split-column probe found ${byTs.length} rows")
+    assert(byTs.head("id") == 77L)
+    assert(graft.format.Lookup.pointLookup(dir, "ts", probe + 1).isEmpty)
+  }
+
   test("empty batch") {
     val schema = StructType(Seq(StructField("x", IntegerType)))
     val blob = Serializer.serialize(schema, Iterator.empty)
