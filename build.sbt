@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites asserting on process-global observability counters
+// (Codecs.selectionsRun/replayHits, Fsst.decodedStrings) snapshot-and-diff
+// them; concurrent suites in the same JVM would mix counts into the diff, so
+// suites run serially (they share one local[*] SparkSession anyway — the
+// parallelism that matters is inside Spark, not across suites).
+Test / parallelExecution := false
 run / fork := true
 // Forked `runMain` output must reach stdout unprefixed: the bench/verify
 // drivers parse the process output for a bare JSON line, and sbt's default

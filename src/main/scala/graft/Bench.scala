@@ -22,16 +22,21 @@ object Bench {
   }
 
   /** Warm once (codegen + JIT + footer caches), then report the median of
-    * three timed runs — steady-state cost with outlier (GC/compile) rejection,
-    * so round-over-round deltas are attributable to code changes, not noise. */
+    * five timed runs — steady-state cost with outlier (GC/compile/co-tenant
+    * load) rejection, so round-over-round deltas are attributable to code
+    * changes, not noise. Five because single-query 2-20x spikes from other
+    * processes on the box routinely survive a median of three. */
   private def timeWarm[A](body: => A): (Double, A) = {
     body
-    val (t1, _) = time(body)
-    val (t2, _) = time(body)
-    val (t3, r) = time(body)
-    val ts = Array(t1, t2, t3)
+    val ts = new Array[Double](5)
+    var r: A = null.asInstanceOf[A]
+    var i = 0
+    while (i < ts.length) {
+      val (t, x) = time(body)
+      ts(i) = t; r = x; i += 1
+    }
     java.util.Arrays.sort(ts)
-    (ts(1), r)
+    (ts(2), r)
   }
 
   private def dirBytes(path: String): Long = {

@@ -400,9 +400,11 @@ object SparkEntry {
          SELECT q, neighbor, rank FROM ranked WHERE rank <= 3""",
     // Full oracle: the hyperplane weights are a pure arithmetic formula
     // (pmod-hash of (plane, dim)), so DuckDB replays the exact bucketing,
-    // the multi-probe flip order (|margin| rounded to 9 decimals, plane
-    // index tiebreak) and the exact re-rank — the oracle verifies the whole
-    // multi-probe LSH pipeline, not just row counts.
+    // the multi-probe flip order (raw |margin| ascending, plane index
+    // tiebreak — every replay folds dimensions in ascending order, so the
+    // margin doubles are bit-identical and need no rounding) and the exact
+    // re-rank — the oracle verifies the whole multi-probe LSH pipeline, not
+    // just row counts.
     "x06_embed_lsh_ann" ->
       """WITH planes AS (SELECT unnest(range(0, 6)) AS p),
          m AS (SELECT vec_id, p, list_sum(list_transform(range(0, 64),
@@ -412,7 +414,7 @@ object SparkEntry {
                THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
              FROM m GROUP BY vec_id),
          flips AS (SELECT vec_id, p,
-               row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(acc) * 1e9), p) AS rn
+               row_number() OVER (PARTITION BY vec_id ORDER BY abs(acc), p) AS rn
              FROM m WHERE vec_id < 20),
          qprobes AS (
            SELECT vec_id, bucket AS probe FROM b WHERE vec_id < 20

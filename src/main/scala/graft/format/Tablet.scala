@@ -20,7 +20,10 @@ import scala.collection.mutable
   */
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
-  val Version: Int = 7 // v7: grouped per-stream directory; v6: shared-dict frames; v5: chunk stats
+  // v7: grouped per-stream directory; v6: shared-dict frames; v5: chunk
+  // stats. The reader accepts v5-v7 (readLegacyFooter) — the chunk-frame and
+  // stats wire formats are unchanged since v5, only the footer layout moved.
+  val Version: Int = 7
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -205,7 +208,7 @@ object Tablet {
     a.length - b.length
   }
 
-  private def writeStats(s: ByteSink, st: Stats): Unit = {
+  private[format] def writeStats(s: ByteSink, st: Stats): Unit = {
     s.writeVarint(st.valueCount)
     s.writeVarint(st.nullCount)
     s.writeByte(st.kind)
@@ -273,7 +276,11 @@ object Tablet {
       stripes: Array[StripeInfo],
       groupSize: Int,
       groups: Array[GroupLoc],
-      fileStats: Array[Stats]) {
+      fileStats: Array[Stats],
+      /** v5/v6 compatibility: those footers embed the whole stream directory
+        * (stripe-major), parsed here at footer-read time; null for v7+ files
+        * (whose directory lives in grouped sections read on demand). */
+      legacyDir: Array[Array[DirEntry]] = null) {
     /** (group << 32 | streamId) -> that group's per-stripe entries. Lives on
       * the Footer value — which the sources cache per JVM — so planning and
       * every task in the JVM share one fetch per (group, stream). */
@@ -341,8 +348,11 @@ object Tablet {
   def readFooter(bytes: Array[Byte]): Footer = {
     val c = new ByteCursor(bytes)
     val version = c.readByte()
-    // the stream directory moved out of the footer in v7 — decoding an older
-    // file with this reader would silently mis-parse, so fail loudly
+    // v5/v6 footers embed the stream directory; v7 moved it to grouped
+    // sections. Both parse here (the chunk-frame and stats wire formats are
+    // unchanged since v5); anything else would silently mis-parse, so fail
+    // loudly. The reference keeps old stripe metadata readable the same way.
+    if (version == 5 || version == 6) return readLegacyFooter(version, c)
     require(version == Version,
       s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
     val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
@@ -375,6 +385,59 @@ object Tablet {
     Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats)
   }
 
+  /** Parse a v5/v6 footer (stream directory embedded per stripe: blooms,
+    * then locations, then stats) into the v7 in-memory shape — groupSize 1
+    * with the directory preloaded in [[Footer.legacyDir]], so every read
+    * path downstream of [[Reader.dirEntries]] works unchanged. */
+  private def readLegacyFooter(version: Int, c: ByteCursor): Footer = {
+    val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
+    val nSort = c.readVarint().toInt
+    val sortCols = (0 until nSort).map { _ =>
+      val b = c.readBlock(); new String(b.readBytes(b.remaining), "UTF-8")
+    }
+    val rowCount = c.readVarint()
+    val nStreams = c.readVarint().toInt
+    val keys = new Array[String](nStreams)
+    var i = 0
+    while (i < nStreams) {
+      val b = c.readBlock(); keys(i) = new String(b.readBytes(b.remaining), "UTF-8"); i += 1
+    }
+    val nStripes = c.readVarint().toInt
+    val stripes = new Array[StripeInfo](nStripes)
+    val dir = new Array[Array[DirEntry]](nStripes)
+    var sI = 0
+    while (sI < nStripes) {
+      val off = c.readVarint(); val len = c.readVarint(); val rc = c.readVarint()
+      val checksum = c.readLong()
+      val nBlooms = c.readVarint().toInt
+      val blooms = (0 until nBlooms).map { _ =>
+        val id = c.readVarint().toInt
+        val nw = c.readVarint().toInt
+        val bits = new Array[Long](nw)
+        var bi = 0
+        while (bi < nw) { bits(bi) = c.readLong(); bi += 1 }
+        id -> new Bloom(bits)
+      }.toMap
+      val locs = new Array[StreamLoc](nStreams)
+      i = 0
+      while (i < nStreams) { locs(i) = StreamLoc(c.readVarint(), c.readVarint()); i += 1 }
+      val entries = new Array[DirEntry](nStreams)
+      i = 0
+      while (i < nStreams) {
+        entries(i) = DirEntry(locs(i), readStats(c), blooms.getOrElse(i, null))
+        i += 1
+      }
+      stripes(sI) = StripeInfo(off, len, rc, checksum)
+      dir(sI) = entries
+      sI += 1
+    }
+    val fileStats = new Array[Stats](nStreams)
+    i = 0
+    while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
+    Footer(version, schemaJson, sortCols, rowCount, keys, stripes,
+      groupSize = 1, groups = Array.empty, fileStats, legacyDir = dir)
+  }
+
   // --------------------------------------------------------------- writer
 
   /** Anything that accepts encoded chunks per stream id (the tablet writer,
@@ -402,6 +465,26 @@ object Tablet {
       bloomColumns: Set[String] = Set.empty,
       compression: String = "zstd",
       indexColumns: Set[String] = Set.empty) extends ChunkSink {
+    // Hash-index entries hash long-backed and bytes-backed values only; an
+    // unsupported column (double/bool/nested) would silently emit an
+    // always-empty index that shadows the reader's scan fallback — reject the
+    // misconfiguration at write time instead.
+    if (indexColumns.nonEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      import org.apache.spark.sql.types._
+      for (c <- indexColumns) {
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | StringType | BinaryType => ()
+          case dt => throw new IllegalArgumentException(
+            s"nimble: indexColumns: column '$c' has unsupported type ${dt.simpleString} " +
+              "(hash index supports integral, date/timestamp, string and binary columns)")
+        }
+      }
+    }
     private val out = GraftIO.create(path)
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong
@@ -791,6 +874,9 @@ object Tablet {
 
     /** Per-stripe directory entries of stream `id` in group `group`. */
     def dirEntries(group: Int, id: Int): Array[DirEntry] = {
+      // v5/v6 file: the directory was embedded in the footer (groupSize 1,
+      // one stripe per group), already parsed — no section reads
+      if (footer.legacyDir != null) return Array(footer.legacyDir(group)(id))
       val key = (group.toLong << 32) | (id & 0xffffffffL)
       val cached = footer.dirCache.get(key)
       if (cached != null) return cached
@@ -855,6 +941,11 @@ object Tablet {
   final class ChunkCursor(bytes: Array[Byte]) {
     private var pos = 0
     private var sharedAlphabet: BytesCol = null
+    // deferred alphabet frame: (compLen, rawLen, kind, dataPos) recorded by
+    // ensureData, decoded only on the first data chunk that needs it — a
+    // selective scan that skips every chunk of the stream never pays the
+    // alphabet decompress+decode
+    private var pendingAlphabet: (Int, Int, Byte, Int) = null
     def hasNext: Boolean = { ensureData(); pos < bytes.length }
 
     /** Parse the frame header at `pos`: (compLen, rawLen, kind, flag, stats, dataPos). */
@@ -875,13 +966,15 @@ object Tablet {
         java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + compLen), rawLen))
 
     /** Swallow any pending alphabet frame so `pos` always sits on a data
-      * frame (or the end) for the public methods. */
+      * frame (or the end) for the public methods. The alphabet itself is NOT
+      * decoded here — only its byte range is recorded (decode happens lazily
+      * in [[decodeShared]]), so skip-only traversals never touch it. */
     private def ensureData(): Unit = {
       while (pos < bytes.length) {
         val (compLen, rawLen, kind, flag, _, dataPos) = header()
         if (flag != 2) return
-        sharedAlphabet = Codecs.decodeColumn(payloadCursor(compLen, rawLen, kind, dataPos))
-          .asInstanceOf[BytesCol]
+        pendingAlphabet = (compLen, rawLen, kind, dataPos)
+        sharedAlphabet = null
         pos = dataPos + compLen
       }
     }
@@ -908,6 +1001,11 @@ object Tablet {
     }
 
     private def decodeShared(cur: ByteCursor): DictBytesCol = {
+      if (sharedAlphabet == null && pendingAlphabet != null) {
+        val (compLen, rawLen, kind, dataPos) = pendingAlphabet
+        sharedAlphabet = Codecs.decodeColumn(payloadCursor(compLen, rawLen, kind, dataPos))
+          .asInstanceOf[BytesCol]
+      }
       require(sharedAlphabet != null, "shared-dict chunk before its alphabet frame")
       val idxCol = Codecs.decodeColumn(cur).asInstanceOf[LongsCol]
       val idx = new Array[Int](idxCol.len)

@@ -85,11 +85,15 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
   * equivalent; this is the standard multi-probe construction from Lv et al.,
   * VLDB'07): the main bucket plus `nprobes - 1` single-bit flips of the
   * planes with the smallest |margin| (= |dot(v, plane)|) — the sign decisions
-  * most likely to differ for a true near neighbor. Margins are compared
-  * rounded to 9 decimals with the plane index as tiebreak, so an oracle
-  * replaying the same arithmetic orders flips identically. Probe buckets are
-  * distinct by construction (distinct XOR masks), so a corpus row joins a
-  * query's probe list at most once. */
+  * most likely to differ for a true near neighbor. Margins are compared by
+  * raw |margin| (doubleToLongBits order — identical to IEEE value order for
+  * non-negative doubles, NaN last) with the plane index as tiebreak: every
+  * replay (this expression, the composed Spark form, the SQL oracle)
+  * accumulates the dot product in the same ascending-dimension order, so the
+  * doubles are bit-identical and the comparison is exact — no decimal
+  * rounding whose half-way boundaries could order differently across
+  * engines. Probe buckets are distinct by construction (distinct XOR masks),
+  * so a corpus row joins a query's probe list at most once. */
 case class LshProbes(first: Expression, second: Expression, third: Expression,
     fourth: Expression)
     extends QuaternaryExpression with CodegenFallback {
@@ -122,11 +126,13 @@ case class LshProbes(first: Expression, second: Expression, third: Expression,
       margin(p) = acc
       p += 1
     }
-    // flip order: rounded |margin| ascending, plane index as tiebreak.
-    // HALF_UP (floor(x+0.5) on the non-negative |margin|) matches Spark's
-    // round() in the composed form and DuckDB's round() in the oracle — the
-    // same tie value must rank identically in all three replays
-    val order = (0 until planes).sortBy(p => (math.floor(math.abs(margin(p)) * 1e9 + 0.5), p))
+    // flip order: raw |margin| ascending, plane index as tiebreak. Compared
+    // via doubleToLongBits (== IEEE value order for the non-negative |m|,
+    // NaN after every finite value) — integer-exact, so the composed Spark
+    // form and the SQL oracle ordering by the identically-accumulated double
+    // rank ties the same way with no rounding-boundary hazard
+    val order = (0 until planes).sortBy(p =>
+      (java.lang.Double.doubleToLongBits(math.abs(margin(p))), p))
     val out = new Array[Long](math.max(nprobes, 1))
     out(0) = bucket
     var i = 1

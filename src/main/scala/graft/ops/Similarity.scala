@@ -137,8 +137,10 @@ object Similarity {
   }
 
   /** Composed-operator multi-probe list (the cross-validation reference):
-    * same margin arithmetic as [[lshBucketComposed]], flips ordered by
-    * round(|margin| * 1e9) with plane index as tiebreak. */
+    * same margin arithmetic as [[lshBucketComposed]], flips ordered by raw
+    * |margin| with plane index as tiebreak — the fold accumulates dimensions
+    * ascending exactly like the native expression and the SQL oracle, so the
+    * doubles are bit-identical and the order needs no rounding. */
   def lshProbesComposed(vec: Column, dims: Int, planes: Int, nprobes: Int): Column = {
     def margin(p: Int): Column = aggregate(
       zip_with(vec, sequence(lit(0), lit(dims - 1)),
@@ -148,10 +150,10 @@ object Similarity {
     val bucket = (0 until planes)
       .map(p => when(margin(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    // (rounded |margin|, plane, mask) sorted ascending give the flip order;
+    // (raw |margin|, plane, mask) sorted ascending give the flip order;
     // the mask rides along so the lambda needs no dynamic shift
     val ranked = array_sort(array((0 until planes).map(p =>
-      struct(round(abs(margin(p)) * 1e9).as("m"), lit(p).as("p"), lit(1L << p).as("mask"))): _*))
+      struct(abs(margin(p)).as("m"), lit(p).as("p"), lit(1L << p).as("mask"))): _*))
     val flips = transform(slice(ranked, 1, math.min(nprobes - 1, planes)),
       e => bucket.bitwiseXOR(e.getField("mask")))
     concat(array(bucket), flips)

@@ -1,0 +1,185 @@
+package graft.format
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** v5/v6 footer compatibility: files written before the v7 grouped stream
+  * directory keep reading (the reference keeps stripe metadata readable
+  * across versions — dwio/nimble/tablet/TabletReader.cpp version gates).
+  * The test synthesizes a legacy file by re-writing a current file's footer
+  * in the embedded-directory layout (stripe data bytes are version-invariant
+  * since v5), then asserts the reader sees identical metadata and values. */
+class LegacyFooterSpec extends AnyFunSuite {
+
+  private def tmpFile(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("legacyfooter").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name.gft"
+  }
+
+  private val schemaJson =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))).json
+
+  private def bytesCol(values: Seq[String]): BytesCol = {
+    val offs = new Array[Int](values.length + 1)
+    val sink = new ByteSink(64)
+    values.zipWithIndex.foreach { case (v, i) =>
+      sink.writeBytes(v.getBytes("UTF-8")); offs(i + 1) = sink.size
+    }
+    BytesCol(offs, sink.toArray)
+  }
+
+  /** Write the pre-v7 footer layout: the whole stream directory (blooms,
+    * locations, stats) embedded per stripe. Byte-for-byte the old
+    * `writeFooter` (git history at the v6 tag). */
+  private def legacyFooterBytes(version: Int, r: Tablet.Reader): Array[Byte] = {
+    val f = r.footer
+    val nStreams = f.streamKeys.length
+    val s = new ByteSink(1 << 16)
+    s.writeByte(version)
+    s.writeBlock(f.schemaJson.getBytes("UTF-8"))
+    s.writeVarint(f.sortColumns.length.toLong)
+    f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
+    s.writeVarint(f.rowCount)
+    s.writeVarint(nStreams.toLong)
+    f.streamKeys.foreach(k => s.writeBlock(k.getBytes("UTF-8")))
+    s.writeVarint(f.stripes.length.toLong)
+    for (sI <- f.stripes.indices) {
+      val st = f.stripes(sI)
+      s.writeVarint(st.offset)
+      s.writeVarint(st.length)
+      s.writeVarint(st.rowCount)
+      s.writeLong(st.checksum)
+      val blooms = (0 until nStreams)
+        .flatMap(id => r.streamBloom(sI, id).map(id -> _))
+      s.writeVarint(blooms.size.toLong)
+      for ((id, bloom) <- blooms) {
+        s.writeVarint(id.toLong)
+        s.writeVarint(bloom.bits.length.toLong)
+        bloom.bits.foreach(s.writeLong)
+      }
+      for (id <- 0 until nStreams) {
+        val loc = r.streamLoc(sI, id)
+        s.writeVarint(loc.offset); s.writeVarint(loc.length)
+      }
+      for (id <- 0 until nStreams) Tablet.writeStats(s, r.streamStats(sI, id))
+    }
+    for (x <- f.fileStats) Tablet.writeStats(s, x)
+    s.toArray
+  }
+
+  /** Current file -> same stripe bytes + a legacy (v5/v6) footer. */
+  private def synthesizeLegacy(version: Int, srcPath: String, dstPath: String): Unit = {
+    val r = new Tablet.Reader(srcPath)
+    try {
+      val dataEnd = r.footer.stripes.map(st => st.offset + st.length).max
+      val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(srcPath))
+      val fb = legacyFooterBytes(version, r)
+      val out = new ByteSink(dataEnd.toInt + fb.length + 8)
+      out.writeBytes(all, 0, dataEnd.toInt)
+      out.writeBytes(fb)
+      out.writeInt(fb.length)
+      out.writeBytes(Tablet.Magic)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dstPath), out.toArray)
+    } finally r.close()
+  }
+
+  private def writeSample(path: String): Unit = {
+    val w = new Tablet.Writer(path, schemaJson, Array("i", "s"),
+      sortColumns = Seq("i"), bloomColumns = Set("i"), compression = "zstd")
+    var base = 0L
+    for (_ <- 0 until 3) { // 3 stripes, 2 chunks each
+      for (_ <- 0 until 2) {
+        val ints = LongsCol((0 until 100).map(base + _).toArray, PhysType.I64)
+        // low-cardinality strings spanning chunks: engages the shared
+        // dictionary (alphabet frames appear in v6+ data, reader-transparent)
+        val strs = bytesCol((0 until 100).map(i => s"tag_${i % 5}"))
+        w.writeChunk(0, ints)
+        w.writeChunk(1, strs)
+        w.addRows(100L)
+        base += 100
+      }
+      w.flushStripe()
+    }
+    w.close()
+  }
+
+  private def allValues(path: String): (Seq[Long], Seq[String]) = {
+    val r = new Tablet.Reader(path)
+    try {
+      val longs = scala.collection.mutable.ArrayBuffer[Long]()
+      val strs = scala.collection.mutable.ArrayBuffer[String]()
+      for (s <- r.footer.stripes.indices) {
+        val ic = new Tablet.ChunkCursor(r.readStreamBytes(s, 0))
+        while (ic.hasNext) {
+          val c = ic.next().asInstanceOf[LongsCol]
+          longs ++= c.values.take(c.len)
+        }
+        val sc = new Tablet.ChunkCursor(r.readStreamBytes(s, 1))
+        while (sc.hasNext) {
+          val c = sc.next() match {
+            case b: BytesCol => b
+            case d: DictBytesCol => d.expand
+            case l: LazyFsstBytesCol => l.expand
+            case other => fail(s"unexpected column type ${other.getClass}")
+          }
+          strs ++= (0 until c.len).map(i => new String(c(i), "UTF-8"))
+        }
+      }
+      (longs.toSeq, strs.toSeq)
+    } finally r.close()
+  }
+
+  test("v6 footer (embedded directory, shared-dict frames) reads identically") {
+    val cur = tmpFile("current")
+    writeSample(cur)
+    val legacy = tmpFile("legacy6")
+    synthesizeLegacy(6, cur, legacy)
+
+    val (wantI, wantS) = allValues(cur)
+    val (gotI, gotS) = allValues(legacy)
+    assert(gotI == wantI)
+    assert(gotS == wantS)
+
+    val rc = new Tablet.Reader(cur)
+    val rl = new Tablet.Reader(legacy)
+    try {
+      assert(rl.footer.version == 6)
+      assert(rl.footer.rowCount == rc.footer.rowCount)
+      assert(rl.footer.sortColumns == Seq("i"))
+      assert(rl.footer.stripes.map(_.rowCount).toSeq == rc.footer.stripes.map(_.rowCount).toSeq)
+      for (s <- rc.footer.stripes.indices; id <- 0 until 2) {
+        assert(rl.streamLoc(s, id) == rc.streamLoc(s, id), s"loc stripe=$s id=$id")
+        val (a, b) = (rl.streamStats(s, id), rc.streamStats(s, id))
+        assert(a.minLong == b.minLong && a.maxLong == b.maxLong && a.nullCount == b.nullCount)
+        // bloom survives: a present value probes true
+        if (id == 0) {
+          val bl = rl.streamBloom(s, id)
+          assert(bl.isDefined)
+          assert(bl.get.mightContain(Tablet.hashLongValue(rc.streamStats(s, id).minLong)))
+        }
+      }
+    } finally { rc.close(); rl.close() }
+  }
+
+  test("v5 footer reads identically") {
+    val cur = tmpFile("current5")
+    writeSample(cur)
+    val legacy = tmpFile("legacy5")
+    synthesizeLegacy(5, cur, legacy)
+    assert(allValues(legacy) == allValues(cur))
+  }
+
+  test("unknown versions still fail loudly") {
+    val cur = tmpFile("current8")
+    writeSample(cur)
+    val legacy = tmpFile("legacy8")
+    synthesizeLegacy(8, cur, legacy)
+    val e = intercept[IllegalArgumentException] {
+      val r = new Tablet.Reader(legacy)
+      try r.footer finally r.close()
+    }
+    assert(e.getMessage.contains("v8"))
+  }
+}

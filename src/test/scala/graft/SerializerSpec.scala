@@ -104,6 +104,30 @@ class SerializerSpec extends SparkTestBase {
       expected.length.toLong)
   }
 
+  test("indexColumns on an unsupported or unknown column is rejected at write time") {
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    // double column: the hash index can't probe it — a silent empty index
+    // would shadow the scan fallback, so the write must fail loudly
+    val eType = intercept[org.apache.spark.SparkException] {
+      sparkDf.coalesce(1).write.format("nimble")
+        .option("indexColumns", "o_totalprice")
+        .mode("overwrite").save(tmpDir("idx_badtype"))
+    }
+    assert(exceptionChain(eType).exists(_.getMessage != null) &&
+      exceptionChain(eType).exists(m => m.getMessage != null &&
+        m.getMessage.contains("unsupported type")), s"got: $eType")
+    val eName = intercept[org.apache.spark.SparkException] {
+      sparkDf.coalesce(1).write.format("nimble")
+        .option("indexColumns", "no_such_col")
+        .mode("overwrite").save(tmpDir("idx_badname"))
+    }
+    assert(exceptionChain(eName).exists(m => m.getMessage != null &&
+      m.getMessage.contains("no such column")), s"got: $eName")
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    if (t == null) Nil else t :: exceptionChain(t.getCause)
+
   test("point lookup on nanos-split tables reports and matches logical values") {
     import org.apache.spark.sql.functions.col
     val df = spark.sql(

@@ -152,4 +152,43 @@ class SharedDictSpec extends AnyFunSuite {
       while (cur.hasNext) { assert(cur.peekCodec() != Codecs.SHAREDDICT); cur.next() }
     } finally r.close()
   }
+
+  test("alphabet decode is lazy: skip-only traversal never touches it") {
+    // A scan whose predicate prunes every chunk of a shared-dict stream must
+    // not pay the alphabet decompress+decode. Provable without counters: make
+    // the alphabet frame undecodable (invalid compression kind byte) — skips,
+    // stats peeks and codec peeks must still work; only next() may throw.
+    val chunks = (0 until 4).map(k => bytesCol((0 until 1000).map(i => lowCard((i + k) % 8))))
+    val path = tmp("lazyalpha")
+    writeChunks(path, chunks)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val r0 = new Tablet.Reader(path)
+    val (streamOff, streamLen) = try {
+      val loc = r0.streamLoc(0, 0); (loc.offset.toInt, loc.length.toInt)
+    } finally r0.close()
+    // first frame of the stream is the alphabet (flag 2): frame layout
+    // [compLen i32][rawLen varint][compression u8][flag u8]... — poison the
+    // compression byte so any decode attempt throws
+    var p = streamOff + 4
+    while ((raw(p) & 0x80) != 0) p += 1 // skip rawLen varint
+    p += 1
+    assert(raw(p + 1) == 2, "first frame must be the alphabet (flag 2)")
+    raw(p) = 99 // invalid compression kind
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), raw)
+
+    val r = new Tablet.Reader(path)
+    try {
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      var n = 0
+      while (cur.hasNext) { // hasNext parses past the poisoned frame header
+        assert(cur.peekStats() != null)
+        cur.skip()
+        n += 1
+      }
+      assert(n == 4, s"expected 4 data chunks, got $n")
+      // and a real decode DOES reach for the alphabet -> throws
+      val cur2 = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      intercept[Exception] { cur2.next() }
+    } finally r.close()
+  }
 }
