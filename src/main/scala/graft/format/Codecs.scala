@@ -39,6 +39,8 @@ object Codecs {
   final val ALP: Byte = 12
   final val PFOR: Byte = 13 // patched FOR: narrow packed lows + exception patches
   final val BLOCKBP: Byte = 15 // per-1024-row baseline + bit width
+  final val SUBINT: Byte = 16 // bit-range split: hi/lo sub-streams, each recursively coded
+  final val FREQPART: Byte = 17 // top-K frequent values as narrow codes + exception stream
   final val FOR: Byte = 18 // frame-of-reference: baseline + bit-packed residuals
   final val FSST: Byte = 19 // trained symbol-table string compression, random access
   final val HUFFMAN: Byte = 20 // canonical Huffman over a small value alphabet
@@ -700,6 +702,112 @@ object Codecs {
         val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
         val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
       }))
+    // FrequencyPartition: the most frequent K values get a narrow code
+    // (0..K-1, frequency-ordered so the code stream is skew-friendly for the
+    // cascade), everything else the reserved code K plus a slot in a separate
+    // exception stream (reference:
+    // dwio/nimble/encodings/FrequencyPartitionEncoding.h:96 — tiered
+    // frequency partitions; this keeps original row order via the code
+    // stream instead of reordering rows + a positional index, trading a few
+    // index bits for a branch-light O(n) decode). Niche: a skewed head over
+    // a long high-cardinality tail — too many distinct values for Huffman
+    // (<=256) and a DICT alphabet dominated by rare singletons.
+    if (!st.distinctCapped && st.distinct.size >= 16 && depth < MaxDepth) {
+      val byFreq = st.distinct.toArray.sortBy { case (v, f) => (-f, v) }
+      var bestK = -1
+      var bestEst = Double.MaxValue
+      var covered = 0
+      var i = 0
+      var nextK = 15
+      while (i < byFreq.length && nextK <= 255) {
+        covered += byFreq(i)._2
+        if (i + 1 == nextK) {
+          val exc = n - covered
+          val est = 24 + nextK.toDouble * width +
+            n.toLong * bitsFor(nextK.toLong) / 8.0 + exc.toDouble * width
+          if (est < bestEst) { bestEst = est; bestK = nextK }
+          nextK = nextK * 2 + 1
+        }
+        i += 1
+      }
+      if (bestK > 0 && bestEst < 0.9 * n.toLong * width) {
+        val kSel = bestK
+        plans += ((FREQPART, bestEst, { s =>
+          val head = new Array[Long](kSel)
+          val idx = new mutable.HashMap[Long, Int]()
+          var i = 0
+          while (i < kSel) { head(i) = byFreq(i)._1; idx(head(i)) = i; i += 1 }
+          val codes = new Array[Long](n)
+          var nExc = 0
+          i = 0
+          while (i < n) {
+            val c = idx.getOrElse(values(i), kSel)
+            codes(i) = c.toLong
+            if (c == kSel) nExc += 1
+            i += 1
+          }
+          val excs = new Array[Long](nExc)
+          var j = 0
+          i = 0
+          while (i < n) { if (codes(i) == kSel) { excs(j) = values(i); j += 1 }; i += 1 }
+          s.writeVarint(kSel.toLong)
+          val as = new ByteSink(); encodeLongs(head, phys, as, depth + 1); s.writeBlock(as.toArray)
+          val cs = new ByteSink(); encodeLongs(codes, PhysType.I64, cs, depth + 1); s.writeBlock(cs.toArray)
+          val es = new ByteSink(); encodeLongs(excs, phys, es, depth + 1); s.writeBlock(es.toArray)
+        }))
+      }
+    }
+    // SubIntSplit: slice each value at bit k into a hi sub-stream (slowly
+    // varying high bits -> RLE/FOR/DICT) and a lo sub-stream (noisy low bits
+    // -> bit-packed), each recursively coded (reference:
+    // dwio/nimble/encodings/SubIntSplitEncoding.h:71 — bit-range sections
+    // with DP-chosen splits; two sections at a byte boundary cover the
+    // dominant case: ids/timestamps/counters whose high bytes barely move).
+    // Reconstruction (hi << k) | lo is exact for every long since
+    // (v >>> k) << k == v & ~mask. Gated behind the cheap codecs doing
+    // poorly, so the extra O(n) neighbor-xor pass only runs on hard chunks.
+    if (width >= 4 && n >= 1024 && depth < MaxDepth &&
+        plans.iterator.map(_._2).min >= 0.45 * n.toLong * width) {
+      // histogram of the highest bit differing between neighbors: run counts
+      // of EVERY candidate hi-stream fall out of one suffix sum (hi at cut k
+      // changes between rows iff some bit > k changed)
+      val zhist = new Array[Int](65)
+      var i = 1
+      while (i < n) {
+        val x = values(i) ^ values(i - 1)
+        if (x != 0) zhist(64 - java.lang.Long.numberOfLeadingZeros(x)) += 1
+        i += 1
+      }
+      val runsAbove = new Array[Int](65) // runsAbove(k) = hi-stream runs at cut k
+      var z = 63
+      runsAbove(64) = 1
+      while (z >= 0) { runsAbove(z) = runsAbove(z + 1) + zhist(z + 1); z -= 1 }
+      var bestK = -1
+      var bestEst = Double.MaxValue
+      var k = 8
+      while (k < width * 8) {
+        val hiRle = 16 + runsAbove(k) * 10.0
+        val hiFor =
+          if (st.min >= 0) 10 + n.toLong * bitsFor((st.max >>> k) - (st.min >>> k)) / 8.0
+          else Double.MaxValue // negative values: hi lands on the cascade's RLE/DICT
+        val est = math.min(hiRle, hiFor) + 12 + n.toLong * k / 8.0
+        if (est < bestEst) { bestEst = est; bestK = k }
+        k += 8
+      }
+      if (bestK > 0 && bestEst < 0.85 * plans.iterator.map(_._2).min) {
+        val kk = bestK
+        plans += ((SUBINT, bestEst, { s =>
+          s.writeByte(kk)
+          val mask = (1L << kk) - 1L
+          val hi = new Array[Long](n)
+          val lo = new Array[Long](n)
+          var i = 0
+          while (i < n) { val v = values(i); hi(i) = v >>> kk; lo(i) = v & mask; i += 1 }
+          val hs = new ByteSink(); encodeLongs(hi, PhysType.I64, hs, depth + 1); s.writeBlock(hs.toArray)
+          val ls = new ByteSink(); encodeLongs(lo, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
+        }))
+      }
+    }
     val sorted = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }
     // locked layout: encode the replayed winner alone when it is still gated
     // in; otherwise (or every 8th chunk) run normal selection
@@ -1373,6 +1481,28 @@ object Codecs {
           System.arraycopy(blk, 0, out, b, e - b)
         }
         b = e
+      }
+      out
+    case SUBINT =>
+      val k = cur.readByte()
+      val hi = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val lo = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = (hi(i) << k) | lo(i); i += 1 }
+      out
+    case FREQPART =>
+      val kSel = cur.readVarint().toInt
+      val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val codes = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val excs = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+      val out = new Array[Long](n)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        val c = codes(i).toInt
+        if (c == kSel) { out(i) = excs(j); j += 1 } else out(i) = alphabet(c)
+        i += 1
       }
       out
     case DELTABLOCK =>

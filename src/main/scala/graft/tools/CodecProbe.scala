@@ -22,6 +22,8 @@ object CodecProbe {
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
     case Codecs.BLOCKBP => "BlockBP"
+    case Codecs.SUBINT => "SubIntSplit"
+    case Codecs.FREQPART => "FreqPartition"
     case Codecs.FOR => "FOR"
     case Codecs.FSST => "FSST"
     case Codecs.HUFFMAN => "Huffman"
@@ -60,6 +62,17 @@ object CodecProbe {
         cur.readByte()
         val pos = cur.readBlock()
         print(s"$indent  positions: "); dumpTree(pos, indent + "  ")
+      case Codecs.SUBINT =>
+        val k = cur.readByte()
+        val hi = cur.readBlock(); val lo = cur.readBlock()
+        print(s"$indent  hi(>>$k): "); dumpTree(hi, indent + "  ")
+        print(s"$indent  lo:       "); dumpTree(lo, indent + "  ")
+      case Codecs.FREQPART =>
+        val k = cur.readVarint()
+        val alpha = cur.readBlock(); val codes = cur.readBlock(); val excs = cur.readBlock()
+        print(s"$indent  head(K=$k): "); dumpTree(alpha, indent + "  ")
+        print(s"$indent  codes:      "); dumpTree(codes, indent + "  ")
+        print(s"$indent  exceptions: "); dumpTree(excs, indent + "  ")
       case _ => ()
     }
   }

@@ -34,9 +34,13 @@ object NimbleDump {
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
     case Codecs.BLOCKBP => "BlockBitPacking"
+    case Codecs.SUBINT => "SubIntSplit"
+    case Codecs.FREQPART => "FrequencyPartition"
     case Codecs.FOR => "FOR"
     case Codecs.FSST => "FSST"
+    case Codecs.HUFFMAN => "Huffman"
     case Codecs.DELTABLOCK => "DeltaBlock"
+    case Codecs.SHAREDDICT => "SharedDictionary"
     case Codecs.SENTINEL => "Sentinel"
     case other => s"codec#$other"
   }
