@@ -12,8 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class CodecsFuzzSpec extends AnyFunSuite {
 
   private def genLongs(r: scala.util.Random): Array[Long] = {
-    val n = r.nextInt(3000)
-    val mode = r.nextInt(6)
+    val mode = r.nextInt(8)
+    val n = if (mode >= 6) 1024 + r.nextInt(4000) else r.nextInt(3000)
     mode match {
       case 0 => Array.fill(n)(r.nextLong())
       case 1 => Array.fill(n)(r.nextInt(100).toLong) // low card + narrow
@@ -24,7 +24,18 @@ class CodecsFuzzSpec extends AnyFunSuite {
         a
       case 3 => { var v = r.nextLong() % 1000000; Array.fill(n) { v += r.nextInt(100) - 30; v } }
       case 4 => Array.fill(n)(if (r.nextInt(10) == 0) r.nextLong() else 7L) // mainly const
-      case _ => Array.fill(n)(Seq(Long.MinValue, Long.MaxValue, 0L, -1L)(r.nextInt(4)))
+      case 5 => Array.fill(n)(Seq(Long.MinValue, Long.MaxValue, 0L, -1L)(r.nextInt(4)))
+      case 6 => // SubIntSplit territory: slow hi bits over noisy low bits
+        val loBits = 8 + r.nextInt(24)
+        val runLen = 50 + r.nextInt(200)
+        val bases = Array.fill(n / runLen + 1)(r.nextLong() >>> r.nextInt(32))
+        Array.tabulate(n)(i => (bases(i / runLen) << loBits) |
+          (r.nextLong() & ((1L << loBits) - 1)))
+      case _ => // FrequencyPartition territory: skewed head + high-card tail
+        val heads = Array.fill(8 + r.nextInt(56))(r.nextLong())
+        val tail = Array.fill(1000 + r.nextInt(2500))(r.nextLong())
+        Array.fill(n)(if (r.nextInt(100) < 90 + r.nextInt(9)) heads(r.nextInt(heads.length))
+          else tail(r.nextInt(tail.length)))
     }
   }
 
