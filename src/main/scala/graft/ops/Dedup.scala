@@ -65,10 +65,13 @@ object Dedup {
     // hot shingles stop driving a quadratic pair blowup while recall stays
     // 1.0 (candidates are then verified with the exact intersection count).
     val inv0 = docs.select(col("doc"), col("sz"), explode(col("sh")).as("s"))
-    // document frequency via a window over the inverted index — one shuffle
-    // on s (reused as-is by nothing downstream) instead of groupBy + join-back
-    val withDf = inv0.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+    // document frequency via partial-aggregating groupBy + join-back: the
+    // aggregation shuffles map-side-combined (shingle, count) pairs rather
+    // than raw postings, and the join-back is AQE-skew-splittable — unlike a
+    // window partition, which pins a corpus-hot shingle's entire posting
+    // list (O(corpus) rows for a stop-word trigram) on one reducer
+    val dfCounts = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+    val withDf = inv0.join(dfCounts, Seq("s"))
     // length-aware prefix (exact): any partner B of A has |B| >= max(Lmin,
     // ceil(t*|A|)) (below that Jaccard can't reach t), so the required
     // overlap is at least ceil(t/(1+t) * (|A| + that bound)) — which shortens

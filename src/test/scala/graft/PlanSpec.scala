@@ -70,6 +70,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("x02 document frequency aggregates partially; no window over the inverted index") {
+    // df must come from groupBy(s).count() (map-side combine + AQE-splittable
+    // join-back); a count().over(Window.partitionBy(s)) pins a corpus-hot
+    // shingle's entire posting list on one reducer at 100 TB. The only
+    // window allowed is the per-doc rarity rank (bounded by doc length).
+    val p = plan(SparkEntry.queries("x02_neardup_jaccard")(spark, sf()))
+    assert(!p.matches("(?s).*windowspecdefinition\\(s#\\d+.*"),
+      s"window partitioned by shingle:\n$p")
+    assert("(?m)HashAggregate.*count\\(1\\)".r.findFirstIn(p).isDefined ||
+      "partial_count".r.findFirstIn(p).isDefined, s"no partial count aggregate:\n$p")
+  }
+
   test("partial aggregation is map-side (no raw-row shuffle for q13)") {
     val p = plan(SparkEntry.queries("q13_tpch_q1")(spark, sf()))
     // HashAggregate appears twice: partial before exchange, final after
