@@ -21,12 +21,15 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
-  /** Warm once (codegen + JIT + footer caches), then report the median of
-    * five timed runs — steady-state cost with outlier (GC/compile/co-tenant
-    * load) rejection, so round-over-round deltas are attributable to code
-    * changes, not noise. Five because single-query 2-20x spikes from other
-    * processes on the box routinely survive a median of three. */
-  private def timeWarm[A](body: => A): (Double, A) = {
+  /** Warm once (codegen + JIT + footer caches), then report the median AND
+    * min of five timed runs — steady-state cost with outlier (GC/compile/
+    * co-tenant load) rejection, so round-over-round deltas are attributable
+    * to code changes, not noise. Five because single-query 2-20x spikes from
+    * other processes on the box routinely survive a median of three; the min
+    * rides along because a SUSTAINED co-tenant spike covering all five
+    * repeats survives any median (it happened in round 7) — min vs median
+    * divergence is the detectable signature. */
+  private[graft] def timeWarmStats[A](body: => A): (Double, Double, A) = {
     body
     val ts = new Array[Double](5)
     var r: A = null.asInstanceOf[A]
@@ -36,8 +39,17 @@ object Bench {
       ts(i) = t; r = x; i += 1
     }
     java.util.Arrays.sort(ts)
-    (ts(2), r)
+    (ts(2), ts(0), r)
   }
+
+  /** A metric is suspect when even its best repeat sits far from the median:
+    * >2x ratio plus an absolute gap floor (so micro-timings' scheduler
+    * jitter doesn't trip it — 10 ms for seconds metrics, 0.5 ns/el for the
+    * codec grid). On a healthy box min and median of five warmed runs track
+    * within tens of percent; a sustained external load inflates both but
+    * never equally. */
+  private[graft] def isLoadSuspect(min: Double, median: Double, floor: Double = 0.010): Boolean =
+    median > 2.0 * min && median - min > floor
 
   private def dirBytes(path: String): Long = {
     val f = new java.io.File(path)
@@ -61,6 +73,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // record a timed metric: median under the plain name, min alongside
+    def timed[A](name: String)(body: => A): A = {
+      val (med, mn, r) = timeWarmStats(body)
+      results(name) = med
+      mins(name) = mn
+      r
+    }
 
     // ---- write throughput: parquet -> nimble conversion of lineitem ----
     // Timed region = the write alone: the source is cached and pre-shuffled
@@ -78,18 +98,17 @@ object Bench {
     // warm passes — the metric is steady-state throughput, which is what a
     // long-running ingest job sees.
     for (_ <- 0 until 3) li.write.format("nimble").mode("overwrite").save(nimbleLi)
-    val (wSec, _) = timeWarm {
+    timed("write_lineitem") {
       li.write.format("nimble").mode("overwrite").save(nimbleLi)
     }
-    results("write_lineitem") = wSec
+    val wSec = results("write_lineitem")
     results("write_rows_per_sec") = liRows / wSec
     val pqDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet"
     for (_ <- 0 until 3) li.write.mode("overwrite").parquet(pqDir)
-    val (wpSec, _) = timeWarm {
+    timed("write_parquet_sec") {
       li.write.mode("overwrite").parquet(pqDir)
     }
-    results("write_parquet_sec") = wpSec
-    results("write_vs_parquet_ratio") = wSec / wpSec
+    results("write_vs_parquet_ratio") = wSec / results("write_parquet_sec")
 
     // pre-convert the rest (not timed per-table)
     for (t <- Seq("orders", "customer", "documents", "embeddings", "events"))
@@ -105,23 +124,23 @@ object Bench {
     // ---- scans ----
     def fullScan(df: DataFrame): Long =
       df.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()(0).getLong(2)
-    results("scan_full_nimble") = timeWarm(fullScan(nb))._1
-    results("scan_full_parquet") = timeWarm(fullScan(pq))._1
-    results("scan_full_parquet_1file") = timeWarm(fullScan(li))._1
+    timed("scan_full_nimble")(fullScan(nb))
+    timed("scan_full_parquet")(fullScan(pq))
+    timed("scan_full_parquet_1file")(fullScan(li))
     results("scan_full_vs_parquet_ratio") = results("scan_full_nimble") / results("scan_full_parquet")
 
     def prunedScan(df: DataFrame): Long =
       df.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
         .agg(count(lit(1))).collect()(0).getLong(0)
-    results("scan_pruned_nimble") = timeWarm(prunedScan(nb))._1
-    results("scan_pruned_parquet") = timeWarm(prunedScan(pq))._1
-    results("scan_pruned_parquet_1file") = timeWarm(prunedScan(li))._1
+    timed("scan_pruned_nimble")(prunedScan(nb))
+    timed("scan_pruned_parquet")(prunedScan(pq))
+    timed("scan_pruned_parquet_1file")(prunedScan(li))
 
     // ---- stats-answerable aggregate ----
-    results("agg_from_stats") = timeWarm {
+    timed("agg_from_stats") {
       nb.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"),
         min("l_quantity"), max("l_quantity")).collect()
-    }._1
+    }
 
     // ---- encoded size ----
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
@@ -135,7 +154,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       // warm plan + conversion outside the timed region
       fn(spark, sfDir).limit(1).collect()
-      results(name) = timeWarm(fn(spark, sfDir).write.format("noop").mode("overwrite").save())._1
+      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
 
     // ---- codec grid (ns/element, encode+decode on 100K longs) ----
@@ -159,26 +178,65 @@ object Bench {
       val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
       val bytes = sink0.toArray
       val iters = 20
-      // median of 5 passes (2 warmup) — GC pauses and JIT recompiles land in
-      // single-shot numbers and made this metric bounce across rounds
-      def medianPass(body: => Unit): Double = {
+      // median+min of 5 passes (2 warmup) — GC pauses and JIT recompiles land
+      // in single-shot numbers and made this metric bounce across rounds
+      def statsPass(body: => Unit): (Double, Double) = {
         def pass(): Double = time { var k = 0; while (k < iters) { body; k += 1 } }._1
         pass(); pass()
         val ts = Array.fill(5)(pass())
         java.util.Arrays.sort(ts)
-        ts(2)
+        (ts(2), ts(0))
       }
-      val encSec = medianPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
-      val decSec = medianPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
+      val (encSec, encMin) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
+      val (decSec, decMin) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
       results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * iters)
+      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * iters)
       results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * iters)
+      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * iters)
       results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
     }
 
     val total = results.filter(_._1.matches("write_lineitem|scan_.*|agg_from_stats|q.*|x.*")).values.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) -1.0 else v) }
+    // contamination audit: flag any metric whose best-of-five still sits >2x
+    // under the median (round-7's driver artifact recorded a sustained
+    // co-tenant spike as a 10-25x regression; only a judge re-run caught it)
+    val suspects = mins.collect {
+      case (k, mn) if isLoadSuspect(mn, results(k),
+        if (k.endsWith("_nspe")) 0.5 else 0.010) => k
+    }.toSeq
+    // codec compression ratios are deterministic (same seed, same selection):
+    // any drift vs the previous round's artifact is a code change, and ratio
+    // drift WITHOUT a deliberate codec change alongside timing swings means
+    // the timings moved for non-code reasons
+    val prevRatios = previousBenchRatios()
+    val ratioDrift = results.collect {
+      case (k, v) if k.endsWith("_ratio") && k.startsWith("codec_") &&
+        prevRatios.get(k).exists(p => math.abs(v - p) > 1e-9) => k
+    }.toSeq
+    val all = results ++ mins.map { case (k, v) => (k + "_min", v) }
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) -1.0 else v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
+      s""""codec_ratio_drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Codec ratios from the newest committed BENCH_r*.json, for the
+    * drift-vs-previous-round assertion; empty when none is readable. */
+  private[graft] def previousBenchRatios(dir: String = "."): Map[String, Double] = {
+    try {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) return Map.empty
+      val newest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val text = new String(java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+      // the driver wraps the bench line in its own JSON (quotes escaped, or
+      // re-emitted with spaces) — accept both shapes
+      "\"(codec_\\w+_ratio)\\\\?\":\\s*([-0-9.eE+]+)".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
   }
 }
