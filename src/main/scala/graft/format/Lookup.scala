@@ -29,6 +29,184 @@ object Lookup {
     (GraftIO.listGft(path).map(_.path).flatMap(lookupInFile(_, column, value, m)), m)
   }
 
+  /** All rows where `lo <= column <= hi` (both inclusive; numeric bounds for
+    * integral columns, string bounds for string columns) — the SortedIndex
+    * range-probe analog (reference: dwio/nimble/index/SortedIndex.h:48,
+    * index/IndexLookup.h:55-65). With a sorted index a binary search
+    * brackets the range and only boundary-bracketed chunks decode; without
+    * one, every stats-surviving stripe's key column decodes. */
+  def rangeLookup(path: String, column: String, lo: Any, hi: Any): Seq[Map[String, Any]] =
+    rangeLookupMetered(path, column, lo, hi)._1
+
+  /** [[rangeLookup]] plus decode-cost metrics (index-effectiveness specs). */
+  def rangeLookupMetered(path: String, column: String, lo: Any, hi: Any): (Seq[Map[String, Any]], Metrics) = {
+    val m = Metrics()
+    (GraftIO.listGft(path).map(_.path).flatMap(rangeInFile(_, column, lo, hi, m)), m)
+  }
+
+  private def rangeInFile(file: String, column: String, lo: Any, hi: Any,
+      m: Metrics): Seq[Map[String, Any]] = {
+    val reader = new Tablet.Reader(file)
+    try {
+      val footer = reader.footer
+      val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+      val keyIdx = footer.streamKeys.zipWithIndex.toMap
+      val colId = keyIdx.getOrElse(column, return Nil)
+      // nanos-split probe columns: the sorted index holds MICROS values, an
+      // epoch-nanos range can't probe it — stats-prune (scaled) + scan
+      val probeSplit = keyIdx.contains(column + "#nanos")
+      val sidxId =
+        if (probeSplit) -1 else keyIdx.getOrElse(Tablet.sortedIndexStreamKey(column), -1)
+      val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
+      val out = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
+      var s = 0
+      while (s < footer.stripes.length) {
+        val info = footer.stripes(s)
+        val st0 = reader.streamStats(s, colId)
+        val st = if (probeSplit) Tablet.nanosScaledStats(st0) else st0
+        if (rangeOverlaps(st, lo, hi)) {
+          m.stripesProbed += 1
+          m.stripeRows += info.rowCount
+          val hasIndex = sidxId >= 0 && reader.streamLoc(s, sidxId).length > 0
+          if (hasIndex) rangeViaIndex(reader, s, sidxId, colId, keyIdx, atomicFields, column, lo, hi, out, m)
+          else rangeByScan(reader, s, keyIdx, atomicFields, column, lo, hi, out, m)
+        }
+        s += 1
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  /** Sorted-index range probe: binary-search the lower bound of `lo`, walk
+    * forward while keys <= `hi`, then decode ONLY the chunks holding
+    * candidate positions. String sort keys are 8-byte order-preserving
+    * prefixes, so boundary candidates re-verify against the real key chunk
+    * (prefix ties); integral keys are exact but the key chunk still decodes
+    * to materialize the row. */
+  private def rangeViaIndex(reader: Tablet.Reader, s: Int, sidxId: Int, colId: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String,
+      lo: Any, hi: Any,
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    m.indexProbes += 1
+    val (loKey, hiKey) = (lo, hi) match {
+      case (a: Number, b: Number) => (a.longValue(), b.longValue())
+      case (a: String, b: String) =>
+        val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+        (Tablet.bytesSortKey(ab, 0, ab.length), Tablet.bytesSortKey(bb, 0, bb.length))
+      case _ => // unindexable bound type: full scan of the stripe
+        rangeByScan(reader, s, keyIdx, atomicFields, column, lo, hi, out, m); return
+    }
+    if (loKey > hiKey) return
+    val idx = new ByteCursor(reader.readStreamBytes(s, sidxId))
+    val count = idx.readInt()
+    val base = idx.pos
+    def keyAt(i: Int): Long = { idx.pos = base + 8 * i; idx.readLong() }
+    def posAt(i: Int): Long = { idx.pos = base + 8 * count + 8 * i; idx.readLong() }
+    // lower bound of loKey in the sorted key run
+    var a = 0; var b = count
+    while (a < b) {
+      val mid = (a + b) >>> 1
+      if (keyAt(mid) < loKey) a = mid + 1 else b = mid
+    }
+    val cand = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = a
+    while (i < count && keyAt(i) <= hiKey) { cand += posAt(i); i += 1 }
+    if (cand.isEmpty) return
+    val byChunk: Map[Int, Seq[Int]] = cand.groupBy(p => (p >>> 32).toInt)
+      .map { case (c, ps) => c -> ps.map(p => (p & 0xffffffffL).toInt).sorted.toSeq }
+    // verify candidates against the real key chunk (string prefix ties land
+    // here; integral candidates always pass) and capture the actual values
+    val keyCur = new Tablet.ChunkCursor(reader.readStreamBytes(s, colId))
+    val verified = scala.collection.mutable.LinkedHashMap[Int, Seq[Int]]()
+    val keyVals = scala.collection.mutable.HashMap[(Int, Int), Any]()
+    var ord = 0
+    var remaining = byChunk.size
+    while (keyCur.hasNext && remaining > 0) {
+      byChunk.get(ord) match {
+        case Some(rows) =>
+          val keyCol = keyCur.next()
+          m.rowsDecoded += keyCol.len
+          val ok = rows.filter(r => rowInRange(keyCol, r, lo, hi))
+          if (ok.nonEmpty) {
+            verified(ord) = ok
+            for (r <- ok) keyVals((ord, r)) = valueAt(keyCol, r)
+          }
+          remaining -= 1
+        case None => keyCur.skip()
+      }
+      ord += 1
+    }
+    if (verified.isEmpty) return
+    materializeVerified(reader, s, keyIdx, atomicFields, column, verified,
+      (c, r) => keyVals((c, r)), out, m)
+  }
+
+  /** Fallback range scan: decode the whole key column of the stripe. */
+  private def rangeByScan(reader: Tablet.Reader, s: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String,
+      lo: Any, hi: Any,
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    val keyCur = colCursor(reader, s, keyIdx, column)
+    val others = atomicFields.filter(_.name != column).map { f =>
+      f.name -> colCursor(reader, s, keyIdx, f.name)
+    }
+    while (keyCur.hasNext) {
+      val keyCol = keyCur.next()
+      m.rowsDecoded += keyCol.len
+      val matches = (0 until keyCol.len).filter(i => rowInRange(keyCol, i, lo, hi))
+      if (matches.isEmpty) {
+        others.foreach(_._2.skip())
+      } else {
+        val cols = others.map { case (n, cur) => n -> cur.next() }
+        for ((_, c) <- cols) m.rowsDecoded += c.len
+        for (r <- matches) {
+          val row = scala.collection.mutable.LinkedHashMap[String, Any](column -> valueAt(keyCol, r))
+          for ((n, c) <- cols) row(n) = valueAt(c, r)
+          out += row.toMap
+        }
+      }
+    }
+  }
+
+  /** Is row `i` of `col` inside [lo, hi] (both inclusive)? The single range
+    * predicate the index-verify and scan paths both use. */
+  private def rowInRange(col: Column, i: Int, lo: Any, hi: Any): Boolean = (col, lo, hi) match {
+    case (c: LongsCol, a: Number, b: Number) =>
+      (c.nulls == null || !c.nulls(i)) &&
+        c.values(i) >= a.longValue() && c.values(i) <= b.longValue()
+    case (c: BytesCol, a: String, b: String) =>
+      (c.nulls == null || !c.nulls(i)) && {
+        val off = c.offsets(i); val len = c.offsets(i + 1) - off
+        cmpSlice(c.bytes, off, len, a.getBytes("UTF-8")) >= 0 &&
+          cmpSlice(c.bytes, off, len, b.getBytes("UTF-8")) <= 0
+      }
+    case _ => false
+  }
+
+  /** Unsigned-bytewise compare of bytes[off, off+len) vs `t`. */
+  private def cmpSlice(bytes: Array[Byte], off: Int, len: Int, t: Array[Byte]): Int = {
+    val n = math.min(len, t.length)
+    var k = 0
+    while (k < n) {
+      val d = (bytes(off + k) & 0xff) - (t(k) & 0xff)
+      if (d != 0) return d
+      k += 1
+    }
+    len - t.length
+  }
+
+  private def rangeOverlaps(st: Tablet.Stats, lo: Any, hi: Any): Boolean = (lo, hi) match {
+    case (a: Number, b: Number) =>
+      !st.hasMinMax || (b.longValue() >= st.minLong && a.longValue() <= st.maxLong)
+    case (a: String, b: String) =>
+      !st.hasMinMax || {
+        val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+        Tablet.compareBytes(bb, st.minBytes) >= 0 &&
+          (st.maxBytes.length >= 64 || Tablet.compareBytes(ab, st.maxBytes) <= 0)
+      }
+    case _ => true
+  }
+
   private def lookupInFile(file: String, column: String, value: Any,
       m: Metrics): Seq[Map[String, Any]] = {
     val reader = new Tablet.Reader(file)
@@ -144,13 +322,25 @@ object Lookup {
       ord += 1
     }
     if (verified.isEmpty) return
-    // materialize sibling columns for verified chunks only
+    materializeVerified(reader, s, keyIdx, atomicFields, column, verified,
+      (_, _) => value, out, m)
+  }
+
+  /** Materialize sibling columns for verified (chunk -> rows) hits only,
+    * skipping every other chunk. `keyValue(chunk, row)` supplies the probe
+    * column's value (the probed constant for point lookups, the decoded
+    * value for range probes). */
+  private def materializeVerified(reader: Tablet.Reader, s: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField], column: String,
+      verified: scala.collection.mutable.LinkedHashMap[Int, Seq[Int]],
+      keyValue: (Int, Int) => Any,
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
     val others = atomicFields.filter(_.name != column).map { f =>
       f.name -> colCursor(reader, s, keyIdx, f.name)
     }
     val rowsOut = scala.collection.mutable.LinkedHashMap[(Int, Int), scala.collection.mutable.LinkedHashMap[String, Any]]()
     for ((chunk, rows) <- verified; r <- rows)
-      rowsOut((chunk, r)) = scala.collection.mutable.LinkedHashMap[String, Any](column -> value)
+      rowsOut((chunk, r)) = scala.collection.mutable.LinkedHashMap[String, Any](column -> keyValue(chunk, r))
     for ((name, cur) <- others) {
       var ord = 0
       var left = verified.size

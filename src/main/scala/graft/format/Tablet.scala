@@ -457,6 +457,29 @@ object Tablet {
     * so the footer stays bounded and the index reads with the stripe. */
   def indexStreamKey(column: String): String = "#idx:" + column
 
+  /** Hidden per-stripe SORTED index stream for `column` (range-probe analog
+    * of the reference's SortedIndex, dwio/nimble/index/SortedIndex.h:48 +
+    * IndexLookup.h:55-65): same `[count i32][key 8B * count][pos 8B * count]`
+    * layout as the hash index but sorted by (sortKey, position), where
+    * sortKey is the value itself for integral columns and an order-preserving
+    * 8-byte big-endian prefix (KeyEncoding-lite, index/KeyEncoding.h:30-44)
+    * for strings/binary — a binary search brackets [lo, hi] and only the
+    * bracketed chunks decode; prefix-collision boundaries re-verify against
+    * the real key chunk. */
+  def sortedIndexStreamKey(column: String): String = "#sidx:" + column
+
+  /** Order-preserving 8-byte key for bytes: big-endian first-8 prefix,
+    * zero-padded, with the sign bit flipped so unsigned lexicographic order
+    * matches signed-long order. Monotone: a <= b (bytewise, shorter-prefix-
+    * first) implies key(a) <= key(b); ties only between values sharing an
+    * 8-byte prefix, which the probe re-verifies. */
+  def bytesSortKey(b: Array[Byte], off: Int, len: Int): Long = {
+    var k = 0L
+    var i = 0
+    while (i < 8) { k = (k << 8) | (if (i < len) b(off + i) & 0xffL else 0L); i += 1 }
+    k ^ Long.MinValue
+  }
+
   final class Writer(
       path: String,
       schemaJson: String,
@@ -502,6 +525,8 @@ object Tablet {
     private val bloomHashes = mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
     // per-stripe (hash, chunk<<32|row) entries for index-configured streams
     private val idxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
+    // per-stripe (sortKey, chunk<<32|row) entries for the sorted range index
+    private val sidxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
     private val idxChunkOrd = mutable.HashMap[Int, Int]()
     private var totalRows: Long = 0L
 
@@ -698,20 +723,27 @@ object Tablet {
       if (indexColumns(keys(id))) {
         val ord = idxChunkOrd.getOrElse(id, 0)
         val buf = idxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
+        val sbuf = sidxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
         col match {
           case c: LongsCol =>
             var i = 0
             while (i < c.len) {
-              if (c.nulls == null || !c.nulls(i))
-                buf += ((hashLongValue(c.values(i)), (ord.toLong << 32) | i))
+              if (c.nulls == null || !c.nulls(i)) {
+                val pos = (ord.toLong << 32) | i
+                buf += ((hashLongValue(c.values(i)), pos))
+                sbuf += ((c.values(i), pos))
+              }
               i += 1
             }
           case c: BytesCol =>
             var i = 0
             while (i < c.len) {
-              if (c.nulls == null || !c.nulls(i))
-                buf += ((hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i)),
-                  (ord.toLong << 32) | i))
+              if (c.nulls == null || !c.nulls(i)) {
+                val off = c.offsets(i); val len = c.offsets(i + 1) - off
+                val pos = (ord.toLong << 32) | i
+                buf += ((hashBytesValue(c.bytes, off, len), pos))
+                sbuf += ((bytesSortKey(c.bytes, off, len), pos))
+              }
               i += 1
             }
           case _ => () // doubles/bools: point lookup goes through the scan path
@@ -738,8 +770,19 @@ object Tablet {
           sorted.foreach(e => b.writeLong(e._2))
         }
         idxEntries.clear()
-        idxChunkOrd.clear()
       }
+      if (sidxEntries.nonEmpty) {
+        for ((id, entries) <- sidxEntries.toSeq.sortBy(_._1)) {
+          val sidxId = ensureStream(sortedIndexStreamKey(keys(id)))
+          val sorted = entries.sortBy(identity)
+          val b = stripeBufs(sidxId)
+          b.writeInt(sorted.length)
+          sorted.foreach(e => b.writeLong(e._1))
+          sorted.foreach(e => b.writeLong(e._2))
+        }
+        sidxEntries.clear()
+      }
+      idxChunkOrd.clear()
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
       val hasher = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().newStreamingHash64(0L)

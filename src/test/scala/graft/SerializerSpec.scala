@@ -104,6 +104,49 @@ class SerializerSpec extends SparkTestBase {
       expected.length.toLong)
   }
 
+  test("sorted index: range lookup decodes bracketed chunks, not the stripe") {
+    import org.apache.spark.sql.functions.col
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("range_idx")
+    // small chunks: the decode-cost gap between a bracketed range probe and
+    // a full stripe scan must be structural (reference:
+    // dwio/nimble/index/SortedIndex.h:48, IndexLookup.h:55-65)
+    sparkDf.coalesce(1).write.format("nimble")
+      .option("indexColumns", "o_orderkey,o_orderstatus")
+      .option("rowsPerChunk", "64").mode("overwrite").save(dir)
+    val expected = sparkDf.filter(col("o_orderkey").between(100L, 140L)).collect()
+    assert(expected.nonEmpty)
+    val (got, m) = graft.format.Lookup.rangeLookupMetered(dir, "o_orderkey", 100L, 140L)
+    assert(got.length == expected.length)
+    val expByKey = expected.map(r =>
+      r.getAs[Long]("o_orderkey") -> r.getAs[Long]("o_custkey")).toMap
+    for (row <- got)
+      assert(expByKey(row("o_orderkey").asInstanceOf[Long]) == row("o_custkey"))
+    assert(m.indexProbes > 0, "sorted index stream must be used")
+    assert(m.rowsDecoded < m.stripeRows,
+      s"rowsDecoded=${m.rowsDecoded} should be well under stripeRows=${m.stripeRows}")
+    // unindexed column: falls back to decoding the key column per stripe
+    val (gotScan, mScan) = graft.format.Lookup.rangeLookupMetered(dir, "o_custkey", 100L, 140L)
+    assert(mScan.indexProbes == 0, "non-indexed column takes the scan path")
+    assert(gotScan.length == sparkDf.filter(col("o_custkey").between(100L, 140L)).count().toInt)
+    assert(m.rowsDecoded < mScan.rowsDecoded / 2,
+      s"indexed decode ${m.rowsDecoded} vs scan decode ${mScan.rowsDecoded}")
+    // string range through the order-preserving prefix keys
+    val (gotStr, mStr) = graft.format.Lookup.rangeLookupMetered(dir, "o_orderstatus", "F", "O")
+    val expStr = sparkDf.filter(col("o_orderstatus") >= "F" && col("o_orderstatus") <= "O").count()
+    assert(gotStr.length == expStr.toInt)
+    assert(mStr.indexProbes > 0)
+    // miss range: stats prune every stripe, zero rows decode
+    val (miss, mMiss) = graft.format.Lookup.rangeLookupMetered(dir, "o_orderkey", -500L, -100L)
+    assert(miss.isEmpty && mMiss.rowsDecoded == 0, s"miss decoded ${mMiss.rowsDecoded} rows")
+    // inverted range is empty, not an error
+    assert(graft.format.Lookup.rangeLookup(dir, "o_orderkey", 140L, 100L).isEmpty)
+    // the hidden #sidx: streams stay invisible to the Spark scan path
+    val back = spark.read.format("nimble").load(dir)
+    assert(back.count() == sparkDf.count())
+    assert(back.schema.fieldNames.toSet == sparkDf.schema.fieldNames.toSet)
+  }
+
   test("indexColumns on an unsupported or unknown column is rejected at write time") {
     val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
     // double column: the hash index can't probe it — a silent empty index
