@@ -58,6 +58,124 @@ object AggPushdown {
     Some(rows)
   }
 
+  /** Filtered variant (ValueHook-lite, reference:
+    * velox/selective/ColumnLoader.h:42,
+    * docs/develop/nimble_selective_reader.rst:756-769): answerable exactly
+    * when every stripe classifies as all-match (every row satisfies every
+    * pushed filter, per stats) or none-match (provably zero rows). A single
+    * mixed stripe refuses the pushdown and Spark falls back to the normal
+    * filtered scan — never a wrong answer. Still O(metadata): only footers
+    * and per-stripe directory stats are read. */
+  def tryComputeFiltered(agg: Aggregation, schema: StructType, files: Seq[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[InternalRow]] = {
+    if (filters.isEmpty) return tryCompute(agg, schema, files)
+    if (agg.groupByExpressions().nonEmpty) return None
+    val shapeOk = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct => colName(c.column()).exists(schema.fieldNames.contains)
+      case m: Min => colName(m.column()).exists(schema.fieldNames.contains)
+      case m: Max => colName(m.column()).exists(schema.fieldNames.contains)
+      case _ => false
+    }
+    if (!shapeOk || files.isEmpty) return None
+    NimbleSource.prefetchFooters(files)
+    val rows = files.map { f =>
+      rowForFileFiltered(agg, schema, f, filters).getOrElse(return None)
+    }
+    Some(rows)
+  }
+
+  private def rowForFileFiltered(agg: Aggregation, schema: StructType, file: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[InternalRow] = {
+    val footer = NimbleSource.footerOf(file)
+    val keyIdx = footer.streamKeys.zipWithIndex.toMap
+    val neededCols: Seq[String] = agg.aggregateExpressions().toSeq.flatMap {
+      case c: Count => colName(c.column())
+      case m: Min => colName(m.column())
+      case m: Max => colName(m.column())
+      case _ => None
+    }.distinct
+    // nanos-split columns: micros-stream min/max are not the logical value
+    agg.aggregateExpressions().foreach {
+      case m: Min if colName(m.column()).exists(n => keyIdx.contains(n + "#nanos")) => return None
+      case m: Max if colName(m.column()).exists(n => keyIdx.contains(n + "#nanos")) => return None
+      case _ => ()
+    }
+    if (neededCols.exists(n => !keyIdx.contains(n))) return None
+    val r = new Tablet.Reader(file, footer)
+    try {
+      var rowsMatched = 0L
+      val acc = scala.collection.mutable.HashMap[String, Tablet.Stats]()
+      var s = 0
+      while (s < footer.stripes.length) {
+        val statsOf: String => Option[Tablet.Stats] = name => keyIdx.get(name).map { id =>
+          val st = r.streamStats(s, id)
+          if (keyIdx.contains(name + "#nanos")) Tablet.nanosScaledStats(st) else st
+        }
+        val bloomOf: String => Option[Tablet.Bloom] =
+          name => keyIdx.get(name).filterNot(_ => keyIdx.contains(name + "#nanos"))
+            .flatMap(id => r.streamBloom(s, id))
+        if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) {
+          rowsMatched += footer.stripes(s).rowCount
+          for (n <- neededCols)
+            mergeStats(acc.getOrElseUpdate(n, Tablet.Stats()), r.streamStats(s, keyIdx(n)))
+        } else if (!filters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))) {
+          return None // mixed stripe: stats cannot answer exactly
+        }
+        s += 1
+      }
+      val values: Array[Any] = agg.aggregateExpressions().map {
+        case _: CountStar => java.lang.Long.valueOf(rowsMatched): Any
+        case c: Count =>
+          val st = acc.getOrElse(colName(c.column()).get, Tablet.Stats())
+          java.lang.Long.valueOf(st.valueCount - st.nullCount): Any
+        case m: Min =>
+          val n = colName(m.column()).get
+          statValue(acc.getOrElse(n, Tablet.Stats()), schema(n).dataType, isMin = true) match {
+            case Some(v) => v
+            case None => return None
+          }
+        case m: Max =>
+          val n = colName(m.column()).get
+          statValue(acc.getOrElse(n, Tablet.Stats()), schema(n).dataType, isMin = false) match {
+            case Some(v) => v
+            case None => return None
+          }
+        case other => throw new IllegalStateException(other.toString)
+      }
+      Some(new GenericInternalRow(values))
+    } finally r.close()
+  }
+
+  /** Merge stripe stats into an accumulator (same semantics as the writer's
+    * file-stats accumulation). A truncated (64B) byte extreme that wins the
+    * comparison survives into the result and statValue then refuses —
+    * conservative, never wrong. */
+  private def mergeStats(acc: Tablet.Stats, s: Tablet.Stats): Unit = {
+    acc.valueCount += s.valueCount
+    acc.nullCount += s.nullCount
+    if (s.hasNaN) acc.hasNaN = true
+    if (s.hasMinMax) {
+      acc.kind = s.kind
+      if (!acc.hasMinMax) {
+        acc.hasMinMax = true
+        acc.minLong = s.minLong; acc.maxLong = s.maxLong
+        acc.minDouble = s.minDouble; acc.maxDouble = s.maxDouble
+        acc.minBytes = s.minBytes; acc.maxBytes = s.maxBytes
+      } else s.kind match {
+        case graft.format.PhysType.Bytes =>
+          if (Tablet.compareBytes(s.minBytes, acc.minBytes) < 0) acc.minBytes = s.minBytes
+          if (Tablet.compareBytes(s.maxBytes, acc.maxBytes) > 0) acc.maxBytes = s.maxBytes
+        case graft.format.PhysType.F32 | graft.format.PhysType.F64 =>
+          if (s.minDouble < acc.minDouble) acc.minDouble = s.minDouble
+          if (s.maxDouble > acc.maxDouble) acc.maxDouble = s.maxDouble
+        case _ =>
+          if (s.minLong < acc.minLong) acc.minLong = s.minLong
+          if (s.maxLong > acc.maxLong) acc.maxLong = s.maxLong
+      }
+    }
+  }
+
   private def rowForFooter(agg: Aggregation, schema: StructType, footer: Tablet.Footer): Option[InternalRow] = {
     val keyIdx = footer.streamKeys.zipWithIndex.toMap
     val values: Array[Any] = agg.aggregateExpressions().map {

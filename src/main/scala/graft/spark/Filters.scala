@@ -113,6 +113,69 @@ object Filters {
     case _ => false
   }
 
+  /** True if the filter provably matches EVERY row of the stripe — the
+    * all-match side of filtered aggregate pushdown (ValueHook-lite;
+    * reference: velox/selective/ColumnLoader.h:42,
+    * docs/develop/nimble_selective_reader.rst:756-769). Conservative: false
+    * when unsure. Null rows never satisfy a comparison, so every comparison
+    * leaf also requires a null-free stripe; float/double leaves refuse when
+    * NaN is present (NaN ordering differs between engines). */
+  def allMatchStripe(f: Filter, stats: String => Option[Tablet.Stats]): Boolean = {
+    def noNulls(a: String) = stats(a).exists(_.nullCount == 0)
+    def noNaN(a: String) = stats(a).exists(s =>
+      !(s.kind == PhysType.F32 || s.kind == PhysType.F64) || !s.hasNaN)
+    f match {
+      case And(l, r) => allMatchStripe(l, stats) && allMatchStripe(r, stats)
+      // either side matching every row is sufficient (conservative)
+      case Or(l, r) => allMatchStripe(l, stats) || allMatchStripe(r, stats)
+      // Not(inner) matches a row only when inner is FALSE there, not null —
+      // so inner must match no row AND the referenced columns carry no nulls
+      case Not(inner) =>
+        pruneStripe(inner, stats) && inner.references.forall(noNulls)
+      case IsNotNull(a) => noNulls(a)
+      case IsNull(a) => stats(a).exists(s => s.valueCount > 0 && s.nullCount == s.valueCount)
+      case GreaterThan(a, v) => noNulls(a) && noNaN(a) && belowMin(a, v, stats, orEqual = false)
+      case GreaterThanOrEqual(a, v) => noNulls(a) && noNaN(a) && belowMin(a, v, stats, orEqual = true)
+      case LessThan(a, v) => noNulls(a) && noNaN(a) && aboveMax(a, v, stats, orEqual = false)
+      case LessThanOrEqual(a, v) => noNulls(a) && noNaN(a) && aboveMax(a, v, stats, orEqual = true)
+      case EqualTo(a, v) => noNulls(a) && constEquals(a, v, stats)
+      case EqualNullSafe(a, v) if v != null => noNulls(a) && constEquals(a, v, stats)
+      case In(a, vs) => noNulls(a) && vs.exists(v => v != null && constEquals(a, v, stats))
+      case StringStartsWith(a, v) =>
+        // min and max both starting with p implies every value between does;
+        // stored stats bytes are (possibly truncated) prefixes of the actual
+        // extremes, so a prefix check against them transfers to the values
+        noNulls(a) && statsFor(a, stats).exists { s =>
+          s.hasMinMax && s.kind == PhysType.Bytes &&
+            s.minBytes != null && s.maxBytes != null && {
+              val p = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              p.length <= s.minBytes.length && p.length <= s.maxBytes.length &&
+                regionEquals(s.minBytes, 0, p) && regionEquals(s.maxBytes, 0, p)
+            }
+        }
+      case AlwaysTrue() => true
+      case _ => false
+    }
+  }
+
+  /** Every non-null row equals `v`: min == max == v, exactly representable. */
+  private def constEquals(a: String, v: Any, stats: String => Option[Tablet.Stats]): Boolean =
+    statsFor(a, stats).exists { s =>
+      s.hasMinMax && (s.kind match {
+        case PhysType.F32 | PhysType.F64 =>
+          !s.hasNaN && { val x = toDouble(v); s.minDouble == x && s.maxDouble == x }
+        case PhysType.Bytes =>
+          val x = toBytes(v)
+          s.minBytes != null && s.maxBytes != null &&
+            s.minBytes.length < 64 && s.maxBytes.length < 64 &&
+            java.util.Arrays.equals(s.minBytes, x) && java.util.Arrays.equals(s.maxBytes, x)
+        case PhysType.Bool => false
+        case _ =>
+          try { val x = toLong(v); s.minLong == x && s.maxLong == x }
+          catch { case _: IllegalArgumentException => false }
+      })
+    }
+
   /** Definitely-absent per the stripe's Bloom filter. Hashing must mirror the
     * writer (Tablet.hashLongValue / hashBytesValue on the stored physical
     * representation); doubles/bools carry no bloom. */

@@ -189,12 +189,17 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   private var aggOut: StructType = null
   private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
 
-  /** Footer-stats aggregate pushdown (COUNT/MIN/MAX, no group-by, no
-    * filters); partial rows are computed on the driver and never touch data
-    * bytes. Refused (false) whenever stats cannot answer exactly. */
+  /** Footer-stats aggregate pushdown (COUNT/MIN/MAX, no group-by); partial
+    * rows are computed on the driver and never touch data bytes. With pushed
+    * filters, answered only when every stripe classifies all-match or
+    * none-match per stats (ValueHook-lite). Refused (false) whenever stats
+    * cannot answer exactly. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
-    AggPushdown.tryCompute(agg, dataSchema, NimbleSource.listFiles(path)) match {
+    val files = NimbleSource.listFiles(path)
+    val result =
+      if (pushed.isEmpty) AggPushdown.tryCompute(agg, dataSchema, files)
+      else AggPushdown.tryComputeFiltered(agg, dataSchema, files, pushed)
+    result match {
       case Some(rows) =>
         aggOut = AggPushdown.outputSchema(agg, dataSchema)
         aggRows = rows

@@ -39,13 +39,62 @@ class AggPushdownSpec extends SparkTestBase {
     assert(r.isNullAt(2))
   }
 
-  test("filtered aggregate does NOT use stats (falls back)") {
+  test("filtered aggregate with mixed stripes falls back and stays correct") {
     val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val dir = tmpDir("aggfil")
     pq.write.format("nimble").mode("overwrite").save(dir)
     val nb = spark.read.format("nimble").load(dir)
-    val got = nb.filter(col("l_quantity") > 45).agg(count(lit(1))).collect()(0).getLong(0)
+    val agg = nb.filter(col("l_quantity") > 45).agg(count(lit(1)))
+    val got = agg.collect()(0).getLong(0)
     val exp = pq.filter(col("l_quantity") > 45).count()
     assert(got == exp)
+    // l_quantity is uniform within stripes: no stripe is all-match, so the
+    // ValueHook-lite path must refuse and plan a real scan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"mixed stripes must not push:\n$plan")
+  }
+
+  test("filtered count/min/max answered from stats when stripes align (ValueHook-lite)") {
+    // four files with disjoint id ranges [0,10k) ... [30k,40k): a boundary-
+    // aligned filter classifies every stripe all-match or none-match and the
+    // aggregate stays O(metadata)
+    val base = spark.range(40000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, col("id") % 997).as("v"),
+      when(col("id") < 20000, lit("A")).otherwise(lit("B")).as("letter"))
+    val dir = tmpDir("aggfilpd")
+    for (b <- 0 until 4)
+      base.filter(col("id") >= b * 10000L && col("id") < (b + 1) * 10000L)
+        .coalesce(1).write.format("nimble")
+        .mode(if (b == 0) "overwrite" else "append").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    val agg = nb.filter(col("id") >= 20000L)
+      .agg(count(lit(1)).as("cnt"), count("v").as("cnt_v"),
+        min("v").as("min_v"), max("id").as("max_id"), min("letter").as("min_l"))
+    val expected = base.filter(col("id") >= 20000L)
+      .agg(count(lit(1)), count("v"), min("v"), max("id"), min("letter")).collect()(0)
+    assert(agg.collect()(0).toSeq == expected.toSeq)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"aligned filtered aggregate not answered from stats:\n$plan")
+
+    // equality on a per-file-constant string column pushes too
+    val aggEq = nb.filter(col("letter") === "B").agg(count(lit(1)), max("id"))
+    val expEq = base.filter(col("letter") === "B").agg(count(lit(1)), max("id")).collect()(0)
+    assert(aggEq.collect()(0).toSeq == expEq.toSeq)
+    assert(aggEq.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // an unaligned filter has a mixed stripe: falls back, still correct
+    val aggMix = nb.filter(col("id") >= 15000L).agg(count(lit(1)), min("v"))
+    val expMix = base.filter(col("id") >= 15000L).agg(count(lit(1)), min("v")).collect()(0)
+    assert(aggMix.collect()(0).toSeq == expMix.toSeq)
+    assert(!aggMix.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // none-match everywhere: zero count, null min, still O(metadata)
+    val aggNone = nb.filter(col("id") < 0L).agg(count(lit(1)), min("v"))
+    val r = aggNone.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    assert(aggNone.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 }
