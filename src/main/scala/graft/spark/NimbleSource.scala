@@ -138,6 +138,65 @@ object NimbleSource {
       footerPool.invokeAll(scala.jdk.CollectionConverters.SeqHasAsJava(tasks).asJava)
         .forEach(fut => fut.get()) // propagate the first failure
     }
+
+  // ------------------------------------------------ stream I/O + prefetch
+
+  /** Executor-side pool overlapping the NEXT stripe's stream I/O with the
+    * current stripe's decode (UnitLoader analog — reference:
+    * velox/VeloxReader.h:69, docs/develop/velox_cache_and_nimble_datapath.rst:
+    * the next load unit's streams load while the current one decodes). One
+    * ahead per task; on remote storage (S3A) this hides a full round-trip
+    * per stripe. Daemon threads, shared per executor JVM. */
+  private lazy val streamPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, Runtime.getRuntime.availableProcessors() / 2),
+    (r: Runnable) => { val t = new Thread(r, "graft-stream-io"); t.setDaemon(true); t })
+
+  /** Test hook: simulated per-stripe fetch latency (a remote-FS stand-in for
+    * the overlap spec); 0 in production. */
+  @volatile private[graft] var testFetchDelayMs: Int = 0
+  /** Per-JVM count of stripe opens served from a completed prefetch. */
+  private[graft] val prefetchHits = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Leaf stream keys a scan of (`required`, `filters`) needs — shared by
+    * the in-task reader and the prefetch path, which must agree exactly. */
+  private[spark] def neededStreamKeys(footerKeySet: Set[String], dataSchema: StructType,
+      required: StructType, filters: Array[Filter]): Array[String] = {
+    val filterCols = filters.flatMap(_.references).distinct
+      .filterNot(c => required.fieldNames.contains(c))
+    (required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
+      filterCols.filter(footerKeySet.contains)
+        .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))).distinct
+  }
+
+  /** Fetch the named streams of one stripe through an existing reader. */
+  private[spark] def readNeededStreams(reader: Tablet.Reader, stripe: Int,
+      keyIdx: Map[String, Int], keys: Array[String], file: String): Map[String, Array[Byte]] = {
+    if (testFetchDelayMs > 0) Thread.sleep(testFetchDelayMs.toLong)
+    keys.iterator.map { k =>
+      val id = keyIdx.getOrElse(k, -1)
+      require(id >= 0, s"nimble: stream $k not found in $file")
+      k -> reader.readStreamBytes(stripe, id)
+    }.toMap
+  }
+
+  /** Self-contained stripe fetch for the prefetch pool (own reader/handle —
+    * the in-flight reader is not thread-safe). */
+  private[spark] def fetchStreamBytes(file: String, stripe: Int, dataSchema: StructType,
+      required: StructType, filters: Array[Filter]): Map[String, Array[Byte]] = {
+    val r = new Tablet.Reader(file, footerOf(file))
+    try {
+      val keyIdx = r.footer.streamKeys.zipWithIndex.toMap
+      readNeededStreams(r, stripe,
+        keyIdx, neededStreamKeys(keyIdx.keySet, dataSchema, required, filters), file)
+    } finally r.close()
+  }
+
+  private[spark] def submitPrefetch(file: String, stripe: Int, dataSchema: StructType,
+      required: StructType, filters: Array[Filter]): java.util.concurrent.Future[Map[String, Array[Byte]]] =
+    streamPool.submit(new java.util.concurrent.Callable[Map[String, Array[Byte]]] {
+      def call(): Map[String, Array[Byte]] =
+        fetchStreamBytes(file, stripe, dataSchema, required, filters)
+    })
 }
 
 class NimbleTable(path: String, schema: StructType) extends Table with SupportsRead with SupportsWrite {
@@ -404,6 +463,11 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   private var cur: NimbleBatchReader = null
   private var produced = 0L
   var currentMask: Array[Boolean] = null
+  // one-ahead stream prefetch: stripe i+1's bytes load on the shared I/O
+  // pool while stripe i decodes (UnitLoader analog, velox/VeloxReader.h:69).
+  // At most one stripe of wasted I/O when an early limit stops the chain.
+  private var pending: java.util.concurrent.Future[Map[String, Array[Byte]]] = null
+  private var pendingIdx = -1
 
   override def next(): Boolean = {
     while (true) {
@@ -415,15 +479,32 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       if (limit >= 0 && produced >= limit) return false
       idx += 1
       if (idx >= items.length) return false
+      val pre: Map[String, Array[Byte]] =
+        if (pending != null && pendingIdx == idx) {
+          val p = pending
+          pending = null
+          try p.get()
+          catch { // surface the underlying I/O failure like a sync read would
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        } else null
+      if (idx + 1 < items.length) {
+        val nxt = items(idx + 1)
+        pendingIdx = idx + 1
+        pending = NimbleSource.submitPrefetch(nxt.file, nxt.stripe, dataSchema, required, filters)
+      }
       val remaining = if (limit < 0) -1 else (limit - produced).toInt
       cur = new NimbleBatchReader(items(idx).file, items(idx).stripe,
-        dataSchema, required, filters, remaining)
+        dataSchema, required, filters, remaining, prefetched = pre)
     }
     false
   }
 
   override def get(): ColumnarBatch = cur.get()
-  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  override def close(): Unit = {
+    if (pending != null) { pending.cancel(false); pending = null }
+    if (cur != null) { cur.close(); cur = null }
+  }
 }
 
 /** Reads one stripe chunk-batch-wise: for each aligned chunk index, decodes
@@ -431,7 +512,8 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   * into fresh OnHeapColumnVectors (filter-before-materialize, the selective
   * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
-    required: StructType, filters: Array[Filter], limit: Int = -1)
+    required: StructType, filters: Array[Filter], limit: Int = -1,
+    prefetched: Map[String, Array[Byte]] = null)
     extends PartitionReader[ColumnarBatch] {
 
   private var emitted = 0L
@@ -449,20 +531,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val footerKeySet: Set[String] = keyIdx.keySet
 
   // streams needed: all leaf streams of required fields (layout-aware) +
-  // extra filter columns
-  private val neededKeys: Array[String] = {
-    val ks = required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
-      filterCols.filter(c => keyIdx.contains(c))
-        .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))
-    ks.distinct
-  }
+  // extra filter columns (shared helper — the prefetch path must fetch the
+  // exact same set)
+  private val neededKeys: Array[String] =
+    NimbleSource.neededStreamKeys(footerKeySet, dataSchema, required, filters)
 
   private val streamBytes: Map[String, Array[Byte]] =
-    neededKeys.iterator.map { k =>
-      val id = keyIdx.getOrElse(k, -1)
-      require(id >= 0, s"nimble: stream $k not found in $file")
-      k -> reader.readStreamBytes(stripe, id)
-    }.toMap
+    if (prefetched != null) { NimbleSource.prefetchHits.incrementAndGet(); prefetched }
+    else NimbleSource.readNeededStreams(reader, stripe, keyIdx, neededKeys, file)
 
   private val cursors: Map[String, Tablet.ChunkCursor] =
     streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
