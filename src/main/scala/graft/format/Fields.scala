@@ -44,6 +44,41 @@ object Fields {
     case other => throw new UnsupportedOperationException(s"nimble-spark: unsupported type $other")
   }
 
+  /** Membership view of a file's stream-key table. Narrow/inline footers
+    * wrap an in-memory Set; wide (v8 sectioned) footers back `apply` with a
+    * one-hash-bucket probe so layout decisions never load the whole table.
+    * `withPrefix` (flatmap feature discovery) may fall back to a full load —
+    * enumerating a flatmap's features genuinely needs the inventory. */
+  trait KeyProbe {
+    def apply(k: String): Boolean
+    def nonEmpty: Boolean
+    def withPrefix(prefix: String): Seq[String]
+  }
+  object KeyProbe {
+    def ofSet(s: Set[String]): KeyProbe = new KeyProbe {
+      def apply(k: String): Boolean = s.contains(k)
+      def nonEmpty: Boolean = s.nonEmpty
+      def withPrefix(prefix: String): Seq[String] = s.filter(_.startsWith(prefix)).toSeq
+    }
+    val empty: KeyProbe = ofSet(Set.empty)
+  }
+
+  /** Set-based conveniences (serializer, tests). */
+  def readerFor(path: String, dt: DataType, streams: String => Tablet.ChunkCursor,
+      footerKeys: Set[String]): FieldReader =
+    readerFor(path, dt, streams, KeyProbe.ofSet(footerKeys))
+  def neededKeys(path: String, dt: DataType, footerKeys: Set[String]): Seq[String] =
+    neededKeys(path, dt, KeyProbe.ofSet(footerKeys))
+
+  /** Is `path` a shredded flatmap STRUCT projection? Regular structs always
+    * store a child stream per schema field; flatmap columns never do (their
+    * features live in #in:/#fm: streams) but always store the #nulls anchor.
+    * Probing those two keys is O(1) — no prefix enumeration, so wide-table
+    * layout decisions stay bounded. */
+  private def isFlatMapStruct(path: String, s: StructType, fk: KeyProbe): Boolean =
+    fk.nonEmpty && s.fields.nonEmpty &&
+      !fk(s"$path.${s.fields.head.name}") && fk(s"$path#nulls")
+
   /** All stream keys for a schema, in deterministic pre-order. */
   def streamKeys(schema: StructType): Array[String] = {
     val keys = mutable.ArrayBuffer[String]()
@@ -527,14 +562,14 @@ object Fields {
     * deduplicated — the file self-describes its layout). A StructType over
     * "#in:" streams is a flatmap feature projection (SURVEY.md §2.2). */
   def readerFor(path: String, dt: DataType, streams: String => Tablet.ChunkCursor,
-      footerKeys: Set[String] = Set.empty): FieldReader = dt match {
+      footerKeys: KeyProbe = KeyProbe.empty): FieldReader = dt match {
     case m: MapType if footerKeys.nonEmpty && !footerKeys(s"$path#len") && footerKeys(s"$path#idx") =>
       new SWMapR(path, m, streams, footerKeys)
     case m: MapType if footerKeys.nonEmpty && !footerKeys(s"$path#len") && footerKeys(s"$path#nulls") =>
       new FlatMapR(path, m, streams, footerKeys)
     case a: ArrayType if footerKeys.nonEmpty && !footerKeys(s"$path#len") && footerKeys(s"$path#idx") =>
       new DictArrayR(path, a, streams, footerKeys)
-    case s: StructType if footerKeys.nonEmpty && footerKeys.exists(_.startsWith(s"$path#in:")) =>
+    case s: StructType if isFlatMapStruct(path, s, footerKeys) =>
       new FlatMapStructR(path, s, streams, footerKeys)
     case s: StructType => new StructR(path, s, streams, footerKeys)
     case a: ArrayType => new ArrayR(path, a, streams, footerKeys)
@@ -545,7 +580,7 @@ object Fields {
 
   /** Leaf stream keys a reader for (path, dt) will pull, given the footer's
     * key set (layout-aware counterpart of streamKeys). */
-  def neededKeys(path: String, dt: DataType, footerKeys: Set[String]): Seq[String] = dt match {
+  def neededKeys(path: String, dt: DataType, footerKeys: KeyProbe): Seq[String] = dt match {
     case m: MapType if !footerKeys(s"$path#len") && footerKeys(s"$path#idx") =>
       Seq(s"$path#idx", s"$path#ddlen") ++
         neededKeys(s"$path#key", m.keyType, footerKeys) ++
@@ -556,7 +591,7 @@ object Fields {
         s"$path#in:$k" +: neededKeys(s"$path#fm:$k", m.valueType, footerKeys))
     case a: ArrayType if !footerKeys(s"$path#len") && footerKeys(s"$path#idx") =>
       Seq(s"$path#idx", s"$path#ddlen") ++ neededKeys(s"$path#elem", a.elementType, footerKeys)
-    case s: StructType if footerKeys.exists(_.startsWith(s"$path#in:")) =>
+    case s: StructType if isFlatMapStruct(path, s, footerKeys) =>
       // flatmap feature projection: the column nulls anchor + only the
       // requested keys' streams (unrequested keys never read)
       s"$path#nulls" +: s.fields.toSeq.filter(f => footerKeys(s"$path#in:${f.name}")).flatMap(f =>
@@ -573,9 +608,9 @@ object Fields {
   }
 
   /** Discovered flatmap keys for a column, in sorted order. */
-  def flatMapKeysIn(path: String, footerKeys: Set[String]): Seq[String] = {
+  def flatMapKeysIn(path: String, footerKeys: KeyProbe): Seq[String] = {
     val prefix = s"$path#in:"
-    footerKeys.filter(_.startsWith(prefix)).map(_.substring(prefix.length)).toSeq.sorted
+    footerKeys.withPrefix(prefix).map(_.substring(prefix.length)).sorted
   }
 
   final class PrimR(path: String, dt: DataType, streams: String => Tablet.ChunkCursor) extends FieldReader {
@@ -732,7 +767,7 @@ object Fields {
     n
   }
 
-  private final class StructR(path: String, s: StructType, streams: String => Tablet.ChunkCursor, fk: Set[String]) extends FieldReader {
+  private final class StructR(path: String, s: StructType, streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
     private val children = s.fields.map(f => readerFor(s"$path.${f.name}", f.dataType, streams, fk))
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
@@ -747,7 +782,7 @@ object Fields {
     }
   }
 
-  private final class ArrayR(path: String, a: ArrayType, streams: String => Tablet.ChunkCursor, fk: Set[String]) extends FieldReader {
+  private final class ArrayR(path: String, a: ArrayType, streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val lenCursor = streams(s"$path#len")
     private val elem = readerFor(s"$path#elem", a.elementType, streams, fk)
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
@@ -770,7 +805,7 @@ object Fields {
     }
   }
 
-  private final class MapR(path: String, m: MapType, streams: String => Tablet.ChunkCursor, fk: Set[String]) extends FieldReader {
+  private final class MapR(path: String, m: MapType, streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val lenCursor = streams(s"$path#len")
     private val keyR = readerFor(s"$path#key", m.keyType, streams, fk)
     private val valR = readerFor(s"$path#val", m.valueType, streams, fk)
@@ -834,7 +869,7 @@ object Fields {
     * shredded streams (reference: dwio/nimble/velox/FieldReader.cpp:3226
     * merged flat-map reader). */
   private final class FlatMapR(path: String, m: MapType, streams: String => Tablet.ChunkCursor,
-      fk: Set[String]) extends FieldReader {
+      fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
     private val keys: Seq[String] = flatMapKeysIn(path, fk)
     private final class KeyCursors(val repr: String) {
@@ -908,7 +943,7 @@ object Fields {
     * dwio/nimble/velox/FieldReader.cpp:2990 struct-projection reader;
     * test velox/tests/VeloxReaderTest.cpp:1463). */
   private final class FlatMapStructR(path: String, s: StructType,
-      streams: String => Tablet.ChunkCursor, fk: Set[String]) extends FieldReader {
+      streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
     private final class KeyCursors(val field: StructField) {
       val exists = fk(s"$path#in:${field.name}")
@@ -954,7 +989,7 @@ object Fields {
     * vector rows share child ranges, preserving the dedup in memory
     * (reference: dwio/nimble/velox/FieldReader.cpp:1261). */
   private final class DictArrayR(path: String, a: ArrayType, streams: String => Tablet.ChunkCursor,
-      fk: Set[String]) extends FieldReader {
+      fk: KeyProbe) extends FieldReader {
     private val idxCursor = streams(s"$path#idx")
     private val lenCursor = streams(s"$path#ddlen")
     private val elem = readerFor(s"$path#elem", a.elementType, streams, fk)
@@ -983,7 +1018,7 @@ object Fields {
   /** Deduplicated-map read (SlidingWindowMap analog, reference:
     * dwio/nimble/velox/FieldReader.cpp:1670). */
   private final class SWMapR(path: String, m: MapType, streams: String => Tablet.ChunkCursor,
-      fk: Set[String]) extends FieldReader {
+      fk: KeyProbe) extends FieldReader {
     private val idxCursor = streams(s"$path#idx")
     private val lenCursor = streams(s"$path#ddlen")
     private val keyR = readerFor(s"$path#key", m.keyType, streams, fk)

@@ -21,9 +21,12 @@ import scala.collection.mutable
 object Tablet {
   val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
   // v7: grouped per-stream directory; v6: shared-dict frames; v5: chunk
-  // stats. The reader accepts v5-v7 (readLegacyFooter) — the chunk-frame and
-  // stats wire formats are unchanged since v5, only the footer layout moved.
-  val Version: Int = 7
+  // stats. The reader accepts v5-v8 — the chunk-frame and stats wire formats
+  // are unchanged since v5, only the footer layout moved: v7 grouped the
+  // stream directory, v8 optionally moves the stream-name table + file stats
+  // into a hash-bucketized section so very wide tables (tens of thousands of
+  // streams, reference README.md:18-20) never parse meta whole.
+  val Version: Int = 8
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -272,20 +275,83 @@ object Tablet {
       schemaJson: String,
       sortColumns: Seq[String], // declared sort order (ClusterIndex-lite)
       rowCount: Long,
-      streamKeys: Array[String],
+      /** Stream names in id order when stored inline (narrow tables and all
+        * pre-v8 files); null when the meta section holds them (wide). */
+      inlineKeys: Array[String],
       stripes: Array[StripeInfo],
       groupSize: Int,
       groups: Array[GroupLoc],
-      fileStats: Array[Stats],
+      /** File-level stats in id order when inline; null when sectioned. */
+      inlineStats: Array[Stats],
       /** v5/v6 compatibility: those footers embed the whole stream directory
         * (stripe-major), parsed here at footer-read time; null for v7+ files
         * (whose directory lives in grouped sections read on demand). */
-      legacyDir: Array[Array[DirEntry]] = null) {
+      legacyDir: Array[Array[DirEntry]] = null,
+      /** v8 wide tables: hash-bucketized (name, id, file-stats) section —
+        * probes read one bucket, never the whole table (the FlatBuffers
+        * partial-access property, reference: README.md:44-45,
+        * tablet/Footer.fbs:70 named optional sections). */
+      metaLoc: GroupLoc = GroupLoc(0L, 0L),
+      nBuckets: Int = 0,
+      /** Relative END offset of each bucket inside the meta section
+        * (bounded: 8 B x 256, read with the footer). */
+      bucketEnds: Array[Long] = null,
+      /** Total stream count (known without loading the name table). */
+      streamCount: Int = -1,
+      /** Set by the Reader so lazy full-meta loads can reopen the file. */
+      filePath: String = null) {
     /** (group << 32 | streamId) -> that group's per-stripe entries. Lives on
       * the Footer value — which the sources cache per JVM — so planning and
       * every task in the JVM share one fetch per (group, stream). */
     @transient lazy val dirCache: java.util.concurrent.ConcurrentHashMap[Long, Array[DirEntry]] =
       new java.util.concurrent.ConcurrentHashMap[Long, Array[DirEntry]]()
+
+    /** name -> (id, fileStats); id -1 caches a miss. Shared per JVM via the
+      * footer cache, filled one hash bucket at a time. */
+    @transient lazy val keyIdCache: java.util.concurrent.ConcurrentHashMap[String, (Int, Stats)] =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Stats)]()
+
+    def nStreams: Int = if (inlineKeys != null) inlineKeys.length else streamCount
+
+    @transient @volatile private var fullMeta: (Array[String], Array[Stats]) = null
+
+    /** Whole-table meta (tools, prefix listings, legacy consumers). Wide
+      * files load the full section once and cache it on the footer; bounded
+      * consumers should use Reader.keyId / fileStatsOf probes instead. */
+    private def ensureFull(): (Array[String], Array[Stats]) = {
+      if (inlineKeys != null) return (inlineKeys, inlineStats)
+      var m = fullMeta
+      if (m == null) synchronized {
+        m = fullMeta
+        if (m == null) {
+          require(filePath != null, "nimble: wide footer detached from its file")
+          val in = GraftIO.open(filePath)
+          try {
+            val bytes = new Array[Byte](metaLoc.length.toInt)
+            in.readFully(metaLoc.offset, bytes)
+            val names = new Array[String](streamCount)
+            val stats = new Array[Stats](streamCount)
+            val c = new ByteCursor(bytes)
+            var n = 0
+            while (n < streamCount) {
+              c.readLong() // hash
+              val id = c.readVarint().toInt
+              val nameLen = c.readVarint().toInt
+              val name = new String(c.readBytes(nameLen), "UTF-8")
+              names(id) = name
+              stats(id) = readStats(c)
+              n += 1
+            }
+            m = (names, stats)
+            fullMeta = m
+          } finally in.close()
+        }
+      }
+      m
+    }
+
+    def streamKeys: Array[String] = ensureFull()._1
+    def fileStats: Array[Stats] = ensureFull()._2
   }
 
   private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom): Unit = {
@@ -329,8 +395,10 @@ object Tablet {
     s.writeVarint(f.sortColumns.length.toLong)
     f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
     s.writeVarint(f.rowCount)
-    s.writeVarint(f.streamKeys.length.toLong)
-    f.streamKeys.foreach(k => s.writeBlock(k.getBytes("UTF-8")))
+    val sectioned = f.inlineKeys == null
+    s.writeByte(if (sectioned) 1 else 0)
+    s.writeVarint(f.nStreams.toLong)
+    if (!sectioned) f.inlineKeys.foreach(k => s.writeBlock(k.getBytes("UTF-8")))
     s.writeVarint(f.stripes.length.toLong)
     for (st <- f.stripes) {
       s.writeVarint(st.offset)
@@ -341,19 +409,27 @@ object Tablet {
     s.writeVarint(f.groupSize.toLong)
     s.writeVarint(f.groups.length.toLong)
     for (g <- f.groups) { s.writeVarint(g.offset); s.writeVarint(g.length) }
-    for (x <- f.fileStats) writeStats(s, x)
+    if (sectioned) {
+      s.writeVarint(f.metaLoc.offset)
+      s.writeVarint(f.metaLoc.length)
+      s.writeVarint(f.nBuckets.toLong)
+      f.bucketEnds.foreach(e => s.writeVarint(e))
+    } else {
+      for (x <- f.inlineStats) writeStats(s, x)
+    }
     s.toArray
   }
 
-  def readFooter(bytes: Array[Byte]): Footer = {
+  def readFooter(bytes: Array[Byte], filePath: String = null): Footer = {
     val c = new ByteCursor(bytes)
     val version = c.readByte()
     // v5/v6 footers embed the stream directory; v7 moved it to grouped
-    // sections. Both parse here (the chunk-frame and stats wire formats are
-    // unchanged since v5); anything else would silently mis-parse, so fail
-    // loudly. The reference keeps old stripe metadata readable the same way.
+    // sections; v8 optionally sections the name table + file stats. All
+    // parse here (the chunk-frame and stats wire formats are unchanged since
+    // v5); anything else would silently mis-parse, so fail loudly. The
+    // reference keeps old stripe metadata readable the same way.
     if (version == 5 || version == 6) return readLegacyFooter(version, c)
-    require(version == Version,
+    require(version == 7 || version == Version,
       s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
     val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
     val nSort = c.readVarint().toInt
@@ -361,10 +437,11 @@ object Tablet {
       val b = c.readBlock(); new String(b.readBytes(b.remaining), "UTF-8")
     }
     val rowCount = c.readVarint()
+    val sectioned = version >= 8 && c.readByte() == 1
     val nStreams = c.readVarint().toInt
-    val keys = new Array[String](nStreams)
+    val keys = if (sectioned) null else new Array[String](nStreams)
     var i = 0
-    while (i < nStreams) {
+    if (!sectioned) while (i < nStreams) {
       val b = c.readBlock(); keys(i) = new String(b.readBytes(b.remaining), "UTF-8"); i += 1
     }
     val nStripes = c.readVarint().toInt
@@ -379,10 +456,21 @@ object Tablet {
     val groups = new Array[GroupLoc](nGroups)
     i = 0
     while (i < nGroups) { groups(i) = GroupLoc(c.readVarint(), c.readVarint()); i += 1 }
-    val fileStats = new Array[Stats](nStreams)
-    i = 0
-    while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
-    Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats)
+    if (sectioned) {
+      val metaLoc = GroupLoc(c.readVarint(), c.readVarint())
+      val nBuckets = c.readVarint().toInt
+      val ends = new Array[Long](nBuckets)
+      i = 0
+      while (i < nBuckets) { ends(i) = c.readVarint(); i += 1 }
+      Footer(version, schemaJson, sortCols, rowCount, null, stripes, groupSize, groups,
+        null, metaLoc = metaLoc, nBuckets = nBuckets, bucketEnds = ends,
+        streamCount = nStreams, filePath = filePath)
+    } else {
+      val fileStats = new Array[Stats](nStreams)
+      i = 0
+      while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
+      Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats)
+    }
   }
 
   /** Parse a v5/v6 footer (stream directory embedded per stripe: blooms,
@@ -455,6 +543,12 @@ object Tablet {
     * The exact point-lookup analog of the reference's HashIndex
     * (dwio/nimble/index/HashIndex.h:57 — key -> row ids), scoped per stripe
     * so the footer stays bounded and the index reads with the stripe. */
+  /** Above this stream count the writer sections the name table + file
+    * stats out of the footer core (v8 wide mode). */
+  val WideMetaStreams: Int = 1024
+  /** Power of two; 10K streams -> ~40 entries (~2 KB) per probe bucket. */
+  val MetaBuckets: Int = 256
+
   def indexStreamKey(column: String): String = "#idx:" + column
 
   /** Hidden per-stripe SORTED index stream for `column` (range-probe analog
@@ -860,8 +954,45 @@ object Tablet {
       val slim = padded.map { case (off, len, rows, _, _, checksum, _) =>
         StripeInfo(off, len, rows, checksum)
       }
-      val footer = Footer(Version, schemaJson, sortColumns, totalRows,
-        keys.toArray, slim, DirGroupSize, groups, fileStats.toArray)
+      val footer = if (nStreams <= WideMetaStreams) {
+        Footer(Version, schemaJson, sortColumns, totalRows,
+          keys.toArray, slim, DirGroupSize, groups, fileStats.toArray)
+      } else {
+        // wide table: hash-bucketized (name, id, file-stats) section before
+        // the footer — probes read one bucket (~nStreams/256 entries), the
+        // footer core stays O(stripes + buckets) regardless of width
+        val nB = MetaBuckets
+        val buckets = Array.fill(nB)(mutable.ArrayBuffer[(Long, Int)]())
+        var id = 0
+        while (id < nStreams) {
+          val nb = keys(id).getBytes("UTF-8")
+          val h = hashBytesValue(nb, 0, nb.length)
+          buckets((h & (nB - 1)).toInt) += ((h, id))
+          id += 1
+        }
+        val sect = new ByteSink(1 << 16)
+        val ends = new Array[Long](nB)
+        var b = 0
+        while (b < nB) {
+          for ((h, sid) <- buckets(b).sortBy(identity)) {
+            sect.writeLong(h)
+            sect.writeVarint(sid.toLong)
+            val nb = keys(sid).getBytes("UTF-8")
+            sect.writeVarint(nb.length.toLong)
+            sect.writeBytes(nb)
+            writeStats(sect, fileStats(sid))
+          }
+          ends(b) = sect.size.toLong
+          b += 1
+        }
+        val bytes = sect.toArray
+        out.write(bytes)
+        val loc = GroupLoc(fileOffset, bytes.length.toLong)
+        fileOffset += bytes.length
+        Footer(Version, schemaJson, sortColumns, totalRows, null, slim,
+          DirGroupSize, groups, null, metaLoc = loc, nBuckets = nB,
+          bucketEnds = ends, streamCount = nStreams)
+      }
       val fb = writeFooter(footer)
       out.write(fb)
       fileOffset += fb.length
@@ -904,11 +1035,65 @@ object Tablet {
       val fb = new Array[Byte](fLen)
       file.readFully(len - 8 - fLen, fb)
       metaBytesRead += 8L + fLen
-      readFooter(fb)
+      readFooter(fb, path)
     }
-    private val streamIndex: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
+    private lazy val streamIndex: Map[String, Int] =
+      footer.streamKeys.zipWithIndex.toMap
 
-    def streamId(key: String): Int = streamIndex.getOrElse(key, -1)
+    def streamId(key: String): Int = keyId(key)
+
+    /** id of `key`, -1 when absent. Narrow/inline footers answer from the
+      * in-memory map; wide (v8 sectioned) footers probe ONE hash bucket of
+      * the meta section — O(streams / 256) bytes, cached on the shared
+      * footer, so metadata I/O scales with the probed names, not the table
+      * width (reference: README.md:44-45 — FlatBuffers partial access). */
+    def keyId(key: String): Int =
+      if (footer.inlineKeys != null) streamIndex.getOrElse(key, -1)
+      else {
+        val hit = footer.keyIdCache.get(key)
+        if (hit != null) hit._1 else probeBucket(key)._1
+      }
+
+    /** File-level stats of stream `key` (None when absent) — same probe. */
+    def fileStatsOf(key: String): Option[Stats] =
+      if (footer.inlineKeys != null)
+        streamIndex.get(key).map(footer.inlineStats(_))
+      else {
+        val hit = footer.keyIdCache.get(key)
+        val (id, st) = if (hit != null) hit else probeBucket(key)
+        if (id >= 0) Some(st) else None
+      }
+
+    private def probeBucket(key: String): (Int, Stats) = {
+      val kb = key.getBytes("UTF-8")
+      val h = hashBytesValue(kb, 0, kb.length)
+      val b = (h & (footer.nBuckets - 1)).toInt
+      val start = if (b == 0) 0L else footer.bucketEnds(b - 1)
+      val end = footer.bucketEnds(b)
+      if (end > start) {
+        val bytes = new Array[Byte]((end - start).toInt)
+        file.readFully(footer.metaLoc.offset + start, bytes)
+        metaBytesRead += bytes.length
+        val c = new ByteCursor(bytes)
+        while (c.remaining > 0) {
+          c.readLong() // entry hash (bucket already matched)
+          val id = c.readVarint().toInt
+          val name = new String(c.readBytes(c.readVarint().toInt), "UTF-8")
+          footer.keyIdCache.putIfAbsent(name, (id, readStats(c)))
+        }
+      }
+      footer.keyIdCache.putIfAbsent(key, (-1, null)) // negative-cache misses
+      footer.keyIdCache.get(key)
+    }
+
+    /** Probe-backed key set for layout decisions; prefix listings (flatmap
+      * feature discovery) fall back to the full-meta load. */
+    lazy val keyProbe: Fields.KeyProbe = new Fields.KeyProbe {
+      def apply(k: String): Boolean = keyId(k) >= 0
+      def nonEmpty: Boolean = footer.nStreams > 0
+      def withPrefix(p: String): Seq[String] =
+        footer.streamKeys.filter(_.startsWith(p)).toSeq
+    }
 
     /** Below this a group's directory is fetched whole in one read (narrow
       * tables: one I/O instead of one per stream); above it, per-stream

@@ -52,8 +52,9 @@ object AggPushdown {
     if (!shapeOk || files.isEmpty) return None
     NimbleSource.prefetchFooters(files) // parallel footer I/O, then cache hits
     val rows = files.map { f =>
-      val footer = NimbleSource.footerOf(f)
-      rowForFooter(agg, schema, footer).getOrElse(return None)
+      val r = new Tablet.Reader(f, NimbleSource.footerOf(f))
+      try rowForFooter(agg, schema, r).getOrElse(return None)
+      finally r.close()
     }
     Some(rows)
   }
@@ -88,37 +89,37 @@ object AggPushdown {
   private def rowForFileFiltered(agg: Aggregation, schema: StructType, file: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Option[InternalRow] = {
     val footer = NimbleSource.footerOf(file)
-    val keyIdx = footer.streamKeys.zipWithIndex.toMap
     val neededCols: Seq[String] = agg.aggregateExpressions().toSeq.flatMap {
       case c: Count => colName(c.column())
       case m: Min => colName(m.column())
       case m: Max => colName(m.column())
       case _ => None
     }.distinct
-    // nanos-split columns: micros-stream min/max are not the logical value
-    agg.aggregateExpressions().foreach {
-      case m: Min if colName(m.column()).exists(n => keyIdx.contains(n + "#nanos")) => return None
-      case m: Max if colName(m.column()).exists(n => keyIdx.contains(n + "#nanos")) => return None
-      case _ => ()
-    }
-    if (neededCols.exists(n => !keyIdx.contains(n))) return None
     val r = new Tablet.Reader(file, footer)
     try {
+      // nanos-split columns: micros-stream min/max are not the logical value
+      agg.aggregateExpressions().foreach {
+        case m: Min if colName(m.column()).exists(n => r.keyId(n + "#nanos") >= 0) => return None
+        case m: Max if colName(m.column()).exists(n => r.keyId(n + "#nanos") >= 0) => return None
+        case _ => ()
+      }
+      if (neededCols.exists(n => r.keyId(n) < 0)) return None
       var rowsMatched = 0L
       val acc = scala.collection.mutable.HashMap[String, Tablet.Stats]()
       var s = 0
       while (s < footer.stripes.length) {
-        val statsOf: String => Option[Tablet.Stats] = name => keyIdx.get(name).map { id =>
+        val statsOf: String => Option[Tablet.Stats] = name => Some(r.keyId(name)).filter(_ >= 0).map { id =>
           val st = r.streamStats(s, id)
-          if (keyIdx.contains(name + "#nanos")) Tablet.nanosScaledStats(st) else st
+          if (r.keyId(name + "#nanos") >= 0) Tablet.nanosScaledStats(st) else st
         }
         val bloomOf: String => Option[Tablet.Bloom] =
-          name => keyIdx.get(name).filterNot(_ => keyIdx.contains(name + "#nanos"))
+          name => Some(r.keyId(name)).filter(_ >= 0)
+            .filterNot(_ => r.keyId(name + "#nanos") >= 0)
             .flatMap(id => r.streamBloom(s, id))
         if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) {
           rowsMatched += footer.stripes(s).rowCount
           for (n <- neededCols)
-            mergeStats(acc.getOrElseUpdate(n, Tablet.Stats()), r.streamStats(s, keyIdx(n)))
+            mergeStats(acc.getOrElseUpdate(n, Tablet.Stats()), r.streamStats(s, r.keyId(n)))
         } else if (!filters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))) {
           return None // mixed stripe: stats cannot answer exactly
         }
@@ -176,28 +177,30 @@ object AggPushdown {
     }
   }
 
-  private def rowForFooter(agg: Aggregation, schema: StructType, footer: Tablet.Footer): Option[InternalRow] = {
-    val keyIdx = footer.streamKeys.zipWithIndex.toMap
+  private def rowForFooter(agg: Aggregation, schema: StructType, r: Tablet.Reader): Option[InternalRow] = {
+    val footer = r.footer
+    // name -> stats via Reader probes: wide (v8 sectioned) footers answer
+    // from one hash bucket instead of parsing the whole meta table
     val values: Array[Any] = agg.aggregateExpressions().map {
       case _: CountStar => java.lang.Long.valueOf(footer.rowCount): Any
       case c: Count =>
         val n = colName(c.column()).get
-        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        val s = r.fileStatsOf(n).getOrElse(return None)
         java.lang.Long.valueOf(s.valueCount - s.nullCount): Any
       case m: Min =>
         val n = colName(m.column()).get
         // nanos-split column: micros-stream stats are not the logical value
         // (exact-or-refuse contract -> refuse)
-        if (keyIdx.contains(n + "#nanos")) return None
-        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        if (r.keyId(n + "#nanos") >= 0) return None
+        val s = r.fileStatsOf(n).getOrElse(return None)
         statValue(s, schema(n).dataType, isMin = true) match {
           case Some(v) => v
           case None => return None
         }
       case m: Max =>
         val n = colName(m.column()).get
-        if (keyIdx.contains(n + "#nanos")) return None
-        val s = footer.fileStats(keyIdx.getOrElse(n, return None))
+        if (r.keyId(n + "#nanos") >= 0) return None
+        val s = r.fileStatsOf(n).getOrElse(return None)
         statValue(s, schema(n).dataType, isMin = false) match {
           case Some(v) => v
           case None => return None

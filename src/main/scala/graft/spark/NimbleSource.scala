@@ -159,21 +159,21 @@ object NimbleSource {
 
   /** Leaf stream keys a scan of (`required`, `filters`) needs — shared by
     * the in-task reader and the prefetch path, which must agree exactly. */
-  private[spark] def neededStreamKeys(footerKeySet: Set[String], dataSchema: StructType,
+  private[spark] def neededStreamKeys(footerKeySet: Fields.KeyProbe, dataSchema: StructType,
       required: StructType, filters: Array[Filter]): Array[String] = {
     val filterCols = filters.flatMap(_.references).distinct
       .filterNot(c => required.fieldNames.contains(c))
     (required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
-      filterCols.filter(footerKeySet.contains)
+      filterCols.filter(footerKeySet(_))
         .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))).distinct
   }
 
   /** Fetch the named streams of one stripe through an existing reader. */
   private[spark] def readNeededStreams(reader: Tablet.Reader, stripe: Int,
-      keyIdx: Map[String, Int], keys: Array[String], file: String): Map[String, Array[Byte]] = {
+      keys: Array[String], file: String): Map[String, Array[Byte]] = {
     if (testFetchDelayMs > 0) Thread.sleep(testFetchDelayMs.toLong)
     keys.iterator.map { k =>
-      val id = keyIdx.getOrElse(k, -1)
+      val id = reader.keyId(k)
       require(id >= 0, s"nimble: stream $k not found in $file")
       k -> reader.readStreamBytes(stripe, id)
     }.toMap
@@ -184,11 +184,9 @@ object NimbleSource {
   private[spark] def fetchStreamBytes(file: String, stripe: Int, dataSchema: StructType,
       required: StructType, filters: Array[Filter]): Map[String, Array[Byte]] = {
     val r = new Tablet.Reader(file, footerOf(file))
-    try {
-      val keyIdx = r.footer.streamKeys.zipWithIndex.toMap
-      readNeededStreams(r, stripe,
-        keyIdx, neededStreamKeys(keyIdx.keySet, dataSchema, required, filters), file)
-    } finally r.close()
+    try readNeededStreams(r, stripe,
+      neededStreamKeys(r.keyProbe, dataSchema, required, filters), file)
+    finally r.close()
   }
 
   private[spark] def submitPrefetch(file: String, stripe: Int, dataSchema: StructType,
@@ -315,11 +313,10 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     val filterRefs = pruningFilters.flatMap(_.references).distinct
     if (filterRefs.nonEmpty) NimbleSource.foreachParallel(files) { f =>
       val ft = NimbleSource.footerOf(f)
-      val kk = ft.streamKeys.zipWithIndex.toMap
-      val ids = filterRefs.flatMap(kk.get)
-      if (ids.nonEmpty && ft.stripes.nonEmpty) {
+      if (ft.stripes.nonEmpty) {
         val r = new Tablet.Reader(f, ft)
         try {
+          val ids = filterRefs.map(r.keyId).filter(_ >= 0)
           var g = 0
           while (g < ft.groups.length) { ids.foreach(id => r.dirEntries(g, id)); g += 1 }
         } finally r.close()
@@ -327,21 +324,21 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     }
     for (file <- files) {
       val footer = NimbleSource.footerOf(file)
-      val keyIdx = footer.streamKeys.zipWithIndex.toMap
       val r = new Tablet.Reader(file, footer)
       try {
         var s = 0
         while (s < footer.stripes.length) {
           val info = footer.stripes(s)
           val statsOf: String => Option[Tablet.Stats] =
-            name => keyIdx.get(name).map { id =>
+            name => Some(r.keyId(name)).filter(_ >= 0).map { id =>
               val st = r.streamStats(s, id)
               // nanos-split column: micros-stream stats scale to conservative
               // combined-value bounds (blooms hash micros, so they're off)
-              if (keyIdx.contains(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+              if (r.keyId(name + "#nanos") >= 0) NimbleSource.nanosScaledStats(st) else st
             }
           val bloomOf: String => Option[Tablet.Bloom] =
-            name => keyIdx.get(name).filterNot(_ => keyIdx.contains(name + "#nanos"))
+            name => Some(r.keyId(name)).filter(_ >= 0)
+              .filterNot(_ => r.keyId(name + "#nanos") >= 0)
               .flatMap(id => r.streamBloom(s, id))
           val skip = pruningFilters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))
           if (!skip) survivors += ((NimbleStripePartition(file, s), info.length)) else pruned += 1
@@ -523,12 +520,13 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   // task — reference: dwio/nimble/tablet/MetadataCache.h)
   private val reader = new Tablet.Reader(file, NimbleSource.footerOf(file))
   private val footer = reader.footer
-  private val keyIdx: Map[String, Int] = footer.streamKeys.zipWithIndex.toMap
 
   private val filterCols: Array[String] =
     filters.flatMap(_.references).distinct.filterNot(c => required.fieldNames.contains(c))
 
-  private val footerKeySet: Set[String] = keyIdx.keySet
+  // probe-backed key membership: wide (v8 sectioned) footers resolve names
+  // one hash bucket at a time instead of loading the whole table
+  private val footerKeySet: Fields.KeyProbe = reader.keyProbe
 
   // streams needed: all leaf streams of required fields (layout-aware) +
   // extra filter columns (shared helper — the prefetch path must fetch the
@@ -538,7 +536,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
   private val streamBytes: Map[String, Array[Byte]] =
     if (prefetched != null) { NimbleSource.prefetchHits.incrementAndGet(); prefetched }
-    else NimbleSource.readNeededStreams(reader, stripe, keyIdx, neededKeys, file)
+    else NimbleSource.readNeededStreams(reader, stripe, neededKeys, file)
 
   private val cursors: Map[String, Tablet.ChunkCursor] =
     streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
@@ -548,7 +546,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
   // separate readers (cursors) for filter-only columns
   private val filterReaders: Map[String, Fields.FieldReader] =
-    filterCols.filter(keyIdx.contains).map { c =>
+    filterCols.filter(c => reader.keyId(c) >= 0).map { c =>
       val dt = dataSchema(c).dataType
       val rdr: Fields.FieldReader =
         if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))

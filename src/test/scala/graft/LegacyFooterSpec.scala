@@ -171,15 +171,75 @@ class LegacyFooterSpec extends AnyFunSuite {
     assert(allValues(legacy) == allValues(cur))
   }
 
-  test("unknown versions still fail loudly") {
-    val cur = tmpFile("current8")
+  /** v7 layout: grouped directory like v8 but names + file stats always
+    * inline and no sectioned-meta flag byte (git history at the v7 tag). */
+  private def v7FooterBytes(r: Tablet.Reader): Array[Byte] = {
+    val f = r.footer
+    val s = new ByteSink(1 << 16)
+    s.writeByte(7)
+    s.writeBlock(f.schemaJson.getBytes("UTF-8"))
+    s.writeVarint(f.sortColumns.length.toLong)
+    f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
+    s.writeVarint(f.rowCount)
+    s.writeVarint(f.streamKeys.length.toLong)
+    f.streamKeys.foreach(k => s.writeBlock(k.getBytes("UTF-8")))
+    s.writeVarint(f.stripes.length.toLong)
+    for (st <- f.stripes) {
+      s.writeVarint(st.offset); s.writeVarint(st.length)
+      s.writeVarint(st.rowCount); s.writeLong(st.checksum)
+    }
+    s.writeVarint(f.groupSize.toLong)
+    s.writeVarint(f.groups.length.toLong)
+    for (g <- f.groups) { s.writeVarint(g.offset); s.writeVarint(g.length) }
+    for (x <- f.fileStats) Tablet.writeStats(s, x)
+    s.toArray
+  }
+
+  test("v7 footer (grouped directory, inline names+stats) reads identically") {
+    val cur = tmpFile("current7v")
     writeSample(cur)
-    val legacy = tmpFile("legacy8")
-    synthesizeLegacy(8, cur, legacy)
+    val v7 = tmpFile("legacy7v")
+    // keep stripe data AND group sections; swap only the footer
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cur))
+    val n = all.length
+    val oldFLen = (all(n - 8) & 0xff) | ((all(n - 7) & 0xff) << 8) |
+      ((all(n - 6) & 0xff) << 16) | ((all(n - 5) & 0xff) << 24)
+    val bodyLen = n - 8 - oldFLen
+    val a = new Tablet.Reader(cur)
+    try {
+      val fb = v7FooterBytes(a)
+      val out = new ByteSink(bodyLen + fb.length + 8)
+      out.writeBytes(all, 0, bodyLen)
+      out.writeBytes(fb)
+      out.writeInt(fb.length)
+      out.writeBytes(Tablet.Magic)
+      java.nio.file.Files.write(java.nio.file.Paths.get(v7), out.toArray)
+      val b = new Tablet.Reader(v7)
+      try {
+        assert(b.footer.version == 7)
+        assert(b.footer.rowCount == a.footer.rowCount)
+        assert(b.footer.streamKeys.toSeq == a.footer.streamKeys.toSeq)
+        for (s <- a.footer.stripes.indices; id <- a.footer.streamKeys.indices) {
+          assert(java.util.Arrays.equals(b.readStreamBytes(s, id), a.readStreamBytes(s, id)),
+            s"stream $id stripe $s bytes differ")
+          assert(b.streamStats(s, id).valueCount == a.streamStats(s, id).valueCount)
+          assert(b.streamBloom(s, id).isDefined == a.streamBloom(s, id).isDefined)
+        }
+        assert(b.keyId("i") == a.keyId("i") && b.keyId("nope") == -1)
+        assert(b.fileStatsOf("i").map(_.valueCount) == a.fileStatsOf("i").map(_.valueCount))
+      } finally b.close()
+    } finally a.close()
+  }
+
+  test("unknown versions still fail loudly") {
+    val cur = tmpFile("current9")
+    writeSample(cur)
+    val legacy = tmpFile("legacy9")
+    synthesizeLegacy(9, cur, legacy)
     val e = intercept[IllegalArgumentException] {
       val r = new Tablet.Reader(legacy)
       try r.footer finally r.close()
     }
-    assert(e.getMessage.contains("v8"))
+    assert(e.getMessage.contains("v9"))
   }
 }

@@ -97,5 +97,55 @@ class WideTableSpec extends SparkTestBase {
       val cur = new Tablet.ChunkCursor(r2.readStreamBytes(2, 9999))
       assert(cur.next().asInstanceOf[LongsCol].values.toSeq == Seq(1L, 2L, 3L))
     } finally r2.close()
+
+    // v8 wide meta: the name table + file stats live in a bucketized
+    // section, the footer core carries none of it, and a name probe reads
+    // ONE bucket — O(streams/256) bytes, so metadata I/O scales with the
+    // probed projection (including the name table), never the width
+    val r3 = new Tablet.Reader(path)
+    try {
+      assert(r3.footer.inlineKeys == null, "10K streams must section the meta")
+      assert(r3.footer.nStreams == nCols)
+      val metaLen = r3.footer.metaLoc.length
+      assert(metaLen > 0)
+      val before = r3.metaBytesRead
+      assert(r3.keyId("c9999") == 9999)
+      assert(r3.keyId("c0") == 0)
+      assert(r3.keyId("no_such_stream") == -1)
+      val probeBytes = r3.metaBytesRead - before
+      assert(probeBytes < metaLen / 20,
+        s"3 probes read $probeBytes B of a $metaLen B name table — not bucketized")
+      // file stats ride in the same bucket entry
+      assert(r3.fileStatsOf("c9999").exists(s => s.valueCount == 9 && s.minLong == 1 && s.maxLong == 3))
+      // negative probes are cached, not re-read
+      val afterMiss = r3.metaBytesRead
+      assert(r3.keyId("no_such_stream") == -1)
+      assert(r3.metaBytesRead == afterMiss)
+      // the full table is still loadable for tools (lazy, cached)
+      assert(r3.footer.streamKeys.length == nCols)
+      assert(r3.footer.streamKeys(1234) == "c1234")
+      assert(r3.footer.fileStats(7777).valueCount == 9)
+    } finally r3.close()
+  }
+
+  test("wide v8 table: Spark scan + projection + agg pushdown work end-to-end") {
+    // above the 1024-stream threshold so the connector path exercises the
+    // sectioned meta: probes resolve projected streams, stats aggregate
+    // answers from bucket entries, full scan round-trips
+    val nCols = 1200
+    val schema = StructType((0 until nCols).map(i => StructField(s"w$i", LongType)))
+    val rdd = spark.sparkContext.parallelize(0 until 2000, 2).map { r =>
+      Row.fromSeq((0 until nCols).map(i => r.toLong + i))
+    }
+    val df = spark.createDataFrame(rdd, schema)
+    val dir = tmpDir("wide_v8")
+    df.write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    assert(nb.count() == 2000L)
+    val got = nb.select("w0", "w1199").filter(col("w0") >= 1000L).collect()
+    assert(got.length == 1000 && got.forall(r => r.getLong(1) - r.getLong(0) == 1199L))
+    val agg = nb.agg(min("w7"), max("w7"), count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agg.collect()(0).toSeq == Seq(7L, 2006L, 2000L))
   }
 }
