@@ -585,14 +585,18 @@ object Tablet {
     // Hash-index entries hash long-backed and bytes-backed values only; an
     // unsupported column (double/bool/nested) would silently emit an
     // always-empty index that shadows the reader's scan fallback — reject the
-    // misconfiguration at write time instead.
-    if (indexColumns.nonEmpty) {
+    // misconfiguration at write time instead. Names resolve like Spark columns
+    // do (exact match first, else case-insensitive) and are canonicalized to
+    // the schema spelling so stream keys always match.
+    private val indexCols: Set[String] = if (indexColumns.isEmpty) Set.empty else {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       import org.apache.spark.sql.types._
-      for (c <- indexColumns) {
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
+      indexColumns.map { c =>
+        val f = schema.fields.find(_.name == c)
+          .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+          .getOrElse(
+            throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
         f.dataType match {
           case ByteType | ShortType | IntegerType | LongType | DateType |
                TimestampType | TimestampNTZType | StringType | BinaryType => ()
@@ -600,6 +604,7 @@ object Tablet {
             s"nimble: indexColumns: column '$c' has unsupported type ${dt.simpleString} " +
               "(hash index supports integral, date/timestamp, string and binary columns)")
         }
+        f.name
       }
     }
     private val out = GraftIO.create(path)
@@ -814,7 +819,7 @@ object Tablet {
           case _ => () // doubles/bools: equality pruning not supported
         }
       }
-      if (indexColumns(keys(id))) {
+      if (indexCols(keys(id))) {
         val ord = idxChunkOrd.getOrElse(id, 0)
         val buf = idxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
         val sbuf = sidxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
@@ -1102,12 +1107,16 @@ object Tablet {
 
     /** Per-stripe directory entries of stream `id` in group `group`. */
     def dirEntries(group: Int, id: Int): Array[DirEntry] = {
-      // v5/v6 file: the directory was embedded in the footer (groupSize 1,
-      // one stripe per group), already parsed — no section reads
-      if (footer.legacyDir != null) return Array(footer.legacyDir(group)(id))
       val key = (group.toLong << 32) | (id & 0xffffffffL)
       val cached = footer.dirCache.get(key)
       if (cached != null) return cached
+      // v5/v6 file: the directory was embedded in the footer (groupSize 1,
+      // one stripe per group), already parsed — no section reads; cache the
+      // single-entry wrapper so per-stripe hot-path lookups don't allocate
+      if (footer.legacyDir != null) {
+        footer.dirCache.putIfAbsent(key, Array(footer.legacyDir(group)(id)))
+        return footer.dirCache.get(key)
+      }
       val g = footer.groups(group)
       val nStreams = footer.streamKeys.length
       val inGroup = math.min(footer.groupSize, footer.stripes.length - group * footer.groupSize)
@@ -1144,7 +1153,10 @@ object Tablet {
     }
 
     private def entry(stripe: Int, id: Int): DirEntry =
-      dirEntries(stripe / footer.groupSize, id)(stripe % footer.groupSize)
+      // legacy files hold the parsed directory in the footer; read it direct
+      // (no wrapper array, no cache probe) since entry() runs per stripe×stream
+      if (footer.legacyDir != null) footer.legacyDir(stripe)(id)
+      else dirEntries(stripe / footer.groupSize, id)(stripe % footer.groupSize)
 
     def streamLoc(stripe: Int, id: Int): StreamLoc = entry(stripe, id).loc
     def streamStats(stripe: Int, id: Int): Stats = entry(stripe, id).stats

@@ -168,6 +168,18 @@ class SerializerSpec extends SparkTestBase {
       m.getMessage.contains("no such column")), s"got: $eName")
   }
 
+  test("indexColumns resolves case-insensitively like Spark column resolution") {
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("idx_case")
+    sparkDf.coalesce(1).write.format("nimble")
+      .option("indexColumns", "O_ORDERKEY") // schema spells it o_orderkey
+      .mode("overwrite").save(dir)
+    // the index stream materialized under the canonical (schema) spelling
+    val (rows, m) = graft.format.Lookup.pointLookupMetered(dir, "o_orderkey", 42L)
+    assert(rows.nonEmpty && rows.head("o_orderkey") == 42L)
+    assert(m.indexProbes > 0, "canonicalized index column was not probed")
+  }
+
   private def exceptionChain(t: Throwable): List[Throwable] =
     if (t == null) Nil else t :: exceptionChain(t.getCause)
 
