@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — see /root/repo/SURVEY.md §2.9 + §2.8.
   *
@@ -161,6 +162,33 @@ object SparkEntry {
     "q22_json_extract" -> q(Seq("events"),
       """SELECT get_json_object(props, '$.k') AS k, count(1) AS cnt
          FROM events GROUP BY get_json_object(props, '$.k')"""),
+    // filtered aggregate pushdown (ValueHook-lite): every stripe all-matches
+    // l_orderkey >= 0, so COUNT/MIN/MAX are answered from footer stats with
+    // the filter pushed — zero data bytes read (AggPushdown.tryComputeFiltered)
+    "q23_filtered_agg" -> q(Seq("lineitem"),
+      """SELECT count(1) AS cnt, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q
+         FROM lineitem WHERE l_orderkey >= 0"""),
+    // sorted-index range probe (SortedIndex analog): orders re-written with a
+    // sorted (key,position) index on o_orderkey — data arrives sorted by
+    // o_custkey, so the range genuinely needs the index, not stripe stats
+    "q24_range_lookup" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val d = Tables.roundTripDir(s, dir, "q24_range_lookup", src,
+        Map("indexColumns" -> "o_orderkey"))
+      val rows = graft.format.Lookup.rangeLookup(d, "o_orderkey", 1000L, 1500L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          rows.map(m => org.apache.spark.sql.Row(
+            m("o_orderkey"), m("o_custkey"), m("o_orderstatus"), m("o_totalprice"))).asJava),
+        schema)
+    }),
 
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
@@ -545,6 +573,13 @@ object SparkEntry {
          GROUP BY user_id""",
     "q22_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k, count(1) AS cnt
-         FROM events GROUP BY json_extract_string(props, '$.k')"""
+         FROM events GROUP BY json_extract_string(props, '$.k')""",
+    "q23_filtered_agg" ->
+      """SELECT count(1) AS cnt, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         min(l_quantity) AS min_q, max(l_quantity) AS max_q
+         FROM lineitem WHERE l_orderkey >= 0""",
+    "q24_range_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 1500"""
   )
 }

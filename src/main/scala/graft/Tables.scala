@@ -26,7 +26,13 @@ object Tables {
   /** Round-trip an arbitrary DataFrame through the nimble format (used by
     * queries that exercise nested/map/flatmap writers in the checked path). */
   def roundTrip(spark: SparkSession, sfDir: String, key: String, df: DataFrame,
-      writerOptions: Map[String, String] = Map.empty): DataFrame = {
+      writerOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("nimble").load(roundTripDir(spark, sfDir, key, df, writerOptions))
+
+  /** [[roundTrip]], returning the tablet directory (for the Lookup probe API,
+    * which addresses files rather than DataFrames). */
+  def roundTripDir(spark: SparkSession, sfDir: String, key: String, df: DataFrame,
+      writerOptions: Map[String, String] = Map.empty): String = {
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"$cacheRoot/$sfKey/rt_$key"
     lock.synchronized {
@@ -34,7 +40,7 @@ object Tables {
       writerOptions.foreach { case (k, v) => w = w.option(k, v) }
       w.save(dir)
     }
-    spark.read.format("nimble").load(dir)
+    dir
   }
 
   def nimbleDir(spark: SparkSession, sfDir: String, table: String): String = {
