@@ -189,6 +189,26 @@ object SparkEntry {
             m("o_orderkey"), m("o_custkey"), m("o_orderstatus"), m("o_totalprice"))).asJava),
         schema)
     }),
+    // composite sorted index (KeyEncoder analog): prefix-equality on
+    // o_orderstatus + range on o_custkey via the memcomparable #cidx stream
+    "q25_composite_lookup" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val d = Tables.roundTripDir(s, dir, "q25_composite_lookup", src,
+        Map("indexColumns" -> "o_orderstatus+o_custkey"))
+      val rows = graft.format.Lookup.compositeLookup(
+        d, Seq("o_orderstatus", "o_custkey"), Seq("O"), Some((100L, 140L)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          rows.map(m => org.apache.spark.sql.Row(
+            m("o_orderkey"), m("o_custkey"), m("o_orderstatus"), m("o_totalprice"))).asJava),
+        schema)
+    }),
 
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
@@ -580,6 +600,9 @@ object SparkEntry {
          FROM lineitem WHERE l_orderkey >= 0""",
     "q24_range_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM orders WHERE o_orderkey BETWEEN 1000 AND 1500"""
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 1500""",
+    "q25_composite_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderstatus = 'O' AND o_custkey BETWEEN 100 AND 140"""
   )
 }

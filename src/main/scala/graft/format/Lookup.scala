@@ -44,6 +44,163 @@ object Lookup {
     (GraftIO.listGft(path).map(_.path).flatMap(rangeInFile(_, column, lo, hi, m)), m)
   }
 
+  /** Composite-index probe (order-preserving KeyEncoder analog — reference:
+    * dwio/nimble/index/KeyEncoding.h:30-44, index/SortedIndex.h:48,
+    * index/IndexLookup.h:55-65): equality on the leading `eq.length`
+    * components of the composite index `cols`, plus an optional inclusive
+    * range on the NEXT component. With a `#cidx` stream (written via
+    * `indexColumns=a+b`) a binary search over the memcomparable keys
+    * brackets the candidates and only their chunks decode; without one,
+    * stats-surviving stripes scan. */
+  def compositeLookup(path: String, cols: Seq[String], eq: Seq[Any],
+      range: Option[(Any, Any)] = None): Seq[Map[String, Any]] =
+    compositeLookupMetered(path, cols, eq, range)._1
+
+  /** [[compositeLookup]] plus decode-cost metrics. */
+  def compositeLookupMetered(path: String, cols: Seq[String], eq: Seq[Any],
+      range: Option[(Any, Any)] = None): (Seq[Map[String, Any]], Metrics) = {
+    require(eq.length + (if (range.isDefined) 1 else 0) <= cols.length &&
+      (eq.nonEmpty || range.isDefined), "probe components must be a non-empty prefix of the index columns")
+    val m = Metrics()
+    (GraftIO.listGft(path).map(_.path).flatMap(compositeInFile(_, cols, eq, range, m)), m)
+  }
+
+  private def compositeInFile(file: String, cols: Seq[String], eq: Seq[Any],
+      range: Option[(Any, Any)], m: Metrics): Seq[Map[String, Any]] = {
+    val reader = new Tablet.Reader(file)
+    try {
+      val footer = reader.footer
+      val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+      val keyIdx = footer.streamKeys.zipWithIndex.toMap
+      if (cols.exists(c => !keyIdx.contains(c))) return Nil
+      // probed components as per-column inclusive ranges (eq => [v, v])
+      val preds: Seq[(String, Any, Any)] =
+        eq.zip(cols).map { case (v, c) => (c, v, v) } ++
+          range.map { case (lo, hi) => (cols(eq.length), lo, hi) }.toSeq
+      // nanos-split members: index keys hold micros — logical probes scan
+      val anySplit = cols.exists(c => keyIdx.contains(c + "#nanos"))
+      val cidxId = if (anySplit) -1
+        else keyIdx.getOrElse(Tablet.compositeIndexStreamKey(cols), -1)
+      val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
+      val out = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
+      var s = 0
+      while (s < footer.stripes.length) {
+        val surviving = preds.forall { case (c, lo, hi) =>
+          val st0 = reader.streamStats(s, keyIdx(c))
+          val st = if (keyIdx.contains(c + "#nanos")) Tablet.nanosScaledStats(st0) else st0
+          rangeOverlaps(st, lo, hi)
+        }
+        if (surviving) {
+          m.stripesProbed += 1
+          m.stripeRows += footer.stripes(s).rowCount
+          val hasIndex = cidxId >= 0 && reader.streamLoc(s, cidxId).length > 0
+          if (hasIndex) compositeViaIndex(reader, s, cidxId, keyIdx, atomicFields, eq, range, out, m)
+          else compositeByScan(reader, s, keyIdx, atomicFields, preds, out, m)
+        }
+        s += 1
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  /** Binary-search the memcomparable key run: candidates are exactly the
+    * keys in [enc(eq:+lo), prefixSuccessor(enc(eq:+hi))) — component
+    * encodings are prefix-free, so no re-verification is needed. */
+  private def compositeViaIndex(reader: Tablet.Reader, s: Int, cidxId: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField],
+      eq: Seq[Any], range: Option[(Any, Any)],
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    m.indexProbes += 1
+    val loKey = KeyCodec.encode(eq ++ range.map(_._1).toSeq)
+    val hiExcl = KeyCodec.prefixSuccessor(KeyCodec.encode(eq ++ range.map(_._2).toSeq))
+    val idx = new ByteCursor(reader.readStreamBytes(s, cidxId))
+    val count = idx.readInt()
+    val posBase = idx.pos
+    val offBase = posBase + 8 * count
+    val bytesBase = offBase + 4 * (count + 1)
+    def posAt(i: Int): Long = { idx.pos = posBase + 8 * i; idx.readLong() }
+    def offAt(i: Int): Int = { idx.pos = offBase + 4 * i; idx.readInt() }
+    def cmpKey(i: Int, t: Array[Byte]): Int = {
+      val o = offAt(i); val e = offAt(i + 1)
+      KeyCodec.compare(idx.buf, bytesBase + o, e - o, t, 0, t.length)
+    }
+    var a = 0; var b = count
+    while (a < b) {
+      val mid = (a + b) >>> 1
+      if (cmpKey(mid, loKey) < 0) a = mid + 1 else b = mid
+    }
+    val cand = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = a
+    while (i < count && (hiExcl.isEmpty || cmpKey(i, hiExcl) < 0)) { cand += posAt(i); i += 1 }
+    if (cand.isEmpty) return
+    val byChunk = scala.collection.mutable.LinkedHashMap[Int, Seq[Int]]()
+    cand.map(p => ((p >>> 32).toInt, (p & 0xffffffffL).toInt)).sorted
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (c, ps) => byChunk(c) = ps.map(_._2).toSeq }
+    materializePositions(reader, s, keyIdx, atomicFields, byChunk, out, m)
+  }
+
+  /** Materialize ALL atomic fields for (chunk -> rows) hits, skipping every
+    * other chunk (the composite variant of [[materializeVerified]], which
+    * seeds from a single probe column). */
+  private def materializePositions(reader: Tablet.Reader, s: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField],
+      hits: scala.collection.mutable.LinkedHashMap[Int, Seq[Int]],
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    val rowsOut = scala.collection.mutable.LinkedHashMap[(Int, Int), scala.collection.mutable.LinkedHashMap[String, Any]]()
+    for ((chunk, rows) <- hits; r <- rows)
+      rowsOut((chunk, r)) = scala.collection.mutable.LinkedHashMap[String, Any]()
+    for (f <- atomicFields) {
+      val cur = colCursor(reader, s, keyIdx, f.name)
+      var ord = 0
+      var left = hits.size
+      while (cur.hasNext && left > 0) {
+        hits.get(ord) match {
+          case Some(rows) =>
+            val c = cur.next()
+            m.rowsDecoded += c.len
+            for (r <- rows) rowsOut((ord, r))(f.name) = valueAt(c, r)
+            left -= 1
+          case None => cur.skip()
+        }
+        ord += 1
+      }
+    }
+    rowsOut.values.foreach(r => out += r.toMap)
+  }
+
+  /** Fallback: decode the probed member columns, then siblings only for
+    * chunks with a surviving row. */
+  private def compositeByScan(reader: Tablet.Reader, s: Int,
+      keyIdx: Map[String, Int], atomicFields: Array[StructField],
+      preds: Seq[(String, Any, Any)],
+      out: scala.collection.mutable.ArrayBuffer[Map[String, Any]], m: Metrics): Unit = {
+    val predCurs = preds.map { case (c, lo, hi) => (c, lo, hi, colCursor(reader, s, keyIdx, c)) }
+    val predNames = preds.map(_._1).toSet
+    val others = atomicFields.filter(f => !predNames.contains(f.name)).map { f =>
+      f.name -> colCursor(reader, s, keyIdx, f.name)
+    }
+    while (predCurs.head._4.hasNext) {
+      val predCols = predCurs.map { case (c, lo, hi, cur) => (c, lo, hi, cur.next()) }
+      predCols.foreach { case (_, _, _, col) => m.rowsDecoded += col.len }
+      val n = predCols.head._4.len
+      val matches = (0 until n).filter(i =>
+        predCols.forall { case (_, lo, hi, col) => rowInRange(col, i, lo, hi) })
+      if (matches.isEmpty) {
+        others.foreach(_._2.skip())
+      } else {
+        val cols = others.map { case (nm, cur) => nm -> cur.next() }
+        for ((_, c) <- cols) m.rowsDecoded += c.len
+        for (r <- matches) {
+          val row = scala.collection.mutable.LinkedHashMap[String, Any]()
+          for ((nm, _, _, col) <- predCols) row(nm) = valueAt(col, r)
+          for ((nm, c) <- cols) row(nm) = valueAt(c, r)
+          out += row.toMap
+        }
+      }
+    }
+  }
+
   private def rangeInFile(file: String, column: String, lo: Any, hi: Any,
       m: Metrics): Seq[Map[String, Any]] = {
     val reader = new Tablet.Reader(file)

@@ -562,6 +562,15 @@ object Tablet {
     * the real key chunk. */
   def sortedIndexStreamKey(column: String): String = "#sidx:" + column
 
+  /** Composite sorted index stream (the SortedIndex over KeyEncoder-encoded
+    * composite keys — reference: dwio/nimble/index/SortedIndex.h:48 +
+    * index/KeyEncoding.h:30-44): per stripe,
+    * `[count i32][pos 8B*count][offsets 4B*(count+1)][key bytes]` sorted by
+    * the memcomparable [[KeyCodec]] encoding of the member tuple, positions
+    * as (chunk<<32|row). Rows with a null in any member are not indexed
+    * (SQL comparison semantics). Declared via `indexColumns=a+b`. */
+  def compositeIndexStreamKey(cols: Seq[String]): String = "#cidx:" + cols.mkString("+")
+
   /** Order-preserving 8-byte key for bytes: big-endian first-8 prefix,
     * zero-padded, with the sign bit flipped so unsigned lexicographic order
     * matches signed-long order. Monotone: a <= b (bytewise, shorter-prefix-
@@ -587,26 +596,39 @@ object Tablet {
     // always-empty index that shadows the reader's scan fallback — reject the
     // misconfiguration at write time instead. Names resolve like Spark columns
     // do (exact match first, else case-insensitive) and are canonicalized to
-    // the schema spelling so stream keys always match.
-    private val indexCols: Set[String] = if (indexColumns.isEmpty) Set.empty else {
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      import org.apache.spark.sql.types._
-      indexColumns.map { c =>
-        val f = schema.fields.find(_.name == c)
-          .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
-          .getOrElse(
-            throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
-        f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType | DateType |
-               TimestampType | TimestampNTZType | StringType | BinaryType => ()
-          case dt => throw new IllegalArgumentException(
-            s"nimble: indexColumns: column '$c' has unsupported type ${dt.simpleString} " +
-              "(hash index supports integral, date/timestamp, string and binary columns)")
+    // the schema spelling so stream keys always match. Entries with '+'
+    // declare a COMPOSITE sorted index ("a+b"): KeyCodec-encoded member
+    // tuples, ordered, for prefix-equality + range probes (reference:
+    // index/KeyEncoding.h:30-44, index/SortedIndex.h:48).
+    private val (indexCols: Set[String], compositeCols: IndexedSeq[Seq[String]]) =
+      if (indexColumns.isEmpty) (Set.empty[String], IndexedSeq.empty[Seq[String]]) else {
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        import org.apache.spark.sql.types._
+        def resolve(c: String): String = {
+          val f = schema.fields.find(_.name == c)
+            .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+            .getOrElse(
+              throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
+          f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType | StringType | BinaryType => ()
+            case dt => throw new IllegalArgumentException(
+              s"nimble: indexColumns: column '$c' has unsupported type ${dt.simpleString} " +
+                "(hash index supports integral, date/timestamp, string and binary columns)")
+          }
+          f.name
         }
-        f.name
+        val (comp, single) = indexColumns.toSeq.partition(_.contains("+"))
+        val composites = comp.sorted.map { spec =>
+          val ms = spec.split("\\+").map(_.trim).filter(_.nonEmpty).map(resolve).toSeq
+          if (ms.length < 2 || ms.distinct.length != ms.length)
+            throw new IllegalArgumentException(
+              s"nimble: indexColumns: composite '$spec' needs >= 2 distinct columns")
+          ms
+        }.toIndexedSeq
+        (single.map(resolve).toSet, composites)
       }
-    }
     private val out = GraftIO.create(path)
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong
@@ -627,6 +649,11 @@ object Tablet {
     // per-stripe (sortKey, chunk<<32|row) entries for the sorted range index
     private val sidxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
     private val idxChunkOrd = mutable.HashMap[Int, Int]()
+    // composite index assembly: member key fragments captured per chunk
+    // ordinal until every member column of that chunk has arrived
+    private val compFrags = mutable.HashMap[(Int, Int), mutable.HashMap[Int, Array[Array[Byte]]]]()
+    private val compOrd = mutable.HashMap[(Int, Int), Int]()
+    private val compEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Array[Byte], Long)]]()
     private var totalRows: Long = 0L
 
     // ---- stripe-scoped shared dictionary (reference:
@@ -849,6 +876,62 @@ object Tablet {
         }
         idxChunkOrd(id) = ord + 1
       }
+      var ci = 0
+      while (ci < compositeCols.length) {
+        val mi = compositeCols(ci).indexOf(keys(id))
+        if (mi >= 0) captureCompositeFragment(ci, mi, col)
+        ci += 1
+      }
+    }
+
+    /** Encode this chunk's values of member `mi` as memcomparable key
+      * fragments; once all members of the chunk ordinal have arrived, emit
+      * (key, position) entries for rows with no null member. */
+    private def captureCompositeFragment(ci: Int, mi: Int, col: Column): Unit = {
+      val ord = compOrd.getOrElse((ci, mi), 0)
+      compOrd((ci, mi)) = ord + 1
+      val frags: Array[Array[Byte]] = col match {
+        case c: LongsCol => Array.tabulate(c.len) { i =>
+          if (c.nulls != null && c.nulls(i)) null
+          else { val s = new ByteSink(8); KeyCodec.putLong(s, c.values(i)); s.toArray }
+        }
+        case c: BytesCol => Array.tabulate(c.len) { i =>
+          if (c.nulls != null && c.nulls(i)) null
+          else {
+            val s = new ByteSink(16)
+            KeyCodec.putBytes(s, c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
+            s.toArray
+          }
+        }
+        case _ => return // validated away at construction
+      }
+      val slot = compFrags.getOrElseUpdate((ci, ord), mutable.HashMap())
+      slot(mi) = frags
+      if (slot.size == compositeCols(ci).length) {
+        compFrags.remove((ci, ord))
+        val members = (0 until compositeCols(ci).length).map(slot(_))
+        val n = members.head.length
+        val buf = compEntries.getOrElseUpdate(ci, mutable.ArrayBuffer[(Array[Byte], Long)]())
+        var i = 0
+        while (i < n) {
+          var ok = true; var j = 0; var total = 0
+          while (j < members.length && ok) {
+            val f = members(j)(i)
+            if (f == null) ok = false else total += f.length
+            j += 1
+          }
+          if (ok) {
+            val key = new Array[Byte](total)
+            var off = 0; j = 0
+            while (j < members.length) {
+              val f = members(j)(i)
+              System.arraycopy(f, 0, key, off, f.length); off += f.length; j += 1
+            }
+            buf += ((key, (ord.toLong << 32) | i))
+          }
+          i += 1
+        }
+      }
     }
 
     def addRows(n: Long): Unit = { stripeRows += n; totalRows += n }
@@ -881,6 +964,25 @@ object Tablet {
         }
         sidxEntries.clear()
       }
+      if (compEntries.nonEmpty) {
+        for ((ci, entries) <- compEntries.toSeq.sortBy(_._1)) {
+          val cid = ensureStream(compositeIndexStreamKey(compositeCols(ci)))
+          val sorted = entries.sortWith { (a, b) =>
+            val c = KeyCodec.compare(a._1, 0, a._1.length, b._1, 0, b._1.length)
+            c < 0 || (c == 0 && a._2 < b._2)
+          }
+          val b = stripeBufs(cid)
+          b.writeInt(sorted.length)
+          sorted.foreach(e => b.writeLong(e._2))
+          var acc = 0
+          b.writeInt(acc)
+          sorted.foreach { e => acc += e._1.length; b.writeInt(acc) }
+          sorted.foreach(e => b.writeBytes(e._1))
+        }
+        compEntries.clear()
+      }
+      compFrags.clear()
+      compOrd.clear()
       idxChunkOrd.clear()
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
