@@ -152,25 +152,61 @@ object Codecs {
     s.toArray
   }
 
+  // ---- encoding view (reference: dwio/nimble/encodings/views/
+  // EncodingView.h — inspect the nested encoding tree of a chunk). Rather
+  // than duplicating every payload layout in a second parser (drift risk),
+  // the tree is recorded as decode walks it: a null-checked thread-local,
+  // touched once per BLOCK (not per value), off unless a tool asks.
+  final class ViewNode(val id: Byte, val phys: Byte, val rows: Int) {
+    val children = scala.collection.mutable.ArrayBuffer[ViewNode]()
+  }
+  private val viewTL = new ThreadLocal[scala.collection.mutable.ArrayBuffer[ViewNode]]()
+
+  /** Run `f` (decode calls) recording the encoding tree it traverses. */
+  def withView[T](f: => T): (T, Seq[ViewNode]) = {
+    val stack = scala.collection.mutable.ArrayBuffer(new ViewNode(-1, -1, 0))
+    viewTL.set(stack)
+    try { val r = f; (r, stack.head.children.toSeq) }
+    finally viewTL.remove()
+  }
+
+  private def viewEnter(id: Byte, phys: Byte, n: Int): Boolean = {
+    val stack = viewTL.get()
+    if (stack == null) return false
+    val node = new ViewNode(id, phys, n)
+    stack.last.children += node
+    stack += node
+    true
+  }
+
+  private def viewExit(entered: Boolean): Unit =
+    if (entered) { val stack = viewTL.get(); stack.remove(stack.length - 1) }
+
   def decodeColumn(cur: ByteCursor): Column = {
     val id = cur.buf(cur.pos) // peek
     if (id == NULLABLE) {
       cur.readByte()
       val phys = cur.readByte().toByte
       val n = cur.readVarint().toInt
-      val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
-      val inner = decodeValues(cur.readBlock())
-      scatter(inner, isNull, n, phys)
+      val ve = viewEnter(NULLABLE, phys, n)
+      try {
+        val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+        val inner = decodeValues(cur.readBlock())
+        scatter(inner, isNull, n, phys)
+      } finally viewExit(ve)
     } else if (id == SENTINEL) {
       cur.readByte()
       val phys = cur.readByte().toByte
       val n = cur.readVarint().toInt
       val sentinel = cur.readZigZag()
-      val values = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
-      val isNull = new Array[Boolean](n)
-      var i = 0
-      while (i < n) { if (values(i) == sentinel) { isNull(i) = true; values(i) = 0L }; i += 1 }
-      LongsCol(values, phys, isNull)
+      val ve = viewEnter(SENTINEL, phys, n)
+      try {
+        val values = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val isNull = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { if (values(i) == sentinel) { isNull(i) = true; values(i) = 0L }; i += 1 }
+        LongsCol(values, phys, isNull)
+      } finally viewExit(ve)
     } else decodeValues(cur)
   }
 
@@ -343,12 +379,13 @@ object Codecs {
     val id = cur.readByte().toByte
     val phys = cur.readByte().toByte
     val n = cur.readVarint().toInt
-    phys match {
+    val ve = viewEnter(id, phys, n)
+    try phys match {
       case PhysType.Bool => BoolsCol(decodeBoolPayload(id, cur, n))
       case PhysType.Bytes => decodeBytesPayload(id, cur, n)
       case PhysType.F32 | PhysType.F64 => decodeDoublePayload(id, phys, cur, n)
       case _ => LongsCol(decodeLongPayloadTyped(id, phys, cur, n), phys)
-    }
+    } finally viewExit(ve)
   }
 
   private def header(sink: ByteSink, id: Byte, phys: Byte, n: Int): Unit = {

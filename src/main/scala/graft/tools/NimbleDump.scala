@@ -48,7 +48,7 @@ object NimbleDump {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
-      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|chunkstats|layout|content|verify> <file>")
+      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|encodingtree|chunkstats|layout|content|verify> <file>")
       sys.exit(2)
     }
     for (f <- files(path)) {
@@ -87,6 +87,22 @@ object NimbleDump {
             while (cur.hasNext) { hist(codecName(cur.peekCodec())) += 1; cur.skip() }
           }
           hist.toSeq.sortBy(-_._2).foreach { case (c, n) => println(f"  $c%-16s $n%6d chunks") }
+        case "encodingtree" =>
+          // nested encoding view of each stream's first chunk (reference:
+          // dwio/nimble/encodings/views/EncodingView.h) — the tree is exact:
+          // it is recorded from the decoder's own traversal
+          def show(n: Codecs.ViewNode, indent: String): Unit = {
+            println(f"$indent${codecName(n.id)}%-18s phys=${n.phys} rows=${n.rows}")
+            n.children.foreach(show(_, indent + "  "))
+          }
+          for ((k, i) <- ft.streamKeys.zipWithIndex if !k.startsWith("#")) {
+            val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, i))
+            if (cur.hasNext) {
+              val (_, tree) = Codecs.withView { cur.next() }
+              println(s"  $k")
+              tree.foreach(show(_, "    "))
+            }
+          }
         case "chunkstats" =>
           // per-chunk min/max/nulls of one stream (arg 3) or the first stream
           val want = args.lift(2)
