@@ -85,6 +85,72 @@ object NimbleSource {
     * tests; mirrors the stripe-level PlanStats). */
   val chunksSkipped = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-JVM count of in-scan hash-index probes (index-assisted chunk
+    * selection — SelectiveNimbleIndexReader in the DSv2 path). */
+  val indexScanProbes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate chunk set for this stripe from the per-stripe hash index, or
+    * null when no pushed equality filter targets an indexed column
+    * (reference: velox/selective/SelectiveNimbleIndexReader.h:45-70 — here
+    * wired into the production scan, not just the Lookup API). For each
+    * EqualTo/EqualNullSafe/In on a column with a `#idx:` stream, the sorted
+    * (hash, chunk<<32|row) run is binary-searched; a chunk absent from every
+    * probe provably holds no matching non-null row (collisions only ADD
+    * chunks; null keys cannot satisfy an equality), so the scan skips it
+    * without decode. Filter arrays AND together, so sets intersect. */
+  def indexCandidateChunks(reader: Tablet.Reader, stripe: Int,
+      filters: Array[Filter]): java.util.BitSet = {
+    var result: java.util.BitSet = null
+    var fi = 0
+    while (fi < filters.length) {
+      val probe: Option[(String, Seq[Any])] = filters(fi) match {
+        case org.apache.spark.sql.sources.EqualTo(c, v) => Some((c, Seq(v)))
+        case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null => Some((c, Seq(v)))
+        case org.apache.spark.sql.sources.In(c, vs) if vs.length <= 64 => Some((c, vs.toSeq))
+        case _ => None
+      }
+      probe match {
+        case Some((c, vs)) if reader.keyId(c + "#nanos") < 0 =>
+          val idxId = reader.keyId(Tablet.indexStreamKey(c))
+          if (idxId >= 0 && reader.streamLoc(stripe, idxId).length > 0) {
+            // long-backed integrals and strings/binary hash exactly like the
+            // writer; any other probe type disables the index for this filter
+            val hashes = vs.flatMap {
+              case s: String => val b = s.getBytes("UTF-8"); Some(Tablet.hashBytesValue(b, 0, b.length))
+              case b: Array[Byte] => Some(Tablet.hashBytesValue(b, 0, b.length))
+              case n: Byte => Some(Tablet.hashLongValue(n.toLong))
+              case n: Short => Some(Tablet.hashLongValue(n.toLong))
+              case n: Int => Some(Tablet.hashLongValue(n.toLong))
+              case n: Long => Some(Tablet.hashLongValue(n))
+              case _ => None
+            }
+            if (hashes.length == vs.length) {
+              indexScanProbes.incrementAndGet()
+              val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, idxId))
+              val count = idx.readInt()
+              val base = idx.pos
+              def hashAt(i: Int): Long = { idx.pos = base + 8 * i; idx.readLong() }
+              def posAt(i: Int): Long = { idx.pos = base + 8 * count + 8 * i; idx.readLong() }
+              val set = new java.util.BitSet()
+              for (h <- hashes) {
+                var lo = 0; var hi = count
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (hashAt(mid) < h) lo = mid + 1 else hi = mid
+                }
+                var i = lo
+                while (i < count && hashAt(i) == h) { set.set((posAt(i) >>> 32).toInt); i += 1 }
+              }
+              if (result == null) result = set else result.and(set)
+            }
+          }
+        case _ => ()
+      }
+      fi += 1
+    }
+    result
+  }
+
   case class PlanStats(stripesPlanned: Int, stripesPruned: Long)
   private val planStats = new java.util.concurrent.ConcurrentHashMap[String, PlanStats]()
   def recordPlan(path: String, planned: Int, pruned: Long): Unit =
@@ -569,6 +635,15 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     case _ => true
   })
 
+  // index-assisted chunk selection: equality filters on indexColumns-declared
+  // columns restrict decode to index-candidate chunks (atomic projections
+  // only — their streams are chunk-aligned, so a whole-chunk skip is safe)
+  private val indexChunks: java.util.BitSet =
+    if (filters.nonEmpty && allAtomicProjection)
+      NimbleSource.indexCandidateChunks(reader, stripe, filters)
+    else null
+  private var chunkOrd = 0
+
   private var rowsRemaining: Long = footer.stripes(stripe).rowCount
   private var current: ColumnarBatch = null
   /** In nested-projection mode with pushed filters: per-row survivor mask of
@@ -605,16 +680,20 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       // it without decompressing or decoding. Atomic projections only —
       // their streams are all chunk-aligned single streams.
       if (allAtomicProjection) {
+        // index-candidate restriction first: a chunk outside every equality
+        // probe's candidate set skips without even peeking stats
+        val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
         val statsOf: String => Option[Tablet.Stats] =
           name => cursors.get(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
           }
-        var pruned = false
+        var pruned = indexPruned
         var pi = 0
         while (pi < filters.length && !pruned) {
           if (Filters.pruneStripe(filters(pi), statsOf, _ => None)) pruned = true
           pi += 1
         }
+        chunkOrd += 1
         if (pruned) {
           cursors.valuesIterator.foreach(_.skip())
           NimbleSource.chunksSkipped.incrementAndGet()
@@ -623,6 +702,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           if (r != 0) return r > 0
         }
       } else {
+        chunkOrd += 1
         val r = decodeAndFilterChunk()
         if (r != 0) return r > 0
       }

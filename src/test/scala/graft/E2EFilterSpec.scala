@@ -288,4 +288,41 @@ class E2EFilterSpec extends SparkTestBase {
     assert(stats.stripesPruned > 0)
     assert(pruned.count() == 1)
   }
+
+  test("hash index assists the DSv2 scan: equality probes skip non-candidate chunks") {
+    // keys deliberately NOT sorted (hash-scrambled) so neither stripe stats
+    // nor chunk stats can prune — only the per-stripe hash index can
+    val df = spark.range(50000).toDF("seq")
+      .withColumn("id", expr("xxhash64(seq) % 1000000"))
+      .withColumn("payload", expr("concat('p', seq)"))
+    val dir = tmpDir("idxscan")
+    df.coalesce(1).write.format("nimble")
+      .option("indexColumns", "id")
+      .option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val probe = df.select("id").collect()(12345).getLong(0)
+    val expect = df.filter(col("id") === probe).select("seq").collect().map(_.getLong(0)).sorted
+
+    val probes0 = graft.spark.NimbleSource.indexScanProbes.get()
+    val skipped0 = graft.spark.NimbleSource.chunksSkipped.get()
+    val got = nb.filter(col("id") === probe).select("seq").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == expect.toSeq)
+    assert(graft.spark.NimbleSource.indexScanProbes.get() > probes0,
+      "scan did not consult the hash index")
+    assert(graft.spark.NimbleSource.chunksSkipped.get() - skipped0 >= 20,
+      s"expected most of the ~24 chunks skipped, got ${graft.spark.NimbleSource.chunksSkipped.get() - skipped0}")
+
+    // In-filter probes union candidates; results stay exact
+    val probes = df.select("id").collect().slice(100, 103).map(_.getLong(0))
+    val expectIn = df.filter(col("id").isin(probes: _*)).select("seq")
+      .collect().map(_.getLong(0)).sorted
+    val gotIn = nb.filter(col("id").isin(probes: _*)).select("seq")
+      .collect().map(_.getLong(0)).sorted
+    assert(gotIn.toSeq == expectIn.toSeq)
+
+    // a filter on a non-indexed column takes the normal path and stays exact
+    val gotPlain = nb.filter(col("payload") === "p777").select("seq").collect()
+    assert(gotPlain.map(_.getLong(0)).toSeq == Seq(777L))
+  }
 }
