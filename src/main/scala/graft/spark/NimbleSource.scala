@@ -88,19 +88,28 @@ object NimbleSource {
   /** Per-JVM count of in-scan hash-index probes (index-assisted chunk
     * selection — SelectiveNimbleIndexReader in the DSv2 path). */
   val indexScanProbes = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Candidate chunk set for this stripe from the per-stripe hash index, or
-    * null when no pushed equality filter targets an indexed column
-    * (reference: velox/selective/SelectiveNimbleIndexReader.h:45-70 — here
-    * wired into the production scan, not just the Lookup API). For each
-    * EqualTo/EqualNullSafe/In on a column with a `#idx:` stream, the sorted
-    * (hash, chunk<<32|row) run is binary-searched; a chunk absent from every
-    * probe provably holds no matching non-null row (collisions only ADD
-    * chunks; null keys cannot satisfy an equality), so the scan skips it
-    * without decode. Filter arrays AND together, so sets intersect. */
+  /** Candidate chunk set for this stripe from the per-stripe indexes, or
+    * null when no pushed filter can use one (reference:
+    * velox/selective/SelectiveNimbleIndexReader.h:45-70 — here wired into
+    * the production scan, not just the Lookup API).
+    *
+    *  - EqualTo/EqualNullSafe/In on a `#idx:`-indexed column: the sorted
+    *    (hash, chunk<<32|row) run is binary-searched; a chunk absent from
+    *    every probe provably holds no matching non-null row (collisions only
+    *    ADD chunks; null keys cannot satisfy an equality).
+    *  - Range filters on a `#sidx:`-indexed column: per-column bounds are
+    *    COMBINED across the filter array first (a `between` arrives as two
+    *    filters), then the sorted-key run brackets [lo, hi]; gated on
+    *    estimated selectivity so a wide range doesn't pay the index read.
+    *
+    * Filter arrays AND together, so all candidate sets intersect. */
   def indexCandidateChunks(reader: Tablet.Reader, stripe: Int,
       filters: Array[Filter]): java.util.BitSet = {
     var result: java.util.BitSet = null
+    def and(set: java.util.BitSet): Unit =
+      if (result == null) result = set else result.and(set)
+
+    // ---- equality probes against the hash index
     var fi = 0
     while (fi < filters.length) {
       val probe: Option[(String, Seq[Any])] = filters(fi) match {
@@ -141,12 +150,77 @@ object NimbleSource {
                 var i = lo
                 while (i < count && hashAt(i) == h) { set.set((posAt(i) >>> 32).toInt); i += 1 }
               }
-              if (result == null) result = set else result.and(set)
+              and(set)
             }
           }
         case _ => ()
       }
       fi += 1
+    }
+
+    // ---- combined per-column range bounds against the sorted index.
+    // Sort-key space is inclusive and conservative (the monotone key mapping
+    // only ever ADDS boundary candidates): longs as-is, strings via the
+    // order-preserving 8-byte prefix; None = unindexable bound type.
+    def keyOf(v: Any): Option[Long] = v match {
+      case n: Byte => Some(n.toLong); case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong); case n: Long => Some(n)
+      case s: String => val b = s.getBytes("UTF-8"); Some(Tablet.bytesSortKey(b, 0, b.length))
+      case _ => None
+    }
+    // col -> (combined lo key, combined hi key, usable)
+    val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Long], Option[Long], Boolean)]()
+    def tighten(c: String, lo: Any, hi: Any): Unit = {
+      val (curLo, curHi, ok) = bounds.getOrElse(c, (None, None, true))
+      val loK = Option(lo).map(keyOf); val hiK = Option(hi).map(keyOf)
+      // a range bound of an unindexable type poisons the column's probe
+      if (loK.contains(None) || hiK.contains(None)) { bounds(c) = (curLo, curHi, false); return }
+      val newLo = (curLo ++ loK.flatten).reduceOption(_ max _)
+      val newHi = (curHi ++ hiK.flatten).reduceOption(_ min _)
+      bounds(c) = (newLo, newHi, ok)
+    }
+    filters.foreach {
+      case org.apache.spark.sql.sources.GreaterThan(c, v) => tighten(c, v, null)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) => tighten(c, v, null)
+      case org.apache.spark.sql.sources.LessThan(c, v) => tighten(c, null, v)
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) => tighten(c, null, v)
+      case _ => ()
+    }
+    for ((c, (loK, hiK, ok)) <- bounds if ok && (loK.isDefined || hiK.isDefined)
+         if reader.keyId(c + "#nanos") < 0) {
+      val sidxId = reader.keyId(Tablet.sortedIndexStreamKey(c))
+      if (sidxId >= 0 && reader.streamLoc(stripe, sidxId).length > 0) {
+        val st = reader.streamStats(stripe, reader.keyId(c))
+        // selectivity gate: skip the probe when the requested range covers
+        // >25% of the stripe's key span (the index read would buy little)
+        val selective = !st.hasMinMax || {
+          val span = st.maxLong.toDouble - st.minLong.toDouble
+          span <= 0 || {
+            val l = loK.map(k => math.max(k.toDouble, st.minLong.toDouble)).getOrElse(st.minLong.toDouble)
+            val h = hiK.map(k => math.min(k.toDouble, st.maxLong.toDouble)).getOrElse(st.maxLong.toDouble)
+            (h - l) / span < 0.25
+          }
+        }
+        if (selective) {
+          indexScanProbes.incrementAndGet()
+          val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, sidxId))
+          val count = idx.readInt()
+          val base = idx.pos
+          def keyAt(i: Int): Long = { idx.pos = base + 8 * i; idx.readLong() }
+          def posAt(i: Int): Long = { idx.pos = base + 8 * count + 8 * i; idx.readLong() }
+          val from = loK match {
+            case Some(k) =>
+              var a = 0; var b = count
+              while (a < b) { val mid = (a + b) >>> 1; if (keyAt(mid) < k) a = mid + 1 else b = mid }
+              a
+            case None => 0
+          }
+          val set = new java.util.BitSet()
+          var i = from
+          while (i < count && hiK.forall(keyAt(i) <= _)) { set.set((posAt(i) >>> 32).toInt); i += 1 }
+          and(set)
+        }
+      }
     }
     result
   }

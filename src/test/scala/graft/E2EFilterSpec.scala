@@ -324,5 +324,20 @@ class E2EFilterSpec extends SparkTestBase {
     // a filter on a non-indexed column takes the normal path and stays exact
     val gotPlain = nb.filter(col("payload") === "p777").select("seq").collect()
     assert(gotPlain.map(_.getLong(0)).toSeq == Seq(777L))
+
+    // narrow RANGE probes use the sorted index (keys hash-scrambled: stats
+    // are blind, only #sidx can restrict chunks); results exact
+    val probes1 = graft.spark.NimbleSource.indexScanProbes.get()
+    val expectR = df.filter(col("id") >= 1000L && col("id") <= 1400L).select("seq")
+      .collect().map(_.getLong(0)).sorted
+    val gotR = nb.filter(col("id") >= 1000L && col("id") <= 1400L).select("seq")
+      .collect().map(_.getLong(0)).sorted
+    assert(gotR.toSeq == expectR.toSeq)
+    assert(graft.spark.NimbleSource.indexScanProbes.get() > probes1,
+      "range scan did not consult the sorted index")
+
+    // wide range: the selectivity gate refuses the probe, scan stays exact
+    val expectW = df.filter(col("id") > 0L).count()
+    assert(nb.filter(col("id") > 0L).count() == expectW)
   }
 }
