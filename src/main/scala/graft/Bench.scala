@@ -142,6 +142,27 @@ object Bench {
         min("l_quantity"), max("l_quantity")).collect()
     }
 
+    // ---- index-assisted point probe (SelectiveNimbleIndexReader in the
+    // DSv2 path): same data + layout, with and without a hash index; keys
+    // hash-scrambled so stats/bloom-era chunk skipping is blind and the
+    // delta isolates index-driven chunk selection ----
+    val ordScrambled = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("okey", expr("xxhash64(o_orderkey)"))
+    val ordIdxDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/orders-idx"
+    val ordNoIdxDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/orders-noidx"
+    ordScrambled.coalesce(4).write.format("nimble")
+      .option("indexColumns", "okey").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(ordIdxDir)
+    ordScrambled.coalesce(4).write.format("nimble")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(ordNoIdxDir)
+    val probeKey = ordScrambled.select("okey").limit(1).collect()(0).getLong(0)
+    timed("point_probe_indexed") {
+      spark.read.format("nimble").load(ordIdxDir).filter(col("okey") === probeKey).count()
+    }
+    timed("point_probe_scan") {
+      spark.read.format("nimble").load(ordNoIdxDir).filter(col("okey") === probeKey).count()
+    }
+
     // ---- encoded size ----
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble

@@ -222,6 +222,123 @@ object NimbleSource {
         }
       }
     }
+
+    // ---- composite index (#cidx:a+b...): an equality prefix over the
+    // member columns plus an optional range on the next member probes the
+    // memcomparable key run — `WHERE a = x AND b BETWEEN lo AND hi` in plain
+    // SQL. Raw VALUES (not sort keys) feed KeyCodec: composite keys store
+    // full encodings, so bracketing is exact (collision- and prefix-free).
+    val eqVals: Map[String, Any] = filters.collect {
+      case org.apache.spark.sql.sources.EqualTo(c, v) if v != null => c -> v
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null => c -> v
+    }.toMap
+    def encodable(v: Any): Boolean = v match {
+      case _: Byte | _: Short | _: Int | _: Long | _: String | _: Array[Byte] => true
+      case _ => false
+    }
+    // combined raw-value bounds per column (byte-wise string order, matching
+    // the key encoding; incomparable/unencodable bounds poison the column)
+    def cmpVals(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Byte, _) => cmpVals(x.toLong, b)
+      case (x: Short, _) => cmpVals(x.toLong, b)
+      case (x: Int, _) => cmpVals(x.toLong, b)
+      case (_, y: Byte) => cmpVals(a, y.toLong)
+      case (_, y: Short) => cmpVals(a, y.toLong)
+      case (_, y: Int) => cmpVals(a, y.toLong)
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: String, y: String) =>
+        val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+        Some(Tablet.compareBytes(xb, yb))
+      case _ => None
+    }
+    val rawBounds = scala.collection.mutable.HashMap[String, (Any, Any, Boolean)]()
+    def tightenRaw(c: String, lo: Any, hi: Any): Unit = {
+      val (curLo, curHi, ok) = rawBounds.getOrElse(c, (null, null, true))
+      if (!ok) return
+      if ((lo != null && !encodable(lo)) || (hi != null && !encodable(hi))) {
+        rawBounds(c) = (curLo, curHi, false); return
+      }
+      val newLo =
+        if (lo == null) curLo
+        else if (curLo == null) lo
+        else cmpVals(lo, curLo) match {
+          case Some(d) => if (d > 0) lo else curLo
+          case None => rawBounds(c) = (curLo, curHi, false); return
+        }
+      val newHi =
+        if (hi == null) curHi
+        else if (curHi == null) hi
+        else cmpVals(hi, curHi) match {
+          case Some(d) => if (d < 0) hi else curHi
+          case None => rawBounds(c) = (curLo, curHi, false); return
+        }
+      rawBounds(c) = (newLo, newHi, ok)
+    }
+    filters.foreach {
+      case org.apache.spark.sql.sources.GreaterThan(c, v) => tightenRaw(c, v, null)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) => tightenRaw(c, v, null)
+      case org.apache.spark.sql.sources.LessThan(c, v) => tightenRaw(c, null, v)
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) => tightenRaw(c, null, v)
+      case _ => ()
+    }
+    for (key <- reader.footer.streamKeys if key.startsWith("#cidx:")) {
+      val cols = key.substring("#cidx:".length).split('+').toSeq
+      if (cols.forall(c => reader.keyId(c + "#nanos") < 0)) {
+        var p = 0
+        while (p < cols.length && eqVals.get(cols(p)).exists(encodable)) p += 1
+        val eqPrefix = cols.take(p).map(eqVals)
+        val range: Option[(Any, Any)] =
+          if (p < cols.length) rawBounds.get(cols(p)).collect {
+            case (lo, hi, true) if lo != null || hi != null => (lo, hi)
+          } else None
+        // a range-only probe (no equality prefix) gets the same selectivity
+        // gate as the single-column sorted index; equality prefixes are
+        // selective by construction
+        val gateOk = eqPrefix.nonEmpty || range.exists { case (lo, hi) =>
+          val st = reader.streamStats(stripe, reader.keyId(cols(0)))
+          !st.hasMinMax || {
+            val span = st.maxLong.toDouble - st.minLong.toDouble
+            span <= 0 || {
+              val l = Option(lo).flatMap(keyOf).map(k => math.max(k.toDouble, st.minLong.toDouble))
+                .getOrElse(st.minLong.toDouble)
+              val h = Option(hi).flatMap(keyOf).map(k => math.min(k.toDouble, st.maxLong.toDouble))
+                .getOrElse(st.maxLong.toDouble)
+              lo.isInstanceOf[String] || hi.isInstanceOf[String] || (h - l) / span < 0.25
+            }
+          }
+        }
+        if (gateOk && (eqPrefix.nonEmpty || range.isDefined)) {
+          val cid = reader.keyId(key)
+          if (cid >= 0 && reader.streamLoc(stripe, cid).length > 0) {
+            val basePrefix = KeyCodec.encode(eqPrefix)
+            def cat(v: Any): Array[Byte] = basePrefix ++ KeyCodec.encode(Seq(v))
+            val loKey = range.flatMap(r => Option(r._1)).map(cat).getOrElse(basePrefix)
+            val hiExcl = KeyCodec.prefixSuccessor(
+              range.flatMap(r => Option(r._2)).map(cat).getOrElse(basePrefix))
+            indexScanProbes.incrementAndGet()
+            val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, cid))
+            val count = idx.readInt()
+            val posBase = idx.pos
+            val offBase = posBase + 8 * count
+            val bytesBase = offBase + 4 * (count + 1)
+            def posAt(i: Int): Long = { idx.pos = posBase + 8 * i; idx.readLong() }
+            def offAt(i: Int): Int = { idx.pos = offBase + 4 * i; idx.readInt() }
+            def cmpKey(i: Int, t: Array[Byte]): Int = {
+              val o = offAt(i); val e = offAt(i + 1)
+              KeyCodec.compare(idx.buf, bytesBase + o, e - o, t, 0, t.length)
+            }
+            var a = 0; var b = count
+            while (a < b) { val mid = (a + b) >>> 1; if (cmpKey(mid, loKey) < 0) a = mid + 1 else b = mid }
+            val set = new java.util.BitSet()
+            var i = a
+            while (i < count && (hiExcl.isEmpty || cmpKey(i, hiExcl) < 0)) {
+              set.set((posAt(i) >>> 32).toInt); i += 1
+            }
+            and(set)
+          }
+        }
+      }
+    }
     result
   }
 

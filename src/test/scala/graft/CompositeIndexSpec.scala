@@ -116,6 +116,33 @@ class CompositeIndexSpec extends SparkTestBase {
     assert(mScan.indexProbes == 0, "no index exists for the reversed column order")
   }
 
+  test("composite index assists plain SQL: eq-prefix + range skips non-candidate chunks") {
+    import org.apache.spark.sql.functions.col
+    val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("cidx_sql")
+    sparkDf.coalesce(1).sortWithinPartitions("o_orderdate").write.format("nimble")
+      .option("indexColumns", "o_orderstatus+o_custkey")
+      .option("rowsPerChunk", "64")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val expect = sparkDf
+      .filter(col("o_orderstatus") === "F" && col("o_custkey").between(50L, 54L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val probes0 = graft.spark.NimbleSource.indexScanProbes.get()
+    val skipped0 = graft.spark.NimbleSource.chunksSkipped.get()
+    val got = nb.filter(col("o_orderstatus") === "F" && col("o_custkey").between(50L, 54L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == expect.toSeq)
+    assert(graft.spark.NimbleSource.indexScanProbes.get() > probes0,
+      "SQL scan did not consult the composite index")
+    assert(graft.spark.NimbleSource.chunksSkipped.get() > skipped0,
+      "composite candidates did not skip any chunk")
+
+    // equality on the leading member alone uses the composite prefix
+    val expectEq = sparkDf.filter(col("o_orderstatus") === "P").count()
+    assert(nb.filter(col("o_orderstatus") === "P").count() == expectEq)
+  }
+
   test("composite indexColumns validation rejects bad specs at write time") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     def chain(t: Throwable): List[Throwable] = if (t == null) Nil else t :: chain(t.getCause)
