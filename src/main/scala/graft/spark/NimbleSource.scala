@@ -1037,29 +1037,43 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
       * lands in the file name so replayed epochs overwrite deterministically
       * (exactly-once via Spark's commit protocol). */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new NimbleStreamingWrite(path, schema.json, sortCols)
+      new NimbleStreamingWrite(path, schema.json, sortCols, writeOpts,
+        csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
+        csvOpt("indexColumns"),
+        Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384))
   }
 }
 
-class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[String])
+class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[String],
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftIO.mkdirs(path)
-    NimbleStreamingWriterFactory(path, schemaJson, sortColumns, GraftIO.broadcastConf())
+    NimbleStreamingWriterFactory(path, schemaJson, sortColumns, GraftIO.broadcastConf(),
+      writeOpts, bloomColumns, compression, indexColumns, rowsPerChunk)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortColumns: Seq[String],
-    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
+    writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
+    bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // epoch id in the name: a replayed epoch rewrites the same files, so the
   // streaming sink is idempotent without a rename step
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     GraftIO.installConf(hadoopConf)
-    new NimbleDataWriter(s"$path/epoch-$epochId-part-%05d.gft".format(partitionId), schemaJson, sortColumns)
+    // the streaming sink honors the same writer options as the batch path
+    // (an indexed/bloomed streaming table probes identically after each epoch)
+    new NimbleDataWriter(s"$path/epoch-$epochId-part-%05d.gft".format(partitionId), schemaJson,
+      sortColumns, rowsPerChunk = rowsPerChunk, writeOpts = writeOpts,
+      bloomColumns = bloomColumns, compression = compression, indexColumns = indexColumns)
   }
 }
 

@@ -41,6 +41,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("streaming sink honors writer options: epoch files carry the hash index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val out = tmpDir("stream-idx")
+    val q = input.toDF().toDF("id", "tag")
+      .writeStream.format("nimble")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("stream-idx-ckpt"))
+      .option("indexColumns", "id")
+      .option("bloomFilterColumns", "id")
+      .outputMode("append")
+      .start()
+    input.addData((1L to 500L).map(i => (i * 37 % 1000, s"t$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the epoch files are probe-able exactly like batch-written ones
+    val (rows, m) = graft.format.Lookup.pointLookupMetered(out, "id", 37L)
+    assert(rows.nonEmpty && rows.forall(_("id") == 37L))
+    assert(m.indexProbes > 0, "streaming-written file has no usable hash index")
+  }
+
   test("readStream from nimble dir: micro-batches track appended files") {
     import spark.implicits._
     val dir = tmpDir("stream-src")
