@@ -70,14 +70,21 @@ object Fields {
   def neededKeys(path: String, dt: DataType, footerKeys: Set[String]): Seq[String] =
     neededKeys(path, dt, KeyProbe.ofSet(footerKeys))
 
-  /** Is `path` a shredded flatmap STRUCT projection? Regular structs always
-    * store a child stream per schema field; flatmap columns never do (their
-    * features live in #in:/#fm: streams) but always store the #nulls anchor.
-    * Probing those two keys is O(1) — no prefix enumeration, so wide-table
-    * layout decisions stay bounded. */
+  /** Is `path` a shredded flatmap STRUCT projection? Regular structs store a
+    * child stream per (written) schema field; flatmap columns never do —
+    * their features live in #in:/#fm: streams — but both store the #nulls
+    * anchor. Classification probes O(projected fields) keys, never
+    * enumerates, so wide-table layout decisions stay bounded:
+    *  - any `path.field` child stream present  -> regular struct (a partially
+    *    evolved schema with SOME resident fields must not silently turn into
+    *    an all-null flatmap read)
+    *  - else any `path#in:field` stream present -> flatmap projection
+    *  - else (no evidence either way: every requested key absent from this
+    *    file) -> flatmap, which yields nulls — the correct answer for a
+    *    flatmap key projection whose keys this file never saw. */
   private def isFlatMapStruct(path: String, s: StructType, fk: KeyProbe): Boolean =
-    fk.nonEmpty && s.fields.nonEmpty &&
-      !fk(s"$path.${s.fields.head.name}") && fk(s"$path#nulls")
+    fk.nonEmpty && s.fields.nonEmpty && fk(s"$path#nulls") &&
+      !s.fields.exists(f => fk(s"$path.${f.name}"))
 
   /** All stream keys for a schema, in deterministic pre-order. */
   def streamKeys(schema: StructType): Array[String] = {

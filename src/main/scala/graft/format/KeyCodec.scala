@@ -7,7 +7,9 @@ package graft.format
   * encodings are prefix-free against each other, so a composite prefix probe
   * brackets exactly the keys sharing that prefix.
   *
-  * Encodings (memcomparable, the standard scheme used by ordered KV stores):
+  * Encodings (memcomparable, the standard scheme used by ordered KV stores).
+  * Every component starts with a presence tag — 0x00 = NULL (sorts first),
+  * 0x01 = present — followed by the value encoding:
   *  - long: 8 bytes big-endian with the sign bit flipped (unsigned byte
   *    order == signed numeric order)
   *  - double: IEEE-754 bits, sign-flipped for non-negatives / all-bits
@@ -16,19 +18,25 @@ package graft.format
   *    0x00 0x00 — shorter-is-smaller holds and no encoding is a prefix of a
   *    different value's encoding
   *
-  * Nulls never reach the codec: index entries skip rows with a null in any
-  * key component (SQL comparison semantics — NULL matches neither an
-  * equality nor a range probe).
+  * The null tag makes EVERY row indexable: a probe that constrains only a
+  * PREFIX of the members still brackets rows whose unconstrained trailing
+  * members are null (SQL semantics — an unconstrained column never filters);
+  * a probe value itself is always non-null (tag 0x01), so rows with a null
+  * in a CONSTRAINED member sort outside its bracket and never match.
   */
 object KeyCodec {
 
+  def putNull(s: ByteSink): Unit = s.writeByte(0)
+
   def putLong(s: ByteSink, v: Long): Unit = {
+    s.writeByte(1)
     val k = v ^ Long.MinValue
     var i = 56
     while (i >= 0) { s.writeByte(((k >>> i) & 0xff).toInt); i -= 8 }
   }
 
   def putDouble(s: ByteSink, v: Double): Unit = {
+    s.writeByte(1)
     val bits = java.lang.Double.doubleToLongBits(v)
     val k = if (bits >= 0) bits ^ Long.MinValue else ~bits
     var i = 56
@@ -36,6 +44,7 @@ object KeyCodec {
   }
 
   def putBytes(s: ByteSink, b: Array[Byte], off: Int, len: Int): Unit = {
+    s.writeByte(1)
     var i = 0
     while (i < len) {
       val x = b(off + i)
@@ -47,10 +56,11 @@ object KeyCodec {
   }
 
   /** Encode a probe tuple (Long/Int/Short/Byte, Double/Float, String,
-    * Array[Byte]); used by Lookup for bounds. */
+    * Array[Byte], null); used by Lookup for bounds. */
   def encode(values: Seq[Any]): Array[Byte] = {
     val s = new ByteSink(32)
     values.foreach {
+      case null => putNull(s)
       case v: Long => putLong(s, v)
       case v: Int => putLong(s, v.toLong)
       case v: Short => putLong(s, v.toLong)

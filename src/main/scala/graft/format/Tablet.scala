@@ -352,6 +352,14 @@ object Tablet {
 
     def streamKeys: Array[String] = ensureFull()._1
     def fileStats: Array[Stats] = ensureFull()._2
+
+    /** Stream names only if already resident (inline footer, or the full
+      * meta section was loaded earlier); null otherwise. Per-task consumers
+      * that merely ENUMERATE names (e.g. composite-index discovery) use this
+      * so they never fault in O(table-width) metadata on a wide footer. */
+    def loadedStreamKeys: Array[String] =
+      if (inlineKeys != null) inlineKeys
+      else { val m = fullMeta; if (m == null) null else m._1 }
   }
 
   private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom): Unit = {
@@ -567,8 +575,11 @@ object Tablet {
     * index/KeyEncoding.h:30-44): per stripe,
     * `[count i32][pos 8B*count][offsets 4B*(count+1)][key bytes]` sorted by
     * the memcomparable [[KeyCodec]] encoding of the member tuple, positions
-    * as (chunk<<32|row). Rows with a null in any member are not indexed
-    * (SQL comparison semantics). Declared via `indexColumns=a+b`. */
+    * as (chunk<<32|row). Every row is indexed — null members carry the
+    * codec's 0x00 presence tag, so prefix probes still bracket rows whose
+    * UNCONSTRAINED trailing members are null, while a null in a constrained
+    * member sorts outside the probe's bracket (SQL comparison semantics).
+    * Declared via `indexColumns=a+b`. */
   def compositeIndexStreamKey(cols: Seq[String]): String = "#cidx:" + cols.mkString("+")
 
   /** Order-preserving 8-byte key for bytes: big-endian first-8 prefix,
@@ -885,18 +896,21 @@ object Tablet {
     }
 
     /** Encode this chunk's values of member `mi` as memcomparable key
-      * fragments; once all members of the chunk ordinal have arrived, emit
-      * (key, position) entries for rows with no null member. */
+      * fragments (null members carry the 0x00 presence tag so EVERY row is
+      * indexed — a prefix probe must still find rows whose unconstrained
+      * trailing members are null); once all members of the chunk ordinal
+      * have arrived, emit (key, position) entries. */
     private def captureCompositeFragment(ci: Int, mi: Int, col: Column): Unit = {
       val ord = compOrd.getOrElse((ci, mi), 0)
       compOrd((ci, mi)) = ord + 1
+      val nullFrag = { val s = new ByteSink(1); KeyCodec.putNull(s); s.toArray }
       val frags: Array[Array[Byte]] = col match {
         case c: LongsCol => Array.tabulate(c.len) { i =>
-          if (c.nulls != null && c.nulls(i)) null
-          else { val s = new ByteSink(8); KeyCodec.putLong(s, c.values(i)); s.toArray }
+          if (c.nulls != null && c.nulls(i)) nullFrag
+          else { val s = new ByteSink(9); KeyCodec.putLong(s, c.values(i)); s.toArray }
         }
         case c: BytesCol => Array.tabulate(c.len) { i =>
-          if (c.nulls != null && c.nulls(i)) null
+          if (c.nulls != null && c.nulls(i)) nullFrag
           else {
             val s = new ByteSink(16)
             KeyCodec.putBytes(s, c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
@@ -914,21 +928,15 @@ object Tablet {
         val buf = compEntries.getOrElseUpdate(ci, mutable.ArrayBuffer[(Array[Byte], Long)]())
         var i = 0
         while (i < n) {
-          var ok = true; var j = 0; var total = 0
-          while (j < members.length && ok) {
+          var j = 0; var total = 0
+          while (j < members.length) { total += members(j)(i).length; j += 1 }
+          val key = new Array[Byte](total)
+          var off = 0; j = 0
+          while (j < members.length) {
             val f = members(j)(i)
-            if (f == null) ok = false else total += f.length
-            j += 1
+            System.arraycopy(f, 0, key, off, f.length); off += f.length; j += 1
           }
-          if (ok) {
-            val key = new Array[Byte](total)
-            var off = 0; j = 0
-            while (j < members.length) {
-              val f = members(j)(i)
-              System.arraycopy(f, 0, key, off, f.length); off += f.length; j += 1
-            }
-            buf += ((key, (ord.toLong << 32) | i))
-          }
+          buf += ((key, (ord.toLong << 32) | i))
           i += 1
         }
       }
@@ -1220,7 +1228,10 @@ object Tablet {
         return footer.dirCache.get(key)
       }
       val g = footer.groups(group)
-      val nStreams = footer.streamKeys.length
+      // nStreams, NOT streamKeys.length: the latter faults in the whole v8
+      // meta section (names + stats) on wide sectioned footers — O(width)
+      // I/O on the first data read, exactly what the sectioned layout avoids
+      val nStreams = footer.nStreams
       val inGroup = math.min(footer.groupSize, footer.stripes.length - group * footer.groupSize)
       val tableBytes = 8L * (nStreams + 1)
       if (g.length <= SmallDirBytes) {

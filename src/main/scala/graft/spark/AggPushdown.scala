@@ -119,7 +119,7 @@ object AggPushdown {
         if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) {
           rowsMatched += footer.stripes(s).rowCount
           for (n <- neededCols)
-            mergeStats(acc.getOrElseUpdate(n, Tablet.Stats()), r.streamStats(s, r.keyId(n)))
+            acc.getOrElseUpdate(n, Tablet.Stats()).merge(r.streamStats(s, r.keyId(n)))
         } else if (!filters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))) {
           return None // mixed stripe: stats cannot answer exactly
         }
@@ -152,31 +152,6 @@ object AggPushdown {
     * file-stats accumulation). A truncated (64B) byte extreme that wins the
     * comparison survives into the result and statValue then refuses —
     * conservative, never wrong. */
-  private def mergeStats(acc: Tablet.Stats, s: Tablet.Stats): Unit = {
-    acc.valueCount += s.valueCount
-    acc.nullCount += s.nullCount
-    if (s.hasNaN) acc.hasNaN = true
-    if (s.hasMinMax) {
-      acc.kind = s.kind
-      if (!acc.hasMinMax) {
-        acc.hasMinMax = true
-        acc.minLong = s.minLong; acc.maxLong = s.maxLong
-        acc.minDouble = s.minDouble; acc.maxDouble = s.maxDouble
-        acc.minBytes = s.minBytes; acc.maxBytes = s.maxBytes
-      } else s.kind match {
-        case graft.format.PhysType.Bytes =>
-          if (Tablet.compareBytes(s.minBytes, acc.minBytes) < 0) acc.minBytes = s.minBytes
-          if (Tablet.compareBytes(s.maxBytes, acc.maxBytes) > 0) acc.maxBytes = s.maxBytes
-        case graft.format.PhysType.F32 | graft.format.PhysType.F64 =>
-          if (s.minDouble < acc.minDouble) acc.minDouble = s.minDouble
-          if (s.maxDouble > acc.maxDouble) acc.maxDouble = s.maxDouble
-        case _ =>
-          if (s.minLong < acc.minLong) acc.minLong = s.minLong
-          if (s.maxLong > acc.maxLong) acc.maxLong = s.maxLong
-      }
-    }
-  }
-
   private def rowForFooter(agg: Aggregation, schema: StructType, r: Tablet.Reader): Option[InternalRow] = {
     val footer = r.footer
     // name -> stats via Reader probes: wide (v8 sectioned) footers answer

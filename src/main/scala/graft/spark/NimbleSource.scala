@@ -281,7 +281,13 @@ object NimbleSource {
       case org.apache.spark.sql.sources.LessThanOrEqual(c, v) => tightenRaw(c, null, v)
       case _ => ()
     }
-    for (key <- reader.footer.streamKeys if key.startsWith("#cidx:")) {
+    // composite discovery needs the stream-name list; on a wide SECTIONED
+    // footer whose names aren't resident, skip it rather than fault in
+    // O(table-width) metadata per task (hash/sorted probes above use keyId
+    // bucket probes and are unaffected)
+    val residentKeys = reader.footer.loadedStreamKeys
+    if (residentKeys == null) return result
+    for (key <- residentKeys if key.startsWith("#cidx:")) {
       val cols = key.substring("#cidx:".length).split('+').toSeq
       if (cols.forall(c => reader.keyId(c + "#nanos") < 0)) {
         var p = 0

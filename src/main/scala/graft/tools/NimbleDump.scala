@@ -95,7 +95,8 @@ object NimbleDump {
             println(f"$indent${codecName(n.id)}%-18s phys=${n.phys} rows=${n.rows}")
             n.children.foreach(show(_, indent + "  "))
           }
-          for ((k, i) <- ft.streamKeys.zipWithIndex if !k.startsWith("#")) {
+          if (ft.stripes.isEmpty) println("  (no stripes)")
+          else for ((k, i) <- ft.streamKeys.zipWithIndex if !k.startsWith("#")) {
             val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, i))
             if (cur.hasNext) {
               val (_, tree) = Codecs.withView { cur.next() }

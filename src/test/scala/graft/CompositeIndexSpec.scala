@@ -89,7 +89,39 @@ class CompositeIndexSpec extends SparkTestBase {
     assert(miss.isEmpty && m3.rowsDecoded == 0, s"miss decoded ${m3.rowsDecoded}")
   }
 
-  test("composite index: rows with a null member are unindexed but scan-visible") {
+  test("composite index: prefix probe returns rows with null TRAILING members via the index") {
+    // regression: the writer once skipped rows with any null member, so a
+    // probe constraining only a prefix silently dropped (k1=v, k2=null) rows
+    val schema = StructType(Seq(
+      StructField("k1", StringType, nullable = false),
+      StructField("k2", LongType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val rows = (0 until 2000).map { i =>
+      Row(s"p${i % 4}", if (i % 5 == 0) null else (i % 40).toLong, i.toLong)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    val dir = tmpDir("cidx_prefix_null")
+    df.write.format("nimble").option("indexColumns", "k1+k2")
+      .option("rowsPerChunk", "256").mode("overwrite").save(dir)
+
+    // equality on k1 alone: rows with k2 null MUST be returned
+    val (got, m) = Lookup.compositeLookupMetered(dir, Seq("k1", "k2"), Seq("p2"), None)
+    val expect = rows.filter(_.getString(0) == "p2").map(_.getLong(2)).sorted
+    assert(got.map(_("v").asInstanceOf[Long]).sorted == expect,
+      s"${got.length} rows returned, want ${expect.length} (null-k2 rows must be included)")
+    assert(m.indexProbes > 0, "prefix probe did not use the index")
+    // the same via SQL (in-scan candidate selection must not drop them)
+    val nb = spark.read.format("nimble").load(dir)
+    import org.apache.spark.sql.functions.col
+    assert(nb.filter(col("k1") === "p2").count() == expect.length)
+    // constraining k2 still excludes its nulls (SQL equality semantics)
+    val (rangeGot, _) = Lookup.compositeLookupMetered(dir, Seq("k1", "k2"), Seq("p2"), Some((10L, 12L)))
+    val expectR = rows.filter(r => r.getString(0) == "p2" && !r.isNullAt(1) &&
+      r.getLong(1) >= 10 && r.getLong(1) <= 12).map(_.getLong(2)).sorted
+    assert(rangeGot.map(_("v").asInstanceOf[Long]).sorted == expectR)
+  }
+
+  test("composite index: rows with a null member are excluded when that member is constrained") {
     val schema = StructType(Seq(
       StructField("k1", StringType, nullable = true),
       StructField("k2", LongType, nullable = false),

@@ -72,6 +72,15 @@ class IndexFuzzSpec extends SparkTestBase {
       val sqlC = nb.filter(col("k2") === s2 && col("k1").between(l1, h1))
         .select("rid").collect().map(_.getLong(0)).sorted
       assert(sqlC.toSeq == wantC, s"trial $trial SQL composite k2=$s2 k1 in [$l1,$h1]")
+
+      // prefix-only probe: unconstrained trailing member — rows with k1 null
+      // MUST appear (SQL semantics; regression for null-skipping writer)
+      val wantPfx = data.filter(r => !r.isNullAt(2) && r.getString(2) == s2)
+        .map(_.getLong(0)).sorted
+      assert(ids(Lookup.compositeLookup(dir, Seq("k2", "k1"), Seq(s2), None)) == wantPfx,
+        s"trial $trial composite prefix k2=$s2")
+      val sqlPfx = nb.filter(col("k2") === s2).select("rid").collect().map(_.getLong(0)).sorted
+      assert(sqlPfx.toSeq == wantPfx, s"trial $trial SQL prefix k2=$s2")
     }
   }
 }

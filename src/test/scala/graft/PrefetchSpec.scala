@@ -33,14 +33,18 @@ class PrefetchSpec extends SparkTestBase {
     val hits0 = NimbleSource.prefetchHits.get()
     NimbleSource.testFetchDelayMs = 60
     try {
-      val (rows, wall) = drive()
-      assert(rows == 6000L)
       // serial: ~6 x (60 fetch + 60 decode) = 720 ms. pipelined: the fetch
       // hides behind the decode sleep, ~60 + 6 x 60 = 420 ms. The bound sits
-      // between, far from both.
-      assert(wall < 620, s"fetch did not overlap decode: ${wall}ms (serial ~720ms)")
-      // 5 of the 6 stripe opens must have been served by a prefetch
-      assert(NimbleSource.prefetchHits.get() - hits0 >= 5,
+      // between, far from both; best-of-3 so a co-tenant spike on the box
+      // (the round-7 bench lesson) cannot flake a structural property.
+      val walls = (0 until 3).map { _ =>
+        val (rows, wall) = drive()
+        assert(rows == 6000L)
+        wall
+      }
+      assert(walls.min < 620, s"fetch did not overlap decode: best ${walls.min}ms of $walls (serial ~720ms)")
+      // 5 of the 6 stripe opens per drive must have been served by a prefetch
+      assert(NimbleSource.prefetchHits.get() - hits0 >= 15,
         s"prefetch hits: ${NimbleSource.prefetchHits.get() - hits0}")
     } finally NimbleSource.testFetchDelayMs = 0
   }
