@@ -98,6 +98,18 @@ class WideTableSpec extends SparkTestBase {
       assert(cur.next().asInstanceOf[LongsCol].values.toSeq == Seq(1L, 2L, 3L))
     } finally r2.close()
 
+    // the DATA-read path must never fault in the sectioned name table: a
+    // narrow read leaves the full meta unloaded (regression: dirEntries
+    // once called streamKeys.length, loading all 10K names + stats)
+    val r4 = new Tablet.Reader(path)
+    try {
+      assert(r4.keyId("c42") == 42)
+      val cur4 = new Tablet.ChunkCursor(r4.readStreamBytes(1, 42))
+      assert(cur4.next().asInstanceOf[LongsCol].values.toSeq == Seq(1L, 2L, 3L))
+      assert(r4.footer.loadedStreamKeys == null,
+        "narrow data read faulted in the whole wide-table meta section")
+    } finally r4.close()
+
     // v8 wide meta: the name table + file stats live in a bucketized
     // section, the footer core carries none of it, and a name probe reads
     // ONE bucket — O(streams/256) bytes, so metadata I/O scales with the
