@@ -301,7 +301,23 @@ object SparkEntry {
         .groupBy(col("s_nationkey").as("nation"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("qty"))
-    })
+    }),
+    // benchmark decontamination: trigram overlap against a broadcast eval set
+    "x18_decontaminate" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    // deterministic stratified sampling: hash-threshold per language stratum
+    "x19_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.nimble(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 10), defaultRate = 50)
+        .select(col("doc_id"), col("lang"))),
+    // within-document repetition (boilerplate/spam signal)
+    "x20_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.nimble(s, dir, "documents"), "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -603,6 +619,23 @@ object SparkEntry {
          FROM orders WHERE o_orderkey BETWEEN 1000 AND 1500""",
     "q25_composite_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM orders WHERE o_orderstatus = 'O' AND o_custkey BETWEEN 100 AND 140"""
+         FROM orders WHERE o_orderstatus = 'O' AND o_custkey BETWEEN 100 AND 140""",
+    "x18_decontaminate" -> (shinglesCte +
+      """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+         corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
+         SELECT c.doc_id, count(DISTINCT c.g) AS hits
+         FROM corpus c JOIN bench b USING (g)
+         GROUP BY c.doc_id"""),
+    "x19_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100 <
+           (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""",
+    "x20_repetition" ->
+      """SELECT doc_id,
+         len(string_split_regex(lower(text), '\s+')) AS n_words,
+         len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_uniq,
+         1.0 - CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+           CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS repetition
+         FROM documents"""
   )
 }

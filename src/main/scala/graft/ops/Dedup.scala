@@ -124,6 +124,24 @@ object Dedup {
     * band signature become candidates; candidates are verified with exact
     * shingle-set Jaccard (so precision 1.0; recall is the LSH probability).
     * Reference capability: SURVEY.md §2.8 (MinHashLSH). */
+  /** Benchmark decontamination: corpus documents sharing at least one word
+    * n-gram with a benchmark/eval set, with the overlap count (the standard
+    * train-test contamination filter in LLM data pipelines).
+    *
+    * Scale path: benchmark shingles are DISTINCT + broadcast (eval suites
+    * are tiny next to a 100 TB corpus — a Bloom filter of the set drops in
+    * for extreme cases), so the corpus side is one narrow scan with a
+    * map-side semi join; the only shuffle is the per-doc overlap count,
+    * which is partial-aggregating on doc id. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val b = bench.select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(b), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("hits"))
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {

@@ -55,4 +55,29 @@ object TextAnalysis {
       (acc, t) => (acc * 31L + length(t).cast("long")) % 1000000007L)
     df.select(col(idCol), md5(norm).as("md5_fp"), poly.as("poly_fp"))
   }
+
+  /** Deterministic stratified sampling: keep a document iff
+    * hash32(idCol) mod 100 < rate(lang) — per-stratum rates balance a skewed
+    * corpus without an RNG (reproducible across retries/engines, the same
+    * property the salted join relies on). `rates` is small and broadcast
+    * inside the literal CASE; the filter is a pushdown-friendly narrow scan
+    * at 100 TB — no shuffle at all. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(Dedup.hash32(col(idCol).cast("string")) % 100 < rate)
+  }
+
+  /** Within-document repetition score: 1 - |distinct words| / |words| (0 =
+    * no repetition); a standard boilerplate/spam signal in corpus filters. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Dedup.words(col(textCol))
+    df.select(col(idCol),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_uniq"),
+      (lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"))
+        .as("repetition"))
+  }
 }

@@ -88,4 +88,15 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("x18 decontamination broadcasts the benchmark side (no corpus shuffle for the join)") {
+    val p = plan(SparkEntry.queries("x18_decontaminate")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"bench set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
+
+  test("x19 stratified sample is a pure narrow filter (zero exchanges)") {
+    val p = plan(SparkEntry.queries("x19_stratified_sample")(spark, sf()))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
 }
