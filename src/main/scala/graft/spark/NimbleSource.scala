@@ -1034,6 +1034,16 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     tsNanos = csvOpt("timestampNanosColumns"))
 
   override def build(): Write = new Write {
+    // an index over a nanos-split column would hold MICROS keys that no
+    // epoch-nanos probe can use (Lookup and the scan both refuse it) —
+    // reject the dead-weight configuration instead of writing it
+    locally {
+      val members = csvOpt("indexColumns").flatMap(_.split("\\+").map(_.trim))
+      val bad = members.intersect(csvOpt("timestampNanosColumns"))
+      require(bad.isEmpty,
+        s"nimble: indexColumns ${bad.mkString(",")} are timestampNanosColumns — " +
+          "the index would hold micros keys no epoch-nanos probe can use")
+    }
     override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
       csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
       csvOpt("indexColumns"),

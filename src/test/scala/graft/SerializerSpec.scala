@@ -168,6 +168,18 @@ class SerializerSpec extends SparkTestBase {
       m.getMessage.contains("no such column")), s"got: $eName")
   }
 
+  test("indexColumns on a nanos-split column is rejected (micros keys are unprobeable)") {
+    val df = spark.sql("SELECT id, id * 1000000 AS ts FROM range(100)")
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format("nimble")
+        .option("timestampNanosColumns", "ts")
+        .option("indexColumns", "ts")
+        .mode("overwrite").save(tmpDir("idx_nanos"))
+    }
+    assert(exceptionChain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("timestampNanosColumns")), s"got: $e")
+  }
+
   test("indexColumns resolves case-insensitively like Spark column resolution") {
     val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
     val dir = tmpDir("idx_case")
