@@ -43,7 +43,19 @@ class NimbleSource extends TableProvider with DataSourceRegister {
     // empty (e.g. a fresh streaming-sink dir): the write path supplies the
     // schema via LogicalWriteInfo; reads of an empty table see no columns
     if (files.isEmpty) return new StructType()
-    val base = DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
+    // schema evolution (parquet parity): mergeSchema=true unions the fields
+    // of every file's footer (first occurrence wins the type); files missing
+    // a field read it as null. Default stays first-file (one footer read).
+    val base =
+      if (options.getBoolean("mergeSchema", false)) {
+        NimbleSource.prefetchFooters(files)
+        val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+        for (f <- files;
+             fld <- DataType.fromJson(NimbleSource.footerOf(f).schemaJson)
+               .asInstanceOf[StructType].fields)
+          if (!fields.contains(fld.name)) fields(fld.name) = fld.copy(nullable = true)
+        StructType(fields.values.toSeq)
+      } else DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
     // FlatMap feature projection (SURVEY.md §2.2): option
     // flatMapStruct.<col> = "k1,k2" surfaces a flatmap-written map column as
     // struct<k1: V, k2: V>; only those key streams are read.
@@ -426,9 +438,30 @@ object NimbleSource {
       required: StructType, filters: Array[Filter]): Array[String] = {
     val filterCols = filters.flatMap(_.references).distinct
       .filterNot(c => required.fieldNames.contains(c))
-    (required.fields.flatMap(f => Fields.neededKeys(f.name, f.dataType, footerKeySet)) ++
+    (required.fields.flatMap { f =>
+      val ks = Fields.neededKeys(f.name, f.dataType, footerKeySet)
+      // schema evolution: a field with NO streams in this file reads as
+      // all-null (parquet semantics); partially-present fields keep all
+      // their keys so the fetch fails loud on a genuinely corrupt layout
+      if (ks.exists(footerKeySet(_))) ks else Nil
+    } ++
       filterCols.filter(footerKeySet(_))
         .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))).distinct
+  }
+
+  /** All-null column of `n` rows — the decoded shape of a field absent from
+    * a file (schema evolution): predicates and vector fills treat it like
+    * any nullable column. */
+  private[spark] def nullColumn(dt: DataType, n: Int): graft.format.Column = {
+    val nulls = Array.fill(n)(true)
+    dt match {
+      case StringType | BinaryType =>
+        graft.format.BytesCol(new Array[Int](n + 1), Array.empty[Byte], nulls)
+      case DoubleType => graft.format.DoublesCol(new Array[Double](n), isFloat = false, nulls)
+      case FloatType => graft.format.DoublesCol(new Array[Double](n), isFloat = true, nulls)
+      case BooleanType => graft.format.BoolsCol(new Array[Boolean](n), nulls)
+      case _ => graft.format.LongsCol(new Array[Long](n), graft.format.PhysType.I64, nulls)
+    }
   }
 
   /** Fetch the named streams of one stripe through an existing reader. */
@@ -804,8 +837,17 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val cursors: Map[String, Tablet.ChunkCursor] =
     streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
 
+  // schema evolution: a required field with NO streams in this file (added
+  // to the table after the file was written) reads as all-null, parquet
+  // style; its reader slot stays null and fillBatch null-fills the vector
+  private val absentField: Array[Boolean] = required.fields.map { f =>
+    !Fields.neededKeys(f.name, f.dataType, footerKeySet).exists(footerKeySet(_))
+  }
   private val fieldReaders: Array[Fields.FieldReader] =
-    required.fields.map(f => Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet))
+    required.fields.zipWithIndex.map { case (f, i) =>
+      if (absentField(i)) null
+      else Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet)
+    }
 
   // separate readers (cursors) for filter-only columns
   private val filterReaders: Map[String, Fields.FieldReader] =
@@ -861,11 +903,31 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (anchor == null) {
-        // zero-column projection with no filters (count(*)): synthesize rows
+        // no streams to read: zero-column projection (count(*)) or every
+        // projected/filtered column absent from this file (schema evolution)
         if (rowsRemaining <= 0) return false
+        // filters here can only reference absent columns (a present filter
+        // column would have added its stream): row-constant over nulls
+        if (hasFilters) {
+          val pass = filters.forall(f => Filters.compile(f,
+            n => dataSchema(n).dataType,
+            n => NimbleSource.nullColumn(dataSchema(n).dataType, 1))(0))
+          if (!pass) { rowsRemaining = 0; return false }
+        }
         val n = math.min(rowsRemaining, 16384L).toInt
         rowsRemaining -= n
-        current = new ColumnarBatch(Array.empty[ColumnVector], n)
+        if (required.fields.isEmpty) {
+          current = new ColumnarBatch(Array.empty[ColumnVector], n)
+        } else {
+          if (reusableVecs == null) {
+            reusableVecs = required.fields.map(f => new OnHeapColumnVector(16384, f.dataType))
+            reusableBatch = new ColumnarBatch(reusableVecs.asInstanceOf[Array[ColumnVector]], 0)
+          }
+          reusableVecs.foreach { v => v.reset(); v.putNulls(0, n) }
+          reusableBatch.setNumRows(n)
+          current = reusableBatch
+          emitted += n
+        }
         return true
       }
       if (!anchor.hasNext) return false
@@ -936,12 +998,19 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       var fi = 0
       while (fi < fieldReaders.length) {
         val name = required.fields(fi).name
-        if (requiredFilterRefs.contains(name))
+        if (requiredFilterRefs.contains(name) && fieldReaders(fi) != null)
           decoded(name) = decodeFilterCol(name, fieldReaders(fi))
         fi += 1
       }
-      val chunkRows = decoded.valuesIterator.next().len
-      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, decoded(_)))
+      val chunkRows =
+        if (decoded.nonEmpty) decoded.valuesIterator.next().len
+        else anchor.peekStats().map(_.valueCount.toInt).getOrElse(
+          throw new IllegalStateException("nimble: chunk without stats while sizing an evolved batch"))
+      // filter columns absent from this file (schema evolution) evaluate as
+      // all-null — EqualTo/ranges never match, IsNull matches every row
+      val colOf: String => graft.format.Column = name =>
+        decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
+      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
       val passed = new Array[Boolean](chunkRows)
       var m = 0
       var i = 0
@@ -958,7 +1027,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         // nothing survives: consume this chunk everywhere and move on
         var k = 0
         while (k < fieldReaders.length) {
-          discardChunk(fieldReaders(k), required.fields(k).dataType)
+          if (fieldReaders(k) != null) discardChunk(fieldReaders(k), required.fields(k).dataType)
           k += 1
         }
         0
@@ -994,12 +1063,20 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     var i = 0
     while (i < required.fields.length) {
       reusableVecs(i).reset()
-      val n = fieldReaders(i).readChunk(reusableVecs(i), selection)
-      if (outRows < 0) outRows = n
+      if (fieldReaders(i) != null) {
+        val n = fieldReaders(i).readChunk(reusableVecs(i), selection)
+        if (outRows < 0) outRows = n
+      }
       i += 1
     }
-    if (outRows < 0) // zero projected columns but pushed filters present
+    if (outRows < 0) // zero present projected columns but pushed filters ran
       outRows = if (selection != null) selection.length else chunkRowsHint
+    // absent (schema-evolved) fields null-fill to the batch's row count
+    i = 0
+    while (i < required.fields.length) {
+      if (fieldReaders(i) == null) reusableVecs(i).putNulls(0, outRows)
+      i += 1
+    }
     reusableBatch.setNumRows(outRows)
     current = reusableBatch
     emitted += outRows
