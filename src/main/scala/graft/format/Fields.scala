@@ -604,7 +604,13 @@ object Fields {
       s"$path#nulls" +: s.fields.toSeq.filter(f => footerKeys(s"$path#in:${f.name}")).flatMap(f =>
         s"$path#in:${f.name}" +: neededKeys(s"$path#fm:${f.name}", f.dataType, footerKeys))
     case s: StructType =>
-      s"$path#nulls" +: s.fields.toSeq.flatMap(f => neededKeys(s"$path.${f.name}", f.dataType, footerKeys))
+      // children with NO streams in the file (nested schema evolution) pull
+      // nothing — StructR null-fills them; the guard on nonEmpty keeps
+      // footer-less callers (which pass an empty probe) on the full key set
+      s"$path#nulls" +: s.fields.toSeq.flatMap { f =>
+        val ks = neededKeys(s"$path.${f.name}", f.dataType, footerKeys)
+        if (footerKeys.nonEmpty && !ks.exists(footerKeys(_))) Nil else ks
+      }
     case a: ArrayType =>
       s"$path#len" +: neededKeys(s"$path#elem", a.elementType, footerKeys)
     case m: MapType =>
@@ -774,9 +780,28 @@ object Fields {
     n
   }
 
+  /** Reader for a subtree whose streams are entirely absent from the file
+    * (schema evolution inside a struct): null-fills every row. The parent
+    * supplies the chunk's row count before calling readChunk. */
+  private final class AbsentR extends FieldReader {
+    var rows: Int = 0
+    def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
+      vec.reserve(rows)
+      vec.putNulls(0, rows)
+      rows
+    }
+  }
+
   private final class StructR(path: String, s: StructType, streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
-    private val children = s.fields.map(f => readerFor(s"$path.${f.name}", f.dataType, streams, fk))
+    // a child added to the struct after this file was written (no streams at
+    // all under its path) reads as null — parquet nested-evolution semantics
+    private val children: Array[FieldReader] = s.fields.map { f =>
+      val childPath = s"$path.${f.name}"
+      val absent = fk.nonEmpty &&
+        !neededKeys(childPath, f.dataType, fk).exists(fk(_))
+      if (absent) new AbsentR else readerFor(childPath, f.dataType, streams, fk)
+    }
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
       val isNull = Codecs.asBools(nullsCursor.next())
       val n = isNull.length
@@ -784,7 +809,14 @@ object Fields {
       var i = 0
       while (i < n) { if (isNull(i)) vec.putNull(i) else vec.putNotNull(i); i += 1 }
       i = 0
-      while (i < children.length) { children(i).readChunk(vec.getChild(i), null); i += 1 }
+      while (i < children.length) {
+        children(i) match {
+          case a: AbsentR => a.rows = n
+          case _ => ()
+        }
+        children(i).readChunk(vec.getChild(i), null)
+        i += 1
+      }
       n
     }
   }

@@ -139,7 +139,10 @@ object Dedup {
     corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
       .join(broadcast(b), Seq("g"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("g")).as("hits"))
+      // plain count: shingles() is per-doc distinct and the bench side is
+      // DISTINCT, so g is already unique per (doc, g) — a count_distinct
+      // would drag a per-group hash set through both aggregate phases
+      .agg(count(lit(1)).as("hits"))
   }
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -53,7 +53,16 @@ class NimbleSource extends TableProvider with DataSourceRegister {
         for (f <- files;
              fld <- DataType.fromJson(NimbleSource.footerOf(f).schemaJson)
                .asInstanceOf[StructType].fields)
-          if (!fields.contains(fld.name)) fields(fld.name) = fld.copy(nullable = true)
+          fields.get(fld.name) match {
+            case None => fields(fld.name) = fld.copy(nullable = true)
+            case Some(prev) if prev.dataType != fld.dataType =>
+              // parquet behavior: fail fast — silently picking one type reads
+              // the other files' bytes as garbage
+              throw new IllegalArgumentException(
+                s"nimble: mergeSchema: failed to merge incompatible data types for " +
+                  s"column '${fld.name}': ${prev.dataType.simpleString} and ${fld.dataType.simpleString}")
+            case _ => ()
+          }
         StructType(fields.values.toSeq)
       } else DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
     // FlatMap feature projection (SURVEY.md §2.2): option
@@ -919,10 +928,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         if (required.fields.isEmpty) {
           current = new ColumnarBatch(Array.empty[ColumnVector], n)
         } else {
-          if (reusableVecs == null) {
-            reusableVecs = required.fields.map(f => new OnHeapColumnVector(16384, f.dataType))
-            reusableBatch = new ColumnarBatch(reusableVecs.asInstanceOf[Array[ColumnVector]], 0)
-          }
+          ensureReusableBatch()
           reusableVecs.foreach { v => v.reset(); v.putNulls(0, n) }
           reusableBatch.setNumRows(n)
           current = reusableBatch
@@ -1054,11 +1060,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private def discardVector(dt: DataType): OnHeapColumnVector =
     new OnHeapColumnVector(16, dt)
 
-  private def fillBatch(selection: Array[Int], chunkRowsHint: Int): Boolean = {
+  private def ensureReusableBatch(): Unit =
     if (reusableVecs == null) {
       reusableVecs = required.fields.map(f => new OnHeapColumnVector(16384, f.dataType))
       reusableBatch = new ColumnarBatch(reusableVecs.asInstanceOf[Array[ColumnVector]], 0)
     }
+
+  private def fillBatch(selection: Array[Int], chunkRowsHint: Int): Boolean = {
+    ensureReusableBatch()
     var outRows = -1
     var i = 0
     while (i < required.fields.length) {
@@ -1115,8 +1124,10 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     // epoch-nanos probe can use (Lookup and the scan both refuse it) —
     // reject the dead-weight configuration instead of writing it
     locally {
-      val members = csvOpt("indexColumns").flatMap(_.split("\\+").map(_.trim))
-      val bad = members.intersect(csvOpt("timestampNanosColumns"))
+      // lower-cased compare: index members resolve case-insensitively in the
+      // writer, so a case-differing spelling must not bypass this guard
+      val members = csvOpt("indexColumns").flatMap(_.split("\\+").map(_.trim.toLowerCase))
+      val bad = members.intersect(csvOpt("timestampNanosColumns").map(_.toLowerCase))
       require(bad.isEmpty,
         s"nimble: indexColumns ${bad.mkString(",")} are timestampNanosColumns — " +
           "the index would hold micros keys no epoch-nanos probe can use")

@@ -55,4 +55,33 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val r = df.collect().head
     assert(r.getLong(0) == 1L && r.isNullAt(2))
   }
+
+  test("field added INSIDE an existing struct reads as null from old files") {
+    val dir = tmpDir("evolve_nested")
+    spark.sql("SELECT id, named_struct('x', concat('v', id)) AS st FROM range(3)")
+      .coalesce(1).write.format("nimble").mode("append").save(dir)
+    val df = spark.read.format("nimble")
+      .schema("id long, st struct<x: string, y: long>").load(dir)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    for ((r, i) <- rows.zipWithIndex) {
+      val st = r.getStruct(1)
+      assert(st.getString(0) == s"v$i", s"existing nested field must survive: $st")
+      assert(st.isNullAt(1), s"added nested field must read null: $st")
+    }
+  }
+
+  test("mergeSchema rejects same-name columns of different types (no silent garbage)") {
+    val dir = tmpDir("evolve_conflict")
+    Seq((1L, 5L)).toDF("id", "x")
+      .coalesce(1).write.format("nimble").mode("append").save(dir)
+    Seq((2L, 1.5)).toDF("id", "x")
+      .coalesce(1).write.format("nimble").mode("append").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("nimble").option("mergeSchema", "true").load(dir).collect()
+    }
+    def chain(t: Throwable): List[Throwable] = if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("incompatible data types")), s"got $e")
+  }
 }
