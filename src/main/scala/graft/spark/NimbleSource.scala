@@ -458,6 +458,31 @@ object NimbleSource {
         .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))).distinct
   }
 
+  /** Column types whose footer stats feed CBO column statistics. */
+  private[spark] def cboEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _ => false // strings/binary: truncated bounds; nested: no stats
+  }
+
+  /** Catalyst-typed min/max for CBO from merged footer stats (None when the
+    * physical representation cannot be mapped exactly). */
+  private[spark] def cboMinMax(dt: DataType, m: Tablet.Stats): (Option[Any], Option[Any]) = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (Some(java.lang.Long.valueOf(m.minLong)), Some(java.lang.Long.valueOf(m.maxLong)))
+    case IntegerType | DateType =>
+      (Some(java.lang.Integer.valueOf(m.minLong.toInt)), Some(java.lang.Integer.valueOf(m.maxLong.toInt)))
+    case ShortType =>
+      (Some(java.lang.Short.valueOf(m.minLong.toShort)), Some(java.lang.Short.valueOf(m.maxLong.toShort)))
+    case ByteType =>
+      (Some(java.lang.Byte.valueOf(m.minLong.toByte)), Some(java.lang.Byte.valueOf(m.maxLong.toByte)))
+    case DoubleType =>
+      (Some(java.lang.Double.valueOf(m.minDouble)), Some(java.lang.Double.valueOf(m.maxDouble)))
+    case FloatType =>
+      (Some(java.lang.Float.valueOf(m.minDouble.toFloat)), Some(java.lang.Float.valueOf(m.maxDouble.toFloat)))
+    case _ => (None, None)
+  }
+
   /** All-null column of `n` rows — the decoded shape of a field absent from
     * a file (schema evolution): predicates and vector fills treat it like
     * any nullable column. */
@@ -696,9 +721,45 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       bytes += meta.length
     }
     val r = rows; val b = math.max(bytes, 1L)
+    // per-column nullCount/min/max for the CBO (join reordering and
+    // selectivity at scale) — merged from the footers already in cache;
+    // stats probes on wide v8 footers read one hash bucket per column
+    val cs = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    for (f <- required.fields if NimbleSource.cboEligible(f.dataType) && metas.nonEmpty) {
+      var merged: Tablet.Stats = null
+      var ok = true
+      var split = false
+      for (meta <- metas if ok) {
+        val rd = new Tablet.Reader(meta.path, NimbleSource.footerOf(meta.path))
+        try {
+          if (rd.keyId(f.name + "#nanos") >= 0) split = true
+          rd.fileStatsOf(f.name) match {
+            case Some(s) => if (merged == null) merged = s.copy() else merged.merge(s)
+            case None => ok = false // absent in a file (evolution): no exact stats
+          }
+        } finally rd.close()
+      }
+      if (ok && merged != null) {
+        val m = merged
+        val (minV, maxV) =
+          if (!m.hasMinMax || m.hasNaN || split) (None, None)
+          else NimbleSource.cboMinMax(f.dataType, m)
+        cs.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def nullCount(): util.OptionalLong = util.OptionalLong.of(m.nullCount)
+            override def min(): util.Optional[Object] =
+              minV.map(v => util.Optional.of(v.asInstanceOf[Object])).getOrElse(util.Optional.empty())
+            override def max(): util.Optional[Object] =
+              maxV.map(v => util.Optional.of(v.asInstanceOf[Object])).getOrElse(util.Optional.empty())
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(b)
       override def numRows(): util.OptionalLong = util.OptionalLong.of(r)
+      override def columnStats(): util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cs
     }
   }
 }

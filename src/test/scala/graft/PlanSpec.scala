@@ -99,4 +99,23 @@ class PlanSpec extends SparkTestBase {
     val p = plan(SparkEntry.queries("x19_stratified_sample")(spark, sf()))
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
+
+  test("scan statistics expose per-column min/max/nullCount to the CBO") {
+    val dir = Tables.nimbleDir(spark, sf(), "orders")
+    val schema = spark.read.format("nimble").load(dir).schema
+    val scan = new graft.spark.NimbleScan(dir, schema, schema, Array.empty)
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong == 1500L)
+    val cs = stats.columnStats()
+    val key = cs.keySet().toArray.map(_.toString)
+    assert(key.contains("o_custkey"), s"columns with stats: ${key.mkString(",")}")
+    val ck = cs.entrySet().stream().filter(_.getKey.toString == "o_custkey").findFirst().get().getValue
+    assert(ck.nullCount().getAsLong == 0L)
+    assert(ck.min().get() == java.lang.Long.valueOf(0L))
+    assert(ck.max().get() == java.lang.Long.valueOf(149L))
+    // strings carry no (truncated) bounds
+    assert(!key.contains("o_orderstatus") ||
+      !cs.entrySet().stream().filter(_.getKey.toString == "o_orderstatus")
+        .findFirst().get().getValue.min().isPresent)
+  }
 }
