@@ -84,7 +84,20 @@ object Fields {
     *    flatmap key projection whose keys this file never saw. */
   private def isFlatMapStruct(path: String, s: StructType, fk: KeyProbe): Boolean =
     fk.nonEmpty && s.fields.nonEmpty && fk(s"$path#nulls") &&
-      !s.fields.exists(f => fk(s"$path.${f.name}"))
+      !s.fields.exists(f => regularChildEvidence(s"$path.${f.name}", f.dataType, fk))
+
+  /** Does any stream of a REGULAR (non-flatmap) child at `p` exist? Probed
+    * by the child's own layout convention — a struct child anchors at
+    * `#nulls`, containers at `#len`/`#idx`, atomics at the path itself — so
+    * a struct whose children are all nested types still classifies as
+    * regular (those children have no direct `$path.name` stream). */
+  private def regularChildEvidence(p: String, dt: DataType, fk: KeyProbe): Boolean = dt match {
+    case _: StructType => fk(s"$p#nulls")
+    case _: ArrayType => fk(s"$p#len") || fk(s"$p#idx")
+    case _: MapType => fk(s"$p#len") || fk(s"$p#idx") || fk(s"$p#nulls")
+    case LongType => fk(p) || fk(s"$p#nanos")
+    case _ => fk(p)
+  }
 
   /** All stream keys for a schema, in deterministic pre-order. */
   def streamKeys(schema: StructType): Array[String] = {
