@@ -78,7 +78,7 @@ object Lookup {
         eq.zip(cols).map { case (v, c) => (c, v, v) } ++
           range.map { case (lo, hi) => (cols(eq.length), lo, hi) }.toSeq
       // nanos-split members: index keys hold micros — logical probes scan
-      val anySplit = cols.exists(c => keyIdx.contains(c + "#nanos"))
+      val anySplit = cols.exists(c => reader.nanosSplit(c))
       val cidxId = if (anySplit) -1
         else keyIdx.getOrElse(Tablet.compositeIndexStreamKey(cols), -1)
       val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
@@ -87,7 +87,7 @@ object Lookup {
       while (s < footer.stripes.length) {
         val surviving = preds.forall { case (c, lo, hi) =>
           val st0 = reader.streamStats(s, keyIdx(c))
-          val st = if (keyIdx.contains(c + "#nanos")) Tablet.nanosScaledStats(st0) else st0
+          val st = if (reader.nanosSplit(c)) Tablet.nanosScaledStats(st0) else st0
           rangeOverlaps(st, lo, hi)
         }
         if (surviving) {
@@ -211,7 +211,7 @@ object Lookup {
       val colId = keyIdx.getOrElse(column, return Nil)
       // nanos-split probe columns: the sorted index holds MICROS values, an
       // epoch-nanos range can't probe it — stats-prune (scaled) + scan
-      val probeSplit = keyIdx.contains(column + "#nanos")
+      val probeSplit = reader.nanosSplit(column)
       val sidxId =
         if (probeSplit) -1 else keyIdx.getOrElse(Tablet.sortedIndexStreamKey(column), -1)
       val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
@@ -375,7 +375,7 @@ object Lookup {
       // TimestampMicroNano split probe column: stats scale to combined-value
       // bounds; blooms and the hash index (both built over MICROS values)
       // are unusable for an epoch-nanos probe and are suppressed
-      val probeSplit = keyIdx.contains(column + "#nanos")
+      val probeSplit = reader.nanosSplit(column)
       val idxId =
         if (probeSplit) -1 else keyIdx.getOrElse(Tablet.indexStreamKey(column), -1)
       val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))

@@ -1169,6 +1169,12 @@ object Tablet {
         if (hit != null) hit._1 else probeBucket(key)._1
       }
 
+    /** Is `column` stored as the TimestampMicroNano split (micros stream +
+      * '#nanos' remainder sibling)? Central check for the rule that the
+      * stream's raw stats/keys are MICROS, not the logical epoch-nanos value
+      * — consumers must scale ([[Tablet.nanosScaledStats]]) or refuse. */
+    def nanosSplit(column: String): Boolean = keyId(column + "#nanos") >= 0
+
     /** File-level stats of stream `key` (None when absent) — same probe. */
     def fileStatsOf(key: String): Option[Stats] =
       if (footer.inlineKeys != null)

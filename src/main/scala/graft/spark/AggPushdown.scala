@@ -99,8 +99,8 @@ object AggPushdown {
     try {
       // nanos-split columns: micros-stream min/max are not the logical value
       agg.aggregateExpressions().foreach {
-        case m: Min if colName(m.column()).exists(n => r.keyId(n + "#nanos") >= 0) => return None
-        case m: Max if colName(m.column()).exists(n => r.keyId(n + "#nanos") >= 0) => return None
+        case m: Min if colName(m.column()).exists(n => r.nanosSplit(n)) => return None
+        case m: Max if colName(m.column()).exists(n => r.nanosSplit(n)) => return None
         case _ => ()
       }
       if (neededCols.exists(n => r.keyId(n) < 0)) return None
@@ -166,7 +166,7 @@ object AggPushdown {
         val n = colName(m.column()).get
         // nanos-split column: micros-stream stats are not the logical value
         // (exact-or-refuse contract -> refuse)
-        if (r.keyId(n + "#nanos") >= 0) return None
+        if (r.nanosSplit(n)) return None
         val s = r.fileStatsOf(n).getOrElse(return None)
         statValue(s, schema(n).dataType, isMin = true) match {
           case Some(v) => v
@@ -174,7 +174,7 @@ object AggPushdown {
         }
       case m: Max =>
         val n = colName(m.column()).get
-        if (r.keyId(n + "#nanos") >= 0) return None
+        if (r.nanosSplit(n)) return None
         val s = r.fileStatsOf(n).getOrElse(return None)
         statValue(s, schema(n).dataType, isMin = false) match {
           case Some(v) => v

@@ -140,7 +140,7 @@ object NimbleSource {
         case _ => None
       }
       probe match {
-        case Some((c, vs)) if reader.keyId(c + "#nanos") < 0 =>
+        case Some((c, vs)) if !reader.nanosSplit(c) =>
           val idxId = reader.keyId(Tablet.indexStreamKey(c))
           if (idxId >= 0 && reader.streamLoc(stripe, idxId).length > 0) {
             // long-backed integrals and strings/binary hash exactly like the
@@ -208,7 +208,7 @@ object NimbleSource {
       case _ => ()
     }
     for ((c, (loK, hiK, ok)) <- bounds if ok && (loK.isDefined || hiK.isDefined)
-         if reader.keyId(c + "#nanos") < 0) {
+         if !reader.nanosSplit(c)) {
       val sidxId = reader.keyId(Tablet.sortedIndexStreamKey(c))
       if (sidxId >= 0 && reader.streamLoc(stripe, sidxId).length > 0) {
         val st = reader.streamStats(stripe, reader.keyId(c))
@@ -310,7 +310,7 @@ object NimbleSource {
     if (residentKeys == null) return result
     for (key <- residentKeys if key.startsWith("#cidx:")) {
       val cols = key.substring("#cidx:".length).split('+').toSeq
-      if (cols.forall(c => reader.keyId(c + "#nanos") < 0)) {
+      if (cols.forall(c => !reader.nanosSplit(c))) {
         var p = 0
         while (p < cols.length && eqVals.get(cols(p)).exists(encodable)) p += 1
         val eqPrefix = cols.take(p).map(eqVals)
@@ -722,28 +722,40 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     }
     val r = rows; val b = math.max(bytes, 1L)
     // per-column nullCount/min/max for the CBO (join reordering and
-    // selectivity at scale) — merged from the footers already in cache;
-    // stats probes on wide v8 footers read one hash bucket per column
+    // selectivity at scale) — files on the OUTER loop: one Reader (and, for
+    // wide v8 footers, one bucket probe per column) per file, every column
+    // merged inside, so planning cost stays O(files), not O(columns x files)
     val cs = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    for (f <- required.fields if NimbleSource.cboEligible(f.dataType) && metas.nonEmpty) {
-      var merged: Tablet.Stats = null
-      var ok = true
-      var split = false
-      for (meta <- metas if ok) {
+    val cboFields = required.fields.filter(f => NimbleSource.cboEligible(f.dataType))
+    if (cboFields.nonEmpty && metas.nonEmpty) {
+      val merged = new Array[Tablet.Stats](cboFields.length)
+      val ok = Array.fill(cboFields.length)(true)
+      val split = new Array[Boolean](cboFields.length)
+      for (meta <- metas) {
         val rd = new Tablet.Reader(meta.path, NimbleSource.footerOf(meta.path))
         try {
-          if (rd.keyId(f.name + "#nanos") >= 0) split = true
-          rd.fileStatsOf(f.name) match {
-            case Some(s) => if (merged == null) merged = s.copy() else merged.merge(s)
-            case None => ok = false // absent in a file (evolution): no exact stats
+          var i = 0
+          while (i < cboFields.length) {
+            if (ok(i)) {
+              val f = cboFields(i)
+              // the split layout only exists for long-backed timestamps
+              if (f.dataType == LongType && rd.nanosSplit(f.name)) split(i) = true
+              rd.fileStatsOf(f.name) match {
+                case Some(s) =>
+                  if (merged(i) == null) merged(i) = s.copy() else merged(i).merge(s)
+                case None => ok(i) = false // absent in a file (evolution)
+              }
+            }
+            i += 1
           }
         } finally rd.close()
       }
-      if (ok && merged != null) {
-        val m = merged
+      for (i <- cboFields.indices if ok(i) && merged(i) != null) {
+        val f = cboFields(i)
+        val m = merged(i)
         val (minV, maxV) =
-          if (!m.hasMinMax || m.hasNaN || split) (None, None)
+          if (!m.hasMinMax || m.hasNaN || split(i)) (None, None)
           else NimbleSource.cboMinMax(f.dataType, m)
         cs.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

@@ -30,11 +30,16 @@ class SchemaFuzzSpec extends SparkTestBase {
       }
       case IntegerType => rnd.nextInt()
       case ShortType => rnd.nextInt().toShort
-      case DoubleType => rnd.nextInt(6) match {
+      case DoubleType => rnd.nextInt(7) match {
         case 0 => Double.NaN case 1 => Double.PositiveInfinity
-        case 2 => -0.0 case _ => rnd.nextDouble() * 1e12
+        case 2 => Double.NegativeInfinity
+        case 3 => -0.0 case _ => rnd.nextDouble() * 1e12
       }
-      case FloatType => rnd.nextFloat()
+      case FloatType => rnd.nextInt(7) match {
+        case 0 => Float.NaN case 1 => Float.PositiveInfinity
+        case 2 => Float.NegativeInfinity
+        case 3 => -0.0f case _ => (rnd.nextFloat() - 0.5f) * 1e9f
+      }
       case BooleanType => rnd.nextBoolean()
       case StringType => rnd.nextInt(5) match {
         case 0 => ""
