@@ -1,0 +1,35 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** The engine's native Catalyst expressions as one catalog.
+  *
+  * Two registration paths, same builders:
+  *  - `spark.sql.extensions=graft.spark.GraftExtensions` — cluster-wide,
+  *    pure-SQL users get every `graft_*` function with zero Scala
+  *    (the idiomatic `SparkSessionExtensions` route)
+  *  - `GraftFunctions.registerAll(spark)` — session-local, idempotent
+  *    (what the `ops` operators call on first use).
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hashes" -> (exprs => ShingleHashes(exprs.head, exprs(1))),
+    "graft_simhash32" -> (exprs => SimHash32(exprs.head)),
+    "graft_cosine" -> (exprs => CosineSim(exprs.head, exprs(1))),
+    "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1), exprs(2))),
+    "graft_lsh_probes" -> (exprs => LshProbes(exprs.head, exprs(1), exprs(2), exprs(3))))
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, builder) => Registry.ensure(spark, name, builder) }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
