@@ -175,6 +175,29 @@ class CompositeIndexSpec extends SparkTestBase {
     assert(nb.filter(col("o_orderstatus") === "P").count() == expectEq)
   }
 
+  test("composite keys with embedded NULs and unicode survive the write+probe loop") {
+    val schema = StructType(Seq(
+      StructField("k1", StringType, nullable = false),
+      StructField("k2", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    // keys chosen to stress the memcomparable escape: embedded NUL (the
+    // escaped byte), a key that is a strict prefix of another, 0xFF-heavy
+    // unicode, and the empty string
+    val keys = Seq("a", "a\u0000b", "a\u0000", "", "日本語🚀", "zzÿ")
+    val rows = (0 until 600).map(i => Row(keys(i % keys.length), (i % 10).toLong, i.toLong))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    val dir = tmpDir("cidx_nul")
+    df.write.format("nimble").option("indexColumns", "k1+k2")
+      .option("rowsPerChunk", "64").mode("overwrite").save(dir)
+    for (k <- keys) {
+      val (got, m) = Lookup.compositeLookupMetered(dir, Seq("k1", "k2"), Seq(k), Some((2L, 5L)))
+      val want = rows.filter(r => r.getString(0) == k && r.getLong(1) >= 2 && r.getLong(1) <= 5)
+        .map(_.getLong(2)).sorted
+      assert(got.map(_("v").asInstanceOf[Long]).sorted == want, s"key ${k.getBytes("UTF-8").mkString(",")}")
+      assert(m.indexProbes > 0)
+    }
+  }
+
   test("composite indexColumns validation rejects bad specs at write time") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     def chain(t: Throwable): List[Throwable] = if (t == null) Nil else t :: chain(t.getCause)
