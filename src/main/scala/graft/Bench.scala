@@ -156,6 +156,13 @@ object Bench {
     ordScrambled.coalesce(4).write.format("nimble")
       .option("rowsPerChunk", "4096").mode("overwrite").save(ordNoIdxDir)
     val probeKey = ordScrambled.select("okey").limit(1).collect()(0).getLong(0)
+    // wall time at this scale is dominated by fixed Spark job overhead; the
+    // chunk-skip counter delta is the noise-free signal that the index
+    // restricted decode (skips per single probe run, not per timed repeat)
+    val skipped0 = graft.spark.NimbleSource.chunksSkipped.get()
+    spark.read.format("nimble").load(ordIdxDir).filter(col("okey") === probeKey).count()
+    results("point_probe_chunks_skipped") =
+      (graft.spark.NimbleSource.chunksSkipped.get() - skipped0).toDouble
     timed("point_probe_indexed") {
       spark.read.format("nimble").load(ordIdxDir).filter(col("okey") === probeKey).count()
     }
