@@ -170,6 +170,65 @@ object Bench {
       spark.read.format("nimble").load(ordNoIdxDir).filter(col("okey") === probeKey).count()
     }
 
+    // ---- scale block: the sf0.1 point probe above is fixed-overhead
+    // dominated (~60 ms job setup vs ~3 ms of key decode), so its index win
+    // shows only in the chunk-skip counter. This block rebuilds the probe at
+    // cluster-shaped per-task work: 8M rows of scrambled 32-byte string keys
+    // read with the cluster-default 128 MB split target, so each task
+    // decodes millions of keys — the per-split shape each of 1000 executors
+    // sees at 100 TB — and the wall clock isolates what bloom + hash index
+    // save per split. ----
+    val scaleRows = 8000000L
+    val scaleDf = spark.range(scaleRows).toDF("id")
+      .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+      .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+      .repartition(4).cache()
+    scaleDf.count()
+    val scaleIdxDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-idx"
+    val scaleNoDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-noidx"
+    // single-shot write timing (the write stack is JIT-warm from the
+    // lineitem runs; 5 repeats of a multi-second write would dominate bench
+    // wall time for little extra signal)
+    val (scaleWSec, _) = time {
+      scaleDf.write.format("nimble").option("indexColumns", "skey")
+        .option("bloomColumns", "skey").option("rowsPerChunk", "16384")
+        .mode("overwrite").save(scaleIdxDir)
+    }
+    results("scale_rows") = scaleRows.toDouble
+    results("scale_write") = scaleWSec
+    scaleDf.write.format("nimble").option("rowsPerChunk", "16384")
+      .mode("overwrite").save(scaleNoDir)
+    scaleDf.unpersist()
+    // deterministic probe key: md5("k12345") exactly as the generator wrote it
+    val probeSkey = java.security.MessageDigest.getInstance("MD5")
+      .digest("k12345".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prevMinPart = spark.conf.getOption("spark.graft.scan.minPartitionBytes")
+    spark.conf.set("spark.graft.scan.minPartitionBytes", (128L << 20).toString)
+    try {
+      val scaleSkipped0 = graft.spark.NimbleSource.chunksSkipped.get()
+      assert(spark.read.format("nimble").load(scaleIdxDir)
+        .filter(col("skey") === probeSkey).count() == 1L)
+      results("scale_probe_chunks_skipped") =
+        (graft.spark.NimbleSource.chunksSkipped.get() - scaleSkipped0).toDouble
+      timed("scale_probe_indexed") {
+        spark.read.format("nimble").load(scaleIdxDir)
+          .filter(col("skey") === probeSkey).count()
+      }
+      timed("scale_probe_scan") {
+        spark.read.format("nimble").load(scaleNoDir)
+          .filter(col("skey") === probeSkey).count()
+      }
+      timed("scale_scan_full") {
+        spark.read.format("nimble").load(scaleNoDir)
+          .agg(count(lit(1)), sum("v")).collect()
+      }
+    } finally {
+      prevMinPart match {
+        case Some(v) => spark.conf.set("spark.graft.scan.minPartitionBytes", v)
+        case None => spark.conf.unset("spark.graft.scan.minPartitionBytes")
+      }
+    }
+
     // ---- encoded size ----
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble
@@ -235,36 +294,124 @@ object Bench {
     // codec compression ratios are deterministic (same seed, same selection):
     // any drift vs the previous round's artifact is a code change, and ratio
     // drift WITHOUT a deliberate codec change alongside timing swings means
-    // the timings moved for non-code reasons
+    // the timings moved for non-code reasons. Compare at the emitted (6
+    // significant digit) resolution so re-rounding old full-precision
+    // artifacts never reads as drift.
     val prevRatios = previousBenchRatios()
     val ratioDrift = results.collect {
       case (k, v) if k.endsWith("_ratio") && k.startsWith("codec_") &&
-        prevRatios.get(k).exists(p => math.abs(v - p) > 1e-9) => k
+        prevRatios.get(k).exists(p => fmt6(v) != fmt6(p)) => k
     }.toSeq
-    val all = results ++ mins.map { case (k, v) => (k + "_min", v) }
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) -1.0 else v) }
-      .mkString("{", ",", "}")
-    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val driftJson = ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
-      s""""codec_ratio_drift":$driftJson,"sf":"$sfDir"}""")
+    // full-fidelity dump (every metric + every min, full precision) for humans
+    // and post-hoc analysis; the stdout line is the driver contract and is
+    // budgeted below
+    writeFullDump(results.toMap, mins.toMap, suspects, ratioDrift, sfDir)
+    println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir))
     spark.stop()
   }
 
-  /** Codec ratios from the newest committed BENCH_r*.json, for the
-    * drift-vs-previous-round assertion; empty when none is readable. */
+  /** 6-significant-digit compact JSON number: the driver's artifact capture
+    * keeps only the tail of stdout, so every emitted char counts; sub-ppm
+    * resolution is far below this box's run-to-run noise anyway. */
+  private[graft] def fmt6(v: Double): String = {
+    if (v.isNaN || v.isInfinite) return "-1.0"
+    var s = "%.6g".formatLocal(java.util.Locale.ROOT, v)
+    if (s.contains('e') || s.contains('E')) {
+      val Array(m, e) = s.split("[eE]")
+      val m2 = if (m.contains('.')) m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else m
+      s = m2 + "e" + e.toInt // normalizes e-06 -> e-6, e+06 -> e6
+    } else if (s.contains('.')) {
+      s = s.reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s += "0"
+    }
+    s
+  }
+
+  /** Metrics whose best-of-five min rides along on the stdout line. Everything
+    * else gets a median only there (mins still land in the full dump): the
+    * codec grid's min adds nothing the median + load_suspect flag doesn't,
+    * and parquet-control mins matter only for post-hoc noise forensics. */
+  private def headlineMin(k: String): Boolean =
+    k.matches("write_lineitem|scan_full_nimble|scan_pruned_nimble|" +
+      "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan|" +
+      "x02_neardup_jaccard") || k.matches("q\\d\\d_.*")
+
+  /** Render the single stdout JSON line under a hard budget: the driver
+    * captures only the last 2000 chars of output, so a line that grows past
+    * that records as parsed:null (it happened in round 8). Entries are
+    * priority-tiered; lower tiers are dropped whole when the budget would
+    * overflow, so the headline contract can never be truncated mid-grid. */
+  private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
+      mins: Seq[(String, Double)], suspects: Seq[String], ratioDrift: Seq[String],
+      sfDir: String, budget: Int = 1880): String = {
+    val rm = results.toMap
+    // tier 1: every headline median/counter (codec grid keeps dec+ratio);
+    // *_vs_parquet ratios are derivable from the two medians and ride tier 4
+    val tier1 = results.filterNot { case (k, _) =>
+      k.matches("codec_.*_enc_nspe|scan_.*_parquet_1file|size_.*_bytes|" +
+        "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
+    }
+    // tier 2: best-of-five mins for the headline timings
+    val tier2 = mins.collect { case (k, v) if headlineMin(k) => (k + "_min", v) }
+    // tier 3: codec encode grid; tier 4: derived/control extras
+    val tier3 = results.filter(_._1.matches("codec_.*_enc_nspe"))
+    val tier4 = results.filter { case (k, _) =>
+      k.matches("scan_.*_parquet_1file|size_.*_bytes|write_rows_per_sec|" +
+        "write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
+    }
+    def obj(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")
+    val suspectJson = suspects.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = ratioDrift.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
+    def line(entries: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${fmt6(total)},"unit":"sec","queries":${obj(entries)},""" +
+        s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
+        s""""codec_ratio_drift":$driftJson,"full":"bench_full.json","sf":"$sfDir"}"""
+    val tiers = Seq(tier1, tier1 ++ tier2, tier1 ++ tier2 ++ tier3,
+      tier1 ++ tier2 ++ tier3 ++ tier4)
+    tiers.reverse.find(t => line(t).length <= budget).map(line)
+      .getOrElse(line(tier1)) // tier 1 alone is sized well under budget
+  }
+
+  private def writeFullDump(results: Map[String, Double], mins: Map[String, Double],
+      suspects: Seq[String], ratioDrift: Seq[String], sfDir: String): Unit = {
+    try {
+      val all = results.toSeq.sortBy(_._1) ++
+        mins.toSeq.sortBy(_._1).map { case (k, v) => (k + "_min", v) }
+      val qs = all.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) -1.0 else v) }
+        .mkString("{", ",", "}")
+      val txt = s"""{"queries":$qs,"load_suspect":${suspects.nonEmpty},""" +
+        s""""suspect_metrics":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""codec_ratio_drift":${ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        txt.getBytes("UTF-8"))
+    } catch { case _: Exception => () } // best-effort side artifact
+  }
+
+  /** Codec ratios from the newest *parseable* committed BENCH_r*.json, for
+    * the drift-vs-previous-round assertion; empty when none is readable.
+    * An artifact the driver could not machine-read (its tail capture
+    * truncated the bench line, recorded as "parsed": null — round 8) is
+    * skipped in favor of the next older one: a driver-side truncation must
+    * never fail the spec that guards against it. */
   private[graft] def previousBenchRatios(dir: String = "."): Map[String, Double] = {
     try {
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (files.isEmpty) return Map.empty
-      val newest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-      val text = new String(java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
-      // the driver wraps the bench line in its own JSON (quotes escaped, or
-      // re-emitted with spaces) — accept both shapes
-      "\"(codec_\\w+_ratio)\\\\?\":\\s*([-0-9.eE+]+)".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
+      for (f <- files) {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val truncated = text.contains("\"parsed\": null") || text.contains("\"parsed\":null")
+        // the driver wraps the bench line in its own JSON (quotes escaped, or
+        // re-emitted with spaces) — accept both shapes
+        val ratios = "\"(codec_\\w+_ratio)\\\\?\":\\s*([-0-9.eE+]+)".r.findAllMatchIn(text)
+          .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption.map(m.group(1) -> _))
+          .toMap
+        if (!truncated && ratios.nonEmpty) return ratios
+      }
+      Map.empty
     } catch { case _: Exception => Map.empty }
   }
 }

@@ -44,4 +44,64 @@ class BenchSpec extends AnyFunSuite {
     // unreadable dir -> empty, never throws
     assert(Bench.previousBenchRatios("/nonexistent").isEmpty)
   }
+
+  test("previousBenchRatios skips a truncated artifact and falls back to the next parseable one") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, body.getBytes("UTF-8"))
+    // older round: complete, machine-readable
+    write("BENCH_r1.json",
+      """{"n":1,"tail":"...\"codec_random_ratio\":1.00001,\"codec_constant_ratio\":7.5e-6,\"sf\":0.1...","parsed":{"ok":true}}""")
+    // newest round: driver tail capture cut the line -> parsed: null (r8 shape);
+    // its surviving fragment even contains one ratio, which must NOT win
+    write("BENCH_r2.json",
+      """{"n":2,"tail":"\"codec_constant_ratio\":9.9,...cut...","parsed": null}""")
+    val ratios = Bench.previousBenchRatios(dir.getAbsolutePath)
+    assert(ratios("codec_random_ratio") == 1.00001)
+    assert(ratios("codec_constant_ratio") == 7.5e-6, "fell back past the truncated artifact")
+  }
+
+  test("fmt6 renders compact valid-JSON numbers at 6 significant digits") {
+    assert(Bench.fmt6(0.10567234567) == "0.105672")
+    assert(Bench.fmt6(1.9889730000000003) == "1.98897")
+    assert(Bench.fmt6(42.0) == "42.0")
+    assert(Bench.fmt6(7.5e-6) == "7.5e-6")
+    assert(Bench.fmt6(4198312.7) == "4.19831e6")
+    assert(Bench.fmt6(Double.NaN) == "-1.0")
+    // every shape must round-trip through a strict JSON parser
+    for (s <- Seq("0.105672", "1.98897", "42.0000", "7.5e-6", "4.19831e6"))
+      assert(java.lang.Double.parseDouble(s) > 0)
+  }
+
+  test("rendered bench line stays under the driver's 2000-char tail capture") {
+    // realistic full metric set: every key Bench.main records at sf0.1
+    val patterns = Seq("random", "narrow8", "constant", "mainly_const",
+      "runlength", "increasing", "lowcard64")
+    val heads = Seq("write_lineitem", "write_rows_per_sec", "write_parquet_sec",
+      "write_vs_parquet_ratio", "scan_full_nimble", "scan_full_parquet",
+      "scan_full_parquet_1file", "scan_full_vs_parquet_ratio", "scan_pruned_nimble",
+      "scan_pruned_parquet", "scan_pruned_parquet_1file", "agg_from_stats",
+      "point_probe_chunks_skipped", "point_probe_indexed", "point_probe_scan",
+      "size_nimble_bytes", "size_parquet_bytes", "encoded_size_ratio",
+      "q13_tpch_q1", "q14_tpch_q6", "q15_join_agg", "q16_window",
+      "x01_dedup_fingerprint", "x02_neardup_jaccard", "x05_embed_topk",
+      "x07_text_quality",
+      "scale_rows", "scale_write", "scale_scan_full", "scale_probe_chunks_skipped",
+      "scale_probe_indexed", "scale_probe_scan")
+    val results = heads.map(k => k -> 0.12345678912) ++
+      patterns.flatMap(p => Seq(s"codec_${p}_enc_nspe" -> 18.546478,
+        s"codec_${p}_dec_nspe" -> 1.9889730000000003, s"codec_${p}_ratio" -> 0.06555))
+    val mins = results.map { case (k, _) => k -> 0.1111111 }
+    val line = Bench.renderLine(3.14159, results, mins, Nil, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1880, s"line ${line.length} chars:\n$line")
+    // the headline contract always survives budgeting
+    for (k <- Seq("write_lineitem", "scan_full_nimble", "codec_random_ratio",
+      "codec_mainly_const_dec_nspe", "scale_probe_indexed", "x02_neardup_jaccard",
+      "scan_full_nimble_min"))
+      assert(line.contains("\"" + k + "\""), s"missing $k in:\n$line")
+    // worst case — every metric suspect, every ratio drifted — still fits
+    val worst = Bench.renderLine(3.14159, results, mins,
+      results.map(_._1), patterns.map(p => s"codec_${p}_ratio"), "/root/testdata/sf0.1")
+    assert(worst.length <= 1880, s"worst-case line ${worst.length} chars")
+  }
 }
