@@ -161,7 +161,9 @@ object Tablet {
     def merge(o: Stats): Unit = {
       valueCount += o.valueCount
       nullCount += o.nullCount
-      kind = o.kind
+      // a trailing stripe with default/empty stats must not clobber the
+      // accumulated kind (AggPushdown folds stripes in file order)
+      if (o.hasMinMax) kind = o.kind
       hasNaN ||= o.hasNaN
       if (o.hasMinMax) {
         if (!hasMinMax) {
@@ -630,7 +632,14 @@ object Tablet {
           }
           f.name
         }
-        val (comp, single) = indexColumns.toSeq.partition(_.contains("+"))
+        // '+' is the composite spec separator: an entry containing '+' is a
+        // composite UNLESS it exactly names a real column (so a column
+        // literally named with '+' still hash-indexes; such a column can
+        // never be a composite MEMBER — the #cidx:a+b stream key could not
+        // round-trip its name through the scan-side split)
+        def isRealColumn(name: String): Boolean =
+          schema.fields.exists(f => f.name == name || f.name.equalsIgnoreCase(name))
+        val (comp, single) = indexColumns.toSeq.partition(s => s.contains("+") && !isRealColumn(s))
         val composites = comp.sorted.map { spec =>
           val ms = spec.split("\\+").map(_.trim).filter(_.nonEmpty).map(resolve).toSeq
           if (ms.length < 2 || ms.distinct.length != ms.length)

@@ -46,6 +46,33 @@ class NimbleSource extends TableProvider with DataSourceRegister {
     // schema evolution (parquet parity): mergeSchema=true unions the fields
     // of every file's footer (first occurrence wins the type); files missing
     // a field read it as null. Default stays first-file (one footer read).
+    // nested merge (parquet parity): struct/array/map types union their
+    // children recursively — a struct column differing only by an added
+    // nested field merges (the evolution read path null-fills the absent
+    // child); genuinely conflicting LEAF types still fail fast, because
+    // silently picking one type reads the other files' bytes as garbage
+    def mergeType(path: String, a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x: StructType, y: StructType) =>
+        val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+        for (f <- x.fields) out(f.name) = f.copy(nullable = true)
+        for (f <- y.fields) out.get(f.name) match {
+          case None => out(f.name) = f.copy(nullable = true)
+          case Some(prev) => out(f.name) = prev.copy(
+            dataType = mergeType(s"$path.${f.name}", prev.dataType, f.dataType))
+        }
+        StructType(out.values.toSeq)
+      case (x: ArrayType, y: ArrayType) =>
+        ArrayType(mergeType(s"$path.element", x.elementType, y.elementType),
+          x.containsNull || y.containsNull)
+      case (x: MapType, y: MapType) =>
+        MapType(mergeType(s"$path.key", x.keyType, y.keyType),
+          mergeType(s"$path.value", x.valueType, y.valueType),
+          x.valueContainsNull || y.valueContainsNull)
+      case _ => throw new IllegalArgumentException(
+        s"nimble: mergeSchema: failed to merge incompatible data types for " +
+          s"column '$path': ${a.simpleString} and ${b.simpleString}")
+    }
     val base =
       if (options.getBoolean("mergeSchema", false)) {
         NimbleSource.prefetchFooters(files)
@@ -55,13 +82,8 @@ class NimbleSource extends TableProvider with DataSourceRegister {
                .asInstanceOf[StructType].fields)
           fields.get(fld.name) match {
             case None => fields(fld.name) = fld.copy(nullable = true)
-            case Some(prev) if prev.dataType != fld.dataType =>
-              // parquet behavior: fail fast — silently picking one type reads
-              // the other files' bytes as garbage
-              throw new IllegalArgumentException(
-                s"nimble: mergeSchema: failed to merge incompatible data types for " +
-                  s"column '${fld.name}': ${prev.dataType.simpleString} and ${fld.dataType.simpleString}")
-            case _ => ()
+            case Some(prev) => fields(fld.name) = prev.copy(
+              dataType = mergeType(fld.name, prev.dataType, fld.dataType))
           }
         StructType(fields.values.toSeq)
       } else DataType.fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
@@ -1153,10 +1175,15 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     }
     if (outRows < 0) // zero present projected columns but pushed filters ran
       outRows = if (selection != null) selection.length else chunkRowsHint
-    // absent (schema-evolved) fields null-fill to the batch's row count
+    // absent (schema-evolved) fields null-fill to the batch's row count;
+    // reserve first — vectors allocate at 16384 and putNulls does not grow,
+    // so a file written with rowsPerChunk > 16384 would overflow otherwise
     i = 0
     while (i < required.fields.length) {
-      if (fieldReaders(i) == null) reusableVecs(i).putNulls(0, outRows)
+      if (fieldReaders(i) == null) {
+        reusableVecs(i).reserve(outRows)
+        reusableVecs(i).putNulls(0, outRows)
+      }
       i += 1
     }
     reusableBatch.setNumRows(outRows)

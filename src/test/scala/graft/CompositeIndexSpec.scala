@@ -214,4 +214,33 @@ class CompositeIndexSpec extends SparkTestBase {
     }
     assert(chain(e2).exists(m => m.getMessage != null && m.getMessage.contains("no such column")), s"got $e2")
   }
+
+  test("a column literally named with '+' still gets a single hash index") {
+    import spark.implicits._
+    val dir = tmpDir("plus_name")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("a+b", "s")
+      .coalesce(1).write.format("nimble").option("indexColumns", "a+b")
+      .option("rowsPerChunk", "1").mode("overwrite").save(dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gft")).head
+    val ft = graft.spark.NimbleSource.footerOf(f.getPath)
+    assert(ft.streamKeys.contains(graft.format.Tablet.indexStreamKey("a+b")),
+      s"expected single hash index stream, got ${ft.streamKeys.mkString(",")}")
+    assert(!ft.streamKeys.exists(_.startsWith("#cidx:")),
+      "a real '+' column name must not parse as a composite spec")
+    val got = spark.read.format("nimble").load(dir)
+      .filter(org.apache.spark.sql.functions.col("`a+b`") === 2L)
+      .select("s").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("b"))
+  }
+
+  test("Stats.merge: a trailing empty-stats stripe does not clobber the accumulated kind") {
+    val a = new graft.format.Tablet.Stats()
+    a.mergeColumn(graft.format.LongsCol(Array(5L, 9L), graft.format.PhysType.I64))
+    val kind0 = a.kind
+    assert(a.hasMinMax && a.minLong == 5L && a.maxLong == 9L)
+    val empty = new graft.format.Tablet.Stats() // default: no min/max, default kind
+    a.merge(empty)
+    assert(a.kind == kind0, "empty merge must not overwrite kind")
+    assert(a.hasMinMax && a.minLong == 5L && a.maxLong == 9L)
+  }
 }

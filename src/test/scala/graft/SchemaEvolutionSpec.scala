@@ -71,6 +71,47 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }
   }
 
+  test("absent-column null fill survives chunks larger than the vector's initial capacity") {
+    // vectors allocate at 16384 and putNulls does not grow on its own — a
+    // file written with rowsPerChunk > 16384 read through an evolved schema
+    // exercised the unreserved path (ADVICE r8: ArrayIndexOutOfBounds)
+    val dir = tmpDir("evolve_bigchunk")
+    spark.range(40000).toDF("id")
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "30000")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("nimble").schema("id long, extra double").load(dir)
+    assert(df.count() == 40000L)
+    assert(df.filter(col("extra").isNull).count() == 40000L)
+    assert(df.select("extra").collect().forall(_.isNullAt(0)))
+  }
+
+  test("mergeSchema recursively merges structs differing by an added nested field") {
+    val dir = tmpDir("evolve_nested_merge")
+    spark.sql("SELECT id, named_struct('x', concat('v', id)) AS st FROM range(2)")
+      .coalesce(1).write.format("nimble").mode("append").save(dir)
+    spark.sql("SELECT id, named_struct('x', concat('w', id), 'y', id * 10) AS st FROM range(2, 4)")
+      .coalesce(1).write.format("nimble").mode("append").save(dir)
+    val df = spark.read.format("nimble").option("mergeSchema", "true").load(dir)
+    val st = df.schema("st").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("x", "y"), s"merged struct: $st")
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getStruct(1).getString(0)).toSeq == Seq("v0", "v1", "w2", "w3"))
+    assert(rows.take(2).forall(_.getStruct(1).isNullAt(1)), "old files null-fill the added nested field")
+    assert(rows.drop(2).map(_.getStruct(1).getLong(1)).toSeq == Seq(20L, 30L))
+    // conflicting nested LEAF types still fail fast
+    val dir2 = tmpDir("evolve_nested_conflict")
+    spark.sql("SELECT named_struct('x', 1L) AS st FROM range(1)")
+      .coalesce(1).write.format("nimble").mode("append").save(dir2)
+    spark.sql("SELECT named_struct('x', 1.5D) AS st FROM range(1)")
+      .coalesce(1).write.format("nimble").mode("append").save(dir2)
+    val e = intercept[Exception] {
+      spark.read.format("nimble").option("mergeSchema", "true").load(dir2).collect()
+    }
+    def chain(t: Throwable): List[Throwable] = if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("incompatible data types")), s"got $e")
+  }
+
   test("mergeSchema rejects same-name columns of different types (no silent garbage)") {
     val dir = tmpDir("evolve_conflict")
     Seq((1L, 5L)).toDF("id", "x")
