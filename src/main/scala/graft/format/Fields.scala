@@ -653,6 +653,12 @@ object Fields {
     def decodeRawDict(): Column = {
       val c = cursor.nextDict(); pending = c; c
     }
+    /** decodeRaw, but string chunks stay lazy (dict-preserved or
+      * FSST-encoded) — an aggregate fold over a selection then materializes
+      * survivors only (mid-scan agg, AggScan). */
+    def decodeRawLazy(): Column = {
+      val c = cursor.nextLazy(); pending = c; c
+    }
     /** Consume the next chunk without producing output. */
     def readChunkDiscard(): Unit = {
       if (pending != null) pending = null

@@ -59,95 +59,6 @@ object AggPushdown {
     Some(rows)
   }
 
-  /** Filtered variant (ValueHook-lite, reference:
-    * velox/selective/ColumnLoader.h:42,
-    * docs/develop/nimble_selective_reader.rst:756-769): answerable exactly
-    * when every stripe classifies as all-match (every row satisfies every
-    * pushed filter, per stats) or none-match (provably zero rows). A single
-    * mixed stripe refuses the pushdown and Spark falls back to the normal
-    * filtered scan — never a wrong answer. Still O(metadata): only footers
-    * and per-stripe directory stats are read. */
-  def tryComputeFiltered(agg: Aggregation, schema: StructType, files: Seq[String],
-      filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[InternalRow]] = {
-    if (filters.isEmpty) return tryCompute(agg, schema, files)
-    if (agg.groupByExpressions().nonEmpty) return None
-    val shapeOk = agg.aggregateExpressions().forall {
-      case _: CountStar => true
-      case c: Count if !c.isDistinct => colName(c.column()).exists(schema.fieldNames.contains)
-      case m: Min => colName(m.column()).exists(schema.fieldNames.contains)
-      case m: Max => colName(m.column()).exists(schema.fieldNames.contains)
-      case _ => false
-    }
-    if (!shapeOk || files.isEmpty) return None
-    NimbleSource.prefetchFooters(files)
-    val rows = files.map { f =>
-      rowForFileFiltered(agg, schema, f, filters).getOrElse(return None)
-    }
-    Some(rows)
-  }
-
-  private def rowForFileFiltered(agg: Aggregation, schema: StructType, file: String,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Option[InternalRow] = {
-    val footer = NimbleSource.footerOf(file)
-    val neededCols: Seq[String] = agg.aggregateExpressions().toSeq.flatMap {
-      case c: Count => colName(c.column())
-      case m: Min => colName(m.column())
-      case m: Max => colName(m.column())
-      case _ => None
-    }.distinct
-    val r = new Tablet.Reader(file, footer)
-    try {
-      // nanos-split columns: micros-stream min/max are not the logical value
-      agg.aggregateExpressions().foreach {
-        case m: Min if colName(m.column()).exists(n => r.nanosSplit(n)) => return None
-        case m: Max if colName(m.column()).exists(n => r.nanosSplit(n)) => return None
-        case _ => ()
-      }
-      if (neededCols.exists(n => r.keyId(n) < 0)) return None
-      var rowsMatched = 0L
-      val acc = scala.collection.mutable.HashMap[String, Tablet.Stats]()
-      var s = 0
-      while (s < footer.stripes.length) {
-        val statsOf: String => Option[Tablet.Stats] = name => Some(r.keyId(name)).filter(_ >= 0).map { id =>
-          val st = r.streamStats(s, id)
-          if (r.keyId(name + "#nanos") >= 0) Tablet.nanosScaledStats(st) else st
-        }
-        val bloomOf: String => Option[Tablet.Bloom] =
-          name => Some(r.keyId(name)).filter(_ >= 0)
-            .filterNot(_ => r.keyId(name + "#nanos") >= 0)
-            .flatMap(id => r.streamBloom(s, id))
-        if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) {
-          rowsMatched += footer.stripes(s).rowCount
-          for (n <- neededCols)
-            acc.getOrElseUpdate(n, Tablet.Stats()).merge(r.streamStats(s, r.keyId(n)))
-        } else if (!filters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf))) {
-          return None // mixed stripe: stats cannot answer exactly
-        }
-        s += 1
-      }
-      val values: Array[Any] = agg.aggregateExpressions().map {
-        case _: CountStar => java.lang.Long.valueOf(rowsMatched): Any
-        case c: Count =>
-          val st = acc.getOrElse(colName(c.column()).get, Tablet.Stats())
-          java.lang.Long.valueOf(st.valueCount - st.nullCount): Any
-        case m: Min =>
-          val n = colName(m.column()).get
-          statValue(acc.getOrElse(n, Tablet.Stats()), schema(n).dataType, isMin = true) match {
-            case Some(v) => v
-            case None => return None
-          }
-        case m: Max =>
-          val n = colName(m.column()).get
-          statValue(acc.getOrElse(n, Tablet.Stats()), schema(n).dataType, isMin = false) match {
-            case Some(v) => v
-            case None => return None
-          }
-        case other => throw new IllegalStateException(other.toString)
-      }
-      Some(new GenericInternalRow(values))
-    } finally r.close()
-  }
-
   /** Merge stripe stats into an accumulator (same semantics as the writer's
     * file-stats accumulation). A truncated (64B) byte extreme that wins the
     * comparison survives into the result and statValue then refuses —
@@ -186,8 +97,9 @@ object AggPushdown {
   }
 
   /** Exact stat value as a Catalyst internal value; None = cannot answer
-    * exactly. Returns Some(null) for an all-null column (correct partial). */
-  private def statValue(s: Tablet.Stats, dt: DataType, isMin: Boolean): Option[Any] = {
+    * exactly. Returns Some(null) for an all-null column (correct partial).
+    * Shared with the filtered mid-scan path (AggScan). */
+  private[spark] def statValue(s: Tablet.Stats, dt: DataType, isMin: Boolean): Option[Any] = {
     if (!s.hasMinMax) {
       // no non-null, non-NaN values in this file
       return if (s.hasNaN) None else Some(null)

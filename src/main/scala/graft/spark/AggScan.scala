@@ -1,0 +1,526 @@
+package graft.spark
+
+import graft.format.{Fields, GraftIO, Tablet}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mid-scan filtered aggregation (ValueHook proper — reference:
+  * velox/selective/ColumnLoader.h:42,
+  * docs/develop/nimble_selective_reader.rst:756-769).
+  *
+  * The driver classifies every stripe against the pushed filters:
+  * none-match stripes drop, all-match stripes answer from footer stats
+  * (O(metadata), as before), and MIXED stripes — where stats alone cannot
+  * answer — now run a dedicated scan that aggregates DURING decode: filter
+  * columns decode and build a selection, then survivors feed the
+  * COUNT/MIN/MAX accumulator directly. Aggregate-only columns never fill an
+  * output vector, and chunks the per-chunk stats fully classify never decode
+  * at all. Each task emits ONE partial row; Spark's final aggregation merges
+  * partials exactly as it merges the stats partials.
+  *
+  * Exactness is preserved everywhere: values folded from decode are exact by
+  * construction (NaN ordering matches Spark's NaN-greatest, string compare
+  * is binary), and a file whose all-match stripes can't answer from stats
+  * (possible NaN, truncated 64-byte string bounds) degrades those stripes to
+  * the decode path instead of refusing the pushdown.
+  */
+object AggScan {
+
+  /** Chunks inside mixed stripes fully answered by chunk stats (no decode). */
+  val aggChunksStatsAnswered = new java.util.concurrent.atomic.AtomicLong()
+  /** Chunks inside mixed stripes that decoded at least the filter columns. */
+  val aggChunksDecoded = new java.util.concurrent.atomic.AtomicLong()
+
+  // -------------------------------------------------------- serializable ops
+  sealed trait AggOp extends Serializable { def col: String }
+  final case class CountStarOp() extends AggOp { def col: String = null }
+  final case class CountOp(col: String, dt: DataType) extends AggOp
+  final case class MinOp(col: String, dt: DataType) extends AggOp
+  final case class MaxOp(col: String, dt: DataType) extends AggOp
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames().length == 1 => Some(n.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Min/Max value domain the exact fold supports (same set statValue can
+    * emit; decimals/booleans/nested refuse — Spark falls back). */
+  private def minMaxOk(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | DateType | LongType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType | BinaryType => true
+    case _ => false
+  }
+  private def atomic(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  }
+
+  /** Shape gate: the supported AggOp list, or None. */
+  def opsOf(agg: Aggregation, schema: StructType): Option[Array[AggOp]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val ops: Array[AggOp] = agg.aggregateExpressions().map {
+      case _: CountStar => CountStarOp()
+      case c: Count if !c.isDistinct =>
+        val n = colName(c.column()).getOrElse(return None)
+        val f = schema.fields.find(_.name == n).getOrElse(return None)
+        if (!atomic(f.dataType)) return None
+        CountOp(f.name, f.dataType)
+      case m: Min =>
+        val n = colName(m.column()).getOrElse(return None)
+        val f = schema.fields.find(_.name == n).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        MinOp(f.name, f.dataType)
+      case m: Max =>
+        val n = colName(m.column()).getOrElse(return None)
+        val f = schema.fields.find(_.name == n).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        MaxOp(f.name, f.dataType)
+      case _ => return None
+    }
+    Some(ops)
+  }
+
+  /** Classify every stripe of every file. Returns (stats partial rows,
+    * mixed stripes with byte sizes), or None when the pushdown must be
+    * refused outright (unsupported shape, aggregate column missing from a
+    * file, nanos-split aggregate column). */
+  def plan(ops: Array[AggOp], schema: StructType, files: Seq[String],
+      filters: Array[Filter]): Option[(Seq[InternalRow], Seq[(NimbleStripePartition, Long)])] = {
+    val neededCols = ops.flatMap(o => Option(o.col)).distinct
+    NimbleSource.prefetchFooters(files)
+    val partials = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    val mixed = scala.collection.mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
+    for (f <- files) {
+      val footer = NimbleSource.footerOf(f)
+      val r = new Tablet.Reader(f, footer)
+      try {
+        // aggregate columns must be present and directly stats-backed; a
+        // nanos-split column's micros stats are not the logical value and
+        // its decode shape differs — refuse (same contract as before)
+        if (neededCols.exists(n => r.keyId(n) < 0 || r.nanosSplit(n))) return None
+        var rowsMatched = 0L
+        val acc = scala.collection.mutable.HashMap[String, Tablet.Stats]()
+        val allMatchIdx = scala.collection.mutable.ArrayBuffer[Int]()
+        val mixedIdx = scala.collection.mutable.ArrayBuffer[Int]()
+        var s = 0
+        while (s < footer.stripes.length) {
+          val statsOf: String => Option[Tablet.Stats] =
+            name => Some(r.keyId(name)).filter(_ >= 0).map { id =>
+              val st = r.streamStats(s, id)
+              if (r.keyId(name + "#nanos") >= 0) Tablet.nanosScaledStats(st) else st
+            }
+          val bloomOf: String => Option[Tablet.Bloom] =
+            name => Some(r.keyId(name)).filter(_ >= 0)
+              .filterNot(_ => r.keyId(name + "#nanos") >= 0)
+              .flatMap(id => r.streamBloom(s, id))
+          if (filters.forall(f2 => Filters.allMatchStripe(f2, statsOf))) {
+            rowsMatched += footer.stripes(s).rowCount
+            allMatchIdx += s
+            for (n <- neededCols)
+              acc.getOrElseUpdate(n, Tablet.Stats()).merge(r.streamStats(s, r.keyId(n)))
+          } else if (!filters.exists(f2 => Filters.pruneStripe(f2, statsOf, bloomOf))) {
+            mixedIdx += s
+          }
+          s += 1
+        }
+        // stats partial for the all-match set; if any op can't answer exactly
+        // from the accumulated stats, degrade the WHOLE all-match set of this
+        // file to the decode path — exact either way
+        if (allMatchIdx.nonEmpty) {
+          statsPartialRow(ops, schema, rowsMatched, acc) match {
+            case Some(row) => partials += row
+            case None => mixedIdx ++= allMatchIdx
+          }
+        }
+        for (s2 <- mixedIdx.sorted)
+          mixed += ((NimbleStripePartition(f, s2), footer.stripes(s2).length))
+      } finally r.close()
+    }
+    Some((partials.toSeq, mixed.toSeq))
+  }
+
+  private def statsPartialRow(ops: Array[AggOp], schema: StructType, rowsMatched: Long,
+      acc: scala.collection.mutable.HashMap[String, Tablet.Stats]): Option[InternalRow] = {
+    val values: Array[Any] = ops.map {
+      case CountStarOp() => java.lang.Long.valueOf(rowsMatched): Any
+      case CountOp(c, _) =>
+        val st = acc.getOrElse(c, Tablet.Stats())
+        java.lang.Long.valueOf(st.valueCount - st.nullCount): Any
+      case MinOp(c, dt) =>
+        AggPushdown.statValue(acc.getOrElse(c, Tablet.Stats()), dt, isMin = true)
+          .getOrElse(return None)
+      case MaxOp(c, dt) =>
+        AggPushdown.statValue(acc.getOrElse(c, Tablet.Stats()), dt, isMin = false)
+          .getOrElse(return None)
+    }
+    Some(new GenericInternalRow(values))
+  }
+}
+
+// ---------------------------------------------------------------- the scan
+
+/** Distributed filtered-aggregate scan: one synthetic partition carries the
+  * driver's stats partials; mixed stripes bin-pack into tasks exactly like
+  * the normal scan (same split-target formula), each emitting one partial
+  * row folded during decode. */
+class NimbleAggBatchScan(path: String, dataSchema: StructType, out: StructType,
+    ops: Array[AggScan.AggOp], filters: Array[Filter],
+    statsPartials: Seq[InternalRow], mixed: Seq[(NimbleStripePartition, Long)])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"nimble mid-scan-agg path=$path (${statsPartials.length} stats partials, " +
+      s"${mixed.length} mixed stripes)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    if (statsPartials.nonEmpty)
+      parts += NimbleAggStatsPartition(statsPartials.toArray)
+    // bin-pack mixed stripes with the normal scan's split-target formula so
+    // parallelism matches what the fallback scan would have had
+    val (maxPartBytes, minPartBytes, parallelism) = {
+      try {
+        val s = org.apache.spark.sql.SparkSession.active
+        (s.conf.get("spark.sql.files.maxPartitionBytes", "134217728").toLong,
+          s.conf.get("spark.graft.scan.minPartitionBytes", "2097152").toLong,
+          s.sparkContext.defaultParallelism)
+      } catch { case _: Throwable => (134217728L, 2097152L, 8) }
+    }
+    val totalBytes = mixed.iterator.map(_._2).sum
+    val target = math.min(maxPartBytes,
+      math.max(minPartBytes, totalBytes / math.max(parallelism, 1) + 1))
+    val bin = scala.collection.mutable.ArrayBuffer[NimbleStripePartition]()
+    var binBytes = 0L
+    for ((sp, bytes) <- mixed) {
+      if (binBytes > 0 && binBytes + bytes > target) {
+        parts += NimbleAggStripesPartition(bin.toArray); bin.clear(); binBytes = 0
+      }
+      bin += sp; binBytes += bytes
+    }
+    if (bin.nonEmpty) parts += NimbleAggStripesPartition(bin.toArray)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NimbleAggReaderFactory(dataSchema, ops, filters, GraftIO.broadcastConf())
+}
+
+case class NimbleAggStatsPartition(rows: Array[InternalRow]) extends InputPartition
+case class NimbleAggStripesPartition(items: Array[NimbleStripePartition]) extends InputPartition
+
+class NimbleAggReaderFactory(dataSchema: StructType, ops: Array[AggScan.AggOp],
+    filters: Array[Filter],
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    GraftIO.installConf(hadoopConf)
+    partition match {
+      case NimbleAggStatsPartition(rows) => new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+      case NimbleAggStripesPartition(items) =>
+        new NimbleAggStripeReader(items, dataSchema, ops, filters)
+    }
+  }
+}
+
+/** Folds COUNT/MIN/MAX over the surviving rows of a set of mixed stripes,
+  * one partial row per task. Filter columns decode exactly as in the normal
+  * selective scan (dict-preserving strings, chunk-stats + index chunk
+  * skipping); aggregate-only columns decode raw and feed the accumulator —
+  * no output vectors exist at all. */
+class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: StructType,
+    ops: Array[AggScan.AggOp], filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  import AggScan._
+
+  private val aggCols: Array[String] = ops.flatMap(o => Option(o.col)).distinct
+  // one accumulator slot per op
+  private var countStar = 0L
+  private val counts = new Array[Long](ops.length)
+  private val present = new Array[Boolean](ops.length)
+  private val longs = new Array[Long](ops.length)
+  private val dbls = new Array[Double](ops.length)
+  private val byts = new Array[Array[Byte]](ops.length)
+
+  private var emittedRow = false
+
+  // ---- per-value folds -----------------------------------------------
+  private def foldLong(i: Int, isMin: Boolean, v: Long): Unit =
+    if (!present(i)) { present(i) = true; longs(i) = v }
+    else if (isMin == (v < longs(i)) && v != longs(i)) longs(i) = v
+
+  private def foldDouble(i: Int, isMin: Boolean, v: Double): Unit = {
+    // Spark ordering: NaN sorts greatest (java.lang.Double.compare agrees)
+    if (!present(i)) { present(i) = true; dbls(i) = v }
+    else {
+      val c = java.lang.Double.compare(v, dbls(i))
+      if (if (isMin) c < 0 else c > 0) dbls(i) = v
+    }
+  }
+
+  private def foldBytes(i: Int, isMin: Boolean, v: Array[Byte]): Unit =
+    if (!present(i)) { present(i) = true; byts(i) = v }
+    else {
+      val c = Tablet.compareBytes(v, byts(i))
+      if (if (isMin) c < 0 else c > 0) byts(i) = v
+    }
+
+  private def bytesAt(col: graft.format.Column, row: Int): Array[Byte] = col match {
+    case b: graft.format.BytesCol => b(row)
+    case d: graft.format.DictBytesCol => d.alphabet(d.indices(row))
+    case l: graft.format.LazyFsstBytesCol =>
+      val out = new graft.format.ByteSink(); l.decodeRow(row, out); out.toArray
+    case other => throw new IllegalStateException(s"nimble: agg fold over ${other.getClass}")
+  }
+
+  /** Fold op `i` over the selected rows of a decoded column (selection null
+    * = every row). */
+  private def foldColumn(i: Int, op: AggOp, col: graft.format.Column,
+      selection: Array[Int], chunkRows: Int): Unit = {
+    val nulls = col.nulls
+    val m = if (selection != null) selection.length else chunkRows
+    op match {
+      case CountOp(_, _) =>
+        var k = 0
+        while (k < m) {
+          val row = if (selection != null) selection(k) else k
+          if (nulls == null || !nulls(row)) counts(i) += 1
+          k += 1
+        }
+      case MinOp(_, dt) => foldMinMax(i, isMin = true, dt, col, selection, chunkRows)
+      case MaxOp(_, dt) => foldMinMax(i, isMin = false, dt, col, selection, chunkRows)
+      case CountStarOp() => ()
+    }
+  }
+
+  private def foldMinMax(i: Int, isMin: Boolean, dt: DataType, col: graft.format.Column,
+      selection: Array[Int], chunkRows: Int): Unit = {
+    val nulls = col.nulls
+    val m = if (selection != null) selection.length else chunkRows
+    var k = 0
+    while (k < m) {
+      val row = if (selection != null) selection(k) else k
+      if (nulls == null || !nulls(row)) col match {
+        case l: graft.format.LongsCol => foldLong(i, isMin, l.values(row))
+        case d: graft.format.DoublesCol => foldDouble(i, isMin, d.values(row))
+        case _ => foldBytes(i, isMin, bytesAt(col, row))
+      }
+      k += 1
+    }
+  }
+
+  /** Fold a whole chunk from its stats; caller verified answerability. */
+  private def foldChunkStats(chunkRows: Long,
+      statsOf: String => Option[Tablet.Stats]): Unit = {
+    countStar += chunkRows
+    var i = 0
+    while (i < ops.length) {
+      ops(i) match {
+        case CountOp(c, _) =>
+          val st = statsOf(c).get
+          counts(i) += st.valueCount - st.nullCount
+        case MinOp(c, dt) => foldStatsValue(i, isMin = true, dt, statsOf(c).get)
+        case MaxOp(c, dt) => foldStatsValue(i, isMin = false, dt, statsOf(c).get)
+        case CountStarOp() => ()
+      }
+      i += 1
+    }
+  }
+
+  private def foldStatsValue(i: Int, isMin: Boolean, dt: DataType, st: Tablet.Stats): Unit =
+    if (st.hasMinMax) dt match {
+      case FloatType | DoubleType => foldDouble(i, isMin, if (isMin) st.minDouble else st.maxDouble)
+      case StringType | BinaryType => foldBytes(i, isMin, if (isMin) st.minBytes else st.maxBytes)
+      case _ => foldLong(i, isMin, if (isMin) st.minLong else st.maxLong)
+    }
+
+  /** Can chunk stats answer op `i` exactly? (mirrors AggPushdown.statValue) */
+  private def statsAnswerable(op: AggOp, statsOf: String => Option[Tablet.Stats]): Boolean =
+    op match {
+      case CountStarOp() => true
+      case CountOp(c, _) => statsOf(c).isDefined
+      case MinOp(c, dt) => statsOf(c).exists(st => statsValueOk(st, dt, isMin = true))
+      case MaxOp(c, dt) => statsOf(c).exists(st => statsValueOk(st, dt, isMin = false))
+    }
+
+  private def statsValueOk(st: Tablet.Stats, dt: DataType, isMin: Boolean): Boolean = {
+    if (!st.hasMinMax) return !st.hasNaN // all-null chunk contributes nothing
+    dt match {
+      case FloatType | DoubleType => isMin || !st.hasNaN
+      case StringType | BinaryType =>
+        val b = if (isMin) st.minBytes else st.maxBytes
+        b != null && b.length < 64 // >=64 may be truncated
+      case _ => true
+    }
+  }
+
+  // ------------------------------------------------------------ scan loop
+  private def scanStripe(file: String, stripe: Int): Unit = {
+    val reader = new Tablet.Reader(file, NimbleSource.footerOf(file))
+    try {
+      val footerKeySet: Fields.KeyProbe = reader.keyProbe
+      val aggStruct = StructType(aggCols.flatMap(c => dataSchema.fields.find(_.name == c)))
+      val neededKeys = NimbleSource.neededStreamKeys(footerKeySet, dataSchema, aggStruct, filters)
+      if (neededKeys.isEmpty) {
+        // pure count(*) with every filter column absent from this file:
+        // filters are row-constant over nulls
+        val pass = filters.forall(f => Filters.compile(f,
+          n => dataSchema(n).dataType,
+          n => NimbleSource.nullColumn(dataSchema(n).dataType, 1))(0))
+        if (pass) countStar += reader.footer.stripes(stripe).rowCount
+        return
+      }
+      val streamBytes = NimbleSource.readNeededStreams(reader, stripe, neededKeys, file)
+      val cursors: Map[String, Tablet.ChunkCursor] =
+        streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+      val filterCols = filters.flatMap(_.references).distinct
+      val readers: Map[String, Fields.FieldReader] =
+        (filterCols ++ aggCols).distinct.filter(c => reader.keyId(c) >= 0).map { c =>
+          val rdr: Fields.FieldReader =
+            if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
+            else new Fields.PrimR(c, dataSchema(c).dataType, cursors(_))
+          c -> rdr
+        }.toMap
+      val anchor = cursors(neededKeys.head)
+      val indexChunks = NimbleSource.indexCandidateChunks(reader, stripe, filters)
+      var chunkOrd = 0
+
+      while (anchor.hasNext) {
+        val statsOf: String => Option[Tablet.Stats] =
+          name => cursors.get(name).flatMap(_.peekStats()).map { st =>
+            if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+          }
+        val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
+        chunkOrd += 1
+        val pruned = indexPruned ||
+          filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))
+        if (pruned) {
+          cursors.valuesIterator.foreach(_.skip())
+          NimbleSource.chunksSkipped.incrementAndGet()
+        } else if (filters.forall(f => Filters.allMatchStripe(f, statsOf)) &&
+            ops.forall(op => statsAnswerable(op, statsOf)) &&
+            anchor.peekStats().isDefined) {
+          // whole chunk classifies all-match and every op answers from chunk
+          // stats: fold metadata, decode nothing
+          foldChunkStats(anchor.peekStats().get.valueCount, statsOf)
+          cursors.valuesIterator.foreach(_.skip())
+          AggScan.aggChunksStatsAnswered.incrementAndGet()
+        } else {
+          decodeAndFold(readers, cursors, filterCols, statsOf)
+          AggScan.aggChunksDecoded.incrementAndGet()
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def decodeAndFold(readers: Map[String, Fields.FieldReader],
+      cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
+      statsOf: String => Option[Tablet.Stats]): Unit = {
+    // decode filter columns (dict-preserving strings, like the normal scan)
+    def decodeCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
+      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
+          dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+      case other => other.decodeRaw()
+    }
+    val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
+    for (c <- filterCols; r <- readers.get(c)) decoded(c) = decodeCol(c, r)
+    val chunkRows =
+      if (decoded.nonEmpty) decoded.valuesIterator.next().len
+      else statsOf(aggCols.head).map(_.valueCount.toInt).getOrElse(
+        throw new IllegalStateException("nimble: agg chunk without stats"))
+    val colOf: String => graft.format.Column = name =>
+      decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
+    val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
+    var m = 0
+    val sel = new Array[Int](chunkRows)
+    var i = 0
+    while (i < chunkRows) {
+      var ok = true
+      var j = 0
+      while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
+      if (ok) { sel(m) = i; m += 1 }
+      i += 1
+    }
+    val selection: Array[Int] =
+      if (m == chunkRows) null else java.util.Arrays.copyOf(sel, m)
+    countStar += m
+    // aggregate columns: reuse the filter-decoded chunk when shared; decode
+    // raw otherwise; when nothing survived, just consume the chunk
+    val needAgg = m > 0
+    for (c <- aggCols) {
+      if (!decoded.contains(c)) {
+        val r = readers(c)
+        if (needAgg) decoded(c) = r match {
+          case p: Fields.PrimR if dataSchema(c).dataType == StringType ||
+              dataSchema(c).dataType == BinaryType => p.decodeRawLazy()
+          case other => other.decodeRaw()
+        }
+        else r match {
+          case p: Fields.PrimR => p.readChunkDiscard()
+          case t: Fields.TsNanosR => t.readChunkDiscard()
+          case other => throw new IllegalStateException(s"nimble: agg reader ${other.getClass}")
+        }
+      }
+    }
+    if (needAgg) {
+      var oi = 0
+      while (oi < ops.length) {
+        val op = ops(oi)
+        if (op.col != null) foldColumn(oi, op, decoded(op.col), selection, chunkRows)
+        oi += 1
+      }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (emittedRow) return false
+    var i = 0
+    while (i < items.length) {
+      scanStripe(items(i).file, items(i).stripe)
+      i += 1
+    }
+    emittedRow = true
+    true
+  }
+
+  override def get(): InternalRow = {
+    val values: Array[Any] = ops.zipWithIndex.map {
+      case (CountStarOp(), _) => java.lang.Long.valueOf(countStar): Any
+      case (CountOp(_, _), i) => java.lang.Long.valueOf(counts(i)): Any
+      case (MinOp(_, dt), i) => emitValue(i, dt)
+      case (MaxOp(_, dt), i) => emitValue(i, dt)
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def emitValue(i: Int, dt: DataType): Any =
+    if (!present(i)) null
+    else dt match {
+      case ByteType => java.lang.Byte.valueOf(longs(i).toByte)
+      case ShortType => java.lang.Short.valueOf(longs(i).toShort)
+      case IntegerType | DateType => java.lang.Integer.valueOf(longs(i).toInt)
+      case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(longs(i))
+      case FloatType => java.lang.Float.valueOf(dbls(i).toFloat)
+      case DoubleType => java.lang.Double.valueOf(dbls(i))
+      case StringType => UTF8String.fromBytes(byts(i))
+      case BinaryType => byts(i)
+      case other => throw new IllegalStateException(s"nimble: agg emit $other")
+    }
+
+  override def close(): Unit = ()
+}

@@ -597,28 +597,45 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
 
   private var aggOut: StructType = null
   private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
+  private var aggOps: Array[AggScan.AggOp] = null
+  private var aggPartials: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
+  private var aggMixed: Seq[(NimbleStripePartition, Long)] = null
 
-  /** Footer-stats aggregate pushdown (COUNT/MIN/MAX, no group-by); partial
-    * rows are computed on the driver and never touch data bytes. With pushed
-    * filters, answered only when every stripe classifies all-match or
-    * none-match per stats (ValueHook-lite). Refused (false) whenever stats
-    * cannot answer exactly. */
+  /** Aggregate pushdown (COUNT/MIN/MAX, no group-by). Without filters the
+    * partial rows come straight from footer stats on the driver — zero data
+    * bytes. With pushed filters, the driver classifies stripes: all-match
+    * stripes answer from stats, none-match stripes drop, and MIXED stripes
+    * aggregate during the scan's decode loop (ValueHook proper — survivors
+    * feed the accumulator, no output vectors). Refused (false) only when the
+    * aggregate shape itself is unsupported. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     val files = NimbleSource.listFiles(path)
-    val result =
-      if (pushed.isEmpty) AggPushdown.tryCompute(agg, dataSchema, files)
-      else AggPushdown.tryComputeFiltered(agg, dataSchema, files, pushed)
-    result match {
-      case Some(rows) =>
-        aggOut = AggPushdown.outputSchema(agg, dataSchema)
-        aggRows = rows
-        true
-      case None => false
+    if (pushed.isEmpty) {
+      AggPushdown.tryCompute(agg, dataSchema, files) match {
+        case Some(rows) =>
+          aggOut = AggPushdown.outputSchema(agg, dataSchema)
+          aggRows = rows
+          true
+        case None => false
+      }
+    } else AggScan.opsOf(agg, dataSchema) match {
+      case Some(ops) if files.nonEmpty =>
+        AggScan.plan(ops, dataSchema, files, pushed) match {
+          case Some((partials, mixed)) =>
+            aggOut = AggPushdown.outputSchema(agg, dataSchema)
+            if (mixed.isEmpty) aggRows = partials // pure-stats: LocalScan
+            else { aggOps = ops; aggPartials = partials; aggMixed = mixed }
+            true
+          case None => false
+        }
+      case _ => false
     }
   }
 
   override def build(): Scan =
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
+    else if (aggMixed != null)
+      new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials, aggMixed)
     else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger)
 }
 

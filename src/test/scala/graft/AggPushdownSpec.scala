@@ -39,19 +39,75 @@ class AggPushdownSpec extends SparkTestBase {
     assert(r.isNullAt(2))
   }
 
-  test("filtered aggregate with mixed stripes falls back and stays correct") {
+  test("filtered aggregate with mixed stripes aggregates during the scan (ValueHook)") {
     val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val dir = tmpDir("aggfil")
     pq.write.format("nimble").mode("overwrite").save(dir)
     val nb = spark.read.format("nimble").load(dir)
-    val agg = nb.filter(col("l_quantity") > 45).agg(count(lit(1)))
-    val got = agg.collect()(0).getLong(0)
-    val exp = pq.filter(col("l_quantity") > 45).count()
-    assert(got == exp)
-    // l_quantity is uniform within stripes: no stripe is all-match, so the
-    // ValueHook-lite path must refuse and plan a real scan
+    // l_quantity is uniform within stripes: no stripe is all-match, so every
+    // surviving stripe runs the mid-scan accumulator path
+    val dec0 = graft.spark.AggScan.aggChunksDecoded.get()
+    val agg = nb.filter(col("l_quantity") > 45)
+      .agg(count(lit(1)).as("cnt"), min("l_orderkey").as("mn"),
+        max("l_extendedprice").as("mx"), min("l_returnflag").as("mc"))
+    val exp = pq.filter(col("l_quantity") > 45)
+      .agg(count(lit(1)), min("l_orderkey"), max("l_extendedprice"), min("l_returnflag")).collect()(0)
+    assert(agg.collect()(0).toSeq == exp.toSeq)
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > dec0,
+      "mixed stripes must flow through the mid-scan agg reader")
     val plan = agg.queryExecution.executedPlan.toString
-    assert(!plan.contains("LocalTableScan"), s"mixed stripes must not push:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"mixed stripes are not a stats-only answer:\n$plan")
+  }
+
+  test("mid-scan agg: interior chunks answer from chunk stats, boundaries decode, outside skips") {
+    // one file, ascending id, 4096-row chunks: a range filter cut mid-chunk
+    // classifies interior chunks all-match (fold stats, zero decode),
+    // boundary chunks decode+select, outside chunks skip entirely
+    val dir = tmpDir("aggvh")
+    spark.range(40960).select(col("id"),
+        (col("id") % 7).cast("double").as("d"),
+        concat(lit("s"), lpad(col("id").cast("string"), 8, "0")).as("s"))
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val statsC0 = graft.spark.AggScan.aggChunksStatsAnswered.get()
+    val decC0 = graft.spark.AggScan.aggChunksDecoded.get()
+    val skip0 = graft.spark.NimbleSource.chunksSkipped.get()
+    val r = nb.filter(col("id") >= 6000L && col("id") < 30000L)
+      .agg(count(lit(1)).as("cnt"), count("d").as("cd"), min("id").as("mn"),
+        max("id").as("mx"), max("d").as("md"), min("s").as("ms"), max("s").as("mxs"))
+      .collect()(0)
+    assert(r.toSeq == Seq(24000L, 24000L, 6000L, 29999L, 6.0, "s00006000", "s00029999"),
+      s"got $r")
+    val statsAnswered = graft.spark.AggScan.aggChunksStatsAnswered.get() - statsC0
+    val decoded = graft.spark.AggScan.aggChunksDecoded.get() - decC0
+    val skipped = graft.spark.NimbleSource.chunksSkipped.get() - skip0
+    // 10 chunks total: [6000,30000) covers chunks 1..7 fully (all-match),
+    // cuts chunk 1(6000..8191) and 7(28672..29999)... boundaries decode,
+    // interiors fold from stats, chunks 0,8,9 skip
+    assert(statsAnswered >= 4, s"interior chunks must answer from stats: $statsAnswered")
+    assert(decoded <= 3, s"only boundary chunks may decode: $decoded")
+    assert(skipped >= 2, s"outside chunks must skip: $skipped")
+  }
+
+  test("mid-scan agg: NaN max and all-null columns stay exact on mixed/degraded stripes") {
+    import spark.implicits._
+    // id filter is all-match for the whole (single-stripe) file, but
+    // max(d) cannot answer from stats (NaN possible) -> the stripe DEGRADES
+    // to the decode path and folds the exact NaN; n is all-null
+    val df = Seq((1L, Double.NaN, null: java.lang.Long), (2L, 1.5, null: java.lang.Long),
+      (3L, -7.25, null: java.lang.Long)).toDF("id", "d", "n")
+    val dir = tmpDir("aggvhnan")
+    df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val dec0 = graft.spark.AggScan.aggChunksDecoded.get()
+    val r = nb.filter(col("id") >= 1L)
+      .agg(max("d"), min("d"), max("n"), count("n"), count(lit(1))).collect()(0)
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1) == -7.25)
+    assert(r.isNullAt(2) && r.getLong(3) == 0L && r.getLong(4) == 3L)
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > dec0,
+      "NaN-poisoned stats must degrade to the decode fold")
   }
 
   test("filtered count/min/max answered from stats when stripes align (ValueHook-lite)") {
@@ -85,7 +141,8 @@ class AggPushdownSpec extends SparkTestBase {
     assert(aggEq.collect()(0).toSeq == expEq.toSeq)
     assert(aggEq.queryExecution.executedPlan.toString.contains("LocalTableScan"))
 
-    // an unaligned filter has a mixed stripe: falls back, still correct
+    // an unaligned filter has one mixed stripe: its partial folds during the
+    // scan while the aligned files still answer from stats — correct either way
     val aggMix = nb.filter(col("id") >= 15000L).agg(count(lit(1)), min("v"))
     val expMix = base.filter(col("id") >= 15000L).agg(count(lit(1)), min("v")).collect()(0)
     assert(aggMix.collect()(0).toSeq == expMix.toSeq)
