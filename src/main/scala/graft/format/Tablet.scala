@@ -1132,6 +1132,8 @@ object Tablet {
   // --------------------------------------------------------------- reader
 
   final class Reader(path: String, cachedFooter: Footer = null) extends AutoCloseable {
+    /** The file this reader serves (block-cache key component). */
+    def filePath: String = path
     // lazy open: with a cached footer and a warm directory cache a Reader
     // performs no I/O at all (planning over cached metadata)
     private var fileOpt: GraftIO.SeekableInput = null

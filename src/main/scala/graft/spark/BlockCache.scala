@@ -1,0 +1,68 @@
+package graft.spark
+
+/** Executor-local stream-block cache (AsyncDataCache analog — reference:
+  * docs/develop/velox_cache_and_nimble_datapath.rst: Velox's block cache
+  * fronts Nimble's stream loads so repeated queries over the same files
+  * serve decode input from memory).
+  *
+  * Bounded LRU of stream byte ranges keyed (file, mtime, length, stripe,
+  * stream key); the footer cache already follows the same mtime-invalidation
+  * pattern, and length rides in the key as a second overwrite guard for
+  * coarse-mtime filesystems. Entries are immutable byte arrays (ChunkCursor
+  * never mutates its input), so tasks share them freely.
+  *
+  * Capacity comes from `spark.graft.scan.blockCacheBytes` (default 256 MB,
+  * 0 disables); a single block larger than 1/8 of capacity is never cached
+  * so one giant stream cannot evict the whole working set. At 100 TB the
+  * win is interactive/repeated workloads on remote storage: stripe i's
+  * stream bytes survive across tasks AND across queries in the same
+  * executor, where the one-ahead prefetch only overlaps within a task.
+  */
+object BlockCache {
+  final case class Key(file: String, mtime: Long, length: Long, stripe: Int, stream: String)
+
+  val hits = new java.util.concurrent.atomic.AtomicLong()
+  val misses = new java.util.concurrent.atomic.AtomicLong()
+
+  @volatile private var capacity: Long = -1L
+  private def cap: Long = {
+    if (capacity < 0) capacity = {
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.scan.blockCacheBytes", (256L << 20).toString).toLong
+      catch { case _: Throwable => 256L << 20 }
+    }
+    capacity
+  }
+  def enabled: Boolean = cap > 0
+
+  private var totalBytes = 0L
+  private val lru = new java.util.LinkedHashMap[Key, Array[Byte]](256, 0.75f, true)
+
+  def getOrLoad(key: Key)(load: => Array[Byte]): Array[Byte] = {
+    lru.synchronized {
+      val hit = lru.get(key)
+      if (hit != null) { hits.incrementAndGet(); return hit }
+    }
+    misses.incrementAndGet()
+    val bytes = load // outside the lock: concurrent duplicate loads beat a stalled cache
+    if (bytes.length <= cap / 8) lru.synchronized {
+      val prev = lru.put(key, bytes)
+      totalBytes += bytes.length - (if (prev != null) prev.length.toLong else 0L)
+      val it = lru.entrySet().iterator()
+      while (totalBytes > cap && it.hasNext) {
+        val eldest = it.next()
+        totalBytes -= eldest.getValue.length
+        it.remove()
+      }
+    }
+    bytes
+  }
+
+  /** Test/ops hook: drop everything and reread capacity from the session. */
+  def clear(): Unit = lru.synchronized {
+    lru.clear(); totalBytes = 0L; capacity = -1L
+  }
+
+  /** Current resident bytes (observability). */
+  def residentBytes: Long = lru.synchronized(totalBytes)
+}

@@ -178,7 +178,8 @@ object NimbleSource {
             }
             if (hashes.length == vs.length) {
               indexScanProbes.incrementAndGet()
-              val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, idxId))
+              val idx = new graft.format.ByteCursor(
+                cachedIndexStream(reader, stripe, idxId, Tablet.indexStreamKey(c)))
               val count = idx.readInt()
               val base = idx.pos
               def hashAt(i: Int): Long = { idx.pos = base + 8 * i; idx.readLong() }
@@ -246,7 +247,8 @@ object NimbleSource {
         }
         if (selective) {
           indexScanProbes.incrementAndGet()
-          val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, sidxId))
+          val idx = new graft.format.ByteCursor(
+            cachedIndexStream(reader, stripe, sidxId, Tablet.sortedIndexStreamKey(c)))
           val count = idx.readInt()
           val base = idx.pos
           def keyAt(i: Int): Long = { idx.pos = base + 8 * i; idx.readLong() }
@@ -365,7 +367,8 @@ object NimbleSource {
             val hiExcl = KeyCodec.prefixSuccessor(
               range.flatMap(r => Option(r._2)).map(cat).getOrElse(basePrefix))
             indexScanProbes.incrementAndGet()
-            val idx = new graft.format.ByteCursor(reader.readStreamBytes(stripe, cid))
+            val idx = new graft.format.ByteCursor(
+              cachedIndexStream(reader, stripe, cid, key))
             val count = idx.readInt()
             val posBase = idx.pos
             val offBase = posBase + 8 * count
@@ -520,16 +523,32 @@ object NimbleSource {
     }
   }
 
-  /** Fetch the named streams of one stripe through an existing reader. */
+  /** Fetch the named streams of one stripe through an existing reader,
+    * serving from the executor-local [[BlockCache]] when possible. */
   private[spark] def readNeededStreams(reader: Tablet.Reader, stripe: Int,
       keys: Array[String], file: String): Map[String, Array[Byte]] = {
     if (testFetchDelayMs > 0) Thread.sleep(testFetchDelayMs.toLong)
+    val meta = if (BlockCache.enabled) GraftIO.status(file) else null
     keys.iterator.map { k =>
       val id = reader.keyId(k)
       require(id >= 0, s"nimble: stream $k not found in $file")
-      k -> reader.readStreamBytes(stripe, id)
+      k -> (if (meta != null)
+        BlockCache.getOrLoad(BlockCache.Key(file, meta.mtime, meta.length, stripe, k))(
+          reader.readStreamBytes(stripe, id))
+      else reader.readStreamBytes(stripe, id))
     }.toMap
   }
+
+  /** Index-stream read through the block cache (probes re-read the same
+    * per-stripe index runs on every task; repeated point lookups should pay
+    * the FS once per executor). */
+  private[spark] def cachedIndexStream(reader: Tablet.Reader, stripe: Int, id: Int,
+      key: String): Array[Byte] =
+    if (BlockCache.enabled) {
+      val meta = GraftIO.status(reader.filePath)
+      BlockCache.getOrLoad(BlockCache.Key(reader.filePath, meta.mtime, meta.length, stripe, key))(
+        reader.readStreamBytes(stripe, id))
+    } else reader.readStreamBytes(stripe, id)
 
   /** Self-contained stripe fetch for the prefetch pool (own reader/handle —
     * the in-flight reader is not thread-safe). */
