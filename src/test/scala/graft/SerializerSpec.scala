@@ -223,4 +223,55 @@ class SerializerSpec extends SparkTestBase {
     val (s2, rows) = Serializer.deserialize(blob)
     assert(s2 == schema && rows.isEmpty)
   }
+
+  test("map columns round-trip, regular and FlatMap layout (Serializer.h FlatMap parity)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, DoubleType), nullable = true)))
+    val rows = (0 until 300).map { i =>
+      Row(i.toLong,
+        if (i % 13 == 0) null
+        else Map((s"f${i % 4}" -> i * 0.5) +: (if (i % 2 == 0) Seq("common" -> 1.0) else Nil): _*))
+    }
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    val internal = rows.map(r => enc(r).copy())
+    val dec = ExpressionEncoder(RowEncoder.encoderFor(schema)).resolveAndBind().createDeserializer()
+    def norm(r: Row): (Long, Map[String, Double]) =
+      (r.getLong(0), Option(r.getMap[String, Double](1)).map(_.toMap).orNull)
+
+    // regular map layout (#len/#key/#val)
+    val blob = Serializer.serialize(schema, internal.iterator)
+    val (s2, back) = Serializer.deserialize(blob)
+    assert(s2 == schema)
+    rows.zip(back.map(dec(_))).foreach { case (a, b) => assert(norm(a) == norm(b), s"$a vs $b") }
+
+    // FlatMap layout: per-feature #in:/#fm: streams, discovered from the
+    // blob's embedded stream directory on read
+    val fmBlob = Serializer.serialize(schema, internal.iterator,
+      graft.format.Fields.WriteOptions(flatMap = Set("m")))
+    val (s3, fmBack) = Serializer.deserialize(fmBlob)
+    assert(s3 == schema)
+    rows.zip(fmBack.map(dec(_))).foreach { case (a, b) => assert(norm(a) == norm(b), s"$a vs $b") }
+    // the layouts genuinely differ on the wire
+    assert(new String(fmBlob, "ISO-8859-1").contains("m#in:f0"))
+    assert(!new String(blob, "ISO-8859-1").contains("m#in:f0"))
+  }
+
+  test("projector skips flatmap feature streams of unprojected columns") {
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("m", MapType(StringType, LongType), nullable = true)))
+    val rows = (0 until 50).map(i => Row(i.toLong, Map(s"k${i % 3}" -> i.toLong)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    val blob = Serializer.serialize(schema, rows.map(r => enc(r).copy()).iterator,
+      graft.format.Fields.WriteOptions(flatMap = Set("m")))
+    // project only the atomic column: decodes without touching feature streams
+    val (pa, backA) = Serializer.deserializeProjected(blob, Set("a"))
+    assert(pa.fieldNames.toSeq == Seq("a") && backA.map(_.getLong(0)).toSeq == (0L until 50L))
+    // project only the flatmap column: features reassemble into the map
+    val (pm, backM) = Serializer.deserializeProjected(blob, Set("m"))
+    assert(pm.fieldNames.toSeq == Seq("m"))
+    val dec = ExpressionEncoder(RowEncoder.encoderFor(pm)).resolveAndBind().createDeserializer()
+    assert(dec(backM(7)).getMap[String, Long](0).toMap == Map("k1" -> 7L))
+  }
 }
