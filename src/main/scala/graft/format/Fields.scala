@@ -704,6 +704,63 @@ object Fields {
     }
   }
 
+  /** Unsigned import widening (SURVEY §1.2, parquet-reader parity): the
+    * stored stream holds the two's-complement bit pattern of an unsigned
+    * source column; reinterpret and widen on scan —
+    * Uint8→Short, Uint16→Int, Uint32→Long, Uint64→Decimal(20,0). */
+  def unsignedWidened(dt: DataType): DataType = dt match {
+    case ByteType => ShortType
+    case ShortType => IntegerType
+    case IntegerType => LongType
+    case LongType => DecimalType(20, 0)
+    case other => throw new IllegalArgumentException(
+      s"nimble: unsignedColumns: type ${other.simpleString} has no unsigned widening " +
+        "(expected a stored byte/short/int/long column)")
+  }
+
+  private val Two64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Reader applying [[unsignedWidened]] semantics: masks the stored bit
+    * pattern up to the widened domain (u64 goes through Decimal(20,0)). */
+  final class UnsignedR(path: String, target: DataType, streams: String => Tablet.ChunkCursor)
+      extends FieldReader {
+    private val cursor = streams(path)
+    def hasNext: Boolean = cursor.hasNext
+    def readChunkDiscard(): Unit = if (cursor.hasNext) cursor.skip()
+    def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
+      val col = cursor.next().asInstanceOf[LongsCol]
+      target match {
+        case d: DecimalType => // u64: beyond long range when the sign bit is set
+          val n = if (selection == null) col.len else selection.length
+          vec.reserve(n)
+          val nulls = col.nulls
+          var i = 0
+          while (i < n) {
+            val row = if (selection == null) i else selection(i)
+            if (nulls != null && nulls(row)) vec.putNull(i)
+            else {
+              var bi = java.math.BigInteger.valueOf(col.values(row))
+              if (col.values(row) < 0) bi = bi.add(Two64)
+              vec.putDecimal(i, org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(bi), d.precision, d.scale), d.precision)
+            }
+            i += 1
+          }
+          n
+        case _ =>
+          val mask = col.phys match {
+            case PhysType.I8 => 0xffL
+            case PhysType.I16 => 0xffffL
+            case _ => 0xffffffffL
+          }
+          val out = new Array[Long](col.len)
+          var i = 0
+          while (i < out.length) { out(i) = col.values(i) & mask; i += 1 }
+          fillVector(vec, target, LongsCol(out, PhysType.I64, col.nulls), selection)
+      }
+    }
+  }
+
   def fillVector(vec: WritableColumnVector, dt: DataType, col: Column, selection: Array[Int]): Int = {
     val n = if (selection == null) col.len else selection.length
     vec.reserve(n)

@@ -91,6 +91,16 @@ class NimbleSource extends TableProvider with DataSourceRegister {
     // flatMapStruct.<col> = "k1,k2" surfaces a flatmap-written map column as
     // struct<k1: V, k2: V>; only those key streams are read.
     var schema = base
+    // unsigned import widening (SURVEY §1.2, parquet-reader parity): the
+    // named stored columns carry unsigned bit patterns and surface widened
+    // (u8->short, u16->int, u32->long, u64->decimal(20,0))
+    val unsignedCols = NimbleSource.unsignedColsOf(options)
+    if (unsignedCols.nonEmpty) {
+      val missing = unsignedCols.diff(schema.fieldNames.toSet)
+      require(missing.isEmpty, s"nimble: unsignedColumns: no such column(s) ${missing.mkString(",")}")
+      schema = StructType(schema.fields.map(f =>
+        if (unsignedCols(f.name)) f.copy(dataType = Fields.unsignedWidened(f.dataType)) else f))
+    }
     options.asCaseSensitiveMap().forEach { (k, v) =>
       if (k.startsWith("flatMapStruct.")) {
         val colName = k.substring("flatMapStruct.".length)
@@ -114,6 +124,11 @@ class NimbleSource extends TableProvider with DataSourceRegister {
 }
 
 object NimbleSource {
+  /** unsignedColumns read option as a set (shared by inferSchema + scan). */
+  private[spark] def unsignedColsOf(options: CaseInsensitiveStringMap): Set[String] =
+    Option(options.get("unsignedColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   /** `.gft` files under `path` — local or any Hadoop-FS URI (hdfs://, s3a://,
     * file://...). One listing RPC per directory; `_temporary` working dirs
     * are never visible (listing does not recurse). */
@@ -578,7 +593,8 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NimbleScanBuilder(path, schema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1),
+      NimbleSource.unsignedColsOf(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new NimbleWriteBuilder(path, info.schema(), info.options())
@@ -586,15 +602,19 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 
 // ------------------------------------------------------------------ read
 
-class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1)
+class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1,
+    unsignedCols: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
+  // unsigned-widened columns carry signed-domain stats/blooms/indexes on
+  // disk, so filters on them can neither push nor prune — Spark evaluates
+  // them on the widened values post-scan (never a wrong answer)
   private val atomicCols: Set[String] =
     dataSchema.fields.filter(f => f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => false
       case _ => true
-    }).map(_.name).toSet
+    }).map(_.name).toSet -- unsignedCols
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
@@ -629,6 +649,10 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     * aggregate shape itself is unsupported. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     val files = NimbleSource.listFiles(path)
+    // aggregates over unsigned-widened columns would fold signed-domain
+    // stats/values — refuse, Spark computes on the widened scan output
+    if (unsignedCols.nonEmpty && agg.aggregateExpressions().exists(e =>
+      e.references().exists(r => r.fieldNames().exists(unsignedCols)))) return false
     if (pushed.isEmpty) {
       AggPushdown.tryCompute(agg, dataSchema, files) match {
         case Some(rows) =>
@@ -655,7 +679,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
     else if (aggMixed != null)
       new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials, aggMixed)
-    else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger)
+    else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -666,7 +690,7 @@ case class NimbleStripePartition(file: String, stripe: Int) extends InputPartiti
 case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends InputPartition
 
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
-    limit: Int = -1, maxFilesPerTrigger: Int = -1)
+    limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
@@ -675,8 +699,10 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fields.collect { // must resolve against the scan OUTPUT
+      // unsigned-widened columns carry signed-domain stats: runtime filters
+      // on them could prune wrongly, so they are never offered
       case f if !f.dataType.isInstanceOf[StructType] && !f.dataType.isInstanceOf[ArrayType] &&
-        !f.dataType.isInstanceOf[MapType] =>
+        !f.dataType.isInstanceOf[MapType] && !unsignedCols.contains(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
   override def filter(newFilters: Array[Filter]): Unit = runtimeFilters = newFilters
@@ -684,7 +710,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger)
+    new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger, unsignedCols)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (limit >= 0) s", limit=$limit" else "")
@@ -767,7 +793,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.broadcastConf())
+    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.broadcastConf(), unsignedCols)
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -785,7 +811,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     // merged inside, so planning cost stays O(files), not O(columns x files)
     val cs = new util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    val cboFields = required.fields.filter(f => NimbleSource.cboEligible(f.dataType))
+    val cboFields = required.fields.filter(f =>
+      NimbleSource.cboEligible(f.dataType) && !unsignedCols.contains(f.name))
     if (cboFields.nonEmpty && metas.nonEmpty) {
       val merged = new Array[Tablet.Stats](cboFields.length)
       val ok = Array.fill(cboFields.length)(true)
@@ -836,7 +863,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 
 class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1,
-    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null)
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
+    unsignedCols: Set[String] = Set.empty)
     extends PartitionReaderFactory {
 
   private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
@@ -853,13 +881,13 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     GraftIO.installConf(hadoopConf)
     val p = partition.asInstanceOf[NimbleMultiPartition]
-    new NimbleChainReader(p.items, dataSchema, required, filters, limit)
+    new NimbleChainReader(p.items, dataSchema, required, filters, limit, unsignedCols)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     GraftIO.installConf(hadoopConf)
     val p = partition.asInstanceOf[NimbleMultiPartition]
-    val batches = new NimbleChainReader(p.items, dataSchema, required, filters, limit)
+    val batches = new NimbleChainReader(p.items, dataSchema, required, filters, limit, unsignedCols)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
       private var mask: Array[Boolean] = null
@@ -889,7 +917,8 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   * at a time; a partial limit is threaded through so later stripes stop
   * early once earlier ones have produced enough survivors. */
 class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructType,
-    required: StructType, filters: Array[Filter], limit: Int = -1)
+    required: StructType, filters: Array[Filter], limit: Int = -1,
+    unsignedCols: Set[String] = Set.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = -1
@@ -928,7 +957,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       }
       val remaining = if (limit < 0) -1 else (limit - produced).toInt
       cur = new NimbleBatchReader(items(idx).file, items(idx).stripe,
-        dataSchema, required, filters, remaining, prefetched = pre)
+        dataSchema, required, filters, remaining, prefetched = pre, unsignedCols = unsignedCols)
     }
     false
   }
@@ -946,7 +975,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
-    prefetched: Map[String, Array[Byte]] = null)
+    prefetched: Map[String, Array[Byte]] = null, unsignedCols: Set[String] = Set.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private var emitted = 0L
@@ -986,6 +1015,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val fieldReaders: Array[Fields.FieldReader] =
     required.fields.zipWithIndex.map { case (f, i) =>
       if (absentField(i)) null
+      else if (unsignedCols.contains(f.name)) new Fields.UnsignedR(f.name, f.dataType, cursors(_))
       else Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet)
     }
 

@@ -14,7 +14,8 @@ import scala.collection.mutable
   * [[NimbleStreamingWrite]] for readStream -> transform -> writeStream
   * pipelines. */
 class NimbleMicroBatchStream(path: String, dataSchema: StructType,
-    required: StructType, filters: Array[Filter], maxFilesPerTrigger: Int = -1)
+    required: StructType, filters: Array[Filter], maxFilesPerTrigger: Int = -1,
+    unsignedCols: Set[String] = Set.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def currentFiles: Seq[String] = NimbleSource.listFiles(path)
@@ -56,7 +57,7 @@ class NimbleMicroBatchStream(path: String, dataSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NimbleReaderFactory(dataSchema, required, filters,
-      hadoopConf = graft.format.GraftIO.broadcastConf())
+      hadoopConf = graft.format.GraftIO.broadcastConf(), unsignedCols = unsignedCols)
 }
 
 case class NimbleFilesOffset(files: Seq[String]) extends Offset {

@@ -211,4 +211,45 @@ class ConnectorSpec extends SparkTestBase {
     assert(footer.sortColumns == Seq("id"))
     assert(spark.read.format("nimble").load(dir).count() == 50000)
   }
+
+  test("unsignedColumns widens u8/u16/u32/u64 like the parquet reader (SURVEY §1.2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // stored two's-complement bit patterns of unsigned sources: -1 is the
+    // max of each unsigned width, MinValue is 2^(w-1)
+    val df = Seq(
+      (1L, (-1).toByte, (-1).toShort, -1, -1L),
+      (2L, Byte.MinValue, Short.MinValue, Int.MinValue, Long.MinValue),
+      (3L, 7.toByte, 7.toShort, 7, 7L)
+    ).toDF("id", "u8", "u16", "u32", "u64")
+    val dir = tmpDir("unsigned")
+    df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble")
+      .option("unsignedColumns", "u8,u16,u32,u64").load(dir)
+    assert(nb.schema("u8").dataType == ShortType)
+    assert(nb.schema("u16").dataType == IntegerType)
+    assert(nb.schema("u32").dataType == LongType)
+    assert(nb.schema("u64").dataType == DecimalType(20, 0))
+    val rows = nb.orderBy("id").collect()
+    assert(rows(0).getShort(1) == 255 && rows(0).getInt(2) == 65535)
+    assert(rows(0).getLong(3) == 4294967295L)
+    assert(rows(0).getDecimal(4) == new java.math.BigDecimal("18446744073709551615"))
+    assert(rows(1).getShort(1) == 128 && rows(1).getInt(2) == 32768)
+    assert(rows(1).getLong(3) == 2147483648L)
+    assert(rows(1).getDecimal(4) == new java.math.BigDecimal("9223372036854775808"))
+    assert(rows(2).getShort(1) == 7 && rows(2).getInt(2) == 7 &&
+      rows(2).getLong(3) == 7L && rows(2).getDecimal(4) == new java.math.BigDecimal(7))
+    // filters on unsigned columns evaluate on the WIDENED values (they are
+    // residuals — signed-domain stats must never prune them)
+    assert(nb.filter(col("u8") === 255).count() == 1L)
+    assert(nb.filter(col("u64") > new java.math.BigDecimal("9223372036854775807")).count() == 2L)
+    // aggregates compute on widened values too (pushdown refused)
+    val agg = nb.agg(min("u8"), max("u64")).collect()(0)
+    assert(agg.getShort(0) == 7)
+    assert(agg.getDecimal(1) == new java.math.BigDecimal("18446744073709551615"))
+    // unknown column and non-integral type are rejected loudly
+    intercept[Exception] {
+      spark.read.format("nimble").option("unsignedColumns", "nope").load(dir).schema
+    }
+  }
 }
