@@ -191,7 +191,7 @@ object Bench {
     // wall time for little extra signal)
     val (scaleWSec, _) = time {
       scaleDf.write.format("nimble").option("indexColumns", "skey")
-        .option("bloomColumns", "skey").option("rowsPerChunk", "16384")
+        .option("bloomFilterColumns", "skey").option("rowsPerChunk", "16384")
         .mode("overwrite").save(scaleIdxDir)
     }
     results("scale_rows") = scaleRows.toDouble

@@ -1310,6 +1310,8 @@ object Tablet {
     * frames only, so multi-stream zipping and the hash index stay aligned). */
   final class ChunkCursor(bytes: Array[Byte]) {
     private var pos = 0
+    /** Current byte offset in the stream (tools: per-chunk size accounting). */
+    def bytePos: Int = pos
     private var sharedAlphabet: BytesCol = null
     // deferred alphabet frame: (compLen, rawLen, kind, dataPos) recorded by
     // ensureData, decoded only on the first data chunk that needs it — a

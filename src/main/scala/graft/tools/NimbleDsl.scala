@@ -7,7 +7,8 @@ import graft.format._
   *
   * Supported statements (one per line; file = .gft file or directory):
   *   DESCRIBE <file>
-  *   SHOW {INFO|STRIPES|STREAMS|ENCODING|LAYOUT|STATS} <file>
+  *   SHOW {INFO|STRIPES|STREAMS|ENCODING|LAYOUT|STATS|INDEX} <file>
+  *   SHOW HISTOGRAM [TOP] [STRIPE s] <file>
   *   SELECT col1,col2|* FROM <file> [WHERE col =|!=|<|<=|>|>= literal] [LIMIT n]
   *   QUIT
   *
@@ -39,12 +40,23 @@ object NimbleDsl {
       if (stmt.isEmpty) ()
       else if (stmt.toUpperCase.startsWith("DESCRIBE ")) NimbleDump.main(Array("schema", stmt.substring(9).trim))
       else if (stmt.toUpperCase.startsWith("SHOW ")) {
-        val rest = stmt.substring(5).trim.split("\\s+", 2)
-        val cmd = rest(0).toLowerCase match {
-          case "streams" | "stats" => "streams"
-          case other => other
+        val toks = stmt.substring(5).trim.split("\\s+")
+        toks(0).toLowerCase match {
+          case "histogram" =>
+            // SHOW HISTOGRAM [TOP] [STRIPE s] <file> (ref: NimbleDslVm.cpp:349)
+            val top = toks.exists(_.equalsIgnoreCase("TOP"))
+            val si = toks.indexWhere(_.equalsIgnoreCase("STRIPE"))
+            val stripe = if (si >= 0 && si + 1 < toks.length) Seq(s"stripe=${toks(si + 1)}") else Nil
+            NimbleDump.main(Array("histogram", toks.last) ++
+              (if (top) Seq("top") else Nil) ++ stripe)
+          case "index" => NimbleDump.main(Array("index", toks.last))
+          case first =>
+            val cmd = first match {
+              case "streams" | "stats" => "streams"
+              case other => other
+            }
+            NimbleDump.main(Array(cmd, toks.drop(1).mkString(" ").trim))
         }
-        NimbleDump.main(Array(cmd, rest(1).trim))
       } else stmt match {
         case selectRe(cols, file, wcol, wop, wval, limit) =>
           select(file, cols.split(",").map(_.trim), Option(wcol), Option(wop),

@@ -48,7 +48,8 @@ object NimbleDump {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
-      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|encodingtree|chunkstats|layout|content|verify> <file>")
+      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|encodingtree|" +
+        "histogram|index|chunkstats|layout|content|verify> <file> [top] [stripe=N]")
       sys.exit(2)
     }
     for (f <- files(path)) {
@@ -104,6 +105,65 @@ object NimbleDump {
               tree.foreach(show(_, "    "))
             }
           }
+        case "histogram" =>
+          // encoding-type distribution with instance counts and storage
+          // percentage (reference: NimbleDslVm.cpp SHOW HISTOGRAM [TOP]
+          // [STRIPE s]); full trees come from decoder-recorded views, TOP
+          // counts only chunk roots without decoding
+          val topOnly = args.drop(2).exists(_.equalsIgnoreCase("top"))
+          val stripeSel = args.drop(2).flatMap(a =>
+            "(?i)stripe=(\\d+)".r.findFirstMatchIn(a).map(_.group(1).toInt)).headOption
+          val instances = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+          val bytes = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+          var total = 0L
+          for (s <- ft.stripes.indices if stripeSel.forall(_ == s); i <- ft.streamKeys.indices) {
+            val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
+            while (cur.hasNext) {
+              val p0 = cur.bytePos
+              if (topOnly) {
+                val root = codecName(cur.peekCodec())
+                cur.skip()
+                instances(root) += 1
+                bytes(root) += cur.bytePos - p0
+              } else {
+                val (_, tree) = Codecs.withView { cur.next() }
+                def walk(n: Codecs.ViewNode): Unit = {
+                  instances(codecName(n.id)) += 1; n.children.foreach(walk)
+                }
+                tree.foreach(walk)
+                // storage attributes to the chunk's root encoding
+                tree.headOption.foreach(root => bytes(codecName(root.id)) += cur.bytePos - p0)
+              }
+              total += cur.bytePos - p0
+            }
+          }
+          for ((c, n) <- instances.toSeq.sortBy(t => (-bytes(t._1), -t._2))) {
+            val pct = if (total == 0) 0.0 else bytes(c) * 100.0 / total
+            println(f"  $c%-18s instances=$n%7d bytes=${bytes(c)}%10d ($pct%5.1f%%)")
+          }
+        case "index" =>
+          // index inventory (reference: NimbleDslVm.cpp SHOW INDEX): index
+          // columns, sort orders, key stream regions and entry counts
+          println(s"  sortColumns=${if (ft.sortColumns.isEmpty) "(none)" else ft.sortColumns.mkString(",")}")
+          val idxStreams = ft.streamKeys.zipWithIndex.filter { case (k, _) =>
+            k.startsWith("#idx:") || k.startsWith("#sidx:") || k.startsWith("#cidx:") }
+          if (idxStreams.isEmpty) println("  (no index streams)")
+          for ((k, i) <- idxStreams) {
+            val kind = if (k.startsWith("#idx:")) "hash" else if (k.startsWith("#sidx:")) "sorted" else "composite"
+            println(s"  $k ($kind)")
+            for (s <- ft.stripes.indices) {
+              val loc = r.streamLoc(s, i)
+              if (loc.length > 0) {
+                val entries = new graft.format.ByteCursor(r.readStreamBytes(s, i)).readInt()
+                println(f"    stripe $s%3d region=[${loc.offset}%d, +${loc.length}%d) entries=$entries%d")
+              }
+            }
+          }
+          val bloomCols = ft.streamKeys.zipWithIndex.collect {
+            case (k, i) if !k.startsWith("#") &&
+              ft.stripes.indices.exists(s => r.streamBloom(s, i).isDefined) => k
+          }
+          println(s"  bloomColumns=${if (bloomCols.isEmpty) "(none)" else bloomCols.mkString(",")}")
         case "chunkstats" =>
           // per-chunk min/max/nulls of one stream (arg 3) or the first stream
           val want = args.lift(2)

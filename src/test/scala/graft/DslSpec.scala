@@ -17,4 +17,46 @@ class DslSpec extends SparkTestBase {
     assert(lines(1) == "2\tb\t20.0" && lines(2) == "3\tc\t30.0", lines.mkString("|"))
     assert(lines.length == 3)
   }
+
+  private def run(stmt: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { graft.tools.NimbleDsl.execute(stmt) }
+    out.toString
+  }
+
+  test("SHOW HISTOGRAM: encoding distribution with counts and storage share") {
+    val dir = tmpDir("dsl_hist")
+    // a constant column (Constant codec) + an increasing id: known buckets
+    spark.range(10000).selectExpr("id", "42L AS c")
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "2000")
+      .mode("overwrite").save(dir)
+    val full = run(s"SHOW HISTOGRAM $dir")
+    // 10000 rows / 2000-row chunks = 5 chunks of the constant column
+    val constLine = full.linesIterator.find(_.trim.startsWith("Constant")).getOrElse(
+      fail(s"no Constant bucket in:\n$full"))
+    assert("instances=\\s*(\\d+)".r.findFirstMatchIn(constLine).get.group(1).toInt >= 5, constLine)
+    assert(full.contains("%"), "storage percentage column missing")
+    // TOP restricts to chunk roots: every instance count is then <= chunk count
+    val top = run(s"SHOW HISTOGRAM TOP $dir")
+    assert(top.trim.nonEmpty && top.contains("instances="))
+    // STRIPE filter parses and produces output for stripe 0
+    assert(run(s"SHOW HISTOGRAM TOP STRIPE 0 $dir").contains("instances="))
+  }
+
+  test("SHOW INDEX: index columns, regions, entry counts, bloom inventory") {
+    val dir = tmpDir("dsl_idx")
+    spark.range(5000).selectExpr("id", "xxhash64(id) AS k")
+      .coalesce(1).write.format("nimble")
+      .option("indexColumns", "k").option("bloomFilterColumns", "id")
+      .option("rowsPerChunk", "1000").mode("overwrite").save(dir)
+    val out = run(s"SHOW INDEX $dir")
+    assert(out.contains("#idx:k (hash)"), s"missing hash index line:\n$out")
+    assert(out.contains("entries=5000"), s"missing entry count:\n$out")
+    assert("region=\\[\\d+, \\+\\d+\\)".r.findFirstIn(out).isDefined, s"missing region:\n$out")
+    assert(out.contains("bloomColumns=id"), s"missing bloom inventory:\n$out")
+    // a plain table reports no indexes
+    val dir2 = tmpDir("dsl_noidx")
+    spark.range(10).coalesce(1).write.format("nimble").mode("overwrite").save(dir2)
+    assert(run(s"SHOW INDEX $dir2").contains("(no index streams)"))
+  }
 }
