@@ -210,6 +210,30 @@ object SparkEntry {
         schema)
     }),
 
+    // mid-scan filtered aggregation (ValueHook proper): l_quantity is
+    // uniform within stripes, so every surviving stripe is MIXED — the
+    // partials fold during the scan's decode loop (AggScan), not from stats
+    "q26_midscan_agg" -> q(Seq("lineitem"),
+      """SELECT count(1) AS cnt, count(l_returnflag) AS cnt_rf,
+         min(l_orderkey) AS min_ok, max(l_extendedprice) AS max_price,
+         min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf
+         FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05"""),
+    // unsigned import widening (SURVEY §1.2): signed two's-complement bit
+    // patterns written to a nimble table read back widened
+    // (u8->short, u16->int, u32->long, u64->decimal(20,0)); the oracle
+    // replays the reinterpretation arithmetically from the source parquet
+    "q27_unsigned_widen" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST((o_custkey % 256) - 128 AS TINYINT) AS u8",
+        "CAST((o_custkey % 65536) - 32768 AS SMALLINT) AS u16",
+        "CAST(o_custkey - 2000 AS INT) AS u32",
+        "CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey ELSE -o_orderkey END AS u64")
+      val d = Tables.roundTripDir(s, dir, "q27_unsigned_widen", src)
+      s.read.format("nimble").option("unsignedColumns", "u8,u16,u32,u64").load(d)
+        .selectExpr("o_orderkey", "u8", "u16", "u32", "CAST(u64 AS STRING) AS u64")
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -620,6 +644,22 @@ object SparkEntry {
     "q25_composite_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderstatus = 'O' AND o_custkey BETWEEN 100 AND 140""",
+    "q26_midscan_agg" ->
+      """SELECT count(1) AS cnt, count(l_returnflag) AS cnt_rf,
+         min(l_orderkey) AS min_ok, max(l_extendedprice) AS max_price,
+         min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf
+         FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05""",
+    "q27_unsigned_widen" ->
+      """SELECT o_orderkey,
+         CAST(CASE WHEN (o_custkey % 256) - 128 < 0 THEN (o_custkey % 256) - 128 + 256
+              ELSE (o_custkey % 256) - 128 END AS SMALLINT) AS u8,
+         CAST(CASE WHEN (o_custkey % 65536) - 32768 < 0 THEN (o_custkey % 65536) - 32768 + 65536
+              ELSE (o_custkey % 65536) - 32768 END AS INTEGER) AS u16,
+         CAST(CASE WHEN o_custkey - 2000 < 0 THEN o_custkey - 2000 + 4294967296
+              ELSE o_custkey - 2000 END AS BIGINT) AS u32,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey AS HUGEINT)
+              ELSE 18446744073709551616::HUGEINT - o_orderkey END AS VARCHAR) AS u64
+         FROM orders""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
