@@ -54,24 +54,42 @@ object Serializer {
     sink.toArray
   }
 
-  /** (schema, rowCount, stream name -> chunk bytes cursor source) */
+  /** (schema, rowCount, stream name -> chunk bytes). A v1 blob (no version
+    * tag: it opens directly with the schema-JSON block) is detected by the
+    * first varint — a valid schema JSON is always far longer than the
+    * version number — and decoded with schema-derived stream keys, so blobs
+    * from pre-directory producers still read during a mixed-version
+    * rollout. */
   private def readHeader(cur: ByteCursor): (StructType, Int, Array[(String, Array[Byte])]) = {
     val v = cur.readVarint()
-    require(v == Version, s"nimble-serializer: unsupported blob version $v")
-    val sj = cur.readBlock()
-    val schema = DataType.fromJson(new String(sj.readBytes(sj.remaining), "UTF-8")).asInstanceOf[StructType]
-    val n = cur.readVarint().toInt
-    val count = cur.readVarint().toInt
-    val streams = new Array[(String, Array[Byte])](count)
-    var i = 0
-    while (i < count) {
-      val nb = cur.readBlock()
-      val name = new String(nb.readBytes(nb.remaining), "UTF-8")
-      val cb = cur.readBlock()
-      streams(i) = name -> cb.readBytes(cb.remaining)
-      i += 1
+    if (v == Version) {
+      val sj = cur.readBlock()
+      val schema = DataType.fromJson(new String(sj.readBytes(sj.remaining), "UTF-8")).asInstanceOf[StructType]
+      val n = cur.readVarint().toInt
+      val count = cur.readVarint().toInt
+      val streams = new Array[(String, Array[Byte])](count)
+      var i = 0
+      while (i < count) {
+        val nb = cur.readBlock()
+        val name = new String(nb.readBytes(nb.remaining), "UTF-8")
+        val cb = cur.readBlock()
+        streams(i) = name -> cb.readBytes(cb.remaining)
+        i += 1
+      }
+      (schema, n, streams)
+    } else {
+      // v1: `v` is the schema block's byte length; streams follow in
+      // streamKeys(schema) order with no name table
+      require(v > Version && v <= cur.remaining,
+        s"nimble-serializer: unsupported blob version $v")
+      val schema = DataType.fromJson(new String(cur.readBytes(v.toInt), "UTF-8")).asInstanceOf[StructType]
+      val n = cur.readVarint().toInt
+      val streams = Fields.streamKeys(schema).map { k =>
+        val b = cur.readBlock()
+        k -> b.readBytes(b.remaining)
+      }
+      (schema, n, streams)
     }
-    (schema, n, streams)
   }
 
   private def materialize(wanted: StructType, n: Int,

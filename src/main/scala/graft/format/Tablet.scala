@@ -638,7 +638,7 @@ object Tablet {
         // never be a composite MEMBER — the #cidx:a+b stream key could not
         // round-trip its name through the scan-side split)
         def isRealColumn(name: String): Boolean =
-          schema.fields.exists(f => f.name == name || f.name.equalsIgnoreCase(name))
+          schema.fields.exists(_.name.equalsIgnoreCase(name))
         val (comp, single) = indexColumns.toSeq.partition(s => s.contains("+") && !isRealColumn(s))
         val composites = comp.sorted.map { spec =>
           val ms = spec.split("\\+").map(_.trim).filter(_.nonEmpty).map(resolve).toSeq

@@ -470,10 +470,14 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
               dataSchema(c).dataType == BinaryType => p.decodeRawLazy()
           case other => other.decodeRaw()
         }
-        else r match {
-          case p: Fields.PrimR => p.readChunkDiscard()
-          case t: Fields.TsNanosR => t.readChunkDiscard()
-          case other => throw new IllegalStateException(s"nimble: agg reader ${other.getClass}")
+        else {
+          // skip the RAW cursor, not reader.readChunkDiscard(): this reader's
+          // decodeRaw leaves `pending` set (nothing here ever consumes it via
+          // readChunk), and readChunkDiscard would clear that stale pending
+          // WITHOUT advancing the cursor — desyncing this column one chunk
+          // behind the filter columns for the rest of the stripe
+          cursors(c).skip()
+          cursors.get(c + "#nanos").foreach(_.skip()) // keep siblings aligned
         }
       }
     }

@@ -26,17 +26,52 @@ object BlockCache {
 
   @volatile private var capacity: Long = -1L
   private def cap: Long = {
-    if (capacity < 0) capacity = {
-      try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.scan.blockCacheBytes", (256L << 20).toString).toLong
-      catch { case _: Throwable => 256L << 20 }
-    }
+    if (capacity < 0) capacity = confLong("spark.graft.scan.blockCacheBytes", 256L << 20)
     capacity
   }
   def enabled: Boolean = cap > 0
 
+  /** Read a spark.graft.* setting where this JVM can see it: the session
+    * conf on the driver / local mode, SparkEnv's SparkConf on cluster-mode
+    * executors (so --conf-set values — including 0 = disable — are honored
+    * there too), default otherwise. */
+  private def confLong(key: String, dflt: Long): Long = {
+    try return org.apache.spark.sql.SparkSession.active.conf.get(key, dflt.toString).toLong
+    catch { case _: Throwable => () }
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null) return env.conf.get(key, dflt.toString).toLong
+    } catch { case _: Throwable => () }
+    dflt
+  }
+
   private var totalBytes = 0L
   private val lru = new java.util.LinkedHashMap[Key, Array[Byte]](256, 0.75f, true)
+
+  // ---- file-status amortization: cache keys need (mtime, length), which
+  // costs a getFileStatus RPC per stripe fetch on remote stores. The default
+  // keeps every status fresh (zero staleness; a local stat is ~1us); remote
+  // deployments set spark.graft.scan.statusTtlMs to amortize, accepting up
+  // to that many ms of overwrite-invalidation delay.
+  @volatile private var statusTtl: Long = -1L
+  private def ttlMs: Long = {
+    if (statusTtl < 0) statusTtl = confLong("spark.graft.scan.statusTtlMs", 0L)
+    statusTtl
+  }
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.format.GraftIO.FileMeta)]()
+
+  def metaOf(path: String): graft.format.GraftIO.FileMeta = {
+    if (ttlMs <= 0) return graft.format.GraftIO.status(path)
+    val now = System.nanoTime() / 1000000L
+    val hit = metaCache.get(path)
+    if (hit != null && now - hit._1 <= ttlMs) hit._2
+    else {
+      val m = graft.format.GraftIO.status(path)
+      metaCache.put(path, (now, m))
+      m
+    }
+  }
 
   def getOrLoad(key: Key)(load: => Array[Byte]): Array[Byte] = {
     lru.synchronized {
@@ -58,9 +93,10 @@ object BlockCache {
     bytes
   }
 
-  /** Test/ops hook: drop everything and reread capacity from the session. */
+  /** Test/ops hook: drop everything and reread settings from the session. */
   def clear(): Unit = lru.synchronized {
     lru.clear(); totalBytes = 0L; capacity = -1L
+    metaCache.clear(); statusTtl = -1L
   }
 
   /** Current resident bytes (observability). */

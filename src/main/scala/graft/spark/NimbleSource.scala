@@ -543,7 +543,7 @@ object NimbleSource {
   private[spark] def readNeededStreams(reader: Tablet.Reader, stripe: Int,
       keys: Array[String], file: String): Map[String, Array[Byte]] = {
     if (testFetchDelayMs > 0) Thread.sleep(testFetchDelayMs.toLong)
-    val meta = if (BlockCache.enabled) GraftIO.status(file) else null
+    val meta = if (BlockCache.enabled) BlockCache.metaOf(file) else null
     keys.iterator.map { k =>
       val id = reader.keyId(k)
       require(id >= 0, s"nimble: stream $k not found in $file")
@@ -560,7 +560,7 @@ object NimbleSource {
   private[spark] def cachedIndexStream(reader: Tablet.Reader, stripe: Int, id: Int,
       key: String): Array[Byte] =
     if (BlockCache.enabled) {
-      val meta = GraftIO.status(reader.filePath)
+      val meta = BlockCache.metaOf(reader.filePath)
       BlockCache.getOrLoad(BlockCache.Key(reader.filePath, meta.mtime, meta.length, stripe, key))(
         reader.readStreamBytes(stripe, id))
     } else reader.readStreamBytes(stripe, id)

@@ -43,13 +43,19 @@ object NimbleDsl {
         val toks = stmt.substring(5).trim.split("\\s+")
         toks(0).toLowerCase match {
           case "histogram" =>
-            // SHOW HISTOGRAM [TOP] [STRIPE s] <file> (ref: NimbleDslVm.cpp:349)
-            val top = toks.exists(_.equalsIgnoreCase("TOP"))
-            val si = toks.indexWhere(_.equalsIgnoreCase("STRIPE"))
-            val stripe = if (si >= 0 && si + 1 < toks.length) Seq(s"stripe=${toks(si + 1)}") else Nil
-            NimbleDump.main(Array("histogram", toks.last) ++
+            // SHOW HISTOGRAM [TOP] [STRIPE s] <file> (ref: NimbleDslVm.cpp:349);
+            // the file path is everything after the recognized option tokens,
+            // re-joined so spaced paths survive tokenization
+            var rest = toks.drop(1).toSeq
+            val top = rest.headOption.exists(_.equalsIgnoreCase("TOP"))
+            if (top) rest = rest.drop(1)
+            val stripe =
+              if (rest.headOption.exists(_.equalsIgnoreCase("STRIPE")) && rest.length >= 2) {
+                val s2 = rest(1); rest = rest.drop(2); Seq(s"stripe=$s2")
+              } else Nil
+            NimbleDump.main(Array("histogram", rest.mkString(" ")) ++
               (if (top) Seq("top") else Nil) ++ stripe)
-          case "index" => NimbleDump.main(Array("index", toks.last))
+          case "index" => NimbleDump.main(Array("index", toks.drop(1).mkString(" ")))
           case first =>
             val cmd = first match {
               case "streams" | "stats" => "streams"

@@ -90,6 +90,26 @@ class AggPushdownSpec extends SparkTestBase {
     assert(skipped >= 2, s"outside chunks must skip: $skipped")
   }
 
+  test("mid-scan agg: a zero-survivor non-prunable chunk between surviving chunks stays aligned") {
+    // chunk A has survivors, chunk B brackets the equality value with zero
+    // matches (stats cannot prune it), chunk C has survivors again. The
+    // aggregate column must not fall a chunk behind after B (r9 regression:
+    // readChunkDiscard consumed the stale pending instead of skipping)
+    val dir = tmpDir("aggdesync")
+    spark.range(3000).selectExpr(
+        "id",
+        """CASE WHEN id < 1000 THEN (CASE WHEN id % 10 = 0 THEN 5 ELSE 1 END)
+                WHEN id < 2000 THEN (CASE WHEN id % 2 = 0 THEN 4 ELSE 6 END)
+                ELSE (CASE WHEN id % 10 = 0 THEN 5 ELSE 9 END) END AS v""",
+        "id * 10 AS w")
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "1000")
+      .mode("overwrite").save(dir)
+    val r = spark.read.format("nimble").load(dir).filter(col("v") === 5L)
+      .agg(count(lit(1)).as("cnt"), min("w").as("mn"), max("w").as("mx")).collect()(0)
+    // survivors: ids 0,10,..,990 and 2000,2010,..,2990 (100 + 100)
+    assert(r.toSeq == Seq(200L, 0L, 29900L), s"got $r")
+  }
+
   test("mid-scan agg: NaN max and all-null columns stay exact on mixed/degraded stripes") {
     import spark.implicits._
     // id filter is all-match for the whole (single-stripe) file, but

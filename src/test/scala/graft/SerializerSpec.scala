@@ -224,6 +224,34 @@ class SerializerSpec extends SparkTestBase {
     assert(s2 == schema && rows.isEmpty)
   }
 
+  test("v1 blobs (no stream directory) still deserialize during mixed-version rollout") {
+    import graft.format.{ByteCursor, ByteSink}
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val rows = (0 until 40).map(i => Row(i.toLong, s"s$i"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+    val blob2 = Serializer.serialize(schema, rows.map(r => enc(r).copy()).iterator)
+    // rebuild the v1 layout ([schema block][rowcount][chunks in streamKeys
+    // order], no version tag / name table) from the v2 bytes: for an atomic
+    // schema the v2 directory order IS streamKeys order
+    val cur = new ByteCursor(blob2)
+    assert(cur.readVarint() == 2L)
+    val sj = cur.readBlock()
+    val schemaBytes = sj.readBytes(sj.remaining)
+    val n = cur.readVarint()
+    val count = cur.readVarint().toInt
+    val v1 = new ByteSink()
+    v1.writeBlock(schemaBytes)
+    v1.writeVarint(n)
+    for (_ <- 0 until count) {
+      cur.readBlock() // name — absent in v1
+      val cb = cur.readBlock()
+      v1.writeBlock(cb.readBytes(cb.remaining))
+    }
+    val (s1, back) = Serializer.deserialize(v1.toArray)
+    assert(s1 == schema && back.length == 40)
+    assert(back(7).getLong(0) == 7L && back(7).getUTF8String(1).toString == "s7")
+  }
+
   test("map columns round-trip, regular and FlatMap layout (Serializer.h FlatMap parity)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
