@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Randomized cross-check of the filtered-aggregate pushdown surfaces (stats
+  * partials, mid-scan mixed-stripe folding, degradation on NaN/truncation)
+  * against the same query over the source parquet-side DataFrame. Seeded:
+  * failures reproduce. Data deliberately mixes nulls, NaN, duplicate and
+  * boundary values, short/long strings, several files and small chunks so
+  * stripes classify every way (all-match, none-match, mixed). */
+class AggFuzzSpec extends SparkTestBase {
+
+  test("random filters x aggregates equal Spark answers (seeded)") {
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+    val rnd = new scala.util.Random(seed)
+    val n = 12000
+
+    val src = spark.range(n).selectExpr(
+      "id",
+      // clustered-ish long: stripes/chunks get tight ranges, so range
+      // filters produce all three stripe classifications
+      "CAST(id / 37 AS BIGINT) * 37 + id % 5 AS a",
+      // nullable long with duplicates
+      "CASE WHEN id % 17 = 0 THEN NULL ELSE id % 251 END AS b",
+      // double with NaN pockets and negatives
+      "CASE WHEN id % 997 = 0 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id % 1000 AS DOUBLE) / 8 - 50 END AS d",
+      // strings: low-cardinality + occasional 70-char (truncated-stats) values
+      """CASE WHEN id % 23 = 0 THEN NULL
+              WHEN id % 301 = 0 THEN concat('zzz_', lpad(CAST(id AS STRING), 66, '7'))
+              ELSE concat('s', CAST(id % 40 AS STRING)) END AS s""")
+      .cache()
+    src.count()
+    val dir = tmpDir("aggfuzz")
+    src.repartition(3).write.format("nimble").option("rowsPerChunk", "512")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    val aggs: Seq[(String, Column)] = Seq(
+      "cnt" -> count(lit(1)), "cb" -> count(col("b")), "cs" -> count(col("s")),
+      "mina" -> min("a"), "maxa" -> max("a"), "minb" -> min("b"), "maxb" -> max("b"),
+      "mind" -> min("d"), "maxd" -> max("d"), "mins" -> min("s"), "maxs" -> max("s"))
+
+    def filterOf(r: scala.util.Random): Column = r.nextInt(6) match {
+      case 0 => col("a") >= r.nextInt(n)
+      case 1 => col("a") >= r.nextInt(n) && col("a") < r.nextInt(n)
+      case 2 => col("b") === r.nextInt(260).toLong
+      case 3 => col("s") === s"s${r.nextInt(44)}"
+      case 4 => col("d") > (r.nextInt(120) - 60).toDouble
+      case 5 => col("b").isNull || col("a") < r.nextInt(n)
+    }
+
+    def norm(row: org.apache.spark.sql.Row): Seq[Any] = row.toSeq.map {
+      case dd: Double => math.round(dd * 1e9) // NaN -> Long.MinValue+..., stable
+      case other => other
+    }
+
+    for (trial <- 0 until 60) {
+      val f = filterOf(rnd)
+      val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(aggs.length))
+      val cols = picked.map { case (alias, c) => c.as(alias) }
+      val got = nb.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
+      val exp = src.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
+      assert(norm(got) == norm(exp),
+        s"seed=$seed trial=$trial filter=$f aggs=${picked.map(_._1)}\n got=$got\n exp=$exp")
+    }
+    src.unpersist()
+  }
+}
