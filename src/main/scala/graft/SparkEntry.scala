@@ -335,6 +335,15 @@ object SparkEntry {
         "doc_id", "text", n = 3)
     }),
     // deterministic stratified sampling: hash-threshold per language stratum
+    // connected-components dedup clustering: near-dup pairs (minhash-exact,
+    // same params as x03) collapse into one canonical (min-id) doc per
+    // cluster; singletons self-label — the canonicalization step a training
+    // pipeline runs after pair generation
+    "x21_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      Dedup.dedupClusters(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text"))
+    }),
     "x19_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.nimble(s, dir, "documents"),
         "doc_id", "lang", Map("en" -> 10), defaultRate = 50)
@@ -464,6 +473,20 @@ object SparkEntry {
                GROUP BY 1, 2, 3, 4)
          SELECT a, b, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
          FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5"""),
+    // reachability closure over the symmetric >= 0.5 pair graph, then the
+    // minimum reachable id labels the cluster (recursive CTE; the pair CTE
+    // is the x03 oracle verbatim)
+    "x21_dedup_clusters" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb, count(1) AS inter
+               FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a, b FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5),
+         edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+         reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u"""),
     "x04_simhash" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
                        FROM documents),

@@ -186,6 +186,46 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected-components dedup clustering — the canonicalization step after
+    * near-dup pair generation: every document labels with the SMALLEST doc
+    * id reachable through the pair graph (so one canonical representative
+    * per duplicate cluster); documents in no pair label themselves.
+    *
+    * Iterative min-label propagation: each round is one shuffle join
+    * (labels re-keyed by neighbor) + a map-side-combining min aggregate,
+    * rounds bounded by component diameter — near-dup clusters are shallow
+    * (a handful of hops), so convergence lands in a few rounds even at
+    * 100 TB; the only driver-side state is the changed-label counter that
+    * detects the fixpoint (same contract as GraphX/GraphFrames CC). Labels
+    * persist per round and unpersist as soon as the next round materializes,
+    * so lineage never re-computes earlier rounds. */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .persist()
+    var labels = docs.select(col(idCol).cast("long").as("u"), col(idCol).cast("long").as("lbl"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // min over neighbors' labels, then fold with the own label
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy("u").agg(min("nl").as("nm"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+          (col("nm").isNotNull && col("nm") < col("lbl")).as("chg"))
+        .persist()
+      changed = next.filter(col("chg")).count() // materializes `next`
+      labels.unpersist() // safe: next is materialized, no recompute through it
+      labels = next // extra chg column rides along; consumers select explicitly
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** 32-bit SimHash signature per document: per-token md5-derived 32-bit
     * hash; each bit votes +1/-1 weighted by token frequency; signature bit i
     * set iff the vote sum is positive. Uses the native single-pass

@@ -184,4 +184,19 @@ class OpsSpec extends SparkTestBase {
       .join(media.select(col("doc_id"), col("meta.size").as("sz")), "doc_id")
     assert(total.filter(col("s") =!= col("sz")).count() == 0, "frames must cover payload exactly")
   }
+
+  test("dedupClusters: connected components label every doc with its component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,12}; singletons 7, 20
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 10L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 10L -> 10L, 12L -> 10L, 20L -> 20L), s"got $got")
+    // empty pair set: everything is its own cluster
+    val solo = Dedup.dedupClusters(docs, "doc_id", pairs.limit(0))
+      .filter(col("doc_id") =!= col("cluster")).count()
+    assert(solo == 0)
+  }
 }
