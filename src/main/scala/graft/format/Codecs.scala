@@ -507,6 +507,75 @@ object Codecs {
   private def bitsFor(range: Long): Int =
     if (range == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(range)
 
+  // ------------------------------------------------ selection policy hook
+  /** Pluggable pre-selection policy (reference:
+    * encodings/selection/EncodingSelectionPolicy.h:339
+    * LearnedEncodingSelectionPolicy): a stats-driven model may short-circuit
+    * the candidate search when it predicts nothing will beat Trivial —
+    * a write-throughput win on incompressible chunks. The model itself is
+    * trained offline (the reference ships a small linear model over repeat/
+    * cardinality features); this hook takes the learned parameters. The
+    * default [[CostSelection]] always runs the full cost-based search. */
+  trait SelectionPolicy {
+    /** Long-backed chunks: fractions are cheap single-pass features —
+      * runs/n, distinct/n (1.0 when cardinality capped), and the bit-width
+      * of (max-min) over the physical width. Some(TRIVIAL) skips the search. */
+    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Option[Byte]
+    /** Byte/string chunks: sampled Shannon entropy (bits/byte) is the
+      * compressibility proxy — hex/base64-ish data stays well under 8. */
+    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte]
+  }
+
+  /** Default: no pre-selection; every gated candidate is estimated and the
+    * best 1-2 fully encoded (the Manual/cost policy). */
+  object CostSelection extends SelectionPolicy {
+    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Option[Byte] = None
+    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte] = None
+  }
+
+  /** Linear gate with offline-learned weights: fires (emits Trivial without
+    * any candidate encoding) when the score is positive. Defaults fire only
+    * on chunks that look incompressible on EVERY axis — all-distinct,
+    * run-free, full-width longs; near-8-bit-entropy bytes — so compressible
+    * shapes (sorted ints, hex strings, dictionaries) keep their codecs. */
+  final class LearnedTrivialGate(
+      runW: Double = 2.0, uniqueW: Double = 2.0, widthW: Double = 2.0,
+      bias: Double = -5.0, entropyThreshold: Double = 7.5) extends SelectionPolicy {
+    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Option[Byte] =
+      if (runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction + bias > 0)
+        Some(TRIVIAL)
+      else None
+    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte] =
+      if (entropyBitsPerByte > entropyThreshold) Some(TRIVIAL) else None
+  }
+
+  @volatile private var selectionPolicy: SelectionPolicy = CostSelection
+  /** Install a policy per JVM (tests/ingest jobs); pass [[CostSelection]] to
+    * restore the default. */
+  def setSelectionPolicy(p: SelectionPolicy): Unit =
+    selectionPolicy = if (p == null) CostSelection else p
+
+  /** Shannon entropy (bits/byte) of bytes[off, off+len). */
+  private[format] def byteEntropy(bytes: Array[Byte], off: Int, len: Int): Double = {
+    if (len <= 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < len) { counts(bytes(off + i) & 0xff) += 1; i += 1 }
+    var h = 0.0
+    i = 0
+    while (i < 256) {
+      if (counts(i) > 0) {
+        val p = counts(i).toDouble / len
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      i += 1
+    }
+    h
+  }
+
   private def encodeLongs(values: Array[Long], phys: Byte, sink: ByteSink, depth: Int,
       replay: Replay = null): Unit = {
     val n = values.length
@@ -515,6 +584,22 @@ object Codecs {
     if (st.min == st.max) { // Constant
       if (replay != null) replay.observe(CONST, full = true)
       header(sink, CONST, phys, n); sink.writeZigZag(st.min); return
+    }
+    // policy pre-selection: a learned gate may skip the search entirely
+    val pol = selectionPolicy
+    if (pol ne CostSelection) {
+      val widthFr =
+        if (st.rangeOverflow) 1.0
+        else bitsFor(st.max - st.min).toDouble / (8.0 * PhysType.byteWidth(phys))
+      val uniqueFr = if (st.distinctCapped) 1.0 else st.distinct.size.toDouble / n
+      pol.preselectLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr) match {
+        case Some(TRIVIAL) =>
+          if (replay != null) replay.observe(TRIVIAL, full = true)
+          header(sink, TRIVIAL, phys, n)
+          trivialLongs(values, phys, sink)
+          return
+        case _ => ()
+      }
     }
     // Analytic size estimates per gated candidate (reference:
     // dwio/nimble/encodings/selection/EncodingSizeEstimation.h) — only the
@@ -1175,6 +1260,27 @@ object Codecs {
       sink.writeVarint(l0.toLong)
       sink.writeBytes(col.bytes, col.offsets(0), l0)
       return
+    }
+    // policy pre-selection: a learned gate may skip the candidate search
+    // (FSST training + trials dominate string write cost) when sampled
+    // entropy says the bytes are incompressible
+    val polB = selectionPolicy
+    if (polB ne CostSelection) {
+      val total = col.offsets(n) - col.offsets(0)
+      val entropy = byteEntropy(col.bytes, col.offsets(0), math.min(total, 4096))
+      if (polB.preselectBytes(n, total, entropy).contains(TRIVIAL)) {
+        if (replay != null) replay.observe(TRIVIAL, full = true)
+        val ts = new ByteSink()
+        val lengths = new Array[Long](n)
+        var li = 0
+        while (li < n) { lengths(li) = (col.offsets(li + 1) - col.offsets(li)).toLong; li += 1 }
+        val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
+        ts.writeVarint(total.toLong)
+        ts.writeBytes(col.bytes, col.offsets(0), total)
+        header(sink, TRIVIAL, PhysType.Bytes, n)
+        sink.writeBytes(ts.toArray)
+        return
+      }
     }
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     // Trivial: lengths sub-stream + raw bytes
