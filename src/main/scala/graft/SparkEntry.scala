@@ -334,7 +334,6 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 3)
     }),
-    // deterministic stratified sampling: hash-threshold per language stratum
     // connected-components dedup clustering: near-dup pairs (minhash-exact,
     // same params as x03) collapse into one canonical (min-id) doc per
     // cluster; singletons self-label — the canonicalization step a training
@@ -344,6 +343,7 @@ object SparkEntry {
       Dedup.dedupClusters(docs, "doc_id",
         Dedup.minhashPairs(docs, "doc_id", "text"))
     }),
+    // deterministic stratified sampling: hash-threshold per language stratum
     "x19_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.nimble(s, dir, "documents"),
         "doc_id", "lang", Map("en" -> 10), defaultRate = 50)

@@ -519,20 +519,23 @@ object Codecs {
   trait SelectionPolicy {
     /** Long-backed chunks: fractions are cheap single-pass features —
       * runs/n, distinct/n (1.0 when cardinality capped), and the bit-width
-      * of (max-min) over the physical width. Some(TRIVIAL) skips the search. */
-    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Option[Byte]
+      * of (max-min) over the physical width. true = emit Trivial directly,
+      * skipping the candidate search (the ONLY short-circuit the format
+      * supports — a policy cannot pick an arbitrary codec, it can only
+      * predict that searching is wasted). */
+    def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Boolean
     /** Byte/string chunks: sampled Shannon entropy (bits/byte) is the
       * compressibility proxy — hex/base64-ish data stays well under 8. */
-    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte]
+    def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean
   }
 
   /** Default: no pre-selection; every gated candidate is estimated and the
     * best 1-2 fully encoded (the Manual/cost policy). */
   object CostSelection extends SelectionPolicy {
-    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Option[Byte] = None
-    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte] = None
+    def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Boolean = false
+    def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean = false
   }
 
   /** Linear gate with offline-learned weights: fires (emits Trivial without
@@ -543,13 +546,11 @@ object Codecs {
   final class LearnedTrivialGate(
       runW: Double = 2.0, uniqueW: Double = 2.0, widthW: Double = 2.0,
       bias: Double = -5.0, entropyThreshold: Double = 7.5) extends SelectionPolicy {
-    def preselectLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Option[Byte] =
-      if (runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction + bias > 0)
-        Some(TRIVIAL)
-      else None
-    def preselectBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Option[Byte] =
-      if (entropyBitsPerByte > entropyThreshold) Some(TRIVIAL) else None
+    def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double): Boolean =
+      runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction + bias > 0
+    def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean =
+      entropyBitsPerByte > entropyThreshold
   }
 
   @volatile private var selectionPolicy: SelectionPolicy = CostSelection
@@ -592,13 +593,11 @@ object Codecs {
         if (st.rangeOverflow) 1.0
         else bitsFor(st.max - st.min).toDouble / (8.0 * PhysType.byteWidth(phys))
       val uniqueFr = if (st.distinctCapped) 1.0 else st.distinct.size.toDouble / n
-      pol.preselectLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr) match {
-        case Some(TRIVIAL) =>
-          if (replay != null) replay.observe(TRIVIAL, full = true)
-          header(sink, TRIVIAL, phys, n)
-          trivialLongs(values, phys, sink)
-          return
-        case _ => ()
+      if (pol.skipToTrivialLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr)) {
+        if (replay != null) replay.observe(TRIVIAL, full = true)
+        header(sink, TRIVIAL, phys, n)
+        trivialLongs(values, phys, sink)
+        return
       }
     }
     // Analytic size estimates per gated candidate (reference:
@@ -1268,7 +1267,7 @@ object Codecs {
     if (polB ne CostSelection) {
       val total = col.offsets(n) - col.offsets(0)
       val entropy = byteEntropy(col.bytes, col.offsets(0), math.min(total, 4096))
-      if (polB.preselectBytes(n, total, entropy).contains(TRIVIAL)) {
+      if (polB.skipToTrivialBytes(n, total, entropy)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         val ts = new ByteSink()
         val lengths = new Array[Long](n)

@@ -79,8 +79,10 @@ object Serializer {
       (schema, n, streams)
     } else {
       // v1: `v` is the schema block's byte length; streams follow in
-      // streamKeys(schema) order with no name table
-      require(v > Version && v <= cur.remaining,
+      // streamKeys(schema) order with no name table. A valid schema JSON is
+      // always tens of bytes, so small varints (future versions 3..16) are
+      // rejected as versions rather than misparsed as schema lengths.
+      require(v > 16 && v <= cur.remaining,
         s"nimble-serializer: unsupported blob version $v")
       val schema = DataType.fromJson(new String(cur.readBytes(v.toInt), "UTF-8")).asInstanceOf[StructType]
       val n = cur.readVarint().toInt

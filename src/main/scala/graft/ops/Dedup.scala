@@ -201,29 +201,46 @@ object Dedup {
     * so lineage never re-computes earlier rounds. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    val e = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    // id-type-generic (string doc ids work like every other Dedup op):
+    // labels compare with least()/min(), which order strings binary-wise
+    val e = pairs.select(col("a").as("u"), col("b").as("v"))
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
-    var labels = docs.select(col(idCol).cast("long").as("u"), col(idCol).cast("long").as("lbl"))
-      .persist()
+    var labels = docs.select(col(idCol).as("u"), col(idCol).as("lbl")).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // min over neighbors' labels, then fold with the own label
+      // min over neighbors' labels, folded with the own label ...
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nl")), Seq("v"))
         .groupBy("u").agg(min("nl").as("nm"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
-          (col("nm").isNotNull && col("nm") < col("lbl")).as("chg"))
+      val stepped = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      // ... then one pointer-jumping hop (label-of-label): path lengths halve
+      // every round, so convergence is O(log diameter) — a 2^25-hop chain
+      // converges inside the default cap, where plain propagation moves one
+      // hop per round and silently truncated long duplicate chains
+      val next = stepped.join(
+          labels.select(col("u").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next.filter(col("chg")).count() // materializes `next`
+      changed = next.join(labels.select(col("u"), col("lbl").as("prev")), Seq("u"))
+        .filter(col("lbl") < col("prev")).count() // materializes `next`
       labels.unpersist() // safe: next is materialized, no recompute through it
-      labels = next // extra chg column rides along; consumers select explicitly
+      labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"dedupClusters: not converged after $maxIters rounds — component diameter " +
+        s"exceeds 2^$maxIters?! raise maxIters (a silent cut would mislabel clusters)")
     edges.unpersist()
-    labels.select(col("u").as(idCol), col("lbl").as("cluster"))
+    // hand the caller an unpinnable result: localCheckpoint materializes and
+    // truncates lineage, so the per-round cache entries release immediately
+    // (their blocks would otherwise stay pinned behind the returned plan)
+    val out = labels.select(col("u").as(idCol), col("lbl").as("cluster"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** 32-bit SimHash signature per document: per-token md5-derived 32-bit

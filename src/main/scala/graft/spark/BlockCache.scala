@@ -68,6 +68,10 @@ object BlockCache {
     if (hit != null && now - hit._1 <= ttlMs) hit._2
     else {
       val m = graft.format.GraftIO.status(path)
+      // bound the path universe: a long-lived executor streaming over
+      // millions of files must not accumulate entries forever — by the time
+      // the map is this big every entry is almost surely TTL-stale anyway
+      if (metaCache.size() >= 65536) metaCache.clear()
       metaCache.put(path, (now, m))
       m
     }

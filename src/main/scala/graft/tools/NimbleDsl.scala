@@ -44,15 +44,19 @@ object NimbleDsl {
         toks(0).toLowerCase match {
           case "histogram" =>
             // SHOW HISTOGRAM [TOP] [STRIPE s] <file> (ref: NimbleDslVm.cpp:349);
-            // the file path is everything after the recognized option tokens,
-            // re-joined so spaced paths survive tokenization
+            // option tokens consume in any order from the head, the file path
+            // is everything after them, re-joined so spaced paths survive
             var rest = toks.drop(1).toSeq
-            val top = rest.headOption.exists(_.equalsIgnoreCase("TOP"))
-            if (top) rest = rest.drop(1)
-            val stripe =
-              if (rest.headOption.exists(_.equalsIgnoreCase("STRIPE")) && rest.length >= 2) {
-                val s2 = rest(1); rest = rest.drop(2); Seq(s"stripe=$s2")
-              } else Nil
+            var top = false
+            var stripe: Seq[String] = Nil
+            var more = true
+            while (more) {
+              if (rest.headOption.exists(_.equalsIgnoreCase("TOP"))) {
+                top = true; rest = rest.drop(1)
+              } else if (rest.headOption.exists(_.equalsIgnoreCase("STRIPE")) && rest.length >= 2) {
+                stripe = Seq(s"stripe=${rest(1)}"); rest = rest.drop(2)
+              } else more = false
+            }
             NimbleDump.main(Array("histogram", rest.mkString(" ")) ++
               (if (top) Seq("top") else Nil) ++ stripe)
           case "index" => NimbleDump.main(Array("index", toks.drop(1).mkString(" ")))

@@ -51,7 +51,10 @@ class AggFuzzSpec extends SparkTestBase {
     }
 
     def norm(row: org.apache.spark.sql.Row): Seq[Any] = row.toSeq.map {
-      case dd: Double => math.round(dd * 1e9) // NaN -> Long.MinValue+..., stable
+      // NaN must stay distinguishable from 0.0 (math.round(NaN) is 0): the
+      // fuzz exists partly to catch a wrong NaN-degradation answer
+      case dd: Double if dd.isNaN => "NaN"
+      case dd: Double => math.round(dd * 1e9)
       case other => other
     }
 

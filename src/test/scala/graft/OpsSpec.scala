@@ -199,4 +199,23 @@ class OpsSpec extends SparkTestBase {
       .filter(col("doc_id") =!= col("cluster")).count()
     assert(solo == 0)
   }
+
+  test("dedupClusters: a 40-hop duplicate chain converges (pointer jumping), string ids work") {
+    import spark.implicits._
+    // plain one-hop propagation needs 40 rounds here and would silently
+    // truncate at the 25-round cap; the label-of-label hop converges in
+    // O(log n) rounds
+    val chainDocs = (0L to 40L).toDF("doc_id")
+    val chainPairs = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    val labels = Dedup.dedupClusters(chainDocs, "doc_id", chainPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.forall(_ == 0L), s"chain must collapse to 0: $labels")
+    // string ids: binary-min canonicalization, no silent long casts
+    val sdocs = Seq("doc-b", "doc-a", "doc-z", "solo").toDF("doc_id")
+    val spairs = Seq(("doc-b", "doc-a"), ("doc-z", "doc-b")).toDF("a", "b")
+    val sgot = Dedup.dedupClusters(sdocs, "doc_id", spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sgot == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-z" -> "doc-a", "solo" -> "solo"), s"got $sgot")
+  }
 }
