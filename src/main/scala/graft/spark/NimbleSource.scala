@@ -1301,7 +1301,8 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
       csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
       csvOpt("indexColumns"),
-      Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384))
+      Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
+      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20))
     /** Structured Streaming sink: files are immutable and appended per epoch,
       * which matches the format's append-only tablet model exactly; epoch id
       * lands in the file name so replayed epochs overwrite deterministically
@@ -1362,7 +1363,8 @@ case class NimbleCommitMessage(tempFile: String, finalFile: String) extends Writ
 class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384) extends BatchWrite {
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
+    stripeRawBytes: Long = 96L << 20) extends BatchWrite {
 
   // per-job tag: task ids restart at 0 in a new Spark application, so append
   // jobs would otherwise silently overwrite files from an earlier run
@@ -1372,7 +1374,7 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
     NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
-      GraftIO.broadcastConf(), indexColumns, rowsPerChunk)
+      GraftIO.broadcastConf(), indexColumns, rowsPerChunk, stripeRawBytes)
   }
 
   /** Consistency contract (FileOutputCommitter-v1 shape): commit is NOT
@@ -1414,7 +1416,8 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     jobTag: String = "0",
     hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
-    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
+    stripeRawBytes: Long = 96L << 20)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // executor JVMs inherit the driver's spark.hadoop.* (S3A credentials etc.)
@@ -1424,7 +1427,7 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     // the same partition from clobbering each other mid-write
     val temp = GraftIO.child(GraftIO.child(GraftIO.child(path, "_temporary"), jobTag), s"$taskId-$name")
     new NimbleDataWriter(temp, schemaJson, sortColumns, rowsPerChunk = rowsPerChunk,
-      writeOpts = writeOpts,
+      stripeRawBytes = stripeRawBytes, writeOpts = writeOpts,
       bloomColumns = bloomColumns, compression = compression,
       finalFile = GraftIO.child(path, name), indexColumns = indexColumns)
   }

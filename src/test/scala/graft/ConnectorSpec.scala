@@ -212,6 +212,29 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.read.format("nimble").load(dir).count() == 50000)
   }
 
+  test("stripeBytes write option controls stripe granularity (split + memory knob)") {
+    // hash-shaped strings resist compression, so encoded size tracks raw and
+    // the stripe count is predictable: ~340 KB encoded / 32 KB per stripe
+    // (stripes flush at chunk boundaries, so chunks must be finer than stripes)
+    val dir = tmpDir("stripebytes")
+    spark.range(20000).selectExpr("id", "md5(CAST(id AS STRING)) AS s")
+      .coalesce(1).write.format("nimble")
+      .option("stripeBytes", "32768").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val f = graft.spark.NimbleSource.listFiles(dir).head
+    val stripes = graft.spark.NimbleSource.footerOf(f).stripes.length
+    assert(stripes >= 5, s"expected many small stripes, got $stripes")
+    val nb = spark.read.format("nimble").load(dir)
+    assert(nb.count() == 20000L)
+    assert(nb.filter(col("id") === 4321L).count() == 1L)
+    // default (96 MB) stays one stripe at this size
+    val dir2 = tmpDir("stripebytes_dflt")
+    spark.range(20000).selectExpr("id", "md5(CAST(id AS STRING)) AS s")
+      .coalesce(1).write.format("nimble").mode("overwrite").save(dir2)
+    val f2 = graft.spark.NimbleSource.listFiles(dir2).head
+    assert(graft.spark.NimbleSource.footerOf(f2).stripes.length == 1)
+  }
+
   test("unsignedColumns widens u8/u16/u32/u64 like the parquet reader (SURVEY §1.2)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
