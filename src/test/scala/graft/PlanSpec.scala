@@ -118,4 +118,29 @@ class PlanSpec extends SparkTestBase {
       !cs.entrySet().stream().filter(_.getKey.toString == "o_orderstatus")
         .findFirst().get().getValue.min().isPresent)
   }
+
+  test("mixed-stripe filtered aggregate plans the mid-scan agg scan (one partial row per task)") {
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val agg = spark.read.format("nimble").load(dir)
+      .filter(col("l_quantity") > 45)
+      .agg(count(lit(1)), min("l_orderkey"), max("l_extendedprice"))
+    agg.collect() // finalize the adaptive plan
+    // AQE wraps scans in leaf QueryStage nodes, so assert on the rendered
+    // final plan (scan descriptions print inside the BatchScan node)
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("mid-scan-agg"),
+      s"expected the mid-scan agg scan in the final plan:\n$planStr")
+    assert(!planStr.contains("LocalTableScan"), "mixed stripes are not stats-only")
+    // the scan emits bounded partial rows, not data rows: plan it directly
+    val files = graft.spark.NimbleSource.listFiles(dir)
+    val schema = spark.read.format("nimble").load(dir).schema
+    val ops: Array[graft.spark.AggScan.AggOp] = Array(graft.spark.AggScan.CountStarOp())
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.GreaterThan("l_quantity", 45.0))
+    val Some((partials, mixed)) = graft.spark.AggScan.plan(ops, schema, files, filters)
+    val scan = new graft.spark.NimbleAggBatchScan(dir, schema, new org.apache.spark.sql.types.StructType(),
+      ops, filters, partials, mixed)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty && parts.length < 64, s"partials should be task-count-bounded: ${parts.length}")
+  }
 }
