@@ -659,7 +659,23 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
           aggOut = AggPushdown.outputSchema(agg, dataSchema)
           aggRows = rows
           true
-        case None => false
+        case None =>
+          // stats refused (NaN-poisoned max, truncated 64B string bounds):
+          // degrade to the mid-scan fold instead of a full materializing
+          // scan — with no filters every stripe is "all-match", and the
+          // stripes whose stats can't answer exactly fold decoded values
+          AggScan.opsOf(agg, dataSchema) match {
+            case Some(ops) if files.nonEmpty =>
+              AggScan.plan(ops, dataSchema, files, Array.empty) match {
+                case Some((partials, mixed)) =>
+                  aggOut = AggPushdown.outputSchema(agg, dataSchema)
+                  if (mixed.isEmpty) aggRows = partials
+                  else { aggOps = ops; aggPartials = partials; aggMixed = mixed }
+                  true
+                case None => false
+              }
+            case _ => false
+          }
       }
     } else AggScan.opsOf(agg, dataSchema) match {
       case Some(ops) if files.nonEmpty =>

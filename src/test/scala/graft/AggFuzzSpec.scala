@@ -41,13 +41,14 @@ class AggFuzzSpec extends SparkTestBase {
       "mina" -> min("a"), "maxa" -> max("a"), "minb" -> min("b"), "maxb" -> max("b"),
       "mind" -> min("d"), "maxd" -> max("d"), "mins" -> min("s"), "maxs" -> max("s"))
 
-    def filterOf(r: scala.util.Random): Column = r.nextInt(6) match {
+    def filterOf(r: scala.util.Random): Column = r.nextInt(7) match {
       case 0 => col("a") >= r.nextInt(n)
       case 1 => col("a") >= r.nextInt(n) && col("a") < r.nextInt(n)
       case 2 => col("b") === r.nextInt(260).toLong
       case 3 => col("s") === s"s${r.nextInt(44)}"
       case 4 => col("d") > (r.nextInt(120) - 60).toDouble
       case 5 => col("b").isNull || col("a") < r.nextInt(n)
+      case 6 => lit(true) // unfiltered: stats path or its mid-scan degradation
     }
 
     def norm(row: org.apache.spark.sql.Row): Seq[Any] = row.toSeq.map {

@@ -26,17 +26,22 @@ class AggPushdownSpec extends SparkTestBase {
     assert(plan.contains("LocalTableScan"), s"aggregate not pushed (expected LocalTableScan from the stats LocalScan):\n$plan")
   }
 
-  test("max(double) refused when NaN possible; all-null column answered null") {
+  test("max(double) with NaN degrades to the mid-scan fold; all-null column answered null") {
     import spark.implicits._
     val df = Seq((1L, Double.NaN, null: java.lang.Long), (2L, 1.5, null: java.lang.Long)).toDF("id", "d", "n")
     val dir = tmpDir("aggnan")
     df.write.format("nimble").mode("overwrite").save(dir)
     val nb = spark.read.format("nimble").load(dir)
-    // max(d) must be NaN (Spark sorts NaN greatest) — falls back to scan
+    // max(d) must be NaN (Spark sorts NaN greatest) — footer stats can't
+    // answer exactly, so the UNFILTERED pushdown folds decoded values
+    // mid-scan instead of falling back to a materializing scan
+    val dec0 = graft.spark.AggScan.aggChunksDecoded.get()
     val r = nb.agg(max("d"), min("d"), max("n")).collect()(0)
     assert(r.getDouble(0).isNaN)
     assert(r.getDouble(1) == 1.5)
     assert(r.isNullAt(2))
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > dec0,
+      "stats-refused unfiltered aggregate must take the mid-scan fold")
   }
 
   test("filtered aggregate with mixed stripes aggregates during the scan (ValueHook)") {
