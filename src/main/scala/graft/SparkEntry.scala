@@ -341,7 +341,8 @@ object SparkEntry {
     "x21_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.nimble(s, dir, "documents")
       Dedup.dedupClusters(docs, "doc_id",
-        Dedup.minhashPairs(docs, "doc_id", "text"))
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, numPerms = 32, bands = 32, threshold = 0.5))
     }),
     // deterministic stratified sampling: hash-threshold per language stratum
     "x19_stratified_sample" -> ((s, dir) =>

@@ -518,13 +518,17 @@ object Codecs {
     * default [[CostSelection]] always runs the full cost-based search. */
   trait SelectionPolicy {
     /** Long-backed chunks: fractions are cheap single-pass features —
-      * runs/n, distinct/n (1.0 when cardinality capped), and the bit-width
-      * of (max-min) over the physical width. true = emit Trivial directly,
-      * skipping the candidate search (the ONLY short-circuit the format
-      * supports — a policy cannot pick an arbitrary codec, it can only
-      * predict that searching is wasted). */
+      * runs/n, distinct/n (1.0 when cardinality capped), the bit-width of
+      * (max-min) over the physical width, and the bit-width of the largest
+      * SAMPLED adjacent delta over the physical width (sorted sequences —
+      * timestamps, monotonic ids — have small deltas even when their total
+      * range is wide, and the delta family compresses them heavily). true =
+      * emit Trivial directly, skipping the candidate search (the ONLY
+      * short-circuit the format supports — a policy cannot pick an
+      * arbitrary codec, it can only predict that searching is wasted). */
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Boolean
+        uniqueFraction: Double, widthFraction: Double,
+        deltaWidthFraction: Double): Boolean
     /** Byte/string chunks: sampled Shannon entropy (bits/byte) is the
       * compressibility proxy — hex/base64-ish data stays well under 8. */
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean
@@ -534,7 +538,8 @@ object Codecs {
     * best 1-2 fully encoded (the Manual/cost policy). */
   object CostSelection extends SelectionPolicy {
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Boolean = false
+        uniqueFraction: Double, widthFraction: Double,
+        deltaWidthFraction: Double): Boolean = false
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean = false
   }
 
@@ -544,11 +549,14 @@ object Codecs {
     * run-free, full-width longs; near-8-bit-entropy bytes — so compressible
     * shapes (sorted ints, hex strings, dictionaries) keep their codecs. */
   final class LearnedTrivialGate(
-      runW: Double = 2.0, uniqueW: Double = 2.0, widthW: Double = 2.0,
-      bias: Double = -5.0, entropyThreshold: Double = 7.5) extends SelectionPolicy {
+      runW: Double = 1.5, uniqueW: Double = 1.5, widthW: Double = 1.5,
+      deltaW: Double = 1.5, bias: Double = -5.5,
+      entropyThreshold: Double = 7.5) extends SelectionPolicy {
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
-        uniqueFraction: Double, widthFraction: Double): Boolean =
-      runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction + bias > 0
+        uniqueFraction: Double, widthFraction: Double,
+        deltaWidthFraction: Double): Boolean =
+      runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction +
+        deltaW * deltaWidthFraction + bias > 0
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean =
       entropyBitsPerByte > entropyThreshold
   }
@@ -593,7 +601,21 @@ object Codecs {
         if (st.rangeOverflow) 1.0
         else bitsFor(st.max - st.min).toDouble / (8.0 * PhysType.byteWidth(phys))
       val uniqueFr = if (st.distinctCapped) 1.0 else st.distinct.size.toDouble / n
-      if (pol.skipToTrivialLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr)) {
+      // sampled max adjacent delta: sorted sequences stay delta-compressible
+      // even when their total range spans the full width
+      val deltaFr = {
+        var maxD = 0L
+        var i = 1
+        val end = math.min(n, 1025)
+        while (i < end) {
+          val d = values(i) - values(i - 1)
+          val m = if (d == Long.MinValue) Long.MaxValue else math.abs(d)
+          if (m > maxD) maxD = m
+          i += 1
+        }
+        bitsFor(maxD).toDouble / (8.0 * PhysType.byteWidth(phys))
+      }
+      if (pol.skipToTrivialLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr, deltaFr)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         header(sink, TRIVIAL, phys, n)
         trivialLongs(values, phys, sink)
@@ -1229,6 +1251,20 @@ object Codecs {
 
   // ---------------------------------------------------------------- bytes
 
+  /** TRIVIAL bytes payload: lengths sub-stream + varint total + raw bytes
+    * (single source of truth for the cost path and the policy gate). */
+  private def trivialBytesPayload(col: BytesCol, depth: Int): Array[Byte] = {
+    val n = col.len
+    val ts = new ByteSink()
+    val lengths = new Array[Long](n)
+    var i = 0
+    while (i < n) { lengths(i) = (col.offsets(i + 1) - col.offsets(i)).toLong; i += 1 }
+    val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
+    ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
+    ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
+    ts.toArray
+  }
+
   private def encodeBytes(col: BytesCol, sink: ByteSink, depth: Int,
       replay: Replay = null): Unit = {
     val n = col.len
@@ -1269,30 +1305,15 @@ object Codecs {
       val entropy = byteEntropy(col.bytes, col.offsets(0), math.min(total, 4096))
       if (polB.skipToTrivialBytes(n, total, entropy)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
-        val ts = new ByteSink()
-        val lengths = new Array[Long](n)
-        var li = 0
-        while (li < n) { lengths(li) = (col.offsets(li + 1) - col.offsets(li)).toLong; li += 1 }
-        val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
-        ts.writeVarint(total.toLong)
-        ts.writeBytes(col.bytes, col.offsets(0), total)
         header(sink, TRIVIAL, PhysType.Bytes, n)
-        sink.writeBytes(ts.toArray)
+        sink.writeBytes(trivialBytesPayload(col, depth))
         return
       }
     }
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
-    // Trivial: lengths sub-stream + raw bytes
-    def buildTrivial(): Unit = {
-      val ts = new ByteSink()
-      val lengths = new Array[Long](n)
-      var i1 = 0
-      while (i1 < n) { lengths(i1) = (col.offsets(i1 + 1) - col.offsets(i1)).toLong; i1 += 1 }
-      val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
-      ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
-      ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
-      candidates += ((TRIVIAL, ts.toArray))
-    }
+    // Trivial: lengths sub-stream + raw bytes (same payload builder as the
+    // policy gate — the layouts are provably identical)
+    def buildTrivial(): Unit = candidates += ((TRIVIAL, trivialBytesPayload(col, depth)))
     if (want(TRIVIAL)) buildTrivial()
     // Prefix (front coding): share a prefix with the previous value —
     // effective on sorted / shared-prefix strings (reference:

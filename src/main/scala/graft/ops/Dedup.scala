@@ -234,11 +234,12 @@ object Dedup {
       s"dedupClusters: not converged after $maxIters rounds — component diameter " +
         s"exceeds 2^$maxIters?! raise maxIters (a silent cut would mislabel clusters)")
     edges.unpersist()
-    // hand the caller an unpinnable result: localCheckpoint materializes and
-    // truncates lineage, so the per-round cache entries release immediately
-    // (their blocks would otherwise stay pinned behind the returned plan)
-    val out = labels.select(col("u").as(idCol), col("lbl").as("cluster"))
-      .localCheckpoint(true)
+    // hand back a persisted, caller-unpersistable result (localCheckpoint
+    // blocks are non-recomputable and die with decommissioned executors —
+    // wrong default under dynamic allocation); losing these cached blocks
+    // merely recomputes through lineage, which stays correct
+    val out = labels.select(col("u").as(idCol), col("lbl").as("cluster")).persist()
+    out.count()
     labels.unpersist()
     out
   }

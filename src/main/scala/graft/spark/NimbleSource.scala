@@ -664,22 +664,18 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
           // degrade to the mid-scan fold instead of a full materializing
           // scan — with no filters every stripe is "all-match", and the
           // stripes whose stats can't answer exactly fold decoded values
-          AggScan.opsOf(agg, dataSchema) match {
-            case Some(ops) if files.nonEmpty =>
-              AggScan.plan(ops, dataSchema, files, Array.empty) match {
-                case Some((partials, mixed)) =>
-                  aggOut = AggPushdown.outputSchema(agg, dataSchema)
-                  if (mixed.isEmpty) aggRows = partials
-                  else { aggOps = ops; aggPartials = partials; aggMixed = mixed }
-                  true
-                case None => false
-              }
-            case _ => false
-          }
+          planAggScan(agg, files, Array.empty)
       }
-    } else AggScan.opsOf(agg, dataSchema) match {
+    } else planAggScan(agg, files, pushed)
+  }
+
+  /** Shared tail of pushAggregation: classify stripes and stage either the
+    * stats LocalScan (no mixed stripes) or the mid-scan agg scan. */
+  private def planAggScan(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      files: Seq[String], filters: Array[Filter]): Boolean =
+    AggScan.opsOf(agg, dataSchema) match {
       case Some(ops) if files.nonEmpty =>
-        AggScan.plan(ops, dataSchema, files, pushed) match {
+        AggScan.plan(ops, dataSchema, files, filters) match {
           case Some((partials, mixed)) =>
             aggOut = AggPushdown.outputSchema(agg, dataSchema)
             if (mixed.isEmpty) aggRows = partials // pure-stats: LocalScan
@@ -689,7 +685,6 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
         }
       case _ => false
     }
-  }
 
   override def build(): Scan =
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
@@ -1327,20 +1322,22 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
       new NimbleStreamingWrite(path, schema.json, sortCols, writeOpts,
         csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
         csvOpt("indexColumns"),
-        Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384))
+        Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
+        Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20))
   }
 }
 
 class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[String],
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
+    stripeRawBytes: Long = 96L << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftIO.mkdirs(path)
     NimbleStreamingWriterFactory(path, schemaJson, sortColumns, GraftIO.broadcastConf(),
-      writeOpts, bloomColumns, compression, indexColumns, rowsPerChunk)
+      writeOpts, bloomColumns, compression, indexColumns, rowsPerChunk, stripeRawBytes)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -1350,7 +1347,8 @@ case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortCo
     hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384)
+    indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
+    stripeRawBytes: Long = 96L << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // epoch id in the name: a replayed epoch rewrites the same files, so the
   // streaming sink is idempotent without a rename step
@@ -1359,7 +1357,8 @@ case class NimbleStreamingWriterFactory(path: String, schemaJson: String, sortCo
     // the streaming sink honors the same writer options as the batch path
     // (an indexed/bloomed streaming table probes identically after each epoch)
     new NimbleDataWriter(s"$path/epoch-$epochId-part-%05d.gft".format(partitionId), schemaJson,
-      sortColumns, rowsPerChunk = rowsPerChunk, writeOpts = writeOpts,
+      sortColumns, rowsPerChunk = rowsPerChunk, stripeRawBytes = stripeRawBytes,
+      writeOpts = writeOpts,
       bloomColumns = bloomColumns, compression = compression, indexColumns = indexColumns)
   }
 }

@@ -51,9 +51,12 @@ object NimbleDsl {
             var stripe: Seq[String] = Nil
             var more = true
             while (more) {
-              if (rest.headOption.exists(_.equalsIgnoreCase("TOP"))) {
+              // each option consumes at most once, so a path whose first
+              // token happens to be "top" or "stripe" survives
+              if (!top && rest.headOption.exists(_.equalsIgnoreCase("TOP"))) {
                 top = true; rest = rest.drop(1)
-              } else if (rest.headOption.exists(_.equalsIgnoreCase("STRIPE")) && rest.length >= 2) {
+              } else if (stripe.isEmpty &&
+                  rest.headOption.exists(_.equalsIgnoreCase("STRIPE")) && rest.length >= 2) {
                 stripe = Seq(s"stripe=${rest(1)}"); rest = rest.drop(2)
               } else more = false
             }
