@@ -227,7 +227,17 @@ object Dedup {
       changed = next.join(labels.select(col("u"), col("lbl").as("prev")), Seq("u"))
         .filter(col("lbl") < col("prev")).count() // materializes `next`
       labels.unpersist() // safe: next is materialized, no recompute through it
-      labels = next
+      // Cut the SQL plan: persist() truncates *execution* but not the
+      // *logical plan* — each round's `next` references `labels` in three
+      // joins, so the plan tree grows ~4^k and deep chains OOM the driver
+      // just rendering AQE explain strings. Rebuilding the frame from the
+      // persisted RDD makes the plan a LogicalRDD leaf; the RDD lineage
+      // underneath stays recomputable if cached blocks are lost (unlike
+      // localCheckpoint, whose blocks die with decommissioned executors).
+      val cut = docs.sparkSession.createDataFrame(next.rdd, next.schema).persist()
+      cut.count() // materialize from next's cache before releasing it
+      next.unpersist()
+      labels = cut
       iter += 1
     }
     require(changed == 0,

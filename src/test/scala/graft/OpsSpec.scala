@@ -207,8 +207,13 @@ class OpsSpec extends SparkTestBase {
     // O(log n) rounds
     val chainDocs = (0L to 40L).toDF("doc_id")
     val chainPairs = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
-    val labels = Dedup.dedupClusters(chainDocs, "doc_id", chainPairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.dedupClusters(chainDocs, "doc_id", chainPairs)
+    // the per-round lineage cut must keep the result's plan O(1) in rounds:
+    // without it each round embeds 3 copies of the prior plan (~4^k nodes)
+    // and deep chains OOM the driver rendering AQE explain strings
+    val planNodes = out.queryExecution.logical.collect { case p => p }.size
+    assert(planNodes < 20, s"dedupClusters result plan must be a leaf+projection, got $planNodes nodes")
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 0L), s"chain must collapse to 0: $labels")
     // string ids: binary-min canonicalization, no silent long casts
     val sdocs = Seq("doc-b", "doc-a", "doc-z", "solo").toDF("doc_id")
