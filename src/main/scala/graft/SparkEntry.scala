@@ -234,6 +234,16 @@ object SparkEntry {
         .selectExpr("o_orderkey", "u8", "u16", "u32", "CAST(u64 AS STRING) AS u64")
     }),
 
+    // SUM/AVG pushdown (decode-fold — footer stats carry no sums): the
+    // shipdate filter splits stripes into all-match / mixed; surviving
+    // chunks fold sums during decode, stats-answerable ops (count/max)
+    // still fold from chunk stats, and AVG arrives split into SUM+COUNT
+    // by Spark's partial-pushdown rewrite (SPARK-37839)
+    "q28_agg_sum" -> q(Seq("lineitem"),
+      """SELECT count(1) AS cnt, sum(l_suppkey) AS sum_sk, sum(l_quantity) AS sum_qty,
+         avg(l_quantity) AS avg_qty, max(l_quantity) AS max_q
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01'"""),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -684,6 +694,10 @@ object SparkEntry {
          CAST(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey AS HUGEINT)
               ELSE 18446744073709551616::HUGEINT - o_orderkey END AS VARCHAR) AS u64
          FROM orders""",
+    "q28_agg_sum" ->
+      """SELECT count(1) AS cnt, CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
+         sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, max(l_quantity) AS max_q
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01'""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

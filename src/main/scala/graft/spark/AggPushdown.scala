@@ -33,6 +33,15 @@ object AggPushdown {
       case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (m: Min, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
       case (m: Max, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
+      case (s: Sum, i) =>
+        // partial sums: long for integral children, double for double —
+        // Spark casts back to the child type before the final merge (safe:
+        // AggScan.sumBoundOk proved the cast can't wrap)
+        val dt = schema(colName(s.column()).get).dataType match {
+          case DoubleType => DoubleType
+          case _ => LongType
+        }
+        StructField(s"agg_$i", dt, nullable = true)
       case (other, _) => throw new IllegalStateException(other.toString)
     }
     StructType(fields)

@@ -42,6 +42,15 @@ object AggScan {
   final case class CountOp(col: String, dt: DataType) extends AggOp
   final case class MinOp(col: String, dt: DataType) extends AggOp
   final case class MaxOp(col: String, dt: DataType) extends AggOp
+  /** SUM fold (dt = the CHILD column type). Decode-fold only — footer stats
+    * carry no sums, so a SumOp degrades every stripe to the decode path.
+    * Spark's partial-aggregate pushdown re-applies Sum over the scan output
+    * CAST BACK to the child type, so integral sums are only accepted when
+    * the plan-time stats bound proves every partial fits the child range
+    * (see [[sumBoundOk]]); float children are refused outright (the
+    * double->float cast would round partials Spark's own execution keeps
+    * in a double buffer). */
+  final case class SumOp(col: String, dt: DataType) extends AggOp
 
   private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
     e match {
@@ -61,6 +70,15 @@ object AggScan {
   private def atomic(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType => false
     case _ => true
+  }
+
+  /** SUM child domain: integrals (long fold, plan-time overflow bound) and
+    * doubles (double fold, saturates like Spark's own). FloatType refused —
+    * Spark casts the pushed partial back to float, rounding what its own
+    * execution keeps in a double buffer. Decimals refuse as everywhere. */
+  private def sumOk(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DoubleType => true
+    case _ => false
   }
 
   /** Shape gate: the supported AggOp list, or None. */
@@ -83,9 +101,46 @@ object AggScan {
         val f = schema.fields.find(_.name == n).getOrElse(return None)
         if (!minMaxOk(f.dataType)) return None
         MaxOp(f.name, f.dataType)
+      case s: Sum if !s.isDistinct =>
+        val n = colName(s.column()).getOrElse(return None)
+        val f = schema.fields.find(_.name == n).getOrElse(return None)
+        if (!sumOk(f.dataType)) return None
+        SumOp(f.name, f.dataType)
       case _ => return None
     }
     Some(ops)
+  }
+
+  /** Plan-time overflow fence for integral SUMs: `sum |x|` over every file is
+    * bounded by `max(|min|,|max|) * nonNullCount` from footer stats; the
+    * pushdown is accepted only when that bound fits the CHILD type's range,
+    * because Spark casts each partial back to the child type before the
+    * final merge (a wrapped cast would be silently wrong — Spark's own
+    * partial buffers are longs and never narrow). Conservative: refusal just
+    * means the normal scan + Spark aggregation runs. */
+  private def sumBoundOk(ops: Array[AggOp], files: Seq[String]): Boolean = {
+    val intSums = ops.collect { case SumOp(c, dt) if dt != DoubleType => (c, dt) }
+    if (intSums.isEmpty) return true
+    val bounds = scala.collection.mutable.HashMap[String, BigInt]().withDefaultValue(BigInt(0))
+    for (f <- files) {
+      val r = new Tablet.Reader(f, NimbleSource.footerOf(f))
+      try for ((c, _) <- intSums) {
+        val st = r.fileStatsOf(c).getOrElse(return false)
+        if (st.hasMinMax) {
+          val maxAbs = BigInt(st.minLong).abs.max(BigInt(st.maxLong).abs)
+          bounds(c) += maxAbs * (st.valueCount - st.nullCount)
+        }
+      } finally r.close()
+    }
+    intSums.forall { case (c, dt) =>
+      val lim: BigInt = dt match {
+        case ByteType => BigInt(Byte.MaxValue)
+        case ShortType => BigInt(Short.MaxValue)
+        case IntegerType => BigInt(Int.MaxValue)
+        case _ => BigInt(Long.MaxValue)
+      }
+      bounds(c) <= lim
+    }
   }
 
   /** Classify every stripe of every file. Returns (stats partial rows,
@@ -96,6 +151,7 @@ object AggScan {
       filters: Array[Filter]): Option[(Seq[InternalRow], Seq[(NimbleStripePartition, Long)])] = {
     val neededCols = ops.flatMap(o => Option(o.col)).distinct
     NimbleSource.prefetchFooters(files)
+    if (!sumBoundOk(ops, files)) return None
     val partials = scala.collection.mutable.ArrayBuffer[InternalRow]()
     val mixed = scala.collection.mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     for (f <- files) {
@@ -160,6 +216,10 @@ object AggScan {
       case MaxOp(c, dt) =>
         AggPushdown.statValue(acc.getOrElse(c, Tablet.Stats()), dt, isMin = false)
           .getOrElse(return None)
+      case SumOp(_, _) =>
+        // footer stats carry no sums: degrade this file's all-match set to
+        // the decode fold (exact either way)
+        return None
     }
     Some(new GenericInternalRow(values))
   }
@@ -304,7 +364,34 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         }
       case MinOp(_, dt) => foldMinMax(i, isMin = true, dt, col, selection, chunkRows)
       case MaxOp(_, dt) => foldMinMax(i, isMin = false, dt, col, selection, chunkRows)
+      case SumOp(_, _) => foldSum(i, col, selection, chunkRows)
       case CountStarOp() => ()
+    }
+  }
+
+  /** SUM over the selected rows: integrals accumulate in longs(i) (the
+    * plan-time stats bound proved no overflow), doubles in dbls(i)
+    * (saturating, same as Spark's double sum buffer). present(i) tracks
+    * "saw a non-null value" so an all-null partial emits null. */
+  private def foldSum(i: Int, col: graft.format.Column,
+      selection: Array[Int], chunkRows: Int): Unit = {
+    val nulls = col.nulls
+    val m = if (selection != null) selection.length else chunkRows
+    var k = 0
+    col match {
+      case l: graft.format.LongsCol =>
+        while (k < m) {
+          val row = if (selection != null) selection(k) else k
+          if (nulls == null || !nulls(row)) { present(i) = true; longs(i) += l.values(row) }
+          k += 1
+        }
+      case d: graft.format.DoublesCol =>
+        while (k < m) {
+          val row = if (selection != null) selection(k) else k
+          if (nulls == null || !nulls(row)) { present(i) = true; dbls(i) += d.values(row) }
+          k += 1
+        }
+      case other => throw new IllegalStateException(s"nimble: sum fold over ${other.getClass}")
     }
   }
 
@@ -336,6 +423,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           counts(i) += st.valueCount - st.nullCount
         case MinOp(c, dt) => foldStatsValue(i, isMin = true, dt, statsOf(c).get)
         case MaxOp(c, dt) => foldStatsValue(i, isMin = false, dt, statsOf(c).get)
+        case SumOp(_, _) =>
+          throw new IllegalStateException("nimble: sum is never stats-answerable")
         case CountStarOp() => ()
       }
       i += 1
@@ -356,6 +445,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       case CountOp(c, _) => statsOf(c).isDefined
       case MinOp(c, dt) => statsOf(c).exists(st => statsValueOk(st, dt, isMin = true))
       case MaxOp(c, dt) => statsOf(c).exists(st => statsValueOk(st, dt, isMin = false))
+      case SumOp(_, _) => false // stats carry no sums
     }
 
   private def statsValueOk(st: Tablet.Stats, dt: DataType, isMin: Boolean): Boolean = {
@@ -412,17 +502,19 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         if (pruned) {
           cursors.valuesIterator.foreach(_.skip())
           NimbleSource.chunksSkipped.incrementAndGet()
-        } else if (filters.forall(f => Filters.allMatchStripe(f, statsOf)) &&
-            ops.forall(op => statsAnswerable(op, statsOf)) &&
-            anchor.peekStats().isDefined) {
-          // whole chunk classifies all-match and every op answers from chunk
-          // stats: fold metadata, decode nothing
-          foldChunkStats(anchor.peekStats().get.valueCount, statsOf)
-          cursors.valuesIterator.foreach(_.skip())
-          AggScan.aggChunksStatsAnswered.incrementAndGet()
         } else {
-          decodeAndFold(readers, cursors, filterCols, statsOf)
-          AggScan.aggChunksDecoded.incrementAndGet()
+          val allMatch = filters.forall(f => Filters.allMatchStripe(f, statsOf))
+          if (allMatch && ops.forall(op => statsAnswerable(op, statsOf)) &&
+              anchor.peekStats().isDefined) {
+            // whole chunk classifies all-match and every op answers from
+            // chunk stats: fold metadata, decode nothing
+            foldChunkStats(anchor.peekStats().get.valueCount, statsOf)
+            cursors.valuesIterator.foreach(_.skip())
+            AggScan.aggChunksStatsAnswered.incrementAndGet()
+          } else {
+            decodeAndFold(readers, cursors, filterCols, statsOf, allMatch)
+            AggScan.aggChunksDecoded.incrementAndGet()
+          }
         }
       }
     } finally reader.close()
@@ -430,7 +522,57 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
 
   private def decodeAndFold(readers: Map[String, Fields.FieldReader],
       cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
-      statsOf: String => Option[Tablet.Stats]): Unit = {
+      statsOf: String => Option[Tablet.Stats], allMatch: Boolean): Unit = {
+    def decodeAgg(name: String): graft.format.Column = readers(name) match {
+      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
+          dataSchema(name).dataType == BinaryType => p.decodeRawLazy()
+      case other => other.decodeRaw()
+    }
+    if (allMatch && aggCols.nonEmpty) {
+      // chunk stats prove every row survives (the chunk landed here only
+      // because some op — e.g. SUM — can't answer from stats): decode ONLY
+      // the columns whose ops need values, fold the rest from chunk stats,
+      // skip every other cursor, no selection vector at all
+      val needValues: Set[String] = ops.iterator
+        .filter(op => op.col != null && !statsAnswerable(op, statsOf))
+        .map(_.col).toSet
+      // snapshot chunk stats BEFORE any cursor advances — statsOf peeks the
+      // live cursors, and decode/skip below moves them to the next chunk
+      val statsSnap: Map[String, Option[Tablet.Stats]] =
+        aggCols.iterator.map(c => c -> statsOf(c)).toMap
+      // all ops answerable but the anchor chunk lacked stats: still need one
+      // decoded column for the row count
+      val decodeSet = if (needValues.nonEmpty) needValues else Set(aggCols.head)
+      val decodedAgg = scala.collection.mutable.HashMap[String, graft.format.Column]()
+      for (c <- aggCols) {
+        if (decodeSet(c)) decodedAgg(c) = decodeAgg(c)
+        else { cursors(c).skip(); cursors.get(c + "#nanos").foreach(_.skip()) }
+      }
+      for (c <- filterCols if !aggCols.contains(c) && cursors.contains(c)) {
+        // skip the RAW cursor (readChunkDiscard would desync, see below)
+        cursors(c).skip()
+        cursors.get(c + "#nanos").foreach(_.skip())
+      }
+      val chunkRows = decodedAgg.valuesIterator.next().len
+      countStar += chunkRows
+      var oi = 0
+      while (oi < ops.length) {
+        val op = ops(oi)
+        if (op.col != null) {
+          if (needValues(op.col)) foldColumn(oi, op, decodedAgg(op.col), null, chunkRows)
+          else op match { // statsAnswerable held for every op on this column
+            case CountOp(c, _) =>
+              val st = statsSnap(c).get
+              counts(oi) += st.valueCount - st.nullCount
+            case MinOp(c, dt) => foldStatsValue(oi, isMin = true, dt, statsSnap(c).get)
+            case MaxOp(c, dt) => foldStatsValue(oi, isMin = false, dt, statsSnap(c).get)
+            case _ => throw new IllegalStateException(s"nimble: stats fold $op")
+          }
+        }
+        oi += 1
+      }
+      return
+    }
     // decode filter columns (dict-preserving strings, like the normal scan)
     def decodeCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
       case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
@@ -508,6 +650,10 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       case (CountOp(_, _), i) => java.lang.Long.valueOf(counts(i)): Any
       case (MinOp(_, dt), i) => emitValue(i, dt)
       case (MaxOp(_, dt), i) => emitValue(i, dt)
+      case (SumOp(_, dt), i) =>
+        if (!present(i)) null // sum over zero non-null values is null
+        else if (dt == DoubleType) java.lang.Double.valueOf(dbls(i))
+        else java.lang.Long.valueOf(longs(i)): Any
     }
     new GenericInternalRow(values)
   }

@@ -39,7 +39,11 @@ class AggFuzzSpec extends SparkTestBase {
     val aggs: Seq[(String, Column)] = Seq(
       "cnt" -> count(lit(1)), "cb" -> count(col("b")), "cs" -> count(col("s")),
       "mina" -> min("a"), "maxa" -> max("a"), "minb" -> min("b"), "maxb" -> max("b"),
-      "mind" -> min("d"), "maxd" -> max("d"), "mins" -> min("s"), "maxs" -> max("s"))
+      "mind" -> min("d"), "maxd" -> max("d"), "mins" -> min("s"), "maxs" -> max("s"),
+      // sum/avg: decode-fold only (stats carry no sums); d mixes NaN pockets
+      // in, which must poison the sum exactly like Spark's own fold
+      "suma" -> sum("a"), "sumb" -> sum("b"), "sumd" -> sum("d"),
+      "avgb" -> avg("b"), "avgd" -> avg("d"))
 
     def filterOf(r: scala.util.Random): Column = r.nextInt(7) match {
       case 0 => col("a") >= r.nextInt(n)

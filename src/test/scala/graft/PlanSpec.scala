@@ -143,4 +143,36 @@ class PlanSpec extends SparkTestBase {
     val parts = scan.planInputPartitions()
     assert(parts.nonEmpty && parts.length < 64, s"partials should be task-count-bounded: ${parts.length}")
   }
+
+  test("sum/avg aggregates plan the mid-scan agg scan; overflow-risk sums refuse") {
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val agg = spark.read.format("nimble").load(dir)
+      .filter(col("l_quantity") > 45)
+      .agg(sum("l_suppkey").as("ss"), avg("l_quantity").as("aq"), count(lit(1)).as("c"))
+    agg.collect()
+    val planStr = agg.queryExecution.executedPlan.toString
+    assert(planStr.contains("mid-scan-agg"),
+      s"expected sum to ride the mid-scan agg scan:\n$planStr")
+    // values must equal the un-pushed compute
+    val exp = spark.read.format("nimble").load(dir).filter(col("l_quantity") > 45)
+      .withColumn("l_suppkey", col("l_suppkey") + 0) // +0 blocks agg pushdown shape
+      .agg(sum("l_suppkey"), avg("l_quantity"), count(lit(1))).collect()(0)
+    assert(agg.collect()(0) == exp, s"pushed sum diverged: ${agg.collect()(0)} vs $exp")
+
+    // a long column whose stats bound can overflow Long on summation must
+    // refuse the pushdown (Spark casts partials back to the child type; a
+    // wrapped partial would be silently wrong) and fall back to a plain scan
+    // alternating ±2^62: the |max|*count bound overflows Long (→ refusal)
+    // but the true sum is 0, so the fallback scan computes fine even under
+    // ANSI's throwing sum
+    val big = spark.range(5000).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 4611686018427387000 ELSE -4611686018427387000 END AS big")
+    val bdir = tmpDir("sum-overflow")
+    big.write.format("nimble").mode("overwrite").save(bdir)
+    val bagg = spark.read.format("nimble").load(bdir).agg(sum("big"))
+    bagg.collect()
+    val bplan = bagg.queryExecution.executedPlan.toString
+    assert(!bplan.contains("mid-scan-agg") && !bplan.contains("stats-agg"),
+      s"overflow-risk sum must not push down:\n$bplan")
+  }
 }
