@@ -778,6 +778,7 @@ object Fields {
         vec.putDoubles(0, n, c.values, 0)
         return n
       case c: BytesCol =>
+        if (vec.hasDictionary) vec.setDictionary(null) // vector reuse across chunks
         // pre-size the child byte vector once, then append without regrowth
         vec.arrayData().reserve(c.offsets(n) - c.offsets(0))
         var i = 0
@@ -819,6 +820,7 @@ object Fields {
         var i = 0
         while (i < n) { val s = srcIdx(i); if (nulls != null && nulls(s)) vec.putNull(i) else vec.putBoolean(i, c.values(s)); i += 1 }
       case c: BytesCol =>
+        if (vec.hasDictionary) vec.setDictionary(null) // vector reuse across chunks
         var i = 0
         while (i < n) {
           val s = srcIdx(i)
@@ -827,6 +829,7 @@ object Fields {
           i += 1
         }
       case c: LazyFsstBytesCol =>
+        if (vec.hasDictionary) vec.setDictionary(null) // vector reuse across chunks
         // decode-at-fill: with a selection present only surviving rows pay
         // the FSST decode (lazy column materialization)
         val scratch = new ByteSink(256)
@@ -839,21 +842,46 @@ object Fields {
         }
         Fsst.decodedStrings.add(n.toLong)
       case c: DictBytesCol =>
-        // expand via the alphabet at fill time: with a selection present only
-        // surviving rows ever materialize their string
+        // surface the chunk dictionary through Spark's vector dictionary API
+        // (reference: encodings/common/Encoding.h:280-302 exposes
+        // dictionaryEnabled/Size/Entries precisely so engines work on ids;
+        // Spark's vectorized parquet reader plays the same trick): the fill
+        // is one int id per row, and every downstream read shares the
+        // per-entry byte arrays instead of materializing bytes per row
         val a = c.alphabet
+        val entries = new Array[Array[Byte]](a.len)
+        var e = 0
+        while (e < entries.length) {
+          entries(e) = java.util.Arrays.copyOfRange(a.bytes, a.offsets(e), a.offsets(e + 1))
+          e += 1
+        }
+        vec.setDictionary(new VectorDict(entries))
+        val ids = vec.reserveDictionaryIds(n)
         var i = 0
         while (i < n) {
           val s = srcIdx(i)
           if (nulls != null && nulls(s)) vec.putNull(i)
-          else {
-            val e = c.indices(s)
-            vec.putByteArray(i, a.bytes, a.offsets(e), a.offsets(e + 1) - a.offsets(e))
-          }
+          else ids.putInt(i, c.indices(s))
           i += 1
         }
     }
     n
+  }
+
+  /** Chunk-alphabet dictionary handed to [[WritableColumnVector.setDictionary]]
+    * — ids decode to shared immutable byte arrays (only binary decode is
+    * meaningful; nimble dictionaries are string/binary alphabets). */
+  final class VectorDict(entries: Array[Array[Byte]])
+      extends org.apache.spark.sql.execution.vectorized.Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+    override def decodeToInt(id: Int): Int =
+      throw new UnsupportedOperationException("nimble: string dictionary")
+    override def decodeToLong(id: Int): Long =
+      throw new UnsupportedOperationException("nimble: string dictionary")
+    override def decodeToFloat(id: Int): Float =
+      throw new UnsupportedOperationException("nimble: string dictionary")
+    override def decodeToDouble(id: Int): Double =
+      throw new UnsupportedOperationException("nimble: string dictionary")
   }
 
   /** Reader for a subtree whose streams are entirely absent from the file

@@ -175,4 +175,37 @@ class PlanSpec extends SparkTestBase {
     assert(!bplan.contains("mid-scan-agg") && !bplan.contains("stats-agg"),
       s"overflow-risk sum must not push down:\n$bplan")
   }
+
+  test("low-card string scan surfaces a vector dictionary (ids, not per-row bytes)") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types.StringType
+    // unit contract: a dict chunk sets the dictionary; a later plain chunk
+    // into the SAME reused vector clears it
+    val alphabet = graft.format.BytesCol(Array(0, 1, 2), "ab".getBytes)
+    val dict = graft.format.DictBytesCol(alphabet, Array(1, 0, 1, 1))
+    val vec = new OnHeapColumnVector(16, StringType)
+    assert(graft.format.Fields.fillVector(vec, StringType, dict, null) == 4)
+    assert(vec.hasDictionary, "dict chunk must surface a vector dictionary")
+    assert((0 until 4).map(vec.getUTF8String(_).toString) == Seq("b", "a", "b", "b"))
+    vec.reset()
+    val plain = graft.format.BytesCol(Array(0, 1, 3), "xyz".getBytes)
+    assert(graft.format.Fields.fillVector(vec, StringType, plain, null) == 2)
+    assert(!vec.hasDictionary, "plain chunk must clear a stale dictionary")
+    assert(vec.getUTF8String(0).toString == "x" && vec.getUTF8String(1).toString == "yz")
+
+    // end-to-end: a real scan of a low-cardinality string column reports a
+    // dictionary on the first batch's vector
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val full = spark.read.format("nimble").load(dir).schema
+    val proj = org.apache.spark.sql.types.StructType(full.fields.filter(_.name == "l_returnflag"))
+    val scan = new graft.spark.NimbleScan(dir, full, proj, Array.empty)
+    val factory = scan.createReaderFactory()
+    val reader = factory.createColumnarReader(scan.planInputPartitions()(0))
+    try {
+      assert(reader.next(), "scan must produce a batch")
+      val col = reader.get().column(0)
+        .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+      assert(col.hasDictionary, "l_returnflag (3 distinct) must scan dictionary-backed")
+    } finally reader.close()
+  }
 }
