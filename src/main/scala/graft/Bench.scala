@@ -229,6 +229,27 @@ object Bench {
       }
     }
 
+    // ---- scale block: connected-components dedup clustering over ~1M pairs
+    // containing one 1,000-hop duplicate chain — pointer jumping must
+    // converge in ~log2(1000) ≈ 10 rounds with O(1) plan size per round
+    // (the r9 lineage blowup OOM'd exactly this shape); wall clock proves
+    // the per-round persist/cut discipline holds at bench scale ----
+    {
+      val chain = spark.range(1000).selectExpr("id AS a", "id + 1 AS b")
+      // ~1M two-node clusters: converge in one round, so the chain alone
+      // drives the round count while the data volume stays bench-shaped
+      val rest = spark.range(999000L).selectExpr(
+        "2000 + id * 2 AS a", "2001 + id * 2 AS b")
+      val ccPairs = chain.union(rest)
+      val ccDocs = spark.range(2000L + 2L * 999000L).toDF("doc_id")
+      val (ccSec, _) = time {
+        val out = graft.ops.Dedup.dedupClusters(ccDocs, "doc_id", ccPairs)
+        out.unpersist() // dedupClusters already materialized it
+      }
+      results("scale_cc_sec") = ccSec
+      results("scale_cc_rounds") = graft.ops.Dedup.lastClusterRounds.get().toDouble
+    }
+
     // ---- encoded size ----
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble
@@ -333,8 +354,10 @@ object Bench {
     * and parquet-control mins matter only for post-hoc noise forensics. */
   private def headlineMin(k: String): Boolean =
     k.matches("write_lineitem|scan_full_nimble|scan_pruned_nimble|" +
-      "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan|" +
-      "x02_neardup_jaccard") || k.matches("q\\d\\d_.*")
+      "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan") ||
+      k.matches("q\\d\\d_.*|x\\d\\d_.*") // EVERY headline query min rides along:
+      // a contaminated median with no min twin is unfalsifiable from the
+      // artifact alone (r9's x07 took a judge re-run to clear)
 
   /** Render the single stdout JSON line under a hard budget: the driver
     * captures only the last 2000 chars of output, so a line that grows past

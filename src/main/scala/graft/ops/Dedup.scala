@@ -199,6 +199,10 @@ object Dedup {
     * detects the fixpoint (same contract as GraphX/GraphFrames CC). Labels
     * persist per round and unpersist as soon as the next round materializes,
     * so lineage never re-computes earlier rounds. */
+  /** Rounds the most recent [[dedupClusters]] call took to converge (bench /
+    * diagnostics introspection, same pattern as NimbleSource.chunksSkipped). */
+  val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger()
+
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // id-type-generic (string doc ids work like every other Dedup op):
@@ -243,6 +247,7 @@ object Dedup {
     require(changed == 0,
       s"dedupClusters: not converged after $maxIters rounds — component diameter " +
         s"exceeds 2^$maxIters?! raise maxIters (a silent cut would mislabel clusters)")
+    lastClusterRounds.set(iter)
     edges.unpersist()
     // hand back a persisted, caller-unpersistable result (localCheckpoint
     // blocks are non-recomputable and die with decommissioned executors —

@@ -87,7 +87,7 @@ class BenchSpec extends AnyFunSuite {
       "x01_dedup_fingerprint", "x02_neardup_jaccard", "x05_embed_topk",
       "x07_text_quality",
       "scale_rows", "scale_write", "scale_scan_full", "scale_probe_chunks_skipped",
-      "scale_probe_indexed", "scale_probe_scan")
+      "scale_probe_indexed", "scale_probe_scan", "scale_cc_sec", "scale_cc_rounds")
     val results = heads.map(k => k -> 0.12345678912) ++
       patterns.flatMap(p => Seq(s"codec_${p}_enc_nspe" -> 18.546478,
         s"codec_${p}_dec_nspe" -> 1.9889730000000003, s"codec_${p}_ratio" -> 0.06555))
@@ -97,7 +97,11 @@ class BenchSpec extends AnyFunSuite {
     // the headline contract always survives budgeting
     for (k <- Seq("write_lineitem", "scan_full_nimble", "codec_random_ratio",
       "codec_mainly_const_dec_nspe", "scale_probe_indexed", "x02_neardup_jaccard",
-      "scan_full_nimble_min"))
+      "scan_full_nimble_min", "scale_cc_sec", "scale_cc_rounds",
+      // r9 lesson: a contaminated median with no min twin is unfalsifiable
+      // from the artifact alone — every headline query carries its min
+      "x01_dedup_fingerprint_min", "x05_embed_topk_min", "x07_text_quality_min",
+      "q13_tpch_q1_min", "q16_window_min"))
       assert(line.contains("\"" + k + "\""), s"missing $k in:\n$line")
     // worst case — every metric suspect, every ratio drifted — still fits
     val worst = Bench.renderLine(3.14159, results, mins,
