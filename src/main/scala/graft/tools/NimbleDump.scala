@@ -19,6 +19,13 @@ object NimbleDump {
   private def files(path: String): Seq[String] =
     graft.format.GraftIO.listGft(path).map(_.path)
 
+  /** Raw index streams (#idx:/#sidx:/#cidx:) are written as int count +
+    * fixed-width payload, NOT chunk-framed — parsing them with ChunkCursor
+    * misreports byte attribution or throws. The encoding/histogram walks
+    * must skip them (SHOW INDEX reports them separately). */
+  private def isRawIndexStream(k: String): Boolean =
+    k.startsWith("#idx:") || k.startsWith("#sidx:") || k.startsWith("#cidx:")
+
   private def codecName(id: Byte): String = id match {
     case Codecs.TRIVIAL => "Trivial"
     case Codecs.RLE => "RLE"
@@ -83,7 +90,8 @@ object NimbleDump {
           }
         case "encoding" =>
           val hist = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
-          for (s <- ft.stripes.indices; i <- ft.streamKeys.indices) {
+          for (s <- ft.stripes.indices; i <- ft.streamKeys.indices
+               if !isRawIndexStream(ft.streamKeys(i))) {
             val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
             while (cur.hasNext) { hist(codecName(cur.peekCodec())) += 1; cur.skip() }
           }
@@ -116,7 +124,8 @@ object NimbleDump {
           val instances = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
           val bytes = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
           var total = 0L
-          for (s <- ft.stripes.indices if stripeSel.forall(_ == s); i <- ft.streamKeys.indices) {
+          for (s <- ft.stripes.indices if stripeSel.forall(_ == s); i <- ft.streamKeys.indices
+               if !isRawIndexStream(ft.streamKeys(i))) {
             val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
             while (cur.hasNext) {
               val p0 = cur.bytePos

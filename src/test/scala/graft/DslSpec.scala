@@ -43,6 +43,25 @@ class DslSpec extends SparkTestBase {
     assert(run(s"SHOW HISTOGRAM TOP STRIPE 0 $dir").contains("instances="))
   }
 
+  test("SHOW HISTOGRAM and `encoding` skip raw index streams (not chunk-framed)") {
+    val dir = tmpDir("dsl_hist_idx")
+    // composite + hash index: #idx:/#cidx: streams are int count +
+    // fixed-width payload — parsing them as chunks threw or misattributed
+    spark.range(5000).selectExpr("id", "xxhash64(id) AS k", "CAST(id AS STRING) AS s")
+      .coalesce(1).write.format("nimble")
+      .option("indexColumns", "k,s+id").option("rowsPerChunk", "1000")
+      .mode("overwrite").save(dir)
+    val full = run(s"SHOW HISTOGRAM $dir")
+    assert(full.contains("instances="), s"histogram must render on an indexed file:\n$full")
+    val top = run(s"SHOW HISTOGRAM TOP $dir")
+    assert(top.contains("instances="), s"TOP histogram must render on an indexed file:\n$top")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.NimbleDump.main(Array("encoding", dir))
+    }
+    assert(out.toString.contains("chunks"), s"encoding walk must render:\n$out")
+  }
+
   test("SHOW INDEX: index columns, regions, entry counts, bloom inventory") {
     val dir = tmpDir("dsl_idx")
     spark.range(5000).selectExpr("id", "xxhash64(id) AS k")

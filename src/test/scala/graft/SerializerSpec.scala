@@ -285,6 +285,102 @@ class SerializerSpec extends SparkTestBase {
     assert(!new String(blob, "ISO-8859-1").contains("m#in:f0"))
   }
 
+  test("projector fuzz: random nested/flatmap schemas x random projections x v1/v2 blobs") {
+    // writeAndVerify idiom (reference: velox/tests/VeloxReaderTest.cpp:805):
+    // seeded random schemas + data, round-tripped through random projections
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260813L)
+    val rnd = new scala.util.Random(seed)
+    import graft.format.{ByteCursor, ByteSink, Fields}
+
+    def randType(depth: Int): DataType = rnd.nextInt(if (depth > 0) 9 else 6) match {
+      case 0 => LongType
+      case 1 => IntegerType
+      case 2 => DoubleType
+      case 3 => StringType
+      case 4 => BooleanType
+      case 5 => ArrayType(if (rnd.nextBoolean()) StringType else LongType)
+      case 6 => MapType(StringType, if (rnd.nextBoolean()) DoubleType else LongType)
+      case 7 => StructType(Seq(StructField("s0", LongType),
+        StructField("s1", StringType, nullable = true)))
+      case 8 => StructType(Seq(StructField("n0", randType(depth - 1), nullable = true),
+        StructField("n1", DoubleType)))
+    }
+    def randValue(dt: DataType, i: Int): Any = dt match {
+      case LongType => i.toLong * 3 - 11
+      case IntegerType => i - 7
+      case DoubleType => i * 0.25 - 3
+      case StringType => if (i % 9 == 0) "" else s"v${i % 37}"
+      case BooleanType => i % 3 == 0
+      case ArrayType(et, _) => (0 until i % 4).map(j => randValue(et, i + j))
+      case MapType(_, vt, _) =>
+        (0 until i % 3).map(j => s"k${(i + j) % 5}" -> randValue(vt, i + j)).toMap
+      case st: StructType => Row(st.fields.map(f => valueOrNull(f, i + 1)).toSeq: _*)
+    }
+    def valueOrNull(f: StructField, i: Int): Any =
+      if (f.nullable && i % 13 == 0) null else randValue(f.dataType, i)
+    def norm(v: Any): Any = v match {
+      case r: Row => r.toSeq.map(norm)
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, x) => (k, norm(x)) }.sortBy(_._1.toString)
+      case s: scala.collection.Seq[_] => s.map(norm).toVector
+      case d: Double => math.round(d * 1e9)
+      case other => other
+    }
+
+    for (trial <- 0 until 25) {
+      val nf = 2 + rnd.nextInt(4)
+      val schema = StructType((0 until nf).map(i =>
+        StructField(s"f$i", randType(1), nullable = rnd.nextBoolean())))
+      val mapCols = schema.fields.collect { case f if f.dataType.isInstanceOf[MapType] => f.name }
+      val flat: Set[String] = mapCols.filter(_ => rnd.nextBoolean()).toSet
+      val nRows = 1 + rnd.nextInt(300)
+      val rows = (0 until nRows).map(i => Row(schema.fields.map(f => valueOrNull(f, i)).toSeq: _*))
+      val enc = ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+      val blob = Serializer.serialize(schema, rows.map(r => enc(r).copy()).iterator,
+        Fields.WriteOptions(flatMap = flat))
+
+      // v1 rebuild: streams re-emitted in the schema-derived key order with
+      // no name table — only expressible without flatmap feature streams
+      // (v1 readers derive streams from the schema)
+      val v1Blob: Option[Array[Byte]] = if (flat.isEmpty) {
+        val cur = new ByteCursor(blob)
+        assert(cur.readVarint() == 2L)
+        val sj = cur.readBlock(); val schemaBytes = sj.readBytes(sj.remaining)
+        val n = cur.readVarint(); val count = cur.readVarint().toInt
+        val byName = (0 until count).map { _ =>
+          val nb = cur.readBlock(); val name = new String(nb.readBytes(nb.remaining), "UTF-8")
+          val cb = cur.readBlock(); name -> cb.readBytes(cb.remaining)
+        }.toMap
+        val v1 = new ByteSink()
+        v1.writeBlock(schemaBytes); v1.writeVarint(n)
+        Fields.streamKeys(schema).foreach { k =>
+          v1.writeBlock(byName.getOrElse(k, Array.emptyByteArray))
+        }
+        Some(v1.toArray)
+      } else None
+
+      val keep = rnd.shuffle(schema.fields.toSeq)
+        .take(1 + rnd.nextInt(schema.fields.length)).map(_.name).toSet
+      val wanted = StructType(schema.fields.filter(f => keep(f.name)))
+      val dec = ExpressionEncoder(RowEncoder.encoderFor(wanted)).resolveAndBind().createDeserializer()
+      val expected = rows.map(r =>
+        wanted.fields.map(f => norm(r.get(schema.fieldIndex(f.name)))).toSeq)
+
+      def check(b: Array[Byte], label: String): Unit = {
+        val (ps, got) = Serializer.deserializeProjected(b, keep)
+        assert(ps == wanted, s"seed=$seed trial=$trial $label schema: $ps vs $wanted")
+        val gotN = got.map(ir => dec(ir).toSeq.map(norm))
+        gotN.zip(expected).zipWithIndex.foreach { case ((g, e), ri) =>
+          assert(g == e, s"seed=$seed trial=$trial $label row $ri keep=$keep " +
+            s"flat=$flat schema=${schema.simpleString}\n got=$g\n exp=$e")
+        }
+        assert(gotN.length == expected.length, s"seed=$seed trial=$trial $label row count")
+      }
+      check(blob, "v2")
+      v1Blob.foreach(check(_, "v1"))
+    }
+  }
+
   test("projector skips flatmap feature streams of unprojected columns") {
     val schema = StructType(Seq(
       StructField("a", LongType),
