@@ -122,12 +122,22 @@ object Bench {
     val pq = spark.read.parquet(s"${System.getProperty("java.io.tmpdir")}/graft-bench/lineitem-parquet")
 
     // ---- scans ----
+    // `+ 0` blocks SUM pushdown (the aggregate child is no longer a bare
+    // column): this metric measures the VECTORIZED SCAN + Spark aggregation,
+    // apples-to-apples with the parquet control — without it the r10 sum
+    // pushdown would silently turn it into the mid-scan fold
     def fullScan(df: DataFrame): Long =
-      df.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()(0).getLong(2)
+      df.agg(sum(col("l_extendedprice") + 0), sum(col("l_quantity") + 0), count(lit(1)))
+        .collect()(0).getLong(2)
     timed("scan_full_nimble")(fullScan(nb))
     timed("scan_full_parquet")(fullScan(pq))
     timed("scan_full_parquet_1file")(fullScan(li))
     results("scan_full_vs_parquet_ratio") = results("scan_full_nimble") / results("scan_full_parquet")
+    // the same sums WITH pushdown: the mid-scan decode fold (no output
+    // vectors, one partial row per task) vs the full scan above
+    timed("agg_sum_fold") {
+      nb.agg(sum("l_extendedprice"), sum("l_quantity"), count(lit(1))).collect()
+    }
 
     def prunedScan(df: DataFrame): Long =
       df.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
@@ -219,8 +229,10 @@ object Bench {
           .filter(col("skey") === probeSkey).count()
       }
       timed("scale_scan_full") {
+        // + 0 blocks sum pushdown: this measures the vectorized scan (the
+        // pushed fold is covered by agg_sum_fold at lineitem scale)
         spark.read.format("nimble").load(scaleNoDir)
-          .agg(count(lit(1)), sum("v")).collect()
+          .agg(count(lit(1)), sum(col("v") + 0)).collect()
       }
     } finally {
       prevMinPart match {

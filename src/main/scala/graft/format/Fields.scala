@@ -841,27 +841,36 @@ object Fields {
           i += 1
         }
         Fsst.decodedStrings.add(n.toLong)
-      case c: DictBytesCol =>
+      case c: DictBytesCol if selection == null =>
         // surface the chunk dictionary through Spark's vector dictionary API
         // (reference: encodings/common/Encoding.h:280-302 exposes
         // dictionaryEnabled/Size/Entries precisely so engines work on ids;
         // Spark's vectorized parquet reader plays the same trick): the fill
         // is one int id per row, and every downstream read shares the
-        // per-entry byte arrays instead of materializing bytes per row
-        val a = c.alphabet
-        val entries = new Array[Array[Byte]](a.len)
-        var e = 0
-        while (e < entries.length) {
-          entries(e) = java.util.Arrays.copyOfRange(a.bytes, a.offsets(e), a.offsets(e + 1))
-          e += 1
-        }
-        vec.setDictionary(new VectorDict(entries))
+        // per-entry byte arrays (memoized on the alphabet) instead of
+        // materializing bytes per row
+        vec.setDictionary(new VectorDict(c.alphabet.entryArrays))
         val ids = vec.reserveDictionaryIds(n)
+        var i = 0
+        while (i < n) {
+          if (nulls != null && nulls(i)) vec.putNull(i)
+          else ids.putInt(i, c.indices(i))
+          i += 1
+        }
+      case c: DictBytesCol =>
+        // selective fill (point probes, filtered scans): survivors are far
+        // fewer than alphabet entries, so expand only the selected rows —
+        // building the whole dictionary would cost more than it saves
+        if (vec.hasDictionary) vec.setDictionary(null)
+        val a = c.alphabet
         var i = 0
         while (i < n) {
           val s = srcIdx(i)
           if (nulls != null && nulls(s)) vec.putNull(i)
-          else ids.putInt(i, c.indices(s))
+          else {
+            val e = c.indices(s)
+            vec.putByteArray(i, a.bytes, a.offsets(e), a.offsets(e + 1) - a.offsets(e))
+          }
           i += 1
         }
     }

@@ -59,6 +59,10 @@ final case class BytesCol(offsets: Array[Int], bytes: Array[Byte], nulls: Array[
   def len: Int = offsets.length - 1
   def apply(i: Int): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i + 1))
+  /** Per-entry byte arrays, memoized — a shared-dictionary alphabet serves
+    * every chunk of its stripe, so the vector-dictionary fill copies each
+    * entry once per alphabet instance, not once per chunk. */
+  lazy val entryArrays: Array[Array[Byte]] = Array.tabulate(len)(apply)
 }
 
 /** FSST-coded string chunk kept encoded until fill time (lazy column

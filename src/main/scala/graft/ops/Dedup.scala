@@ -186,6 +186,10 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Rounds the most recent [[dedupClusters]] call took to converge (bench /
+    * diagnostics introspection, same pattern as NimbleSource.chunksSkipped). */
+  val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Connected-components dedup clustering — the canonicalization step after
     * near-dup pair generation: every document labels with the SMALLEST doc
     * id reachable through the pair graph (so one canonical representative
@@ -199,10 +203,6 @@ object Dedup {
     * detects the fixpoint (same contract as GraphX/GraphFrames CC). Labels
     * persist per round and unpersist as soon as the next round materializes,
     * so lineage never re-computes earlier rounds. */
-  /** Rounds the most recent [[dedupClusters]] call took to converge (bench /
-    * diagnostics introspection, same pattern as NimbleSource.chunksSkipped). */
-  val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger()
-
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // id-type-generic (string doc ids work like every other Dedup op):
@@ -227,20 +227,19 @@ object Dedup {
       val next = stepped.join(
           labels.select(col("u").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
-        .persist()
-      changed = next.join(labels.select(col("u"), col("lbl").as("prev")), Seq("u"))
-        .filter(col("lbl") < col("prev")).count() // materializes `next`
-      labels.unpersist() // safe: next is materialized, no recompute through it
       // Cut the SQL plan: persist() truncates *execution* but not the
       // *logical plan* — each round's `next` references `labels` in three
       // joins, so the plan tree grows ~4^k and deep chains OOM the driver
       // just rendering AQE explain strings. Rebuilding the frame from the
-      // persisted RDD makes the plan a LogicalRDD leaf; the RDD lineage
-      // underneath stays recomputable if cached blocks are lost (unlike
-      // localCheckpoint, whose blocks die with decommissioned executors).
+      // (to-be-persisted) RDD makes the plan a LogicalRDD leaf; the RDD
+      // lineage underneath stays recomputable if cached blocks are lost
+      // (unlike localCheckpoint, whose blocks die with decommissioned
+      // executors). The changed-count below runs over `cut`, so one job
+      // both materializes the new round's cache and detects the fixpoint.
       val cut = docs.sparkSession.createDataFrame(next.rdd, next.schema).persist()
-      cut.count() // materialize from next's cache before releasing it
-      next.unpersist()
+      changed = cut.join(labels.select(col("u"), col("lbl").as("prev")), Seq("u"))
+        .filter(col("lbl") < col("prev")).count() // materializes `cut`
+      labels.unpersist() // safe: cut is materialized, no recompute through it
       labels = cut
       iter += 1
     }

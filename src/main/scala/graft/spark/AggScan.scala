@@ -117,22 +117,22 @@ object AggScan {
     * because Spark casts each partial back to the child type before the
     * final merge (a wrapped cast would be silently wrong — Spark's own
     * partial buffers are longs and never narrow). Conservative: refusal just
-    * means the normal scan + Spark aggregation runs. */
-  private def sumBoundOk(ops: Array[AggOp], files: Seq[String]): Boolean = {
-    val intSums = ops.collect { case SumOp(c, dt) if dt != DoubleType => (c, dt) }
-    if (intSums.isEmpty) return true
-    val bounds = scala.collection.mutable.HashMap[String, BigInt]().withDefaultValue(BigInt(0))
-    for (f <- files) {
-      val r = new Tablet.Reader(f, NimbleSource.footerOf(f))
-      try for ((c, _) <- intSums) {
-        val st = r.fileStatsOf(c).getOrElse(return false)
-        if (st.hasMinMax) {
-          val maxAbs = BigInt(st.minLong).abs.max(BigInt(st.maxLong).abs)
-          bounds(c) += maxAbs * (st.valueCount - st.nullCount)
-        }
-      } finally r.close()
-    }
-    intSums.forall { case (c, dt) =>
+    * means the normal scan + Spark aggregation runs. Accumulated inside
+    * [[plan]]'s per-file loop (one Reader per file), checked at the end. */
+  private final class SumBound(ops: Array[AggOp]) {
+    private val intSums = ops.collect { case SumOp(c, dt) if dt != DoubleType => (c, dt) }
+    private val bounds = scala.collection.mutable.HashMap[String, BigInt]().withDefaultValue(BigInt(0))
+    private var refused = false
+    def accumulate(r: Tablet.Reader): Unit =
+      for ((c, _) <- intSums if !refused) r.fileStatsOf(c) match {
+        case Some(st) =>
+          if (st.hasMinMax) {
+            val maxAbs = BigInt(st.minLong).abs.max(BigInt(st.maxLong).abs)
+            bounds(c) += maxAbs * (st.valueCount - st.nullCount)
+          }
+        case None => refused = true // no stats: no proof the cast can't wrap
+      }
+    def ok: Boolean = !refused && intSums.forall { case (c, dt) =>
       val lim: BigInt = dt match {
         case ByteType => BigInt(Byte.MaxValue)
         case ShortType => BigInt(Short.MaxValue)
@@ -151,7 +151,7 @@ object AggScan {
       filters: Array[Filter]): Option[(Seq[InternalRow], Seq[(NimbleStripePartition, Long)])] = {
     val neededCols = ops.flatMap(o => Option(o.col)).distinct
     NimbleSource.prefetchFooters(files)
-    if (!sumBoundOk(ops, files)) return None
+    val sumBound = new SumBound(ops)
     val partials = scala.collection.mutable.ArrayBuffer[InternalRow]()
     val mixed = scala.collection.mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     for (f <- files) {
@@ -162,6 +162,7 @@ object AggScan {
         // nanos-split column's micros stats are not the logical value and
         // its decode shape differs — refuse (same contract as before)
         if (neededCols.exists(n => r.keyId(n) < 0 || r.nanosSplit(n))) return None
+        sumBound.accumulate(r)
         var rowsMatched = 0L
         val acc = scala.collection.mutable.HashMap[String, Tablet.Stats]()
         val allMatchIdx = scala.collection.mutable.ArrayBuffer[Int]()
@@ -200,6 +201,7 @@ object AggScan {
           mixed += ((NimbleStripePartition(f, s2), footer.stripes(s2).length))
       } finally r.close()
     }
+    if (!sumBound.ok) return None
     Some((partials.toSeq, mixed.toSeq))
   }
 

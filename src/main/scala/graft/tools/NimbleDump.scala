@@ -176,7 +176,7 @@ object NimbleDump {
         case "chunkstats" =>
           // per-chunk min/max/nulls of one stream (arg 3) or the first stream
           val want = args.lift(2)
-          for ((k, i) <- ft.streamKeys.zipWithIndex
+          for ((k, i) <- ft.streamKeys.zipWithIndex if !isRawIndexStream(k)
                if want.forall(_ == k) || (want.isEmpty && i == 0)) {
             println(s"  stream $k")
             for (s <- ft.stripes.indices) {
@@ -206,7 +206,7 @@ object NimbleDump {
           println(s"  footer @ ${ft.stripes.lastOption.map(s => s.offset + s.length).getOrElse(4L)}")
         case "content" =>
           val n = args.lift(2).map(_.toInt).getOrElse(10)
-          for ((k, i) <- ft.streamKeys.zipWithIndex) {
+          for ((k, i) <- ft.streamKeys.zipWithIndex if !isRawIndexStream(k)) {
             val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, i))
             if (cur.hasNext) {
               val col = cur.next()
