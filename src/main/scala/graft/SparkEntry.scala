@@ -244,6 +244,15 @@ object SparkEntry {
          avg(l_quantity) AS avg_qty, max(l_quantity) AS max_q
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01'"""),
 
+    // grouped aggregate pushdown: GROUP BY low-card strings rides the
+    // mid-scan fold — dict-preserved chunks key accumulators by composite
+    // dictionary id (no per-row hashing), one partial row per (task, group)
+    "q29_group_agg" -> q(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(1) AS cnt, sum(l_quantity) AS sum_qty,
+         avg(l_quantity) AS avg_qty, sum(l_suppkey) AS sum_sk, max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus"""),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -698,6 +707,12 @@ object SparkEntry {
       """SELECT count(1) AS cnt, CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
          sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, max(l_quantity) AS max_q
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01'""",
+    "q29_group_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS cnt, sum(l_quantity) AS sum_qty,
+         avg(l_quantity) AS avg_qty, CAST(sum(l_suppkey) AS BIGINT) AS sum_sk,
+         max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -28,6 +28,12 @@ object AggPushdown {
   }
 
   def outputSchema(agg: Aggregation, schema: StructType): StructType = {
+    // pushed GROUP BY columns lead the scan output (Spark's partial
+    // pushdown zips group attributes before the aggregate partials)
+    val groupFields = agg.groupByExpressions().map { e =>
+      val n = colName(e).get
+      StructField(n, schema(n).dataType, nullable = true)
+    }
     val fields = agg.aggregateExpressions().zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
@@ -44,7 +50,7 @@ object AggPushdown {
         StructField(s"agg_$i", dt, nullable = true)
       case (other, _) => throw new IllegalStateException(other.toString)
     }
-    StructType(fields)
+    StructType(groupFields ++ fields)
   }
 
   /** Per-file partial rows, or None if any aggregate is not exactly

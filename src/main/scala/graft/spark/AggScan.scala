@@ -81,9 +81,30 @@ object AggScan {
     case _ => false
   }
 
-  /** Shape gate: the supported AggOp list, or None. */
+  /** A pushed GROUP BY column (the scan emits it ahead of the agg partials —
+    * Spark's partial pushdown zips group attributes first). Restricted to
+    * string/binary columns: those are the dict-encodable, low-cardinality
+    * shape where the per-group fold wins (id-indexed accumulators, no
+    * per-row hash); numeric group-bys fall back to the vectorized scan +
+    * Spark's codegen'd hash aggregate, which is already the right plan. */
+  final case class GroupCol(name: String, dt: DataType) extends Serializable
+
+  /** Shape gate incl. GROUP BY: (group columns, agg ops), or None. */
+  def groupedOpsOf(agg: Aggregation, schema: StructType): Option[(Array[GroupCol], Array[AggOp])] = {
+    val groups: Array[GroupCol] = agg.groupByExpressions().map { e =>
+      val n = colName(e).getOrElse(return None)
+      val f = schema.fields.find(_.name == n).getOrElse(return None)
+      f.dataType match {
+        case StringType | BinaryType => GroupCol(f.name, f.dataType)
+        case _ => return None
+      }
+    }
+    if (groups.length > 2) return None // composite-id fast path covers 2
+    opsOf(agg, schema).map(ops => (groups, ops))
+  }
+
+  /** Shape gate: the supported AggOp list, or None (group-by agnostic). */
   def opsOf(agg: Aggregation, schema: StructType): Option[Array[AggOp]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
     val ops: Array[AggOp] = agg.aggregateExpressions().map {
       case _: CountStar => CountStarOp()
       case c: Count if !c.isDistinct =>
@@ -146,10 +167,13 @@ object AggScan {
   /** Classify every stripe of every file. Returns (stats partial rows,
     * mixed stripes with byte sizes), or None when the pushdown must be
     * refused outright (unsupported shape, aggregate column missing from a
-    * file, nanos-split aggregate column). */
+    * file, nanos-split aggregate column). With group columns, footer stats
+    * cannot answer per group, so every surviving stripe goes to the decode
+    * fold and the stats-partials seq is always empty. */
   def plan(ops: Array[AggOp], schema: StructType, files: Seq[String],
-      filters: Array[Filter]): Option[(Seq[InternalRow], Seq[(NimbleStripePartition, Long)])] = {
-    val neededCols = ops.flatMap(o => Option(o.col)).distinct
+      filters: Array[Filter], groupCols: Array[GroupCol] = Array.empty)
+      : Option[(Seq[InternalRow], Seq[(NimbleStripePartition, Long)])] = {
+    val neededCols = (ops.flatMap(o => Option(o.col)) ++ groupCols.map(_.name)).distinct
     NimbleSource.prefetchFooters(files)
     val sumBound = new SumBound(ops)
     val partials = scala.collection.mutable.ArrayBuffer[InternalRow]()
@@ -189,10 +213,12 @@ object AggScan {
           s += 1
         }
         // stats partial for the all-match set; if any op can't answer exactly
-        // from the accumulated stats, degrade the WHOLE all-match set of this
-        // file to the decode path — exact either way
+        // from the accumulated stats (or the fold is grouped — no per-group
+        // stats exist), degrade the WHOLE all-match set of this file to the
+        // decode path — exact either way
         if (allMatchIdx.nonEmpty) {
-          statsPartialRow(ops, schema, rowsMatched, acc) match {
+          (if (groupCols.nonEmpty) None
+           else statsPartialRow(ops, schema, rowsMatched, acc)) match {
             case Some(row) => partials += row
             case None => mixedIdx ++= allMatchIdx
           }
@@ -235,14 +261,16 @@ object AggScan {
   * row folded during decode. */
 class NimbleAggBatchScan(path: String, dataSchema: StructType, out: StructType,
     ops: Array[AggScan.AggOp], filters: Array[Filter],
-    statsPartials: Seq[InternalRow], mixed: Seq[(NimbleStripePartition, Long)])
+    statsPartials: Seq[InternalRow], mixed: Seq[(NimbleStripePartition, Long)],
+    groupCols: Array[AggScan.GroupCol] = Array.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
     s"nimble mid-scan-agg path=$path (${statsPartials.length} stats partials, " +
-      s"${mixed.length} mixed stripes)"
+      s"${mixed.length} mixed stripes" +
+      (if (groupCols.isEmpty) ")" else s", groupBy=${groupCols.map(_.name).mkString(",")})")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
@@ -274,7 +302,7 @@ class NimbleAggBatchScan(path: String, dataSchema: StructType, out: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleAggReaderFactory(dataSchema, ops, filters, GraftIO.broadcastConf())
+    new NimbleAggReaderFactory(dataSchema, ops, filters, GraftIO.broadcastConf(), groupCols)
 }
 
 case class NimbleAggStatsPartition(rows: Array[InternalRow]) extends InputPartition
@@ -282,7 +310,8 @@ case class NimbleAggStripesPartition(items: Array[NimbleStripePartition]) extend
 
 class NimbleAggReaderFactory(dataSchema: StructType, ops: Array[AggScan.AggOp],
     filters: Array[Filter],
-    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf])
+    hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf],
+    groupCols: Array[AggScan.GroupCol] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -295,23 +324,33 @@ class NimbleAggReaderFactory(dataSchema: StructType, ops: Array[AggScan.AggOp],
         override def close(): Unit = ()
       }
       case NimbleAggStripesPartition(items) =>
-        new NimbleAggStripeReader(items, dataSchema, ops, filters)
+        new NimbleAggStripeReader(items, dataSchema, ops, filters, groupCols)
     }
   }
 }
 
-/** Folds COUNT/MIN/MAX over the surviving rows of a set of mixed stripes,
-  * one partial row per task. Filter columns decode exactly as in the normal
-  * selective scan (dict-preserving strings, chunk-stats + index chunk
+/** Folds COUNT/MIN/MAX/SUM over the surviving rows of a set of mixed
+  * stripes — one partial row per task, or one partial row per (task, group)
+  * when GROUP BY columns are pushed. Filter columns decode exactly as in the
+  * normal selective scan (dict-preserving strings, chunk-stats + index chunk
   * skipping); aggregate-only columns decode raw and feed the accumulator —
-  * no output vectors exist at all. */
+  * no output vectors exist at all. Grouped folds key dict-preserved chunks
+  * by composite dictionary id into array slots (no per-row hashing); chunks
+  * that decode flat fall back to a hash map keyed by the group values. The
+  * group map flushes to the output buffer past 64Ki entries — partial rows
+  * are mergeable, so cardinality never grows memory unboundedly. */
 class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: StructType,
-    ops: Array[AggScan.AggOp], filters: Array[Filter])
+    ops: Array[AggScan.AggOp], filters: Array[Filter],
+    groupCols: Array[AggScan.GroupCol] = Array.empty)
     extends PartitionReader[InternalRow] {
   import AggScan._
 
   private val aggCols: Array[String] = ops.flatMap(o => Option(o.col)).distinct
-  // one accumulator slot per op
+  private val grouped = groupCols.nonEmpty
+  private val groupNames: Array[String] = groupCols.map(_.name)
+  /** Columns whose streams must load: aggregate inputs plus group keys. */
+  private val fetchCols: Array[String] = (aggCols ++ groupNames).distinct
+  // one accumulator slot per op (the ungrouped single-partial accumulator)
   private var countStar = 0L
   private val counts = new Array[Long](ops.length)
   private val present = new Array[Boolean](ops.length)
@@ -319,7 +358,40 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   private val dbls = new Array[Double](ops.length)
   private val byts = new Array[Array[Byte]](ops.length)
 
-  private var emittedRow = false
+  /** Per-group accumulator — same slot layout as the ungrouped arrays. */
+  private final class GroupAccs {
+    var countStar = 0L
+    val counts = new Array[Long](ops.length)
+    val present = new Array[Boolean](ops.length)
+    val longs = new Array[Long](ops.length)
+    val dbls = new Array[Double](ops.length)
+    val byts = new Array[Array[Byte]](ops.length)
+    def foldLong(i: Int, isMin: Boolean, v: Long): Unit =
+      if (!present(i)) { present(i) = true; longs(i) = v }
+      else if (isMin == (v < longs(i)) && v != longs(i)) longs(i) = v
+    def foldDouble(i: Int, isMin: Boolean, v: Double): Unit =
+      if (!present(i)) { present(i) = true; dbls(i) = v }
+      else {
+        val c = java.lang.Double.compare(v, dbls(i))
+        if (if (isMin) c < 0 else c > 0) dbls(i) = v
+      }
+    def foldBytes(i: Int, isMin: Boolean, v: Array[Byte]): Unit =
+      if (!present(i)) { present(i) = true; byts(i) = v }
+      else {
+        val c = Tablet.compareBytes(v, byts(i))
+        if (if (isMin) c < 0 else c > 0) byts(i) = v
+      }
+  }
+  /** Group key (catalyst values: UTF8String / null) -> accumulators.
+    * LinkedHashMap for deterministic partial order. */
+  private val groups = new java.util.LinkedHashMap[Vector[Any], GroupAccs]()
+  private val mkAccs = new java.util.function.Function[Vector[Any], GroupAccs] {
+    def apply(k: Vector[Any]): GroupAccs = new GroupAccs
+  }
+
+  private val outBuf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+  private var scanned = false
+  private var pos = -1
 
   // ---- per-value folds -----------------------------------------------
   private def foldLong(i: Int, isMin: Boolean, v: Long): Unit =
@@ -466,7 +538,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     val reader = new Tablet.Reader(file, NimbleSource.footerOf(file))
     try {
       val footerKeySet: Fields.KeyProbe = reader.keyProbe
-      val aggStruct = StructType(aggCols.flatMap(c => dataSchema.fields.find(_.name == c)))
+      val aggStruct = StructType(fetchCols.flatMap(c => dataSchema.fields.find(_.name == c)))
       val neededKeys = NimbleSource.neededStreamKeys(footerKeySet, dataSchema, aggStruct, filters)
       if (neededKeys.isEmpty) {
         // pure count(*) with every filter column absent from this file:
@@ -474,7 +546,15 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         val pass = filters.forall(f => Filters.compile(f,
           n => dataSchema(n).dataType,
           n => NimbleSource.nullColumn(dataSchema(n).dataType, 1))(0))
-        if (pass) countStar += reader.footer.stripes(stripe).rowCount
+        if (pass) {
+          val rows = reader.footer.stripes(stripe).rowCount
+          if (grouped) {
+            // group columns absent from this file too: every row lands in
+            // the all-null group (agg inputs absent -> count 0 / null mins)
+            val acc = groups.computeIfAbsent(Vector.fill[Any](groupCols.length)(null), mkAccs)
+            acc.countStar += rows
+          } else countStar += rows
+        }
         return
       }
       val streamBytes = NimbleSource.readNeededStreams(reader, stripe, neededKeys, file)
@@ -482,7 +562,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
       val filterCols = filters.flatMap(_.references).distinct
       val readers: Map[String, Fields.FieldReader] =
-        (filterCols ++ aggCols).distinct.filter(c => reader.keyId(c) >= 0).map { c =>
+        (filterCols ++ fetchCols).distinct.filter(c => reader.keyId(c) >= 0).map { c =>
           val rdr: Fields.FieldReader =
             if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
             else new Fields.PrimR(c, dataSchema(c).dataType, cursors(_))
@@ -506,7 +586,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           NimbleSource.chunksSkipped.incrementAndGet()
         } else {
           val allMatch = filters.forall(f => Filters.allMatchStripe(f, statsOf))
-          if (allMatch && ops.forall(op => statsAnswerable(op, statsOf)) &&
+          if (!grouped && allMatch && ops.forall(op => statsAnswerable(op, statsOf)) &&
               anchor.peekStats().isDefined) {
             // whole chunk classifies all-match and every op answers from
             // chunk stats: fold metadata, decode nothing
@@ -529,6 +609,10 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
           dataSchema(name).dataType == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
+    }
+    if (grouped) {
+      decodeAndFoldGrouped(readers, cursors, filterCols, allMatch)
+      return
     }
     if (allMatch && aggCols.nonEmpty) {
       // chunk stats prove every row survives (the chunk landed here only
@@ -635,20 +719,235 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     }
   }
 
-  override def next(): Boolean = {
-    if (emittedRow) return false
-    var i = 0
-    while (i < items.length) {
-      scanStripe(items(i).file, items(i).stripe)
-      i += 1
+  // ------------------------------------------------- grouped decode + fold
+  private def decodeAndFoldGrouped(readers: Map[String, Fields.FieldReader],
+      cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
+      allMatch: Boolean): Unit = {
+    // group columns decode dict-preserving (the fast path keys on ids);
+    // filter columns too (predicates per alphabet entry); agg-only lazily
+    def decodeDict(name: String): graft.format.Column = readers(name) match {
+      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
+          dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+      case other => other.decodeRaw()
     }
-    emittedRow = true
-    true
+    def decodeLazy(name: String): graft.format.Column = readers(name) match {
+      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
+          dataSchema(name).dataType == BinaryType => p.decodeRawLazy()
+      case other => other.decodeRaw()
+    }
+    def skipCursor(c: String): Unit = {
+      cursors(c).skip()
+      cursors.get(c + "#nanos").foreach(_.skip())
+    }
+    val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
+    val fetchPresent = fetchCols.filter(readers.contains)
+    val skipFilterDecode = allMatch && fetchPresent.nonEmpty
+    if (skipFilterDecode) {
+      // chunk stats prove every row survives: skip filter-only cursors
+      for (c <- filterCols if !fetchCols.contains(c) && cursors.contains(c)) skipCursor(c)
+    } else {
+      for (c <- filterCols if readers.contains(c)) decoded(c) = decodeDict(c)
+    }
+    var chunkRows = decoded.headOption.map(_._2.len).getOrElse(-1)
+    if (chunkRows < 0 && !skipFilterDecode) {
+      // no filter column present in this file (schema evolution): size the
+      // chunk from the group/agg columns before evaluating the row-constant
+      // predicates over null columns
+      for (c <- groupNames if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeDict(c)
+      for (c <- aggCols if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeLazy(c)
+      chunkRows = decoded.headOption.map(_._2.len).getOrElse(-1)
+    }
+    // selection from the pushed predicates (null = every row survives)
+    var selection: Array[Int] = null
+    var m = chunkRows
+    if (!skipFilterDecode && filters.nonEmpty) {
+      require(chunkRows >= 0, "nimble: grouped chunk without a decodable column")
+      val colOf: String => graft.format.Column = name =>
+        decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
+      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
+      val sel = new Array[Int](chunkRows)
+      m = 0
+      var i = 0
+      while (i < chunkRows) {
+        var ok = true
+        var j = 0
+        while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
+        if (ok) { sel(m) = i; m += 1 }
+        i += 1
+      }
+      if (m == 0) {
+        // nothing survives: consume the remaining fetch cursors and leave
+        for (c <- fetchPresent if !decoded.contains(c)) skipCursor(c)
+        return
+      }
+      selection = if (m == chunkRows) null else java.util.Arrays.copyOf(sel, m)
+    }
+    // decode group columns (dict-preserving) and aggregate inputs (lazy)
+    for (c <- groupNames if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeDict(c)
+    for (c <- aggCols if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeLazy(c)
+    if (chunkRows < 0)
+      chunkRows = decoded.headOption.map(_._2.len).getOrElse(
+        throw new IllegalStateException("nimble: grouped chunk with no decodable column"))
+    if (m < 0) m = chunkRows
+    val colOf: String => graft.format.Column = name =>
+      decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
+    val gcols: Array[graft.format.Column] = groupNames.map(colOf)
+    val opCols: Array[graft.format.Column] =
+      ops.map(op => if (op.col == null) null else colOf(op.col))
+    foldGroupedChunk(gcols, opCols, selection, chunkRows)
   }
 
-  override def get(): InternalRow = {
-    val values: Array[Any] = ops.zipWithIndex.map {
-      case (CountStarOp(), _) => java.lang.Long.valueOf(countStar): Any
+  private def foldGroupedChunk(gcols: Array[graft.format.Column],
+      opCols: Array[graft.format.Column], selection: Array[Int], chunkRows: Int): Unit = {
+    val m = if (selection != null) selection.length else chunkRows
+    if (m == 0) return
+    val allDict = gcols.forall(_.isInstanceOf[graft.format.DictBytesCol])
+    if (allDict) {
+      // composite-dictionary-id fast path: one array slot per (id0, id1) —
+      // no hashing, no byte materialization for repeated groups
+      val d0 = gcols(0).asInstanceOf[graft.format.DictBytesCol]
+      val s0 = d0.alphabet.len + 1 // +1 = the null slot
+      val d1 = if (gcols.length > 1) gcols(1).asInstanceOf[graft.format.DictBytesCol] else null
+      val s1 = if (d1 != null) d1.alphabet.len + 1 else 1
+      if (s0.toLong * s1 <= (1 << 20)) {
+        val slots = new Array[GroupAccs](s0 * s1)
+        var k = 0
+        while (k < m) {
+          val row = if (selection != null) selection(k) else k
+          val id0 = if (d0.nulls != null && d0.nulls(row)) s0 - 1 else d0.indices(row)
+          val id1 =
+            if (d1 == null) 0
+            else if (d1.nulls != null && d1.nulls(row)) s1 - 1 else d1.indices(row)
+          val cid = id0 * s1 + id1
+          var acc = slots(cid)
+          if (acc == null) {
+            val key = Vector.tabulate[Any](gcols.length) { j =>
+              val (d, s, id) = if (j == 0) (d0, s0, id0) else (d1, s1, id1)
+              if (id == s - 1 && (d.nulls != null)) null
+              else UTF8String.fromBytes(d.alphabet.entryArrays(id))
+            }
+            acc = groups.computeIfAbsent(key, mkAccs)
+            slots(cid) = acc
+          }
+          foldRowInto(acc, row, opCols)
+          k += 1
+        }
+        maybeFlush()
+        return
+      }
+    }
+    // generic path: per-row key from materialized group values
+    var k = 0
+    while (k < m) {
+      val row = if (selection != null) selection(k) else k
+      val key = Vector.tabulate[Any](gcols.length) { j =>
+        val col = gcols(j)
+        if (col.nulls != null && col.nulls(row)) null
+        else UTF8String.fromBytes(bytesAt(col, row))
+      }
+      val acc = groups.computeIfAbsent(key, mkAccs)
+      foldRowInto(acc, row, opCols)
+      k += 1
+    }
+    maybeFlush()
+  }
+
+  /** Fold one surviving row into a group's accumulators. */
+  private def foldRowInto(acc: GroupAccs, row: Int, opCols: Array[graft.format.Column]): Unit = {
+    acc.countStar += 1
+    var i = 0
+    while (i < ops.length) {
+      val col = opCols(i)
+      ops(i) match {
+        case CountStarOp() => ()
+        case CountOp(_, _) =>
+          if (col.nulls == null || !col.nulls(row)) acc.counts(i) += 1
+        case MinOp(_, _) => foldValueAt(acc, i, isMin = true, col, row)
+        case MaxOp(_, _) => foldValueAt(acc, i, isMin = false, col, row)
+        case SumOp(_, _) =>
+          if (col.nulls == null || !col.nulls(row)) col match {
+            case l: graft.format.LongsCol =>
+              acc.present(i) = true; acc.longs(i) += l.values(row)
+            case d: graft.format.DoublesCol =>
+              acc.present(i) = true; acc.dbls(i) += d.values(row)
+            case other =>
+              throw new IllegalStateException(s"nimble: grouped sum over ${other.getClass}")
+          }
+      }
+      i += 1
+    }
+  }
+
+  private def foldValueAt(acc: GroupAccs, i: Int, isMin: Boolean,
+      col: graft.format.Column, row: Int): Unit =
+    if (col.nulls == null || !col.nulls(row)) col match {
+      case l: graft.format.LongsCol => acc.foldLong(i, isMin, l.values(row))
+      case d: graft.format.DoublesCol => acc.foldDouble(i, isMin, d.values(row))
+      case _ => acc.foldBytes(i, isMin, bytesAt(col, row))
+    }
+
+  /** Flush the group map into the output buffer past 64Ki entries — partial
+    * rows merge downstream, so high-cardinality group-bys cost emission
+    * volume, never unbounded executor memory. */
+  private def maybeFlush(): Unit = if (groups.size() > 65536) drainGroups()
+
+  private def drainGroups(): Unit = {
+    val it = groups.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      val acc = e.getValue
+      val gvals = new Array[Any](groupCols.length)
+      var j = 0
+      while (j < groupCols.length) {
+        val v = key(j)
+        gvals(j) =
+          if (v == null) null
+          else if (groupCols(j).dt == BinaryType) v.asInstanceOf[UTF8String].getBytes
+          else v
+        j += 1
+      }
+      outBuf += new GenericInternalRow(gvals ++ aggValuesOf(
+        acc.countStar, acc.counts, acc.present, acc.longs, acc.dbls, acc.byts))
+    }
+    groups.clear()
+  }
+
+  override def next(): Boolean = {
+    if (!scanned) {
+      scanned = true
+      var i = 0
+      while (i < items.length) {
+        scanStripe(items(i).file, items(i).stripe)
+        i += 1
+      }
+      if (grouped) drainGroups()
+      else outBuf += new GenericInternalRow(
+        aggValuesOf(countStar, counts, present, longs, dbls, byts))
+    }
+    pos += 1
+    pos < outBuf.length
+  }
+
+  override def get(): InternalRow = outBuf(pos)
+
+  private def aggValuesOf(cs: Long, counts: Array[Long], present: Array[Boolean],
+      longs: Array[Long], dbls: Array[Double], byts: Array[Array[Byte]]): Array[Any] = {
+    def emitValue(i: Int, dt: DataType): Any =
+      if (!present(i)) null
+      else dt match {
+        case ByteType => java.lang.Byte.valueOf(longs(i).toByte)
+        case ShortType => java.lang.Short.valueOf(longs(i).toShort)
+        case IntegerType | DateType => java.lang.Integer.valueOf(longs(i).toInt)
+        case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(longs(i))
+        case FloatType => java.lang.Float.valueOf(dbls(i).toFloat)
+        case DoubleType => java.lang.Double.valueOf(dbls(i))
+        case StringType => UTF8String.fromBytes(byts(i))
+        case BinaryType => byts(i)
+        case other => throw new IllegalStateException(s"nimble: agg emit $other")
+      }
+    ops.zipWithIndex.map {
+      case (CountStarOp(), _) => java.lang.Long.valueOf(cs): Any
       case (CountOp(_, _), i) => java.lang.Long.valueOf(counts(i)): Any
       case (MinOp(_, dt), i) => emitValue(i, dt)
       case (MaxOp(_, dt), i) => emitValue(i, dt)
@@ -657,22 +956,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         else if (dt == DoubleType) java.lang.Double.valueOf(dbls(i))
         else java.lang.Long.valueOf(longs(i)): Any
     }
-    new GenericInternalRow(values)
   }
-
-  private def emitValue(i: Int, dt: DataType): Any =
-    if (!present(i)) null
-    else dt match {
-      case ByteType => java.lang.Byte.valueOf(longs(i).toByte)
-      case ShortType => java.lang.Short.valueOf(longs(i).toShort)
-      case IntegerType | DateType => java.lang.Integer.valueOf(longs(i).toInt)
-      case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(longs(i))
-      case FloatType => java.lang.Float.valueOf(dbls(i).toFloat)
-      case DoubleType => java.lang.Double.valueOf(dbls(i))
-      case StringType => UTF8String.fromBytes(byts(i))
-      case BinaryType => byts(i)
-      case other => throw new IllegalStateException(s"nimble: agg emit $other")
-    }
 
   override def close(): Unit = ()
 }

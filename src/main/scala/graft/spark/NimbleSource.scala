@@ -637,6 +637,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   private var aggOut: StructType = null
   private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
   private var aggOps: Array[AggScan.AggOp] = null
+  private var aggGroups: Array[AggScan.GroupCol] = Array.empty
   private var aggPartials: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
   private var aggMixed: Seq[(NimbleStripePartition, Long)] = null
 
@@ -649,10 +650,11 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     * aggregate shape itself is unsupported. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     val files = NimbleSource.listFiles(path)
-    // aggregates over unsigned-widened columns would fold signed-domain
+    // aggregates/groups over unsigned-widened columns would fold signed-domain
     // stats/values — refuse, Spark computes on the widened scan output
-    if (unsignedCols.nonEmpty && agg.aggregateExpressions().exists(e =>
-      e.references().exists(r => r.fieldNames().exists(unsignedCols)))) return false
+    if (unsignedCols.nonEmpty &&
+      (agg.aggregateExpressions().iterator ++ agg.groupByExpressions().iterator).exists(e =>
+        e.references().exists(r => r.fieldNames().exists(unsignedCols)))) return false
     if (pushed.isEmpty) {
       AggPushdown.tryCompute(agg, dataSchema, files) match {
         case Some(rows) =>
@@ -670,16 +672,17 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   }
 
   /** Shared tail of pushAggregation: classify stripes and stage either the
-    * stats LocalScan (no mixed stripes) or the mid-scan agg scan. */
+    * stats LocalScan (no mixed stripes, no group-by) or the mid-scan agg
+    * scan (grouped folds always decode — stats can't answer per group). */
   private def planAggScan(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       files: Seq[String], filters: Array[Filter]): Boolean =
-    AggScan.opsOf(agg, dataSchema) match {
-      case Some(ops) if files.nonEmpty =>
-        AggScan.plan(ops, dataSchema, files, filters) match {
+    AggScan.groupedOpsOf(agg, dataSchema) match {
+      case Some((groups, ops)) if files.nonEmpty =>
+        AggScan.plan(ops, dataSchema, files, filters, groups) match {
           case Some((partials, mixed)) =>
             aggOut = AggPushdown.outputSchema(agg, dataSchema)
-            if (mixed.isEmpty) aggRows = partials // pure-stats: LocalScan
-            else { aggOps = ops; aggPartials = partials; aggMixed = mixed }
+            if (mixed.isEmpty && groups.isEmpty) aggRows = partials // pure-stats: LocalScan
+            else { aggOps = ops; aggGroups = groups; aggPartials = partials; aggMixed = mixed }
             true
           case None => false
         }
@@ -688,8 +691,9 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
 
   override def build(): Scan =
     if (aggRows != null) new NimbleAggScan(path, aggOut, aggRows)
-    else if (aggMixed != null)
-      new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials, aggMixed)
+    else if (aggMixed != null || aggGroups.nonEmpty)
+      new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials,
+        Option(aggMixed).getOrElse(Seq.empty), aggGroups)
     else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols)
 }
 

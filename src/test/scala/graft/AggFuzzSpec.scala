@@ -67,10 +67,24 @@ class AggFuzzSpec extends SparkTestBase {
       val f = filterOf(rnd)
       val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(aggs.length))
       val cols = picked.map { case (alias, c) => c.as(alias) }
-      val got = nb.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
-      val exp = src.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
-      assert(norm(got) == norm(exp),
-        s"seed=$seed trial=$trial filter=$f aggs=${picked.map(_._1)}\n got=$got\n exp=$exp")
+      if (trial % 3 == 2) {
+        // grouped arm: GROUP BY the string column (nullable, low-card with
+        // occasional 66-char outliers) — the grouped mid-scan fold must
+        // match Spark's groupBy over the parquet source exactly
+        def run(df: DataFrame) = df.filter(f).groupBy("s")
+          .agg(cols.head, cols.tail: _*).collect()
+          .map(r => norm(r)).sortBy(_.toString)
+        val got = run(nb)
+        val exp = run(src)
+        assert(got.toSeq == exp.toSeq,
+          s"seed=$seed trial=$trial GROUPED filter=$f aggs=${picked.map(_._1)}\n" +
+            s" got=${got.take(5).mkString("; ")}\n exp=${exp.take(5).mkString("; ")}")
+      } else {
+        val got = nb.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
+        val exp = src.filter(f).agg(cols.head, cols.tail: _*).collect()(0)
+        assert(norm(got) == norm(exp),
+          s"seed=$seed trial=$trial filter=$f aggs=${picked.map(_._1)}\n got=$got\n exp=$exp")
+      }
     }
     src.unpersist()
   }

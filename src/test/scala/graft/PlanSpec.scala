@@ -176,6 +176,32 @@ class PlanSpec extends SparkTestBase {
       s"overflow-risk sum must not push down:\n$bplan")
   }
 
+  test("grouped aggregate pushdown: GROUP BY strings ride the mid-scan fold, values exact") {
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    val nb = spark.read.format("nimble").load(dir)
+    def gq(df: org.apache.spark.sql.DataFrame, block: Boolean) = {
+      // `+ 0` blocks the aggregate pushdown shape for the reference compute
+      val q = if (block) df.withColumn("l_quantity", col("l_quantity") + 0) else df
+      q.filter(col("l_discount") < 0.05)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"), sum("l_quantity").as("sq"),
+          avg("l_extendedprice").as("ap"), max("l_quantity").as("mq"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+    val pushed = gq(nb, block = false)
+    pushed.collect()
+    val planStr = pushed.queryExecution.executedPlan.toString
+    assert(planStr.contains("mid-scan-agg") && planStr.contains("groupBy=l_returnflag,l_linestatus"),
+      s"expected the grouped mid-scan agg scan:\n$planStr")
+    assert(pushed.collect().toSeq == gq(nb, block = true).collect().toSeq,
+      "grouped pushdown diverged from the un-pushed compute")
+    // >2 group columns or a numeric group column: shape refused, normal scan
+    val refused = nb.groupBy("l_orderkey").agg(sum("l_quantity"))
+    refused.collect()
+    assert(!refused.queryExecution.executedPlan.toString.contains("mid-scan-agg"),
+      "numeric group-by must fall back to the vectorized scan")
+  }
+
   test("low-card string scan surfaces a vector dictionary (ids, not per-row bytes)") {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.types.StringType
