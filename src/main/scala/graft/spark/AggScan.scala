@@ -228,7 +228,30 @@ object AggScan {
       } finally r.close()
     }
     if (!sumBound.ok) return None
+    if (!groupColsDictBacked(groupCols, mixed.toSeq)) return None
     Some((partials.toSeq, mixed.toSeq))
+  }
+
+  /** Cardinality gate for grouped pushdowns: sample the first mixed stripe
+    * and require every group column's first chunk to decode
+    * dictionary-preserved. Footer stats carry no NDV, but the encoding
+    * selection already answered the question — a high-cardinality string
+    * column loses dictionary selection, and pushing its GROUP BY into the
+    * generic per-row hash fold would regress against Spark's codegen'd
+    * aggregate. Sampling one stripe is a heuristic for acceptance only;
+    * execution stays correct either way (flat chunks use the hash fold). */
+  private def groupColsDictBacked(groupCols: Array[GroupCol],
+      mixed: Seq[(NimbleStripePartition, Long)]): Boolean = {
+    if (groupCols.isEmpty || mixed.isEmpty) return true
+    val sp = mixed.head._1
+    val r = new Tablet.Reader(sp.file, NimbleSource.footerOf(sp.file))
+    try groupCols.forall { gc =>
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(sp.stripe, r.keyId(gc.name)))
+      !cur.hasNext || (cur.nextDict() match {
+        case _: graft.format.DictBytesCol => true
+        case _ => false
+      })
+    } finally r.close()
   }
 
   private def statsPartialRow(ops: Array[AggOp], schema: StructType, rowsMatched: Long,
@@ -350,15 +373,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   private val groupNames: Array[String] = groupCols.map(_.name)
   /** Columns whose streams must load: aggregate inputs plus group keys. */
   private val fetchCols: Array[String] = (aggCols ++ groupNames).distinct
-  // one accumulator slot per op (the ungrouped single-partial accumulator)
-  private var countStar = 0L
-  private val counts = new Array[Long](ops.length)
-  private val present = new Array[Boolean](ops.length)
-  private val longs = new Array[Long](ops.length)
-  private val dbls = new Array[Double](ops.length)
-  private val byts = new Array[Array[Byte]](ops.length)
+  /** The ungrouped single partial is just the accumulator of the one
+    * implicit group. */
+  private val acc0 = new GroupAccs
 
-  /** Per-group accumulator — same slot layout as the ungrouped arrays. */
+  /** Per-(group, op) accumulator slots. */
   private final class GroupAccs {
     var countStar = 0L
     val counts = new Array[Long](ops.length)
@@ -390,29 +409,9 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   }
 
   private val outBuf = scala.collection.mutable.ArrayBuffer[InternalRow]()
-  private var scanned = false
   private var pos = -1
-
-  // ---- per-value folds -----------------------------------------------
-  private def foldLong(i: Int, isMin: Boolean, v: Long): Unit =
-    if (!present(i)) { present(i) = true; longs(i) = v }
-    else if (isMin == (v < longs(i)) && v != longs(i)) longs(i) = v
-
-  private def foldDouble(i: Int, isMin: Boolean, v: Double): Unit = {
-    // Spark ordering: NaN sorts greatest (java.lang.Double.compare agrees)
-    if (!present(i)) { present(i) = true; dbls(i) = v }
-    else {
-      val c = java.lang.Double.compare(v, dbls(i))
-      if (if (isMin) c < 0 else c > 0) dbls(i) = v
-    }
-  }
-
-  private def foldBytes(i: Int, isMin: Boolean, v: Array[Byte]): Unit =
-    if (!present(i)) { present(i) = true; byts(i) = v }
-    else {
-      val c = Tablet.compareBytes(v, byts(i))
-      if (if (isMin) c < 0 else c > 0) byts(i) = v
-    }
+  private var itemIdx = 0
+  private var finished = false
 
   private def bytesAt(col: graft.format.Column, row: Int): Array[Byte] = col match {
     case b: graft.format.BytesCol => b(row)
@@ -433,7 +432,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         var k = 0
         while (k < m) {
           val row = if (selection != null) selection(k) else k
-          if (nulls == null || !nulls(row)) counts(i) += 1
+          if (nulls == null || !nulls(row)) acc0.counts(i) += 1
           k += 1
         }
       case MinOp(_, dt) => foldMinMax(i, isMin = true, dt, col, selection, chunkRows)
@@ -456,13 +455,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       case l: graft.format.LongsCol =>
         while (k < m) {
           val row = if (selection != null) selection(k) else k
-          if (nulls == null || !nulls(row)) { present(i) = true; longs(i) += l.values(row) }
+          if (nulls == null || !nulls(row)) { acc0.present(i) = true; acc0.longs(i) += l.values(row) }
           k += 1
         }
       case d: graft.format.DoublesCol =>
         while (k < m) {
           val row = if (selection != null) selection(k) else k
-          if (nulls == null || !nulls(row)) { present(i) = true; dbls(i) += d.values(row) }
+          if (nulls == null || !nulls(row)) { acc0.present(i) = true; acc0.dbls(i) += d.values(row) }
           k += 1
         }
       case other => throw new IllegalStateException(s"nimble: sum fold over ${other.getClass}")
@@ -477,9 +476,9 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     while (k < m) {
       val row = if (selection != null) selection(k) else k
       if (nulls == null || !nulls(row)) col match {
-        case l: graft.format.LongsCol => foldLong(i, isMin, l.values(row))
-        case d: graft.format.DoublesCol => foldDouble(i, isMin, d.values(row))
-        case _ => foldBytes(i, isMin, bytesAt(col, row))
+        case l: graft.format.LongsCol => acc0.foldLong(i, isMin, l.values(row))
+        case d: graft.format.DoublesCol => acc0.foldDouble(i, isMin, d.values(row))
+        case _ => acc0.foldBytes(i, isMin, bytesAt(col, row))
       }
       k += 1
     }
@@ -488,13 +487,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   /** Fold a whole chunk from its stats; caller verified answerability. */
   private def foldChunkStats(chunkRows: Long,
       statsOf: String => Option[Tablet.Stats]): Unit = {
-    countStar += chunkRows
+    acc0.countStar += chunkRows
     var i = 0
     while (i < ops.length) {
       ops(i) match {
         case CountOp(c, _) =>
           val st = statsOf(c).get
-          counts(i) += st.valueCount - st.nullCount
+          acc0.counts(i) += st.valueCount - st.nullCount
         case MinOp(c, dt) => foldStatsValue(i, isMin = true, dt, statsOf(c).get)
         case MaxOp(c, dt) => foldStatsValue(i, isMin = false, dt, statsOf(c).get)
         case SumOp(_, _) =>
@@ -507,9 +506,9 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
 
   private def foldStatsValue(i: Int, isMin: Boolean, dt: DataType, st: Tablet.Stats): Unit =
     if (st.hasMinMax) dt match {
-      case FloatType | DoubleType => foldDouble(i, isMin, if (isMin) st.minDouble else st.maxDouble)
-      case StringType | BinaryType => foldBytes(i, isMin, if (isMin) st.minBytes else st.maxBytes)
-      case _ => foldLong(i, isMin, if (isMin) st.minLong else st.maxLong)
+      case FloatType | DoubleType => acc0.foldDouble(i, isMin, if (isMin) st.minDouble else st.maxDouble)
+      case StringType | BinaryType => acc0.foldBytes(i, isMin, if (isMin) st.minBytes else st.maxBytes)
+      case _ => acc0.foldLong(i, isMin, if (isMin) st.minLong else st.maxLong)
     }
 
   /** Can chunk stats answer op `i` exactly? (mirrors AggPushdown.statValue) */
@@ -548,12 +547,12 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           n => NimbleSource.nullColumn(dataSchema(n).dataType, 1))(0))
         if (pass) {
           val rows = reader.footer.stripes(stripe).rowCount
-          if (grouped) {
-            // group columns absent from this file too: every row lands in
-            // the all-null group (agg inputs absent -> count 0 / null mins)
-            val acc = groups.computeIfAbsent(Vector.fill[Any](groupCols.length)(null), mkAccs)
-            acc.countStar += rows
-          } else countStar += rows
+          // grouped pushdowns never reach this file shape: plan() refuses
+          // when any file lacks a group or aggregate column, so group and
+          // agg columns are always present in planned files
+          if (grouped) throw new IllegalStateException(
+            "nimble: grouped agg scan over a file without its group columns")
+          else acc0.countStar += rows
         }
         return
       }
@@ -640,7 +639,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         cursors.get(c + "#nanos").foreach(_.skip())
       }
       val chunkRows = decodedAgg.valuesIterator.next().len
-      countStar += chunkRows
+      acc0.countStar += chunkRows
       var oi = 0
       while (oi < ops.length) {
         val op = ops(oi)
@@ -649,7 +648,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           else op match { // statsAnswerable held for every op on this column
             case CountOp(c, _) =>
               val st = statsSnap(c).get
-              counts(oi) += st.valueCount - st.nullCount
+              acc0.counts(oi) += st.valueCount - st.nullCount
             case MinOp(c, dt) => foldStatsValue(oi, isMin = true, dt, statsSnap(c).get)
             case MaxOp(c, dt) => foldStatsValue(oi, isMin = false, dt, statsSnap(c).get)
             case _ => throw new IllegalStateException(s"nimble: stats fold $op")
@@ -686,7 +685,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     }
     val selection: Array[Int] =
       if (m == chunkRows) null else java.util.Arrays.copyOf(sel, m)
-    countStar += m
+    acc0.countStar += m
     // aggregate columns: reuse the filter-decoded chunk when shared; decode
     // raw otherwise; when nothing survived, just consume the chunk
     val needAgg = m > 0
@@ -809,7 +808,10 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       val s0 = d0.alphabet.len + 1 // +1 = the null slot
       val d1 = if (gcols.length > 1) gcols(1).asInstanceOf[graft.format.DictBytesCol] else null
       val s1 = if (d1 != null) d1.alphabet.len + 1 else 1
-      if (s0.toLong * s1 <= (1 << 20)) {
+      // slot space gated by the chunk's surviving rows too: a 512-row chunk
+      // must not allocate (and zero) a million-reference array — below the
+      // crossover the generic hash fold is cheaper than the allocation
+      if (s0.toLong * s1 <= math.min(1 << 16, math.max(1024L, 8L * m))) {
         val slots = new Array[GroupAccs](s0 * s1)
         var k = 0
         while (k < m) {
@@ -886,9 +888,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       case _ => acc.foldBytes(i, isMin, bytesAt(col, row))
     }
 
-  /** Flush the group map into the output buffer past 64Ki entries — partial
-    * rows merge downstream, so high-cardinality group-bys cost emission
-    * volume, never unbounded executor memory. */
+  /** Flush the group map into the output buffer past 64Ki entries; the
+    * buffer itself drains to Spark between stripes ([[next]] refills
+    * per stripe), so task memory is bounded by one stripe's distinct
+    * groups plus the 64Ki map — partial rows merge downstream, never
+    * requiring the whole key space resident at once. */
   private def maybeFlush(): Unit = if (groups.size() > 65536) drainGroups()
 
   private def drainGroups(): Unit = {
@@ -914,19 +918,25 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   }
 
   override def next(): Boolean = {
-    if (!scanned) {
-      scanned = true
-      var i = 0
-      while (i < items.length) {
-        scanStripe(items(i).file, items(i).stripe)
-        i += 1
-      }
-      if (grouped) drainGroups()
-      else outBuf += new GenericInternalRow(
-        aggValuesOf(countStar, counts, present, longs, dbls, byts))
+    if (pos + 1 < outBuf.length) { pos += 1; return true }
+    // refill: scan one stripe at a time so flushed grouped partials stream
+    // to Spark between stripes instead of accumulating for the whole task
+    outBuf.clear()
+    pos = -1
+    while (outBuf.isEmpty) {
+      if (itemIdx < items.length) {
+        scanStripe(items(itemIdx).file, items(itemIdx).stripe)
+        itemIdx += 1
+        if (grouped && itemIdx < items.length && groups.size() > 16384) drainGroups()
+      } else if (!finished) {
+        finished = true
+        if (grouped) drainGroups()
+        else outBuf += new GenericInternalRow(aggValuesOf(
+          acc0.countStar, acc0.counts, acc0.present, acc0.longs, acc0.dbls, acc0.byts))
+      } else return false
     }
-    pos += 1
-    pos < outBuf.length
+    pos = 0
+    true
   }
 
   override def get(): InternalRow = outBuf(pos)
