@@ -396,7 +396,7 @@ object Bench {
     // tier 6: derived/control extras (*_vs_parquet ratios are derivable
     //   from the two medians)
     val tier1 = results.filterNot { case (k, _) =>
-      k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|" +
+      k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
     }
     val tier2 = mins.collect { case (k, v) if headlineMin(k) => (k + "_min", v) }
@@ -404,7 +404,7 @@ object Bench {
     val tier4 = results.filter(_._1.matches("codec_.*_dec_nspe"))
     val tier5 = results.filter(_._1.matches("codec_.*_enc_nspe"))
     val tier6 = results.filter { case (k, _) =>
-      k.matches("scan_.*_parquet_1file|size_.*_bytes|write_rows_per_sec|" +
+      k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
         "write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
     }
     def obj(entries: Seq[(String, Double)]): String =

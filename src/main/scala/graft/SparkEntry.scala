@@ -363,6 +363,16 @@ object SparkEntry {
         Dedup.minhashPairs(docs, "doc_id", "text",
           n = 3, numPerms = 32, bands = 32, threshold = 0.5))
     }),
+    // end-to-end dedup: keep one canonical doc (cluster-min id) per
+    // near-dup cluster, singletons survive — the materialization step a
+    // training pipeline runs after clustering
+    "x22_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+      Dedup.dedupApply(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, numPerms = 32, bands = 32, threshold = 0.5))
+        .select("doc_id", "lang")
+    }),
     // deterministic stratified sampling: hash-threshold per language stratum
     "x19_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.nimble(s, dir, "documents"),
@@ -507,6 +517,19 @@ object SparkEntry {
                    UNION
                    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u"""),
+    "x22_dedup_apply" -> (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+         p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb, count(1) AS inter
+               FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a, b FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.5),
+         edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+         reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         labels AS (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u)
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN labels l USING (doc_id) WHERE l.doc_id = l.cluster"""),
     "x04_simhash" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\s+')) AS t
                        FROM documents),

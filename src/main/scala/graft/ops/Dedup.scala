@@ -258,6 +258,19 @@ object Dedup {
     out
   }
 
+  /** End-to-end dedup application — the step after clustering: keep exactly
+    * one canonical document (the cluster-minimum id) per near-duplicate
+    * cluster; singletons survive by self-labeling. A left-semi join against
+    * the canonical ids lets Spark pick broadcast vs shuffle by size. The
+    * labels frame stays persisted through the returned plan (same caller
+    * contract as [[dedupClusters]]); unpersisting it early would force a
+    * full re-iteration through the RDD lineage on every downstream action. */
+  def dedupApply(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, pairs)
+    val keep = clusters.filter(col(idCol) === col("cluster")).select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 32-bit SimHash signature per document: per-token md5-derived 32-bit
     * hash; each bit votes +1/-1 weighted by token frequency; signature bit i
     * set iff the vote sum is positive. Uses the native single-pass

@@ -200,6 +200,14 @@ class OpsSpec extends SparkTestBase {
     assert(solo == 0)
   }
 
+  test("dedupApply keeps exactly the cluster-min doc per cluster plus singletons") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 10L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 12L)).toDF("a", "b")
+    val kept = Dedup.dedupApply(docs, "doc_id", pairs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 7L, 10L, 20L), s"kept ${kept.toSeq}")
+  }
+
   test("dedupClusters: a 40-hop duplicate chain converges (pointer jumping), string ids work") {
     import spark.implicits._
     // plain one-hop propagation needs 40 rounds here and would silently
