@@ -704,8 +704,14 @@ case class NimbleStripePartition(file: String, stripe: Int) extends InputPartiti
   * stripes still split one-per-task). */
 case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends InputPartition
 
+/** One file's tail stripes for a pushed DESC TopN: `skipRows` leading rows
+  * of the first stripe position past at chunk granularity before emission. */
+case class NimbleTailPartition(items: Array[NimbleStripePartition], skipRows: Long)
+    extends InputPartition
+
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
-    limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty)
+    limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
+    topN: Option[(String, Int, Boolean)] = None) // (sort col, n, descending)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
@@ -728,9 +734,58 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger, unsignedCols)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
-      (if (limit >= 0) s", limit=$limit" else "")
+      (if (limit >= 0) s", limit=$limit" else "") +
+      topN.map { case (c, n, desc) =>
+        s", topN=[$c ${if (desc) "DESC" else "ASC"} limit $n]" }.getOrElse("")
+
+  /** Pushed TopN over per-file-sorted data (row-range skipping analog, ref
+    * velox/VeloxReader.cpp:441 seekToRow): with no filters, ASC NULLS FIRST
+    * top-n is EXACTLY each file's first n rows and DESC NULLS LAST its last
+    * n — so plan only the head/tail stripes covering n rows per file, one
+    * partition per file. ASC rides the per-partition limit early-stop; DESC
+    * carries the leading-row skip, positioned at chunk granularity by the
+    * reader. Spark still runs the global sort+limit (partial pushdown). */
+  private def planTopNPartitions(col: String, n: Int, desc: Boolean): Array[InputPartition] = {
+    val files = NimbleSource.listFiles(path)
+    NimbleSource.prefetchFooters(files)
+    val parts = mutable.ArrayBuffer[InputPartition]()
+    var selected = 0L
+    var prunedStripes = 0L
+    for (file <- files) {
+      val footer = NimbleSource.footerOf(file)
+      val stripes = footer.stripes
+      if (stripes.nonEmpty) {
+        if (!desc) {
+          val sel = mutable.ArrayBuffer[NimbleStripePartition]()
+          var rows = 0L
+          var s = 0
+          while (s < stripes.length && rows < n) {
+            sel += NimbleStripePartition(file, s); rows += stripes(s).rowCount; s += 1
+          }
+          prunedStripes += stripes.length - sel.length
+          parts += NimbleMultiPartition(sel.toArray)
+        } else {
+          val sel = mutable.ArrayBuffer[NimbleStripePartition]()
+          var rows = 0L
+          var s = stripes.length - 1
+          while (s >= 0 && rows < n) {
+            sel.prepend(NimbleStripePartition(file, s)); rows += stripes(s).rowCount; s -= 1
+          }
+          prunedStripes += stripes.length - sel.length
+          parts += NimbleTailPartition(sel.toArray, math.max(0L, rows - n))
+        }
+        selected += 1
+      }
+    }
+    NimbleSource.recordPlan(path, selected, prunedStripes)
+    parts.toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    topN match {
+      case Some((c, n, desc)) => return planTopNPartitions(c, n, desc)
+      case None => ()
+    }
     val survivors = mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     var pruned = 0L
     val pruningFilters = filters ++ runtimeFilters
@@ -893,16 +948,21 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allAtomic || filters.isEmpty
 
+  private def chainOf(partition: InputPartition): NimbleChainReader = partition match {
+    case NimbleMultiPartition(items) =>
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols)
+    case NimbleTailPartition(items, skip) =>
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols, skip)
+  }
+
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     GraftIO.installConf(hadoopConf)
-    val p = partition.asInstanceOf[NimbleMultiPartition]
-    new NimbleChainReader(p.items, dataSchema, required, filters, limit, unsignedCols)
+    chainOf(partition)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     GraftIO.installConf(hadoopConf)
-    val p = partition.asInstanceOf[NimbleMultiPartition]
-    val batches = new NimbleChainReader(p.items, dataSchema, required, filters, limit, unsignedCols)
+    val batches = chainOf(partition)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
       private var mask: Array[Boolean] = null
@@ -933,7 +993,7 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
   * early once earlier ones have produced enough survivors. */
 class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
-    unsignedCols: Set[String] = Set.empty)
+    unsignedCols: Set[String] = Set.empty, skipRows: Long = 0L)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = -1
@@ -972,7 +1032,10 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       }
       val remaining = if (limit < 0) -1 else (limit - produced).toInt
       cur = new NimbleBatchReader(items(idx).file, items(idx).stripe,
-        dataSchema, required, filters, remaining, prefetched = pre, unsignedCols = unsignedCols)
+        dataSchema, required, filters, remaining, prefetched = pre, unsignedCols = unsignedCols,
+        // TopN tail skip applies to the chain's first stripe only (plan-time
+        // stripe selection already dropped the wholly-skipped stripes)
+        skipRows = if (idx == 0) skipRows else 0L)
     }
     false
   }
@@ -990,11 +1053,14 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
-    prefetched: Map[String, Array[Byte]] = null, unsignedCols: Set[String] = Set.empty)
+    prefetched: Map[String, Array[Byte]] = null, unsignedCols: Set[String] = Set.empty,
+    skipRows: Long = 0L)
     extends PartitionReader[ColumnarBatch] {
 
   private var emitted = 0L
   def emittedRows: Long = emitted
+  /** Rows still to position past before emitting (TopN tail partitions). */
+  private var toSkip: Long = skipRows
 
   // footer via the per-JVM cache (one parse per file per executor, not per
   // task — reference: dwio/nimble/tablet/MetadataCache.h)
@@ -1113,6 +1179,20 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         return true
       }
       if (!anchor.hasNext) return false
+      if (toSkip > 0) {
+        // TopN tail positioning (row-range skipping analog, ref
+        // velox/VeloxReader.cpp:441 seekToRow): whole chunks strictly before
+        // the wanted tail advance without decompressing; the first partially
+        // covered chunk (or a stats-less legacy chunk) stops the skip and
+        // emits whole — callers hold partial-TopN superset semantics
+        val st = anchor.peekStats()
+        if (st.isDefined && st.get.valueCount <= toSkip) {
+          cursors.valuesIterator.foreach(_.skip())
+          toSkip -= st.get.valueCount
+          chunkOrd += 1
+          NimbleSource.chunksSkipped.incrementAndGet()
+        } else toSkip = 0
+      } else {
       if (!hasFilters) return fillBatch(null, -1)
 
       // Chunk skipping via chunk-frame stats (reference:
@@ -1146,6 +1226,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         chunkOrd += 1
         val r = decodeAndFilterChunk()
         if (r != 0) return r > 0
+      }
       }
     }
     false
