@@ -253,6 +253,12 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus"""),
 
+    // pushed TopN over the declared-sorted lineitem table: the scan plans
+    // only each file's tail stripes (row-range skip); projecting just the
+    // sort column keeps the tie cut deterministic as a multiset
+    "q30_topn_pushdown" -> q(Seq("lineitem"),
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey DESC LIMIT 500"),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -736,6 +742,8 @@ object SparkEntry {
          max(l_extendedprice) AS max_price
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "q30_topn_pushdown" ->
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey DESC LIMIT 500",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

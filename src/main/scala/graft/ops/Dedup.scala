@@ -260,15 +260,21 @@ object Dedup {
 
   /** End-to-end dedup application — the step after clustering: keep exactly
     * one canonical document (the cluster-minimum id) per near-duplicate
-    * cluster; singletons survive by self-labeling. A left-semi join against
-    * the canonical ids lets Spark pick broadcast vs shuffle by size. The
-    * labels frame stays persisted through the returned plan (same caller
-    * contract as [[dedupClusters]]); unpersisting it early would force a
-    * full re-iteration through the RDD lineage on every downstream action. */
+    * cluster; singletons survive by self-labeling. Formulated as an
+    * anti-join against the DROP set (cluster members whose id is not the
+    * cluster minimum) rather than a semi-join against survivors: the
+    * survivor set is corpus-sized, but the drop set is only the duplicate
+    * docs minus one per cluster — small at any realistic dup rate, so
+    * Spark broadcasts it and the corpus never shuffles. The drop set is
+    * eagerly materialized (localCheckpoint) so the persisted `clusters`
+    * labels can be released before returning — otherwise every call would
+    * leak label cache blocks for the session (the caller has no handle). */
   def dedupApply(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = dedupClusters(docs, idCol, pairs)
-    val keep = clusters.filter(col(idCol) === col("cluster")).select(idCol)
-    docs.join(keep, Seq(idCol), "left_semi")
+    val drop = clusters.filter(col(idCol) =!= col("cluster")).select(idCol)
+      .localCheckpoint(eager = true) // tiny non-canonical-id list; cuts the ref to `clusters`
+    clusters.unpersist()
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /** 32-bit SimHash signature per document: per-token md5-derived 32-bit

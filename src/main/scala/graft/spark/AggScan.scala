@@ -150,7 +150,12 @@ object AggScan {
           if (st.hasMinMax) {
             val maxAbs = BigInt(st.minLong).abs.max(BigInt(st.maxLong).abs)
             bounds(c) += maxAbs * (st.valueCount - st.nullCount)
-          }
+          } else if (st.valueCount > st.nullCount) {
+            // non-null values but no min/max bounds: a writer that emits
+            // counts without bounds gives no proof the cast can't wrap —
+            // refuse explicitly rather than treating the file as adding 0
+            refused = true
+          } // all-null file: genuinely contributes 0 to the sum bound
         case None => refused = true // no stats: no proof the cast can't wrap
       }
     def ok: Boolean = !refused && intSums.forall { case (c, dt) =>

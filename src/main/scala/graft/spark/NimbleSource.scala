@@ -409,6 +409,47 @@ object NimbleSource {
     result
   }
 
+  /** Plan-time fence for the TopN pushdown's sorted-by declaration: with
+    * ascending-nulls-first order, a file's stripes must be (all-null)*,
+    * at most one mixed stripe, then null-free stripes whose per-stripe
+    * [min,max] ranges are non-decreasing (stripe i's min >= stripe i-1's
+    * max). O(stripes) over cached directory metadata; a contradiction means
+    * the declaration is wrong and the pushdown must not fire. A file
+    * without the column stream holds only nulls for it — trivially sorted. */
+  def stripeStatsMonotone(file: String, col: String): Boolean = {
+    val footer = footerOf(file)
+    val r = new Tablet.Reader(file, footer)
+    try {
+      val id = r.keyId(col)
+      if (id < 0) return true
+      var prev: Tablet.Stats = null
+      var sawNonNull = false
+      var s = 0
+      while (s < footer.stripes.length) {
+        val st = r.streamStats(s, id)
+        val hasNulls = st.nullCount > 0
+        val hasValues = st.hasMinMax
+        if (hasNulls && sawNonNull) return false // nulls after values: not nulls-first
+        if (hasValues) {
+          if (prev != null && statsCompareMaxMin(prev, st) > 0) return false
+          prev = st
+          sawNonNull = true
+        }
+        s += 1
+      }
+      true
+    } finally r.close()
+  }
+
+  /** prev.max vs cur.min in the column's physical domain (>0 = out of order). */
+  private def statsCompareMaxMin(prev: Tablet.Stats, cur: Tablet.Stats): Int =
+    if (prev.minBytes != null || cur.minBytes != null) {
+      if (prev.maxBytes == null || cur.minBytes == null) 0 // mixed domains: inconclusive, allow
+      else Tablet.compareBytes(prev.maxBytes, cur.minBytes)
+    } else if (prev.kind == PhysType.F32 || prev.kind == PhysType.F64)
+      java.lang.Double.compare(prev.maxDouble, cur.minDouble)
+    else java.lang.Long.compare(prev.maxLong, cur.minLong)
+
   case class PlanStats(stripesPlanned: Int, stripesPruned: Long)
   private val planStats = new java.util.concurrent.ConcurrentHashMap[String, PlanStats]()
   def recordPlan(path: String, planned: Int, pruned: Long): Unit =
@@ -605,7 +646,7 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
 class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1,
     unsignedCols: Set[String] = Set.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // unsigned-widened columns carry signed-domain stats/blooms/indexes on
   // disk, so filters on them can neither push nor prune — Spark evaluates
@@ -633,6 +674,54 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     * surviving rows (row-range skipping analog, SURVEY §2.3); Spark still
     * applies the global limit. */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  private var topN: Option[(String, Int, Boolean)] = None
+
+  /** Partial TopN pushdown (ORDER BY c LIMIT n over per-file-sorted data,
+    * the row-range-skipping analog of ref velox/VeloxReader.cpp:441
+    * seekToRow). Gated on explicit sorted-by metadata: EVERY file's footer
+    * must declare `sortColumns` starting with the sort column — the writer
+    * contract for that declaration is ascending, nulls first, within each
+    * file (the order `sortWithinPartitions(c)` produces). Then ASC NULLS
+    * FIRST top-n is a subset of each file's first n rows and DESC NULLS
+    * LAST of its last n, so the scan plans only the head/tail stripes per
+    * file plus a leading-row skip; Spark still runs the global sort+limit
+    * (isPartiallyPushed). Refused when any pushed filter exists (the top-n
+    * of a filtered set can lie beyond the physical head/tail), for the
+    * other two null orderings (nulls sit at the physical head, not where
+    * those orderings need them), for unsigned-widened sort columns (stored
+    * signed order != widened order), and when any file's per-stripe stats
+    * contradict the declared order (cheap plan-time misdeclaration fence). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, NamedReference}
+    if (pushed.nonEmpty || orders.length != 1 || n <= 0) return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    if (unsignedCols.contains(col)) return false
+    val desc = o.direction() == SortDirection.DESCENDING
+    val nullsOk =
+      if (desc) o.nullOrdering() == NullOrdering.NULLS_LAST
+      else o.nullOrdering() == NullOrdering.NULLS_FIRST
+    if (!nullsOk) return false
+    val files = NimbleSource.listFiles(path)
+    if (files.isEmpty) return false
+    NimbleSource.prefetchFooters(files)
+    if (!files.forall(f => NimbleSource.footerOf(f).sortColumns.headOption.contains(col)))
+      return false
+    if (!files.forall(f => NimbleSource.stripeStatsMonotone(f, col))) return false
+    topN = Some((col, n, desc))
+    // ASC head partitions hold no filters, so n emitted rows = n survivors
+    // and the per-partition limit early-stops the head stripe mid-decode.
+    // DESC tail partitions must NOT limit: the chunk-granular skip emits
+    // slop rows before the true tail, and a limit of n would cut it off.
+    if (!desc && (limit < 0 || n < limit)) limit = n
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private var aggOut: StructType = null
   private var aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow] = null
@@ -694,7 +783,8 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     else if (aggMixed != null || aggGroups.nonEmpty)
       new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials,
         Option(aggMixed).getOrElse(Seq.empty), aggGroups)
-    else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols)
+    else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols,
+      topN)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -749,7 +839,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     val files = NimbleSource.listFiles(path)
     NimbleSource.prefetchFooters(files)
     val parts = mutable.ArrayBuffer[InputPartition]()
-    var selected = 0L
+    var selected = 0
     var prunedStripes = 0L
     for (file <- files) {
       val footer = NimbleSource.footerOf(file)
@@ -763,6 +853,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
             sel += NimbleStripePartition(file, s); rows += stripes(s).rowCount; s += 1
           }
           prunedStripes += stripes.length - sel.length
+          selected += sel.length
           parts += NimbleMultiPartition(sel.toArray)
         } else {
           val sel = mutable.ArrayBuffer[NimbleStripePartition]()
@@ -772,9 +863,9 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
             sel.prepend(NimbleStripePartition(file, s)); rows += stripes(s).rowCount; s -= 1
           }
           prunedStripes += stripes.length - sel.length
+          selected += sel.length
           parts += NimbleTailPartition(sel.toArray, math.max(0L, rows - n))
         }
-        selected += 1
       }
     }
     NimbleSource.recordPlan(path, selected, prunedStripes)
