@@ -259,6 +259,18 @@ object SparkEntry {
     "q30_topn_pushdown" -> q(Seq("lineitem"),
       "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey DESC LIMIT 500"),
 
+    // storage-partitioned join: lineitem/orders co-bucketed on the join key
+    // (bucket(16) at write), so the join runs with ZERO shuffle on either
+    // side — the catalog resolves the bucket transform and the scans report
+    // KeyGroupedPartitioning (BucketingSpec pins the no-Exchange plan)
+    "q31_spj_join" -> ((s, dir) => {
+      Tables.spjTables(s, dir)
+      s.sql("""SELECT l.l_orderkey AS okey, count(1) AS cnt,
+               max(l.l_extendedprice) AS max_price, max(o.o_totalprice) AS max_total
+               FROM gsp.lineitem_b l JOIN gsp.orders_b o ON l.l_orderkey = o.o_orderkey
+               GROUP BY l.l_orderkey""")
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -744,6 +756,11 @@ object SparkEntry {
          GROUP BY l_returnflag, l_linestatus""",
     "q30_topn_pushdown" ->
       "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey DESC LIMIT 500",
+    "q31_spj_join" ->
+      """SELECT l.l_orderkey AS okey, count(1) AS cnt,
+         max(l.l_extendedprice) AS max_price, max(o.o_totalprice) AS max_total
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY l.l_orderkey""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -43,6 +43,37 @@ object Tables {
     dir
   }
 
+  /** Register the [[graft.spark.NimbleCatalog]] on this session and make
+    * sure the co-bucketed lineitem/orders pair exists in its warehouse —
+    * the storage-partitioned-join fixtures (q31). Both tables bucket(16)
+    * on the join key, so the join plans with zero shuffles when
+    * spark.sql.sources.v2.bucketing.enabled is on (set here; inert for
+    * non-bucketed tables). */
+  def spjTables(spark: SparkSession, sfDir: String): Unit = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val wh = s"$cacheRoot/$key/warehouse"
+    spark.conf.set("spark.sql.catalog.gsp", "graft.spark.NimbleCatalog")
+    spark.conf.set("spark.sql.catalog.gsp.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    lock.synchronized {
+      val ready = Seq("lineitem_b", "orders_b").forall(t =>
+        new java.io.File(s"$wh/$t").isDirectory &&
+          new java.io.File(s"$wh/$t").listFiles().exists(_.getName.endsWith(".gft")))
+      if (!ready) {
+        import org.apache.spark.sql.functions.{bucket, col}
+        new java.io.File(wh).mkdirs()
+        spark.sql("DROP TABLE IF EXISTS gsp.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS gsp.orders_b")
+        parquet(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .writeTo("gsp.lineitem_b").partitionedBy(bucket(16, col("l_orderkey"))).create()
+        parquet(spark, sfDir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .writeTo("gsp.orders_b").partitionedBy(bucket(16, col("o_orderkey"))).create()
+      }
+    }
+  }
+
   def nimbleDir(spark: SparkSession, sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"$cacheRoot/$key/$table"

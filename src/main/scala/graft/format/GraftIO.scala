@@ -193,6 +193,34 @@ object GraftIO {
       }
     }
 
+  /** Immediate subdirectories of `path` (catalog namespace/table listing). */
+  def listDirs(path: String): Seq[String] =
+    if (isLocal(path)) {
+      val f = new java.io.File(localPath(path))
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().filter(_.isDirectory).map(_.getPath).sorted.toSeq
+    } else {
+      val (fs, p) = fsOf(path)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    }
+
+  /** Whole small file (catalog spec sidecars — NOT for data reads). */
+  def readAll(path: String): Array[Byte] = {
+    val in = open(path)
+    try {
+      val buf = new Array[Byte](in.length.toInt)
+      in.readFully(0L, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Write a whole small file (catalog spec sidecars). */
+  def writeAll(path: String, bytes: Array[Byte]): Unit = {
+    val out = create(path)
+    try out.write(bytes) finally out.close()
+  }
+
   // ------------------------------------------------------------ mutation
 
   def mkdirs(path: String): Unit =

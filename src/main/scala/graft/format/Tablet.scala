@@ -25,8 +25,10 @@ object Tablet {
   // are unchanged since v5, only the footer layout moved: v7 grouped the
   // stream directory, v8 optionally moves the stream-name table + file stats
   // into a hash-bucketized section so very wide tables (tens of thousands of
-  // streams, reference README.md:18-20) never parse meta whole.
-  val Version: Int = 8
+  // streams, reference README.md:18-20) never parse meta whole. v9 adds the
+  // hash-bucket declaration (bucketColumns/numBuckets/bucketId) so co-
+  // bucketed tables join without a shuffle (storage-partitioned joins).
+  val Version: Int = 9
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -301,7 +303,14 @@ object Tablet {
       /** Total stream count (known without loading the name table). */
       streamCount: Int = -1,
       /** Set by the Reader so lazy full-meta loads can reopen the file. */
-      filePath: String = null) {
+      filePath: String = null,
+      /** v9 hash-bucket declaration: every row r in this file satisfies
+        * pmod(murmur3_32(r(bucketColumns), seed 42), numBuckets) == bucketId
+        * (Spark HashPartitioning's function, so a clustered write lands
+        * partition id == bucket id). numBuckets == 0 means unbucketed. */
+      bucketColumns: Seq[String] = Nil,
+      numBucketsSpec: Int = 0,
+      bucketId: Int = -1) {
     /** (group << 32 | streamId) -> that group's per-stripe entries. Lives on
       * the Footer value — which the sources cache per JVM — so planning and
       * every task in the JVM share one fetch per (group, stream). */
@@ -404,6 +413,11 @@ object Tablet {
     s.writeBlock(f.schemaJson.getBytes("UTF-8"))
     s.writeVarint(f.sortColumns.length.toLong)
     f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
+    // v9 bucket declaration (bucketId stored +1 so "unbucketed" is varint 0)
+    s.writeVarint(f.bucketColumns.length.toLong)
+    f.bucketColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
+    s.writeVarint(f.numBucketsSpec.toLong)
+    s.writeVarint((f.bucketId + 1).toLong)
     s.writeVarint(f.rowCount)
     val sectioned = f.inlineKeys == null
     s.writeByte(if (sectioned) 1 else 0)
@@ -439,12 +453,23 @@ object Tablet {
     // v5); anything else would silently mis-parse, so fail loudly. The
     // reference keeps old stripe metadata readable the same way.
     if (version == 5 || version == 6) return readLegacyFooter(version, c)
-    require(version == 7 || version == Version,
+    require(version == 7 || version == 8 || version == Version,
       s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
     val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
     val nSort = c.readVarint().toInt
     val sortCols = (0 until nSort).map { _ =>
       val b = c.readBlock(); new String(b.readBytes(b.remaining), "UTF-8")
+    }
+    var bucketCols: Seq[String] = Nil
+    var numBuckets = 0
+    var bucketId = -1
+    if (version >= 9) {
+      val nB = c.readVarint().toInt
+      bucketCols = (0 until nB).map { _ =>
+        val b = c.readBlock(); new String(b.readBytes(b.remaining), "UTF-8")
+      }
+      numBuckets = c.readVarint().toInt
+      bucketId = c.readVarint().toInt - 1
     }
     val rowCount = c.readVarint()
     val sectioned = version >= 8 && c.readByte() == 1
@@ -474,12 +499,14 @@ object Tablet {
       while (i < nBuckets) { ends(i) = c.readVarint(); i += 1 }
       Footer(version, schemaJson, sortCols, rowCount, null, stripes, groupSize, groups,
         null, metaLoc = metaLoc, nBuckets = nBuckets, bucketEnds = ends,
-        streamCount = nStreams, filePath = filePath)
+        streamCount = nStreams, filePath = filePath,
+        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId)
     } else {
       val fileStats = new Array[Stats](nStreams)
       i = 0
       while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
-      Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats)
+      Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats,
+        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId)
     }
   }
 
@@ -603,7 +630,10 @@ object Tablet {
       sortColumns: Seq[String] = Nil,
       bloomColumns: Set[String] = Set.empty,
       compression: String = "zstd",
-      indexColumns: Set[String] = Set.empty) extends ChunkSink {
+      indexColumns: Set[String] = Set.empty,
+      bucketColumns: Seq[String] = Nil,
+      numBuckets: Int = 0,
+      bucketId: Int = -1) extends ChunkSink {
     // Hash-index entries hash long-backed and bytes-backed values only; an
     // unsupported column (double/bool/nested) would silently emit an
     // always-empty index that shadows the reader's scan fallback — reject the
@@ -1080,7 +1110,8 @@ object Tablet {
       }
       val footer = if (nStreams <= WideMetaStreams) {
         Footer(Version, schemaJson, sortColumns, totalRows,
-          keys.toArray, slim, DirGroupSize, groups, fileStats.toArray)
+          keys.toArray, slim, DirGroupSize, groups, fileStats.toArray,
+          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId)
       } else {
         // wide table: hash-bucketized (name, id, file-stats) section before
         // the footer — probes read one bucket (~nStreams/256 entries), the
@@ -1115,7 +1146,8 @@ object Tablet {
         fileOffset += bytes.length
         Footer(Version, schemaJson, sortColumns, totalRows, null, slim,
           DirGroupSize, groups, null, metaLoc = loc, nBuckets = nB,
-          bucketEnds = ends, streamCount = nStreams)
+          bucketEnds = ends, streamCount = nStreams,
+          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId)
       }
       val fb = writeFooter(footer)
       out.write(fb)

@@ -409,6 +409,44 @@ object NimbleSource {
     result
   }
 
+  /** Hash-bucket function shared by the write path (per-row declaration
+    * check), the read path (partition grouping) and [[NimbleCatalog]]'s
+    * `bucket` FunctionCatalog entry: EXACTLY Spark HashPartitioning's
+    * partition-id expression — pmod(murmur3_32 folded over the key columns
+    * from seed 42, numBuckets), null columns contributing nothing — so a
+    * clustered write's partition id IS the bucket id and a storage-
+    * partitioned join matches Spark's own shuffle placement. */
+  def bucketHash(row: InternalRow, idxs: Array[Int], dts: Array[DataType]): Int = {
+    var h = 42
+    var i = 0
+    while (i < idxs.length) {
+      if (!row.isNullAt(idxs(i)))
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(row.get(idxs(i), dts(i)), dts(i), h.toLong).toInt
+      i += 1
+    }
+    h
+  }
+  def pmod(h: Int, n: Int): Int = { val m = h % n; if (m < 0) m + n else m }
+
+  /** Bucket declaration of a table directory: Some((cols, n)) iff EVERY
+    * file declares the same spec with a valid bucket id — one undeclared or
+    * disagreeing file (e.g. a plain append into a bucketed table) voids the
+    * property for the whole table, because a missed row would silently
+    * break a shuffle-free join. */
+  def bucketSpecOf(files: Seq[String]): Option[(Seq[String], Int)] = {
+    if (files.isEmpty) return None
+    val head = footerOf(files.head)
+    if (head.numBucketsSpec <= 0) return None
+    val spec = (head.bucketColumns, head.numBucketsSpec)
+    val ok = files.forall { f =>
+      val ft = footerOf(f)
+      ft.numBucketsSpec == spec._2 && ft.bucketColumns == spec._1 &&
+        ft.bucketId >= 0 && ft.bucketId < ft.numBucketsSpec
+    }
+    if (ok) Some(spec) else None
+  }
+
   /** Plan-time fence for the TopN pushdown's sorted-by declaration: with
     * ascending-nulls-first order, a file's stripes must be (all-null)*,
     * at most one mixed stripe, then null-free stripes whose per-stripe
@@ -624,7 +662,9 @@ object NimbleSource {
     })
 }
 
-class NimbleTable(path: String, schema: StructType) extends Table with SupportsRead with SupportsWrite {
+class NimbleTable(path: String, schema: StructType,
+    tableProps: Map[String, String] = Map.empty) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"nimble:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -632,13 +672,35 @@ class NimbleTable(path: String, schema: StructType) extends Table with SupportsR
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** Catalog-managed tables declare their bucket layout (from the files
+    * themselves, or the pending spec before the first write) so Spark's
+    * DESCRIBE/SHOW surfaces it; the SPJ machinery itself keys off the
+    * scan's reported KeyGroupedPartitioning, not this. */
+  override def partitioning(): Array[Transform] =
+    tableProps.get("bucketColumns").zip(tableProps.get("numBuckets")) match {
+      case Some((cols, n)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          n.toInt, cols.split(",").map(_.trim): _*))
+      case None => Array.empty
+    }
+
+  override def properties(): util.Map[String, String] = tableProps.asJava
+
+  /** table-level props (bucket spec, declared write options) under the
+    * per-operation options, which win on conflict */
+  private def merged(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
+    if (tableProps.isEmpty) options
+    else new CaseInsensitiveStringMap((tableProps ++ options.asScala).asJava)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = merged(options)
     new NimbleScanBuilder(path, schema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1),
-      NimbleSource.unsignedColsOf(options))
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1),
+      NimbleSource.unsignedColsOf(opts))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new NimbleWriteBuilder(path, info.schema(), info.options())
+    new NimbleWriteBuilder(path, info.schema(), merged(info.options()))
 }
 
 // ------------------------------------------------------------------ read
@@ -799,10 +861,44 @@ case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends Inp
 case class NimbleTailPartition(items: Array[NimbleStripePartition], skipRows: Long)
     extends InputPartition
 
+/** All of one hash-bucket's surviving stripes (possibly several files) read
+  * by one task — the unit of a storage-partitioned join. The key row holds
+  * the bucket id (the bucket transform's int output). */
+case class NimbleBucketPartition(bucket: Int, items: Array[NimbleStripePartition])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](bucket))
+}
+
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
     topN: Option[(String, Int, Boolean)] = None) // (sort col, n, descending)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** Storage-partitioned-join surface: when every file declares the same
+    * hash-bucket spec AND the session opted in (the v2 bucketing flag), the
+    * scan reports KeyGroupedPartitioning over the bucket transform and
+    * plans one partition per bucket — a join of two co-bucketed tables on
+    * the bucket columns then runs with ZERO shuffle on either side. Gated
+    * on the conf because bucket-grouped planning caps scan parallelism at
+    * numBuckets, which is only worth paying when SPJ can use it; a plain
+    * scan keeps bin-packed splits. Decided once per Scan instance so
+    * outputPartitioning() and planInputPartitions() can never disagree
+    * (runtime-filter replans included). */
+  private lazy val keyedBuckets: Option[(Seq[String], Int)] =
+    if (topN.isDefined) None
+    else if (!org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
+    else NimbleSource.bucketSpecOf(NimbleSource.listFiles(path))
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedBuckets match {
+      case Some((cols, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cols: _*)), n)
+      case None => new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
     * safe because they are conservative semi-join filters. */
@@ -920,6 +1016,19 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
           s += 1
         }
       } finally r.close()
+    }
+    // Storage-partitioned grouping: one partition per bucket id, matching
+    // the reported KeyGroupedPartitioning exactly. ALL numBuckets
+    // partitions are emitted — empty ones included — so both join sides
+    // always line up key-for-key even when pruning emptied a bucket on one
+    // side (an absent key would otherwise need pushPartValues handling).
+    keyedBuckets match {
+      case Some((_, n)) =>
+        val byBucket = Array.fill(n)(mutable.ArrayBuffer[NimbleStripePartition]())
+        for ((sp, _) <- survivors) byBucket(NimbleSource.footerOf(sp.file).bucketId) += sp
+        NimbleSource.recordPlan(path, survivors.length, pruned)
+        return Array.tabulate[InputPartition](n)(b => NimbleBucketPartition(b, byBucket(b).toArray))
+      case None => ()
     }
     // Bin-pack stripes into tasks (Spark FilePartition analog, adjusted for
     // this format's near-zero open cost — cached footer + one seek per
@@ -1044,6 +1153,8 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
       new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols)
     case NimbleTailPartition(items, skip) =>
       new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols, skip)
+    case NimbleBucketPartition(_, items) =>
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -1472,34 +1583,90 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     dedupMap = csvOpt("deduplicatedMapColumns"),
     tsNanos = csvOpt("timestampNanosColumns"))
 
-  override def build(): Write = new Write {
+  /** bucketColumns + numBuckets write options (hash-bucketed table for
+    * storage-partitioned joins). Key types restricted to the hash-stable
+    * atomic domain — a float bucket key would make equality-on-join and
+    * hash-on-write disagree about NaN/-0.0. */
+  private def bucketSpec: Option[(Seq[String], Int)] = {
+    val cols = Option(options.get("bucketColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val n = Option(options.get("numBuckets")).map(_.toInt).getOrElse(0)
+    if (cols.isEmpty && n <= 0) return None
+    require(cols.nonEmpty && n > 0,
+      "nimble: bucketColumns and numBuckets (> 0) must be set together")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"nimble: bucketColumns: no such column '$c'"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType | StringType | BinaryType | BooleanType => ()
+        case dt => throw new IllegalArgumentException(
+          s"nimble: bucketColumns: column '$c' has unsupported type ${dt.simpleString}")
+      }
+    }
+    Some((cols, n))
+  }
+
+  private def validateIndexOpts(): Unit = {
     // an index over a nanos-split column would hold MICROS keys that no
     // epoch-nanos probe can use (Lookup and the scan both refuse it) —
-    // reject the dead-weight configuration instead of writing it
-    locally {
-      // lower-cased compare: index members resolve case-insensitively in the
-      // writer, so a case-differing spelling must not bypass this guard
-      val members = csvOpt("indexColumns").flatMap(_.split("\\+").map(_.trim.toLowerCase))
-      val bad = members.intersect(csvOpt("timestampNanosColumns").map(_.toLowerCase))
-      require(bad.isEmpty,
-        s"nimble: indexColumns ${bad.mkString(",")} are timestampNanosColumns — " +
-          "the index would hold micros keys no epoch-nanos probe can use")
-    }
-    override def toBatch: BatchWrite = new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
+    // reject the dead-weight configuration instead of writing it.
+    // lower-cased compare: index members resolve case-insensitively in the
+    // writer, so a case-differing spelling must not bypass this guard
+    val members = csvOpt("indexColumns").flatMap(_.split("\\+").map(_.trim.toLowerCase))
+    val bad = members.intersect(csvOpt("timestampNanosColumns").map(_.toLowerCase))
+    require(bad.isEmpty,
+      s"nimble: indexColumns ${bad.mkString(",")} are timestampNanosColumns — " +
+        "the index would hold micros keys no epoch-nanos probe can use")
+  }
+
+  private def mkBatch(bucket: Option[(Seq[String], Int)]): BatchWrite =
+    new NimbleBatchWrite(path, schema, truncateFirst, sortCols, writeOpts,
+      csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
+      csvOpt("indexColumns"),
+      Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
+      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20), bucket)
+
+  /** Structured Streaming sink: files are immutable and appended per epoch,
+    * which matches the format's append-only tablet model exactly; epoch id
+    * lands in the file name so replayed epochs overwrite deterministically
+    * (exactly-once via Spark's commit protocol). */
+  private def mkStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new NimbleStreamingWrite(path, schema.json, sortCols, writeOpts,
       csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
       csvOpt("indexColumns"),
       Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
       Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20))
-    /** Structured Streaming sink: files are immutable and appended per epoch,
-      * which matches the format's append-only tablet model exactly; epoch id
-      * lands in the file name so replayed epochs overwrite deterministically
-      * (exactly-once via Spark's commit protocol). */
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new NimbleStreamingWrite(path, schema.json, sortCols, writeOpts,
-        csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
-        csvOpt("indexColumns"),
-        Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
-        Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20))
+
+  override def build(): Write = {
+    validateIndexOpts()
+    bucketSpec match {
+      case None => new Write {
+        override def toBatch: BatchWrite = mkBatch(None)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          mkStreaming
+      }
+      case spec @ Some((cols, n)) =>
+        // Bucketed write: ask Spark to hash-cluster the input into exactly n
+        // partitions (REPARTITION_BY_NUM origin, so AQE never coalesces and
+        // partition id == pmod(murmur3(key), n) == bucket id) and, when the
+        // table also declares sortColumns, to sort within each bucket — one
+        // declarative plan step buys both co-located joins and in-file order.
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        new Write with RequiresDistributionAndOrdering {
+          override def toBatch: BatchWrite = mkBatch(spec)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            throw new UnsupportedOperationException(
+              "nimble: bucketed streaming writes are not supported (epoch files would " +
+                "fragment buckets); write unbucketed and compact, or use batch jobs")
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(cols.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+          override def requiredNumPartitions(): Int = n
+          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            sortCols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        }
+    }
   }
 }
 
@@ -1555,7 +1722,8 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     sortColumns: Seq[String], writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
-    stripeRawBytes: Long = 96L << 20) extends BatchWrite {
+    stripeRawBytes: Long = 96L << 20,
+    bucketSpec: Option[(Seq[String], Int)] = None) extends BatchWrite {
 
   // per-job tag: task ids restart at 0 in a new Spark application, so append
   // jobs would otherwise silently overwrite files from an earlier run
@@ -1564,8 +1732,15 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
+    // a bucketed write's distribution contract (partition id == bucket id)
+    // requires exactly numBuckets tasks — a mismatch means the required
+    // distribution was not applied (e.g. a future code path bypassing
+    // RequiresDistributionAndOrdering) and the files would lie
+    bucketSpec.foreach { case (_, n) =>
+      require(info.numPartitions == n,
+        s"nimble: bucketed write expected $n partitions, got ${info.numPartitions}") }
     NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
-      GraftIO.broadcastConf(), indexColumns, rowsPerChunk, stripeRawBytes)
+      GraftIO.broadcastConf(), indexColumns, rowsPerChunk, stripeRawBytes, bucketSpec)
   }
 
   /** Consistency contract (FileOutputCommitter-v1 shape): commit is NOT
@@ -1608,7 +1783,8 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     jobTag: String = "0",
     hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
     indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
-    stripeRawBytes: Long = 96L << 20)
+    stripeRawBytes: Long = 96L << 20,
+    bucketSpec: Option[(Seq[String], Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // executor JVMs inherit the driver's spark.hadoop.* (S3A credentials etc.)
@@ -1620,7 +1796,9 @@ case class NimbleWriterFactory(path: String, schemaJson: String, sortColumns: Se
     new NimbleDataWriter(temp, schemaJson, sortColumns, rowsPerChunk = rowsPerChunk,
       stripeRawBytes = stripeRawBytes, writeOpts = writeOpts,
       bloomColumns = bloomColumns, compression = compression,
-      finalFile = GraftIO.child(path, name), indexColumns = indexColumns)
+      finalFile = GraftIO.child(path, name), indexColumns = indexColumns,
+      // clustered distribution: this task's partition id IS the bucket id
+      bucketSpec = bucketSpec, bucketId = partitionId)
   }
 }
 
@@ -1632,17 +1810,37 @@ class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String
     rowsPerChunk: Int = 16384, stripeRawBytes: Long = 96L << 20,
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
-    finalFile: String = null, indexColumns: Set[String] = Set.empty)
+    finalFile: String = null, indexColumns: Set[String] = Set.empty,
+    bucketSpec: Option[(Seq[String], Int)] = None, bucketId: Int = -1)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val tablet = new Tablet.Writer(file, schemaJson, Array.empty, sortColumns, bloomColumns,
-    compression, indexColumns)
+    compression, indexColumns,
+    bucketColumns = bucketSpec.map(_._1).getOrElse(Nil),
+    numBuckets = bucketSpec.map(_._2).getOrElse(0),
+    bucketId = if (bucketSpec.isDefined) bucketId else -1)
   private val writers: Array[Fields.FieldWriter] =
     schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0
 
+  // per-row declaration check for bucketed writes: the footer asserts
+  // "every row hashes to bucketId" and shuffle-free joins rely on it, so a
+  // row that disproves it (a Spark partitioning change, a bypassed
+  // distribution) must fail the write, not poison every future join
+  private val bucketIdxs: Array[Int] =
+    bucketSpec.map(_._1.map(c => schema.fieldIndex(c)).toArray).orNull
+  private val bucketDts: Array[DataType] =
+    if (bucketIdxs == null) null else bucketIdxs.map(i => schema.fields(i).dataType)
+  private val bucketN: Int = bucketSpec.map(_._2).getOrElse(0)
+
   override def write(row: InternalRow): Unit = {
+    if (bucketIdxs != null) {
+      val b = NimbleSource.pmod(NimbleSource.bucketHash(row, bucketIdxs, bucketDts), bucketN)
+      if (b != bucketId) throw new IllegalStateException(
+        s"nimble: bucketed write: row hashes to bucket $b but this task writes bucket " +
+          s"$bucketId of $bucketN — the clustered distribution was not applied")
+    }
     var i = 0
     while (i < writers.length) { writers(i).add(row, i); i += 1 }
     pendingRows += 1
