@@ -268,6 +268,53 @@ object Bench {
       results("scale_cc_rounds") = graft.ops.Dedup.lastClusterRounds.get().toDouble
     }
 
+    // ---- scale block: storage-partitioned join — two co-bucketed tables
+    // (4M-row fact, 1M-row dim, bucket 32 on the join key) joined with
+    // broadcast off. scale_spj_join reads buckets in place (zero
+    // exchanges); scale_shuffle_join runs the identical query with the v2
+    // bucketing flag off, paying the full both-sides shuffle. The delta is
+    // what co-bucketing deletes from every big join at 100 TB. ----
+    {
+      val whDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/spj-wh"
+      graft.format.GraftIO.delete(whDir, recursive = true)
+      graft.format.GraftIO.mkdirs(whDir)
+      spark.conf.set("spark.sql.catalog.gbench", "graft.spark.NimbleCatalog")
+      spark.conf.set("spark.sql.catalog.gbench.warehouse", whDir)
+      val prevBkt = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.range(4000000L)
+          .selectExpr("id % 500000 AS k", "(id * 2654435761) % 1000003 AS v")
+          .writeTo("gbench.fact")
+          .partitionedBy(org.apache.spark.sql.functions.bucket(32, col("k"))).create()
+        spark.range(1000000L).selectExpr("id AS k", "id * 3 AS w")
+          .writeTo("gbench.dim")
+          .partitionedBy(org.apache.spark.sql.functions.bucket(32, col("k"))).create()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def joinOnce(): Unit = {
+          spark.table("gbench.fact").join(spark.table("gbench.dim"), "k")
+            .agg(count(lit(1)), sum(col("v") + col("w"))).collect()
+          ()
+        }
+        timed("scale_spj_join") {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true"); joinOnce()
+        }
+        timed("scale_shuffle_join") {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false"); joinOnce()
+        }
+      } finally {
+        prevBkt match {
+          case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+        prevBcast match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }
+
     // ---- encoded size ----
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble
@@ -372,7 +419,8 @@ object Bench {
     * and parquet-control mins matter only for post-hoc noise forensics. */
   private def headlineMin(k: String): Boolean =
     k.matches("write_lineitem|scan_full_nimble|scan_pruned_nimble|" +
-      "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan") ||
+      "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan|" +
+      "scale_spj_join|scale_shuffle_join") ||
       k.matches("q\\d\\d_.*|x\\d\\d_.*") // EVERY headline query min rides along:
       // a contaminated median with no min twin is unfalsifiable from the
       // artifact alone (r9's x07 took a judge re-run to clear)

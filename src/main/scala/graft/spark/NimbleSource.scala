@@ -874,7 +874,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
     topN: Option[(String, Int, Boolean)] = None) // (sort col, n, descending)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Storage-partitioned-join surface: when every file declares the same
     * hash-bucket spec AND the session opted in (the v2 bucketing flag), the
@@ -899,6 +899,35 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cols: _*)), n)
       case None => new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  /** Per-partition sort order (SupportsReportOrdering): a bucketed table
+    * whose files also declare sortColumns reads each bucket pre-sorted, so
+    * a storage-partitioned sort-merge join skips BOTH the exchanges (from
+    * the key-grouped partitioning) and the per-side SortExecs. Reported
+    * only when every bucket holds at most ONE file (a second appended file
+    * restarts the order mid-partition), every file declares the same sort,
+    * no sort column is unsigned-widened (stored signed order != widened
+    * order), and the head column's stripe stats don't contradict the
+    * declaration — the same trust-but-fence contract as the TopN pushdown. */
+  private lazy val reportedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyedBuckets match {
+      case Some(_) if org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.sorting.enabled", "false").toBoolean =>
+        import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+        val files = NimbleSource.listFiles(path)
+        val sortCols = NimbleSource.footerOf(files.head).sortColumns
+        val ok = sortCols.nonEmpty &&
+          sortCols.forall(c => !unsignedCols.contains(c)) &&
+          files.forall(f => NimbleSource.footerOf(f).sortColumns == sortCols) &&
+          files.groupBy(f => NimbleSource.footerOf(f).bucketId).forall(_._2.lengthCompare(1) <= 0) &&
+          files.forall(f => NimbleSource.stripeStatsMonotone(f, sortCols.head))
+        if (ok) sortCols.map(c => Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+        else Array.empty
+      case _ => Array.empty
+    }
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
 
   /** Runtime (DPP / join-pushdown) filters, applied to stripe pruning only —
     * safe because they are conservative semi-join filters. */

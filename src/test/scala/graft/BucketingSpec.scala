@@ -148,6 +148,62 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed + sorted tables merge-join with zero shuffles AND zero sorts") {
+    val wh = tmpDir("bkt_wh3")
+    withConfs(
+      "spark.sql.catalog.gcat3" -> classOf[graft.spark.NimbleCatalog].getName,
+      "spark.sql.catalog.gcat3.warehouse" -> wh,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.range(30000).selectExpr("id % 4999 AS k", "id AS v1")
+        .writeTo("gcat3.sl").partitionedBy(bucket(8, col("k")))
+        .tableProperty("sortColumns", "k").create()
+      spark.range(9000).selectExpr("id % 4999 AS k", "id * 11 AS v2")
+        .writeTo("gcat3.sr").partitionedBy(bucket(8, col("k")))
+        .tableProperty("sortColumns", "k").create()
+      val j = spark.table("gcat3.sl").join(spark.table("gcat3.sr"), "k")
+        .selectExpr("k", "v1", "v2")
+      val got = j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"no shuffles expected:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+      assert(!p.contains("Sort ["), s"scan-reported ordering must elide SortExec:\n$p")
+      val exp = spark.range(30000).selectExpr("id % 4999 AS k", "id AS v1")
+        .join(spark.range(9000).selectExpr("id % 4999 AS k", "id * 11 AS v2"), "k")
+        .selectExpr("k", "v1", "v2").collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        .sameElements(exp.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted))
+    }
+  }
+
+  test("one-side shuffle: a plain side shuffles BY the catalog bucket function to meet a bucketed side") {
+    val wh = tmpDir("bkt_wh4")
+    withConfs(
+      "spark.sql.catalog.gcat4" -> classOf[graft.spark.NimbleCatalog].getName,
+      "spark.sql.catalog.gcat4.warehouse" -> wh,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.range(20000).selectExpr("id % 3001 AS k", "id AS v1")
+        .writeTo("gcat4.big").partitionedBy(bucket(8, col("k"))).create()
+      val plain = spark.range(3001).selectExpr("id AS k", "id * 5 AS w")
+      val j = spark.table("gcat4.big").join(plain, "k").selectExpr("k", "v1", "w")
+      val got = j.collect()
+      // result equality is the real pin: if the catalog's bucket function
+      // disagreed with the write placement, matching rows would silently
+      // land in different partitions and vanish from the join
+      assert(got.length == 20000)
+      assert(got.forall(r => r.getLong(2) == r.getLong(0) * 5))
+      val p = j.queryExecution.executedPlan.toString
+      // the only exchange is the plain side's, BY the bucket function — no
+      // hash shuffle anywhere (the bucketed side stays in place)
+      assert(!p.contains("Exchange hashpartitioning"), s"no hash shuffle expected:\n$p")
+      assert(p.contains("Exchange keygroupedpartitioning"),
+        s"plain side must shuffle by the catalog bucket function:\n$p")
+    }
+  }
+
   test("null bucket keys hash like Spark (seed bucket) and round-trip") {
     val dir = tmpDir("bkt_null")
     spark.range(1000)
