@@ -264,10 +264,10 @@ object SparkEntry {
     // side — the catalog resolves the bucket transform and the scans report
     // KeyGroupedPartitioning (BucketingSpec pins the no-Exchange plan)
     "q31_spj_join" -> ((s, dir) => {
-      Tables.spjTables(s, dir)
-      s.sql("""SELECT l.l_orderkey AS okey, count(1) AS cnt,
+      val cat = Tables.spjTables(s, dir)
+      s.sql(s"""SELECT l.l_orderkey AS okey, count(1) AS cnt,
                max(l.l_extendedprice) AS max_price, max(o.o_totalprice) AS max_total
-               FROM gsp.lineitem_b l JOIN gsp.orders_b o ON l.l_orderkey = o.o_orderkey
+               FROM $cat.lineitem_b l JOIN $cat.orders_b o ON l.l_orderkey = o.o_orderkey
                GROUP BY l.l_orderkey""")
     }),
 

@@ -49,11 +49,16 @@ object Tables {
     * on the join key, so the join plans with zero shuffles when
     * spark.sql.sources.v2.bucketing.enabled is on (set here; inert for
     * non-bucketed tables). */
-  def spjTables(spark: SparkSession, sfDir: String): Unit = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Returns the catalog name to query through. The name embeds the sf key
+    * because Spark caches catalog INSTANCES by name after first use — a
+    * shared name would pin the first sfDir's warehouse forever and serve
+    * fixtures from the wrong scale factor to every later sfDir. */
+  def spjTables(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_").replaceAll("[^A-Za-z0-9_]", "_")
+    val cat = s"gsp_$key"
     val wh = s"$cacheRoot/$key/warehouse"
-    spark.conf.set("spark.sql.catalog.gsp", "graft.spark.NimbleCatalog")
-    spark.conf.set("spark.sql.catalog.gsp.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.NimbleCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     lock.synchronized {
       val ready = Seq("lineitem_b", "orders_b").forall(t =>
@@ -62,16 +67,17 @@ object Tables {
       if (!ready) {
         import org.apache.spark.sql.functions.{bucket, col}
         new java.io.File(wh).mkdirs()
-        spark.sql("DROP TABLE IF EXISTS gsp.lineitem_b")
-        spark.sql("DROP TABLE IF EXISTS gsp.orders_b")
+        spark.sql(s"DROP TABLE IF EXISTS $cat.lineitem_b")
+        spark.sql(s"DROP TABLE IF EXISTS $cat.orders_b")
         parquet(spark, sfDir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice")
-          .writeTo("gsp.lineitem_b").partitionedBy(bucket(16, col("l_orderkey"))).create()
+          .writeTo(s"$cat.lineitem_b").partitionedBy(bucket(16, col("l_orderkey"))).create()
         parquet(spark, sfDir, "orders")
           .select("o_orderkey", "o_totalprice")
-          .writeTo("gsp.orders_b").partitionedBy(bucket(16, col("o_orderkey"))).create()
+          .writeTo(s"$cat.orders_b").partitionedBy(bucket(16, col("o_orderkey"))).create()
       }
     }
+    cat
   }
 
   def nimbleDir(spark: SparkSession, sfDir: String, table: String): String = {

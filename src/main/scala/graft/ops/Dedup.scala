@@ -265,14 +265,18 @@ object Dedup {
     * cluster minimum) rather than a semi-join against survivors: the
     * survivor set is corpus-sized, but the drop set is only the duplicate
     * docs minus one per cluster — small at any realistic dup rate, so
-    * Spark broadcasts it and the corpus never shuffles. The drop set is
-    * eagerly materialized (localCheckpoint) so the persisted `clusters`
-    * labels can be released before returning — otherwise every call would
-    * leak label cache blocks for the session (the caller has no handle). */
+    * Spark broadcasts it and the corpus never shuffles. Null-id docs
+    * survive by construction (a null id never matches the drop set): a doc
+    * that cannot be identified cannot be proven a duplicate, so it is
+    * never silently deleted. The drop set is persisted and counted (NOT
+    * localCheckpoint: those blocks die with decommissioned executors and
+    * have no lineage fallback — wrong under dynamic allocation), so the
+    * big `clusters` label cache can be released here; losing the small
+    * drop-set blocks later merely recomputes through lineage. */
   def dedupApply(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = dedupClusters(docs, idCol, pairs)
-    val drop = clusters.filter(col(idCol) =!= col("cluster")).select(idCol)
-      .localCheckpoint(eager = true) // tiny non-canonical-id list; cuts the ref to `clusters`
+    val drop = clusters.filter(col(idCol) =!= col("cluster")).select(idCol).persist()
+    drop.count() // materialize before releasing the clusters cache underneath
     clusters.unpersist()
     docs.join(drop, Seq(idCol), "left_anti")
   }

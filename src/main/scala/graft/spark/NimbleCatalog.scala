@@ -173,7 +173,12 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(warehouse)(GraftIO.child)
     if (!GraftIO.exists(dir)) return false
-    GraftIO.delete(dir, recursive = cascade); true
+    // non-cascade drop of a non-empty namespace must raise, not silently
+    // report success while File.delete() fails on the non-empty directory
+    if (!cascade && GraftIO.listDirs(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace, s"namespace has tables; use CASCADE")
+    GraftIO.delete(dir, recursive = cascade)
   }
 
   // ----------------------------------------------------------- functions
@@ -197,26 +202,38 @@ object NimbleCatalog {
     override def description(): String =
       "bucket(numBuckets, key): pmod(murmur3_32(key, seed 42), numBuckets)"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2,
-        s"nimble bucket(numBuckets, key) takes 2 arguments, got ${inputType.fields.length}")
-      val keyType = inputType.fields(1).dataType
-      keyType match {
+      // graceful refusals only: Spark's function resolution swallows
+      // UnsupportedOperationException (falls back to no SPJ) but NOT
+      // require's IllegalArgumentException, which would make a readable
+      // table crash every scan whenever the bucketing conf is on
+      if (inputType.fields.length < 2) throw new UnsupportedOperationException(
+        s"nimble bucket(numBuckets, keys...) takes >= 2 arguments, got ${inputType.fields.length}")
+      val keyTypes = inputType.fields.drop(1).map(_.dataType)
+      keyTypes.foreach {
         case ByteType | ShortType | IntegerType | LongType | DateType |
              TimestampType | TimestampNTZType | StringType | BinaryType | BooleanType => ()
         case dt => throw new UnsupportedOperationException(
           s"nimble bucket: unsupported key type ${dt.simpleString}")
       }
       new ScalarFunction[Integer] {
-        override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+        override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
         override def resultType(): DataType = IntegerType
         override def name(): String = "bucket"
-        override def canonicalName(): String = s"nimble.bucket(${keyType.catalogString})"
+        override def canonicalName(): String =
+          s"nimble.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
         override def isResultNullable: Boolean = false
         override def produceResult(input: InternalRow): Integer = {
           val n = input.getInt(0)
-          val h = if (input.isNullAt(1)) 42
-            else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-              .hash(input.get(1, keyType), keyType, 42L).toInt
+          // fold across key columns exactly like the write side (= Spark
+          // HashPartitioning over the same column list)
+          var h = 42
+          var i = 0
+          while (i < keyTypes.length) {
+            if (!input.isNullAt(i + 1))
+              h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+                .hash(input.get(i + 1, keyTypes(i)), keyTypes(i), h.toLong).toInt
+            i += 1
+          }
           Integer.valueOf(NimbleSource.pmod(h, n))
         }
       }

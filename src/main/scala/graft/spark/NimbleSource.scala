@@ -888,9 +888,17 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     * (runtime-filter replans included). */
   private lazy val keyedBuckets: Option[(Seq[String], Int)] =
     if (topN.isDefined) None
+    // getConf (not getConfString with a literal fallback): the flag's
+    // REGISTERED default is true in Spark 4, and getConfString ignores
+    // registered defaults for unset keys — a hand-rolled "false" fallback
+    // would silently disable SPJ in every session that never set the conf
     else if (!org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
-    else NimbleSource.bucketSpecOf(NimbleSource.listFiles(path))
+      .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)) None
+    // single-column specs only: Spark 4.1's SPJ planner does not resolve a
+    // multi-argument bucket transform (verified empirically — the join
+    // shuffles anyway), so grouping those scans by bucket would cap
+    // parallelism at numBuckets for zero benefit
+    else NimbleSource.bucketSpecOf(NimbleSource.listFiles(path)).filter(_._1.length == 1)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedBuckets match {
@@ -912,7 +920,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   private lazy val reportedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     keyedBuckets match {
       case Some(_) if org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.sql.sources.v2.bucketing.sorting.enabled", "false").toBoolean =>
+        .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_SORTING_ENABLED) =>
         import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
         val files = NimbleSource.listFiles(path)
         val sortCols = NimbleSource.footerOf(files.head).sortColumns
@@ -1762,11 +1770,14 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     GraftIO.mkdirs(tempDir)
     // a bucketed write's distribution contract (partition id == bucket id)
-    // requires exactly numBuckets tasks — a mismatch means the required
-    // distribution was not applied (e.g. a future code path bypassing
-    // RequiresDistributionAndOrdering) and the files would lie
+    // requires exactly numBuckets tasks. Exception: Spark collapses an
+    // empty child to ONE dummy partition (SPARK-23271), so a zero-row
+    // append legitimately arrives as numPartitions == 1 — allowed, because
+    // the per-row writer check still fails any partition-0 row whose hash
+    // isn't bucket 0, so a genuinely bypassed distribution cannot slip
+    // through this door with data
     bucketSpec.foreach { case (_, n) =>
-      require(info.numPartitions == n,
+      require(info.numPartitions == n || info.numPartitions == 1,
         s"nimble: bucketed write expected $n partitions, got ${info.numPartitions}") }
     NimbleWriterFactory(path, schema.json, sortColumns, writeOpts, bloomColumns, compression, jobTag,
       GraftIO.broadcastConf(), indexColumns, rowsPerChunk, stripeRawBytes, bucketSpec)

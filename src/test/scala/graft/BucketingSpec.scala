@@ -204,6 +204,58 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("empty append into a bucketed table no-ops instead of crashing") {
+    val dir = tmpDir("bkt_empty")
+    val df = spark.range(1000).selectExpr("id AS k", "id AS v")
+    df.write.format("nimble")
+      .option("bucketColumns", "k").option("numBuckets", "4")
+      .mode("overwrite").save(dir)
+    // Spark collapses an empty child to one dummy partition (SPARK-23271);
+    // the writer-factory partition-count fence must let it through
+    df.filter(expr("false")).write.format("nimble")
+      .option("bucketColumns", "k").option("numBuckets", "4")
+      .mode("append").save(dir)
+    assert(spark.read.format("nimble").load(dir).count() == 1000)
+  }
+
+  test("multi-column bucket: reads fine, falls back to bin-packed splits (no SPJ in Spark 4.1)") {
+    val wh = tmpDir("bkt_wh5")
+    withConfs(
+      "spark.sql.catalog.gcat5" -> classOf[graft.spark.NimbleCatalog].getName,
+      "spark.sql.catalog.gcat5.warehouse" -> wh,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(
+        "CREATE TABLE gcat5.mc (a BIGINT, b BIGINT, v BIGINT) PARTITIONED BY (bucket(8, a, b))")
+      spark.range(10000).selectExpr("id % 97 AS a", "id % 31 AS b", "id AS v")
+        .writeTo("gcat5.mc").append()
+      // plain read must not crash on the 3-arg bucket function bind
+      assert(spark.table("gcat5.mc").count() == 10000)
+      // Spark 4.1 SPJ cannot resolve multi-arg bucket transforms (probed:
+      // the join shuffles regardless), so the scan must NOT cap its
+      // parallelism at numBuckets — bin-packed splits instead
+      assert(spark.table("gcat5.mc").rdd.getNumPartitions < 8,
+        "multi-col bucketed scan must fall back to bin-packed splits")
+      val t = spark.table("gcat5.mc")
+      val j = t.join(t.selectExpr("a", "b", "v AS v2"), Seq("a", "b"))
+      val exp = spark.range(10000).selectExpr("id % 97 AS a", "id % 31 AS b", "id AS v")
+      assert(j.count() == exp.join(exp.selectExpr("a", "b", "v AS v2"), Seq("a", "b")).count())
+    }
+  }
+
+  test("SPJ is on by default (Spark's registered default, no conf set)") {
+    val dir = tmpDir("bkt_dflt")
+    spark.range(5000).selectExpr("id AS k", "id AS v")
+      .write.format("nimble")
+      .option("bucketColumns", "k").option("numBuckets", "5")
+      .mode("overwrite").save(dir)
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    try assert(spark.read.format("nimble").load(dir).rdd.getNumPartitions == 5,
+      "an unset conf must inherit Spark's registered default (true), not a hand-rolled false")
+    finally old.foreach(spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
   test("null bucket keys hash like Spark (seed bucket) and round-trip") {
     val dir = tmpDir("bkt_null")
     spark.range(1000)
