@@ -447,6 +447,54 @@ object NimbleSource {
     if (ok) Some(spec) else None
   }
 
+  /** Files that can hold rows matching the conjunctive `filters`, by bucket
+    * id: an EqualTo/EqualNullSafe/In on THE single bucket column maps its
+    * value(s) through [[bucketHash]] to the only admissible bucket set; the
+    * tightest such filter wins (they are ANDed). Returns `files` unchanged
+    * when no filter names the bucket column, the table is not uniformly
+    * bucketed, or the column is unsigned-widened (scan values differ from
+    * stored hash domain). Null-safe: EqualTo/In match no null rows, so the
+    * value buckets alone suffice; EqualNullSafe(null) maps to the seed
+    * bucket, where the clustered write placed null keys. */
+  def bucketPrunedFiles(files: Seq[String], filters: Array[Filter],
+      schema: StructType, unsignedCols: Set[String]): Seq[String] = {
+    if (filters.isEmpty) return files
+    val spec = bucketSpecOf(files) match {
+      case Some((Seq(bc), n)) if !unsignedCols.contains(bc) => (bc, n)
+      case _ => return files
+    }
+    val (bc, n) = spec
+    val dt = schema.fields.find(_.name == bc).map(_.dataType).getOrElse(return files)
+    def bucketOf(v: Any): Int = {
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v)
+      pmod(if (cat == null) 42
+      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(cat, dt, 42L).toInt, n)
+    }
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+    val sets = filters.collect {
+      case EqualTo(`bc`, v) if v != null => Set(bucketOf(v))
+      case EqualNullSafe(`bc`, v) => Set(bucketOf(v))
+      case In(`bc`, vs) => vs.iterator.filter(_ != null).map(bucketOf).toSet
+    }
+    if (sets.isEmpty) return files
+    val allowed = sets.reduce(_ intersect _)
+    files.filter(f => allowed.contains(footerOf(f).bucketId))
+  }
+
+  /** File-level null count of `col`, if knowable from metadata: a file
+    * without the column stream holds only nulls (rowCount); otherwise the
+    * file stats answer; None when stats are unavailable (the null-aware
+    * TopN combos then refuse). */
+  def fileNullCount(file: String, col: String): Option[Long] = {
+    val footer = footerOf(file)
+    val r = new Tablet.Reader(file, footer)
+    try {
+      if (r.keyId(col) < 0) Some(footer.rowCount)
+      else r.fileStatsOf(col).map(_.nullCount)
+    } finally r.close()
+  }
+
   /** Plan-time fence for the TopN pushdown's sorted-by declaration: with
     * ascending-nulls-first order, a file's stripes must be (all-null)*,
     * at most one mixed stripe, then null-free stripes whose per-stripe
@@ -737,23 +785,27 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     * applies the global limit. */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  private var topN: Option[(String, Int, Boolean)] = None
+  private var topN: Option[TopNPush] = None
 
   /** Partial TopN pushdown (ORDER BY c LIMIT n over per-file-sorted data,
     * the row-range-skipping analog of ref velox/VeloxReader.cpp:441
     * seekToRow). Gated on explicit sorted-by metadata: EVERY file's footer
     * must declare `sortColumns` starting with the sort column — the writer
     * contract for that declaration is ascending, nulls first, within each
-    * file (the order `sortWithinPartitions(c)` produces). Then ASC NULLS
-    * FIRST top-n is a subset of each file's first n rows and DESC NULLS
-    * LAST of its last n, so the scan plans only the head/tail stripes per
-    * file plus a leading-row skip; Spark still runs the global sort+limit
-    * (isPartiallyPushed). Refused when any pushed filter exists (the top-n
-    * of a filtered set can lie beyond the physical head/tail), for the
-    * other two null orderings (nulls sit at the physical head, not where
-    * those orderings need them), for unsigned-widened sort columns (stored
-    * signed order != widened order), and when any file's per-stripe stats
-    * contradict the declared order (cheap plan-time misdeclaration fence). */
+    * file (the order `sortWithinPartitions(c)` produces). All four
+    * direction/null-ordering combinations plan a per-file superset:
+    * ASC NULLS FIRST = first n rows; DESC NULLS LAST = last n rows (tail
+    * stripes + a chunk-granular leading-row skip); ASC NULLS LAST = first
+    * (fileNullCount + n) rows (the nulls sit at the physical head, in
+    * front of the n smallest non-nulls); DESC NULLS FIRST = the null head
+    * PLUS the last n rows. The null-dependent combos need the sort
+    * column's file-level nullCount, so they refuse when a file lacks those
+    * stats. Spark still runs the global sort+limit (isPartiallyPushed).
+    * Refused when any pushed filter exists (the top-n of a filtered set
+    * can lie beyond the physical head/tail), for unsigned-widened sort
+    * columns (stored signed order != widened order), and when any file's
+    * per-stripe stats contradict the declared order (plan-time
+    * misdeclaration fence). */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, NamedReference}
@@ -765,22 +817,24 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     }
     if (unsignedCols.contains(col)) return false
     val desc = o.direction() == SortDirection.DESCENDING
-    val nullsOk =
-      if (desc) o.nullOrdering() == NullOrdering.NULLS_LAST
-      else o.nullOrdering() == NullOrdering.NULLS_FIRST
-    if (!nullsOk) return false
+    val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
     val files = NimbleSource.listFiles(path)
     if (files.isEmpty) return false
     NimbleSource.prefetchFooters(files)
     if (!files.forall(f => NimbleSource.footerOf(f).sortColumns.headOption.contains(col)))
       return false
     if (!files.forall(f => NimbleSource.stripeStatsMonotone(f, col))) return false
-    topN = Some((col, n, desc))
-    // ASC head partitions hold no filters, so n emitted rows = n survivors
-    // and the per-partition limit early-stops the head stripe mid-decode.
-    // DESC tail partitions must NOT limit: the chunk-granular skip emits
-    // slop rows before the true tail, and a limit of n would cut it off.
-    if (!desc && (limit < 0 || n < limit)) limit = n
+    // the null-dependent combos plan by per-file null counts
+    val needsNullCounts = desc == nullsFirst
+    if (needsNullCounts && !files.forall(f => NimbleSource.fileNullCount(f, col).isDefined))
+      return false
+    topN = Some(TopNPush(col, n, desc, nullsFirst))
+    // ASC NULLS FIRST head partitions hold no filters, so n emitted rows =
+    // n survivors and the per-partition limit early-stops the head stripe
+    // mid-decode. The other combos must NOT limit: tail skips emit
+    // chunk-granular slop before the true tail, and null-head supersets
+    // exceed n by the null count — a limit of n would cut the real rows.
+    if (!desc && nullsFirst && (limit < 0 || n < limit)) limit = n
     true
   }
   override def isPartiallyPushed(): Boolean = true
@@ -861,6 +915,12 @@ case class NimbleMultiPartition(items: Array[NimbleStripePartition]) extends Inp
 case class NimbleTailPartition(items: Array[NimbleStripePartition], skipRows: Long)
     extends InputPartition
 
+/** A pushed TopN request: ORDER BY `col` (`desc`, `nullsFirst`) LIMIT `n`. */
+case class TopNPush(col: String, n: Int, desc: Boolean, nullsFirst: Boolean) {
+  def describe: String =
+    s"$col ${if (desc) "DESC" else "ASC"} NULLS ${if (nullsFirst) "FIRST" else "LAST"} limit $n"
+}
+
 /** All of one hash-bucket's surviving stripes (possibly several files) read
   * by one task — the unit of a storage-partitioned join. The key row holds
   * the bucket id (the bucket transform's int output). */
@@ -872,7 +932,7 @@ case class NimbleBucketPartition(bucket: Int, items: Array[NimbleStripePartition
 
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
-    topN: Option[(String, Int, Boolean)] = None) // (sort col, n, descending)
+    topN: Option[TopNPush] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -958,17 +1018,17 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (limit >= 0) s", limit=$limit" else "") +
-      topN.map { case (c, n, desc) =>
-        s", topN=[$c ${if (desc) "DESC" else "ASC"} limit $n]" }.getOrElse("")
+      topN.map(t => s", topN=[${t.describe}]").getOrElse("")
 
   /** Pushed TopN over per-file-sorted data (row-range skipping analog, ref
-    * velox/VeloxReader.cpp:441 seekToRow): with no filters, ASC NULLS FIRST
-    * top-n is EXACTLY each file's first n rows and DESC NULLS LAST its last
-    * n — so plan only the head/tail stripes covering n rows per file, one
-    * partition per file. ASC rides the per-partition limit early-stop; DESC
-    * carries the leading-row skip, positioned at chunk granularity by the
-    * reader. Spark still runs the global sort+limit (partial pushdown). */
-  private def planTopNPartitions(col: String, n: Int, desc: Boolean): Array[InputPartition] = {
+    * velox/VeloxReader.cpp:441 seekToRow): with no filters, each file's
+    * per-ordering candidate superset is a physical head run, a tail run, or
+    * (DESC NULLS FIRST) both — nulls sit at the physical head, values
+    * ascend after them. Plan only the stripes covering those runs; tail
+    * runs carry a chunk-granular leading-row skip. ASC NULLS FIRST rides
+    * the per-partition limit early-stop. Spark still runs the global
+    * sort+limit (partial pushdown). */
+  private def planTopNPartitions(t: TopNPush): Array[InputPartition] = {
     val files = NimbleSource.listFiles(path)
     NimbleSource.prefetchFooters(files)
     val parts = mutable.ArrayBuffer[InputPartition]()
@@ -978,26 +1038,59 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       val footer = NimbleSource.footerOf(file)
       val stripes = footer.stripes
       if (stripes.nonEmpty) {
-        if (!desc) {
+        // head stripes covering the first `target` rows (0 => none)
+        def headSel(target: Long): (mutable.ArrayBuffer[NimbleStripePartition], Int) = {
           val sel = mutable.ArrayBuffer[NimbleStripePartition]()
           var rows = 0L
           var s = 0
-          while (s < stripes.length && rows < n) {
+          while (s < stripes.length && rows < target) {
             sel += NimbleStripePartition(file, s); rows += stripes(s).rowCount; s += 1
           }
-          prunedStripes += stripes.length - sel.length
-          selected += sel.length
-          parts += NimbleMultiPartition(sel.toArray)
-        } else {
+          (sel, s)
+        }
+        // tail stripes covering the last `target` rows, plus the skip count
+        def tailSel(target: Long): (mutable.ArrayBuffer[NimbleStripePartition], Long, Int) = {
           val sel = mutable.ArrayBuffer[NimbleStripePartition]()
           var rows = 0L
           var s = stripes.length - 1
-          while (s >= 0 && rows < n) {
+          while (s >= 0 && rows < target) {
             sel.prepend(NimbleStripePartition(file, s)); rows += stripes(s).rowCount; s -= 1
           }
-          prunedStripes += stripes.length - sel.length
-          selected += sel.length
-          parts += NimbleTailPartition(sel.toArray, math.max(0L, rows - n))
+          (sel, math.max(0L, rows - target), s + 1)
+        }
+        // per-file nullCount, pre-validated Some by pushTopN for the combos
+        // that reach for it
+        def nulls: Long = NimbleSource.fileNullCount(file, t.col).getOrElse(0L)
+        (t.desc, t.nullsFirst) match {
+          case (false, true) => // ASC NULLS FIRST: first n rows
+            val (sel, _) = headSel(t.n.toLong)
+            prunedStripes += stripes.length - sel.length
+            selected += sel.length
+            parts += NimbleMultiPartition(sel.toArray)
+          case (false, false) => // ASC NULLS LAST: nulls head + n smallest non-nulls
+            val (sel, _) = headSel(nulls + t.n)
+            prunedStripes += stripes.length - sel.length
+            selected += sel.length
+            parts += NimbleMultiPartition(sel.toArray)
+          case (true, false) => // DESC NULLS LAST: last n rows
+            val (sel, skip, _) = tailSel(t.n.toLong)
+            prunedStripes += stripes.length - sel.length
+            selected += sel.length
+            parts += NimbleTailPartition(sel.toArray, skip)
+          case (true, true) => // DESC NULLS FIRST: null head PLUS last n rows
+            val (hSel, hEnd) = headSel(nulls)
+            val (tSel, skip, tStart) = tailSel(t.n.toLong)
+            if (hEnd >= tStart) {
+              // runs overlap: the whole file is a candidate — emit it once
+              selected += stripes.length
+              parts += NimbleMultiPartition(
+                Array.tabulate(stripes.length)(s => NimbleStripePartition(file, s)))
+            } else {
+              prunedStripes += stripes.length - hSel.length - tSel.length
+              selected += hSel.length + tSel.length
+              if (hSel.nonEmpty) parts += NimbleMultiPartition(hSel.toArray)
+              parts += NimbleTailPartition(tSel.toArray, skip)
+            }
         }
       }
     }
@@ -1007,14 +1100,26 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 
   override def planInputPartitions(): Array[InputPartition] = {
     topN match {
-      case Some((c, n, desc)) => return planTopNPartitions(c, n, desc)
+      case Some(t) => return planTopNPartitions(t)
       case None => ()
     }
     val survivors = mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     var pruned = 0L
     val pruningFilters = filters ++ runtimeFilters
-    val files = NimbleSource.listFiles(path)
-    NimbleSource.prefetchFooters(files)
+    val allFiles = NimbleSource.listFiles(path)
+    NimbleSource.prefetchFooters(allFiles)
+    // bucket pruning: equality/In on the bucket column names the only
+    // bucket(s) that can hold matches, so every other bucket's FILES drop
+    // before any stripe metadata is touched — a point lookup on a bucketed
+    // key scans 1/numBuckets of the table, and a broadcast join's DPP
+    // In-filter on the key prunes the same way at runtime. Independent of
+    // the SPJ conf (pure planning metadata).
+    val files = NimbleSource.bucketPrunedFiles(allFiles, pruningFilters, dataSchema, unsignedCols)
+    // skipped files' stripes count as pruned (observability parity with
+    // stripe-level pruning)
+    if (files.length != allFiles.length)
+      pruned += (allFiles.toSet -- files).toSeq
+        .map(f => NimbleSource.footerOf(f).stripes.length.toLong).sum
     // warm the grouped directory for the pruning columns in parallel — the
     // sequential pruning loop below then runs over cached metadata (one
     // serial range-read per file per group would gate planning at 10^5 files)

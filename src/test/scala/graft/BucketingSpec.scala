@@ -256,6 +256,32 @@ class BucketingSpec extends SparkTestBase {
     finally old.foreach(spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
   }
 
+  test("bucket pruning: a point lookup on the bucket key scans one bucket's file") {
+    val dir = tmpDir("bkt_prune")
+    spark.range(40000).selectExpr("id AS k", "md5(CAST(id AS STRING)) AS s")
+      .write.format("nimble")
+      .option("bucketColumns", "k").option("numBuckets", "8")
+      .mode("overwrite").save(dir)
+    val totalStripes = graft.spark.NimbleSource.listFiles(dir)
+      .map(f => graft.spark.NimbleSource.footerOf(f).stripes.length).sum
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "false") { // pruning is conf-independent
+      // collect() (not count()) so the plain scan plans — count would ride
+      // the agg-pushdown scan, which records no plan stats
+      val one = spark.read.format("nimble").load(dir).filter(col("k") === 12345L).collect()
+      assert(one.length == 1)
+      val stats = graft.spark.NimbleSource.lastPlanStats(dir).get
+      assert(stats.stripesPlanned < totalStripes,
+        s"expected other buckets' files pruned: $stats of $totalStripes")
+      // In-filter: union of the named values' buckets only
+      val in = spark.read.format("nimble").load(dir)
+        .filter(col("k").isin(5L, 17L, 23456L)).collect()
+      assert(in.length == 3)
+      // a non-key filter must not prune by bucket
+      assert(spark.read.format("nimble").load(dir)
+        .filter(col("s").startsWith("00")).count() > 0L)
+    }
+  }
+
   test("null bucket keys hash like Spark (seed bucket) and round-trip") {
     val dir = tmpDir("bkt_null")
     spark.range(1000)

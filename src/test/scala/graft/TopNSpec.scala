@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 /** Pushed TopN (ORDER BY + LIMIT) over per-file-sorted tablets: the scan
   * plans only head/tail stripes per file (row-range skipping analog), gated
-  * on the footer's declared sortColumns. Covers null ordering on both
-  * directions, multi-stripe tail skips, and every refusal path (undeclared
-  * sort, wrong null ordering, pushed filters, misdeclared order). */
+  * on the footer's declared sortColumns. Covers all four direction/null-
+  * ordering combinations (the null-dependent two plan by file null counts),
+  * multi-stripe tail skips, and every refusal path (undeclared sort,
+  * pushed filters, misdeclared order). */
 class TopNSpec extends SparkTestBase {
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
@@ -37,7 +38,7 @@ class TopNSpec extends SparkTestBase {
   test("ASC top-n pushes, reads only head stripes, nulls come first") {
     val q = nb.orderBy("k").limit(7)
     val p = plan(q)
-    assert(p.contains("topN=[k ASC limit 7]"), s"topN not pushed:\n$p")
+    assert(p.contains("topN=[k ASC NULLS FIRST limit 7]"), s"topN not pushed:\n$p")
     val got = q.collect()
     // capture before any later full scan of the same path overwrites it
     val stats = graft.spark.NimbleSource.lastPlanStats(sortedDir).get
@@ -61,7 +62,7 @@ class TopNSpec extends SparkTestBase {
   test("DESC NULLS LAST top-n pushes with a tail skip and matches truth") {
     val q = nb.orderBy(desc("k")).limit(5) // desc default = NULLS LAST
     val p = plan(q)
-    assert(p.contains("topN=[k DESC limit 5]"), s"topN not pushed:\n$p")
+    assert(p.contains("topN=[k DESC NULLS LAST limit 5]"), s"topN not pushed:\n$p")
     val got = q.collect().map(_.getLong(0))
     // capture before the full truth scan overwrites the recorded plan
     val stats = graft.spark.NimbleSource.lastPlanStats(sortedDir).get
@@ -77,21 +78,37 @@ class TopNSpec extends SparkTestBase {
     // skip lands inside the first of them
     val n = 3000
     val q = nb.orderBy(desc("k")).limit(n)
-    assert(plan(q).contains(s"topN=[k DESC limit $n]"))
+    assert(plan(q).contains(s"topN=[k DESC NULLS LAST limit $n]"))
     val got = q.collect().map(_.getLong(0))
     val exp = nb.collect().filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted.reverse.take(n)
     assert(got.sameElements(exp))
   }
 
-  test("wrong null ordering refuses the pushdown but stays correct") {
-    for (q <- Seq(nb.orderBy(asc_nulls_last("k")).limit(5),
-      nb.orderBy(desc_nulls_first("k")).limit(5))) {
-      val p = plan(q)
-      assert(!p.contains("topN="), s"nulls sit at the physical head; must refuse:\n$p")
-    }
-    val gotNl = nb.orderBy(asc_nulls_last("k")).limit(5).collect().map(_.getLong(0))
+  test("ASC NULLS LAST pushes via file null counts and matches truth") {
+    val q = nb.orderBy(asc_nulls_last("k")).limit(5)
+    val p = plan(q)
+    assert(p.contains("topN=[k ASC NULLS LAST limit 5]"), s"topN not pushed:\n$p")
+    val got = q.collect().map(_.getLong(0))
+    // still head-run planning: nulls (file head) + the 5 smallest non-nulls
+    val stats = graft.spark.NimbleSource.lastPlanStats(sortedDir).get
+    assert(stats.stripesPruned > 0, s"expected stripe pruning: $stats of $totalStripes")
     val expNl = nb.collect().filterNot(_.isNullAt(0)).map(_.getLong(0)).sorted.take(5)
-    assert(gotNl.sameElements(expNl))
+    assert(got.sameElements(expNl), s"got ${got.mkString(",")}")
+  }
+
+  test("DESC NULLS FIRST pushes (null head + value tail) and matches truth") {
+    // 80 nulls exist; n=100 needs the 80 nulls AND the 20 largest values —
+    // exercising BOTH the head (nulls) and tail (values) runs per file
+    val q = nb.orderBy(desc_nulls_first("k")).limit(100)
+    val p = plan(q)
+    assert(p.contains("topN=[k DESC NULLS FIRST limit 100]"), s"topN not pushed:\n$p")
+    val got = q.collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    val stats = graft.spark.NimbleSource.lastPlanStats(sortedDir).get
+    assert(stats.stripesPruned > 0, s"expected stripe pruning: $stats of $totalStripes")
+    assert(got.count(_ == null) == 80, "all 80 nulls lead under DESC NULLS FIRST")
+    val expVals = nb.collect().filterNot(_.isNullAt(0)).map(_.getLong(0))
+      .sorted.reverse.take(20)
+    assert(got.drop(80).map(_.longValue()).sameElements(expVals))
   }
 
   test("pushed filter refuses TopN (top-n of a filtered set is not the physical head)") {
@@ -132,7 +149,7 @@ class TopNSpec extends SparkTestBase {
   test("sorted lineitem table pushes TopN end-to-end vs parquet truth") {
     val q = Tables.nimble(spark, sf(), "lineitem")
       .orderBy(desc("l_orderkey")).limit(10).select("l_orderkey")
-    assert(plan(q).contains("topN=[l_orderkey DESC limit 10]"), plan(q))
+    assert(plan(q).contains("topN=[l_orderkey DESC NULLS LAST limit 10]"), plan(q))
     val got = q.collect().map(_.getLong(0))
     val exp = Tables.parquet(spark, sf(), "lineitem")
       .orderBy(desc("l_orderkey")).limit(10).select("l_orderkey").collect().map(_.getLong(0))
