@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import scala.jdk.CollectionConverters._
 
 /** Driver contract — see /root/repo/SURVEY.md §2.9 + §2.8.
@@ -398,7 +398,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     // within-document repetition (boilerplate/spam signal)
     "x20_repetition" -> ((s, dir) =>
-      TextAnalysis.repetition(Tables.nimble(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.repetition(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
+    // point-in-time attribution: each click joined to the user's most
+    // recent prior purchase (union + one window per key — no join explosion)
+    "x23_asof_join" -> ((s, dir) => {
+      val ev = Tables.nimble(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      // click_ts stays out of the output: DuckDB truncates ns → µs through
+      // TIMESTAMP, so raw ns values cannot round-trip the oracle compare
+      AsOfJoin.asof(clicks, purchases, "click_ts", "purchase_ts", Seq("user_id"),
+          rightTieBreak = Some("purchase_id"))
+        .select("click_id", "user_id", "purchase_id", "purchase_value")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -777,6 +792,14 @@ object SparkEntry {
          len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_uniq,
          1.0 - CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
            CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS repetition
-         FROM documents"""
+         FROM documents""",
+    "x23_asof_join" ->
+      """SELECT l.event_id AS click_id, l.user_id AS user_id,
+           r.event_id AS purchase_id, r.value AS purchase_value
+         FROM events l LEFT JOIN events r
+           ON l.user_id = r.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
+         WHERE l.event_type = 'click'
+         QUALIFY row_number() OVER (PARTITION BY l.event_id
+           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1"""
   )
 }
