@@ -35,7 +35,7 @@ object Dedup {
   /** Fingerprint dedup: md5 of whitespace-normalized lower-cased text;
     * returns one group row per fingerprint with the keeper id (min). */
   def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keeper"))
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
@@ -348,5 +348,81 @@ object Dedup {
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
+  }
+
+  // ------------------------------------------------------- streaming dedup
+
+  /** The shared text fingerprint (md5 of whitespace-normalized lower-cased
+    * text — same normalization as [[fingerprintGroups]], so batch and
+    * streaming dedup agree on what "duplicate" means). */
+  def fingerprint(text: Column): Column = md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Streaming exact dedup for a continuous ingest pipeline: drops any
+    * document whose fingerprint was already seen within the watermark
+    * horizon. Rides Spark's `dropDuplicatesWithinWatermark`, whose state
+    * store keeps one entry per distinct live fingerprint and evicts entries
+    * older than the watermark — bounded state at any stream length, exactly
+    * the semantics a 100 TB rolling crawl needs (a duplicate arriving later
+    * than `watermarkDelay` after the original is the caller's declared
+    * staleness bound, not silent data loss). `timeCol` must be a timestamp
+    * column (the event time the watermark advances on). */
+  def streamingDedup(stream: DataFrame, textCol: String, timeCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("_fp", fingerprint(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
+  /** Row-preserving streaming dedup: every document flows through, annotated
+    * with `is_duplicate` and the `keeper` id it duplicates (the first-seen
+    * doc of its fingerprint) — the router shape (quarantine duplicates,
+    * pass originals, keep full provenance) that the dropping variant cannot
+    * express. Custom state via `flatMapGroupsWithState`: one
+    * (fingerprint -> first id) entry per live fingerprint, expired by
+    * event-time timeout once the watermark passes lastSeen + `ttl`, so
+    * state is bounded by the distinct-fingerprint rate within the TTL
+    * window, not stream length. Within a micro-batch, rows of one
+    * fingerprint are ordered by (event time, id) so the keeper is
+    * deterministic under replay. Output columns: `idCol`, `is_duplicate`,
+    * `keeper`. */
+  def streamingDedupAnnotate(stream: DataFrame, idCol: String, textCol: String,
+      timeCol: String, watermarkDelay: String, ttl: java.time.Duration): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttlMs = ttl.toMillis
+    require(ttlMs > 0, "ttl must be positive")
+    // watermark AFTER the projection: an alias-of-cast drops the event-time
+    // metadata, so tagging timeCol earlier would not survive the select
+    val prepared = stream
+      .select(fingerprint(col(textCol)).as("_1"), col(idCol).cast("long").as("_2"),
+        col(timeCol).cast("timestamp").as("_3"))
+      .withWatermark("_3", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Boolean, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic in-batch order: first by event time, then id
+            val batch = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+            val hadState = state.exists
+            val keeper = if (hadState) state.get._1 else batch.head._2
+            val lastSeen = math.max(batch.map(_._3.getTime).max,
+              if (hadState) state.get._2 else Long.MinValue)
+            state.update((keeper, lastSeen))
+            // timeout must exceed the current watermark; a group fed only
+            // late data still gets a valid (immediate-next-batch) expiry
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, lastSeen + ttlMs))
+            batch.iterator.zipWithIndex.map { case ((_, id, _), i) =>
+              (id, hadState || i > 0, keeper)
+            }
+          }
+      }
+      .toDF(idCol, "is_duplicate", "keeper")
   }
 }

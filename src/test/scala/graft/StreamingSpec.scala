@@ -120,4 +120,54 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
     assert(m(1L) == 3L && m(2L) == 1L, m.toString)
   }
+
+  test("streaming exact dedup drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = graft.ops.Dedup.streamingDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((1L, ts(0), "Hello world"), (2L, ts(1), "hello  WORLD"), (3L, ts(2), "other"))
+    q.processAllAvailable()
+    input.addData((4L, ts(5), "HELLO world"), (5L, ts(6), "fresh text")) // 4 repeats across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM sdedup").collect().map(_.getLong(0)).sorted
+    // normalization makes 1/2/4 one fingerprint: only the first survives
+    assert(ids.sameElements(Array(1L, 3L, 5L)), ids.mkString(","))
+  }
+
+  test("annotating streaming dedup routes duplicates and expires state by event-time TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = graft.ops.Dedup.streamingDedupAnnotate(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", watermarkDelay = "0 seconds",
+      ttl = java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sdedup_ann").outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: in-batch duplicate pair + a singleton
+    input.addData((1L, ts(10, 0), "dup text"), (2L, ts(10, 1), "dup  TEXT"), (3L, ts(10, 2), "only"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate while state is live
+    input.addData((4L, ts(10, 10), "dup text"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past lastSeen + ttl -> state expires
+    input.addData((9L, ts(13, 0), "unrelated"))
+    q.processAllAvailable()
+    // batch 4: same fingerprint after expiry is a fresh original again
+    input.addData((10L, ts(13, 1), "dup text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sdedup_ann").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((false, 1L)), s"first-seen is the keeper: $rows")
+    assert(rows(2L) == ((true, 1L)), "in-batch duplicate annotated, not dropped")
+    assert(rows(3L) == ((false, 3L)))
+    assert(rows(4L) == ((true, 1L)), "cross-batch duplicate while state lives")
+    assert(rows(10L) == ((false, 10L)), s"after TTL expiry the fingerprint restarts: $rows")
+  }
 }
