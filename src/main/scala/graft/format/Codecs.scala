@@ -38,6 +38,7 @@ object Codecs {
   final val PREFIX: Byte = 11
   final val ALP: Byte = 12
   final val PFOR: Byte = 13 // patched FOR: narrow packed lows + exception patches
+  final val SIMDFOR: Byte = 14 // FOR residuals in lane-vertical 512-value blocks (SIMD decode)
   final val BLOCKBP: Byte = 15 // per-1024-row baseline + bit width
   final val SUBINT: Byte = 16 // bit-range split: hi/lo sub-streams, each recursively coded
   final val FREQPART: Byte = 17 // top-K frequent values as narrow codes + exception stream
@@ -53,6 +54,9 @@ object Codecs {
     * word-wise codecs — it must win by >30% size to be chosen. */
   private def readFactor(id: Byte): Double = id match {
     case TRIVIAL => 0.7
+    // vector unpack beats both the word-wise scalar loop (FOR, 1.0) and
+    // FixedBitWidth's 0.9 prior: same bytes as FOR → wins ties on ints
+    case SIMDFOR => 0.85
     case FBW => 0.9
     case HUFFMAN => 1.3
     case _ => 1.0
@@ -634,6 +638,18 @@ object Codecs {
         s.writeZigZag(st.min); s.writeByte(w)
         packBits(values, st.min, w, s)
       }))
+    }
+    // SimdForBitpack (reference: dwio/nimble/encodings/SimdForBitpackEncoding
+    // .h:40-57): FOR residuals in lane-vertical 512-value blocks — payload
+    // byte-identical to linear FOR, but the block layout unpacks 8 lanes per
+    // vector step (Panama kernel, scalar fallback). Gated on one full block;
+    // the 0.85 read factor makes it win the tie against FOR on full chunks.
+    if (!st.rangeOverflow && n >= 512) {
+      val w = bitsFor(st.max - st.min)
+      if (w > 0 && w < width * 8)
+        plans += ((SIMDFOR, 10.0 + SimdBitpack.packedBytes(n, w), { s =>
+          SimdBitpack.encode(values, st.min, w, s)
+        }))
     }
     if (st.min > -(1L << 40) && st.max < (1L << 40))
       plans += ((VARINT, st.varintBytes.toDouble, { s =>
@@ -1612,6 +1628,8 @@ object Codecs {
       var i = 0
       while (i < nSym) { lens(i) = cur.readByte(); i += 1 }
       Huffman.decode(alphabet, lens, cur, n)
+    case SIMDFOR =>
+      SimdBitpack.decode(cur, n)
     case PFOR =>
       val baseline = cur.readZigZag()
       val w = cur.readByte()

@@ -21,6 +21,7 @@ object CodecProbe {
     case Codecs.PREFIX => "Prefix"
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
+    case Codecs.SIMDFOR => "SimdForBitpack"
     case Codecs.BLOCKBP => "BlockBP"
     case Codecs.SUBINT => "SubIntSplit"
     case Codecs.FREQPART => "FreqPartition"

@@ -40,6 +40,7 @@ object NimbleDump {
     case Codecs.PREFIX => "Prefix"
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
+    case Codecs.SIMDFOR => "SimdForBitpack"
     case Codecs.BLOCKBP => "BlockBitPacking"
     case Codecs.SUBINT => "SubIntSplit"
     case Codecs.FREQPART => "FrequencyPartition"
