@@ -9,13 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   private val cacheRoot = sys.props.getOrElse("graft.cache",
-    s"${System.getProperty("java.io.tmpdir")}/graft-nimble-v${graft.format.Tablet.Version}r")
+    s"${System.getProperty("java.io.tmpdir")}/graft-nimble-v${graft.format.Tablet.Version}s")
 
   private val lock = new Object
 
-  /** Parquet view of a driver table. */
-  def parquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Parquet view of a driver table. events.ts is normalized to epoch-nanos
+    * long regardless of how the driver generated it — older testdata wrote
+    * parquet TIMESTAMP(NANOS) (read as long via nanosAsLong), current
+    * testdata writes timestamp[us] (read as TIMESTAMP_NTZ). The long-ns view
+    * is what every events query computes on and matches the DuckDB oracle's
+    * epoch_ns(ts); the UTC session timeZone (set by all entry points) makes
+    * the NTZ→timestamp cast wall-clock-exact. */
+  def parquet(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType | org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
+  }
 
   /** Nimble view of a driver table (converted + cached on first use). */
   def nimble(spark: SparkSession, sfDir: String, table: String): DataFrame = {

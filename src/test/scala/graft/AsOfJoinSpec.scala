@@ -101,7 +101,7 @@ class AsOfJoinSpec extends SparkTestBase {
     val got = SparkEntry.queries("x23_asof_join")(spark, sf())
     val rows = got.collect()
     val ev = Tables.parquet(spark, sf(), "events")
-      .select($"event_id", $"ts".cast("long").as("ts"), $"user_id", $"event_type", $"value").collect()
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").collect()
     val purchases = ev.filter(_.getString(3) == "purchase")
     val tsOf = ev.map(e => e.getLong(0) -> e.getLong(1)).toMap
     var matched = 0
