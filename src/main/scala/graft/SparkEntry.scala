@@ -413,7 +413,13 @@ object SparkEntry {
       AsOfJoin.asof(clicks, purchases, "click_ts", "purchase_ts", Seq("user_id"),
           rightTieBreak = Some("purchase_id"))
         .select("click_id", "user_id", "purchase_id", "purchase_value")
-    })
+    }),
+    // tf/df keyword extraction (log-free tf-idf ranking, bit-deterministic)
+    "x24_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables.nimble(s, dir, "documents"), "doc_id", "text", 3)),
+    // sliding context-window chunking (training-row shaping; zero shuffles)
+    "x25_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(Tables.nimble(s, dir, "documents"), "doc_id", "text", 64, 48))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -800,6 +806,26 @@ object SparkEntry {
            ON l.user_id = r.user_id AND r.event_type = 'purchase' AND r.ts <= l.ts
          WHERE l.event_type = 'click'
          QUALIFY row_number() OVER (PARTITION BY l.event_id
-           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1"""
+           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1""",
+    "x24_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+                    FROM documents),
+         tf AS (SELECT doc_id, word, count(1) AS tf FROM w GROUP BY 1, 2),
+         dfq AS (SELECT word, count(1) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                 CAST(tf.tf AS DOUBLE) / dfq.df AS score,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.word) AS rnk
+               FROM tf JOIN dfq USING (word))
+         SELECT doc_id, rnk, word, tf, df, score FROM s WHERE rnk <= 3""",
+    "x25_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, w, CASE WHEN len(w) <= 64 THEN 1
+                 ELSE CAST(ceil(CAST(len(w) - 64 AS DOUBLE) / 48) AS INT) + 1 END AS nc FROM w),
+         e AS (SELECT doc_id, w, unnest(range(nc)) AS i FROM c)
+         SELECT doc_id, i AS chunk_idx,
+           len(w[i*48+1 : i*48+64]) AS n_tokens,
+           array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text
+         FROM e"""
   )
 }

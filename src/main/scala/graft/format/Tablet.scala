@@ -623,6 +623,74 @@ object Tablet {
     k ^ Long.MinValue
   }
 
+  /** Growable primitive long buffer (no boxing on the indexed-write path). */
+  private[format] final class LongVec(initial: Int = 1024) {
+    private var a = new Array[Long](initial)
+    private var n = 0
+    def add(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
+    def size: Int = n
+    def apply(i: Int): Long = a(i)
+  }
+
+  /** Growable primitive (key, value) pair buffer with an in-place sort by
+    * (key asc, value asc) — the layout both hash and sorted index streams
+    * need. Dual-array three-way quicksort with insertion-sort leaves; no
+    * per-element allocation at any point. */
+  private[format] final class LongPairVec(initial: Int = 1024) {
+    private var ks = new Array[Long](initial)
+    private var vs = new Array[Long](initial)
+    private var n = 0
+    def add(k: Long, v: Long): Unit = {
+      if (n == ks.length) {
+        ks = java.util.Arrays.copyOf(ks, n << 1)
+        vs = java.util.Arrays.copyOf(vs, n << 1)
+      }
+      ks(n) = k; vs(n) = v; n += 1
+    }
+    def size: Int = n
+    def key(i: Int): Long = ks(i)
+    def value(i: Int): Long = vs(i)
+    private def less(k1: Long, v1: Long, k2: Long, v2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && v1 < v2)
+    private def swap(i: Int, j: Int): Unit = {
+      val tk = ks(i); ks(i) = ks(j); ks(j) = tk
+      val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+    }
+    def sortPairs(): Unit = if (n > 1) quick(0, n - 1)
+    private def quick(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo >= 24) {
+        // median-of-three pivot, then three-way partition (duplicate hashes
+        // are common: equal keys collapse into the middle band)
+        val mid = lo + ((hi - lo) >>> 1)
+        if (less(ks(mid), vs(mid), ks(lo), vs(lo))) swap(lo, mid)
+        if (less(ks(hi), vs(hi), ks(lo), vs(lo))) swap(lo, hi)
+        if (less(ks(hi), vs(hi), ks(mid), vs(mid))) swap(mid, hi)
+        val pk = ks(mid); val pv = vs(mid)
+        var lt = lo; var gt = hi; var i = lo
+        while (i <= gt) {
+          if (less(ks(i), vs(i), pk, pv)) { swap(lt, i); lt += 1; i += 1 }
+          else if (less(pk, pv, ks(i), vs(i))) { swap(i, gt); gt -= 1 }
+          else i += 1
+        }
+        // recurse into the smaller side, loop on the larger (O(log n) stack)
+        if (lt - lo < hi - gt) { quick(lo, lt - 1); lo = gt + 1 }
+        else { quick(gt + 1, hi); hi = lt - 1 }
+      }
+      var i = lo + 1
+      while (i <= hi) {
+        val k = ks(i); val v = vs(i)
+        var j = i - 1
+        while (j >= lo && less(k, v, ks(j), vs(j))) { ks(j + 1) = ks(j); vs(j + 1) = vs(j); j -= 1 }
+        ks(j + 1) = k; vs(j + 1) = v
+        i += 1
+      }
+    }
+  }
+
   final class Writer(
       path: String,
       schemaJson: String,
@@ -692,12 +760,15 @@ object Tablet {
     private val fileStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private var stripeRows: Long = 0L
     private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long, Map[Int, Bloom])]()
-    // per-stripe value hashes for bloom-configured streams (built at flush)
-    private val bloomHashes = mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    // per-stripe value hashes for bloom-configured streams (built at flush).
+    // Primitive buffers throughout: an indexed 100M-row write through boxed
+    // ArrayBuffer[(Long, Long)] costs ~6 allocations/row and an old-gen
+    // promotion storm that dominates the write wall clock.
+    private val bloomHashes = mutable.HashMap[Int, LongVec]()
     // per-stripe (hash, chunk<<32|row) entries for index-configured streams
-    private val idxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
+    private val idxEntries = mutable.HashMap[Int, LongPairVec]()
     // per-stripe (sortKey, chunk<<32|row) entries for the sorted range index
-    private val sidxEntries = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long)]]()
+    private val sidxEntries = mutable.HashMap[Int, LongPairVec]()
     private val idxChunkOrd = mutable.HashMap[Int, Int]()
     // composite index assembly: member key fragments captured per chunk
     // ordinal until every member column of that chunk has arrived
@@ -878,19 +949,19 @@ object Tablet {
 
     private def collectAux(id: Int, col: Column): Unit = {
       if (bloomColumns(keys(id))) {
-        val buf = bloomHashes.getOrElseUpdate(id, mutable.ArrayBuffer[Long]())
+        val buf = bloomHashes.getOrElseUpdate(id, new LongVec())
         col match {
           case c: LongsCol =>
             var i = 0
             while (i < c.len) {
-              if (c.nulls == null || !c.nulls(i)) buf += hashLongValue(c.values(i))
+              if (c.nulls == null || !c.nulls(i)) buf.add(hashLongValue(c.values(i)))
               i += 1
             }
           case c: BytesCol =>
             var i = 0
             while (i < c.len) {
               if (c.nulls == null || !c.nulls(i))
-                buf += hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i))
+                buf.add(hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i)))
               i += 1
             }
           case _ => () // doubles/bools: equality pruning not supported
@@ -898,16 +969,16 @@ object Tablet {
       }
       if (indexCols(keys(id))) {
         val ord = idxChunkOrd.getOrElse(id, 0)
-        val buf = idxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
-        val sbuf = sidxEntries.getOrElseUpdate(id, mutable.ArrayBuffer[(Long, Long)]())
+        val buf = idxEntries.getOrElseUpdate(id, new LongPairVec())
+        val sbuf = sidxEntries.getOrElseUpdate(id, new LongPairVec())
         col match {
           case c: LongsCol =>
             var i = 0
             while (i < c.len) {
               if (c.nulls == null || !c.nulls(i)) {
                 val pos = (ord.toLong << 32) | i
-                buf += ((hashLongValue(c.values(i)), pos))
-                sbuf += ((c.values(i), pos))
+                buf.add(hashLongValue(c.values(i)), pos)
+                sbuf.add(c.values(i), pos)
               }
               i += 1
             }
@@ -917,8 +988,8 @@ object Tablet {
               if (c.nulls == null || !c.nulls(i)) {
                 val off = c.offsets(i); val len = c.offsets(i + 1) - off
                 val pos = (ord.toLong << 32) | i
-                buf += ((hashBytesValue(c.bytes, off, len), pos))
-                sbuf += ((bytesSortKey(c.bytes, off, len), pos))
+                buf.add(hashBytesValue(c.bytes, off, len), pos)
+                sbuf.add(bytesSortKey(c.bytes, off, len), pos)
               }
               i += 1
             }
@@ -992,22 +1063,22 @@ object Tablet {
       if (idxEntries.nonEmpty) {
         for ((id, entries) <- idxEntries.toSeq.sortBy(_._1)) {
           val idxId = ensureStream(indexStreamKey(keys(id)))
-          val sorted = entries.sortBy(identity)
+          entries.sortPairs()
           val b = stripeBufs(idxId)
-          b.writeInt(sorted.length)
-          sorted.foreach(e => b.writeLong(e._1))
-          sorted.foreach(e => b.writeLong(e._2))
+          b.writeInt(entries.size)
+          var i = 0; while (i < entries.size) { b.writeLong(entries.key(i)); i += 1 }
+          i = 0; while (i < entries.size) { b.writeLong(entries.value(i)); i += 1 }
         }
         idxEntries.clear()
       }
       if (sidxEntries.nonEmpty) {
         for ((id, entries) <- sidxEntries.toSeq.sortBy(_._1)) {
           val sidxId = ensureStream(sortedIndexStreamKey(keys(id)))
-          val sorted = entries.sortBy(identity)
+          entries.sortPairs()
           val b = stripeBufs(sidxId)
-          b.writeInt(sorted.length)
-          sorted.foreach(e => b.writeLong(e._1))
-          sorted.foreach(e => b.writeLong(e._2))
+          b.writeInt(entries.size)
+          var i = 0; while (i < entries.size) { b.writeLong(entries.key(i)); i += 1 }
+          i = 0; while (i < entries.size) { b.writeLong(entries.value(i)); i += 1 }
         }
         sidxEntries.clear()
       }
@@ -1044,8 +1115,9 @@ object Tablet {
         i += 1
       }
       val blooms = bloomHashes.iterator.map { case (id, hashes) =>
-        val bloom = new Bloom(hashes.length)
-        hashes.foreach(bloom.addHash)
+        val bloom = new Bloom(hashes.size)
+        var h = 0
+        while (h < hashes.size) { bloom.addHash(hashes(h)); h += 1 }
         id -> bloom
       }.toMap
       bloomHashes.clear()

@@ -70,6 +70,56 @@ object TextAnalysis {
     df.filter(Dedup.hash32(col(idCol).cast("string")) % 100 < rate)
   }
 
+  /** TF-IDF-style keyword extraction: top-`k` words per document ranked by
+    * tf/df (term frequency over corpus document frequency), deterministic
+    * word-ascending tie-break. The idf log is deliberately avoided — ranking
+    * by tf/df orders identically to tf*log(N/df) for fixed tf monotone in df,
+    * and a single int/int double division is exactly rounded (bit-identical
+    * across engines), where libm log is not.
+    *
+    * Scale shape: words explode once; tf and df are both partial-agg
+    * (map-side combine) groupBys; the df side joins back on the word key —
+    * vocabulary-sized, so AQE broadcasts it when small and shuffle-joins
+    * otherwise; the final top-k is one window partitioned by document. No
+    * driver-side state, no cartesian anything. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("word"))
+    val tf = w.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("word"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("word"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Context-window chunking for training prep: split each document's token
+    * stream into windows of `chunk` tokens advancing by `stride` (overlap =
+    * chunk - stride), the standard sliding-window shaping of long documents
+    * into model-context-sized training rows. Chunk count =
+    * 1 + ceil((n - chunk) / stride) for n > chunk else 1, so every token is
+    * covered and the tail window is allowed to run short. Pure narrow ops
+    * (split / sequence / explode / slice) — zero shuffles at any scale. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"chunkWindows: need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    val w = Dedup.words(col(textCol))
+    val nw = size(w)
+    val nChunks = when(nw <= chunk, lit(1))
+      .otherwise(ceil((nw - chunk).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), w.as("w"), nChunks.as("nc"))
+      .select(col(idCol), col("w"), explode(sequence(lit(0), col("nc") - 1)).as("i"))
+      .select(
+        col(idCol),
+        col("i").cast("long").as("chunk_idx"),
+        size(slice(col("w"), col("i") * stride + 1, lit(chunk))).as("n_tokens"),
+        array_join(slice(col("w"), col("i") * stride + 1, lit(chunk)), " ").as("chunk_text"))
+  }
+
   /** Within-document repetition score: 1 - |distinct words| / |words| (0 =
     * no repetition); a standard boilerplate/spam signal in corpus filters. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
