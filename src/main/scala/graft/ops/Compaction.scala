@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import graft.format.{GraftIO, Tablet}
+import graft.spark.NimbleSource
+
+/** OPTIMIZE — small-file compaction for tablet directories.
+  *
+  * Streaming micro-batch sinks and over-parallel writes leave directories of
+  * many small files; at cluster scale every scan then pays per-file footer
+  * reads and under-filled splits. Compaction rewrites a directory into
+  * ~`targetFileBytes` files while preserving every layout property the
+  * original writer declared — recovered from the footers and stream keys
+  * themselves, so the caller does not need to know how the table was written
+  * (the reference format records layout in the file, not in a catalog:
+  * dwio/nimble/tablet/Footer.fbs:26, velox/Schema.fbs:60).
+  *
+  * Preserved: declared sort order (re-established globally with
+  * range-disjoint output files), single and composite indexes, per-stripe
+  * bloom filters, hash-bucket layout (compacts WITHIN buckets — the write
+  * path re-clusters, so the storage-partitioned-join contract survives),
+  * FlatMap / dictionary-array / dedup-map column layouts, and the
+  * TimestampMicroNano split. Mixed declarations across files fail loudly
+  * rather than silently dropping one file's layout.
+  */
+object Compaction {
+
+  final case class Report(
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long,
+      rows: Long, writerOptions: Map[String, String])
+
+  /** Recover the writer-facing layout options declared by the files in
+    * `dir`. Conflicting sort or index declarations across files are a hard
+    * error; the bucket spec uses the same all-files-agree rule as the scan
+    * ([[NimbleSource.bucketSpecOf]]) and is dropped (not invented) when
+    * mixed. */
+  def recoverLayout(dir: String): Map[String, String] = {
+    val files = NimbleSource.listFiles(dir)
+    require(files.nonEmpty, s"nimble: compact: no tablet files under $dir")
+    val footers = files.map(NimbleSource.footerOf)
+
+    val sortCols = footers.head.sortColumns
+    require(footers.forall(_.sortColumns == sortCols),
+      s"nimble: compact: files under $dir declare conflicting sortColumns — " +
+        "compact each layout separately")
+
+    // index / layout recovery from the stream-key namespace: '#idx:c' is a
+    // hash+sorted single-column index, '#cidx:a+b' a composite; 'p#in:k'
+    // marks p as a FlatMap column; 'p#idx' + 'p#key...' a dedup map,
+    // 'p#idx' + 'p#elem...' a dictionary array; 'p#nanos' the micros+nanos
+    // timestamp split
+    def layoutOf(f: Tablet.Footer): (Set[String], Set[String], Set[String], Set[String], Set[String]) = {
+      val keys = f.streamKeys
+      val singles = keys.collect { case k if k.startsWith("#idx:") => k.substring(5) }.toSet
+      val composites = keys.collect { case k if k.startsWith("#cidx:") => k.substring(6) }.toSet
+      val flatMaps = keys.collect { case k if k.contains("#in:") =>
+        k.substring(0, k.indexOf("#in:")) }.toSet
+      val keySet = keys.toSet
+      val dd = keys.collect { case k if k.endsWith("#idx") && !k.startsWith("#") =>
+        k.substring(0, k.length - 4) }.toSet
+      val dedupMaps = dd.filter(p => keySet.exists(_.startsWith(s"$p#key")))
+      val dictArrays = dd -- dedupMaps
+      val tsNanos = keys.collect { case k if k.endsWith("#nanos") =>
+        k.substring(0, k.length - 6) }.toSet
+      (singles ++ composites, flatMaps, dedupMaps, dictArrays, tsNanos)
+    }
+    val (idxCols, flatMaps, dedupMaps, dictArrays, tsNanos) = layoutOf(footers.head)
+    require(footers.forall(layoutOf(_) == (idxCols, flatMaps, dedupMaps, dictArrays, tsNanos)),
+      s"nimble: compact: files under $dir declare conflicting index/layout " +
+        "options — compact each layout separately")
+
+    // bloom columns: a configured column blooms every data stream entry of
+    // the first stripe (read one directory group of the first file)
+    val bloomCols: Set[String] = {
+      val r = new Tablet.Reader(files.head, footers.head)
+      try {
+        val schema = org.apache.spark.sql.types.DataType.fromJson(footers.head.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        schema.fields.map(_.name).filter { c =>
+          val id = r.keyId(c)
+          id >= 0 && footers.head.stripes.nonEmpty && {
+            val e = r.dirEntries(0, id)
+            e.nonEmpty && e(0).bloom != null
+          }
+        }.toSet
+      } finally r.close()
+    }
+
+    val b = Map.newBuilder[String, String]
+    if (sortCols.nonEmpty) b += "sortColumns" -> sortCols.mkString(",")
+    if (idxCols.nonEmpty) b += "indexColumns" -> idxCols.mkString(",")
+    if (bloomCols.nonEmpty) b += "bloomFilterColumns" -> bloomCols.mkString(",")
+    if (flatMaps.nonEmpty) b += "flatMapColumns" -> flatMaps.mkString(",")
+    if (dedupMaps.nonEmpty) b += "deduplicatedMapColumns" -> dedupMaps.mkString(",")
+    if (dictArrays.nonEmpty) b += "dictionaryArrayColumns" -> dictArrays.mkString(",")
+    if (tsNanos.nonEmpty) b += "timestampNanosColumns" -> tsNanos.mkString(",")
+    NimbleSource.bucketSpecOf(files).foreach { case (cols, n) =>
+      b += "bucketColumns" -> cols.mkString(",")
+      b += "numBuckets" -> n.toString
+    }
+    b.result()
+  }
+
+  /** Compact `dir` into `outDir` at ~`targetFileBytes` per file. Shuffle
+    * shape by layout: bucketed tables re-cluster through the write's own
+    * required distribution (bucket count unchanged); sorted tables
+    * range-repartition on the sort key (one shuffle, globally ordered,
+    * range-disjoint files); plain tables coalesce — no shuffle at all, the
+    * scan's bin-packed splits simply drain into fewer writers. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetFileBytes: Long = 256L << 20,
+      extraOptions: Map[String, String] = Map.empty): Report = {
+    require(targetFileBytes > 0, "nimble: compact: targetFileBytes must be positive")
+    val before = GraftIO.listGft(dir)
+    val bytesBefore = before.map(_.length).sum
+    val opts = recoverLayout(dir) ++ extraOptions
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+
+    // plain read: the scan auto-detects the nanos split and nested layouts
+    // from stream keys; unsigned-widened tables compact losslessly too (the
+    // stored bit pattern round-trips signed, and readers re-widen on scan)
+    val df = spark.read.format("nimble").load(dir)
+    val sortCols = opts.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+    val shaped =
+      if (opts.contains("numBuckets")) df // the bucketed write re-clusters itself
+      else if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df.coalesce(nOut)
+
+    var w = shaped.write.format("nimble").mode("overwrite")
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(outDir)
+
+    val after = GraftIO.listGft(outDir)
+    Report(before.length, after.length, bytesBefore, after.map(_.length).sum,
+      after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, opts)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Compaction
+import graft.format.Tablet
+import graft.spark.NimbleSource
+
+/** OPTIMIZE/compaction: small files merge into few, every footer-declared
+  * layout property survives the rewrite (sort order, indexes, blooms, bucket
+  * spec, nanos split), data is value-identical, and conflicting layouts are
+  * rejected rather than silently dropped. */
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  private def assertSameData(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("plain table: 16 small files coalesce to 1, values identical, no shuffle") {
+    val dir = tmpDir("cmp-plain"); val out = tmpDir("cmp-plain-out")
+    li.repartition(16).write.format("nimble").mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+    assert(rep.filesBefore == 16 && rep.filesAfter == 1, rep)
+    assert(rep.rows == li.count())
+    assertSameData(spark.read.format("nimble").load(out), li)
+  }
+
+  test("sorted+indexed table: sort metadata, index streams and probes survive") {
+    val dir = tmpDir("cmp-sorted"); val out = tmpDir("cmp-sorted-out")
+    li.repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.format("nimble").mode("overwrite")
+      .option("sortColumns", "l_orderkey")
+      .option("indexColumns", "l_orderkey")
+      .option("bloomFilterColumns", "l_returnflag")
+      .mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+    assert(rep.filesBefore == 8 && rep.filesAfter == 1, rep)
+    assert(rep.writerOptions("sortColumns") == "l_orderkey")
+    assert(rep.writerOptions("indexColumns") == "l_orderkey")
+    assert(rep.writerOptions("bloomFilterColumns") == "l_returnflag")
+    val files = NimbleSource.listFiles(out)
+    val footer = NimbleSource.footerOf(files.head)
+    assert(footer.sortColumns == Seq("l_orderkey"))
+    assert(footer.streamKeys.contains("#idx:l_orderkey"))
+    assert(footer.streamKeys.contains("#sidx:l_orderkey"))
+    // the rebuilt index still answers point probes with the scan untouched
+    val k = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val got = spark.read.format("nimble").load(out)
+      .filter(col("l_orderkey") === k).count()
+    assert(got == li.filter(col("l_orderkey") === k).count())
+    assertSameData(spark.read.format("nimble").load(out), li)
+  }
+
+  test("bucketed table: bucket spec survives and bucket count is unchanged") {
+    val dir = tmpDir("cmp-bucket"); val out = tmpDir("cmp-bucket-out")
+    li.write.format("nimble")
+      .option("bucketColumns", "l_orderkey").option("numBuckets", "4")
+      .mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out)
+    assert(rep.writerOptions("numBuckets") == "4")
+    val spec = NimbleSource.bucketSpecOf(NimbleSource.listFiles(out))
+    assert(spec.contains((Seq("l_orderkey"), 4)), spec)
+    assertSameData(spark.read.format("nimble").load(out), li)
+  }
+
+  test("nanos-split events table round-trips through compaction") {
+    val dir = tmpDir("cmp-ns"); val out = tmpDir("cmp-ns-out")
+    val ev = Tables.parquet(spark, sf(), "events").select("event_id", "ts", "user_id")
+    ev.repartition(6).write.format("nimble")
+      .option("timestampNanosColumns", "ts").mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+    assert(rep.writerOptions("timestampNanosColumns") == "ts")
+    assert(rep.filesAfter == 1)
+    val files = NimbleSource.listFiles(out)
+    assert(NimbleSource.footerOf(files.head).streamKeys.contains("ts#nanos"))
+    assertSameData(spark.read.format("nimble").load(out), ev)
+  }
+
+  test("flatmap layout is recovered and re-shredded") {
+    val dir = tmpDir("cmp-fm"); val out = tmpDir("cmp-fm-out")
+    val df = Seq(
+      (1L, Map("a" -> 1.0, "b" -> 2.0)),
+      (2L, Map("a" -> 3.0)),
+      (3L, Map("c" -> 4.0))).toDF("id", "feat")
+    df.repartition(3).write.format("nimble")
+      .option("flatMapColumns", "feat").mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+    assert(rep.writerOptions("flatMapColumns") == "feat")
+    val keys = NimbleSource.footerOf(NimbleSource.listFiles(out).head).streamKeys
+    assert(keys.exists(_.startsWith("feat#in:")), keys.mkString(","))
+    // set ops reject MapType: compare on entry arrays in key order instead
+    def flat(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), array_sort(map_entries(col("feat"))).as("e"))
+    assertSameData(flat(spark.read.format("nimble").load(out)), flat(df))
+  }
+
+  test("conflicting sort declarations across files are rejected loudly") {
+    val dir = tmpDir("cmp-mixed")
+    li.limit(100).sort("l_orderkey").coalesce(1).write.format("nimble")
+      .option("sortColumns", "l_orderkey").mode("overwrite").save(dir)
+    li.limit(100).coalesce(1).write.format("nimble").mode("append").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.recoverLayout(dir)
+    }
+    assert(e.getMessage.contains("conflicting"))
+  }
+}
