@@ -419,7 +419,16 @@ object SparkEntry {
       TextAnalysis.tfidfKeywords(Tables.nimble(s, dir, "documents"), "doc_id", "text", 3)),
     // sliding context-window chunking (training-row shaping; zero shuffles)
     "x25_chunk_windows" -> ((s, dir) =>
-      TextAnalysis.chunkWindows(Tables.nimble(s, dir, "documents"), "doc_id", "text", 64, 48))
+      TextAnalysis.chunkWindows(Tables.nimble(s, dir, "documents"), "doc_id", "text", 64, 48)),
+    // IVF ANN search end-to-end: probe the 2 nearest cells per query, exact
+    // re-rank inside them (corpus cell assignment is a zero-shuffle fold)
+    "x26_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.nimble(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") % 97 === 0), emb,
+        "vec_id", "embedding", centroids, k = 3, nprobe = 2)
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -826,6 +835,39 @@ object SparkEntry {
          SELECT doc_id, i AS chunk_idx,
            len(w[i*48+1 : i*48+64]) AS n_tokens,
            array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text
-         FROM e"""
+         FROM e""",
+    // full IVF pipeline replay: query-cell probing (nprobe=2), corpus cell
+    // assignment (argmax with min-cid tie-break), exact re-rank — same
+    // rounded-cosine determinism contract as x05/x06/x14
+    "x26_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+         q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+         qc AS (SELECT q.q, q.qv, c.cid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))), 6) AS csim
+           FROM q CROSS JOIN c),
+         probes AS (SELECT q, qv, cid FROM (
+             SELECT q, qv, cid, row_number() OVER (PARTITION BY q ORDER BY csim DESC, cid ASC) AS rn
+             FROM qc) WHERE rn <= 2),
+         ec AS (SELECT e.vec_id AS neighbor, e.embedding AS cv, c.cid,
+             round(
+               list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))), 6) AS csim
+           FROM embeddings e CROSS JOIN c),
+         cells AS (SELECT neighbor, cv, cid FROM (
+             SELECT neighbor, cv, cid, row_number() OVER (PARTITION BY neighbor ORDER BY csim DESC, cid ASC) AS rn
+             FROM ec) WHERE rn = 1),
+         s AS (SELECT p.q, cel.neighbor,
+             list_sum(list_transform(range(1, 65), i -> CAST(p.qv[i] AS DOUBLE) * CAST(cel.cv[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cel.cv[i] AS DOUBLE) * CAST(cel.cv[i] AS DOUBLE))))) AS sim
+           FROM probes p JOIN cells cel USING (cid) WHERE p.q <> cel.neighbor),
+         r AS (SELECT q, neighbor,
+             row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank
+           FROM s)
+         SELECT q, neighbor, rank FROM r WHERE rank <= 3"""
   )
 }

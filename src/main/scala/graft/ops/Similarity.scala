@@ -198,18 +198,66 @@ object Similarity {
           .otherwise(round(x.cast("double") / col("scale") * 127).cast("int"))).as("q"))
   }
 
+  /** The centroid table as a one-row broadcastable codebook array — the
+    * shape that lets a corpus-sized argmax run as a per-row fold with ZERO
+    * shuffles (vs. crossJoin + window, which explodes the corpus ×C and
+    * re-shuffles it by id just to pick each row's max). */
+  private def codebook(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(collect_list(
+      struct(col("cid").cast("long").as("cid"), col("cvec").as("cvec"))).as("cb")))
+
+  /** Per-row nearest-cell id over the codebook array: running (sim, cid)
+    * maximum with the smaller cid winning exact ties — order-independent, so
+    * the nondeterministic collect_list order cannot change the result.
+    * Matches ORDER BY round(sim, 6) DESC, cid ASC LIMIT 1. */
+  private def bestCell(vec: Column, cb: Column): Column =
+    aggregate(cb,
+      struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
+      (acc, e) => {
+        val s = round(cosine(vec, e.getField("cvec")), 6)
+        when(s > acc.getField("s") ||
+            (s === acc.getField("s") && e.getField("cid") < acc.getField("c")),
+          struct(s.as("s"), e.getField("cid").as("c"))).otherwise(acc)
+      }).getField("c")
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (cid, vec)); ANN search then
     * probes only the query's cell. The centroid table stands in for a trained
-    * codebook (k-means training is a separate offline job). */
+    * codebook (k-means training is a separate offline job). The assignment is
+    * a narrow per-row fold over the broadcast codebook — no corpus shuffle,
+    * no ×C row blowup, the plan a 100 TB assignment needs. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(codebook(centroids)) // one row: a join in name only
+      .select(col(idCol), bestCell(col(vecCol), col("cb")).as("cid"))
+
+  /** IVF ANN top-k: each query searches only its `nprobe` nearest cells.
+    * Corpus side: one zero-shuffle fold assigns every vector its cell
+    * (vector kept for the re-rank). Query side (small): crossJoin the
+    * centroid table + window picks the nprobe closest cells per query, then
+    * the probe list broadcast-joins the assigned corpus on cell id — corpus
+    * rows outside probed cells never reach the re-rank. Exact cosine re-rank
+    * with the deterministic (round(sim,6) DESC, neighbor ASC) order shared
+    * by [[cosineTopK]] and [[lshTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .withColumn("sim", round(cosine(col(vecCol), col("cvec")), 6))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"))
+    val qcells = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids.select(col("cid").cast("long").as("cid"), col("cvec"))))
+      .withColumn("csim", round(cosine(col("qv"), col("cvec")), 6))
+    val wq = Window.partitionBy("q").orderBy(col("csim").desc, col("cid").asc)
+    val probes = qcells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select(col("q"), col("qv"), col("cid"))
+    val cells = corpus.select(col(idCol).as("neighbor"), col(vecCol).as("cv"))
+      .crossJoin(codebook(centroids))
+      .select(col("neighbor"), col("cv"), bestCell(col("cv"), col("cb")).as("cid"))
+    val scored = broadcast(probes).join(cells, Seq("cid"))
+      .filter(col("q") =!= col("neighbor"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("q").orderBy(round(col("sim"), 6).desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("neighbor"), col("rank"))
   }
 }

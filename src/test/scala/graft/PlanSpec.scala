@@ -100,6 +100,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
 
+  test("x14 IVF assignment is a zero-shuffle per-row fold (no window, no hash exchange)") {
+    val p = plan(SparkEntry.queries("x14_ivf_assign")(spark, sf()))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus cell assignment must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"argmax must fold, not rank:\n$p")
+  }
+
+  test("x26 IVF top-k: corpus side folds shuffle-free; probe join broadcasts") {
+    val p = plan(SparkEntry.queries("x26_ivf_topk")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"probe list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the cell join:\n$p")
+  }
+
   test("scan statistics expose per-column min/max/nullCount to the CBO") {
     val dir = Tables.nimbleDir(spark, sf(), "orders")
     val schema = spark.read.format("nimble").load(dir).schema
