@@ -211,6 +211,9 @@ object Dedup {
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("lbl")).persist()
+    // the frame actually persisted each round (unpersist must target the
+    // EXACT cached plan — a projection on top would silently miss the cache)
+    var labelsCache = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -219,14 +222,16 @@ object Dedup {
         .join(labels.select(col("u").as("v"), col("lbl").as("nl")), Seq("v"))
         .groupBy("u").agg(min("nl").as("nm"))
       val stepped = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
       // ... then one pointer-jumping hop (label-of-label): path lengths halve
       // every round, so convergence is O(log diameter) — a 2^25-hop chain
       // converges inside the default cap, where plain propagation moves one
       // hop per round and silently truncated long duplicate chains
       val next = stepped.join(
           labels.select(col("u").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
+        .select(col("u"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          col("prev"))
       // Cut the SQL plan: persist() truncates *execution* but not the
       // *logical plan* — each round's `next` references `labels` in three
       // joins, so the plan tree grows ~4^k and deep chains OOM the driver
@@ -235,12 +240,14 @@ object Dedup {
       // lineage underneath stays recomputable if cached blocks are lost
       // (unlike localCheckpoint, whose blocks die with decommissioned
       // executors). The changed-count below runs over `cut`, so one job
-      // both materializes the new round's cache and detects the fixpoint.
+      // both materializes the new round's cache and detects the fixpoint —
+      // `prev` rides along precisely so this check is a narrow filter over
+      // the cache, not another shuffle join against the old labels.
       val cut = docs.sparkSession.createDataFrame(next.rdd, next.schema).persist()
-      changed = cut.join(labels.select(col("u"), col("lbl").as("prev")), Seq("u"))
-        .filter(col("lbl") < col("prev")).count() // materializes `cut`
-      labels.unpersist() // safe: cut is materialized, no recompute through it
-      labels = cut
+      changed = cut.filter(col("lbl") < col("prev")).count() // materializes `cut`
+      labelsCache.unpersist() // safe: cut is materialized, no recompute through it
+      labelsCache = cut
+      labels = cut.select(col("u"), col("lbl"))
       iter += 1
     }
     require(changed == 0,
@@ -254,7 +261,7 @@ object Dedup {
     // merely recomputes through lineage, which stays correct
     val out = labels.select(col("u").as(idCol), col("lbl").as("cluster")).persist()
     out.count()
-    labels.unpersist()
+    labelsCache.unpersist()
     out
   }
 
