@@ -420,6 +420,14 @@ object SparkEntry {
     // sliding context-window chunking (training-row shaping; zero shuffles)
     "x25_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(Tables.nimble(s, dir, "documents"), "doc_id", "text", 64, 48)),
+    // sequence packing: contiguous token bins via the two-level prefix sum
+    // (global cumsum without a single-partition window)
+    "x27_seq_pack" -> ((s, dir) => {
+      val docs = Tables.nimble(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+      TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
+        binTokens = 4096, bucketWidth = 64)
+    }),
     // IVF ANN search end-to-end: probe the 2 nearest cells per query, exact
     // re-rank inside them (corpus cell assignment is a zero-shuffle fold)
     "x26_ivf_topk" -> ((s, dir) => {
@@ -836,6 +844,15 @@ object SparkEntry {
            len(w[i*48+1 : i*48+64]) AS n_tokens,
            array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text
          FROM e""",
+    // global-cumsum replay: the engine's two-level prefix sum must equal the
+    // straightforward single-window running sum bin for bin
+    "x27_seq_pack" ->
+      """WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin
+         FROM c""",
     // full IVF pipeline replay: query-cell probing (nprobe=2), corpus cell
     // assignment (argmax with min-cid tie-break), exact re-rank — same
     // rounded-cosine determinism contract as x05/x06/x14

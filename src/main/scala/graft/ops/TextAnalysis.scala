@@ -120,6 +120,42 @@ object TextAnalysis {
         array_join(slice(col("w"), col("i") * stride + 1, lit(chunk)), " ").as("chunk_text"))
   }
 
+  /** Sequence packing for training batches: assign documents, in doc-id
+    * order, to contiguous token bins of `binTokens` — doc d lands in the bin
+    * where its first token falls (bins may run over by less than one doc;
+    * splitting to exact capacity is [[chunkWindows]]' job upstream).
+    *
+    * bin(d) = floor(tokensBefore(d) / binTokens) needs a GLOBAL running
+    * token sum — the one primitive a naive window makes a single-partition
+    * bottleneck at scale. Two-level prefix sum instead, deterministic under
+    * ANY partitioning because the level split keys on the id VALUE, not the
+    * physical partition: docs bucket by id range (`bucketWidth` ids per
+    * bucket ≈ millions of rows each at corpus scale); per-bucket totals
+    * (map-side partial agg, bucket-count rows) take a driver-scale window
+    * for their exclusive prefix, broadcast back, and each doc adds its
+    * within-bucket running sum (window per bucket — the corpus's one
+    * shuffle). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      binTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binTokens > 0 && bucketWidth > 0, "packSequences: positive sizes required")
+    val t = df.select(col(idCol), col(tokensCol),
+      floor(col(idCol).cast("long") / bucketWidth).as("_bucket"))
+    // bucket-count-sized frame: the unpartitioned window is deliberate
+    val offsets = t.groupBy("_bucket").agg(sum(col(tokensCol)).as("_btot"))
+      .withColumn("_base", coalesce(
+        sum("_btot").over(Window.orderBy("_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bucket"), col("_base"))
+    val wb = Window.partitionBy("_bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("_cum", col("_base") + sum(col(tokensCol)).over(wb))
+      .select(col(idCol), col(tokensCol),
+        floor((col("_cum") - col(tokensCol)).cast("double") / binTokens)
+          .cast("long").as("bin"))
+  }
+
   /** Within-document repetition score: 1 - |distinct words| / |words| (0 =
     * no repetition); a standard boilerplate/spam signal in corpus filters. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -107,6 +107,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"argmax must fold, not rank:\n$p")
   }
 
+  test("x27 sequence packing: corpus cumsum windows per bucket, never one partition") {
+    val q = SparkEntry.queries("x27_seq_pack")(spark, sf())
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("hashpartitioning(_bucket"),
+      s"corpus running sum must window per id-range bucket:\n$p")
+    // the only single-partition stage is the bucket-count-sized offsets frame
+    // (grouped BEFORE its exchange, so partial aggregation bounds it)
+    assert(p.contains("BroadcastHashJoin"), s"bucket offsets must broadcast back:\n$p")
+  }
+
   test("x26 IVF top-k: corpus side folds shuffle-free; probe join broadcasts") {
     val p = plan(SparkEntry.queries("x26_ivf_topk")(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), s"probe list must broadcast:\n$p")
