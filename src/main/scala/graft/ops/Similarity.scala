@@ -209,12 +209,16 @@ object Similarity {
   /** Per-row nearest-cell id over the codebook array: running (sim, cid)
     * maximum with the smaller cid winning exact ties — order-independent, so
     * the nondeterministic collect_list order cannot change the result.
-    * Matches ORDER BY round(sim, 6) DESC, cid ASC LIMIT 1. */
+    * Matches ORDER BY round(sim, 6) DESC, cid ASC LIMIT 1 — including the
+    * NaN edge (zero vectors): ORDER BY ranks NaN above every value in both
+    * Spark and DuckDB, while the comparison operator the fold uses says
+    * NaN > x is false, so NaN maps to +Inf before comparing. */
   private def bestCell(vec: Column, cb: Column): Column =
     aggregate(cb,
       struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
       (acc, e) => {
-        val s = round(cosine(vec, e.getField("cvec")), 6)
+        val raw = round(cosine(vec, e.getField("cvec")), 6)
+        val s = when(isnan(raw), lit(Double.PositiveInfinity)).otherwise(raw)
         when(s > acc.getField("s") ||
             (s === acc.getField("s") && e.getField("cid") < acc.getField("c")),
           struct(s.as("s"), e.getField("cid").as("c"))).otherwise(acc)

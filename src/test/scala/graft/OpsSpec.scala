@@ -80,6 +80,19 @@ class OpsSpec extends SparkTestBase {
     assert(assign.select("cid").distinct().count() > 1)
   }
 
+  test("IVF assignment NaN edge: a zero centroid ranks first (ORDER BY parity), min cid ties") {
+    import spark.implicits._
+    // cosine(v, 0-vector) = 0/0 = NaN; ORDER BY sim DESC ranks NaN above
+    // every real value in Spark AND DuckDB, so the fold must pick it too
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (5L, Array(0f, 0f)), (3L, Array(0f, 0f)), // two NaN cells: min cid (3) must win
+      (9L, Array(1f, 1f))).toDF("cid", "cvec")
+    val got = Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L), got)
+  }
+
   test("native LshProbes expression == composed pipeline; probes distinct") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val rows = emb.select(
