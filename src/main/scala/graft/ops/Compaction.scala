@@ -112,6 +112,11 @@ object Compaction {
       targetFileBytes: Long = 256L << 20,
       extraOptions: Map[String, String] = Map.empty): Report = {
     require(targetFileBytes > 0, "nimble: compact: targetFileBytes must be positive")
+    // overwriting the directory being read is undefined (the truncate races
+    // the scan); in-place compaction = compact to a side dir + atomic rename
+    require(new java.io.File(dir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"nimble: compact: outDir must differ from the input directory ($dir)")
     val before = GraftIO.listGft(dir)
     val bytesBefore = before.map(_.length).sum
     val opts = recoverLayout(dir) ++ extraOptions

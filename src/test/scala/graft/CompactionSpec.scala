@@ -98,6 +98,15 @@ class CompactionSpec extends SparkTestBase {
     assertSameData(flat(spark.read.format("nimble").load(out)), flat(df))
   }
 
+  test("in-place compaction (outDir == dir) is rejected — the truncate would race the scan") {
+    val dir = tmpDir("cmp-inplace")
+    li.limit(10).coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, dir)
+    }
+    assert(e.getMessage.contains("outDir"))
+  }
+
   test("conflicting sort declarations across files are rejected loudly") {
     val dir = tmpDir("cmp-mixed")
     li.limit(100).sort("l_orderkey").coalesce(1).write.format("nimble")
