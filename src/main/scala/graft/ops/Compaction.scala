@@ -38,6 +38,7 @@ object Compaction {
   def recoverLayout(dir: String): Map[String, String] = {
     val files = NimbleSource.listFiles(dir)
     require(files.nonEmpty, s"nimble: compact: no tablet files under $dir")
+    NimbleSource.prefetchFooters(files) // parallel: 10^5-file dirs must not serialize
     val footers = files.map(NimbleSource.footerOf)
 
     val sortCols = footers.head.sortColumns

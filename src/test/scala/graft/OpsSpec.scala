@@ -80,6 +80,19 @@ class OpsSpec extends SparkTestBase {
     assert(assign.select("cid").distinct().count() > 1)
   }
 
+  test("packSequences: bins are bucketWidth-invariant (value-keyed split, not physical)") {
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+    def bins(w: Long) = TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 512, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = bins(7); val b = bins(64); val c = bins(1L << 20) // one bucket
+    assert(a == b && b == c, "bin assignment must not depend on the bucket split")
+    // bins are contiguous from 0 and non-empty in id order
+    val ids = a.values.toSet
+    assert(ids == (0L until ids.size.toLong).toSet, s"gappy bins: $ids")
+  }
+
   test("IVF assignment NaN edge: a zero centroid ranks first (ORDER BY parity), min cid ties") {
     import spark.implicits._
     // cosine(v, 0-vector) = 0/0 = NaN; ORDER BY sim DESC ranks NaN above
