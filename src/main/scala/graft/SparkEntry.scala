@@ -271,6 +271,23 @@ object SparkEntry {
                GROUP BY l.l_orderkey""")
     }),
 
+    // OPTIMIZE end-to-end: a 16-file sorted+indexed table compacts to one
+    // file with its layout recovered from the footers alone; the compacted
+    // table must answer queries identically to the original data
+    "q32_compact_scan" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      val srcDir = Tables.roundTripDir(s, dir, "q32_src", src,
+        Map("sortColumns" -> "o_orderkey", "indexColumns" -> "o_orderkey"))
+      val outDir = srcDir + "-compacted"
+      graft.ops.Compaction.compact(s, srcDir, outDir, targetFileBytes = 1L << 30)
+      s.read.format("nimble").load(outDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -799,6 +816,11 @@ object SparkEntry {
          max(l.l_extendedprice) AS max_price, max(o.o_totalprice) AS max_total
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY l.l_orderkey""",
+    "q32_compact_scan" ->
+      """SELECT o_orderstatus, count(1) AS cnt,
+         min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
