@@ -98,6 +98,20 @@ class CompactionSpec extends SparkTestBase {
     assertSameData(flat(spark.read.format("nimble").load(out)), flat(df))
   }
 
+  test("nested dict-array layout (s.a) recovers by full stream path") {
+    val dir = tmpDir("cmp-nested"); val out = tmpDir("cmp-nested-out")
+    val df = Seq(
+      (1L, (Seq(1, 2), "x")), (2L, (Seq(1, 2), "y")), (3L, (Seq(3), "z"))
+    ).toDF("id", "s").selectExpr("id", "named_struct('a', s._1, 'tag', s._2) AS s")
+    df.repartition(2).write.format("nimble")
+      .option("dictionaryArrayColumns", "s.a").mode("overwrite").save(dir)
+    val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+    assert(rep.writerOptions("dictionaryArrayColumns") == "s.a", rep.writerOptions)
+    val keys = NimbleSource.footerOf(NimbleSource.listFiles(out).head).streamKeys
+    assert(keys.contains("s.a#idx"), keys.mkString(","))
+    assertSameData(spark.read.format("nimble").load(out), df)
+  }
+
   test("in-place compaction (outDir == dir) is rejected — the truncate would race the scan") {
     val dir = tmpDir("cmp-inplace")
     li.limit(10).coalesce(1).write.format("nimble").mode("overwrite").save(dir)
