@@ -121,6 +121,54 @@ class CompactionSpec extends SparkTestBase {
     assert(e.getMessage.contains("outDir"))
   }
 
+  test("fuzz: random schemas x random layouts survive compaction value-identically (seeded)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(8114)
+    for (trial <- 0 until 5) {
+      val schema = StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("ts", LongType, nullable = true),
+        StructField("tag", StringType, nullable = true),
+        StructField("arr", ArrayType(IntegerType, containsNull = true), nullable = true),
+        StructField("m", MapType(StringType, DoubleType, valueContainsNull = true), nullable = true)))
+      val n = 200 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        Row(i.toLong,
+          if (rnd.nextInt(10) == 0) null else rnd.nextLong() % 1_000_000_000_000L,
+          Seq("a", "b", "c", null)(rnd.nextInt(4)),
+          if (rnd.nextInt(8) == 0) Seq(1, 2) else Seq.fill(rnd.nextInt(3))(rnd.nextInt()),
+          (0 until rnd.nextInt(3)).map(k => s"k$k" -> rnd.nextDouble()).toMap)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3 + rnd.nextInt(3)), schema)
+      // random layout subset — every recovered option must survive the rewrite
+      var opts = Map.empty[String, String]
+      if (rnd.nextBoolean()) opts += "timestampNanosColumns" -> "ts"
+      if (rnd.nextBoolean()) opts += "indexColumns" -> "row_id"
+      if (rnd.nextBoolean()) opts += "bloomFilterColumns" -> "tag"
+      if (rnd.nextBoolean()) opts += "dictionaryArrayColumns" -> "arr"
+      if (rnd.nextBoolean()) opts += "deduplicatedMapColumns" -> "m"
+      val dir = tmpDir(s"cmp-fuzz$trial"); val out = tmpDir(s"cmp-fuzz$trial-out")
+      var w = df.write.format("nimble").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(dir)
+      val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
+      assert(rep.filesAfter == 1, s"trial $trial: $rep")
+      opts.foreach { case (k, v) =>
+        assert(rep.writerOptions.get(k).contains(v), s"trial $trial: $k lost: ${rep.writerOptions}")
+      }
+      // re-recovery over the compacted dir must see the same layout
+      val again = Compaction.recoverLayout(out).filter { case (k, _) => opts.contains(k) }
+      assert(again == opts, s"trial $trial: recovered $again from compacted, wrote $opts")
+      val want = df.toJSON.collect().sorted
+      val got = spark.read.format("nimble").load(out).toJSON.collect().sorted
+      assert(want.length == got.length, s"trial $trial")
+      for (i <- want.indices if want(i) != got(i))
+        fail(s"trial $trial row $i:\n  want ${want(i)}\n  got  ${got(i)}")
+    }
+  }
+
   test("conflicting sort declarations across files are rejected loudly") {
     val dir = tmpDir("cmp-mixed")
     li.limit(100).sort("l_orderkey").coalesce(1).write.format("nimble")
