@@ -247,6 +247,19 @@ object Bench {
       }
     }
 
+    // ---- scale block: OPTIMIZE — compact the 8M-row indexed table (its
+    // write produced one file per input partition) through the
+    // footer-recovered layout; proves the recover+rewrite path, index
+    // rebuild included, at bench scale ----
+    {
+      val cDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-compacted"
+      val (cSec, rep) = time {
+        graft.ops.Compaction.compact(spark, scaleIdxDir, cDir, targetFileBytes = 1L << 31)
+      }
+      assert(rep.rows == scaleRows, s"compaction changed row count: $rep")
+      results("scale_compact_sec") = cSec
+    }
+
     // ---- scale block: connected-components dedup clustering over ~1M pairs
     // containing one 1,000-hop duplicate chain — pointer jumping must
     // converge in ~log2(1000) ≈ 10 rounds with O(1) plan size per round
