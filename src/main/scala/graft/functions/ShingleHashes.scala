@@ -37,22 +37,33 @@ case class ShingleHashes(left: Expression, right: Expression)
     val text = textAny.asInstanceOf[UTF8String].toLowerCase.toString
     val words = ws.split(text, -1)
     val count = math.max(words.length - n, 0) + 1
+    // encode each word ONCE; shingle bytes assemble in a reusable buffer —
+    // the StringBuilder->String->getBytes round trip re-encoded every word
+    // n times and dominated the near-dup profile. Bytes (and so hashes) are
+    // identical: UTF-8(w0 + ' ' + w1 ...) == UTF-8(w0) ++ 0x20 ++ UTF-8(w1)...
+    val wb = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) { wb(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1 }
     val seen = new java.util.HashSet[java.lang.Long](count * 2)
     val out = new Array[Long](count)
     var m = 0
-    val sb = new java.lang.StringBuilder(64)
+    var buf = new Array[Byte](64)
     var i = 0
     while (i < count) {
-      sb.setLength(0)
-      var j = i
       val end = math.min(i + n, words.length)
+      var len = 0
+      var j = i
+      while (j < end) { len += wb(j).length + (if (j > i) 1 else 0); j += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length << 1))
+      var off = 0
+      j = i
       while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(words(j))
+        if (j > i) { buf(off) = ' '; off += 1 }
+        val b = wb(j)
+        System.arraycopy(b, 0, buf, off, b.length); off += b.length
         j += 1
       }
-      val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
-      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
