@@ -288,6 +288,43 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // row-level DELETE end-to-end: a sorted 16-file table takes one
+    // file-separable range delete (metadata-only file unlinks) plus one
+    // keyhole delete (copy-on-write rewrite of the hit files); the
+    // surviving table must answer identically to filtering the source
+    "q33_delete" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      val srcDir = Tables.roundTripDir(s, dir, "q33_src", src,
+        Map("sortColumns" -> "o_orderkey"))
+      val cut = 30000L
+      graft.ops.Delete.delete(s, srcDir, col("o_orderkey") > cut) // file-separable
+      graft.ops.Delete.delete(s, srcDir, // keyhole: mixed-file rewrite
+        col("o_orderkey") >= 100L && col("o_orderkey") <= 500L)
+      s.read.format("nimble").load(srcDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // row-level UPDATE end-to-end: matching rows take new values computed
+    // from their ORIGINAL columns, non-matching rows and provably-untouched
+    // files stay byte-identical
+    "q34_update" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      val srcDir = Tables.roundTripDir(s, dir, "q34_src", src,
+        Map("sortColumns" -> "o_orderkey"))
+      graft.ops.Delete.update(s, srcDir,
+        col("o_orderkey") <= 5000L && col("o_orderstatus") === "F",
+        Map("o_orderstatus" -> lit("X")))
+      s.read.format("nimble").load(srcDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -821,6 +858,21 @@ object SparkEntry {
          min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "q33_delete" ->
+      """SELECT o_orderstatus, count(1) AS cnt,
+         min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE NOT (o_orderkey > 30000)
+           AND NOT (o_orderkey >= 100 AND o_orderkey <= 500)
+         GROUP BY o_orderstatus""",
+    "q34_update" ->
+      """SELECT o_orderstatus, count(1) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderkey <= 5000 AND o_orderstatus = 'F'
+                           THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                      o_totalprice FROM orders) t
+         GROUP BY o_orderstatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -1,0 +1,363 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import graft.format.{GraftIO, Tablet}
+import graft.spark.{Filters, NimbleSource}
+
+/** Row-level DELETE / UPDATE over tablet directories — file-granular
+  * copy-on-write, the lakehouse pattern for an append-only, self-describing
+  * format (the reference's tablets are immutable once written:
+  * dwio/nimble/tablet/TabletWriter.h; mutation therefore means replacing
+  * whole files, never editing one).
+  *
+  * Every file classifies against the predicate using its own footer/stripe
+  * stats and blooms (the same metadata the scan prunes with):
+  *
+  *  - ALL-MATCH  (every row provably satisfies the predicate): the file is
+  *    simply unlinked — a metadata-only delete, zero data read. A 100 TB
+  *    time-range retention delete on a sorted table touches no bytes.
+  *  - NONE-MATCH (provably no row satisfies it): untouched.
+  *  - MIXED: rewritten — survivors stream through one Spark job into
+  *    replacement files that preserve every footer-declared layout
+  *    property (sort order, indexes, blooms, bucket spec, FlatMap /
+  *    dict-array / dedup-map, nanos split) via [[Compaction.recoverLayout]].
+  *
+  * Classification is conservative three-valued logic: stats can only send a
+  * file to the cheap buckets when they PROVE the answer; anything uncertain
+  * rewrites, and the rewrite's keep-filter (`NOT cond` with SQL null
+  * semantics — a NULL predicate keeps the row) is the single source of
+  * truth, so correctness never depends on stats precision.
+  *
+  * Not transactional: replacement files land before originals are removed,
+  * so a concurrent reader may briefly see duplicates, and a crash
+  * mid-commit leaves both (re-running the delete converges — survivors
+  * re-classify, duplicated survivors are NOT possible because replacements
+  * only land after their originals are unlinked). Same caveat family as
+  * [[Compaction.compact]]; wrap in an external lock for concurrent writers.
+  */
+object Delete {
+
+  final case class Report(
+      filesDeleted: Int, filesRewritten: Int, filesUntouched: Int,
+      rowsDeleted: Long, rowsRemaining: Long)
+
+  // ------------------------------------------------------------ public API
+
+  /** DELETE FROM dir WHERE cond. `readOptions` are the table's read options
+    * (e.g. unsignedColumns — which forces classification to fence those
+    * columns and refuses the rewrite path, since re-writing widened values
+    * would change the stored physical domain). */
+  def delete(spark: SparkSession, dir: String, cond: Column,
+      readOptions: Map[String, String] = Map.empty): Report = {
+    val keep = coalesce(not(cond), lit(true))
+    run(spark, dir, translateCond(spark, dir, cond, readOptions), keep,
+      identity, readOptions)
+  }
+
+  /** The V1-filter entry ([[graft.spark.NimbleSource]]'s SupportsDelete
+    * calls this with Spark's own translation of the SQL DELETE condition;
+    * conjunction semantics). */
+  def deleteFilters(spark: SparkSession, dir: String, filters: Array[Filter],
+      readOptions: Map[String, String] = Map.empty): Report = {
+    val cond = if (filters.isEmpty) lit(true)
+      else filters.map(toColumn).reduce(_ && _)
+    run(spark, dir, filters, coalesce(not(cond), lit(true)), identity, readOptions)
+  }
+
+  /** UPDATE dir SET assignments WHERE cond. Files provably untouched by the
+    * predicate are left alone; all-match and mixed files rewrite with each
+    * assignment applied under `when(cond)` (rows where cond is NULL or
+    * FALSE keep their values — SQL UPDATE semantics). Assigning to a column
+    * that participates in the declared layout (sort / index / bloom /
+    * bucket) is refused: the rewrite would silently invalidate the
+    * contract the footers declare. */
+  def update(spark: SparkSession, dir: String, cond: Column,
+      assignments: Map[String, Column],
+      readOptions: Map[String, String] = Map.empty): Report = {
+    require(assignments.nonEmpty, "nimble: update: no assignments")
+    val layout = Compaction.recoverLayout(dir)
+    val layoutCols: Set[String] =
+      layout.get("sortColumns").toSeq.flatMap(_.split(",")).toSet ++
+      layout.get("indexColumns").toSeq.flatMap(_.split(",").toSeq.flatMap(_.split("\\+").toSeq)) ++
+      layout.get("bloomFilterColumns").toSeq.flatMap(_.split(",")) ++
+      layout.get("bucketColumns").toSeq.flatMap(_.split(","))
+    val bad = assignments.keySet.intersect(layoutCols.map(_.trim))
+    require(bad.isEmpty,
+      s"nimble: update: assigning ${bad.mkString(",")} would invalidate the " +
+        "declared sort/index/bloom/bucket layout — drop the layout (rewrite " +
+        "via Compaction with different options) or update other columns")
+    // all assignments evaluate against the ORIGINAL row in one projection
+    // (SQL UPDATE semantics: SET a=b, b=a swaps, it does not chain)
+    val transform: DataFrame => DataFrame = df => {
+      val missing = assignments.keySet -- df.columns
+      require(missing.isEmpty, s"nimble: update: no such column(s): ${missing.mkString(",")}")
+      val condSafe = coalesce(cond, lit(false))
+      df.select(df.columns.toIndexedSeq.map { cn =>
+        assignments.get(cn) match {
+          case Some(v) => when(condSafe, v).otherwise(col(s"`$cn`")).as(cn)
+          case None => col(s"`$cn`")
+        }
+      }: _*)
+    }
+    // update touches all-match files too (rows change, not disappear):
+    // reuse run() with all-match folded into the rewrite set
+    run(spark, dir, translateCond(spark, dir, cond, readOptions),
+      keep = lit(true), transform = transform, readOptions,
+      unlinkAllMatch = false)
+  }
+
+  // --------------------------------------------------- classification
+
+  /** (allMatch, noneMatch, mixed) file partition. Conservative: a file
+    * lands in allMatch/noneMatch only when every stripe's stats PROVE it;
+    * unsigned-widened columns always classify as unknown (their stats are
+    * signed-domain). Empty files classify none-match (nothing to delete). */
+  private[graft] def classify(files: Seq[String], filters: Array[Filter],
+      unsignedCols: Set[String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val allM = Seq.newBuilder[String]
+    val noneM = Seq.newBuilder[String]
+    val mixed = Seq.newBuilder[String]
+    NimbleSource.prefetchFooters(files)
+    for (file <- files) {
+      val footer = NimbleSource.footerOf(file)
+      if (footer.stripes.isEmpty || footer.rowCount == 0L) noneM += file
+      else if (filters.isEmpty) mixed += file // no provable classification
+      else {
+        val r = new Tablet.Reader(file, footer)
+        try {
+          var fileAll = true
+          var fileNone = true
+          var s = 0
+          while (s < footer.stripes.length && (fileAll || fileNone)) {
+            val statsOf: String => Option[Tablet.Stats] = name =>
+              if (unsignedCols(name)) None
+              else Some(r.keyId(name)).filter(_ >= 0).map { id =>
+                val st = r.streamStats(s, id)
+                if (r.keyId(name + "#nanos") >= 0) nanosScaled(st) else st
+              }
+            val bloomOf: String => Option[Tablet.Bloom] = name =>
+              if (unsignedCols(name)) None
+              else Some(r.keyId(name)).filter(_ >= 0)
+                .filterNot(_ => r.keyId(name + "#nanos") >= 0)
+                .flatMap(id => r.streamBloom(s, id))
+            if (!filters.exists(f => Filters.pruneStripe(f, statsOf, bloomOf)))
+              fileNone = false
+            if (!filters.forall(f => Filters.allMatchStripe(f, statsOf)))
+              fileAll = false
+            s += 1
+          }
+          if (fileAll) allM += file
+          else if (fileNone) noneM += file
+          else mixed += file
+        } finally r.close()
+      }
+    }
+    (allM.result(), noneM.result(), mixed.result())
+  }
+
+  // conservative combined-value bounds for the micros+nanos split (mirrors
+  // the scan's fence — the scaled range CONTAINS the true combined values,
+  // so allMatch and noneMatch proofs both stay sound)
+  private def nanosScaled(st: Tablet.Stats): Tablet.Stats =
+    if (!st.hasMinMax) st
+    else st.copy(
+      minLong = try math.multiplyExact(st.minLong, 1000L)
+                catch { case _: ArithmeticException => Long.MinValue },
+      maxLong = try math.addExact(math.multiplyExact(st.maxLong, 1000L), 999L)
+                catch { case _: ArithmeticException => Long.MaxValue })
+
+  // ------------------------------------------------------------ engine
+
+  private def run(spark: SparkSession, dir: String, filters: Array[Filter],
+      keep: Column, transform: DataFrame => DataFrame,
+      readOptions: Map[String, String],
+      unlinkAllMatch: Boolean = true): Report = {
+    val files = NimbleSource.listFiles(dir)
+    if (files.isEmpty) return Report(0, 0, 0, 0L, 0L)
+    val unsignedCols = readOptions.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("unsignedColumns") =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty[String])
+
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
+    val (allM0, noneM, mixed0) = classify(files, filters, unsignedCols)
+    val (allM, mixed) =
+      if (unlinkAllMatch) (allM0, mixed0) else (Nil, allM0 ++ mixed0)
+
+    // recovered while every original file is still present — the layout the
+    // rewrite and the possible schema-preserving empty tablet both carry
+    val layout: Map[String, String] =
+      if (mixed.isEmpty && allM.isEmpty) Map.empty
+      else try Compaction.recoverLayout(dir) catch { case _: Throwable => Map.empty }
+
+    var rowsDeleted = allM.map(f => NimbleSource.footerOf(f).rowCount).sum
+    var rewritten = 0
+
+    if (mixed.nonEmpty) {
+      require(unsignedCols.isEmpty,
+        "nimble: delete/update: rewriting an unsigned-widened table would " +
+          "store the WIDENED values (a different physical domain) — only " +
+          "metadata-only deletes are supported on such tables; this " +
+          "predicate needs a row-level rewrite of: " + mixed.take(3).mkString(","))
+      val tmp = GraftIO.child(dir, s".rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        // one job: a single whole-dir scan when EVERY file rewrites (broad
+        // delete — reading everything is the right plan and keeps full
+        // bin-packed parallelism), per-file union otherwise (point delete:
+        // only affected files are ever opened)
+        val src =
+          if (mixed.length == files.length)
+            spark.read.format("nimble").options(readOptions).schema(schema).load(dir)
+          else
+            mixed.map(f => spark.read.format("nimble").options(readOptions)
+              .schema(schema).load(f)).reduce(_ unionByName _)
+        val rowsBefore = mixed.map(f => NimbleSource.footerOf(f).rowCount).sum
+
+        val kept = transform(src.filter(keep))
+        val sortCols = layout.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+        val shaped =
+          if (layout.contains("numBuckets")) kept // bucketed write re-clusters
+          else if (sortCols.nonEmpty)
+            kept.repartitionByRange(math.max(1, mixed.length),
+                sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+          else kept
+        var w = shaped.write.format("nimble").mode("append")
+        layout.foreach { case (k, v) => w = w.option(k, v) }
+        w.save(tmp)
+
+        // move non-empty replacements in (zero-row task files are noise:
+        // they'd break the one-file-per-bucket ordering contract and add
+        // footer reads for nothing)
+        val repl = NimbleSource.listFiles(tmp)
+          .filter(f => NimbleSource.footerOf(f).rowCount > 0)
+        var rowsAfter = 0L
+        // unlink originals FIRST, then move replacements in: a crash in
+        // between loses no committed data (replacements persist in tmp for
+        // manual recovery) and can never duplicate surviving rows
+        mixed.foreach(GraftIO.delete(_))
+        for (f <- repl) {
+          rowsAfter += NimbleSource.footerOf(f).rowCount
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          var dst = GraftIO.child(dir, name)
+          if (GraftIO.exists(dst))
+            dst = GraftIO.child(dir, s"r${java.util.UUID.randomUUID().toString.take(8)}-$name")
+          require(GraftIO.rename(f, dst), s"nimble: delete: rename $f -> $dst failed")
+        }
+        rewritten = mixed.length
+        rowsDeleted += rowsBefore - rowsAfter
+      } finally GraftIO.delete(tmp, recursive = true)
+    }
+
+    allM.foreach(GraftIO.delete(_))
+
+    // deleting every row must not delete the SCHEMA: leave one empty tablet
+    // carrying the schema and the declared layout (bucketed: one empty file
+    // per bucket, so the spec — and SPJ — survive emptiness)
+    if (NimbleSource.listFiles(dir).isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
+      var w = empty.write.format("nimble").mode("append")
+      layout.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(dir)
+    }
+
+    val remaining = NimbleSource.listFiles(dir)
+      .map(f => NimbleSource.footerOf(f).rowCount).sum
+    Report(allM.length, rewritten, noneM.length, rowsDeleted, remaining)
+  }
+
+  // --------------------------------------------- condition translation
+
+  /** Resolve `cond` against the table (type coercion included), split the
+    * conjunction, and translate what translates into V1 filters for
+    * classification. Untranslatable conjuncts simply don't help classify —
+    * correctness rides the keep-filter, never this. */
+  private def translateCond(spark: SparkSession, dir: String, cond: Column,
+      readOptions: Map[String, String]): Array[Filter] = {
+    val df = spark.read.format("nimble").options(readOptions).load(dir)
+    val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return Array.empty)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(resolved).flatMap(translate).toArray
+  }
+
+  /** Catalyst → V1 `sources.Filter`, the subset classification understands.
+    * Mirrors Spark's own DataSourceStrategy translation for flat columns. */
+  private def translate(e: Expression): Option[Filter] = {
+    def ext(l: Literal): Any = CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def name(a: Attribute): String = a.name
+    e match {
+      case expressions.EqualTo(a: Attribute, l: Literal) => Some(EqualTo(name(a), ext(l)))
+      case expressions.EqualTo(l: Literal, a: Attribute) => Some(EqualTo(name(a), ext(l)))
+      case expressions.EqualNullSafe(a: Attribute, l: Literal) => Some(EqualNullSafe(name(a), ext(l)))
+      case expressions.EqualNullSafe(l: Literal, a: Attribute) => Some(EqualNullSafe(name(a), ext(l)))
+      case expressions.GreaterThan(a: Attribute, l: Literal) => Some(GreaterThan(name(a), ext(l)))
+      case expressions.GreaterThan(l: Literal, a: Attribute) => Some(LessThan(name(a), ext(l)))
+      case expressions.GreaterThanOrEqual(a: Attribute, l: Literal) => Some(GreaterThanOrEqual(name(a), ext(l)))
+      case expressions.GreaterThanOrEqual(l: Literal, a: Attribute) => Some(LessThanOrEqual(name(a), ext(l)))
+      case expressions.LessThan(a: Attribute, l: Literal) => Some(LessThan(name(a), ext(l)))
+      case expressions.LessThan(l: Literal, a: Attribute) => Some(GreaterThan(name(a), ext(l)))
+      case expressions.LessThanOrEqual(a: Attribute, l: Literal) => Some(LessThanOrEqual(name(a), ext(l)))
+      case expressions.LessThanOrEqual(l: Literal, a: Attribute) => Some(GreaterThanOrEqual(name(a), ext(l)))
+      case expressions.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(In(name(a), vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case expressions.InSet(a: Attribute, set) =>
+        Some(In(name(a), set.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)).toArray))
+      case expressions.IsNull(a: Attribute) => Some(IsNull(name(a)))
+      case expressions.IsNotNull(a: Attribute) => Some(IsNotNull(name(a)))
+      case expressions.StartsWith(a: Attribute, Literal(v, _)) if v != null =>
+        Some(StringStartsWith(name(a), v.toString))
+      case expressions.EndsWith(a: Attribute, Literal(v, _)) if v != null =>
+        Some(StringEndsWith(name(a), v.toString))
+      case expressions.Contains(a: Attribute, Literal(v, _)) if v != null =>
+        Some(StringContains(name(a), v.toString))
+      case expressions.Not(inner) => translate(inner).map(Not(_))
+      case expressions.Or(l, r) => for (lf <- translate(l); rf <- translate(r)) yield Or(lf, rf)
+      case expressions.And(l, r) => for (lf <- translate(l); rf <- translate(r)) yield And(lf, rf)
+      case Literal(true, org.apache.spark.sql.types.BooleanType) => Some(AlwaysTrue())
+      case Literal(false, org.apache.spark.sql.types.BooleanType) => Some(AlwaysFalse())
+      case _ => None
+    }
+  }
+
+  /** V1 filter → Column (for the keep-filter built from SQL DELETE's
+    * already-translated predicates). Exact names via backtick quoting. */
+  private[graft] def toColumn(f: Filter): Column = {
+    def c(a: String): Column = col(s"`$a`")
+    f match {
+      case EqualTo(a, v) => c(a) === lit(v)
+      case EqualNullSafe(a, v) => c(a) <=> lit(v)
+      case GreaterThan(a, v) => c(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => c(a) >= lit(v)
+      case LessThan(a, v) => c(a) < lit(v)
+      case LessThanOrEqual(a, v) => c(a) <= lit(v)
+      case In(a, vs) => c(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => c(a).isNull
+      case IsNotNull(a) => c(a).isNotNull
+      case StringStartsWith(a, v) => c(a).startsWith(v)
+      case StringEndsWith(a, v) => c(a).endsWith(v)
+      case StringContains(a, v) => c(a).contains(v)
+      case And(l, r) => toColumn(l) && toColumn(r)
+      case Or(l, r) => toColumn(l) || toColumn(r)
+      case Not(inner) => !toColumn(inner)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new IllegalArgumentException(
+        s"nimble: delete: untranslatable pushed filter $other")
+    }
+  }
+}

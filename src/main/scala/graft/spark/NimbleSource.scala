@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -712,8 +712,38 @@ object NimbleSource {
 
 class NimbleTable(path: String, schema: StructType,
     tableProps: Map[String, String] = Map.empty) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"nimble:$path"
+
+  /** SQL `DELETE FROM t WHERE ...` — file-granular copy-on-write
+    * ([[graft.ops.Delete]]): files whose stats prove every row matches are
+    * unlinked without reading a byte; files provably untouched stay; mixed
+    * files rewrite layout-preserving. Accepted whenever the references
+    * resolve to top-level columns (the rewrite keep-filter, not stats
+    * precision, carries correctness). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.flatMap(_.references).forall(r => schema.fieldNames.contains(r)) &&
+      // a rewrite of unsigned-widened values would store the widened domain;
+      // only provably file-separable deletes could be honored, and that is
+      // not knowable here — refuse up front for a clear error
+      unsignedColsOfProps.isEmpty
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    graft.ops.Delete.deleteFilters(
+      org.apache.spark.sql.SparkSession.active, path, filters, tablePropsForRead)
+
+  override def truncateTable(): Boolean = {
+    graft.ops.Delete.deleteFilters(
+      org.apache.spark.sql.SparkSession.active, path, Array(AlwaysTrue()), tablePropsForRead)
+    true
+  }
+
+  private def unsignedColsOfProps: Set[String] =
+    tableProps.collectFirst { case (k, v) if k.equalsIgnoreCase("unsignedColumns") =>
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSet }.getOrElse(Set.empty)
+
+  private def tablePropsForRead: Map[String, String] = tableProps
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Compaction, Delete}
+import graft.spark.NimbleSource
+
+/** Row-level DELETE / UPDATE: metadata-only file unlinks when stats prove
+  * classification, layout-preserving copy-on-write for mixed files, SQL
+  * null semantics (a NULL predicate never deletes), SQL DELETE FROM /
+  * TRUNCATE through the catalog, and hard refusals where a rewrite would
+  * lie (unsigned-widened tables, layout-column updates). */
+class DeleteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def sortedDir(name: String): String = {
+    val dir = tmpDir(name)
+    orders.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.format("nimble").mode("overwrite")
+      .option("sortColumns", "o_orderkey")
+      .option("indexColumns", "o_orderkey")
+      .save(dir)
+    dir
+  }
+
+  private def readBack(dir: String): DataFrame = spark.read.format("nimble").load(dir)
+
+  private def assertSameData(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("metadata-only delete: range predicate on the sort column unlinks whole files, zero rewrite") {
+    val dir = sortedDir("del-meta")
+    val before = NimbleSource.listFiles(dir)
+    val maxKey = orders.agg(max("o_orderkey")).as[Long].head()
+    val cut = maxKey / 2
+    val rep = Delete.delete(spark, dir, col("o_orderkey") > cut)
+    assert(rep.filesRewritten <= 1, s"range delete on the sort key should be ~file-separable: $rep")
+    assert(rep.filesDeleted >= 1, s"expected whole-file unlinks: $rep")
+    // untouched files are literally the same files (no rewrite churn)
+    val after = NimbleSource.listFiles(dir)
+    assert(after.toSet.subsetOf(before.toSet ++ after.filterNot(before.contains)), rep.toString)
+    assertSameData(readBack(dir), orders.filter(!(col("o_orderkey") > cut)))
+    assert(rep.rowsDeleted == orders.filter(col("o_orderkey") > cut).count())
+  }
+
+  test("mixed delete: mid-file predicate rewrites only affected files, layout survives") {
+    val dir = sortedDir("del-mixed")
+    val layoutBefore = Compaction.recoverLayout(dir)
+    val filesBefore = NimbleSource.listFiles(dir).toSet
+    // delete a narrow keyhole: lands inside one or two files
+    val rep = Delete.delete(spark, dir,
+      col("o_orderkey") >= 100L && col("o_orderkey") <= 200L)
+    assert(rep.filesRewritten >= 1 && rep.filesRewritten <= 2, rep.toString)
+    assert(rep.filesUntouched >= 6, rep.toString)
+    // untouched files unchanged on disk
+    val stillThere = NimbleSource.listFiles(dir).toSet.intersect(filesBefore)
+    assert(stillThere.size == rep.filesUntouched + rep.filesDeleted, rep.toString)
+    assert(Compaction.recoverLayout(dir) == layoutBefore, "layout must survive the rewrite")
+    assertSameData(readBack(dir),
+      orders.filter(!(col("o_orderkey") >= 100L && col("o_orderkey") <= 200L)))
+    // the rewritten file still honors the sort contract (stats-monotone scan planning)
+    val footer = NimbleSource.footerOf(NimbleSource.listFiles(dir).head)
+    assert(footer.sortColumns == Seq("o_orderkey"))
+  }
+
+  test("null semantics: rows where the predicate is NULL survive") {
+    val dir = tmpDir("del-null")
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(99L)), (4L, None))
+      .toDF("id", "v").write.format("nimble").mode("overwrite").save(dir)
+    val rep = Delete.delete(spark, dir, col("v") > 50L)
+    assert(rep.rowsDeleted == 1L, rep.toString)
+    assert(readBack(dir).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("delete everything leaves a readable empty table with the schema") {
+    val dir = sortedDir("del-all")
+    val rep = Delete.delete(spark, dir, lit(true))
+    assert(rep.rowsRemaining == 0L, rep.toString)
+    val back = readBack(dir)
+    assert(back.count() == 0L)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+  }
+
+  test("bucketed table: delete preserves the bucket spec and rows") {
+    val dir = tmpDir("del-bucketed")
+    orders.write.format("nimble").mode("overwrite")
+      .option("bucketColumns", "o_orderkey").option("numBuckets", "4")
+      .save(dir)
+    val specBefore = NimbleSource.bucketSpecOf(NimbleSource.listFiles(dir))
+    assert(specBefore.contains((Seq("o_orderkey"), 4)))
+    val rep = Delete.delete(spark, dir, col("o_totalprice") > 150000.0)
+    assert(rep.filesRewritten >= 1, rep.toString)
+    val files = NimbleSource.listFiles(dir)
+    assert(NimbleSource.bucketSpecOf(files).contains((Seq("o_orderkey"), 4)),
+      "bucket spec must survive the rewrite")
+    // every replacement file's rows actually live in its declared bucket
+    assertSameData(readBack(dir), orders.filter(!(col("o_totalprice") > 150000.0)))
+  }
+
+  test("SQL DELETE FROM + TRUNCATE through the catalog") {
+    val wh = tmpDir("del-warehouse")
+    spark.conf.set("spark.sql.catalog.gdel", "graft.spark.NimbleCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS gdel.default.ords")
+    orders.writeTo("gdel.default.ords").create()
+    val total = orders.count()
+    val hit = orders.filter(col("o_orderstatus") === "F").count()
+    spark.sql("DELETE FROM gdel.default.ords WHERE o_orderstatus = 'F'")
+    assert(spark.table("gdel.default.ords").count() == total - hit)
+    assertSameData(spark.table("gdel.default.ords"),
+      orders.filter(col("o_orderstatus") =!= "F"))
+    spark.sql("TRUNCATE TABLE gdel.default.ords")
+    assert(spark.table("gdel.default.ords").count() == 0L)
+    assert(spark.table("gdel.default.ords").schema.fieldNames.length == 4)
+    spark.sql("DROP TABLE gdel.default.ords")
+  }
+
+  test("update: assignments hit only matching rows, evaluated against original values") {
+    val dir = tmpDir("upd-basic")
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "a", "b").write.format("nimble").mode("overwrite").save(dir)
+    // swap semantics: SET a=b, b=a must use ORIGINAL values for both
+    val rep = Delete.update(spark, dir, col("id") =!= 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(rep.filesDeleted == 0, rep.toString)
+    val rows = readBack(dir).orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 100L, 10L), (2L, 20L, 200L), (3L, 300L, 30L)))
+  }
+
+  test("update: files provably outside the predicate are untouched; layout survives") {
+    val dir = sortedDir("upd-sorted")
+    val filesBefore = NimbleSource.listFiles(dir).toSet
+    val rep = Delete.update(spark, dir,
+      col("o_orderkey") >= 100L && col("o_orderkey") <= 200L,
+      Map("o_totalprice" -> lit(0.0)))
+    assert(rep.filesUntouched >= 6, rep.toString)
+    assert(NimbleSource.listFiles(dir).toSet.intersect(filesBefore).size == rep.filesUntouched)
+    assert(Compaction.recoverLayout(dir).get("sortColumns").contains("o_orderkey"))
+    val expected = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") >= 100L && col("o_orderkey") <= 200L, lit(0.0))
+        .otherwise(col("o_totalprice")))
+    assertSameData(readBack(dir), expected)
+  }
+
+  test("update refuses assignments to layout columns") {
+    val dir = sortedDir("upd-refuse")
+    val e = intercept[IllegalArgumentException] {
+      Delete.update(spark, dir, lit(true), Map("o_orderkey" -> lit(0L)))
+    }
+    assert(e.getMessage.contains("layout"))
+  }
+
+  test("unsigned-widened table: metadata-only deletes work, rewrite refuses") {
+    val dir = tmpDir("del-unsigned")
+    Seq((1L, 100.toShort), (2L, 200.toShort), (3L, 300.toShort))
+      .toDF("id", "u").write.format("nimble").mode("overwrite").save(dir)
+    val opts = Map("unsignedColumns" -> "u")
+    val e = intercept[IllegalArgumentException] {
+      Delete.delete(spark, dir, col("u") > 150, opts)
+    }
+    assert(e.getMessage.contains("unsigned"))
+  }
+}
