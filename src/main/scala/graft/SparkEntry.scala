@@ -482,6 +482,26 @@ object SparkEntry {
       TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
         binTokens = 4096, bucketWidth = 64)
     }),
+    // training-mixture rebalancing: integer-exact per-domain accept
+    // thresholds hit the 50/30/20 target over three sources, binding
+    // domain keeps everything; the accept set is bit-reproducible
+    "x28_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(Tables.nimble(s, dir, "documents"),
+        "doc_id", "source",
+        Map("src1" -> 500000L, "src2" -> 300000L, "src3" -> 200000L))
+        .select(col("doc_id"), col("source"))),
+    // Gopher-style composite quality gate: every violated rule lands in a
+    // deterministic reasons string (empty = pass)
+    "x29_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(Tables.nimble(s, dir, "documents"),
+        "doc_id", "text", minTokens = 20, maxTokens = 100000,
+        maxRepetition = 0.6, minStopRatio = 0.04)),
+    // Unicode NFC canonicalization ahead of fingerprint/dedup hashing
+    // (identity on this ASCII corpus — the spec pins real Unicode forms;
+    // the driver check proves the native expression runs the whole table)
+    "x30_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(Tables.nimble(s, dir, "documents"),
+        "doc_id", "text")),
     // IVF ANN search end-to-end: probe the 2 nearest cells per query, exact
     // re-rank inside them (corpus cell assignment is a zero-shuffle fold)
     "x26_ivf_topk" -> ((s, dir) => {
@@ -927,6 +947,40 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin
          FROM c""",
+    // mixture replay: same integer-exact threshold derivation
+    // (T = min(n*1e6 DIV ppm); thr = T*ppm DIV n; md5-hash32 accept)
+    "x28_mixture_sample" ->
+      """WITH p AS (SELECT doc_id, source,
+             CASE source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 300000
+                         WHEN 'src3' THEN 200000 END AS ppm
+           FROM documents WHERE source IN ('src1','src2','src3')),
+         c AS (SELECT source, ppm, count(*) AS n FROM p GROUP BY source, ppm),
+         t AS (SELECT min(n * 1000000 // ppm) AS tt FROM c),
+         thr AS (SELECT source, (tt * ppm) // n AS thr FROM c, t)
+         SELECT doc_id, p.source AS source FROM p JOIN thr ON p.source = thr.source
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 < thr""",
+    "x29_quality_gate" ->
+      """WITH m AS (SELECT doc_id,
+             len(regexp_extract_all(text, '\S+')) AS ntok,
+             1.0 - CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+               / len(regexp_extract_all(text, '\S+')) AS rep,
+             CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS DOUBLE)
+               / len(regexp_extract_all(text, '\S+')) AS stopr
+           FROM documents)
+         SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN ntok < 20 THEN 'too_short' END,
+             CASE WHEN ntok > 100000 THEN 'too_long' END,
+             CASE WHEN rep > 0.6 THEN 'repetitive' END,
+             CASE WHEN stopr < 0.04 THEN 'low_stopword' END) AS reasons,
+           len(concat_ws(',',
+             CASE WHEN ntok < 20 THEN 'too_short' END,
+             CASE WHEN ntok > 100000 THEN 'too_long' END,
+             CASE WHEN rep > 0.6 THEN 'repetitive' END,
+             CASE WHEN stopr < 0.04 THEN 'low_stopword' END)) = 0 AS pass
+         FROM m""",
+    "x30_normalize" ->
+      "SELECT doc_id, nfc_normalize(text) AS norm_text FROM documents",
     // full IVF pipeline replay: query-cell probing (nprobe=2), corpus cell
     // assignment (argmax with min-cid tie-break), exact re-rank — same
     // rounded-cosine determinism contract as x05/x06/x14

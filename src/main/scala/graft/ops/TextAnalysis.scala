@@ -166,4 +166,73 @@ object TextAnalysis {
       (lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"))
         .as("repetition"))
   }
+
+  /** Training-mixture rebalancing: deterministically down-sample each domain
+    * so the surviving corpus follows the target mixture `weightsPpm`
+    * (parts-per-million per domain; domains absent from the map drop) while
+    * keeping as much data as possible — the binding domain (largest
+    * observed-count-to-weight deficit) keeps EVERYTHING and every other
+    * domain thins to match it.
+    *
+    * All rate arithmetic is 64-bit integer (`DIV`), so the per-domain accept
+    * thresholds — and therefore the exact surviving row set — are
+    * bit-reproducible across engines and runs: achievable total
+    * T = min_d(n_d*1e6 DIV ppm_d), per-domain threshold = T*ppm_d DIV n_d ∈
+    * [0, 1e6], row survives iff md5-hash32(id) % 1e6 < threshold.
+    *
+    * Scale shape: one partial-agg count per domain (domain-count rows), a
+    * one-row global min, both broadcast back; the corpus itself sees only a
+    * narrow filter — zero corpus shuffles at any size. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
+      "mixtureSample: positive ppm weights required")
+    val ppm = weightsPpm.foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
+      when(col(domainCol) === k, lit(w)).otherwise(acc)
+    }
+    val withPpm = df.withColumn("_ppm", ppm).filter(col("_ppm").isNotNull)
+    val counts = withPpm.groupBy(col(domainCol), col("_ppm"))
+      .agg(count(lit(1)).as("_n"))
+    val total = counts.agg(min(expr("_n * 1000000L DIV _ppm")).as("_t"))
+    val thr = counts.crossJoin(broadcast(total))
+      .select(col(domainCol), expr("_t * _ppm DIV _n").as("_thr"))
+    withPpm.join(broadcast(thr), Seq(domainCol))
+      .filter(Dedup.hash32(col(idCol).cast("string")) % 1000000L < col("_thr"))
+      .select(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+  }
+
+  /** Composite quality gate (Gopher-style corpus filter): each document gets
+    * a deterministic comma-joined `reasons` string naming every violated
+    * rule (empty = pass) — keeping the WHY makes filter-rate dashboards and
+    * rule ablations possible downstream, where a bare boolean cannot.
+    * Thresholds compare exactly-rounded int/int divisions, so pass/fail is
+    * engine-reproducible. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      maxRepetition: Double = 0.8, minStopRatio: Double = 0.01): DataFrame = {
+    val t = col(textCol)
+    val nTok = wsTokens(t)
+    val nUniq = size(array_distinct(split(lower(t), "\\s+")))
+    val rep = lit(1.0) - nUniq.cast("double") / nTok.cast("double")
+    val nStop = size(regexp_extract_all(t, lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0)))
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val reasons = concat_ws(",",
+      when(nTok < minTokens, lit("too_short")),
+      when(nTok > maxTokens, lit("too_long")),
+      when(rep > maxRepetition, lit("repetitive")),
+      when(stopRatio < minStopRatio, lit("low_stopword")))
+    df.select(col(idCol), reasons.as("reasons"),
+      (length(reasons) === 0).as("pass"))
+  }
+
+  /** Unicode normalization (NFC/NFKC, optional accent strip) via the native
+    * [[graft.functions.NormalizeText]] expression — byte-canonicalizes
+    * visually-identical strings before fingerprint/dedup hashing. */
+  def normalize(df: DataFrame, idCol: String, textCol: String,
+      nfkc: Boolean = false, stripAccents: Boolean = false): DataFrame = {
+    graft.functions.NormalizeText.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("graft_normalize", col(textCol), lit(nfkc), lit(stripAccents))
+        .as("norm_text"))
+  }
 }

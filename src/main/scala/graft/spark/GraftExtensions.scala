@@ -20,7 +20,10 @@ object GraftFunctions {
     "graft_simhash32" -> (exprs => SimHash32(exprs.head)),
     "graft_cosine" -> (exprs => CosineSim(exprs.head, exprs(1))),
     "graft_lsh_bucket" -> (exprs => LshBucket(exprs.head, exprs(1), exprs(2))),
-    "graft_lsh_probes" -> (exprs => LshProbes(exprs.head, exprs(1), exprs(2), exprs(3))))
+    "graft_lsh_probes" -> (exprs => LshProbes(exprs.head, exprs(1), exprs(2), exprs(3))),
+    "graft_normalize" -> (exprs => NormalizeText(exprs.head,
+      nfkc = exprs.lift(1).exists(_.eval(null) == true),
+      stripAccents = exprs.lift(2).exists(_.eval(null) == true))))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (name, builder) => Registry.ensure(spark, name, builder) }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Mixture sampling, the composite quality gate, and Unicode normalization:
+  * integer-exact mixture thresholds (binding domain keeps everything,
+  * others thin to the target ratio), reason strings name every violated
+  * rule, and normalization canonicalizes combining sequences / ligatures /
+  * accents with an ASCII fast path. */
+class TextPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mixtureSample: binding domain keeps all, others thin toward target, deterministic") {
+    // a: 100 rows, b: 400 rows; target 50/50 → a binds (keeps all 100),
+    // b thins to threshold 50*1e6... T = min(100*2, 400*2) = 200;
+    // thr_a = 200*500000/100 = 1e6 (all), thr_b = 200*500000/400 = 250000 (25%)
+    val docs = ((0L until 100L).map(i => (i, "a")) ++ (100L until 500L).map(i => (i, "b")))
+      .toDF("doc_id", "dom")
+    val out = TextAnalysis.mixtureSample(docs, "doc_id", "dom",
+      Map("a" -> 500000L, "b" -> 500000L)).cache()
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("a") == 100L, s"binding domain must keep everything: $byDom")
+    // b accepts hash%1e6 < 250000: expectation 100, binomial spread
+    assert(byDom("b") > 60L && byDom("b") < 140L, s"b should thin to ~25%: $byDom")
+    // deterministic: identical row set on re-run
+    val again = TextAnalysis.mixtureSample(docs, "doc_id", "dom",
+      Map("a" -> 500000L, "b" -> 500000L))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("mixtureSample: domains absent from the weight map drop entirely") {
+    val docs = Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("doc_id", "dom")
+    val out = TextAnalysis.mixtureSample(docs, "doc_id", "dom", Map("keep" -> 1000000L))
+    assert(out.select("dom").distinct().as[String].collect().toSeq == Seq("keep"))
+  }
+
+  test("qualityGate: every rule fires with its reason, clean docs pass") {
+    val docs = Seq(
+      (1L, "the of and in to is a short"), // 8 tokens < 20 -> too_short
+      (2L, ("the quick brown fox jumps over lazy dogs while many other animals watch " +
+        "from distant hills and valleys beyond the horizon today quietly").trim), // passes
+      (3L, Seq.fill(30)("word").mkString(" ")), // repetitive + low_stopword
+      (4L, ("the " * 25).trim) // 25 tokens, rep = 1-1/25 -> repetitive (stopwords fine)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs, "doc_id", "text",
+      minTokens = 20, maxTokens = 100, maxRepetition = 0.6, minStopRatio = 0.04)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == "too_short" && !out(0)._3, out(0))
+    assert(out(1)._2 == "" && out(1)._3, out(1))
+    assert(out(2)._2 == "repetitive,low_stopword" && !out(2)._3, out(2))
+    assert(out(3)._2 == "repetitive" && !out(3)._3, out(3))
+  }
+
+  test("normalize: NFC composes combining marks; NFKC folds ligatures; accents strip; ASCII untouched") {
+    val decomposed = "e\u0301te\u0301" // e + COMBINING ACUTE, twice
+    val composed = "\u00e9t\u00e9"     // NFC
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, "\uFB01nance"), // fi ligature
+      (3L, "plain ascii stays"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val nfc = TextAnalysis.normalize(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(nfc(1L) == composed)
+    assert(nfc(2L) == "\uFB01nance") // NFC keeps compatibility chars
+    assert(nfc(3L) == "plain ascii stays")
+    assert(nfc(4L) == null)
+    val nfkc = TextAnalysis.normalize(docs, "doc_id", "text", nfkc = true)
+      .as[(Long, String)].collect().toMap
+    assert(nfkc(2L) == "finance") // ligature folds
+    val stripped = TextAnalysis.normalize(docs, "doc_id", "text", stripAccents = true)
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "ete")
+  }
+
+  test("normalize round-trips through the nimble format (canonicalized text is what lands on disk)") {
+    val dir = tmpDir("norm-rt")
+    Seq((1L, "é"), (2L, "ok")).toDF("doc_id", "text")
+      .write.format("nimble").mode("overwrite").save(dir)
+    val norm = TextAnalysis.normalize(
+      spark.read.format("nimble").load(dir), "doc_id", "text")
+    norm.write.format("nimble").mode("overwrite").save(dir + "-n")
+    val back = spark.read.format("nimble").load(dir + "-n")
+      .as[(Long, String)].collect().toMap
+    assert(back(1L) == "\u00e9" && back(2L) == "ok")
+  }
+}
