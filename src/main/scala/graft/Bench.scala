@@ -260,6 +260,26 @@ object Bench {
       results("scale_compact_sec") = cSec
     }
 
+    // ---- scale block: row-level DELETE — a retention delete (id >= 6M) on
+    // an id-sorted 8M-row table. Stats classify whole files: the tail files
+    // unlink without reading a byte, at most the one boundary file
+    // rewrites; scale_delete_rewritten pins that contract (a regression to
+    // rewrite-everything would show here as files AND seconds) ----
+    {
+      val dDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-del"
+      spark.read.format("nimble").load(scaleNoDir)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("rowsPerChunk", "16384").mode("overwrite").save(dDir)
+      val (dSec, rep) = time {
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
+      }
+      assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
+      assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
+      results("scale_delete_sec") = dSec
+      results("scale_delete_rewritten") = rep.filesRewritten.toDouble
+    }
+
     // ---- scale block: connected-components dedup clustering over ~1M pairs
     // containing one 1,000-hop duplicate chain — pointer jumping must
     // converge in ~log2(1000) ≈ 10 rounds with O(1) plan size per round
@@ -458,7 +478,8 @@ object Bench {
     //   from the two medians)
     val tier1 = results.filterNot { case (k, _) =>
       k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
-        "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
+        "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
+        "scale_delete_rewritten")
     }
     val tier2 = mins.collect { case (k, v) if headlineMin(k) => (k + "_min", v) }
     val tier3 = results.filter(_._1.matches("codec_.*_ratio"))
@@ -466,7 +487,7 @@ object Bench {
     val tier5 = results.filter(_._1.matches("codec_.*_enc_nspe"))
     val tier6 = results.filter { case (k, _) =>
       k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
-        "write_vs_parquet_ratio|scan_full_vs_parquet_ratio")
+        "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten")
     }
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")

@@ -156,6 +156,48 @@ class DeleteSpec extends SparkTestBase {
     assert(e.getMessage.contains("layout"))
   }
 
+  test("fuzz: random layouts x random predicates delete exactly the filter truth (seeded)") {
+    val rnd = new scala.util.Random(11814)
+    val base = orders
+    for (trial <- 0 until 6) {
+      val dir = tmpDir(s"del-fuzz$trial")
+      val layout = rnd.nextInt(3) match {
+        case 0 => // plain
+          base.repartition(4 + rnd.nextInt(4)).write.format("nimble")
+            .mode("overwrite").save(dir); "plain"
+        case 1 => // sorted + indexed
+          base.repartitionByRange(4 + rnd.nextInt(4), col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey")
+            .write.format("nimble").mode("overwrite")
+            .option("sortColumns", "o_orderkey")
+            .option("indexColumns", "o_orderkey").save(dir); "sorted"
+        case _ => // bucketed
+          base.write.format("nimble").mode("overwrite")
+            .option("bucketColumns", "o_custkey").option("numBuckets", "4")
+            .save(dir); "bucketed"
+      }
+      val maxKey = 60000L
+      val cond = rnd.nextInt(4) match {
+        case 0 =>
+          val lo = (rnd.nextLong().abs % maxKey)
+          col("o_orderkey") >= lo && col("o_orderkey") < lo + rnd.nextInt(20000)
+        case 1 => col("o_orderstatus") === Seq("F", "O", "P")(rnd.nextInt(3))
+        case 2 => col("o_totalprice") > (50000.0 + rnd.nextInt(150000))
+        case _ =>
+          col("o_custkey").isin((0 until 5).map(_ => rnd.nextLong().abs % 1500): _*)
+      }
+      val layoutBefore = Compaction.recoverLayout(dir)
+      val rep = Delete.delete(spark, dir, cond)
+      val truth = base.filter(coalesce(!cond, lit(true)))
+      assertSameData(readBack(dir), truth)
+      assert(rep.rowsDeleted == base.count() - truth.count(),
+        s"trial $trial ($layout): $rep")
+      if (truth.count() > 0)
+        assert(Compaction.recoverLayout(dir) == layoutBefore,
+          s"trial $trial ($layout): layout changed")
+    }
+  }
+
   test("unsigned-widened table: metadata-only deletes work, rewrite refuses") {
     val dir = tmpDir("del-unsigned")
     Seq((1L, 100.toShort), (2L, 200.toShort), (3L, 300.toShort))
