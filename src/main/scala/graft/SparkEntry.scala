@@ -325,6 +325,29 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // MERGE/upsert end-to-end: a delta of updates (every 100th key flips to
+    // status 'U') plus inserts (new keys past the table max, status 'N')
+    // applies with SQL MERGE semantics; the merged table must answer
+    // identically to the relational replay
+    "q35_merge" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      val srcDir = Tables.roundTripDir(s, dir, "q35_src", src,
+        Map("sortColumns" -> "o_orderkey"))
+      val updates = Tables.parquet(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = Tables.parquet(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      graft.ops.Merge.upsert(s, srcDir, updates.unionByName(inserts), Seq("o_orderkey"))
+      s.read.format("nimble").load(srcDir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), max("o_orderkey").as("max_ok"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -893,6 +916,17 @@ object SparkEntry {
                            THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
                       o_totalprice FROM orders) t
          GROUP BY o_orderstatus""",
+    "q35_merge" ->
+      """WITH merged AS (
+           SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 100 <> 0
+           UNION ALL SELECT 'U', o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 100 = 0
+           UNION ALL SELECT 'N', o_orderkey + 10000000, o_totalprice FROM orders
+             WHERE o_orderkey % 100 = 50)
+         SELECT o_orderstatus, count(1) AS cnt, max(o_orderkey) AS max_ok,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM merged GROUP BY o_orderstatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

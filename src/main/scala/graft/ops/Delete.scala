@@ -207,54 +207,10 @@ object Delete {
           "store the WIDENED values (a different physical domain) — only " +
           "metadata-only deletes are supported on such tables; this " +
           "predicate needs a row-level rewrite of: " + mixed.take(3).mkString(","))
-      val tmp = GraftIO.child(dir, s".rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
-      try {
-        // one job: a single whole-dir scan when EVERY file rewrites (broad
-        // delete — reading everything is the right plan and keeps full
-        // bin-packed parallelism), per-file union otherwise (point delete:
-        // only affected files are ever opened)
-        val src =
-          if (mixed.length == files.length)
-            spark.read.format("nimble").options(readOptions).schema(schema).load(dir)
-          else
-            mixed.map(f => spark.read.format("nimble").options(readOptions)
-              .schema(schema).load(f)).reduce(_ unionByName _)
-        val rowsBefore = mixed.map(f => NimbleSource.footerOf(f).rowCount).sum
-
-        val kept = transform(src.filter(keep))
-        val sortCols = layout.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
-        val shaped =
-          if (layout.contains("numBuckets")) kept // bucketed write re-clusters
-          else if (sortCols.nonEmpty)
-            kept.repartitionByRange(math.max(1, mixed.length),
-                sortCols.map(col): _*)
-              .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-          else kept
-        var w = shaped.write.format("nimble").mode("append")
-        layout.foreach { case (k, v) => w = w.option(k, v) }
-        w.save(tmp)
-
-        // move non-empty replacements in (zero-row task files are noise:
-        // they'd break the one-file-per-bucket ordering contract and add
-        // footer reads for nothing)
-        val repl = NimbleSource.listFiles(tmp)
-          .filter(f => NimbleSource.footerOf(f).rowCount > 0)
-        var rowsAfter = 0L
-        // unlink originals FIRST, then move replacements in: a crash in
-        // between loses no committed data (replacements persist in tmp for
-        // manual recovery) and can never duplicate surviving rows
-        mixed.foreach(GraftIO.delete(_))
-        for (f <- repl) {
-          rowsAfter += NimbleSource.footerOf(f).rowCount
-          val name = f.substring(f.lastIndexOf('/') + 1)
-          var dst = GraftIO.child(dir, name)
-          if (GraftIO.exists(dst))
-            dst = GraftIO.child(dir, s"r${java.util.UUID.randomUUID().toString.take(8)}-$name")
-          require(GraftIO.rename(f, dst), s"nimble: delete: rename $f -> $dst failed")
-        }
-        rewritten = mixed.length
-        rowsDeleted += rowsBefore - rowsAfter
-      } finally GraftIO.delete(tmp, recursive = true)
+      val (rowsBefore, rowsAfter) = rewriteFiles(spark, dir, mixed, files,
+        schema, layout, readOptions, src => transform(src.filter(keep)))
+      rewritten = mixed.length
+      rowsDeleted += rowsBefore - rowsAfter
     }
 
     allM.foreach(GraftIO.delete(_))
@@ -273,6 +229,59 @@ object Delete {
     val remaining = NimbleSource.listFiles(dir)
       .map(f => NimbleSource.footerOf(f).rowCount).sum
     Report(allM.length, rewritten, noneM.length, rowsDeleted, remaining)
+  }
+
+  /** Copy-on-write rewrite commit shared by DELETE/UPDATE/MERGE: read the
+    * victim files (one whole-dir scan when they are ALL the files — full
+    * bin-packed parallelism — else a per-file union so untouched files are
+    * never opened), apply `transform`, write replacements layout-preserving
+    * to a hidden side dir, unlink originals FIRST, then move replacements
+    * in (a crash in between loses no committed data — replacements persist
+    * in the side dir for manual recovery — and can never duplicate
+    * surviving rows). Returns (victim rows before, replacement rows after). */
+  private[ops] def rewriteFiles(spark: SparkSession, dir: String,
+      victims: Seq[String], allFiles: Seq[String], schema: StructType,
+      layout: Map[String, String], readOptions: Map[String, String],
+      transform: DataFrame => DataFrame): (Long, Long) = {
+    val tmp = GraftIO.child(dir, s".rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val src =
+        if (victims.length == allFiles.length)
+          spark.read.format("nimble").options(readOptions).schema(schema).load(dir)
+        else
+          victims.map(f => spark.read.format("nimble").options(readOptions)
+            .schema(schema).load(f)).reduce(_ unionByName _)
+      val rowsBefore = victims.map(f => NimbleSource.footerOf(f).rowCount).sum
+
+      val out = transform(src)
+      val sortCols = layout.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+      val shaped =
+        if (layout.contains("numBuckets")) out // bucketed write re-clusters
+        else if (sortCols.nonEmpty)
+          out.repartitionByRange(math.max(1, victims.length), sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        else out
+      var w = shaped.write.format("nimble").mode("append")
+      layout.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(tmp)
+
+      // move non-empty replacements in (zero-row task files are noise:
+      // they'd break the one-file-per-bucket ordering contract and add
+      // footer reads for nothing)
+      val repl = NimbleSource.listFiles(tmp)
+        .filter(f => NimbleSource.footerOf(f).rowCount > 0)
+      var rowsAfter = 0L
+      victims.foreach(GraftIO.delete(_))
+      for (f <- repl) {
+        rowsAfter += NimbleSource.footerOf(f).rowCount
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        var dst = GraftIO.child(dir, name)
+        if (GraftIO.exists(dst))
+          dst = GraftIO.child(dir, s"r${java.util.UUID.randomUUID().toString.take(8)}-$name")
+        require(GraftIO.rename(f, dst), s"nimble: rewrite: rename $f -> $dst failed")
+      }
+      (rowsBefore, rowsAfter)
+    } finally GraftIO.delete(tmp, recursive = true)
   }
 
   // --------------------------------------------- condition translation
