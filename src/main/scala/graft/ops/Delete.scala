@@ -112,6 +112,17 @@ object Delete {
       unlinkAllMatch = false)
   }
 
+  /** Driver-side gate for SQL metadata-only DELETE (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable): true iff every file classifies
+    * all-match or none-match from its own footer stats — `deleteWhere` will
+    * then purely unlink. Mixed predicates return false and take the
+    * group-based row-level rewrite instead. */
+  def metadataOnlyDeletable(dir: String, filters: Array[Filter],
+      unsignedCols: Set[String] = Set.empty): Boolean = {
+    val files = NimbleSource.listFiles(dir)
+    files.isEmpty || classify(files, filters, unsignedCols)._3.isEmpty
+  }
+
   // --------------------------------------------------- classification
 
   /** (allMatch, noneMatch, mixed) file partition. Conservative: a file

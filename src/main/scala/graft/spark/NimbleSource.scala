@@ -710,24 +710,77 @@ object NimbleSource {
     })
 }
 
+/** Group-based row-level operation (copy-on-write, the Iceberg pattern):
+  * SQL DELETE/UPDATE/MERGE plan a scan of the candidate files — restricted
+  * at runtime by Spark's group filter to `_file IN (<files with matches>)`
+  * — and a ReplaceData write whose commit atomically-ish swaps exactly the
+  * scanned files for the rewritten ones. The scan records what it planned;
+  * the write replaces precisely that set, with the dir's footer-recovered
+  * layout (sort, indexes, blooms, bucket spec) carried onto the
+  * replacement files. */
+class NimbleRowLevelOperation(path: String, schema: StructType,
+    tableProps: Map[String, String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  private val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+  private[spark] def recordScanned(files: Seq[String]): Unit = scanned.set(files)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"nimble row-level $cmd path=$path"
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NimbleScanBuilder(path, schema, -1,
+      NimbleSource.unsignedColsOf(options), rowLevel = this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // replacement files re-declare whatever layout the table's files carry
+    val layout =
+      try graft.ops.Compaction.recoverLayout(path)
+      catch { case _: Throwable => Map.empty[String, String] }
+    val opts = new CaseInsensitiveStringMap((tableProps ++ layout).asJava)
+    new NimbleWriteBuilder(path, info.schema(), opts,
+      replaceFilesFn = () => scanned.get())
+  }
+}
+
 class NimbleTable(path: String, schema: StructType,
     tableProps: Map[String, String] = Map.empty) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"nimble:$path"
 
-  /** SQL `DELETE FROM t WHERE ...` — file-granular copy-on-write
-    * ([[graft.ops.Delete]]): files whose stats prove every row matches are
-    * unlinked without reading a byte; files provably untouched stay; mixed
-    * files rewrite layout-preserving. Accepted whenever the references
-    * resolve to top-level columns (the rewrite keep-filter, not stats
-    * precision, carries correctness). */
+  /** `_file` — the tablet file a row came from (parquet `_metadata` parity:
+    * debugging, group-based row-level ops). A real data column of the same
+    * name shadows it. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema.fieldNames.contains("_file")) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "tablet file path this row was read from"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new NimbleRowLevelOperation(path, schema, tableProps, info.command())
+
+  /** Metadata-only SQL DELETE gate: true only when every file classifies
+    * all-match or none-match from its own stats, so `deleteWhere` will
+    * purely unlink files (Spark's OptimizeMetadataOnlyDeleteFromTable asks
+    * this first; anything mixed falls through to the group-based row-level
+    * rewrite, which handles it with `_file`-filtered copy-on-write). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.flatMap(_.references).forall(r => schema.fieldNames.contains(r)) &&
-      // a rewrite of unsigned-widened values would store the widened domain;
-      // only provably file-separable deletes could be honored, and that is
-      // not knowable here — refuse up front for a clear error
-      unsignedColsOfProps.isEmpty
+      unsignedColsOfProps.isEmpty &&
+      graft.ops.Delete.metadataOnlyDeletable(path, filters)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     graft.ops.Delete.deleteFilters(
@@ -784,7 +837,7 @@ class NimbleTable(path: String, schema: StructType,
 // ------------------------------------------------------------------ read
 
 class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1,
-    unsignedCols: Set[String] = Set.empty)
+    unsignedCols: Set[String] = Set.empty, rowLevel: NimbleRowLevelOperation = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -801,6 +854,12 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   private var required: StructType = dataSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Row-level (ReplaceData) plans place ONE shared scan under several
+    // branches with different filters (e.g. UPDATE = union of cond and
+    // NOT-cond branches) — pushing either branch's filter into the shared
+    // scan would drop the other branch's rows. Refuse all pushdown; Spark
+    // evaluates the branch filters itself.
+    if (rowLevel != null) return filters
     val (ok, residual) = filters.partition(f => Filters.supported(f, atomicCols))
     pushed = ok
     residual
@@ -813,7 +872,8 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   /** Partial limit pushdown: each partition stops decoding after `limit`
     * surviving rows (row-range skipping analog, SURVEY §2.3); Spark still
     * applies the global limit. */
-  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def pushLimit(l: Int): Boolean =
+    if (rowLevel != null) false else { limit = l; false }
 
   private var topN: Option[TopNPush] = None
 
@@ -839,7 +899,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, NamedReference}
-    if (pushed.nonEmpty || orders.length != 1 || n <= 0) return false
+    if (rowLevel != null || pushed.nonEmpty || orders.length != 1 || n <= 0) return false
     val o = orders(0)
     val col = o.expression() match {
       case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
@@ -884,6 +944,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     * feed the accumulator, no output vectors). Refused (false) only when the
     * aggregate shape itself is unsupported. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (rowLevel != null) return false
     val files = NimbleSource.listFiles(path)
     // aggregates/groups over unsigned-widened columns would fold signed-domain
     // stats/values — refuse, Spark computes on the widened scan output
@@ -930,7 +991,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
       new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials,
         Option(aggMixed).getOrElse(Seq.empty), aggGroups)
     else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols,
-      topN)
+      topN, rowLevel)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -962,7 +1023,7 @@ case class NimbleBucketPartition(bucket: Int, items: Array[NimbleStripePartition
 
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
-    topN: Option[TopNPush] = None)
+    topN: Option[TopNPush] = None, rowLevel: NimbleRowLevelOperation = null)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -1032,7 +1093,11 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.collect { // must resolve against the scan OUTPUT
+    if (rowLevel != null)
+      // row-level scans accept ONLY the `_file` group filter: a data-column
+      // runtime filter would prune rows out of the ReplaceData rewrite
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    else required.fields.collect { // must resolve against the scan OUTPUT
       // unsigned-widened columns carry signed-domain stats: runtime filters
       // on them could prune wrongly, so they are never offered
       case f if !f.dataType.isInstanceOf[StructType] && !f.dataType.isInstanceOf[ArrayType] &&
@@ -1135,8 +1200,24 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     }
     val survivors = mutable.ArrayBuffer[(NimbleStripePartition, Long)]()
     var pruned = 0L
-    val pruningFilters = filters ++ runtimeFilters
-    val allFiles = NimbleSource.listFiles(path)
+    // Row-level (ReplaceData) scans must emit EVERY row of every selected
+    // group — a data-filter-pruned stripe would silently vanish from the
+    // rewrite — so only the `_file` group filter may restrict them
+    val pruningFilters =
+      if (rowLevel != null) Array.empty[Filter] else filters ++ runtimeFilters
+    // `_file` runtime group filter (row-level operations): Spark's group
+    // filtering pushes IN(<matching files>) against the metadata column, so
+    // a DELETE/UPDATE/MERGE scans — and therefore REPLACES — only the files
+    // that actually contain matches
+    val fileFilter: Option[Set[String]] = (filters ++ runtimeFilters).collectFirst {
+      case org.apache.spark.sql.sources.In("_file", vs) =>
+        vs.iterator.filter(_ != null).map(String.valueOf).toSet
+      case org.apache.spark.sql.sources.EqualTo("_file", v) if v != null =>
+        Set(String.valueOf(v))
+    }
+    val listed = NimbleSource.listFiles(path)
+    val allFiles = fileFilter.map(keep => listed.filter(keep.contains)).getOrElse(listed)
+    if (rowLevel != null) rowLevel.recordScanned(allFiles)
     NimbleSource.prefetchFooters(allFiles)
     // bucket pruning: equality/In on the bucket column names the only
     // bucket(s) that can hold matches, so every other bucket's FILES drop
@@ -1461,6 +1542,13 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val cursors: Map[String, Tablet.ChunkCursor] =
     streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
 
+  // `_file` metadata column (SupportsMetadataColumns): constant-per-file
+  // path, no streams — shadowed by a real data column of the same name
+  private val isFileCol: Array[Boolean] = required.fields.map { f =>
+    f.name == "_file" && !dataSchema.fieldNames.contains("_file")
+  }
+  private val fileUtf8: Array[Byte] = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   // schema evolution: a required field with NO streams in this file (added
   // to the table after the file was written) reads as all-null, parquet
   // style; its reader slot stays null and fillBatch null-fills the vector
@@ -1545,7 +1633,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           current = new ColumnarBatch(Array.empty[ColumnVector], n)
         } else {
           ensureReusableBatch()
-          reusableVecs.foreach { v => v.reset(); v.putNulls(0, n) }
+          var vi = 0
+          while (vi < reusableVecs.length) {
+            reusableVecs(vi).reset()
+            reusableVecs(vi).reserve(n)
+            if (isFileCol(vi)) fillFileCol(reusableVecs(vi), n)
+            else reusableVecs(vi).putNulls(0, n)
+            vi += 1
+          }
           reusableBatch.setNumRows(n)
           current = reusableBatch
           emitted += n
@@ -1691,6 +1786,11 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private def discardVector(dt: DataType): OnHeapColumnVector =
     new OnHeapColumnVector(16, dt)
 
+  private def fillFileCol(vec: OnHeapColumnVector, n: Int): Unit = {
+    var r = 0
+    while (r < n) { vec.putByteArray(r, fileUtf8); r += 1 }
+  }
+
   private def ensureReusableBatch(): Unit =
     if (reusableVecs == null) {
       reusableVecs = required.fields.map(f => new OnHeapColumnVector(16384, f.dataType))
@@ -1713,12 +1813,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       outRows = if (selection != null) selection.length else chunkRowsHint
     // absent (schema-evolved) fields null-fill to the batch's row count;
     // reserve first — vectors allocate at 16384 and putNulls does not grow,
-    // so a file written with rowsPerChunk > 16384 would overflow otherwise
+    // so a file written with rowsPerChunk > 16384 would overflow otherwise.
+    // `_file` metadata fields fill the constant path instead.
     i = 0
     while (i < required.fields.length) {
       if (fieldReaders(i) == null) {
         reusableVecs(i).reserve(outRows)
-        reusableVecs(i).putNulls(0, outRows)
+        if (isFileCol(i)) fillFileCol(reusableVecs(i), outRows)
+        else reusableVecs(i).putNulls(0, outRows)
       }
       i += 1
     }
@@ -1737,7 +1839,8 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
 // ----------------------------------------------------------------- write
 
-class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap,
+    replaceFilesFn: () => Seq[String] = null)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -1797,7 +1900,8 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
       csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
       csvOpt("indexColumns"),
       Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
-      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20), bucket)
+      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20), bucket,
+      replaceFilesFn)
 
   /** Structured Streaming sink: files are immutable and appended per epoch,
     * which matches the format's append-only tablet model exactly; epoch id
@@ -1813,11 +1917,27 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
   override def build(): Write = {
     validateIndexOpts()
     bucketSpec match {
-      case None => new Write {
+      case None if sortCols.isEmpty => new Write {
         override def toBatch: BatchWrite = mkBatch(None)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           mkStreaming
       }
+      case None =>
+        // sorted, unbucketed: declare the per-file ordering so Spark sorts
+        // each task's rows itself when the child plan isn't already ordered
+        // (an already-sorted child satisfies the requirement — no extra
+        // sort). This is what keeps SQL UPDATE/MERGE replacement files on
+        // the sort contract without a caller-side sortWithinPartitions.
+        new Write with RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+          override def toBatch: BatchWrite = mkBatch(None)
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            mkStreaming
+          override def requiredDistribution(): Distribution = Distributions.unspecified()
+          override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            sortCols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        }
       case spec @ Some((cols, n)) =>
         // Bucketed write: ask Spark to hash-cluster the input into exactly n
         // partitions (REPARTITION_BY_NUM origin, so AQE never coalesces and
@@ -1895,7 +2015,8 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
     stripeRawBytes: Long = 96L << 20,
-    bucketSpec: Option[(Seq[String], Int)] = None) extends BatchWrite {
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    replaceFilesFn: () => Seq[String] = null) extends BatchWrite {
 
   // per-job tag: task ids restart at 0 in a new Spark application, so append
   // jobs would otherwise silently overwrite files from an earlier run
@@ -1931,8 +2052,25 @@ class NimbleBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncateFirst)
       NimbleSource.listFiles(path).foreach(f => GraftIO.delete(f))
-    val pairs = messages.collect { case NimbleCommitMessage(temp, dest) => (temp, dest) }
-    NimbleSource.foreachParallel(pairs.toSeq) { case (temp, dest) =>
+    var pairs = messages.collect { case NimbleCommitMessage(temp, dest) => (temp, dest) }.toSeq
+    if (replaceFilesFn != null) {
+      // ReplaceData (row-level DELETE/UPDATE/MERGE): swap exactly the
+      // scanned group files for the rewritten ones — delete-first for the
+      // same no-silent-duplicates reason as overwrite. Zero-row task files
+      // stay out (they would break the one-file-per-bucket ordering
+      // contract and add footer reads for nothing).
+      val victims = replaceFilesFn()
+      val nonEmpty = pairs.filter { case (temp, _) => NimbleSource.footerOf(temp).rowCount > 0 }
+      // a rewrite that deletes every row of the LAST files keeps ONE
+      // zero-row file: the schema (and declared layout) must survive an
+      // emptied table
+      pairs =
+        if (nonEmpty.isEmpty && victims.toSet == NimbleSource.listFiles(path).toSet)
+          pairs.take(1)
+        else nonEmpty
+      victims.foreach(f => GraftIO.delete(f))
+    }
+    NimbleSource.foreachParallel(pairs) { case (temp, dest) =>
       if (!GraftIO.rename(temp, dest))
         throw new java.io.IOException(s"nimble: commit failed renaming $temp -> $dest")
     }

@@ -131,13 +131,25 @@ class TopNSpec extends SparkTestBase {
 
   test("misdeclared sort order is fenced by stripe-stats monotonicity") {
     val dir = tmpDir("topn_misdeclared")
-    // shuffled data falsely declared sorted: stripe [min,max] ranges overlap
-    spark.range(40000).selectExpr("CAST(hash(id) AS BIGINT) AS k",
-        "md5(CAST(id AS STRING)) AS s")
-      .coalesce(1)
-      .write.format("nimble").option("sortColumns", "k")
-      .option("stripeBytes", "65536").option("rowsPerChunk", "1024")
-      .mode("overwrite").save(dir)
+    // a FOREIGN writer's file falsely declaring sortColumns over shuffled
+    // data (the Spark write path can no longer produce this — its
+    // requiredOrdering sorts the rows — so forge it with the Tablet API:
+    // stripe [min,max] ranges overlap and the fence must refuse)
+    locally {
+      import graft.format.{Tablet, LongsCol, PhysType}
+      val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))).json
+      val w = new Tablet.Writer(s"$dir/forged.gft", schemaJson, Array("k"),
+        sortColumns = Seq("k"))
+      val rnd = new scala.util.Random(7)
+      for (_ <- 0 until 4) { // 4 stripes of shuffled keys: ranges overlap
+        w.writeChunk(0, LongsCol(Array.fill(1024)(rnd.nextLong() % 100000L), PhysType.I64))
+        w.addRows(1024L)
+        w.flushStripe()
+      }
+      w.close()
+    }
     val df = spark.read.format("nimble").load(dir)
     val q = df.orderBy("k").limit(3)
     assert(!plan(q).contains("topN="), "stats contradict the declaration; must refuse")
