@@ -266,11 +266,15 @@ object Bench {
     // rewrites; scale_delete_rewritten pins that contract (a regression to
     // rewrite-everything would show here as files AND seconds) ----
     {
-      val dDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-del"
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-bench/rlwh"
+      spark.conf.set("spark.sql.catalog.gbench", "graft.spark.NimbleCatalog")
+      spark.conf.set("spark.sql.catalog.gbench.warehouse", wh)
+      spark.sql("DROP TABLE IF EXISTS gbench.default.scale_del")
       spark.read.format("nimble").load(scaleNoDir)
         .repartitionByRange(8, col("id")).sortWithinPartitions("id")
-        .write.format("nimble").option("sortColumns", "id")
-        .option("rowsPerChunk", "16384").mode("overwrite").save(dDir)
+        .writeTo("gbench.default.scale_del")
+        .tableProperty("sortColumns", "id").create()
+      val dDir = s"$wh/default/scale_del"
       val (dSec, rep) = time {
         graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
       }
@@ -278,6 +282,23 @@ object Bench {
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
       results("scale_delete_sec") = dSec
       results("scale_delete_rewritten") = rep.filesRewritten.toDouble
+
+      // SQL UPDATE at scale: the runtime group filter must restrict the
+      // copy-on-write to the file(s) holding the 100K-row keyhole — wall
+      // clock is one file's rewrite, not six million rows'
+      val filesBefore = graft.spark.NimbleSource.listFiles(dDir).toSet
+      val (uSec, _) = time {
+        spark.sql("UPDATE gbench.default.scale_del SET v = 0.0 " +
+          "WHERE id >= 1000000 AND id < 1100000")
+      }
+      val filesAfter = graft.spark.NimbleSource.listFiles(dDir).toSet
+      val replaced = (filesBefore -- filesAfter).size
+      assert(replaced <= 2, s"group filter should bound the rewrite: $replaced files replaced")
+      assert(spark.table("gbench.default.scale_del")
+        .filter(col("id") >= 1000000L && col("id") < 1100000L)
+        .agg(sum(org.apache.spark.sql.functions.abs(col("v")))).head().getDouble(0) == 0.0)
+      results("scale_sql_update_sec") = uSec
+      results("scale_sql_update_files") = replaced.toDouble
     }
 
     // ---- scale block: connected-components dedup clustering over ~1M pairs
@@ -479,7 +500,7 @@ object Bench {
     val tier1 = results.filterNot { case (k, _) =>
       k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
-        "scale_delete_rewritten")
+        "scale_delete_rewritten|scale_sql_update_files")
     }
     val tier2 = mins.collect { case (k, v) if headlineMin(k) => (k + "_min", v) }
     val tier3 = results.filter(_._1.matches("codec_.*_ratio"))
@@ -487,7 +508,8 @@ object Bench {
     val tier5 = results.filter(_._1.matches("codec_.*_enc_nspe"))
     val tier6 = results.filter { case (k, _) =>
       k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
-        "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten")
+        "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten|" +
+        "scale_sql_update_files")
     }
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")

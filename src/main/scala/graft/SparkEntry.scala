@@ -348,6 +348,27 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // SQL row-level DML end-to-end through the catalog: UPDATE takes the
+    // group-based copy-on-write path (the predicate is mixed inside the
+    // hit files), DELETE short-circuits metadata checks where stats prove
+    // it; the surviving table must answer identically to the relational
+    // replay
+    "q36_sql_rowlevel" -> ((s, dir) => {
+      val cat = Tables.spjTables(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $cat.rl_orders")
+      Tables.parquet(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .writeTo(s"$cat.rl_orders").tableProperty("sortColumns", "o_orderkey").create()
+      s.sql(s"UPDATE $cat.rl_orders SET o_orderstatus = 'X' " +
+        "WHERE o_orderkey <= 1000 AND o_orderstatus = 'O'")
+      s.sql(s"DELETE FROM $cat.rl_orders WHERE o_totalprice > 250000.0")
+      s.table(s"$cat.rl_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -927,6 +948,14 @@ object SparkEntry {
          SELECT o_orderstatus, count(1) AS cnt, max(o_orderkey) AS max_ok,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM merged GROUP BY o_orderstatus""",
+    "q36_sql_rowlevel" ->
+      """SELECT o_orderstatus, count(1) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderkey <= 1000 AND o_orderstatus = 'O'
+                           THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                      o_totalprice FROM orders) t
+         WHERE NOT (o_totalprice > 250000.0)
+         GROUP BY o_orderstatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
