@@ -546,6 +546,20 @@ object SparkEntry {
     "x30_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(Tables.nimble(s, dir, "documents"),
         "doc_id", "text")),
+    // PII redaction: plant a deterministic email/IP per 10th doc, scrub,
+    // and the placeholder tokens must land exactly where the plants were
+    "x31_pii_scrub" -> ((s, dir) => {
+      val planted = Tables.nimble(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0.0."), (col("doc_id") % 256).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scrubPii(planted, "doc_id", "text")
+    }),
+    // leakage-proof dataset split: ppm-exact md5 thresholds, engine-replayable
+    "x32_dataset_split" -> ((s, dir) =>
+      TextAnalysis.datasetSplit(Tables.nimble(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))),
     // IVF ANN search end-to-end: probe the 2 nearest cells per query, exact
     // re-rank inside them (corpus cell assignment is a zero-shuffle fold)
     "x26_ivf_topk" -> ((s, dir) => {
@@ -1044,6 +1058,28 @@ object SparkEntry {
          FROM m""",
     "x30_normalize" ->
       "SELECT doc_id, nfc_normalize(text) AS norm_text FROM documents",
+    "x31_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+             '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g')
+           AS scrubbed
+         FROM planted""",
+    "x32_dataset_split" ->
+      """SELECT doc_id,
+           CASE WHEN h < 980000 THEN 'train'
+                WHEN h < 990000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 AS h
+               FROM documents) t""",
     // full IVF pipeline replay: query-cell probing (nprobe=2), corpus cell
     // assignment (argmax with min-cid tie-break), exact re-rank — same
     // rounded-cosine determinism contract as x05/x06/x14

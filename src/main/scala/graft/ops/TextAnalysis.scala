@@ -225,6 +225,39 @@ object TextAnalysis {
       (length(reasons) === 0).as("pass"))
   }
 
+  /** PII scrubbing: replace emails, phone-shaped numbers, and IPv4 literals
+    * with typed placeholder tokens — the standard redaction pass before
+    * training-corpus publication. Pure narrow regexp_replace (codegen'd,
+    * zero shuffles); patterns deliberately conservative (no lookaround) so
+    * they run identically across regex engines. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phone, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Deterministic train/val/test assignment by document-id hash with
+    * ppm-exact boundaries: the same doc lands in the same split on every
+    * engine and every run (no RNG, no global sort), and joining any derived
+    * table back re-derives the split — the property that prevents
+    * train/test leakage across pipeline stages. */
+  def datasetSplit(df: DataFrame, idCol: String,
+      trainPpm: Long = 980000L, valPpm: Long = 10000L): DataFrame = {
+    require(trainPpm > 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      "datasetSplit: ppm thresholds must fit in a million")
+    val h = Dedup.hash32(col(idCol).cast("string")) % 1000000L
+    df.withColumn("split",
+      when(h < trainPpm, "train")
+        .when(h < trainPpm + valPpm, "val")
+        .otherwise("test"))
+  }
+
   /** Unicode normalization (NFC/NFKC, optional accent strip) via the native
     * [[graft.functions.NormalizeText]] expression — byte-canonicalizes
     * visually-identical strings before fingerprint/dedup hashing. */

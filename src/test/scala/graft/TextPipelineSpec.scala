@@ -76,6 +76,33 @@ class TextPipelineSpec extends SparkTestBase {
     assert(stripped(1L) == "ete")
   }
 
+  test("scrubPii replaces emails, IPs and phone shapes with typed tokens") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "server 192.168.001.1 and backup 10.0.0.7"),
+      (3L, "call +1 555 867-5309 now"),
+      (4L, "nothing to hide here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server <IP> and backup <IP>")
+    assert(out(3L).contains("<PHONE>") && !out(3L).exists(_.isDigit), out(3L))
+    assert(out(4L) == "nothing to hide here")
+  }
+
+  test("datasetSplit: ppm-exact, deterministic, roughly proportioned") {
+    val docs = spark.range(20000).toDF("doc_id")
+    val out = TextAnalysis.datasetSplit(docs, "doc_id", trainPpm = 800000L, valPpm = 100000L)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 15000 && counts("train") < 17000, counts.toString)
+    assert(counts("val") > 1600 && counts("val") < 2400, counts.toString)
+    assert(counts("test") > 1600 && counts("test") < 2400, counts.toString)
+    // deterministic re-derivation: same assignment on every call
+    val again = TextAnalysis.datasetSplit(docs, "doc_id", trainPpm = 800000L, valPpm = 100000L)
+    assert(out.exceptAll(again).isEmpty)
+  }
+
   test("normalize round-trips through the nimble format (canonicalized text is what lands on disk)") {
     val dir = tmpDir("norm-rt")
     Seq((1L, "é"), (2L, "ok")).toDF("doc_id", "text")
