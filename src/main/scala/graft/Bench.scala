@@ -267,12 +267,12 @@ object Bench {
     // rewrite-everything would show here as files AND seconds) ----
     {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-bench/rlwh"
-      spark.conf.set("spark.sql.catalog.gbench", "graft.spark.NimbleCatalog")
-      spark.conf.set("spark.sql.catalog.gbench.warehouse", wh)
-      spark.sql("DROP TABLE IF EXISTS gbench.default.scale_del")
+      spark.conf.set("spark.sql.catalog.gbenchrl", "graft.spark.NimbleCatalog")
+      spark.conf.set("spark.sql.catalog.gbenchrl.warehouse", wh)
+      spark.sql("DROP TABLE IF EXISTS gbenchrl.default.scale_del")
       spark.read.format("nimble").load(scaleNoDir)
         .repartitionByRange(8, col("id")).sortWithinPartitions("id")
-        .writeTo("gbench.default.scale_del")
+        .writeTo("gbenchrl.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
       val (dSec, rep) = time {
@@ -280,7 +280,7 @@ object Bench {
       }
       assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
-      results("scale_delete_sec") = dSec
+      results("scale_delete") = dSec
       results("scale_delete_rewritten") = rep.filesRewritten.toDouble
 
       // SQL UPDATE at scale: the runtime group filter must restrict the
@@ -288,16 +288,16 @@ object Bench {
       // clock is one file's rewrite, not six million rows'
       val filesBefore = graft.spark.NimbleSource.listFiles(dDir).toSet
       val (uSec, _) = time {
-        spark.sql("UPDATE gbench.default.scale_del SET v = 0.0 " +
+        spark.sql("UPDATE gbenchrl.default.scale_del SET v = 0.0 " +
           "WHERE id >= 1000000 AND id < 1100000")
       }
       val filesAfter = graft.spark.NimbleSource.listFiles(dDir).toSet
       val replaced = (filesBefore -- filesAfter).size
       assert(replaced <= 2, s"group filter should bound the rewrite: $replaced files replaced")
-      assert(spark.table("gbench.default.scale_del")
+      assert(spark.table("gbenchrl.default.scale_del")
         .filter(col("id") >= 1000000L && col("id") < 1100000L)
         .agg(sum(org.apache.spark.sql.functions.abs(col("v")))).head().getDouble(0) == 0.0)
-      results("scale_sql_update_sec") = uSec
+      results("scale_sql_update") = uSec
       results("scale_sql_update_files") = replaced.toDouble
     }
 

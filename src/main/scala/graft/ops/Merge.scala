@@ -156,4 +156,32 @@ object Merge {
     Report(affected.length, files.length - affected.length,
       rowsMatched = sourceKeyCount - inserted, rowsInserted = inserted)
   }
+
+  /** Continuous CDC apply: every micro-batch upserts into the tablet dir
+    * (foreachBatch — the standard Structured Streaming pattern for sinks
+    * with merge semantics). A batch may carry several versions of one key;
+    * `versionCol` picks the survivor (max version per key — last-write-wins
+    * with an explicit, replayable ordering; keep versions unique per key:
+    * a tie picks arbitrarily and replay may then diverge).
+    * Exactly-once note: foreachBatch can REPLAY a batch after a failure —
+    * upsert is idempotent for updates (same rows overwrite) and for
+    * inserts (the key now exists and re-matches), so replay converges. */
+  def streamingUpsert(stream: DataFrame, dir: String, keyCols: Seq[String],
+      versionCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+            .orderBy(col(s"`$versionCol`").desc)
+          val latest = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          upsert(batch.sparkSession, dir, latest, keyCols)
+        }
+        ()
+      }
+      .start()
+  }
 }

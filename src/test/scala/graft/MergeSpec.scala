@@ -86,6 +86,31 @@ class MergeSpec extends SparkTestBase {
     assert(e2.getMessage.contains("null"))
   }
 
+  test("streamingUpsert applies CDC batches with last-write-wins per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = sortedDir("mrg-stream", target(100L))
+    val input = MemoryStream[(Long, Long, String, Long)](spark) // k, v, tag, version
+    val q = graft.ops.Merge.streamingUpsert(
+      input.toDF().toDF("k", "v", "tag", "ver"),
+      dir, Seq("k"), "ver", tmpDir("mrg-stream-ckpt"))
+    try {
+      // batch 1: two versions of key 5 (later wins) + an insert
+      input.addData((5L, 1L, "old", 1L), (5L, 2L, "newer", 2L), (7777L, 9L, "ins", 1L))
+      q.processAllAvailable()
+      val t1 = readBack(dir).filter(col("k").isin(5L, 7777L))
+        .select("k", "v", "tag").as[(Long, Long, String)].collect().toSet
+      assert(t1 == Set((5L, 2L, "newer"), (7777L, 9L, "ins")), t1)
+      // batch 2: update the inserted row
+      input.addData((7777L, 10L, "upd2", 2L))
+      q.processAllAvailable()
+      val t2 = readBack(dir).filter(col("k") === 7777L)
+        .select("v", "tag").as[(Long, String)].head()
+      assert(t2 == ((10L, "upd2")))
+      assert(readBack(dir).count() == 101L) // 100 base + 1 insert
+    } finally q.stop()
+  }
+
   test("composite key: second column refines matching") {
     val dir = tmpDir("mrg-comp")
     Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L))

@@ -119,6 +119,46 @@ class RowLevelSpec extends SparkTestBase {
     assertSameData(spark.table(t), orders.filter(!(col("o_orderkey") % 100 === 0)))
   }
 
+  test("fuzz: random SQL DML sequences equal an in-memory replay (seeded)") {
+    val rnd = new scala.util.Random(424242)
+    spark.conf.set("spark.sql.catalog.grl", "graft.spark.NimbleCatalog")
+    spark.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    val t = "grl.default.t_fuzz"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.range(600).selectExpr("id AS k", "id * 3 AS v")
+      .repartitionByRange(6, col("k")).sortWithinPartitions("k")
+      .writeTo(t).tableProperty("sortColumns", "k").create()
+    var model: Map[Long, Long] = (0L until 600L).map(k => k -> k * 3).toMap
+    for (step <- 0 until 6) {
+      rnd.nextInt(4) match {
+        case 0 => // mixed UPDATE
+          val c = rnd.nextInt(1000).toLong
+          val lo = rnd.nextInt(600).toLong; val hi = lo + rnd.nextInt(100)
+          spark.sql(s"UPDATE $t SET v = v + $c WHERE k >= $lo AND k <= $hi")
+          model = model.map { case (k, v) => k -> (if (k >= lo && k <= hi) v + c else v) }
+        case 1 => // mixed DELETE (modulo predicate defeats stats)
+          val m = 7 + rnd.nextInt(13); val r = rnd.nextInt(m)
+          spark.sql(s"DELETE FROM $t WHERE k % $m = $r")
+          model = model.filter { case (k, _) => k % m != r }
+        case 2 => // stats-separable DELETE (metadata path)
+          val cut = 400L + rnd.nextInt(300)
+          spark.sql(s"DELETE FROM $t WHERE k > $cut")
+          model = model.filter { case (k, _) => k <= cut }
+        case _ => // MERGE: bump some keys, insert some new
+          val base = rnd.nextInt(2000).toLong
+          val delta = (0 until 20).map(i => (base + i * 17L, rnd.nextInt(100000).toLong))
+          delta.toDF("k", "v").createOrReplaceTempView("rl_fuzz_delta")
+          spark.sql(s"""MERGE INTO $t AS t USING rl_fuzz_delta AS s
+                        ON t.k = s.k
+                        WHEN MATCHED THEN UPDATE SET *
+                        WHEN NOT MATCHED THEN INSERT *""")
+          model = model ++ delta.toMap
+      }
+      val got = spark.table(t).as[(Long, Long)].collect().toMap
+      assert(got == model, s"step $step diverged: ${got.size} vs ${model.size} rows")
+    }
+  }
+
   test("a data column named _file shadows the metadata column") {
     val dir = tmpDir("rl-shadow")
     Seq((1L, "real")).toDF("id", "_file").write.format("nimble").mode("overwrite").save(dir)
