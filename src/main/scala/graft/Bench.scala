@@ -260,6 +260,45 @@ object Bench {
       results("scale_compact_sec") = cSec
     }
 
+    // ---- scale block: OPTIMIZE ZORDER — 8M rows on a 512x512 grid of two
+    // independent dimensions, single-column-sorted vs Morton-curve
+    // clustered. The secondary-dimension probe is the 100 TB story: on the
+    // sorted table it scans everything; on the z-ordered table stripe stats
+    // prune most of the curve. Wall-clock pair + the pruned fraction. ----
+    {
+      val zr = 8000000L
+      // b non-linear in id (any id*c%m correlates perfectly with a)
+      val zdf = spark.range(zr).select(
+        (col("id") % 512).cast("int").as("a"),
+        pmod(hash(col("id")), lit(512)).as("b"),
+        (col("id") % 1000003).cast("double").as("v"))
+      val linDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-zlin"
+      val zDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-zord"
+      zdf.repartitionByRange(4, col("a")).sortWithinPartitions("a")
+        .write.format("nimble").mode("overwrite")
+        .option("sortColumns", "a").option("stripeBytes", (1L << 20).toString)
+        .save(linDir)
+      val (zSec, _) = time {
+        graft.ops.ZOrder.zorder(spark, linDir, zDir, Seq("a", "b"),
+          targetFileBytes = 32L << 20,
+          extraOptions = Map("stripeBytes" -> (1L << 20).toString))
+      }
+      results("scale_zorder_sec") = zSec
+      timed("scale_zorder_probe_b") {
+        spark.read.format("nimble").load(zDir)
+          .filter(col("b") === 77).agg(sum("v")).collect()
+      }
+      timed("scale_linear_probe_b") {
+        spark.read.format("nimble").load(linDir)
+          .filter(col("b") === 77).agg(sum("v")).collect()
+      }
+      val probe = spark.read.format("nimble").load(zDir).filter(col("b") === 77)
+      probe.select("v").rdd.getNumPartitions // plan: records stripe pruning
+      val st = graft.spark.NimbleSource.lastPlanStats(zDir).get
+      results("scale_zorder_prune_frac") =
+        st.stripesPruned.toDouble / (st.stripesPruned + st.stripesPlanned)
+    }
+
     // ---- scale block: row-level DELETE — a retention delete (id >= 6M) on
     // an id-sorted 8M-row table. Stats classify whole files: the tail files
     // unlink without reading a byte, at most the one boundary file
@@ -474,7 +513,7 @@ object Bench {
   private def headlineMin(k: String): Boolean =
     k.matches("write_lineitem|scan_full_nimble|scan_pruned_nimble|" +
       "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan|" +
-      "scale_spj_join|scale_shuffle_join") ||
+      "scale_spj_join|scale_shuffle_join|scale_zorder_probe_b|scale_linear_probe_b") ||
       k.matches("q\\d\\d_.*|x\\d\\d_.*") // EVERY headline query min rides along:
       // a contaminated median with no min twin is unfalsifiable from the
       // artifact alone (r9's x07 took a judge re-run to clear)

@@ -369,6 +369,25 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // OPTIMIZE ZORDER end-to-end: lineitem rewritten on the Morton curve
+    // over (l_partkey, l_suppkey) answers a both-dimension filter query
+    // identically to the parquet original — the rewrite is value-preserving
+    // and declares no false sort (pruning rides plain stripe stats)
+    "q37_zorder" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val srcDir = Tables.roundTripDir(s, dir, "q37_src", src)
+      val zDir = srcDir + "-zordered"
+      graft.ops.ZOrder.zorder(s, srcDir, zDir, Seq("l_partkey", "l_suppkey"),
+        targetFileBytes = 1L << 30)
+      s.read.format("nimble").load(zDir)
+        .filter(col("l_partkey") <= 200 || col("l_suppkey") <= 10)
+        .groupBy((col("l_suppkey") % 7).cast("int").as("sgrp"))
+        .agg(count(lit(1)).as("cnt"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -970,6 +989,12 @@ object SparkEntry {
                       o_totalprice FROM orders) t
          WHERE NOT (o_totalprice > 250000.0)
          GROUP BY o_orderstatus""",
+    "q37_zorder" ->
+      """SELECT CAST(l_suppkey % 7 AS INT) AS sgrp, count(1) AS cnt,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem WHERE l_partkey <= 200 OR l_suppkey <= 10
+         GROUP BY 1""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

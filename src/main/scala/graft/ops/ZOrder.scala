@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, call_function, col, lit}
+import graft.format.GraftIO
+import graft.spark.NimbleSource
+
+/** OPTIMIZE ZORDER — multi-dimensional clustering rewrite for tablet
+  * directories.
+  *
+  * A sort-clustered table prunes linearly on its leading sort column and
+  * not at all on any other; at 100 TB that means a second selective filter
+  * column scans everything. Z-ordering rewrites the table along a Morton
+  * space-filling curve over up to eight columns: each column maps to an
+  * 8-bit quantile bucket (sampled boundaries, so skewed value
+  * distributions still spread across buckets), the bucket bits interleave
+  * into one long key ([[graft.functions.ZInterleave]]), and the rewrite
+  * range-partitions + sorts on that key. Rows adjacent on the curve are
+  * close in every clustered dimension, so per-file and per-stripe min/max
+  * stats — which the scan already uses for plan-time stripe pruning —
+  * become tight on ALL clustered columns at once: a point or range filter
+  * on any of k clustered columns prunes ~N^((k-1)/k) of N stripes instead
+  * of zero (the same trade Delta Lake / Iceberg OPTIMIZE ZORDER makes).
+  *
+  * The curve key is a transient rewrite artifact: it is dropped before the
+  * write and nothing about it is declared in footers. In particular the
+  * output does NOT declare `sortColumns` — the table is not sorted by any
+  * real column, and a false declaration would let TopN pushdown and
+  * sorted-range probes return wrong rows. All pruning benefits ride plain
+  * per-stripe statistics, which need no declaration.
+  *
+  * Preserves the non-sort layout recovered from the input footers (indexes,
+  * blooms, FlatMap / dict-array / dedup-map, nanos split). Bucketed tables
+  * are refused: the bucket-hash write distribution and the curve's range
+  * distribution contradict — z-order within buckets would silently drop
+  * the storage-partitioned-join contract's co-location benefit ordering.
+  */
+object ZOrder {
+
+  /** Sampled quantile boundaries for `colName`: up to `buckets-1` distinct
+    * values splitting the sampled distribution evenly. Sampling is
+    * planning-side only (bounded: ~64 values per target bucket) — the same
+    * approach Spark's own RangePartitioner takes, and mis-sampling only
+    * costs clustering quality, never correctness. */
+  private def sampleBoundaries(df: DataFrame, colName: String, buckets: Int,
+      totalRows: Long): Array[Any] = {
+    val target = 64L * buckets
+    val frac = math.min(1.0, target.toDouble / math.max(1L, totalRows))
+    val sampled = df.select(col(colName)).where(col(colName).isNotNull)
+      .sample(withReplacement = false, frac, seed = 42)
+      .limit((2 * target).toInt) // hard cap: a mis-estimated frac cannot flood the driver
+      .collect().map(_.get(0))
+    if (sampled.isEmpty) return Array.empty
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      @SuppressWarnings(Array("unchecked"))
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+    }
+    val sorted = sampled.sorted
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 1
+    while (i < buckets) {
+      val v = sorted(((i.toLong * sorted.length) / buckets).toInt.min(sorted.length - 1))
+      if (out.isEmpty || ord.compare(out.last, v) != 0) out += v
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The Z-curve key column for `cols` over `df` (exposed for specs). */
+  def zkey(df: DataFrame, cols: Seq[String], buckets: Int = 256,
+      totalRows: Long = -1L): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.length <= 8, "zorder takes 1..8 columns")
+    graft.functions.ZOrderKey.register(df.sparkSession)
+    val rows = if (totalRows >= 0) totalRows else df.count()
+    val ids = cols.map { c =>
+      val bounds = sampleBoundaries(df, c, buckets, rows)
+      if (bounds.isEmpty) lit(0) // all-null or empty column: constant bucket
+      else {
+        // cast the literal array to the column's exact type (lit() can
+        // infer a sibling type, e.g. a different decimal precision)
+        val bt = org.apache.spark.sql.types.ArrayType(df.schema(c).dataType)
+        call_function("graft_zbucket", col(c), array(bounds.map(lit(_)): _*).cast(bt))
+      }
+    }
+    call_function("graft_zinterleave", ids: _*)
+  }
+
+  /** Rewrite `dir` into `outDir`, z-order-clustered on `cols`, at
+    * ~`targetFileBytes` per output file. */
+  def zorder(spark: SparkSession, dir: String, outDir: String, cols: Seq[String],
+      targetFileBytes: Long = 256L << 20, buckets: Int = 256,
+      extraOptions: Map[String, String] = Map.empty): Compaction.Report = {
+    require(new java.io.File(dir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"nimble: zorder: outDir must differ from the input directory ($dir)")
+    val layout = Compaction.recoverLayout(dir)
+    require(!layout.contains("numBuckets"),
+      s"nimble: zorder: $dir is hash-bucketed — z-ordering would break the " +
+        "storage-partitioned-join layout; compact within buckets instead")
+    val opts = (layout - "sortColumns") ++ extraOptions // curve order is not a column sort: never declare one
+    val before = GraftIO.listGft(dir)
+    val bytesBefore = before.map(_.length).sum
+    val totalRows = before.map(f => NimbleSource.footerOf(f.path).rowCount).sum
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.format("nimble").load(dir)
+    cols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"nimble: zorder: column $c not in ${df.schema.fieldNames.mkString(",")}"))
+    val keyed = df.withColumn("__zkey", zkey(df, cols, buckets, totalRows))
+    val shaped = keyed
+      .repartitionByRange(nOut, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .select(df.schema.fieldNames.map(col).toIndexedSeq: _*) // narrow: drops the key, keeps order
+
+    var w = shaped.write.format("nimble").mode("overwrite")
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(outDir)
+
+    val after = GraftIO.listGft(outDir)
+    Compaction.Report(before.length, after.length, bytesBefore,
+      after.map(_.length).sum,
+      after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, opts)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ZOrder
+import graft.spark.NimbleSource
+
+/** OPTIMIZE ZORDER: the Morton-curve rewrite keeps data value-identical,
+  * never declares a false sort, and makes stripe-stats pruning effective on
+  * EVERY clustered column — the property a single-column sort cannot give. */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ZInterleave: bit-exact Morton interleave, round-robin from LSB") {
+    graft.functions.ZOrderKey.register(spark)
+    val r = spark.range(1).select(
+      call_function("graft_zinterleave", lit(1), lit(0)).as("a"),       // bit0 of col0 -> bit0
+      call_function("graft_zinterleave", lit(0), lit(1)).as("b"),       // bit0 of col1 -> bit1
+      call_function("graft_zinterleave", lit(255), lit(255)).as("c"),   // 16 bits set
+      call_function("graft_zinterleave", lit(2), lit(1)).as("d")        // 0b0110
+    ).head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0xffffL)
+    assert(r.getLong(3) == 6L)
+  }
+
+  test("ZBucket: boundary counting, nulls to bucket 0, strings ordered") {
+    graft.functions.ZOrderKey.register(spark)
+    val df = Seq[Option[Int]](Some(5), Some(10), Some(15), Some(25), None).toDF("v")
+      .select(call_function("graft_zbucket", col("v"),
+        array(lit(10), lit(20))).as("b"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 1, 1, 2, 0))
+    val sdf = Seq("apple", "melon", "zebra").toDF("s")
+      .select(call_function("graft_zbucket", col("s"), array(lit("banana"), lit("peach"))).as("b"))
+    assert(sdf.as[Int].collect().toSeq == Seq(0, 1, 2))
+  }
+
+  test("zorder rewrite: values identical, both filter columns prune stripes, no sort declared") {
+    // two independent uniform dimensions: a linear sort on `a` gives `b`
+    // zero pruning power; the z-curve must give both real pruning
+    val n = 200000
+    // NB: b must be NON-LINEAR in id — any `id*c % m` is a function of
+    // `id % m` and would correlate perfectly with a, faking z-order wins
+    val df = spark.range(n).select(
+      (col("id") % 512).cast("int").as("a"),
+      pmod(hash(col("id")), lit(512)).as("b"),
+      col("id").as("payload"))
+
+    val sortedDir = tmpDir("zo-sorted")
+    df.repartitionByRange(4, col("a")).sortWithinPartitions("a")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "65536").option("rowsPerChunk", "2048")
+      .option("sortColumns", "a")
+      .save(sortedDir)
+
+    val zDir = tmpDir("zo-z")
+    // zorder reads the sorted table and rewrites on the curve over (a, b);
+    // fine stripes make stripe counts comparable with the sorted fixture
+    val rep = ZOrder.zorder(spark, sortedDir, zDir, Seq("a", "b"),
+      targetFileBytes = 1L << 30,
+      extraOptions = Map("stripeBytes" -> "65536", "rowsPerChunk" -> "2048"))
+    assert(rep.rows == n)
+    assert(!rep.writerOptions.contains("sortColumns"),
+      "curve order must not masquerade as a column sort (TopN/range probes would lie)")
+
+    // value-identical rewrite
+    val z = spark.read.format("nimble").load(zDir)
+    assert(z.count() == n)
+    assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty)
+
+    def prunedFrac(dir: String, pred: org.apache.spark.sql.Column): Double = {
+      val d = spark.read.format("nimble").load(dir)
+      d.filter(pred).select("payload").rdd.getNumPartitions // plan the scan
+      val st = NimbleSource.lastPlanStats(dir).get
+      st.stripesPruned.toDouble / (st.stripesPruned + st.stripesPlanned)
+    }
+
+    val aSorted = prunedFrac(sortedDir, col("a") === 7)
+    val bSorted = prunedFrac(sortedDir, col("b") === 7)
+    val aZ = prunedFrac(zDir, col("a") === 7)
+    val bZ = prunedFrac(zDir, col("b") === 7)
+    info(s"pruned fraction: sorted a=$aSorted b=$bSorted | zorder a=$aZ b=$bZ")
+    assert(aSorted > 0.7, s"sorted table should prune on its sort col: $aSorted")
+    assert(bSorted < 0.2, s"sorted table cannot prune on b: $bSorted")
+    assert(aZ > 0.4, s"z-ordered table should prune on a: $aZ")
+    assert(bZ > 0.4, s"z-ordered table should prune on b: $bZ")
+  }
+
+  test("zorder refuses bucketed tables and preserves index/bloom layout") {
+    val df = spark.range(10000).select(
+      col("id").as("k"), (col("id") % 97).cast("int").as("v"))
+    val bDir = tmpDir("zo-bucketed")
+    df.write.format("nimble").mode("overwrite")
+      .option("bucketColumns", "k").option("numBuckets", "4").save(bDir)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zorder(spark, bDir, tmpDir("zo-bucketed-out"), Seq("k", "v"))
+    }
+    assert(e.getMessage.contains("bucketed"))
+
+    val iDir = tmpDir("zo-indexed")
+    df.write.format("nimble").mode("overwrite")
+      .option("indexColumns", "k").option("bloomFilterColumns", "v")
+      .option("sortColumns", "k").save(iDir)
+    val out = tmpDir("zo-indexed-out")
+    val rep = ZOrder.zorder(spark, iDir, out, Seq("k", "v"))
+    assert(rep.writerOptions.get("indexColumns").contains("k"))
+    assert(rep.writerOptions.get("bloomFilterColumns").contains("v"))
+    assert(!rep.writerOptions.contains("sortColumns"))
+    // indexed point probe still answers correctly on the rewritten table
+    val got = spark.read.format("nimble").load(out).filter(col("k") === 1234L)
+      .select("v").as[Int].collect().toSeq
+    assert(got == Seq((1234 % 97)))
+  }
+}
