@@ -587,7 +587,13 @@ object SparkEntry {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfTopK(emb.filter(col("vec_id") % 97 === 0), emb,
         "vec_id", "embedding", centroids, k = 3, nprobe = 2)
-    })
+    }),
+    // distributed k-means codebook training (integer-exact: quantized
+    // vectors, truncated-mean centroids — the full 2-iteration pipeline
+    // replays value-for-value in the oracle)
+    "x33_kmeans" -> ((s, dir) =>
+      Similarity.kmeansInt8(Tables.nimble(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1137,6 +1143,39 @@ object SparkEntry {
          r AS (SELECT q, neighbor,
              row_number() OVER (PARTITION BY q ORDER BY round(sim, 6) DESC, neighbor ASC) AS rank
            FROM s)
-         SELECT q, neighbor, rank FROM r WHERE rank <= 3"""
+         SELECT q, neighbor, rank FROM r WHERE rank <= 3""",
+    // full k-means replay, both iterations: int8 quantize (x17 derivation,
+    // shifted to [0,254]), k-smallest-id init, argmin L2 with min-cid
+    // tie-break, truncated-mean centroid update (// == Spark's long
+    // division on the non-negative sums), empty clusters keep centroids
+    "x33_kmeans" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings),
+         uq AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(127 AS BIGINT)
+               ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT) + 127 END) AS u
+           FROM s),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, u AS cvec
+                FROM (SELECT id, u FROM uq ORDER BY id LIMIT 8)),
+         d1 AS (SELECT uq.id, c.cid,
+             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
+           FROM uq CROSS JOIN c0 c),
+         a1 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+             FROM d1) WHERE rn = 1),
+         s1 AS (SELECT a1.cid, dd.d, sum(uq.u[dd.d]) AS sm, count(*) AS n
+           FROM a1 JOIN uq USING (id) CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+           GROUP BY 1, 2),
+         c1n AS (SELECT cid, list(sm // n ORDER BY d) AS cvec FROM s1 GROUP BY cid),
+         c1 AS (SELECT c0.cid, coalesce(c1n.cvec, c0.cvec) AS cvec
+                FROM c0 LEFT JOIN c1n USING (cid)),
+         d2 AS (SELECT uq.id, c.cid,
+             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
+           FROM uq CROSS JOIN c1 c),
+         a2 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+             FROM d2) WHERE rn = 1)
+         SELECT id AS vec_id, cid AS cluster FROM a2"""
   )
 }

@@ -264,4 +264,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q"), col("neighbor"), col("rank"))
   }
+
+  /** Distributed k-means over int8-quantized embeddings — the offline
+    * codebook-training job [[ivfAssign]]'s doc points at, and the blocking
+    * key for semantic dedup / diversity sampling over a 100 TB corpus.
+    *
+    * Every arithmetic step is INTEGER-exact and order-independent, so the
+    * whole T-iteration pipeline replays value-for-value in any engine (the
+    * x33 DuckDB oracle re-derives all iterations; a float k-means could
+    * never hash-match across engines because centroid sums would depend on
+    * partitioning order):
+    *  - vectors quantize to `u = round(x/scale*127) + 127` ∈ [0,254]
+    *    (the [[quantizeInt8]] derivation, shifted non-negative so integral
+    *    division below truncates and floors identically)
+    *  - init: centroids j=0..k-1 are the u-vectors of the k smallest ids
+    *  - assignment: argmin_j Σ_d (u_d − c_d)² in longs; ties → smaller j
+    *  - update: per-dimension truncated mean `sum div count`; an empty
+    *    cluster keeps its previous centroid
+    *
+    * Scale shape: each assignment is a ZERO-SHUFFLE per-row fold over the
+    * broadcast k×d codebook (the [[ivfAssign]] plan); each update is a
+    * partial-aggregating (cluster, dim) sum — k·d result rows map-side
+    * combined; the driver holds k·d longs per round, independent of corpus
+    * size. Iterations are a fixed small T, not run-to-convergence: T passes
+    * over the corpus is the cost model a 100 TB training job budgets for.
+    *
+    * Returns (idCol, cluster) for every input row, the final-iteration
+    * assignment. */
+  def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1, "kmeansInt8: k must be >= 1")
+    require(iters >= 1, "kmeansInt8: iters must be >= 1")
+    val spark = df.sparkSession
+    val u0 = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol).as("id"),
+        transform(col("q"), x => (x + lit(127)).cast("long")).as("u"))
+    // persisted (NOT localCheckpoint — recomputable lineage survives
+    // executor loss); released before returning, like Dedup.dedupApply
+    val u = u0.persist()
+    val init = u.orderBy(col("id")).limit(k).collect()
+    require(init.length == k, s"kmeansInt8: corpus has ${init.length} rows < k=$k")
+    var cents: Array[Array[Long]] = init.map(_.getSeq[Long](1).toArray)
+    val dims = cents.head.length
+    require(cents.forall(_.length == dims), "kmeansInt8: ragged vector widths")
+
+    def assign(): DataFrame = {
+      val cbRows = cents.toIndexedSeq.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.toIndexedSeq) }
+      val sess = spark; import sess.implicits._
+      val cb = broadcast(cbRows.toDF("cid", "cvec")
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cb")))
+      val best = aggregate(col("cb"),
+        struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("c")),
+        (acc, e) => {
+          val dist = aggregate(
+            zip_with(col("u"), e.getField("cvec"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, x) => s + x)
+          when(dist < acc.getField("dist") ||
+              (dist === acc.getField("dist") && e.getField("cid") < acc.getField("c")),
+            struct(dist.as("dist"), e.getField("cid").as("c"))).otherwise(acc)
+        }).getField("c")
+      u.crossJoin(cb).select(col("id"), col("u"), best.as("cluster"))
+    }
+
+    var assigned = assign()
+    for (_ <- 1 until iters) {
+      // per-dim sums: k*dims partial-agg rows to the driver, corpus-size-free
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("u")).as(Seq("d", "v")))
+        .groupBy("cluster", "d")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone) // empty cluster keeps its previous centroid
+      sums.foreach { r =>
+        // non-negative operands: truncating long division == floor (and
+        // == DuckDB's // in the oracle replay)
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+      assigned = assign()
+    }
+    val out = assigned.select(col("id").as(idCol), col("cluster")).persist()
+    out.count() // materialize before releasing the quantized cache underneath
+    u.unpersist()
+    out
+  }
 }

@@ -257,4 +257,52 @@ class OpsSpec extends SparkTestBase {
     assert(sgot == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
       "doc-z" -> "doc-a", "solo" -> "solo"), s"got $sgot")
   }
+
+  test("kmeansInt8: Lloyd invariants — deterministic, in-range, nearest-centroid-consistent") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val a = Similarity.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val m1 = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.unpersist()
+    assert(m1.size == emb.count())
+    assert(m1.values.forall(c => c >= 0 && c < 8))
+    assert(m1.values.toSet.size > 1, "degenerate: everything in one cluster")
+    // deterministic end to end (no RNG, no order dependence)
+    val b = Similarity.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val m2 = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b.unpersist()
+    assert(m1 == m2)
+    // brute-force check of the final assignment on a driver-side replay:
+    // recompute quantized vectors + iteration-1 centroids in Scala and
+    // confirm each row sits with its argmin centroid
+    val u = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"), transform(col("q"), x => (x + lit(127)).cast("long")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val initIds = u.keys.toSeq.sorted.take(8)
+    var cents = initIds.map(u).toArray
+    def dist(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (p, q) => (p - q) * (p - q) }.sum
+    def assign(cs: Array[Array[Long]]): Map[Long, Int] =
+      u.map { case (id, v) =>
+        id -> cs.zipWithIndex.minBy { case (c, j) => (dist(v, c), j) }._2 }
+    val a1 = assign(cents)
+    val next = cents.map(_.clone)
+    for (j <- 0 until 8) {
+      val members = a1.collect { case (id, c) if c == j => u(id) }.toSeq
+      if (members.nonEmpty)
+        for (d <- next(j).indices)
+          next(j)(d) = members.map(_(d)).sum / members.size
+    }
+    val truth = assign(next)
+    assert(m1.forall { case (id, c) => truth(id) == c.toInt },
+      s"mismatch sample: ${m1.find { case (id, c) => truth(id) != c.toInt }}")
+  }
+
+  test("kmeansInt8: empty clusters keep their centroids; identical vectors tie to cluster 0") {
+    import spark.implicits._
+    val same = (0L until 12L).map(i => (i, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansInt8(same, "vec_id", "embedding", k = 3, iters = 2)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    assert(m.values.forall(_ == 0L), s"ties must pick the smallest centroid id: $m")
+  }
 }
