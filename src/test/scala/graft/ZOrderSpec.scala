@@ -111,4 +111,56 @@ class ZOrderSpec extends SparkTestBase {
       .select("v").as[Int].collect().toSeq
     assert(got == Seq((1234 % 97)))
   }
+
+  test("fuzz: random types x null/NaN mixes x clustered-column subsets rewrite value-identically (seeded)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(1142)
+    for (trial <- 0 until 5) {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("lv", LongType, nullable = true),
+        StructField("dv", DoubleType, nullable = true),
+        StructField("sv", StringType, nullable = true),
+        StructField("dt", DateType, nullable = true)))
+      val n = 300 + rnd.nextInt(700)
+      val rows = (0 until n).map { i =>
+        Row(i.toLong,
+          if (rnd.nextInt(7) == 0) null else rnd.nextLong() % 100000L,
+          rnd.nextInt(9) match {
+            case 0 => null
+            case 1 => Double.NaN
+            case _ => rnd.nextDouble() * 1000 - 500
+          },
+          if (rnd.nextInt(6) == 0) null else rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString,
+          if (rnd.nextInt(8) == 0) null else java.sql.Date.valueOf(s"20${10 + rnd.nextInt(15)}-0${1 + rnd.nextInt(9)}-1${rnd.nextInt(9)}"))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2 + rnd.nextInt(4)), schema)
+      val dir = tmpDir(s"zo-fuzz$trial"); val out = tmpDir(s"zo-fuzz$trial-out")
+      df.write.format("nimble").mode("overwrite")
+        .option("stripeBytes", "16384").save(dir)
+      val all = Seq("lv", "dv", "sv", "dt", "id")
+      val cols = rnd.shuffle(all).take(2 + rnd.nextInt(3))
+      val rep = graft.ops.ZOrder.zorder(spark, dir, out, cols,
+        targetFileBytes = if (rnd.nextBoolean()) 1L << 30 else 16L << 10,
+        buckets = Seq(4, 16, 256)(rnd.nextInt(3)))
+      assert(rep.rows == n, s"trial $trial cols=$cols: $rep")
+      val want = df.toJSON.collect().sorted
+      val got = spark.read.format("nimble").load(out).toJSON.collect().sorted
+      assert(want.toSeq == got.toSeq, s"trial $trial cols=$cols: value drift")
+    }
+  }
+
+  test("zorder of an all-null clustered column degrades to a constant bucket, values intact") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, Option.empty[Long], i % 7))
+      .toDF("id", "nul", "v")
+    val dir = tmpDir("zo-nul"); val out = tmpDir("zo-nul-out")
+    df.write.format("nimble").mode("overwrite").save(dir)
+    val rep = graft.ops.ZOrder.zorder(spark, dir, out, Seq("nul", "v"))
+    assert(rep.rows == 5000)
+    val back = spark.read.format("nimble").load(out)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }
