@@ -369,6 +369,34 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // incremental OPTIMIZE end-to-end: a sorted orders table with a
+    // small-file tail compacts in place (only the tail rewrites; the
+    // well-sized files never open) and answers identically to the source
+    "q38_compact_small" -> ((s, dir) => {
+      val src = Tables.parquet(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val sorted = src.repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val base = Tables.roundTripDir(s, dir, "q38_src", sorted,
+        Map("sortColumns" -> "o_orderkey"))
+      val work = base + "-inc"
+      graft.format.GraftIO.delete(work, recursive = true)
+      s.read.format("nimble").load(base).write.format("nimble")
+        .mode("overwrite").option("sortColumns", "o_orderkey").save(work)
+      // small tail: 8 tiny sorted files appended after the fact
+      src.filter(col("o_orderkey") % 97 === 0)
+        .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+        .write.format("nimble").mode("append")
+        .option("sortColumns", "o_orderkey").save(work)
+      graft.ops.Compaction.compactSmall(s, work,
+        minFileBytes = 1L << 16, targetFileBytes = 1L << 30)
+      s.read.format("nimble").load(work)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // OPTIMIZE ZORDER end-to-end: lineitem rewritten on the Morton curve
     // over (l_partkey, l_suppkey) answers a both-dimension filter query
     // identically to the parquet original — the rewrite is value-preserving
@@ -995,6 +1023,15 @@ object SparkEntry {
                       o_totalprice FROM orders) t
          WHERE NOT (o_totalprice > 250000.0)
          GROUP BY o_orderstatus""",
+    "q38_compact_small" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 97 = 0)
+         SELECT o_orderstatus, count(1) AS cnt,
+           min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM t GROUP BY o_orderstatus""",
     "q37_zorder" ->
       """SELECT CAST(l_suppkey % 7 AS INT) AS sgrp, count(1) AS cnt,
            min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,

@@ -143,4 +143,52 @@ object Compaction {
     Report(before.length, after.length, bytesBefore, after.map(_.length).sum,
       after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, opts)
   }
+
+  /** Incremental OPTIMIZE — in-place compaction of ONLY the small files.
+    *
+    * A streaming sink or an over-parallel append leaves a long tail of tiny
+    * epoch files next to well-sized ones; full [[compact]] would rewrite
+    * the WHOLE table into a side directory — at 100 TB that is 100 TB of
+    * IO to fix a few GB of fragmentation. This variant selects the files
+    * under `minFileBytes`, merges just those into ~`targetFileBytes`
+    * replacements, and swaps them in place through the row-level ops'
+    * copy-on-write commit ([[Delete.rewriteFiles]]: replacements staged in
+    * a hidden side dir, originals unlinked before the move, so a crash
+    * loses no committed data and never duplicates rows). Large files are
+    * never opened, read, or touched.
+    *
+    * Layout: recovered and re-declared like [[compact]]. A sorted table's
+    * small files range-partition among themselves, preserving the per-file
+    * sort contract (TopN pushdown and sorted probes are per-file; global
+    * cross-file range disjointness is not part of any read path's
+    * correctness). Bucketed tables are refused — the bucket file is the
+    * clustering unit; compact the whole table instead. */
+  def compactSmall(spark: SparkSession, dir: String,
+      minFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 256L << 20): Report = {
+    require(targetFileBytes >= minFileBytes,
+      "nimble: compactSmall: targetFileBytes must be >= minFileBytes")
+    val all = GraftIO.listGft(dir)
+    require(all.nonEmpty, s"nimble: compactSmall: no tablet files under $dir")
+    val bytesBefore = all.map(_.length).sum
+    val layout = recoverLayout(dir)
+    require(!layout.contains("numBuckets"),
+      s"nimble: compactSmall: $dir is hash-bucketed — the bucket file is the " +
+        "clustering unit; use compact() to re-cluster the whole table")
+    val victims = all.filter(_.length < minFileBytes)
+    if (victims.length < 2) { // nothing to merge: pure no-op, zero IO
+      val rows = all.map(f => NimbleSource.footerOf(f.path).rowCount).sum
+      return Report(all.length, all.length, bytesBefore, bytesBefore, rows, layout)
+    }
+    val vBytes = victims.map(_.length).sum
+    val nOut = math.max(1, math.ceil(vBytes.toDouble / targetFileBytes).toInt)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(NimbleSource.footerOf(all.head.path).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    Delete.rewriteFiles(spark, dir, victims.map(_.path), all.map(_.path),
+      schema, layout, Map.empty, identity, outFiles = Some(nOut))
+    val after = GraftIO.listGft(dir)
+    Report(all.length, after.length, bytesBefore, after.map(_.length).sum,
+      after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, layout)
+  }
 }

@@ -253,7 +253,8 @@ object Delete {
   private[ops] def rewriteFiles(spark: SparkSession, dir: String,
       victims: Seq[String], allFiles: Seq[String], schema: StructType,
       layout: Map[String, String], readOptions: Map[String, String],
-      transform: DataFrame => DataFrame): (Long, Long) = {
+      transform: DataFrame => DataFrame,
+      outFiles: Option[Int] = None): (Long, Long) = {
     val tmp = GraftIO.child(dir, s".rewrite-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val src =
@@ -266,12 +267,16 @@ object Delete {
 
       val out = transform(src)
       val sortCols = layout.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+      // replacement fan-out: one file per victim by default (point rewrites
+      // keep their file granularity); incremental compaction passes an
+      // explicit smaller target so victims MERGE instead
+      val nOut = outFiles.getOrElse(math.max(1, victims.length))
       val shaped =
         if (layout.contains("numBuckets")) out // bucketed write re-clusters
         else if (sortCols.nonEmpty)
-          out.repartitionByRange(math.max(1, victims.length), sortCols.map(col): _*)
+          out.repartitionByRange(nOut, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-        else out
+        else outFiles.map(out.coalesce).getOrElse(out)
       var w = shaped.write.format("nimble").mode("append")
       layout.foreach { case (k, v) => w = w.option(k, v) }
       w.save(tmp)

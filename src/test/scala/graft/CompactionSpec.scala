@@ -179,4 +179,66 @@ class CompactionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("conflicting"))
   }
+
+  test("compactSmall: merges only the small-file tail; big files never touched") {
+    val dir = tmpDir("cmps-tail")
+    // big file first (one partition, all rows), then a 12-file small tail
+    li.limit(40000).coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val big = graft.format.GraftIO.listGft(dir)
+    assert(big.length == 1)
+    val bigPath = big.head.path
+    val bigLen = big.head.length
+    val bigMtime = new java.io.File(bigPath).lastModified()
+    li.limit(2400).repartition(12).write.format("nimble").mode("append").save(dir)
+    assert(graft.format.GraftIO.listGft(dir).length == 13)
+
+    val rep = Compaction.compactSmall(spark, dir,
+      minFileBytes = bigLen, targetFileBytes = 1L << 30)
+    assert(rep.filesBefore == 13 && rep.filesAfter == 2, rep)
+    // the big file is bit-untouched: same path, length and mtime
+    val f = new java.io.File(bigPath)
+    assert(f.exists() && f.length() == bigLen && f.lastModified() == bigMtime,
+      "compactSmall must not rewrite or touch well-sized files")
+    val want = li.limit(40000).unionAll(li.limit(2400))
+    assertSameData(spark.read.format("nimble").load(dir), want)
+  }
+
+  test("compactSmall: sorted table keeps per-file sort + index; no-op under 2 victims") {
+    val dir = tmpDir("cmps-sorted")
+    val src = li.repartitionByRange(10, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+    src.write.format("nimble").mode("overwrite")
+      .option("sortColumns", "l_orderkey").option("indexColumns", "l_orderkey")
+      .save(dir)
+    assert(graft.format.GraftIO.listGft(dir).length == 10)
+    val rep = Compaction.compactSmall(spark, dir,
+      minFileBytes = 1L << 30, targetFileBytes = 1L << 30) // everything is "small"
+    assert(rep.filesAfter == 1, rep)
+    val layout = Compaction.recoverLayout(dir)
+    assert(layout.get("sortColumns").contains("l_orderkey"), layout)
+    assert(layout.get("indexColumns").contains("l_orderkey"), layout)
+    assertSameData(spark.read.format("nimble").load(dir), li)
+    // indexed point probe still answers on the swapped-in file
+    val k = li.select(min("l_orderkey")).head().getLong(0)
+    assert(spark.read.format("nimble").load(dir).filter(col("l_orderkey") === k).count() ==
+      li.filter(col("l_orderkey") === k).count())
+
+    // a single small file: no-op, nothing rewritten
+    val one = tmpDir("cmps-noop")
+    li.limit(100).coalesce(1).write.format("nimble").mode("overwrite").save(one)
+    val p0 = graft.format.GraftIO.listGft(one).head
+    val m0 = new java.io.File(p0.path).lastModified()
+    val rep2 = Compaction.compactSmall(spark, one)
+    assert(rep2.filesBefore == 1 && rep2.filesAfter == 1)
+    assert(new java.io.File(p0.path).lastModified() == m0)
+  }
+
+  test("compactSmall refuses bucketed tables") {
+    val dir = tmpDir("cmps-bucketed")
+    li.write.format("nimble").mode("overwrite")
+      .option("bucketColumns", "l_orderkey").option("numBuckets", "4").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactSmall(spark, dir)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
 }
