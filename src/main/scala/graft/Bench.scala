@@ -258,6 +258,23 @@ object Bench {
       }
       assert(rep.rows == scaleRows, s"compaction changed row count: $rep")
       results("scale_compact_sec") = cSec
+
+      // incremental OPTIMIZE on the same table: a 40-file streaming-style
+      // tail appends, then compactSmall merges ONLY the tail — the contrast
+      // with scale_compact_sec is the 100 TB point (tail IO, not table IO)
+      val tail = spark.range(40000).select(
+        (col("id") + scaleRows).as("id"),
+        md5(concat(lit("k"), (col("id") + scaleRows).cast("string"))).as("skey"),
+        ((col("id") + scaleRows) * 2654435761L % 1000003).cast("double").as("v"))
+      tail.repartition(40).write.format("nimble").mode("append")
+        .option("indexColumns", "skey").option("bloomFilterColumns", "skey")
+        .save(cDir)
+      val (csSec, csRep) = time {
+        graft.ops.Compaction.compactSmall(spark, cDir,
+          minFileBytes = 16L << 20, targetFileBytes = 1L << 31)
+      }
+      assert(csRep.rows == scaleRows + 40000, s"compactSmall changed rows: $csRep")
+      results("scale_compact_small_sec") = csSec
     }
 
     // ---- scale block: OPTIMIZE ZORDER — 8M rows on a 512x512 grid of two
