@@ -621,10 +621,48 @@ object SparkEntry {
     // replays value-for-value in the oracle)
     "x33_kmeans" -> ((s, dir) =>
       Similarity.kmeansInt8(Tables.nimble(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 2))
+        "vec_id", "embedding", k = 8, iters = 2)),
+    // semantic near-dup: kmeans clusters as the blocking key, exact cosine
+    // within blocks (paraphrase-level dedup where shingle/LSH blocking
+    // can't collide)
+    "x34_semantic_neardup" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(Tables.nimble(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2))
   )
 
   // ---------------------------------------------------------------- oracle
+
+  // shared k-means replay chain (x33/x34): quantize -> init -> iterate x2;
+  // ends at CTE a2 = the final assignment (id, cid)
+  private val kmeansCte =
+    """WITH s AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings),
+         uq AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(127 AS BIGINT)
+               ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT) + 127 END) AS u
+           FROM s),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, u AS cvec
+                FROM (SELECT id, u FROM uq ORDER BY id LIMIT 8)),
+         d1 AS (SELECT uq.id, c.cid,
+             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
+           FROM uq CROSS JOIN c0 c),
+         a1 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+             FROM d1) WHERE rn = 1),
+         s1 AS (SELECT a1.cid, dd.d, sum(uq.u[dd.d]) AS sm, count(*) AS n
+           FROM a1 JOIN uq USING (id) CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+           GROUP BY 1, 2),
+         c1n AS (SELECT cid, list(sm // n ORDER BY d) AS cvec FROM s1 GROUP BY cid),
+         c1 AS (SELECT c0.cid, coalesce(c1n.cvec, c0.cvec) AS cvec
+                FROM c0 LEFT JOIN c1n USING (cid)),
+         d2 AS (SELECT uq.id, c.cid,
+             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
+           FROM uq CROSS JOIN c1 c),
+         a2 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+             FROM d2) WHERE rn = 1)
+         """
 
   private val shinglesCte =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
@@ -1185,34 +1223,19 @@ object SparkEntry {
     // shifted to [0,254]), k-smallest-id init, argmin L2 with min-cid
     // tie-break, truncated-mean centroid update (// == Spark's long
     // division on the non-negative sums), empty clusters keep centroids
-    "x33_kmeans" ->
-      """WITH s AS (SELECT vec_id, embedding,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
-           FROM embeddings),
-         uq AS (SELECT vec_id AS id,
-             list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(127 AS BIGINT)
-               ELSE CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT) + 127 END) AS u
-           FROM s),
-         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, u AS cvec
-                FROM (SELECT id, u FROM uq ORDER BY id LIMIT 8)),
-         d1 AS (SELECT uq.id, c.cid,
-             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
-           FROM uq CROSS JOIN c0 c),
-         a1 AS (SELECT id, cid FROM (
-             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-             FROM d1) WHERE rn = 1),
-         s1 AS (SELECT a1.cid, dd.d, sum(uq.u[dd.d]) AS sm, count(*) AS n
-           FROM a1 JOIN uq USING (id) CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
-           GROUP BY 1, 2),
-         c1n AS (SELECT cid, list(sm // n ORDER BY d) AS cvec FROM s1 GROUP BY cid),
-         c1 AS (SELECT c0.cid, coalesce(c1n.cvec, c0.cvec) AS cvec
-                FROM c0 LEFT JOIN c1n USING (cid)),
-         d2 AS (SELECT uq.id, c.cid,
-             list_sum(list_transform(range(1, 65), i -> (uq.u[i]-c.cvec[i])*(uq.u[i]-c.cvec[i]))) AS dist
-           FROM uq CROSS JOIN c1 c),
-         a2 AS (SELECT id, cid FROM (
-             SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-             FROM d2) WHERE rn = 1)
-         SELECT id AS vec_id, cid AS cluster FROM a2"""
+    "x33_kmeans" -> (kmeansCte +
+      "SELECT id AS vec_id, cid AS cluster FROM a2"),
+    // kmeans blocking replay + exact within-cluster cosine (x05 formula)
+    "x34_semantic_neardup" -> (kmeansCte +
+      """, p AS (SELECT x.id AS a, y.id AS b
+           FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.id < y.id),
+         sc AS (SELECT p.a, p.b,
+             round(
+               list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))), 6) AS sim
+           FROM p JOIN embeddings ea ON ea.vec_id = p.a
+                  JOIN embeddings eb ON eb.vec_id = p.b)
+         SELECT a, b, sim FROM sc WHERE sim >= 0.4""")
   )
 }

@@ -349,4 +349,39 @@ object Similarity {
     u.unpersist()
     out
   }
+
+  /** Semantic near-duplicate pairs — k-means clusters as the blocking key,
+    * exact cosine within blocks.
+    *
+    * The LSH/SimHash near-dup family blocks on SYNTACTIC signatures; this
+    * blocks on embedding-space neighborhoods, the right tool when
+    * paraphrases should collide. At corpus scale, `k` plays the role LSH
+    * band count plays: size it so clusters stay bounded (k ~ corpus/10⁵),
+    * and the within-block self-join stays quadratic only in block size —
+    * the same blowup contract as [[cosineNearDupPairs]]'s grid tiles, with
+    * data-adaptive blocks instead of hash-random ones. Recall is bounded by
+    * the blocking (a pair straddling two clusters is missed — by design,
+    * like any blocked near-dup); the x34 oracle replays the IDENTICAL
+    * pipeline, so correctness is exact over the declared semantics.
+    *
+    * Returns (a, b, sim) with a < b, sim = round(cosine, 6) >= threshold,
+    * both members in the same cluster. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, iters: Int = 2): DataFrame = {
+    val clusters = kmeansInt8(df, idCol, vecCol, k, iters)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(clusters.withColumnRenamed(idCol, "id"), Seq("id"))
+    val a = v.select(col("cluster"), col("id").as("a"), col("v").as("av"))
+    val b = v.select(col("cluster"), col("id").as("b"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+    // release the kmeans label cache now: the pairs plan recomputes the
+    // assignment through lineage in ONE corpus pass when evaluated (the
+    // centroids are baked in as a local relation — no driver loop re-runs),
+    // trading that pass for not leaking a corpus-sized cache to the session
+    clusters.unpersist()
+    pairs
+  }
 }

@@ -305,4 +305,19 @@ class OpsSpec extends SparkTestBase {
     out.unpersist()
     assert(m.values.forall(_ == 0L), s"ties must pick the smallest centroid id: $m")
   }
+
+  test("semanticNearDupPairs == all-pairs near-dup restricted to a shared kmeans cluster") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cl = Similarity.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cm = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl.unpersist()
+    val want = Similarity.cosineNearDupPairsAllPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => cm(a) == cm(b) }.toSet
+    val got = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"extra=${(got diff want).take(3)} missing=${(want diff got).take(3)}")
+    assert(got.nonEmpty, "fixture should produce at least one semantic pair")
+  }
 }
