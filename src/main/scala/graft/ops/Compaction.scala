@@ -165,7 +165,8 @@ object Compaction {
     * clustering unit; compact the whole table instead. */
   def compactSmall(spark: SparkSession, dir: String,
       minFileBytes: Long = 32L << 20,
-      targetFileBytes: Long = 256L << 20): Report = {
+      targetFileBytes: Long = 256L << 20,
+      victimFilter: String => Boolean = _ => true): Report = {
     require(targetFileBytes >= minFileBytes,
       "nimble: compactSmall: targetFileBytes must be >= minFileBytes")
     val all = GraftIO.listGft(dir)
@@ -175,7 +176,7 @@ object Compaction {
     require(!layout.contains("numBuckets"),
       s"nimble: compactSmall: $dir is hash-bucketed — the bucket file is the " +
         "clustering unit; use compact() to re-cluster the whole table")
-    val victims = all.filter(_.length < minFileBytes)
+    val victims = all.filter(f => f.length < minFileBytes && victimFilter(f.path))
     if (victims.length < 2) { // nothing to merge: pure no-op, zero IO
       val rows = all.map(f => NimbleSource.footerOf(f.path).rowCount).sum
       return Report(all.length, all.length, bytesBefore, bytesBefore, rows, layout)

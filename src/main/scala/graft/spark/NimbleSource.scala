@@ -1912,7 +1912,10 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
       csvOpt("bloomFilterColumns"), Option(options.get("compression")).getOrElse("zstd"),
       csvOpt("indexColumns"),
       Option(options.get("rowsPerChunk")).map(_.toInt).getOrElse(16384),
-      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20))
+      Option(options.get("stripeBytes")).map(_.toLong).getOrElse(96L << 20),
+      Option(options.get("autoCompactEvery")).map(_.toInt).getOrElse(0),
+      Option(options.get("autoCompactMinFileBytes")).map(_.toLong).getOrElse(32L << 20),
+      Option(options.get("autoCompactTargetBytes")).map(_.toLong).getOrElse(256L << 20))
 
   override def build(): Write = {
     validateIndexOpts()
@@ -1966,7 +1969,10 @@ class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[St
     writeOpts: Fields.WriteOptions = Fields.WriteOptions(),
     bloomColumns: Set[String] = Set.empty, compression: String = "zstd",
     indexColumns: Set[String] = Set.empty, rowsPerChunk: Int = 16384,
-    stripeRawBytes: Long = 96L << 20)
+    stripeRawBytes: Long = 96L << 20,
+    autoCompactEvery: Int = 0,
+    autoCompactMinFileBytes: Long = 32L << 20,
+    autoCompactTargetBytes: Long = 256L << 20)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -1974,7 +1980,36 @@ class NimbleStreamingWrite(path: String, schemaJson: String, sortColumns: Seq[St
     NimbleStreamingWriterFactory(path, schemaJson, sortColumns, GraftIO.broadcastConf(),
       writeOpts, bloomColumns, compression, indexColumns, rowsPerChunk, stripeRawBytes)
   }
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Sink-side auto-compaction (`autoCompactEvery=N` epochs): merge the
+    * accumulated small-file tail in place via
+    * [[graft.ops.Compaction.compactSmall]]. ONLY files from epochs strictly
+    * BEFORE the committing epoch are eligible — the current epoch sits in
+    * the exactly-once replay window (a failure between this commit and the
+    * checkpoint write replays it; its files must still exist under their
+    * original names so the replay overwrites instead of duplicating).
+    * Epochs `< epochId` are durably in the checkpoint and never replay.
+    * Maintenance never fails the stream: a compaction error logs and the
+    * epoch commits anyway (the data files are already in place). */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    if (autoCompactEvery > 0 && epochId > 0 && epochId % autoCompactEvery == 0) {
+      val epochRe = "epoch-(\\d+)-".r
+      def eligible(f: String): Boolean = {
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        epochRe.findFirstMatchIn(name) match {
+          case Some(m) => m.group(1).toLong < epochId
+          case None => true // already-compacted replacements: keep consolidating
+        }
+      }
+      try graft.ops.Compaction.compactSmall(
+        org.apache.spark.sql.SparkSession.active, path,
+        autoCompactMinFileBytes, autoCompactTargetBytes, eligible)
+      catch {
+        case e: Exception =>
+          System.err.println(s"nimble: auto-compact of $path at epoch $epochId " +
+            s"skipped: ${e.getMessage}")
+      }
+    }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 

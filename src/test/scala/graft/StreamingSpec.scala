@@ -170,4 +170,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(4L) == ((true, 1L)), "cross-batch duplicate while state lives")
     assert(rows(10L) == ((false, 10L)), s"after TTL expiry the fingerprint restarts: $rows")
   }
+
+  test("autoCompactEvery: sink merges prior epochs' small files; current epoch left for replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val out = tmpDir("stream-ac")
+    val q = input.toDF().toDF("id", "tag")
+      .writeStream.format("nimble")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("stream-ac-ckpt"))
+      .option("autoCompactEvery", "2")
+      .option("autoCompactMinFileBytes", (1L << 20).toString)
+      .option("autoCompactTargetBytes", (1L << 30).toString)
+      .outputMode("append")
+      .start()
+    for (e <- 0 until 6) {
+      input.addData((0 until 200).map(i => ((e * 1000 + i).toLong, s"e$e-$i")): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val files = graft.format.GraftIO.listGft(out).map(_.path)
+    // 6 epochs x 4 task files each would be ~24 files unmanaged; auto-compact
+    // at epochs 2 and 4 folds everything before them. The LAST trigger's
+    // epoch files must still exist uncompacted (exactly-once replay window).
+    assert(files.length < 24, s"auto-compact never ran: ${files.length} files")
+    val lastEpoch = files.flatMap { f =>
+      "epoch-(\\d+)-".r.findFirstMatchIn(f.substring(f.lastIndexOf('/') + 1))
+        .map(_.group(1).toLong)
+    }
+    assert(lastEpoch.nonEmpty, "the replay-window epoch files must survive compaction")
+    // every row of every epoch survives, exactly once
+    val got = spark.read.format("nimble").load(out)
+    assert(got.count() == 1200)
+    assert(got.select(countDistinct(col("id"))).head().getLong(0) == 1200)
+  }
 }
