@@ -187,11 +187,18 @@ object Similarity {
     * large embedding corpus applies before indexing; scale rides along for
     * dequantization. Deterministic (max is order-independent, one division
     * per element). */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeFull(df, idCol, vecCol).select(col(idCol), col("scale"), col("q"))
+
+  /** [[quantizeInt8]] with the original vector kept alongside — (id, v,
+    * scale, q). One definition of the quantization arithmetic, so consumers
+    * that carry the raw vector (k-means blocking) can never drift from the
+    * x17-oracle-pinned formula. */
+  private def quantizeFull(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val withScale = df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("scale", aggregate(col("v"), lit(0.0),
         (a, x) => greatest(a, abs(x.cast("double")))))
-    withScale.select(col(idCol),
+    withScale.select(col(idCol), col("v"),
       col("scale"),
       transform(col("v"), x =>
         when(col("scale") === 0.0, lit(0))
@@ -292,19 +299,28 @@ object Similarity {
     * Returns (idCol, cluster) for every input row, the final-iteration
     * assignment. */
   def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    kmeansCore(df, idCol, vecCol, k, iters, carryVec = false)
+
+  /** Shared k-means engine; `carryVec` keeps the ORIGINAL vector column in
+    * the output (id, v, cluster) so downstream exact re-ranks/joins need no
+    * corpus-wide id join back to the source. */
+  private def kmeansCore(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, carryVec: Boolean): DataFrame = {
     require(k >= 1, "kmeansInt8: k must be >= 1")
     require(iters >= 1, "kmeansInt8: iters must be >= 1")
     val spark = df.sparkSession
-    val u0 = quantizeInt8(df, idCol, vecCol)
-      .select(col(idCol).as("id"),
-        transform(col("q"), x => (x + lit(127)).cast("long")).as("u"))
+    val carried: Seq[org.apache.spark.sql.Column] =
+      if (carryVec) Seq(col("v")) else Nil
+    val u0 = quantizeFull(df, idCol, vecCol)
+      .select(col(idCol).as("id") +: carried :+
+        transform(col("q"), x => (x + lit(127)).cast("long")).as("u"): _*)
     // persisted (NOT localCheckpoint — recomputable lineage survives
     // executor loss); released before returning, like Dedup.dedupApply
     val u = u0.persist()
     val init = u.orderBy(col("id")).limit(k).collect()
     require(init.length == k, s"kmeansInt8: corpus has ${init.length} rows < k=$k")
-    var cents: Array[Array[Long]] = init.map(_.getSeq[Long](1).toArray)
+    var cents: Array[Array[Long]] = init.map(_.getAs[scala.collection.Seq[Long]]("u").toArray)
     val dims = cents.head.length
     require(cents.forall(_.length == dims), "kmeansInt8: ragged vector widths")
 
@@ -324,16 +340,16 @@ object Similarity {
               (dist === acc.getField("dist") && e.getField("cid") < acc.getField("c")),
             struct(dist.as("dist"), e.getField("cid").as("c"))).otherwise(acc)
         }).getField("c")
-      u.crossJoin(cb).select(col("id"), col("u"), best.as("cluster"))
+      u.crossJoin(cb).select(col("id") +: carried ++: Seq(col("u"), best.as("cluster")): _*)
     }
 
     var assigned = assign()
     for (_ <- 1 until iters) {
       // per-dim sums: k*dims partial-agg rows to the driver, corpus-size-free
       val sums = assigned
-        .select(col("cluster"), posexplode(col("u")).as(Seq("d", "v")))
+        .select(col("cluster"), posexplode(col("u")).as(Seq("d", "uv")))
         .groupBy("cluster", "d")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .agg(sum("uv").as("s"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone) // empty cluster keeps its previous centroid
       sums.foreach { r =>
@@ -344,7 +360,8 @@ object Similarity {
       cents = next
       assigned = assign()
     }
-    val out = assigned.select(col("id").as(idCol), col("cluster")).persist()
+    val out = assigned
+      .select(col("id").as(idCol) +: carried :+ col("cluster"): _*).persist()
     out.count() // materialize before releasing the quantized cache underneath
     u.unpersist()
     out
@@ -368,9 +385,10 @@ object Similarity {
     * both members in the same cluster. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int, iters: Int = 2): DataFrame = {
-    val clusters = kmeansInt8(df, idCol, vecCol, k, iters)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(clusters.withColumnRenamed(idCol, "id"), Seq("id"))
+    // carryVec: the assignment hands back (id, v, cluster) directly — no
+    // corpus-wide join back to the source just to recover the vectors
+    val labeled = kmeansCore(df, idCol, vecCol, k, iters, carryVec = true)
+    val v = labeled.withColumnRenamed(idCol, "id")
     val a = v.select(col("cluster"), col("id").as("a"), col("v").as("av"))
     val b = v.select(col("cluster"), col("id").as("b"), col("v").as("bv"))
     val pairs = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
@@ -381,7 +399,7 @@ object Similarity {
     // assignment through lineage in ONE corpus pass when evaluated (the
     // centroids are baked in as a local relation — no driver loop re-runs),
     // trading that pass for not leaking a corpus-sized cache to the session
-    clusters.unpersist()
+    labeled.unpersist()
     pairs
   }
 }

@@ -107,6 +107,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"argmax must fold, not rank:\n$p")
   }
 
+  test("x33/x34 kmeans: assignment folds shuffle-free; pair join shuffles on cluster only") {
+    // the x33 result is a persisted assignment — its PRODUCING plan is what
+    // matters: the unpersisted x34 pipeline embeds it (labeled.unpersist()
+    // runs before return), so its executed plan shows the real shape
+    val q = graft.ops.Similarity.semanticNearDupPairs(
+      spark.read.parquet(s"${sf()}/embeddings.parquet"),
+      "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2)
+    val p = plan(q)
+    assert(!p.contains("Window"), s"argmin must fold, not rank:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs blowup:\n$p")
+    // every hash exchange in the plan keys on the cluster id — the corpus
+    // never re-shuffles on the row id (no join-back to recover vectors)
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("cluster")),
+      s"unexpected non-cluster shuffle keys $exchanges:\n$p")
+    // the pair join keys on the cluster id (broadcast at this scale; a hash
+    // exchange on cluster at corpus scale) — never an id join-back
+    assert(p.contains("Join [cluster"), s"pair join must key on cluster:\n$p")
+  }
+
   test("x27 sequence packing: corpus cumsum windows per bucket, never one partition") {
     val q = SparkEntry.queries("x27_seq_pack")(spark, sf())
     q.collect()
