@@ -627,7 +627,12 @@ object SparkEntry {
     // can't collide)
     "x34_semantic_neardup" -> ((s, dir) =>
       Similarity.semanticNearDupPairs(Tables.nimble(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2))
+        "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2)),
+    // exact substring-overlap profile (ExactSubstr family): per doc, how
+    // many of its 8-token windows occur verbatim in other docs
+    "x35_substring_overlap" -> ((s, dir) =>
+      Dedup.substringOverlapProfile(Tables.nimble(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 8))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1236,6 +1241,22 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))), 6) AS sim
            FROM p JOIN embeddings ea ON ea.vec_id = p.a
                   JOIN embeddings eb ON eb.vec_id = p.b)
-         SELECT a, b, sim FROM sc WHERE sim >= 0.4""")
+         SELECT a, b, sim FROM sc WHERE sim >= 0.4"""),
+    // window text itself is the key (no hash): shared = in 2+ distinct docs
+    "x35_substring_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                    FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, w, greatest(len(w) - 8 + 1, 0) AS nw FROM w),
+         wins AS (SELECT doc_id,
+             unnest(list_transform(range(0, nw), i -> array_to_string(w[i+1:i+8], ' '))) AS win
+           FROM b WHERE nw > 0),
+         dh AS (SELECT win, doc_id, count(1) AS cnt FROM wins GROUP BY 1, 2),
+         hs AS (SELECT win, count(1) AS ndocs FROM dh GROUP BY 1),
+         dup AS (SELECT dh.doc_id, CAST(sum(dh.cnt) AS BIGINT) AS dup
+                 FROM dh JOIN hs ON dh.win = hs.win AND hs.ndocs >= 2
+                 GROUP BY 1)
+         SELECT b.doc_id, nw AS total_windows,
+           coalesce(dup.dup, 0) AS dup_windows
+         FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id"""
   )
 }

@@ -133,6 +133,43 @@ object Dedup {
     * for extreme cases), so the corpus side is one narrow scan with a
     * map-side semi join; the only shuffle is the per-doc overlap count,
     * which is partial-aggregating on doc id. */
+  /** Exact substring-overlap profile — the ExactSubstr dedup family
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022) recast for Spark: instead of a monolithic suffix array,
+    * every length-`windowTokens` token window of every document becomes a
+    * grouping key; a window whose EXACT text occurs in 2+ distinct
+    * documents is a duplicated span. Emits one row per document:
+    * (id, total_windows, dup_windows) — dup_windows/total_windows is the
+    * "fraction of this doc that is copied from elsewhere" signal used to
+    * drop or trim boilerplate-heavy docs.
+    *
+    * Exactness: windows group by their TEXT, not a hash — no collision
+    * caveat (at extreme scale, substituting a 128-bit hash for the key cuts
+    * shuffle bytes; the semantics then hold modulo hash collisions). Cost
+    * shape: the explode is linear in corpus tokens (stride 1 — the price of
+    * catching EVERY shared span); all three aggregations are
+    * partial-aggregating shuffles on (window[, doc]) keys, AQE-splittable
+    * under skew; nothing is quadratic and the driver holds nothing. */
+  def substringOverlapProfile(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "substringOverlapProfile: windowTokens must be > 0")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), words(col(textCol)).as("w"))
+      .withColumn("nw",
+        greatest(size(col("w")) - windowTokens + 1, lit(0)).cast("long"))
+    val wins = base.filter(col("nw") > 0)
+      .select(col("doc"), explode(transform(sequence(lit(1), col("nw")),
+        i => array_join(slice(col("w"), i, lit(windowTokens)), " "))).as("win"))
+    val dh = wins.groupBy("win", "doc").agg(count(lit(1)).as("cnt"))
+    val hs = dh.groupBy("win").agg(count(lit(1)).as("ndocs"))
+    val dup = dh.join(hs.filter(col("ndocs") >= 2), Seq("win"))
+      .groupBy("doc").agg(sum("cnt").as("dup"))
+    base.select(col("doc"), col("nw"))
+      .join(dup, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("nw").as("total_windows"),
+        coalesce(col("dup"), lit(0L)).as("dup_windows"))
+  }
+
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val b = bench.select(explode(shingles(col(textCol), n)).as("g")).distinct()

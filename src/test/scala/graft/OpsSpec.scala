@@ -320,4 +320,26 @@ class OpsSpec extends SparkTestBase {
     assert(got == want, s"extra=${(got diff want).take(3)} missing=${(want diff got).take(3)}")
     assert(got.nonEmpty, "fixture should produce at least one semantic pair")
   }
+
+  test("substringOverlapProfile: planted shared sentence yields exactly its interior windows") {
+    import spark.implicits._
+    // A and B share an exact 10-token sentence S behind different 5-token
+    // prefixes; with 8-token windows the shared spans are precisely the
+    // 10-8+1 = 3 windows fully inside S (boundary windows differ by prefix)
+    val sent = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "pa pb pc pd pe " + sent),
+      (2L, "qa qb qc qd qe " + sent),
+      (3L, "totally unrelated words only here nothing shared at all")).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapProfile(docs, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((8L, 3L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((8L, 3L)), s"doc2: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"doc3: ${got(3L)}")
+    // short doc (< window) and null text survive with zero windows
+    val edge = Seq((4L, Some("one two three")), (5L, None)).toDF("doc_id", "text")
+    val eg = Dedup.substringOverlapProfile(edge, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eg == Map(4L -> 0L), s"null text drops, short doc keeps 0 windows: $eg")
+  }
 }
