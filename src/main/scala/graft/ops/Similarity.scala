@@ -297,16 +297,18 @@ object Similarity {
     * over the corpus is the cost model a 100 TB training job budgets for.
     *
     * Returns (idCol, cluster) for every input row, the final-iteration
-    * assignment. */
+    * assignment — PERSISTED and materialized (the iterations already paid
+    * for it; reuse is free). The caller owns the cache: call `.unpersist()`
+    * on the returned frame when done, the dedupClusters contract. */
   def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 2): DataFrame =
-    kmeansCore(df, idCol, vecCol, k, iters, carryVec = false)
+    kmeansCore(df, idCol, vecCol, k, iters, carryVec = false, persistResult = true)
 
   /** Shared k-means engine; `carryVec` keeps the ORIGINAL vector column in
     * the output (id, v, cluster) so downstream exact re-ranks/joins need no
     * corpus-wide id join back to the source. */
   private def kmeansCore(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, carryVec: Boolean): DataFrame = {
+      iters: Int, carryVec: Boolean, persistResult: Boolean): DataFrame = {
     require(k >= 1, "kmeansInt8: k must be >= 1")
     require(iters >= 1, "kmeansInt8: iters must be >= 1")
     val spark = df.sparkSession
@@ -361,10 +363,19 @@ object Similarity {
       assigned = assign()
     }
     val out = assigned
-      .select(col("id").as(idCol) +: carried :+ col("cluster"): _*).persist()
-    out.count() // materialize before releasing the quantized cache underneath
-    u.unpersist()
-    out
+      .select(col("id").as(idCol) +: carried :+ col("cluster"): _*)
+    if (persistResult) {
+      val cached = out.persist()
+      cached.count() // materialize before releasing the quantized cache underneath
+      u.unpersist()
+      cached
+    } else {
+      // caller will not keep the cache: skip the materializing count (a
+      // whole wasted corpus pass) — consumers recompute the assignment
+      // through lineage (quantize + fold, one pass per consumer)
+      u.unpersist(false)
+      out
+    }
   }
 
   /** Semantic near-duplicate pairs — k-means clusters as the blocking key,
@@ -386,20 +397,19 @@ object Similarity {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int, iters: Int = 2): DataFrame = {
     // carryVec: the assignment hands back (id, v, cluster) directly — no
-    // corpus-wide join back to the source just to recover the vectors
-    val labeled = kmeansCore(df, idCol, vecCol, k, iters, carryVec = true)
-    val v = labeled.withColumnRenamed(idCol, "id")
+    // corpus-wide join back to the source just to recover the vectors.
+    // persistResult=false: no session-leaked cache and no wasted
+    // materializing pass; each join side recomputes the assignment through
+    // lineage (the centroids are baked in as a local relation, so no
+    // driver iteration re-runs)
+    val v = kmeansCore(df, idCol, vecCol, k, iters,
+      carryVec = true, persistResult = false).withColumnRenamed(idCol, "id")
     val a = v.select(col("cluster"), col("id").as("a"), col("v").as("av"))
     val b = v.select(col("cluster"), col("id").as("b"), col("v").as("bv"))
     val pairs = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
       .withColumn("sim", round(cosine(col("av"), col("bv")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
-    // release the kmeans label cache now: the pairs plan recomputes the
-    // assignment through lineage in ONE corpus pass when evaluated (the
-    // centroids are baked in as a local relation — no driver loop re-runs),
-    // trading that pass for not leaking a corpus-sized cache to the session
-    labeled.unpersist()
     pairs
   }
 }

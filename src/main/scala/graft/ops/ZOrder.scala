@@ -70,10 +70,34 @@ object ZOrder {
     out.toArray
   }
 
+  /** Column types the curve supports: atomic orderable types whose external
+    * (collected) values are java Comparable, so boundary sampling can sort
+    * them on the driver. Binary/array/struct are orderable to Catalyst but
+    * have no Comparable external form — refuse them up front rather than
+    * dying with a MatchError mid-sample. */
+  private def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   /** The Z-curve key column for `cols` over `df` (exposed for specs). */
   def zkey(df: DataFrame, cols: Seq[String], buckets: Int = 256,
       totalRows: Long = -1L): org.apache.spark.sql.Column = {
     require(cols.nonEmpty && cols.length <= 8, "zorder takes 1..8 columns")
+    require(buckets >= 2 && buckets <= 256,
+      s"zorder: buckets must be in [2, 256] (8-bit curve ids), got $buckets")
+    cols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"nimble: zorder: column $c not in ${df.schema.fieldNames.mkString(",")}")
+      require(supportedType(df.schema(c).dataType),
+        s"nimble: zorder: column $c of type ${df.schema(c).dataType.simpleString} " +
+          "is not supported for z-order clustering (atomic orderable types only)")
+    }
     graft.functions.ZOrderKey.register(df.sparkSession)
     val rows = if (totalRows >= 0) totalRows else df.count()
     val ids = cols.map { c =>
@@ -101,6 +125,9 @@ object ZOrder {
     require(!layout.contains("numBuckets"),
       s"nimble: zorder: $dir is hash-bucketed — z-ordering would break the " +
         "storage-partitioned-join layout; compact within buckets instead")
+    require(!extraOptions.keys.exists(_.equalsIgnoreCase("sortColumns")),
+      "nimble: zorder: extraOptions must not declare sortColumns — the curve " +
+        "order is not a column sort (TopN/sorted probes would return wrong rows)")
     val opts = (layout - "sortColumns") ++ extraOptions // curve order is not a column sort: never declare one
     val before = GraftIO.listGft(dir)
     val bytesBefore = before.map(_.length).sum
@@ -108,12 +135,14 @@ object ZOrder {
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.format("nimble").load(dir)
-    cols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"nimble: zorder: column $c not in ${df.schema.fieldNames.mkString(",")}"))
-    val keyed = df.withColumn("__zkey", zkey(df, cols, buckets, totalRows))
+    // collision-proof key name: a data column literally named __zkey must
+    // survive the rewrite untouched, not be overwritten by the curve key
+    var zc = "__zkey"
+    while (df.schema.fieldNames.contains(zc)) zc += "_"
+    val keyed = df.withColumn(zc, zkey(df, cols, buckets, totalRows))
     val shaped = keyed
-      .repartitionByRange(nOut, col("__zkey"))
-      .sortWithinPartitions("__zkey")
+      .repartitionByRange(nOut, col(zc))
+      .sortWithinPartitions(zc)
       .select(df.schema.fieldNames.map(col).toIndexedSeq: _*) // narrow: drops the key, keeps order
 
     var w = shaped.write.format("nimble").mode("overwrite")

@@ -163,4 +163,35 @@ class ZOrderSpec extends SparkTestBase {
     val back = spark.read.format("nimble").load(out)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("review guards: __zkey data column survives; bad buckets/types/sortColumns refused") {
+    import spark.implicits._
+    // a real column named __zkey must come back untouched
+    val df = (0L until 2000L).map(i => (i, i * 3, (i % 13).toInt)).toDF("id", "__zkey", "v")
+    val dir = tmpDir("zo-guard"); val out = tmpDir("zo-guard-out")
+    df.write.format("nimble").mode("overwrite").save(dir)
+    graft.ops.ZOrder.zorder(spark, dir, out, Seq("id", "v"))
+    val back = spark.read.format("nimble").load(out)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "__zkey data column must survive the rewrite byte-identically")
+
+    // curve ids are 8-bit: buckets outside [2,256] must refuse, not wrap
+    intercept[IllegalArgumentException] {
+      graft.ops.ZOrder.zorder(spark, dir, tmpDir("zo-g2"), Seq("id"), buckets = 1024)
+    }
+    // unsupported clustered-column type refuses up front (no mid-sample crash)
+    val bdir = tmpDir("zo-guard-bin")
+    (0L until 100L).map(i => (i, Array(i.toByte))).toDF("id", "bin")
+      .write.format("nimble").mode("overwrite").save(bdir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.ZOrder.zorder(spark, bdir, tmpDir("zo-g3"), Seq("bin"))
+    }
+    assert(e.getMessage.contains("not supported"))
+    // extraOptions cannot smuggle a false sort declaration back in
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.ZOrder.zorder(spark, dir, tmpDir("zo-g4"), Seq("id"),
+        extraOptions = Map("sortColumns" -> "id"))
+    }
+    assert(e2.getMessage.contains("sortColumns"))
+  }
 }
