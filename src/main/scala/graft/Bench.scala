@@ -283,7 +283,10 @@ object Bench {
     // sorted table it scans everything; on the z-ordered table stripe stats
     // prune most of the curve. Wall-clock pair + the pruned fraction. ----
     {
-      val zr = 8000000L
+      // 32M rows: at local[32] an 8M-row scan is task-overhead-dominated and
+      // the pruning win vanishes into noise; 32M x 16B makes decode volume
+      // the cost again, which is what stripe pruning actually saves at scale
+      val zr = 32000000L
       // b non-linear in id (any id*c%m correlates perfectly with a)
       val zdf = spark.range(zr).select(
         (col("id") % 512).cast("int").as("a"),
@@ -293,12 +296,12 @@ object Bench {
       val zDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-zord"
       zdf.repartitionByRange(4, col("a")).sortWithinPartitions("a")
         .write.format("nimble").mode("overwrite")
-        .option("sortColumns", "a").option("stripeBytes", (1L << 20).toString)
+        .option("sortColumns", "a").option("stripeBytes", (2L << 20).toString)
         .save(linDir)
       val (zSec, _) = time {
         graft.ops.ZOrder.zorder(spark, linDir, zDir, Seq("a", "b"),
-          targetFileBytes = 32L << 20,
-          extraOptions = Map("stripeBytes" -> (1L << 20).toString))
+          targetFileBytes = 64L << 20,
+          extraOptions = Map("stripeBytes" -> (2L << 20).toString))
       }
       results("scale_zorder_sec") = zSec
       timed("scale_zorder_probe_b") {

@@ -33,7 +33,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference for the surface (not the design): the reference engine is
   * file-based the same way (dwio/nimble/tablet/TabletReader.h:23 — all
   * metadata in-file; no separate catalog service). */
-class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  /** `CALL cat.system.{compact, compact_small, zorder}(...)` — table
+    * maintenance as SQL (see [[NimbleProcedures]]). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    NimbleProcedures.load(ident, dirOf)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system"))) NimbleProcedures.list()
+    else Array.empty
 
   private var catName: String = _
   private var warehouse: String = _

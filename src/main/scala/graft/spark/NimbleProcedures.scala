@@ -1,0 +1,152 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.GraftIO
+import graft.ops.{Compaction, ZOrder}
+
+/** SQL-callable table-maintenance procedures for [[NimbleCatalog]]
+  * (DSv2 `ProcedureCatalog`, the Iceberg `CALL cat.system.x(...)` surface):
+  *
+  *   CALL cat.system.compact(table => 'ns.t' [, target_file_bytes => N])
+  *   CALL cat.system.compact_small(table => 'ns.t' [, min_file_bytes => N]
+  *                                 [, target_file_bytes => N])
+  *   CALL cat.system.zorder(table => 'ns.t', columns => 'a,b'
+  *                          [, target_file_bytes => N])
+  *
+  * Each returns one report row (files_before, files_after, bytes_before,
+  * bytes_after, rows). `compact_small` is natively in-place; `compact` and
+  * `zorder` rewrite to a hidden side dir inside the table directory and
+  * swap with the same unlink-then-move commit as the row-level ops
+  * ([[graft.ops.Delete.rewriteFiles]]): a crash mid-swap loses no
+  * replacement data — it persists in the side dir for recovery — and can
+  * never duplicate rows. Concurrent-reader caveat family is identical to
+  * SQL DELETE/UPDATE on these tables.
+  */
+object NimbleProcedures {
+
+  private val REPORT = StructType(Seq(
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false),
+    StructField("bytes_before", LongType, nullable = false),
+    StructField("bytes_after", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  def list(): Array[Identifier] =
+    Array("compact", "compact_small", "zorder")
+      .map(n => Identifier.of(Array("system"), n))
+
+  def load(ident: Identifier, dirOf: Identifier => String): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"nimble: procedures live in the 'system' namespace, got $ident")
+    val resolve: String => String = table => {
+      val parts = table.split("\\.")
+      dirOf(Identifier.of(parts.dropRight(1), parts.last))
+    }
+    ident.name() match {
+      case "compact" => new CompactProc(resolve)
+      case "compact_small" => new CompactSmallProc(resolve)
+      case "zorder" => new ZOrderProc(resolve)
+      case other => throw new IllegalArgumentException(
+        s"nimble: unknown procedure system.$other (have: compact, compact_small, zorder)")
+    }
+  }
+
+  /** Swap the side-dir output into the table dir: unlink originals FIRST,
+    * then move replacements in (rewriteFiles commit order — no committed
+    * data is lost on a crash, rows can never duplicate). */
+  private def swapInPlace(dir: String, side: String): Unit = {
+    val originals = NimbleSource.listFiles(dir)
+    val repl = NimbleSource.listFiles(side)
+    require(repl.nonEmpty, s"nimble: optimize produced no files in $side")
+    originals.foreach(GraftIO.delete(_))
+    for (f <- repl) {
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      var dst = GraftIO.child(dir, name)
+      if (GraftIO.exists(dst))
+        dst = GraftIO.child(dir, s"o${java.util.UUID.randomUUID().toString.take(8)}-$name")
+      require(GraftIO.rename(f, dst), s"nimble: optimize: rename $f -> $dst failed")
+    }
+    GraftIO.delete(side, recursive = true)
+  }
+
+  private def reportScan(rep: Compaction.Report): java.util.Iterator[Scan] = {
+    val row = new GenericInternalRow(Array[Any](
+      rep.filesBefore, rep.filesAfter, rep.bytesBefore, rep.bytesAfter, rep.rows))
+    java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = REPORT
+      override def rows(): Array[InternalRow] = Array(row)
+      override def description(): String = "nimble optimize report"
+    }).iterator()
+  }
+
+  private def param(name: String, dt: DataType, default: Option[String] = None) = {
+    var b = ProcedureParameter.in(name, dt)
+    default.foreach(d => b = b.defaultValue(d))
+    b.build()
+  }
+
+  private abstract class MaintenanceProc(resolve: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // rewrites state
+    protected def dirFor(input: InternalRow): String = resolve(input.getUTF8String(0).toString)
+    protected def sideDir(dir: String): String =
+      GraftIO.child(dir, s".optimize-${java.util.UUID.randomUUID().toString.take(8)}")
+    protected def spark: SparkSession = SparkSession.active
+  }
+
+  private final class CompactProc(resolve: String => String) extends MaintenanceProc(resolve) {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the table into ~target_file_bytes files, layout preserved"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target_file_bytes", LongType, Some((256L << 20).toString)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirFor(input)
+      val side = sideDir(dir)
+      val rep = Compaction.compact(spark, dir, side, input.getLong(1))
+      swapInPlace(dir, side)
+      reportScan(rep)
+    }
+  }
+
+  private final class CompactSmallProc(resolve: String => String) extends MaintenanceProc(resolve) {
+    override def name(): String = "compact_small"
+    override def description(): String =
+      "in-place merge of only the files under min_file_bytes; big files untouched"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("min_file_bytes", LongType, Some((32L << 20).toString)),
+      param("target_file_bytes", LongType, Some((256L << 20).toString)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      reportScan(Compaction.compactSmall(spark, dirFor(input),
+        input.getLong(1), input.getLong(2)))
+  }
+
+  private final class ZOrderProc(resolve: String => String) extends MaintenanceProc(resolve) {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "Morton-curve clustering rewrite over the given columns (stats prune on all of them)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("columns", StringType),
+      param("target_file_bytes", LongType, Some((256L << 20).toString)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirFor(input)
+      val cols = input.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val side = sideDir(dir)
+      val rep = ZOrder.zorder(spark, dir, side, cols, input.getLong(2))
+      swapInPlace(dir, side)
+      reportScan(rep)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL CALL procedures (DSv2 ProcedureCatalog): table maintenance —
+  * compact, compact_small, zorder — runnable as
+  * `CALL cat.system.x(...)`, with one report row back and values intact. */
+class ProcedureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withCat[A](tag: String)(body: String => A): A = {
+    val cat = s"gproc$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.spark.NimbleCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmpDir(s"proc-wh-$tag"))
+    body(cat)
+  }
+
+  test("CALL system.compact_small merges the small-file tail in place, returns a report row") {
+    withCat("a") { cat =>
+      val df = spark.range(5000).select(col("id"), (col("id") % 31).as("v"))
+      df.writeTo(s"$cat.t1").create()
+      // append a 10-file tail
+      spark.range(5000, 5500).select(col("id"), (col("id") % 31).as("v"))
+        .repartition(10).writeTo(s"$cat.t1").append()
+      val before = spark.table(s"$cat.t1").count()
+      val rep = spark.sql(
+        s"CALL $cat.system.compact_small(table => 't1', min_file_bytes => ${1L << 20})")
+        .collect()
+      assert(rep.length == 1)
+      val r = rep.head
+      assert(r.getAs[Int]("files_before") > r.getAs[Int]("files_after"),
+        s"tail should merge: $r")
+      assert(r.getAs[Long]("rows") == before)
+      assert(spark.table(s"$cat.t1").count() == before)
+    }
+  }
+
+  test("CALL system.zorder rewrites in place; values identical; report sane") {
+    withCat("b") { cat =>
+      val df = spark.range(20000).select(
+        (col("id") % 64).cast("int").as("a"),
+        pmod(hash(col("id")), lit(64)).as("b"),
+        col("id").as("payload"))
+      df.writeTo(s"$cat.t2").create()
+      val rep = spark.sql(
+        s"CALL $cat.system.zorder(table => 't2', columns => 'a,b')").collect()
+      assert(rep.length == 1 && rep.head.getAs[Long]("rows") == 20000L)
+      val back = spark.table(s"$cat.t2")
+      assert(back.count() == 20000)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    }
+  }
+
+  test("CALL system.compact folds a fragmented table to ~one file; unknown proc errors") {
+    withCat("c") { cat =>
+      spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+        .repartition(12).writeTo(s"$cat.t3").create()
+      val rep = spark.sql(s"CALL $cat.system.compact(table => 't3')").collect().head
+      assert(rep.getAs[Int]("files_after") == 1, rep)
+      assert(spark.table(s"$cat.t3").count() == 10000)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.nonsense(table => 't3')").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("nonsense") ||
+        e.getMessage.toLowerCase.contains("procedure"))
+    }
+  }
+}
