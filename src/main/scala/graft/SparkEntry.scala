@@ -632,7 +632,12 @@ object SparkEntry {
     // many of its 8-token windows occur verbatim in other docs
     "x35_substring_overlap" -> ((s, dir) =>
       Dedup.substringOverlapProfile(Tables.nimble(s, dir, "documents"),
-        "doc_id", "text", windowTokens = 8))
+        "doc_id", "text", windowTokens = 8)),
+    // corpus-trained unigram surprisal (CCNet-style LM quality signal,
+    // integer-exact via binary digit counts — no floating log anywhere)
+    "x36_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(Tables.nimble(s, dir, "documents"),
+        "doc_id", "text"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1257,6 +1262,20 @@ object SparkEntry {
                  GROUP BY 1)
          SELECT b.doc_id, nw AS total_windows,
            coalesce(dup.dup, 0) AS dup_windows
-         FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id"""
+         FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id""",
+    // binary digit counts, never log(): length(bin(n)) == floor(log2 n)+1
+    "x36_surprisal" ->
+      """WITH toks AS (SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         counts AS (SELECT w, count(1) AS c FROM toks GROUP BY 1),
+         total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+         bits AS (SELECT toks.doc,
+             CAST(length(bin(total.t)) AS BIGINT) - CAST(length(bin(counts.c)) AS BIGINT) AS b
+           FROM toks JOIN counts USING (w) CROSS JOIN total)
+         SELECT doc AS doc_id, count(1) AS n_tokens,
+           CAST(sum(b) AS BIGINT) AS sum_bits,
+           CAST(sum(b) AS DOUBLE) / count(1) AS avg_bits
+         FROM bits GROUP BY doc"""
   )
 }

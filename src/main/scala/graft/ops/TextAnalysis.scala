@@ -156,6 +156,36 @@ object TextAnalysis {
           .cast("long").as("bin"))
   }
 
+  /** Corpus-trained unigram surprisal score — the CCNet-style statistical
+    * language-model quality signal, in INTEGER-exact form. The corpus is its
+    * own LM: a word seen c times in a T-token corpus carries
+    * `bits(w) = len2(T) - len2(c)` bits of surprisal, where `len2(n)` is the
+    * binary digit count (floor(log2 n) + 1 — computed as the LENGTH OF THE
+    * BINARY STRING, never floating log, so there is no libm rounding to
+    * diverge between engines). A doc's score is its mean per-token
+    * surprisal: low = common/boilerplate text, high = rare-vocabulary or
+    * gibberish — both tails are what corpus filters cut.
+    *
+    * Scale shape: word counts are a partial-aggregating groupBy; the
+    * token→count join shuffles on the word key (AQE splits the hot stopword
+    * keys); the corpus total is a one-row broadcast. Nothing driver-side,
+    * nothing quadratic. Emits (id, n_tokens, sum_bits, avg_bits) — avg is
+    * the only division, one exact-int quotient per doc. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), explode(Dedup.words(col(textCol))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val totalDf = counts.agg(sum("c").as("t"))
+    def len2(n: Column): Column = length(conv(n, 10, 2)).cast("long")
+    toks.join(counts, Seq("w"))
+      .crossJoin(broadcast(totalDf)) // one row: a join in name only
+      .select(col("doc"), (len2(col("t")) - len2(col("c"))).as("bits"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens")).as("avg_bits"))
+  }
+
   /** Within-document repetition score: 1 - |distinct words| / |words| (0 =
     * no repetition); a standard boilerplate/spam signal in corpus filters. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -114,4 +114,29 @@ class TextPipelineSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(back(1L) == "\u00e9" && back(2L) == "ok")
   }
+
+  test("unigramSurprisal: binary-digit surprisal matches a driver-side replay; rare > common") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the"),
+      (3L, "zyzzyva qwertyuiop")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // driver replay
+    val toks = Seq(1L -> "the cat sat on the mat", 2L -> "the the the the",
+      3L -> "zyzzyva qwertyuiop").flatMap { case (d, t) =>
+      t.toLowerCase.split("\\s+").map(d -> _) }
+    val counts = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val total = toks.size.toLong
+    def len2(n: Long) = java.lang.Long.toBinaryString(n).length.toLong
+    val want = toks.groupBy(_._1).map { case (d, ws) =>
+      val bits = ws.map { case (_, w) => len2(total) - len2(counts(w)) }
+      d -> ((ws.size.toLong, bits.sum, bits.sum.toDouble / ws.size))
+    }
+    assert(got == want, s"got $got want $want")
+    // the all-stopword doc scores lower than the rare-vocab doc
+    assert(got(2L)._3 < got(3L)._3)
+  }
 }
