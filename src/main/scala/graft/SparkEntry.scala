@@ -621,7 +621,8 @@ object SparkEntry {
     // replays value-for-value in the oracle)
     "x33_kmeans" -> ((s, dir) =>
       Similarity.kmeansInt8(Tables.nimble(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 2)),
+        "vec_id", "embedding", k = 8, iters = 2,
+        persist = false)), // consume-once: the harness must not leak a cache
     // semantic near-dup: kmeans clusters as the blocking key, exact cosine
     // within blocks (paraphrase-level dedup where shingle/LSH blocking
     // can't collide)

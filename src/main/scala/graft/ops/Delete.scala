@@ -281,23 +281,40 @@ object Delete {
       layout.foreach { case (k, v) => w = w.option(k, v) }
       w.save(tmp)
 
-      // move non-empty replacements in (zero-row task files are noise:
-      // they'd break the one-file-per-bucket ordering contract and add
-      // footer reads for nothing)
-      val repl = NimbleSource.listFiles(tmp)
-        .filter(f => NimbleSource.footerOf(f).rowCount > 0)
-      var rowsAfter = 0L
-      victims.foreach(GraftIO.delete(_))
-      for (f <- repl) {
-        rowsAfter += NimbleSource.footerOf(f).rowCount
-        val name = f.substring(f.lastIndexOf('/') + 1)
-        var dst = GraftIO.child(dir, name)
-        if (GraftIO.exists(dst))
-          dst = GraftIO.child(dir, s"r${java.util.UUID.randomUUID().toString.take(8)}-$name")
-        require(GraftIO.rename(f, dst), s"nimble: rewrite: rename $f -> $dst failed")
-      }
+      val rowsAfter = Delete.commitReplacements(dir, victims, tmp)
       (rowsBefore, rowsAfter)
     } finally GraftIO.delete(tmp, recursive = true)
+  }
+
+  /** The shared in-place swap commit (DML rewrites AND the CALL maintenance
+    * procedures): unlink exactly `victims` — never "whatever is in the dir
+    * now", so a file appended after the victims were pinned survives — then
+    * move the side dir's replacements in. Zero-row task files are dropped
+    * (noise: footer reads for nothing, and they'd break the
+    * one-file-per-bucket ordering contract), EXCEPT that if dropping them
+    * would leave the directory with no files at all, one zero-row file is
+    * kept so the schema + declared layout survive. Crash safety: unlink
+    * happens first, so an interruption loses no replacement data (it stays
+    * in the side dir for recovery) and can never duplicate surviving rows.
+    * The caller owns side-dir cleanup (finally-delete). Returns replacement
+    * row count. */
+  private[graft] def commitReplacements(dir: String, victims: Seq[String],
+      sideDir: String): Long = {
+    val all = NimbleSource.listFiles(sideDir)
+    var repl = all.filter(f => NimbleSource.footerOf(f).rowCount > 0)
+    var rowsAfter = 0L
+    victims.foreach(GraftIO.delete(_))
+    if (repl.isEmpty && all.nonEmpty && NimbleSource.listFiles(dir).isEmpty)
+      repl = all.take(1) // keep the schema-carrying empty tablet
+    for (f <- repl) {
+      rowsAfter += NimbleSource.footerOf(f).rowCount
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      var dst = GraftIO.child(dir, name)
+      if (GraftIO.exists(dst))
+        dst = GraftIO.child(dir, s"r${java.util.UUID.randomUUID().toString.take(8)}-$name")
+      require(GraftIO.rename(f, dst), s"nimble: rewrite: rename $f -> $dst failed")
+    }
+    rowsAfter
   }
 
   // --------------------------------------------- condition translation

@@ -297,12 +297,15 @@ object Similarity {
     * over the corpus is the cost model a 100 TB training job budgets for.
     *
     * Returns (idCol, cluster) for every input row, the final-iteration
-    * assignment — PERSISTED and materialized (the iterations already paid
-    * for it; reuse is free). The caller owns the cache: call `.unpersist()`
-    * on the returned frame when done, the dedupClusters contract. */
+    * assignment. With `persist = true` (default) it comes back PERSISTED
+    * and materialized (the iterations already paid for it; reuse is free) —
+    * the caller owns the cache: call `.unpersist()` on the returned frame
+    * when done, the dedupClusters contract. Pass `persist = false` for
+    * consume-once pipelines (the assignment recomputes through lineage in
+    * one pass; nothing is leaked into the session). */
   def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2): DataFrame =
-    kmeansCore(df, idCol, vecCol, k, iters, carryVec = false, persistResult = true)
+      iters: Int = 2, persist: Boolean = true): DataFrame =
+    kmeansCore(df, idCol, vecCol, k, iters, carryVec = false, persistResult = persist)
 
   /** Shared k-means engine; `carryVec` keeps the ORIGINAL vector column in
     * the output (id, v, cluster) so downstream exact re-ranks/joins need no

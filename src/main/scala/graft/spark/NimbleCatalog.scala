@@ -39,7 +39,7 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
   /** `CALL cat.system.{compact, compact_small, zorder}(...)` — table
     * maintenance as SQL (see [[NimbleProcedures]]). */
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    NimbleProcedures.load(ident, dirOf)
+    NimbleProcedures.load(ident, dirOf, catName)
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system"))) NimbleProcedures.list()
     else Array.empty

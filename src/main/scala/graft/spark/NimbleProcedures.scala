@@ -43,12 +43,17 @@ object NimbleProcedures {
     Array("compact", "compact_small", "zorder")
       .map(n => Identifier.of(Array("system"), n))
 
-  def load(ident: Identifier, dirOf: Identifier => String): UnboundProcedure = {
+  def load(ident: Identifier, dirOf: Identifier => String,
+      catalogName: String): UnboundProcedure = {
     require(ident.namespace().sameElements(Array("system")),
       s"nimble: procedures live in the 'system' namespace, got $ident")
     val resolve: String => String = table => {
-      val parts = table.split("\\.")
-      dirOf(Identifier.of(parts.dropRight(1), parts.last))
+      var parts = table.split("\\.").toSeq
+      // accept the Iceberg-style catalog-qualified form ('cat.ns.t')
+      if (parts.length > 1 && parts.head == catalogName) parts = parts.tail
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"nimble: procedures: malformed table name '$table'")
+      dirOf(Identifier.of(parts.dropRight(1).toArray, parts.last))
     }
     ident.name() match {
       case "compact" => new CompactProc(resolve)
@@ -59,22 +64,20 @@ object NimbleProcedures {
     }
   }
 
-  /** Swap the side-dir output into the table dir: unlink originals FIRST,
-    * then move replacements in (rewriteFiles commit order — no committed
-    * data is lost on a crash, rows can never duplicate). */
-  private def swapInPlace(dir: String, side: String): Unit = {
-    val originals = NimbleSource.listFiles(dir)
-    val repl = NimbleSource.listFiles(side)
-    require(repl.nonEmpty, s"nimble: optimize produced no files in $side")
-    originals.foreach(GraftIO.delete(_))
-    for (f <- repl) {
-      val name = f.substring(f.lastIndexOf('/') + 1)
-      var dst = GraftIO.child(dir, name)
-      if (GraftIO.exists(dst))
-        dst = GraftIO.child(dir, s"o${java.util.UUID.randomUUID().toString.take(8)}-$name")
-      require(GraftIO.rename(f, dst), s"nimble: optimize: rename $f -> $dst failed")
-    }
-    GraftIO.delete(side, recursive = true)
+  /** Run `rewrite` (dir -> side) then swap the side dir in through the
+    * DML commit ([[graft.ops.Delete.commitReplacements]]): victims are
+    * PINNED before the rewrite starts, so a file appended after that point
+    * is never unlinked; the side dir is removed on every exit path. */
+  private def rewriteAndSwap(dir: String, side: String)
+      (rewrite: => Compaction.Report): Compaction.Report = {
+    val victims = NimbleSource.listFiles(dir)
+    try {
+      val rep = rewrite
+      require(NimbleSource.listFiles(side).nonEmpty,
+        s"nimble: optimize produced no files in $side")
+      graft.ops.Delete.commitReplacements(dir, victims, side)
+      rep
+    } finally GraftIO.delete(side, recursive = true)
   }
 
   private def reportScan(rep: Compaction.Report): java.util.Iterator[Scan] = {
@@ -113,9 +116,9 @@ object NimbleProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = dirFor(input)
       val side = sideDir(dir)
-      val rep = Compaction.compact(spark, dir, side, input.getLong(1))
-      swapInPlace(dir, side)
-      reportScan(rep)
+      reportScan(rewriteAndSwap(dir, side) {
+        Compaction.compact(spark, dir, side, input.getLong(1))
+      })
     }
   }
 
@@ -144,9 +147,9 @@ object NimbleProcedures {
       val dir = dirFor(input)
       val cols = input.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val side = sideDir(dir)
-      val rep = ZOrder.zorder(spark, dir, side, cols, input.getLong(2))
-      swapInPlace(dir, side)
-      reportScan(rep)
+      reportScan(rewriteAndSwap(dir, side) {
+        ZOrder.zorder(spark, dir, side, cols, input.getLong(2))
+      })
     }
   }
 }

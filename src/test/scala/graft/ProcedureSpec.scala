@@ -66,4 +66,25 @@ class ProcedureSpec extends SparkTestBase {
         e.getMessage.toLowerCase.contains("procedure"))
     }
   }
+
+  test("failed CALL leaves no side dir and the table intact; catalog-qualified names resolve") {
+    withCat("d") { cat =>
+      val df = spark.range(3000).select(col("id"), array(col("id")).as("arr"))
+      df.writeTo(s"$cat.t4").create()
+      // zorder on an unsupported (array) column fails AFTER the side dir is
+      // created — the table must be untouched and the side dir cleaned up
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.zorder(table => 't4', columns => 'arr')").collect()
+      }
+      assert(spark.table(s"$cat.t4").count() == 3000, "failed CALL must not damage the table")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val leftovers = new java.io.File(s"$wh/t4").listFiles()
+        .filter(_.getName.startsWith(".optimize-"))
+      assert(leftovers.isEmpty, s"side dir leaked: ${leftovers.mkString(",")}")
+      // Iceberg-style catalog-qualified table name resolves to the same table
+      val rep = spark.sql(s"CALL $cat.system.compact(table => '$cat.t4')").collect().head
+      assert(rep.getAs[Long]("rows") == 3000L)
+      assert(spark.table(s"$cat.t4").count() == 3000)
+    }
+  }
 }
