@@ -416,6 +416,27 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     }),
 
+    // SQL CALL maintenance end-to-end: fragment a catalog table, fold it
+    // with CALL compact_small, re-cluster with CALL zorder, and answer a
+    // both-dimension filter identically to the parquet source
+    "q39_call_optimize" -> ((s, dir) => {
+      val cat = Tables.spjTables(s, dir)
+      s.sql(s"DROP TABLE IF EXISTS $cat.opt_li")
+      Tables.parquet(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .repartition(8)
+        .writeTo(s"$cat.opt_li").create()
+      s.sql(s"CALL $cat.system.compact_small(table => 'opt_li', " +
+        s"min_file_bytes => ${1L << 30}, target_file_bytes => ${1L << 30})")
+      s.sql(s"CALL $cat.system.zorder(table => 'opt_li', " +
+        "columns => 'l_partkey,l_suppkey')")
+      s.table(s"$cat.opt_li")
+        .filter(col("l_partkey") <= 150 || col("l_suppkey") <= 8)
+        .agg(count(lit(1)).as("cnt"),
+          min("l_partkey").as("min_pk"), max("l_suppkey").as("max_sk"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1081,6 +1102,11 @@ object SparkEntry {
            min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM t GROUP BY o_orderstatus""",
+    "q39_call_optimize" ->
+      """SELECT count(1) AS cnt, min(l_partkey) AS min_pk,
+           max(l_suppkey) AS max_sk,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem WHERE l_partkey <= 150 OR l_suppkey <= 8""",
     "q37_zorder" ->
       """SELECT CAST(l_suppkey % 7 AS INT) AS sgrp, count(1) AS cnt,
            min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
