@@ -1027,6 +1027,13 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
+  /** Spark-UI scan counters (summed over tasks): the skipped-work numbers
+    * an operator tuning a 100 TB scan needs without debug logging. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new NimbleSumMetric("stripesRead", "stripes opened"),
+      new NimbleSumMetric("chunksSkipped", "chunks skipped (stats/index/TopN positioning)"))
+
   /** Storage-partitioned-join surface: when every file declares the same
     * hash-bucket spec AND the session opted in (the v2 bucketing flag), the
     * scan reports KeyGroupedPartitioning over the bucket transform and
@@ -1439,8 +1446,24 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
       }
       override def get(): InternalRow = cur
       override def close(): Unit = batches.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        batches.currentMetricsValues()
     }
   }
+}
+
+/** DSv2 custom scan metrics (Spark UI SQL-node counters): how much work
+  * the selective reader SKIPPED is exactly what an operator tuning a
+  * 100 TB scan needs to see without re-running with debug logging. */
+private[spark] case class NimbleTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
+private[spark] class NimbleSumMetric(n: String, d: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = d
 }
 
 /** Chains per-stripe readers over a bin-packed partition, opening one stripe
@@ -1454,7 +1477,15 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   private var idx = -1
   private var cur: NimbleBatchReader = null
   private var produced = 0L
+  private var stripesOpened = 0L
+  private var doneChunksSkipped = 0L
   var currentMask: Array[Boolean] = null
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      NimbleTaskMetric("stripesRead", stripesOpened),
+      NimbleTaskMetric("chunksSkipped",
+        doneChunksSkipped + (if (cur != null) cur.taskChunksSkipped else 0L)))
   // one-ahead stream prefetch: stripe i+1's bytes load on the shared I/O
   // pool while stripe i decodes (UnitLoader analog, velox/VeloxReader.h:69).
   // At most one stripe of wasted I/O when an early limit stops the chain.
@@ -1466,6 +1497,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       if (cur != null) {
         if (cur.next()) { currentMask = cur.currentMask; return true }
         produced += cur.emittedRows
+        doneChunksSkipped += cur.taskChunksSkipped
         cur.close(); cur = null
       }
       if (limit >= 0 && produced >= limit) return false
@@ -1486,6 +1518,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
         pending = NimbleSource.submitPrefetch(nxt.file, nxt.stripe, dataSchema, required, filters)
       }
       val remaining = if (limit < 0) -1 else (limit - produced).toInt
+      stripesOpened += 1
       cur = new NimbleBatchReader(items(idx).file, items(idx).stripe,
         dataSchema, required, filters, remaining, prefetched = pre, unsignedCols = unsignedCols,
         // TopN tail skip applies to the chain's first stripe only (plan-time
@@ -1514,6 +1547,9 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
   private var emitted = 0L
   def emittedRows: Long = emitted
+  /** chunks this reader skipped via TopN positioning / chunk stats / index
+    * candidates — surfaced as the DSv2 "chunksSkipped" task metric */
+  private[spark] var taskChunksSkipped = 0L
   /** Rows still to position past before emitting (TopN tail partitions). */
   private var toSkip: Long = skipRows
 
@@ -1659,6 +1695,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           cursors.valuesIterator.foreach(_.skip())
           toSkip -= st.get.valueCount
           chunkOrd += 1
+          taskChunksSkipped += 1
           NimbleSource.chunksSkipped.incrementAndGet()
         } else toSkip = 0
       } else {
@@ -1686,6 +1723,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         chunkOrd += 1
         if (pruned) {
           cursors.valuesIterator.foreach(_.skip())
+          taskChunksSkipped += 1
           NimbleSource.chunksSkipped.incrementAndGet()
         } else {
           val r = decodeAndFilterChunk()

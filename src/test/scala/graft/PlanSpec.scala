@@ -128,6 +128,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join [cluster"), s"pair join must key on cluster:\n$p")
   }
 
+  test("DSv2 custom scan metrics: stripesRead / chunksSkipped surface on the scan node") {
+    import spark.implicits._
+    val dir = tmpDir("metrics")
+    spark.range(100000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("nimble").mode("overwrite")
+      .option("sortColumns", "k").option("rowsPerChunk", "2048").save(dir)
+    val df = spark.read.format("nimble").load(dir).filter(col("k") === 50000L)
+    assert(df.count() == 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.headOption.orElse(plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.get
+    }).get
+    assert(scan.metrics.contains("stripesRead"), scan.metrics.keys.mkString(","))
+    assert(scan.metrics.contains("chunksSkipped"), scan.metrics.keys.mkString(","))
+    assert(scan.metrics("stripesRead").value >= 1, scan.metrics("stripesRead").value)
+    // point filter on a sorted 49-chunk stripe: most chunks must chunk-skip
+    assert(scan.metrics("chunksSkipped").value > 10, scan.metrics("chunksSkipped").value)
+  }
+
   test("x27 sequence packing: corpus cumsum windows per bucket, never one partition") {
     val q = SparkEntry.queries("x27_seq_pack")(spark, sf())
     q.collect()
