@@ -40,7 +40,7 @@ object NimbleProcedures {
     StructField("rows", LongType, nullable = false)))
 
   def list(): Array[Identifier] =
-    Array("compact", "compact_small", "zorder")
+    Array("compact", "compact_small", "zorder", "vacuum")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(ident: Identifier, dirOf: Identifier => String,
@@ -59,8 +59,10 @@ object NimbleProcedures {
       case "compact" => new CompactProc(resolve)
       case "compact_small" => new CompactSmallProc(resolve)
       case "zorder" => new ZOrderProc(resolve)
+      case "vacuum" => new VacuumProc(resolve)
       case other => throw new IllegalArgumentException(
-        s"nimble: unknown procedure system.$other (have: compact, compact_small, zorder)")
+        s"nimble: unknown procedure system.$other " +
+          "(have: compact, compact_small, zorder, vacuum)")
     }
   }
 
@@ -80,15 +82,16 @@ object NimbleProcedures {
     } finally GraftIO.delete(side, recursive = true)
   }
 
-  private def reportScan(rep: Compaction.Report): java.util.Iterator[Scan] = {
-    val row = new GenericInternalRow(Array[Any](
-      rep.filesBefore, rep.filesAfter, rep.bytesBefore, rep.bytesAfter, rep.rows))
+  private def reportScan(rep: Compaction.Report): java.util.Iterator[Scan] =
+    rowScan(REPORT, new GenericInternalRow(Array[Any](
+      rep.filesBefore, rep.filesAfter, rep.bytesBefore, rep.bytesAfter, rep.rows)))
+
+  private def rowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
-      override def readSchema(): StructType = REPORT
+      override def readSchema(): StructType = schema
       override def rows(): Array[InternalRow] = Array(row)
-      override def description(): String = "nimble optimize report"
+      override def description(): String = "nimble procedure report"
     }).iterator()
-  }
 
   private def param(name: String, dt: DataType, default: Option[String] = None) = {
     var b = ProcedureParameter.in(name, dt)
@@ -133,6 +136,46 @@ object NimbleProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] =
       reportScan(Compaction.compactSmall(spark, dirFor(input),
         input.getLong(1), input.getLong(2)))
+  }
+
+  /** GC for the crash-recovery leftovers the commit protocols deliberately
+    * leave behind: `.rewrite-*` (DML), `.optimize-*` (CALL maintenance) and
+    * `_temporary` (batch write commit) dirs inside the table directory.
+    * Those dirs hold replacement data after a mid-commit crash, so VACUUM
+    * only removes ones untouched for `older_than_hours` (live operations
+    * keep writing into theirs) — the same recoverability-vs-hygiene dial as
+    * Delta's VACUUM retention. */
+  private final class VacuumProc(resolve: String => String) extends MaintenanceProc(resolve) {
+    private val VREPORT = StructType(Seq(
+      StructField("dirs_removed", IntegerType, nullable = false),
+      StructField("bytes_reclaimed", LongType, nullable = false)))
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "remove crash-recovery temp dirs older than older_than_hours"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("older_than_hours", LongType, Some("168")))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirFor(input)
+      val cutoff = System.currentTimeMillis() - input.getLong(1) * 3600L * 1000L
+      def bytesOf(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(bytesOf).sum).getOrElse(0L)
+      def newestMtime(f: java.io.File): Long =
+        math.max(f.lastModified(),
+          Option(f.listFiles()).map(_.map(newestMtime).foldLeft(0L)(math.max)).getOrElse(0L))
+      val victims = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith(".rewrite-") || f.getName.startsWith(".optimize-") ||
+            f.getName == "_temporary") &&
+          newestMtime(f) < cutoff) // any recent write inside = live operation
+      var reclaimed = 0L
+      victims.foreach { f =>
+        reclaimed += bytesOf(f)
+        GraftIO.delete(f.getPath, recursive = true)
+      }
+      rowScan(VREPORT, new GenericInternalRow(Array[Any](victims.length, reclaimed)))
+    }
   }
 
   private final class ZOrderProc(resolve: String => String) extends MaintenanceProc(resolve) {
