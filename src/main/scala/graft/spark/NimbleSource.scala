@@ -827,7 +827,8 @@ class NimbleTable(path: String, schema: StructType,
     val opts = merged(options)
     new NimbleScanBuilder(path, schema,
       Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(-1),
-      NimbleSource.unsignedColsOf(opts))
+      NimbleSource.unsignedColsOf(opts),
+      maxBytesPerTrigger = Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(-1L))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -837,7 +838,8 @@ class NimbleTable(path: String, schema: StructType,
 // ------------------------------------------------------------------ read
 
 class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger: Int = -1,
-    unsignedCols: Set[String] = Set.empty, rowLevel: NimbleRowLevelOperation = null)
+    unsignedCols: Set[String] = Set.empty, rowLevel: NimbleRowLevelOperation = null,
+    maxBytesPerTrigger: Long = -1L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -991,7 +993,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
       new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials,
         Option(aggMixed).getOrElse(Seq.empty), aggGroups)
     else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols,
-      topN, rowLevel)
+      topN, rowLevel, maxBytesPerTrigger = maxBytesPerTrigger)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -1023,7 +1025,8 @@ case class NimbleBucketPartition(bucket: Int, items: Array[NimbleStripePartition
 
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
-    topN: Option[TopNPush] = None, rowLevel: NimbleRowLevelOperation = null)
+    topN: Option[TopNPush] = None, rowLevel: NimbleRowLevelOperation = null,
+    maxBytesPerTrigger: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -1116,7 +1119,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger, unsignedCols)
+    new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger, unsignedCols,
+      maxBytesPerTrigger)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (limit >= 0) s", limit=$limit" else "") +

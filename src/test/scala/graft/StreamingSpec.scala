@@ -97,6 +97,29 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 3, s"6 files at 2/trigger should take >= 3 batches, got $batches")
   }
 
+  test("maxBytesPerTrigger rate-limits by file bytes; jumbo first file still admits") {
+    import spark.implicits._
+    val dir = tmpDir("stream-bytes")
+    for (i <- 0 until 6)
+      Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.format("nimble").mode("append").save(dir)
+    val oneFile = graft.format.GraftIO.listGft(dir).map(_.length).max
+    var batches = 0
+    var rows = 0L
+    val q = spark.readStream.format("nimble")
+      .option("maxBytesPerTrigger", oneFile.toString) // budget ~ one file per batch
+      .load(dir)
+      .writeStream.format("memory").queryName("nimble_bytes")
+      .option("checkpointLocation", tmpDir("bytes-ckpt"))
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        batches += 1; rows += b.count(); () })
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(rows == 6, s"every row must drain: $rows")
+    assert(batches >= 4, s"6 one-row files at ~1 file of byte budget should take several batches, got $batches")
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
