@@ -1033,9 +1033,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   /** Spark-UI scan counters (summed over tasks): the skipped-work numbers
     * an operator tuning a 100 TB scan needs without debug logging. */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(
-      new NimbleSumMetric("stripesRead", "stripes opened"),
-      new NimbleSumMetric("chunksSkipped", "chunks skipped (stats/index/TopN positioning)"))
+    Array(new StripesReadMetric, new ChunksSkippedMetric)
 
   /** Storage-partitioned-join surface: when every file declares the same
     * hash-bucket spec AND the session opted in (the v2 bucketing flag), the
@@ -1464,10 +1462,20 @@ private[spark] case class NimbleTaskMetric(metricName: String, metricValue: Long
   override def name(): String = metricName
   override def value(): Long = metricValue
 }
-private[spark] class NimbleSumMetric(n: String, d: String)
+/** Top-level, zero-arg-constructible metric classes: Spark's driver-side
+  * SQLAppStatusListener re-instantiates the class named by the task metric
+  * reflectively (zero-arg ctor required) to aggregate values for the UI —
+  * a parameterized class makes every scan log a load warning and the UI
+  * silently drop the metric. */
+private[spark] class StripesReadMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = n
-  override def description(): String = d
+  override def name(): String = "stripesRead"
+  override def description(): String = "stripes opened"
+}
+private[spark] class ChunksSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chunksSkipped"
+  override def description(): String = "chunks skipped (stats/index/TopN positioning)"
 }
 
 /** Chains per-stripe readers over a bin-packed partition, opening one stripe

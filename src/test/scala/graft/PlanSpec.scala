@@ -152,6 +152,13 @@ class PlanSpec extends SparkTestBase {
     assert(scan.metrics("stripesRead").value >= 1, scan.metrics("stripesRead").value)
     // point filter on a sorted 49-chunk stripe: most chunks must chunk-skip
     assert(scan.metrics("chunksSkipped").value > 10, scan.metrics("chunksSkipped").value)
+    // Spark's SQLAppStatusListener re-instantiates each metric class
+    // reflectively (0-arg ctor) to aggregate for the UI — a parameterized
+    // class makes the UI silently drop the metric with a load warning
+    for (m <- scan.scan.supportedCustomMetrics()) {
+      val fresh = m.getClass.getDeclaredConstructor().newInstance()
+      assert(fresh.name() == m.name(), s"reflective re-instantiation of ${m.getClass}")
+    }
   }
 
   test("x27 sequence packing: corpus cumsum windows per bucket, never one partition") {
