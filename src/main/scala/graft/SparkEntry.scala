@@ -437,6 +437,25 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     }),
 
+    // nested struct-leaf predicate pruning: lineitem packed into a struct,
+    // written clustered by the leaf `st.d` — the range filter on the dotted
+    // path prunes stripes from the leaf stream's stats (never claimed as
+    // pushed; Spark re-evaluates rows, so pruning only proves none-match)
+    "q40_nested_prune" -> ((s, dir) => {
+      val nested = Tables.nimble(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(col("l_shipdate").as("d"), col("l_quantity").as("qty"),
+            col("l_extendedprice").as("px")).as("st"))
+        .orderBy(col("st.d"), col("l_orderkey"), col("l_linenumber"))
+      val d = Tables.roundTripDir(s, dir, "q40_nested_prune", nested,
+        Map("stripeBytes" -> "262144"))
+      s.read.format("nimble").load(d)
+        .filter(col("st.d") >= lit("2001-06-01 00:00:00").cast("timestamp_ntz") &&
+          col("st.d") < lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_millis(col("st.d").cast("timestamp")).as("d_ms"), col("st.qty").as("qty"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1113,6 +1132,12 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem WHERE l_partkey <= 200 OR l_suppkey <= 10
          GROUP BY 1""",
+    "q40_nested_prune" ->
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS d_ms,
+           l_quantity AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '2001-09-01 00:00:00'""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

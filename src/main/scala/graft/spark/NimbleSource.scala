@@ -852,7 +852,36 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
       case _ => true
     }).map(_.name).toSet -- unsignedCols
 
+  /** Dotted struct-leaf paths (`st.a.b`) whose streams are ROW-ALIGNED with
+    * the table: the writer pads struct children with null entries when any
+    * ancestor is null (Fields.StructW.addNull), so the leaf stream's stats
+    * — including its null count — describe exactly the values Spark's
+    * `st.a.b` expression produces per row, null tests included. Paths
+    * through arrays/maps are excluded (`#elem`/`#key`/`#val` streams hold
+    * a variable number of entries per row — not row-aligned), as are
+    * components Spark would backtick-quote (dots/backticks in a field
+    * name would make the pushed filter's dotted reference ambiguous). */
+  private val nestedLeafCols: Set[String] = {
+    val out = Set.newBuilder[String]
+    def plain(n: String): Boolean = !n.contains('.') && !n.contains('`')
+    def walk(prefix: String, dt: DataType): Unit = dt match {
+      case s: StructType =>
+        s.fields.foreach(f => if (plain(f.name)) walk(s"$prefix.${f.name}", f.dataType))
+      case _: ArrayType | _: MapType => ()
+      case _ => out += prefix
+    }
+    dataSchema.fields.foreach { f =>
+      f.dataType match {
+        case s: StructType if plain(f.name) && !unsignedCols.contains(f.name) =>
+          s.fields.foreach(c => if (plain(c.name)) walk(s"${f.name}.${c.name}", c.dataType))
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
   private var pushed: Array[Filter] = Array.empty
+  private var statsOnly: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -864,6 +893,13 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     if (rowLevel != null) return filters
     val (ok, residual) = filters.partition(f => Filters.supported(f, atomicCols))
     pushed = ok
+    // Nested struct-leaf predicates prune stripes from leaf-stream stats
+    // (parquet's nested predicate pushdown analog) but are NEVER claimed as
+    // pushed: Spark re-evaluates them row-wise post-scan, so pruning only
+    // has to be sound for none-match proofs — which row-aligned leaf stats
+    // give exactly.
+    statsOnly = residual.filter(f =>
+      f.references.nonEmpty && Filters.supported(f, atomicCols ++ nestedLeafCols))
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -993,7 +1029,7 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
       new NimbleAggBatchScan(path, dataSchema, aggOut, aggOps, pushed, aggPartials,
         Option(aggMixed).getOrElse(Seq.empty), aggGroups)
     else new NimbleScan(path, dataSchema, required, pushed, limit, maxFilesPerTrigger, unsignedCols,
-      topN, rowLevel, maxBytesPerTrigger = maxBytesPerTrigger)
+      topN, rowLevel, maxBytesPerTrigger = maxBytesPerTrigger, statsOnly = statsOnly)
 }
 
 case class NimbleStripePartition(file: String, stripe: Int) extends InputPartition
@@ -1026,7 +1062,7 @@ case class NimbleBucketPartition(bucket: Int, items: Array[NimbleStripePartition
 class NimbleScan(path: String, dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1, maxFilesPerTrigger: Int = -1, unsignedCols: Set[String] = Set.empty,
     topN: Option[TopNPush] = None, rowLevel: NimbleRowLevelOperation = null,
-    maxBytesPerTrigger: Long = -1L)
+    maxBytesPerTrigger: Long = -1L, statsOnly: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -1121,6 +1157,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       maxBytesPerTrigger)
   override def description(): String =
     s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
+      (if (statsOnly.nonEmpty) s", pruneOnly=[${statsOnly.mkString(", ")}]" else "") +
       (if (limit >= 0) s", limit=$limit" else "") +
       topN.map(t => s", topN=[${t.describe}]").getOrElse("")
 
@@ -1213,7 +1250,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     // group — a data-filter-pruned stripe would silently vanish from the
     // rewrite — so only the `_file` group filter may restrict them
     val pruningFilters =
-      if (rowLevel != null) Array.empty[Filter] else filters ++ runtimeFilters
+      if (rowLevel != null) Array.empty[Filter] else filters ++ statsOnly ++ runtimeFilters
     // `_file` runtime group filter (row-level operations): Spark's group
     // filtering pushes IN(<matching files>) against the metadata column, so
     // a DELETE/UPDATE/MERGE scans — and therefore REPLACES — only the files

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Nested struct-leaf predicate pruning: filters on `st.a` prune stripes
+  * from the leaf stream's stats (parquet nested-predicate-pushdown analog)
+  * while Spark still evaluates the predicate row-wise — the scan only ever
+  * proves none-match, so results must be identical with pruning on. */
+class NestedPruneSpec extends SparkTestBase {
+
+  private def planStats(dir: String) = graft.spark.NimbleSource.lastPlanStats(dir).get
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val as = a.collect().map(_.toString).sorted.toSeq
+    val bs = b.collect().map(_.toString).sorted.toSeq
+    assert(as == bs, s"rows differ: ${as.take(3)} vs ${bs.take(3)} (${as.length}/${bs.length})")
+  }
+
+  test("point + range filters on a sorted struct leaf prune stripes, values exact") {
+    val df = spark.range(60000).select(col("id"),
+      struct(col("id").as("a"), md5(col("id").cast("string")).as("b")).as("st"))
+    val dir = tmpDir("nested-prune")
+    df.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "4096").option("rowsPerChunk", "2048").save(dir)
+    val nFiles = graft.spark.NimbleSource.listFiles(dir)
+    val stripes = graft.spark.NimbleSource.footerOf(nFiles.head).stripes.length
+    assert(stripes >= 4, s"fixture needs several stripes, got $stripes")
+
+    val nb = spark.read.format("nimble").load(dir)
+    val point = nb.filter(col("st.a") === 12345L)
+    assert(point.count() == 1)
+    val ps = planStats(dir)
+    assert(ps.stripesPruned >= stripes - 2, s"point filter pruned ${ps.stripesPruned} of $stripes stripes")
+    // the nested predicate is prune-only: never claimed as pushed
+    val desc = point.queryExecution.executedPlan.toString
+    assert(desc.contains("pruneOnly=["), s"expected pruneOnly in scan description:\n$desc")
+
+    assertSameRows(df.filter(col("st.a").between(100L, 200L)),
+      nb.filter(col("st.a").between(100L, 200L)))
+    assert(planStats(dir).stripesPruned >= stripes - 2)
+
+    // none-match range: every stripe drops
+    assert(nb.filter(col("st.a") < -1L).count() == 0)
+    assert(planStats(dir).stripesPruned == stripes)
+  }
+
+  test("null semantics: struct-null and leaf-null rows filter identically under pruning") {
+    // three clusters in write order: a present / a null under a present
+    // struct / struct itself null — the writer pads child streams under a
+    // null parent, so leaf stats must mirror Spark's st.a semantics exactly
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id < 10000 THEN named_struct('a', id, 'k', md5(CAST(id AS STRING)))
+             WHEN id < 20000 THEN named_struct('a', CAST(NULL AS BIGINT), 'k', md5(CAST(-id AS STRING)))
+             ELSE CAST(NULL AS STRUCT<a: BIGINT, k: STRING>)
+        END AS st
+      FROM range(30000)""")
+    val dir = tmpDir("nested-nulls")
+    df.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "2048").option("rowsPerChunk", "1024").save(dir)
+    val stripes = graft.spark.NimbleSource
+      .footerOf(graft.spark.NimbleSource.listFiles(dir).head).stripes.length
+    assert(stripes >= 6, s"fixture needs several stripes, got $stripes")
+    val nb = spark.read.format("nimble").load(dir)
+
+    // st.a IS NULL matches BOTH the leaf-null and struct-null clusters
+    assert(nb.filter(col("st.a").isNull).count() == 20000)
+    assertSameRows(df.filter(col("st.a").isNull), nb.filter(col("st.a").isNull))
+    // ... and prunes the all-present cluster's stripes
+    assert(planStats(dir).stripesPruned > 0, "IS NULL should prune the null-free stripes")
+
+    assert(nb.filter(col("st.a").isNotNull).count() == 10000)
+    assertSameRows(df.filter(col("st.a").isNotNull), nb.filter(col("st.a").isNotNull))
+    assert(planStats(dir).stripesPruned > 0, "IS NOT NULL should prune the all-null stripes")
+
+    // comparison never matches null rows; pruning must agree
+    assertSameRows(df.filter(col("st.a") > 5000L), nb.filter(col("st.a") > 5000L))
+    assert(planStats(dir).stripesPruned > 0)
+  }
+
+  test("two-level nesting and string leaves prune; array paths never do") {
+    val df = spark.range(40000).select(col("id"),
+      struct(struct(format_string("k%08d", col("id")).as("s")).as("inner"),
+        md5(col("id").cast("string")).as("pad")).as("st"),
+      array(col("id")).as("arr"))
+    val dir = tmpDir("nested-deep")
+    df.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "4096").option("rowsPerChunk", "2048").save(dir)
+    val stripes = graft.spark.NimbleSource
+      .footerOf(graft.spark.NimbleSource.listFiles(dir).head).stripes.length
+    assert(stripes >= 4)
+    val nb = spark.read.format("nimble").load(dir)
+
+    val q = nb.filter(col("st.inner.s") === "k00012345")
+    assert(q.count() == 1)
+    assert(planStats(dir).stripesPruned >= stripes - 2,
+      s"string leaf prune: ${planStats(dir).stripesPruned} of $stripes")
+
+    // an array-element predicate must not plan any stats-only pruning
+    val aq = nb.filter(element_at(col("arr"), 1) === 5L)
+    assert(aq.count() == 1)
+    val adesc = aq.queryExecution.executedPlan.toString
+    assert(!adesc.contains("pruneOnly=["), s"array path must not prune:\n$adesc")
+  }
+}
