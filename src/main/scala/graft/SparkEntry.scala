@@ -456,6 +456,23 @@ object SparkEntry {
           unix_millis(col("st.d").cast("timestamp")).as("d_ms"), col("st.qty").as("qty"))
     }),
 
+    // nested struct-leaf aggregate pushdown: min/max/count over dotted
+    // struct paths answer from the leaf streams' footer stats (O(metadata)
+    // LocalScan — leaf streams are row-aligned, so their stats mirror
+    // Spark's field extraction exactly)
+    "q41_nested_agg" -> ((s, dir) => {
+      val nested = Tables.nimble(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_quantity").as("qty"), col("l_extendedprice").as("px"),
+            col("l_shipdate").as("d")).as("st"))
+      val d = Tables.roundTripDir(s, dir, "q41_nested_agg", nested)
+      s.read.format("nimble").load(d)
+        .agg(count(col("st.qty")).as("cnt"),
+          min(col("st.qty")).as("min_q"), max(col("st.qty")).as("max_q"),
+          min(col("st.px")).as("min_px"), max(col("st.px")).as("max_px"),
+          unix_millis(min(col("st.d")).cast("timestamp")).as("min_d_ms"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1138,6 +1155,12 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
            AND l_shipdate < TIMESTAMP '2001-09-01 00:00:00'""",
+    "q41_nested_agg" ->
+      """SELECT CAST(count(l_quantity) AS BIGINT) AS cnt,
+           min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+           min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
+           epoch_ms(min(l_shipdate)) AS min_d_ms
+         FROM lineitem""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -34,16 +34,17 @@ object AggPushdown {
       val n = colName(e).get
       StructField(n, schema(n).dataType, nullable = true)
     }
+    def leafDt(e: Expression): DataType = AggScan.resolveLeaf(e, schema).get._2
     val fields = agg.aggregateExpressions().zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
       case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (m: Min, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
-      case (m: Max, i) => StructField(s"agg_$i", schema(colName(m.column()).get).dataType, nullable = true)
+      case (m: Min, i) => StructField(s"agg_$i", leafDt(m.column()), nullable = true)
+      case (m: Max, i) => StructField(s"agg_$i", leafDt(m.column()), nullable = true)
       case (s: Sum, i) =>
         // partial sums: long for integral children, double for double —
         // Spark casts back to the child type before the final merge (safe:
         // AggScan.sumBoundOk proved the cast can't wrap)
-        val dt = schema(colName(s.column()).get).dataType match {
+        val dt = leafDt(s.column()) match {
           case DoubleType => DoubleType
           case _ => LongType
         }
@@ -57,11 +58,20 @@ object AggPushdown {
     * answerable from stats. */
   def tryCompute(agg: Aggregation, schema: StructType, files: Seq[String]): Option[Seq[InternalRow]] = {
     if (agg.groupByExpressions().nonEmpty) return None
+    // columns may be nested struct-leaf paths (AggScan.resolveLeaf): the
+    // dotted path is the leaf's row-aligned stream key, so its file stats
+    // answer exactly like a top-level column's
+    def leafOk(e: Expression): Boolean = AggScan.resolveLeaf(e, schema).exists {
+      case (_, dt) => dt match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
+    }
     val shapeOk = agg.aggregateExpressions().forall {
       case _: CountStar => true
-      case c: Count if !c.isDistinct => colName(c.column()).exists(schema.fieldNames.contains)
-      case m: Min => colName(m.column()).exists(schema.fieldNames.contains)
-      case m: Max => colName(m.column()).exists(schema.fieldNames.contains)
+      case c: Count if !c.isDistinct => leafOk(c.column())
+      case m: Min => leafOk(m.column())
+      case m: Max => leafOk(m.column())
       case _ => false
     }
     if (!shapeOk || files.isEmpty) return None
@@ -85,24 +95,24 @@ object AggPushdown {
     val values: Array[Any] = agg.aggregateExpressions().map {
       case _: CountStar => java.lang.Long.valueOf(footer.rowCount): Any
       case c: Count =>
-        val n = colName(c.column()).get
+        val (n, _) = AggScan.resolveLeaf(c.column(), schema).get
         val s = r.fileStatsOf(n).getOrElse(return None)
         java.lang.Long.valueOf(s.valueCount - s.nullCount): Any
       case m: Min =>
-        val n = colName(m.column()).get
+        val (n, dt) = AggScan.resolveLeaf(m.column(), schema).get
         // nanos-split column: micros-stream stats are not the logical value
         // (exact-or-refuse contract -> refuse)
         if (r.nanosSplit(n)) return None
         val s = r.fileStatsOf(n).getOrElse(return None)
-        statValue(s, schema(n).dataType, isMin = true) match {
+        statValue(s, dt, isMin = true) match {
           case Some(v) => v
           case None => return None
         }
       case m: Max =>
-        val n = colName(m.column()).get
+        val (n, dt) = AggScan.resolveLeaf(m.column(), schema).get
         if (r.nanosSplit(n)) return None
         val s = r.fileStatsOf(n).getOrElse(return None)
-        statValue(s, schema(n).dataType, isMin = false) match {
+        statValue(s, dt, isMin = false) match {
           case Some(v) => v
           case None => return None
         }

@@ -59,6 +59,51 @@ object AggScan {
       case _ => None
     }
 
+  /** Resolve a NamedReference — possibly a multi-part struct path — to
+    * (dotted name, leaf type). The dotted path IS the leaf's stream key,
+    * and struct children pad null entries under null ancestors
+    * (Fields.StructW.addNull), so the leaf stream is row-aligned: its
+    * stats, null counts and decoded values mirror Spark's field extraction
+    * exactly — the same contract nested predicate pruning rides. Array/map
+    * intermediates and quotable (dotted/backticked) component names refuse. */
+  private[spark] def resolveLeaf(e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[(String, DataType)] = e match {
+    case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+      val parts = n.fieldNames()
+      if (parts.isEmpty || parts.exists(p => p.contains('.') || p.contains('`'))) return None
+      var dt: DataType = null
+      var cur: StructType = schema
+      var i = 0
+      while (i < parts.length) {
+        val f = cur.fields.find(_.name == parts(i)).getOrElse(return None)
+        dt = f.dataType
+        if (i < parts.length - 1) dt match {
+          case s: StructType => cur = s
+          case _ => return None
+        }
+        i += 1
+      }
+      Some((parts.mkString("."), dt))
+    case _ => None
+  }
+
+  /** Leaf type of a (possibly dotted) column path — the read-side pair of
+    * [[resolveLeaf]] for ops that already carry the dotted name. */
+  private[spark] def fieldTypeOf(schema: StructType, path: String): DataType = {
+    var cur: StructType = schema
+    val parts = path.split('.')
+    var i = 0
+    var dt: DataType = null
+    while (i < parts.length) {
+      val f = cur.fields.find(_.name == parts(i)).getOrElse(
+        throw new IllegalStateException(s"nimble: unresolved agg column path $path"))
+      dt = f.dataType
+      if (i < parts.length - 1) cur = dt.asInstanceOf[StructType]
+      i += 1
+    }
+    dt
+  }
+
   /** Min/Max value domain the exact fold supports (same set statValue can
     * emit; decimals/booleans/nested refuse — Spark falls back). */
   private def minMaxOk(dt: DataType): Boolean = dt match {
@@ -103,30 +148,28 @@ object AggScan {
     opsOf(agg, schema).map(ops => (groups, ops))
   }
 
-  /** Shape gate: the supported AggOp list, or None (group-by agnostic). */
+  /** Shape gate: the supported AggOp list, or None (group-by agnostic).
+    * Columns may be nested struct-leaf paths ([[resolveLeaf]]): min(st.a)
+    * answers from the leaf stream's stats/values like any top-level column. */
   def opsOf(agg: Aggregation, schema: StructType): Option[Array[AggOp]] = {
     val ops: Array[AggOp] = agg.aggregateExpressions().map {
       case _: CountStar => CountStarOp()
       case c: Count if !c.isDistinct =>
-        val n = colName(c.column()).getOrElse(return None)
-        val f = schema.fields.find(_.name == n).getOrElse(return None)
-        if (!atomic(f.dataType)) return None
-        CountOp(f.name, f.dataType)
+        val (n, dt) = resolveLeaf(c.column(), schema).getOrElse(return None)
+        if (!atomic(dt)) return None
+        CountOp(n, dt)
       case m: Min =>
-        val n = colName(m.column()).getOrElse(return None)
-        val f = schema.fields.find(_.name == n).getOrElse(return None)
-        if (!minMaxOk(f.dataType)) return None
-        MinOp(f.name, f.dataType)
+        val (n, dt) = resolveLeaf(m.column(), schema).getOrElse(return None)
+        if (!minMaxOk(dt)) return None
+        MinOp(n, dt)
       case m: Max =>
-        val n = colName(m.column()).getOrElse(return None)
-        val f = schema.fields.find(_.name == n).getOrElse(return None)
-        if (!minMaxOk(f.dataType)) return None
-        MaxOp(f.name, f.dataType)
+        val (n, dt) = resolveLeaf(m.column(), schema).getOrElse(return None)
+        if (!minMaxOk(dt)) return None
+        MaxOp(n, dt)
       case s: Sum if !s.isDistinct =>
-        val n = colName(s.column()).getOrElse(return None)
-        val f = schema.fields.find(_.name == n).getOrElse(return None)
-        if (!sumOk(f.dataType)) return None
-        SumOp(f.name, f.dataType)
+        val (n, dt) = resolveLeaf(s.column(), schema).getOrElse(return None)
+        if (!sumOk(dt)) return None
+        SumOp(n, dt)
       case _ => return None
     }
     Some(ops)
@@ -374,6 +417,9 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   import AggScan._
 
   private val aggCols: Array[String] = ops.flatMap(o => Option(o.col)).distinct
+  /** Leaf type of a (possibly dotted struct-path) column. */
+  private def typeOf(n: String): org.apache.spark.sql.types.DataType =
+    AggScan.fieldTypeOf(dataSchema, n)
   private val grouped = groupCols.nonEmpty
   private val groupNames: Array[String] = groupCols.map(_.name)
   /** Columns whose streams must load: aggregate inputs plus group keys. */
@@ -543,13 +589,21 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     try {
       val footerKeySet: Fields.KeyProbe = reader.keyProbe
       val aggStruct = StructType(fetchCols.flatMap(c => dataSchema.fields.find(_.name == c)))
-      val neededKeys = NimbleSource.neededStreamKeys(footerKeySet, dataSchema, aggStruct, filters)
+      // nested struct-leaf aggregate columns: the dotted path is the leaf's
+      // stream key (row-aligned; plan() verified presence in every file);
+      // include its #nanos sibling for split timestamps
+      val dottedKeys = fetchCols.filter(_.contains('.')).flatMap { c =>
+        if (footerKeySet(c + "#nanos")) Seq(c, c + "#nanos") else Seq(c)
+      }
+      val neededKeys =
+        (NimbleSource.neededStreamKeys(footerKeySet, dataSchema, aggStruct, filters) ++
+          dottedKeys.filter(footerKeySet(_))).distinct
       if (neededKeys.isEmpty) {
         // pure count(*) with every filter column absent from this file:
         // filters are row-constant over nulls
         val pass = filters.forall(f => Filters.compile(f,
-          n => dataSchema(n).dataType,
-          n => NimbleSource.nullColumn(dataSchema(n).dataType, 1))(0))
+          n => typeOf(n),
+          n => NimbleSource.nullColumn(typeOf(n), 1))(0))
         if (pass) {
           val rows = reader.footer.stripes(stripe).rowCount
           // grouped pushdowns never reach this file shape: plan() refuses
@@ -569,7 +623,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         (filterCols ++ fetchCols).distinct.filter(c => reader.keyId(c) >= 0).map { c =>
           val rdr: Fields.FieldReader =
             if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
-            else new Fields.PrimR(c, dataSchema(c).dataType, cursors(_))
+            else new Fields.PrimR(c, typeOf(c), cursors(_))
           c -> rdr
         }.toMap
       val anchor = cursors(neededKeys.head)
@@ -610,8 +664,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
       statsOf: String => Option[Tablet.Stats], allMatch: Boolean): Unit = {
     def decodeAgg(name: String): graft.format.Column = readers(name) match {
-      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
-          dataSchema(name).dataType == BinaryType => p.decodeRawLazy()
+      case p: Fields.PrimR if typeOf(name) == StringType ||
+          typeOf(name) == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
     }
     if (grouped) {
@@ -665,8 +719,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     }
     // decode filter columns (dict-preserving strings, like the normal scan)
     def decodeCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
-      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
-          dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+      case p: Fields.PrimR if typeOf(name) == StringType ||
+          typeOf(name) == BinaryType => p.decodeRawDict()
       case other => other.decodeRaw()
     }
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
@@ -676,8 +730,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       else statsOf(aggCols.head).map(_.valueCount.toInt).getOrElse(
         throw new IllegalStateException("nimble: agg chunk without stats"))
     val colOf: String => graft.format.Column = name =>
-      decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
-    val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
+      decoded.getOrElse(name, NimbleSource.nullColumn(typeOf(name), chunkRows))
+    val preds = filters.map(f => Filters.compile(f, n => typeOf(n), colOf))
     var m = 0
     val sel = new Array[Int](chunkRows)
     var i = 0
@@ -698,8 +752,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       if (!decoded.contains(c)) {
         val r = readers(c)
         if (needAgg) decoded(c) = r match {
-          case p: Fields.PrimR if dataSchema(c).dataType == StringType ||
-              dataSchema(c).dataType == BinaryType => p.decodeRawLazy()
+          case p: Fields.PrimR if typeOf(c) == StringType ||
+              typeOf(c) == BinaryType => p.decodeRawLazy()
           case other => other.decodeRaw()
         }
         else {
@@ -730,13 +784,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     // group columns decode dict-preserving (the fast path keys on ids);
     // filter columns too (predicates per alphabet entry); agg-only lazily
     def decodeDict(name: String): graft.format.Column = readers(name) match {
-      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
-          dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+      case p: Fields.PrimR if typeOf(name) == StringType ||
+          typeOf(name) == BinaryType => p.decodeRawDict()
       case other => other.decodeRaw()
     }
     def decodeLazy(name: String): graft.format.Column = readers(name) match {
-      case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
-          dataSchema(name).dataType == BinaryType => p.decodeRawLazy()
+      case p: Fields.PrimR if typeOf(name) == StringType ||
+          typeOf(name) == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
     }
     def skipCursor(c: String): Unit = {
@@ -767,8 +821,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     if (!skipFilterDecode && filters.nonEmpty) {
       require(chunkRows >= 0, "nimble: grouped chunk without a decodable column")
       val colOf: String => graft.format.Column = name =>
-        decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
-      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
+        decoded.getOrElse(name, NimbleSource.nullColumn(typeOf(name), chunkRows))
+      val preds = filters.map(f => Filters.compile(f, n => typeOf(n), colOf))
       val sel = new Array[Int](chunkRows)
       m = 0
       var i = 0
@@ -794,7 +848,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         throw new IllegalStateException("nimble: grouped chunk with no decodable column"))
     if (m < 0) m = chunkRows
     val colOf: String => graft.format.Column = name =>
-      decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
+      decoded.getOrElse(name, NimbleSource.nullColumn(typeOf(name), chunkRows))
     val gcols: Array[graft.format.Column] = groupNames.map(colOf)
     val opCols: Array[graft.format.Column] =
       ops.map(op => if (op.col == null) null else colOf(op.col))

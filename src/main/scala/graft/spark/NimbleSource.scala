@@ -1362,7 +1362,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.broadcastConf(), unsignedCols)
+    new NimbleReaderFactory(dataSchema, required, filters, limit, GraftIO.broadcastConf(), unsignedCols,
+      statsOnly)
 
   override def estimateStatistics(): Statistics = {
     var rows = 0L
@@ -1433,7 +1434,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
 class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters: Array[Filter],
     limit: Int = -1,
     hadoopConf: org.apache.spark.broadcast.Broadcast[GraftIO.SerializableConf] = null,
-    unsignedCols: Set[String] = Set.empty)
+    unsignedCols: Set[String] = Set.empty,
+    statsOnly: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
 
   private def allAtomic: Boolean = required.fields.forall(f => f.dataType match {
@@ -1449,11 +1451,14 @@ class NimbleReaderFactory(dataSchema: StructType, required: StructType, filters:
 
   private def chainOf(partition: InputPartition): NimbleChainReader = partition match {
     case NimbleMultiPartition(items) =>
-      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols)
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols,
+        statsOnly = statsOnly)
     case NimbleTailPartition(items, skip) =>
-      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols, skip)
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols, skip,
+        statsOnly = statsOnly)
     case NimbleBucketPartition(_, items) =>
-      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols)
+      new NimbleChainReader(items, dataSchema, required, filters, limit, unsignedCols,
+        statsOnly = statsOnly)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -1520,7 +1525,8 @@ private[spark] class ChunksSkippedMetric
   * early once earlier ones have produced enough survivors. */
 class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
-    unsignedCols: Set[String] = Set.empty, skipRows: Long = 0L)
+    unsignedCols: Set[String] = Set.empty, skipRows: Long = 0L,
+    statsOnly: Array[Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private var idx = -1
@@ -1572,7 +1578,8 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
         dataSchema, required, filters, remaining, prefetched = pre, unsignedCols = unsignedCols,
         // TopN tail skip applies to the chain's first stripe only (plan-time
         // stripe selection already dropped the wholly-skipped stripes)
-        skipRows = if (idx == 0) skipRows else 0L)
+        skipRows = if (idx == 0) skipRows else 0L,
+        statsOnly = statsOnly)
     }
     false
   }
@@ -1591,7 +1598,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
     prefetched: Map[String, Array[Byte]] = null, unsignedCols: Set[String] = Set.empty,
-    skipRows: Long = 0L)
+    skipRows: Long = 0L, statsOnly: Array[Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private var emitted = 0L
@@ -1748,14 +1755,16 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           NimbleSource.chunksSkipped.incrementAndGet()
         } else toSkip = 0
       } else {
-      if (!hasFilters) return fillBatch(null, -1)
-
       // Chunk skipping via chunk-frame stats (reference:
-      // dwio/nimble/tablet/ChunkStats.h): if any pushed filter proves the
-      // chunk empty from min/max/nullCount, advance every stream cursor past
-      // it without decompressing or decoding. Atomic projections only —
-      // their streams are all chunk-aligned single streams.
-      if (allAtomicProjection) {
+      // dwio/nimble/tablet/ChunkStats.h): if any pushed or stats-only
+      // (nested-leaf) filter proves the chunk empty from min/max/nullCount,
+      // advance every stream cursor past it without decompressing or
+      // decoding. Sound for ANY projection shape: the writer flushes every
+      // stream at the same row boundaries, so chunk k of every stream —
+      // nested children included — covers the same rows. Stats-only leaf
+      // predicates consult their stream's chunk stats only when the
+      // projection already reads that stream (absent → conservative no-op).
+      if (hasFilters || statsOnly.nonEmpty) {
         // index-candidate restriction first: a chunk outside every equality
         // probe's candidate set skips without even peeking stats
         val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
@@ -1769,19 +1778,24 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           if (Filters.pruneStripe(filters(pi), statsOf, _ => None)) pruned = true
           pi += 1
         }
+        pi = 0
+        while (pi < statsOnly.length && !pruned) {
+          if (Filters.pruneStripe(statsOnly(pi), statsOf, _ => None)) pruned = true
+          pi += 1
+        }
         chunkOrd += 1
         if (pruned) {
           cursors.valuesIterator.foreach(_.skip())
           taskChunksSkipped += 1
           NimbleSource.chunksSkipped.incrementAndGet()
+        } else if (!hasFilters) {
+          return fillBatch(null, -1)
         } else {
           val r = decodeAndFilterChunk()
           if (r != 0) return r > 0
         }
       } else {
-        chunkOrd += 1
-        val r = decodeAndFilterChunk()
-        if (r != 0) return r > 0
+        return fillBatch(null, -1)
       }
       }
     }

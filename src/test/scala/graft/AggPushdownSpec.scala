@@ -179,4 +179,51 @@ class AggPushdownSpec extends SparkTestBase {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
     assert(aggNone.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
+
+  test("nested struct-leaf aggregates push down: stats answer, decode fold, null semantics") {
+    // struct leaves are row-aligned (children pad under null ancestors), so
+    // min/max/count/sum on st.* answer from the leaf stream exactly like a
+    // top-level column — including rows where st itself is null
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id % 10 = 9 THEN CAST(NULL AS STRUCT<a: BIGINT, q: DOUBLE>)
+             WHEN id % 10 = 8 THEN named_struct('a', CAST(NULL AS BIGINT), 'q', CAST(id AS DOUBLE))
+             ELSE named_struct('a', id * 3, 'q', CAST(id AS DOUBLE) / 2)
+        END AS st
+      FROM range(50000)""")
+    val dir = tmpDir("aggnested")
+    df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    // unfiltered: O(metadata) LocalScan from footer stats
+    val agg = nb.agg(count(col("st.a")).as("cnt"), min(col("st.a")).as("mn"),
+      max(col("st.a")).as("mx"), max(col("st.q")).as("mq"))
+    val exp = df.agg(count(col("st.a")), min(col("st.a")), max(col("st.a")),
+      max(col("st.q"))).collect()(0)
+    assert(agg.collect()(0).toSeq == exp.toSeq)
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"nested stats agg must plan the LocalScan:\n${agg.queryExecution.executedPlan}")
+
+    // sum(st.a): decode fold (stats carry no sums) with the overflow bound
+    val sumAgg = nb.agg(sum(col("st.a")).as("s"), avg(col("st.q")).as("m"))
+    val sumExp = df.agg(sum(col("st.a")), avg(col("st.q"))).collect()(0)
+    assert(sumAgg.collect()(0).toSeq == sumExp.toSeq)
+
+    // filtered by a top-level pushed predicate: the mid-scan fold decodes
+    // the nested leaf through its row-aligned stream
+    val fAgg = nb.filter(col("id") % 100L < 50L)
+      .agg(count(col("st.a")).as("cnt"), min(col("st.a")).as("mn"), max(col("st.q")).as("mx"))
+    val fExp = df.filter(col("id") % 100L < 50L)
+      .agg(count(col("st.a")), min(col("st.a")), max(col("st.q"))).collect()(0)
+    assert(fAgg.collect()(0).toSeq == fExp.toSeq)
+
+    // array paths refuse (not row-aligned): falls back to a normal scan
+    val arr = spark.range(100).select(col("id"), array(col("id")).as("ar"))
+    val adir = tmpDir("aggarr")
+    arr.write.format("nimble").mode("overwrite").save(adir)
+    val anb = spark.read.format("nimble").load(adir)
+    val aAgg = anb.agg(min(element_at(col("ar"), 1)))
+    assert(aAgg.collect()(0).getLong(0) == 0L)
+    assert(!aAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
 }

@@ -106,4 +106,45 @@ class NestedPruneSpec extends SparkTestBase {
     val adesc = aq.queryExecution.executedPlan.toString
     assert(!adesc.contains("pruneOnly=["), s"array path must not prune:\n$adesc")
   }
+
+  test("chunk-granular skipping works under nested projections") {
+    // one stripe, many chunks: stripe pruning can't help, chunk stats must.
+    // The writer flushes every stream at the same row boundaries (FlatMap
+    // keys backfill absent chunks), so whole-chunk skips stay aligned for
+    // any projection shape.
+    val df = spark.range(100000).select(col("id"),
+      struct(col("id").as("a"), md5(col("id").cast("string")).as("b")).as("st"))
+    val dir = tmpDir("nested-chunkskip")
+    df.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("rowsPerChunk", "2048").save(dir)
+    assert(graft.spark.NimbleSource
+      .footerOf(graft.spark.NimbleSource.listFiles(dir).head).stripes.length == 1)
+    val nb = spark.read.format("nimble").load(dir)
+
+    def skippedDuring(f: => Unit): Long = {
+      val before = graft.spark.NimbleSource.chunksSkipped.get()
+      f
+      graft.spark.NimbleSource.chunksSkipped.get() - before
+    }
+
+    // top-level filter with the struct projected: previously the nested
+    // projection disabled ALL chunk skipping; now most of the ~49 chunks skip
+    val top = nb.filter(col("id") === 54321L)
+    val sTop = skippedDuring { assert(top.count() == 1) }
+    assert(sTop > 30, s"expected most chunks skipped for a point filter, got $sTop")
+    assert(top.select(col("st.b")).collect().length == 1)
+
+    // nested-leaf filter (stats-only): the leaf stream is projected, so its
+    // chunk stats drive the same whole-chunk skip
+    val leaf = nb.filter(col("st.a").between(10000L, 12000L))
+    val sLeaf = skippedDuring {
+      assert(leaf.collect().length == 2001)
+    }
+    assert(sLeaf > 30, s"expected most chunks skipped for a leaf range, got $sLeaf")
+
+    // values stay exact when chunks interleave skip/decode
+    val mixed = nb.filter(col("st.a") % 20000L === 0L || col("id") < 3L)
+    assert(mixed.count() == df.filter(col("id") % 20000L === 0L || col("id") < 3L).count())
+  }
 }
