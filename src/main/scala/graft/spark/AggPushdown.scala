@@ -31,8 +31,8 @@ object AggPushdown {
     // pushed GROUP BY columns lead the scan output (Spark's partial
     // pushdown zips group attributes before the aggregate partials)
     val groupFields = agg.groupByExpressions().map { e =>
-      val n = colName(e).get
-      StructField(n, schema(n).dataType, nullable = true)
+      val (n, dt) = AggScan.resolveLeaf(e, schema).get
+      StructField(n, dt, nullable = true)
     }
     def leafDt(e: Expression): DataType = AggScan.resolveLeaf(e, schema).get._2
     val fields = agg.aggregateExpressions().zipWithIndex.map {

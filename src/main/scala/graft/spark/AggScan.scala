@@ -134,13 +134,14 @@ object AggScan {
     * Spark's codegen'd hash aggregate, which is already the right plan. */
   final case class GroupCol(name: String, dt: DataType) extends Serializable
 
-  /** Shape gate incl. GROUP BY: (group columns, agg ops), or None. */
+  /** Shape gate incl. GROUP BY: (group columns, agg ops), or None. Group
+    * keys may be nested struct-leaf paths too (same row-alignment contract
+    * as the aggregate columns). */
   def groupedOpsOf(agg: Aggregation, schema: StructType): Option[(Array[GroupCol], Array[AggOp])] = {
     val groups: Array[GroupCol] = agg.groupByExpressions().map { e =>
-      val n = colName(e).getOrElse(return None)
-      val f = schema.fields.find(_.name == n).getOrElse(return None)
-      f.dataType match {
-        case StringType | BinaryType => GroupCol(f.name, f.dataType)
+      val (n, dt) = resolveLeaf(e, schema).getOrElse(return None)
+      dt match {
+        case StringType | BinaryType => GroupCol(n, dt)
         case _ => return None
       }
     }

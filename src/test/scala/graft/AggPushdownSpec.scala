@@ -217,6 +217,18 @@ class AggPushdownSpec extends SparkTestBase {
       .agg(count(col("st.a")), min(col("st.a")), max(col("st.q"))).collect()(0)
     assert(fAgg.collect()(0).toSeq == fExp.toSeq)
 
+    // GROUP BY a nested string leaf rides the grouped mid-scan fold
+    val gdf = spark.range(20000).select(col("id"),
+      struct(concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+        col("id").as("v")).as("st"))
+    val gdir = tmpDir("aggnestedgrp")
+    gdf.coalesce(1).write.format("nimble").mode("overwrite").save(gdir)
+    val gnb = spark.read.format("nimble").load(gdir)
+    val gAgg = gnb.groupBy(col("st.g")).agg(count(lit(1)).as("cnt"), max(col("st.v")).as("mx"))
+    val gExp = gdf.groupBy(col("st.g")).agg(count(lit(1)), max(col("st.v")))
+      .collect().map(_.toSeq.toList).sortBy(_.toString()).toList
+    assert(gAgg.collect().map(_.toSeq.toList).sortBy(_.toString()).toList == gExp)
+
     // array paths refuse (not row-aligned): falls back to a normal scan
     val arr = spark.range(100).select(col("id"), array(col("id")).as("ar"))
     val adir = tmpDir("aggarr")

@@ -107,6 +107,32 @@ class NestedPruneSpec extends SparkTestBase {
     assert(!adesc.contains("pruneOnly=["), s"array path must not prune:\n$adesc")
   }
 
+  test("stripe blooms on a nested leaf prune unsorted equality probes") {
+    // blooms are stream-keyed, so `bloomFilterColumns=st.b` hangs a bloom
+    // off the leaf stream; an equality probe for an absent value then
+    // prunes every stripe even though min/max ranges all overlap
+    val df = spark.range(40000).select(col("id"),
+      struct(md5(col("id").cast("string")).as("b"), col("id").as("a")).as("st"))
+    val dir = tmpDir("nested-bloom")
+    // NOT sorted by st.b: stats ranges overlap across stripes, only the
+    // bloom can prove absence
+    df.coalesce(1).write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "262144").option("rowsPerChunk", "2048")
+      .option("bloomFilterColumns", "st.b").save(dir)
+    val stripes = graft.spark.NimbleSource
+      .footerOf(graft.spark.NimbleSource.listFiles(dir).head).stripes.length
+    assert(stripes >= 3, s"fixture needs several stripes, got $stripes")
+    val nb = spark.read.format("nimble").load(dir)
+
+    assert(nb.filter(col("st.b") === "not-a-real-md5-value").count() == 0)
+    assert(planStats(dir).stripesPruned == stripes,
+      s"bloom should prune all $stripes stripes, pruned ${planStats(dir).stripesPruned}")
+
+    // a real value still matches (bloom false-positive-only contract)
+    val probe = df.selectExpr("st.b").collect()(12345).getString(0)
+    assert(nb.filter(col("st.b") === probe).count() == 1)
+  }
+
   test("chunk-granular skipping works under nested projections") {
     // one stripe, many chunks: stripe pruning can't help, chunk stats must.
     // The writer flushes every stream at the same row boundaries (FlatMap
