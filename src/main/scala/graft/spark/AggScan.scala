@@ -344,6 +344,12 @@ class NimbleAggBatchScan(path: String, dataSchema: StructType, out: StructType,
       s"${mixed.length} mixed stripes" +
       (if (groupCols.isEmpty) ")" else s", groupBy=${groupCols.map(_.name).mkString(",")})")
 
+  /** Spark-UI counters for the mid-scan fold: how many chunks answered from
+    * chunk stats alone vs decoded — the skipped-decode number an operator
+    * tuning a 100 TB filtered aggregate reads off the SQL node. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new AggChunksStatsAnsweredMetric, new AggChunksDecodedMetric)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
     if (statsPartials.nonEmpty)
@@ -379,6 +385,19 @@ class NimbleAggBatchScan(path: String, dataSchema: StructType, out: StructType,
 
 case class NimbleAggStatsPartition(rows: Array[InternalRow]) extends InputPartition
 case class NimbleAggStripesPartition(items: Array[NimbleStripePartition]) extends InputPartition
+
+/** Zero-arg-constructible (Spark's UI listener re-instantiates the class
+  * reflectively to aggregate task values — see StripesReadMetric). */
+private[spark] class AggChunksStatsAnsweredMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "aggChunksStatsAnswered"
+  override def description(): String = "agg chunks answered from chunk stats (no decode)"
+}
+private[spark] class AggChunksDecodedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "aggChunksDecoded"
+  override def description(): String = "agg chunks decoded into the fold"
+}
 
 class NimbleAggReaderFactory(dataSchema: StructType, ops: Array[AggScan.AggOp],
     filters: Array[Filter],
@@ -416,6 +435,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     groupCols: Array[AggScan.GroupCol] = Array.empty)
     extends PartitionReader[InternalRow] {
   import AggScan._
+
+  private var taskChunksStatsAnswered = 0L
+  private var taskChunksDecoded = 0L
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      NimbleTaskMetric("aggChunksStatsAnswered", taskChunksStatsAnswered),
+      NimbleTaskMetric("aggChunksDecoded", taskChunksDecoded))
 
   private val aggCols: Array[String] = ops.flatMap(o => Option(o.col)).distinct
   /** Leaf type of a (possibly dotted struct-path) column. */
@@ -652,9 +678,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
             foldChunkStats(anchor.peekStats().get.valueCount, statsOf)
             cursors.valuesIterator.foreach(_.skip())
             AggScan.aggChunksStatsAnswered.incrementAndGet()
+            taskChunksStatsAnswered += 1
           } else {
             decodeAndFold(readers, cursors, filterCols, statsOf, allMatch)
             AggScan.aggChunksDecoded.incrementAndGet()
+            taskChunksDecoded += 1
           }
         }
       }

@@ -62,6 +62,20 @@ class AggPushdownSpec extends SparkTestBase {
       "mixed stripes must flow through the mid-scan agg reader")
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("LocalTableScan"), s"mixed stripes are not a stats-only answer:\n$plan")
+    // the mid-scan agg scan surfaces its skipped-decode counters in the UI
+    // (descend into AQE query stages — collect() does not traverse them)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Some(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan).nextOption()
+    }
+    val scan = findScan(agg.queryExecution.executedPlan).get
+    assert(scan.metrics.contains("aggChunksDecoded"), scan.metrics.keys.mkString(","))
+    assert(scan.metrics("aggChunksDecoded").value > 0)
+    for (m <- scan.scan.supportedCustomMetrics())
+      assert(m.getClass.getDeclaredConstructor().newInstance().name() == m.name())
   }
 
   test("mid-scan agg: interior chunks answer from chunk stats, boundaries decode, outside skips") {
