@@ -34,8 +34,17 @@ class NimbleSource extends TableProvider with DataSourceRegister {
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
-    require(p != null, "nimble: 'path' option required")
-    p
+    if (p != null) p
+    else {
+      // `.load(dirA, dirB, ...)` (parquet parity): Spark ships the list as
+      // a JSON string array under "paths"; join with NUL (impossible in a
+      // filesystem path) — listFiles splits it back into roots
+      val ps = options.get("paths")
+      require(ps != null, "nimble: 'path' option required")
+      val roots = NimbleSource.parseJsonStringArray(ps)
+      require(roots.nonEmpty, "nimble: empty 'paths'")
+      roots.mkString(NimbleSource.MultiPathSep)
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -120,7 +129,7 @@ class NimbleSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new NimbleTable(properties.get("path"), schema)
+    new NimbleTable(pathOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
 object NimbleSource {
@@ -132,9 +141,70 @@ object NimbleSource {
   /** `.gft` files under `path` — local or any Hadoop-FS URI (hdfs://, s3a://,
     * file://...). One listing RPC per directory; `_temporary` working dirs
     * are never visible (listing does not recurse). */
-  def listFiles(path: String): Seq[String] = GraftIO.listGft(path).map(_.path)
+  /** Separator joining the roots of a multi-directory read
+    * (`.load(dirA, dirB)`): NUL can't occur in a filesystem path, so a
+    * joined spec never collides with a real directory. Read-only — writes
+    * and row-level operations refuse multi-path tables. */
+  private[spark] final val MultiPathSep = "\u0000"
 
-  def listMeta(path: String): Seq[GraftIO.FileMeta] = GraftIO.listGft(path)
+  /** Human-readable form of a (possibly multi-path) table spec. */
+  private[spark] def displayPath(path: String): String =
+    path.replace(MultiPathSep, ",")
+
+  /** Minimal JSON string-array parser for Spark's `paths` option (the only
+    * shape Spark emits for `.load(paths*)`). Handles standard escapes. */
+  private[spark] def parseJsonStringArray(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    def err() = throw new IllegalArgumentException(s"nimble: malformed 'paths' option: $s")
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length || s(i) != '[') err()
+    i += 1
+    var done = false
+    while (!done) {
+      while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+      if (i >= s.length) err()
+      if (s(i) == ']') { done = true }
+      else {
+        if (s(i) != '"') err()
+        i += 1
+        val sb = new java.lang.StringBuilder
+        while (i < s.length && s(i) != '"') {
+          if (s(i) == '\\') {
+            i += 1
+            if (i >= s.length) err()
+            s(i) match {
+              case '"' => sb.append('"'); case '\\' => sb.append('\\')
+              case '/' => sb.append('/'); case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+              case 'u' =>
+                if (i + 4 >= s.length) err()
+                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case _ => err()
+            }
+          } else sb.append(s(i))
+          i += 1
+        }
+        if (i >= s.length) err()
+        i += 1 // closing quote
+        out += sb.toString
+      }
+    }
+    out.toSeq
+  }
+
+  def listFiles(path: String): Seq[String] = listMeta(path).map(_.path)
+
+  def listMeta(path: String): Seq[GraftIO.FileMeta] =
+    if (path.indexOf(MultiPathSep) < 0) GraftIO.listGft(path)
+    else {
+      val seen = scala.collection.mutable.LinkedHashMap[String, GraftIO.FileMeta]()
+      for (root <- path.split(MultiPathSep); m <- GraftIO.listGft(root))
+        seen.getOrElseUpdate(m.path, m)
+      seen.values.toSeq
+    }
 
   /** Last scan-planning outcome per table path (driver-side observability:
     * stripe pruning is invisible in partition counts once bin-packing merges
@@ -753,7 +823,14 @@ class NimbleTable(path: String, schema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
-  override def name(): String = s"nimble:$path"
+  override def name(): String = s"nimble:${NimbleSource.displayPath(path)}"
+
+  /** Multi-directory reads (`.load(dirA, dirB)`) are read-only: a write or
+    * row-level operation has no single target directory to commit into. */
+  private def requireSingleDir(op: String): Unit =
+    require(path.indexOf(NimbleSource.MultiPathSep) < 0,
+      s"nimble: $op is not supported on a multi-path read " +
+        s"(${NimbleSource.displayPath(path)}); write to one directory")
 
   /** `_file` — the tablet file a row came from (parquet `_metadata` parity:
     * debugging, group-based row-level ops). A real data column of the same
@@ -769,8 +846,10 @@ class NimbleTable(path: String, schema: StructType,
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireSingleDir("a row-level operation")
     () => new NimbleRowLevelOperation(path, schema, tableProps, info.command())
+  }
 
   /** Metadata-only SQL DELETE gate: true only when every file classifies
     * all-match or none-match from its own stats, so `deleteWhere` will
@@ -778,15 +857,19 @@ class NimbleTable(path: String, schema: StructType,
     * this first; anything mixed falls through to the group-based row-level
     * rewrite, which handles it with `_file`-filtered copy-on-write). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.flatMap(_.references).forall(r => schema.fieldNames.contains(r)) &&
+    path.indexOf(NimbleSource.MultiPathSep) < 0 &&
+      filters.flatMap(_.references).forall(r => schema.fieldNames.contains(r)) &&
       unsignedColsOfProps.isEmpty &&
       graft.ops.Delete.metadataOnlyDeletable(path, filters)
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireSingleDir("DELETE")
     graft.ops.Delete.deleteFilters(
       org.apache.spark.sql.SparkSession.active, path, filters, tablePropsForRead)
+  }
 
   override def truncateTable(): Boolean = {
+    requireSingleDir("TRUNCATE")
     graft.ops.Delete.deleteFilters(
       org.apache.spark.sql.SparkSession.active, path, Array(AlwaysTrue()), tablePropsForRead)
     true
@@ -831,8 +914,10 @@ class NimbleTable(path: String, schema: StructType,
       maxBytesPerTrigger = Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(-1L))
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireSingleDir("a write")
     new NimbleWriteBuilder(path, info.schema(), merged(info.options()))
+  }
 }
 
 // ------------------------------------------------------------------ read
@@ -1156,7 +1241,8 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     new NimbleMicroBatchStream(path, dataSchema, required, filters, maxFilesPerTrigger, unsignedCols,
       maxBytesPerTrigger)
   override def description(): String =
-    s"nimble path=$path, pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
+    s"nimble path=${NimbleSource.displayPath(path)}, " +
+      s"pushed=[${filters.mkString(", ")}], read=${required.catalogString}" +
       (if (statsOnly.nonEmpty) s", pruneOnly=[${statsOnly.mkString(", ")}]" else "") +
       (if (limit >= 0) s", limit=$limit" else "") +
       topN.map(t => s", topN=[${t.describe}]").getOrElse("")

@@ -150,6 +150,32 @@ class ConnectorSpec extends SparkTestBase {
     assert(!scanLine.contains("b:string"), s"nested pruning leaked field b: $scanLine")
   }
 
+  test("multi-path load unions directories read-only (parquet parity)") {
+    import spark.implicits._
+    val dirA = tmpDir("multi-a"); val dirB = tmpDir("multi-b")
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite").save(dirA)
+    spark.range(1000, 2500).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite").save(dirB)
+
+    val both = spark.read.format("nimble").load(dirA, dirB)
+    assert(both.count() == 2500)
+    assert(both.agg(min("id"), max("id")).collect()(0).toSeq == Seq(0L, 2499L))
+    // pushdown prunes across BOTH roots: a probe into dirB's range reads
+    // no stripes from dirA
+    assert(both.filter(col("id") === 1700L).count() == 1)
+    // duplicate roots dedup instead of double-counting
+    assert(spark.read.format("nimble").load(dirA, dirA).count() == 1000)
+
+    // read-only: mutations on a multi-path table refuse with a clear error
+    val tbl = new graft.spark.NimbleTable(s"$dirA\u0000$dirB", both.schema)
+    val e = intercept[IllegalArgumentException] { tbl.truncateTable() }
+    assert(e.getMessage.contains("multi-path"), e.getMessage)
+    assert(!tbl.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.EqualTo("id", 1L))))
+  }
+
   test("stripe pruning via footer stats") {
     // ids 0..99999 sorted -> multiple chunks; filter to a narrow range
     val df = spark.range(100000).toDF("id").withColumn("v", col("id") * 2)
