@@ -1403,6 +1403,15 @@ object Tablet {
       b
     }
 
+    /** One positioned read of an arbitrary byte range — the IO-coalescing
+      * scan path merges adjacent stream ranges into single reads (a k-column
+      * projection costs one round trip per contiguous run, not k). */
+    def readRange(offset: Long, length: Int): Array[Byte] = {
+      val b = new Array[Byte](length)
+      file.readFully(offset, b)
+      b
+    }
+
     override def close(): Unit = if (fileOpt != null) fileOpt.close()
   }
 

@@ -35,6 +35,8 @@ object BlockCache {
     * conf on the driver / local mode, SparkEnv's SparkConf on cluster-mode
     * executors (so --conf-set values — including 0 = disable — are honored
     * there too), default otherwise. */
+  private[spark] def confLongPub(key: String, dflt: Long): Long = confLong(key, dflt)
+
   private def confLong(key: String, dflt: Long): Long = {
     try return org.apache.spark.sql.SparkSession.active.conf.get(key, dflt.toString).toLong
     catch { case _: Throwable => () }
@@ -84,6 +86,25 @@ object BlockCache {
     }
     misses.incrementAndGet()
     val bytes = load // outside the lock: concurrent duplicate loads beat a stalled cache
+    insert(key, bytes)
+    bytes
+  }
+
+  /** Cache probe WITHOUT loading — the IO-coalescing read path splits its
+    * stream set into cached / to-fetch before issuing merged range reads. */
+  def peek(key: Key): Array[Byte] = lru.synchronized {
+    val hit = lru.get(key)
+    if (hit != null) hits.incrementAndGet()
+    hit
+  }
+
+  /** Insert bytes fetched externally (a slice of a coalesced range read). */
+  def put(key: Key, bytes: Array[Byte]): Unit = {
+    misses.incrementAndGet()
+    insert(key, bytes)
+  }
+
+  private def insert(key: Key, bytes: Array[Byte]): Unit =
     if (bytes.length <= cap / 8) lru.synchronized {
       val prev = lru.put(key, bytes)
       totalBytes += bytes.length - (if (prev != null) prev.length.toLong else 0L)
@@ -94,8 +115,6 @@ object BlockCache {
         it.remove()
       }
     }
-    bytes
-  }
 
   /** Test/ops hook: drop everything and reread settings from the session. */
   def clear(): Unit = lru.synchronized {

@@ -737,18 +737,74 @@ object NimbleSource {
 
   /** Fetch the named streams of one stripe through an existing reader,
     * serving from the executor-local [[BlockCache]] when possible. */
+  /** Positioned reads issued by the coalescing stream fetch (observability +
+    * tests: a k-column projection over contiguous streams must cost one). */
+  val streamReadOps = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Max gap (bytes) bridged when merging adjacent stream ranges into one
+    * positioned read. On object stores a round trip costs ~ms while 128 KB
+    * of discarded gap bytes cost ~µs of bandwidth; 0 disables merging. */
+  @volatile private var ioMergeGapConf: Long = -1L
+  private def ioMergeGap: Long = {
+    if (ioMergeGapConf < 0)
+      ioMergeGapConf = BlockCache.confLongPub("spark.graft.scan.ioMergeGapBytes", 128L << 10)
+    ioMergeGapConf
+  }
+  private[spark] def resetIoMergeGap(): Unit = ioMergeGapConf = -1L
+
+  /** A coalesced run never exceeds this (readRange allocates one array and
+    * takes an Int length; also bounds transient fetch memory). */
+  private final val MaxRunBytes: Long = 64L << 20
+
   private[spark] def readNeededStreams(reader: Tablet.Reader, stripe: Int,
       keys: Array[String], file: String): Map[String, Array[Byte]] = {
     if (testFetchDelayMs > 0) Thread.sleep(testFetchDelayMs.toLong)
     val meta = if (BlockCache.enabled) BlockCache.metaOf(file) else null
-    keys.iterator.map { k =>
+    val out = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    // split cached / to-fetch first, so merged reads cover only real misses
+    var want = List.empty[(String, Tablet.StreamLoc, BlockCache.Key)]
+    for (k <- keys) {
       val id = reader.keyId(k)
       require(id >= 0, s"nimble: stream $k not found in $file")
-      k -> (if (meta != null)
-        BlockCache.getOrLoad(BlockCache.Key(file, meta.mtime, meta.length, stripe, k))(
-          reader.readStreamBytes(stripe, id))
-      else reader.readStreamBytes(stripe, id))
-    }.toMap
+      val loc = reader.streamLoc(stripe, id)
+      val ck = if (meta != null) BlockCache.Key(file, meta.mtime, meta.length, stripe, k) else null
+      val hit = if (ck != null) BlockCache.peek(ck) else null
+      if (hit != null) out(k) = hit else want ::= ((k, loc, ck))
+    }
+    if (want.nonEmpty) {
+      // coalesce adjacent ranges (stripe streams are laid out back-to-back
+      // in flush order): one positioned read per contiguous run — a k-column
+      // projection costs one round trip, not k, on remote storage
+      val gap = ioMergeGap
+      val sorted = want.toArray.sortBy(_._2.offset)
+      var i = 0
+      while (i < sorted.length) {
+        val runStart = sorted(i)._2.offset
+        var end = runStart + sorted(i)._2.length
+        var j = i
+        while (j + 1 < sorted.length && {
+          val nxt = sorted(j + 1)._2
+          nxt.offset - end <= gap &&
+            math.max(end, nxt.offset + nxt.length) - runStart <= MaxRunBytes
+        }) {
+          j += 1
+          end = math.max(end, sorted(j)._2.offset + sorted(j)._2.length)
+        }
+        streamReadOps.incrementAndGet()
+        val run = reader.readRange(runStart, (end - runStart).toInt)
+        var m = i
+        while (m <= j) {
+          val (k, loc, ck) = sorted(m)
+          val slice = java.util.Arrays.copyOfRange(run,
+            (loc.offset - runStart).toInt, (loc.offset - runStart + loc.length).toInt)
+          out(k) = slice
+          if (ck != null) BlockCache.put(ck, slice)
+          m += 1
+        }
+        i = j + 1
+      }
+    }
+    out.toMap
   }
 
   /** Index-stream read through the block cache (probes re-read the same
