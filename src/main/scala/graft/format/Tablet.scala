@@ -28,7 +28,9 @@ object Tablet {
   // streams, reference README.md:18-20) never parse meta whole. v9 adds the
   // hash-bucket declaration (bucketColumns/numBuckets/bucketId) so co-
   // bucketed tables join without a shuffle (storage-partitioned joins).
-  val Version: Int = 9
+  // v10 appends an optional per-column NDV block (256-byte HLL registers per
+  // eligible data stream) so table stats can feed the CBO a distinct count.
+  val Version: Int = 10
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -310,7 +312,10 @@ object Tablet {
         * partition id == bucket id). numBuckets == 0 means unbucketed. */
       bucketColumns: Seq[String] = Nil,
       numBucketsSpec: Int = 0,
-      bucketId: Int = -1) {
+      bucketId: Int = -1,
+      /** v10: per-column HLL registers ([[Hll]]) keyed by stream name —
+        * distinct-count estimates for the CBO, mergeable across files. */
+      ndvSketches: Map[String, Array[Byte]] = Map.empty) {
     /** (group << 32 | streamId) -> that group's per-stripe entries. Lives on
       * the Footer value — which the sources cache per JVM — so planning and
       * every task in the JVM share one fetch per (group, stream). */
@@ -407,6 +412,10 @@ object Tablet {
     out
   }
 
+  /** Byte-wise register max (exact HLL merge) — alias kept here so spark-side
+    * consumers need no second import path. */
+  def mergeNdv(into: Array[Byte], other: Array[Byte]): Unit = Hll.merge(into, other)
+
   def writeFooter(f: Footer): Array[Byte] = {
     val s = new ByteSink(1 << 16)
     s.writeByte(Version)
@@ -441,6 +450,12 @@ object Tablet {
     } else {
       for (x <- f.inlineStats) writeStats(s, x)
     }
+    // v10 trailing NDV block: [count][key block + 256 registers]...
+    s.writeVarint(f.ndvSketches.size.toLong)
+    for ((k, regs) <- f.ndvSketches) {
+      s.writeBlock(k.getBytes("UTF-8"))
+      s.writeBytes(regs)
+    }
     s.toArray
   }
 
@@ -453,7 +468,7 @@ object Tablet {
     // v5); anything else would silently mis-parse, so fail loudly. The
     // reference keeps old stripe metadata readable the same way.
     if (version == 5 || version == 6) return readLegacyFooter(version, c)
-    require(version == 7 || version == 8 || version == Version,
+    require(version >= 7 && version <= Version,
       s"nimble: file format v$version not readable by this v$Version reader; rewrite the file")
     val sj = c.readBlock(); val schemaJson = new String(sj.readBytes(sj.remaining), "UTF-8")
     val nSort = c.readVarint().toInt
@@ -491,6 +506,20 @@ object Tablet {
     val groups = new Array[GroupLoc](nGroups)
     i = 0
     while (i < nGroups) { groups(i) = GroupLoc(c.readVarint(), c.readVarint()); i += 1 }
+    def readNdv(): Map[String, Array[Byte]] =
+      if (version < 10) Map.empty
+      else {
+        val n = c.readVarint().toInt
+        val b = Map.newBuilder[String, Array[Byte]]
+        var j = 0
+        while (j < n) {
+          val kb = c.readBlock()
+          val key = new String(kb.readBytes(kb.remaining), "UTF-8")
+          b += key -> c.readBytes(Hll.Registers)
+          j += 1
+        }
+        b.result()
+      }
     if (sectioned) {
       val metaLoc = GroupLoc(c.readVarint(), c.readVarint())
       val nBuckets = c.readVarint().toInt
@@ -500,13 +529,15 @@ object Tablet {
       Footer(version, schemaJson, sortCols, rowCount, null, stripes, groupSize, groups,
         null, metaLoc = metaLoc, nBuckets = nBuckets, bucketEnds = ends,
         streamCount = nStreams, filePath = filePath,
-        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId)
+        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId,
+        ndvSketches = readNdv())
     } else {
       val fileStats = new Array[Stats](nStreams)
       i = 0
       while (i < nStreams) { fileStats(i) = readStats(c); i += 1 }
       Footer(version, schemaJson, sortCols, rowCount, keys, stripes, groupSize, groups, fileStats,
-        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId)
+        bucketColumns = bucketCols, numBucketsSpec = numBuckets, bucketId = bucketId,
+        ndvSketches = readNdv())
     }
   }
 
@@ -947,7 +978,50 @@ object Tablet {
       b.writeBytes(data)
     }
 
+    // v10 NDV sketches: per-data-stream HLL registers. Only column-path
+    // streams sketch (no '#' internals), capped so an ultra-wide FlatMap
+    // write can't pin 10^5 register arrays in writer memory.
+    private val ndvRegs = mutable.HashMap[Int, Array[Byte]]()
+    private final val MaxNdvStreams = 1024
+
+    private def collectNdv(id: Int, col: Column): Unit = {
+      if (keys(id).indexOf('#') >= 0) return
+      if (!ndvRegs.contains(id) && ndvRegs.size >= MaxNdvStreams) return
+      col match {
+        case c: LongsCol =>
+          val regs = ndvRegs.getOrElseUpdate(id, Hll.empty())
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i)) Hll.add(regs, Hll.mixLong(c.values(i)))
+            i += 1
+          }
+        case c: DoublesCol =>
+          val regs = ndvRegs.getOrElseUpdate(id, Hll.empty())
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i)) {
+              // normalize -0.0 == 0.0 (Spark distinct semantics); NaN forms
+              // already canonicalize through doubleToLongBits
+              val v = c.values(i)
+              Hll.add(regs, Hll.mixLong(
+                if (v == 0.0) 0L else java.lang.Double.doubleToLongBits(v)))
+            }
+            i += 1
+          }
+        case c: BytesCol =>
+          val regs = ndvRegs.getOrElseUpdate(id, Hll.empty())
+          var i = 0
+          while (i < c.len) {
+            if (c.nulls == null || !c.nulls(i))
+              Hll.add(regs, hashBytesValue(c.bytes, c.offsets(i), c.offsets(i + 1) - c.offsets(i)))
+            i += 1
+          }
+        case _ => () // bools: ndv <= 3, worthless for the CBO
+      }
+    }
+
     private def collectAux(id: Int, col: Column): Unit = {
+      collectNdv(id, col)
       if (bloomColumns(keys(id))) {
         val buf = bloomHashes.getOrElseUpdate(id, new LongVec())
         col match {
@@ -1180,10 +1254,17 @@ object Tablet {
       val slim = padded.map { case (off, len, rows, _, _, checksum, _) =>
         StripeInfo(off, len, rows, checksum)
       }
+      // nanos-split timestamps: the micros stream's sketch undercounts the
+      // logical value (sub-us remainders collapse) — drop it, exact-or-absent
+      val ndvMap: Map[String, Array[Byte]] = ndvRegs.iterator
+        .map { case (id, regs) => keys(id) -> regs }
+        .filter { case (k, _) => !keys.contains(k + "#nanos") }
+        .toMap
       val footer = if (nStreams <= WideMetaStreams) {
         Footer(Version, schemaJson, sortColumns, totalRows,
           keys.toArray, slim, DirGroupSize, groups, fileStats.toArray,
-          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId)
+          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId,
+          ndvSketches = ndvMap)
       } else {
         // wide table: hash-bucketized (name, id, file-stats) section before
         // the footer — probes read one bucket (~nStreams/256 entries), the
@@ -1219,7 +1300,8 @@ object Tablet {
         Footer(Version, schemaJson, sortColumns, totalRows, null, slim,
           DirGroupSize, groups, null, metaLoc = loc, nBuckets = nB,
           bucketEnds = ends, streamCount = nStreams,
-          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId)
+          bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId,
+          ndvSketches = ndvMap)
       }
       val fb = writeFooter(footer)
       out.write(fb)

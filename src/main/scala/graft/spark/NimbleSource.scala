@@ -1529,6 +1529,12 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       val merged = new Array[Tablet.Stats](cboFields.length)
       val ok = Array.fill(cboFields.length)(true)
       val split = new Array[Boolean](cboFields.length)
+      // v10 NDV: HLL registers merge across files by byte-wise max — the
+      // table-level distinct count the CBO needs for join reordering; a
+      // column missing its sketch in ANY file (pre-v10, sketch cap) yields
+      // no distinctCount rather than a wrong one
+      val ndv = new Array[Array[Byte]](cboFields.length)
+      val ndvOk = Array.fill(cboFields.length)(true)
       for (meta <- metas) {
         val rd = new Tablet.Reader(meta.path, NimbleSource.footerOf(meta.path))
         try {
@@ -1543,6 +1549,11 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
                   if (merged(i) == null) merged(i) = s.copy() else merged(i).merge(s)
                 case None => ok(i) = false // absent in a file (evolution)
               }
+              rd.footer.ndvSketches.get(f.name) match {
+                case Some(regs) if ndvOk(i) =>
+                  if (ndv(i) == null) ndv(i) = regs.clone() else Tablet.mergeNdv(ndv(i), regs)
+                case _ => ndvOk(i) = false
+              }
             }
             i += 1
           }
@@ -1554,9 +1565,16 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         val (minV, maxV) =
           if (!m.hasMinMax || m.hasNaN || split(i)) (None, None)
           else NimbleSource.cboMinMax(f.dataType, m)
+        val distinct: Option[Long] =
+          if (ndvOk(i) && ndv(i) != null)
+            Some(math.min(graft.format.Hll.estimate(ndv(i)),
+              math.max(0L, m.valueCount - m.nullCount)))
+          else None
         cs.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def nullCount(): util.OptionalLong = util.OptionalLong.of(m.nullCount)
+            override def distinctCount(): util.OptionalLong =
+              distinct.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
             override def min(): util.Optional[Object] =
               minV.map(v => util.Optional.of(v.asInstanceOf[Object])).getOrElse(util.Optional.empty())
             override def max(): util.Optional[Object] =

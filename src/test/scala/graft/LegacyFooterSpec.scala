@@ -232,14 +232,14 @@ class LegacyFooterSpec extends AnyFunSuite {
   }
 
   test("unknown versions still fail loudly") {
-    val cur = tmpFile("current10")
+    val cur = tmpFile("current11")
     writeSample(cur)
-    val legacy = tmpFile("legacy10")
-    synthesizeLegacy(10, cur, legacy)
+    val legacy = tmpFile("legacy11")
+    synthesizeLegacy(11, cur, legacy)
     val e = intercept[IllegalArgumentException] {
       val r = new Tablet.Reader(legacy)
       try r.footer finally r.close()
     }
-    assert(e.getMessage.contains("v10"))
+    assert(e.getMessage.contains("v11"))
   }
 }
