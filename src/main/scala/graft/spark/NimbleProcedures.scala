@@ -40,7 +40,7 @@ object NimbleProcedures {
     StructField("rows", LongType, nullable = false)))
 
   def list(): Array[Identifier] =
-    Array("compact", "compact_small", "zorder", "vacuum")
+    Array("compact", "compact_small", "zorder", "vacuum", "stats")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(ident: Identifier, dirOf: Identifier => String,
@@ -60,9 +60,10 @@ object NimbleProcedures {
       case "compact_small" => new CompactSmallProc(resolve)
       case "zorder" => new ZOrderProc(resolve)
       case "vacuum" => new VacuumProc(resolve)
+      case "stats" => new StatsProc(resolve)
       case other => throw new IllegalArgumentException(
         s"nimble: unknown procedure system.$other " +
-          "(have: compact, compact_small, zorder, vacuum)")
+          "(have: compact, compact_small, zorder, vacuum, stats)")
     }
   }
 
@@ -87,9 +88,12 @@ object NimbleProcedures {
       rep.filesBefore, rep.filesAfter, rep.bytesBefore, rep.bytesAfter, rep.rows)))
 
   private def rowScan(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    rowsScan(schema, Array(row))
+
+  private def rowsScan(schema: StructType, rs: Array[InternalRow]): java.util.Iterator[Scan] =
     java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(row)
+      override def rows(): Array[InternalRow] = rs
       override def description(): String = "nimble procedure report"
     }).iterator()
 
@@ -193,6 +197,61 @@ object NimbleProcedures {
       reportScan(rewriteAndSwap(dir, side) {
         ZOrder.zorder(spark, dir, side, cols, input.getLong(2))
       })
+    }
+  }
+
+  /** Read-only table statistics: one row per top-level atomic column with
+    * value/null counts from merged footer stats and the v10 HLL distinct
+    * count (null when any file lacks the sketch) — the ANALYZE surface for
+    * operators, answered from O(metadata) like estimateStatistics. */
+  private final class StatsProc(resolve: String => String) extends MaintenanceProc(resolve) {
+    private val SREPORT = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("value_count", LongType, nullable = false),
+      StructField("null_count", LongType, nullable = false),
+      StructField("ndv", LongType, nullable = true)))
+    override def name(): String = "stats"
+    override def description(): String =
+      "per-column value/null counts and HLL distinct-count estimates, O(metadata)"
+    override def parameters(): Array[ProcedureParameter] = Array(param("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirFor(input)
+      val files = NimbleSource.listFiles(dir)
+      require(files.nonEmpty, s"nimble: stats: empty table $dir")
+      NimbleSource.prefetchFooters(files)
+      val schema = DataType.fromJson(
+        NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
+      val cols = schema.fields.filter(f => f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      })
+      val rows = cols.flatMap { f =>
+        var values = 0L; var nulls = 0L
+        var ndv: Array[Byte] = null; var ndvOk = true; var ok = true
+        for (file <- files if ok) {
+          val rd = new graft.format.Tablet.Reader(file, NimbleSource.footerOf(file))
+          try {
+            rd.fileStatsOf(f.name) match {
+              case Some(st) => values += st.valueCount; nulls += st.nullCount
+              case None => ok = false // absent in a file (schema evolution)
+            }
+            rd.footer.ndvSketches.get(f.name) match {
+              case Some(regs) if ndvOk =>
+                if (ndv == null) ndv = regs.clone() else graft.format.Hll.merge(ndv, regs)
+              case _ => ndvOk = false
+            }
+          } finally rd.close()
+        }
+        if (!ok) None
+        else Some(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(f.name),
+          values, nulls,
+          if (ndvOk && ndv != null)
+            java.lang.Long.valueOf(math.min(graft.format.Hll.estimate(ndv),
+              math.max(0L, values - nulls)))
+          else null)): InternalRow)
+      }
+      rowsScan(SREPORT, rows)
     }
   }
 }

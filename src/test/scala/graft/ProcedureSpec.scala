@@ -111,4 +111,28 @@ class ProcedureSpec extends SparkTestBase {
       assert(spark.table(s"$cat.t5").count() == 2000)
     }
   }
+
+  test("CALL system.stats reports per-column counts and HLL distinct estimates") {
+    withCat("f") { cat =>
+      spark.range(30000).select(col("id"),
+          (col("id") % 40).as("low"),
+          when(col("id") % 10 === 0, lit(null)).otherwise(md5(col("id").cast("string"))).as("s"))
+        .writeTo(s"$cat.t6").create()
+      // second file: overlapping ids — merged ndv must be union, not sum
+      spark.range(20000, 35000).select(col("id"),
+          (col("id") % 40).as("low"),
+          when(col("id") % 10 === 0, lit(null)).otherwise(md5(col("id").cast("string"))).as("s"))
+        .writeTo(s"$cat.t6").append()
+      val rows = spark.sql(s"CALL $cat.system.stats(table => 't6')").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(rows.keySet == Set("id", "low", "s"))
+      assert(rows("id").getAs[Long]("value_count") == 45000)
+      assert(rows("id").getAs[Long]("null_count") == 0)
+      val idNdv = rows("id").getAs[Long]("ndv")
+      assert(math.abs(idNdv - 35000) <= 35000 * 0.15, s"id ndv=$idNdv")
+      val lowNdv = rows("low").getAs[Long]("ndv")
+      assert(math.abs(lowNdv - 40) <= 6, s"low ndv=$lowNdv")
+      assert(rows("s").getAs[Long]("null_count") == 4500)
+    }
+  }
 }
