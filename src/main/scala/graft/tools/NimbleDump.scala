@@ -56,7 +56,7 @@ object NimbleDump {
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
-      System.err.println("usage: NimbleDump <info|schema|stripes|streams|encoding|encodingtree|" +
+      System.err.println("usage: NimbleDump <info|schema|stripes|streams|ndv|encoding|encodingtree|" +
         "histogram|index|chunkstats|layout|content|verify> <file> [top] [stripe=N]")
       sys.exit(2)
     }
@@ -89,6 +89,10 @@ object NimbleDump {
               }
             println(f"  $k%-28s bytes=$bytes%10d values=${st.valueCount}%8d nulls=${st.nullCount}%6d$mm")
           }
+        case "ndv" =>
+          if (ft.ndvSketches.isEmpty) println("  (no NDV sketches: pre-v10 file)")
+          else for ((k, regs) <- ft.ndvSketches.toSeq.sortBy(_._1))
+            println(f"  $k%-28s ndv~${graft.format.Hll.estimate(regs)}%d")
         case "encoding" =>
           val hist = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
           for (s <- ft.stripes.indices; i <- ft.streamKeys.indices
