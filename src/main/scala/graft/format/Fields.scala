@@ -29,7 +29,10 @@ object Fields {
       dictArray: Set[String] = Set.empty,
       dedupMap: Set[String] = Set.empty,
       maxFlatMapKeys: Int = 2000,
-      tsNanos: Set[String] = Set.empty)
+      tsNanos: Set[String] = Set.empty,
+      /** v10 per-column NDV sketches (`ndvSketches=false` opts an
+        * ingest-heavy write out of the per-value hashing cost). */
+      ndv: Boolean = true)
 
   def physFor(dt: DataType): Byte = dt match {
     case BooleanType => PhysType.Bool

@@ -732,7 +732,8 @@ object Tablet {
       indexColumns: Set[String] = Set.empty,
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
-      bucketId: Int = -1) extends ChunkSink {
+      bucketId: Int = -1,
+      ndvSketches: Boolean = true) extends ChunkSink {
     // Hash-index entries hash long-backed and bytes-backed values only; an
     // unsupported column (double/bool/nested) would silently emit an
     // always-empty index that shadows the reader's scan fallback — reject the
@@ -985,7 +986,7 @@ object Tablet {
     private final val MaxNdvStreams = 1024
 
     private def collectNdv(id: Int, col: Column): Unit = {
-      if (keys(id).indexOf('#') >= 0) return
+      if (!ndvSketches || keys(id).indexOf('#') >= 0) return
       if (!ndvRegs.contains(id) && ndvRegs.size >= MaxNdvStreams) return
       col match {
         case c: LongsCol =>

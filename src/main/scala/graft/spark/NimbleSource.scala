@@ -2117,7 +2117,8 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     flatMap = csvOpt("flatMapColumns"),
     dictArray = csvOpt("dictionaryArrayColumns"),
     dedupMap = csvOpt("deduplicatedMapColumns"),
-    tsNanos = csvOpt("timestampNanosColumns"))
+    tsNanos = csvOpt("timestampNanosColumns"),
+    ndv = Option(options.get("ndvSketches")).forall(_.toBoolean))
 
   /** bucketColumns + numBuckets write options (hash-bucketed table for
     * storage-partitioned joins). Key types restricted to the hash-stable
@@ -2428,7 +2429,8 @@ class NimbleDataWriter(file: String, schemaJson: String, sortColumns: Seq[String
     compression, indexColumns,
     bucketColumns = bucketSpec.map(_._1).getOrElse(Nil),
     numBuckets = bucketSpec.map(_._2).getOrElse(0),
-    bucketId = if (bucketSpec.isDefined) bucketId else -1)
+    bucketId = if (bucketSpec.isDefined) bucketId else -1,
+    ndvSketches = writeOpts.ndv)
   private val writers: Array[Fields.FieldWriter] =
     schema.fields.map(f => Fields.writerFor(f.name, f.dataType, tablet.ensureStream, writeOpts))
   private var pendingRows = 0

@@ -50,6 +50,23 @@ class NdvSpec extends SparkTestBase {
     assert(dc("id") <= 40000 * 2)
   }
 
+  test("ndvSketches=false opts a write out; CBO distinctCount stays absent-not-wrong") {
+    val df = spark.range(5000).select(col("id"), (col("id") % 9).as("g"))
+    val dir = tmpDir("ndv-off")
+    df.coalesce(1).write.format("nimble")
+      .option("ndvSketches", "false").mode("overwrite").save(dir)
+    val footer = graft.spark.NimbleSource.footerOf(
+      graft.spark.NimbleSource.listFiles(dir).head)
+    assert(footer.version == 10 && footer.ndvSketches.isEmpty)
+    val schema = spark.read.format("nimble").load(dir).schema
+    val cs = new graft.spark.NimbleScan(dir, schema, schema, Array.empty)
+      .estimateStatistics().columnStats()
+    val idStats = cs.entrySet().stream()
+      .filter(_.getKey.toString == "id").findFirst().get().getValue
+    assert(!idStats.distinctCount().isPresent)
+    assert(idStats.nullCount().getAsLong == 0L) // other stats unaffected
+  }
+
   test("nanos-split timestamps carry no sketch (micros would undercount)") {
     val df = spark.sql(
       "SELECT id, 1705312200123456789 + id * 1001 AS ts FROM range(5000)")
