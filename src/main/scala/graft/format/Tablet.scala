@@ -412,10 +412,6 @@ object Tablet {
     out
   }
 
-  /** Byte-wise register max (exact HLL merge) — alias kept here so spark-side
-    * consumers need no second import path. */
-  def mergeNdv(into: Array[Byte], other: Array[Byte]): Unit = Hll.merge(into, other)
-
   def writeFooter(f: Footer): Array[Byte] = {
     val s = new ByteSink(1 << 16)
     s.writeByte(Version)
@@ -1257,9 +1253,11 @@ object Tablet {
       }
       // nanos-split timestamps: the micros stream's sketch undercounts the
       // logical value (sub-us remainders collapse) — drop it, exact-or-absent
+      val nanosKeys: Set[String] = keys.iterator
+        .filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
       val ndvMap: Map[String, Array[Byte]] = ndvRegs.iterator
         .map { case (id, regs) => keys(id) -> regs }
-        .filter { case (k, _) => !keys.contains(k + "#nanos") }
+        .filter { case (k, _) => !nanosKeys(k) }
         .toMap
       val footer = if (nStreams <= WideMetaStreams) {
         Footer(Version, schemaJson, sortColumns, totalRows,

@@ -444,9 +444,12 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       NimbleTaskMetric("aggChunksDecoded", taskChunksDecoded))
 
   private val aggCols: Array[String] = ops.flatMap(o => Option(o.col)).distinct
-  /** Leaf type of a (possibly dotted struct-path) column. */
+  /** Leaf type of a (possibly dotted struct-path) column — resolved once
+    * per reader (the schema is immutable; this sits in per-chunk loops). */
+  private val typeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
   private def typeOf(n: String): org.apache.spark.sql.types.DataType =
-    AggScan.fieldTypeOf(dataSchema, n)
+    typeCache.computeIfAbsent(n, nn => AggScan.fieldTypeOf(dataSchema, nn))
   private val grouped = groupCols.nonEmpty
   private val groupNames: Array[String] = groupCols.map(_.name)
   /** Columns whose streams must load: aggregate inputs plus group keys. */

@@ -198,10 +198,16 @@ object Filters {
 
   private def outsideRange(a: String, v: Any, stats: String => Option[Tablet.Stats], lo: Boolean, hi: Boolean): Boolean =
     statsFor(a, stats).exists { s =>
-      if (!s.hasMinMax) s.valueCount > 0 // all nulls -> comparison never true
+      // all nulls -> comparison never true; but a no-min/max stripe may be
+      // all-NaN (stats exclude NaN), and NaN = NaN is TRUE in Spark
+      if (!s.hasMinMax) s.valueCount > 0 && !s.hasNaN
       else s.kind match {
         case PhysType.F32 | PhysType.F64 =>
-          val x = toDouble(v); x < s.minDouble || x > s.maxDouble
+          val x = toDouble(v)
+          // a NaN literal matches exactly the NaN rows, which min/max never
+          // describe: prune iff the stripe provably holds no NaN
+          if (x.isNaN) !s.hasNaN
+          else x < s.minDouble || x > s.maxDouble
         case PhysType.Bytes =>
           val x = toBytes(v)
           // maxBytes may be truncated at 64B: only prune on the low side
@@ -214,13 +220,17 @@ object Filters {
       }
     }
 
-  /** filter col > v (orEqual=false: col >= v): prune if v above stripe max. */
+  /** filter col > v (orEqual=false: col >= v): prune if v above stripe max.
+    * NaN sorts GREATER than every value in Spark, so a stripe containing
+    * NaN can never prune here — its NaN rows satisfy col > v for any v
+    * (min/max stats exclude NaN; only hasNaN sees those rows). */
   private def aboveMax(a: String, v: Any, stats: String => Option[Tablet.Stats], orEqual: Boolean): Boolean =
     statsFor(a, stats).exists { s =>
-      if (!s.hasMinMax) s.valueCount > 0
+      if (!s.hasMinMax) s.valueCount > 0 && !s.hasNaN
       else s.kind match {
         case PhysType.F32 | PhysType.F64 =>
-          val x = toDouble(v); if (orEqual) s.maxDouble <= x else s.maxDouble < x
+          val x = toDouble(v)
+          !s.hasNaN && (if (orEqual) s.maxDouble <= x else s.maxDouble < x)
         case PhysType.Bytes =>
           val x = toBytes(v)
           s.maxBytes.length < 64 && (if (orEqual) Tablet.compareBytes(s.maxBytes, x) <= 0 else Tablet.compareBytes(s.maxBytes, x) < 0)

@@ -151,49 +151,15 @@ object NimbleSource {
   private[spark] def displayPath(path: String): String =
     path.replace(MultiPathSep, ",")
 
-  /** Minimal JSON string-array parser for Spark's `paths` option (the only
-    * shape Spark emits for `.load(paths*)`). Handles standard escapes. */
-  private[spark] def parseJsonStringArray(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    def err() = throw new IllegalArgumentException(s"nimble: malformed 'paths' option: $s")
-    while (i < s.length && s(i).isWhitespace) i += 1
-    if (i >= s.length || s(i) != '[') err()
-    i += 1
-    var done = false
-    while (!done) {
-      while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
-      if (i >= s.length) err()
-      if (s(i) == ']') { done = true }
-      else {
-        if (s(i) != '"') err()
-        i += 1
-        val sb = new java.lang.StringBuilder
-        while (i < s.length && s(i) != '"') {
-          if (s(i) == '\\') {
-            i += 1
-            if (i >= s.length) err()
-            s(i) match {
-              case '"' => sb.append('"'); case '\\' => sb.append('\\')
-              case '/' => sb.append('/'); case 'b' => sb.append('\b')
-              case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
-              case 'r' => sb.append('\r'); case 't' => sb.append('\t')
-              case 'u' =>
-                if (i + 4 >= s.length) err()
-                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
-                i += 4
-              case _ => err()
-            }
-          } else sb.append(s(i))
-          i += 1
-        }
-        if (i >= s.length) err()
-        i += 1 // closing quote
-        out += sb.toString
-      }
+  /** Spark emits `.load(paths*)` as a JSON string array under "paths";
+    * Jackson (already on Spark's classpath) parses it with strict JSON
+    * semantics. */
+  private[spark] def parseJsonStringArray(s: String): Seq[String] =
+    try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(s, classOf[Array[String]]).toSeq
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"nimble: malformed 'paths' option: $s", e)
     }
-    out.toSeq
-  }
 
   def listFiles(path: String): Seq[String] = listMeta(path).map(_.path)
 
@@ -1551,7 +1517,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
               }
               rd.footer.ndvSketches.get(f.name) match {
                 case Some(regs) if ndvOk(i) =>
-                  if (ndv(i) == null) ndv(i) = regs.clone() else Tablet.mergeNdv(ndv(i), regs)
+                  if (ndv(i) == null) ndv(i) = regs.clone() else graft.format.Hll.merge(ndv(i), regs)
                 case _ => ndvOk(i) = false
               }
             }

@@ -107,6 +107,51 @@ class NestedPruneSpec extends SparkTestBase {
     assert(!adesc.contains("pruneOnly=["), s"array path must not prune:\n$adesc")
   }
 
+  test("NaN rows survive stats pruning: NaN sorts greatest and equals itself") {
+    // sorted doubles with one NaN planted mid-file: min/max stats exclude
+    // NaN, so pruning `d > huge` on max alone would drop the NaN row — in
+    // Spark NaN > v is TRUE for every v and NaN = NaN is TRUE
+    val df = spark.sql("""
+      SELECT id,
+        CASE WHEN id = 123 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS d,
+        named_struct('x', CASE WHEN id = 123 THEN CAST('NaN' AS DOUBLE)
+                               ELSE CAST(id AS DOUBLE) END,
+                     'pad', md5(CAST(id AS STRING))) AS st
+      FROM range(60000)""")
+    val dir = tmpDir("nan-prune")
+    df.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "65536").option("rowsPerChunk", "2048").save(dir)
+    assert(graft.spark.NimbleSource
+      .footerOf(graft.spark.NimbleSource.listFiles(dir).head).stripes.length >= 3)
+    val nb = spark.read.format("nimble").load(dir)
+
+    // pushed top-level filter: the one NaN row must come back
+    assert(nb.filter(col("d") > 1e9).count() == 1)
+    assert(nb.filter(col("d") >= 1e9).select("id").collect().map(_.getLong(0)).toSeq == Seq(123L))
+    // nested stats-only pruning path: same contract
+    assert(nb.filter(col("st.x") > 1e9).count() == 1)
+    // equality against NaN matches exactly the NaN row
+    assert(nb.filter(col("d") === Double.NaN).count() == 1)
+    assert(nb.filter(col("st.x") === Double.NaN).count() == 1)
+    // < never matches NaN: pruning on min stays aggressive and correct
+    assert(nb.filter(col("d") < 100.0).count() == 100)
+
+    // all-NaN stripe region: EqualTo(NaN) must not prune it away
+    val df2 = spark.sql("""
+      SELECT id, CASE WHEN id < 10000 THEN CAST('NaN' AS DOUBLE)
+                      ELSE CAST(id AS DOUBLE) END AS d,
+             md5(CAST(id AS STRING)) AS pad
+      FROM range(40000)""")
+    val dir2 = tmpDir("nan-allchunk")
+    df2.coalesce(1).sortWithinPartitions("id")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "32768").option("rowsPerChunk", "2048").save(dir2)
+    val nb2 = spark.read.format("nimble").load(dir2)
+    assert(nb2.filter(col("d") === Double.NaN).count() == 10000)
+    assert(nb2.filter(col("d") > 1e9).count() == 10000) // NaN > anything
+  }
+
   test("stripe blooms on a nested leaf prune unsorted equality probes") {
     // blooms are stream-keyed, so `bloomFilterColumns=st.b` hangs a bloom
     // off the leaf stream; an equality probe for an absent value then
