@@ -53,6 +53,42 @@ class E2EFilterSpec extends SparkTestBase {
     }
   }
 
+  test("random filters over NaN-pocketed doubles: pruning never drops NaN rows") {
+    // NaN sorts greatest and equals itself in Spark; stripe/chunk stats
+    // exclude NaN from min/max, so every max-based prune must consult
+    // hasNaN — this fuzz pins that (found by review: d > huge dropped NaN)
+    val gen = spark.sql("""
+      SELECT id,
+        CASE WHEN id % 500 = 77 THEN CAST('NaN' AS DOUBLE)
+             WHEN id % 17 = 0 THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(id AS DOUBLE) / 3 END AS d,
+        md5(CAST(id AS STRING)) AS pad
+      FROM range(30000)""")
+    // reference side reads PARQUET, not .cache(): Spark's InMemoryRelation
+    // batch pruning is itself NaN-unsound (= NaN returns 0 rows against a
+    // cached frame while parquet and SQL literals both return the NaN rows)
+    // — the parquet scan carries the semantics this engine must match
+    val pqDir = tmpDir("e2enan-pq")
+    gen.coalesce(1).sortWithinPartitions("id").write.mode("overwrite").parquet(pqDir)
+    val src = spark.read.parquet(pqDir)
+    val dir = tmpDir("e2enan")
+    src.coalesce(1).sortWithinPartitions("id").write.format("nimble")
+      .option("stripeBytes", "32768").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    def p(): org.apache.spark.sql.Column = rnd.nextInt(5) match {
+      case 0 => col("d") > lit(rnd.nextDouble() * 12000)
+      case 1 => col("d") >= lit(rnd.nextDouble() * 12000)
+      case 2 => col("d") < lit(rnd.nextDouble() * 100)
+      case 3 => col("d") === lit(Double.NaN)
+      case _ => col("d").isNotNull && col("d") <= lit(rnd.nextDouble() * 9000)
+    }
+    for (t <- 0 until 20) {
+      val pred = p()
+      assert(nb.filter(pred).count() == src.filter(pred).count(), s"trial $t: $pred")
+    }
+  }
+
   test("nanos-split fuzz: pushed range filters == post-filter through scaled stats") {
     // epoch-nanos values spanning pre-1970, sub-µs remainders, and nulls;
     // small chunks so the scaled-stats chunk-skip path actually prunes
