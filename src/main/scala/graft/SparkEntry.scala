@@ -473,6 +473,21 @@ object SparkEntry {
           unix_millis(min(col("st.d")).cast("timestamp")).as("min_d_ms"))
     }),
 
+    // multi-directory read (.load(dirA, dirB), parquet parity): orders
+    // split by key range into two tablet directories, loaded as one table —
+    // pruning/pushdown span both roots, the union answers like the source
+    "q42_multipath" -> ((s, dir) => {
+      val orders = Tables.nimble(s, dir, "orders")
+      val dA = Tables.roundTripDir(s, dir, "q42_lo", orders.filter(col("o_orderkey") % 2 === 0))
+      val dB = Tables.roundTripDir(s, dir, "q42_hi", orders.filter(col("o_orderkey") % 2 =!= 0))
+      s.read.format("nimble").load(dA, dB)
+        .filter(col("o_totalprice") > 50000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("min_ok"),
+          max(col("o_orderkey")).as("max_ok"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1161,6 +1176,12 @@ object SparkEntry {
            min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
            epoch_ms(min(l_shipdate)) AS min_d_ms
          FROM lineitem""",
+    "q42_multipath" ->
+      """SELECT o_orderstatus, count(1) AS cnt,
+           min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_totalprice > 50000.0
+         GROUP BY o_orderstatus""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
