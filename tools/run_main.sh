@@ -9,5 +9,6 @@ exec java \
   --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
   --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  --add-modules=jdk.incubator.vector \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-16g} \
   -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" "$CLASS" "$@"
