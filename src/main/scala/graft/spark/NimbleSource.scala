@@ -1806,10 +1806,12 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   })
 
   // index-assisted chunk selection: equality filters on indexColumns-declared
-  // columns restrict decode to index-candidate chunks (atomic projections
-  // only — their streams are chunk-aligned, so a whole-chunk skip is safe)
+  // columns restrict decode to index-candidate chunks. Safe under ANY
+  // projection shape: every stream — nested children included — flushes at
+  // the same row boundaries, so skipping a non-candidate chunk advances all
+  // cursors in lockstep (same alignment argument as the stats chunk skip).
   private val indexChunks: java.util.BitSet =
-    if (filters.nonEmpty && allAtomicProjection)
+    if (filters.nonEmpty)
       NimbleSource.indexCandidateChunks(reader, stripe, filters)
     else null
   private var chunkOrd = 0

@@ -107,6 +107,34 @@ class NestedPruneSpec extends SparkTestBase {
     assert(!adesc.contains("pruneOnly=["), s"array path must not prune:\n$adesc")
   }
 
+  test("index-candidate chunk restriction works under nested projections") {
+    // unsorted key + hash index: stats ranges overlap every chunk, so only
+    // the index can restrict the candidate set — and the projection
+    // includes a struct, which used to disable index chunk selection
+    val df = spark.range(80000).select(
+      pmod(hash(col("id")), lit(1000000)).cast("long").as("k"),
+      struct(col("id").as("a"), md5(col("id").cast("string")).as("b")).as("st"))
+    val dir = tmpDir("nested-idx")
+    df.coalesce(1).write.format("nimble").mode("overwrite")
+      .option("indexColumns", "k").option("rowsPerChunk", "2048").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val probe = df.select("k").collect()(12345).getLong(0)
+    def skippedDuring(f: => Unit): Long = {
+      val before = graft.spark.NimbleSource.chunksSkipped.get()
+      f
+      graft.spark.NimbleSource.chunksSkipped.get() - before
+    }
+    var got: Array[org.apache.spark.sql.Row] = null
+    val skipped = skippedDuring {
+      got = nb.filter(col("k") === probe).select(col("st.a")).collect()
+    }
+    assert(got.nonEmpty)
+    assert(skipped > 20,
+      s"hash index should restrict candidate chunks under a nested projection, skipped=$skipped")
+    // values intact when candidates interleave with decoded chunks
+    assert(nb.filter(col("k") === probe).select(col("st.b")).collect().length == got.length)
+  }
+
   test("NaN rows survive stats pruning: NaN sorts greatest and equals itself") {
     // sorted doubles with one NaN planted mid-file: min/max stats exclude
     // NaN, so pruning `d > huge` on max alone would drop the NaN row — in
