@@ -7,7 +7,7 @@ import graft.format._
   *
   * Supported statements (one per line; file = .gft file or directory):
   *   DESCRIBE <file>
-  *   SHOW {INFO|STRIPES|STREAMS|ENCODING|LAYOUT|STATS|INDEX} <file>
+  *   SHOW {INFO|STRIPES|STREAMS|ENCODING|LAYOUT|STATS|INDEX|NDV} <file>
   *   SHOW HISTOGRAM [TOP] [STRIPE s] <file>
   *   SELECT col1,col2|* FROM <file> [WHERE col =|!=|<|<=|>|>= literal] [LIMIT n]
   *   QUIT

@@ -24,6 +24,18 @@ class DslSpec extends SparkTestBase {
     out.toString
   }
 
+  test("SHOW NDV: per-column distinct estimates from the v10 sketches") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dsl_ndv")
+    spark.range(20000).select(col("id"), (col("id") % 25).as("g"))
+      .coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val out = run(s"SHOW NDV $dir")
+    assert(out.contains("id"), out)
+    val gLine = out.linesIterator.find(_.trim.startsWith("g ")).getOrElse(fail(out))
+    val est = gLine.split("ndv~")(1).trim.toLong
+    assert(math.abs(est - 25) <= 4, s"g ndv estimate off: $gLine")
+  }
+
   test("SHOW HISTOGRAM: encoding distribution with counts and storage share") {
     val dir = tmpDir("dsl_hist")
     // a constant column (Constant codec) + an increasing id: known buckets
