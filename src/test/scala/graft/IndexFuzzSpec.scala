@@ -83,4 +83,33 @@ class IndexFuzzSpec extends SparkTestBase {
       assert(sqlPfx.toSeq == wantPfx, s"trial $trial SQL prefix k2=$s2")
     }
   }
+
+  test("index-assisted probes stay exact under nested projections (seeded)") {
+    // the index candidate restriction now runs for any projection shape —
+    // probes that ALSO materialize a struct must return identical rows
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(777)
+    val n = 30000
+    val src = spark.range(n).select(
+      pmod(hash(col("id")), lit(500000)).cast("long").as("k"),
+      col("id").as("rid"),
+      struct(col("id").as("a"), md5(col("id").cast("string")).as("b")).as("st"))
+    val dir = tmpDir("idxfuzz-nested")
+    src.coalesce(2).write.format("nimble")
+      .option("indexColumns", "k").option("rowsPerChunk", "1024")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val keys = src.select("k", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byKey = keys.groupBy(_._1)
+    for (trial <- 0 until 15) {
+      val probe =
+        if (rnd.nextBoolean()) keys(rnd.nextInt(n))._1
+        else rnd.nextLong() % 500000
+      val want = byKey.getOrElse(probe, Array.empty).map(_._2).sorted.toSeq
+      val got = nb.filter(col("k") === probe)
+        .select(col("rid"), col("st.a"), col("st.b"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"trial $trial k=$probe: $got vs $want")
+    }
+  }
 }
