@@ -221,11 +221,17 @@ object NimbleProcedures {
       NimbleSource.prefetchFooters(files)
       val schema = DataType.fromJson(
         NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
-      val cols = schema.fields.filter(f => f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
-      })
-      val rows = cols.flatMap { f =>
+      // top-level atomics plus struct-leaf paths (dotted stream keys are
+      // row-aligned, so their footer stats/sketches answer like columns);
+      // array/map subtrees have no per-row stats surface
+      val cols = scala.collection.mutable.ArrayBuffer[StructField]()
+      def walk(prefix: String, dt: DataType): Unit = dt match {
+        case s: StructType => s.fields.foreach(c => walk(s"$prefix.${c.name}", c.dataType))
+        case _: ArrayType | _: MapType => ()
+        case leaf => cols += StructField(prefix, leaf)
+      }
+      schema.fields.foreach(f => walk(f.name, f.dataType))
+      val rows = cols.toArray.flatMap { f =>
         var values = 0L; var nulls = 0L
         var ndv: Array[Byte] = null; var ndvOk = true; var ok = true
         for (file <- files if ok) {

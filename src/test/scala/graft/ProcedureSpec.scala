@@ -123,6 +123,15 @@ class ProcedureSpec extends SparkTestBase {
           (col("id") % 40).as("low"),
           when(col("id") % 10 === 0, lit(null)).otherwise(md5(col("id").cast("string"))).as("s"))
         .writeTo(s"$cat.t6").append()
+      // a struct column surfaces per-leaf rows (dotted paths)
+      spark.range(1000).select(col("id").as("rid"),
+          struct((col("id") % 7).as("a")).as("st"))
+        .writeTo(s"$cat.t7").create()
+      val nested = spark.sql(s"CALL $cat.system.stats(table => 't7')").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(nested.keySet == Set("rid", "st.a"), nested.keySet.toString)
+      assert(math.abs(nested("st.a").getAs[Long]("ndv") - 7) <= 2)
+
       val rows = spark.sql(s"CALL $cat.system.stats(table => 't6')").collect()
         .map(r => r.getString(0) -> r).toMap
       assert(rows.keySet == Set("id", "low", "s"))
