@@ -775,6 +775,46 @@ object Tablet {
         }.toIndexedSeq
         (single.map(resolve).toSet, composites)
       }
+    // loud bloom validation: a typo'd, case-differing or unsupported-type
+    // bloom column would otherwise silently produce NO blooms while the
+    // user relies on equality pruning (blooms hash long- and bytes-backed
+    // streams only; stream-key matching is exact). Struct-leaf paths allowed
+    // (row-aligned streams); array/map subtrees and float/double/bool refuse.
+    if (bloomColumns.nonEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      import org.apache.spark.sql.types._
+      def leafType(path: String): Option[DataType] = {
+        var cur = schema
+        val parts = path.split('.')
+        var dt: DataType = null
+        for (i <- parts.indices) {
+          cur.fields.find(_.name == parts(i)) match {
+            case Some(f) =>
+              dt = f.dataType
+              if (i < parts.length - 1) dt match {
+                case s: StructType => cur = s
+                case _ => return None
+              }
+            case None => return None
+          }
+        }
+        Option(dt)
+      }
+      for (c <- bloomColumns) leafType(c) match {
+        case None => throw new IllegalArgumentException(
+          s"nimble: bloomFilterColumns: no such column path '$c' (matching is exact)")
+        case Some(dt) => dt match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType | StringType | BinaryType => ()
+          case d: DecimalType if d.precision <= 18 => ()
+          case other => throw new IllegalArgumentException(
+            s"nimble: bloomFilterColumns: column '$c' has type ${other.simpleString} — " +
+              "blooms support integral, date/timestamp, decimal(<=18), string and binary")
+        }
+      }
+    }
+
     private val out = GraftIO.create(path)
     out.write(Magic)
     private var fileOffset: Long = Magic.length.toLong

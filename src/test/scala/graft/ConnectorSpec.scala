@@ -150,6 +150,28 @@ class ConnectorSpec extends SparkTestBase {
     assert(!scanLine.contains("b:string"), s"nested pruning leaked field b: $scanLine")
   }
 
+  test("bloomFilterColumns validates loudly: typos and unsupported types refuse") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5)).toDF("id", "d")
+    val e1 = intercept[Exception] {
+      df.write.format("nimble").option("bloomFilterColumns", "nope")
+        .mode("overwrite").save(tmpDir("bloom-typo"))
+    }
+    assert(e1.getMessage.contains("no such column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      df.write.format("nimble").option("bloomFilterColumns", "d")
+        .mode("overwrite").save(tmpDir("bloom-double"))
+    }
+    assert(e2.getMessage.contains("blooms support"), e2.getMessage)
+    // valid columns (incl. a struct leaf) still write
+    val ok = tmpDir("bloom-ok")
+    Seq((1L, "x")).toDF("id", "s")
+      .selectExpr("id", "named_struct('b', s) AS st")
+      .write.format("nimble").option("bloomFilterColumns", "id,st.b")
+      .mode("overwrite").save(ok)
+    assert(spark.read.format("nimble").load(ok).count() == 1)
+  }
+
   test("multi-path load unions directories read-only (parquet parity)") {
     import spark.implicits._
     val dirA = tmpDir("multi-a"); val dirB = tmpDir("multi-b")
