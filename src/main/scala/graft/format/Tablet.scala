@@ -745,18 +745,33 @@ object Tablet {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         import org.apache.spark.sql.types._
         def resolve(c: String): String = {
-          val f = schema.fields.find(_.name == c)
-            .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
-            .getOrElse(
+          // dotted struct-leaf paths index their row-aligned leaf stream
+          // exactly like a top-level column (array/map subtrees refuse)
+          def fieldIn(st: StructType, n: String) =
+            st.fields.find(_.name == n).orElse(st.fields.find(_.name.equalsIgnoreCase(n)))
+          val parts = c.split('.')
+          var cur = schema
+          var dt: DataType = null
+          val canon = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+          for (i <- parts.indices) {
+            val f = fieldIn(cur, parts(i)).getOrElse(
               throw new IllegalArgumentException(s"nimble: indexColumns: no such column '$c'"))
-          f.dataType match {
+            canon += f.name
+            dt = f.dataType
+            if (i < parts.length - 1) dt match {
+              case st: StructType => cur = st
+              case other => throw new IllegalArgumentException(
+                s"nimble: indexColumns: '$c' traverses non-struct ${other.simpleString}")
+            }
+          }
+          dt match {
             case ByteType | ShortType | IntegerType | LongType | DateType |
                  TimestampType | TimestampNTZType | StringType | BinaryType => ()
-            case dt => throw new IllegalArgumentException(
-              s"nimble: indexColumns: column '$c' has unsupported type ${dt.simpleString} " +
+            case other => throw new IllegalArgumentException(
+              s"nimble: indexColumns: column '$c' has unsupported type ${other.simpleString} " +
                 "(hash index supports integral, date/timestamp, string and binary columns)")
           }
-          f.name
+          canon.mkString(".")
         }
         // '+' is the composite spec separator: an entry containing '+' is a
         // composite UNLESS it exactly names a real column (so a column

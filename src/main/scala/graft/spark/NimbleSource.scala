@@ -1811,8 +1811,11 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   // the same row boundaries, so skipping a non-candidate chunk advances all
   // cursors in lockstep (same alignment argument as the stats chunk skip).
   private val indexChunks: java.util.BitSet =
-    if (filters.nonEmpty)
-      NimbleSource.indexCandidateChunks(reader, stripe, filters)
+    if (filters.nonEmpty || statsOnly.nonEmpty)
+      // stats-only (nested-leaf) conjuncts restrict candidates too: the
+      // index proves a chunk holds no equality match, skipping it is sound
+      // because Spark re-evaluates the residual predicate row-wise anyway
+      NimbleSource.indexCandidateChunks(reader, stripe, filters ++ statsOnly)
     else null
   private var chunkOrd = 0
 

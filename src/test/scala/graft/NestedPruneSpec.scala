@@ -135,6 +135,38 @@ class NestedPruneSpec extends SparkTestBase {
     assert(nb.filter(col("k") === probe).select(col("st.b")).collect().length == got.length)
   }
 
+  test("hash index on a nested leaf: equality probes chunk-restrict via statsOnly") {
+    // indexColumns=st.a builds the hash index on the row-aligned leaf
+    // stream; the probe arrives as a residual (stats-only) filter, which
+    // now feeds the candidate selection — Spark re-evaluates rows, so the
+    // restriction only ever skips provably matchless chunks
+    val df = spark.range(60000).select(col("id").as("rid"),
+      struct(pmod(hash(col("id")), lit(400000)).cast("long").as("a"),
+        md5(col("id").cast("string")).as("b")).as("st"))
+    val dir = tmpDir("nested-leaf-idx")
+    df.coalesce(1).write.format("nimble").mode("overwrite")
+      .option("indexColumns", "st.a").option("rowsPerChunk", "2048").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val probe = df.select(col("st.a")).collect()(23456).getLong(0)
+    val want = df.filter(col("st.a") === probe).select("rid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def skippedDuring(f: => Unit): Long = {
+      val before = graft.spark.NimbleSource.chunksSkipped.get()
+      f
+      graft.spark.NimbleSource.chunksSkipped.get() - before
+    }
+    var got: Seq[Long] = null
+    val skipped = skippedDuring {
+      got = nb.filter(col("st.a") === probe).select("rid")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(got == want, s"$got vs $want")
+    assert(skipped > 20,
+      s"nested-leaf index should restrict candidate chunks, skipped=$skipped")
+    // misses skip everything
+    assert(nb.filter(col("st.a") === -1L).count() == 0)
+  }
+
   test("NaN rows survive stats pruning: NaN sorts greatest and equals itself") {
     // sorted doubles with one NaN planted mid-file: min/max stats exclude
     // NaN, so pruning `d > huge` on max alone would drop the NaN row — in
