@@ -32,6 +32,7 @@ object Tables {
 
   /** Nimble view of a driver table (converted + cached on first use). */
   def nimble(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    graft.spark.DecimalNarrowing.install(spark)
     val dir = nimbleDir(spark, sfDir, table)
     spark.read.format("nimble").load(dir)
   }
@@ -39,8 +40,10 @@ object Tables {
   /** Round-trip an arbitrary DataFrame through the nimble format (used by
     * queries that exercise nested/map/flatmap writers in the checked path). */
   def roundTrip(spark: SparkSession, sfDir: String, key: String, df: DataFrame,
-      writerOptions: Map[String, String] = Map.empty): DataFrame =
+      writerOptions: Map[String, String] = Map.empty): DataFrame = {
+    graft.spark.DecimalNarrowing.install(spark)
     spark.read.format("nimble").load(roundTripDir(spark, sfDir, key, df, writerOptions))
+  }
 
   /** [[roundTrip]], returning the tablet directory (for the Lookup probe API,
     * which addresses files rather than DataFrames). */

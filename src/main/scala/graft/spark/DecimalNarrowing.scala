@@ -1,0 +1,337 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** Half-up integer division by a positive power of ten — the unscaled-long
+  * mirror of `Decimal.changePrecision`'s HALF_UP scale reduction. Exact for
+  * any long: truncating division after adding half the divisor away from
+  * zero reproduces BigDecimal HALF_UP digit-for-digit, because the input IS
+  * the exact unscaled integer (no binary fraction involved). Callers prove
+  * `|child| + divisor/2` cannot overflow (the narrowing rule's bound
+  * analysis caps every intermediate at 2^62). */
+case class RoundedShiftRight(child: Expression, divisor: Long)
+    extends UnaryExpression {
+  require(divisor >= 10 && divisor % 10 == 0, s"divisor must be a power of ten >= 10: $divisor")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rounded_shift_right"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[Long]
+    val h = divisor / 2
+    (if (x >= 0L) x + h else x - h) / divisor
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(($c >= 0L ? $c + ${divisor / 2}L : $c - ${divisor / 2}L) / ${divisor}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Stats-proven decimal aggregate narrowing.
+  *
+  * Spark's own `DecimalAggregates` turns `sum(decimal)` into a long-typed
+  * unscaled sum only when the TYPE alone proves no overflow (precision <= 8,
+  * so precision+10 digits fit a long). Analytics queries — TPC-H Q1's
+  * `sum(cast(x as decimal(18,2)) * ...)` — miss that window and pay
+  * BigDecimal buffer arithmetic per row, ~2x the aggregation cost.
+  *
+  * This rule proves the same safety from DATA, not types: nimble footer
+  * stats (per-column min/max + exact row counts, already maintained for
+  * pruning and the CBO — reference: dwio/nimble/tablet/TabletReader.h stats
+  * sections) bound every intermediate and the final sum. When the whole
+  * expression tree provably fits in unscaled longs, the per-row decimal
+  * arithmetic and the sum buffer are rewritten to pure long arithmetic —
+  * bit-exact, because unscaled(a*b) = unscaled(a)*unscaled(b) when Spark's
+  * result type keeps full scale, and declared scale reductions are HALF_UP
+  * integer divisions ([[RoundedShiftRight]]).
+  *
+  * Exactness argument, node by node (decline anything else):
+  *  - `Cast(double/float -> decimal)` stays AS IS wrapped in
+  *    `UnscaledValue` — the identical Cast evaluates at runtime, so
+  *    rounding/overflow/NaN behavior is the original's by construction.
+  *  - `Cast(integral -> decimal(p,s))` becomes `child * 10^s` in longs;
+  *    declined unless stats prove |child|*10^s < 10^p (no overflow branch).
+  *  - `Multiply/Add/Subtract/UnaryMinus` over decimals become long ops at
+  *    the sum of/max of child scales; when Spark's declared result scale is
+  *    smaller (precision-loss mode), the difference is a HALF_UP power-of-ten
+  *    division — exact on unscaled integers. Declined when stats cannot
+  *    prove the declared precision holds (where the original would
+  *    null/throw) or any intermediate could exceed 2^62.
+  *  - `Sum` becomes `Sum(long)` + `MakeDecimal` — declined unless
+  *    rowCount * perRowBound < 10^min(18, sumPrecision), which also rules
+  *    out long overflow across every partial/merge split (the bound covers
+  *    the TOTAL, so any partitioning of partials is safe). The long ops are
+  *    built in LEGACY eval mode deliberately: overflow is proven impossible,
+  *    so ANSI's per-op checks would only cost cycles.
+  *
+  * At 100 TB the guard degrades gracefully: row counts in the trillions make
+  * the bound exceed 10^18 and the rule declines — exact decimal semantics
+  * are never traded for speed; the fast path simply applies wherever stats
+  * prove it free. Scoped to aggregates directly over a nimble relation
+  * (through Project/Filter/SubqueryAlias), where those stats exist.
+  */
+object DecimalNarrowing extends Rule[LogicalPlan] {
+
+  /** Session kill-switch: spark.graft.decimalNarrowing (default true). */
+  private def enabled: Boolean =
+    try SQLConf.get.getConfString("spark.graft.decimalNarrowing", "true").toBoolean
+    catch { case _: Exception => true }
+
+  /** Install as a session-local extra optimization (idempotent) — the
+    * non-extensions path used by [[graft.Tables]]; cluster deployments get
+    * the same rule via `spark.sql.extensions=graft.spark.GraftExtensions`. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(DecimalNarrowing))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DecimalNarrowing
+
+  /** Rewrites fired since JVM start (spec observability). */
+  val rewrites = new java.util.concurrent.atomic.AtomicLong()
+
+  private val MaxRaw = BigInt(1) << 62 // headroom for +divisor/2 and negation
+  private def pow10(n: Int): BigInt = BigInt(10).pow(n)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case agg: Aggregate if hasCandidateSum(agg) =>
+        statsFor(agg.child) match {
+          case Some(st) => rewrite(agg, st)
+          case None => agg
+        }
+    }
+  }
+
+  private def hasCandidateSum(agg: Aggregate): Boolean =
+    agg.aggregateExpressions.exists(_.exists {
+      case AggregateExpression(Sum(e, _), _, false, _, _) =>
+        e.dataType.isInstanceOf[DecimalType]
+      case _ => false
+    })
+
+  /** Column bounds + row count for the nimble relation under `plan`;
+    * None when the child shape is anything we cannot see stats through. */
+  private case class TableStats(rowCount: BigInt,
+      colOf: Map[ExprId, String],
+      maxAbsOf: String => Option[java.math.BigDecimal])
+
+  private def statsFor(plan: LogicalPlan): Option[TableStats] = plan match {
+    case SubqueryAlias(_, c) => statsFor(c)
+    case Filter(_, c) => statsFor(c) // filters only shrink the row set: bounds stay valid
+    case Project(projectList, c) =>
+      statsFor(c).map { st =>
+        val remapped = projectList.flatMap {
+          case a: AttributeReference => st.colOf.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) => st.colOf.get(ar.exprId).map(al.exprId -> _)
+          case _ => None // computed column: its attr just won't resolve
+        }.toMap
+        st.copy(colOf = remapped)
+      }
+    case r: DataSourceV2Relation if r.table.isInstanceOf[NimbleTable] =>
+      buildStats(r.table.asInstanceOf[NimbleTable], r.output)
+    case sr: DataSourceV2ScanRelation if sr.relation.table.isInstanceOf[NimbleTable] =>
+      buildStats(sr.relation.table.asInstanceOf[NimbleTable], sr.output)
+    case _ => None
+  }
+
+  /** Per-(table files signature) cache of column bounds: the optimizer — and
+    * AQE's per-stage re-optimization — may run this rule several times per
+    * query; footer metadata is cheap but not free at 100k files. */
+  private val boundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (BigInt, java.util.concurrent.ConcurrentHashMap[String, Option[java.math.BigDecimal]])]()
+
+  private def buildStats(table: NimbleTable, output: Seq[Attribute]): Option[TableStats] = {
+    val path = table.dirPath
+    val unsigned = table.unsignedCols
+    val metas = try NimbleSource.listMeta(path) catch { case _: Exception => return None }
+    if (metas.isEmpty) return None
+    val sig = path + "|" + metas.map(m => s"${m.path}:${m.length}:${m.mtime}").mkString(",").hashCode
+    val (rowCount, colCache) = boundsCache.computeIfAbsent(sig, { _ =>
+      var rows = BigInt(0)
+      for (m <- metas) rows += BigInt(NimbleSource.footerOf(m.path).rowCount)
+      (rows, new java.util.concurrent.ConcurrentHashMap[String, Option[java.math.BigDecimal]]())
+    })
+    val byName = output.map(a => a.name -> a).toMap
+    def maxAbs(name: String): Option[java.math.BigDecimal] =
+      colCache.computeIfAbsent(name, { _ =>
+        if (unsigned.contains(name)) None
+        else byName.get(name).map(_.dataType) match {
+          case Some(dt @ (DoubleType | FloatType | ByteType | ShortType | IntegerType | LongType)) =>
+            columnMaxAbs(metas, name, dt)
+          case _ => None
+        }
+      })
+    Some(TableStats(rowCount, output.map(a => a.exprId -> a.name).toMap, maxAbs))
+  }
+
+  /** Merge |min|/|max| across every file's footer stats; None when any file
+    * with non-null values lacks usable bounds (legacy stats, nanos split,
+    * non-finite extremes). Absent or all-null columns contribute nothing —
+    * their rows read as null and nulls vanish in sums either way. */
+  private def columnMaxAbs(metas: Seq[graft.format.GraftIO.FileMeta], name: String,
+      dt: DataType): Option[java.math.BigDecimal] = {
+    var acc = java.math.BigDecimal.ZERO
+    for (m <- metas) {
+      val rd = new graft.format.Tablet.Reader(m.path, NimbleSource.footerOf(m.path))
+      try {
+        if (rd.nanosSplit(name)) return None // stream stats are micros, not the logical value
+        rd.fileStatsOf(name) match {
+          case None => () // column absent from this file (schema evolution): all null
+          case Some(s) if s.valueCount == s.nullCount => () // all null here
+          case Some(s) if !s.hasMinMax => return None
+          case Some(s) =>
+            val fileMax = dt match {
+              case DoubleType | FloatType =>
+                if (java.lang.Double.isInfinite(s.minDouble) || java.lang.Double.isInfinite(s.maxDouble))
+                  return None
+                // exact binary expansion — valueOf's shortest-repr could
+                // understate the true value by an ulp
+                new java.math.BigDecimal(math.max(math.abs(s.minDouble), math.abs(s.maxDouble)))
+              case _ =>
+                java.math.BigDecimal.valueOf(math.max(math.abs(s.minLong), math.abs(s.maxLong)))
+            }
+            if (fileMax.compareTo(acc) > 0) acc = fileMax
+        }
+      } finally rd.close()
+    }
+    Some(acc)
+  }
+
+  // ---- the longized expression: value * 10^scale as a long, plus the
+  // ---- stats-proven bound on its absolute value
+  private case class L(expr: Expression, scale: Int, bound: BigInt)
+
+  private def rewrite(agg: Aggregate, st: TableStats): LogicalPlan =
+    agg.transformExpressions {
+      case ae @ AggregateExpression(s @ Sum(e, _), _, false, _, _)
+          if e.dataType.isInstanceOf[DecimalType] =>
+        trySum(ae, s, e, st).getOrElse(ae)
+    }
+
+  private def trySum(ae: AggregateExpression, s: Sum, e: Expression,
+      st: TableStats): Option[Expression] =
+    longize(e, st).flatMap { l =>
+      val sumDt = s.dataType.asInstanceOf[DecimalType]
+      val prec = math.min(18, sumDt.precision)
+      val total = l.bound * st.rowCount.max(1)
+      if (sumDt.scale != l.scale || l.scale > prec || total >= pow10(prec)) None
+      else {
+        rewrites.incrementAndGet()
+        Some(Cast(MakeDecimal(
+          ae.copy(aggregateFunction =
+            Sum(l.expr, NumericEvalContext(EvalMode.LEGACY))), prec, l.scale), sumDt))
+      }
+    }
+
+  private def longize(e: Expression, st: TableStats): Option[L] = e match {
+    case c @ Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+      a.dataType match {
+        case DoubleType | FloatType =>
+          // keep the original Cast (exact semantics for free) and read its
+          // unscaled long; bound: HALF_UP(|x|*10^s) <= ceil + 1, clamped to
+          // the precision cap (overflow -> null in legacy / throw in ANSI,
+          // identically in both plans, so surviving values fit p digits)
+          maxAbsOf(a, st).map { m =>
+            val raw = ceilBig(m.multiply(java.math.BigDecimal.TEN.pow(dt.scale))) + 1
+            L(UnscaledValue(c), dt.scale, raw.min(pow10(dt.precision) - 1))
+          }
+        case ByteType | ShortType | IntegerType | LongType =>
+          // integral casts are value-exact; longize as child * 10^s. Decline
+          // when the cast could overflow p digits (we will not replicate the
+          // null/throw branch in long math).
+          if (dt.scale > 18) None // 10^scale multiplier beyond long
+          else maxAbsOf(a, st).flatMap { m =>
+            val raw = ceilBig(m) * pow10(dt.scale)
+            if (raw >= pow10(dt.precision) || raw > MaxRaw) None
+            else Some(L(
+              Multiply(Cast(a, LongType), Literal(pow10(dt.scale).toLong), EvalMode.LEGACY),
+              dt.scale, raw))
+          }
+        case _ => None
+      }
+    case c @ Cast(a, dt: DecimalType, _, _) if a.dataType.isInstanceOf[DecimalType] =>
+      longize(a, st).flatMap(reconcile(_, dt))
+    case Literal(null, dt: DecimalType) => Some(L(Literal(null, LongType), dt.scale, BigInt(0)))
+    case Literal(v: Decimal, dt: DecimalType) =>
+      Some(L(Literal(v.toUnscaledLong), dt.scale, BigInt(v.toUnscaledLong).abs))
+    case m @ Multiply(a, b, _) if m.dataType.isInstanceOf[DecimalType] =>
+      for {
+        la <- longize(a, st); lb <- longize(b, st)
+        if la.bound * lb.bound <= MaxRaw
+        r <- reconcile(L(Multiply(la.expr, lb.expr, EvalMode.LEGACY),
+          la.scale + lb.scale, la.bound * lb.bound), m.dataType.asInstanceOf[DecimalType])
+      } yield r
+    case ad @ Add(a, b, _) if ad.dataType.isInstanceOf[DecimalType] =>
+      binAdd(a, b, st, ad.dataType.asInstanceOf[DecimalType],
+        (x, y) => Add(x, y, EvalMode.LEGACY))
+    case sb @ Subtract(a, b, _) if sb.dataType.isInstanceOf[DecimalType] =>
+      binAdd(a, b, st, sb.dataType.asInstanceOf[DecimalType],
+        (x, y) => Subtract(x, y, EvalMode.LEGACY))
+    case um @ UnaryMinus(a, _) if um.dataType.isInstanceOf[DecimalType] =>
+      longize(a, st).flatMap(l =>
+        if (l.bound > MaxRaw) None
+        else reconcile(L(UnaryMinus(l.expr, failOnError = false), l.scale, l.bound),
+          um.dataType.asInstanceOf[DecimalType]))
+    case _ => None
+  }
+
+  private def binAdd(a: Expression, b: Expression, st: TableStats, dt: DecimalType,
+      mk: (Expression, Expression) => Expression): Option[L] =
+    for {
+      la <- longize(a, st); lb <- longize(b, st)
+      s = math.max(la.scale, lb.scale)
+      la2 <- scaleUp(la, s); lb2 <- scaleUp(lb, s)
+      if la2.bound + lb2.bound <= MaxRaw
+      r <- reconcile(L(mk(la2.expr, lb2.expr), s, la2.bound + lb2.bound), dt)
+    } yield r
+
+  private def scaleUp(l: L, to: Int): Option[L] =
+    if (to == l.scale) Some(l)
+    else if (to - l.scale > 18) None // 10^19 no longer fits a long multiplier
+    else {
+      val m = pow10(to - l.scale)
+      val b = l.bound * m
+      if (b > MaxRaw) None
+      else l.expr match {
+        // constant folding already ran by the time this rule fires
+        case Literal(null, LongType) => Some(L(Literal(null, LongType), to, b))
+        case Literal(v: java.lang.Long, LongType) => Some(L(Literal(v * m.toLong), to, b))
+        case e => Some(L(Multiply(e, Literal(m.toLong), EvalMode.LEGACY), to, b))
+      }
+    }
+
+  /** Force the longized value to the node's DECLARED decimal type: pad or
+    * HALF_UP-reduce the scale, then require stats to prove the declared
+    * precision always holds (where Spark would null/throw, we decline). */
+  private def reconcile(l: L, dt: DecimalType): Option[L] = {
+    val adjusted =
+      if (dt.scale == l.scale) Some(l)
+      else if (dt.scale < l.scale) {
+        if (l.scale - dt.scale > 18) None // divisor beyond long range
+        else {
+          val d = pow10(l.scale - dt.scale)
+          Some(L(RoundedShiftRight(l.expr, d.toLong), dt.scale, l.bound / d + 1))
+        }
+      } else scaleUp(l, dt.scale)
+    adjusted.filter(a => a.bound < pow10(dt.precision) && a.bound <= MaxRaw)
+  }
+
+  private def maxAbsOf(a: AttributeReference, st: TableStats): Option[java.math.BigDecimal] =
+    st.colOf.get(a.exprId).flatMap(st.maxAbsOf)
+
+  private def ceilBig(bd: java.math.BigDecimal): BigInt =
+    BigInt(bd.abs.setScale(0, java.math.RoundingMode.CEILING).toBigInteger)
+}

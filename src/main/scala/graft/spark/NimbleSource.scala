@@ -901,6 +901,11 @@ class NimbleTable(path: String, schema: StructType,
     tableProps.collectFirst { case (k, v) if k.equalsIgnoreCase("unsignedColumns") =>
       v.split(",").map(_.trim).filter(_.nonEmpty).toSet }.getOrElse(Set.empty)
 
+  /** Table directory + unsigned-decoded columns, for planner rules that read
+    * footer stats directly ([[DecimalNarrowing]]). */
+  private[spark] def dirPath: String = path
+  private[spark] def unsignedCols: Set[String] = unsignedColsOfProps
+
   private def tablePropsForRead: Map[String, String] = tableProps
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
