@@ -1129,6 +1129,32 @@ object Codecs {
 
   // -------------------------------------------------------------- doubles
 
+  // ALP constants (reference: dwio/nimble/encodings/ALPEncoding.h:642-653 —
+  // kPow10Double, kMaxExponent/kMaxFactor 23, kSampleSize 1024)
+  private val AlpPow10: Array[Double] = Array.tabulate(24)(i => math.pow(10, i))
+  private val AlpMaxExponent = 23
+  private val AlpSampleSize = 1024
+  /** First payload byte of the r12+ ALP layout; pre-r12 ALP-lite payloads
+    * stored the exponent (<= 10) there, so 127 is unambiguous. */
+  private val AlpV2Marker = 127
+
+  /** Can `v` be stored as round(v*10^e/10^f) and restored bit-exactly?
+    * Mirrors the reference's canRepresentExactly (ALPEncoding.h:657):
+    * raw-bits comparison rejects NaN payloads and -0.0 into the exception
+    * stream rather than silently canonicalizing them. */
+  private def alpRepresentable(v: Double, e: Int, f: Int, isFloat: Boolean): Boolean = {
+    val scaled = v * AlpPow10(e)
+    if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled)) return false
+    val factored = math.rint(scaled / AlpPow10(f))
+    val restored = factored.toLong.toDouble * AlpPow10(f) / AlpPow10(e)
+    if (isFloat)
+      java.lang.Float.floatToRawIntBits(restored.toFloat) ==
+        java.lang.Float.floatToRawIntBits(v.toFloat)
+    else
+      java.lang.Double.doubleToRawLongBits(restored) ==
+        java.lang.Double.doubleToRawLongBits(v)
+  }
+
   private def encodeDoubles(col: DoublesCol, sink: ByteSink, depth: Int,
       replay: Replay = null): Unit = {
     val values = col.values
@@ -1160,35 +1186,83 @@ object Codecs {
       candidates += ((TRIVIAL, ts.toArray))
     }
     if (want(TRIVIAL)) buildTrivial()
-    // ALP-lite: value == scaled / 10^e losslessly for a single small e
-    // (reference: dwio/nimble/encodings/ALPEncoding.h; published ALP paper)
-    if (!col.isFloat && depth < MaxDepth && want(ALP)) {
+    // ALP (Adaptive Lossless floating-Point, reference:
+    // dwio/nimble/encodings/ALPEncoding.h:111 + the published ALP paper):
+    // sample-search the (exponent, factor) pair that makes the most values
+    // exactly representable as round(v*10^e/10^f), encode those as a nested
+    // long stream, and patch the rest through exception position/value
+    // streams — so a float column with a few non-decimal stragglers still
+    // compresses instead of falling back to raw bits wholesale (the
+    // ALP-lite shipped before r12 refused any chunk with one exception).
+    if (depth < MaxDepth && want(ALP)) {
+      val sampleN = math.min(n, AlpSampleSize)
+      val step = math.max(1, n / sampleN)
+      // ALP-paper criterion: pick the (e, f) minimizing ESTIMATED BYTES, not
+      // maximizing representable count (the reference's count-only search,
+      // ALPEncoding.h:682, mis-picks here: past e~14 every double scales
+      // beyond 2^53 and becomes a "representable" 57-bit integer). The size
+      // score charges for the packed width AND the exception streams, so
+      // e=2 beats e=14 on cents data with stragglers. Ascending-e early
+      // exit on a fully-representable pair (larger e only widens the ints)
+      // keeps the clean-data write path at a handful of sample passes.
+      var bestE = -1; var bestF = 0; var bestCount = 0; var bestW = 64
+      var bestScore = Double.MaxValue
+      val excBytes = (if (col.isFloat) 4 + 4 else 4 + 8).toDouble // position + raw bits
       var e = 0
-      var found = -1
-      while (e <= 10 && found < 0) {
-        val scale = math.pow(10, e)
-        var ok = true
-        i = 0
-        while (i < n && ok) {
-          val r = math.rint(values(i) * scale)
-          // bit-exact round-trip through the stored long is required
-          // (protects -0.0, NaN payloads, and out-of-range values)
-          if (math.abs(r) > (1L << 50).toDouble ||
-            java.lang.Double.doubleToLongBits(r.toLong.toDouble / scale) !=
-              java.lang.Double.doubleToLongBits(values(i))) ok = false
-          i += 1
+      var stop = false
+      while (e <= AlpMaxExponent && !stop) {
+        var f = 0
+        while (f <= e && !stop) {
+          var count = 0
+          var minEnc = Long.MaxValue; var maxEnc = Long.MinValue
+          var s = 0
+          while (s < sampleN) {
+            val v = values(s * step)
+            if (alpRepresentable(v, e, f, col.isFloat)) {
+              count += 1
+              val enc = math.rint(v * AlpPow10(e) / AlpPow10(f)).toLong
+              if (enc < minEnc) minEnc = enc
+              if (enc > maxEnc) maxEnc = enc
+            }
+            s += 1
+          }
+          if (count > 0) {
+            val range = maxEnc - minEnc // FOR-style packing width estimate
+            val w = if (range <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+            val score = count * (w / 8.0) + (sampleN - count) * excBytes
+            if (score < bestScore) {
+              bestScore = score; bestCount = count; bestE = e; bestF = f; bestW = w
+            }
+            if (count == sampleN) stop = true
+          }
+          f += 1
         }
-        if (ok) found = e
         e += 1
       }
-      if (found >= 0) {
-        val as = new ByteSink()
-        as.writeByte(found)
-        val scale = math.pow(10, found)
-        val scaled = new Array[Long](n)
+      // below ~4/5 representable the exception streams dominate, and past
+      // ~48 packed bits raw doubles are as small — skip the O(n) encode
+      if (bestE >= 0 && bestCount * 5 >= sampleN * 4 && bestW <= 48) {
+        val encoded = new Array[Long](n)
+        val excPos = new mutable.ArrayBuffer[Long]()
+        val excBits = new mutable.ArrayBuffer[Long]()
         i = 0
-        while (i < n) { scaled(i) = math.rint(values(i) * scale).toLong; i += 1 }
-        val ss = new ByteSink(); encodeLongs(scaled, PhysType.I64, ss, depth + 1); as.writeBlock(ss.toArray)
+        while (i < n) {
+          val v = values(i)
+          if (alpRepresentable(v, bestE, bestF, col.isFloat))
+            encoded(i) = math.rint(v * AlpPow10(bestE) / AlpPow10(bestF)).toLong
+          else { excPos += i.toLong; excBits += bits(i) }
+          i += 1
+        }
+        val as = new ByteSink()
+        as.writeByte(AlpV2Marker) // pre-r12 payloads put the exponent (<=10) here
+        as.writeByte(bestE)
+        as.writeByte(bestF)
+        as.writeVarint(excPos.length.toLong)
+        val ss = new ByteSink(); encodeLongs(encoded, PhysType.I64, ss, depth + 1); as.writeBlock(ss.toArray)
+        if (excPos.nonEmpty) {
+          val ps = new ByteSink(); encodeLongs(excPos.toArray, PhysType.I64, ps, depth + 1); as.writeBlock(ps.toArray)
+          val vs = new ByteSink(); encodeLongs(excBits.toArray, PhysType.I64, vs, depth + 1); as.writeBlock(vs.toArray)
+        }
         candidates += ((ALP, as.toArray))
       }
     }
@@ -1247,13 +1321,37 @@ object Codecs {
         }
         DoublesCol(out, isFloat)
       case ALP =>
-        val e = cur.readByte()
-        val scale = math.pow(10, e)
-        val scaled = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
-        val out = new Array[Double](n)
-        var i = 0
-        while (i < n) { out(i) = scaled(i).toDouble / scale; i += 1 }
-        DoublesCol(out, isFloat)
+        val first = cur.readByte()
+        if (first == AlpV2Marker) {
+          val e = cur.readByte(); val f = cur.readByte()
+          val excCount = cur.readVarint().toInt
+          val encoded = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+          val out = new Array[Double](n)
+          val pe = AlpPow10(e); val pf = AlpPow10(f)
+          var i = 0
+          if (isFloat) while (i < n) { out(i) = (encoded(i).toDouble * pf / pe).toFloat.toDouble; i += 1 }
+          else while (i < n) { out(i) = encoded(i).toDouble * pf / pe; i += 1 }
+          if (excCount > 0) {
+            val pos = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+            val vb = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+            var k = 0
+            while (k < excCount) {
+              out(pos(k).toInt) =
+                if (isFloat) java.lang.Float.intBitsToFloat(vb(k).toInt).toDouble
+                else java.lang.Double.longBitsToDouble(vb(k))
+              k += 1
+            }
+          }
+          DoublesCol(out, isFloat)
+        } else {
+          // pre-r12 ALP-lite payload: single exponent, no exceptions
+          val scale = math.pow(10, first)
+          val scaled = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) { out(i) = scaled(i).toDouble / scale; i += 1 }
+          DoublesCol(out, isFloat)
+        }
       case DICT =>
         val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
         val indices = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
