@@ -392,6 +392,34 @@ object Codecs {
     } finally viewExit(ve)
   }
 
+  /** Bounded random access into a chunk payload: decode a column slice
+    * covering AT LEAST rows [from, until), returning (column, startRow) —
+    * the caller maps row r to slice position r - startRow. Codecs with
+    * intra-chunk seek structure (Huffman's per-256-row bit checkpoints,
+    * reference HuffmanEncoding.h:41) decode a bounded window; everything
+    * else falls back to the full chunk (startRow 0), which is what chunk
+    * decode costs today — this is a fast path, never a semantic change. */
+  def decodeValuesRange(cur: ByteCursor, from: Int, until: Int): (Column, Int) = {
+    val save = cur.pos
+    val id = cur.buf(cur.pos)
+    if (id != HUFFMAN) { cur.pos = save; return (decodeColumn(cur), 0) }
+    cur.readByte()
+    val phys = cur.readByte().toByte
+    val n = cur.readVarint().toInt
+    if (phys == PhysType.Bool || phys == PhysType.Bytes ||
+        phys == PhysType.F32 || phys == PhysType.F64 || until > n) {
+      cur.pos = save; return (decodeColumn(cur), 0)
+    }
+    val nSym = cur.readVarint().toInt
+    val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+    val lens = new Array[Int](nSym)
+    var i = 0
+    while (i < nSym) { lens(i) = cur.readByte(); i += 1 }
+    // align the window start to the checkpoint grid so startRow is exact
+    val f = (from / Huffman.CheckpointStride) * Huffman.CheckpointStride
+    (LongsCol(Huffman.decodeRange(alphabet, lens, cur, n, f, until), phys), f)
+  }
+
   private def header(sink: ByteSink, id: Byte, phys: Byte, n: Int): Unit = {
     sink.writeByte(id); sink.writeByte(phys); sink.writeVarint(n.toLong)
   }
@@ -836,7 +864,9 @@ object Codecs {
         var bits = 0L
         var k = 0
         while (k < sym.length) { bits += sym(k)._2.toLong * lens(k); k += 1 }
-        val est = bits / 8.0 + sym.length * (1.0 + width / 2.0) + 16
+        // + ~3B/checkpoint: the per-256-row bit offsets (random access)
+        val est = bits / 8.0 + sym.length * (1.0 + width / 2.0) + 16 +
+          (n / Huffman.CheckpointStride) * 3.0
         plans += ((HUFFMAN, est, { s =>
           s.writeVarint(sym.length.toLong)
           val vs = new ByteSink(); encodeLongs(sym.map(_._1), phys, vs, depth + 1)

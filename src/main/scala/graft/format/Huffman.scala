@@ -1,16 +1,26 @@
 package graft.format
 
 /** Canonical Huffman coding over a small value alphabet (reference:
-  * dwio/nimble/encodings/HuffmanEncoding.h:62 — canonical codes; the
-  * reference's periodic bit offsets for mid-chunk seeks are unnecessary here
-  * because chunks decode whole).
+  * dwio/nimble/encodings/HuffmanEncoding.h:40-67 — canonical codes plus a
+  * bit offset every 256 rows for bounded random access).
   *
   * Wire form (inside the HUFFMAN chunk payload, after the alphabet block and
-  * the per-symbol code lengths): varint bit count, then the MSB-first
-  * concatenated code stream.
+  * the per-symbol code lengths):
+  *   r12+ : varint 0 (format marker — the legacy field below is >= 1),
+  *          varint checkpoint count C (= ceil(n/256) - 1, row 0 implicit),
+  *          C delta-encoded varint bit offsets of rows 256, 512, ...,
+  *          varint bit count, MSB-first concatenated code stream
+  *   legacy: varint bit count (>= n >= 1), code stream — decoded by the same
+  *          reader; point lookups on legacy chunks fall back to a front scan.
+  *
+  * The checkpoints buy intra-chunk random access: a point lookup lands on
+  * `floor(row/256)*256` and decodes at most 255 + 1 codes instead of the
+  * whole chunk — the bit-serial decode is the slowest in the codec set
+  * (readFactor 1.3), so bounded seeks matter for index-driven probes.
   */
 object Huffman {
   final val MaxCodeLen = 32
+  final val CheckpointStride = 256
 
   /** Package-merge-free standard Huffman build; returns per-symbol code
     * lengths aligned with `freqs` order, or null if any code would exceed
@@ -77,12 +87,19 @@ object Huffman {
     var bits = 0L
     i = 0
     while (i < values.length) { bits += lens(idx.get(values(i)).intValue); i += 1 }
-    out.writeVarint(bits)
+    out.writeVarint(0L) // r12 format marker (legacy files start with bits >= 1)
+    val nCheckpoints = math.max(0, (values.length - 1) / CheckpointStride)
+    out.writeVarint(nCheckpoints.toLong)
     val nBytes = ((bits + 7) / 8).toInt
     val buf = new Array[Byte](nBytes)
     var bitPos = 0L
+    var prevCp = 0L
     i = 0
     while (i < values.length) {
+      if (i > 0 && i % CheckpointStride == 0) {
+        out.writeVarint(bitPos - prevCp) // delta-encoded checkpoint offsets
+        prevCp = bitPos
+      }
       val s = idx.get(values(i)).intValue
       val len = lens(s)
       val code = codes(s)
@@ -95,51 +112,28 @@ object Huffman {
       }
       i += 1
     }
+    out.writeVarint(bits)
     out.writeBytes(buf)
   }
 
-  /** Table-driven canonical decode: a 2^peek-entry lookup resolves every code
-    * of length <= peek (symbol + length) in one probe; rarer longer codes fall
-    * back to the per-length canonical scan. The bitstream is staged into
-    * MSB-first 64-bit words so a peek is two shifts, not a per-bit loop. */
-  def decode(alphabet: Array[Long], lens: Array[Int], cur: ByteCursor, n: Int): Array[Long] = {
-    val bits = cur.readVarint()
+  /** Parsed stream head: checkpoint bit offsets (null for legacy payloads)
+    * plus the staged MSB-first 64-bit words of the code stream. */
+  private final class Stream(val checkpoints: Array[Long], val words: Array[Long])
+
+  private def readStream(cur: ByteCursor): Stream = {
+    val first = cur.readVarint()
+    val checkpoints: Array[Long] =
+      if (first == 0L) {
+        val c = cur.readVarint().toInt
+        val cps = new Array[Long](c)
+        var acc = 0L
+        var k = 0
+        while (k < c) { acc += cur.readVarint(); cps(k) = acc; k += 1 }
+        cps
+      } else null
+    val bits = if (first == 0L) cur.readVarint() else first
     val nBytes = ((bits + 7) / 8).toInt
     val buf = cur.readBytes(nBytes)
-    // canonical per-length tables: firstCode, firstIndex into the
-    // (len, alphabet-position)-sorted symbol order
-    val order = Array.range(0, lens.length).sortBy(i => (lens(i), i))
-    val maxLen = lens.max
-    val firstCode = new Array[Long](maxLen + 2)
-    val firstIdx = new Array[Int](maxLen + 2)
-    val countAt = new Array[Int](maxLen + 2)
-    for (s <- order) countAt(lens(s)) += 1
-    var code = 0L
-    var idx = 0
-    var l = 1
-    while (l <= maxLen) {
-      firstCode(l) = code
-      firstIdx(l) = idx
-      code = (code + countAt(l)) << 1
-      idx += countAt(l)
-      l += 1
-    }
-    // fast-path lookup table over the first `peek` bits
-    val peek = math.min(maxLen, 11)
-    val tblSym = new Array[Int](1 << peek)
-    val tblLen = new Array[Byte](1 << peek)
-    val codes = canonicalCodes(lens)
-    var s = 0
-    while (s < lens.length) {
-      val cl = lens(s)
-      if (cl <= peek) {
-        val base = (codes(s) << (peek - cl)).toInt
-        val cnt = 1 << (peek - cl)
-        var k = 0
-        while (k < cnt) { tblSym(base + k) = s; tblLen(base + k) = cl.toByte; k += 1 }
-      }
-      s += 1
-    }
     // stage the bitstream as big-endian 64-bit words (zero-padded tail)
     val nWords = (nBytes + 7) / 8 + 1
     val words = new Array[Long](nWords)
@@ -148,36 +142,105 @@ object Huffman {
       words(bi >>> 3) |= (buf(bi) & 0xffL) << (56 - ((bi & 7) << 3))
       bi += 1
     }
-    val out = new Array[Long](n)
-    var bitPos = 0L
-    var i = 0
-    while (i < n) {
-      val wi = (bitPos >>> 6).toInt
-      val sh = (bitPos & 63).toInt
-      // 64-bit window starting at bitPos, MSB-aligned
-      val window =
-        if (sh == 0) words(wi)
-        else (words(wi) << sh) | (words(wi + 1) >>> (64 - sh))
-      val prefix = (window >>> (64 - peek)).toInt
-      val tl = tblLen(prefix)
-      if (tl > 0) {
-        out(i) = alphabet(tblSym(prefix))
-        bitPos += tl
-      } else {
-        // long-code fallback: canonical scan from peek+1 upward
-        var len = peek + 1
-        var sym = -1
-        while (sym < 0) {
-          val c = window >>> (64 - len)
-          if (countAt(len) > 0 && c >= firstCode(len) && c - firstCode(len) < countAt(len))
-            sym = order(firstIdx(len) + (c - firstCode(len)).toInt)
-          else len += 1
-        }
-        out(i) = alphabet(sym)
-        bitPos += len
+    new Stream(checkpoints, words)
+  }
+
+  /** Table-driven canonical decoder: a 2^peek-entry lookup resolves every
+    * code of length <= peek (symbol + length) in one probe; rarer longer
+    * codes fall back to the per-length canonical scan. */
+  private final class Decoder(alphabet: Array[Long], lens: Array[Int]) {
+    private val order = Array.range(0, lens.length).sortBy(i => (lens(i), i))
+    private val maxLen = lens.max
+    private val firstCode = new Array[Long](maxLen + 2)
+    private val firstIdx = new Array[Int](maxLen + 2)
+    private val countAt = new Array[Int](maxLen + 2)
+    for (s <- order) countAt(lens(s)) += 1
+    locally {
+      var code = 0L
+      var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        firstCode(l) = code
+        firstIdx(l) = idx
+        code = (code + countAt(l)) << 1
+        idx += countAt(l)
+        l += 1
       }
-      i += 1
     }
+    private val peek = math.min(maxLen, 11)
+    private val tblSym = new Array[Int](1 << peek)
+    private val tblLen = new Array[Byte](1 << peek)
+    locally {
+      val codes = canonicalCodes(lens)
+      var s = 0
+      while (s < lens.length) {
+        val cl = lens(s)
+        if (cl <= peek) {
+          val base = (codes(s) << (peek - cl)).toInt
+          val cnt = 1 << (peek - cl)
+          var k = 0
+          while (k < cnt) { tblSym(base + k) = s; tblLen(base + k) = cl.toByte; k += 1 }
+        }
+        s += 1
+      }
+    }
+
+    /** Decode `count` symbols starting at bit `bitPos0`; the first
+      * `discard` decodes position past a checkpoint and are not emitted. */
+    def run(words: Array[Long], bitPos0: Long, discard: Int, count: Int,
+        out: Array[Long], outOff: Int): Unit = {
+      var bitPos = bitPos0
+      var i = -discard
+      while (i < count) {
+        val wi = (bitPos >>> 6).toInt
+        val sh = (bitPos & 63).toInt
+        val window =
+          if (sh == 0) words(wi)
+          else (words(wi) << sh) | (words(wi + 1) >>> (64 - sh))
+        val prefix = (window >>> (64 - peek)).toInt
+        val tl = tblLen(prefix)
+        var sym = -1
+        if (tl > 0) { sym = tblSym(prefix); bitPos += tl }
+        else {
+          var len = peek + 1
+          while (sym < 0) {
+            val c = window >>> (64 - len)
+            if (countAt(len) > 0 && c >= firstCode(len) && c - firstCode(len) < countAt(len))
+              sym = order(firstIdx(len) + (c - firstCode(len)).toInt)
+            else len += 1
+          }
+          bitPos += lens(sym)
+        }
+        if (i >= 0) out(outOff + i) = alphabet(sym)
+        i += 1
+      }
+    }
+  }
+
+  def decode(alphabet: Array[Long], lens: Array[Int], cur: ByteCursor, n: Int): Array[Long] = {
+    val st = readStream(cur)
+    val out = new Array[Long](n)
+    new Decoder(alphabet, lens).run(st.words, 0L, 0, n, out, 0)
+    out
+  }
+
+  /** Decode only rows [from, until): seek to the nearest preceding
+    * checkpoint and decode forward — at most `CheckpointStride - 1` wasted
+    * codes. Legacy payloads (no checkpoints) decode from row 0 but still
+    * stop at `until`. Returns exactly `until - from` values. */
+  def decodeRange(alphabet: Array[Long], lens: Array[Int], cur: ByteCursor, n: Int,
+      from: Int, until: Int): Array[Long] = {
+    require(0 <= from && from <= until && until <= n, s"bad range [$from,$until) of $n")
+    val st = readStream(cur)
+    val out = new Array[Long](until - from)
+    if (until == from) return out
+    val (startRow, startBit) =
+      if (st.checkpoints == null || from < CheckpointStride) (0, 0L)
+      else {
+        val cp = math.min(from / CheckpointStride, st.checkpoints.length)
+        (cp * CheckpointStride, st.checkpoints(cp - 1))
+      }
+    new Decoder(alphabet, lens).run(st.words, startBit, from - startRow, until - from, out, 0)
     out
   }
 }

@@ -418,6 +418,13 @@ object Lookup {
         LongsCol(out, mc.phys, mc.nulls)
       }
     }
+
+    /** Bounded decode for point materialization: rows [from, until) suffice.
+      * Split-timestamp columns keep the whole-chunk path (two sub-streams
+      * with independent seek grids aren't worth aligning for a point read). */
+    def nextRange(from: Int, until: Int): (Column, Int) =
+      if (nanos == null) main.nextRange(from, until)
+      else (next(), 0)
   }
 
   private def colCursor(reader: Tablet.Reader, s: Int, keyIdx: Map[String, Int],
@@ -469,9 +476,9 @@ object Lookup {
     while (keyCur.hasNext && remaining > 0) {
       byChunk.get(ord) match {
         case Some(rows) =>
-          val keyCol = keyCur.next()
+          val (keyCol, start) = keyCur.nextRange(rows.min, rows.max + 1)
           m.rowsDecoded += keyCol.len
-          val ok = rows.filter(r => rowMatches(keyCol, r, value)).toSeq
+          val ok = rows.filter(r => rowMatches(keyCol, r - start, value)).toSeq
           if (ok.nonEmpty) verified(ord) = ok
           remaining -= 1
         case None => keyCur.skip()
@@ -504,9 +511,9 @@ object Lookup {
       while (cur.hasNext && left > 0) {
         verified.get(ord) match {
           case Some(rows) =>
-            val c = cur.next()
+            val (c, start) = cur.nextRange(rows.min, rows.max + 1)
             m.rowsDecoded += c.len
-            for (r <- rows) rowsOut((ord, r))(name) = valueAt(c, r)
+            for (r <- rows) rowsOut((ord, r))(name) = valueAt(c, r - start)
             left -= 1
           case None => cur.skip()
         }

@@ -1644,6 +1644,19 @@ object Tablet {
       else Codecs.decodeColumn(cur)
     }
 
+    /** [[next]], but only rows [from, until) need materializing: codecs with
+      * intra-chunk seek structure (Huffman checkpoints) decode a bounded
+      * window, the rest decode whole. Returns (column, startRow) — row r of
+      * the chunk lives at slice position r - startRow. */
+    def nextRange(from: Int, until: Int): (Column, Int) = {
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); (decodeShared(cur).expand, 0) }
+      else Codecs.decodeValuesRange(cur, from, until)
+    }
+
     /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
       * bytes chunks (filter columns — predicates then run per alphabet
       * entry, not per row). */

@@ -104,6 +104,49 @@ class SerializerSpec extends SparkTestBase {
       expected.length.toLong)
   }
 
+  test("Huffman checkpoints: point lookup decodes a bounded window of the chunk") {
+    import graft.format._
+    val n = 16384
+    val rnd = new scala.util.Random(5)
+    // Zipf-ish skew over 64 values (the shape CodecsSpec pins as a HUFFMAN
+    // selection): entropy ~2-3 bits vs DICT's 6-bit indices
+    val skew = Array.fill(n) {
+      val r = rnd.nextDouble()
+      val v = if (r < 0.5) 0 else if (r < 0.75) 1 else if (r < 0.875) 2 else rnd.nextInt(64)
+      v.toLong * 1000
+    }
+    val probe = new ByteSink()
+    Codecs.encodeColumn(LongsCol(skew, PhysType.I64), probe)
+    assert(probe.toArray(0) == Codecs.HUFFMAN, s"fixture must select Huffman, got id=${probe.toArray(0)}")
+
+    // direct range-decode equality against the full decode, across
+    // checkpoint boundaries and edges
+    val full = Codecs.decodeColumn(new ByteCursor(probe.toArray)).asInstanceOf[LongsCol].values
+    assert(full.toSeq == skew.toSeq)
+    for ((f, u) <- Seq((0, 10), (255, 257), (256, 512), (12345, 12346), (n - 1, n), (n, n))) {
+      val (col, start) = Codecs.decodeValuesRange(new ByteCursor(probe.toArray), f, u)
+      assert(start <= f && start % Huffman.CheckpointStride == 0, s"[$f,$u) start=$start")
+      assert(col.len < n || u - f > n - Huffman.CheckpointStride, s"[$f,$u) decoded whole chunk")
+      for (r <- f until u)
+        assert(col.asInstanceOf[LongsCol].values(r - start) == skew(r), s"row $r of [$f,$u)")
+    }
+
+    // end-to-end: indexed point lookup must decode the Huffman sibling as a
+    // bounded window (key chunk still decodes whole — it is delta-coded)
+    import spark.implicits._
+    val df = (0 until n).map(i => (i.toLong, skew(i))).toDF("id", "h")
+    val dir = tmpDir("huff_ra")
+    df.coalesce(1).write.format("nimble")
+      .option("indexColumns", "id").option("rowsPerChunk", n.toString)
+      .mode("overwrite").save(dir)
+    val (got, m) = graft.format.Lookup.pointLookupMetered(dir, "id", 12345L)
+    assert(got.length == 1 && got.head("h") == skew(12345))
+    // without checkpoints this is 2n (key chunk + whole Huffman chunk); the
+    // bounded window keeps the sibling's share at <= stride + 256 slack
+    assert(m.rowsDecoded < n + Huffman.CheckpointStride + 256,
+      s"rowsDecoded=${m.rowsDecoded}, expected key chunk ($n) + a bounded window")
+  }
+
   test("sorted index: range lookup decodes bracketed chunks, not the stripe") {
     import org.apache.spark.sql.functions.col
     val sparkDf = spark.read.parquet(s"${sf()}/orders.parquet")
