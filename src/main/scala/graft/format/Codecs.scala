@@ -576,13 +576,22 @@ object Codecs {
   }
 
   /** Linear gate with offline-learned weights: fires (emits Trivial without
-    * any candidate encoding) when the score is positive. Defaults fire only
-    * on chunks that look incompressible on EVERY axis — all-distinct,
-    * run-free, full-width longs; near-8-bit-entropy bytes — so compressible
-    * shapes (sorted ints, hex strings, dictionaries) keep their codecs. */
+    * any candidate encoding) when the score is positive.
+    *
+    * Default weights are TRAINED, not hand-set: [[graft.tools.GateTrainer]]
+    * labels a 225-chunk corpus across the benchmark pattern families by
+    * running the real cost-based search (skip-safe iff the emitted winner
+    * saves < 3% vs Trivial — the cost model's decode-speed priors included,
+    * so e.g. 56-bit random longs correctly label skip-safe because the
+    * search itself picks Trivial there), then grid-searches weight vectors
+    * with the bias pinned a margin below the hardest compressible chunk.
+    * Result: uniform direction (fire when the mean of the four fractions
+    * exceeds ~0.93), 66/69 = 95.7% recall on skip-safe chunks, zero false
+    * fires on the corpus by construction. Re-derive after any cost-model or
+    * codec change: `tools/run_main.sh graft.tools.GateTrainer`. */
   final class LearnedTrivialGate(
-      runW: Double = 1.5, uniqueW: Double = 1.5, widthW: Double = 1.5,
-      deltaW: Double = 1.5, bias: Double = -5.5,
+      runW: Double = 0.5, uniqueW: Double = 0.5, widthW: Double = 0.5,
+      deltaW: Double = 0.5, bias: Double = -1.8569,
       entropyThreshold: Double = 7.5) extends SelectionPolicy {
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
         uniqueFraction: Double, widthFraction: Double,
@@ -598,6 +607,38 @@ object Codecs {
     * restore the default. */
   def setSelectionPolicy(p: SelectionPolicy): Unit =
     selectionPolicy = if (p == null) CostSelection else p
+
+  /** The learned gate's feature vector for a long chunk — factored out so
+    * the offline trainer ([[graft.tools.GateTrainer]]) and the hit-rate spec
+    * score EXACTLY what the production gate scores. */
+  private[graft] def longGateFeatures(values: Array[Long],
+      phys: Byte): (Double, Double, Double, Double) =
+    longGateFeatures(values, phys, new LongStats(values))
+
+  private[format] def longGateFeatures(values: Array[Long], phys: Byte,
+      st0: LongStats): (Double, Double, Double, Double) = {
+    val st = st0
+    val n = values.length
+    val widthFr =
+      if (st.rangeOverflow) 1.0
+      else bitsFor(st.max - st.min).toDouble / (8.0 * PhysType.byteWidth(phys))
+    val uniqueFr = if (st.distinctCapped) 1.0 else st.distinct.size.toDouble / n
+    // sampled max adjacent delta: sorted sequences stay delta-compressible
+    // even when their total range spans the full width
+    val deltaFr = {
+      var maxD = 0L
+      var i = 1
+      val end = math.min(n, 1025)
+      while (i < end) {
+        val d = values(i) - values(i - 1)
+        val m = if (d == Long.MinValue) Long.MaxValue else math.abs(d)
+        if (m > maxD) maxD = m
+        i += 1
+      }
+      bitsFor(maxD).toDouble / (8.0 * PhysType.byteWidth(phys))
+    }
+    (st.runCount.toDouble / n, uniqueFr, widthFr, deltaFr)
+  }
 
   /** Shannon entropy (bits/byte) of bytes[off, off+len). */
   private[format] def byteEntropy(bytes: Array[Byte], off: Int, len: Int): Double = {
@@ -629,25 +670,8 @@ object Codecs {
     // policy pre-selection: a learned gate may skip the search entirely
     val pol = selectionPolicy
     if (pol ne CostSelection) {
-      val widthFr =
-        if (st.rangeOverflow) 1.0
-        else bitsFor(st.max - st.min).toDouble / (8.0 * PhysType.byteWidth(phys))
-      val uniqueFr = if (st.distinctCapped) 1.0 else st.distinct.size.toDouble / n
-      // sampled max adjacent delta: sorted sequences stay delta-compressible
-      // even when their total range spans the full width
-      val deltaFr = {
-        var maxD = 0L
-        var i = 1
-        val end = math.min(n, 1025)
-        while (i < end) {
-          val d = values(i) - values(i - 1)
-          val m = if (d == Long.MinValue) Long.MaxValue else math.abs(d)
-          if (m > maxD) maxD = m
-          i += 1
-        }
-        bitsFor(maxD).toDouble / (8.0 * PhysType.byteWidth(phys))
-      }
-      if (pol.skipToTrivialLongs(phys, n, st.runCount.toDouble / n, uniqueFr, widthFr, deltaFr)) {
+      val (runFr, uniqueFr, widthFr, deltaFr) = longGateFeatures(values, phys, st)
+      if (pol.skipToTrivialLongs(phys, n, runFr, uniqueFr, widthFr, deltaFr)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         header(sink, TRIVIAL, phys, n)
         trivialLongs(values, phys, sink)

@@ -72,8 +72,22 @@ object Similarity {
     * G(G+1)/2 ~= 2*parallelism, i.e. G ~= 2*sqrt(parallelism), capped at 256
     * (beyond which replication, not task count, dominates cost). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blocks: Int = 0): DataFrame = {
+      threshold: Double, blocks: Int = 0, exactLimit: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
+    // Size routing (r12): the grid path is EXACT but O(n^2) compute — fine
+    // distributed up to a few million rows, ruinous at corpus scale. Above
+    // `exactLimit` rows the call degrades to the kmeans-blocked approximate
+    // path ([[semanticNearDupPairs]]): only intra-cluster pairs compare, so
+    // compute drops to k * (n/k)^2 at a DOCUMENTED recall contract — pairs
+    // whose members land in different clusters are missed; at near-dup
+    // thresholds (>= ~0.85) duplicates co-cluster almost always. Callers
+    // needing the exact set at any size pass exactLimit = Long.MaxValue.
+    val rows: Long = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+    if (rows > exactLimit) {
+      val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
+      return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
+    }
     val g = if (blocks > 0) blocks
       else math.max(4, math.min(256,
         math.ceil(2 * math.sqrt(spark.sparkContext.defaultParallelism.toDouble)).toInt))

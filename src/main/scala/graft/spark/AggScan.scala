@@ -88,8 +88,14 @@ object AggScan {
   }
 
   /** Leaf type of a (possibly dotted) column path — the read-side pair of
-    * [[resolveLeaf]] for ops that already carry the dotted name. */
+    * [[resolveLeaf]] for ops that already carry the dotted name. A top-level
+    * field whose NAME contains a literal dot wins over dotted-path
+    * traversal (mirrors Spark's own resolution order). */
   private[spark] def fieldTypeOf(schema: StructType, path: String): DataType = {
+    schema.fields.find(_.name == path) match {
+      case Some(f) => return f.dataType
+      case None => ()
+    }
     var cur: StructType = schema
     val parts = path.split('.')
     var i = 0

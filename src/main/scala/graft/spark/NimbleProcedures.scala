@@ -231,32 +231,47 @@ object NimbleProcedures {
         case leaf => cols += StructField(prefix, leaf)
       }
       schema.fields.foreach(f => walk(f.name, f.dataType))
-      val rows = cols.toArray.flatMap { f =>
-        var values = 0L; var nulls = 0L
-        var ndv: Array[Byte] = null; var ndvOk = true; var ok = true
-        for (file <- files if ok) {
-          val rd = new graft.format.Tablet.Reader(file, NimbleSource.footerOf(file))
-          try {
-            rd.fileStatsOf(f.name) match {
-              case Some(st) => values += st.valueCount; nulls += st.nullCount
-              case None => ok = false // absent in a file (schema evolution)
+      // files on the OUTER loop: one Reader open (and one meta-section read
+      // on wide v8 footers) per FILE, every column accumulated inside — the
+      // estimateStatistics discipline, O(files) opens instead of
+      // O(columns x files)
+      val colArr = cols.toArray
+      val values = new Array[Long](colArr.length)
+      val nulls = new Array[Long](colArr.length)
+      val ndv = new Array[Array[Byte]](colArr.length)
+      val ndvOk = Array.fill(colArr.length)(true)
+      val ok = Array.fill(colArr.length)(true)
+      for (file <- files) {
+        val rd = new graft.format.Tablet.Reader(file, NimbleSource.footerOf(file))
+        try {
+          var i = 0
+          while (i < colArr.length) {
+            if (ok(i)) {
+              rd.fileStatsOf(colArr(i).name) match {
+                case Some(st) => values(i) += st.valueCount; nulls(i) += st.nullCount
+                case None => ok(i) = false // absent in a file (schema evolution)
+              }
+              rd.footer.ndvSketches.get(colArr(i).name) match {
+                case Some(regs) if ndvOk(i) =>
+                  if (ndv(i) == null) ndv(i) = regs.clone()
+                  else graft.format.Hll.merge(ndv(i), regs)
+                case _ => ndvOk(i) = false
+              }
             }
-            rd.footer.ndvSketches.get(f.name) match {
-              case Some(regs) if ndvOk =>
-                if (ndv == null) ndv = regs.clone() else graft.format.Hll.merge(ndv, regs)
-              case _ => ndvOk = false
-            }
-          } finally rd.close()
-        }
-        if (!ok) None
-        else Some(new GenericInternalRow(Array[Any](
-          org.apache.spark.unsafe.types.UTF8String.fromString(f.name),
-          values, nulls,
-          if (ndvOk && ndv != null)
-            java.lang.Long.valueOf(math.min(graft.format.Hll.estimate(ndv),
-              math.max(0L, values - nulls)))
-          else null)): InternalRow)
+            i += 1
+          }
+        } finally rd.close()
       }
+      val rows = colArr.indices.flatMap { i =>
+        if (!ok(i)) None
+        else Some(new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(colArr(i).name),
+          values(i), nulls(i),
+          if (ndvOk(i) && ndv(i) != null)
+            java.lang.Long.valueOf(math.min(graft.format.Hll.estimate(ndv(i)),
+              math.max(0L, values(i) - nulls(i))))
+          else null)): InternalRow)
+      }.toArray
       rowsScan(SREPORT, rows)
     }
   }

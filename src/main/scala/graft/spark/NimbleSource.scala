@@ -163,6 +163,11 @@ object NimbleSource {
 
   def listFiles(path: String): Seq[String] = listMeta(path).map(_.path)
 
+  /** Multi-path reads dedupe identical FILE paths across roots — an
+    * INTENTIONAL divergence from Parquet, which reads `.load(dir, dir)`
+    * twice: duplicate roots in a path list are a caller mistake (a config
+    * merge, a glob overlap), and silently doubling every row is the worse
+    * failure mode. Documented in README (multi-path reads). */
   def listMeta(path: String): Seq[GraftIO.FileMeta] =
     if (path.indexOf(MultiPathSep) < 0) GraftIO.listGft(path)
     else {
@@ -709,14 +714,11 @@ object NimbleSource {
 
   /** Max gap (bytes) bridged when merging adjacent stream ranges into one
     * positioned read. On object stores a round trip costs ~ms while 128 KB
-    * of discarded gap bytes cost ~µs of bandwidth; 0 disables merging. */
-  @volatile private var ioMergeGapConf: Long = -1L
-  private def ioMergeGap: Long = {
-    if (ioMergeGapConf < 0)
-      ioMergeGapConf = BlockCache.confLongPub("spark.graft.scan.ioMergeGapBytes", 128L << 10)
-    ioMergeGapConf
-  }
-  private[spark] def resetIoMergeGap(): Unit = ioMergeGapConf = -1L
+    * of discarded gap bytes cost ~µs of bandwidth; 0 disables merging.
+    * Re-read per scan (like BlockCache.confLong) so session conf changes —
+    * including 0 to disable — take effect without a JVM restart. */
+  private def ioMergeGap: Long =
+    BlockCache.confLongPub("spark.graft.scan.ioMergeGapBytes", 128L << 10)
 
   /** A coalesced run never exceeds this (readRange allocates one array and
     * takes an Int length; also bounds transient fetch memory). */

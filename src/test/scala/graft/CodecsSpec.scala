@@ -504,6 +504,38 @@ class CodecsSpec extends AnyFunSuite {
       Array.fill(48)("0123456789abcdef".charAt(rnd.nextInt(16)).toByte)))
     try {
       Codecs.setSelectionPolicy(new Codecs.LearnedTrivialGate())
+      // trained-weight contract over the full labeled corpus: the committed
+      // defaults must hit >= 90% of skip-safe chunks and NEVER fire on a
+      // chunk where the cost search finds a real (>3%) size win — firing
+      // there would be a size regression, which the training forbids
+      val gate = new Codecs.LearnedTrivialGate()
+      val ex = graft.tools.GateTrainer.corpus()
+      var hits = 0; var falseFires = 0
+      for (e <- ex) {
+        val fired = gate.skipToTrivialLongs(PhysType.I64, 0,
+          e.runFr, e.uniqueFr, e.widthFr, e.deltaFr)
+        if (e.skipSafe && fired) hits += 1
+        if (!e.skipSafe && fired) falseFires += 1
+      }
+      assert(falseFires == 0, s"gate fired on $falseFires compressible chunks")
+      val safe = ex.count(_.skipSafe)
+      assert(hits * 10 >= safe * 9, s"gate hit $hits of $safe skip-safe chunks")
+      // and firing must actually skip work: gated encode of an
+      // incompressible chunk beats the full search wall-clock
+      def encTime(): Double = {
+        val ts = Array.fill(7) {
+          val t0 = System.nanoTime()
+          val s = new ByteSink(); Codecs.encodeColumn(randomLongs, s)
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val gated = encTime()
+      Codecs.setSelectionPolicy(Codecs.CostSelection)
+      val searched = encTime()
+      Codecs.setSelectionPolicy(new Codecs.LearnedTrivialGate())
+      assert(gated < searched,
+        f"gated encode $gated%.4fs should beat full search $searched%.4fs")
       // incompressible on every axis -> the gate fires, no candidate search
       assert(rootOf(randomLongs) == Codecs.TRIVIAL, "random longs must gate to Trivial")
       assert(rootOf(randomBytes) == Codecs.TRIVIAL, "high-entropy bytes must gate to Trivial")

@@ -183,6 +183,35 @@ class OpsSpec extends SparkTestBase {
       s"only-allpairs=${(ndAll diff nd).take(3)}")
   }
 
+  test("cosineNearDupPairs size-routes to the kmeans-blocked path above exactLimit") {
+    import spark.implicits._
+    // two tight, well-separated vector clusters: within-cluster sims ~1,
+    // cross-cluster ~-1 — the approximate path loses nothing here, so the
+    // routed result must still equal all-pairs (the recall contract's
+    // co-clustered case)
+    val rnd = new scala.util.Random(11)
+    def vec(center: Double) = Seq.fill(8)((center + rnd.nextGaussian() * 0.01).toFloat)
+    val emb = (0 until 60).map(i => (i.toLong, vec(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding")
+    val routed = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, exactLimit = 0L) // force the above-limit path
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupPairsAllPairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the recall CONTRACT: emitted pairs are exact (similarity is computed,
+    // never inferred — precision 1.0); pairs split across kmeans cells may
+    // be missed (k floors at 8, fragmenting the 2 true clusters — cluster
+    // QUALITY is x34's oracle-checked concern, this test pins the routing)
+    assert((routed diff exact).isEmpty, s"false pairs: ${(routed diff exact).take(3)}")
+    assert(routed.nonEmpty, "routed path must still find intra-cell pairs")
+    // and the routed plan is the cluster join, not the G^2 grid tiles
+    val plan = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, exactLimit = 0L).queryExecution.optimizedPlan.toString
+    assert(plan.contains("cluster"), s"routed plan should join on cluster:\n$plan")
+    assert(!plan.contains("bi#") && !plan.contains("bj#"),
+      s"routed plan must not build block-pair grid tiles:\n$plan")
+  }
+
   test("salted join is retry-safe: no nondeterministic expression in the plan") {
     import graft.ops.Skew
     import spark.implicits._
