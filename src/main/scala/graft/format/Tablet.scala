@@ -30,7 +30,7 @@ object Tablet {
   // bucketed tables join without a shuffle (storage-partitioned joins).
   // v10 appends an optional per-column NDV block (256-byte HLL registers per
   // eligible data stream) so table stats can feed the CBO a distinct count.
-  val Version: Int = 10
+  val Version: Int = 11
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -249,12 +249,25 @@ object Tablet {
     st
   }
 
-  /** XXH64 over a byte range (reference uses XXH3_64 whole-file,
-    * common/Types.h:204; same family, available on Spark's classpath via
-    * lz4-java). */
+  /** XXH64 over a byte range — the stripe checksum of v<=10 files (and the
+    * value-hash family for indexes/blooms, which is wire-frozen). */
   def xxh64(bytes: Array[Byte], off: Int, len: Int): Long =
     net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
       .hash64().hash(bytes, off, len, 0L)
+
+  /** XXH3_64 over a byte range — the v11+ stripe checksum (reference:
+    * common/Types.h:204 uses XXH3_64). Implementation: the
+    * zero-allocation-hashing XXH3 that parquet-column ships (shaded) on
+    * every Spark classpath; instances are stateless and thread-safe.
+    * Checksum algorithm is keyed by FILE VERSION: readers verify v<=10
+    * stripes with [[xxh64]], v11+ with this. */
+  private val Xx3 = shaded.parquet.net.openhft.hashing.LongHashFunction.xx3()
+  def xxh3(bytes: Array[Byte], off: Int, len: Int): Long =
+    Xx3.hashBytes(bytes, off, len)
+
+  /** Stripe checksum for a file `version` — the cross-version verify rule. */
+  def stripeChecksumOf(version: Int, bytes: Array[Byte], off: Int, len: Int): Long =
+    if (version >= 11) xxh3(bytes, off, len) else xxh64(bytes, off, len)
 
   /** Per-stripe, per-stream location within the file. */
   final case class StreamLoc(offset: Long, length: Long)
@@ -1230,16 +1243,28 @@ object Tablet {
       idxChunkOrd.clear()
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
-      val hasher = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance().newStreamingHash64(0L)
+      // v11: per-stripe XXH3_64 over the whole stripe span (reference
+      // checksum family, common/Types.h:204). XXH3 has no streaming API on
+      // this classpath, so the streams concatenate into one stripe buffer —
+      // the same bytes toArray used to copy per stream, one write() instead
+      // of nStreams.
+      var total = 0L
       var i = 0
+      while (i < nStreams) { total += stripeBufs(i).size; i += 1 }
+      require(total <= Int.MaxValue, s"stripe exceeds 2GB: $total bytes")
+      val stripeSpan = new Array[Byte](total.toInt)
+      var p = 0
+      i = 0
       while (i < nStreams) {
-        val bytes = stripeBufs(i).toArray
-        locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
-        out.write(bytes)
-        hasher.update(bytes, 0, bytes.length)
-        fileOffset += bytes.length
+        val b = stripeBufs(i)
+        System.arraycopy(b.buffer, 0, stripeSpan, p, b.size)
+        locs(i) = StreamLoc(fileOffset, b.size.toLong)
+        fileOffset += b.size
+        p += b.size
         i += 1
       }
+      out.write(stripeSpan)
+      val stripeChecksum = Tablet.xxh3(stripeSpan, 0, stripeSpan.length)
       val blooms = bloomHashes.iterator.map { case (id, hashes) =>
         val bloom = new Bloom(hashes.size)
         var h = 0
@@ -1247,7 +1272,7 @@ object Tablet {
         id -> bloom
       }.toMap
       bloomHashes.clear()
-      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, hasher.getValue, blooms))
+      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, stripeChecksum, blooms))
       i = 0
       while (i < nStreams) {
         fileStats(i).merge(stripeStats(i))

@@ -225,14 +225,15 @@ object NimbleDump {
             }
           }
         case "verify" =>
-          // whole-stripe XXH64 verification (reference: XXH3_64 checksum,
-          // dwio/nimble/common/Types.h:204)
+          // whole-stripe checksum verification, algorithm keyed by file
+          // version: XXH3_64 for v11+ (reference: common/Types.h:204),
+          // XXH64 for older files
           val raf = new java.io.RandomAccessFile(f, "r")
           for ((s, i) <- ft.stripes.zipWithIndex) {
             val b = new Array[Byte](s.length.toInt)
             raf.seek(s.offset)
             raf.readFully(b)
-            val h = Tablet.xxh64(b, 0, b.length)
+            val h = Tablet.stripeChecksumOf(ft.version, b, 0, b.length)
             val ok = h == s.checksum
             println(f"  stripe $i%3d checksum ${if (ok) "OK" else s"MISMATCH ($h != ${s.checksum})"}")
             if (!ok) sys.exit(1)

@@ -231,15 +231,61 @@ class LegacyFooterSpec extends AnyFunSuite {
     } finally a.close()
   }
 
+  test("stripe checksums verify cross-version: XXH3 for v11+, XXH64 legacy") {
+    // fresh v11 file: every stripe's span must match its footer checksum
+    // under XXH3_64, and a corrupted byte must be caught
+    val path = tmpFile("xxh3")
+    val w = new Tablet.Writer(path, schemaJson, Array("i", "s"))
+    w.writeChunk(0, LongsCol(Array.tabulate(5000)(_.toLong * 7), PhysType.I64))
+    w.writeChunk(1, bytesCol((0 until 5000).map(i => s"row_$i")))
+    w.addRows(5000L)
+    w.close()
+    val r = new Tablet.Reader(path)
+    try {
+      assert(r.footer.version >= 11)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      for (s <- r.footer.stripes) {
+        val b = new Array[Byte](s.length.toInt)
+        raf.seek(s.offset); raf.readFully(b)
+        assert(Tablet.stripeChecksumOf(r.footer.version, b, 0, b.length) == s.checksum,
+          "v11 stripe must verify under XXH3_64")
+        // the algorithms genuinely differ (a v10 verifier would reject)
+        assert(Tablet.xxh64(b, 0, b.length) != s.checksum,
+          "XXH3 and XXH64 must disagree on real data")
+        b(b.length / 2) = (b(b.length / 2) ^ 0x5a).toByte
+        assert(Tablet.stripeChecksumOf(r.footer.version, b, 0, b.length) != s.checksum,
+          "corruption must be detected")
+      }
+      raf.close()
+    } finally r.close()
+    // golden pre-v11 file: stripes still verify under the legacy XXH64 rule
+    val goldenUrl = getClass.getResource("/golden/golden_v7.gft")
+    assert(goldenUrl != null)
+    val gPath = goldenUrl.getPath
+    val gr = new Tablet.Reader(gPath)
+    try {
+      assert(gr.footer.version < 11)
+      val raf = new java.io.RandomAccessFile(gPath, "r")
+      for (s <- gr.footer.stripes) {
+        val b = new Array[Byte](s.length.toInt)
+        raf.seek(s.offset); raf.readFully(b)
+        assert(Tablet.stripeChecksumOf(gr.footer.version, b, 0, b.length) == s.checksum,
+          "legacy stripe must verify under XXH64")
+      }
+      raf.close()
+    } finally gr.close()
+  }
+
   test("unknown versions still fail loudly") {
-    val cur = tmpFile("current11")
+    val future = Tablet.Version + 1
+    val cur = tmpFile(s"current$future")
     writeSample(cur)
-    val legacy = tmpFile("legacy11")
-    synthesizeLegacy(11, cur, legacy)
+    val legacy = tmpFile(s"legacy$future")
+    synthesizeLegacy(future, cur, legacy)
     val e = intercept[IllegalArgumentException] {
       val r = new Tablet.Reader(legacy)
       try r.footer finally r.close()
     }
-    assert(e.getMessage.contains("v11"))
+    assert(e.getMessage.contains(s"v$future"))
   }
 }
