@@ -174,6 +174,97 @@ object Codecs {
     finally viewTL.remove()
   }
 
+  /** Blocks materialized by [[decodeValues]] since JVM start — the
+    * no-decode assertion for [[viewTree]] (one bump per encoding block, not
+    * per value, so the hot path pays a single atomic add per chunk level). */
+  val decodedBlocks = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Zero-copy encoding view (reference: dwio/nimble/encodings/views/
+    * EncodingView.h): parse the nested encoding tree of a chunk payload
+    * WITHOUT materializing any values — only the fixed header fields that
+    * precede child blocks are read; child blocks are length-framed, so
+    * trailing payloads (packed bits, varint streams, code streams) are
+    * never touched. Produces the same tree [[withView]] records from a real
+    * decode; ViewDriftSpec pins that equivalence across the codec grid, so
+    * the two walkers cannot diverge silently. */
+  def viewTree(cur: ByteCursor): ViewNode = {
+    val id = cur.buf(cur.pos)
+    if (id == NULLABLE) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      val n = cur.readVarint().toInt
+      val node = new ViewNode(NULLABLE, phys, n)
+      node.children += viewTree(cur.readBlock())
+      node.children += viewTree(cur.readBlock())
+      node
+    } else if (id == SENTINEL) {
+      cur.readByte()
+      val phys = cur.readByte().toByte
+      val n = cur.readVarint().toInt
+      cur.readZigZag() // sentinel
+      val node = new ViewNode(SENTINEL, phys, n)
+      node.children += viewTree(cur.readBlock())
+      node
+    } else viewValues(cur)
+  }
+
+  private def viewValues(cur: ByteCursor): ViewNode = {
+    val id = cur.readByte().toByte
+    val phys = cur.readByte().toByte
+    val n = cur.readVarint().toInt
+    val node = new ViewNode(id, phys, n)
+    def blocks(k: Int): Unit = { var i = 0; while (i < k) { node.children += viewTree(cur.readBlock()); i += 1 } }
+    phys match {
+      case PhysType.Bool => id match {
+        case SPARSEBOOL => cur.readByte(); blocks(1)
+        case _ => () // CONST / TRIVIAL: no children
+      }
+      case PhysType.Bytes => id match {
+        case FSST =>
+          // symbol table: count byte, then per-symbol length byte + bytes
+          val nSym = cur.readByte()
+          var i = 0
+          while (i < nSym) { val l = cur.readByte(); cur.pos += l; i += 1 }
+          blocks(1) // encoded lengths
+        case TRIVIAL =>
+          // n == 0 writes an EMPTY block (no encoding inside), n > 0 a
+          // lengths encoding — mirror the decoder's children exactly
+          if (n == 0) { cur.readBlock(); () } else blocks(1)
+        case DICT => blocks(2)
+        case _ => () // CONST / PREFIX: no children
+      }
+      case PhysType.F32 | PhysType.F64 => id match {
+        case ALP =>
+          val first = cur.readByte()
+          if (first == AlpV2Marker) {
+            cur.readByte(); cur.readByte() // exponent, factor
+            val exc = cur.readVarint()
+            blocks(if (exc > 0) 3 else 1)
+          } else blocks(1) // pre-r12 ALP-lite: exponent byte + scaled block
+        case DICT => blocks(2)
+        case _ => () // CONST / TRIVIAL
+      }
+      case _ => id match { // longs
+        case RLE | DICT => blocks(2)
+        case SUBINT => cur.readByte(); blocks(2) // split point, hi + lo
+        case DELTA => cur.readZigZag(); blocks(1)
+        case MAINLYCONST => cur.readZigZag(); blocks(2)
+        case HUFFMAN =>
+          cur.readVarint() // symbol count
+          blocks(1) // alphabet; lens/checkpoints/code stream: no children
+        case PFOR =>
+          cur.readZigZag() // baseline
+          val w = cur.readByte()
+          cur.pos += ((n.toLong * w + 7) / 8).toInt // packed lows
+          blocks(2) // exception positions + highs
+        case FREQPART => cur.readVarint(); blocks(3)
+        case DELTABLOCK => cur.readVarint(); blocks(1) // checkpoints
+        case _ => () // CONST / TRIVIAL / FOR / SIMDFOR / VARINT / BLOCKBP
+      }
+    }
+    node
+  }
+
   private def viewEnter(id: Byte, phys: Byte, n: Int): Boolean = {
     val stack = viewTL.get()
     if (stack == null) return false
@@ -383,6 +474,7 @@ object Codecs {
     val id = cur.readByte().toByte
     val phys = cur.readByte().toByte
     val n = cur.readVarint().toInt
+    decodedBlocks.incrementAndGet()
     val ve = viewEnter(id, phys, n)
     try phys match {
       case PhysType.Bool => BoolsCol(decodeBoolPayload(id, cur, n))
@@ -1741,7 +1833,10 @@ object Codecs {
       if (boolCodec == TRIVIAL) {
         // fast path: fill with the common value, then patch only the
         // exception rows found by scanning the packed bitmap's zero bits —
-        // O(exceptions) instead of a branch per row
+        // O(exceptions) instead of a branch per row. The bitmap is consumed
+        // without decodeValues, so record its view node by hand (viewTree
+        // parity: both walkers must show the same two children).
+        viewExit(viewEnter(TRIVIAL, PhysType.Bool, n))
         bc.readByte(); bc.readVarint() // phys, rowCount (== n)
         val nBytes = (n + 7) / 8
         val packed = bc.buf

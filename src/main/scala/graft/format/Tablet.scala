@@ -1669,6 +1669,20 @@ object Tablet {
       else Codecs.decodeColumn(cur)
     }
 
+    /** Encoding tree of the next chunk WITHOUT decoding any values
+      * (reference: encodings/views/EncodingView.h): decompresses the frame
+      * if compressed, then walks header fields only. Shared-dict chunks
+      * report the index encoding (matching what a decode-recorded view
+      * shows — the alphabet lives in its own stripe-level frame). */
+    def viewNext(): Codecs.ViewNode = {
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) cur.readByte()
+      Codecs.viewTree(cur)
+    }
+
     /** [[next]], but only rows [from, until) need materializing: codecs with
       * intra-chunk seek structure (Huffman checkpoints) decode a bounded
       * window, the rest decode whole. Returns (column, startRow) — row r of

@@ -103,8 +103,9 @@ object NimbleDump {
           hist.toSeq.sortBy(-_._2).foreach { case (c, n) => println(f"  $c%-16s $n%6d chunks") }
         case "encodingtree" =>
           // nested encoding view of each stream's first chunk (reference:
-          // dwio/nimble/encodings/views/EncodingView.h) — the tree is exact:
-          // it is recorded from the decoder's own traversal
+          // dwio/nimble/encodings/views/EncodingView.h) — ZERO-COPY: the
+          // tree comes from the header-only walker, no values materialize
+          // (ViewDriftSpec pins its equality with the decoder's traversal)
           def show(n: Codecs.ViewNode, indent: String): Unit = {
             println(f"$indent${codecName(n.id)}%-18s phys=${n.phys} rows=${n.rows}")
             n.children.foreach(show(_, indent + "  "))
@@ -113,16 +114,15 @@ object NimbleDump {
           else for ((k, i) <- ft.streamKeys.zipWithIndex if !k.startsWith("#")) {
             val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, i))
             if (cur.hasNext) {
-              val (_, tree) = Codecs.withView { cur.next() }
               println(s"  $k")
-              tree.foreach(show(_, "    "))
+              show(cur.viewNext(), "    ")
             }
           }
         case "histogram" =>
           // encoding-type distribution with instance counts and storage
           // percentage (reference: NimbleDslVm.cpp SHOW HISTOGRAM [TOP]
-          // [STRIPE s]); full trees come from decoder-recorded views, TOP
-          // counts only chunk roots without decoding
+          // [STRIPE s]); full trees come from the zero-copy header walker
+          // (no value decode either way), TOP counts only chunk roots
           val topOnly = args.drop(2).exists(_.equalsIgnoreCase("top"))
           val stripeSel = args.drop(2).flatMap(a =>
             "(?i)stripe=(\\d+)".r.findFirstMatchIn(a).map(_.group(1).toInt)).headOption
@@ -140,13 +140,13 @@ object NimbleDump {
                 instances(root) += 1
                 bytes(root) += cur.bytePos - p0
               } else {
-                val (_, tree) = Codecs.withView { cur.next() }
+                val tree = cur.viewNext()
                 def walk(n: Codecs.ViewNode): Unit = {
                   instances(codecName(n.id)) += 1; n.children.foreach(walk)
                 }
-                tree.foreach(walk)
+                walk(tree)
                 // storage attributes to the chunk's root encoding
-                tree.headOption.foreach(root => bytes(codecName(root.id)) += cur.bytePos - p0)
+                bytes(codecName(tree.id)) += cur.bytePos - p0
               }
               total += cur.bytePos - p0
             }
