@@ -463,22 +463,28 @@ object Bench {
       val col = LongsCol(data, PhysType.I64)
       val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
       val bytes = sink0.toArray
-      val iters = 20
       // median+min of 5 passes (2 warmup) — GC pauses and JIT recompiles land
-      // in single-shot numbers and made this metric bounce across rounds
-      def statsPass(body: => Unit): (Double, Double) = {
-        def pass(): Double = time { var k = 0; while (k < iters) { body; k += 1 } }._1
-        pass(); pass()
-        val ts = Array.fill(5)(pass())
+      // in single-shot numbers and made this metric bounce across rounds.
+      // Pass length CALIBRATES to >= 10 ms: the fastest decodes (constant:
+      // ~1 ns/el, a 2 ms pass at the old fixed 20 reps) were perturbed by
+      // MULTIPLES by a single GC pause and tripped load_suspect in r12's
+      // idle run; at 10+ ms a pause moves a pass by percent.
+      def statsPass(body: => Unit): (Double, Double, Int) = {
+        def pass(reps: Int): Double = time { var k = 0; while (k < reps) { body; k += 1 } }._1
+        var reps = 20
+        pass(reps) // warm
+        var t = pass(reps)
+        while (t < 0.010 && reps < 20480) { reps *= 4; t = pass(reps) }
+        val ts = Array.fill(5)(pass(reps))
         java.util.Arrays.sort(ts)
-        (ts(2), ts(0))
+        (ts(2), ts(0), reps)
       }
-      val (encSec, encMin) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
-      val (decSec, decMin) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
-      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * iters)
-      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * iters)
-      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * iters)
-      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * iters)
+      val (encSec, encMin, encReps) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
+      val (decSec, decMin, decReps) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
+      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * encReps)
+      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * encReps)
+      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * decReps)
+      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * decReps)
       results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
     }
 

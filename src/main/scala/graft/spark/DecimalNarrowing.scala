@@ -201,7 +201,10 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
                 // understate the true value by an ulp
                 new java.math.BigDecimal(math.max(math.abs(s.minDouble), math.abs(s.maxDouble)))
               case _ =>
-                java.math.BigDecimal.valueOf(math.max(math.abs(s.minLong), math.abs(s.maxLong)))
+                // NOT math.abs: |Long.MinValue| overflows and would silently
+                // UNDER-bound the column
+                java.math.BigDecimal.valueOf(s.minLong).abs()
+                  .max(java.math.BigDecimal.valueOf(s.maxLong).abs())
             }
             if (fileMax.compareTo(acc) > 0) acc = fileMax
         }
