@@ -122,24 +122,42 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
       case _ => false
     })
 
-  /** Column bounds + row count for the nimble relation under `plan`;
-    * None when the child shape is anything we cannot see stats through. */
+  /** Attribute bounds + a SOUND row-count upper bound for the subtree:
+    * None when the plan shape is anything we cannot see stats through. */
   private case class TableStats(rowCount: BigInt,
-      colOf: Map[ExprId, String],
-      maxAbsOf: String => Option[java.math.BigDecimal])
+      boundOf: ExprId => Option[java.math.BigDecimal])
 
   private def statsFor(plan: LogicalPlan): Option[TableStats] = plan match {
     case SubqueryAlias(_, c) => statsFor(c)
     case Filter(_, c) => statsFor(c) // filters only shrink the row set: bounds stay valid
+    case s: Sort => statsFor(s.child)
+    case l: GlobalLimit => statsFor(l.child)
+    case l: LocalLimit => statsFor(l.child)
+    case d: Distinct => statsFor(d.child)
+    case h: ResolvedHint => statsFor(h.child)
+    case w: Window => statsFor(w.child) // window outputs get fresh ids -> unbounded, attrs pass
+    case a: Aggregate =>
+      // grouped output rows <= child rows; grouping attrs keep their ids and
+      // bounds, aggregate outputs get fresh ids and simply miss
+      statsFor(a.child)
     case Project(projectList, c) =>
       statsFor(c).map { st =>
-        val remapped = projectList.flatMap {
-          case a: AttributeReference => st.colOf.get(a.exprId).map(a.exprId -> _)
-          case al @ Alias(ar: AttributeReference, _) => st.colOf.get(ar.exprId).map(al.exprId -> _)
-          case _ => None // computed column: its attr just won't resolve
+        // aliases of bare attributes forward to the underlying bound;
+        // pass-through attributes keep their ids; computed columns miss
+        val aliasOf = projectList.collect {
+          case al @ Alias(ar: AttributeReference, _) => al.exprId -> ar.exprId
         }.toMap
-        st.copy(colOf = remapped)
+        st.copy(boundOf = id => st.boundOf(aliasOf.getOrElse(id, id)))
       }
+    case j: Join =>
+      // universal sound bound: no join type exceeds (|L|+1) * (|R|+1) output
+      // rows (cartesian worst case; the +1 covers outer-join null rows of an
+      // empty side). Outer-introduced NULLs contribute nothing to sums, so
+      // per-attribute bounds carry over unchanged. Conservative by design —
+      // at 100 TB the product blows the 10^18 gate and the rule declines.
+      for (l <- statsFor(j.left); r <- statsFor(j.right))
+        yield TableStats((l.rowCount + 1) * (r.rowCount + 1),
+          id => l.boundOf(id).orElse(r.boundOf(id)))
     case r: DataSourceV2Relation if r.table.isInstanceOf[NimbleTable] =>
       buildStats(r.table.asInstanceOf[NimbleTable], r.output)
     case sr: DataSourceV2ScanRelation if sr.relation.table.isInstanceOf[NimbleTable] =>
@@ -164,17 +182,19 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
       for (m <- metas) rows += BigInt(NimbleSource.footerOf(m.path).rowCount)
       (rows, new java.util.concurrent.ConcurrentHashMap[String, Option[java.math.BigDecimal]]())
     })
-    val byName = output.map(a => a.name -> a).toMap
-    def maxAbs(name: String): Option[java.math.BigDecimal] =
-      colCache.computeIfAbsent(name, { _ =>
-        if (unsigned.contains(name)) None
-        else byName.get(name).map(_.dataType) match {
-          case Some(dt @ (DoubleType | FloatType | ByteType | ShortType | IntegerType | LongType)) =>
-            columnMaxAbs(metas, name, dt)
-          case _ => None
-        }
-      })
-    Some(TableStats(rowCount, output.map(a => a.exprId -> a.name).toMap, maxAbs))
+    val byId = output.map(a => a.exprId -> a).toMap
+    def maxAbs(id: ExprId): Option[java.math.BigDecimal] =
+      byId.get(id).flatMap { a =>
+        colCache.computeIfAbsent(a.name, { _ =>
+          if (unsigned.contains(a.name)) None
+          else a.dataType match {
+            case dt @ (DoubleType | FloatType | ByteType | ShortType | IntegerType | LongType) =>
+              columnMaxAbs(metas, a.name, dt)
+            case _ => None
+          }
+        })
+      }
+    Some(TableStats(rowCount, maxAbs))
   }
 
   /** Merge |min|/|max| across every file's footer stats; None when any file
@@ -333,7 +353,7 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
   }
 
   private def maxAbsOf(a: AttributeReference, st: TableStats): Option[java.math.BigDecimal] =
-    st.colOf.get(a.exprId).flatMap(st.maxAbsOf)
+    st.boundOf(a.exprId)
 
   private def ceilBig(bd: java.math.BigDecimal): BigInt =
     BigInt(bd.abs.setScale(0, java.math.RoundingMode.CEILING).toBigInteger)

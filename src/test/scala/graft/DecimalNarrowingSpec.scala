@@ -99,6 +99,23 @@ class DecimalNarrowingSpec extends SparkTestBase {
     assert(p.contains("partial_sum(UnscaledValue"), s"partial sum not narrowed:\n$p")
   }
 
+  test("narrows through joins on the sound cartesian row bound") {
+    val orders = Tables.nimble(spark, sf(), "orders")
+    val cust = Tables.nimble(spark, sf(), "customer")
+    orders.createOrReplaceTempView("dn_orders")
+    cust.createOrReplaceTempView("dn_customer")
+    val q = """SELECT c_mktsegment,
+      sum(CAST(o_totalprice AS DECIMAL(18,2))) total, count(1) n
+      FROM dn_orders JOIN dn_customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""
+    val off = withRule(on = false)(rows(spark.sql(q)))
+    val on = withRule(on = true)(rows(spark.sql(q)))
+    assert(on == off)
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+    assert(p.contains("UnscaledValue"),
+      s"join aggregate should narrow (|L|*|R| bound provable at test scale):\n$p")
+  }
+
   test("declines when stats cannot prove the sum fits a long") {
     import spark.implicits._
     // values near 1e16: unscaled at scale 2 is ~1e18 per ROW — the total
