@@ -488,6 +488,38 @@ object Bench {
       results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
     }
 
+    // ---- doubles codec grid: the ALP arm (r12) — cents, cents with
+    // exception stragglers, and honest-decline random reals ----
+    val dpatterns: Seq[(String, Array[Double])] = Seq(
+      "dcents" -> Array.fill(n)(rnd.nextInt(1000000) / 100.0),
+      "dcentsexc" -> Array.tabulate(n)(i =>
+        if (i % 20 == 7) rnd.nextDouble() * 1e3
+        else if (i == 31) Double.NaN
+        else rnd.nextInt(1000000) / 100.0),
+      "drand" -> Array.fill(n)(rnd.nextDouble() * 1e6))
+    for ((pname, data) <- dpatterns) {
+      val col = DoublesCol(data, isFloat = false)
+      val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
+      val bytes = sink0.toArray
+      def statsPass(body: => Unit): (Double, Double, Int) = {
+        def pass(reps: Int): Double = time { var k = 0; while (k < reps) { body; k += 1 } }._1
+        var reps = 20
+        pass(reps)
+        var t = pass(reps)
+        while (t < 0.010 && reps < 20480) { reps *= 4; t = pass(reps) }
+        val ts = Array.fill(5)(pass(reps))
+        java.util.Arrays.sort(ts)
+        (ts(2), ts(0), reps)
+      }
+      val (encSec, encMin, encReps) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
+      val (decSec, decMin, decReps) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
+      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * encReps)
+      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * encReps)
+      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * decReps)
+      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * decReps)
+      results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
+    }
+
     val total = results.filter(_._1.matches("write_lineitem|scan_.*|agg_from_stats|q.*|x.*")).values.sum
     // contamination audit: flag any metric whose best-of-five still sits >2x
     // under the median (round-7's driver artifact recorded a sustained
@@ -554,12 +586,13 @@ object Bench {
       sfDir: String, budget: Int = 1880): String = {
     val rm = results.toMap
     // tier 1: headline medians/counters (no codec grid);
-    // tier 2: best-of-five mins for the headline timings — these outrank the
+    // tier 2a: best-of-five mins for the QUERY timings — these outrank the
     //   whole codec grid: a contaminated median with no min twin is
     //   unfalsifiable from the artifact alone (r9's x07);
     // tier 3: codec compression ratios (the round-over-round drift check
-    //   parses them from committed artifacts);
-    // tier 4: codec decode grid; tier 5: codec encode grid;
+    //   parses them from committed artifacts — they outrank the operator
+    //   probe mins, which are re-derivable from bench_full.json);
+    // tier 2b: probe mins; tier 4: codec decode grid; tier 5: encode grid;
     // tier 6: derived/control extras (*_vs_parquet ratios are derivable
     //   from the two medians)
     val tier1 = results.filterNot { case (k, _) =>
@@ -589,7 +622,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt6(total)},"unit":"sec","queries":${obj(entries)},""" +
         s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
         s""""codec_ratio_drift":$driftJson,"full":"bench_full.json","sf":"$sfDir"}"""
-    val tiers = Seq(tier1, tier2a, tier2b, tier3, tier4, tier5, tier6)
+    val tiers = Seq(tier1, tier2a, tier3, tier2b, tier4, tier5, tier6)
       .scanLeft(Seq.empty[(String, Double)])(_ ++ _).drop(1)
     tiers.reverse.find(t => line(t).length <= budget).map(line)
       .getOrElse(line(tier1)) // tier 1 alone is sized well under budget

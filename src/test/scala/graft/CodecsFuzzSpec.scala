@@ -67,12 +67,20 @@ class CodecsFuzzSpec extends AnyFunSuite {
 
   private def genDoubles(r: scala.util.Random): Array[Double] = {
     val n = r.nextInt(2000)
-    val mode = r.nextInt(4)
+    val mode = r.nextInt(7)
     mode match {
         case 0 => Array.fill(n)(r.nextDouble() * 1e12 - 5e11)
         case 1 => Array.fill(n)(r.nextInt(100000) / 100.0) // ALP territory
         case 2 => Array.fill(n)(Seq(Double.NaN, Double.PositiveInfinity,
           Double.NegativeInfinity, -0.0, 0.0)(r.nextInt(5)))
+        case 3 => // ALP exception mix: decimal bulk + real/special stragglers
+          Array.fill(n)(r.nextInt(20) match {
+            case 0 => r.nextDouble() * 1e4
+            case 1 => Seq(Double.NaN, -0.0, Double.NegativeInfinity)(r.nextInt(3))
+            case _ => r.nextInt(1000000) / 100.0
+          })
+        case 4 => Array.fill(n)((r.nextInt(2000) - 1000).toDouble * 1000.0) // factored ALP
+        case 5 => Array.fill(n)((r.nextInt(100000) / 100.0f).toDouble) // float-valued decimals
         case _ => Array.fill(n)(r.nextInt(5).toDouble) // low-card
     }
   }
@@ -93,6 +101,30 @@ class CodecsFuzzSpec extends AnyFunSuite {
             java.lang.Double.doubleToLongBits(values(i)), s"row $i")
           i += 1
         }
+    }
+  }
+
+  test("floats round-trip under fuzz (ALP + exceptions + specials)") {
+    for (trial <- 0 until 30) {
+      val r = new scala.util.Random(7000 + trial)
+      val n = r.nextInt(2000)
+      val values: Array[Double] = r.nextInt(3) match {
+        case 0 => Array.fill(n)((r.nextInt(100000) / 100.0f).toDouble)
+        case 1 => Array.fill(n)(r.nextFloat().toDouble)
+        case _ => Array.fill(n)(r.nextInt(20) match {
+          case 0 => Seq(Float.NaN, -0.0f, Float.PositiveInfinity)(r.nextInt(3)).toDouble
+          case _ => ((r.nextInt(20000) - 10000) / 100.0f).toDouble
+        })
+      }
+      val sink = new ByteSink()
+      Codecs.encodeColumn(DoublesCol(values, isFloat = true), sink)
+      val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[DoublesCol]
+      var i = 0
+      while (i < values.length) {
+        assert(java.lang.Float.floatToIntBits(out.values(i).toFloat) ==
+          java.lang.Float.floatToIntBits(values(i).toFloat), s"trial $trial row $i")
+        i += 1
+      }
     }
   }
 
