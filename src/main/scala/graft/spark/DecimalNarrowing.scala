@@ -190,6 +190,9 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
           else a.dataType match {
             case dt @ (DoubleType | FloatType | ByteType | ShortType | IntegerType | LongType) =>
               columnMaxAbs(metas, a.name, dt)
+            case dt: DecimalType if dt.precision <= 18 =>
+              // stored unscaled-long stream: stats come back in UNSCALED units
+              columnMaxAbs(metas, a.name, dt)
             case _ => None
           }
         })
@@ -260,6 +263,15 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
     }
 
   private def longize(e: Expression, st: TableStats): Option[L] = e match {
+    case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+      // STORED decimal column: the format keeps Decimal(<=18) as an
+      // unscaled I64 stream (Fields.physOf), so footer min/max ARE the
+      // unscaled bounds and UnscaledValue(attr) is a raw long read
+      val dt = a.dataType.asInstanceOf[DecimalType]
+      if (dt.precision > 18) None
+      else maxAbsOf(a, st).map { m =>
+        L(UnscaledValue(a), dt.scale, ceilBig(m).min(pow10(dt.precision) - 1))
+      }
     case c @ Cast(a: AttributeReference, dt: DecimalType, _, _) =>
       a.dataType match {
         case DoubleType | FloatType =>

@@ -116,6 +116,33 @@ class DecimalNarrowingSpec extends SparkTestBase {
       s"join aggregate should narrow (|L|*|R| bound provable at test scale):\n$p")
   }
 
+  test("stored decimal columns narrow via the raw unscaled stream") {
+    import spark.implicits._
+    // Decimal(<=18) is stored as an unscaled I64 stream, so the narrowed
+    // plan reads longs straight off the file — no Decimal objects at all
+    val df = Seq.tabulate(3000)(i => (i % 5, BigDecimal(i * 37 % 10000) / 100))
+      .toDF("g", "d").select(col("g"), col("d").cast("decimal(12,2)").as("d"))
+    val nb = nimbleOf(df, "narrow-stored")
+    nb.createOrReplaceTempView("narrowstored")
+    val q = "SELECT g, sum(d) s, sum(d * 3) s2 FROM narrowstored GROUP BY g"
+    val off = withRule(on = false)(rows(spark.sql(q)))
+    val on = withRule(on = true)(rows(spark.sql(q)))
+    assert(on == off)
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+    assert(p.contains("UnscaledValue"), s"stored-decimal sum should narrow:\n$p")
+    // schema evolution: a second file WITHOUT the column (reads as null)
+    // must not break the bound walk — absent files contribute nothing
+    val dir2 = tmpDir("narrow-stored-evo")
+    df.write.format("nimble").mode("overwrite").save(dir2)
+    Seq((99, 1.0)).toDF("g", "other").write.format("nimble").mode("append").save(dir2)
+    val evo = spark.read.format("nimble").option("mergeSchema", "true").load(dir2)
+    evo.createOrReplaceTempView("narrowevo")
+    val qe = "SELECT sum(d) s FROM narrowevo"
+    val offE = withRule(on = false)(rows(spark.sql(qe)))
+    val onE = withRule(on = true)(rows(spark.sql(qe)))
+    assert(onE == offE)
+  }
+
   test("declines when stats cannot prove the sum fits a long") {
     import spark.implicits._
     // values near 1e16: unscaled at scale 2 is ~1e18 per ROW — the total
