@@ -443,9 +443,35 @@ object Bench {
       timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
 
-    // ---- codec grid (ns/element, encode+decode on 100K longs) ----
+    // ---- codec grid (ns/element, encode+decode on 100K values) ----
     val n = 100000
     val rnd = new scala.util.Random(42)
+    // median+min of 5 passes (2+ warmup) — GC pauses and JIT recompiles land
+    // in single-shot numbers and made this metric bounce across rounds.
+    // Pass length CALIBRATES to >= 10 ms: the fastest decodes (constant:
+    // ~1 ns/el, a 2 ms pass at the old fixed 20 reps) were perturbed by
+    // MULTIPLES by a single GC pause and tripped load_suspect in r12's
+    // idle run; at 10+ ms a pause moves a pass by percent.
+    def statsPass(body: => Unit): (Double, Double, Int) = {
+      def pass(reps: Int): Double = time { var k = 0; while (k < reps) { body; k += 1 } }._1
+      var reps = 20
+      pass(reps) // warm
+      var t = pass(reps)
+      while (t < 0.010 && reps < 20480) { reps *= 4; t = pass(reps) }
+      val ts = Array.fill(5)(pass(reps))
+      java.util.Arrays.sort(ts)
+      (ts(2), ts(0), reps)
+    }
+    def gridMetrics(pname: String, encode: () => Unit, decode: () => Unit,
+        encodedBytes: Int): Unit = {
+      val (encSec, encMin, encReps) = statsPass(encode())
+      val (decSec, decMin, decReps) = statsPass(decode())
+      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * encReps)
+      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * encReps)
+      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * decReps)
+      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * decReps)
+      results(s"codec_${pname}_ratio") = encodedBytes.toDouble / (n * 8.0)
+    }
     val patterns: Seq[(String, Array[Long])] = Seq(
       "random" -> Array.fill(n)(rnd.nextLong()),
       "narrow8" -> Array.fill(n)(rnd.nextInt(256).toLong),
@@ -463,29 +489,10 @@ object Bench {
       val col = LongsCol(data, PhysType.I64)
       val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
       val bytes = sink0.toArray
-      // median+min of 5 passes (2 warmup) — GC pauses and JIT recompiles land
-      // in single-shot numbers and made this metric bounce across rounds.
-      // Pass length CALIBRATES to >= 10 ms: the fastest decodes (constant:
-      // ~1 ns/el, a 2 ms pass at the old fixed 20 reps) were perturbed by
-      // MULTIPLES by a single GC pause and tripped load_suspect in r12's
-      // idle run; at 10+ ms a pause moves a pass by percent.
-      def statsPass(body: => Unit): (Double, Double, Int) = {
-        def pass(reps: Int): Double = time { var k = 0; while (k < reps) { body; k += 1 } }._1
-        var reps = 20
-        pass(reps) // warm
-        var t = pass(reps)
-        while (t < 0.010 && reps < 20480) { reps *= 4; t = pass(reps) }
-        val ts = Array.fill(5)(pass(reps))
-        java.util.Arrays.sort(ts)
-        (ts(2), ts(0), reps)
-      }
-      val (encSec, encMin, encReps) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
-      val (decSec, decMin, decReps) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
-      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * encReps)
-      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * encReps)
-      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * decReps)
-      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * decReps)
-      results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
+      gridMetrics(pname,
+        () => { val s = new ByteSink(); Codecs.encodeColumn(col, s) },
+        () => Codecs.decodeColumn(new ByteCursor(bytes)),
+        bytes.length)
     }
 
     // ---- doubles codec grid: the ALP arm (r12) — cents, cents with
@@ -501,23 +508,10 @@ object Bench {
       val col = DoublesCol(data, isFloat = false)
       val sink0 = new ByteSink(); Codecs.encodeColumn(col, sink0)
       val bytes = sink0.toArray
-      def statsPass(body: => Unit): (Double, Double, Int) = {
-        def pass(reps: Int): Double = time { var k = 0; while (k < reps) { body; k += 1 } }._1
-        var reps = 20
-        pass(reps)
-        var t = pass(reps)
-        while (t < 0.010 && reps < 20480) { reps *= 4; t = pass(reps) }
-        val ts = Array.fill(5)(pass(reps))
-        java.util.Arrays.sort(ts)
-        (ts(2), ts(0), reps)
-      }
-      val (encSec, encMin, encReps) = statsPass { val s = new ByteSink(); Codecs.encodeColumn(col, s) }
-      val (decSec, decMin, decReps) = statsPass { Codecs.decodeColumn(new ByteCursor(bytes)) }
-      results(s"codec_${pname}_enc_nspe") = encSec * 1e9 / (n.toLong * encReps)
-      mins(s"codec_${pname}_enc_nspe") = encMin * 1e9 / (n.toLong * encReps)
-      results(s"codec_${pname}_dec_nspe") = decSec * 1e9 / (n.toLong * decReps)
-      mins(s"codec_${pname}_dec_nspe") = decMin * 1e9 / (n.toLong * decReps)
-      results(s"codec_${pname}_ratio") = bytes.length.toDouble / (n * 8.0)
+      gridMetrics(pname,
+        () => { val s = new ByteSink(); Codecs.encodeColumn(col, s) },
+        () => Codecs.decodeColumn(new ByteCursor(bytes)),
+        bytes.length)
     }
 
     val total = results.filter(_._1.matches("write_lineitem|scan_.*|agg_from_stats|q.*|x.*")).values.sum

@@ -255,19 +255,40 @@ object Tablet {
     net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
       .hash64().hash(bytes, off, len, 0L)
 
-  /** XXH3_64 over a byte range — the v11+ stripe checksum (reference:
+  /** XXH3_64 over a byte range (reference checksum family:
     * common/Types.h:204 uses XXH3_64). Implementation: the
     * zero-allocation-hashing XXH3 that parquet-column ships (shaded) on
-    * every Spark classpath; instances are stateless and thread-safe.
-    * Checksum algorithm is keyed by FILE VERSION: readers verify v<=10
-    * stripes with [[xxh64]], v11+ with this. */
+    * every Spark classpath; instances are stateless and thread-safe. */
   private val Xx3 = shaded.parquet.net.openhft.hashing.LongHashFunction.xx3()
   def xxh3(bytes: Array[Byte], off: Int, len: Int): Long =
     Xx3.hashBytes(bytes, off, len)
 
-  /** Stripe checksum for a file `version` — the cross-version verify rule. */
-  def stripeChecksumOf(version: Int, bytes: Array[Byte], off: Int, len: Int): Long =
-    if (version >= 11) xxh3(bytes, off, len) else xxh64(bytes, off, len)
+  /** Stripe checksum rule, keyed by FILE VERSION. v<=10: XXH64 over the
+    * whole stripe span. v11+: XXH3_64 over the little-endian concatenation
+    * of each STREAM's XXH3_64 (stream-id order) — XXH3 has no streaming API
+    * on this classpath, and hashing per stream lets the writer emit buffers
+    * as it goes with no whole-stripe concatenation (no 2GB stripe cap, no
+    * doubled flush memory) while any flipped byte still flips its stream's
+    * hash and therefore the combined value. */
+  def stripeChecksumOf(version: Int, span: Array[Byte], streamLengths: Array[Long]): Long =
+    if (version < 11) xxh64(span, 0, span.length)
+    else {
+      val hs = new Array[Byte](8 * streamLengths.length)
+      var off = 0
+      var i = 0
+      while (i < streamLengths.length) {
+        val len = streamLengths(i).toInt
+        putHashLE(hs, 8 * i, xxh3(span, off, len))
+        off += len
+        i += 1
+      }
+      xxh3(hs, 0, hs.length)
+    }
+
+  private[format] def putHashLE(dst: Array[Byte], at: Int, h: Long): Unit = {
+    var b = 0
+    while (b < 8) { dst(at + b) = (h >>> (8 * b)).toByte; b += 1 }
+  }
 
   /** Per-stripe, per-stream location within the file. */
   final case class StreamLoc(offset: Long, length: Long)
@@ -1243,28 +1264,21 @@ object Tablet {
       idxChunkOrd.clear()
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
-      // v11: per-stripe XXH3_64 over the whole stripe span (reference
-      // checksum family, common/Types.h:204). XXH3 has no streaming API on
-      // this classpath, so the streams concatenate into one stripe buffer —
-      // the same bytes toArray used to copy per stream, one write() instead
-      // of nStreams.
-      var total = 0L
+      // v11 stripe checksum = XXH3_64 over the per-stream XXH3_64 hashes
+      // (see Tablet.stripeChecksumOf): each stream buffer hashes and writes
+      // independently, so flush memory and stripe size stay unbounded by
+      // the checksum exactly as in v10's streaming XXH64.
+      val streamHashes = new Array[Byte](8 * nStreams)
       var i = 0
-      while (i < nStreams) { total += stripeBufs(i).size; i += 1 }
-      require(total <= Int.MaxValue, s"stripe exceeds 2GB: $total bytes")
-      val stripeSpan = new Array[Byte](total.toInt)
-      var p = 0
-      i = 0
       while (i < nStreams) {
-        val b = stripeBufs(i)
-        System.arraycopy(b.buffer, 0, stripeSpan, p, b.size)
-        locs(i) = StreamLoc(fileOffset, b.size.toLong)
-        fileOffset += b.size
-        p += b.size
+        val bytes = stripeBufs(i).toArray
+        locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
+        out.write(bytes)
+        Tablet.putHashLE(streamHashes, 8 * i, Tablet.xxh3(bytes, 0, bytes.length))
+        fileOffset += bytes.length
         i += 1
       }
-      out.write(stripeSpan)
-      val stripeChecksum = Tablet.xxh3(stripeSpan, 0, stripeSpan.length)
+      val stripeChecksum = Tablet.xxh3(streamHashes, 0, streamHashes.length)
       val blooms = bloomHashes.iterator.map { case (id, hashes) =>
         val bloom = new Bloom(hashes.size)
         var h = 0

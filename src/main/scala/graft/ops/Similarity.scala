@@ -82,11 +82,23 @@ object Similarity {
     // whose members land in different clusters are missed; at near-dup
     // thresholds (>= ~0.85) duplicates co-cluster almost always. Callers
     // needing the exact set at any size pass exactLimit = Long.MaxValue.
-    val rows: Long = df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(df.count())
-    if (rows > exactLimit) {
-      val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
-      return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
+    //
+    // The exact-vs-approximate decision must NEVER ride an optimizer
+    // estimate (a Filter selectivity guess flipping result semantics is
+    // silent data loss). sizeInBytes — always present, conservative — only
+    // SHORT-CIRCUITS the obviously-small case (a row with an id and a
+    // vector is far above 32 bytes, so bytes/32 upper-bounds rows); larger
+    // inputs pay one exact count() before committing to O(n^2) work.
+    if (exactLimit < Long.MaxValue) {
+      val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val certainlySmall = sizeHint / 32 <= BigInt(exactLimit)
+      if (!certainlySmall) {
+        val rows = df.count() // exact — one scan, trivial next to O(n^2) work
+        if (rows > exactLimit) {
+          val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
+          return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
+        }
+      }
     }
     val g = if (blocks > 0) blocks
       else math.max(4, math.min(256,

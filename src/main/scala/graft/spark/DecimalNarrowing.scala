@@ -167,7 +167,11 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
 
   /** Per-(table files signature) cache of column bounds: the optimizer — and
     * AQE's per-stage re-optimization — may run this rule several times per
-    * query; footer metadata is cheap but not free at 100k files. */
+    * query; footer metadata is cheap but not free at 100k files. Keyed by
+    * the FULL signature string (a 32-bit hash could collide and serve
+    * another snapshot's bounds — a soundness hole, not a perf bug) and
+    * cleared when it grows past a few hundred snapshots so a long-lived
+    * driver rewriting tables does not leak. */
   private val boundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (BigInt, java.util.concurrent.ConcurrentHashMap[String, Option[java.math.BigDecimal]])]()
 
@@ -176,7 +180,8 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
     val unsigned = table.unsignedCols
     val metas = try NimbleSource.listMeta(path) catch { case _: Exception => return None }
     if (metas.isEmpty) return None
-    val sig = path + "|" + metas.map(m => s"${m.path}:${m.length}:${m.mtime}").mkString(",").hashCode
+    val sig = path + "|" + metas.map(m => s"${m.path}:${m.length}:${m.mtime}").mkString(",")
+    if (boundsCache.size > 512) boundsCache.clear()
     val (rowCount, colCache) = boundsCache.computeIfAbsent(sig, { _ =>
       var rows = BigInt(0)
       for (m <- metas) rows += BigInt(NimbleSource.footerOf(m.path).rowCount)
@@ -279,9 +284,18 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
           // unscaled long; bound: HALF_UP(|x|*10^s) <= ceil + 1, clamped to
           // the precision cap (overflow -> null in legacy / throw in ANSI,
           // identically in both plans, so surviving values fit p digits)
-          maxAbsOf(a, st).map { m =>
+          maxAbsOf(a, st).flatMap { m =>
             val raw = ceilBig(m.multiply(java.math.BigDecimal.TEN.pow(dt.scale))) + 1
-            L(UnscaledValue(c), dt.scale, raw.min(pow10(dt.precision) - 1))
+            // overflow of (p,s) nulls/throws identically in both plans, so
+            // the surviving-value bound may clamp to the precision cap; but
+            // UnscaledValue itself only works when that cap fits a LONG —
+            // a decimal(38,s) value with unscaled > Long.MaxValue casts
+            // FINE in the original plan and would throw in ours. Every L
+            // must be born with bound <= MaxRaw (the invariant all the
+            // arithmetic guards build on), so decline instead of clamping
+            // past it.
+            val b = raw.min(pow10(dt.precision) - 1)
+            if (b > MaxRaw) None else Some(L(UnscaledValue(c), dt.scale, b))
           }
         case ByteType | ShortType | IntegerType | LongType =>
           // integral casts are value-exact; longize as child * 10^s. Decline
@@ -301,7 +315,12 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
       longize(a, st).flatMap(reconcile(_, dt))
     case Literal(null, dt: DecimalType) => Some(L(Literal(null, LongType), dt.scale, BigInt(0)))
     case Literal(v: Decimal, dt: DecimalType) =>
-      Some(L(Literal(v.toUnscaledLong), dt.scale, BigInt(v.toUnscaledLong).abs))
+      // check through BigInteger first: toUnscaledLong throws on literals
+      // beyond long range (e.g. a decimal(21,1) constant) and an optimizer
+      // rule must decline, never crash the query
+      val unscaled = BigInt(v.toBigDecimal.underlying.unscaledValue())
+      if (unscaled.abs > MaxRaw) None
+      else Some(L(Literal(unscaled.toLong), dt.scale, unscaled.abs))
     case m @ Multiply(a, b, _) if m.dataType.isInstanceOf[DecimalType] =>
       for {
         la <- longize(a, st); lb <- longize(b, st)

@@ -233,7 +233,8 @@ object NimbleDump {
             val b = new Array[Byte](s.length.toInt)
             raf.seek(s.offset)
             raf.readFully(b)
-            val h = Tablet.stripeChecksumOf(ft.version, b, 0, b.length)
+            val lens = Array.tabulate(ft.streamKeys.length)(k => r.streamLoc(i, k).length)
+            val h = Tablet.stripeChecksumOf(ft.version, b, lens)
             val ok = h == s.checksum
             println(f"  stripe $i%3d checksum ${if (ok) "OK" else s"MISMATCH ($h != ${s.checksum})"}")
             if (!ok) sys.exit(1)

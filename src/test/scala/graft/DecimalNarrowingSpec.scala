@@ -157,6 +157,38 @@ class DecimalNarrowingSpec extends SparkTestBase {
     assert(spark.sql(q).collect().length == 2)
   }
 
+  test("declines high-precision casts whose unscaled values exceed long range") {
+    import spark.implicits._
+    // x ~ 1e10 at scale 10: the ORIGINAL plan casts fine (unscaled ~1e20
+    // fits decimal(38,10)) but UnscaledValue would throw — the leaf bound
+    // must refuse to clamp past 2^62, so the rule declines even when a
+    // later scale reduction would shrink the bound (r12 review finding)
+    val df = Seq.tabulate(40)(i => (i % 2, 9.0e9 + i * 1e6)).toDF("g", "x")
+    val nb = nimbleOf(df, "narrow-wide")
+    nb.createOrReplaceTempView("narrowwide")
+    val q = """SELECT g, sum(CAST(CAST(x AS DECIMAL(38,10)) AS DECIMAL(18,2))) s
+               FROM narrowwide GROUP BY g"""
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+    assert(!p.contains("UnscaledValue"), s"must decline unscaled-beyond-long leaves:\n$p")
+    val off = withRule(on = false)(rows(spark.sql(q)))
+    val on = withRule(on = true)(rows(spark.sql(q)))
+    assert(on == off)
+  }
+
+  test("huge decimal literals decline instead of crashing the optimizer") {
+    import spark.implicits._
+    val df = Seq((1, 2.5), (1, 3.5), (2, 4.5)).toDF("g", "v")
+    val nb = nimbleOf(df, "narrow-hugelit")
+    nb.createOrReplaceTempView("narrowhugelit")
+    // literal decimal(21,1): unscaled 1.2e20 > Long.MaxValue — toUnscaledLong
+    // would throw; the rule must return None and leave the decimal plan alone
+    val q = "SELECT g, sum(CAST(v AS DECIMAL(18,2)) * 12345678901234567890.5BD) s " +
+      "FROM narrowhugelit GROUP BY g"
+    val off = withRule(on = false)(rows(spark.sql(q)))
+    val on = withRule(on = true)(rows(spark.sql(q)))
+    assert(on == off)
+  }
+
   test("declines off nimble relations (no stats source)") {
     import spark.implicits._
     val df = Seq((1, 2.5), (1, 3.5), (2, 4.5)).toDF("g", "v")

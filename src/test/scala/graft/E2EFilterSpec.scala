@@ -252,15 +252,18 @@ class E2EFilterSpec extends SparkTestBase {
     val footer = graft.spark.NimbleSource.footerOf(file)
     val raf = new java.io.RandomAccessFile(file, "rw")
     val s0 = footer.stripes(0)
+    val rd = new graft.format.Tablet.Reader(file, footer)
+    val lens = try Array.tabulate(footer.streamKeys.length)(k => rd.streamLoc(0, k).length)
+      finally rd.close()
     val buf = new Array[Byte](s0.length.toInt)
     raf.seek(s0.offset); raf.readFully(buf)
-    assert(graft.format.Tablet.stripeChecksumOf(footer.version, buf, 0, buf.length) == s0.checksum)
+    assert(graft.format.Tablet.stripeChecksumOf(footer.version, buf, lens) == s0.checksum)
     // flip a byte -> checksum must mismatch
     raf.seek(s0.offset + 10)
     val orig = buf(10)
     raf.write(~orig & 0xff)
     raf.seek(s0.offset); raf.readFully(buf)
-    assert(graft.format.Tablet.stripeChecksumOf(footer.version, buf, 0, buf.length) != s0.checksum)
+    assert(graft.format.Tablet.stripeChecksumOf(footer.version, buf, lens) != s0.checksum)
     raf.seek(s0.offset + 10); raf.write(orig) // restore
     raf.close()
   }

@@ -244,16 +244,17 @@ class LegacyFooterSpec extends AnyFunSuite {
     try {
       assert(r.footer.version >= 11)
       val raf = new java.io.RandomAccessFile(path, "r")
-      for (s <- r.footer.stripes) {
+      for ((s, si) <- r.footer.stripes.zipWithIndex) {
+        val lens = Array.tabulate(r.footer.streamKeys.length)(k => r.streamLoc(si, k).length)
         val b = new Array[Byte](s.length.toInt)
         raf.seek(s.offset); raf.readFully(b)
-        assert(Tablet.stripeChecksumOf(r.footer.version, b, 0, b.length) == s.checksum,
-          "v11 stripe must verify under XXH3_64")
+        assert(Tablet.stripeChecksumOf(r.footer.version, b, lens) == s.checksum,
+          "v11 stripe must verify under XXH3-of-stream-XXH3s")
         // the algorithms genuinely differ (a v10 verifier would reject)
         assert(Tablet.xxh64(b, 0, b.length) != s.checksum,
-          "XXH3 and XXH64 must disagree on real data")
+          "XXH3 rule and XXH64 must disagree on real data")
         b(b.length / 2) = (b(b.length / 2) ^ 0x5a).toByte
-        assert(Tablet.stripeChecksumOf(r.footer.version, b, 0, b.length) != s.checksum,
+        assert(Tablet.stripeChecksumOf(r.footer.version, b, lens) != s.checksum,
           "corruption must be detected")
       }
       raf.close()
@@ -266,10 +267,11 @@ class LegacyFooterSpec extends AnyFunSuite {
     try {
       assert(gr.footer.version < 11)
       val raf = new java.io.RandomAccessFile(gPath, "r")
-      for (s <- gr.footer.stripes) {
+      for ((s, si) <- gr.footer.stripes.zipWithIndex) {
+        val lens = Array.tabulate(gr.footer.streamKeys.length)(k => gr.streamLoc(si, k).length)
         val b = new Array[Byte](s.length.toInt)
         raf.seek(s.offset); raf.readFully(b)
-        assert(Tablet.stripeChecksumOf(gr.footer.version, b, 0, b.length) == s.checksum,
+        assert(Tablet.stripeChecksumOf(gr.footer.version, b, lens) == s.checksum,
           "legacy stripe must verify under XXH64")
       }
       raf.close()
