@@ -11,6 +11,43 @@ class ExtensionsSpec extends SparkTestBase {
     new graft.spark.GraftExtensions().apply(ext) // must not throw
   }
 
+  test("GraftExtensions injects DecimalNarrowing as a cluster-wide optimizer rule") {
+    // a FRESH session built through GraftExtensions — the cluster
+    // deployment wiring (spark.sql.extensions names this same class; it is
+    // a STATIC conf, so on the suite's shared SparkContext it must be
+    // registered programmatically via withExtensions — verified to apply
+    // identically on a first-session JVM). The shared session must be
+    // cleared first: getOrCreate returns an existing active/default session
+    // (which may carry the session-local install from other suites — a
+    // false pass).
+    val dir = Tables.nimbleDir(spark, sf(), "lineitem")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.spark.GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "must be a genuinely new session")
+      // no session-local install on s2: a narrowed plan can only come from
+      // the extensions-injected optimizer rule
+      assert(s2.experimental.extraOptimizations.isEmpty)
+      s2.read.format("nimble").load(dir).createOrReplaceTempView("ext_lineitem")
+      val p = s2.sql(
+        "SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) s FROM ext_lineitem GROUP BY 1")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("UnscaledValue"), s"extensions-injected rule did not fire:\n$p")
+    } finally {
+      // getOrCreate reuses the shared SparkContext: only clear the session,
+      // the other suites keep theirs
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(SparkTestBase.session)
+      org.apache.spark.sql.SparkSession.setActiveSession(SparkTestBase.session)
+    }
+  }
+
   test("registerAll exposes every function to pure SQL") {
     graft.spark.GraftFunctions.registerAll(spark)
     val row = spark.sql(
