@@ -30,7 +30,7 @@ object Tablet {
   // bucketed tables join without a shuffle (storage-partitioned joins).
   // v10 appends an optional per-column NDV block (256-byte HLL registers per
   // eligible data stream) so table stats can feed the CBO a distinct count.
-  val Version: Int = 11
+  val Version: Int = 12
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -263,31 +263,50 @@ object Tablet {
   def xxh3(bytes: Array[Byte], off: Int, len: Int): Long =
     Xx3.hashBytes(bytes, off, len)
 
-  /** Stripe checksum rule, keyed by FILE VERSION. v<=10: XXH64 over the
-    * whole stripe span. v11+: XXH3_64 over the little-endian concatenation
-    * of each STREAM's XXH3_64 (stream-id order) — XXH3 has no streaming API
-    * on this classpath, and hashing per stream lets the writer emit buffers
-    * as it goes with no whole-stripe concatenation (no 2GB stripe cap, no
-    * doubled flush memory) while any flipped byte still flips its stream's
-    * hash and therefore the combined value. */
+  /** Stripe checksum rule, keyed by FILE VERSION (a new scheme always gets
+    * a new version — the interim whole-span XXH3 shipped as v11, so v11
+    * files keep verifying under it).
+    *  - v<=10: XXH64 over the whole stripe span.
+    *  - v11:   XXH3_64 over the whole stripe span.
+    *  - v12+:  XXH3_64 over the little-endian concatenation of each
+    *    NON-EMPTY stream's XXH3_64, in stream-id order
+    *    ([[combineStreamHashes]]). XXH3 has no streaming API on this
+    *    classpath; hashing per stream lets the writer emit buffers as it
+    *    goes (no whole-stripe concatenation, no 2GB cap, no doubled flush
+    *    memory) and lets verifiers read stream-by-stream. Empty streams are
+    *    EXCLUDED because streams register lazily (a flatmap key or index
+    *    stream first seen in a later stripe back-fills earlier stripes with
+    *    zero-length locs AFTER those stripes hashed) — an empty stream has
+    *    no bytes to corrupt, and exclusion makes writer and verifier agree
+    *    regardless of when the stream appeared. */
   def stripeChecksumOf(version: Int, span: Array[Byte], streamLengths: Array[Long]): Long =
-    if (version < 11) xxh64(span, 0, span.length)
+    if (version <= 10) xxh64(span, 0, span.length)
+    else if (version == 11) xxh3(span, 0, span.length)
     else {
-      val hs = new Array[Byte](8 * streamLengths.length)
+      val hashes = scala.collection.mutable.ArrayBuffer[Long]()
       var off = 0
       var i = 0
       while (i < streamLengths.length) {
         val len = streamLengths(i).toInt
-        putHashLE(hs, 8 * i, xxh3(span, off, len))
+        if (len > 0) hashes += xxh3(span, off, len)
         off += len
         i += 1
       }
-      xxh3(hs, 0, hs.length)
+      combineStreamHashes(hashes.toArray)
     }
 
-  private[format] def putHashLE(dst: Array[Byte], at: Int, h: Long): Unit = {
-    var b = 0
-    while (b < 8) { dst(at + b) = (h >>> (8 * b)).toByte; b += 1 }
+  /** v12 combined stripe checksum from per-(non-empty-)stream XXH3 hashes —
+    * the building block large-stripe verifiers use to avoid materializing
+    * the whole span. */
+  def combineStreamHashes(hashes: Array[Long]): Long = {
+    val hs = new Array[Byte](8 * hashes.length)
+    var i = 0
+    while (i < hashes.length) {
+      var b = 0
+      while (b < 8) { hs(8 * i + b) = (hashes(i) >>> (8 * b)).toByte; b += 1 }
+      i += 1
+    }
+    xxh3(hs, 0, hs.length)
   }
 
   /** Per-stripe, per-stream location within the file. */
@@ -1264,21 +1283,24 @@ object Tablet {
       idxChunkOrd.clear()
       val locs = new Array[StreamLoc](nStreams)
       val start = fileOffset
-      // v11 stripe checksum = XXH3_64 over the per-stream XXH3_64 hashes
-      // (see Tablet.stripeChecksumOf): each stream buffer hashes and writes
-      // independently, so flush memory and stripe size stay unbounded by
-      // the checksum exactly as in v10's streaming XXH64.
-      val streamHashes = new Array[Byte](8 * nStreams)
+      // v12 stripe checksum = XXH3_64 over the NON-EMPTY streams' XXH3_64
+      // hashes (see Tablet.stripeChecksumOf): each stream buffer hashes and
+      // writes independently, so flush memory and stripe size stay
+      // unbounded by the checksum exactly as in v10's streaming XXH64; and
+      // because empty streams are excluded, a stream that REGISTERS after
+      // this stripe flushes (flatmap key, late index entries — close()
+      // back-fills zero-length locs) cannot desync the verifier.
+      val streamHashes = scala.collection.mutable.ArrayBuffer[Long]()
       var i = 0
       while (i < nStreams) {
         val bytes = stripeBufs(i).toArray
         locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
         out.write(bytes)
-        Tablet.putHashLE(streamHashes, 8 * i, Tablet.xxh3(bytes, 0, bytes.length))
+        if (bytes.length > 0) streamHashes += Tablet.xxh3(bytes, 0, bytes.length)
         fileOffset += bytes.length
         i += 1
       }
-      val stripeChecksum = Tablet.xxh3(streamHashes, 0, streamHashes.length)
+      val stripeChecksum = Tablet.combineStreamHashes(streamHashes.toArray)
       val blooms = bloomHashes.iterator.map { case (id, hashes) =>
         val bloom = new Bloom(hashes.size)
         var h = 0

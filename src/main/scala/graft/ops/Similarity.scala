@@ -83,21 +83,19 @@ object Similarity {
     // thresholds (>= ~0.85) duplicates co-cluster almost always. Callers
     // needing the exact set at any size pass exactLimit = Long.MaxValue.
     //
-    // The exact-vs-approximate decision must NEVER ride an optimizer
-    // estimate (a Filter selectivity guess flipping result semantics is
-    // silent data loss). sizeInBytes — always present, conservative — only
-    // SHORT-CIRCUITS the obviously-small case (a row with an id and a
-    // vector is far above 32 bytes, so bytes/32 upper-bounds rows); larger
-    // inputs pay one exact count() before committing to O(n^2) work.
+    // The exact-vs-approximate decision must NEVER ride an estimate:
+    // optimizer rowCount is a selectivity guess (flipping result semantics
+    // on it is silent data loss) and sizeInBytes under-counts through
+    // compression and Catalyst defaultSize scaling (routing a 10M-row
+    // corpus to the exact grid on it is a runaway O(n^2) job). One exact
+    // count() — a single scan, trivial next to the pair join either way —
+    // makes the routing deterministic; callers wanting zero extra jobs AND
+    // the exact set pass exactLimit = Long.MaxValue.
     if (exactLimit < Long.MaxValue) {
-      val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val certainlySmall = sizeHint / 32 <= BigInt(exactLimit)
-      if (!certainlySmall) {
-        val rows = df.count() // exact — one scan, trivial next to O(n^2) work
-        if (rows > exactLimit) {
-          val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
-          return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
-        }
+      val rows = df.count()
+      if (rows > exactLimit) {
+        val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
+        return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
       }
     }
     val g = if (blocks > 0) blocks

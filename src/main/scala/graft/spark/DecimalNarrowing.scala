@@ -180,7 +180,12 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
     val unsigned = table.unsignedCols
     val metas = try NimbleSource.listMeta(path) catch { case _: Exception => return None }
     if (metas.isEmpty) return None
-    val sig = path + "|" + metas.map(m => s"${m.path}:${m.length}:${m.mtime}").mkString(",")
+    // SHA-256 of the full signature: collision-sound like the full string
+    // (a 32-bit hashCode was not) at 32 bytes per key instead of multi-MB
+    // on a 100k-file table
+    val sigText = path + "|" + metas.map(m => s"${m.path}:${m.length}:${m.mtime}").mkString(",")
+    val sig = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(sigText.getBytes("UTF-8")))
     if (boundsCache.size > 512) boundsCache.clear()
     val (rowCount, colCache) = boundsCache.computeIfAbsent(sig, { _ =>
       var rows = BigInt(0)
@@ -309,6 +314,11 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
               Multiply(Cast(a, LongType), Literal(pow10(dt.scale).toLong), EvalMode.LEGACY),
               dt.scale, raw))
           }
+        case _: DecimalType =>
+          // stored decimal re-cast: recurse so the unscaled-stream leaf
+          // serves it (the catch-all below would otherwise swallow attr
+          // children and make the decimal->decimal case unreachable)
+          longize(a, st).flatMap(reconcile(_, dt))
         case _ => None
       }
     case c @ Cast(a, dt: DecimalType, _, _) if a.dataType.isInstanceOf[DecimalType] =>

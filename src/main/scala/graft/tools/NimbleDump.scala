@@ -230,11 +230,24 @@ object NimbleDump {
           // XXH64 for older files
           val raf = new java.io.RandomAccessFile(f, "r")
           for ((s, i) <- ft.stripes.zipWithIndex) {
-            val b = new Array[Byte](s.length.toInt)
-            raf.seek(s.offset)
-            raf.readFully(b)
-            val lens = Array.tabulate(ft.streamKeys.length)(k => r.streamLoc(i, k).length)
-            val h = Tablet.stripeChecksumOf(ft.version, b, lens)
+            val h = if (ft.version >= 12) {
+              // stream-by-stream: bounded buffers even for multi-GB stripes
+              val hashes = scala.collection.mutable.ArrayBuffer[Long]()
+              for (k <- ft.streamKeys.indices) {
+                val loc = r.streamLoc(i, k)
+                if (loc.length > 0) {
+                  val sb = new Array[Byte](loc.length.toInt) // streams are Array-backed: < 2GB each
+                  raf.seek(loc.offset); raf.readFully(sb)
+                  hashes += Tablet.xxh3(sb, 0, sb.length)
+                }
+              }
+              Tablet.combineStreamHashes(hashes.toArray)
+            } else {
+              val b = new Array[Byte](s.length.toInt)
+              raf.seek(s.offset)
+              raf.readFully(b)
+              Tablet.stripeChecksumOf(ft.version, b, Array.empty)
+            }
             val ok = h == s.checksum
             println(f"  stripe $i%3d checksum ${if (ok) "OK" else s"MISMATCH ($h != ${s.checksum})"}")
             if (!ok) sys.exit(1)

@@ -244,6 +244,47 @@ class E2EFilterSpec extends SparkTestBase {
     assert(nb.filter(col("k") === "no_such_user").count() == 0)
   }
 
+  test("v12 checksums verify with late-registering flatmap streams") {
+    import org.apache.spark.sql.functions.{col => c, lit, map, when}
+    // key k2 appears only in later rows: its shredded streams REGISTER
+    // after stripe 0 flushed, and close() back-fills zero-length locs —
+    // exactly the shape that desyncs a checksum counting empty streams
+    // xxhash64 values: incompressible 8B/row so chunks actually reach the
+    // stripe flush threshold (delta-coded ids alone encode to ~nothing)
+    val df = spark.range(20000).select(c("id"),
+      when(c("id") < 10000, map(lit("k1"), org.apache.spark.sql.functions.xxhash64(c("id"))))
+        .otherwise(map(lit("k1"), org.apache.spark.sql.functions.xxhash64(c("id")),
+          lit("k2"), org.apache.spark.sql.functions.xxhash64(c("id"), lit(7)))).as("m"))
+    val dir = tmpDir("cksum-late")
+    df.coalesce(1).write.format("nimble")
+      .option("flatMapColumns", "m")
+      .option("rowsPerChunk", "2048") // stripe flush checks at chunk bounds
+      .option("stripeBytes", "4096") // force several stripes
+      .mode("overwrite").save(dir)
+    val file = graft.spark.NimbleSource.listFiles(dir).head
+    val r = new graft.format.Tablet.Reader(file)
+    try {
+      val ft = r.footer
+      assert(ft.version >= 12 && ft.stripes.length >= 2, s"fixture: v${ft.version}, ${ft.stripes.length} stripes")
+      val raf = new java.io.RandomAccessFile(file, "r")
+      for (si <- ft.stripes.indices) {
+        // the NimbleDump v12 rule: per-stream hashes, empty streams excluded
+        val hashes = scala.collection.mutable.ArrayBuffer[Long]()
+        for (k <- ft.streamKeys.indices) {
+          val loc = r.streamLoc(si, k)
+          if (loc.length > 0) {
+            val sb = new Array[Byte](loc.length.toInt)
+            raf.seek(loc.offset); raf.readFully(sb)
+            hashes += graft.format.Tablet.xxh3(sb, 0, sb.length)
+          }
+        }
+        assert(graft.format.Tablet.combineStreamHashes(hashes.toArray) ==
+          ft.stripes(si).checksum, s"stripe $si must verify despite late streams")
+      }
+      raf.close()
+    } finally r.close()
+  }
+
   test("stripe checksums verify; corruption detected") {
     val df = spark.range(10000).toDF("id")
     val dir = tmpDir("cksum")
