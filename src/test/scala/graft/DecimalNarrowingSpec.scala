@@ -124,12 +124,18 @@ class DecimalNarrowingSpec extends SparkTestBase {
       .toDF("g", "d").select(col("g"), col("d").cast("decimal(12,2)").as("d"))
     val nb = nimbleOf(df, "narrow-stored")
     nb.createOrReplaceTempView("narrowstored")
-    val q = "SELECT g, sum(d) s, sum(d * 3) s2 FROM narrowstored GROUP BY g"
+    // s3 pins the Cast(storedDecimalAttr -> decimal) shape: the r12 review
+    // caught the catch-all swallowing attribute children there
+    val q = "SELECT g, sum(d) s, sum(d * 3) s2, " +
+      "sum(CAST(d AS DECIMAL(16,4))) s3 FROM narrowstored GROUP BY g"
     val off = withRule(on = false)(rows(spark.sql(q)))
     val on = withRule(on = true)(rows(spark.sql(q)))
     assert(on == off)
     val p = spark.sql(q).queryExecution.executedPlan.toString
     assert(p.contains("UnscaledValue"), s"stored-decimal sum should narrow:\n$p")
+    // ALL THREE sums narrowed: decimal Sum buffers carry an isEmpty slot,
+    // long sums don't — any surviving decimal buffer would show up here
+    assert(!p.contains("isEmpty"), s"some sum kept a decimal buffer:\n$p")
     // schema evolution: a second file WITHOUT the column (reads as null)
     // must not break the bound walk — absent files contribute nothing
     val dir2 = tmpDir("narrow-stored-evo")
