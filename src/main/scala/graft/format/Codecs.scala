@@ -179,6 +179,14 @@ object Codecs {
     * per value, so the hot path pays a single atomic add per chunk level). */
   val decodedBlocks = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Top-level chunk VALUES materialized via [[Tablet.ChunkCursor]] since
+    * JVM start (one bump per chunk, by its row count — window decodes bump
+    * by the window length). The cascading filter decode's observability
+    * metric: a selectivity-ordered scan decodes fewer values of the
+    * later-ordered filter columns (reference:
+    * dwio/nimble/docs/develop/nimble_selective_reader.rst:163-199). */
+  val decodedValues = new java.util.concurrent.atomic.AtomicLong()
+
   /** Zero-copy encoding view (reference: dwio/nimble/encodings/views/
     * EncodingView.h): parse the nested encoding tree of a chunk payload
     * WITHOUT materializing any values — only the fixed header fields that

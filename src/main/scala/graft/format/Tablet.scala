@@ -1701,8 +1701,11 @@ object Tablet {
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
-      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur).expand }
-      else Codecs.decodeColumn(cur)
+      val c =
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur).expand }
+        else Codecs.decodeColumn(cur)
+      Codecs.decodedValues.addAndGet(c.len)
+      c
     }
 
     /** Encoding tree of the next chunk WITHOUT decoding any values
@@ -1728,8 +1731,11 @@ object Tablet {
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
-      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); (decodeShared(cur).expand, 0) }
-      else Codecs.decodeValuesRange(cur, from, until)
+      val (c, start) =
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); (decodeShared(cur).expand, 0) }
+        else Codecs.decodeValuesRange(cur, from, until)
+      Codecs.decodedValues.addAndGet(c.len)
+      (c, start)
     }
 
     /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
@@ -1740,8 +1746,13 @@ object Tablet {
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
-      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
-      else Codecs.decodeColumnDict(cur)
+      val c =
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
+        else Codecs.decodeColumnDict(cur)
+      // dict-preserving decode materializes indices (+ alphabet once per
+      // stripe): count rows — the work actually done per chunk
+      Codecs.decodedValues.addAndGet(c.len)
+      c
     }
 
     /** [[next]] for projection fill of string columns: DICT/shared-dict
@@ -1753,8 +1764,11 @@ object Tablet {
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
-      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
-      else Codecs.decodeColumnLazy(cur)
+      val c =
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
+        else Codecs.decodeColumnLazy(cur)
+      Codecs.decodedValues.addAndGet(c.len)
+      c
     }
   }
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic left-to-right cosine similarity of two float arrays.
     * Native fused expression ([[graft.functions.CosineSim]]) — bit-identical
     * to [[cosineComposed]] but one pass per row instead of interpreted
@@ -72,16 +74,18 @@ object Similarity {
     * G(G+1)/2 ~= 2*parallelism, i.e. G ~= 2*sqrt(parallelism), capped at 256
     * (beyond which replication, not task count, dominates cost). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blocks: Int = 0, exactLimit: Long = 2000000L): DataFrame = {
+      threshold: Double, blocks: Int = 0, exactLimit: Long = Long.MaxValue): DataFrame = {
     val spark = df.sparkSession
-    // Size routing (r12): the grid path is EXACT but O(n^2) compute — fine
-    // distributed up to a few million rows, ruinous at corpus scale. Above
-    // `exactLimit` rows the call degrades to the kmeans-blocked approximate
+    // Size routing (r12, OPT-IN since r13): the grid path is EXACT but
+    // O(n^2) compute — fine distributed up to a few million rows, ruinous at
+    // corpus scale. A caller passing a finite `exactLimit` opts in: above
+    // that many rows the call degrades to the kmeans-blocked approximate
     // path ([[semanticNearDupPairs]]): only intra-cluster pairs compare, so
     // compute drops to k * (n/k)^2 at a DOCUMENTED recall contract — pairs
     // whose members land in different clusters are missed; at near-dup
-    // thresholds (>= ~0.85) duplicates co-cluster almost always. Callers
-    // needing the exact set at any size pass exactLimit = Long.MaxValue.
+    // thresholds (>= ~0.85) duplicates co-cluster almost always. The default
+    // is Long.MaxValue — an existing exact call NEVER silently changes
+    // semantics, and pays no extra count() job.
     //
     // The exact-vs-approximate decision must NEVER ride an estimate:
     // optimizer rowCount is a selectivity guess (flipping result semantics
@@ -89,11 +93,13 @@ object Similarity {
     // compression and Catalyst defaultSize scaling (routing a 10M-row
     // corpus to the exact grid on it is a runaway O(n^2) job). One exact
     // count() — a single scan, trivial next to the pair join either way —
-    // makes the routing deterministic; callers wanting zero extra jobs AND
-    // the exact set pass exactLimit = Long.MaxValue.
-    if (exactLimit < Long.MaxValue) {
+    // makes the routing deterministic. An explicit `blocks` is the caller
+    // hand-sizing the exact grid: routing (and its count job) is skipped.
+    if (exactLimit < Long.MaxValue && blocks <= 0) {
       val rows = df.count()
       if (rows > exactLimit) {
+        log.warn(s"cosineNearDupPairs: $rows rows > exactLimit=$exactLimit — " +
+          "degrading to the approximate kmeans-blocked path (cross-cluster pairs are missed)")
         val k = math.max(8, math.min(8192, (rows / 20000L).toInt))
         return semanticNearDupPairs(df, idCol, vecCol, threshold, k)
       }

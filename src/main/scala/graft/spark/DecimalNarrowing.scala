@@ -158,10 +158,23 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
       for (l <- statsFor(j.left); r <- statsFor(j.right))
         yield TableStats((l.rowCount + 1) * (r.rowCount + 1),
           id => l.boundOf(id).orElse(r.boundOf(id)))
-    case r: DataSourceV2Relation if r.table.isInstanceOf[NimbleTable] =>
-      buildStats(r.table.asInstanceOf[NimbleTable], r.output)
     case sr: DataSourceV2ScanRelation if sr.relation.table.isInstanceOf[NimbleTable] =>
-      buildStats(sr.relation.table.asInstanceOf[NimbleTable], sr.output)
+      sr.scan match {
+        // bounds MUST derive from the exact file snapshot the scan will
+        // execute: NimbleScan pins its listing once per instance (forced
+        // here, reused verbatim by planInputPartitions), so a file appended
+        // after this proof can never be scanned by the rewritten plan
+        case ns: NimbleScan =>
+          (try Some(ns.pinnedMetas) catch { case _: Exception => None })
+            .flatMap(buildStats(sr.relation.table.asInstanceOf[NimbleTable], sr.output, _))
+        case _ => None
+      }
+    // NOTE: no bare DataSourceV2Relation arm. Pre-pushdown there is no Scan
+    // to pin a snapshot on, so a bound proven from a fresh listing could
+    // cover fewer files than the scan later executes (TOCTOU — appended rows
+    // would run unchecked long arithmetic). V2ScanRelationPushDown always
+    // runs before user-provided optimizer rules, so declining here costs
+    // nothing in practice.
     case _ => None
   }
 
@@ -175,10 +188,10 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
   private val boundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (BigInt, java.util.concurrent.ConcurrentHashMap[String, Option[java.math.BigDecimal]])]()
 
-  private def buildStats(table: NimbleTable, output: Seq[Attribute]): Option[TableStats] = {
+  private def buildStats(table: NimbleTable, output: Seq[Attribute],
+      metas: Seq[graft.format.GraftIO.FileMeta]): Option[TableStats] = {
     val path = table.dirPath
     val unsigned = table.unsignedCols
-    val metas = try NimbleSource.listMeta(path) catch { case _: Exception => return None }
     if (metas.isEmpty) return None
     // SHA-256 of the full signature: collision-sound like the full string
     // (a 32-bit hashCode was not) at 32 bytes per key instead of multi-MB
@@ -279,8 +292,15 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
       // unscaled bounds and UnscaledValue(attr) is a raw long read
       val dt = a.dataType.asInstanceOf[DecimalType]
       if (dt.precision > 18) None
-      else maxAbsOf(a, st).map { m =>
-        L(UnscaledValue(a), dt.scale, ceilBig(m).min(pow10(dt.precision) - 1))
+      else maxAbsOf(a, st).flatMap { m =>
+        // Trust the STATS, not the declared precision: a stored column whose
+        // unscaled min/max exceed 10^p-1 (corrupt file, foreign writer) has
+        // no retained runtime op that would null/throw on those values, so
+        // clamping the bound to the precision cap would under-bound the
+        // overflow proof. Decline instead.
+        val b = ceilBig(m)
+        if (b > pow10(dt.precision) - 1) None
+        else Some(L(UnscaledValue(a), dt.scale, b))
       }
     case c @ Cast(a: AttributeReference, dt: DecimalType, _, _) =>
       a.dataType match {

@@ -255,6 +255,26 @@ object Filters {
       }
     }
 
+  /** Static selectivity seed for the cascading filter decode's column
+    * ordering (cold start, before observed pass rates accumulate): smaller =
+    * likely more selective. Equality probes narrow hardest, ranges less,
+    * IsNotNull barely at all. */
+  def seedRank(f: Filter): Int = f match {
+    case AlwaysFalse() => 0
+    case EqualTo(_, _) | EqualNullSafe(_, _) => 1
+    case In(_, _) => 2
+    case IsNull(_) => 2
+    case StringStartsWith(_, _) => 3
+    case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) => 4
+    case StringEndsWith(_, _) | StringContains(_, _) => 5
+    case And(l, r) => math.min(seedRank(l), seedRank(r))
+    case Or(l, r) => math.min(6, math.max(seedRank(l), seedRank(r)) + 1)
+    case Not(_) => 7
+    case IsNotNull(_) => 9
+    case _ => 6
+  }
+
   // ----------------------------------------------------- row-level eval
 
   /** Compile a filter into a per-row predicate over decoded columns.

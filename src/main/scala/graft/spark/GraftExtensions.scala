@@ -35,7 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
-    // stats-proven decimal aggregate narrowing over nimble relations
-    ext.injectOptimizerRule(_ => DecimalNarrowing)
+    // stats-proven decimal aggregate narrowing over nimble relations.
+    // The rule must run AFTER V2ScanRelationPushDown — its overflow proof
+    // reads the exact file snapshot the built NimbleScan pins — but every
+    // direct injection slot (injectOptimizerRule = operator-optimization
+    // batch, injectPreCBORule) runs BEFORE scan pushdown in Spark 4.1
+    // (verified empirically). The one post-pushdown batch is "User Provided
+    // Optimizers" (experimental.extraOptimizations), so the injected
+    // builder — which receives the session when its state is constructed —
+    // wires the rule there (idempotent), and the operator-batch slot itself
+    // contributes nothing (the rule declines on bare pre-pushdown
+    // relations by design).
+    ext.injectOptimizerRule { session =>
+      DecimalNarrowing.install(session)
+      DecimalNarrowing
+    }
   }
 }

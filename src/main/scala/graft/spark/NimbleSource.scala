@@ -1180,6 +1180,16 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
+  /** File-listing SNAPSHOT, pinned once per Scan instance (Iceberg-style
+    * snapshot isolation): planning-time consumers (estimateStatistics, the
+    * DecimalNarrowing overflow proof, bucket/ordering metadata) and
+    * execution (planInputPartitions — runtime-filter replans included) all
+    * see the SAME file set. Without the pin, rows appended between a
+    * stats-derived rewrite and execution would be scanned but not covered by
+    // the proof (the r12-advice TOCTOU). */
+  private[spark] lazy val pinnedMetas: Seq[GraftIO.FileMeta] = NimbleSource.listMeta(path)
+  private def pinnedFiles: Seq[String] = pinnedMetas.map(_.path)
+
   /** Spark-UI scan counters (summed over tasks): the skipped-work numbers
     * an operator tuning a 100 TB scan needs without debug logging. */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1207,7 +1217,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     // multi-argument bucket transform (verified empirically — the join
     // shuffles anyway), so grouping those scans by bucket would cap
     // parallelism at numBuckets for zero benefit
-    else NimbleSource.bucketSpecOf(NimbleSource.listFiles(path)).filter(_._1.length == 1)
+    else NimbleSource.bucketSpecOf(pinnedFiles).filter(_._1.length == 1)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedBuckets match {
@@ -1231,7 +1241,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       case Some(_) if org.apache.spark.sql.internal.SQLConf.get
         .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_SORTING_ENABLED) =>
         import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
-        val files = NimbleSource.listFiles(path)
+        val files = pinnedFiles
         val sortCols = NimbleSource.footerOf(files.head).sortColumns
         val ok = sortCols.nonEmpty &&
           sortCols.forall(c => !unsignedCols.contains(c)) &&
@@ -1285,7 +1295,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     * the per-partition limit early-stop. Spark still runs the global
     * sort+limit (partial pushdown). */
   private def planTopNPartitions(t: TopNPush): Array[InputPartition] = {
-    val files = NimbleSource.listFiles(path)
+    val files = pinnedFiles
     NimbleSource.prefetchFooters(files)
     val parts = mutable.ArrayBuffer[InputPartition]()
     var selected = 0
@@ -1376,7 +1386,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
       case org.apache.spark.sql.sources.EqualTo("_file", v) if v != null =>
         Set(String.valueOf(v))
     }
-    val listed = NimbleSource.listFiles(path)
+    val listed = pinnedFiles
     val allFiles = fileFilter.map(keep => listed.filter(keep.contains)).getOrElse(listed)
     if (rowLevel != null) rowLevel.recordScanned(allFiles)
     NimbleSource.prefetchFooters(allFiles)
@@ -1483,7 +1493,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
-    val metas = NimbleSource.listMeta(path)
+    val metas = pinnedMetas
     NimbleSource.prefetchFooters(metas.map(_.path))
     for (meta <- metas) {
       rows += NimbleSource.footerOf(meta.path).rowCount
@@ -1802,6 +1812,45 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val requiredFilterRefs: Set[String] =
     filters.flatMap(_.references).toSet.intersect(required.fieldNames.toSet)
 
+  // ---- cascading filter decode plan (reference:
+  // docs/develop/nimble_selective_reader.rst:163-199 — decode filter columns
+  // in selectivity order, each narrowing the row set the next must test).
+  // Reader per referenced column that exists in this file: filter-only
+  // columns get their own cursors; projected refs reuse the field reader so
+  // the decoded chunk serves the vector fill too.
+  private val cascadeReaderOf: Map[String, Fields.FieldReader] = {
+    val req = required.fields.zipWithIndex.collect {
+      case (f, i) if requiredFilterRefs.contains(f.name) && fieldReaders(i) != null =>
+        f.name -> fieldReaders(i)
+    }.toMap
+    filterReaders ++ req
+  }
+  private def presentRefsOf(f: Filter): Array[String] =
+    f.references.distinct.filter(cascadeReaderOf.contains)
+  /** Conjuncts over only-absent (schema-evolved) columns: row-constant over
+    * an all-null chunk — one evaluation decides the chunk, zero decode. */
+  private val constantConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).isEmpty)
+  /** Cascadable groups: conjuncts whose present refs collapse to ONE column
+    * (absent extra refs read as null), keyed by that column. */
+  private val cascadeGroups: Array[(String, Array[Filter])] =
+    filters.filter(presentRefsOf(_).length == 1)
+      .groupBy(f => presentRefsOf(f).head).toArray
+  /** Conjuncts spanning >= 2 present columns: evaluated after the cascade,
+    * over whatever rows survive it. */
+  private val tailConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).length >= 2)
+  // adaptive selectivity evidence: rows evaluated / rows passed per column
+  private val cascadeEvaluated = mutable.HashMap[String, Long]()
+  private val cascadePassed = mutable.HashMap[String, Long]()
+  /** Present groups ordered most-selective-first: observed pass rate once a
+    * chunk of evidence exists, else the static filter-kind seed. */
+  private def cascadeOrder(): Array[(String, Array[Filter])] =
+    if (cascadeGroups.length <= 1) cascadeGroups
+    else cascadeGroups.sortBy { case (c, fs) =>
+      val tot = cascadeEvaluated.getOrElse(c, 0L)
+      if (tot >= 1024) cascadePassed.getOrElse(c, 0L).toDouble / tot
+      else 0.05 * (1 + fs.map(Filters.seedRank).min)
+    }
+
   private val anchor: Tablet.ChunkCursor = {
     // any stream tracks chunk progression; use the first needed (or none)
     if (neededKeys.nonEmpty) cursors(neededKeys.head) else null
@@ -1951,74 +2000,141 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       case other => other.readChunk(discardVector(dt), null)
     }
 
-  /** Decode filter columns of the next chunk, evaluate pushed predicates,
-    * fill survivors. Returns 1 = batch ready, -1 = end, 0 = chunk fully
-    * filtered (caller continues the loop). */
+  /** Cascading filter decode of the next chunk (the reference's
+    * selectivity-ordered SelectiveReader idea, nimble_selective_reader.rst:
+    * 163-199): absent-column conjuncts decide first at zero cost, then each
+    * single-column group decodes ONLY its column — most selective first —
+    * and narrows the survivor set for everything after it; once the set is
+    * empty, the remaining filter columns (and every projected column) are
+    * skipped without decoding. Returns 1 = batch ready, -1 = end, 0 = chunk
+    * fully filtered (caller continues the loop). */
   private def decodeAndFilterChunk(): Int = {
-    {
-      // decode filter columns, evaluate the pushed predicates per row;
-      // string columns decode dictionary-preserving (DictBytesCol) so
-      // low-cardinality predicates cost alphabet-size compares per chunk
-      def decodeFilterCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
-        case p: Fields.PrimR if dataSchema(name).dataType == StringType ||
-            dataSchema(name).dataType == BinaryType => p.decodeRawDict()
+    val decoded = mutable.HashMap[String, graft.format.Column]()
+    var chunkRows = -1
+    val dts: String => DataType = n => dataSchema(n).dataType
+    // string columns decode dictionary-preserving (DictBytesCol) so
+    // low-cardinality predicates cost alphabet-size compares per chunk
+    def decodeCol(name: String): graft.format.Column = decoded.getOrElseUpdate(name, {
+      val c = cascadeReaderOf(name) match {
+        case p: Fields.PrimR if dts(name) == StringType || dts(name) == BinaryType =>
+          p.decodeRawDict()
         case other => other.decodeRaw()
       }
-      val decoded = mutable.HashMap[String, graft.format.Column]()
-      for ((c, r) <- filterReaders) decoded(c) = decodeFilterCol(c, r)
-      var fi = 0
-      while (fi < fieldReaders.length) {
-        val name = required.fields(fi).name
-        if (requiredFilterRefs.contains(name) && fieldReaders(fi) != null)
-          decoded(name) = decodeFilterCol(name, fieldReaders(fi))
-        fi += 1
-      }
-      val chunkRows =
-        if (decoded.nonEmpty) decoded.valuesIterator.next().len
-        else anchor.peekStats().map(_.valueCount.toInt).getOrElse(
-          throw new IllegalStateException("nimble: chunk without stats while sizing an evolved batch"))
-      // filter columns absent from this file (schema evolution) evaluate as
-      // all-null — EqualTo/ranges never match, IsNull matches every row
-      val colOf: String => graft.format.Column = name =>
-        decoded.getOrElse(name, NimbleSource.nullColumn(dataSchema(name).dataType, chunkRows))
-      val preds = filters.map(f => Filters.compile(f, n => dataSchema(n).dataType, colOf))
-      val passed = new Array[Boolean](chunkRows)
-      var m = 0
-      var i = 0
-      while (i < chunkRows) {
-        var ok = true
-        var j = 0
-        while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
-        passed(i) = ok
-        if (ok) m += 1
-        i += 1
-      }
-      for ((c, r) <- filterReaders) discardChunk(r, dataSchema(c).dataType)
-      if (m == 0) {
-        // nothing survives: consume this chunk everywhere and move on
+      if (chunkRows < 0) chunkRows = c.len
+      c
+    })
+
+    var alive = -1 // -1: every row (survivor set not yet built)
+    var surv: Array[Int] = null
+    def applyPreds(preds: Array[Int => Boolean]): Unit =
+      if (surv == null) {
+        surv = new Array[Int](chunkRows)
+        var m = 0
+        var i = 0
+        while (i < chunkRows) {
+          var ok = true
+          var j = 0
+          while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
+          if (ok) { surv(m) = i; m += 1 }
+          i += 1
+        }
+        alive = m
+      } else {
+        var m = 0
         var k = 0
-        while (k < fieldReaders.length) {
-          if (fieldReaders(k) != null) discardChunk(fieldReaders(k), required.fields(k).dataType)
+        while (k < alive) {
+          val i = surv(k)
+          var ok = true
+          var j = 0
+          while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
+          if (ok) { surv(m) = i; m += 1 }
           k += 1
         }
-        0
-      } else if (allAtomicProjection) {
-        // compact survivors during the vector fill
-        val selection = if (m == chunkRows) null
-        else {
-          val sel = new Array[Int](m)
-          var s = 0; i = 0
-          while (i < chunkRows) { if (passed(i)) { sel(s) = i; s += 1 }; i += 1 }
-          sel
-        }
-        if (fillBatch(selection, chunkRows)) 1 else -1
-      } else {
-        // nested projection: fill full chunk, expose the mask (row reader filters)
-        val ok = fillBatch(null, chunkRows)
-        currentMask = if (m == chunkRows) null else passed
-        emitted -= (chunkRows - m) // only survivors count against the limit
-        if (ok) 1 else -1
+        alive = m
       }
+
+    // 1) row-constant conjuncts (all refs absent from this file: all-null)
+    var ci = 0
+    while (ci < constantConjuncts.length && alive != 0) {
+      val pred = Filters.compile(constantConjuncts(ci), dts,
+        n => NimbleSource.nullColumn(dts(n), 1))
+      if (!pred(0)) alive = 0
+      ci += 1
+    }
+
+    // 2) the cascade proper
+    val order = cascadeOrder()
+    var gi = 0
+    while (gi < order.length && alive != 0) {
+      val (cname, fs) = order(gi)
+      val c = decodeCol(cname)
+      val colOf: String => graft.format.Column =
+        n => if (n == cname) c else NimbleSource.nullColumn(dts(n), chunkRows)
+      val preds = fs.map(f => Filters.compile(f, dts, colOf))
+      val before = if (alive < 0) chunkRows else alive
+      applyPreds(preds)
+      cascadeEvaluated(cname) = cascadeEvaluated.getOrElse(cname, 0L) + before
+      cascadePassed(cname) = cascadePassed.getOrElse(cname, 0L) + alive
+      gi += 1
+    }
+
+    // 3) multi-present-column conjuncts over the cascade's survivors
+    if (alive != 0 && tailConjuncts.nonEmpty) {
+      var ti = 0
+      while (ti < tailConjuncts.length) {
+        val refs = tailConjuncts(ti).references
+        var ri = 0
+        while (ri < refs.length) {
+          if (cascadeReaderOf.contains(refs(ri))) decodeCol(refs(ri))
+          ri += 1
+        }
+        ti += 1
+      }
+      val colOf: String => graft.format.Column =
+        n => decoded.getOrElse(n, NimbleSource.nullColumn(dts(n), chunkRows))
+      applyPreds(tailConjuncts.map(f => Filters.compile(f, dts, colOf)))
+    }
+
+    if (chunkRows < 0)
+      // nothing decoded (all-constant conjuncts, or the chunk died before
+      // any decode): size from stats for the fill / skip bookkeeping
+      chunkRows = anchor.peekStats().map(_.valueCount.toInt).getOrElse {
+        if (alive == 0) 0 // dead chunk: exact size irrelevant, only alignment
+        else throw new IllegalStateException(
+          "nimble: chunk without stats while sizing an evolved batch")
+      }
+    val m = if (alive < 0) chunkRows else alive
+
+    // consume this chunk on every never-decoded filter-only cursor (decoded
+    // ones just clear their pending column) — chunk alignment is invariant
+    for ((c, r) <- filterReaders) discardChunk(r, dataSchema(c).dataType)
+    if (m == 0) {
+      // nothing survives: consume this chunk everywhere and move on
+      var k = 0
+      while (k < fieldReaders.length) {
+        if (fieldReaders(k) != null) discardChunk(fieldReaders(k), required.fields(k).dataType)
+        k += 1
+      }
+      0
+    } else if (allAtomicProjection) {
+      // compact survivors during the vector fill
+      val selection =
+        if (m == chunkRows) null
+        else java.util.Arrays.copyOf(surv, m)
+      if (fillBatch(selection, chunkRows)) 1 else -1
+    } else {
+      // nested projection: fill full chunk, expose the mask (row reader filters)
+      val ok = fillBatch(null, chunkRows)
+      currentMask =
+        if (m == chunkRows) null
+        else {
+          val passed = new Array[Boolean](chunkRows)
+          var k = 0
+          while (k < m) { passed(surv(k)) = true; k += 1 }
+          passed
+        }
+      emitted -= (chunkRows - m) // only survivors count against the limit
+      if (ok) 1 else -1
     }
   }
 
