@@ -119,6 +119,34 @@ object Bench {
         spark.read.format("nimble").load(scaleNoDir)
           .filter(col("skey") === probeSkey).count()
       }
+      // cascading 2-selective-column probe (r12 verdict #1 done-criterion):
+      // the selectivity-ordered decode evaluates the skey equality first, so
+      // chunks it kills never decode v at all — the per-column fraction
+      // below is v's decoded volume under the cascade vs alone (the
+      // "second column" decode drop; ~0 is ideal, 1.0 = no cascade).
+      // collect(), not count(): a count routes through the mid-scan
+      // aggregate fold, which bypasses the batch-reader cascade under test.
+      def cascadeProbe(): Int =
+        spark.read.format("nimble").load(scaleNoDir)
+          .filter(col("skey") === probeSkey && col("v") < 0.5).select("id").collect().length
+      timed("scale_probe_cascade")(cascadeProbe())
+      locally {
+        def delta(body: => Unit): Double = {
+          val d0 = graft.format.Codecs.decodedValues.get()
+          body
+          (graft.format.Codecs.decodedValues.get() - d0).toDouble
+        }
+        val dBoth = delta(cascadeProbe())
+        val dKey = delta {
+          spark.read.format("nimble").load(scaleNoDir)
+            .filter(col("skey") === probeSkey).select("id").collect()
+        }
+        val dV = delta {
+          spark.read.format("nimble").load(scaleNoDir)
+            .filter(col("v") < 0.5).select(lit(1)).collect()
+        }
+        results("scale_cascade_col2_frac") = math.max(0.0, dBoth - dKey) / math.max(1.0, dV)
+      }
       timed("scale_scan_full") {
         // + 0 blocks sum pushdown: this measures the vectorized scan (the
         // pushed fold is covered by agg_sum_fold at lineitem scale)
@@ -677,7 +705,7 @@ object Bench {
     val tier1 = results.filterNot { case (k, _) =>
       k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
-        "scale_delete_rewritten|scale_sql_update_files")
+        "scale_delete_rewritten|scale_sql_update_files|scale_probe_cascade")
     }
     // query mins outrank operator-probe mins: the judge's falsifiability
     // contract is "every q*/x* timing has a _min twin"; when the budget
@@ -691,7 +719,7 @@ object Bench {
     val tier6 = results.filter { case (k, _) =>
       k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
         "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten|" +
-        "scale_sql_update_files")
+        "scale_sql_update_files|scale_probe_cascade")
     }
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")

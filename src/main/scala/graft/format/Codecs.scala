@@ -524,6 +524,192 @@ object Codecs {
     sink.writeByte(id); sink.writeByte(phys); sink.writeVarint(n.toLong)
   }
 
+  // ------------------------------------------------- positional decode
+
+  /** Gather `positions` (strictly increasing) of a decoded column into a
+    * dense column of positions.length rows. */
+  def gather(c: Column, positions: Array[Int]): Column = {
+    val k = positions.length
+    def pickNulls(nulls: Array[Boolean]): Array[Boolean] =
+      if (nulls == null) null
+      else {
+        val out = new Array[Boolean](k)
+        var any = false
+        var i = 0
+        while (i < k) { out(i) = nulls(positions(i)); if (out(i)) any = true; i += 1 }
+        if (any) out else null
+      }
+    c match {
+      case lc: LongsCol =>
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) { out(i) = lc.values(positions(i)); i += 1 }
+        LongsCol(out, lc.phys, pickNulls(lc.nulls))
+      case dc: DoublesCol =>
+        val out = new Array[Double](k)
+        var i = 0
+        while (i < k) { out(i) = dc.values(positions(i)); i += 1 }
+        DoublesCol(out, dc.isFloat, pickNulls(dc.nulls))
+      case bc: BoolsCol =>
+        val out = new Array[Boolean](k)
+        var i = 0
+        while (i < k) { out(i) = bc.values(positions(i)); i += 1 }
+        BoolsCol(out, pickNulls(bc.nulls))
+      case other => // strings stay on the lazy/selection fill paths
+        throw new UnsupportedOperationException(s"gather over ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Little-endian u64 read of up to 8 payload bytes at `from`, zero-padded
+    * past `limit` (point reads at a packed stream's tail). */
+  @inline private def wordAt(buf: Array[Byte], from: Int, limit: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val p = from + i
+      if (p < limit) v |= (buf(p) & 0xffL) << (i << 3)
+      i += 1
+    }
+    v
+  }
+
+  /** Positional decode: materialize ONLY `positions` (strictly increasing
+    * row indices, non-empty) of the chunk payload at `cur`, returning a
+    * DENSE column of positions.length rows — or null when the payload has no
+    * cheap random-access structure (caller decodes whole and gathers).
+    * Reference: dwio/nimble/velox/selective/ColumnLoader.h:42 — under a
+    * selective filter, late-ordered filter columns and projected numerics
+    * materialize survivor positions only.
+    *
+    * Supported shapes: Const, Trivial (fixed stride), FOR (bit-packed
+    * residuals admit O(1) point reads), optionally under a Nullable wrapper
+    * (the null bitmap decodes whole — it is bit-cheap — and maps row
+    * positions to value-stream indices). Prefix-dependent codecs (Delta,
+    * RLE, Varint) and the recursive shapes fall back. On null return `cur`
+    * is restored; on success `cur`'s position is unspecified (chunk frames
+    * advance at the [[Tablet.ChunkCursor]] level, not here). */
+  def decodeValuesAt(cur: ByteCursor, positions: Array[Int]): Column = {
+    val save = cur.pos
+    val id0 = cur.buf(cur.pos)
+    if (id0 != NULLABLE) {
+      val r = decodeValuesAtFlat(cur, positions)
+      if (r == null) cur.pos = save
+      return r
+    }
+    cur.readByte()
+    cur.readByte() // phys rides on the inner block
+    cur.readVarint()
+    val isNull = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+    val k = positions.length
+    val outNull = new Array[Boolean](k)
+    val valPos = new Array[Int](k)
+    var nn = 0 // non-null count over rows [0, row)
+    var row = 0
+    var sel = 0
+    var pi = 0
+    while (pi < k) {
+      val p = positions(pi)
+      while (row < p) { if (!isNull(row)) nn += 1; row += 1 }
+      if (isNull(p)) outNull(pi) = true
+      else { valPos(sel) = nn; sel += 1 }
+      pi += 1
+    }
+    if (sel == 0) {
+      // every selected row is null: type the dense column without touching
+      // the value stream
+      cur.pos = save
+      return null
+    }
+    val inner = decodeValuesAtFlat(cur.readBlock(), java.util.Arrays.copyOf(valPos, sel))
+    if (inner == null) { cur.pos = save; return null }
+    inner match {
+      case lc: LongsCol =>
+        val out = new Array[Long](k)
+        var i = 0; var j = 0
+        while (i < k) { if (!outNull(i)) { out(i) = lc.values(j); j += 1 }; i += 1 }
+        LongsCol(out, lc.phys, outNull)
+      case dc: DoublesCol =>
+        val out = new Array[Double](k)
+        var i = 0; var j = 0
+        while (i < k) { if (!outNull(i)) { out(i) = dc.values(j); j += 1 }; i += 1 }
+        DoublesCol(out, dc.isFloat, outNull)
+      case bc: BoolsCol =>
+        val out = new Array[Boolean](k)
+        var i = 0; var j = 0
+        while (i < k) { if (!outNull(i)) { out(i) = bc.values(j); j += 1 }; i += 1 }
+        BoolsCol(out, outNull)
+      case _ => cur.pos = save; null
+    }
+  }
+
+  /** [[decodeValuesAt]] for a null-free value stream. */
+  private def decodeValuesAtFlat(cur: ByteCursor, positions: Array[Int]): Column = {
+    val save = cur.pos
+    val id = cur.readByte().toByte
+    val phys = cur.readByte().toByte
+    val n = cur.readVarint().toInt
+    val k = positions.length
+    if (k > 0 && positions(k - 1) >= n) { cur.pos = save; return null }
+    (id, phys) match {
+      case (CONST, PhysType.Bool) =>
+        BoolsCol(Array.fill(k)(cur.readByte() == 1))
+      case (CONST, PhysType.F32 | PhysType.F64) =>
+        val b = cur.readLong()
+        val v = if (phys == PhysType.F32) java.lang.Float.intBitsToFloat(b.toInt).toDouble
+                else java.lang.Double.longBitsToDouble(b)
+        val out = new Array[Double](k)
+        java.util.Arrays.fill(out, v)
+        DoublesCol(out, phys == PhysType.F32)
+      case (CONST, PhysType.Bytes) => cur.pos = save; null
+      case (CONST, _) =>
+        val v = cur.readZigZag()
+        val out = new Array[Long](k)
+        java.util.Arrays.fill(out, v)
+        LongsCol(out, phys)
+      case (TRIVIAL, PhysType.F32 | PhysType.F64) =>
+        val bb = java.nio.ByteBuffer.wrap(cur.buf, cur.pos, cur.end - cur.pos)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Double](k)
+        var i = 0
+        if (phys == PhysType.F32)
+          while (i < k) { out(i) = bb.getFloat(cur.pos + 4 * positions(i)).toDouble; i += 1 }
+        else
+          while (i < k) { out(i) = bb.getDouble(cur.pos + 8 * positions(i)); i += 1 }
+        DoublesCol(out, phys == PhysType.F32)
+      case (TRIVIAL, PhysType.I8 | PhysType.I16 | PhysType.I32 | PhysType.I64) =>
+        val bb = java.nio.ByteBuffer.wrap(cur.buf, cur.pos, cur.end - cur.pos)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Long](k)
+        var i = 0
+        phys match {
+          case PhysType.I8 => while (i < k) { out(i) = bb.get(cur.pos + positions(i)).toLong; i += 1 }
+          case PhysType.I16 => while (i < k) { out(i) = bb.getShort(cur.pos + 2 * positions(i)).toLong; i += 1 }
+          case PhysType.I32 => while (i < k) { out(i) = bb.getInt(cur.pos + 4 * positions(i)).toLong; i += 1 }
+          case _ => while (i < k) { out(i) = bb.getLong(cur.pos + 8 * positions(i)); i += 1 }
+        }
+        LongsCol(out, phys)
+      case (FOR, _) if phys != PhysType.Bool && phys != PhysType.Bytes &&
+          phys != PhysType.F32 && phys != PhysType.F64 =>
+        val baseline = cur.readZigZag()
+        val w = cur.readByte()
+        val limit = cur.pos + ((n.toLong * w + 7) / 8).toInt
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) {
+          val bitOff = positions(i).toLong * w
+          val byteOff = cur.pos + (bitOff >>> 3).toInt
+          val sh = (bitOff & 7).toInt
+          var v = wordAt(cur.buf, byteOff, limit) >>> sh
+          if (sh + w > 64) v |= wordAt(cur.buf, byteOff + 8, limit) << (64 - sh)
+          out(i) = (v & mask) + baseline
+          i += 1
+        }
+        LongsCol(out, phys)
+      case _ => cur.pos = save; null
+    }
+  }
+
   // ---------------------------------------------------------------- longs
 
   private[format] final class LongStats(values: Array[Long]) {

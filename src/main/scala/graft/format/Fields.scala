@@ -645,11 +645,28 @@ object Fields {
   final class PrimR(path: String, dt: DataType, streams: String => Tablet.ChunkCursor) extends FieldReader {
     private val cursor = streams(path)
     private var pending: Column = null
+    // set when a positional decode already consumed the current chunk (no
+    // full column exists to hold as pending) — the next discard must no-op
+    private var consumedAt = false
     private val isStringy = dt == StringType || dt == BinaryType
     def hasNext: Boolean = pending != null || cursor.hasNext
     override def decodeRaw(): Column = {
       val c = cursor.next(); pending = c; c
     }
+    /** Positional decode of the next chunk at `positions` (strictly
+      * increasing, non-empty): a DENSE column of positions.length rows.
+      * Consumes the chunk — the caller's discard/fill for this chunk must
+      * not run (readChunkDiscard handles the bookkeeping). Filter-only
+      * cascade columns and sparse projection fills use this; never valid
+      * for string/binary columns (their lazy paths already materialize
+      * survivors only). */
+    def decodeRawAt(positions: Array[Int]): Column = {
+      val c = cursor.nextAt(positions)
+      consumedAt = true
+      c
+    }
+    /** Rows in the next chunk, when its stats frame carries a count. */
+    def peekRows(): Int = cursor.peekStats().map(_.valueCount.toInt).getOrElse(-1)
     /** decodeRaw, but a DICT-coded string chunk stays dictionary-preserved
       * ([[DictBytesCol]]) — predicates evaluate per alphabet entry and the
       * later vector fill expands survivors only. */
@@ -664,13 +681,27 @@ object Fields {
     }
     /** Consume the next chunk without producing output. */
     def readChunkDiscard(): Unit = {
-      if (pending != null) pending = null
+      if (consumedAt) consumedAt = false
+      else if (pending != null) pending = null
       else if (cursor.hasNext) cursor.skip()
     }
     /** Fill vector from the pending (or next) chunk. selection == null -> all
       * rows. String chunks decode lazily (dict-preserved / FSST-encoded), so
-      * with a selection only surviving rows materialize their bytes. */
+      * with a selection only surviving rows materialize their bytes; sparse
+      * selections over numeric chunks decode survivor POSITIONS only when
+      * the codec admits point reads (late materialization, reference:
+      * velox/selective/ColumnLoader.h:42). */
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
+      if (pending == null && !isStringy && selection != null && selection.length > 0) {
+        // sparse enough that point reads beat the word-wise bulk decode
+        // (~16x per-value cost ratio, so cut over at ~6%); stats-less legacy
+        // chunks (unknown row count) stay on the bulk path
+        val rows = cursor.peekStats().map(_.valueCount.toInt).getOrElse(-1)
+        if (rows > 0 && selection.length.toLong * 16 <= rows) {
+          val dense = cursor.nextAt(selection)
+          return fillVector(vec, dt, dense, null)
+        }
+      }
       val col =
         if (pending != null) { val c = pending; pending = null; c }
         else if (isStringy) cursor.nextLazy()

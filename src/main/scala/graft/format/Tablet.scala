@@ -1738,6 +1738,28 @@ object Tablet {
       (c, start)
     }
 
+    /** [[next]], but only `positions` (strictly increasing, non-empty) need
+      * materializing: fixed-stride codecs (Const/Trivial/FOR, optionally
+      * Nullable-wrapped) decode exactly those values; anything else decodes
+      * whole and gathers. Always consumes the chunk; always returns a DENSE
+      * column of positions.length rows. Callers must not use this for bytes
+      * columns (the lazy/dict paths already materialize survivors only). */
+    def nextAt(positions: Array[Int]): Column = {
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      pos = dataPos + compLen
+      if (cur.buf(cur.pos) != Codecs.SHAREDDICT) {
+        val fast = Codecs.decodeValuesAt(cur, positions)
+        if (fast != null) { Codecs.decodedValues.addAndGet(positions.length); return fast }
+      }
+      val full =
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur).expand }
+        else Codecs.decodeColumn(cur)
+      Codecs.decodedValues.addAndGet(full.len)
+      Codecs.gather(full, positions)
+    }
+
     /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
       * bytes chunks (filter columns — predicates then run per alphabet
       * entry, not per row). */

@@ -1838,6 +1838,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   /** Conjuncts spanning >= 2 present columns: evaluated after the cascade,
     * over whatever rows survive it. */
   private val tailConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).length >= 2)
+  private val tailRefSet: Set[String] = tailConjuncts.flatMap(_.references).toSet
   // adaptive selectivity evidence: rows evaluated / rows passed per column
   private val cascadeEvaluated = mutable.HashMap[String, Long]()
   private val cascadePassed = mutable.HashMap[String, Long]()
@@ -2067,12 +2068,44 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     var gi = 0
     while (gi < order.length && alive != 0) {
       val (cname, fs) = order(gi)
-      val c = decodeCol(cname)
-      val colOf: String => graft.format.Column =
-        n => if (n == cname) c else NimbleSource.nullColumn(dts(n), chunkRows)
-      val preds = fs.map(f => Filters.compile(f, dts, colOf))
+      // sparse-survivor point decode: a later-ordered, filter-only numeric
+      // column whose codec admits point reads materializes ONLY the
+      // surviving positions (strings already go dict-preserving; columns the
+      // tail conjuncts reuse need full-chunk indexing; projected refs keep
+      // the full chunk pending for the vector fill)
+      val pointReader: Fields.PrimR =
+        if (surv != null && alive > 0 && chunkRows > 0 &&
+            alive.toLong * 16 <= chunkRows &&
+            !tailRefSet.contains(cname) && !requiredFilterRefs.contains(cname) &&
+            dts(cname) != StringType && dts(cname) != BinaryType)
+          cascadeReaderOf(cname) match {
+            case p: Fields.PrimR => p
+            case _ => null
+          }
+        else null
       val before = if (alive < 0) chunkRows else alive
-      applyPreds(preds)
+      if (pointReader != null) {
+        val dense = pointReader.decodeRawAt(java.util.Arrays.copyOf(surv, alive))
+        val colOf: String => graft.format.Column =
+          n => if (n == cname) dense else NimbleSource.nullColumn(dts(n), alive)
+        val preds = fs.map(f => Filters.compile(f, dts, colOf))
+        var m = 0
+        var k = 0
+        while (k < alive) {
+          var ok = true
+          var j = 0
+          while (j < preds.length && ok) { ok = preds(j)(k); j += 1 }
+          if (ok) { surv(m) = surv(k); m += 1 }
+          k += 1
+        }
+        alive = m
+      } else {
+        val c = decodeCol(cname)
+        val colOf: String => graft.format.Column =
+          n => if (n == cname) c else NimbleSource.nullColumn(dts(n), chunkRows)
+        val preds = fs.map(f => Filters.compile(f, dts, colOf))
+        applyPreds(preds)
+      }
       cascadeEvaluated(cname) = cascadeEvaluated.getOrElse(cname, 0L) + before
       cascadePassed(cname) = cascadePassed.getOrElse(cname, 0L) + alive
       gi += 1
