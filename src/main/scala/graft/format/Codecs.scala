@@ -846,18 +846,39 @@ object Codecs {
       * arbitrary codec, it can only predict that searching is wasted). */
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
         uniqueFraction: Double, widthFraction: Double,
-        deltaWidthFraction: Double): Boolean
+        deltaWidthFraction: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Boolean
     /** Byte/string chunks: sampled Shannon entropy (bits/byte) is the
       * compressibility proxy — hex/base64-ish data stays well under 8. */
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean
+    /** Bitmask of candidate families whose O(n) ESTIMATION pass should be
+      * skipped for this chunk ([[SkipPfor]] — the bit-width histogram,
+      * [[SkipBlockBp]] — the per-block range scan, [[SkipSubint]] — the
+      * neighbor-xor pass): the model predicts they cannot reach the
+      * exact-encode top-2. 0 = estimate everything. Skipping only ever
+      * DROPS a candidate, so the worst possible outcome on shapes outside
+      * the training corpus is a slightly larger chunk — never a decode
+      * change. */
+    def skipEstimationMask(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double, deltaWidthFraction: Double,
+        pforRatio: Double, blockRatio: Double, subintRatio: Double): Int = 0
   }
+
+  final val SkipPfor = 1
+  final val SkipBlockBp = 2
+  final val SkipSubint = 4
+
+  /** Estimation passes skipped by the trained pre-filter since JVM start
+    * (observability for the write-throughput contract test). */
+  val estimationSkips = new java.util.concurrent.atomic.AtomicLong()
 
   /** Default: no pre-selection; every gated candidate is estimated and the
     * best 1-2 fully encoded (the Manual/cost policy). */
   object CostSelection extends SelectionPolicy {
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
         uniqueFraction: Double, widthFraction: Double,
-        deltaWidthFraction: Double): Boolean = false
+        deltaWidthFraction: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Boolean = false
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean = false
   }
 
@@ -871,28 +892,195 @@ object Codecs {
     * so e.g. 56-bit random longs correctly label skip-safe because the
     * search itself picks Trivial there), then grid-searches weight vectors
     * with the bias pinned a margin below the hardest compressible chunk.
-    * Result: uniform direction (fire when the mean of the four fractions
-    * exceeds ~0.93), 66/69 = 95.7% recall on skip-safe chunks, zero false
-    * fires on the corpus by construction. Re-derive after any cost-model or
-    * codec change: `tools/run_main.sh graft.tools.GateTrainer`. */
+    * Result (r13 corpus, adversarial PFOR/BLOCKBP/SUBINT families
+    * included): 75/84 = 89.3% recall on skip-safe chunks, zero false fires
+    * by construction — the ratio-proxy vetoes carry the separation the four
+    * fraction features cannot see. Re-derive after any cost-model or codec
+    * change: `tools/run_main.sh graft.tools.GateTrainer`. */
   final class LearnedTrivialGate(
       runW: Double = 0.5, uniqueW: Double = 0.5, widthW: Double = 0.5,
-      deltaW: Double = 0.5, bias: Double = -1.8569,
+      deltaW: Double = 1.0, bias: Double = -2.2688,
       entropyThreshold: Double = 7.5) extends SelectionPolicy {
     def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
         uniqueFraction: Double, widthFraction: Double,
-        deltaWidthFraction: Double): Boolean =
-      runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction +
-        deltaW * deltaWidthFraction + bias > 0
+        deltaWidthFraction: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Boolean =
+      // the cost-ratio proxies VETO the linear gate: a chunk compressible
+      // through patched-FOR, per-block packing, or a hi/lo bit split (the
+      // r13 adversarial families — all four fraction features sit at ~1.0
+      // there, so no linear separator can see them) must keep its search
+      pforRatio > PforRatioMax && blockRatio > BlockRatioMax &&
+        subintRatio > SubintRatioMax &&
+        runW * runFraction + uniqueW * uniqueFraction + widthW * widthFraction +
+          deltaW * deltaWidthFraction + bias > 0
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean =
       entropyBitsPerByte > entropyThreshold
+    override def skipEstimationMask(phys: Byte, n: Int, runFr: Double, uniqueFr: Double,
+        widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Int =
+      trainedEstimationMask(runFr, uniqueFr, widthFr, deltaFr, pforRatio, blockRatio, subintRatio)
   }
 
-  @volatile private var selectionPolicy: SelectionPolicy = CostSelection
-  /** Install a policy per JVM (tests/ingest jobs); pass [[CostSelection]] to
-    * restore the default. */
+  /** TRAINED estimation pre-filter thresholds (tools/GateTrainer part 2 —
+    * re-derive after any cost-model or codec change). Each feature is a
+    * sampled cost-ratio proxy of the family vs plain FOR; a family whose
+    * proxy sits ABOVE its threshold was never in the exact-encode top-2 on
+    * any corpus chunk (any recursion depth), margin-pinned. */
+  private[format] var PforRatioMax: Double = 0.9040
+  private[format] var BlockRatioMax: Double = 0.8906
+  private[format] var SubintRatioMax: Double = 0.8762
+
+  private[format] def trainedEstimationMask(runFr: Double, uniqueFr: Double,
+      widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
+      subintRatio: Double): Int = {
+    var m = 0
+    if (pforRatio > PforRatioMax) m |= SkipPfor
+    if (blockRatio > BlockRatioMax) m |= SkipBlockBp
+    if (subintRatio > SubintRatioMax) m |= SkipSubint
+    m
+  }
+
+  /** Production default: the full cost-based search, pre-filtered by the
+    * trained estimation mask (the learned half of the reference's
+    * EncodingSelectionPolicy.h:339 — rank candidates from cheap features,
+    * spend estimation/encode work only on the plausible ones). */
+  object TrainedSelection extends SelectionPolicy {
+    def skipToTrivialLongs(phys: Byte, n: Int, runFraction: Double,
+        uniqueFraction: Double, widthFraction: Double,
+        deltaWidthFraction: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Boolean = false
+    def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean = false
+    override def skipEstimationMask(phys: Byte, n: Int, runFr: Double, uniqueFr: Double,
+        widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
+        subintRatio: Double): Int =
+      trainedEstimationMask(runFr, uniqueFr, widthFr, deltaFr, pforRatio, blockRatio, subintRatio)
+  }
+
+  @volatile private var selectionPolicy: SelectionPolicy = TrainedSelection
+  /** Install a policy per JVM (tests/ingest jobs); pass null to restore the
+    * default ([[TrainedSelection]]); [[CostSelection]] disables every
+    * learned shortcut (the exhaustive search — trainer/labeling mode). */
   def setSelectionPolicy(p: SelectionPolicy): Unit =
-    selectionPolicy = if (p == null) CostSelection else p
+    selectionPolicy = if (p == null) TrainedSelection else p
+  def currentSelectionPolicy: SelectionPolicy = selectionPolicy
+
+  /** Sampled estimation-filter features over <= 1025 values (the deltaFr
+    * sample budget) — each is a cheap PROXY of the family's real cost
+    * estimate, expressed as a ratio to plain FOR at the global width, so
+    * thresholds are scale-free:
+    *  - pforRatio: best sampled patched-FOR cost (per candidate width w:
+    *    n*w bits + (physWidth+3) bytes per sampled exception) / n*gw bits.
+    *    PFOR's own plan gate demands < 0.88, so a sampled ratio near 1
+    *    proves the O(n) histogram pass is wasted.
+    *  - blockRatio: mean over sampled 128-value windows of window-range
+    *    width / global range width — BlockBitPacking's per-block cost
+    *    against FOR. */
+  private[format] def estimationFeatures(values: Array[Long], phys: Byte,
+      st: LongStats): (Double, Double, Double) = {
+    if (st.max == st.min) return (1.0, 1.0, 1.0)
+    val overflow = st.rangeOverflow
+    val pw = 8 * PhysType.byteWidth(phys)
+    val gw = if (overflow) pw else bitsFor(st.max - st.min)
+    val n = values.length
+    val end = math.min(n, 1025)
+    val denomBits = end.toLong * gw
+
+    // PFOR / BLOCKBP proxies: meaningless under range overflow (both
+    // families are structurally ineligible there) — report 1.0 (hopeless)
+    var pforBest = 1.0
+    var blockRatio = 1.0
+    if (!overflow) {
+      val hist = new Array[Int](gw + 1)
+      var i = 0
+      while (i < end) {
+        hist(bitsFor(values(i) - st.min)) += 1
+        i += 1
+      }
+      var covered = 0
+      var w = 1
+      val excBits = 8.0 * (PhysType.byteWidth(phys) + 3)
+      while (w < gw) {
+        covered += hist(w)
+        val exc = end - covered
+        if (exc * 8 <= end) { // mirror the real plan's exc <= n/8 gate
+          val r = (end.toLong * w + exc * excBits) / denomBits.toDouble
+          if (r < pforBest) pforBest = r
+        }
+        w += 1
+      }
+      var wsum = 0.0
+      var windows = 0
+      var b = 0
+      while (b < end) {
+        val e = math.min(b + 128, end)
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        i = b
+        while (i < e) { val v = values(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+        wsum += bitsFor(mx - mn).toDouble / gw
+        windows += 1
+        b = e
+      }
+      blockRatio = wsum / windows
+    }
+
+    // SUBINT proxy (valid under overflow too — the hi/lo split is the one
+    // family that still fires there): for each byte-boundary cut k, cost ~
+    // min(RLE of sampled hi runs, FOR at sampled hi width) + k bits/value
+    var subintBest = 1.0
+    var k = 8
+    while (k < pw) {
+      var runs = 1
+      var prev = values(0) >>> k
+      var hiMin = prev
+      var hiMax = prev
+      var i = 1
+      while (i < end) {
+        val h = values(i) >>> k
+        if (h != prev) { runs += 1; prev = h }
+        if (h < hiMin) hiMin = h
+        if (h > hiMax) hiMax = h
+        i += 1
+      }
+      val hiRleBits = runs.toLong * 80L // ~10 bytes per (len, value) run
+      val hiForBits = end.toLong * bitsFor(hiMax - hiMin)
+      val r = (math.min(hiRleBits, hiForBits) + end.toLong * k) / denomBits.toDouble
+      if (r < subintBest) subintBest = r
+      k += 8
+    }
+    (pforBest, blockRatio, subintBest)
+  }
+
+
+  /** When non-null (offline trainer introspection), every [[encodeLongs]]
+    * invocation that runs the candidate search appends
+    * (phys, n, gate features, estimation features, structural-eligibility
+    * mask, exact-encoded top ids). */
+  private[format] val selectionTrace =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+      (Byte, Int, (Double, Double, Double, Double), (Double, Double, Double), Int, Seq[Byte])]]
+
+  /** Run `f` with selection tracing enabled (offline trainer introspection):
+    * returns (result, one entry per long candidate search at any recursion
+    * depth: phys, n, gate features, estimation features, eligibility mask,
+    * exact-encoded top-2 ids). */
+  def withSelectionTrace[T](f: => T)
+      : (T, Seq[(Byte, Int, (Double, Double, Double, Double), (Double, Double, Double), Int, Seq[Byte])]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[
+      (Byte, Int, (Double, Double, Double, Double), (Double, Double, Double), Int, Seq[Byte])]()
+    selectionTrace.set(buf)
+    try { val r = f; (r, buf.toSeq) } finally selectionTrace.remove()
+  }
+
+  /** Trainer access to the estimation-filter thresholds (graft.tools). */
+  def setEstimationThresholds(pforRatioMax: Double, blockRatioMax: Double,
+      subintRatioMax: Double): Unit = {
+    PforRatioMax = pforRatioMax
+    BlockRatioMax = blockRatioMax
+    SubintRatioMax = subintRatioMax
+  }
+  def estimationThresholds: (Double, Double, Double) =
+    (PforRatioMax, BlockRatioMax, SubintRatioMax)
 
   /** The learned gate's feature vector for a long chunk — factored out so
     * the offline trainer ([[graft.tools.GateTrainer]]) and the hit-rate spec
@@ -900,6 +1088,14 @@ object Codecs {
   private[graft] def longGateFeatures(values: Array[Long],
       phys: Byte): (Double, Double, Double, Double) =
     longGateFeatures(values, phys, new LongStats(values))
+
+  /** Gate features + estimation cost-ratio proxies in one call (trainer and
+    * spec entry point — identical arithmetic to the production path). */
+  private[graft] def longSelectionFeatures(values: Array[Long], phys: Byte)
+      : ((Double, Double, Double, Double), (Double, Double, Double)) = {
+    val st = new LongStats(values)
+    (longGateFeatures(values, phys, st), estimationFeatures(values, phys, st))
+  }
 
   private[format] def longGateFeatures(values: Array[Long], phys: Byte,
       st0: LongStats): (Double, Double, Double, Double) = {
@@ -953,16 +1149,31 @@ object Codecs {
       if (replay != null) replay.observe(CONST, full = true)
       header(sink, CONST, phys, n); sink.writeZigZag(st.min); return
     }
-    // policy pre-selection: a learned gate may skip the search entirely
+    // policy pre-selection: a learned gate may skip the search entirely,
+    // and the trained estimation filter may skip candidate families' O(n)
+    // estimation passes (both default-off only under CostSelection)
     val pol = selectionPolicy
-    if (pol ne CostSelection) {
-      val (runFr, uniqueFr, widthFr, deltaFr) = longGateFeatures(values, phys, st)
-      if (pol.skipToTrivialLongs(phys, n, runFr, uniqueFr, widthFr, deltaFr)) {
+    val trace = selectionTrace.get()
+    var skipMask = 0
+    var traceFeat: ((Double, Double, Double, Double), (Double, Double, Double)) = null
+    if ((pol ne CostSelection) || trace != null) {
+      val gateF = longGateFeatures(values, phys, st)
+      val (runFr, uniqueFr, widthFr, deltaFr) = gateF
+      val estF = estimationFeatures(values, phys, st)
+      if ((pol ne CostSelection) &&
+          pol.skipToTrivialLongs(phys, n, runFr, uniqueFr, widthFr, deltaFr,
+            estF._1, estF._2, estF._3)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         header(sink, TRIVIAL, phys, n)
         trivialLongs(values, phys, sink)
         return
       }
+      if (pol ne CostSelection) {
+        skipMask = pol.skipEstimationMask(phys, n, runFr, uniqueFr, widthFr, deltaFr,
+          estF._1, estF._2, estF._3)
+        if (skipMask != 0) estimationSkips.incrementAndGet()
+      }
+      traceFeat = (gateF, estF)
     }
     // Analytic size estimates per gated candidate (reference:
     // dwio/nimble/encodings/selection/EncodingSizeEstimation.h) — only the
@@ -1037,7 +1248,7 @@ object Codecs {
     // PFOR: pack most values at a narrow width, patch outliers separately
     // (reference: dwio/nimble/encodings/PFOREncoding.h:74). Gated on the
     // bit-width histogram finding a width that beats plain FOR by >= 12%.
-    if (!st.rangeOverflow && n >= 64 && depth < MaxDepth) {
+    if ((skipMask & SkipPfor) == 0 && !st.rangeOverflow && n >= 64 && depth < MaxDepth) {
       val wf = bitsFor(st.max - st.min)
       if (wf > 2 && wf <= 57) {
         val hist = new Array[Int](wf + 1)
@@ -1086,7 +1297,7 @@ object Codecs {
     // BlockBitPacking: per-1024-row baseline + bit width — adapts to locally
     // narrow regions a single global FOR width can't exploit (reference:
     // dwio/nimble/encodings/BlockBitPackingEncoding.h:56).
-    if (!st.rangeOverflow && n >= 2048) {
+    if ((skipMask & SkipBlockBp) == 0 && !st.rangeOverflow && n >= 2048) {
       val bsz = 1024
       var est = 4.0
       var b = 0
@@ -1265,7 +1476,7 @@ object Codecs {
     // Reconstruction (hi << k) | lo is exact for every long since
     // (v >>> k) << k == v & ~mask. Gated behind the cheap codecs doing
     // poorly, so the extra O(n) neighbor-xor pass only runs on hard chunks.
-    if (width >= 4 && n >= 1024 && depth < MaxDepth &&
+    if ((skipMask & SkipSubint) == 0 && width >= 4 && n >= 1024 && depth < MaxDepth &&
         plans.iterator.map(_._2).min >= 0.45 * n.toLong * width) {
       // histogram of the highest bit differing between neighbors: run counts
       // of EVERY candidate hi-stream fall out of one suffix sum (hi at cut k
@@ -1308,6 +1519,18 @@ object Codecs {
       }
     }
     val sorted = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }
+    if (trace != null && traceFeat != null) {
+      // structural eligibility of the pre-filterable families (what the
+      // estimation pass WOULD have cost had the filter not run)
+      var elig = 0
+      if (!st.rangeOverflow && n >= 64 && depth < MaxDepth) {
+        val wf = bitsFor(st.max - st.min)
+        if (wf > 2 && wf <= 57) elig |= SkipPfor
+      }
+      if (!st.rangeOverflow && n >= 2048) elig |= SkipBlockBp
+      if (width >= 4 && n >= 1024 && depth < MaxDepth) elig |= SkipSubint
+      trace += ((phys, n, traceFeat._1, traceFeat._2, elig, sorted.take(2).map(_._1).toSeq))
+    }
     // locked layout: encode the replayed winner alone when it is still gated
     // in; otherwise (or every 8th chunk) run normal selection
     val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1

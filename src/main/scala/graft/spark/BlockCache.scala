@@ -23,6 +23,8 @@ object BlockCache {
 
   val hits = new java.util.concurrent.atomic.AtomicLong()
   val misses = new java.util.concurrent.atomic.AtomicLong()
+  /** Memory-evicted ranges served back from the local disk tier. */
+  val diskHits = new java.util.concurrent.atomic.AtomicLong()
 
   @volatile private var capacity: Long = -1L
   private def cap: Long = {
@@ -49,6 +51,80 @@ object BlockCache {
 
   private var totalBytes = 0L
   private val lru = new java.util.LinkedHashMap[Key, Array[Byte]](256, 0.75f, true)
+
+  // ---- disk tier (reference: velox_cache_and_nimble_datapath.rst —
+  // AsyncDataCache spills cold entries to local SSD so a remote-storage
+  // re-read becomes a local read). Memory-evicted blocks spill to
+  // `spark.graft.scan.blockCacheDiskDir` (default: a per-JVM tmpdir,
+  // best-effort wiped on exit) under their own LRU byte budget
+  // `spark.graft.scan.blockCacheDiskBytes` (default 0 = tier off). Keys are
+  // the same (file, mtime, length, stripe, stream) tuples, so an
+  // overwritten source file can never serve stale spilled bytes. ----
+  @volatile private var diskCapacity: Long = -1L
+  private def diskCap: Long = {
+    if (diskCapacity < 0) diskCapacity = confLong("spark.graft.scan.blockCacheDiskBytes", 0L)
+    diskCapacity
+  }
+  @volatile private var diskDirPath: String = null
+  private def diskDir: java.io.File = {
+    if (diskDirPath == null) {
+      val conf = try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.scan.blockCacheDiskDir", "") catch { case _: Throwable => "" }
+      val d = if (conf.nonEmpty) new java.io.File(conf)
+        else new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-blockcache-${java.lang.ProcessHandle.current().pid()}")
+      d.mkdirs()
+      d.deleteOnExit()
+      diskDirPath = d.getPath
+    }
+    new java.io.File(diskDirPath)
+  }
+  private var diskBytes = 0L
+  private var diskSeq = 0L
+  private val disk = new java.util.LinkedHashMap[Key, (java.io.File, Int)](256, 0.75f, true)
+
+  /** Spill a memory-evicted block to the disk tier (file IO outside the
+    * caller's lock; index insert + disk-LRU eviction under it). */
+  private def spill(key: Key, bytes: Array[Byte]): Unit = {
+    if (diskCap <= 0 || bytes.length > diskCap / 8) return
+    val f = lru.synchronized {
+      if (disk.containsKey(key)) return
+      diskSeq += 1
+      new java.io.File(diskDir, s"blk-$diskSeq.bin")
+    }
+    try java.nio.file.Files.write(f.toPath, bytes)
+    catch { case _: Exception => return } // disk full/unwritable: tier degrades to off
+    val evicted = new java.util.ArrayList[java.io.File]()
+    lru.synchronized {
+      val prev = disk.put(key, (f, bytes.length))
+      if (prev != null) { diskBytes -= prev._2; evicted.add(prev._1) }
+      diskBytes += bytes.length
+      val it = disk.entrySet().iterator()
+      while (diskBytes > diskCap && it.hasNext) {
+        val eldest = it.next()
+        diskBytes -= eldest.getValue._2
+        evicted.add(eldest.getValue._1)
+        it.remove()
+      }
+    }
+    val ei = evicted.iterator()
+    while (ei.hasNext) { val del = ei.next(); try del.delete() catch { case _: Exception => () } }
+  }
+
+  /** Disk-tier probe: on hit, read the spilled bytes back and promote them
+    * into the memory LRU. Null on miss or any read failure. */
+  private def diskLookup(key: Key): Array[Byte] = {
+    if (diskCap <= 0) return null
+    val entry = lru.synchronized(disk.get(key))
+    if (entry == null) return null
+    val bytes =
+      try java.nio.file.Files.readAllBytes(entry._1.toPath)
+      catch { case _: Exception => null } // concurrently evicted: a miss
+    if (bytes == null || bytes.length != entry._2) return null
+    diskHits.incrementAndGet()
+    insert(key, bytes)
+    bytes
+  }
 
   // ---- file-status amortization: cache keys need (mtime, length), which
   // costs a getFileStatus RPC per stripe fetch on remote stores. The default
@@ -84,6 +160,8 @@ object BlockCache {
       val hit = lru.get(key)
       if (hit != null) { hits.incrementAndGet(); return hit }
     }
+    val spilled = diskLookup(key)
+    if (spilled != null) { hits.incrementAndGet(); return spilled }
     misses.incrementAndGet()
     val bytes = load // outside the lock: concurrent duplicate loads beat a stalled cache
     insert(key, bytes)
@@ -91,11 +169,17 @@ object BlockCache {
   }
 
   /** Cache probe WITHOUT loading — the IO-coalescing read path splits its
-    * stream set into cached / to-fetch before issuing merged range reads. */
-  def peek(key: Key): Array[Byte] = lru.synchronized {
-    val hit = lru.get(key)
-    if (hit != null) hits.incrementAndGet()
-    hit
+    * stream set into cached / to-fetch before issuing merged range reads.
+    * Probes the disk tier too: a spilled block is still a local read, far
+    * cheaper than joining a remote coalesced fetch. */
+  def peek(key: Key): Array[Byte] = {
+    lru.synchronized {
+      val hit = lru.get(key)
+      if (hit != null) { hits.incrementAndGet(); return hit }
+    }
+    val spilled = diskLookup(key)
+    if (spilled != null) hits.incrementAndGet()
+    spilled
   }
 
   /** Insert bytes fetched externally (a slice of a coalesced range read). */
@@ -105,22 +189,41 @@ object BlockCache {
   }
 
   private def insert(key: Key, bytes: Array[Byte]): Unit =
-    if (bytes.length <= cap / 8) lru.synchronized {
-      val prev = lru.put(key, bytes)
-      totalBytes += bytes.length - (if (prev != null) prev.length.toLong else 0L)
-      val it = lru.entrySet().iterator()
-      while (totalBytes > cap && it.hasNext) {
-        val eldest = it.next()
-        totalBytes -= eldest.getValue.length
-        it.remove()
+    if (bytes.length <= cap / 8) {
+      val spills = new java.util.ArrayList[(Key, Array[Byte])]()
+      lru.synchronized {
+        val prev = lru.put(key, bytes)
+        totalBytes += bytes.length - (if (prev != null) prev.length.toLong else 0L)
+        val it = lru.entrySet().iterator()
+        while (totalBytes > cap && it.hasNext) {
+          val eldest = it.next()
+          totalBytes -= eldest.getValue.length
+          spills.add((eldest.getKey, eldest.getValue))
+          it.remove()
+        }
       }
-    }
+      // memory evictions cascade to the disk tier (outside the lock: the
+      // spill's file write must not stall readers)
+      val si = spills.iterator()
+      while (si.hasNext) { val (k, b) = si.next(); spill(k, b) }
+    } else spill(key, bytes) // too big for RAM != uncacheable: SSD-only entry
 
   /** Test/ops hook: drop everything and reread settings from the session. */
-  def clear(): Unit = lru.synchronized {
-    lru.clear(); totalBytes = 0L; capacity = -1L
-    metaCache.clear(); statusTtl = -1L
+  def clear(): Unit = {
+    val files = new java.util.ArrayList[java.io.File]()
+    lru.synchronized {
+      lru.clear(); totalBytes = 0L; capacity = -1L
+      metaCache.clear(); statusTtl = -1L
+      val it = disk.values().iterator()
+      while (it.hasNext) files.add(it.next()._1)
+      disk.clear(); diskBytes = 0L; diskCapacity = -1L; diskDirPath = null
+    }
+    val fi = files.iterator()
+    while (fi.hasNext) { try fi.next().delete() catch { case _: Exception => () } }
   }
+
+  /** Current spilled bytes in the disk tier (observability). */
+  def diskResidentBytes: Long = lru.synchronized(diskBytes)
 
   /** Current resident bytes (observability). */
   def residentBytes: Long = lru.synchronized(totalBytes)

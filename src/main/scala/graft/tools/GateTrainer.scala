@@ -24,21 +24,16 @@ import graft.format._
 object GateTrainer {
 
   final case class Example(name: String, runFr: Double, uniqueFr: Double,
-      widthFr: Double, deltaFr: Double, skipSafe: Boolean)
+      widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
+      subintRatio: Double, skipSafe: Boolean)
 
-  /** Labeled corpus across pattern families x sizes x seeds. */
-  def corpus(): Seq[Example] = {
-    val out = scala.collection.mutable.ArrayBuffer[Example]()
+  /** Raw pattern corpus across families x sizes x seeds. */
+  def rawPatterns(): Seq[(String, Array[Long], Byte)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Array[Long], Byte)]()
     for (seed <- Seq(1, 7, 42); n <- Seq(1024, 4096, 16384)) {
       val rnd = new scala.util.Random(seed)
-      def add(name: String, values: Array[Long], phys: Byte = PhysType.I64): Unit = {
-        val sink = new ByteSink()
-        Codecs.encodeColumn(LongsCol(values, phys), sink)
-        val trivial = values.length.toLong * PhysType.byteWidth(phys) + 8
-        val skipSafe = sink.size >= 0.97 * trivial
-        val (r, u, w, d) = Codecs.longGateFeatures(values, phys)
-        out += Example(s"$name/n=$n/s=$seed", r, u, w, d, skipSafe)
-      }
+      def add(name: String, values: Array[Long], phys: Byte = PhysType.I64): Unit =
+        out += ((s"$name/n=$n/s=$seed", values, phys))
       add("random64", Array.fill(n)(rnd.nextLong()))
       add("random63", Array.fill(n)(rnd.nextLong() >>> 1))
       for (w <- Seq(8, 16, 24, 32, 40, 48, 56))
@@ -66,11 +61,51 @@ object GateTrainer {
       add("clusteredIds", Array.tabulate(n)(i => (i / 100).toLong * 1000000L + rnd.nextInt(1000)))
       add("random32asI32", Array.fill(n)(rnd.nextInt().toLong), PhysType.I32)
       add("narrowInI32", Array.fill(n)(rnd.nextInt(4096).toLong), PhysType.I32)
+      // adversarial families for the estimation filter: shapes where PFOR /
+      // BlockBitPacking GENUINELY reach the top-2, so the trained skip
+      // thresholds are pinned by real positives, not an absent class
+      add("outliersWide40", Array.tabulate(n)(i =>
+        if (rnd.nextInt(50) == 0) rnd.nextLong() >>> 1 else rnd.nextLong() >>> 24))
+      add("outliersWide52", Array.tabulate(n)(i =>
+        if (rnd.nextInt(100) == 0) rnd.nextLong() >>> 1 else rnd.nextLong() >>> 12))
+      add("zipfNarrowPatch", Array.fill(n)(
+        if (rnd.nextInt(100) < 96) rnd.nextInt(4).toLong else rnd.nextInt(256).toLong))
+      add("blockShift28", { val base = rnd.nextLong() >>> 2
+        Array.tabulate(n)(i => base * ((i / 1024) + 1) + rnd.nextInt(1 << 28)) })
+      add("blockShift40", { val base = rnd.nextLong() >>> 2
+        Array.tabulate(n)(i => base * ((i / 1024) + 1) + (rnd.nextLong() >>> 24)) })
+      add("blockShift52", { val base = rnd.nextLong() >>> 2
+        Array.tabulate(n)(i => base * ((i / 1024) + 1) + (rnd.nextLong() >>> 12)) })
     }
     out.toSeq
   }
 
+  /** Labeled corpus for the Trivial gate: label by running the REAL
+    * cost-based search (under CostSelection — the caller installs it). */
+  def corpus(): Seq[Example] = {
+    // labels MUST come from the exhaustive search: corpus() may be called
+    // from a JVM whose installed policy is a gate/filter (the spec does) —
+    // labeling under it would be circular (gated chunks encode Trivial and
+    // read as skip-safe by construction)
+    val saved = Codecs.currentSelectionPolicy
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+    try rawPatterns().map { case (name, values, phys) =>
+      val sink = new ByteSink()
+      Codecs.encodeColumn(LongsCol(values, phys), sink)
+      val trivial = values.length.toLong * PhysType.byteWidth(phys) + 8
+      val skipSafe = sink.size >= 0.97 * trivial
+      val ((r, u, w, d), (pr, br, sr)) = Codecs.longSelectionFeatures(values, phys)
+      Example(name, r, u, w, d, pr, br, sr, skipSafe)
+    } finally Codecs.setSelectionPolicy(saved)
+  }
+
   def main(args: Array[String]): Unit = {
+    // labels must come from the EXHAUSTIVE search, not the trained defaults.
+    // The estimation filter trains FIRST: the Trivial gate's ratio veto
+    // reuses its thresholds.
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+    trainEstimationFilter()
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
     val ex = corpus()
     val pos = ex.filter(_.skipSafe)
     val neg = ex.filterNot(_.skipSafe)
@@ -79,14 +114,22 @@ object GateTrainer {
     def score(e: Example, w: Array[Double]): Double =
       w(0) * e.runFr + w(1) * e.uniqueFr + w(2) * e.widthFr + w(3) * e.deltaFr
 
+    // the production gate's ratio veto applies before the linear score: only
+    // veto-passing chunks reach the bias, so the adversarial PFOR/BLOCKBP
+    // families (feature-identical to incompressible noise in the four
+    // fractions) can never force the bias to kill recall
+    val (tp, tb, ts) = Codecs.estimationThresholds
+    def vetoPasses(e: Example): Boolean =
+      e.pforRatio > tp && e.blockRatio > tb && e.subintRatio > ts
     val grid = Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0)
     var best: (Array[Double], Double, Int) = null
     for (a <- grid; b <- grid; c <- grid; d <- grid) {
       val w = Array(a, b, c, d)
-      // the largest bias firing on zero negatives, with a 2% relative margin
-      val hardestNeg = neg.map(score(_, w)).max
+      // the largest bias firing on zero VETO-PASSING negatives, 2% margin
+      val vetoNeg = neg.filter(vetoPasses)
+      val hardestNeg = if (vetoNeg.isEmpty) 0.0 else vetoNeg.map(score(_, w)).max
       val bias = -(hardestNeg + 0.02 * (a + b + c + d))
-      val hits = pos.count(e => score(e, w) + bias > 0)
+      val hits = pos.count(e => vetoPasses(e) && score(e, w) + bias > 0)
       if (best == null || hits > best._3) best = (w :+ bias, bias, hits)
     }
     val Array(a, b, c, d, bias) = best._1
@@ -94,9 +137,78 @@ object GateTrainer {
     println(f"recall on skip-safe: ${best._3}/${pos.size} (${100.0 * best._3 / pos.size}%.1f%%), false fires: 0 by construction")
     // show the misses for feature-gap analysis
     val w = best._1
-    for (e <- pos if score(e, w.take(4)) + w(4) <= 0)
-      println(f"  miss: ${e.name}%-28s run=${e.runFr}%.2f uniq=${e.uniqueFr}%.2f width=${e.widthFr}%.2f delta=${e.deltaFr}%.2f")
-    for (e <- neg.sortBy(x => -score(x, w.take(4))).take(5))
+    for (e <- pos if !(vetoPasses(e) && score(e, w.take(4)) + w(4) > 0))
+      println(f"  miss: ${e.name}%-28s run=${e.runFr}%.2f uniq=${e.uniqueFr}%.2f width=${e.widthFr}%.2f delta=${e.deltaFr}%.2f pfor=${e.pforRatio}%.2f blk=${e.blockRatio}%.2f")
+    for (e <- neg.filter(vetoPasses).sortBy(x => -score(x, w.take(4))).take(5))
       println(f"  hardest negative: ${e.name}%-28s score=${score(e, w.take(4)) + w(4)}%.3f")
+  }
+
+  /** Part 2 — the estimation pre-filter (the learned candidate-ranking half
+    * of the reference's EncodingSelectionPolicy.h:339): from full-search
+    * traces over the corpus, derive per-family thresholds on the sampled
+    * features such that a family whose O(n) estimation pass is skipped was
+    * NEVER in the exact-encode top-2 on any corpus chunk (any recursion
+    * depth), margin-pinned midway to the hopeless mass. Verifies zero size
+    * drift corpus-wide with the derived thresholds installed. */
+  def trainEstimationFilter(): Unit = {
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+    val entries = scala.collection.mutable.ArrayBuffer[
+      (String, Byte, Int, (Double, Double, Double, Double), (Double, Double, Double), Int, Seq[Byte])]()
+    val fullSizes = scala.collection.mutable.LinkedHashMap[String, Int]()
+    for ((name, values, phys) <- rawPatterns()) {
+      val (sink, tr) = Codecs.withSelectionTrace {
+        val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s); s
+      }
+      fullSizes(name) = sink.size
+      for (t <- tr) entries += ((name, t._1, t._2, t._3, t._4, t._5, t._6))
+    }
+    def stats(bit: Int, id: Byte, feature: ((Double, Double, Double)) => Double)
+        : (Seq[Double], Seq[Double]) = {
+      val elig = entries.filter(e => (e._6 & bit) != 0)
+      val needed = elig.filter(_._7.contains(id)).map(e => feature(e._5))
+      val hopeless = elig.filterNot(_._7.contains(id)).map(e => feature(e._5))
+      (needed.toSeq, hopeless.toSeq)
+    }
+    val (pforNeeded, pforHopeless) = stats(Codecs.SkipPfor, Codecs.PFOR, _._1)
+    val (bbpNeeded, bbpHopeless) = stats(Codecs.SkipBlockBp, Codecs.BLOCKBP, _._2)
+    val (subNeeded, subHopeless) = stats(Codecs.SkipSubint, Codecs.SUBINT, _._3)
+    println(s"estimation filter: ${entries.size} searches traced")
+    println(f"  PFOR:    eligible=${pforNeeded.size + pforHopeless.size}, top-2 on ${pforNeeded.size}; " +
+      f"pforRatio needed-max=${if (pforNeeded.isEmpty) 0.0 else pforNeeded.max}%.4f")
+    println(f"  BLOCKBP: eligible=${bbpNeeded.size + bbpHopeless.size}, top-2 on ${bbpNeeded.size}; " +
+      f"blockRatio needed-max=${if (bbpNeeded.isEmpty) 0.0 else bbpNeeded.max}%.4f")
+    println(f"  SUBINT:  eligible=${subNeeded.size + subHopeless.size}, top-2 on ${subNeeded.size}; " +
+      f"subintRatio needed-max=${if (subNeeded.isEmpty) 0.0 else subNeeded.max}%.4f")
+    // thresholds: a family is skipped when its sampled cost-ratio proxy sits
+    // ABOVE the worst ratio at which it ever reached top-2, margin-pinned
+    // halfway to 1.0 (zero false-skips on the corpus by construction; a
+    // family with no corpus positives would train an unsupported threshold,
+    // so the trainer refuses and pins 1.0 = never skip)
+    def thresh(needed: Seq[Double], label: String): Double =
+      if (needed.isEmpty) { println(s"  !! no corpus positives for $label — pinning 1.0 (never skip)"); 1.0 }
+      else needed.max + (1.0 - needed.max) / 2.0
+    val pforThr = thresh(pforNeeded, "PFOR")
+    val bbpThr = thresh(bbpNeeded, "BLOCKBP")
+    val subThr = thresh(subNeeded, "SUBINT")
+    val pforSkipRate = if (pforHopeless.isEmpty) 0.0
+      else pforHopeless.count(_ > pforThr).toDouble / pforHopeless.size
+    val bbpSkipRate = if (bbpHopeless.isEmpty) 0.0
+      else bbpHopeless.count(_ > bbpThr).toDouble / bbpHopeless.size
+    val subSkipRate = if (subHopeless.isEmpty) 0.0
+      else subHopeless.count(_ > subThr).toDouble / subHopeless.size
+    println(f"  -> PforRatioMax=$pforThr%.4f (skips ${100 * pforSkipRate}%.1f%% of hopeless histograms)")
+    println(f"  -> BlockRatioMax=$bbpThr%.4f (skips ${100 * bbpSkipRate}%.1f%% of hopeless block scans)")
+    println(f"  -> SubintRatioMax=$subThr%.4f (skips ${100 * subSkipRate}%.1f%% of hopeless xor passes)")
+    // verify: with the derived thresholds installed, every corpus chunk
+    // encodes to EXACTLY the full-search size
+    Codecs.setEstimationThresholds(pforThr, bbpThr, subThr)
+    Codecs.setSelectionPolicy(null) // TrainedSelection with the new thresholds
+    var drift = 0
+    for ((name, values, phys) <- rawPatterns()) {
+      val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+      if (s.size != fullSizes(name)) { drift += 1; println(s"  SIZE DRIFT: $name ${fullSizes(name)} -> ${s.size}") }
+    }
+    println(s"size drift on corpus with filter installed: $drift chunks")
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
   }
 }

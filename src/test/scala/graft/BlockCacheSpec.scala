@@ -79,4 +79,53 @@ class BlockCacheSpec extends SparkTestBase {
     assert(BlockCache.misses.get() == misses1,
       "second probe must serve the index run and key chunks from memory")
   }
+  test("disk tier serves memory-evicted ranges without an FS stream read") {
+    // direct-API test: a tiny memory budget forces eviction; the evicted
+    // block must come back from the disk tier with the loader NEVER re-run
+    // (the loader closure throwing IS the no-FS-read assertion)
+    val prevMem = spark.conf.getOption("spark.graft.scan.blockCacheBytes")
+    val prevDisk = spark.conf.getOption("spark.graft.scan.blockCacheDiskBytes")
+    try {
+      spark.conf.set("spark.graft.scan.blockCacheBytes", "4096")
+      spark.conf.set("spark.graft.scan.blockCacheDiskBytes", (1L << 20).toString)
+      BlockCache.clear() // rereads both budgets
+      def key(i: Int) = BlockCache.Key(s"/fake/f$i", 1L, 10L, 0, "col")
+      val blockA = Array.fill[Byte](300)(7)
+      assert(BlockCache.getOrLoad(key(0))(blockA).sameElements(blockA))
+      // push enough distinct blocks through to evict A from the 4 KB memory tier
+      for (i <- 1 to 20) BlockCache.getOrLoad(key(i))(Array.fill[Byte](300)(i.toByte))
+      assert(BlockCache.residentBytes <= 4096)
+      assert(BlockCache.diskResidentBytes > 0, "evictions must spill to the disk tier")
+      val dh0 = BlockCache.diskHits.get()
+      val served = BlockCache.getOrLoad(key(0)) {
+        fail("loader ran: the disk tier did not serve the evicted block"); null
+      }
+      assert(served.sameElements(blockA), "disk tier returned wrong bytes")
+      assert(BlockCache.diskHits.get() == dh0 + 1)
+      // and through the real scan path: a table bigger than the memory
+      // budget scans twice with zero NEW loader misses on the second pass
+      val dir = tmpDir("blockcache_disk")
+      spark.range(100000).select(col("id"), (col("id") % 97).as("v"))
+        .coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+      val nb = spark.read.format("nimble").load(dir)
+      val q = () => nb.agg(count(lit(1)), sum("v")).collect()(0)
+      val cold = q()
+      val missesAfterCold = BlockCache.misses.get()
+      val warm = q()
+      assert(warm.toSeq == cold.toSeq)
+      assert(BlockCache.misses.get() == missesAfterCold,
+        "second scan must serve every stream from memory+disk tiers")
+    } finally {
+      prevMem match {
+        case Some(v) => spark.conf.set("spark.graft.scan.blockCacheBytes", v)
+        case None => spark.conf.unset("spark.graft.scan.blockCacheBytes")
+      }
+      prevDisk match {
+        case Some(v) => spark.conf.set("spark.graft.scan.blockCacheDiskBytes", v)
+        case None => spark.conf.unset("spark.graft.scan.blockCacheDiskBytes")
+      }
+      BlockCache.clear()
+    }
+  }
+
 }
