@@ -149,6 +149,27 @@ object DecimalNarrowing extends Rule[LogicalPlan] {
         }.toMap
         st.copy(boundOf = id => st.boundOf(aliasOf.getOrElse(id, id)))
       }
+    case u: Union =>
+      // UNION ALL: rows add; output attr i carries the HEAD child's exprId
+      // (Union.output transposes children.output taking head ids), so the
+      // per-attr bound must cover the column at position i of EVERY child.
+      // Type coercion between mismatched children materializes as Cast
+      // projects inside the children, whose computed columns miss bounds in
+      // the Project arm — same-typed unions pass through, coerced ones
+      // decline via a missing bound, never via an unsound one.
+      val childStats = u.children.map(statsFor)
+      if (childStats.exists(_.isEmpty)) None
+      else {
+        val sts = childStats.map(_.get)
+        val posOf = u.children.head.output.map(_.exprId).zipWithIndex.toMap
+        Some(TableStats(sts.map(_.rowCount).sum, id => posOf.get(id).flatMap { i =>
+          val bounds = u.children.lazyZip(sts).map { (c, st) =>
+            if (i < c.output.length) st.boundOf(c.output(i).exprId) else None
+          }
+          if (bounds.exists(_.isEmpty)) None
+          else Some(bounds.flatten.reduce((a, b) => if (a.compareTo(b) >= 0) a else b))
+        }))
+      }
     case j: Join =>
       // universal sound bound: no join type exceeds (|L|+1) * (|R|+1) output
       // rows (cartesian worst case; the +1 covers outer-join null rows of an

@@ -292,6 +292,71 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("FSST paper-invariant vectors: escape bytes, max-len symbols, binary alphabets, random access") {
+    // The published cwida/fsst corpus is unreachable offline, so the paper's
+    // INVARIANTS are pinned on adversarial in-repo vectors instead (the
+    // divergence from the reference wire format is documented in COVERAGE):
+    //  1. exact round-trip on any byte content — including 0xFF (the escape
+    //     code itself), full 0..255 alphabets, and 8-byte repeated runs;
+    //  2. random access: every string decodes independently, in any order,
+    //     from its own encoded slice alone;
+    //  3. codes stay in 0..253 — 254 never appears, 255 only as an escape.
+    val r = new scala.util.Random(42)
+    def mk(n: Int)(gen: Int => Array[Byte]): Array[Array[Byte]] = Array.tabulate(n)(gen)
+    val families: Seq[(String, Array[Array[Byte]])] = Seq(
+      "escape-heavy" -> mk(500)(i => Array.tabulate(8 + r.nextInt(24))(j =>
+        if ((i + j) % 3 == 0) 0xff.toByte else ('a' + (j % 7)).toByte)),
+      "full-alphabet" -> mk(256)(i => Array.tabulate(16)(j => ((i * 31 + j * 7) % 256).toByte)),
+      "long-runs" -> mk(400)(i => Array.fill(5 + r.nextInt(40))(('x' + i % 3).toByte)),
+      "url-ish" -> mk(600)(i =>
+        s"https://host${i % 5}.example.com/p/${r.nextInt(1000)}".getBytes("UTF-8")),
+      "empty-mixed" -> mk(300)(i => if (i % 4 == 0) Array.emptyByteArray
+        else s"key_${i % 13}_${r.nextInt(50)}".getBytes("ISO-8859-1")))
+    for ((name, strs) <- families) {
+      val offs = new Array[Int](strs.length + 1)
+      for (i <- strs.indices) offs(i + 1) = offs(i) + strs(i).length
+      val bytes = new Array[Byte](offs.last)
+      for (i <- strs.indices) System.arraycopy(strs(i), 0, bytes, offs(i), strs(i).length)
+      val table = Fsst.train(bytes, 0, bytes.length)
+      assert(table != null, s"$name: training found no symbols")
+      // per-string encode (the column layout's unit of random access)
+      val enc = new ByteSink()
+      val encOffs = new Array[Int](strs.length + 1)
+      for (i <- strs.indices) {
+        Fsst.encode(table, bytes, offs(i), offs(i + 1), enc)
+        encOffs(i + 1) = enc.size
+      }
+      val encArr = enc.toArray
+      // invariant 3: emitted codes are 0..253 symbols or 255-escapes
+      var p = 0
+      while (p < encArr.length) {
+        val b = encArr(p) & 0xff
+        assert(b != 254, s"$name: reserved code 254 emitted at $p")
+        if (b == Fsst.Escape) p += 2
+        else { assert(b < table.symbols.length, s"$name: code $b out of table"); p += 1 }
+      }
+      // invariants 1+2: decode every slice independently, in shuffled order
+      for (i <- r.shuffle(strs.indices.toList)) {
+        val out = new ByteSink()
+        val nBytes = Fsst.decode(table.symbols, encArr, encOffs(i), encOffs(i + 1), out)
+        assert(nBytes == strs(i).length &&
+          java.util.Arrays.equals(out.toArray, strs(i)),
+          s"$name: row $i failed random-access round-trip")
+      }
+      // and the whole column survives the full codec stack regardless of
+      // which encoding selection ends up picking
+      val col = BytesCol(offs, bytes)
+      val sink = new ByteSink()
+      Codecs.encodeColumn(col, sink)
+      val back = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[BytesCol]
+      assert(back.len == strs.length)
+      for (i <- strs.indices)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(back.bytes, back.offsets(i), back.offsets(i + 1)),
+          strs(i)), s"$name: column round-trip row $i")
+    }
+  }
+
   test("zstd chunk compression accept-ratio") {
     val raw = Array.fill[Byte](10000)(7)
     val (kind, data) = Tablet.compressChunk(raw)

@@ -116,6 +116,29 @@ class DecimalNarrowingSpec extends SparkTestBase {
       s"join aggregate should narrow (|L|*|R| bound provable at test scale):\n$p")
   }
 
+  test("narrows through UNION ALL (row counts add, per-attr bounds max)") {
+    import spark.implicits._
+    val a = Seq.tabulate(700)(i => (i % 4, (i * 13 % 5000) / 100.0 - 20.0)).toDF("g", "v")
+    val b = Seq.tabulate(900)(i => (i % 4, (i * 7 % 9000) / 100.0 - 40.0)).toDF("g", "v")
+    val na = nimbleOf(a, "narrow-union-a"); na.createOrReplaceTempView("dn_ua")
+    val nb = nimbleOf(b, "narrow-union-b"); nb.createOrReplaceTempView("dn_ub")
+    val q = """SELECT g, sum(CAST(v AS DECIMAL(18,2))) s, count(1) n FROM
+      (SELECT * FROM dn_ua UNION ALL SELECT * FROM dn_ub) GROUP BY g"""
+    val off = withRule(on = false)(rows(spark.sql(q)))
+    val before = DecimalNarrowing.rewrites.get()
+    val on = withRule(on = true)(rows(spark.sql(q)))
+    assert(on == off)
+    assert(DecimalNarrowing.rewrites.get() > before, "rule did not fire through Union")
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum(UnscaledValue"), s"union aggregate not narrowed:\n$p")
+    // three-way union with a FILTERED arm still narrows (Filter under Union)
+    val q3 = """SELECT sum(CAST(v AS DECIMAL(18,2))) s FROM
+      (SELECT * FROM dn_ua UNION ALL SELECT * FROM dn_ub
+       UNION ALL SELECT * FROM dn_ua WHERE g = 2)"""
+    assert(withRule(on = true)(rows(spark.sql(q3))) == withRule(on = false)(rows(spark.sql(q3))))
+    assert(spark.sql(q3).queryExecution.executedPlan.toString.contains("UnscaledValue"))
+  }
+
   test("stored decimal columns narrow via the raw unscaled stream") {
     import spark.implicits._
     // Decimal(<=18) is stored as an unscaled I64 stream, so the narrowed
