@@ -488,6 +488,20 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // batch index-lookup table function (SelectiveNimbleIndexReader
+    // surface): one SQL call, many probe requests, results in request order
+    // with lookup_seq carrying the request index — including a repeated key
+    // (two requests for the same key each get their own result rows)
+    "q43_lookup_tvf" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val d = Tables.roundTripDir(s, dir, "q43_lookup_tvf", src,
+        Map("indexColumns" -> "o_orderkey"))
+      graft.spark.NimbleLookupTvf.install(s)
+      s.sql(s"""SELECT lookup_seq, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM nimble_lookup('$d', 'o_orderkey', 7, 1211, 42, 1211, 998)""")
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1182,6 +1196,11 @@ object SparkEntry {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_totalprice > 50000.0
          GROUP BY o_orderstatus""",
+    "q43_lookup_tvf" ->
+      """SELECT s.lookup_seq, o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+         FROM (VALUES (0, 7), (1, 1211), (2, 42), (3, 1211), (4, 998))
+           AS s(lookup_seq, k)
+         JOIN orders o ON o.o_orderkey = s.k""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

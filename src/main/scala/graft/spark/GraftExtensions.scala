@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // batch index-lookup table function (SelectiveNimbleIndexReader surface)
+    ext.injectTableFunction((FunctionIdentifier(NimbleLookupTvf.name),
+      NimbleLookupTvf.info, NimbleLookupTvf.builder))
     // stats-proven decimal aggregate narrowing over nimble relations.
     // The rule must run AFTER V2ScanRelationPushDown — its overflow proof
     // reads the exact file snapshot the built NimbleScan pins — but every

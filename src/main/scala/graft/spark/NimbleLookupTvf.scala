@@ -1,0 +1,141 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.types._
+
+import graft.format.{GraftIO, Lookup}
+
+/** `nimble_lookup(path, 'k1[+k2..]', probe1[, probe2 ...])` — the batch
+  * index-lookup surface as a SQL table function (reference:
+  * dwio/nimble/velox/selective/SelectiveNimbleIndexReader.h:45-70 — encode
+  * the request bounds, probe matching stripes via the index, return results
+  * in REQUEST order: all rows for probe N before any row of probe N+1).
+  *
+  * Each probe is one lookup request: a scalar for a single-column key, or a
+  * `struct(v1, v2, ...)`/`(v1, v2)` for prefix equality on a composite
+  * index (`indexColumns=a+b` at write). The output prepends `lookup_seq`
+  * (the 0-based request index) to the table's columns, making the
+  * request-order contract part of the result, and letting callers join
+  * results back to their request batch without re-deriving keys.
+  *
+  * Execution is driver-side at plan-build time through
+  * [[graft.format.Lookup]] (footer-cached stripe pruning + `#cidx`/`#idx`
+  * probes — milliseconds per request, no Spark job), materialized as a
+  * [[LocalRelation]]. That is the right shape for what this API is — a
+  * low-latency point-probe surface; a LARGE probe set (thousands of keys+)
+  * belongs to the distributed scan path instead: `probe JOIN nimble_table`
+  * pushes an IN-filter into the scan, which the index-assisted candidate
+  * chunk selection serves (q25 / E2EFilterSpec) with full parallelism.
+  */
+object NimbleLookupTvf {
+  val name = "nimble_lookup"
+
+  val info = new ExpressionInfo("graft.spark.NimbleLookupTvf", name)
+
+  val builder: Seq[Expression] => LogicalPlan = build
+
+  /** Register on a session (idempotent) — the non-extensions path; cluster
+    * deployments get it via `spark.sql.extensions=graft.spark.GraftExtensions`. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  private def foldedScala(e: Expression, what: String): Any = {
+    require(e.foldable, s"$name: $what must be a literal, got: ${e.sql}")
+    CatalystTypeConverters.convertToScala(e.eval(EmptyRow), e.dataType)
+  }
+
+  private[spark] def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3,
+      s"usage: $name('/path/to/table', 'keyCol[+keyCol2..]', probe1[, probe2 ...])")
+    val path = String.valueOf(foldedScala(args(0), "path"))
+    val cols = String.valueOf(foldedScala(args(1), "key columns")).split("\\+").toSeq
+    require(cols.forall(_.nonEmpty), s"$name: empty key column in '${args(1).sql}'")
+
+    val metas = GraftIO.listGft(path)
+    require(metas.nonEmpty, s"$name: no nimble files under $path")
+    val tableSchema = DataType.fromJson(NimbleSource.footerOf(metas.head.path).schemaJson)
+      .asInstanceOf[StructType]
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    for (c <- cols) require(byName.contains(c),
+      s"$name: key column '$c' not in table schema ${tableSchema.fieldNames.mkString(",")}")
+
+    // probe components coerce to the STORED column type before key encoding
+    // (an INT literal probing a BIGINT or DOUBLE column must encode as the
+    // writer did, or the memcomparable binary search silently misses)
+    def coerce(v: Any, col: String): Any = (v, byName(col).dataType) match {
+      case (null, _) => null
+      case (n: Number, ByteType | ShortType | IntegerType | LongType) => n.longValue()
+      case (n: Number, FloatType | DoubleType) => n.doubleValue()
+      case (s: String, StringType) => s
+      case (other, dt) => throw new IllegalArgumentException(
+        s"$name: probe value $other (${other.getClass.getSimpleName}) does not fit " +
+          s"key column '$col' of type ${dt.simpleString}")
+    }
+
+    // atomic columns only, like Lookup itself — a complex-typed or binary
+    // column would come back absent/lossy, so it is excluded from the
+    // output up front (the scan path serves full-schema reads)
+    val outFields = tableSchema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | FloatType | DoubleType |
+           BooleanType | StringType => true
+      case dt: DecimalType => dt.precision <= 18
+      case _ => false
+    })
+    for (c <- cols) require(outFields.exists(_.name == c),
+      s"$name: key column '$c' is not an atomic lookup-able column")
+    val outSchema = StructType(
+      StructField("lookup_seq", IntegerType, nullable = false) +: outFields)
+
+    // Lookup hands back physical values (longs for every integral-backed
+    // stream, UTF-8 strings, doubles) — map them onto the logical catalyst
+    // representation the footer schema declares
+    def catalystOf(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) => l
+      case (l: java.lang.Long, IntegerType | DateType) => l.toInt
+      case (l: java.lang.Long, ShortType) => l.toShort
+      case (l: java.lang.Long, ByteType) => l.toByte
+      case (l: java.lang.Long, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal.createUnsafe(l, d.precision, d.scale)
+      case (d: java.lang.Double, DoubleType) => d
+      case (d: java.lang.Double, FloatType) => java.lang.Float.valueOf(d.toFloat)
+      case (b: java.lang.Boolean, BooleanType) => b
+      case (s: String, StringType) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case (other, t) => throw new IllegalStateException(
+        s"$name: cannot map looked-up value $other to ${t.simpleString}")
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    args.drop(2).zipWithIndex.foreach { case (probeExpr, seq) =>
+      val eq = foldedScala(probeExpr, s"probe ${seq + 1}") match {
+        case r: org.apache.spark.sql.Row => r.toSeq
+        case v => Seq(v)
+      }
+      require(eq.nonEmpty && eq.length <= cols.length,
+        s"$name: probe ${seq + 1} has ${eq.length} components for ${cols.length} key columns")
+      val vals = eq.zip(cols).map { case (v, c) => coerce(v, c) }
+      // request order is insertion order: every row of probe N lands before
+      // any row of probe N+1 (SelectiveNimbleIndexReader.h:66-68)
+      for (m <- Lookup.compositeLookup(path, cols, vals)) {
+        val arr = new Array[Any](outSchema.length)
+        arr(0) = seq
+        var i = 1
+        while (i < outSchema.length) {
+          val f = outSchema.fields(i)
+          arr(i) = catalystOf(m.getOrElse(f.name, null), f.dataType)
+          i += 1
+        }
+        rows += InternalRow.fromSeq(arr.toIndexedSeq)
+      }
+    }
+    LocalRelation(DataTypeUtils.toAttributes(outSchema), rows.toSeq)
+  }
+}
