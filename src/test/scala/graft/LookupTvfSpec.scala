@@ -84,9 +84,11 @@ class LookupTvfSpec extends SparkTestBase {
       val out = s2.sql(s"SELECT k, payload FROM nimble_lookup('$dir', 'k', 42)").collect()
       assert(out.toSeq == Seq(Row(42L, "payload_42")))
     } finally {
-      s2.stop()
-      org.apache.spark.sql.SparkSession.setActiveSession(spark)
-      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      // getOrCreate reuses the shared SparkContext: only clear the session —
+      // stopping s2 would stop the context under every other suite
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(SparkTestBase.session)
+      org.apache.spark.sql.SparkSession.setActiveSession(SparkTestBase.session)
     }
   }
 }
