@@ -615,10 +615,18 @@ object Codecs {
       pi += 1
     }
     if (sel == 0) {
-      // every selected row is null: type the dense column without touching
-      // the value stream
-      cur.pos = save
-      return null
+      // every selected row is null: type the dense column from the inner
+      // block's header without decoding its values
+      val innerCur = cur.readBlock()
+      innerCur.readByte() // encoding id
+      val innerPhys = innerCur.readByte().toByte
+      return innerPhys match {
+        case PhysType.F32 | PhysType.F64 =>
+          DoublesCol(new Array[Double](k), innerPhys == PhysType.F32, outNull)
+        case PhysType.Bool => BoolsCol(new Array[Boolean](k), outNull)
+        case PhysType.Bytes => cur.pos = save; null
+        case p => LongsCol(new Array[Long](k), p, outNull)
+      }
     }
     val inner = decodeValuesAtFlat(cur.readBlock(), java.util.Arrays.copyOf(valPos, sel))
     if (inner == null) { cur.pos = save; return null }
@@ -652,7 +660,10 @@ object Codecs {
     if (k > 0 && positions(k - 1) >= n) { cur.pos = save; return null }
     (id, phys) match {
       case (CONST, PhysType.Bool) =>
-        BoolsCol(Array.fill(k)(cur.readByte() == 1))
+        val v = cur.readByte() == 1
+        val out = new Array[Boolean](k)
+        java.util.Arrays.fill(out, v)
+        BoolsCol(out)
       case (CONST, PhysType.F32 | PhysType.F64) =>
         val b = cur.readLong()
         val v = if (phys == PhysType.F32) java.lang.Float.intBitsToFloat(b.toInt).toDouble
@@ -851,6 +862,9 @@ object Codecs {
     /** Byte/string chunks: sampled Shannon entropy (bits/byte) is the
       * compressibility proxy — hex/base64-ish data stays well under 8. */
     def skipToTrivialBytes(n: Int, totalBytes: Int, entropyBitsPerByte: Double): Boolean
+    /** false when [[skipToTrivialBytes]] is constant-false, so the encoder
+      * skips the sampled-entropy pass entirely on the bytes write path. */
+    def usesBytesGate: Boolean = true
     /** Bitmask of candidate families whose O(n) ESTIMATION pass should be
       * skipped for this chunk ([[SkipPfor]] — the bit-width histogram,
       * [[SkipBlockBp]] — the per-block range scan, [[SkipSubint]] — the
@@ -954,6 +968,7 @@ object Codecs {
         widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
         subintRatio: Double): Int =
       trainedEstimationMask(runFr, uniqueFr, widthFr, deltaFr, pforRatio, blockRatio, subintRatio)
+    override def usesBytesGate: Boolean = false
   }
 
   @volatile private var selectionPolicy: SelectionPolicy = TrainedSelection
@@ -1977,7 +1992,7 @@ object Codecs {
     // (FSST training + trials dominate string write cost) when sampled
     // entropy says the bytes are incompressible
     val polB = selectionPolicy
-    if (polB ne CostSelection) {
+    if ((polB ne CostSelection) && polB.usesBytesGate) {
       val total = col.offsets(n) - col.offsets(0)
       val entropy = byteEntropy(col.bytes, col.offsets(0), math.min(total, 4096))
       if (polB.skipToTrivialBytes(n, total, entropy)) {
