@@ -940,9 +940,11 @@ object Codecs {
     * sampled cost-ratio proxy of the family vs plain FOR; a family whose
     * proxy sits ABOVE its threshold was never in the exact-encode top-2 on
     * any corpus chunk (any recursion depth), margin-pinned. */
-  private[format] var PforRatioMax: Double = 0.9040
-  private[format] var BlockRatioMax: Double = 0.8906
-  private[format] var SubintRatioMax: Double = 0.8762
+  // @volatile: read on every encodeLongs call, retuned at runtime by the
+  // trainer/specs — a concurrent encoder must never see a stale/torn mix
+  @volatile private[format] var PforRatioMax: Double = 0.9040
+  @volatile private[format] var BlockRatioMax: Double = 0.8906
+  @volatile private[format] var SubintRatioMax: Double = 0.8762
 
   private[format] def trainedEstimationMask(runFr: Double, uniqueFr: Double,
       widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,

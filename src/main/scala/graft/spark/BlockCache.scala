@@ -66,22 +66,102 @@ object BlockCache {
     diskCapacity
   }
   @volatile private var diskDirPath: String = null
+  @volatile private var wipeHookInstalled = false
   private def diskDir: java.io.File = {
     if (diskDirPath == null) {
       val conf = try org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.scan.blockCacheDiskDir", "") catch { case _: Throwable => "" }
       val d = if (conf.nonEmpty) new java.io.File(conf)
-        else new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-blockcache-${java.lang.ProcessHandle.current().pid()}")
+        else {
+          val dd = new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft-blockcache-${java.lang.ProcessHandle.current().pid()}")
+          // stale pid-named siblings from dead JVMs (a crash skips any exit
+          // cleanup) are swept once per tier init — tmpdir must not
+          // accumulate spilled blocks across runs
+          sweepStaleDirs(dd.getParentFile)
+          // File.deleteOnExit cannot remove a non-empty directory; a
+          // shutdown hook wipes the whole tree recursively instead (and
+          // unlike per-file deleteOnExit it doesn't grow a retained set
+          // under heavy eviction churn)
+          if (!wipeHookInstalled) synchronized {
+            if (!wipeHookInstalled) {
+              wipeHookInstalled = true
+              try Runtime.getRuntime.addShutdownHook(new Thread(() =>
+                deleteRecursively(dd), "graft-blockcache-wipe"))
+              catch { case _: IllegalStateException => () } // already shutting down
+            }
+          }
+          dd
+        }
       d.mkdirs()
-      d.deleteOnExit()
       diskDirPath = d.getPath
     }
     new java.io.File(diskDirPath)
   }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    try {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete()
+    } catch { case _: Exception => () }
+    ()
+  }
+
+  /** Remove `graft-blockcache-<pid>` directories whose owning JVM is gone. */
+  private def sweepStaleDirs(parent: java.io.File): Unit = try {
+    val own = java.lang.ProcessHandle.current().pid()
+    for (f <- Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+         if f.isDirectory && f.getName.startsWith("graft-blockcache-")) {
+      val pid = f.getName.stripPrefix("graft-blockcache-").toLongOption
+      val alive = pid.exists(p => p == own ||
+        java.lang.ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+      if (!alive) deleteRecursively(f)
+    }
+  } catch { case _: Exception => () }
   private var diskBytes = 0L
   private var diskSeq = 0L
   private val disk = new java.util.LinkedHashMap[Key, (java.io.File, Int)](256, 0.75f, true)
+
+  // ---- async spill writer (AsyncDataCache runs a background writer;
+  // reference: docs/develop/velox_cache_and_nimble_datapath.rst): evicting
+  // readers ENQUEUE the spill and return immediately — the file write runs
+  // on one daemon thread, and a full queue DROPS the spill (backpressure
+  // degrades the cache tier, never stalls the reader's decode path). ----
+  /** Spills dropped because the writer queue was full (observability). */
+  val spillsDropped = new java.util.concurrent.atomic.AtomicLong()
+  /** Bumped by clear(): queued spills from the previous epoch are no-ops
+    * (they would otherwise repopulate a wiped/reconfigured tier). */
+  private val spillEpoch = new java.util.concurrent.atomic.AtomicLong()
+  /** Name of the thread that performed the most recent spill write (spec
+    * hook: proves no caller-thread IO). */
+  @volatile private[graft] var lastSpillThread: String = null
+  private lazy val spillExec: java.util.concurrent.ThreadPoolExecutor = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-blockcache-spill"); t.setDaemon(true); t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(1, 1, 30L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.ArrayBlockingQueue[Runnable](256), tf)
+  }
+  private def enqueueSpill(key: Key, bytes: Array[Byte]): Unit = {
+    if (diskCap <= 0 || bytes.length > diskCap / 8) return
+    val epoch = spillEpoch.get()
+    try spillExec.execute(() => if (spillEpoch.get() == epoch) {
+      lastSpillThread = Thread.currentThread().getName
+      spill(key, bytes)
+    })
+    catch {
+      case _: java.util.concurrent.RejectedExecutionException =>
+        spillsDropped.incrementAndGet()
+    }
+  }
+  /** Barrier: returns once every spill enqueued before the call has run
+    * (tests and orderly shutdown; production readers never need it). */
+  def awaitSpills(): Unit =
+    try spillExec.submit(new Runnable { def run(): Unit = () }).get()
+    catch { case _: Exception => () }
 
   /** Spill a memory-evicted block to the disk tier (file IO outside the
     * caller's lock; index insert + disk-LRU eviction under it). */
@@ -202,14 +282,16 @@ object BlockCache {
           it.remove()
         }
       }
-      // memory evictions cascade to the disk tier (outside the lock: the
-      // spill's file write must not stall readers)
+      // memory evictions cascade to the disk tier (async: the spill's file
+      // write runs on the background writer, never the evicting reader)
       val si = spills.iterator()
-      while (si.hasNext) { val (k, b) = si.next(); spill(k, b) }
-    } else spill(key, bytes) // too big for RAM != uncacheable: SSD-only entry
+      while (si.hasNext) { val (k, b) = si.next(); enqueueSpill(k, b) }
+    } else enqueueSpill(key, bytes) // too big for RAM != uncacheable: SSD-only entry
 
   /** Test/ops hook: drop everything and reread settings from the session. */
   def clear(): Unit = {
+    spillEpoch.incrementAndGet() // queued spills from the old config become no-ops
+    awaitSpills() // in-flight write finishes (or no-ops) before the wipe below
     val files = new java.util.ArrayList[java.io.File]()
     lru.synchronized {
       lru.clear(); totalBytes = 0L; capacity = -1L

@@ -2083,7 +2083,13 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
             case _ => null
           }
         else null
-      val before = if (alive < 0) chunkRows else alive
+      // evaluated-row count for the adaptive stats: captured as the SURVIVOR
+      // count before this group runs, but resolved to chunkRows AFTER the
+      // decode — for the first-ordered column chunkRows is unknown (-1)
+      // until its decode sizes the chunk, and recording -1 would poison the
+      // observed pass rate (it could exceed 1 or never reach the evidence
+      // threshold)
+      val aliveBefore = alive
       if (pointReader != null) {
         val dense = pointReader.decodeRawAt(java.util.Arrays.copyOf(surv, alive))
         val colOf: String => graft.format.Column =
@@ -2106,6 +2112,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         val preds = fs.map(f => Filters.compile(f, dts, colOf))
         applyPreds(preds)
       }
+      val before = if (aliveBefore < 0) chunkRows else aliveBefore
       cascadeEvaluated(cname) = cascadeEvaluated.getOrElse(cname, 0L) + before
       cascadePassed(cname) = cascadePassed.getOrElse(cname, 0L) + alive
       gi += 1

@@ -94,6 +94,7 @@ class BlockCacheSpec extends SparkTestBase {
       assert(BlockCache.getOrLoad(key(0))(blockA).sameElements(blockA))
       // push enough distinct blocks through to evict A from the 4 KB memory tier
       for (i <- 1 to 20) BlockCache.getOrLoad(key(i))(Array.fill[Byte](300)(i.toByte))
+      BlockCache.awaitSpills() // spill writes are async: quiesce before asserting
       assert(BlockCache.residentBytes <= 4096)
       assert(BlockCache.diskResidentBytes > 0, "evictions must spill to the disk tier")
       val dh0 = BlockCache.diskHits.get()
@@ -110,6 +111,7 @@ class BlockCacheSpec extends SparkTestBase {
       val nb = spark.read.format("nimble").load(dir)
       val q = () => nb.agg(count(lit(1)), sum("v")).collect()(0)
       val cold = q()
+      BlockCache.awaitSpills() // cold-scan evictions land on disk before the re-scan
       val missesAfterCold = BlockCache.misses.get()
       val warm = q()
       assert(warm.toSeq == cold.toSeq)
@@ -128,4 +130,44 @@ class BlockCacheSpec extends SparkTestBase {
     }
   }
 
+  test("spill writes run on the background writer, never the evicting caller") {
+    val prevMem = spark.conf.getOption("spark.graft.scan.blockCacheBytes")
+    val prevDisk = spark.conf.getOption("spark.graft.scan.blockCacheDiskBytes")
+    try {
+      spark.conf.set("spark.graft.scan.blockCacheBytes", "4096")
+      spark.conf.set("spark.graft.scan.blockCacheDiskBytes", (1L << 20).toString)
+      BlockCache.clear()
+      BlockCache.lastSpillThread = null
+      // concurrent eviction storm: 8 caller threads churn distinct keys
+      // through a 4 KB memory tier, forcing spills on every insert
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          for (i <- 0 until 200)
+            BlockCache.getOrLoad(BlockCache.Key(s"/fake/t$t-$i", 1L, 10L, 0, "c"))(
+              Array.fill[Byte](600)((t * 31 + i).toByte))
+        }, s"evictor-$t")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      BlockCache.awaitSpills()
+      assert(BlockCache.diskResidentBytes > 0, "the storm must have spilled")
+      val w = BlockCache.lastSpillThread
+      assert(w == "graft-blockcache-spill",
+        s"spill IO ran on '$w' — it must run on the dedicated writer thread only")
+      // and an evicted block still round-trips through the tier
+      val probe = BlockCache.Key("/fake/t0-0", 1L, 10L, 0, "c")
+      val got = BlockCache.getOrLoad(probe)(Array.fill[Byte](600)(0.toByte))
+      assert(got.length == 600)
+    } finally {
+      prevMem match {
+        case Some(v) => spark.conf.set("spark.graft.scan.blockCacheBytes", v)
+        case None => spark.conf.unset("spark.graft.scan.blockCacheBytes")
+      }
+      prevDisk match {
+        case Some(v) => spark.conf.set("spark.graft.scan.blockCacheDiskBytes", v)
+        case None => spark.conf.unset("spark.graft.scan.blockCacheDiskBytes")
+      }
+      BlockCache.clear()
+    }
+  }
 }
