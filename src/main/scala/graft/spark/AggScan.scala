@@ -665,6 +665,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       val anchor = cursors(neededKeys.head)
       val indexChunks = NimbleSource.indexCandidateChunks(reader, stripe, filters)
       var chunkOrd = 0
+      // shared cascading filter-decode plan (selectivity ordering, adaptive
+      // evidence, footer-seeded cold start) — same engine as the batch scan
+      val cascade = new FilterCascade(filters, typeOf, readers.contains,
+        c => reader.fileStatsOf(c).map { st =>
+          if (footerKeySet(c + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+        },
+        c => reader.footer.ndvSketches.get(c).map(graft.format.Hll.estimate))
 
       while (anchor.hasNext) {
         val statsOf: String => Option[Tablet.Stats] =
@@ -689,7 +696,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
             AggScan.aggChunksStatsAnswered.incrementAndGet()
             taskChunksStatsAnswered += 1
           } else {
-            decodeAndFold(readers, cursors, filterCols, statsOf, allMatch)
+            decodeAndFold(readers, cursors, filterCols, statsOf, allMatch, cascade)
             AggScan.aggChunksDecoded.incrementAndGet()
             taskChunksDecoded += 1
           }
@@ -700,14 +707,15 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
 
   private def decodeAndFold(readers: Map[String, Fields.FieldReader],
       cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
-      statsOf: String => Option[Tablet.Stats], allMatch: Boolean): Unit = {
+      statsOf: String => Option[Tablet.Stats], allMatch: Boolean,
+      cascade: FilterCascade): Unit = {
     def decodeAgg(name: String): graft.format.Column = readers(name) match {
       case p: Fields.PrimR if typeOf(name) == StringType ||
           typeOf(name) == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
     }
     if (grouped) {
-      decodeAndFoldGrouped(readers, cursors, filterCols, allMatch)
+      decodeAndFoldGrouped(readers, cursors, filterCols, allMatch, cascade)
       return
     }
     if (allMatch && aggCols.nonEmpty) {
@@ -755,51 +763,68 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       }
       return
     }
-    // decode filter columns (dict-preserving strings, like the normal scan)
-    def decodeCol(name: String, r: Fields.FieldReader): graft.format.Column = r match {
-      case p: Fields.PrimR if typeOf(name) == StringType ||
-          typeOf(name) == BinaryType => p.decodeRawDict()
-      case other => other.decodeRaw()
-    }
+    // cascading filter decode (the shared selectivity-ordered engine —
+    // filter columns decode ONE AT A TIME, most-selective-first, and a dead
+    // chunk never decodes the remaining filter columns or any aggregate
+    // input; reference: docs/develop/nimble_selective_reader.rst:163-199,
+    // which applies to the ValueHook fold path too)
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
-    for (c <- filterCols; r <- readers.get(c)) decoded(c) = decodeCol(c, r)
-    val chunkRows =
-      if (decoded.nonEmpty) decoded.valuesIterator.next().len
-      else statsOf(aggCols.head).map(_.valueCount.toInt).getOrElse(
-        throw new IllegalStateException("nimble: agg chunk without stats"))
-    val colOf: String => graft.format.Column = name =>
-      decoded.getOrElse(name, NimbleSource.nullColumn(typeOf(name), chunkRows))
-    val preds = filters.map(f => Filters.compile(f, n => typeOf(n), colOf))
-    var m = 0
-    val sel = new Array[Int](chunkRows)
-    var i = 0
-    while (i < chunkRows) {
-      var ok = true
-      var j = 0
-      while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
-      if (ok) { sel(m) = i; m += 1 }
-      i += 1
-    }
+    def decodeCol(name: String): graft.format.Column =
+      decoded.getOrElseUpdate(name, readers(name) match {
+        case p: Fields.PrimR if typeOf(name) == StringType ||
+            typeOf(name) == BinaryType => p.decodeRawDict()
+        case other => other.decodeRaw()
+      })
+    // aggregate inputs decline point reads mid-cascade: their chunk feeds
+    // the fold over the FINAL survivor set, so an intermediate-coordinates
+    // dense column would be unusable
+    val fetchSet = fetchCols.toSet
+    def pointRead(name: String, positions: Array[Int]): graft.format.Column =
+      if (fetchSet.contains(name)) null
+      else readers(name) match {
+        case p: Fields.PrimR => p.decodeRawAt(positions)
+        case _ => null
+      }
+    val res = cascade.evalChunk(decodeCol, pointRead)
+    var chunkRows = res.chunkRows
+    if (chunkRows < 0)
+      chunkRows = statsOf(aggCols.head).map(_.valueCount.toInt).getOrElse {
+        if (res.alive == 0) 0 // dead chunk: only cursor alignment matters
+        else throw new IllegalStateException("nimble: agg chunk without stats")
+      }
+    val m = if (res.alive < 0) chunkRows else res.alive
     val selection: Array[Int] =
-      if (m == chunkRows) null else java.util.Arrays.copyOf(sel, m)
+      if (res.alive < 0 || m == chunkRows) null
+      else java.util.Arrays.copyOf(res.surv, m)
+    // consume this chunk on every filter-only cursor the cascade never
+    // touched (decoded/point-read ones already advanced) — skip the RAW
+    // cursor, not readChunkDiscard: decodeRaw leaves `pending` set and
+    // nothing here consumes it via readChunk, so a discard would clear that
+    // stale pending WITHOUT advancing the cursor (one-chunk desync)
+    for (c <- filterCols
+         if cursors.contains(c) && !decoded.contains(c) && !res.pointReadCols(c) &&
+           !aggCols.contains(c)) {
+      cursors(c).skip()
+      cursors.get(c + "#nanos").foreach(_.skip())
+    }
     acc0.countStar += m
-    // aggregate columns: reuse the filter-decoded chunk when shared; decode
-    // raw otherwise; when nothing survived, just consume the chunk
     val needAgg = m > 0
+    // late materialization (ColumnLoader.h:42 applied to the fold): under a
+    // sparse final survivor set, aggregate-only numerics decode survivor
+    // POSITIONS only — dense columns folded with an identity selection
+    val dense = scala.collection.mutable.HashMap[String, graft.format.Column]()
     for (c <- aggCols) {
       if (!decoded.contains(c)) {
         val r = readers(c)
-        if (needAgg) decoded(c) = r match {
+        if (needAgg) r match {
           case p: Fields.PrimR if typeOf(c) == StringType ||
-              typeOf(c) == BinaryType => p.decodeRawLazy()
-          case other => other.decodeRaw()
+              typeOf(c) == BinaryType => decoded(c) = p.decodeRawLazy()
+          case p: Fields.PrimR if selection != null &&
+              selection.length.toLong * 16 <= chunkRows =>
+            dense(c) = p.decodeRawAt(selection)
+          case other => decoded(c) = other.decodeRaw()
         }
         else {
-          // skip the RAW cursor, not reader.readChunkDiscard(): this reader's
-          // decodeRaw leaves `pending` set (nothing here ever consumes it via
-          // readChunk), and readChunkDiscard would clear that stale pending
-          // WITHOUT advancing the cursor — desyncing this column one chunk
-          // behind the filter columns for the rest of the stripe
           cursors(c).skip()
           cursors.get(c + "#nanos").foreach(_.skip()) // keep siblings aligned
         }
@@ -809,7 +834,12 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       var oi = 0
       while (oi < ops.length) {
         val op = ops(oi)
-        if (op.col != null) foldColumn(oi, op, decoded(op.col), selection, chunkRows)
+        if (op.col != null) {
+          dense.get(op.col) match {
+            case Some(d) => foldColumn(oi, op, d, null, m)
+            case None => foldColumn(oi, op, decoded(op.col), selection, chunkRows)
+          }
+        }
         oi += 1
       }
     }
@@ -818,7 +848,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   // ------------------------------------------------- grouped decode + fold
   private def decodeAndFoldGrouped(readers: Map[String, Fields.FieldReader],
       cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
-      allMatch: Boolean): Unit = {
+      allMatch: Boolean, cascade: FilterCascade): Unit = {
     // group columns decode dict-preserving (the fast path keys on ids);
     // filter columns too (predicates per alphabet entry); agg-only lazily
     def decodeDict(name: String): graft.format.Column = readers(name) match {
@@ -838,45 +868,42 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
     val fetchPresent = fetchCols.filter(readers.contains)
     val skipFilterDecode = allMatch && fetchPresent.nonEmpty
+    var chunkRows = -1
+    // selection from the pushed predicates (null = every row survives)
+    var selection: Array[Int] = null
+    var m = -1
     if (skipFilterDecode) {
       // chunk stats prove every row survives: skip filter-only cursors
       for (c <- filterCols if !fetchCols.contains(c) && cursors.contains(c)) skipCursor(c)
-    } else {
-      for (c <- filterCols if readers.contains(c)) decoded(c) = decodeDict(c)
-    }
-    var chunkRows = decoded.headOption.map(_._2.len).getOrElse(-1)
-    if (chunkRows < 0 && !skipFilterDecode) {
-      // no filter column present in this file (schema evolution): size the
-      // chunk from the group/agg columns before evaluating the row-constant
-      // predicates over null columns
-      for (c <- groupNames if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeDict(c)
-      for (c <- aggCols if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeLazy(c)
-      chunkRows = decoded.headOption.map(_._2.len).getOrElse(-1)
-    }
-    // selection from the pushed predicates (null = every row survives)
-    var selection: Array[Int] = null
-    var m = chunkRows
-    if (!skipFilterDecode && filters.nonEmpty) {
-      require(chunkRows >= 0, "nimble: grouped chunk without a decodable column")
-      val colOf: String => graft.format.Column = name =>
-        decoded.getOrElse(name, NimbleSource.nullColumn(typeOf(name), chunkRows))
-      val preds = filters.map(f => Filters.compile(f, n => typeOf(n), colOf))
-      val sel = new Array[Int](chunkRows)
-      m = 0
-      var i = 0
-      while (i < chunkRows) {
-        var ok = true
-        var j = 0
-        while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
-        if (ok) { sel(m) = i; m += 1 }
-        i += 1
-      }
-      if (m == 0) {
+    } else if (filters.nonEmpty) {
+      // cascading filter decode, shared with the batch scan: group/agg
+      // columns the conjuncts reference decode dict-preserving and are
+      // reused below; filter-only columns cascade in selectivity order and
+      // may point-decode under sparse survivors
+      val fetchSet = fetchCols.toSet
+      def decodeCascade(name: String): graft.format.Column =
+        decoded.getOrElseUpdate(name, decodeDict(name))
+      def pointRead(name: String, positions: Array[Int]): graft.format.Column =
+        if (fetchSet.contains(name)) null
+        else readers(name) match {
+          case p: Fields.PrimR => p.decodeRawAt(positions)
+          case _ => null
+        }
+      val res = cascade.evalChunk(decodeCascade, pointRead)
+      chunkRows = res.chunkRows
+      // filter-only cursors the cascade never touched stay aligned via skip
+      for (c <- filterCols
+           if cursors.contains(c) && !decoded.contains(c) && !res.pointReadCols(c) &&
+             !fetchCols.contains(c)) skipCursor(c)
+      if (res.alive == 0) {
         // nothing survives: consume the remaining fetch cursors and leave
         for (c <- fetchPresent if !decoded.contains(c)) skipCursor(c)
         return
       }
-      selection = if (m == chunkRows) null else java.util.Arrays.copyOf(sel, m)
+      if (res.alive > 0) {
+        m = res.alive
+        selection = if (m == chunkRows) null else java.util.Arrays.copyOf(res.surv, m)
+      }
     }
     // decode group columns (dict-preserving) and aggregate inputs (lazy)
     for (c <- groupNames if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeDict(c)

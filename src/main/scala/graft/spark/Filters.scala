@@ -255,6 +255,14 @@ object Filters {
       }
     }
 
+  /** Literal -> stored long/double domain, for cold-start selectivity
+    * estimation only (None when the literal doesn't map — estimation then
+    * falls back; row evaluation keeps its own strict conversion). */
+  private[spark] def litLong(v: Any): Option[Long] =
+    try Some(toLong(v)) catch { case _: Exception => None }
+  private[spark] def litDouble(v: Any): Option[Double] =
+    try Some(toDouble(v)) catch { case _: Exception => None }
+
   /** Static selectivity seed for the cascading filter decode's column
     * ordering (cold start, before observed pass rates accumulate): smaller =
     * likely more selective. Equality probes narrow hardest, ranges less,

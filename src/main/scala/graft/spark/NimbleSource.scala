@@ -1825,32 +1825,15 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     }.toMap
     filterReaders ++ req
   }
-  private def presentRefsOf(f: Filter): Array[String] =
-    f.references.distinct.filter(cascadeReaderOf.contains)
-  /** Conjuncts over only-absent (schema-evolved) columns: row-constant over
-    * an all-null chunk — one evaluation decides the chunk, zero decode. */
-  private val constantConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).isEmpty)
-  /** Cascadable groups: conjuncts whose present refs collapse to ONE column
-    * (absent extra refs read as null), keyed by that column. */
-  private val cascadeGroups: Array[(String, Array[Filter])] =
-    filters.filter(presentRefsOf(_).length == 1)
-      .groupBy(f => presentRefsOf(f).head).toArray
-  /** Conjuncts spanning >= 2 present columns: evaluated after the cascade,
-    * over whatever rows survive it. */
-  private val tailConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).length >= 2)
-  private val tailRefSet: Set[String] = tailConjuncts.flatMap(_.references).toSet
-  // adaptive selectivity evidence: rows evaluated / rows passed per column
-  private val cascadeEvaluated = mutable.HashMap[String, Long]()
-  private val cascadePassed = mutable.HashMap[String, Long]()
-  /** Present groups ordered most-selective-first: observed pass rate once a
-    * chunk of evidence exists, else the static filter-kind seed. */
-  private def cascadeOrder(): Array[(String, Array[Filter])] =
-    if (cascadeGroups.length <= 1) cascadeGroups
-    else cascadeGroups.sortBy { case (c, fs) =>
-      val tot = cascadeEvaluated.getOrElse(c, 0L)
-      if (tot >= 1024) cascadePassed.getOrElse(c, 0L).toDouble / tot
-      else 0.05 * (1 + fs.map(Filters.seedRank).min)
-    }
+  /** Shared conjunct partitioning + adaptive ordering + footer-seeded cold
+    * start (one instance per stripe reader; evidence spans its chunks). */
+  private val cascade = new FilterCascade(filters,
+    n => dataSchema(n).dataType,
+    cascadeReaderOf.contains,
+    c => reader.fileStatsOf(c).map { st =>
+      if (footerKeySet(c + "#nanos")) NimbleSource.nanosScaledStats(st) else st
+    },
+    c => footer.ndvSketches.get(c).map(graft.format.Hll.estimate))
 
   private val anchor: Tablet.ChunkCursor = {
     // any stream tracks chunk progression; use the first needed (or none)
@@ -2011,129 +1994,28 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     * fully filtered (caller continues the loop). */
   private def decodeAndFilterChunk(): Int = {
     val decoded = mutable.HashMap[String, graft.format.Column]()
-    var chunkRows = -1
     val dts: String => DataType = n => dataSchema(n).dataType
     // string columns decode dictionary-preserving (DictBytesCol) so
     // low-cardinality predicates cost alphabet-size compares per chunk
-    def decodeCol(name: String): graft.format.Column = decoded.getOrElseUpdate(name, {
-      val c = cascadeReaderOf(name) match {
+    def decodeCol(name: String): graft.format.Column = decoded.getOrElseUpdate(name,
+      cascadeReaderOf(name) match {
         case p: Fields.PrimR if dts(name) == StringType || dts(name) == BinaryType =>
           p.decodeRawDict()
         case other => other.decodeRaw()
-      }
-      if (chunkRows < 0) chunkRows = c.len
-      c
-    })
-
-    var alive = -1 // -1: every row (survivor set not yet built)
-    var surv: Array[Int] = null
-    def applyPreds(preds: Array[Int => Boolean]): Unit =
-      if (surv == null) {
-        surv = new Array[Int](chunkRows)
-        var m = 0
-        var i = 0
-        while (i < chunkRows) {
-          var ok = true
-          var j = 0
-          while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
-          if (ok) { surv(m) = i; m += 1 }
-          i += 1
-        }
-        alive = m
-      } else {
-        var m = 0
-        var k = 0
-        while (k < alive) {
-          val i = surv(k)
-          var ok = true
-          var j = 0
-          while (j < preds.length && ok) { ok = preds(j)(i); j += 1 }
-          if (ok) { surv(m) = i; m += 1 }
-          k += 1
-        }
-        alive = m
+      })
+    // projected refs decline point reads — their full chunk stays pending
+    // for the vector fill; non-PrimR readers have no positional decode
+    def pointRead(name: String, positions: Array[Int]): graft.format.Column =
+      if (requiredFilterRefs.contains(name)) null
+      else cascadeReaderOf(name) match {
+        case p: Fields.PrimR => p.decodeRawAt(positions)
+        case _ => null
       }
 
-    // 1) row-constant conjuncts (all refs absent from this file: all-null)
-    var ci = 0
-    while (ci < constantConjuncts.length && alive != 0) {
-      val pred = Filters.compile(constantConjuncts(ci), dts,
-        n => NimbleSource.nullColumn(dts(n), 1))
-      if (!pred(0)) alive = 0
-      ci += 1
-    }
-
-    // 2) the cascade proper
-    val order = cascadeOrder()
-    var gi = 0
-    while (gi < order.length && alive != 0) {
-      val (cname, fs) = order(gi)
-      // sparse-survivor point decode: a later-ordered, filter-only numeric
-      // column whose codec admits point reads materializes ONLY the
-      // surviving positions (strings already go dict-preserving; columns the
-      // tail conjuncts reuse need full-chunk indexing; projected refs keep
-      // the full chunk pending for the vector fill)
-      val pointReader: Fields.PrimR =
-        if (surv != null && alive > 0 && chunkRows > 0 &&
-            alive.toLong * 16 <= chunkRows &&
-            !tailRefSet.contains(cname) && !requiredFilterRefs.contains(cname) &&
-            dts(cname) != StringType && dts(cname) != BinaryType)
-          cascadeReaderOf(cname) match {
-            case p: Fields.PrimR => p
-            case _ => null
-          }
-        else null
-      // evaluated-row count for the adaptive stats: captured as the SURVIVOR
-      // count before this group runs, but resolved to chunkRows AFTER the
-      // decode — for the first-ordered column chunkRows is unknown (-1)
-      // until its decode sizes the chunk, and recording -1 would poison the
-      // observed pass rate (it could exceed 1 or never reach the evidence
-      // threshold)
-      val aliveBefore = alive
-      if (pointReader != null) {
-        val dense = pointReader.decodeRawAt(java.util.Arrays.copyOf(surv, alive))
-        val colOf: String => graft.format.Column =
-          n => if (n == cname) dense else NimbleSource.nullColumn(dts(n), alive)
-        val preds = fs.map(f => Filters.compile(f, dts, colOf))
-        var m = 0
-        var k = 0
-        while (k < alive) {
-          var ok = true
-          var j = 0
-          while (j < preds.length && ok) { ok = preds(j)(k); j += 1 }
-          if (ok) { surv(m) = surv(k); m += 1 }
-          k += 1
-        }
-        alive = m
-      } else {
-        val c = decodeCol(cname)
-        val colOf: String => graft.format.Column =
-          n => if (n == cname) c else NimbleSource.nullColumn(dts(n), chunkRows)
-        val preds = fs.map(f => Filters.compile(f, dts, colOf))
-        applyPreds(preds)
-      }
-      val before = if (aliveBefore < 0) chunkRows else aliveBefore
-      cascadeEvaluated(cname) = cascadeEvaluated.getOrElse(cname, 0L) + before
-      cascadePassed(cname) = cascadePassed.getOrElse(cname, 0L) + alive
-      gi += 1
-    }
-
-    // 3) multi-present-column conjuncts over the cascade's survivors
-    if (alive != 0 && tailConjuncts.nonEmpty) {
-      var ti = 0
-      while (ti < tailConjuncts.length) {
-        val refs = tailConjuncts(ti).references
-        var ri = 0
-        while (ri < refs.length) {
-          if (cascadeReaderOf.contains(refs(ri))) decodeCol(refs(ri))
-          ri += 1
-        }
-        ti += 1
-      }
-      val colOf: String => graft.format.Column =
-        n => decoded.getOrElse(n, NimbleSource.nullColumn(dts(n), chunkRows))
-      applyPreds(tailConjuncts.map(f => Filters.compile(f, dts, colOf)))
-    }
+    val res = cascade.evalChunk(decodeCol, pointRead)
+    var chunkRows = res.chunkRows
+    val alive = res.alive
+    val surv = res.surv
 
     if (chunkRows < 0)
       // nothing decoded (all-constant conjuncts, or the chunk died before

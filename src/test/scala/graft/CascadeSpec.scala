@@ -111,6 +111,72 @@ class CascadeSpec extends SparkTestBase {
     assert(d < 7 * 16384 + 4096, s"projection fill should not bulk-decode v, counted $d")
   }
 
+  test("mid-scan aggregate fold cascades: dead chunks decode one filter column") {
+    val nb = spark.read.format("nimble").load(dir)
+    // warm (footer caches, JIT) — and prove the shape routes through the
+    // fold, not the batch reader
+    val folds0 = graft.spark.AggScan.aggChunksDecoded.get()
+    assert(nb.filter(col("a") === probeA && col("b") < 900L).count() == 1L)
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > folds0,
+      "filtered count() must route through the mid-scan aggregate fold")
+
+    val (dBoth, n) = decodedDelta {
+      nb.filter(col("a") === probeA && col("b") < 900L).count()
+    }
+    assert(n == 1L)
+    // the cascade orders the equality on scrambled `a` first: 6 dead chunks
+    // decode ONLY a; the surviving chunk evaluates b at one survivor
+    // position (point read). Decode-all (the pre-cascade fold) paid
+    // a + b everywhere = 224k.
+    assert(dBoth < 112000 + 3 * 16384,
+      s"fold cascade should decode ~one filter column's volume, counted $dBoth")
+    assert(dBoth.toDouble < 224000 * 0.75,
+      s"fold cascade ($dBoth) must decode well under the 224k decode-all volume")
+
+    // sparse-survivor late materialization INTO the fold: sum(v) under the
+    // one-in-112k filter decodes v at survivor positions, not whole chunks
+    val (dSum, _) = decodedDelta {
+      nb.filter(col("a") === probeA).agg(sum("v")).collect()
+    }
+    assert(dSum < 112000 + 2 * 16384,
+      s"fold should point-decode the aggregate input under sparse survivors, counted $dSum")
+  }
+
+  test("footer NDV seeds order the first chunk before any evidence exists") {
+    // two EQUALITY conjuncts — identical static filter-kind seeds, so only
+    // the footer NDV cold-start can order them: c_hi is hash-unique
+    // (pass ~1/65536), c_lo has 2 distinct values (pass ~1/2). A kind-seeded
+    // tie leaves the order to hash-map iteration luck; the NDV seed must put
+    // c_hi first from the VERY FIRST chunk (evidence needs 1024 rows and
+    // there is exactly one query).
+    val d2 = tmpDir("cascade_seed")
+    spark.range(65536L).toDF("id")
+      .withColumn("c_hi", xxhash64(col("id")))
+      .withColumn("c_lo", pmod(col("id"), lit(2L)))
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "16384")
+      .mode("overwrite").save(d2)
+    val nb = spark.read.format("nimble").load(d2)
+    val probe = nb.filter(col("id") === 33333L).select("c_hi").head().getLong(0)
+    // count() -> the fold path; collect() -> the batch path: both share the
+    // FilterCascade seeds, assert each on a fresh reader
+    val (dFold, nf) = decodedDelta {
+      nb.filter(col("c_lo") === (33333L % 2) && col("c_hi") === probe).count()
+    }
+    assert(nf == 1L)
+    // c_hi-first: 4 chunks of c_hi (65536) + c_lo point-read at the one
+    // survivor; c_lo-first would cost 65536 + 4 full c_hi chunks = 131072
+    assert(dFold < 90000,
+      s"NDV seed must order the unique column first in the fold, counted $dFold")
+    val (dBatch, rows) = decodedDelta {
+      nb.filter(col("c_lo") === (33333L % 2) && col("c_hi") === probe)
+        .select("id").collect().length
+    }
+    assert(rows == 1)
+    // + one id chunk (or point read) for the projection in the live chunk
+    assert(dBatch < 90000 + 16384,
+      s"NDV seed must order the unique column first in the batch scan, counted $dBatch")
+  }
+
   test("cascade parity on the multi-column Or shape (tail conjuncts)") {
     val nb = spark.read.format("nimble").load(dir)
     // Or over two columns cannot cascade: it must evaluate as a tail
