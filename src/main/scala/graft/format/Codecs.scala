@@ -64,6 +64,11 @@ object Codecs {
 
   private final val MaxDepth = 2 // top level + one cascade level
 
+  /** DELTA seekability: chunks >= 2 strides long append absolute-value
+    * checkpoints every this-many rows after the deltas block (point reads
+    * re-base a segment instead of prefix-summing the whole chunk). */
+  final val DeltaCheckpointStride = 1024
+
   /** Per-stream encoding-layout replay (reference:
     * dwio/nimble/writer/EncodingLayoutTree.h:25, option
     * writer/VeloxWriterOptions.h:195 — captured layout re-applied so stable
@@ -650,6 +655,12 @@ object Codecs {
     }
   }
 
+  /** Integral long-backed phys — the domain where the long-payload point
+    * readers apply (bools/bytes/floats route through other payload shapes). */
+  @inline private def integralPhys(phys: Byte): Boolean =
+    phys != PhysType.Bool && phys != PhysType.Bytes &&
+      phys != PhysType.F32 && phys != PhysType.F64
+
   /** [[decodeValuesAt]] for a null-free value stream. */
   private def decodeValuesAtFlat(cur: ByteCursor, positions: Array[Int]): Column = {
     val save = cur.pos
@@ -699,8 +710,7 @@ object Codecs {
           case _ => while (i < k) { out(i) = bb.getLong(cur.pos + 8 * positions(i)); i += 1 }
         }
         LongsCol(out, phys)
-      case (FOR, _) if phys != PhysType.Bool && phys != PhysType.Bytes &&
-          phys != PhysType.F32 && phys != PhysType.F64 =>
+      case (FOR, _) if integralPhys(phys) =>
         val baseline = cur.readZigZag()
         val w = cur.readByte()
         val limit = cur.pos + ((n.toLong * w + 7) / 8).toInt
@@ -715,6 +725,161 @@ object Codecs {
           if (sh + w > 64) v |= wordAt(cur.buf, byteOff + 8, limit) << (64 - sh)
           out(i) = (v & mask) + baseline
           i += 1
+        }
+        LongsCol(out, phys)
+      case (SIMDFOR, _) if integralPhys(phys) =>
+        // lane-vertical blocks admit O(1) point reads: value j of block b
+        // lives in lane j%8 at in-lane position j/8 (SimdBitpack layout) —
+        // word index r*8+lane at bit (j/8)*w % 64 inside the lane
+        val base = cur.readZigZag()
+        val w = cur.readByte()
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        val dataStart = cur.pos
+        val nFull = n / 512
+        val tailStart = dataStart + (nFull.toLong * 64L * w).toInt
+        val tailBits = (n - nFull * 512).toLong * w
+        val limit = tailStart + ((tailBits + 7) / 8).toInt
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) {
+          val p = positions(i)
+          val b = p >>> 9
+          var v = 0L
+          if (b < nFull) {
+            val j = p & 511
+            val lane = j & 7
+            val bit = (j >>> 3) * w
+            val r = bit >>> 6
+            val sh = bit & 63
+            val blockStart = dataStart + (b.toLong * 64L * w).toInt
+            v = wordAt(cur.buf, blockStart + (r * 8 + lane) * 8, tailStart) >>> sh
+            if (sh + w > 64)
+              v |= wordAt(cur.buf, blockStart + ((r + 1) * 8 + lane) * 8, tailStart) << (64 - sh)
+          } else {
+            val bitOff = (p - nFull * 512).toLong * w
+            val byteOff = tailStart + (bitOff >>> 3).toInt
+            val sh = (bitOff & 7).toInt
+            v = wordAt(cur.buf, byteOff, limit) >>> sh
+            if (sh + w > 64) v |= wordAt(cur.buf, byteOff + 8, limit) << (64 - sh)
+          }
+          out(i) = (v & mask) + base
+          i += 1
+        }
+        LongsCol(out, phys)
+      case (RLE, _) if integralPhys(phys) =>
+        // the stored run lengths ARE the boundary index: decode the two
+        // (tiny — runCount <= n/3 by the plan gate) sub-blocks and serve
+        // positions with a single forward merge, never materializing n rows
+        val lens = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val vals = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Long](k)
+        var r = 0
+        var runEnd = if (lens.length > 0) lens(0) else 0L
+        var i = 0
+        while (i < k) {
+          val p = positions(i).toLong
+          while (p >= runEnd) { r += 1; runEnd += lens(r) }
+          out(i) = vals(r)
+          i += 1
+        }
+        LongsCol(out, phys)
+      case (DICT, _) if integralPhys(phys) =>
+        // alphabet decodes whole (<= n/3 entries); indices point-read
+        // recursively (they are typically FOR/SIMDFOR-packed), falling back
+        // to a full index decode + gather — either way only k values map
+        val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val idxBlk = cur.readBlock()
+        val idx: Array[Long] =
+          decodeValuesAtFlat(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end), positions) match {
+            case lc: LongsCol => lc.values
+            case _ =>
+              val full = decodeValues(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end))
+                .asInstanceOf[LongsCol].values
+              val g = new Array[Long](k)
+              var i = 0
+              while (i < k) { g(i) = full(positions(i)); i += 1 }
+              g
+          }
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) { out(i) = alphabet(idx(i).toInt); i += 1 }
+        LongsCol(out, phys)
+      case (DELTABLOCK, _) if integralPhys(phys) =>
+        // per-block checkpoints + fixed-size packed deltas: blocks without
+        // selected positions skip in O(1); a touched block decodes only the
+        // delta prefix up to its deepest selected position
+        val bsz = cur.readVarint().toInt
+        val checkpoints = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Long](k)
+        var b = 0
+        var blk = 0
+        var pi = 0
+        while (b < n && pi < k) {
+          val e = math.min(b + bsz, n)
+          val bw = cur.readByte()
+          val nBytes = (((e - b - 1).toLong * bw + 7) / 8).toInt
+          if (pi < k && positions(pi) < e) {
+            var maxPos = positions(pi)
+            var t = pi + 1
+            while (t < k && positions(t) < e) { maxPos = positions(t); t += 1 }
+            var acc = checkpoints(blk)
+            val need = maxPos - b
+            val deltas = if (need > 0) unpackBits(cur.buf, cur.pos, 0L, bw, need) else null
+            var p = b
+            var di = 0
+            while (pi < k && positions(pi) < e) {
+              val target = positions(pi)
+              while (p < target) { acc += deltas(di); di += 1; p += 1 }
+              out(pi) = acc
+              pi += 1
+            }
+          }
+          cur.pos += nBytes
+          blk += 1
+          b = e
+        }
+        LongsCol(out, phys)
+      case (DELTA, _) if integralPhys(phys) =>
+        // only chunks written with the r14 checkpoint tail seek; legacy
+        // payloads (no bytes after the deltas block) fall back to bulk
+        val first = cur.readZigZag()
+        val deltasBlk = cur.readBlock()
+        if (cur.pos >= cur.end) { cur.pos = save; return null }
+        val cps = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val C = DeltaCheckpointStride
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) {
+          val seg = positions(i) / C
+          var end = i + 1
+          while (end < k && positions(end) / C == seg) end += 1
+          val segStart = seg * C
+          val base = if (seg == 0) first else cps(seg - 1)
+          val maxPos = positions(end - 1)
+          if (maxPos == segStart) out(i) = base
+          else {
+            // deltas [segStart, maxPos) point-read from the (null-free)
+            // inner block once per touched segment, then prefix-summed
+            val cnt = maxPos - segStart
+            val dpos = new Array[Int](cnt)
+            var d = 0
+            while (d < cnt) { dpos(d) = segStart + d; d += 1 }
+            val dcol = decodeValuesAtFlat(
+              new ByteCursor(deltasBlk.buf, deltasBlk.pos, deltasBlk.end), dpos)
+            if (dcol == null) { cur.pos = save; return null }
+            val dv = dcol.asInstanceOf[LongsCol].values
+            var acc = base
+            var p = segStart
+            var di = 0
+            var t = i
+            while (t < end) {
+              val target = positions(t)
+              while (p < target) { acc += dv(di); di += 1; p += 1 }
+              out(t) = acc
+              t += 1
+            }
+          }
+          i = end
         }
         LongsCol(out, phys)
       case _ => cur.pos = save; null
@@ -1255,11 +1420,26 @@ object Codecs {
     }
     if (!st.deltaOverflow && n > 1 && depth < MaxDepth) {
       val dw = bitsFor(math.max(math.abs(st.dMin), math.abs(st.dMax)) << 1)
-      if (dw < 32) plans += ((DELTA, 10.0 + (n - 1).toLong * dw / 8.0, { s =>
+      val nCps = if (n >= 2 * DeltaCheckpointStride) (n - 1) / DeltaCheckpointStride else 0
+      if (dw < 32) plans += ((DELTA, 10.0 + (n - 1).toLong * dw / 8.0 + 3.0 * nCps, { s =>
         s.writeZigZag(values(0))
         val deltas = new Array[Long](n - 1)
         var i = 1; while (i < n) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
         val ds = new ByteSink(); encodeLongs(deltas, PhysType.I64, ds, depth + 1); s.writeBlock(ds.toArray)
+        if (nCps > 0) {
+          // seekability tail (reference: encodings/DeltaBlockEncoding.h:53
+          // checkpoints, Encoding.h:218 skip): absolute values every
+          // DeltaCheckpointStride rows, appended AFTER the deltas block.
+          // Wire-compatible addendum — every frame is length-delimited, so
+          // pre-r14 readers stop after the deltas block and never see it;
+          // point reads re-base a segment from its checkpoint instead of
+          // prefix-summing from row 0. Typically monotonic, so the
+          // recursive encode keeps the tail a few bytes per checkpoint.
+          val cps = new Array[Long](nCps)
+          var j = 0
+          while (j < nCps) { cps(j) = values((j + 1) * DeltaCheckpointStride); j += 1 }
+          val cs = new ByteSink(); encodeLongs(cps, phys, cs, depth + 1); s.writeBlock(cs.toArray)
+        }
       }))
     }
     // PFOR: pack most values at a narrow width, patch outliers separately

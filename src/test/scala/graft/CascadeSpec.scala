@@ -109,6 +109,13 @@ class CascadeSpec extends SparkTestBase {
     // whole chunks (a still decodes fully everywhere)
     val (d, _) = decodedDelta(nb.filter(col("a") === probeA).select("v").collect())
     assert(d < 7 * 16384 + 4096, s"projection fill should not bulk-decode v, counted $d")
+
+    // r14: the delta-coded id column (consecutive longs -> DELTA/DELTABLOCK
+    // chunks) seeks too — survivors point-decode instead of the pre-r14
+    // bulk-decode + gather, so the one live chunk adds ~1 value, not 16384
+    val (dId, _) = decodedDelta(nb.filter(col("a") === probeA).select("id").collect())
+    assert(dId < 112000 + 2048,
+      s"delta-coded projection should point-decode survivors, counted $dId")
   }
 
   test("mid-scan aggregate fold cascades: dead chunks decode one filter column") {

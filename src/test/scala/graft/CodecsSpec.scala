@@ -626,6 +626,99 @@ class CodecsSpec extends AnyFunSuite {
     // default policy: unchanged cost-based winners
     assert(rootOf(hexStrings) == Codecs.FSST)
   }
+  // ---- intra-chunk point reads (Encoding::skip analog — reference:
+  // encodings/common/Encoding.h:218, DeltaBlockEncoding.h:53): sparse
+  // survivor sets materialize selected positions without a bulk decode ----
+
+  /** Encode, optionally pin the selected codec id, then check decodeValuesAt
+    * parity against the bulk decode on several position shapes. `expectSeek`
+    * asserts the fast path actually fired (no bulk fallback). */
+  private def pointReadParity(values: Array[Long], expectId: Byte = -1,
+      nulls: Array[Boolean] = null, expectSeek: Boolean = true): Unit = {
+    val sink = new ByteSink()
+    Codecs.encodeColumn(LongsCol(values, PhysType.I64, nulls), sink)
+    val bytes = sink.toArray
+    if (expectId >= 0 && nulls == null)
+      assert(bytes(0) == expectId, s"selector drift: got ${bytes(0)}, want $expectId")
+    val n = values.length
+    val posSets: Seq[Array[Int]] = Seq(
+      Array(0), Array(n - 1), Array(0, n - 1),
+      Array(1, n / 3, n / 2, n - 2).distinct.sorted,
+      Array.tabulate(40)(i => (i * (n - 1)) / 40).distinct.sorted,
+      Array.range(math.max(0, n / 2 - 8), math.min(n, n / 2 + 9)))
+    for (ps <- posSets) {
+      val dense = Codecs.decodeValuesAt(new ByteCursor(bytes), ps)
+      if (expectSeek) {
+        assert(dense != null, s"point read fell back to bulk for codec ${bytes(0)}")
+        val lc = dense.asInstanceOf[LongsCol]
+        assert(lc.len == ps.length)
+        var i = 0
+        while (i < ps.length) {
+          val p = ps(i)
+          if (nulls != null && nulls(p))
+            assert(lc.nulls != null && lc.nulls(i), s"missing null at pos $p")
+          else {
+            assert(lc.nulls == null || !lc.nulls(i), s"spurious null at pos $p")
+            assert(lc.values(i) == values(p), s"pos $p: got ${lc.values(i)}, want ${values(p)}")
+          }
+          i += 1
+        }
+      } else assert(dense == null, s"expected bulk fallback for codec ${bytes(0)}")
+    }
+  }
+
+  test("point reads: RLE run-boundary merge") {
+    val n = 8192
+    val values = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = rnd.nextLong()
+      val run = math.min(20 + rnd.nextInt(60), n - i)
+      java.util.Arrays.fill(values, i, i + run, v)
+      i += run
+    }
+    pointReadParity(values, expectId = Codecs.RLE)
+  }
+
+  test("point reads: DICT alphabet + recursive index seek") {
+    val alphabet = Array.fill(64)(rnd.nextLong())
+    pointReadParity(Array.fill(8192)(alphabet(rnd.nextInt(64))), expectId = Codecs.DICT)
+  }
+
+  test("point reads: SIMDFOR lane-vertical blocks + linear tail") {
+    // 10000 = 19 full 512-value blocks + a 272-value tail; both layouts probed
+    pointReadParity(Array.fill(10000)(rnd.nextInt(1000).toLong), expectId = Codecs.SIMDFOR)
+  }
+
+  test("point reads: DELTA checkpoint tail (r14 payloads seek, legacy falls back)") {
+    var v = 1000000L
+    val long = Array.tabulate(5000) { _ => v += rnd.nextInt(2); v }
+    pointReadParity(long, expectId = Codecs.DELTA)
+    // under 2 checkpoint strides the writer appends no tail: the point
+    // reader must detect the legacy payload shape and decline
+    v = 1000000L
+    val short0 = Array.tabulate(1500) { _ => v += rnd.nextInt(2); v }
+    pointReadParity(short0, expectId = Codecs.DELTA, expectSeek = false)
+  }
+
+  test("point reads: DELTABLOCK per-block checkpoints") {
+    // tiny deltas with huge jumps: global delta width 36 kills DELTA,
+    // per-block widths keep DELTABLOCK decisive
+    var v = 0L
+    val values = Array.tabulate(6000) { i =>
+      v += (if (i % 500 == 499) 1L << 35 else rnd.nextInt(3).toLong); v
+    }
+    pointReadParity(values, expectId = Codecs.DELTABLOCK)
+  }
+
+  test("point reads: nullable wrapper over a checkpointed DELTA stream") {
+    val nulls = Array.fill(6000)(rnd.nextInt(10) == 0)
+    var v = 500L
+    val values = Array.tabulate(6000)(i =>
+      if (nulls(i)) 0L else { v += rnd.nextInt(2); v })
+    pointReadParity(values, nulls = nulls)
+  }
+
   test("trained estimation filter: zero size drift, real skips, measured win") {
     // contract of the DEFAULT policy (TrainedSelection): candidate families
     // whose O(n) estimation pass the trained thresholds skip (PFOR bit
