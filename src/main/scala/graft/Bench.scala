@@ -51,6 +51,40 @@ object Bench {
   private[graft] def isLoadSuspect(min: Double, median: Double, floor: Double = 0.010): Boolean =
     median > 2.0 * min && median - min > floor
 
+  // ---- load-contamination calibration (r13 verdict: the fork alone cannot
+  // flag a busy box — single-shot scale metrics ran 2-8x over idle truth
+  // with load_suspect seeing only 2 of 7). A fixed-cost single-thread
+  // xxhash64 loop runs before/after every scale metric; any metric whose
+  // surrounding calibration sits >1.3x above the block's best sample was
+  // timed under external load and is flagged in suspect_metrics. ----
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+  /** ns per hash op, min of 3 passes (a single pass can eat a GC pause). */
+  private[graft] def calibProbe(): Double = {
+    val ops = 2000000
+    var best = Double.MaxValue
+    var pass = 0
+    while (pass < 3) {
+      val t0 = System.nanoTime()
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < ops) { h = graft.format.Tablet.hashLongValue(h + i); i += 1 }
+      calibSink += h
+      best = math.min(best, (System.nanoTime() - t0).toDouble / ops)
+      pass += 1
+    }
+    best
+  }
+  /** First field of /proc/loadavg (-1 where unreadable). */
+  private def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+  /** Calibration drift threshold: a metric whose surrounding probe ran this
+    * much above the block's best sample was measured under load. */
+  private[graft] final val CalibDriftMax = 1.3
+  private[graft] def calibSuspects(calibs: Seq[(String, Double)], base: Double): Seq[String] =
+    calibs.collect { case (name, worst) if base > 0 && worst > CalibDriftMax * base => name }
+
   private def dirBytes(path: String): Long = {
     val f = new java.io.File(path)
     if (f.isFile) f.length()
@@ -64,8 +98,24 @@ object Bench {
     * Runs in a freshly forked JVM in the default bench flow — see main. */
   private def runScaleBlocks(spark: SparkSession,
       results: scala.collection.mutable.LinkedHashMap[String, Double],
-      mins: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
-    def timed[A](name: String)(body: => A): A = {
+      mins: scala.collection.mutable.LinkedHashMap[String, Double],
+      calibs: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
+    results("scale_loadavg_begin") = loadAvg1m()
+    // calibration probes bracket every scale metric; a metric's record is
+    // the WORST surrounding sample (load during the metric shows in at
+    // least one side), judged against the block's best sample
+    val calSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastCal = calibProbe()
+    calSamples += lastCal
+    def cal[A](name: String)(body: => A): A = {
+      val before = lastCal
+      val r = body
+      lastCal = calibProbe()
+      calSamples += lastCal
+      calibs(name) = math.max(before, lastCal)
+      r
+    }
+    def timed[A](name: String)(body: => A): A = cal(name) {
       val (med, mn, r) = timeWarmStats(body)
       results(name) = med
       mins(name) = mn
@@ -90,11 +140,11 @@ object Bench {
     // single-shot write timing (the write stack is JIT-warm from the
     // lineitem runs; 5 repeats of a multi-second write would dominate bench
     // wall time for little extra signal)
-    val (scaleWSec, _) = time {
+    val (scaleWSec, _) = cal("scale_write")(time {
       scaleDf.write.format("nimble").option("indexColumns", "skey")
         .option("bloomFilterColumns", "skey").option("rowsPerChunk", "16384")
         .mode("overwrite").save(scaleIdxDir)
-    }
+    })
     results("scale_rows") = scaleRows.toDouble
     results("scale_write") = scaleWSec
     scaleDf.write.format("nimble").option("rowsPerChunk", "16384")
@@ -166,9 +216,9 @@ object Bench {
     // rebuild included, at bench scale ----
     {
       val cDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-compacted"
-      val (cSec, rep) = time {
+      val (cSec, rep) = cal("scale_compact_sec")(time {
         graft.ops.Compaction.compact(spark, scaleIdxDir, cDir, targetFileBytes = 1L << 31)
-      }
+      })
       assert(rep.rows == scaleRows, s"compaction changed row count: $rep")
       results("scale_compact_sec") = cSec
 
@@ -182,10 +232,10 @@ object Bench {
       tail.repartition(40).write.format("nimble").mode("append")
         .option("indexColumns", "skey").option("bloomFilterColumns", "skey")
         .save(cDir)
-      val (csSec, csRep) = time {
+      val (csSec, csRep) = cal("scale_compact_small_sec")(time {
         graft.ops.Compaction.compactSmall(spark, cDir,
           minFileBytes = 16L << 20, targetFileBytes = 1L << 31)
-      }
+      })
       assert(csRep.rows == scaleRows + 40000, s"compactSmall changed rows: $csRep")
       results("scale_compact_small_sec") = csSec
     }
@@ -211,11 +261,11 @@ object Bench {
         .write.format("nimble").mode("overwrite")
         .option("sortColumns", "a").option("stripeBytes", (2L << 20).toString)
         .save(linDir)
-      val (zSec, _) = time {
+      val (zSec, _) = cal("scale_zorder_sec")(time {
         graft.ops.ZOrder.zorder(spark, linDir, zDir, Seq("a", "b"),
           targetFileBytes = 64L << 20,
           extraOptions = Map("stripeBytes" -> (2L << 20).toString))
-      }
+      })
       results("scale_zorder_sec") = zSec
       timed("scale_zorder_probe_b") {
         spark.read.format("nimble").load(zDir)
@@ -247,9 +297,9 @@ object Bench {
         .writeTo("gbenchrl.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
-      val (dSec, rep) = time {
+      val (dSec, rep) = cal("scale_delete")(time {
         graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
-      }
+      })
       assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
       results("scale_delete") = dSec
@@ -259,10 +309,10 @@ object Bench {
       // copy-on-write to the file(s) holding the 100K-row keyhole — wall
       // clock is one file's rewrite, not six million rows'
       val filesBefore = graft.spark.NimbleSource.listFiles(dDir).toSet
-      val (uSec, _) = time {
+      val (uSec, _) = cal("scale_sql_update")(time {
         spark.sql("UPDATE gbenchrl.default.scale_del SET v = 0.0 " +
           "WHERE id >= 1000000 AND id < 1100000")
-      }
+      })
       val filesAfter = graft.spark.NimbleSource.listFiles(dDir).toSet
       val replaced = (filesBefore -- filesAfter).size
       assert(replaced <= 2, s"group filter should bound the rewrite: $replaced files replaced")
@@ -286,10 +336,10 @@ object Bench {
         "2000 + id * 2 AS a", "2001 + id * 2 AS b")
       val ccPairs = chain.union(rest)
       val ccDocs = spark.range(2000L + 2L * 999000L).toDF("doc_id")
-      val (ccSec, _) = time {
+      val (ccSec, _) = cal("scale_cc_sec")(time {
         val out = graft.ops.Dedup.dedupClusters(ccDocs, "doc_id", ccPairs)
         out.unpersist() // dedupClusters already materialized it
-      }
+      })
       results("scale_cc_sec") = ccSec
       results("scale_cc_rounds") = graft.ops.Dedup.lastClusterRounds.get().toDouble
     }
@@ -341,12 +391,14 @@ object Bench {
       }
     }
 
+    results("scale_calib_base_ns") = calSamples.min
+    results("scale_loadavg_end") = loadAvg1m()
   }
 
   /** Fork `graft.Bench scale-only` in a fresh JVM (same flags + classpath),
-    * parse its SCALE_RES/SCALE_MIN stdout lines. None on any failure. */
+    * parse its SCALE_RES/SCALE_MIN/SCALE_CAL stdout lines. None on failure. */
   private def forkedScaleMetrics(sfDir: String, cpus: String)
-      : Option[(Seq[(String, Double)], Seq[(String, Double)])] = {
+      : Option[(Seq[(String, Double)], Seq[(String, Double)], Seq[(String, Double)])] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(
@@ -370,7 +422,7 @@ object Bench {
           val ps = l.split(" "); ps(1) -> ps(2).toDouble
       }
       val r = parse("SCALE_RES")
-      if (r.isEmpty) None else Some((r, parse("SCALE_MIN")))
+      if (r.isEmpty) None else Some((r, parse("SCALE_MIN"), parse("SCALE_CAL")))
     } catch {
       case e: Exception =>
         System.err.println(s"bench: scale fork failed ($e); running inline")
@@ -416,9 +468,11 @@ object Bench {
       for (_ <- 0 until 3)
         spark.read.format("nimble").load(warmDir)
           .filter(col("skey") === "nosuchkey").count()
-      runScaleBlocks(spark, results, mins)
+      val calibs = scala.collection.mutable.LinkedHashMap[String, Double]()
+      runScaleBlocks(spark, results, mins, calibs)
       for ((k, v) <- results) println(s"SCALE_RES $k $v")
       for ((k, v) <- mins) println(s"SCALE_MIN $k $v")
+      for ((k, v) <- calibs) println(s"SCALE_CAL $k $v")
       spark.stop()
       return
     }
@@ -534,11 +588,12 @@ object Bench {
     // GC/heap pressure the load_suspect repeats cannot see. Forking
     // reproduces the judge's fresh-JVM probe discipline by construction;
     // a "scale-inline" arg or any fork failure falls back to inline. ----
+    val scaleCalibs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val forkedScale =
       if (args.contains("scale-inline")) None else forkedScaleMetrics(sfDir, cpus)
     forkedScale match {
-      case Some((r, m)) => results ++= r; mins ++= m
-      case None => runScaleBlocks(spark, results, mins)
+      case Some((r, m, c)) => results ++= r; mins ++= m; scaleCalibs ++= c
+      case None => runScaleBlocks(spark, results, mins, scaleCalibs)
     }
 
     // ---- encoded size ----
@@ -628,13 +683,16 @@ object Bench {
     }
 
     val total = results.filter(_._1.matches("write_lineitem|scan_.*|agg_from_stats|q.*|x.*")).values.sum
-    // contamination audit: flag any metric whose best-of-five still sits >2x
-    // under the median (round-7's driver artifact recorded a sustained
-    // co-tenant spike as a 10-25x regression; only a judge re-run caught it)
-    val suspects = mins.collect {
+    // contamination audit, two detectors: (1) min-vs-median divergence over
+    // five repeats; (2) calibration drift — single-shot scale metrics whose
+    // surrounding fixed-cost probe ran >1.3x above the scale block's best
+    // sample (the r13 hole: the repeat detector cannot see one-shot metrics)
+    val minMedianSuspects = mins.collect {
       case (k, mn) if isLoadSuspect(mn, results(k),
         if (k.endsWith("_nspe")) 0.5 else 0.010) => k
     }.toSeq
+    val suspects = (minMedianSuspects ++ calibSuspects(scaleCalibs.toSeq,
+      results.getOrElse("scale_calib_base_ns", 0.0))).distinct
     // codec compression ratios are deterministic (same seed, same selection):
     // any drift vs the previous round's artifact is a code change, and ratio
     // drift WITHOUT a deliberate codec change alongside timing swings means
@@ -649,7 +707,9 @@ object Bench {
     // full-fidelity dump (every metric + every min, full precision) for humans
     // and post-hoc analysis; the stdout line is the driver contract and is
     // budgeted below
-    writeFullDump(results.toMap, mins.toMap, suspects, ratioDrift, sfDir)
+    writeFullDump(
+      results.toMap ++ scaleCalibs.map { case (k, v) => (k + "_calib_ns", v) },
+      mins.toMap, suspects, ratioDrift, sfDir)
     println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir))
     spark.stop()
   }
@@ -705,7 +765,8 @@ object Bench {
     val tier1 = results.filterNot { case (k, _) =>
       k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
-        "scale_delete_rewritten|scale_sql_update_files|scale_probe_cascade")
+        "scale_delete_rewritten|scale_sql_update_files|scale_probe_cascade|" +
+        "scale_calib_base_ns|scale_loadavg_.*")
     }
     // query mins outrank operator-probe mins: the judge's falsifiability
     // contract is "every q*/x* timing has a _min twin"; when the budget
@@ -719,7 +780,7 @@ object Bench {
     val tier6 = results.filter { case (k, _) =>
       k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
         "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten|" +
-        "scale_sql_update_files|scale_probe_cascade")
+        "scale_sql_update_files|scale_probe_cascade|scale_calib_base_ns|scale_loadavg_.*")
     }
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")

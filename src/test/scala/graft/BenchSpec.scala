@@ -37,6 +37,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isLoadSuspect(mn, med), s"synthetic spike not flagged: min $mn median $med")
   }
 
+  test("calibration probe is stable idle and the drift rule flags loaded metrics") {
+    // the probe itself: two consecutive samples on the same thread should
+    // agree well within the 1.3x drift threshold (min-of-3 absorbs GC)
+    val a = Bench.calibProbe()
+    val b = Bench.calibProbe()
+    assert(a > 0 && b > 0)
+    assert(math.max(a, b) / math.min(a, b) < Bench.CalibDriftMax,
+      s"idle calibration unstable: $a vs $b ns/op")
+    // the rule: a metric whose surrounding probe ran >1.3x over the block's
+    // best sample flags; everything at or under the threshold stays quiet
+    val sus = Bench.calibSuspects(
+      Seq("scale_write" -> 10.0, "scale_delete" -> 13.1, "scale_cc_sec" -> 12.9),
+      base = 10.0)
+    assert(sus == Seq("scale_delete"), s"got $sus")
+    // degenerate base (no samples) never flags
+    assert(Bench.calibSuspects(Seq("x" -> 99.0), base = 0.0).isEmpty)
+  }
+
   test("previous-round codec ratios parse from the committed BENCH artifact") {
     val ratios = Bench.previousBenchRatios(".")
     assert(ratios.contains("codec_random_ratio"), s"parsed keys: ${ratios.keys}")
