@@ -501,6 +501,20 @@ object SparkEntry {
       s.sql(s"""SELECT lookup_seq, o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM nimble_lookup('$d', 'o_orderkey', 7, 1211, 42, 1211, 998)""")
     }),
+    // range probes through the same surface (IndexLookup.h:55-65 bounds):
+    // two inclusive ranges + a point probe in one request batch
+    "q44_lookup_range" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val d = Tables.roundTripDir(s, dir, "q44_lookup_range", src,
+        Map("indexColumns" -> "o_orderkey"))
+      graft.spark.NimbleLookupTvf.install(s)
+      s.sql(s"""SELECT lookup_seq, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM nimble_lookup('$d', 'o_orderkey',
+          named_struct('lo', 100, 'hi', 140),
+          named_struct('lo', 4000, 'hi', 4005),
+          7)""")
+    }),
 
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
@@ -1201,6 +1215,11 @@ object SparkEntry {
          FROM (VALUES (0, 7), (1, 1211), (2, 42), (3, 1211), (4, 998))
            AS s(lookup_seq, k)
          JOIN orders o ON o.o_orderkey = s.k""",
+    "q44_lookup_range" ->
+      """SELECT s.lookup_seq, o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+         FROM (VALUES (0, 100, 140), (1, 4000, 4005), (2, 7, 7))
+           AS s(lookup_seq, lo, hi)
+         JOIN orders o ON o.o_orderkey BETWEEN s.lo AND s.hi""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -15,12 +15,18 @@ import graft.format.{GraftIO, Lookup}
   * the request bounds, probe matching stripes via the index, return results
   * in REQUEST order: all rows for probe N before any row of probe N+1).
   *
-  * Each probe is one lookup request: a scalar for a single-column key, or a
+  * Each probe is one lookup request: a scalar for a single-column key, a
   * `struct(v1, v2, ...)`/`(v1, v2)` for prefix equality on a composite
-  * index (`indexColumns=a+b` at write). The output prepends `lookup_seq`
-  * (the 0-based request index) to the table's columns, making the
-  * request-order contract part of the result, and letting callers join
-  * results back to their request batch without re-deriving keys.
+  * index (`indexColumns=a+b` at write), or a range request mirroring the
+  * reference's bounds semantics (`index/IndexLookup.h:55-65`) —
+  * `named_struct('lo', x, 'hi', y)` probes `lo <= key <= hi` (both
+  * inclusive, non-null), and inside a composite probe the range struct may
+  * appear as the LAST component: `struct(v1, named_struct('lo',x,'hi',y))`
+  * is equality on the first key column plus a range on the second. The
+  * output prepends `lookup_seq` (the 0-based request index) to the table's
+  * columns, making the request-order contract part of the result, and
+  * letting callers join results back to their request batch without
+  * re-deriving keys.
   *
   * Execution is driver-side at plan-build time through
   * [[graft.format.Lookup]] (footer-cached stripe pruning + `#cidx`/`#idx`
@@ -113,18 +119,48 @@ object NimbleLookupTvf {
         s"$name: cannot map looked-up value $other to ${t.simpleString}")
     }
 
+    // a struct whose fields are exactly (lo, hi) is a RANGE request, not a
+    // composite-equality tuple — bounds map to Lookup's inclusive range
+    def isRangeStruct(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+        .toSeq == Seq("lo", "hi")
+      case _ => false
+    }
+
     val rows = scala.collection.mutable.ArrayBuffer[InternalRow]()
     args.drop(2).zipWithIndex.foreach { case (probeExpr, seq) =>
-      val eq = foldedScala(probeExpr, s"probe ${seq + 1}") match {
-        case r: org.apache.spark.sql.Row => r.toSeq
-        case v => Seq(v)
+      val what = s"probe ${seq + 1}"
+      val (eq: Seq[Any], rangeRaw: Option[(Any, Any)]) = probeExpr.dataType match {
+        case dt if isRangeStruct(dt) =>
+          val r = foldedScala(probeExpr, what).asInstanceOf[org.apache.spark.sql.Row]
+          (Nil, Some((r.get(0), r.get(1))))
+        case st: StructType =>
+          val row = foldedScala(probeExpr, what).asInstanceOf[org.apache.spark.sql.Row]
+          val rangeIdx = st.fields.indexWhere(f => isRangeStruct(f.dataType))
+          if (rangeIdx < 0) (row.toSeq, None)
+          else {
+            require(rangeIdx == st.fields.length - 1,
+              s"$name: $what — the range component must be the last probe component " +
+                "(equality prefix + one range, IndexLookup bounds semantics)")
+            val rr = row.get(rangeIdx).asInstanceOf[org.apache.spark.sql.Row]
+            (row.toSeq.take(rangeIdx), Some((rr.get(0), rr.get(1))))
+          }
+        case _ => (Seq(foldedScala(probeExpr, what)), None)
       }
-      require(eq.nonEmpty && eq.length <= cols.length,
-        s"$name: probe ${seq + 1} has ${eq.length} components for ${cols.length} key columns")
+      val nComp = eq.length + (if (rangeRaw.isDefined) 1 else 0)
+      require(nComp >= 1 && nComp <= cols.length,
+        s"$name: $what has $nComp components for ${cols.length} key columns")
       val vals = eq.zip(cols).map { case (v, c) => coerce(v, c) }
+      val range = rangeRaw.map { case (lo, hi) =>
+        require(lo != null && hi != null,
+          s"$name: $what — range bounds must be non-null (half-open probes " +
+            "belong to the scan path's pushed range filters)")
+        val rc = cols(eq.length)
+        (coerce(lo, rc), coerce(hi, rc))
+      }
       // request order is insertion order: every row of probe N lands before
       // any row of probe N+1 (SelectiveNimbleIndexReader.h:66-68)
-      for (m <- Lookup.compositeLookup(path, cols, vals)) {
+      for (m <- Lookup.compositeLookup(path, cols, vals, range)) {
         val arr = new Array[Any](outSchema.length)
         arr(0) = seq
         var i = 1

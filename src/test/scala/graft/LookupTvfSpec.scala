@@ -60,6 +60,39 @@ class LookupTvfSpec extends SparkTestBase {
     assert(prefix.getLong(0) == 1667L && prefix.getLong(1) == 37L)
   }
 
+  test("range probes: named_struct(lo,hi) bounds, single and composite (IndexLookup.h:55-65)") {
+    val dir = keyedTable("tvf_range", "k")
+    graft.spark.NimbleLookupTvf.install(spark)
+    // inclusive bounds; mixed with a point probe; request order holds
+    val out = spark.sql(
+      s"""SELECT * FROM nimble_lookup('$dir', 'k',
+          named_struct('lo', 100, 'hi', 104), 17, named_struct('lo', 4996, 'hi', 5100))""")
+      .collect()
+    val byReq = out.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(byReq(0) == (100L to 104L), s"range 0 got ${byReq(0)}")
+    assert(byReq(1) == Seq(17L))
+    assert(byReq(2) == (4996L to 4999L), s"tail range clips at the data, got ${byReq(2)}")
+    assert(out.map(_.getInt(0)).toSeq == out.map(_.getInt(0)).toSeq.sorted,
+      "request order violated across range probes")
+
+    // composite: equality prefix + range on the NEXT component
+    val cdir = keyedTable("tvf_range_comp", "tag+grp")
+    val comp = spark.sql(
+      s"""SELECT count(1) FROM nimble_lookup('$cdir', 'tag+grp',
+          struct('A', named_struct('lo', 5, 'hi', 7)))""").collect()(0).getLong(0)
+    val expect = spark.read.format("nimble").load(cdir)
+      .filter(col("tag") === "A" && col("grp").between(5, 7)).count()
+    assert(comp == expect && comp > 0, s"composite range: got $comp, want $expect")
+
+    // misplaced range component and null bounds reject loudly
+    intercept[Exception](spark.sql(
+      s"""SELECT * FROM nimble_lookup('$cdir', 'tag+grp',
+          struct(named_struct('lo', 'A', 'hi', 'B'), 5))""").collect())
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM nimble_lookup('$dir', 'k', named_struct('lo', CAST(NULL AS INT), 'hi', 7))")
+      .collect())
+  }
+
   test("rejects bad usage loudly") {
     val dir = keyedTable("tvf_bad", "k")
     graft.spark.NimbleLookupTvf.install(spark)
