@@ -1051,6 +1051,68 @@ object Codecs {
     * (observability for the write-throughput contract test). */
   val estimationSkips = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Candidate searches that exact-encoded ONLY the estimate-ranked top-1
+    * (the trained ranking margin fired) since JVM start. */
+  val singleEncodes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** TRAINED top-1 ranking margin (tools/GateTrainer part 3 — the ranking
+    * half of the reference's EncodingSelectionPolicy.h:339): when the best
+    * candidate's read-factor-adjusted size estimate sits under this fraction
+    * of the runner-up's, the runner-up is never exact-encoded. Derived as
+    * the midpoint between the largest flip-free estimate ratio and the
+    * smallest ratio at which the exact winner was EVER the runner-up on the
+    * trace corpus (so corpus chunks emit byte-identical output); floored at
+    * the hand-set 0.75 it replaces. Re-derive after any cost-model change:
+    * `tools/run_main.sh graft.tools.GateTrainer`. */
+  @volatile private[format] var Top1RatioMax: Double = 0.75
+  /** Trainer access to the top-1 margin (graft.tools; 0.0 = always encode
+    * the top-2, the labeling mode). */
+  def setTop1Ratio(r: Double): Unit = Top1RatioMax = r
+  def top1Ratio: Double = Top1RatioMax
+
+  /** TRAINED per-pair margins overriding [[Top1RatioMax]] for specific
+    * (estimate-rank-0, estimate-rank-1) candidate pairs: some pairs rank on
+    * near-exact size estimates and never flip even at ratios close to 1
+    * (e.g. FOR vs SIMDFOR — byte-identical payload arithmetic), while the
+    * composite-codec pairs flip down to ~0.32 and keep the conservative
+    * default. Keys are `(id0 << 8) | id1`; derived (with the global
+    * fallback) by GateTrainer part 3 over the corpus + bench-grid shapes,
+    * min-support 20 searches, margin pinned midway below each pair's first
+    * observed flip. */
+  /** Trained r14 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
+    * 705 two-candidate searches over corpus + bench-grid shapes, 91 flips;
+    * these six pairs never flipped below their margin (min support 20) —
+    * installing them took single-encodes from 173 to 443 of 705 with ZERO
+    * size change vs production on every shape. */
+  private[format] val DefaultTop1PairMax: Map[Int, Double] = Map(
+    pairKey(TRIVIAL, SIMDFOR) -> 0.9705,
+    pairKey(TRIVIAL, HUFFMAN) -> 0.9717,
+    pairKey(DELTA, FOR) -> 0.9450,
+    pairKey(SIMDFOR, FOR) -> 0.9256, // payload arithmetic byte-identical
+    pairKey(FOR, VARINT) -> 0.9800,
+    pairKey(DELTABLOCK, DELTA) -> 0.9017)
+  @volatile private[format] var Top1PairMax: Map[Int, Double] = DefaultTop1PairMax
+  /** Trainer access: null restores the trained defaults; empty disables
+    * every pair override (the pure-global labeling/ablation mode). */
+  def setTop1PairTable(t: Map[Int, Double]): Unit =
+    Top1PairMax = if (t == null) DefaultTop1PairMax else t
+  def top1PairTable: Map[Int, Double] = Top1PairMax
+  @inline private[graft] def pairKey(a: Byte, b: Byte): Int = ((a & 0xff) << 8) | (b & 0xff)
+
+  /** When non-null (offline trainer introspection): one entry per candidate
+    * search that exact-encoded two candidates — (cost-adjusted estimate
+    * ratio top0/top1, whether the exact winner was the runner-up,
+    * estimate-rank-0 id, estimate-rank-1 id). */
+  private[format] val rankTrace =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(Double, Boolean, Byte, Byte)]]
+
+  /** Run `f` with ranking tracing enabled (trainer part 3). */
+  def withRankTrace[T](f: => T): (T, Seq[(Double, Boolean, Byte, Byte)]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Double, Boolean, Byte, Byte)]()
+    rankTrace.set(buf)
+    try { val r = f; (r, buf.toSeq) } finally rankTrace.remove()
+  }
+
   /** Default: no pre-selection; every gated candidate is estimated and the
     * best 1-2 fully encoded (the Manual/cost policy). */
   object CostSelection extends SelectionPolicy {
@@ -1733,17 +1795,28 @@ object Codecs {
     val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
     val locked = lockedId >= 0 && sorted.exists(_._1 == lockedId)
     // encode the runner-up only when the estimates are close (composite-codec
-    // estimates are approximate; exact ones don't need a second opinion)
+    // estimates are approximate; exact ones don't need a second opinion) —
+    // the margin is TRAINED (Top1RatioMax, GateTrainer part 3)
+    val c0 = sorted(0)._2 * readFactor(sorted(0)._1)
+    val c1 = if (sorted.length >= 2) sorted(1)._2 * readFactor(sorted(1)._1) else 0.0
+    val margin =
+      if (sorted.length >= 2)
+        Top1PairMax.getOrElse(pairKey(sorted(0)._1, sorted(1)._1), Top1RatioMax)
+      else Top1RatioMax
     val top =
       if (locked) sorted.filter(_._1 == lockedId).take(1)
-      else if (sorted.length >= 2 && sorted(0)._2 * readFactor(sorted(0)._1) < 0.75 * sorted(1)._2 * readFactor(sorted(1)._1))
+      else if (sorted.length >= 2 && c0 < margin * c1) {
+        singleEncodes.incrementAndGet()
         sorted.take(1)
-      else sorted.take(2)
+      } else sorted.take(2)
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     for ((id, _, enc) <- top) {
       val s = new ByteSink(); enc(s); candidates += ((id, s.toArray))
     }
     val winner = emitBest(candidates, phys, n, sink)
+    val rt = rankTrace.get()
+    if (rt != null && !locked && top.length >= 2 && c1 > 0)
+      rt += ((c0 / c1, winner != sorted(0)._1, sorted(0)._1, sorted(1)._1))
     if (replay != null) replay.observe(winner, full = !locked)
   }
 

@@ -105,6 +105,7 @@ object GateTrainer {
     // reuses its thresholds.
     Codecs.setSelectionPolicy(Codecs.CostSelection)
     trainEstimationFilter()
+    trainTop1Ranking()
     Codecs.setSelectionPolicy(Codecs.CostSelection)
     val ex = corpus()
     val pos = ex.filter(_.skipSafe)
@@ -209,6 +210,110 @@ object GateTrainer {
       if (s.size != fullSizes(name)) { drift += 1; println(s"  SIZE DRIFT: $name ${fullSizes(name)} -> ${s.size}") }
     }
     println(s"size drift on corpus with filter installed: $drift chunks")
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+  }
+
+  /** The bench codec grid's exact shapes (generators, seed, n — mirror of
+    * Bench.scala's `patterns`): part 3 trains on these too, so the per-pair
+    * margins are pinned by the very chunks whose committed `codec_*_ratio`
+    * values the round-over-round drift check compares. */
+  def benchGridPatterns(): Seq[(String, Array[Long], Byte)] = {
+    val n = 100000
+    val rnd = new scala.util.Random(42)
+    Seq[(String, Array[Long], Byte)](
+      ("bench/random", Array.fill(n)(rnd.nextLong()), PhysType.I64),
+      ("bench/narrow8", Array.fill(n)(rnd.nextInt(256).toLong), PhysType.I64),
+      ("bench/constant", Array.fill(n)(42L), PhysType.I64),
+      ("bench/mainly_const", Array.tabulate(n)(i =>
+        if (rnd.nextInt(100) < 95) 7L else rnd.nextLong()), PhysType.I64),
+      ("bench/runlength", {
+        val a = new Array[Long](n); var i = 0
+        while (i < n) { val v = rnd.nextInt(50).toLong
+          val run = math.min(10 + rnd.nextInt(50), n - i)
+          java.util.Arrays.fill(a, i, i + run, v); i += run }
+        a
+      }, PhysType.I64),
+      ("bench/increasing", { var v = 0L; Array.tabulate(n) { _ => v += rnd.nextInt(8); v } }, PhysType.I64),
+      ("bench/lowcard64", { val alpha = Array.fill(64)(rnd.nextLong())
+        Array.fill(n)(alpha(rnd.nextInt(64))) }, PhysType.I64))
+  }
+
+  /** Part 3 — per-pair top-1 ranking margins (the ranking half of
+    * EncodingSelectionPolicy.h:339): label by exact-encoding BOTH top
+    * candidates of every search (global margin 0, pair table empty) and
+    * recording (cost-adjusted estimate ratio, flip?, rank-0 id, rank-1 id)
+    * — a "flip" is the exact winner being the RUNNER-UP. One global margin
+    * cannot widen past the hand-set 0.75 (composite-codec estimates flip
+    * down to ~0.32), but margins are a PAIR property: pairs whose estimates
+    * are near-exact (FOR/SIMDFOR) never flip and earn a wide margin; the
+    * flippy pairs keep the conservative default. Per observed pair with
+    * >= 20 searches: margin = midpoint between the largest flip-free ratio
+    * below the pair's first flip and that flip (0.98 cap); pairs flipping
+    * at or under the default train no override. Verifies zero size change
+    * vs CURRENT production behavior on corpus + bench-grid shapes (the
+    * committed codec_*_ratio contract) and prints the take-rate delta. */
+  def trainTop1Ranking(): Unit = {
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+    val savedRatio = Codecs.top1Ratio
+    val savedTable = Codecs.top1PairTable
+    val shapes = rawPatterns() ++ benchGridPatterns()
+    // current-production sizes FIRST: the drift contract is vs what ships
+    val prodSizes = shapes.map { case (name, values, phys) =>
+      val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+      name -> s.size
+    }.toMap
+    Codecs.setTop1Ratio(0.0) // labeling: always exact-encode the top-2
+    Codecs.setTop1PairTable(Map.empty)
+    val samples = scala.collection.mutable.ArrayBuffer[(Double, Boolean, Byte, Byte)]()
+    try {
+      for ((_, values, phys) <- shapes) {
+        val (_, tr) = Codecs.withRankTrace {
+          val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+        }
+        samples ++= tr
+      }
+    } finally { Codecs.setTop1Ratio(savedRatio); Codecs.setTop1PairTable(savedTable) }
+    val flipsAll = samples.filter(_._2)
+    println(s"top-1 ranking: ${samples.size} two-candidate searches, ${flipsAll.size} flips, " +
+      s"${samples.groupBy(s => (s._3, s._4)).size} distinct pairs")
+    val table = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    for (((id0, id1), ss) <- samples.groupBy(s => (s._3, s._4)).toSeq.sortBy(x => (x._1._1, x._1._2))) {
+      val flips = ss.filter(_._2).map(_._1)
+      val safe = ss.filterNot(_._2).map(_._1)
+      val minFlip = if (flips.isEmpty) 1.0 else flips.min
+      val support = ss.size
+      val status =
+        if (support < 20) "thin support, default"
+        else if (minFlip <= savedRatio) "flips under default, default"
+        else {
+          val hi = math.max(savedRatio, safe.filter(_ < minFlip).maxOption.getOrElse(0.0))
+          val m = math.min(0.98, hi + (minFlip - hi) / 2.0)
+          if (m > savedRatio + 1e-9) { table(Codecs.pairKey(id0, id1)) = m; f"margin=$m%.4f" }
+          else "no headroom, default"
+        }
+      println(f"  pair ($id0%3d,$id1%3d): n=$support%4d flips=${flips.size}%3d minFlip=$minFlip%.4f -> $status")
+    }
+    println("  trained pair table (paste into Codecs.DefaultTop1PairMax):")
+    for ((k, v) <- table) println(f"    ${k >> 8} -> ${k & 0xff}: 0x$k%04x -> $v%.4f")
+    // verify vs CURRENT production: zero size change on every shape, counted
+    // extra single-encodes = the measured work saved
+    Codecs.setTop1PairTable(table.toMap)
+    val single0 = Codecs.singleEncodes.get()
+    var drift = 0
+    for ((name, values, phys) <- shapes) {
+      val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+      if (s.size != prodSizes(name)) { drift += 1; println(s"  SIZE DRIFT vs prod: $name ${prodSizes(name)} -> ${s.size}") }
+    }
+    val tookTrained = Codecs.singleEncodes.get() - single0
+    Codecs.setTop1PairTable(Map.empty)
+    val single1 = Codecs.singleEncodes.get()
+    for ((_, values, phys) <- shapes) {
+      val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+    }
+    val tookDefault = Codecs.singleEncodes.get() - single1
+    println(s"size drift vs production with pair table installed: $drift shapes; " +
+      s"single-encodes $tookDefault -> $tookTrained of ${samples.size} searches")
+    Codecs.setTop1PairTable(savedTable)
     Codecs.setSelectionPolicy(Codecs.CostSelection)
   }
 }

@@ -691,13 +691,15 @@ class CodecsSpec extends AnyFunSuite {
   }
 
   test("point reads: DELTA checkpoint tail (r14 payloads seek, legacy falls back)") {
+    // ±1 random walk: tiny deltas but NON-monotonic, so DELTABLOCK
+    // (dMin >= 0 gate) is out and DELTA ranks first unambiguously
     var v = 1000000L
-    val long = Array.tabulate(5000) { _ => v += rnd.nextInt(2); v }
+    val long = Array.tabulate(5000) { _ => v += rnd.nextInt(3) - 1; v }
     pointReadParity(long, expectId = Codecs.DELTA)
     // under 2 checkpoint strides the writer appends no tail: the point
     // reader must detect the legacy payload shape and decline
     v = 1000000L
-    val short0 = Array.tabulate(1500) { _ => v += rnd.nextInt(2); v }
+    val short0 = Array.tabulate(1500) { _ => v += rnd.nextInt(3) - 1; v }
     pointReadParity(short0, expectId = Codecs.DELTA, expectSeek = false)
   }
 
@@ -717,6 +719,37 @@ class CodecsSpec extends AnyFunSuite {
     val values = Array.tabulate(6000)(i =>
       if (nulls(i)) 0L else { v += rnd.nextInt(2); v })
     pointReadParity(values, nulls = nulls)
+  }
+
+  test("trained top-1 pair margins: zero size drift, runner-up encodes measurably skipped") {
+    // contract of the shipped DefaultTop1PairMax (GateTrainer part 3): on
+    // every trainer shape (corpus + the bench codec-grid generators whose
+    // committed ratios the drift check compares), the pair margins must
+    // produce BYTE-IDENTICAL sizes to the pair-less 0.75 default, while the
+    // singleEncodes counter proves runner-up exact encodes were skipped.
+    val saved = Codecs.top1PairTable
+    try {
+      val shapes = graft.tools.GateTrainer.rawPatterns() ++
+        graft.tools.GateTrainer.benchGridPatterns()
+      Codecs.setTop1PairTable(Map.empty) // ablation: global margin only
+      val s0 = Codecs.singleEncodes.get()
+      val baseline = shapes.map { case (name, values, phys) =>
+        val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+        name -> s.size
+      }
+      val singlesOff = Codecs.singleEncodes.get() - s0
+      Codecs.setTop1PairTable(null) // trained defaults
+      val s1 = Codecs.singleEncodes.get()
+      var drift = 0
+      for ((name, values, phys) <- shapes) {
+        val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+        if (s.size != baseline.toMap.apply(name)) { drift += 1; info(s"drift on $name") }
+      }
+      val singlesOn = Codecs.singleEncodes.get() - s1
+      assert(drift == 0, s"pair margins changed encoded size on $drift shapes")
+      assert(singlesOn > singlesOff,
+        s"pair table skipped no extra runner-up encodes ($singlesOff -> $singlesOn)")
+    } finally Codecs.setTop1PairTable(saved)
   }
 
   test("trained estimation filter: zero size drift, real skips, measured win") {
