@@ -596,6 +596,26 @@ object Codecs {
   def decodeValuesAt(cur: ByteCursor, positions: Array[Int]): Column = {
     val save = cur.pos
     val id0 = cur.buf(cur.pos)
+    if (id0 == SENTINEL) {
+      // in-band null sentinel: point-read the filled stream, map sentinel
+      // hits back to nulls
+      cur.readByte(); cur.readByte(); cur.readVarint()
+      val sentinel = cur.readZigZag()
+      decodeValuesAtFlat(cur.readBlock(), positions) match {
+        case lc: LongsCol =>
+          val k = positions.length
+          val nulls = new Array[Boolean](k)
+          val vals = lc.values
+          var any = false
+          var i = 0
+          while (i < k) {
+            if (vals(i) == sentinel) { nulls(i) = true; vals(i) = 0L; any = true }
+            i += 1
+          }
+          return LongsCol(vals, lc.phys, if (any) nulls else null)
+        case _ => cur.pos = save; return null
+      }
+    }
     if (id0 != NULLABLE) {
       val r = decodeValuesAtFlat(cur, positions)
       if (r == null) cur.pos = save
@@ -882,6 +902,117 @@ object Codecs {
           i = end
         }
         LongsCol(out, phys)
+      case (SUBINT, _) if integralPhys(phys) =>
+        // hi/lo bit-range split: point-read both sub-streams at the same
+        // positions and recombine — fully recursive seekability
+        val kk = cur.readByte()
+        val hiBlk = cur.readBlock()
+        val loBlk = cur.readBlock()
+        val hi = decodeValuesAtFlat(
+          new ByteCursor(hiBlk.buf, hiBlk.pos, hiBlk.end), positions)
+        if (hi == null) { cur.pos = save; return null }
+        val lo = decodeValuesAtFlat(
+          new ByteCursor(loBlk.buf, loBlk.pos, loBlk.end), positions)
+        if (lo == null) { cur.pos = save; return null }
+        val hv = hi.asInstanceOf[LongsCol].values
+        val lv = lo.asInstanceOf[LongsCol].values
+        val out = new Array[Long](k)
+        var i = 0
+        while (i < k) { out(i) = (hv(i) << kk) | lv(i); i += 1 }
+        LongsCol(out, phys)
+      case (PFOR, _) if integralPhys(phys) =>
+        // fixed-width packed lows admit O(1) reads; the (sorted, <= n/8)
+        // exception positions/highs decode whole and merge forward
+        val baseline = cur.readZigZag()
+        val w = cur.readByte()
+        val lowsStart = cur.pos
+        val nBytes = ((n.toLong * w + 7) / 8).toInt
+        val limit = lowsStart + nBytes
+        cur.pos = limit
+        val pos = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val highs = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        val out = new Array[Long](k)
+        var ei = 0
+        var i = 0
+        while (i < k) {
+          val p = positions(i)
+          val bitOff = p.toLong * w
+          val byteOff = lowsStart + (bitOff >>> 3).toInt
+          val sh = (bitOff & 7).toInt
+          var v = wordAt(cur.buf, byteOff, limit) >>> sh
+          if (sh + w > 64) v |= wordAt(cur.buf, byteOff + 8, limit) << (64 - sh)
+          var low = v & mask
+          while (ei < pos.length && pos(ei) < p) ei += 1
+          if (ei < pos.length && pos(ei) == p) low |= highs(ei) << w
+          out(i) = baseline + low
+          i += 1
+        }
+        LongsCol(out, phys)
+      case (BLOCKBP, _) if integralPhys(phys) =>
+        // per-block baseline + width: untouched blocks skip in O(1) from
+        // their header; touched blocks serve O(1) bit reads
+        val bsz = cur.readVarint().toInt
+        val out = new Array[Long](k)
+        var b = 0
+        var pi = 0
+        while (b < n && pi < k) {
+          val e = math.min(b + bsz, n)
+          val bw = cur.readByte()
+          if (bw == 64) {
+            while (pi < k && positions(pi) < e) {
+              out(pi) = wordAt(cur.buf, cur.pos + 8 * (positions(pi) - b), cur.end)
+              pi += 1
+            }
+            cur.pos += 8 * (e - b)
+          } else {
+            val baseline = cur.readZigZag()
+            val nb = (((e - b).toLong * bw + 7) / 8).toInt
+            val limit = cur.pos + nb
+            val mask = if (bw == 64) -1L else (1L << bw) - 1L
+            while (pi < k && positions(pi) < e) {
+              val bitOff = (positions(pi) - b).toLong * bw
+              val byteOff = cur.pos + (bitOff >>> 3).toInt
+              val sh = (bitOff & 7).toInt
+              var v = wordAt(cur.buf, byteOff, limit) >>> sh
+              if (sh + bw > 64) v |= wordAt(cur.buf, byteOff + 8, limit) << (64 - sh)
+              out(pi) = (v & mask) + baseline
+              pi += 1
+            }
+            cur.pos = limit
+          }
+          b = e
+        }
+        LongsCol(out, phys)
+      case (MAINLYCONST, _) if integralPhys(phys) =>
+        // bitmap rank: the isCommon bools decode (bit-cheap), exceptions
+        // (minority by the plan gate) decode whole, selected rows map via a
+        // forward rank scan — no n-length value array materializes
+        val common = cur.readZigZag()
+        val isCommon = decodeValues(cur.readBlock()).asInstanceOf[BoolsCol].values
+        val others = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val out = new Array[Long](k)
+        var rank = 0 // exceptions in rows [0, scan)
+        var scan = 0
+        var i = 0
+        while (i < k) {
+          val p = positions(i)
+          while (scan < p) { if (!isCommon(scan)) rank += 1; scan += 1 }
+          out(i) = if (isCommon(p)) common else others(rank)
+          i += 1
+        }
+        LongsCol(out, phys)
+      case (HUFFMAN, _) if integralPhys(phys) =>
+        // checkpointed code stream: one bounded window per touched 256-row
+        // segment (Huffman.decodeAt); legacy no-checkpoint payloads decline
+        val nSym = cur.readVarint().toInt
+        val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val lens = new Array[Int](nSym)
+        var si = 0
+        while (si < nSym) { lens(si) = cur.readByte(); si += 1 }
+        val vals = Huffman.decodeAt(alphabet, lens, cur, n, positions)
+        if (vals == null) { cur.pos = save; return null }
+        LongsCol(vals, phys)
       case _ => cur.pos = save; null
     }
   }

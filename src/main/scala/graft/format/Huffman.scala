@@ -243,4 +243,37 @@ object Huffman {
     new Decoder(alphabet, lens).run(st.words, startBit, from - startRow, until - from, out, 0)
     out
   }
+
+  /** Point decode: materialize only `positions` (strictly increasing), one
+    * checkpoint-aligned window per touched 256-row segment. Null when the
+    * payload has no checkpoints (legacy chunks over one stride — each
+    * segment would re-decode from row 0; the caller bulk-decodes instead). */
+  def decodeAt(alphabet: Array[Long], lens: Array[Int], cur: ByteCursor, n: Int,
+      positions: Array[Int]): Array[Long] = {
+    val st = readStream(cur)
+    if (st.checkpoints == null && n > CheckpointStride) return null
+    val dec = new Decoder(alphabet, lens)
+    val k = positions.length
+    val out = new Array[Long](k)
+    val tmp = new Array[Long](CheckpointStride)
+    var i = 0
+    while (i < k) {
+      val seg = positions(i) / CheckpointStride
+      var end = i + 1
+      while (end < k && positions(end) / CheckpointStride == seg) end += 1
+      val segStart = seg * CheckpointStride
+      val (startRow, startBit) =
+        if (st.checkpoints == null || seg == 0) (0, 0L)
+        else {
+          val cp = math.min(seg, st.checkpoints.length)
+          (cp * CheckpointStride, st.checkpoints(cp - 1))
+        }
+      val maxPos = positions(end - 1)
+      dec.run(st.words, startBit, segStart - startRow, maxPos - segStart + 1, tmp, 0)
+      var t = i
+      while (t < end) { out(t) = tmp(positions(t) - segStart); t += 1 }
+      i = end
+    }
+    out
+  }
 }

@@ -721,6 +721,54 @@ class CodecsSpec extends AnyFunSuite {
     pointReadParity(values, nulls = nulls)
   }
 
+  test("point reads: PFOR packed lows + exception merge") {
+    val values = Array.tabulate(8192)(i =>
+      if (i % 100 == 13) (1L << 50) + rnd.nextInt(1000) else rnd.nextInt(256).toLong)
+    pointReadParity(values, expectId = Codecs.PFOR)
+  }
+
+  test("point reads: BLOCKBP per-block header walk") {
+    val values = Array.tabulate(8192) { i =>
+      val base = if ((i / 1024) % 2 == 0) 0L else 1L << 40
+      base + rnd.nextInt(1 << 16).toLong
+    }
+    pointReadParity(values, expectId = Codecs.BLOCKBP)
+  }
+
+  test("point reads: SUBINT recursive hi/lo recombination") {
+    // the codec-16 shape: RLE-able 40-bit bases over 24-bit noise — the hi
+    // recursion exercises the RLE point arm, the lo the packed arm
+    val r = new scala.util.Random(7)
+    val bases = Array.fill(100)(r.nextLong() >>> 24)
+    val values = Array.tabulate(8192)(i => (bases(i / 100) << 24) | r.nextInt(1 << 24).toLong)
+    pointReadParity(values, expectId = Codecs.SUBINT)
+  }
+
+  test("point reads: MAINLYCONST bitmap rank") {
+    val values = Array.tabulate(8192)(i =>
+      if (rnd.nextInt(100) < 95) 42L else rnd.nextLong() >>> 8)
+    pointReadParity(values, expectId = Codecs.MAINLYCONST)
+  }
+
+  test("point reads: HUFFMAN checkpoint windows (legacy one-stride falls back)") {
+    val skewed = Array.fill(8192) {
+      val r = rnd.nextDouble()
+      val v = if (r < 0.5) 0 else if (r < 0.75) 1 else if (r < 0.875) 2 else rnd.nextInt(64)
+      v.toLong * 1000
+    }
+    pointReadParity(skewed, expectId = Codecs.HUFFMAN)
+  }
+
+  test("point reads: SENTINEL in-band nulls map back to nulls") {
+    val nulls = Array.tabulate(8192)(i => i % 2 == 0)
+    val values = Array.tabulate(8192)(i => if (nulls(i)) 0L else (i % 100).toLong)
+    val sink = new ByteSink()
+    Codecs.encodeColumn(LongsCol(values, PhysType.I64, nulls), sink)
+    val bytes = sink.toArray
+    assert(bytes(0) == Codecs.SENTINEL, s"expected SENTINEL wrapper, got ${bytes(0)}")
+    pointReadParity(values, nulls = nulls)
+  }
+
   test("trained top-1 pair margins: zero size drift, runner-up encodes measurably skipped") {
     // contract of the shipped DefaultTop1PairMax (GateTrainer part 3): on
     // every trainer shape (corpus + the bench codec-grid generators whose
