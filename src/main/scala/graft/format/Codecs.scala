@@ -1013,6 +1013,66 @@ object Codecs {
         val vals = Huffman.decodeAt(alphabet, lens, cur, n, positions)
         if (vals == null) { cur.pos = save; return null }
         LongsCol(vals, phys)
+      case (ALP, PhysType.F32 | PhysType.F64) =>
+        // v2 ALP: point-read the nested long stream, reconstruct with the
+        // chunk's (e, f), then patch selected rows that sit in the (sorted,
+        // minority) exception streams; ALP-lite legacy payloads decline
+        val isFloat = phys == PhysType.F32
+        if (cur.readByte() != AlpV2Marker) { cur.pos = save; return null }
+        val e = cur.readByte()
+        val f = cur.readByte()
+        val excCount = cur.readVarint().toInt
+        val encBlk = cur.readBlock()
+        val inner = decodeValuesAtFlat(
+          new ByteCursor(encBlk.buf, encBlk.pos, encBlk.end), positions)
+        if (inner == null) { cur.pos = save; return null }
+        val enc = inner.asInstanceOf[LongsCol].values
+        val out = new Array[Double](k)
+        val pe = AlpPow10(e)
+        val pf = AlpPow10(f)
+        var i = 0
+        if (isFloat) while (i < k) { out(i) = (enc(i).toDouble * pf / pe).toFloat.toDouble; i += 1 }
+        else while (i < k) { out(i) = enc(i).toDouble * pf / pe; i += 1 }
+        if (excCount > 0) {
+          val pos = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+          val vb = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+          var ei = 0
+          i = 0
+          while (i < k) {
+            val p = positions(i)
+            while (ei < pos.length && pos(ei) < p) ei += 1
+            if (ei < pos.length && pos(ei) == p)
+              out(i) =
+                if (isFloat) java.lang.Float.intBitsToFloat(vb(ei).toInt).toDouble
+                else java.lang.Double.longBitsToDouble(vb(ei))
+            i += 1
+          }
+        }
+        DoublesCol(out, isFloat)
+      case (DICT, PhysType.F32 | PhysType.F64) =>
+        // doubles dictionary: bit-cast alphabet decodes whole, indices
+        // point-read recursively
+        val isFloat = phys == PhysType.F32
+        val alphabet = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        val idxBlk = cur.readBlock()
+        val idx: Array[Long] =
+          decodeValuesAtFlat(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end), positions) match {
+            case lc: LongsCol => lc.values
+            case _ =>
+              val full = decodeValues(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end))
+                .asInstanceOf[LongsCol].values
+              val g = new Array[Long](k)
+              var j = 0
+              while (j < k) { g(j) = full(positions(j)); j += 1 }
+              g
+          }
+        val out = new Array[Double](k)
+        var i = 0
+        if (isFloat)
+          while (i < k) { out(i) = java.lang.Float.intBitsToFloat(alphabet(idx(i).toInt).toInt).toDouble; i += 1 }
+        else
+          while (i < k) { out(i) = java.lang.Double.longBitsToDouble(alphabet(idx(i).toInt)); i += 1 }
+        DoublesCol(out, isFloat)
       case _ => cur.pos = save; null
     }
   }

@@ -759,6 +759,51 @@ class CodecsSpec extends AnyFunSuite {
     pointReadParity(skewed, expectId = Codecs.HUFFMAN)
   }
 
+  private def pointReadParityDoubles(values: Array[Double], expectId: Byte = -1): Unit = {
+    val sink = new ByteSink()
+    Codecs.encodeColumn(DoublesCol(values, isFloat = false), sink)
+    val bytes = sink.toArray
+    if (expectId >= 0)
+      assert(bytes(0) == expectId, s"selector drift: got ${bytes(0)}, want $expectId")
+    val n = values.length
+    val posSets: Seq[Array[Int]] = Seq(
+      Array(0), Array(n - 1),
+      Array.tabulate(40)(i => (i * (n - 1)) / 40).distinct.sorted,
+      Array.range(n / 2, n / 2 + 17))
+    for (ps <- posSets) {
+      val dense = Codecs.decodeValuesAt(new ByteCursor(bytes), ps)
+      assert(dense != null, s"point read fell back to bulk for codec ${bytes(0)}")
+      val dc = dense.asInstanceOf[DoublesCol]
+      var i = 0
+      while (i < ps.length) {
+        val want = values(ps(i))
+        val got = dc.values(i)
+        assert(java.lang.Double.doubleToRawLongBits(got) ==
+          java.lang.Double.doubleToRawLongBits(want),
+          s"pos ${ps(i)}: got $got, want $want")
+        i += 1
+      }
+    }
+  }
+
+  test("point reads: ALP doubles, clean and with NaN/real exceptions") {
+    pointReadParityDoubles(
+      Array.fill(8192)(rnd.nextInt(1000000) / 100.0), expectId = Codecs.ALP)
+    // exception stragglers land in the patch streams; selected rows on both
+    // sides of an exception must reconstruct bit-exactly (incl. NaN)
+    pointReadParityDoubles(
+      Array.tabulate(8192)(i =>
+        if (i % 20 == 7) rnd.nextDouble() * 1e3
+        else if (i == 31 || i == 4100) Double.NaN
+        else rnd.nextInt(1000000) / 100.0),
+      expectId = Codecs.ALP)
+  }
+
+  test("point reads: DICT doubles bit-cast alphabet") {
+    val alpha = Array.fill(32)(rnd.nextDouble() * 1e9)
+    pointReadParityDoubles(Array.fill(8192)(alpha(rnd.nextInt(32))), expectId = Codecs.DICT)
+  }
+
   test("point reads: SENTINEL in-band nulls map back to nulls") {
     val nulls = Array.tabulate(8192)(i => i % 2 == 0)
     val values = Array.tabulate(8192)(i => if (nulls(i)) 0L else (i % 100).toLong)
