@@ -130,6 +130,13 @@ final class FilterCascade(
 
   private def clamp(x: Double): Double = math.min(1.0, math.max(1e-6, x))
 
+  /** Cold-start estimate of a row surviving every single-column conjunct
+    * (product of the group seeds; 1.0 with no cascadable groups). The fetch
+    * layer defers projected-stream IO only when this says whole chunks are
+    * likely to die — point probes, not range scans. */
+  def seedPassRate: Double =
+    cascadeGroups.iterator.map(g => seeds(g._1)).product
+
   /** Present groups ordered most-selective-first: observed pass rate once a
     * chunk of evidence exists, else the footer-stats (or filter-kind) seed. */
   def order(): Array[(String, Array[Filter])] =

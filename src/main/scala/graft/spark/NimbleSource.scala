@@ -666,6 +666,48 @@ object NimbleSource {
         .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet))).distinct
   }
 
+  /** Leaf stream keys the FILTER phase of a scan needs — pushed-filter
+    * references plus stats-only (nested-leaf) pruning streams. The batch
+    * reader fetches these EAGERLY and defers every projected-only stream
+    * until a chunk actually survives, so a stripe whose chunks the cascade
+    * kills outright never pays the projected columns' IO at all (the
+    * selective-reader idea applied at the fetch layer — at 100 TB a
+    * selective probe reads the key stream, not the table). Must agree
+    * exactly between the in-task reader and the prefetch path. */
+  private[spark] def filterStreamKeys(footerKeySet: Fields.KeyProbe, dataSchema: StructType,
+      filters: Array[Filter], statsOnly: Array[Filter]): Set[String] =
+    (filters.flatMap(_.references).distinct
+      .filter(c => dataSchema.fieldNames.contains(c))
+      .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet)) ++
+      statsOnly.flatMap(_.references).distinct
+        .flatMap(p => Seq(p, p + "#nanos"))).filter(footerKeySet(_)).toSet
+
+  /** Stream payload bytes fetched from the filesystem by
+    * [[readNeededStreams]] (cache hits excluded) — the deferred-fetch
+    * observability counter. */
+  val streamBytesFetched = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Deferral engages only when the cold-start pass-rate estimate says
+    * whole chunks are likely to die (expected survivors per 16K-row chunk
+    * ~<= 1.6): point probes defer their projected IO; ordinary range scans,
+    * whose chunks almost always keep survivors, keep the single coalesced
+    * read per stripe. */
+  private[spark] final val DeferSeedMax = 1e-4
+
+  /** The cold-start survival estimate for (filters) over this file — one
+    * throwaway [[FilterCascade]] so the reader and the prefetch path make
+    * the IDENTICAL deferral decision from the identical inputs. */
+  private[spark] def seedPassRateOf(reader: Tablet.Reader, dataSchema: StructType,
+      filters: Array[Filter]): Double = {
+    val probe = reader.keyProbe
+    new FilterCascade(filters, n => dataSchema(n).dataType,
+      c => reader.keyId(c) >= 0,
+      c => reader.fileStatsOf(c).map { st =>
+        if (probe(c + "#nanos")) nanosScaledStats(st) else st
+      },
+      c => reader.footer.ndvSketches.get(c).map(graft.format.Hll.estimate)).seedPassRate
+  }
+
   /** Column types whose footer stats feed CBO column statistics. */
   private[spark] def cboEligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -766,6 +808,7 @@ object NimbleSource {
           val slice = java.util.Arrays.copyOfRange(run,
             (loc.offset - runStart).toInt, (loc.offset - runStart + loc.length).toInt)
           out(k) = slice
+          streamBytesFetched.addAndGet(slice.length.toLong)
           if (ck != null) BlockCache.put(ck, slice)
           m += 1
         }
@@ -787,20 +830,34 @@ object NimbleSource {
     } else reader.readStreamBytes(stripe, id)
 
   /** Self-contained stripe fetch for the prefetch pool (own reader/handle —
-    * the in-flight reader is not thread-safe). */
+    * the in-flight reader is not thread-safe). With pushed filters only the
+    * EAGER (filter-phase) streams prefetch — the reader defers projected
+    * streams until a chunk survives, and prefetching them would undo the
+    * deferred-IO saving on fully-filtered stripes. */
   private[spark] def fetchStreamBytes(file: String, stripe: Int, dataSchema: StructType,
-      required: StructType, filters: Array[Filter]): Map[String, Array[Byte]] = {
+      required: StructType, filters: Array[Filter],
+      statsOnly: Array[Filter]): Map[String, Array[Byte]] = {
     val r = new Tablet.Reader(file, footerOf(file))
-    try readNeededStreams(r, stripe,
-      neededStreamKeys(r.keyProbe, dataSchema, required, filters), file)
-    finally r.close()
+    try {
+      val all = neededStreamKeys(r.keyProbe, dataSchema, required, filters)
+      val keys =
+        if (filters.isEmpty ||
+            seedPassRateOf(r, dataSchema, filters) > DeferSeedMax) all
+        else {
+          val fs = filterStreamKeys(r.keyProbe, dataSchema, filters, statsOnly)
+          val eager = all.filter(fs.contains)
+          if (eager.isEmpty) all else eager
+        }
+      readNeededStreams(r, stripe, keys, file)
+    } finally r.close()
   }
 
   private[spark] def submitPrefetch(file: String, stripe: Int, dataSchema: StructType,
-      required: StructType, filters: Array[Filter]): java.util.concurrent.Future[Map[String, Array[Byte]]] =
+      required: StructType, filters: Array[Filter],
+      statsOnly: Array[Filter] = Array.empty): java.util.concurrent.Future[Map[String, Array[Byte]]] =
     streamPool.submit(new java.util.concurrent.Callable[Map[String, Array[Byte]]] {
       def call(): Map[String, Array[Byte]] =
-        fetchStreamBytes(file, stripe, dataSchema, required, filters)
+        fetchStreamBytes(file, stripe, dataSchema, required, filters, statsOnly)
     })
 }
 
@@ -1713,7 +1770,8 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       if (idx + 1 < items.length) {
         val nxt = items(idx + 1)
         pendingIdx = idx + 1
-        pending = NimbleSource.submitPrefetch(nxt.file, nxt.stripe, dataSchema, required, filters)
+        pending = NimbleSource.submitPrefetch(nxt.file, nxt.stripe, dataSchema, required,
+          filters, statsOnly)
       }
       val remaining = if (limit < 0) -1 else (limit - produced).toInt
       stripesOpened += 1
@@ -1770,12 +1828,67 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val neededKeys: Array[String] =
     NimbleSource.neededStreamKeys(footerKeySet, dataSchema, required, filters)
 
-  private val streamBytes: Map[String, Array[Byte]] =
-    if (prefetched != null) { NimbleSource.prefetchHits.incrementAndGet(); prefetched }
-    else NimbleSource.readNeededStreams(reader, stripe, neededKeys, file)
+  // ---- deferred projected-stream IO (the selective-reader idea applied at
+  // the fetch layer): with pushed filters, only the FILTER-phase streams
+  // (pushed refs + stats-only pruning leaves) fetch up front; projected-only
+  // streams fetch on the FIRST chunk that actually survives. A stripe the
+  // cascade kills outright never reads the projected columns' bytes — for a
+  // selective probe at 100 TB that is most of the table's IO. ----
+  private val (eagerKeys: Array[String], deferredKeys: Array[String]) =
+    if (filters.isEmpty ||
+        NimbleSource.seedPassRateOf(reader, dataSchema, filters) > NimbleSource.DeferSeedMax)
+      (neededKeys, Array.empty[String])
+    else {
+      val fs = NimbleSource.filterStreamKeys(footerKeySet, dataSchema, filters, statsOnly)
+      val e = neededKeys.filter(fs.contains)
+      if (e.isEmpty) (neededKeys, Array.empty[String])
+      else (e, neededKeys.filterNot(fs.contains))
+    }
 
-  private val cursors: Map[String, Tablet.ChunkCursor] =
-    streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+  private val eagerBytes: Map[String, Array[Byte]] =
+    if (prefetched != null) {
+      NimbleSource.prefetchHits.incrementAndGet()
+      prefetched.view.filterKeys(eagerKeys.contains).toMap
+    } else NimbleSource.readNeededStreams(reader, stripe, eagerKeys, file)
+
+  private val eagerCursors: Map[String, Tablet.ChunkCursor] =
+    eagerBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+
+  /** Deferred cursors; null until the first surviving chunk (or a prefetch
+    * that already carried the bytes) materializes them. */
+  private var deferredCursors: Map[String, Tablet.ChunkCursor] =
+    if (deferredKeys.isEmpty) Map.empty
+    else if (prefetched != null && deferredKeys.forall(prefetched.contains))
+      deferredKeys.iterator.map(k => k -> new Tablet.ChunkCursor(prefetched(k))).toMap
+    else null
+  /** Chunks fully consumed (skipped or filtered dead) BEFORE deferred
+    * materialization — fresh deferred cursors fast-forward this many chunk
+    * frames so every stream stays row-aligned. */
+  private var chunksBehind = 0
+
+  private def ensureDeferredCursors(): Map[String, Tablet.ChunkCursor] = {
+    if (deferredCursors == null) {
+      val bytes = NimbleSource.readNeededStreams(reader, stripe, deferredKeys, file)
+      deferredCursors = bytes.map { case (k, b) =>
+        val c = new Tablet.ChunkCursor(b)
+        var i = 0
+        while (i < chunksBehind) { c.skip(); i += 1 }
+        k -> c
+      }
+    }
+    deferredCursors
+  }
+
+  private def cursorOf(key: String): Tablet.ChunkCursor =
+    eagerCursors.getOrElse(key, ensureDeferredCursors()(key))
+
+  /** Advance every stream past the current chunk without decode: eager
+    * cursors skip; deferred ones skip when materialized, else lag-count. */
+  private def skipChunkAllStreams(): Unit = {
+    eagerCursors.valuesIterator.foreach(_.skip())
+    if (deferredCursors != null) deferredCursors.valuesIterator.foreach(_.skip())
+    else chunksBehind += 1
+  }
 
   // `_file` metadata column (SupportsMetadataColumns): constant-per-file
   // path, no streams — shadowed by a real data column of the same name
@@ -1790,20 +1903,42 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val absentField: Array[Boolean] = required.fields.map { f =>
     !Fields.neededKeys(f.name, f.dataType, footerKeySet).exists(footerKeySet(_))
   }
-  private val fieldReaders: Array[Fields.FieldReader] =
-    required.fields.zipWithIndex.map { case (f, i) =>
-      if (absentField(i)) null
-      else if (unsignedCols.contains(f.name)) new Fields.UnsignedR(f.name, f.dataType, cursors(_))
-      else Fields.readerFor(f.name, f.dataType, cursors(_), footerKeySet)
+  // field readers construct LAZILY per slot: a reader grabs its stream
+  // cursors at construction, and constructing a deferred-stream reader
+  // before any chunk survives would defeat the deferred fetch
+  private val fieldReaderSlots = new Array[Fields.FieldReader](required.fields.length)
+  private val fieldReaderMade = new Array[Boolean](required.fields.length)
+  private def fieldReaderAt(i: Int): Fields.FieldReader = {
+    if (!fieldReaderMade(i)) {
+      fieldReaderMade(i) = true
+      val f = required.fields(i)
+      fieldReaderSlots(i) =
+        if (absentField(i)) null
+        else if (unsignedCols.contains(f.name)) new Fields.UnsignedR(f.name, f.dataType, cursorOf(_))
+        else Fields.readerFor(f.name, f.dataType, cursorOf(_), footerKeySet)
     }
+    fieldReaderSlots(i)
+  }
+  /** The slot if already constructed, else null — dead-chunk discards must
+    * never construct (chunksBehind covers the unconstructed streams). */
+  private def fieldReaderIfMade(i: Int): Fields.FieldReader =
+    if (fieldReaderMade(i)) fieldReaderSlots(i) else null
+
+  // no deferral in play (no filters, or the prefetch already carried every
+  // stream): construct all readers up front — dead-chunk discards then
+  // cover every stream and the lag counter is never consulted
+  if (deferredCursors != null) {
+    var fri = 0
+    while (fri < required.fields.length) { fieldReaderAt(fri); fri += 1 }
+  }
 
   // separate readers (cursors) for filter-only columns
   private val filterReaders: Map[String, Fields.FieldReader] =
     filterCols.filter(c => reader.keyId(c) >= 0).map { c =>
       val dt = dataSchema(c).dataType
       val rdr: Fields.FieldReader =
-        if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
-        else new Fields.PrimR(c, dt, cursors(_))
+        if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursorOf(_))
+        else new Fields.PrimR(c, dt, cursorOf(_))
       c -> rdr
     }.toMap
 
@@ -1819,9 +1954,11 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   // columns get their own cursors; projected refs reuse the field reader so
   // the decoded chunk serves the vector fill too.
   private val cascadeReaderOf: Map[String, Fields.FieldReader] = {
+    // projected filter refs construct their field reader now — their streams
+    // are in the eager (filter-phase) set by construction
     val req = required.fields.zipWithIndex.collect {
-      case (f, i) if requiredFilterRefs.contains(f.name) && fieldReaders(i) != null =>
-        f.name -> fieldReaders(i)
+      case (f, i) if requiredFilterRefs.contains(f.name) && fieldReaderAt(i) != null =>
+        f.name -> fieldReaderAt(i)
     }.toMap
     filterReaders ++ req
   }
@@ -1836,8 +1973,11 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     c => footer.ndvSketches.get(c).map(graft.format.Hll.estimate))
 
   private val anchor: Tablet.ChunkCursor = {
-    // any stream tracks chunk progression; use the first needed (or none)
-    if (neededKeys.nonEmpty) cursors(neededKeys.head) else null
+    // any EAGER stream tracks chunk progression (eagerKeys == neededKeys
+    // when nothing defers); none when the projection/filters need no stream
+    if (eagerKeys.nonEmpty) eagerCursors(eagerKeys.head)
+    else if (neededKeys.nonEmpty) cursorOf(neededKeys.head)
+    else null
   }
 
   private val allAtomicProjection: Boolean = required.fields.forall(f => f.dataType match {
@@ -1919,7 +2059,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         // emits whole — callers hold partial-TopN superset semantics
         val st = anchor.peekStats()
         if (st.isDefined && st.get.valueCount <= toSkip) {
-          cursors.valuesIterator.foreach(_.skip())
+          skipChunkAllStreams()
           toSkip -= st.get.valueCount
           chunkOrd += 1
           taskChunksSkipped += 1
@@ -1939,8 +2079,10 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         // index-candidate restriction first: a chunk outside every equality
         // probe's candidate set skips without even peeking stats
         val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
+        // filter + stats-only refs are eager by construction; a deferred
+        // stream must never materialize for a stats peek
         val statsOf: String => Option[Tablet.Stats] =
-          name => cursors.get(name).flatMap(_.peekStats()).map { st =>
+          name => eagerCursors.get(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
           }
         var pruned = indexPruned
@@ -1956,7 +2098,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         }
         chunkOrd += 1
         if (pruned) {
-          cursors.valuesIterator.foreach(_.skip())
+          skipChunkAllStreams()
           taskChunksSkipped += 1
           NimbleSource.chunksSkipped.incrementAndGet()
         } else if (!hasFilters) {
@@ -2031,12 +2173,16 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     // ones just clear their pending column) — chunk alignment is invariant
     for ((c, r) <- filterReaders) discardChunk(r, dataSchema(c).dataType)
     if (m == 0) {
-      // nothing survives: consume this chunk everywhere and move on
+      // nothing survives: consume this chunk on every CONSTRUCTED reader;
+      // deferred streams whose readers were never built lag-advance via
+      // chunksBehind (skipChunkAllStreams) instead of materializing
       var k = 0
-      while (k < fieldReaders.length) {
-        if (fieldReaders(k) != null) discardChunk(fieldReaders(k), required.fields(k).dataType)
+      while (k < required.fields.length) {
+        val r = fieldReaderIfMade(k)
+        if (r != null) discardChunk(r, required.fields(k).dataType)
         k += 1
       }
+      if (deferredCursors == null) chunksBehind += 1
       0
     } else if (allAtomicProjection) {
       // compact survivors during the vector fill
@@ -2080,8 +2226,9 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     var i = 0
     while (i < required.fields.length) {
       reusableVecs(i).reset()
-      if (fieldReaders(i) != null) {
-        val n = fieldReaders(i).readChunk(reusableVecs(i), selection)
+      val fr = fieldReaderAt(i) // constructs deferred readers on first survivor
+      if (fr != null) {
+        val n = fr.readChunk(reusableVecs(i), selection)
         if (outRows < 0) outRows = n
       }
       i += 1
@@ -2094,7 +2241,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     // `_file` metadata fields fill the constant path instead.
     i = 0
     while (i < required.fields.length) {
-      if (fieldReaders(i) == null) {
+      if (fieldReaderAt(i) == null) {
         reusableVecs(i).reserve(outRows)
         if (isFileCol(i)) fillFileCol(reusableVecs(i), outRows)
         else reusableVecs(i).putNulls(0, outRows)
