@@ -651,31 +651,52 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         }
         return
       }
-      val streamBytes = NimbleSource.readNeededStreams(reader, stripe, neededKeys, file)
-      val cursors: Map[String, Tablet.ChunkCursor] =
-        streamBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
       val filterCols = filters.flatMap(_.references).distinct
-      val readers: Map[String, Fields.FieldReader] =
-        (filterCols ++ fetchCols).distinct.filter(c => reader.keyId(c) >= 0).map { c =>
-          val rdr: Fields.FieldReader =
-            if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
-            else new Fields.PrimR(c, typeOf(c), cursors(_))
-          c -> rdr
-        }.toMap
-      val anchor = cursors(neededKeys.head)
-      val indexChunks = NimbleSource.indexCandidateChunks(reader, stripe, filters)
-      var chunkOrd = 0
+      val present: Set[String] =
+        (filterCols ++ fetchCols).distinct.filter(c => reader.keyId(c) >= 0).toSet
       // shared cascading filter-decode plan (selectivity ordering, adaptive
       // evidence, footer-seeded cold start) — same engine as the batch scan
-      val cascade = new FilterCascade(filters, typeOf, readers.contains,
+      val cascade = new FilterCascade(filters, typeOf, present,
         c => reader.fileStatsOf(c).map { st =>
           if (footerKeySet(c + "#nanos")) NimbleSource.nanosScaledStats(st) else st
         },
         c => reader.footer.ndvSketches.get(c).map(graft.format.Hll.estimate))
+      // deferred projected-stream IO, same gate as the batch scan: when the
+      // cascade's cold-start estimate says whole chunks are likely to die
+      // (point probes), only the filter-phase streams fetch up front and the
+      // aggregate-input streams fetch on the FIRST surviving chunk — a
+      // selective `sum(x) WHERE k = ..` over 100 TB reads k's stream, not x's
+      val (eagerKeys, deferredKeys) =
+        if (filters.isEmpty || cascade.seedPassRate > NimbleSource.DeferSeedMax)
+          (neededKeys, Array.empty[String])
+        else {
+          // filters double as the statsOnly arg so raw (possibly dotted
+          // nested-leaf) ref paths enter the eager set when they key streams
+          val fs = NimbleSource.filterStreamKeys(footerKeySet, dataSchema, filters, filters)
+          val e = neededKeys.filter(fs.contains)
+          if (e.isEmpty) (neededKeys, Array.empty[String])
+          else (e, neededKeys.filterNot(fs.contains))
+        }
+      val cursors = new StripeCursors(
+        NimbleSource.readNeededStreams(reader, stripe, eagerKeys, file)
+          .map { case (k, b) => k -> new Tablet.ChunkCursor(b) },
+        deferredKeys,
+        () => NimbleSource.readNeededStreams(reader, stripe, deferredKeys, file))
+      // field readers resolve their cursors at construction, so deferred-agg
+      // readers must construct lazily (first surviving chunk), not up front
+      val readerCache = scala.collection.mutable.HashMap.empty[String, Fields.FieldReader]
+      def readerOf(c: String): Fields.FieldReader = readerCache.getOrElseUpdate(c,
+        if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
+        else new Fields.PrimR(c, typeOf(c), cursors(_)))
+      val anchor = cursors(eagerKeys.head)
+      val indexChunks = NimbleSource.indexCandidateChunks(reader, stripe, filters)
+      var chunkOrd = 0
 
       while (anchor.hasNext) {
+        // peek-only: an unmaterialized deferred stream answers None, so
+        // stats shortcuts degrade to decode instead of forcing its fetch
         val statsOf: String => Option[Tablet.Stats] =
-          name => cursors.get(name).flatMap(_.peekStats()).map { st =>
+          name => cursors.peek(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
           }
         val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
@@ -683,7 +704,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         val pruned = indexPruned ||
           filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))
         if (pruned) {
-          cursors.valuesIterator.foreach(_.skip())
+          cursors.skipAll()
           NimbleSource.chunksSkipped.incrementAndGet()
         } else {
           val allMatch = filters.forall(f => Filters.allMatchStripe(f, statsOf))
@@ -692,11 +713,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
             // whole chunk classifies all-match and every op answers from
             // chunk stats: fold metadata, decode nothing
             foldChunkStats(anchor.peekStats().get.valueCount, statsOf)
-            cursors.valuesIterator.foreach(_.skip())
+            cursors.skipAll()
             AggScan.aggChunksStatsAnswered.incrementAndGet()
             taskChunksStatsAnswered += 1
           } else {
-            decodeAndFold(readers, cursors, filterCols, statsOf, allMatch, cascade)
+            decodeAndFold(readerOf, present, cursors, filterCols, statsOf, allMatch, cascade)
             AggScan.aggChunksDecoded.incrementAndGet()
             taskChunksDecoded += 1
           }
@@ -705,17 +726,17 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     } finally reader.close()
   }
 
-  private def decodeAndFold(readers: Map[String, Fields.FieldReader],
-      cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
+  private def decodeAndFold(readerOf: String => Fields.FieldReader,
+      present: String => Boolean, cursors: StripeCursors, filterCols: Array[String],
       statsOf: String => Option[Tablet.Stats], allMatch: Boolean,
       cascade: FilterCascade): Unit = {
-    def decodeAgg(name: String): graft.format.Column = readers(name) match {
+    def decodeAgg(name: String): graft.format.Column = readerOf(name) match {
       case p: Fields.PrimR if typeOf(name) == StringType ||
           typeOf(name) == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
     }
     if (grouped) {
-      decodeAndFoldGrouped(readers, cursors, filterCols, allMatch, cascade)
+      decodeAndFoldGrouped(readerOf, present, cursors, filterCols, allMatch, cascade)
       return
     }
     if (allMatch && aggCols.nonEmpty) {
@@ -736,12 +757,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       val decodedAgg = scala.collection.mutable.HashMap[String, graft.format.Column]()
       for (c <- aggCols) {
         if (decodeSet(c)) decodedAgg(c) = decodeAgg(c)
-        else { cursors(c).skip(); cursors.get(c + "#nanos").foreach(_.skip()) }
+        else cursors.skip(c)
       }
       for (c <- filterCols if !aggCols.contains(c) && cursors.contains(c)) {
         // skip the RAW cursor (readChunkDiscard would desync, see below)
-        cursors(c).skip()
-        cursors.get(c + "#nanos").foreach(_.skip())
+        cursors.skip(c)
       }
       val chunkRows = decodedAgg.valuesIterator.next().len
       acc0.countStar += chunkRows
@@ -770,7 +790,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     // which applies to the ValueHook fold path too)
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
     def decodeCol(name: String): graft.format.Column =
-      decoded.getOrElseUpdate(name, readers(name) match {
+      decoded.getOrElseUpdate(name, readerOf(name) match {
         case p: Fields.PrimR if typeOf(name) == StringType ||
             typeOf(name) == BinaryType => p.decodeRawDict()
         case other => other.decodeRaw()
@@ -781,7 +801,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     val fetchSet = fetchCols.toSet
     def pointRead(name: String, positions: Array[Int]): graft.format.Column =
       if (fetchSet.contains(name)) null
-      else readers(name) match {
+      else readerOf(name) match {
         case p: Fields.PrimR => p.decodeRawAt(positions)
         case _ => null
       }
@@ -804,8 +824,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     for (c <- filterCols
          if cursors.contains(c) && !decoded.contains(c) && !res.pointReadCols(c) &&
            !aggCols.contains(c)) {
-      cursors(c).skip()
-      cursors.get(c + "#nanos").foreach(_.skip())
+      cursors.skip(c)
     }
     acc0.countStar += m
     val needAgg = m > 0
@@ -815,8 +834,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     val dense = scala.collection.mutable.HashMap[String, graft.format.Column]()
     for (c <- aggCols) {
       if (!decoded.contains(c)) {
-        val r = readers(c)
-        if (needAgg) r match {
+        if (needAgg) readerOf(c) match {
           case p: Fields.PrimR if typeOf(c) == StringType ||
               typeOf(c) == BinaryType => decoded(c) = p.decodeRawLazy()
           case p: Fields.PrimR if selection != null &&
@@ -824,10 +842,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
             dense(c) = p.decodeRawAt(selection)
           case other => decoded(c) = other.decodeRaw()
         }
-        else {
-          cursors(c).skip()
-          cursors.get(c + "#nanos").foreach(_.skip()) // keep siblings aligned
-        }
+        else cursors.skip(c) // keep siblings aligned; deferred streams lag-count
       }
     }
     if (needAgg) {
@@ -846,27 +861,24 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   }
 
   // ------------------------------------------------- grouped decode + fold
-  private def decodeAndFoldGrouped(readers: Map[String, Fields.FieldReader],
-      cursors: Map[String, Tablet.ChunkCursor], filterCols: Array[String],
+  private def decodeAndFoldGrouped(readerOf: String => Fields.FieldReader,
+      present: String => Boolean, cursors: StripeCursors, filterCols: Array[String],
       allMatch: Boolean, cascade: FilterCascade): Unit = {
     // group columns decode dict-preserving (the fast path keys on ids);
     // filter columns too (predicates per alphabet entry); agg-only lazily
-    def decodeDict(name: String): graft.format.Column = readers(name) match {
+    def decodeDict(name: String): graft.format.Column = readerOf(name) match {
       case p: Fields.PrimR if typeOf(name) == StringType ||
           typeOf(name) == BinaryType => p.decodeRawDict()
       case other => other.decodeRaw()
     }
-    def decodeLazy(name: String): graft.format.Column = readers(name) match {
+    def decodeLazy(name: String): graft.format.Column = readerOf(name) match {
       case p: Fields.PrimR if typeOf(name) == StringType ||
           typeOf(name) == BinaryType => p.decodeRawLazy()
       case other => other.decodeRaw()
     }
-    def skipCursor(c: String): Unit = {
-      cursors(c).skip()
-      cursors.get(c + "#nanos").foreach(_.skip())
-    }
+    def skipCursor(c: String): Unit = cursors.skip(c)
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
-    val fetchPresent = fetchCols.filter(readers.contains)
+    val fetchPresent = fetchCols.filter(present)
     val skipFilterDecode = allMatch && fetchPresent.nonEmpty
     var chunkRows = -1
     // selection from the pushed predicates (null = every row survives)
@@ -885,7 +897,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         decoded.getOrElseUpdate(name, decodeDict(name))
       def pointRead(name: String, positions: Array[Int]): graft.format.Column =
         if (fetchSet.contains(name)) null
-        else readers(name) match {
+        else readerOf(name) match {
           case p: Fields.PrimR => p.decodeRawAt(positions)
           case _ => null
         }
@@ -906,8 +918,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       }
     }
     // decode group columns (dict-preserving) and aggregate inputs (lazy)
-    for (c <- groupNames if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeDict(c)
-    for (c <- aggCols if !decoded.contains(c) && readers.contains(c)) decoded(c) = decodeLazy(c)
+    for (c <- groupNames if !decoded.contains(c) && present(c)) decoded(c) = decodeDict(c)
+    for (c <- aggCols if !decoded.contains(c) && present(c)) decoded(c) = decodeLazy(c)
     if (chunkRows < 0)
       chunkRows = decoded.headOption.map(_._2.len).getOrElse(
         throw new IllegalStateException("nimble: grouped chunk with no decodable column"))
@@ -1093,4 +1105,62 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
   }
 
   override def close(): Unit = ()
+}
+
+/** Chunk cursors over one stripe's streams with DEFERRED fetch: eager
+  * (filter-phase) streams are live from construction; deferred streams
+  * (aggregate inputs under a selective probe) fetch on first access,
+  * fast-forwarding a per-stream lag of chunks skipped before
+  * materialization so every stream stays row-aligned regardless of when
+  * it loads. Mirrors the batch reader's deferral (NimbleBatchReader) for
+  * the mid-scan aggregate fold. */
+private final class StripeCursors(
+    eager: Map[String, Tablet.ChunkCursor],
+    deferredKeys: Array[String],
+    load: () => Map[String, Array[Byte]]) {
+  private var deferred: Map[String, Tablet.ChunkCursor] =
+    if (deferredKeys.isEmpty) Map.empty else null
+  private val deferredSet: Set[String] = deferredKeys.toSet
+  private val lag = scala.collection.mutable.HashMap.empty[String, Int]
+
+  def contains(k: String): Boolean = eager.contains(k) || deferredSet(k)
+
+  private def materialized(): Map[String, Tablet.ChunkCursor] = {
+    if (deferred == null) {
+      deferred = load().map { case (k, b) =>
+        val c = new Tablet.ChunkCursor(b)
+        var i = lag.getOrElse(k, 0)
+        while (i > 0) { c.skip(); i -= 1 }
+        k -> c
+      }
+      lag.clear()
+    }
+    deferred
+  }
+
+  /** The live cursor — materializes a deferred stream on first access. */
+  def apply(k: String): Tablet.ChunkCursor = eager.getOrElse(k, materialized()(k))
+
+  /** Peek WITHOUT materializing: an unfetched deferred stream answers None,
+    * so stats-driven shortcuts degrade to decode instead of forcing IO. */
+  def peek(k: String): Option[Tablet.ChunkCursor] =
+    eager.get(k).orElse(if (deferred != null) deferred.get(k) else None)
+
+  /** Advance `k` and its #nanos sibling one chunk without decode; deferred
+    * unmaterialized streams count the lag instead of fetching. */
+  def skip(k: String): Unit = { skipOne(k); skipOne(k + "#nanos") }
+
+  private def skipOne(k: String): Unit = eager.get(k) match {
+    case Some(c) => c.skip()
+    case None if deferredSet(k) =>
+      if (deferred != null) deferred(k).skip()
+      else lag(k) = lag.getOrElse(k, 0) + 1
+    case None => () // absent stream — same as the old cursors.get(k).foreach
+  }
+
+  def skipAll(): Unit = {
+    eager.valuesIterator.foreach(_.skip())
+    if (deferred != null) deferred.valuesIterator.foreach(_.skip())
+    else deferredKeys.foreach(k => lag(k) = lag.getOrElse(k, 0) + 1)
+  }
 }

@@ -89,6 +89,59 @@ class DeferredIoSpec extends SparkTestBase {
     assert(got2 == got)
   }
 
+  test("agg fold: a probe that kills every chunk never fetches the aggregate stream") {
+    val dir = tmpDir("defer_agg")
+    // k and v are both ~8 B/row incompressible streams (~480 KB each): a
+    // filtered sum that finds nothing must pay k's bytes but never v's
+    spark.range(60000L)
+      .select(xxhash64(col("id")).as("k"),
+        xxhash64(col("id") * 3 + 1).cast("double").as("v"))
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "8192")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    graft.spark.BlockCache.clear()
+    val decoded0 = graft.spark.AggScan.aggChunksDecoded.get()
+    val missBytes = fetchedDuring {
+      val r = nb.filter(col("k") === 12345L).agg(sum("v")).collect()
+      assert(r(0).isNullAt(0), "sum over zero rows is null")
+    }
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > decoded0,
+      "the mid-scan fold path must engage (mixed stripes, SUM is never stats-answerable)")
+    assert(missBytes > 300000, "the filter (k) stream itself must fetch")
+    assert(missBytes < 600000,
+      s"miss probe fetched $missBytes bytes — the deferred aggregate (v) stream was read")
+
+    // survivors: deferred v materializes mid-stripe and the fold is exact
+    val ids = Seq(100L, 30000L, 59999L)
+    val keyOf = spark.range(60000L)
+      .select(col("id"), xxhash64(col("id")).as("k"), xxhash64(col("id") * 3 + 1).cast("double").as("v"))
+    val expected = keyOf.filter(col("id").isin(ids: _*)).agg(sum("v")).collect()(0).getDouble(0)
+    val keys = keyOf.filter(col("id").isin(ids: _*)).select("k").collect().map(_.getLong(0)).toSeq
+    val got = nb.filter(col("k").isin(keys: _*)).agg(sum("v")).collect()(0).getDouble(0)
+    assert(got == expected, s"fold over deferred-materialized v: $got != $expected")
+  }
+
+  test("agg fold grouped: selective probe defers group+agg streams, fold stays exact") {
+    val dir = tmpDir("defer_aggg")
+    val df = spark.range(50000L)
+      .select(xxhash64(col("id")).as("k"),
+        concat(lit("g"), (col("id") % 7).cast("string")).as("g"),
+        xxhash64(col("id") + 17).cast("double").as("v"))
+    df.coalesce(1).write.format("nimble").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+    val keys = df.filter(col("k") % 9999 === 0).select("k")
+      .collect().map(_.getLong(0)).toSeq // a handful of real keys
+    assert(keys.nonEmpty && keys.length < 40)
+    def grouped(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("k").isin(keys: _*)).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(grouped(nb) == grouped(df), "grouped fold over deferred streams diverged")
+  }
+
   test("multi-stripe + prefetch: filtered projection parity against parquet") {
     val dir = tmpDir("defer_pf")
     val df = spark.range(120000L)
