@@ -30,7 +30,11 @@ object Tablet {
   // bucketed tables join without a shuffle (storage-partitioned joins).
   // v10 appends an optional per-column NDV block (256-byte HLL registers per
   // eligible data stream) so table stats can feed the CBO a distinct count.
-  val Version: Int = 12
+  // v13 appends a per-(stripe, stream) chunk directory to the directory
+  // entries (frame offsets + row counts — reference ChunkStatsWriter.h:80-89)
+  // so point probes can fetch candidate chunk byte ranges instead of whole
+  // stripe streams, and chunk seeks need no header scan.
+  val Version: Int = 13
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -232,7 +236,7 @@ object Tablet {
     }
   }
 
-  private def readStats(c: ByteCursor): Stats = {
+  private[format] def readStats(c: ByteCursor): Stats = {
     val st = Stats()
     st.valueCount = c.readVarint()
     st.nullCount = c.readVarint()
@@ -319,8 +323,21 @@ object Tablet {
   /** Location of one stripe group's directory section in the file. */
   final case class GroupLoc(offset: Long, length: Long)
 
-  /** One stream's directory entry for one stripe. `bloom` null when absent. */
-  final case class DirEntry(loc: StreamLoc, stats: Stats, bloom: Bloom)
+  /** One frame of a stream's chunk directory: byte offset of the frame
+    * within the stream; `rows` = value count of a data frame (0 for
+    * alphabet frames); `isData` = false for shared-dictionary alphabet
+    * frames (which are NOT data chunks — chunk ordinals count data frames
+    * only, but a sparse fetch must still carry the alphabets its candidate
+    * chunks decode through). Reference: tablet/ChunkStatsWriter.h:80-89
+    * (chunkRows + chunkOffsets per stream per stripe — the chunk-level
+    * position index behind ChunkedDecoder::skipWithIndex). */
+  final case class ChunkLoc(offset: Long, rows: Long, isData: Boolean)
+
+  /** One stream's directory entry for one stripe. `bloom` null when absent;
+    * `chunks` (v13+) is the stream's chunk directory, null when absent
+    * (pre-v13 files, index streams, capped-out streams). */
+  final case class DirEntry(loc: StreamLoc, stats: Stats, bloom: Bloom,
+      chunks: Array[ChunkLoc] = null)
 
   /** Stripes per directory group (reference: dwio/nimble/tablet/
     * TabletWriter.h:179 metadataFlushThreshold / Footer.fbs:38 stripe
@@ -431,7 +448,13 @@ object Tablet {
       else { val m = fullMeta; if (m == null) null else m._1 }
   }
 
-  private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom): Unit = {
+  /** Streams with more frames than this drop their chunk directory (a
+    * pathological tiny-chunk stream would bloat the metadata section; the
+    * reader falls back to whole-stream fetch + header-scan skip). */
+  private[format] val MaxDirFrames = 4096
+
+  private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom,
+      chunks: Array[ChunkLoc]): Unit = {
     s.writeVarint(loc.offset)
     s.writeVarint(loc.length)
     writeStats(s, st)
@@ -442,9 +465,23 @@ object Tablet {
       var bi = 0
       while (bi < bloom.bits.length) { s.writeLong(bloom.bits(bi)); bi += 1 }
     }
+    // v13 chunk directory: frame count, then per frame the byte-offset
+    // delta and (rows << 1 | isData)
+    if (chunks == null || chunks.length > MaxDirFrames) s.writeVarint(0L)
+    else {
+      s.writeVarint(chunks.length.toLong)
+      var prev = 0L
+      var ci = 0
+      while (ci < chunks.length) {
+        val cl = chunks(ci)
+        s.writeVarint(cl.offset - prev); prev = cl.offset
+        s.writeVarint((cl.rows << 1) | (if (cl.isData) 1L else 0L))
+        ci += 1
+      }
+    }
   }
 
-  private[format] def readDirEntries(c: ByteCursor, n: Int): Array[DirEntry] = {
+  private[format] def readDirEntries(c: ByteCursor, n: Int, version: Int): Array[DirEntry] = {
     val out = new Array[DirEntry](n)
     var i = 0
     while (i < n) {
@@ -459,7 +496,25 @@ object Tablet {
           while (bi < nw) { bits(bi) = c.readLong(); bi += 1 }
           new Bloom(bits)
         }
-      out(i) = DirEntry(loc, st, bloom)
+      val chunks =
+        if (version < 13) null
+        else {
+          val nf = c.readVarint().toInt
+          if (nf == 0) null
+          else {
+            val arr = new Array[ChunkLoc](nf)
+            var off = 0L
+            var ci = 0
+            while (ci < nf) {
+              off += c.readVarint()
+              val rf = c.readVarint()
+              arr(ci) = ChunkLoc(off, rf >>> 1, (rf & 1L) == 1L)
+              ci += 1
+            }
+            arr
+          }
+        }
+      out(i) = DirEntry(loc, st, bloom, chunks)
       i += 1
     }
     out
@@ -895,7 +950,7 @@ object Tablet {
     private val stripeStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private val fileStats = mutable.ArrayBuffer[Stats](Array.fill(streamKeys.length)(Stats()): _*)
     private var stripeRows: Long = 0L
-    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long, Map[Int, Bloom])]()
+    private val stripes = mutable.ArrayBuffer[(Long, Long, Long, Array[StreamLoc], Array[Stats], Long, Map[Int, Bloom], Map[Int, Array[ChunkLoc]])]()
     // per-stripe value hashes for bloom-configured streams (built at flush).
     // Primitive buffers throughout: an indexed 100M-row write through boxed
     // ArrayBuffer[(Long, Long)] costs ~6 allocations/row and an old-gen
@@ -1075,6 +1130,10 @@ object Tablet {
           r
         }
       val b = stripeBufs(id)
+      // chunk directory: frame start offset within the stream, rows from the
+      // chunk stats (alphabet frames carry none and are not data chunks)
+      chunkDirRec.getOrElseUpdate(id, mutable.ArrayBuffer[ChunkLoc]()) +=
+        ChunkLoc(b.size.toLong, if (flag == 2 || cst == null) 0L else cst.valueCount, flag != 2)
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
       b.writeByte(kind)
@@ -1082,6 +1141,11 @@ object Tablet {
       if (flag == 1) writeStats(b, cst)
       b.writeBytes(data)
     }
+
+    // per-stream chunk directory of the CURRENT stripe (emitFrame records
+    // every frame; index streams write their frames directly and so have no
+    // directory — they are read wholesale by Lookup)
+    private val chunkDirRec = mutable.HashMap[Int, mutable.ArrayBuffer[ChunkLoc]]()
 
     // v10 NDV sketches: per-data-stream HLL registers. Only column-path
     // streams sketch (no '#' internals), capped so an ultra-wide FlatMap
@@ -1308,7 +1372,10 @@ object Tablet {
         id -> bloom
       }.toMap
       bloomHashes.clear()
-      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, stripeChecksum, blooms))
+      val chunkDirs: Map[Int, Array[ChunkLoc]] =
+        chunkDirRec.iterator.map { case (id, b) => id -> b.toArray }.toMap
+      chunkDirRec.clear()
+      stripes += ((start, fileOffset - start, stripeRows, locs, stripeStats.toArray, stripeChecksum, blooms, chunkDirs))
       i = 0
       while (i < nStreams) {
         fileStats(i).merge(stripeStats(i))
@@ -1323,14 +1390,14 @@ object Tablet {
       flushStripe()
       // streams registered after a stripe flushed get zero-length locations
       // (and empty stats) in that stripe — the reader treats them as absent
-      val padded = stripes.map { case t @ (_, _, _, locs, stats, _, _) =>
+      val padded = stripes.map { case t @ (_, _, _, locs, stats, _, _, _) =>
         val fullLocs =
           if (locs.length == nStreams) locs
           else locs ++ Array.fill(nStreams - locs.length)(StreamLoc(0L, 0L))
         val fullStats =
           if (stats.length == nStreams) stats
           else stats ++ Array.fill(nStreams - stats.length)(Stats())
-        (t._1, t._2, t._3, fullLocs, fullStats, t._6, t._7)
+        (t._1, t._2, t._3, fullLocs, fullStats, t._6, t._7, t._8)
       }.toArray
       // grouped per-STREAM directory sections: within a group, one
       // contiguous block per stream preceded by a fixed-width offset table,
@@ -1348,8 +1415,9 @@ object Tablet {
           table(i) = entries.size.toLong
           var s = lo
           while (s < hi) {
-            val (_, _, _, locs, stats, _, blooms) = padded(s)
-            writeDirEntry(entries, locs(i), stats(i), blooms.getOrElse(i, null))
+            val (_, _, _, locs, stats, _, blooms, chunkDirs) = padded(s)
+            writeDirEntry(entries, locs(i), stats(i), blooms.getOrElse(i, null),
+              chunkDirs.getOrElse(i, null))
             s += 1
           }
           i += 1
@@ -1364,7 +1432,7 @@ object Tablet {
         fileOffset += bytes.length
         g += 1
       }
-      val slim = padded.map { case (off, len, rows, _, _, checksum, _) =>
+      val slim = padded.map { case (off, len, rows, _, _, checksum, _, _) =>
         StripeInfo(off, len, rows, checksum)
       }
       // nanos-split timestamps: the micros stream's sketch undercounts the
@@ -1564,7 +1632,7 @@ object Tablet {
         i = 0
         while (i < nStreams) {
           val c = new ByteCursor(all, (tableBytes + table(i)).toInt, (tableBytes + table(i + 1)).toInt)
-          footer.dirCache.putIfAbsent((group.toLong << 32) | (i & 0xffffffffL), readDirEntries(c, inGroup))
+          footer.dirCache.putIfAbsent((group.toLong << 32) | (i & 0xffffffffL), readDirEntries(c, inGroup, footer.version))
           i += 1
         }
         footer.dirCache.get(key)
@@ -1577,7 +1645,7 @@ object Tablet {
         file.readFully(g.offset + tableBytes + lo, blk)
         metaBytesRead += 16L + blk.length
         dirBytesRead += 16L + blk.length
-        val entries = readDirEntries(new ByteCursor(blk), inGroup)
+        val entries = readDirEntries(new ByteCursor(blk), inGroup, footer.version)
         footer.dirCache.putIfAbsent(key, entries)
         footer.dirCache.get(key)
       }
@@ -1592,6 +1660,10 @@ object Tablet {
     def streamLoc(stripe: Int, id: Int): StreamLoc = entry(stripe, id).loc
     def streamStats(stripe: Int, id: Int): Stats = entry(stripe, id).stats
     def streamBloom(stripe: Int, id: Int): Option[Bloom] = Option(entry(stripe, id).bloom)
+    /** v13 chunk directory of (stripe, stream) — null for pre-v13 files,
+      * index streams and capped-out streams (fall back to whole-stream
+      * fetch + header-scan skip). */
+    def chunkDirOf(stripe: Int, id: Int): Array[ChunkLoc] = entry(stripe, id).chunks
 
     def readStreamBytes(stripe: Int, id: Int): Array[Byte] = {
       val loc = streamLoc(stripe, id)
@@ -1618,8 +1690,18 @@ object Tablet {
     * the frame is a stripe-scoped shared-dictionary alphabet, consumed
     * transparently (it is not a data chunk — chunk ordinals count data
     * frames only, so multi-stream zipping and the hash index stay aligned). */
-  final class ChunkCursor(bytes: Array[Byte]) {
+  final class ChunkCursor(bytes: Array[Byte], present: Array[Boolean]) {
+    /** Dense cursor over a whole stream's bytes (the normal shape). */
+    def this(bytes: Array[Byte]) = this(bytes, null)
     private var pos = 0
+    // sparse mode (v13 chunk-directory fetch): `bytes` holds only the data
+    // frames whose `present` slot is true (plus every preceding alphabet
+    // frame); `ord` is the LOGICAL data-chunk ordinal — absent chunks skip
+    // and peek without bytes, and decoding one is a caller bug
+    private var ord = 0
+    private def requirePresent(): Unit =
+      require(present == null || (ord < present.length && present(ord)),
+        "nimble: decode of a chunk absent from this sparse fetch")
     /** Current byte offset in the stream (tools: per-chunk size accounting). */
     def bytePos: Int = pos
     private var sharedAlphabet: BytesCol = null
@@ -1628,7 +1710,9 @@ object Tablet {
     // selective scan that skips every chunk of the stream never pays the
     // alphabet decompress+decode
     private var pendingAlphabet: (Int, Int, Byte, Int) = null
-    def hasNext: Boolean = { ensureData(); pos < bytes.length }
+    def hasNext: Boolean =
+      if (present != null) ord < present.length
+      else { ensureData(); pos < bytes.length }
 
     /** Parse the frame header at `pos`: (compLen, rawLen, kind, flag, stats, dataPos). */
     private def header(): (Int, Int, Byte, Int, Stats, Int) = {
@@ -1661,11 +1745,15 @@ object Tablet {
       }
     }
 
-    /** Stats of the next chunk without consuming it (chunk skipping). */
-    def peekStats(): Option[Stats] = { ensureData(); Option(header()._5) }
+    /** Stats of the next chunk without consuming it (chunk skipping);
+      * sparse-absent chunks answer None. */
+    def peekStats(): Option[Stats] =
+      if (present != null && (ord >= present.length || !present(ord))) None
+      else { ensureData(); Option(header()._5) }
 
     /** Codec id of the next chunk without consuming it (tooling). */
     def peekCodec(): Byte = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       if (kind == CompNone) bytes(dataPos)
@@ -1675,11 +1763,14 @@ object Tablet {
       }
     }
 
-    /** Advance past the next chunk without decompressing or decoding. */
+    /** Advance past the next chunk without decompressing or decoding;
+      * sparse-absent chunks advance the ordinal alone (no bytes). */
     def skip(): Unit = {
+      if (present != null && !present(ord)) { ord += 1; return }
       ensureData()
       val (compLen, _, _, _, _, dataPos) = header()
       pos = dataPos + compLen
+      ord += 1
     }
 
     private def decodeShared(cur: ByteCursor): DictBytesCol = {
@@ -1697,10 +1788,12 @@ object Tablet {
     }
 
     def next(): Column = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       val c =
         if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur).expand }
         else Codecs.decodeColumn(cur)
@@ -1714,10 +1807,12 @@ object Tablet {
       * report the index encoding (matching what a decode-recorded view
       * shows — the alphabet lives in its own stripe-level frame). */
     def viewNext(): Codecs.ViewNode = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       if (cur.buf(cur.pos) == Codecs.SHAREDDICT) cur.readByte()
       Codecs.viewTree(cur)
     }
@@ -1727,10 +1822,12 @@ object Tablet {
       * window, the rest decode whole. Returns (column, startRow) — row r of
       * the chunk lives at slice position r - startRow. */
     def nextRange(from: Int, until: Int): (Column, Int) = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       val (c, start) =
         if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); (decodeShared(cur).expand, 0) }
         else Codecs.decodeValuesRange(cur, from, until)
@@ -1745,10 +1842,12 @@ object Tablet {
       * column of positions.length rows. Callers must not use this for bytes
       * columns (the lazy/dict paths already materialize survivors only). */
     def nextAt(positions: Array[Int]): Column = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       if (cur.buf(cur.pos) != Codecs.SHAREDDICT) {
         val fast = Codecs.decodeValuesAt(cur, positions)
         if (fast != null) { Codecs.decodedValues.addAndGet(positions.length); return fast }
@@ -1764,10 +1863,12 @@ object Tablet {
       * bytes chunks (filter columns — predicates then run per alphabet
       * entry, not per row). */
     def nextDict(): Column = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       val c =
         if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
         else Codecs.decodeColumnDict(cur)
@@ -1782,10 +1883,12 @@ object Tablet {
       * ([[LazyFsstBytesCol]]) — with a filter selection, only surviving rows
       * materialize their string at vector-fill time. */
     def nextLazy(): Column = {
+      requirePresent()
       ensureData()
       val (compLen, rawLen, kind, _, _, dataPos) = header()
       val cur = payloadCursor(compLen, rawLen, kind, dataPos)
       pos = dataPos + compLen
+      ord += 1
       val c =
         if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeShared(cur) }
         else Codecs.decodeColumnLazy(cur)

@@ -818,6 +818,113 @@ object NimbleSource {
     out.toMap
   }
 
+  /** Candidate-chunk stream fetch (v13 chunk directories — reference:
+    * tablet/ChunkStatsWriter.h:80-89, the chunk-level position index): for
+    * each stream whose directory aligns with the candidate bitmap's chunk
+    * count, read ONLY the byte ranges of candidate data frames (plus every
+    * shared-dict alphabet frame preceding the last one); streams without a
+    * directory — pre-v13 files, late-registering flatmap keys — read whole.
+    * Adjacent ranges coalesce into single positioned reads exactly like the
+    * dense path. Returns (bytes, present) per key; present null = dense
+    * whole-stream buffer (cache hit or fallback). At 100 TB this is the
+    * difference between a point probe reading ~a chunk per stream and
+    * reading the stripe. */
+  private[spark] def readNeededStreamsSparse(reader: Tablet.Reader, stripe: Int,
+      keys: Array[String], file: String, candidates: java.util.BitSet,
+      totalChunks: Int): Map[String, (Array[Byte], Array[Boolean])] = {
+    final case class Piece(key: String, abs: Long, len: Int, dest: Int)
+    val meta = if (BlockCache.enabled) BlockCache.metaOf(file) else null
+    val out = scala.collection.mutable.HashMap[String, (Array[Byte], Array[Boolean])]()
+    val pieces = scala.collection.mutable.ArrayBuffer[Piece]()
+    val bufs = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    var denseKeys = List.empty[String]
+    for (k <- keys) {
+      val id = reader.keyId(k)
+      require(id >= 0, s"nimble: stream $k not found in $file")
+      val loc = reader.streamLoc(stripe, id)
+      val ck = if (meta != null) BlockCache.Key(file, meta.mtime, meta.length, stripe, k) else null
+      val hit = if (ck != null) BlockCache.peek(ck) else null
+      if (hit != null) out(k) = (hit, null)
+      else {
+        val dir = reader.chunkDirOf(stripe, id)
+        if (dir == null || dir.count(_.isData) != totalChunks) denseKeys ::= k
+        else {
+          val present = new Array[Boolean](totalChunks)
+          val include = new Array[Boolean](dir.length)
+          var lastIncluded = -1
+          var d = 0
+          var fi = 0
+          while (fi < dir.length) {
+            if (dir(fi).isData) {
+              if (candidates.get(d)) { include(fi) = true; present(d) = true; lastIncluded = fi }
+              d += 1
+            }
+            fi += 1
+          }
+          // alphabet frames strictly before the last included data frame:
+          // each included chunk decodes through the latest alphabet before it
+          fi = 0
+          while (fi < math.max(lastIncluded, 0)) {
+            if (!dir(fi).isData) include(fi) = true
+            fi += 1
+          }
+          def frameEnd(i: Int): Long =
+            if (i + 1 < dir.length) dir(i + 1).offset else loc.length
+          var size = 0
+          fi = 0
+          while (fi < dir.length) {
+            if (include(fi)) size += (frameEnd(fi) - dir(fi).offset).toInt
+            fi += 1
+          }
+          val buf = new Array[Byte](size)
+          bufs(k) = buf
+          out(k) = (buf, present)
+          var dest = 0
+          fi = 0
+          while (fi < dir.length) {
+            if (include(fi)) {
+              val len = (frameEnd(fi) - dir(fi).offset).toInt
+              pieces += Piece(k, loc.offset + dir(fi).offset, len, dest)
+              dest += len
+            }
+            fi += 1
+          }
+        }
+      }
+    }
+    if (denseKeys.nonEmpty)
+      for ((k, b) <- readNeededStreams(reader, stripe, denseKeys.toArray, file))
+        out(k) = (b, null)
+    if (pieces.nonEmpty) {
+      val gap = ioMergeGap
+      val sorted = pieces.toArray.sortBy(_.abs)
+      var i = 0
+      while (i < sorted.length) {
+        val runStart = sorted(i).abs
+        var end = runStart + sorted(i).len
+        var j = i
+        while (j + 1 < sorted.length && {
+          val nx = sorted(j + 1)
+          nx.abs - end <= gap && math.max(end, nx.abs + nx.len) - runStart <= MaxRunBytes
+        }) {
+          j += 1
+          end = math.max(end, sorted(j).abs + sorted(j).len)
+        }
+        streamReadOps.incrementAndGet()
+        val run = reader.readRange(runStart, (end - runStart).toInt)
+        var m = i
+        while (m <= j) {
+          val pc = sorted(m)
+          System.arraycopy(run, (pc.abs - runStart).toInt, bufs(pc.key), pc.dest, pc.len)
+          streamBytesFetched.addAndGet(pc.len.toLong)
+          m += 1
+        }
+        i = j + 1
+      }
+    }
+    out.toMap
+  }
+
   /** Index-stream read through the block cache (probes re-read the same
     * per-stripe index runs on every task; repeated point lookups should pay
     * the FS once per executor). */
@@ -1828,6 +1935,50 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val neededKeys: Array[String] =
     NimbleSource.neededStreamKeys(footerKeySet, dataSchema, required, filters)
 
+  // index-assisted chunk selection, computed BEFORE any stream fetch:
+  // equality filters on indexColumns-declared columns restrict decode to
+  // index-candidate chunks, and (v13) restrict the FETCH itself to their
+  // byte ranges. Safe under ANY projection shape: every stream — nested
+  // children included — flushes at the same row boundaries, so skipping a
+  // non-candidate chunk advances all cursors in lockstep.
+  private val indexChunks: java.util.BitSet =
+    if (filters.nonEmpty || statsOnly.nonEmpty)
+      // stats-only (nested-leaf) conjuncts restrict candidates too: the
+      // index proves a chunk holds no equality match, skipping it is sound
+      // because Spark re-evaluates the residual predicate row-wise anyway
+      NimbleSource.indexCandidateChunks(reader, stripe, filters ++ statsOnly)
+    else null
+
+  // ---- sparse candidate fetch (v13 chunk directories): when the index
+  // restricts this stripe to a small candidate-chunk fraction, every stream
+  // fetches only the candidate chunks' byte ranges — a point probe reads
+  // ~one chunk per stream, not the stripe. Gated off under TopN tail
+  // positioning (toSkip counts rows through chunk stats of EVERY chunk). ----
+  private val sparseTotalChunks: Int =
+    if (indexChunks == null || skipRows > 0 || neededKeys.isEmpty) -1
+    else {
+      var t = -1
+      var i = 0
+      while (t < 0 && i < neededKeys.length) {
+        val id = reader.keyId(neededKeys(i))
+        val dir = if (id >= 0) reader.chunkDirOf(stripe, id) else null
+        if (dir != null) t = dir.count(_.isData)
+        i += 1
+      }
+      t
+    }
+  private val sparseChunks: java.util.BitSet =
+    if (sparseTotalChunks <= 0 || indexChunks.length > sparseTotalChunks ||
+        indexChunks.cardinality().toLong * 4 > sparseTotalChunks) null
+    else indexChunks
+
+  private def fetchStreams(keys: Array[String]): Map[String, (Array[Byte], Array[Boolean])] =
+    if (sparseChunks != null)
+      NimbleSource.readNeededStreamsSparse(reader, stripe, keys, file,
+        sparseChunks, sparseTotalChunks)
+    else NimbleSource.readNeededStreams(reader, stripe, keys, file)
+      .map { case (k, b) => k -> (b, null: Array[Boolean]) }
+
   // ---- deferred projected-stream IO (the selective-reader idea applied at
   // the fetch layer): with pushed filters, only the FILTER-phase streams
   // (pushed refs + stats-only pruning leaves) fetch up front; projected-only
@@ -1845,14 +1996,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       else (e, neededKeys.filterNot(fs.contains))
     }
 
-  private val eagerBytes: Map[String, Array[Byte]] =
+  private val eagerCursors: Map[String, Tablet.ChunkCursor] =
     if (prefetched != null) {
       NimbleSource.prefetchHits.incrementAndGet()
       prefetched.view.filterKeys(eagerKeys.contains).toMap
-    } else NimbleSource.readNeededStreams(reader, stripe, eagerKeys, file)
-
-  private val eagerCursors: Map[String, Tablet.ChunkCursor] =
-    eagerBytes.map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+        .map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+    } else fetchStreams(eagerKeys).map { case (k, (b, present)) =>
+      k -> new Tablet.ChunkCursor(b, present)
+    }
 
   /** Deferred cursors; null until the first surviving chunk (or a prefetch
     * that already carried the bytes) materializes them. */
@@ -1863,14 +2014,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     else null
   /** Chunks fully consumed (skipped or filtered dead) BEFORE deferred
     * materialization — fresh deferred cursors fast-forward this many chunk
-    * frames so every stream stays row-aligned. */
+    * frames so every stream stays row-aligned (sparse cursors fast-forward
+    * their ordinal without bytes for absent chunks). */
   private var chunksBehind = 0
 
   private def ensureDeferredCursors(): Map[String, Tablet.ChunkCursor] = {
     if (deferredCursors == null) {
-      val bytes = NimbleSource.readNeededStreams(reader, stripe, deferredKeys, file)
-      deferredCursors = bytes.map { case (k, b) =>
-        val c = new Tablet.ChunkCursor(b)
+      deferredCursors = fetchStreams(deferredKeys).map { case (k, (b, present)) =>
+        val c = new Tablet.ChunkCursor(b, present)
         var i = 0
         while (i < chunksBehind) { c.skip(); i += 1 }
         k -> c
@@ -1985,18 +2136,6 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     case _ => true
   })
 
-  // index-assisted chunk selection: equality filters on indexColumns-declared
-  // columns restrict decode to index-candidate chunks. Safe under ANY
-  // projection shape: every stream — nested children included — flushes at
-  // the same row boundaries, so skipping a non-candidate chunk advances all
-  // cursors in lockstep (same alignment argument as the stats chunk skip).
-  private val indexChunks: java.util.BitSet =
-    if (filters.nonEmpty || statsOnly.nonEmpty)
-      // stats-only (nested-leaf) conjuncts restrict candidates too: the
-      // index proves a chunk holds no equality match, skipping it is sound
-      // because Spark re-evaluates the residual predicate row-wise anyway
-      NimbleSource.indexCandidateChunks(reader, stripe, filters ++ statsOnly)
-    else null
   private var chunkOrd = 0
 
   private var rowsRemaining: Long = footer.stripes(stripe).rowCount

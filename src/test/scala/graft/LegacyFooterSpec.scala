@@ -173,7 +173,7 @@ class LegacyFooterSpec extends AnyFunSuite {
 
   /** v7 layout: grouped directory like v8 but names + file stats always
     * inline and no sectioned-meta flag byte (git history at the v7 tag). */
-  private def v7FooterBytes(r: Tablet.Reader): Array[Byte] = {
+  private def v7FooterBytes(r: Tablet.Reader, groups: Array[Tablet.GroupLoc]): Array[Byte] = {
     val f = r.footer
     val s = new ByteSink(1 << 16)
     s.writeByte(7)
@@ -189,27 +189,62 @@ class LegacyFooterSpec extends AnyFunSuite {
       s.writeVarint(st.rowCount); s.writeLong(st.checksum)
     }
     s.writeVarint(f.groupSize.toLong)
-    s.writeVarint(f.groups.length.toLong)
-    for (g <- f.groups) { s.writeVarint(g.offset); s.writeVarint(g.length) }
+    s.writeVarint(groups.length.toLong)
+    for (g <- groups) { s.writeVarint(g.offset); s.writeVarint(g.length) }
     for (x <- f.fileStats) Tablet.writeStats(s, x)
     s.toArray
+  }
+
+  /** Re-serialize the directory group sections in the PRE-v13 entry shape
+    * (no chunk directory block — the v13 writer always appends one, which a
+    * v7 footer's reader must not be asked to parse). Appends at `out`'s
+    * current end and returns the rebuilt group locations. */
+  private def legacyGroupSections(r: Tablet.Reader, out: ByteSink): Array[Tablet.GroupLoc] = {
+    val f = r.footer
+    val nStreams = f.nStreams
+    val newGroups = new Array[Tablet.GroupLoc](f.groups.length)
+    for (g <- f.groups.indices) {
+      val inGroup = math.min(f.groupSize, f.stripes.length - g * f.groupSize)
+      val entries = new ByteSink(1 << 12)
+      val table = new Array[Long](nStreams + 1)
+      for (i <- 0 until nStreams) {
+        table(i) = entries.size.toLong
+        val perStripe = r.dirEntries(g, i)
+        for (s <- 0 until inGroup) {
+          val e = perStripe(s)
+          entries.writeVarint(e.loc.offset); entries.writeVarint(e.loc.length)
+          Tablet.writeStats(entries, e.stats)
+          if (e.bloom == null) entries.writeByte(0)
+          else {
+            entries.writeByte(1)
+            entries.writeVarint(e.bloom.bits.length.toLong)
+            e.bloom.bits.foreach(entries.writeLong)
+          }
+        }
+      }
+      table(nStreams) = entries.size.toLong
+      val start = out.size
+      table.foreach(out.writeLong)
+      out.writeBytes(entries.toArray)
+      newGroups(g) = Tablet.GroupLoc(start.toLong, (out.size - start).toLong)
+    }
+    newGroups
   }
 
   test("v7 footer (grouped directory, inline names+stats) reads identically") {
     val cur = tmpFile("current7v")
     writeSample(cur)
     val v7 = tmpFile("legacy7v")
-    // keep stripe data AND group sections; swap only the footer
+    // keep stripe data; rebuild the group sections in the pre-v13 entry
+    // shape (v13 entries embed a chunk directory a v7 parse must not see)
     val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cur))
-    val n = all.length
-    val oldFLen = (all(n - 8) & 0xff) | ((all(n - 7) & 0xff) << 8) |
-      ((all(n - 6) & 0xff) << 16) | ((all(n - 5) & 0xff) << 24)
-    val bodyLen = n - 8 - oldFLen
     val a = new Tablet.Reader(cur)
     try {
-      val fb = v7FooterBytes(a)
-      val out = new ByteSink(bodyLen + fb.length + 8)
-      out.writeBytes(all, 0, bodyLen)
+      val dataEnd = a.footer.groups(0).offset
+      val out = new ByteSink(all.length + (1 << 12))
+      out.writeBytes(all, 0, dataEnd.toInt)
+      val newGroups = legacyGroupSections(a, out)
+      val fb = v7FooterBytes(a, newGroups)
       out.writeBytes(fb)
       out.writeInt(fb.length)
       out.writeBytes(Tablet.Magic)
