@@ -444,11 +444,24 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // record a timed metric: median under the plain name, min alongside
+    // calibration brackets around EVERY main-block timed metric (r14 hole:
+    // q16_window's five repeats were ALL slow — 6x over idle truth — and the
+    // min-vs-median detector is structurally blind to uniform contamination;
+    // the fixed-cost probe the scale block already uses is not)
+    val mainCalibs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mainCalSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    var lastCal = 0.0 // first probe runs lazily after Spark init warms the JVM
+    // record a timed metric: median under the plain name, min alongside,
+    // bracketing calibration probes on both sides
     def timed[A](name: String)(body: => A): A = {
+      if (mainCalSamples.isEmpty) { lastCal = calibProbe(); mainCalSamples += lastCal }
+      val before = lastCal
       val (med, mn, r) = timeWarmStats(body)
       results(name) = med
       mins(name) = mn
+      lastCal = calibProbe()
+      mainCalSamples += lastCal
+      mainCalibs(name) = math.max(before, lastCal)
       r
     }
 
@@ -691,8 +704,17 @@ object Bench {
       case (k, mn) if isLoadSuspect(mn, results(k),
         if (k.endsWith("_nspe")) 0.5 else 0.010) => k
     }.toSeq
-    val suspects = (minMedianSuspects ++ calibSuspects(scaleCalibs.toSeq,
-      results.getOrElse("scale_calib_base_ns", 0.0))).distinct
+    // the drift base is the best probe sample seen by EITHER block (the
+    // scale fork's fresh JVM included): a box loaded end-to-end inflates
+    // every sample, so the wider the base pool the harder it is to fool
+    val mainCalBase = if (mainCalSamples.isEmpty) 0.0 else mainCalSamples.min
+    results("calib_base_ns") = mainCalBase
+    val scaleCalBase = results.getOrElse("scale_calib_base_ns", 0.0)
+    val calBase =
+      if (scaleCalBase > 0 && mainCalBase > 0) math.min(scaleCalBase, mainCalBase)
+      else math.max(scaleCalBase, mainCalBase)
+    val suspects = (minMedianSuspects ++ calibSuspects(scaleCalibs.toSeq, calBase)
+      ++ calibSuspects(mainCalibs.toSeq, calBase)).distinct
     // codec compression ratios are deterministic (same seed, same selection):
     // any drift vs the previous round's artifact is a code change, and ratio
     // drift WITHOUT a deliberate codec change alongside timing swings means
@@ -708,10 +730,24 @@ object Bench {
     // and post-hoc analysis; the stdout line is the driver contract and is
     // budgeted below
     writeFullDump(
-      results.toMap ++ scaleCalibs.map { case (k, v) => (k + "_calib_ns", v) },
+      results.toMap ++ scaleCalibs.map { case (k, v) => (k + "_calib_ns", v) }
+        ++ mainCalibs.map { case (k, v) => (k + "_calib_ns", v) },
       mins.toMap, suspects, ratioDrift, sfDir)
-    println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir))
+    println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir,
+      fullName = roundFullDumpName()))
     spark.stop()
+  }
+
+  /** The tracked per-round full-dump name (bench_full_r{N}.json, N = the
+    * round being built = newest committed BENCH_r artifact + 1): the r14
+    * gitignored bench_full.json was overwritten by a later idle run, making
+    * the flagged run's full metrics unrecoverable — the archived copy keeps
+    * summary and full dump describing the same run. */
+  private[graft] def roundFullDumpName(dir: String = "."): String = {
+    val prev = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+      .map(_.group(1).toInt)
+    s"bench_full_r${if (prev.isEmpty) 1 else prev.max + 1}.json"
   }
 
   /** 6-significant-digit compact JSON number: the driver's artifact capture
@@ -750,7 +786,8 @@ object Bench {
     * overflow, so the headline contract can never be truncated mid-grid. */
   private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
       mins: Seq[(String, Double)], suspects: Seq[String], ratioDrift: Seq[String],
-      sfDir: String, budget: Int = 1880): String = {
+      sfDir: String, budget: Int = 1880,
+      fullName: String = "bench_full.json"): String = {
     val rm = results.toMap
     // tier 1: headline medians/counters (no codec grid);
     // tier 2a: best-of-five mins for the QUERY timings — these outrank the
@@ -762,12 +799,20 @@ object Bench {
     // tier 2b: probe mins; tier 4: codec decode grid; tier 5: encode grid;
     // tier 6: derived/control extras (*_vs_parquet ratios are derivable
     //   from the two medians)
-    val tier1 = results.filterNot { case (k, _) =>
+    // any EMITTED flagged metric (suspect_metrics caps at 6) forces its
+    // median into tier 1 (r14 ADVICE: the artifact flagged
+    // scale_probe_cascade while the summary filter dropped its value — an
+    // auditor could not see the flagged number)
+    val emittedSuspects = suspects.take(6).toSet
+    val tier1 = (results.filterNot { case (k, _) =>
       k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
         "scale_delete_rewritten|scale_sql_update_files|scale_probe_cascade|" +
-        "scale_calib_base_ns|scale_loadavg_.*")
-    }
+        "calib_base_ns|scale_calib_base_ns|scale_loadavg_.*")
+    } ++ results.filter { case (k, _) => emittedSuspects.contains(k) })
+      .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
+        if (acc.exists(_._1 == kv._1)) acc else acc :+ kv
+      }
     // query mins outrank operator-probe mins: the judge's falsifiability
     // contract is "every q*/x* timing has a _min twin"; when the budget
     // pinches, the probe mins drop first (split so one overflowing entry
@@ -780,7 +825,8 @@ object Bench {
     val tier6 = results.filter { case (k, _) =>
       k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
         "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten|" +
-        "scale_sql_update_files|scale_probe_cascade|scale_calib_base_ns|scale_loadavg_.*")
+        "scale_sql_update_files|scale_probe_cascade|calib_base_ns|" +
+        "scale_calib_base_ns|scale_loadavg_.*")
     }
     def obj(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt6(v) }.mkString("{", ",", "}")
@@ -789,7 +835,7 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt6(total)},"unit":"sec","queries":${obj(entries)},""" +
         s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
-        s""""codec_ratio_drift":$driftJson,"full":"bench_full.json","sf":"$sfDir"}"""
+        s""""codec_ratio_drift":$driftJson,"full":"$fullName","sf":"$sfDir"}"""
     val tiers = Seq(tier1, tier2a, tier3, tier2b, tier4, tier5, tier6)
       .scanLeft(Seq.empty[(String, Double)])(_ ++ _).drop(1)
     tiers.reverse.find(t => line(t).length <= budget).map(line)
@@ -809,6 +855,10 @@ object Bench {
         s""""codec_ratio_drift":${ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        txt.getBytes("UTF-8"))
+      // tracked per-round archive — later idle runs of this round overwrite
+      // it too, but the NEXT round's runs no longer can (r14 ADVICE)
+      java.nio.file.Files.write(java.nio.file.Paths.get(roundFullDumpName()),
         txt.getBytes("UTF-8"))
     } catch { case _: Exception => () } // best-effort side artifact
   }

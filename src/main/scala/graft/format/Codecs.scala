@@ -47,6 +47,9 @@ object Codecs {
   final val HUFFMAN: Byte = 20 // canonical Huffman over a small value alphabet
   final val DELTABLOCK: Byte = 21 // sorted ints: checkpoints + per-block packed deltas
   final val SHAREDDICT: Byte = 22 // stripe-scoped alphabet (in an alphabet frame) + per-chunk indices
+  final val PREFIXR: Byte = 23 // front coding + restart index: seekable prefix
+  // (reference encodings/PrefixEncoding.h:64 — restart points every K values
+  // reset the shared prefix to zero so point reads decode <= K entries)
 
   /** Decode-speed priors, reference docs/Encodings.md:80-90 (Trivial 0.7,
     * FixedBitWidth 0.9, others 1.0); Huffman penalized beyond the reference

@@ -34,7 +34,12 @@ object Tablet {
   // entries (frame offsets + row counts — reference ChunkStatsWriter.h:80-89)
   // so point probes can fetch candidate chunk byte ranges instead of whole
   // stripe streams, and chunk seeks need no header scan.
-  val Version: Int = 13
+  // v14 appends per-chunk min/max/nullCount stats to the chunk directory
+  // (the same Stats each data frame already embeds in its header —
+  // reference tablet/ChunkStats.fbs, index/ChunkStats.h) so a selective
+  // RANGE predicate prunes candidate chunks BEFORE the byte-range fetch,
+  // no hash index required.
+  val Version: Int = 14
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -330,8 +335,14 @@ object Tablet {
     * only, but a sparse fetch must still carry the alphabets its candidate
     * chunks decode through). Reference: tablet/ChunkStatsWriter.h:80-89
     * (chunkRows + chunkOffsets per stream per stripe — the chunk-level
-    * position index behind ChunkedDecoder::skipWithIndex). */
-  final case class ChunkLoc(offset: Long, rows: Long, isData: Boolean)
+    * position index behind ChunkedDecoder::skipWithIndex).
+    *
+    * `stats` (v14+): the chunk's min/max/nullCount — the same Stats the data
+    * frame embeds in its header, lifted into the directory so candidate
+    * pruning happens BEFORE the fetch (null: alphabet frames, flag-0 frames,
+    * pre-v14 files, stats-capped many-frame streams). */
+  final case class ChunkLoc(offset: Long, rows: Long, isData: Boolean,
+      stats: Stats = null)
 
   /** One stream's directory entry for one stripe. `bloom` null when absent;
     * `chunks` (v13+) is the stream's chunk directory, null when absent
@@ -453,6 +464,12 @@ object Tablet {
     * reader falls back to whole-stream fetch + header-scan skip). */
   private[format] val MaxDirFrames = 4096
 
+  /** Streams with more frames than this keep their offsets/rows directory
+    * but drop the v14 per-chunk stats (bounds the stats block — a 64-byte-
+    * truncated string bound pair is ~140 B/frame; beyond this many chunks
+    * the stripe-level stats + in-frame header stats carry the pruning). */
+  private[format] val MaxDirStatsFrames = 256
+
   private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom,
       chunks: Array[ChunkLoc]): Unit = {
     s.writeVarint(loc.offset)
@@ -476,6 +493,17 @@ object Tablet {
         val cl = chunks(ci)
         s.writeVarint(cl.offset - prev); prev = cl.offset
         s.writeVarint((cl.rows << 1) | (if (cl.isData) 1L else 0L))
+        ci += 1
+      }
+      // v14 per-chunk stats block (appended so the offsets/rows layout above
+      // stays byte-identical to v13): presence byte + Stats per frame;
+      // many-frame streams cap out to bound the metadata section
+      val withStats = chunks.length <= MaxDirStatsFrames
+      ci = 0
+      while (ci < chunks.length) {
+        val st = if (withStats) chunks(ci).stats else null
+        if (st == null) s.writeByte(0)
+        else { s.writeByte(1); writeStats(s, st) }
         ci += 1
       }
     }
@@ -510,6 +538,13 @@ object Tablet {
               val rf = c.readVarint()
               arr(ci) = ChunkLoc(off, rf >>> 1, (rf & 1L) == 1L)
               ci += 1
+            }
+            if (version >= 14) {
+              ci = 0
+              while (ci < nf) {
+                if (c.readByte() != 0) arr(ci) = arr(ci).copy(stats = readStats(c))
+                ci += 1
+              }
             }
             arr
           }
@@ -1130,10 +1165,12 @@ object Tablet {
           r
         }
       val b = stripeBufs(id)
-      // chunk directory: frame start offset within the stream, rows from the
-      // chunk stats (alphabet frames carry none and are not data chunks)
+      // chunk directory: frame start offset within the stream, rows + (v14)
+      // min/max/nullCount from the chunk stats (alphabet frames carry none
+      // and are not data chunks)
       chunkDirRec.getOrElseUpdate(id, mutable.ArrayBuffer[ChunkLoc]()) +=
-        ChunkLoc(b.size.toLong, if (flag == 2 || cst == null) 0L else cst.valueCount, flag != 2)
+        ChunkLoc(b.size.toLong, if (flag == 2 || cst == null) 0L else cst.valueCount,
+          flag != 2, if (flag == 1) cst else null)
       b.writeInt(data.length)
       b.writeVarint(raw.length.toLong)
       b.writeByte(kind)

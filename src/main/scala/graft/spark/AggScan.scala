@@ -677,11 +677,24 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           if (e.isEmpty) (neededKeys, Array.empty[String])
           else (e, neededKeys.filterNot(fs.contains))
         }
+      // combined candidate-chunk set (index ∩ v14 directory stats) and the
+      // sparse fetch decision — same recipe as the batch scan, so a
+      // `sum(x) WHERE k = ..` fold over an indexed or sorted table fetches
+      // candidate chunks' byte ranges, not whole stripe streams
+      val (candChunks, dirTotal) =
+        NimbleSource.candidateChunksOf(reader, stripe, filters, Array.empty, neededKeys)
+      val sparse = NimbleSource.sparseGate(candChunks, dirTotal)
+      def fetch(keys: Array[String]): Map[String, (Array[Byte], Array[Boolean])] =
+        if (sparse)
+          NimbleSource.readNeededStreamsSparse(reader, stripe, keys, file, candChunks, dirTotal)
+        else NimbleSource.readNeededStreams(reader, stripe, keys, file)
+          .map { case (k, b) => k -> (b, null: Array[Boolean]) }
       val cursors = new StripeCursors(
-        NimbleSource.readNeededStreams(reader, stripe, eagerKeys, file)
-          .map { case (k, b) => k -> new Tablet.ChunkCursor(b) },
+        fetch(eagerKeys).map { case (k, (b, present)) =>
+          k -> new Tablet.ChunkCursor(b, present)
+        },
         deferredKeys,
-        () => NimbleSource.readNeededStreams(reader, stripe, deferredKeys, file))
+        () => fetch(deferredKeys))
       // field readers resolve their cursors at construction, so deferred-agg
       // readers must construct lazily (first surviving chunk), not up front
       val readerCache = scala.collection.mutable.HashMap.empty[String, Fields.FieldReader]
@@ -689,7 +702,6 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
         if (footerKeySet(c + "#nanos")) new Fields.TsNanosR(c, cursors(_))
         else new Fields.PrimR(c, typeOf(c), cursors(_)))
       val anchor = cursors(eagerKeys.head)
-      val indexChunks = NimbleSource.indexCandidateChunks(reader, stripe, filters)
       var chunkOrd = 0
 
       while (anchor.hasNext) {
@@ -699,9 +711,11 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
           name => cursors.peek(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
           }
-        val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
+        // candidate restriction first: a non-candidate chunk skips without a
+        // stats peek — under a sparse fetch its bytes were never read
+        val candPruned = candChunks != null && !candChunks.get(chunkOrd)
         chunkOrd += 1
-        val pruned = indexPruned ||
+        val pruned = candPruned ||
           filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))
         if (pruned) {
           cursors.skipAll()
@@ -1117,7 +1131,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
 private final class StripeCursors(
     eager: Map[String, Tablet.ChunkCursor],
     deferredKeys: Array[String],
-    load: () => Map[String, Array[Byte]]) {
+    load: () => Map[String, (Array[Byte], Array[Boolean])]) {
   private var deferred: Map[String, Tablet.ChunkCursor] =
     if (deferredKeys.isEmpty) Map.empty else null
   private val deferredSet: Set[String] = deferredKeys.toSet
@@ -1127,8 +1141,8 @@ private final class StripeCursors(
 
   private def materialized(): Map[String, Tablet.ChunkCursor] = {
     if (deferred == null) {
-      deferred = load().map { case (k, b) =>
-        val c = new Tablet.ChunkCursor(b)
+      deferred = load().map { case (k, (b, present)) =>
+        val c = new Tablet.ChunkCursor(b, present)
         var i = lag.getOrElse(k, 0)
         while (i > 0) { c.skip(); i -= 1 }
         k -> c

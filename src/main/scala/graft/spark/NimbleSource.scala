@@ -450,6 +450,68 @@ object NimbleSource {
     result
   }
 
+  /** Per-JVM count of data chunks pruned by v14 directory stats BEFORE the
+    * fetch (observability + tests — the stats-driven sparse-fetch signal,
+    * distinct from decode-time chunk skipping). */
+  val dirStatsChunksPruned = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate data chunks from the v14 per-chunk directory stats: each
+    * pushed (or stats-only) filter evaluates against every chunk's
+    * min/max/nullCount straight from the stripe directory — so a selective
+    * range predicate on sorted/z-ordered data restricts the FETCH to
+    * surviving chunks' byte ranges, no hash index required (reference:
+    * tablet/ChunkStats.fbs + index/ChunkStats.h — chunk stats pruning ahead
+    * of ChunkedDecoder IO). Returns null when nothing prunes (no v14 dirs,
+    * misaligned chunk grids, or every chunk survives) so callers pay zero
+    * downstream cost on the common unselective scan.
+    *
+    * `totalChunks` is the stripe's data-chunk grid size (from the first
+    * needed stream's directory); only columns whose directory has exactly
+    * that many data frames participate — a late-registering stream with a
+    * different grid is ignored, never trusted. */
+  def chunkStatsCandidates(reader: Tablet.Reader, stripe: Int,
+      filters: Array[Filter], totalChunks: Int): java.util.BitSet = {
+    if (totalChunks <= 0 || filters.isEmpty) return null
+    val cols = filters.flatMap(_.references).distinct
+    // per referenced column: its data frames' stats, ordinal-aligned and
+    // nanos-scaled exactly like the stripe-level pruning path
+    val chunkStats = scala.collection.mutable.HashMap[String, Array[Tablet.Stats]]()
+    for (c <- cols) {
+      val id = reader.keyId(c)
+      if (id >= 0) {
+        val dir = reader.chunkDirOf(stripe, id)
+        if (dir != null) {
+          val data = dir.filter(_.isData)
+          if (data.length == totalChunks && data.exists(_.stats != null)) {
+            val nanos = reader.keyId(c + "#nanos") >= 0
+            chunkStats(c) = data.map { cl =>
+              if (cl.stats == null) null
+              else if (nanos) Tablet.nanosScaledStats(cl.stats) else cl.stats
+            }
+          }
+        }
+      }
+    }
+    if (chunkStats.isEmpty) return null
+    val set = new java.util.BitSet(totalChunks)
+    var prunedCount = 0
+    var d = 0
+    while (d < totalChunks) {
+      val statsOf: String => Option[Tablet.Stats] =
+        c => chunkStats.get(c).flatMap(a => Option(a(d)))
+      var pruned = false
+      var fi = 0
+      while (fi < filters.length && !pruned) {
+        if (Filters.pruneStripe(filters(fi), statsOf, _ => None)) pruned = true
+        fi += 1
+      }
+      if (pruned) prunedCount += 1 else set.set(d)
+      d += 1
+    }
+    if (prunedCount == 0) null
+    else { dirStatsChunksPruned.addAndGet(prunedCount.toLong); set }
+  }
+
   /** Hash-bucket function shared by the write path (per-row declaration
     * check), the read path (partition grouping) and [[NimbleCatalog]]'s
     * `bucket` FunctionCatalog entry: EXACTLY Spark HashPartitioning's
@@ -936,14 +998,50 @@ object NimbleSource {
         reader.readStreamBytes(stripe, id))
     } else reader.readStreamBytes(stripe, id)
 
+  /** The combined candidate-chunk set (index ∩ v14 directory stats) and its
+    * chunk-grid size for one stripe — shared by the in-task reader, the
+    * prefetch path and the aggregate fold so all three make the IDENTICAL
+    * fetch decision. Returns (candidates, totalChunks); candidates null =
+    * no restriction. */
+  private[spark] def candidateChunksOf(reader: Tablet.Reader, stripe: Int,
+      filters: Array[Filter], statsOnly: Array[Filter],
+      neededKeys: Array[String]): (java.util.BitSet, Int) = {
+    if (filters.isEmpty && statsOnly.isEmpty) return (null, -1)
+    var total = -1
+    var i = 0
+    while (total < 0 && i < neededKeys.length) {
+      val id = reader.keyId(neededKeys(i))
+      val dir = if (id >= 0) reader.chunkDirOf(stripe, id) else null
+      if (dir != null) total = dir.count(_.isData)
+      i += 1
+    }
+    val idx = indexCandidateChunks(reader, stripe, filters ++ statsOnly)
+    val st = chunkStatsCandidates(reader, stripe, filters ++ statsOnly, total)
+    val cand =
+      if (idx == null) st
+      else if (st == null) idx
+      else { val c = idx.clone().asInstanceOf[java.util.BitSet]; c.and(st); c }
+    (cand, total)
+  }
+
+  /** True when `cand` is restrictive enough (and grid-aligned enough) for
+    * the sparse byte-range fetch — the single gate every fetch site uses. */
+  private[spark] def sparseGate(cand: java.util.BitSet, totalChunks: Int): Boolean =
+    cand != null && totalChunks > 0 && cand.length <= totalChunks &&
+      cand.cardinality().toLong * 4 <= totalChunks
+
   /** Self-contained stripe fetch for the prefetch pool (own reader/handle —
-    * the in-flight reader is not thread-safe). With pushed filters only the
-    * EAGER (filter-phase) streams prefetch — the reader defers projected
-    * streams until a chunk survives, and prefetching them would undo the
-    * deferred-IO saving on fully-filtered stripes. */
-  private[spark] def fetchStreamBytes(file: String, stripe: Int, dataSchema: StructType,
+    * the in-flight reader is not thread-safe). Mirrors the in-task reader's
+    * two fetch-layer decisions exactly: with pushed filters only the EAGER
+    * (filter-phase) streams prefetch (the reader defers projected streams
+    * until a chunk survives), and under a restrictive candidate set the
+    * fetch goes SPARSE — only candidate chunks' byte ranges load, so the
+    * prefetch cannot undo the sparse-fetch saving either. The reader's own
+    * candidate set is always a subset of this one (it may add a TopN tail
+    * mask), so every chunk it decodes is present in the prefetched bytes. */
+  private[graft] def fetchStreamBytes(file: String, stripe: Int, dataSchema: StructType,
       required: StructType, filters: Array[Filter],
-      statsOnly: Array[Filter]): Map[String, Array[Byte]] = {
+      statsOnly: Array[Filter]): Map[String, (Array[Byte], Array[Boolean])] = {
     val r = new Tablet.Reader(file, footerOf(file))
     try {
       val all = neededStreamKeys(r.keyProbe, dataSchema, required, filters)
@@ -955,17 +1053,24 @@ object NimbleSource {
           val eager = all.filter(fs.contains)
           if (eager.isEmpty) all else eager
         }
-      readNeededStreams(r, stripe, keys, file)
+      val (cand, total) = candidateChunksOf(r, stripe, filters, statsOnly, all)
+      if (sparseGate(cand, total))
+        readNeededStreamsSparse(r, stripe, keys, file, cand, total)
+      else
+        readNeededStreams(r, stripe, keys, file)
+          .map { case (k, b) => k -> (b, null: Array[Boolean]) }
     } finally r.close()
   }
 
   private[spark] def submitPrefetch(file: String, stripe: Int, dataSchema: StructType,
       required: StructType, filters: Array[Filter],
-      statsOnly: Array[Filter] = Array.empty): java.util.concurrent.Future[Map[String, Array[Byte]]] =
-    streamPool.submit(new java.util.concurrent.Callable[Map[String, Array[Byte]]] {
-      def call(): Map[String, Array[Byte]] =
-        fetchStreamBytes(file, stripe, dataSchema, required, filters, statsOnly)
-    })
+      statsOnly: Array[Filter] = Array.empty)
+      : java.util.concurrent.Future[Map[String, (Array[Byte], Array[Boolean])]] =
+    streamPool.submit(
+      new java.util.concurrent.Callable[Map[String, (Array[Byte], Array[Boolean])]] {
+        def call(): Map[String, (Array[Byte], Array[Boolean])] =
+          fetchStreamBytes(file, stripe, dataSchema, required, filters, statsOnly)
+      })
 }
 
 /** Group-based row-level operation (copy-on-write, the Iceberg pattern):
@@ -1851,7 +1956,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   // one-ahead stream prefetch: stripe i+1's bytes load on the shared I/O
   // pool while stripe i decodes (UnitLoader analog, velox/VeloxReader.h:69).
   // At most one stripe of wasted I/O when an early limit stops the chain.
-  private var pending: java.util.concurrent.Future[Map[String, Array[Byte]]] = null
+  private var pending: java.util.concurrent.Future[Map[String, (Array[Byte], Array[Boolean])]] = null
   private var pendingIdx = -1
 
   override def next(): Boolean = {
@@ -1865,7 +1970,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
       if (limit >= 0 && produced >= limit) return false
       idx += 1
       if (idx >= items.length) return false
-      val pre: Map[String, Array[Byte]] =
+      val pre: Map[String, (Array[Byte], Array[Boolean])] =
         if (pending != null && pendingIdx == idx) {
           val p = pending
           pending = null
@@ -1905,7 +2010,8 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   * reader idea: reference docs/develop/nimble_selective_reader.rst:163-199). */
 class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     required: StructType, filters: Array[Filter], limit: Int = -1,
-    prefetched: Map[String, Array[Byte]] = null, unsignedCols: Set[String] = Set.empty,
+    prefetched: Map[String, (Array[Byte], Array[Boolean])] = null,
+    unsignedCols: Set[String] = Set.empty,
     skipRows: Long = 0L, statsOnly: Array[Filter] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
 
@@ -1949,28 +2055,84 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       NimbleSource.indexCandidateChunks(reader, stripe, filters ++ statsOnly)
     else null
 
-  // ---- sparse candidate fetch (v13 chunk directories): when the index
-  // restricts this stripe to a small candidate-chunk fraction, every stream
-  // fetches only the candidate chunks' byte ranges — a point probe reads
-  // ~one chunk per stream, not the stripe. Gated off under TopN tail
-  // positioning (toSkip counts rows through chunk stats of EVERY chunk). ----
-  private val sparseTotalChunks: Int =
-    if (indexChunks == null || skipRows > 0 || neededKeys.isEmpty) -1
-    else {
-      var t = -1
-      var i = 0
-      while (t < 0 && i < neededKeys.length) {
-        val id = reader.keyId(neededKeys(i))
-        val dir = if (id >= 0) reader.chunkDirOf(stripe, id) else null
-        if (dir != null) t = dir.count(_.isData)
-        i += 1
-      }
-      t
+  // data-chunk grid of this stripe, from the first needed stream carrying a
+  // chunk directory (v13+): per-data-frame row counts + the grid size every
+  // candidate bitmap below is expressed in. null/-1 on pre-v13 files.
+  private val dirDataRows: Array[Long] = {
+    var r: Array[Long] = null
+    var i = 0
+    while (r == null && i < neededKeys.length) {
+      val id = reader.keyId(neededKeys(i))
+      val dir = if (id >= 0) reader.chunkDirOf(stripe, id) else null
+      if (dir != null) r = dir.iterator.filter(_.isData).map(_.rows).toArray
+      i += 1
     }
+    r
+  }
+  private val dirTotalChunks: Int = if (dirDataRows == null) -1 else dirDataRows.length
+
+  // v14 directory-stats candidates: min/max/nullCount per chunk straight
+  // from the stripe directory prune candidates BEFORE any stream fetch — a
+  // selective range predicate on sorted data needs no index to go sparse
+  private val statsChunks: java.util.BitSet =
+    if (filters.isEmpty && statsOnly.isEmpty) null
+    else NimbleSource.chunkStatsCandidates(reader, stripe, filters ++ statsOnly, dirTotalChunks)
+
+  // TopN tail positioning via directory row counts (v13+): chunks wholly
+  // inside the skip span drop from the candidate set — and from the sparse
+  // FETCH — without reading anything; the first partially covered chunk
+  // emits whole (the established partial-TopN superset semantics, same as
+  // the dense peekStats path). Unknown row counts (legacy flag-0 frames
+  // record 0) abandon the mask and keep the dense path.
+  private val topNMask: java.util.BitSet =
+    if (skipRows <= 0 || dirDataRows == null) null
+    else {
+      var covered = 0L
+      var k = 0
+      var bad = false
+      while (!bad && k < dirDataRows.length && covered < skipRows &&
+          covered + dirDataRows(k) <= skipRows) {
+        if (dirDataRows(k) <= 0) bad = true
+        else { covered += dirDataRows(k); k += 1 }
+      }
+      if (bad || k == 0) null
+      else {
+        val m = new java.util.BitSet(dirTotalChunks)
+        m.set(k, dirTotalChunks)
+        // the masked chunks ARE the whole-chunk part of the skip; the
+        // remainder (inside chunk k) emits whole under superset semantics —
+        // exactly where the dense peekStats walk would stop
+        toSkip = 0
+        m
+      }
+    }
+
+  // combined candidate-chunk set — index ∩ directory-stats ∩ TopN mask
+  // (each factor independently proves its excluded chunks contribute no
+  // needed rows); null = no restriction
+  private val candChunks: java.util.BitSet = {
+    var s: java.util.BitSet = null
+    def and(b: java.util.BitSet): Unit =
+      if (b != null) {
+        if (s == null) s = b.clone().asInstanceOf[java.util.BitSet] else s.and(b)
+      }
+    and(indexChunks); and(statsChunks); and(topNMask)
+    s
+  }
+
+  // ---- sparse candidate fetch (v13 chunk directories): when the candidate
+  // set restricts this stripe to a small chunk fraction, every stream
+  // fetches only the candidate chunks' byte ranges — a point probe reads
+  // ~one chunk per stream, not the stripe. Requires any TopN skip to be
+  // fully resolved by the mask (a dense peekStats walk can't see absent
+  // chunks). ----
+  private val sparseTotalChunks: Int = dirTotalChunks
   private val sparseChunks: java.util.BitSet =
-    if (sparseTotalChunks <= 0 || indexChunks.length > sparseTotalChunks ||
-        indexChunks.cardinality().toLong * 4 > sparseTotalChunks) null
-    else indexChunks
+    if (candChunks == null || sparseTotalChunks <= 0 || neededKeys.isEmpty ||
+        (skipRows > 0 && topNMask == null) ||
+        candChunks.length > sparseTotalChunks ||
+        candChunks.cardinality().toLong * 4 > sparseTotalChunks) null
+    else candChunks
 
   private def fetchStreams(keys: Array[String]): Map[String, (Array[Byte], Array[Boolean])] =
     if (sparseChunks != null)
@@ -2000,7 +2162,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     if (prefetched != null) {
       NimbleSource.prefetchHits.incrementAndGet()
       prefetched.view.filterKeys(eagerKeys.contains).toMap
-        .map { case (k, b) => k -> new Tablet.ChunkCursor(b) }
+        .map { case (k, (b, present)) => k -> new Tablet.ChunkCursor(b, present) }
     } else fetchStreams(eagerKeys).map { case (k, (b, present)) =>
       k -> new Tablet.ChunkCursor(b, present)
     }
@@ -2010,7 +2172,10 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private var deferredCursors: Map[String, Tablet.ChunkCursor] =
     if (deferredKeys.isEmpty) Map.empty
     else if (prefetched != null && deferredKeys.forall(prefetched.contains))
-      deferredKeys.iterator.map(k => k -> new Tablet.ChunkCursor(prefetched(k))).toMap
+      deferredKeys.iterator.map { k =>
+        val (b, present) = prefetched(k)
+        k -> new Tablet.ChunkCursor(b, present)
+      }.toMap
     else null
   /** Chunks fully consumed (skipped or filtered dead) BEFORE deferred
     * materialization — fresh deferred cursors fast-forward this many chunk
@@ -2214,17 +2379,22 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       // nested children included — covers the same rows. Stats-only leaf
       // predicates consult their stream's chunk stats only when the
       // projection already reads that stream (absent → conservative no-op).
-      if (hasFilters || statsOnly.nonEmpty) {
-        // index-candidate restriction first: a chunk outside every equality
-        // probe's candidate set skips without even peeking stats
-        val indexPruned = indexChunks != null && !indexChunks.get(chunkOrd)
+      // candidate restriction first (index ∩ dir-stats ∩ TopN mask): a chunk
+      // outside the candidate set skips without even peeking stats — under a
+      // sparse fetch its bytes were never read
+      if (candChunks != null && !candChunks.get(chunkOrd)) {
+        chunkOrd += 1
+        skipChunkAllStreams()
+        taskChunksSkipped += 1
+        NimbleSource.chunksSkipped.incrementAndGet()
+      } else if (hasFilters || statsOnly.nonEmpty) {
         // filter + stats-only refs are eager by construction; a deferred
         // stream must never materialize for a stats peek
         val statsOf: String => Option[Tablet.Stats] =
           name => eagerCursors.get(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
           }
-        var pruned = indexPruned
+        var pruned = false
         var pi = 0
         while (pi < filters.length && !pruned) {
           if (Filters.pruneStripe(filters(pi), statsOf, _ => None)) pruned = true
@@ -2247,6 +2417,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
           if (r != 0) return r > 0
         }
       } else {
+        chunkOrd += 1
         return fillBatch(null, -1)
       }
       }

@@ -10,10 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * walking the raw stream bytes frame by frame. */
 class ChunkDirSpec extends AnyFunSuite {
 
-  /** Walk raw stream bytes: (offset, rows (-1 when the frame carries no
-    * stats), isData). */
-  private def walkFrames(bytes: Array[Byte]): Seq[(Long, Long, Boolean)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+  /** Walk raw stream bytes: (offset, in-frame stats (null when the frame
+    * carries none), isData). */
+  private def walkFrames(bytes: Array[Byte]): Seq[(Long, Tablet.Stats, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Tablet.Stats, Boolean)]()
     var pos = 0
     while (pos < bytes.length) {
       val compLen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
@@ -22,8 +22,8 @@ class ChunkDirSpec extends AnyFunSuite {
       c.readVarint() // rawLen
       c.readByte() // compression kind
       val flag = c.readByte()
-      val rows = if (flag == 1) Tablet.readStats(c).valueCount else -1L
-      out += ((pos.toLong, rows, flag != 2))
+      val stats = if (flag == 1) Tablet.readStats(c) else null
+      out += ((pos.toLong, stats, flag != 2))
       pos = c.pos + compLen
     }
     out.toSeq
@@ -79,7 +79,7 @@ class ChunkDirSpec extends AnyFunSuite {
     val path = writeFixture(dir, rows = 40000, rowsPerChunk = 4096)
     val r = new Tablet.Reader(path)
     try {
-      assert(r.footer.version == 13)
+      assert(r.footer.version == Tablet.Version)
       assert(r.footer.stripes.nonEmpty)
       for (s <- r.footer.stripes.indices; name <- Seq("id", "cat", "txt")) {
         val id = r.keyId(name)
@@ -89,12 +89,29 @@ class ChunkDirSpec extends AnyFunSuite {
         val frames = walkFrames(r.readStreamBytes(s, id))
         assert(chunks.length == frames.length,
           s"$name stripe $s: ${chunks.length} dir frames vs ${frames.length} walked")
-        for ((cl, (off, rows, isData)) <- chunks.zip(frames)) {
+        for ((cl, (off, fst, isData)) <- chunks.zip(frames)) {
           assert(cl.offset == off, s"$name stripe $s: offset ${cl.offset} != $off")
           assert(cl.isData == isData)
-          if (isData && rows >= 0) assert(cl.rows == rows,
-            s"$name stripe $s: rows ${cl.rows} != $rows")
-          if (!isData) assert(cl.rows == 0L)
+          if (isData && fst != null) assert(cl.rows == fst.valueCount,
+            s"$name stripe $s: rows ${cl.rows} != ${fst.valueCount}")
+          if (!isData) assert(cl.rows == 0L && cl.stats == null)
+          // v14: directory stats equal the in-frame stats byte-for-byte
+          // (the writer lifts the SAME Stats into the directory)
+          if (isData && fst != null) {
+            assert(cl.stats != null, s"$name stripe $s: v14 directory stats missing")
+            assert(cl.stats.valueCount == fst.valueCount &&
+              cl.stats.nullCount == fst.nullCount &&
+              cl.stats.hasMinMax == fst.hasMinMax &&
+              cl.stats.kind == fst.kind && cl.stats.hasNaN == fst.hasNaN)
+            if (fst.hasMinMax) {
+              assert(cl.stats.minLong == fst.minLong && cl.stats.maxLong == fst.maxLong)
+              assert(cl.stats.minDouble == fst.minDouble && cl.stats.maxDouble == fst.maxDouble)
+              assert((cl.stats.minBytes == null) == (fst.minBytes == null))
+              if (fst.minBytes != null)
+                assert(java.util.Arrays.equals(cl.stats.minBytes, fst.minBytes) &&
+                  java.util.Arrays.equals(cl.stats.maxBytes, fst.maxBytes))
+            }
+          }
         }
         // data-frame rows must cover the stripe's row count exactly
         val dataRows = chunks.filter(_.isData).map(_.rows).sum
@@ -103,6 +120,22 @@ class ChunkDirSpec extends AnyFunSuite {
         // `cat` must actually exercise the alphabet-frame arm
         if (name == "cat") assert(chunks.exists(!_.isData),
           s"cat stripe $s: expected a shared-dict alphabet frame")
+      }
+    } finally r.close()
+  }
+
+  test("many-frame streams keep offsets/rows but cap out the v14 stats block") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkdircap").toFile.getAbsolutePath
+    // 313 data frames in one stripe: over MaxDirStatsFrames, under MaxDirFrames
+    val path = writeFixture(dir, rows = 20000, rowsPerChunk = 64)
+    val r = new Tablet.Reader(path)
+    try {
+      for (name <- Seq("id", "cat", "txt")) {
+        val chunks = r.chunkDirOf(0, r.keyId(name))
+        assert(chunks != null, s"$name: offsets/rows directory must survive the cap")
+        assert(chunks.count(_.isData) > Tablet.MaxDirStatsFrames)
+        assert(chunks.forall(_.stats == null), s"$name: stats block should cap out")
+        assert(chunks.filter(_.isData).forall(_.rows > 0))
       }
     } finally r.close()
   }

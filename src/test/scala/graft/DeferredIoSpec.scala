@@ -122,6 +122,45 @@ class DeferredIoSpec extends SparkTestBase {
     assert(got == expected, s"fold over deferred-materialized v: $got != $expected")
   }
 
+  test("agg fold goes sparse: indexed point probe fetches candidate chunk ranges only") {
+    val dir = tmpDir("defer_agg_sparse")
+    // indexed scrambled key + fat aggregate input: the fold must take the
+    // SAME sparse candidate-range fetch as the batch reader (r14 gap: the
+    // fold fetched whole filter streams even when the index restricted
+    // decode to a chunk)
+    val df = spark.range(60000L)
+      .select(col("id").as("seq"), xxhash64(col("id")).as("k"),
+        xxhash64(col("id") * 3 + 1).cast("double").as("v"))
+    df.coalesce(1).write.format("nimble")
+      .option("indexColumns", "k").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    // full-stream cost yardstick: an unselective fold reads both streams whole
+    graft.spark.BlockCache.clear()
+    val fullBytes = fetchedDuring {
+      nb.agg(sum("v")).collect()
+    }
+
+    val probeKey = df.filter(col("seq") === 31000L).select("k").collect()(0).getLong(0)
+    val expect = df.filter(col("k") === probeKey).agg(sum("v")).collect()(0).getDouble(0)
+    graft.spark.BlockCache.clear()
+    val decoded0 = graft.spark.AggScan.aggChunksDecoded.get()
+    val probeBytes = fetchedDuring {
+      val got = nb.filter(col("k") === probeKey).agg(sum("v")).collect()(0).getDouble(0)
+      assert(got == expect, "sparse fold result diverged")
+    }
+    assert(graft.spark.AggScan.aggChunksDecoded.get() > decoded0,
+      "the mid-scan fold path must engage")
+    // ~30 chunks/stream and one candidate: the fold's fetch must be
+    // candidate ranges (k's candidate chunk + v's candidate chunk), not
+    // whole streams
+    assert(probeBytes > 0)
+    assert(probeBytes < fullBytes / 8,
+      s"fold probe fetched $probeBytes of $fullBytes unselective bytes — " +
+        "the fold did not take the sparse candidate fetch")
+  }
+
   test("agg fold grouped: selective probe defers group+agg streams, fold stays exact") {
     val dir = tmpDir("defer_aggg")
     val df = spark.range(50000L)

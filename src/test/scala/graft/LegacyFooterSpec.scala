@@ -266,6 +266,89 @@ class LegacyFooterSpec extends AnyFunSuite {
     } finally a.close()
   }
 
+  test("v13 footer (chunk directory without the v14 stats block) reads identically") {
+    val cur = tmpFile("current13v")
+    writeSample(cur)
+    val v13 = tmpFile("legacy13v")
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cur))
+    val a = new Tablet.Reader(cur)
+    try {
+      val dataEnd = a.footer.groups(0).offset
+      val out = new ByteSink(all.length + (1 << 12))
+      out.writeBytes(all, 0, dataEnd.toInt)
+      // rebuild the group sections in the v13 entry shape: loc + stats +
+      // bloom + chunk directory (count, offset deltas, rows|isData) but NO
+      // per-frame stats block
+      val f = a.footer
+      val nStreams = f.nStreams
+      val newGroups = new Array[Tablet.GroupLoc](f.groups.length)
+      for (g <- f.groups.indices) {
+        val inGroup = math.min(f.groupSize, f.stripes.length - g * f.groupSize)
+        val entries = new ByteSink(1 << 12)
+        val table = new Array[Long](nStreams + 1)
+        for (i <- 0 until nStreams) {
+          table(i) = entries.size.toLong
+          val perStripe = a.dirEntries(g, i)
+          for (s <- 0 until inGroup) {
+            val e = perStripe(s)
+            entries.writeVarint(e.loc.offset); entries.writeVarint(e.loc.length)
+            Tablet.writeStats(entries, e.stats)
+            if (e.bloom == null) entries.writeByte(0)
+            else {
+              entries.writeByte(1)
+              entries.writeVarint(e.bloom.bits.length.toLong)
+              e.bloom.bits.foreach(entries.writeLong)
+            }
+            if (e.chunks == null) entries.writeVarint(0L)
+            else {
+              entries.writeVarint(e.chunks.length.toLong)
+              var prev = 0L
+              for (cl <- e.chunks) {
+                entries.writeVarint(cl.offset - prev); prev = cl.offset
+                entries.writeVarint((cl.rows << 1) | (if (cl.isData) 1L else 0L))
+              }
+            }
+          }
+        }
+        table(nStreams) = entries.size.toLong
+        val start = out.size
+        table.foreach(out.writeLong)
+        out.writeBytes(entries.toArray)
+        newGroups(g) = Tablet.GroupLoc(start.toLong, (out.size - start).toLong)
+      }
+      // the v13 footer layout IS the v14 layout — only the version byte and
+      // the directory-entry payload differ
+      val fb = Tablet.writeFooter(f.copy(groups = newGroups))
+      fb(0) = 13
+      out.writeBytes(fb)
+      out.writeInt(fb.length)
+      out.writeBytes(Tablet.Magic)
+      java.nio.file.Files.write(java.nio.file.Paths.get(v13), out.toArray)
+
+      val (wantI, wantS) = allValues(cur)
+      val (gotI, gotS) = allValues(v13)
+      assert(gotI == wantI)
+      assert(gotS == wantS)
+      val b = new Tablet.Reader(v13)
+      try {
+        assert(b.footer.version == 13)
+        for (s <- f.stripes.indices; id <- 0 until nStreams) {
+          val want = a.chunkDirOf(s, id)
+          val got = b.chunkDirOf(s, id)
+          assert((want == null) == (got == null))
+          if (want != null) {
+            assert(got.length == want.length)
+            for ((w13, w14) <- got.zip(want)) {
+              assert(w13.offset == w14.offset && w13.rows == w14.rows &&
+                w13.isData == w14.isData)
+              assert(w13.stats == null, "a v13 directory must carry no chunk stats")
+            }
+          }
+        }
+      } finally b.close()
+    } finally a.close()
+  }
+
   test("stripe checksums verify cross-version: XXH3 for v11+, XXH64 legacy") {
     // fresh v11 file: every stripe's span must match its footer checksum
     // under XXH3_64, and a corrupted byte must be caught

@@ -49,6 +49,65 @@ class PrefetchSpec extends SparkTestBase {
     } finally NimbleSource.testFetchDelayMs = 0
   }
 
+  test("prefetch path fetches sparse: byte parity with the in-task reader") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("prefetch_sparse")
+    val df = spark.range(60000L)
+      .select(col("id").as("seq"), xxhash64(col("id")).as("k"),
+        expr("concat(md5(cast(id as string)), md5(cast(id+1 as string)))").as("payload"))
+    df.coalesce(1).write.format("nimble")
+      .option("indexColumns", "k").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val file = NimbleSource.listFiles(dir).head
+    val schema = spark.read.format("nimble").load(dir).schema
+    val probeKey = df.filter(col("seq") === 42000L).select("k").collect()(0).getLong(0)
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("k", probeKey))
+
+    def bytes(f: => Unit): Long = {
+      val b = NimbleSource.streamBytesFetched.get(); f
+      NimbleSource.streamBytesFetched.get() - b
+    }
+    // in-task EAGER fetch (reader construction; projected streams defer and
+    // are fetched later, which the prefetch pool deliberately skips too)
+    graft.spark.BlockCache.clear()
+    val taskBytes = bytes {
+      val r = new graft.spark.NimbleBatchReader(file, 0, schema, schema, filters)
+      r.close()
+    }
+    // the prefetch pool's fetch of the same (file, stripe, filters) must
+    // make the identical sparse decision — same candidate ranges, same bytes
+    graft.spark.BlockCache.clear()
+    val pre = NimbleSource.fetchStreamBytes(file, 0, schema, schema, filters, Array.empty)
+    graft.spark.BlockCache.clear()
+    val preBytes = bytes {
+      NimbleSource.fetchStreamBytes(file, 0, schema, schema, filters, Array.empty)
+    }
+    assert(taskBytes > 0 && preBytes > 0)
+    assert(preBytes == taskBytes,
+      s"prefetch fetched $preBytes bytes, in-task reader $taskBytes — sparse decisions diverged")
+    // and sparse: far below the whole-stream cost of the same streams
+    graft.spark.BlockCache.clear()
+    val denseBytes = bytes {
+      NimbleSource.fetchStreamBytes(file, 0, schema, schema, Array.empty, Array.empty)
+    }
+    assert(preBytes < denseBytes / 8,
+      s"prefetch fetched $preBytes of $denseBytes dense bytes — not sparse")
+    // a reader consuming the sparse prefetched map returns the exact rows
+    val expect = df.filter(col("k") === probeKey).select("seq").collect().map(_.getLong(0)).toSeq
+    val r2 = new graft.spark.NimbleBatchReader(file, 0, schema, schema, filters,
+      prefetched = pre)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      while (r2.next()) {
+        val batch = r2.get()
+        val seqIdx = schema.fieldIndex("seq")
+        for (i <- 0 until batch.numRows()) got += batch.column(seqIdx).getLong(i)
+      }
+    } finally r2.close()
+    assert(got.toSeq == expect, s"sparse-prefetched decode diverged: $got != $expect")
+  }
+
   test("prefetched and sync reads return identical data (chunked, filtered)") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("prefetch_eq")

@@ -126,4 +126,65 @@ class SparseFetchSpec extends SparkTestBase {
       assert(run(nb) == run(ppq), s"probes $probes diverged")
     }
   }
+
+  test("stats-driven sparse fetch: selective range on sorted data, NO index") {
+    val dir = tmpDir("sparse_stats_range")
+    // sorted key, fat payload, no index of any kind: only the v14 per-chunk
+    // directory stats can restrict the fetch
+    val df = spark.range(60000).toDF("id")
+      .withColumn("payload", expr(
+        "concat(md5(cast(id as string)), md5(cast(id+1 as string)), md5(cast(id+2 as string)))"))
+    df.coalesce(1).write.format("nimble")
+      .option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").load(dir)
+
+    graft.spark.BlockCache.clear()
+    val fullBytes = fetchedDuring {
+      assert(nb.select("payload").collect().length == 60000)
+    }
+
+    val expect = df.filter(col("id").between(10000, 10400)).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    graft.spark.BlockCache.clear()
+    val pruned0 = graft.spark.NimbleSource.dirStatsChunksPruned.get()
+    val probeBytes = fetchedDuring {
+      val got = nb.filter(col("id").between(10000, 10400)).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == expect, "stats-sparse range probe diverged")
+    }
+    assert(graft.spark.NimbleSource.dirStatsChunksPruned.get() > pruned0,
+      "directory stats pruned no chunks — the v14 stats path did not engage")
+    assert(probeBytes > 0)
+    // ~30 chunks/stream, the range covers ~1: candidate byte ranges must be
+    // a small fraction of the stripe streams
+    assert(probeBytes < fullBytes / 8,
+      s"range probe fetched $probeBytes of $fullBytes full-scan bytes — " +
+        "chunk-stats candidates did not restrict the fetch")
+  }
+
+  test("stats-sparse range parity fuzz vs parquet (sorted, no index)") {
+    val dir = tmpDir("sparse_stats_fuzz")
+    val df = spark.range(50000).toDF("id")
+      .withColumn("v", (col("id") * 7 % 1013).cast("double"))
+      .withColumn("s", concat(lit("s"), col("id").cast("string")))
+    df.coalesce(1).write.format("nimble")
+      .option("rowsPerChunk", "1024")
+      .mode("overwrite").save(dir)
+    val pq = dir + "-pq"
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    val nb = spark.read.format("nimble").load(dir)
+    val ppq = spark.read.parquet(pq)
+    val rnd = new scala.util.Random(1515)
+    for (_ <- 1 to 10) {
+      val lo = rnd.nextInt(50000)
+      val hi = lo + rnd.nextInt(3000)
+      def run(d: org.apache.spark.sql.DataFrame) =
+        d.filter(col("id") >= lo && col("id") <= hi && col("v") < 900)
+          .select("id", "v", "s")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+      assert(run(nb) == run(ppq), s"range [$lo,$hi] diverged")
+    }
+  }
 }

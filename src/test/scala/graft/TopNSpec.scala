@@ -158,6 +158,39 @@ class TopNSpec extends SparkTestBase {
     assert(got.sameElements(exp))
   }
 
+  test("DESC tail skip fetches sparse: only post-skip chunk ranges load") {
+    // one fat single-stripe file: the tail partition's skipRows resolves to
+    // whole leading chunks straight from the v13 directory row counts, so
+    // the fetch drops them — the r14 gate (sparse OFF whenever skipRows>0)
+    // is lifted by the directory (VERDICT r14 #7)
+    val dir = tmpDir("topn_sparse")
+    spark.range(60000).toDF("k")
+      .withColumn("payload", org.apache.spark.sql.functions.expr(
+        "concat(md5(cast(k as string)), md5(cast(k+1 as string)))"))
+      .coalesce(1).write.format("nimble")
+      .option("sortColumns", "k").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("nimble").load(dir)
+
+    graft.spark.BlockCache.clear()
+    val full0 = graft.spark.NimbleSource.streamBytesFetched.get()
+    assert(t.select("payload").collect().length == 60000)
+    val fullBytes = graft.spark.NimbleSource.streamBytesFetched.get() - full0
+
+    val q = t.orderBy(desc("k")).limit(20).select("k", "payload")
+    assert(plan(q).contains("topN=[k DESC NULLS LAST limit 20]"), plan(q))
+    graft.spark.BlockCache.clear()
+    val probe0 = graft.spark.NimbleSource.streamBytesFetched.get()
+    val got = q.collect().map(_.getLong(0))
+    val probeBytes = graft.spark.NimbleSource.streamBytesFetched.get() - probe0
+    assert(got.sameElements((59980L until 60000L).reverse))
+    // ~30 chunks/stream, the tail needs the last one: byte counts must be
+    // candidate ranges, not whole streams
+    assert(probeBytes > 0)
+    assert(probeBytes < fullBytes / 8,
+      s"tail fetched $probeBytes of $fullBytes full-scan bytes — TopN skip did not go sparse")
+  }
+
   test("sorted lineitem table pushes TopN end-to-end vs parquet truth") {
     val q = Tables.nimble(spark, sf(), "lineitem")
       .orderBy(desc("l_orderkey")).limit(10).select("l_orderkey")
