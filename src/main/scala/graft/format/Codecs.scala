@@ -72,6 +72,11 @@ object Codecs {
     * re-base a segment instead of prefix-summing the whole chunk). */
   final val DeltaCheckpointStride = 1024
 
+  /** PREFIXR restart stride: the shared prefix resets every this-many
+    * values, so a string point read front-decodes at most this many entries
+    * (reference encodings/PrefixEncoding.h:64 restart points). */
+  final val PrefixRestartStride = 32
+
   /** Per-stream encoding-layout replay (reference:
     * dwio/nimble/writer/EncodingLayoutTree.h:25, option
     * writer/VeloxWriterOptions.h:195 — captured layout re-applied so stable
@@ -592,8 +597,11 @@ object Codecs {
     * Supported shapes: Const, Trivial (fixed stride), FOR (bit-packed
     * residuals admit O(1) point reads), optionally under a Nullable wrapper
     * (the null bitmap decodes whole — it is bit-cheap — and maps row
-    * positions to value-stream indices). Prefix-dependent codecs (Delta,
-    * RLE, Varint) and the recursive shapes fall back. On null return `cur`
+    * positions to value-stream indices). Bytes streams point-read under
+    * Const/Trivial/Dict/Fsst (per-string independent decodability,
+    * reference encodings/FsstEncoding.h:79) and PrefixR restart seeks
+    * (reference encodings/PrefixEncoding.h:64); plain legacy Prefix (no
+    * restart index) falls back. On null return `cur`
     * is restored; on success `cur`'s position is unspecified (chunk frames
     * advance at the [[Tablet.ChunkCursor]] level, not here). */
   def decodeValuesAt(cur: ByteCursor, positions: Array[Int]): Column = {
@@ -652,7 +660,7 @@ object Codecs {
         case PhysType.F32 | PhysType.F64 =>
           DoublesCol(new Array[Double](k), innerPhys == PhysType.F32, outNull)
         case PhysType.Bool => BoolsCol(new Array[Boolean](k), outNull)
-        case PhysType.Bytes => cur.pos = save; null
+        case PhysType.Bytes => BytesCol(new Array[Int](k + 1), Array.emptyByteArray, outNull)
         case p => LongsCol(new Array[Long](k), p, outNull)
       }
     }
@@ -674,6 +682,25 @@ object Codecs {
         var i = 0; var j = 0
         while (i < k) { if (!outNull(i)) { out(i) = bc.values(j); j += 1 }; i += 1 }
         BoolsCol(out, outNull)
+      case bc: BytesCol =>
+        val offs = new Array[Int](k + 1)
+        var i = 0; var j = 0
+        while (i < k) {
+          offs(i + 1) = offs(i) +
+            (if (outNull(i)) 0 else bc.offsets(j + 1) - bc.offsets(j))
+          if (!outNull(i)) j += 1
+          i += 1
+        }
+        val bytes = new Array[Byte](offs(k))
+        i = 0; j = 0
+        while (i < k) {
+          if (!outNull(i)) {
+            System.arraycopy(bc.bytes, bc.offsets(j), bytes, offs(i), bc.offsets(j + 1) - bc.offsets(j))
+            j += 1
+          }
+          i += 1
+        }
+        BytesCol(offs, bytes, outNull)
       case _ => cur.pos = save; null
     }
   }
@@ -705,7 +732,14 @@ object Codecs {
         val out = new Array[Double](k)
         java.util.Arrays.fill(out, v)
         DoublesCol(out, phys == PhysType.F32)
-      case (CONST, PhysType.Bytes) => cur.pos = save; null
+      case (CONST, PhysType.Bytes) =>
+        val l = cur.readVarint().toInt
+        val v = cur.readBytes(l)
+        val offs = new Array[Int](k + 1)
+        val bytes = new Array[Byte](l * k)
+        var i = 0
+        while (i < k) { System.arraycopy(v, 0, bytes, i * l, l); offs(i + 1) = (i + 1) * l; i += 1 }
+        BytesCol(offs, bytes)
       case (CONST, _) =>
         val v = cur.readZigZag()
         val out = new Array[Long](k)
@@ -1076,6 +1110,117 @@ object Codecs {
         else
           while (i < k) { out(i) = java.lang.Double.longBitsToDouble(alphabet(idx(i).toInt)); i += 1 }
         DoublesCol(out, isFloat)
+      case (TRIVIAL, PhysType.Bytes) =>
+        // lengths decode whole (an integer sub-stream — cheap next to byte
+        // copying); only the SELECTED strings' bytes leave the payload
+        val lengths = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        cur.readVarint() // total byte length
+        val offs = new Array[Int](k + 1)
+        var i = 0
+        while (i < k) { offs(i + 1) = offs(i) + lengths(positions(i)).toInt; i += 1 }
+        val out = new Array[Byte](offs(k))
+        var srcOff = cur.pos
+        var row = 0
+        i = 0
+        while (i < k) {
+          val p = positions(i)
+          while (row < p) { srcOff += lengths(row).toInt; row += 1 }
+          System.arraycopy(cur.buf, srcOff, out, offs(i), lengths(p).toInt)
+          i += 1
+        }
+        BytesCol(offs, out)
+      case (FSST, PhysType.Bytes) =>
+        // every string is independently decodable (reference:
+        // encodings/FsstEncoding.h:79 random access): encoded lengths decode
+        // whole, then ONLY the selected strings run the symbol expansion
+        val symbols = Fsst.readTable(cur)
+        val encLens = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        cur.readVarint() // total encoded length
+        val out = new ByteSink(256)
+        val offs = new Array[Int](k + 1)
+        var srcOff = cur.pos
+        var row = 0
+        var i = 0
+        while (i < k) {
+          val p = positions(i)
+          while (row < p) { srcOff += encLens(row).toInt; row += 1 }
+          offs(i + 1) = offs(i) + Fsst.decode(symbols, cur.buf, srcOff, srcOff + encLens(p).toInt, out)
+          i += 1
+        }
+        Fsst.decodedStrings.add(k.toLong)
+        BytesCol(offs, out.toArray)
+      case (DICT, PhysType.Bytes) =>
+        // alphabet decodes whole (bounded by chunk NDV), indices point-read
+        // recursively; only the selected entries materialize bytes
+        val alphabet = decodeValues(cur.readBlock()).asInstanceOf[BytesCol]
+        val idxBlk = cur.readBlock()
+        val idx: Array[Long] =
+          decodeValuesAtFlat(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end), positions) match {
+            case lc: LongsCol => lc.values
+            case _ =>
+              val full = decodeValues(new ByteCursor(idxBlk.buf, idxBlk.pos, idxBlk.end))
+                .asInstanceOf[LongsCol].values
+              val g = new Array[Long](k)
+              var j = 0
+              while (j < k) { g(j) = full(positions(j)); j += 1 }
+              g
+          }
+        val offs = new Array[Int](k + 1)
+        var i = 0
+        while (i < k) {
+          val a = idx(i).toInt
+          offs(i + 1) = offs(i) + (alphabet.offsets(a + 1) - alphabet.offsets(a))
+          i += 1
+        }
+        val bytes = new Array[Byte](offs(k))
+        i = 0
+        while (i < k) {
+          val a = idx(i).toInt
+          System.arraycopy(alphabet.bytes, alphabet.offsets(a), bytes, offs(i),
+            alphabet.offsets(a + 1) - alphabet.offsets(a))
+          i += 1
+        }
+        BytesCol(offs, bytes)
+      case (PREFIXR, PhysType.Bytes) =>
+        // restart-point seek (reference: encodings/PrefixEncoding.h:64): each
+        // selected position front-decodes at most `stride` triples from its
+        // restart; consecutive positions in one restart group share the walk
+        val stride = cur.readVarint().toInt
+        val restarts = decodeValues(cur.readBlock()).asInstanceOf[LongsCol].values
+        cur.readVarint() // triples length
+        val base = cur.pos
+        val tc = new ByteCursor(cur.buf, base, cur.end)
+        var prev = new Array[Byte](64)
+        var prevLen = 0
+        var nextRow = 0 // row the triple cursor is about to read
+        val out = new ByteSink(256)
+        val offs = new Array[Int](k + 1)
+        var i = 0
+        while (i < k) {
+          val p = positions(i)
+          val g = p / stride
+          if (g * stride >= nextRow) {
+            // jumping to the restart skips rows the walk would pay for
+            tc.pos = base + restarts(g).toInt
+            nextRow = g * stride
+            prevLen = 0
+          }
+          while (nextRow <= p) {
+            val common = tc.readVarint().toInt
+            val sufLen = tc.readVarint().toInt
+            val newLen = common + sufLen
+            if (newLen > prev.length)
+              prev = java.util.Arrays.copyOf(prev, math.max(newLen, prev.length * 2))
+            System.arraycopy(tc.buf, tc.pos, prev, common, sufLen)
+            tc.pos += sufLen
+            prevLen = newLen
+            nextRow += 1
+          }
+          out.writeBytes(prev, 0, prevLen)
+          offs(i + 1) = offs(i) + prevLen
+          i += 1
+        }
+        BytesCol(offs, out.toArray)
       case _ => cur.pos = save; null
     }
   }
@@ -1273,18 +1418,39 @@ object Codecs {
     * fallback) by GateTrainer part 3 over the corpus + bench-grid shapes,
     * min-support 20 searches, margin pinned midway below each pair's first
     * observed flip. */
-  /** Trained r14 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
-    * 705 two-candidate searches over corpus + bench-grid shapes, 91 flips;
-    * these six pairs never flipped below their margin (min support 20) —
-    * installing them took single-encodes from 173 to 443 of 705 with ZERO
-    * size change vs production on every shape. */
+  /** Trained r15 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
+    * 1148 two-candidate searches over corpus + bench-grid + the r15 ranking
+    * extension (fresh seeds/sizes tripling rare-pair support; min support
+    * 12); these 21 pairs never flipped below their margin — installing them
+    * leaves encoded sizes BYTE-IDENTICAL on every trainer shape while
+    * single-encodes rise 267 -> 768 of 1148 (production set: remaining
+    * double-encode searches 262 -> 127; each skipped runner-up also skips
+    * its recursive sub-stream searches, compounding the saving). The
+    * genuinely flippy pairs — VARINT/FOR (50 flips to 0.66), SUBINT/TRIVIAL
+    * (flips to 0.32), HUFFMAN/DICT — keep the conservative global default:
+    * widening them WOULD change bytes. */
   private[format] val DefaultTop1PairMax: Map[Int, Double] = Map(
+    pairKey(TRIVIAL, VARINT) -> 0.8750,
     pairKey(TRIVIAL, SIMDFOR) -> 0.9705,
+    pairKey(TRIVIAL, FOR) -> 0.9484,
     pairKey(TRIVIAL, HUFFMAN) -> 0.9717,
+    pairKey(TRIVIAL, DELTABLOCK) -> 0.9210,
+    pairKey(RLE, SIMDFOR) -> 0.8750,
+    pairKey(DICT, TRIVIAL) -> 0.8750,
+    pairKey(DICT, FREQPART) -> 0.9793,
+    pairKey(VARINT, DELTA) -> 0.7750,
+    pairKey(DELTA, SIMDFOR) -> 0.9800,
     pairKey(DELTA, FOR) -> 0.9450,
+    pairKey(MAINLYCONST, HUFFMAN) -> 0.9730,
+    pairKey(PFOR, VARINT) -> 0.9016,
+    pairKey(SIMDFOR, TRIVIAL) -> 0.9800,
     pairKey(SIMDFOR, FOR) -> 0.9256, // payload arithmetic byte-identical
     pairKey(FOR, VARINT) -> 0.9800,
-    pairKey(DELTABLOCK, DELTA) -> 0.9017)
+    pairKey(FOR, DELTA) -> 0.9420,
+    pairKey(HUFFMAN, PFOR) -> 0.7522,
+    pairKey(HUFFMAN, SIMDFOR) -> 0.9800,
+    pairKey(DELTABLOCK, TRIVIAL) -> 0.9800,
+    pairKey(DELTABLOCK, DELTA) -> 0.9095)
   @volatile private[format] var Top1PairMax: Map[Int, Double] = DefaultTop1PairMax
   /** Trainer access: null restores the trained defaults; empty disables
     * every pair override (the pure-global labeling/ablation mode). */
@@ -2459,7 +2625,7 @@ object Codecs {
     // Prefix (front coding): share a prefix with the previous value —
     // effective on sorted / shared-prefix strings (reference:
     // dwio/nimble/encodings/PrefixEncoding.h:64)
-    if (n > 1 && want(PREFIX)) {
+    if (n > 1 && (want(PREFIX) || want(PREFIXR))) {
       val ps = new ByteSink()
       var i2 = 1
       var shared = 0L
@@ -2474,20 +2640,38 @@ object Codecs {
         i2 += 1
       }
       if (shared * 4 > col.offsets(n) - col.offsets(0)) { // >25% shared
+        // chunks long enough to seek write PREFIXR: identical front coding
+        // but the shared prefix resets at every restart (so a point read
+        // decodes <= stride entries) and a restart byte-offset index rides
+        // ahead of the triples. Short chunks keep the denser legacy PREFIX.
+        val stride = if (n > 2 * PrefixRestartStride) PrefixRestartStride else 0
+        val restarts = if (stride > 0) new Array[Long]((n + stride - 1) / stride) else null
         var prevOff = 0; var prevLen = 0
         var i3 = 0
         while (i3 < n) {
           val off = col.offsets(i3); val len = col.offsets(i3 + 1) - off
           var k = 0
-          val m = math.min(prevLen, len)
-          while (k < m && col.bytes(prevOff + k) == col.bytes(off + k)) k += 1
+          if (stride > 0 && i3 % stride == 0) restarts(i3 / stride) = ps.size.toLong
+          else {
+            val m = math.min(prevLen, len)
+            while (k < m && col.bytes(prevOff + k) == col.bytes(off + k)) k += 1
+          }
           ps.writeVarint(k.toLong)
           ps.writeVarint((len - k).toLong)
           ps.writeBytes(col.bytes, off + k, len - k)
           prevOff = off; prevLen = len
           i3 += 1
         }
-        candidates += ((PREFIX, ps.toArray))
+        if (stride == 0) candidates += ((PREFIX, ps.toArray))
+        else {
+          val pr = new ByteSink(ps.size + 64)
+          pr.writeVarint(stride.toLong)
+          val rs = new ByteSink(); encodeLongs(restarts, PhysType.I32, rs, depth + 1)
+          pr.writeBlock(rs.toArray)
+          pr.writeVarint(ps.size.toLong)
+          pr.writeBytes(ps.toArray)
+          candidates += ((PREFIXR, pr.toArray))
+        }
       }
     }
     // Dictionary for low-cardinality strings
@@ -2598,7 +2782,12 @@ object Codecs {
       var i = 0
       while (i < n) { offs(i + 1) = offs(i) + lengths(i).toInt; i += 1 }
       BytesCol(offs, bytes)
-    case PREFIX =>
+    case PREFIX | PREFIXR =>
+      if (id == PREFIXR) {
+        cur.readVarint() // restart stride (point readers only)
+        cur.readBlock() // restart offsets
+        cur.readVarint() // triples length
+      }
       val offs = new Array[Int](n + 1)
       val out = new ByteSink(1024)
       var prevOff = 0; var prevLen = 0

@@ -665,6 +665,15 @@ object Fields {
       consumedAt = true
       c
     }
+    /** [[decodeRawAt]] that DECLINES (null, chunk untouched) when the codec
+      * admits no positional decode — string/binary cascade columns use this
+      * so the declining shapes (shared-dict, legacy Prefix) keep their
+      * dictionary-preserving dense path. */
+    def decodeRawAtOrNull(positions: Array[Int]): Column = {
+      val c = cursor.nextAtOrNull(positions)
+      if (c != null) consumedAt = true
+      c
+    }
     /** Rows in the next chunk, when its stats frame carries a count. */
     def peekRows(): Int = cursor.peekStats().map(_.valueCount.toInt).getOrElse(-1)
     /** decodeRaw, but a DICT-coded string chunk stays dictionary-preserved
@@ -692,14 +701,21 @@ object Fields {
       * the codec admits point reads (late materialization, reference:
       * velox/selective/ColumnLoader.h:42). */
     def readChunk(vec: WritableColumnVector, selection: Array[Int]): Int = {
-      if (pending == null && !isStringy && selection != null && selection.length > 0) {
+      if (pending == null && selection != null && selection.length > 0) {
         // sparse enough that point reads beat the word-wise bulk decode
         // (~16x per-value cost ratio, so cut over at ~6%); stats-less legacy
         // chunks (unknown row count) stay on the bulk path
         val rows = cursor.peekStats().map(_.valueCount.toInt).getOrElse(-1)
         if (rows > 0 && selection.length.toLong * 16 <= rows) {
-          val dense = cursor.nextAt(selection)
-          return fillVector(vec, dt, dense, null)
+          if (isStringy) {
+            // strings decline per-codec (shared-dict / legacy Prefix keep
+            // the lazy survivor-materializing fill)
+            val dense = cursor.nextAtOrNull(selection)
+            if (dense != null) return fillVector(vec, dt, dense, null)
+          } else {
+            val dense = cursor.nextAt(selection)
+            return fillVector(vec, dt, dense, null)
+          }
         }
       }
       val col =

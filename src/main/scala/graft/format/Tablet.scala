@@ -1896,6 +1896,26 @@ object Tablet {
       Codecs.gather(full, positions)
     }
 
+    /** [[nextAt]], but DECLINES (returns null, chunk NOT consumed) when the
+      * codec admits no positional decode — the caller falls back to its
+      * dense or dict-preserving path with no wasted whole-chunk decode.
+      * String cascade point reads use this: shared-dict and legacy-Prefix
+      * chunks stay on the alphabet-preserving paths, everything else
+      * (Trivial/Dict/Fsst/PrefixR) materializes survivors only. */
+    def nextAtOrNull(positions: Array[Int]): Column = {
+      requirePresent()
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      if (cur.buf(cur.pos) == Codecs.SHAREDDICT) return null
+      val fast = Codecs.decodeValuesAt(cur, positions)
+      if (fast == null) return null
+      pos = dataPos + compLen
+      ord += 1
+      Codecs.decodedValues.addAndGet(positions.length)
+      fast
+    }
+
     /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
       * bytes chunks (filter columns — predicates then run per alphabet
       * entry, not per row). */

@@ -816,6 +816,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     def pointRead(name: String, positions: Array[Int]): graft.format.Column =
       if (fetchSet.contains(name)) null
       else readerOf(name) match {
+        case p: Fields.PrimR if typeOf(name) == StringType ||
+            typeOf(name) == BinaryType => p.decodeRawAtOrNull(positions)
         case p: Fields.PrimR => p.decodeRawAt(positions)
         case _ => null
       }
@@ -912,6 +914,8 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       def pointRead(name: String, positions: Array[Int]): graft.format.Column =
         if (fetchSet.contains(name)) null
         else readerOf(name) match {
+          case p: Fields.PrimR if typeOf(name) == StringType ||
+              typeOf(name) == BinaryType => p.decodeRawAtOrNull(positions)
           case p: Fields.PrimR => p.decodeRawAt(positions)
           case _ => null
         }

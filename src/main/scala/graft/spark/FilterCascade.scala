@@ -224,14 +224,15 @@ final class FilterCascade(
       val (cname, fs) = ord(gi)
       // sparse-survivor point decode: a later-ordered filter column whose
       // codec admits point reads materializes ONLY the surviving positions
-      // (strings go dict-preserving instead; columns the tail conjuncts
-      // reuse need full-chunk indexing; the caller declines columns whose
-      // full chunk is needed downstream — projected refs, aggregate inputs)
+      // (strings included — Trivial/Dict/Fsst/PrefixR chunks point-read;
+      // shared-dict and legacy-Prefix chunks decline at the cursor and go
+      // dict-preserving dense instead; columns the tail conjuncts reuse
+      // need full-chunk indexing; the caller declines columns whose full
+      // chunk is needed downstream — projected refs, aggregate inputs)
       val dense: Column =
         if (surv != null && alive > 0 && chunkRows > 0 &&
             alive.toLong * 16 <= chunkRows &&
-            !tailRefSet.contains(cname) &&
-            dts(cname) != StringType && dts(cname) != BinaryType)
+            !tailRefSet.contains(cname))
           pointRead(cname, java.util.Arrays.copyOf(surv, alive))
         else null
       val aliveBefore = alive

@@ -2456,10 +2456,14 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         case other => other.decodeRaw()
       })
     // projected refs decline point reads — their full chunk stays pending
-    // for the vector fill; non-PrimR readers have no positional decode
+    // for the vector fill; non-PrimR readers have no positional decode;
+    // strings decline per-codec (chunk untouched) so shared-dict / legacy
+    // Prefix chunks keep the dict-preserving dense eval
     def pointRead(name: String, positions: Array[Int]): graft.format.Column =
       if (requiredFilterRefs.contains(name)) null
       else cascadeReaderOf(name) match {
+        case p: Fields.PrimR if dts(name) == StringType || dts(name) == BinaryType =>
+          p.decodeRawAtOrNull(positions)
         case p: Fields.PrimR => p.decodeRawAt(positions)
         case _ => null
       }

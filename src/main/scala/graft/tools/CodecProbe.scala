@@ -19,6 +19,7 @@ object CodecProbe {
     case Codecs.CONST => "Const"
     case Codecs.MAINLYCONST => "MainlyConst"
     case Codecs.PREFIX => "Prefix"
+    case Codecs.PREFIXR => "PrefixRestart"
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
     case Codecs.SIMDFOR => "SimdForBitpack"

@@ -28,9 +28,20 @@ object GateTrainer {
       subintRatio: Double, skipSafe: Boolean)
 
   /** Raw pattern corpus across families x sizes x seeds. */
-  def rawPatterns(): Seq[(String, Array[Long], Byte)] = {
+  def rawPatterns(): Seq[(String, Array[Long], Byte)] =
+    rawPatternsSeeded(Seq(1, 7, 42), Seq(1024, 4096, 16384))
+
+  /** Part-3-only corpus extension (r15): the same family generators at
+    * fresh seeds/sizes, so rare-but-flip-free codec pairs reach trainable
+    * support WITHOUT disturbing parts 1/2 — the committed Trivial-gate
+    * weights and estimation thresholds are trained on [[rawPatterns]]
+    * alone, and retraining them is not this extension's job. */
+  def rankingPatterns(): Seq[(String, Array[Long], Byte)] =
+    rawPatternsSeeded(Seq(99, 123, 2026), Seq(2048, 8192))
+
+  private def rawPatternsSeeded(seeds: Seq[Int], sizes: Seq[Int]): Seq[(String, Array[Long], Byte)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Array[Long], Byte)]()
-    for (seed <- Seq(1, 7, 42); n <- Seq(1024, 4096, 16384)) {
+    for (seed <- seeds; n <- sizes) {
       val rnd = new scala.util.Random(seed)
       def add(name: String, values: Array[Long], phys: Byte = PhysType.I64): Unit =
         out += ((s"$name/n=$n/s=$seed", values, phys))
@@ -247,16 +258,21 @@ object GateTrainer {
     * down to ~0.32), but margins are a PAIR property: pairs whose estimates
     * are near-exact (FOR/SIMDFOR) never flip and earn a wide margin; the
     * flippy pairs keep the conservative default. Per observed pair with
-    * >= 20 searches: margin = midpoint between the largest flip-free ratio
-    * below the pair's first flip and that flip (0.98 cap); pairs flipping
-    * at or under the default train no override. Verifies zero size change
-    * vs CURRENT production behavior on corpus + bench-grid shapes (the
-    * committed codec_*_ratio contract) and prints the take-rate delta. */
+    * >= 12 searches (r15: lowered from 20, with [[rankingPatterns]] tripling
+    * the evidence behind the previously-thin pairs): margin = midpoint
+    * between the largest flip-free ratio below the pair's first flip and
+    * that flip (0.98 cap); pairs flipping at or under the default train no
+    * override. Verifies zero size change vs CURRENT production behavior on
+    * corpus + bench-grid + ranking-extension shapes (the committed
+    * codec_*_ratio contract) and prints the take-rate delta, both overall
+    * and on the production set alone (the round-comparable number). */
   def trainTop1Ranking(): Unit = {
     Codecs.setSelectionPolicy(Codecs.CostSelection)
     val savedRatio = Codecs.top1Ratio
     val savedTable = Codecs.top1PairTable
-    val shapes = rawPatterns() ++ benchGridPatterns()
+    // r15: the ranking extension triples the support behind rare pairs; the
+    // zero-drift verification below runs over ALL shapes including it
+    val shapes = rawPatterns() ++ benchGridPatterns() ++ rankingPatterns()
     // current-production sizes FIRST: the drift contract is vs what ships
     val prodSizes = shapes.map { case (name, values, phys) =>
       val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
@@ -283,7 +299,7 @@ object GateTrainer {
       val minFlip = if (flips.isEmpty) 1.0 else flips.min
       val support = ss.size
       val status =
-        if (support < 20) "thin support, default"
+        if (support < 12) "thin support, default"
         else if (minFlip <= savedRatio) "flips under default, default"
         else {
           val hi = math.max(savedRatio, safe.filter(_ < minFlip).maxOption.getOrElse(0.0))
@@ -313,6 +329,23 @@ object GateTrainer {
     val tookDefault = Codecs.singleEncodes.get() - single1
     println(s"size drift vs production with pair table installed: $drift shapes; " +
       s"single-encodes $tookDefault -> $tookTrained of ${samples.size} searches")
+    // round-comparable take-rate: the production set alone (the 705-search
+    // denominator earlier rounds reported)
+    val prodShapes = rawPatterns() ++ benchGridPatterns()
+    Codecs.setTop1PairTable(table.toMap)
+    val sp0 = Codecs.singleEncodes.get()
+    var prodSearches = 0L
+    for ((_, values, phys) <- prodShapes) {
+      val (_, tr) = Codecs.withRankTrace {
+        val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+      }
+      prodSearches += tr.size
+    }
+    val spTook = Codecs.singleEncodes.get() - sp0
+    // the rank trace records only double-encoded searches, so the total is
+    // singles + traced doubles
+    println(s"production-set take-rate: $spTook single-encodes of " +
+      s"${spTook + prodSearches} searches")
     Codecs.setTop1PairTable(savedTable)
     Codecs.setSelectionPolicy(Codecs.CostSelection)
   }

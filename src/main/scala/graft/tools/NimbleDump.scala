@@ -38,6 +38,7 @@ object NimbleDump {
     case Codecs.CONST => "Constant"
     case Codecs.MAINLYCONST => "MainlyConstant"
     case Codecs.PREFIX => "Prefix"
+    case Codecs.PREFIXR => "PrefixRestart"
     case Codecs.ALP => "ALP"
     case Codecs.PFOR => "PFOR"
     case Codecs.SIMDFOR => "SimdForBitpack"

@@ -118,6 +118,34 @@ class CascadeSpec extends SparkTestBase {
       s"delta-coded projection should point-decode survivors, counted $dId")
   }
 
+  test("string filter column point-decodes sparse survivors (r15)") {
+    // r15: the dense gate no longer declines String/Binary — a later-ordered
+    // string filter column whose codec admits point reads (Trivial / Dict /
+    // Fsst / PrefixR) materializes ONLY the surviving positions
+    val d = tmpDir("cascade-str")
+    spark.range(112000L).toDF("id")
+      .withColumn("a", xxhash64(col("id")))
+      // high-cardinality shared-prefix strings: FSST or PrefixR territory,
+      // both point-readable; never DICT/shared-dict (cardinality = n)
+      .withColumn("s", concat(lit("doc/2026-08/"), col("id").cast("string")))
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "16384")
+      .mode("overwrite").save(d)
+    val nb = spark.read.format("nimble").load(d)
+    val probe = nb.filter(col("id") === 55555L).select("a").head().getLong(0)
+    assert(nb.filter(col("a") === probe).select("id").collect().length == 1) // warm
+
+    // equality on scrambled a (1 survivor in 1 of 7 chunks) AND an endsWith
+    // on s that stats cannot decide: the live chunk must evaluate s at ONE
+    // survivor position — a bulk fallback would decode its whole 16k chunk
+    val (dv, rows) = decodedDelta {
+      nb.filter(col("a") === probe && col("s").endsWith("5"))
+        .select("id").collect().length
+    }
+    assert(rows == 1, s"expected the probe row to survive, got $rows")
+    assert(dv < 112000 + 2048,
+      s"string filter should point-decode survivors, not bulk-decode its chunk; counted $dv")
+  }
+
   test("mid-scan aggregate fold cascades: dead chunks decode one filter column") {
     val nb = spark.read.format("nimble").load(dir)
     // warm (footer caches, JIT) — and prove the shape routes through the

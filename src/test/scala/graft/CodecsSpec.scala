@@ -198,7 +198,7 @@ class CodecsSpec extends AnyFunSuite {
     while (i < values.length) { bb.writeBytes(values(i).getBytes("UTF-8")); offs(i + 1) = bb.size; i += 1 }
     val sink = new ByteSink()
     Codecs.encodeColumn(BytesCol(offs, bb.toArray), sink)
-    assert(sink.toArray(0) == Codecs.PREFIX, s"chose codec ${sink.toArray(0)}")
+    assert(sink.toArray(0) == Codecs.PREFIXR, s"chose codec ${sink.toArray(0)}")
     assert(sink.size < bb.size / 2, s"front coding should halve size, got ${sink.size} vs ${bb.size}")
     val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[BytesCol]
     i = 0
@@ -284,7 +284,7 @@ class CodecsSpec extends AnyFunSuite {
     val encoded = sink.toArray
     assert(encoded(0) == Codecs.FSST, s"expected FSST, got codec ${encoded(0)}")
     assert(sink.size < total * 3 / 4, s"FSST should compress: ${sink.size} vs $total")
-    val out = Codecs.decodeColumn(new ByteCursor(sink.toArray)).asInstanceOf[BytesCol]
+    val out = Codecs.decodeColumn(new ByteCursor(encoded)).asInstanceOf[BytesCol]
     assert(out.len == strs.length)
     for (i <- strs.indices) {
       val got = new String(out.bytes, out.offsets(i), out.offsets(i + 1) - out.offsets(i), "UTF-8")
@@ -814,6 +814,128 @@ class CodecsSpec extends AnyFunSuite {
     pointReadParity(values, nulls = nulls)
   }
 
+  // ---- string point reads (reference: encodings/PrefixEncoding.h:64
+  // restart points, encodings/FsstEncoding.h:79 random access) ----
+
+  /** Encode strings, optionally pin the winning codec, then check
+    * decodeValuesAt parity against the bulk decode. `expectSeek = false`
+    * asserts the shape DECLINES (legacy Prefix without restarts). */
+  private def pointReadParityBytes(strings: Array[String], expectId: Byte = -1,
+      nulls: Array[Boolean] = null, expectSeek: Boolean = true): Unit = {
+    val n = strings.length
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offs(i + 1) = offs(i) + strings(i).getBytes("UTF-8").length; i += 1 }
+    val bytes0 = new Array[Byte](offs(n))
+    i = 0
+    while (i < n) {
+      val b = strings(i).getBytes("UTF-8")
+      System.arraycopy(b, 0, bytes0, offs(i), b.length)
+      i += 1
+    }
+    val sink = new ByteSink()
+    Codecs.encodeColumn(BytesCol(offs, bytes0, nulls), sink)
+    val enc = sink.toArray
+    if (expectId >= 0 && nulls == null)
+      assert(enc(0) == expectId, s"selector drift: got ${enc(0)}, want $expectId")
+    val posSets: Seq[Array[Int]] = Seq(
+      Array(0), Array(n - 1), Array(0, n - 1),
+      Array(1, n / 3, n / 2, n - 2).distinct.sorted,
+      Array.tabulate(40)(i => (i * (n - 1)) / 40).distinct.sorted,
+      Array.range(math.max(0, n / 2 - 8), math.min(n, n / 2 + 9)))
+    for (ps <- posSets) {
+      val dense = Codecs.decodeValuesAt(new ByteCursor(enc), ps)
+      if (!expectSeek) assert(dense == null, s"expected bulk fallback for codec ${enc(0)}")
+      else {
+        assert(dense != null, s"string point read fell back to bulk for codec ${enc(0)}")
+        val bc = dense.asInstanceOf[BytesCol]
+        assert(bc.len == ps.length)
+        var j = 0
+        while (j < ps.length) {
+          val p = ps(j)
+          if (nulls != null && nulls(p))
+            assert(bc.nulls != null && bc.nulls(j), s"missing null at pos $p")
+          else {
+            assert(bc.nulls == null || !bc.nulls(j), s"spurious null at pos $p")
+            val got = new String(bc.bytes, bc.offsets(j), bc.offsets(j + 1) - bc.offsets(j), "UTF-8")
+            assert(got == strings(p), s"pos $p: got '$got', want '${strings(p)}'")
+          }
+          j += 1
+        }
+      }
+    }
+  }
+
+  test("string point reads: TRIVIAL copies only selected strings") {
+    pointReadParityBytes(
+      Array.tabulate(4096)(i => s"${rnd.nextString(14)}#$i"),
+      expectId = Codecs.TRIVIAL)
+  }
+
+  test("string point reads: CONST replicates") {
+    pointReadParityBytes(Array.fill(4096)("same-value"), expectId = Codecs.CONST)
+  }
+
+  test("string point reads: DICT alphabet + recursive index seek") {
+    val alpha = Array.tabulate(40)(i => s"city-${rnd.nextInt(1000000)}-$i")
+    pointReadParityBytes(Array.fill(8192)(alpha(rnd.nextInt(40))), expectId = Codecs.DICT)
+  }
+
+  test("string point reads: FSST decodes only selected strings") {
+    // many distinct strings built from a small substring vocabulary:
+    // cardinality defeats DICT, substring repetition feeds FSST
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val strs = Array.tabulate(4096)(i =>
+      s"${words(rnd.nextInt(6))}/${words(rnd.nextInt(6))}/${words(rnd.nextInt(6))}#$i")
+    pointReadParityBytes(strs, expectId = Codecs.FSST)
+    val before = Fsst.decodedStrings.sum()
+    val sink = new ByteSink()
+    val offs = new Array[Int](strs.length + 1)
+    var i = 0
+    while (i < strs.length) { offs(i + 1) = offs(i) + strs(i).length; i += 1 }
+    val raw = strs.mkString.getBytes("UTF-8")
+    Codecs.encodeColumn(BytesCol(offs, raw), sink)
+    Codecs.decodeValuesAt(new ByteCursor(sink.toArray), Array(7, 99, 4000))
+    assert(Fsst.decodedStrings.sum() - before == 3,
+      "FSST point read expanded more strings than selected")
+  }
+
+  test("string point reads: PREFIXR restart seeks on sorted shared-prefix strings") {
+    val strs = Array.tabulate(8192)(i => f"user/account/2026-08/partition-$i%08d")
+    pointReadParityBytes(strs, expectId = Codecs.PREFIXR)
+    // short chunks keep legacy PREFIX (denser, no restart index): decline
+    val shortStrs = Array.tabulate(48)(i => f"user/account/2026-08/partition-$i%08d")
+    pointReadParityBytes(shortStrs, expectId = Codecs.PREFIX, expectSeek = false)
+  }
+
+  test("string point reads: nullable wrapper scatters selected strings") {
+    val nulls = Array.tabulate(4096)(i => i % 5 == 1)
+    val strs = Array.tabulate(4096)(i =>
+      if (nulls(i)) "" else s"${rnd.nextLong().toHexString}-payload-$i")
+    pointReadParityBytes(strs, nulls = nulls)
+  }
+
+  test("PREFIXR round-trip: bulk decode matches, restart stride bounds the walk") {
+    // the bulk decoder must read v15 PREFIXR payloads identically to PREFIX
+    // (restart triples carry common=0, so the sequential walk just works)
+    val strs = Array.tabulate(5000)(i => f"user/account/2026-08/partition-$i%08d")
+    val n = strs.length
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offs(i + 1) = offs(i) + strs(i).length; i += 1 }
+    val sink = new ByteSink()
+    Codecs.encodeColumn(BytesCol(offs, strs.mkString.getBytes("UTF-8")), sink)
+    val encoded = sink.toArray
+    assert(encoded(0) == Codecs.PREFIXR)
+    val out = Codecs.decodeColumn(new ByteCursor(encoded)).asInstanceOf[BytesCol]
+    assert(out.len == n)
+    i = 0
+    while (i < n) {
+      assert(new String(out.bytes, out.offsets(i), out.offsets(i + 1) - out.offsets(i)) == strs(i))
+      i += 1
+    }
+  }
+
   test("trained top-1 pair margins: zero size drift, runner-up encodes measurably skipped") {
     // contract of the shipped DefaultTop1PairMax (GateTrainer part 3): on
     // every trainer shape (corpus + the bench codec-grid generators whose
@@ -823,7 +945,8 @@ class CodecsSpec extends AnyFunSuite {
     val saved = Codecs.top1PairTable
     try {
       val shapes = graft.tools.GateTrainer.rawPatterns() ++
-        graft.tools.GateTrainer.benchGridPatterns()
+        graft.tools.GateTrainer.benchGridPatterns() ++
+        graft.tools.GateTrainer.rankingPatterns()
       Codecs.setTop1PairTable(Map.empty) // ablation: global margin only
       val s0 = Codecs.singleEncodes.get()
       val baseline = shapes.map { case (name, values, phys) =>

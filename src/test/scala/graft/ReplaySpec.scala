@@ -91,9 +91,14 @@ class ReplaySpec extends AnyFunSuite {
         })
       }
       assert(rows == 20 * 500)
-      assert(codecs.take(8).count(_ == Codecs.PREFIX) >= 4, s"early chunks should front-code: $codecs")
-      // after the shift + reopen, the lock must not pin PREFIX on random data
-      assert(codecs.last != Codecs.PREFIX, s"layout failed to re-train: $codecs")
+      // r15: chunks long enough to seek front-code as PREFIXR (restart
+      // index); either front-coding id satisfies the lock contract
+      assert(codecs.take(8).count(c => c == Codecs.PREFIX || c == Codecs.PREFIXR) >= 4,
+        s"early chunks should front-code: $codecs")
+      // after the shift + reopen, the lock must not pin front coding on
+      // random data
+      assert(codecs.last != Codecs.PREFIX && codecs.last != Codecs.PREFIXR,
+        s"layout failed to re-train: $codecs")
     } finally r.close()
   }
 }
