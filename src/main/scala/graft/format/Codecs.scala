@@ -1533,6 +1533,114 @@ object Codecs {
   @volatile private[format] var BlockRatioMax: Double = 0.8906
   @volatile private[format] var SubintRatioMax: Double = 0.8762
 
+  /** TRAINED bytes-candidate pre-filter thresholds (GateTrainer part 4 —
+    * r15). Strings are where selection is expensive: every surviving
+    * candidate FULLY encodes. Each threshold gates one candidate's O(n) /
+    * O(totalBytes) build pass behind a bounded sampled feature, pinned so a
+    * skipped candidate was never the emitBest WINNER on any bytes-corpus
+    * chunk (skipping a non-winner provably never changes output bytes):
+    * - prefix: skip the full shared-prefix scan when the sampled
+    *   consecutive-pair shared fraction sits BELOW PrefixSharedMin;
+    * - dict: skip the full hash pass when the sampled strided distinct
+    *   fraction sits ABOVE DictDistinctMax (the pass self-caps at n/3
+    *   anyway — this avoids paying the hashing to find out);
+    * - fsst: skip table training when the sampled distinct-4-gram fraction
+    *   sits ABOVE FsstGram4Max (FSST pays only on repeated substrings).
+    * CostSelection bypasses all three (labeling stays exhaustive).
+    * Trained r15 (`tools/run_main.sh graft.tools.GateTrainer`, part 4): 144
+    * bytes-corpus chunks, 171 encode invocations traced at every recursion
+    * level (DICT alphabets front-code — top-level winner bounds alone would
+    * drift); with these thresholds the corpus re-encodes BYTE-IDENTICAL
+    * while skipping 96 prefix scans, 126 dict hash passes, 40 FSST
+    * trainings and 100 trivial memcpys. */
+  @volatile private[format] var PrefixSharedMin: Double = 0.2176
+  @volatile private[format] var DictDistinctMax: Double = 0.9531
+  @volatile private[format] var FsstGram4Max: Double = 0.9949
+  def setBytesGateThresholds(prefixMin: Double, dictMax: Double, gram4Max: Double): Unit = {
+    PrefixSharedMin = prefixMin; DictDistinctMax = dictMax; FsstGram4Max = gram4Max
+  }
+  def bytesGateThresholds: (Double, Double, Double) = (PrefixSharedMin, DictDistinctMax, FsstGram4Max)
+  /** Candidate build passes skipped by the bytes pre-filter (observability
+    * + spec contract that the gates really fire). */
+  val bytesPrefixSkips = new java.util.concurrent.atomic.AtomicLong()
+  val bytesDictSkips = new java.util.concurrent.atomic.AtomicLong()
+  val bytesFsstSkips = new java.util.concurrent.atomic.AtomicLong()
+  val bytesTrivialSkips = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Part-4 labeling trace: (winner id, sampled prefix/distinct/gram4
+    * features) per [[encodeBytes]] invocation at EVERY recursion level —
+    * the gates fire inside sub-encodes too (a DICT alphabet may front-code),
+    * so winner bounds derived from top-level invocations alone would skip a
+    * sub-level winner and drift. */
+  private val bytesTraceTL =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[(Byte, Double, Double, Double)]]()
+  def withBytesTrace[T](f: => T): (T, Seq[(Byte, Double, Double, Double)]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Byte, Double, Double, Double)]()
+    bytesTraceTL.set(buf)
+    try { val r = f; (r, buf.toSeq) } finally bytesTraceTL.remove()
+  }
+
+  /** Sampled consecutive-pair shared-prefix fraction over <= 256 strided
+    * pairs: estimates the full scan's `shared / totalBytes` gate input. */
+  private[graft] def sampledPrefixShared(col: BytesCol): Double = {
+    val n = col.len
+    if (n < 2) return 0.0
+    val pairs = math.min(n - 1, 256)
+    val step = math.max(1, (n - 1) / pairs)
+    var shared = 0L
+    var secondBytes = 0L
+    var j = 0
+    while (j < n - 1) {
+      val aOff = col.offsets(j); val aLen = col.offsets(j + 1) - aOff
+      val bOff = col.offsets(j + 1); val bLen = col.offsets(j + 2) - bOff
+      var k = 0
+      val m = math.min(aLen, bLen)
+      while (k < m && col.bytes(aOff + k) == col.bytes(bOff + k)) k += 1
+      shared += k
+      secondBytes += bLen
+      j += step
+    }
+    if (secondBytes == 0) 0.0 else shared.toDouble / secondBytes
+  }
+
+  /** Sampled strided distinct fraction over <= 256 strings (keys truncated
+    * at 64 bytes — truncation can only UNDER-count distinct, which keeps the
+    * dict pass rather than skipping it: the safe direction). */
+  private[graft] def sampledDistinctFraction(col: BytesCol): Double = {
+    val n = col.len
+    val k = math.min(n, 256)
+    val step = math.max(1, n / k)
+    val seen = new java.util.HashSet[String](k * 2)
+    var sampled = 0
+    var i = 0
+    while (i < n) {
+      val off = col.offsets(i)
+      val len = math.min(col.offsets(i + 1) - off, 64)
+      seen.add(new String(col.bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1))
+      sampled += 1
+      i += step
+    }
+    if (sampled == 0) 1.0 else seen.size.toDouble / sampled
+  }
+
+  /** Sampled distinct-4-gram fraction over the first <= 2048 payload bytes:
+    * FSST compresses exactly repeated substrings, so a near-1.0 fraction
+    * (every 4-gram unique) predicts a table that cannot pay. */
+  private[graft] def sampledGram4Fraction(col: BytesCol): Double = {
+    val off = col.offsets(0)
+    val len = math.min(col.offsets(col.len) - off, 2048)
+    if (len < 8) return 1.0
+    val seen = new java.util.HashSet[Integer](len * 2)
+    var i = 0
+    while (i + 4 <= len) {
+      val g = ((col.bytes(off + i) & 0xff) << 24) | ((col.bytes(off + i + 1) & 0xff) << 16) |
+        ((col.bytes(off + i + 2) & 0xff) << 8) | (col.bytes(off + i + 3) & 0xff)
+      seen.add(g)
+      i += 1
+    }
+    seen.size.toDouble / (len - 3)
+  }
+
   private[format] def trainedEstimationMask(runFr: Double, uniqueFr: Double,
       widthFr: Double, deltaFr: Double, pforRatio: Double, blockRatio: Double,
       subintRatio: Double): Int = {
@@ -2619,13 +2727,23 @@ object Codecs {
     }
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     // Trivial: lengths sub-stream + raw bytes (same payload builder as the
-    // policy gate — the layouts are provably identical)
+    // policy gate — the layouts are provably identical). Built LAST (below):
+    // its emitBest cost has an exact floor, so a cheaper candidate skips the
+    // whole-payload memcpy.
     def buildTrivial(): Unit = candidates += ((TRIVIAL, trivialBytesPayload(col, depth)))
-    if (want(TRIVIAL)) buildTrivial()
+    // bytes candidate pre-filter (GateTrainer part 4): bounded sampled
+    // features gate the expensive full build passes; a locked layout and
+    // the labeling policy (CostSelection) bypass the gates
+    val gated = (polB ne CostSelection) && lockedId < 0
     // Prefix (front coding): share a prefix with the previous value —
     // effective on sorted / shared-prefix strings (reference:
     // dwio/nimble/encodings/PrefixEncoding.h:64)
-    if (n > 1 && (want(PREFIX) || want(PREFIXR))) {
+    val prefixGateOk = !gated || n < 2 || {
+      val ok = sampledPrefixShared(col) >= PrefixSharedMin
+      if (!ok) bytesPrefixSkips.incrementAndGet()
+      ok
+    }
+    if (n > 1 && prefixGateOk && (want(PREFIX) || want(PREFIXR))) {
       val ps = new ByteSink()
       var i2 = 1
       var shared = 0L
@@ -2675,7 +2793,12 @@ object Codecs {
       }
     }
     // Dictionary for low-cardinality strings
-    if (depth < MaxDepth && want(DICT)) {
+    val dictGateOk = !gated || {
+      val ok = sampledDistinctFraction(col) <= DictDistinctMax
+      if (!ok) bytesDictSkips.incrementAndGet()
+      ok
+    }
+    if (depth < MaxDepth && dictGateOk && want(DICT)) {
       val index = new mutable.HashMap[String, Int]() // key: latin-1 view of bytes (lossless for bytes)
       val order = mutable.ArrayBuffer[(Int, Int)]() // (offset, len) of first occurrence
       val indices = new Array[Long](n)
@@ -2710,7 +2833,12 @@ object Codecs {
     // while compressing repeated substrings (reference:
     // dwio/nimble/encodings/FsstEncoding.h:79; Boncz/Neumann/Leis FSST paper).
     // Trained on a sample; only fully encoded when the sample compresses.
-    if (depth < MaxDepth && want(FSST)) {
+    val fsstGateOk = !gated || {
+      val ok = sampledGram4Fraction(col) <= FsstGram4Max
+      if (!ok) bytesFsstSkips.incrementAndGet()
+      ok
+    }
+    if (depth < MaxDepth && fsstGateOk && want(FSST)) {
       val totalBytes = col.offsets(n) - col.offsets(0)
       // short strings are dictionary territory — multi-byte symbols can't
       // pay for the table, and skipping the training keeps writes fast
@@ -2737,6 +2865,21 @@ object Codecs {
         }
       }
     }
+    // Trivial last, with an EXACT skip (policy-independent, provably
+    // drift-free): its payload is >= total + 2 bytes (lengths block >= 1 +
+    // varint(total) >= 1 + the raw bytes), so its emitBest cost is >=
+    // 0.7 * (total + 2). A candidate already under that floor makes the
+    // whole-payload memcpy pointless — Trivial could never win.
+    if (want(TRIVIAL)) {
+      val total = col.offsets(n) - col.offsets(0)
+      var minOther = Double.MaxValue
+      for ((id, payload) <- candidates) {
+        val c = payload.length * readFactor(id)
+        if (c < minOther) minOther = c
+      }
+      if (candidates.isEmpty || minOther >= 0.7 * (total + 2.0)) buildTrivial()
+      else bytesTrivialSkips.incrementAndGet()
+    }
     // locked candidate gated out this chunk (e.g. PREFIX stopped paying):
     // fall back to Trivial rather than fail — and record the outcome as a
     // FULL observation so the stale lock re-trains instead of pinning the
@@ -2744,6 +2887,10 @@ object Codecs {
     val lockedSatisfied = lockedId >= 0 && candidates.exists(_._1 == lockedId)
     if (candidates.isEmpty) buildTrivial()
     val winner = emitBest(candidates, PhysType.Bytes, n, sink)
+    val bt = bytesTraceTL.get()
+    if (bt != null)
+      bt += ((winner, sampledPrefixShared(col), sampledDistinctFraction(col),
+        sampledGram4Fraction(col)))
     if (replay != null) replay.observe(winner, full = !lockedSatisfied)
   }
 

@@ -280,7 +280,14 @@ object Dedup {
       // both materializes the new round's cache and detects the fixpoint —
       // `prev` rides along precisely so this check is a narrow filter over
       // the cache, not another shuffle join against the old labels.
-      val cut = docs.sparkSession.createDataFrame(next.rdd, next.schema).persist()
+      // r15: cut at the InternalRow level (public on the classic session in
+      // Spark 4) — `next.rdd` would bounce every row through the Row encoder
+      // both ways, a per-round 2x row-conversion tax pointer jumping never
+      // needs; the columnar cache build copies rows, so UnsafeRow reuse in
+      // the underlying scan stays safe
+      val cut = org.apache.spark.sql.GraftShims
+        .internalCreateDataFrame(docs.sparkSession, next.queryExecution.toRdd, next.schema)
+        .persist()
       changed = cut.filter(col("lbl") < col("prev")).count() // materializes `cut`
       labelsCache.unpersist() // safe: cut is materialized, no recompute through it
       labelsCache = cut

@@ -117,6 +117,7 @@ object GateTrainer {
     Codecs.setSelectionPolicy(Codecs.CostSelection)
     trainEstimationFilter()
     trainTop1Ranking()
+    trainBytesGates()
     Codecs.setSelectionPolicy(Codecs.CostSelection)
     val ex = corpus()
     val pos = ex.filter(_.skipSafe)
@@ -221,6 +222,131 @@ object GateTrainer {
       if (s.size != fullSizes(name)) { drift += 1; println(s"  SIZE DRIFT: $name ${fullSizes(name)} -> ${s.size}") }
     }
     println(s"size drift on corpus with filter installed: $drift chunks")
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+  }
+
+  /** Bytes-chunk corpus for part 4 (the string-candidate pre-filter):
+    * families spanning every bytes-codec winner — front-codable sorted
+    * keys, low-cardinality enums, FSST-territory text/URLs/repetitive
+    * blobs, and the incompressible shapes (random binary, UUIDs, random
+    * base64) whose candidate passes the gates should skip. */
+  def rawBytesPatterns(): Seq[(String, Array[String])] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Array[String])]()
+    for (seed <- Seq(1, 7, 42); n <- Seq(512, 2048, 8192)) {
+      val rnd = new scala.util.Random(seed)
+      def add(name: String, values: Array[String]): Unit =
+        out += ((s"$name/n=$n/s=$seed", values))
+      def randChars(len: Int, alpha: String): String = {
+        val sb = new java.lang.StringBuilder(len)
+        var i = 0
+        while (i < len) { sb.append(alpha.charAt(rnd.nextInt(alpha.length))); i += 1 }
+        sb.toString
+      }
+      val alnum = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+      val b64 = alnum + "+/"
+      add("randomBinary", Array.fill(n)(new String(
+        Array.fill[Byte](16 + rnd.nextInt(32))(rnd.nextInt(256).toByte),
+        java.nio.charset.StandardCharsets.ISO_8859_1)))
+      add("uuids", Array.fill(n)(new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString))
+      add("randomAlnum", Array.fill(n)(randChars(8 + rnd.nextInt(24), alnum)))
+      add("randomB64", Array.fill(n)(randChars(24 + rnd.nextInt(24), b64)))
+      add("hexes", Array.fill(n)(java.lang.Long.toHexString(rnd.nextLong()) +
+        java.lang.Long.toHexString(rnd.nextLong())))
+      add("sortedKeys", Array.tabulate(n)(i => f"tenant/shard-007/object-$i%09d"))
+      add("sortedPaths", Array.tabulate(n)(i =>
+        f"/data/warehouse/2026/08/part-${i / 100}%05d/file-$i%07d.nim"))
+      add("enum16", { val a = Array.tabulate(16)(i => s"STATE_${i}_${randChars(6, alnum)}")
+        Array.fill(n)(a(rnd.nextInt(16))) })
+      add("enum1k", { val a = Array.tabulate(1024)(i => s"city-$i-${randChars(8, alnum)}")
+        Array.fill(n)(a(rnd.nextInt(1024))) })
+      add("zipfWords", { val a = Array.tabulate(256)(i => s"w${i}${randChars(4, alnum)}")
+        Array.fill(n) { val r = rnd.nextDouble()
+          a(if (r < 0.5) 0 else if (r < 0.75) 1 else if (r < 0.875) 2 else rnd.nextInt(256)) } })
+      val words = Array("data", "pipeline", "shard", "tenant", "object", "stripe",
+        "column", "stream", "chunk", "filter", "index", "lookup")
+      add("urls", Array.tabulate(n)(i =>
+        s"https://svc.example.com/${words(rnd.nextInt(12))}/${words(rnd.nextInt(12))}?id=$i&r=${rnd.nextInt(1000)}"))
+      add("jsonish", Array.tabulate(n)(i =>
+        s"""{"id":$i,"kind":"${words(rnd.nextInt(12))}","score":${rnd.nextInt(1000)},"ok":${rnd.nextBoolean()}}"""))
+      add("sentences", Array.fill(n)(
+        (0 until 4 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(12))).mkString(" ")))
+      add("numbersAsStrings", Array.tabulate(n)(i => (i.toLong * 977 % 1000000).toString))
+      add("shortMixed", Array.fill(n)(randChars(rnd.nextInt(4), alnum)))
+      // repetitive base64: a base64-ish body with heavy substring repeats —
+      // unigram entropy looks random but FSST pays (the feature that kills
+      // a naive entropy gate)
+      add("repetitiveB64", { val blocks = Array.fill(8)(randChars(16, b64))
+        Array.fill(n)((0 until 3).map(_ => blocks(rnd.nextInt(8))).mkString) })
+    }
+    out.toSeq
+  }
+
+  /** Part 4 — the bytes-candidate pre-filter (r15): label every bytes-corpus
+    * chunk by the exhaustive search's WINNER (gates off, CostSelection),
+    * record the three sampled features, and derive thresholds such that no
+    * gate ever skips a chunk's winning candidate — skipping a non-winner
+    * provably never changes output bytes, so margin-pinned winner bounds
+    * give corpus-wide zero drift by construction (verified below anyway). */
+  def trainBytesGates(): Unit = {
+    val saved = Codecs.bytesGateThresholds
+    Codecs.setSelectionPolicy(Codecs.CostSelection)
+    Codecs.setBytesGateThresholds(0.0, 1.0, 1.0) // gates off
+    def bytesCol(vs: Array[String]): BytesCol = {
+      val sink = new ByteSink()
+      val offs = new Array[Int](vs.length + 1)
+      var i = 0
+      while (i < vs.length) {
+        sink.writeBytes(vs(i).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        offs(i + 1) = sink.size
+        i += 1
+      }
+      BytesCol(offs, sink.toArray)
+    }
+    val shapes = rawBytesPatterns().map { case (name, vs) => (name, bytesCol(vs)) }
+    // label with a per-invocation trace: the gates fire inside sub-encodes
+    // too (DICT alphabets front-code), so winner bounds must cover every
+    // recursion level, not just the chunk's top-level winner
+    val traced = scala.collection.mutable.ArrayBuffer[(Byte, Double, Double, Double)]()
+    val rows = shapes.map { case (name, col) =>
+      val (s, tr) = Codecs.withBytesTrace {
+        val s = new ByteSink(); Codecs.encodeColumn(col, s); s
+      }
+      traced ++= tr
+      (name, s.size)
+    }
+    def isPrefix(id: Byte) = id == Codecs.PREFIX || id == Codecs.PREFIXR
+    val prefixWinners = traced.filter(t => isPrefix(t._1)).map(_._2).toSeq
+    val dictWinners = traced.filter(_._1 == Codecs.DICT).map(_._3).toSeq
+    val fsstWinners = traced.filter(_._1 == Codecs.FSST).map(_._4).toSeq
+    println(s"bytes gates: ${rows.size} chunks, ${traced.size} encode invocations; winners: " +
+      traced.groupBy(_._1).map { case (id, rs) => s"$id:${rs.size}" }.mkString(" "))
+    // skip-when-below: threshold halfway between 0 and the worst winner;
+    // skip-when-above: halfway between the worst winner and 1.0; a family
+    // with no corpus winners pins to never-skip-able extremes conservatively
+    val prefixMin = if (prefixWinners.isEmpty) 0.0 else prefixWinners.min / 2.0
+    val dictMax = if (dictWinners.isEmpty) 1.0
+      else dictWinners.max + (1.0 - dictWinners.max) / 2.0
+    val gram4Max = if (fsstWinners.isEmpty) 1.0
+      else fsstWinners.max + (1.0 - fsstWinners.max) / 2.0
+    println(f"  prefix winners: ${prefixWinners.size} (min sampled shared=${prefixWinners.minOption.getOrElse(0.0)}%.4f) -> PrefixSharedMin=$prefixMin%.4f")
+    println(f"  dict winners:   ${dictWinners.size} (max sampled distinct=${dictWinners.maxOption.getOrElse(0.0)}%.4f) -> DictDistinctMax=$dictMax%.4f")
+    println(f"  fsst winners:   ${fsstWinners.size} (max sampled gram4=${fsstWinners.maxOption.getOrElse(0.0)}%.4f) -> FsstGram4Max=$gram4Max%.4f")
+    // verify: gates on (production policy), every chunk encodes to EXACTLY
+    // the exhaustive size; count the skipped passes
+    Codecs.setBytesGateThresholds(prefixMin, dictMax, gram4Max)
+    Codecs.setSelectionPolicy(null) // TrainedSelection
+    val sk0 = (Codecs.bytesPrefixSkips.get(), Codecs.bytesDictSkips.get(),
+      Codecs.bytesFsstSkips.get(), Codecs.bytesTrivialSkips.get())
+    var drift = 0
+    for (((name, col), (_, fullSize)) <- shapes.zip(rows)) {
+      val s = new ByteSink(); Codecs.encodeColumn(col, s)
+      if (s.size != fullSize) { drift += 1; println(s"  SIZE DRIFT: $name $fullSize -> ${s.size}") }
+    }
+    println(s"size drift on bytes corpus with gates installed: $drift chunks; skips " +
+      s"prefix=${Codecs.bytesPrefixSkips.get() - sk0._1} dict=${Codecs.bytesDictSkips.get() - sk0._2} " +
+      s"fsst=${Codecs.bytesFsstSkips.get() - sk0._3} trivial=${Codecs.bytesTrivialSkips.get() - sk0._4}")
+    println(f"  paste into Codecs: PrefixSharedMin=$prefixMin%.4f DictDistinctMax=$dictMax%.4f FsstGram4Max=$gram4Max%.4f")
+    Codecs.setBytesGateThresholds(saved._1, saved._2, saved._3)
     Codecs.setSelectionPolicy(Codecs.CostSelection)
   }
 

@@ -968,6 +968,45 @@ class CodecsSpec extends AnyFunSuite {
     } finally Codecs.setTop1PairTable(saved)
   }
 
+  test("trained bytes gates: zero size drift on the bytes corpus, real skipped passes") {
+    // contract of the shipped part-4 thresholds (GateTrainer.trainBytesGates):
+    // the sampled pre-filters may only skip candidate BUILD passes whose
+    // candidate would not have won emitBest — every bytes-corpus chunk must
+    // encode BYTE-IDENTICAL under the production policy (gates + estimation
+    // mask) vs the exhaustive CostSelection search, while the skip counters
+    // prove the expensive passes (prefix scan, dict hash pass, FSST training,
+    // trivial memcpy) were really avoided.
+    def bytesColOf(vs: Array[String]): BytesCol = {
+      val sink = new ByteSink()
+      val offs = new Array[Int](vs.length + 1)
+      var i = 0
+      while (i < vs.length) {
+        sink.writeBytes(vs(i).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        offs(i + 1) = sink.size
+        i += 1
+      }
+      BytesCol(offs, sink.toArray)
+    }
+    val shapes = graft.tools.GateTrainer.rawBytesPatterns().map {
+      case (name, vs) => (name, bytesColOf(vs))
+    }
+    val sk0 = Codecs.bytesPrefixSkips.get() + Codecs.bytesDictSkips.get() +
+      Codecs.bytesFsstSkips.get() + Codecs.bytesTrivialSkips.get()
+    var drift = 0
+    for ((name, col) <- shapes) {
+      Codecs.setSelectionPolicy(Codecs.CostSelection)
+      val full = new ByteSink(); Codecs.encodeColumn(col, full)
+      Codecs.setSelectionPolicy(null) // TrainedSelection, gates on
+      val gatedS = new ByteSink(); Codecs.encodeColumn(col, gatedS)
+      Codecs.setSelectionPolicy(Codecs.CostSelection)
+      if (full.size != gatedS.size) { drift += 1; info(s"drift on $name: ${full.size} -> ${gatedS.size}") }
+    }
+    assert(drift == 0, s"bytes gates changed encoded size on $drift corpus chunks")
+    assert(Codecs.bytesPrefixSkips.get() + Codecs.bytesDictSkips.get() +
+      Codecs.bytesFsstSkips.get() + Codecs.bytesTrivialSkips.get() > sk0,
+      "bytes gates never skipped a candidate pass across the whole corpus")
+  }
+
   test("trained estimation filter: zero size drift, real skips, measured win") {
     // contract of the DEFAULT policy (TrainedSelection): candidate families
     // whose O(n) estimation pass the trained thresholds skip (PFOR bit
