@@ -425,6 +425,15 @@ object Lookup {
     def nextRange(from: Int, until: Int): (Column, Int) =
       if (nanos == null) main.nextRange(from, until)
       else (next(), 0)
+
+    /** Positional decode of EXACTLY `pos` (strictly increasing) — r15: an
+      * indexed lookup materializes only the verified hit rows instead of a
+      * [min, max] window that decodes the whole chunk under most codecs
+      * (strings included, via the bytes point readers). Declines (null,
+      * chunk untouched) when the codec admits no positional decode or the
+      * column is timestamp-split — caller falls back to [[nextRange]]. */
+    def nextAt(pos: Array[Int]): Column =
+      if (nanos == null) main.nextAtOrNull(pos) else null
   }
 
   private def colCursor(reader: Tablet.Reader, s: Int, keyIdx: Map[String, Int],
@@ -476,9 +485,22 @@ object Lookup {
     while (keyCur.hasNext && remaining > 0) {
       byChunk.get(ord) match {
         case Some(rows) =>
-          val (keyCol, start) = keyCur.nextRange(rows.min, rows.max + 1)
-          m.rowsDecoded += keyCol.len
-          val ok = rows.filter(r => rowMatches(keyCol, r - start, value)).toSeq
+          // r15: verify at the candidate POSITIONS when the codec seeks —
+          // the range decode materialized [min, max] (the whole chunk for
+          // most codecs) to test a handful of hash candidates
+          val pos = rows.distinct.sorted.toArray
+          val fast = keyCur.nextAtOrNull(pos)
+          val ok =
+            if (fast != null) {
+              m.rowsDecoded += fast.len
+              pos.toIndexedSeq.zipWithIndex.collect {
+                case (r, j) if rowMatches(fast, j, value) => r
+              }
+            } else {
+              val (keyCol, start) = keyCur.nextRange(rows.min, rows.max + 1)
+              m.rowsDecoded += keyCol.len
+              rows.filter(r => rowMatches(keyCol, r - start, value)).toSeq
+            }
           if (ok.nonEmpty) verified(ord) = ok
           remaining -= 1
         case None => keyCur.skip()
@@ -511,9 +533,22 @@ object Lookup {
       while (cur.hasNext && left > 0) {
         verified.get(ord) match {
           case Some(rows) =>
-            val (c, start) = cur.nextRange(rows.min, rows.max + 1)
-            m.rowsDecoded += c.len
-            for (r <- rows) rowsOut((ord, r))(name) = valueAt(c, r - start)
+            // r15: materialize the verified rows POSITIONALLY when the
+            // codec seeks (strings included); range-window otherwise
+            val pos = rows.distinct.sorted.toArray
+            val fast = cur.nextAt(pos)
+            if (fast != null) {
+              m.rowsDecoded += fast.len
+              var j = 0
+              while (j < pos.length) {
+                rowsOut((ord, pos(j)))(name) = valueAt(fast, j)
+                j += 1
+              }
+            } else {
+              val (c, start) = cur.nextRange(rows.min, rows.max + 1)
+              m.rowsDecoded += c.len
+              for (r <- rows) rowsOut((ord, r))(name) = valueAt(c, r - start)
+            }
             left -= 1
           case None => cur.skip()
         }

@@ -84,6 +84,12 @@ class SerializerSpec extends SparkTestBase {
     // candidate chunks only; a full scan decodes every chunk of every column)
     assert(m.rowsDecoded < m.stripeRows,
       s"rowsDecoded=${m.rowsDecoded} should be well under stripeRows=${m.stripeRows}")
+    // r15: verification + sibling materialization decode the hit POSITIONS
+    // when the codec seeks (strings included) — pre-r15 every hit chunk
+    // range-decoded up to rowsPerChunk (64) rows PER COLUMN (~576 here);
+    // codecs that decline point reads may still add a bounded window each
+    assert(m.rowsDecoded < 200,
+      s"rowsDecoded=${m.rowsDecoded}: positional materialization regressed to range windows")
     val (_, mScan) = graft.format.Lookup.pointLookupMetered(dir, "o_custkey", 42L)
     assert(mScan.indexProbes == 0, "non-indexed column takes the scan path")
     assert(m.rowsDecoded < mScan.rowsDecoded / 2,
