@@ -165,6 +165,25 @@ object Bench {
         spark.read.format("nimble").load(scaleIdxDir)
           .filter(col("skey") === probeSkey).count()
       }
+      // r15: the sparse-fetch IO story in the artifact — candidate chunks'
+      // byte ranges only, vs the whole-stream fetch an unprunable filter
+      // pays on the same table (equality can't stats/index-prune for !=)
+      locally {
+        def fetchDelta(body: => Unit): Double = {
+          val f0 = graft.spark.NimbleSource.streamBytesFetched.get()
+          body
+          (graft.spark.NimbleSource.streamBytesFetched.get() - f0).toDouble
+        }
+        val probeBytes = fetchDelta {
+          spark.read.format("nimble").load(scaleIdxDir)
+            .filter(col("skey") === probeSkey).count()
+        }
+        val scanBytes = fetchDelta {
+          spark.read.format("nimble").load(scaleIdxDir)
+            .filter(col("skey") =!= probeSkey).count()
+        }
+        results("scale_probe_fetch_frac") = probeBytes / math.max(1.0, scanBytes)
+      }
       timed("scale_probe_scan") {
         spark.read.format("nimble").load(scaleNoDir)
           .filter(col("skey") === probeSkey).count()
