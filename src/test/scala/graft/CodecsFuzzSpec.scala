@@ -164,6 +164,93 @@ class CodecsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("point-read parity under fuzz: positional decode == bulk decode at random positions") {
+    // whenever decodeValuesAt accepts a payload (any codec the generators
+    // trigger, any null pattern), its values must agree with the bulk
+    // decoder at every selected position — the r15 string point readers
+    // (Trivial/Dict/Fsst/PrefixR, nullable-wrapped) ride the same contract
+    // as the longs battery
+    def randPositions(r: scala.util.Random, n: Int): Array[Int] = {
+      val k = 1 + r.nextInt(math.min(n, 64))
+      val set = scala.collection.mutable.SortedSet[Int]()
+      while (set.size < k) set += r.nextInt(n)
+      set.toArray
+    }
+    var longsSeeks = 0
+    var stringSeeks = 0
+    for (trial <- 0 until 60) {
+      val r = new scala.util.Random(7000 + trial)
+      // longs arm
+      locally {
+        val values = genLongs(r)
+        if (values.nonEmpty) {
+          val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+          val nulls = if (nullFrac == 0.0) null else values.map(_ => r.nextDouble() < nullFrac)
+          val sink = new ByteSink()
+          Codecs.encodeColumn(LongsCol(values, PhysType.I64, nulls), sink)
+          val enc = sink.toArray
+          val bulk = Codecs.decodeColumn(new ByteCursor(enc)).asInstanceOf[LongsCol]
+          val pos = randPositions(r, values.length)
+          Codecs.decodeValuesAt(new ByteCursor(enc), pos) match {
+            case lc: LongsCol =>
+              longsSeeks += 1
+              var j = 0
+              while (j < pos.length) {
+                val p = pos(j)
+                val isNull = bulk.nulls != null && bulk.nulls(p)
+                if (isNull) assert(lc.nulls != null && lc.nulls(j), s"trial $trial pos $p null lost")
+                else {
+                  assert(lc.nulls == null || !lc.nulls(j), s"trial $trial pos $p spurious null")
+                  assert(lc.values(j) == bulk.values(p), s"trial $trial pos $p value")
+                }
+                j += 1
+              }
+            case null => () // codec declines: bulk-decode+gather covers it elsewhere
+            case other => fail(s"unexpected column ${other.getClass.getSimpleName}")
+          }
+        }
+      }
+      // strings arm
+      locally {
+        val values = genStrings(r)
+        if (values.nonEmpty) {
+          val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+          val nulls = if (nullFrac == 0.0) null else values.map(_ => r.nextDouble() < nullFrac)
+          val bb = new ByteSink()
+          val offs = new Array[Int](values.length + 1)
+          var i = 0
+          while (i < values.length) { bb.writeBytes(values(i).getBytes("UTF-8")); offs(i + 1) = bb.size; i += 1 }
+          val sink = new ByteSink()
+          Codecs.encodeColumn(BytesCol(offs, bb.toArray, nulls), sink)
+          val enc = sink.toArray
+          val bulk = Codecs.decodeColumn(new ByteCursor(enc)).asInstanceOf[BytesCol]
+          val pos = randPositions(r, values.length)
+          Codecs.decodeValuesAt(new ByteCursor(enc), pos) match {
+            case bc: BytesCol =>
+              stringSeeks += 1
+              var j = 0
+              while (j < pos.length) {
+                val p = pos(j)
+                val isNull = bulk.nulls != null && bulk.nulls(p)
+                if (isNull) assert(bc.nulls != null && bc.nulls(j), s"trial $trial pos $p null lost")
+                else {
+                  assert(bc.nulls == null || !bc.nulls(j), s"trial $trial pos $p spurious null")
+                  val got = new String(bc.bytes, bc.offsets(j), bc.offsets(j + 1) - bc.offsets(j), "UTF-8")
+                  assert(got == values(p), s"trial $trial pos $p string")
+                }
+                j += 1
+              }
+            case null => ()
+            case other => fail(s"unexpected column ${other.getClass.getSimpleName}")
+          }
+        }
+      }
+    }
+    // the fast paths must actually engage across the fuzz (not decline always)
+    assert(longsSeeks > 20, s"longs point reads engaged only $longsSeeks/60 trials")
+    assert(stringSeeks > 20, s"string point reads engaged only $stringSeeks/60 trials")
+  }
+
   test("serializer fuzz: random scalar rows round-trip") {
     import org.apache.spark.sql.types._
     for (trial <- 0 until 15) {
