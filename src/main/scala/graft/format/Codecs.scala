@@ -1419,34 +1419,37 @@ object Codecs {
     * min-support 20 searches, margin pinned midway below each pair's first
     * observed flip. */
   /** Trained r15 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
-    * 1148 two-candidate searches over corpus + bench-grid + the r15 ranking
+    * 1132 two-candidate searches over corpus + bench-grid + the r15 ranking
     * extension (fresh seeds/sizes tripling rare-pair support; min support
-    * 12); these 21 pairs never flipped below their margin — installing them
-    * leaves encoded sizes BYTE-IDENTICAL on every trainer shape while
-    * single-encodes rise 267 -> 768 of 1148 (production set: remaining
-    * double-encode searches 262 -> 127; each skipped runner-up also skips
-    * its recursive sub-stream searches, compounding the saving). The
-    * genuinely flippy pairs — VARINT/FOR (50 flips to 0.66), SUBINT/TRIVIAL
-    * (flips to 0.32), HUFFMAN/DICT — keep the conservative global default:
-    * widening them WOULD change bytes. */
+    * 12), AFTER the FOR/SIMDFOR estimates became exact (their flat +10
+    * header constant was pessimistic on small streams and caused ~80% of
+    * all top-1 flips — every VARINT/FOR flip sat at n <= 1024). These 21
+    * pairs never flipped below their margin — installing them leaves
+    * encoded sizes BYTE-IDENTICAL on every trainer shape while
+    * single-encodes rise 273 -> 806 of 1132 (production set: remaining
+    * double-encode searches 262 -> 97 across r15; each skipped runner-up
+    * also skips its recursive sub-stream searches, compounding). The
+    * genuinely flippy pairs — SUBINT/TRIVIAL (flips to 0.32), HUFFMAN/DICT
+    * (0.56) — keep the conservative global default: widening them WOULD
+    * change bytes. */
   private[format] val DefaultTop1PairMax: Map[Int, Double] = Map(
     pairKey(TRIVIAL, VARINT) -> 0.8750,
-    pairKey(TRIVIAL, SIMDFOR) -> 0.9705,
-    pairKey(TRIVIAL, FOR) -> 0.9484,
+    pairKey(TRIVIAL, SIMDFOR) -> 0.9706,
+    pairKey(TRIVIAL, FOR) -> 0.9629,
     pairKey(TRIVIAL, HUFFMAN) -> 0.9717,
     pairKey(TRIVIAL, DELTABLOCK) -> 0.9210,
     pairKey(RLE, SIMDFOR) -> 0.8750,
     pairKey(DICT, TRIVIAL) -> 0.8750,
     pairKey(DICT, FREQPART) -> 0.9793,
-    pairKey(VARINT, DELTA) -> 0.7750,
+    pairKey(VARINT, FOR) -> 0.9800, // exact-vs-exact estimates: flip-free
     pairKey(DELTA, SIMDFOR) -> 0.9800,
-    pairKey(DELTA, FOR) -> 0.9450,
+    pairKey(DELTA, FOR) -> 0.9800,
     pairKey(MAINLYCONST, HUFFMAN) -> 0.9730,
     pairKey(PFOR, VARINT) -> 0.9016,
     pairKey(SIMDFOR, TRIVIAL) -> 0.9800,
-    pairKey(SIMDFOR, FOR) -> 0.9256, // payload arithmetic byte-identical
+    pairKey(SIMDFOR, FOR) -> 0.9250, // payload arithmetic byte-identical
     pairKey(FOR, VARINT) -> 0.9800,
-    pairKey(FOR, DELTA) -> 0.9420,
+    pairKey(FOR, DELTA) -> 0.8892,
     pairKey(HUFFMAN, PFOR) -> 0.7522,
     pairKey(HUFFMAN, SIMDFOR) -> 0.9800,
     pairKey(DELTABLOCK, TRIVIAL) -> 0.9800,
@@ -1893,9 +1896,18 @@ object Codecs {
     val width = PhysType.byteWidth(phys)
     val plans = mutable.ArrayBuffer[(Byte, Double, ByteSink => Unit)]()
     plans += ((TRIVIAL, (n.toLong * width).toDouble, s => trivialLongs(values, phys, s)))
+    // exact zigzag-varint length of one value (the FOR/SIMDFOR baseline
+    // header): a flat constant here made the FOR estimate pessimistic on
+    // small streams, ranking VARINT first on shapes FOR actually won — the
+    // source of ~80% of the trainer's top-1 flips (all at n<=1024)
+    def zzLen(v: Long): Double = {
+      val zz = (v << 1) ^ (v >> 63)
+      (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7).toDouble
+    }
     if (!st.rangeOverflow) {
       val w = bitsFor(st.max - st.min)
-      if (w < width * 8) plans += ((FOR, 10.0 + n.toLong * w / 8.0, { s =>
+      // exact payload: baseline zigzag + width byte + packed bits
+      if (w < width * 8) plans += ((FOR, zzLen(st.min) + 1 + (n.toLong * w + 7) / 8, { s =>
         s.writeZigZag(st.min); s.writeByte(w)
         packBits(values, st.min, w, s)
       }))
@@ -1908,7 +1920,8 @@ object Codecs {
     if (!st.rangeOverflow && n >= 512) {
       val w = bitsFor(st.max - st.min)
       if (w > 0 && w < width * 8)
-        plans += ((SIMDFOR, 10.0 + SimdBitpack.packedBytes(n, w), { s =>
+        // exact payload: baseline zigzag + width byte + lane blocks
+        plans += ((SIMDFOR, zzLen(st.min) + 1 + SimdBitpack.packedBytes(n, w), { s =>
           SimdBitpack.encode(values, st.min, w, s)
         }))
     }
