@@ -58,7 +58,7 @@ object NimbleDump {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
       System.err.println("usage: NimbleDump <info|schema|stripes|streams|ndv|encoding|encodingtree|" +
-        "histogram|index|chunkstats|layout|content|verify> <file> [top] [stripe=N]")
+        "histogram|index|chunkstats|chunkdir|layout|content|verify> <file> [top] [stripe=N]")
       sys.exit(2)
     }
     for (f <- files(path)) {
@@ -179,6 +179,35 @@ object NimbleDump {
               ft.stripes.indices.exists(s => r.streamBloom(s, i).isDefined) => k
           }
           println(s"  bloomColumns=${if (bloomCols.isEmpty) "(none)" else bloomCols.mkString(",")}")
+        case "chunkdir" =>
+          // v13/v14 chunk DIRECTORY of one stream (arg 3) or the first:
+          // frame byte offsets, row counts and the v14 per-chunk min/max —
+          // everything the sparse fetch prunes on, read from the FOOTER
+          // alone (no stream bytes fetched; contrast `chunkstats`, which
+          // walks the frames)
+          val wantDir = args.lift(2)
+          for ((k, i) <- ft.streamKeys.zipWithIndex if !isRawIndexStream(k)
+               if wantDir.forall(_ == k) || (wantDir.isEmpty && i == 0)) {
+            println(s"  stream $k")
+            for (s <- ft.stripes.indices) {
+              val dir = r.chunkDirOf(s, i)
+              if (dir == null) println(f"    stripe $s%3d (no directory — pre-v13 or capped)")
+              else for ((cl, c) <- dir.zipWithIndex) {
+                val mm = Option(cl.stats) match {
+                  case Some(st) if st.hasMinMax => st.kind match {
+                    case PhysType.F32 | PhysType.F64 => s"min=${st.minDouble} max=${st.maxDouble}"
+                    case PhysType.Bytes =>
+                      s"min=${new String(st.minBytes, "UTF-8").take(16)} max=${new String(st.maxBytes, "UTF-8").take(16)}"
+                    case _ => s"min=${st.minLong} max=${st.maxLong}"
+                  }
+                  case Some(_) => "(no minmax)"
+                  case None => "(no stats)"
+                }
+                val kind = if (cl.isData) "data" else "alpha"
+                println(f"    stripe $s%3d frame $c%4d @${cl.offset}%8d rows=${cl.rows}%6d $kind%-5s $mm")
+              }
+            }
+          }
         case "chunkstats" =>
           // per-chunk min/max/nulls of one stream (arg 3) or the first stream
           val want = args.lift(2)

@@ -74,6 +74,21 @@ class DslSpec extends SparkTestBase {
     assert(out.toString.contains("chunks"), s"encoding walk must render:\n$out")
   }
 
+  test("chunkdir: the v14 directory renders offsets/rows/min-max, footer-only") {
+    val dir = tmpDir("dsl_cdir")
+    spark.range(50000).selectExpr("id", "CAST(id AS STRING) AS s")
+      .coalesce(1).write.format("nimble").option("rowsPerChunk", "1000")
+      .mode("overwrite").save(dir)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.NimbleDump.main(Array("chunkdir", dir, "id"))
+    }
+    val txt = out.toString
+    assert(txt.contains("stream id"), s"chunkdir must render the stream:\n$txt")
+    assert(txt.contains("rows=  1000"), s"chunkdir must show per-frame row counts:\n$txt")
+    assert(txt.contains("min=0 max=999"), s"chunkdir must show v14 per-chunk min/max:\n$txt")
+  }
+
   test("SHOW INDEX: index columns, regions, entry counts, bloom inventory") {
     val dir = tmpDir("dsl_idx")
     spark.range(5000).selectExpr("id", "xxhash64(id) AS k")
