@@ -1563,6 +1563,19 @@ object Codecs {
     PrefixSharedMin = prefixMin; DictDistinctMax = dictMax; FsstGram4Max = gram4Max
   }
   def bytesGateThresholds: (Double, Double, Double) = (PrefixSharedMin, DictDistinctMax, FsstGram4Max)
+  /** FSST estimate-skip margin (GateTrainer part 4's drift search): after
+    * the table trains and the sample compresses, the FULL per-string encode
+    * — the single most expensive candidate pass — is skipped when an
+    * already-built candidate's cost beats `margin x estimated FSST size`
+    * (table bytes + sampled ratio x payload; the lengths block is omitted,
+    * UNDERestimating the size, so the skip errs toward building). 0 turns
+    * the skip off. Trained r15: the part-4 drift search found the WHOLE
+    * grid (0.5..0.99) byte-identical on the corpus — the underestimate
+    * plus real winner gaps leave wide headroom — and 0.99 skips 76 of the
+    * corpus's eligible full encodes. */
+  @volatile private[format] var FsstEstSkipMax: Double = 0.99
+  def setFsstEstSkipMax(m: Double): Unit = FsstEstSkipMax = m
+  def fsstEstSkipMax: Double = FsstEstSkipMax
   /** Candidate build passes skipped by the bytes pre-filter (observability
     * + spec contract that the gates really fire). */
   val bytesPrefixSkips = new java.util.concurrent.atomic.AtomicLong()
@@ -2857,24 +2870,40 @@ object Codecs {
       // pay for the table, and skipping the training keeps writes fast
       if (totalBytes >= 2048 && totalBytes >= 4L * n) {
         val table = Fsst.train(col.bytes, col.offsets(0), math.min(totalBytes, 16384))
-        if (table != null && Fsst.sampleRatio(table, col.bytes, col.offsets(0),
-            math.min(totalBytes, 4096)) < 0.8) {
+        val ratio =
+          if (table == null) 1.0
+          else Fsst.sampleRatio(table, col.bytes, col.offsets(0), math.min(totalBytes, 4096))
+        if (table != null && ratio < 0.8) {
           val fs = new ByteSink()
           Fsst.writeTable(table, fs)
-          val encLens = new Array[Long](n)
-          val body = new ByteSink(totalBytes / 2 + 64)
-          i = 0
-          while (i < n) {
-            val before = body.size
-            Fsst.encode(table, col.bytes, col.offsets(i), col.offsets(i + 1), body)
-            encLens(i) = (body.size - before).toLong
-            i += 1
+          // estimate-skip (part 4): the full per-string encode is the most
+          // expensive candidate pass; when a built candidate already beats
+          // margin x (table + sampled-ratio x payload), FSST cannot win
+          // emitBest and the pass is skipped. The estimate omits the
+          // lengths block (an UNDERestimate), so the skip errs to building.
+          var minOther = Double.MaxValue
+          for ((cid, p) <- candidates) {
+            val c = p.length * readFactor(cid)
+            if (c < minOther) minOther = c
           }
-          val lse = new ByteSink(); encodeLongs(encLens, PhysType.I32, lse, depth + 1)
-          fs.writeBlock(lse.toArray)
-          fs.writeVarint(body.size.toLong)
-          fs.writeBytes(body.toArray)
-          candidates += ((FSST, fs.toArray))
+          val estCost = fs.size + ratio * totalBytes // readFactor(FSST) = 1.0
+          if (gated && minOther < FsstEstSkipMax * estCost) bytesFsstSkips.incrementAndGet()
+          else {
+            val encLens = new Array[Long](n)
+            val body = new ByteSink(totalBytes / 2 + 64)
+            i = 0
+            while (i < n) {
+              val before = body.size
+              Fsst.encode(table, col.bytes, col.offsets(i), col.offsets(i + 1), body)
+              encLens(i) = (body.size - before).toLong
+              i += 1
+            }
+            val lse = new ByteSink(); encodeLongs(encLens, PhysType.I32, lse, depth + 1)
+            fs.writeBlock(lse.toArray)
+            fs.writeVarint(body.size.toLong)
+            fs.writeBytes(body.toArray)
+            candidates += ((FSST, fs.toArray))
+          }
         }
       }
     }

@@ -346,6 +346,34 @@ object GateTrainer {
       s"prefix=${Codecs.bytesPrefixSkips.get() - sk0._1} dict=${Codecs.bytesDictSkips.get() - sk0._2} " +
       s"fsst=${Codecs.bytesFsstSkips.get() - sk0._3} trivial=${Codecs.bytesTrivialSkips.get() - sk0._4}")
     println(f"  paste into Codecs: PrefixSharedMin=$prefixMin%.4f DictDistinctMax=$dictMax%.4f FsstGram4Max=$gram4Max%.4f")
+    // FSST estimate-skip margin: drift-search the largest margin that keeps
+    // every corpus chunk byte-identical (skip fires when a built candidate
+    // beats margin x estimated FSST size — larger margin = more skips),
+    // then pin midway toward the first drifting grid point
+    val savedM = Codecs.fsstEstSkipMax
+    val grid = Seq(0.5, 0.6, 0.7, 0.8, 0.85, 0.9, 0.95, 0.99)
+    def driftsAt(m: Double): Boolean = {
+      Codecs.setFsstEstSkipMax(m)
+      shapes.zip(rows).exists { case ((_, col), (_, fullSize)) =>
+        val s = new ByteSink(); Codecs.encodeColumn(col, s); s.size != fullSize
+      }
+    }
+    val safe = grid.takeWhile(!driftsAt(_))
+    val firstDrift = grid.drop(safe.length).headOption
+    val margin =
+      if (safe.isEmpty) 0.0
+      else firstDrift.map(d => safe.last + (d - safe.last) / 2.0).getOrElse(safe.last)
+    Codecs.setFsstEstSkipMax(margin)
+    val fsk0 = Codecs.bytesFsstSkips.get()
+    var driftM = 0
+    for (((name, col), (_, fullSize)) <- shapes.zip(rows)) {
+      val s = new ByteSink(); Codecs.encodeColumn(col, s)
+      if (s.size != fullSize) { driftM += 1; println(s"  FSST-SKIP DRIFT: $name") }
+    }
+    println(f"  FsstEstSkipMax=$margin%.4f (largest zero-drift grid point ${safe.lastOption.getOrElse(0.0)}%.2f, " +
+      f"first drift ${firstDrift.getOrElse(Double.NaN)}%.2f); drift=$driftM, " +
+      s"full-encode skips on corpus=${Codecs.bytesFsstSkips.get() - fsk0}")
+    Codecs.setFsstEstSkipMax(savedM)
     Codecs.setBytesGateThresholds(saved._1, saved._2, saved._3)
     Codecs.setSelectionPolicy(Codecs.CostSelection)
   }
