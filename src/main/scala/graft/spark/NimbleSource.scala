@@ -540,15 +540,25 @@ object NimbleSource {
   def bucketSpecOf(files: Seq[String]): Option[(Seq[String], Int)] = {
     if (files.isEmpty) return None
     val head = footerOf(files.head)
-    if (head.numBucketsSpec <= 0) return None
+    if (head.numBucketsSpec <= 0) return None // common case: one footer read
     val spec = (head.bucketColumns, head.numBucketsSpec)
-    val ok = files.forall { f =>
-      val ft = footerOf(f)
-      ft.numBucketsSpec == spec._2 && ft.bucketColumns == spec._1 &&
-        ft.bucketId >= 0 && ft.bucketId < ft.numBucketsSpec
+    // spec validation walks every footer — parallel batches keep a large
+    // bucketed table's plan latency (and the bounded cache) in check
+    val ok = new java.util.concurrent.atomic.AtomicBoolean(true)
+    for (batch <- files.grouped(PlanBatchFiles) if ok.get()) {
+      foreachParallel(batch) { f =>
+        val ft = footerOf(f)
+        if (!(ft.numBucketsSpec == spec._2 && ft.bucketColumns == spec._1 &&
+            ft.bucketId >= 0 && ft.bucketId < ft.numBucketsSpec)) ok.set(false)
+      }
     }
-    if (ok) Some(spec) else None
+    if (ok.get()) Some(spec) else None
   }
+
+  /** Files per planning batch: footer prefetch, directory warm and stripe
+    * pruning run batch-wise so a 10^6-file plan holds one batch of footers
+    * live (the bounded cache never thrashes mid-plan). */
+  final val PlanBatchFiles = 8192
 
   /** Files that can hold rows matching the conjunctive `filters`, by bucket
     * id: an EqualTo/EqualNullSafe/In on THE single bucket column maps its
@@ -652,15 +662,55 @@ object NimbleSource {
   private[spark] def nanosScaledStats(st: Tablet.Stats): Tablet.Stats =
     Tablet.nanosScaledStats(st)
 
-  /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h). */
-  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Tablet.Footer)]()
+  /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h).
+    * BOUNDED: a 100 TB table has 10^5-10^6 files and a footer (stripe
+    * stats, chunk directories, NDV registers) runs KBs to tens of KBs — an
+    * unbounded map would hold GBs on a long-lived driver. Approximate LRU:
+    * entries carry an access tick; crossing the cap evicts the
+    * least-recently-used quarter in one sweep. Planning batches its file
+    * loop (see [[prefetchFooters]] callers) so one plan never needs more
+    * live footers than a batch. */
+  private final class CachedFooter(val mtime: Long, val footer: Tablet.Footer) {
+    val tick = new java.util.concurrent.atomic.AtomicLong()
+  }
+  private val footerClock = new java.util.concurrent.atomic.AtomicLong()
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, CachedFooter]()
+  @volatile private var footerCacheCapV: Int = -1
+  private def footerCacheCap: Int = {
+    if (footerCacheCapV > 0) return footerCacheCapV
+    val v = try {
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.scan.footerCacheEntries", "65536").toInt
+    } catch { case _: Throwable => 65536 }
+    footerCacheCapV = math.max(v, 1024)
+    footerCacheCapV
+  }
+  /** Test hooks: force a tiny cap to exercise eviction; report live size. */
+  private[graft] def setFooterCacheCapForTest(n: Int): Unit = footerCacheCapV = n
+  private[graft] def footerCacheSize: Int = footerCache.size()
   def footerOf(file: String): Tablet.Footer = {
     val mtime = GraftIO.status(file).mtime
     val cached = footerCache.get(file)
-    if (cached != null && cached._1 == mtime) return cached._2
+    if (cached != null && cached.mtime == mtime) {
+      cached.tick.set(footerClock.incrementAndGet())
+      return cached.footer
+    }
     val r = new Tablet.Reader(file)
     try {
-      footerCache.put(file, (mtime, r.footer))
+      val cf = new CachedFooter(mtime, r.footer)
+      cf.tick.set(footerClock.incrementAndGet())
+      if (footerCache.size() >= footerCacheCap) {
+        // one O(n) sweep evicts the oldest quarter (rare: once per cap/4
+        // distinct-file insertions) — never clear(): a planning loop mid-
+        // table would otherwise re-read every footer it just prefetched
+        val entries = new java.util.ArrayList[(String, Long)](footerCache.size())
+        footerCache.forEach((k, v) => { entries.add((k, v.tick.get())); () })
+        entries.sort((a, b) => java.lang.Long.compare(a._2, b._2))
+        var i = 0
+        val evict = entries.size() / 4 + 1
+        while (i < evict) { footerCache.remove(entries.get(i)._1); i += 1 }
+      }
+      footerCache.put(file, cf)
       r.footer
     } finally r.close()
   }
@@ -1565,11 +1615,12 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     * sort+limit (partial pushdown). */
   private def planTopNPartitions(t: TopNPush): Array[InputPartition] = {
     val files = pinnedFiles
-    NimbleSource.prefetchFooters(files)
     val parts = mutable.ArrayBuffer[InputPartition]()
     var selected = 0
     var prunedStripes = 0L
-    for (file <- files) {
+    for (batch <- files.grouped(NimbleSource.PlanBatchFiles); file <- {
+      NimbleSource.prefetchFooters(batch); batch
+    }) {
       val footer = NimbleSource.footerOf(file)
       val stripes = footer.stripes
       if (stripes.nonEmpty) {
@@ -1658,7 +1709,6 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     val listed = pinnedFiles
     val allFiles = fileFilter.map(keep => listed.filter(keep.contains)).getOrElse(listed)
     if (rowLevel != null) rowLevel.recordScanned(allFiles)
-    NimbleSource.prefetchFooters(allFiles)
     // bucket pruning: equality/In on the bucket column names the only
     // bucket(s) that can hold matches, so every other bucket's FILES drop
     // before any stripe metadata is touched — a point lookup on a bucketed
@@ -1667,15 +1717,26 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     // the SPJ conf (pure planning metadata).
     val files = NimbleSource.bucketPrunedFiles(allFiles, pruningFilters, dataSchema, unsignedCols)
     // skipped files' stripes count as pruned (observability parity with
-    // stripe-level pruning)
-    if (files.length != allFiles.length)
-      pruned += (allFiles.toSet -- files).toSeq
-        .map(f => NimbleSource.footerOf(f).stripes.length.toLong).sum
-    // warm the grouped directory for the pruning columns in parallel — the
-    // sequential pruning loop below then runs over cached metadata (one
-    // serial range-read per file per group would gate planning at 10^5 files)
+    // stripe-level pruning) — parallel: these footers are cold by design
+    if (files.length != allFiles.length) {
+      val skippedStripes = new java.util.concurrent.atomic.AtomicLong()
+      val skipped = (allFiles.toSet -- files).toSeq
+      for (batch <- skipped.grouped(NimbleSource.PlanBatchFiles))
+        NimbleSource.foreachParallel(batch) { f =>
+          skippedStripes.addAndGet(NimbleSource.footerOf(f).stripes.length.toLong); ()
+        }
+      pruned += skippedStripes.get()
+    }
     val filterRefs = pruningFilters.flatMap(_.references).distinct
-    if (filterRefs.nonEmpty) NimbleSource.foreachParallel(files) { f =>
+    // BATCHED planning: per batch — parallel footer prefetch, parallel
+    // grouped-directory warm for the pruning columns, then the sequential
+    // pruning loop over cached metadata. One batch of footers is live at a
+    // time, so a 10^6-file plan neither thrashes the bounded footer cache
+    // nor holds GBs of stripe metadata (one serial range-read per file per
+    // group would gate planning at 10^5 files)
+    for (batch <- files.grouped(NimbleSource.PlanBatchFiles)) {
+    NimbleSource.prefetchFooters(batch)
+    if (filterRefs.nonEmpty) NimbleSource.foreachParallel(batch) { f =>
       val ft = NimbleSource.footerOf(f)
       if (ft.stripes.nonEmpty) {
         val r = new Tablet.Reader(f, ft)
@@ -1686,7 +1747,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         } finally r.close()
       }
     }
-    for (file <- files) {
+    for (file <- batch) {
       val footer = NimbleSource.footerOf(file)
       val r = new Tablet.Reader(file, footer)
       try {
@@ -1710,6 +1771,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
         }
       } finally r.close()
     }
+    } // batch loop
     // Storage-partitioned grouping: one partition per bucket id, matching
     // the reported KeyGroupedPartitioning exactly. ALL numBuckets
     // partitions are emitted — empty ones included — so both join sides
@@ -1763,10 +1825,12 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
     var rows = 0L
     var bytes = 0L
     val metas = pinnedMetas
-    NimbleSource.prefetchFooters(metas.map(_.path))
-    for (meta <- metas) {
-      rows += NimbleSource.footerOf(meta.path).rowCount
-      bytes += meta.length
+    for (batch <- metas.grouped(NimbleSource.PlanBatchFiles)) {
+      NimbleSource.prefetchFooters(batch.map(_.path))
+      for (meta <- batch) {
+        rows += NimbleSource.footerOf(meta.path).rowCount
+        bytes += meta.length
+      }
     }
     val r = rows; val b = math.max(bytes, 1L)
     // per-column nullCount/min/max for the CBO (join reordering and

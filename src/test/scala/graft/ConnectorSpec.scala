@@ -323,4 +323,32 @@ class ConnectorSpec extends SparkTestBase {
       spark.read.format("nimble").option("unsignedColumns", "nope").load(dir).schema
     }
   }
+
+  test("footer cache stays bounded under many files (approximate LRU eviction)") {
+    // a 100 TB table has 10^5-10^6 files; the driver-side footer cache must
+    // evict rather than grow without bound — and evicted footers must simply
+    // re-read, never error
+    val dir = tmpDir("footer_cap")
+    val schema = """{"type":"struct","fields":[
+      {"name":"id","type":"long","nullable":false,"metadata":{}}]}"""
+    val files = (0 until 96).map { i =>
+      val f = new java.io.File(dir, f"cap-$i%03d.gft").getAbsolutePath
+      val w = new graft.format.Tablet.Writer(f, schema, Array("id"))
+      w.writeChunk(w.ensureStream("id"),
+        graft.format.LongsCol(Array.tabulate(16)(j => (i * 16 + j).toLong), graft.format.PhysType.I64, null))
+      w.addRows(16)
+      w.close()
+      f
+    }
+    graft.spark.NimbleSource.setFooterCacheCapForTest(32)
+    try {
+      for (f <- files) graft.spark.NimbleSource.footerOf(f)
+      assert(graft.spark.NimbleSource.footerCacheSize <= 32,
+        s"cache grew past the cap: ${graft.spark.NimbleSource.footerCacheSize}")
+      // evicted footers re-read transparently, rows intact
+      val total = files.map(f => graft.spark.NimbleSource.footerOf(f).rowCount).sum
+      assert(total == 96L * 16L)
+      assert(graft.spark.NimbleSource.footerCacheSize <= 32)
+    } finally graft.spark.NimbleSource.setFooterCacheCapForTest(65536)
+  }
 }
