@@ -651,8 +651,13 @@ object NimbleSource {
 
   case class PlanStats(stripesPlanned: Int, stripesPruned: Long)
   private val planStats = new java.util.concurrent.ConcurrentHashMap[String, PlanStats]()
-  def recordPlan(path: String, planned: Int, pruned: Long): Unit =
+  def recordPlan(path: String, planned: Int, pruned: Long): Unit = {
+    // bound the path universe (a long-lived driver planning over ephemeral
+    // temp tables must not accumulate entries forever; entries are tiny, so
+    // a rare clear loses only observability history)
+    if (planStats.size() >= 65536) planStats.clear()
     planStats.put(path, PlanStats(planned, pruned))
+  }
   def lastPlanStats(path: String): Option[PlanStats] = Option(planStats.get(path))
 
   /** Conservative combined-value bounds for a TimestampMicroNano split
@@ -1512,7 +1517,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
   /** Spark-UI scan counters (summed over tasks): the skipped-work numbers
     * an operator tuning a 100 TB scan needs without debug logging. */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new StripesReadMetric, new ChunksSkippedMetric)
+    Array(new StripesReadMetric, new ChunksSkippedMetric, new StreamBytesReadMetric)
 
   /** Storage-partitioned-join surface: when every file declares the same
     * hash-bucket spec AND the session opted in (the v2 bucketing flag), the
@@ -1995,6 +2000,11 @@ private[spark] class ChunksSkippedMetric
   override def name(): String = "chunksSkipped"
   override def description(): String = "chunks skipped (stats/index/TopN positioning)"
 }
+private[spark] class StreamBytesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "streamBytesRead"
+  override def description(): String = "stream bytes materialized to tasks (sparse/deferred fetch savings visible here)"
+}
 
 /** Chains per-stripe readers over a bin-packed partition, opening one stripe
   * at a time; a partial limit is threaded through so later stripes stop
@@ -2010,13 +2020,16 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
   private var produced = 0L
   private var stripesOpened = 0L
   private var doneChunksSkipped = 0L
+  private var doneStreamBytes = 0L
   var currentMask: Array[Boolean] = null
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
       NimbleTaskMetric("stripesRead", stripesOpened),
       NimbleTaskMetric("chunksSkipped",
-        doneChunksSkipped + (if (cur != null) cur.taskChunksSkipped else 0L)))
+        doneChunksSkipped + (if (cur != null) cur.taskChunksSkipped else 0L)),
+      NimbleTaskMetric("streamBytesRead",
+        doneStreamBytes + (if (cur != null) cur.taskStreamBytes else 0L)))
   // one-ahead stream prefetch: stripe i+1's bytes load on the shared I/O
   // pool while stripe i decodes (UnitLoader analog, velox/VeloxReader.h:69).
   // At most one stripe of wasted I/O when an early limit stops the chain.
@@ -2029,6 +2042,7 @@ class NimbleChainReader(items: Array[NimbleStripePartition], dataSchema: StructT
         if (cur.next()) { currentMask = cur.currentMask; return true }
         produced += cur.emittedRows
         doneChunksSkipped += cur.taskChunksSkipped
+        doneStreamBytes += cur.taskStreamBytes
         cur.close(); cur = null
       }
       if (limit >= 0 && produced >= limit) return false
@@ -2222,24 +2236,27 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       else (e, neededKeys.filterNot(fs.contains))
     }
 
+  /** Stream bytes materialized to this task (eager + deferred, prefetched
+    * or direct) — the per-task face of the sparse/deferred fetch savings. */
+  private[spark] var taskStreamBytes = 0L
+  private def countedCursors(m: Map[String, (Array[Byte], Array[Boolean])])
+      : Map[String, Tablet.ChunkCursor] =
+    m.map { case (k, (b, present)) =>
+      taskStreamBytes += b.length
+      k -> new Tablet.ChunkCursor(b, present)
+    }
   private val eagerCursors: Map[String, Tablet.ChunkCursor] =
     if (prefetched != null) {
       NimbleSource.prefetchHits.incrementAndGet()
-      prefetched.view.filterKeys(eagerKeys.contains).toMap
-        .map { case (k, (b, present)) => k -> new Tablet.ChunkCursor(b, present) }
-    } else fetchStreams(eagerKeys).map { case (k, (b, present)) =>
-      k -> new Tablet.ChunkCursor(b, present)
-    }
+      countedCursors(prefetched.view.filterKeys(eagerKeys.contains).toMap)
+    } else countedCursors(fetchStreams(eagerKeys))
 
   /** Deferred cursors; null until the first surviving chunk (or a prefetch
     * that already carried the bytes) materializes them. */
   private var deferredCursors: Map[String, Tablet.ChunkCursor] =
     if (deferredKeys.isEmpty) Map.empty
     else if (prefetched != null && deferredKeys.forall(prefetched.contains))
-      deferredKeys.iterator.map { k =>
-        val (b, present) = prefetched(k)
-        k -> new Tablet.ChunkCursor(b, present)
-      }.toMap
+      countedCursors(deferredKeys.iterator.map(k => k -> prefetched(k)).toMap)
     else null
   /** Chunks fully consumed (skipped or filtered dead) BEFORE deferred
     * materialization — fresh deferred cursors fast-forward this many chunk
@@ -2250,6 +2267,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private def ensureDeferredCursors(): Map[String, Tablet.ChunkCursor] = {
     if (deferredCursors == null) {
       deferredCursors = fetchStreams(deferredKeys).map { case (k, (b, present)) =>
+        taskStreamBytes += b.length
         val c = new Tablet.ChunkCursor(b, present)
         var i = 0
         while (i < chunksBehind) { c.skip(); i += 1 }

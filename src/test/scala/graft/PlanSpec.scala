@@ -149,7 +149,10 @@ class PlanSpec extends SparkTestBase {
     }).get
     assert(scan.metrics.contains("stripesRead"), scan.metrics.keys.mkString(","))
     assert(scan.metrics.contains("chunksSkipped"), scan.metrics.keys.mkString(","))
+    assert(scan.metrics.contains("streamBytesRead"), scan.metrics.keys.mkString(","))
     assert(scan.metrics("stripesRead").value >= 1, scan.metrics("stripesRead").value)
+    // r15: the sparse/deferred fetch savings are UI-visible per task
+    assert(scan.metrics("streamBytesRead").value > 0, "no stream bytes accounted")
     // point filter on a sorted 49-chunk stripe: most chunks must chunk-skip
     assert(scan.metrics("chunksSkipped").value > 10, scan.metrics("chunksSkipped").value)
     // Spark's SQLAppStatusListener re-instantiates each metric class
