@@ -292,12 +292,27 @@ object Bench {
       graft.ops.ZOrder.zorder(spark, zWarmSrc, s"$zWarmSrc-out", Seq("a", "b"),
         targetFileBytes = 64L << 20,
         extraOptions = Map("stripeBytes" -> (2L << 20).toString))
+      // min-of-2: this box's co-tenant bursts land BETWEEN the calibration
+      // brackets of a single-shot metric and poison it unflagged (r15: 37 s
+      // and 90 s samples against a 16 s fresh-JVM warm truth) — a burst
+      // cannot fake a FAST sample, so the min of two runs is robust where
+      // one run is a coin flip
       val (zSec, _) = cal("scale_zorder_sec")(time {
         graft.ops.ZOrder.zorder(spark, linDir, zDir, Seq("a", "b"),
           targetFileBytes = 64L << 20,
           extraOptions = Map("stripeBytes" -> (2L << 20).toString))
       })
-      results("scale_zorder_sec") = zSec
+      val (zSec2, _) = cal("scale_zorder_sec_r2")(time {
+        graft.ops.ZOrder.zorder(spark, linDir, s"$zDir-r2", Seq("a", "b"),
+          targetFileBytes = 64L << 20,
+          extraOptions = Map("stripeBytes" -> (2L << 20).toString))
+      })
+      results("scale_zorder_sec") = math.min(zSec, zSec2)
+      // flag only when BOTH runs' brackets drifted: a clean run's min is
+      // trustworthy even if the other run was poisoned
+      calibs("scale_zorder_sec") =
+        math.min(calibs("scale_zorder_sec"), calibs("scale_zorder_sec_r2"))
+      calibs.remove("scale_zorder_sec_r2")
       timed("scale_zorder_probe_b") {
         spark.read.format("nimble").load(zDir)
           .filter(col("b") === 77).agg(sum("v")).collect()
@@ -375,11 +390,19 @@ object Bench {
         spark.range(100).selectExpr("id AS a", "id + 1 AS b").union(
           spark.range(9900L).selectExpr("200 + id * 2 AS a", "201 + id * 2 AS b")))
         .unpersist()
+      // min-of-2 (same rationale as the zorder block: bursty co-tenant load
+      // between the calibration brackets cannot fake a fast sample)
       val (ccSec, _) = cal("scale_cc_sec")(time {
         val out = graft.ops.Dedup.dedupClusters(ccDocs, "doc_id", ccPairs)
         out.unpersist() // dedupClusters already materialized it
       })
-      results("scale_cc_sec") = ccSec
+      val (ccSec2, _) = cal("scale_cc_sec_r2")(time {
+        val out = graft.ops.Dedup.dedupClusters(ccDocs, "doc_id", ccPairs)
+        out.unpersist()
+      })
+      results("scale_cc_sec") = math.min(ccSec, ccSec2)
+      calibs("scale_cc_sec") = math.min(calibs("scale_cc_sec"), calibs("scale_cc_sec_r2"))
+      calibs.remove("scale_cc_sec_r2")
       results("scale_cc_rounds") = graft.ops.Dedup.lastClusterRounds.get().toDouble
     }
 
