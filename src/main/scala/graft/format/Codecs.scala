@@ -2788,7 +2788,14 @@ object Codecs {
         // but the shared prefix resets at every restart (so a point read
         // decodes <= stride entries) and a restart byte-offset index rides
         // ahead of the triples. Short chunks keep the denser legacy PREFIX.
-        val stride = if (n > 2 * PrefixRestartStride) PrefixRestartStride else 0
+        // a locked layout dictates the front-coding FLAVOR too: a pre-r15
+        // PREFIX lock must keep emitting PREFIX (and a PREFIXR lock PREFIXR
+        // even on short tail chunks) or lockedSatisfied never holds and the
+        // replay fast path degrades to full observations forever
+        val stride =
+          if (lockedId == PREFIX) 0
+          else if (lockedId == PREFIXR) PrefixRestartStride
+          else if (n > 2 * PrefixRestartStride) PrefixRestartStride else 0
         val restarts = if (stride > 0) new Array[Long]((n + stride - 1) / stride) else null
         var prevOff = 0; var prevLen = 0
         var i3 = 0
@@ -2872,15 +2879,20 @@ object Codecs {
         val table = Fsst.train(col.bytes, col.offsets(0), math.min(totalBytes, 16384))
         val ratio =
           if (table == null) 1.0
-          else Fsst.sampleRatio(table, col.bytes, col.offsets(0), math.min(totalBytes, 4096))
+          else Fsst.stridedRatio(table, col.bytes, col.offsets(0), totalBytes)
         if (table != null && ratio < 0.8) {
           val fs = new ByteSink()
           Fsst.writeTable(table, fs)
           // estimate-skip (part 4): the full per-string encode is the most
           // expensive candidate pass; when a built candidate already beats
-          // margin x (table + sampled-ratio x payload), FSST cannot win
-          // emitBest and the pass is skipped. The estimate omits the
-          // lengths block (an UNDERestimate), so the skip errs to building.
+          // margin x (table + sampled-ratio x payload), FSST is predicted
+          // unable to win emitBest and the pass is skipped. The ratio is
+          // sampled over strided windows (a head-only sample misreads
+          // payloads whose tail compresses differently) and the estimate
+          // omits the lengths block; the skip is a trained HEURISTIC — the
+          // part-4 drift search pins zero size change on the corpus, and an
+          // off-corpus misprediction costs only a larger chunk, never
+          // correctness.
           var minOther = Double.MaxValue
           for ((cid, p) <- candidates) {
             val c = p.length * readFactor(cid)

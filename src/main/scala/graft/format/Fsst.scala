@@ -142,6 +142,24 @@ object Fsst {
     out.toDouble / len
   }
 
+  /** [[sampleRatio]] over four 1 KB windows strided across [off, off+total)
+    * instead of the head alone: a payload whose head compresses differently
+    * from its tail (front-coded keys, then repetitive blobs) misestimates
+    * badly from a head-only sample — the estimate feeds both the full-encode
+    * gate and the r15 estimate-skip, so it must reflect the WHOLE payload. */
+  def stridedRatio(table: Table, bytes: Array[Byte], off: Int, total: Int): Double = {
+    if (total <= 4096) return sampleRatio(table, bytes, off, total)
+    val win = 1024
+    var num = 0.0
+    var i = 0
+    while (i < 4) {
+      val wOff = off + ((total - win).toLong * i / 3).toInt
+      num += sampleRatio(table, bytes, wOff, win)
+      i += 1
+    }
+    num / 4
+  }
+
   def encode(table: Table, bytes: Array[Byte], from: Int, to: Int, out: ByteSink): Unit = {
     var pos = from
     while (pos < to) {

@@ -470,7 +470,7 @@ object NimbleSource {
     * that many data frames participate — a late-registering stream with a
     * different grid is ignored, never trusted. */
   def chunkStatsCandidates(reader: Tablet.Reader, stripe: Int,
-      filters: Array[Filter], totalChunks: Int): java.util.BitSet = {
+      filters: Array[Filter], totalChunks: Int, count: Boolean = true): java.util.BitSet = {
     if (totalChunks <= 0 || filters.isEmpty) return null
     val cols = filters.flatMap(_.references).distinct
     // per referenced column: its data frames' stats, ordinal-aligned and
@@ -509,7 +509,13 @@ object NimbleSource {
       d += 1
     }
     if (prunedCount == 0) null
-    else { dirStatsChunksPruned.addAndGet(prunedCount.toLong); set }
+    else {
+      // `count = false` on the prefetch recomputation: the in-task reader
+      // computes the same set and bumps the counter — double-bumping would
+      // inflate the stats-pruning observability signal up to 2x
+      if (count) dirStatsChunksPruned.addAndGet(prunedCount.toLong)
+      set
+    }
   }
 
   /** Hash-bucket function shared by the write path (per-row declaration
@@ -592,7 +598,13 @@ object NimbleSource {
     }
     if (sets.isEmpty) return files
     val allowed = sets.reduce(_ intersect _)
-    files.filter(f => allowed.contains(footerOf(f).bucketId))
+    // batch-prefetch the footers the filter reads: under the bounded cache
+    // a serial footerOf walk would re-read most of a 10^6-file bucketed
+    // table one blocking range-read at a time
+    files.grouped(PlanBatchFiles).flatMap { b =>
+      prefetchFooters(b)
+      b.filter(f => allowed.contains(footerOf(f).bucketId))
+    }.toSeq
   }
 
   /** File-level null count of `col`, if knowable from metadata: a file
@@ -1060,7 +1072,7 @@ object NimbleSource {
     * no restriction. */
   private[spark] def candidateChunksOf(reader: Tablet.Reader, stripe: Int,
       filters: Array[Filter], statsOnly: Array[Filter],
-      neededKeys: Array[String]): (java.util.BitSet, Int) = {
+      neededKeys: Array[String], countPruned: Boolean = true): (java.util.BitSet, Int) = {
     if (filters.isEmpty && statsOnly.isEmpty) return (null, -1)
     var total = -1
     var i = 0
@@ -1071,7 +1083,7 @@ object NimbleSource {
       i += 1
     }
     val idx = indexCandidateChunks(reader, stripe, filters ++ statsOnly)
-    val st = chunkStatsCandidates(reader, stripe, filters ++ statsOnly, total)
+    val st = chunkStatsCandidates(reader, stripe, filters ++ statsOnly, total, countPruned)
     val cand =
       if (idx == null) st
       else if (st == null) idx
@@ -1108,7 +1120,9 @@ object NimbleSource {
           val eager = all.filter(fs.contains)
           if (eager.isEmpty) all else eager
         }
-      val (cand, total) = candidateChunksOf(r, stripe, filters, statsOnly, all)
+      // countPruned = false: the in-task reader recomputes this stripe's
+      // candidates and owns the counter bump
+      val (cand, total) = candidateChunksOf(r, stripe, filters, statsOnly, all, countPruned = false)
       if (sparseGate(cand, total))
         readNeededStreamsSparse(r, stripe, keys, file, cand, total)
       else

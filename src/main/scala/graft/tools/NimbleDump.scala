@@ -187,7 +187,7 @@ object NimbleDump {
           // walks the frames)
           val wantDir = args.lift(2)
           for ((k, i) <- ft.streamKeys.zipWithIndex if !isRawIndexStream(k)
-               if wantDir.forall(_ == k) || (wantDir.isEmpty && i == 0)) {
+               if wantDir.map(_ == k).getOrElse(i == 0)) {
             println(s"  stream $k")
             for (s <- ft.stripes.indices) {
               val dir = r.chunkDirOf(s, i)
@@ -211,8 +211,11 @@ object NimbleDump {
         case "chunkstats" =>
           // per-chunk min/max/nulls of one stream (arg 3) or the first stream
           val want = args.lift(2)
+          // named stream only, or the FIRST stream when none named (the
+          // `forall || isEmpty` guard this replaced was vacuously true for
+          // every stream with no arg — it dumped the whole table)
           for ((k, i) <- ft.streamKeys.zipWithIndex if !isRawIndexStream(k)
-               if want.forall(_ == k) || (want.isEmpty && i == 0)) {
+               if want.map(_ == k).getOrElse(i == 0)) {
             println(s"  stream $k")
             for (s <- ft.stripes.indices) {
               val cur = new Tablet.ChunkCursor(r.readStreamBytes(s, i))
