@@ -53,6 +53,49 @@ class E2EFilterSpec extends SparkTestBase {
     }
   }
 
+  test("options x predicates x projections fuzz: collect parity against parquet (r15)") {
+    // integration fuzz over the FULL read stack — sparse candidate fetch
+    // (index + v14 dir stats), deferred projected-stream IO, the cascade
+    // with string point reads, lazy string fills — by randomizing the WRITE
+    // options and comparing projected collect() (the batch/vector path, not
+    // the fold that count() routes through) row-wise against parquet
+    val pq = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val allCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = new scala.util.Random(77)
+    def pred(): org.apache.spark.sql.Column = r.nextInt(5) match {
+      case 0 => col("l_orderkey") === lit(1 + r.nextInt(60000))
+      case 1 => col("l_partkey").between(lit(r.nextInt(500)), lit(500 + r.nextInt(2000)))
+      case 2 => col("l_returnflag") === lit(if (r.nextBoolean()) "A" else "N")
+      case 3 => col("l_linestatus") === lit("F") && col("l_quantity") > lit(25)
+      case _ => col("l_returnflag").isin("A", "R") && col("l_suppkey") < lit(r.nextInt(400))
+    }
+    for (trial <- 0 until 5) {
+      val dir = tmpDir(s"e2e_opt$trial")
+      val base = pq.repartition(1 + r.nextInt(2))
+      val sorted = r.nextBoolean()
+      var w = (if (sorted) base.sortWithinPartitions("l_orderkey") else base)
+        .write.format("nimble")
+        .option("rowsPerChunk", Seq("512", "2048", "16384")(r.nextInt(3)))
+        .option("compression", Seq("none", "lz4", "zstd")(r.nextInt(3)))
+      if (sorted) w = w.option("sortColumns", "l_orderkey")
+      if (r.nextBoolean()) w = w.option("indexColumns", "l_orderkey")
+      if (r.nextBoolean()) w = w.option("bloomFilterColumns", "l_partkey")
+      w.mode("overwrite").save(dir)
+      val nb = spark.read.format("nimble").load(dir)
+      for (q <- 0 until 4) {
+        val p = pred()
+        val proj = r.shuffle(allCols).take(1 + r.nextInt(4))
+        def rows(df: DataFrame): Seq[String] =
+          df.filter(p).select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+        val want = rows(pq)
+        val got = rows(nb)
+        assert(got == want,
+          s"trial $trial q$q sorted=$sorted proj=$proj pred=$p: ${got.length} vs ${want.length} rows")
+      }
+    }
+  }
+
   test("random filters over NaN-pocketed doubles: pruning never drops NaN rows") {
     // NaN sorts greatest and equals itself in Spark; stripe/chunk stats
     // exclude NaN from min/max, so every max-based prune must consult
