@@ -174,6 +174,12 @@ object Bench {
           body
           (graft.spark.NimbleSource.streamBytesFetched.get() - f0).toDouble
         }
+        // settle: run both queries once untimed so a one-ahead prefetch
+        // tail from a PRIOR query cannot land inside a measured window
+        spark.read.format("nimble").load(scaleIdxDir)
+          .filter(col("skey") === probeSkey).count()
+        spark.read.format("nimble").load(scaleIdxDir)
+          .filter(col("skey") =!= probeSkey).count()
         val probeBytes = fetchDelta {
           spark.read.format("nimble").load(scaleIdxDir)
             .filter(col("skey") === probeSkey).count()

@@ -1558,7 +1558,7 @@ object Codecs {
     * trainings and 100 trivial memcpys. */
   @volatile private[format] var PrefixSharedMin: Double = 0.2176
   @volatile private[format] var DictDistinctMax: Double = 0.9531
-  @volatile private[format] var FsstGram4Max: Double = 0.9949
+  @volatile private[format] var FsstGram4Max: Double = 0.9958 // r15 strided retrain
   def setBytesGateThresholds(prefixMin: Double, dictMax: Double, gram4Max: Double): Unit = {
     PrefixSharedMin = prefixMin; DictDistinctMax = dictMax; FsstGram4Max = gram4Max
   }
@@ -1602,7 +1602,9 @@ object Codecs {
     val n = col.len
     if (n < 2) return 0.0
     val pairs = math.min(n - 1, 256)
-    val step = math.max(1, (n - 1) / pairs)
+    // ceil division: floor overshot the documented cap by up to 2x at
+    // n just above a multiple of the cap
+    val step = math.max(1, (n - 2 + pairs) / pairs)
     var shared = 0L
     var secondBytes = 0L
     var j = 0
@@ -1625,7 +1627,7 @@ object Codecs {
   private[graft] def sampledDistinctFraction(col: BytesCol): Double = {
     val n = col.len
     val k = math.min(n, 256)
-    val step = math.max(1, n / k)
+    val step = math.max(1, (n + k - 1) / k)
     val seen = new java.util.HashSet[String](k * 2)
     var sampled = 0
     var i = 0
@@ -1639,22 +1641,38 @@ object Codecs {
     if (sampled == 0) 1.0 else seen.size.toDouble / sampled
   }
 
-  /** Sampled distinct-4-gram fraction over the first <= 2048 payload bytes:
-    * FSST compresses exactly repeated substrings, so a near-1.0 fraction
-    * (every 4-gram unique) predicts a table that cannot pay. */
+  /** Sampled distinct-4-gram fraction over four 512-byte windows strided
+    * across the payload (<= 2048 bytes total): FSST compresses exactly
+    * repeated substrings, so a near-1.0 fraction (every 4-gram unique)
+    * predicts a table that cannot pay. Strided, not head-only — a payload
+    * whose random head precedes a repetitive tail would otherwise misgate
+    * (the same pathology [[Fsst.stridedRatio]] fixes for the ratio). */
   private[graft] def sampledGram4Fraction(col: BytesCol): Double = {
     val off = col.offsets(0)
-    val len = math.min(col.offsets(col.len) - off, 2048)
-    if (len < 8) return 1.0
-    val seen = new java.util.HashSet[Integer](len * 2)
-    var i = 0
-    while (i + 4 <= len) {
-      val g = ((col.bytes(off + i) & 0xff) << 24) | ((col.bytes(off + i + 1) & 0xff) << 16) |
-        ((col.bytes(off + i + 2) & 0xff) << 8) | (col.bytes(off + i + 3) & 0xff)
-      seen.add(g)
-      i += 1
+    val total = col.offsets(col.len) - off
+    if (total < 8) return 1.0
+    val seen = new java.util.HashSet[Integer](4096)
+    var grams = 0
+    def window(wOff: Int, wLen: Int): Unit = {
+      var i = 0
+      while (i + 4 <= wLen) {
+        val g = ((col.bytes(wOff + i) & 0xff) << 24) | ((col.bytes(wOff + i + 1) & 0xff) << 16) |
+          ((col.bytes(wOff + i + 2) & 0xff) << 8) | (col.bytes(wOff + i + 3) & 0xff)
+        seen.add(g)
+        grams += 1
+        i += 1
+      }
     }
-    seen.size.toDouble / (len - 3)
+    if (total <= 2048) window(off, total)
+    else {
+      val win = 512
+      var w = 0
+      while (w < 4) {
+        window(off + ((total - win).toLong * w / 3).toInt, win)
+        w += 1
+      }
+    }
+    if (grams == 0) 1.0 else seen.size.toDouble / grams
   }
 
   private[format] def trainedEstimationMask(runFr: Double, uniqueFr: Double,

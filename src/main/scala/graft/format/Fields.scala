@@ -674,6 +674,13 @@ object Fields {
       if (c != null) consumedAt = true
       c
     }
+    /** The cascade's point-read dispatch, owned HERE so every call site
+      * (batch scan + both fold paths) shares one decline rule: strings
+      * decline per-codec (chunk untouched — shared-dict / legacy-Prefix
+      * keep the dict-preserving dense eval), numerics always consume
+      * (decode-whole+gather fallback is no worse than the dense path). */
+    def pointReadAt(positions: Array[Int]): Column =
+      if (isStringy) decodeRawAtOrNull(positions) else decodeRawAt(positions)
     /** Rows in the next chunk, when its stats frame carries a count. */
     def peekRows(): Int = cursor.peekStats().map(_.valueCount.toInt).getOrElse(-1)
     /** decodeRaw, but a DICT-coded string chunk stays dictionary-preserved

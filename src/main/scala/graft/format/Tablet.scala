@@ -1873,11 +1873,13 @@ object Tablet {
     }
 
     /** [[next]], but only `positions` (strictly increasing, non-empty) need
-      * materializing: fixed-stride codecs (Const/Trivial/FOR, optionally
-      * Nullable-wrapped) decode exactly those values; anything else decodes
-      * whole and gathers. Always consumes the chunk; always returns a DENSE
-      * column of positions.length rows. Callers must not use this for bytes
-      * columns (the lazy/dict paths already materialize survivors only). */
+      * materializing: codecs with positional structure (numeric families,
+      * and r15 the bytes shapes Trivial/Const/Dict/Fsst/PrefixR) decode
+      * exactly those values; anything else decodes whole and gathers.
+      * Always consumes the chunk; always returns a DENSE column of
+      * positions.length rows. Bytes columns should prefer [[nextAtOrNull]]
+      * (the gather fallback here throws on BytesCol — their declining
+      * shapes keep the lazy/dict survivor-materializing paths instead). */
     def nextAt(positions: Array[Int]): Column = {
       requirePresent()
       ensureData()

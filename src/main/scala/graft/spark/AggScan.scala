@@ -816,9 +816,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     def pointRead(name: String, positions: Array[Int]): graft.format.Column =
       if (fetchSet.contains(name)) null
       else readerOf(name) match {
-        case p: Fields.PrimR if typeOf(name) == StringType ||
-            typeOf(name) == BinaryType => p.decodeRawAtOrNull(positions)
-        case p: Fields.PrimR => p.decodeRawAt(positions)
+        case p: Fields.PrimR => p.pointReadAt(positions)
         case _ => null
       }
     val res = cascade.evalChunk(decodeCol, pointRead)
@@ -914,9 +912,7 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       def pointRead(name: String, positions: Array[Int]): graft.format.Column =
         if (fetchSet.contains(name)) null
         else readerOf(name) match {
-          case p: Fields.PrimR if typeOf(name) == StringType ||
-              typeOf(name) == BinaryType => p.decodeRawAtOrNull(positions)
-          case p: Fields.PrimR => p.decodeRawAt(positions)
+          case p: Fields.PrimR => p.pointReadAt(positions)
           case _ => null
         }
       val res = cascade.evalChunk(decodeCascade, pointRead)

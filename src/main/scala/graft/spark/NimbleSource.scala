@@ -553,9 +553,11 @@ object NimbleSource {
     val ok = new java.util.concurrent.atomic.AtomicBoolean(true)
     for (batch <- files.grouped(PlanBatchFiles) if ok.get()) {
       foreachParallel(batch) { f =>
-        val ft = footerOf(f)
-        if (!(ft.numBucketsSpec == spec._2 && ft.bucketColumns == spec._1 &&
-            ft.bucketId >= 0 && ft.bucketId < ft.numBucketsSpec)) ok.set(false)
+        if (ok.get()) { // short-circuit inside the batch too: one mismatch
+          val ft = footerOf(f) // ends validation, no point reading the rest
+          if (!(ft.numBucketsSpec == spec._2 && ft.bucketColumns == spec._1 &&
+              ft.bucketId >= 0 && ft.bucketId < ft.numBucketsSpec)) ok.set(false)
+        }
       }
     }
     if (ok.get()) Some(spec) else None
@@ -693,13 +695,16 @@ object NimbleSource {
   private val footerClock = new java.util.concurrent.atomic.AtomicLong()
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, CachedFooter]()
   @volatile private var footerCacheCapV: Int = -1
-  private def footerCacheCap: Int = {
-    if (footerCacheCapV > 0) return footerCacheCapV
+  private def confFooterCap(): Int = {
     val v = try {
       org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.scan.footerCacheEntries", "65536").toInt
     } catch { case _: Throwable => 65536 }
-    footerCacheCapV = math.max(v, 1024)
+    math.max(v, 1024)
+  }
+  private def footerCacheCap: Int = {
+    if (footerCacheCapV > 0) return footerCacheCapV
+    footerCacheCapV = confFooterCap()
     footerCacheCapV
   }
   /** Test hooks: force a tiny cap to exercise eviction; report live size. */
@@ -717,6 +722,10 @@ object NimbleSource {
       val cf = new CachedFooter(mtime, r.footer)
       cf.tick.set(footerClock.incrementAndGet())
       if (footerCache.size() >= footerCacheCap) {
+        // re-read the conf at sweep time (rare) so an operator shrinking
+        // spark.graft.scan.footerCacheEntries on a live driver takes effect
+        // without a JVM restart (test overrides below the floor stay pinned)
+        if (footerCacheCapV >= 1024) footerCacheCapV = confFooterCap()
         // one O(n) sweep evicts the oldest quarter (rare: once per cap/4
         // distinct-file insertions) — never clear(): a planning loop mid-
         // table would otherwise re-read every footer it just prefetched
@@ -2133,19 +2142,17 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
   private val neededKeys: Array[String] =
     NimbleSource.neededStreamKeys(footerKeySet, dataSchema, required, filters)
 
-  // index-assisted chunk selection, computed BEFORE any stream fetch:
-  // equality filters on indexColumns-declared columns restrict decode to
-  // index-candidate chunks, and (v13) restrict the FETCH itself to their
-  // byte ranges. Safe under ANY projection shape: every stream — nested
-  // children included — flushes at the same row boundaries, so skipping a
-  // non-candidate chunk advances all cursors in lockstep.
-  private val indexChunks: java.util.BitSet =
-    if (filters.nonEmpty || statsOnly.nonEmpty)
-      // stats-only (nested-leaf) conjuncts restrict candidates too: the
-      // index proves a chunk holds no equality match, skipping it is sound
-      // because Spark re-evaluates the residual predicate row-wise anyway
-      NimbleSource.indexCandidateChunks(reader, stripe, filters ++ statsOnly)
-    else null
+  // index ∩ v14 directory-stats candidate chunks, computed BEFORE any
+  // stream fetch via the SHARED recipe (candidateChunksOf) — the in-task
+  // reader, the prefetch path and the aggregate fold must make the
+  // IDENTICAL fetch decision, and a private re-implementation here would
+  // let the prefetch-superset invariant drift apart silently. Safe under
+  // ANY projection shape: every stream — nested children included —
+  // flushes at the same row boundaries, so skipping a non-candidate chunk
+  // advances all cursors in lockstep; stats-only (nested-leaf) conjuncts
+  // restrict candidates too (Spark re-evaluates the residual row-wise).
+  private val idxStatsChunks: java.util.BitSet =
+    NimbleSource.candidateChunksOf(reader, stripe, filters, statsOnly, neededKeys)._1
 
   // data-chunk grid of this stripe, from the first needed stream carrying a
   // chunk directory (v13+): per-data-frame row counts + the grid size every
@@ -2162,13 +2169,6 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     r
   }
   private val dirTotalChunks: Int = if (dirDataRows == null) -1 else dirDataRows.length
-
-  // v14 directory-stats candidates: min/max/nullCount per chunk straight
-  // from the stripe directory prune candidates BEFORE any stream fetch — a
-  // selective range predicate on sorted data needs no index to go sparse
-  private val statsChunks: java.util.BitSet =
-    if (filters.isEmpty && statsOnly.isEmpty) null
-    else NimbleSource.chunkStatsCandidates(reader, stripe, filters ++ statsOnly, dirTotalChunks)
 
   // TopN tail positioning via directory row counts (v13+): chunks wholly
   // inside the skip span drop from the candidate set — and from the sparse
@@ -2208,7 +2208,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       if (b != null) {
         if (s == null) s = b.clone().asInstanceOf[java.util.BitSet] else s.and(b)
       }
-    and(indexChunks); and(statsChunks); and(topNMask)
+    and(idxStatsChunks); and(topNMask)
     s
   }
 
@@ -2553,14 +2553,12 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
       })
     // projected refs decline point reads — their full chunk stays pending
     // for the vector fill; non-PrimR readers have no positional decode;
-    // strings decline per-codec (chunk untouched) so shared-dict / legacy
-    // Prefix chunks keep the dict-preserving dense eval
+    // the string-vs-numeric decline rule lives in PrimR.pointReadAt (one
+    // copy for every cascade call site)
     def pointRead(name: String, positions: Array[Int]): graft.format.Column =
       if (requiredFilterRefs.contains(name)) null
       else cascadeReaderOf(name) match {
-        case p: Fields.PrimR if dts(name) == StringType || dts(name) == BinaryType =>
-          p.decodeRawAtOrNull(positions)
-        case p: Fields.PrimR => p.decodeRawAt(positions)
+        case p: Fields.PrimR => p.pointReadAt(positions)
         case _ => null
       }
 
