@@ -377,9 +377,10 @@ object Bench {
 
     // ---- scale block: connected-components dedup clustering over ~1M pairs
     // containing one 1,000-hop duplicate chain — pointer jumping must
-    // converge in ~log2(1000) ≈ 10 rounds with O(1) plan size per round
-    // (the r9 lineage blowup OOM'd exactly this shape); wall clock proves
-    // the per-round persist/cut discipline holds at bench scale ----
+    // converge in ~log2(1000) ≈ 10 rounds (+1 detection round; r15 delta
+    // iteration reports 12) with O(1) plan size per round (the r9 lineage
+    // blowup OOM'd exactly this shape); wall clock proves the per-round
+    // persist/cut discipline holds at bench scale ----
     {
       val chain = spark.range(1000).selectExpr("id AS a", "id + 1 AS b")
       // ~1M two-node clusters: converge in one round, so the chain alone

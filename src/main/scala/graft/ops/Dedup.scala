@@ -253,22 +253,50 @@ object Dedup {
     var labelsCache = labels
     var changed = 1L
     var iter = 0
+    // r15: DELTA iteration (the Flink/Giraph CC shape). After the first
+    // round only a shrinking frontier still changes — in the bench shape
+    // ~1M two-node clusters converge in one round and the 1,000-hop chain
+    // alone drives rounds 2..11 — yet the dense loop kept re-shuffling the
+    // FULL label frame three times per round. A row's label can change in
+    // round t only if (a) a NEIGHBOR's label changed in round t-1, or (b)
+    // its POINTER TARGET's label changed in round t-1 (lbl(u) in delta) —
+    // so candidates come from two delta-sized joins, and the full-frame
+    // update is one left join against the (broadcast-small) candidate set.
+    // Pointer jumping survives: a chain node's parent changes every round
+    // until convergence, so case (b) keeps every still-converging node
+    // re-jumping and path lengths keep halving. Convergence (empty delta)
+    // is a true fixpoint: any row still able to decrease via neighbor v
+    // would have re-evaluated in the round after v last changed.
+    var delta: DataFrame = null // null = round 1 evaluates everything
     while (changed > 0 && iter < maxIters) {
-      // min over neighbors' labels, folded with the own label ...
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy("u").agg(min("nl").as("nm"))
-      val stepped = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+      val frontier = if (delta == null) labels else delta
+      // broadcast the delta side once it is small: both candidate joins and
+      // the final update then run map-side — no full-frame shuffle
+      def small(df: DataFrame): DataFrame =
+        if (delta != null && changed <= 2000000L) broadcast(df) else df
+      // (a) min over CHANGED neighbors' labels ...
+      val nbrCand = edges
+        .join(small(frontier.select(col("u").as("v"), col("lbl").as("nl"))), Seq("v"))
+        .select(col("u"), col("nl").as("c"))
+      // (b) rows whose pointer TARGET changed last round take its new label
+      val parentCand = labels
+        .join(small(frontier.select(col("u").as("lbl"), col("lbl").as("pl"))), Seq("lbl"))
+        .select(col("u"), col("pl").as("c"))
+      // (c) rows that THEMSELVES changed re-jump through their current
+      // pointer against the FULL label frame (label-of-label): without this
+      // a node whose target converged rounds ago would creep one hop per
+      // round — (b) alone decays the doubling into a linear tail once the
+      // wavefront of converged nodes leaves the frontier. With (c), path
+      // lengths keep halving for every still-active row, so a 2^25-hop
+      // chain converges inside the default cap.
+      val selfJump = small(frontier)
+        .join(labels.select(col("u").as("lbl"), col("lbl").as("sj")), Seq("lbl"))
+        .select(col("u"), col("sj").as("c"))
+      val cand = nbrCand.union(parentCand).union(selfJump)
+        .groupBy("u").agg(min("c").as("cm"))
+      val next = labels.join(small(cand), Seq("u"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("cm"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
-      // ... then one pointer-jumping hop (label-of-label): path lengths halve
-      // every round, so convergence is O(log diameter) — a 2^25-hop chain
-      // converges inside the default cap, where plain propagation moves one
-      // hop per round and silently truncated long duplicate chains
-      val next = stepped.join(
-          labels.select(col("u").as("lbl"), col("lbl").as("ll")), Seq("lbl"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
-          col("prev"))
       // Cut the SQL plan: persist() truncates *execution* but not the
       // *logical plan* — each round's `next` references `labels` in three
       // joins, so the plan tree grows ~4^k and deep chains OOM the driver
@@ -289,9 +317,12 @@ object Dedup {
         .internalCreateDataFrame(docs.sparkSession, next.queryExecution.toRdd, next.schema)
         .persist()
       changed = cut.filter(col("lbl") < col("prev")).count() // materializes `cut`
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round=$iter changed=$changed")
       labelsCache.unpersist() // safe: cut is materialized, no recompute through it
       labelsCache = cut
       labels = cut.select(col("u"), col("lbl"))
+      // next round's frontier: a cheap filter over the round's own cache
+      delta = cut.filter(col("lbl") < col("prev")).select(col("u"), col("lbl"))
       iter += 1
     }
     require(changed == 0,
