@@ -82,8 +82,21 @@ object Bench {
   /** Calibration drift threshold: a metric whose surrounding probe ran this
     * much above the block's best sample was measured under load. */
   private[graft] final val CalibDriftMax = 1.3
+  /** Flagged metrics with their drift magnitude (worst bracketing probe over
+    * the block's best sample) — the ranking key for the capped summary list. */
+  private[graft] def calibSuspectDrifts(calibs: Seq[(String, Double)], base: Double): Seq[(String, Double)] =
+    calibs.collect { case (name, worst) if base > 0 && worst > CalibDriftMax * base =>
+      (name, worst / base) }
   private[graft] def calibSuspects(calibs: Seq[(String, Double)], base: Double): Seq[String] =
-    calibs.collect { case (name, worst) if base > 0 && worst > CalibDriftMax * base => name }
+    calibSuspectDrifts(calibs, base).map(_._1)
+
+  /** Merge flagged metrics from both detectors, worst drift first (r15
+    * VERDICT: the summary's 6-capped flag list was insertion-ordered and hid
+    * scale_cc_sec at 7x idle truth behind milder flags). A metric flagged by
+    * both detectors ranks by its larger drift. */
+  private[graft] def rankSuspects(drifts: Seq[(String, Double)]): Seq[String] =
+    drifts.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+      .sortBy { case (k, d) => (-d, k) }.map(_._1)
 
   private def dirBytes(path: String): Long = {
     val f = new java.io.File(path)
@@ -93,6 +106,19 @@ object Bench {
   }
   private def dirBytes_(f: java.io.File): Long =
     if (f.isFile) f.length() else if (f.isDirectory) f.listFiles().map(dirBytes_).sum else 0L
+
+  /** Data files under a table path (committer markers and checksums
+    * excluded). Layout self-description for size metrics: the r15 committed
+    * dump silently ran at 16 output files and its encoded_size_ratio read as
+    * a fake 4.3% codec win — every dump now records the file count so
+    * cross-run ratios are only compared layout-matched. */
+  private def dataFileCount(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L else 1L }
+      else if (f.isDirectory) f.listFiles().map(walk).sum
+      else 0L
+    walk(new java.io.File(path))
+  }
 
   /** The 8M-row scale blocks (probe/compact/zorder/delete/cc/spj).
     * Runs in a freshly forked JVM in the default bench flow — see main. */
@@ -150,6 +176,10 @@ object Bench {
     scaleDf.write.format("nimble").option("rowsPerChunk", "16384")
       .mode("overwrite").save(scaleNoDir)
     scaleDf.unpersist()
+    // layout self-description (chunk counters halve when file count halves —
+    // the r15 16-vs-32-file ambiguity must be decidable from the dump alone)
+    results("scale_idx_files") = dataFileCount(scaleIdxDir).toDouble
+    results("scale_noidx_files") = dataFileCount(scaleNoDir).toDouble
     // deterministic probe key: md5("k12345") exactly as the generator wrote it
     val probeSkey = java.security.MessageDigest.getInstance("MD5")
       .digest("k12345".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -502,6 +532,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // run identity: the r15 summary (driver run) and the tracked full dump
+    // (builder's earlier run) silently described DIFFERENT runs. Every run
+    // now mints an id that appears in the summary line, inside the dump, and
+    // in the dump's filename — two artifacts match iff their ids match.
+    val runId = f"${Tablet.hashLongValue(System.nanoTime() ^
+      (ProcessHandle.current().pid() << 24) ^ System.currentTimeMillis()) & 0xffffffffL}%08x"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -679,9 +715,21 @@ object Bench {
     }
 
     // ---- encoded size ----
+    results("bench_cpus") = cpus.toDouble
+    val nimbleFiles = dataFileCount(nimbleLi)
+    results("size_nimble_files") = nimbleFiles.toDouble
+    results("size_parquet_files") = dataFileCount(s"$sfDir/lineitem.parquet").toDouble
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble
-    results("encoded_size_ratio") = results("size_nimble_bytes") / results("size_parquet_bytes")
+    val sizeRatio = results("size_nimble_bytes") / results("size_parquet_bytes")
+    // layout-pinned ratio: per-file metadata (footer + NDV blocks + v14 chunk
+    // directory) is a whole-percent fraction at sf0.1, so the ratio is only
+    // comparable between runs with the same output file count. The plain
+    // metric name is reserved for the driver contract's 32-file layout
+    // (repartition(cpus) at 32 cpus); any other layout emits under an
+    // explicitly off-layout name so it can never masquerade as the headline.
+    if (nimbleFiles == 32) results("encoded_size_ratio") = sizeRatio
+    else results("encoded_size_ratio_offlayout") = sizeRatio
 
     // ---- headline queries over the connector ----
     val headline = Seq("q13_tpch_q1", "q14_tpch_q6", "q15_join_agg", "q16_window",
@@ -769,9 +817,9 @@ object Bench {
     // five repeats; (2) calibration drift — single-shot scale metrics whose
     // surrounding fixed-cost probe ran >1.3x above the scale block's best
     // sample (the r13 hole: the repeat detector cannot see one-shot metrics)
-    val minMedianSuspects = mins.collect {
+    val minMedianDrifts = mins.collect {
       case (k, mn) if isLoadSuspect(mn, results(k),
-        if (k.endsWith("_nspe")) 0.5 else 0.010) => k
+        if (k.endsWith("_nspe")) 0.5 else 0.010) => (k, results(k) / math.max(mn, 1e-12))
     }.toSeq
     // the drift base is the best probe sample seen by EITHER block (the
     // scale fork's fresh JVM included): a box loaded end-to-end inflates
@@ -782,8 +830,9 @@ object Bench {
     val calBase =
       if (scaleCalBase > 0 && mainCalBase > 0) math.min(scaleCalBase, mainCalBase)
       else math.max(scaleCalBase, mainCalBase)
-    val suspects = (minMedianSuspects ++ calibSuspects(scaleCalibs.toSeq, calBase)
-      ++ calibSuspects(mainCalibs.toSeq, calBase)).distinct
+    val suspects = rankSuspects(minMedianDrifts
+      ++ calibSuspectDrifts(scaleCalibs.toSeq, calBase)
+      ++ calibSuspectDrifts(mainCalibs.toSeq, calBase))
     // codec compression ratios are deterministic (same seed, same selection):
     // any drift vs the previous round's artifact is a code change, and ratio
     // drift WITHOUT a deliberate codec change alongside timing swings means
@@ -801,22 +850,25 @@ object Bench {
     writeFullDump(
       results.toMap ++ scaleCalibs.map { case (k, v) => (k + "_calib_ns", v) }
         ++ mainCalibs.map { case (k, v) => (k + "_calib_ns", v) },
-      mins.toMap, suspects, ratioDrift, sfDir)
+      mins.toMap, suspects, ratioDrift, sfDir, runId)
     println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir,
-      fullName = roundFullDumpName()))
+      fullName = roundFullDumpName(runId = runId), runId = runId))
     spark.stop()
   }
 
-  /** The tracked per-round full-dump name (bench_full_r{N}.json, N = the
-    * round being built = newest committed BENCH_r artifact + 1): the r14
-    * gitignored bench_full.json was overwritten by a later idle run, making
-    * the flagged run's full metrics unrecoverable — the archived copy keeps
-    * summary and full dump describing the same run. */
-  private[graft] def roundFullDumpName(dir: String = "."): String = {
+  /** The tracked per-round full-dump name
+    * (bench_full_r{N}_{runId}.json, N = the round being built = newest
+    * committed BENCH_r artifact + 1): the r14 gitignored bench_full.json was
+    * overwritten by a later idle run, and the r15 per-round name was still
+    * overwritten by the driver's post-commit run — the run id in the NAME
+    * means no later run of the same round can clobber this one, and the
+    * summary's "full"/"run" fields point at exactly this file. */
+  private[graft] def roundFullDumpName(dir: String = ".", runId: String = ""): String = {
     val prev = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
       .map(_.group(1).toInt)
-    s"bench_full_r${if (prev.isEmpty) 1 else prev.max + 1}.json"
+    val suffix = if (runId.isEmpty) "" else s"_$runId"
+    s"bench_full_r${if (prev.isEmpty) 1 else prev.max + 1}$suffix.json"
   }
 
   /** 6-significant-digit compact JSON number: the driver's artifact capture
@@ -856,7 +908,7 @@ object Bench {
   private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
       mins: Seq[(String, Double)], suspects: Seq[String], ratioDrift: Seq[String],
       sfDir: String, budget: Int = 1880,
-      fullName: String = "bench_full.json"): String = {
+      fullName: String = "bench_full.json", runId: String = "local"): String = {
     val rm = results.toMap
     // tier 1: headline medians/counters (no codec grid);
     // tier 2a: best-of-five mins for the QUERY timings — these outrank the
@@ -868,13 +920,16 @@ object Bench {
     // tier 2b: probe mins; tier 4: codec decode grid; tier 5: encode grid;
     // tier 6: derived/control extras (*_vs_parquet ratios are derivable
     //   from the two medians)
-    // any EMITTED flagged metric (suspect_metrics caps at 6) forces its
-    // median into tier 1 (r14 ADVICE: the artifact flagged
-    // scale_probe_cascade while the summary filter dropped its value — an
-    // auditor could not see the flagged number)
+    // any EMITTED flagged metric (suspect_metrics caps at 6, drift-ranked
+    // worst-first by the caller) forces its median into tier 1 (r14 ADVICE:
+    // the artifact flagged scale_probe_cascade while the summary filter
+    // dropped its value — an auditor could not see the flagged number);
+    // suspect_n carries the TRUE flag count so a capped list is detectable
+    // from the summary alone (r15: the cap hid 13 of 19 flags)
     val emittedSuspects = suspects.take(6).toSet
     val tier1 = (results.filterNot { case (k, _) =>
-      k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|scale_rows|" +
+      k.matches("codec_.*|scan_.*_parquet_1file|size_.*_bytes|size_.*_files|" +
+        "scale_rows|scale_idx_files|scale_noidx_files|bench_cpus|" +
         "write_rows_per_sec|write_vs_parquet_ratio|scan_full_vs_parquet_ratio|" +
         "scale_delete_rewritten|scale_sql_update_files|scale_probe_cascade|" +
         "calib_base_ns|scale_calib_base_ns|scale_loadavg_.*")
@@ -892,7 +947,8 @@ object Bench {
     val tier4 = results.filter(_._1.matches("codec_.*_dec_nspe"))
     val tier5 = results.filter(_._1.matches("codec_.*_enc_nspe"))
     val tier6 = results.filter { case (k, _) =>
-      k.matches("scan_.*_parquet_1file|size_.*_bytes|scale_rows|write_rows_per_sec|" +
+      k.matches("scan_.*_parquet_1file|size_.*_bytes|size_.*_files|scale_rows|" +
+        "scale_idx_files|scale_noidx_files|bench_cpus|write_rows_per_sec|" +
         "write_vs_parquet_ratio|scan_full_vs_parquet_ratio|scale_delete_rewritten|" +
         "scale_sql_update_files|scale_probe_cascade|calib_base_ns|" +
         "scale_calib_base_ns|scale_loadavg_.*")
@@ -903,8 +959,9 @@ object Bench {
     val driftJson = ratioDrift.take(6).map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(entries: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt6(total)},"unit":"sec","queries":${obj(entries)},""" +
-        s""""load_suspect":${suspects.nonEmpty},"suspect_metrics":$suspectJson,""" +
-        s""""codec_ratio_drift":$driftJson,"full":"$fullName","sf":"$sfDir"}"""
+        s""""load_suspect":${suspects.nonEmpty},"suspect_n":${suspects.length},""" +
+        s""""suspect_metrics":$suspectJson,""" +
+        s""""codec_ratio_drift":$driftJson,"run":"$runId","full":"$fullName","sf":"$sfDir"}"""
     val tiers = Seq(tier1, tier2a, tier3, tier2b, tier4, tier5, tier6)
       .scanLeft(Seq.empty[(String, Double)])(_ ++ _).drop(1)
     tiers.reverse.find(t => line(t).length <= budget).map(line)
@@ -912,22 +969,25 @@ object Bench {
   }
 
   private def writeFullDump(results: Map[String, Double], mins: Map[String, Double],
-      suspects: Seq[String], ratioDrift: Seq[String], sfDir: String): Unit = {
+      suspects: Seq[String], ratioDrift: Seq[String], sfDir: String,
+      runId: String): Unit = {
     try {
       val all = results.toSeq.sortBy(_._1) ++
         mins.toSeq.sortBy(_._1).map { case (k, v) => (k + "_min", v) }
       val qs = all.map { case (k, v) =>
         "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) -1.0 else v) }
         .mkString("{", ",", "}")
-      val txt = s"""{"queries":$qs,"load_suspect":${suspects.nonEmpty},""" +
+      val txt = s"""{"run_id":"$runId","queries":$qs,""" +
+        s""""load_suspect":${suspects.nonEmpty},"suspect_n":${suspects.length},""" +
         s""""suspect_metrics":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""codec_ratio_drift":${ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         txt.getBytes("UTF-8"))
-      // tracked per-round archive — later idle runs of this round overwrite
-      // it too, but the NEXT round's runs no longer can (r14 ADVICE)
-      java.nio.file.Files.write(java.nio.file.Paths.get(roundFullDumpName()),
+      // tracked per-round archive, run-id-named: no later run — not even the
+      // driver's post-commit one — can overwrite this run's dump (r15 ADVICE:
+      // summary and tracked dump must describe the same run)
+      java.nio.file.Files.write(java.nio.file.Paths.get(roundFullDumpName(runId = runId)),
         txt.getBytes("UTF-8"))
     } catch { case _: Exception => () } // best-effort side artifact
   }

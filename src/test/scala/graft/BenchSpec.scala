@@ -126,4 +126,43 @@ class BenchSpec extends AnyFunSuite {
       results.map(_._1), patterns.map(p => s"codec_${p}_ratio"), "/root/testdata/sf0.1")
     assert(worst.length <= 1880, s"worst-case line ${worst.length} chars")
   }
+
+  test("suspects rank worst-drift-first and the summary carries the true count") {
+    // r15 hole: the 6-capped flag list was insertion-ordered — scale_cc_sec
+    // at 7x idle truth hid behind six milder flags and the summary gave no
+    // hint that 13 more flags existed in the full dump.
+    val ranked = Bench.rankSuspects(Seq(
+      "q16_window" -> 1.4, "scale_cc_sec" -> 7.0, "x02_neardup_jaccard" -> 1.6,
+      // flagged by BOTH detectors: the larger drift wins the rank
+      "q16_window" -> 2.2, "scale_compact_sec" -> 1.9))
+    assert(ranked == Seq("scale_cc_sec", "q16_window", "scale_compact_sec",
+      "x02_neardup_jaccard"), s"got $ranked")
+
+    // a synthetic loaded run with 19 flags: the emitted list is the 6 worst,
+    // in drift order, and suspect_n records all 19
+    val names = (1 to 19).map(i => f"metric_$i%02d")
+    val drifts = names.zipWithIndex.map { case (n, i) => n -> (1.4 + i * 0.3) }
+    val suspects = Bench.rankSuspects(drifts)
+    val results = names.map(_ -> 0.5)
+    val line = Bench.renderLine(1.0, results, Nil, suspects, Nil, "/sf")
+    assert(line.contains("\"suspect_n\":19"), line)
+    val listed = "\"suspect_metrics\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(line).get.group(1).split(",").map(_.replace("\"", "")).toSeq
+    assert(listed == names.reverse.take(6), s"got $listed")
+    // every emitted flagged metric still forces its median into the line
+    for (k <- listed) assert(line.contains("\"" + k + "\":"), s"flagged $k has no value in:\n$line")
+  }
+
+  test("run id threads through the summary line and the dump name") {
+    val line = Bench.renderLine(1.0, Seq("a" -> 1.0), Nil, Nil, Nil, "/sf",
+      fullName = "bench_full_r9_cafe1234.json", runId = "cafe1234")
+    assert(line.contains("\"run\":\"cafe1234\""), line)
+    assert(line.contains("\"full\":\"bench_full_r9_cafe1234.json\""), line)
+    val dir = java.nio.file.Files.createTempDirectory("benchrun").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r7.json").toPath, "{}".getBytes)
+    assert(Bench.roundFullDumpName(dir.getAbsolutePath, "cafe1234") == "bench_full_r8_cafe1234.json")
+    // two runs of the same round can never clobber each other's dump
+    assert(Bench.roundFullDumpName(dir.getAbsolutePath, "beef5678") !=
+      Bench.roundFullDumpName(dir.getAbsolutePath, "cafe1234"))
+  }
 }
