@@ -241,7 +241,7 @@ object Dedup {
     * persist per round and unpersist as soon as the next round materializes,
     * so lineage never re-computes earlier rounds. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, broadcastMaxRows: Long = 2000000L): DataFrame = {
     // id-type-generic (string doc ids work like every other Dedup op):
     // labels compare with least()/min(), which order strings binary-wise
     val e = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -270,10 +270,11 @@ object Dedup {
     var delta: DataFrame = null // null = round 1 evaluates everything
     while (changed > 0 && iter < maxIters) {
       val frontier = if (delta == null) labels else delta
-      // broadcast the delta side once it is small: both candidate joins and
-      // the final update then run map-side — no full-frame shuffle
+      // broadcast the delta side once it is small: the candidate joins then
+      // run map-side — no full-frame shuffle. `changed` is EXACTLY the
+      // frontier's row count, so this hint is bounded by construction.
       def small(df: DataFrame): DataFrame =
-        if (delta != null && changed <= 2000000L) broadcast(df) else df
+        if (delta != null && changed <= broadcastMaxRows) broadcast(df) else df
       // (a) min over CHANGED neighbors' labels ...
       val nbrCand = edges
         .join(small(frontier.select(col("u").as("v"), col("lbl").as("nl"))), Seq("v"))
@@ -292,9 +293,24 @@ object Dedup {
       val selfJump = small(frontier)
         .join(labels.select(col("u").as("lbl"), col("lbl").as("sj")), Seq("lbl"))
         .select(col("u"), col("sj").as("c"))
-      val cand = nbrCand.union(parentCand).union(selfJump)
+      val candRaw = nbrCand.union(parentCand).union(selfJump)
         .groupBy("u").agg(min("c").as("cm"))
-      val next = labels.join(small(cand), Seq("u"), "left")
+      // r15 ADVICE: `changed` bounds the FRONTIER, not the candidate set —
+      // cand is the union of the frontier's NEIGHBORS (plus pointer rows),
+      // and one changed high-degree hub makes it orders of magnitude larger
+      // than the frontier; a blind broadcast(cand) keyed on frontier size
+      // OOMs the driver. When the frontier is small enough that a broadcast
+      // is even on the table, materialize cand and gate on its OWN count
+      // (the persist makes the count a one-pass overhead — the update join
+      // below reads the cache either way); big frontiers go straight to the
+      // shuffle join with no extra job.
+      val (cand, candCache) =
+        if (delta != null && changed <= broadcastMaxRows) {
+          val c = candRaw.persist()
+          val n = c.count()
+          (if (n <= broadcastMaxRows) broadcast(c) else c, c :: Nil)
+        } else (candRaw, Nil)
+      val next = labels.join(cand, Seq("u"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("cm"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
       // Cut the SQL plan: persist() truncates *execution* but not the
@@ -317,6 +333,7 @@ object Dedup {
         .internalCreateDataFrame(docs.sparkSession, next.queryExecution.toRdd, next.schema)
         .persist()
       changed = cut.filter(col("lbl") < col("prev")).count() // materializes `cut`
+      candCache.foreach(_.unpersist()) // safe: cut is materialized
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round=$iter changed=$changed")
       labelsCache.unpersist() // safe: cut is materialized, no recompute through it
       labelsCache = cut

@@ -255,6 +255,26 @@ class OpsSpec extends SparkTestBase {
     assert(solo == 0)
   }
 
+  test("dedupClusters: a changed hub whose candidate set dwarfs the frontier stays correct under a tiny broadcast cap") {
+    import spark.implicits._
+    // r15 ADVICE shape: after round 1 a SINGLE node (the hub) changes, but
+    // its candidate set is all of its neighbors — frontier size 1, cand
+    // size ~n. With broadcastMaxRows=4 the frontier qualifies for the
+    // broadcast path while cand must NOT be broadcast (its count exceeds
+    // the cap); the gate-on-cand's-own-count keeps the run on shuffle
+    // joins and the labels still converge to the star minimum. The graph:
+    // leaves 10..59 all pair with hub 100, and edge (100, 5) drags the
+    // whole star down to 5 — the hub changes in round 2 (via 5), and its
+    // 50 leaves become candidates of a 1-row frontier.
+    val ids = (Seq(5L, 100L) ++ (10L until 60L)).toDF("doc_id")
+    val pairs = (10L until 60L).map(l => (100L, l)).toDF("a", "b")
+      .union(Seq((100L, 5L)).toDF("a", "b"))
+    val got = Dedup.dedupClusters(ids, "doc_id", pairs, broadcastMaxRows = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 5L), s"star must collapse to 5: $got")
+    assert(got.size == 52)
+  }
+
   test("dedupApply keeps exactly the cluster-min doc per cluster plus singletons") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 7L, 10L, 12L, 20L).toDF("doc_id")
