@@ -1810,18 +1810,45 @@ object Tablet {
       ord += 1
     }
 
-    private def decodeShared(cur: ByteCursor): DictBytesCol = {
+    private def ensureSharedAlphabet(): Unit = {
       if (sharedAlphabet == null && pendingAlphabet != null) {
         val (compLen, rawLen, kind, dataPos) = pendingAlphabet
         sharedAlphabet = Codecs.decodeColumn(payloadCursor(compLen, rawLen, kind, dataPos))
           .asInstanceOf[BytesCol]
       }
       require(sharedAlphabet != null, "shared-dict chunk before its alphabet frame")
+    }
+
+    private def decodeShared(cur: ByteCursor): DictBytesCol = {
+      ensureSharedAlphabet()
       val idxCol = Codecs.decodeColumn(cur).asInstanceOf[LongsCol]
       val idx = new Array[Int](idxCol.len)
       var i = 0
       while (i < idx.length) { idx(i) = idxCol.values(i).toInt; i += 1 }
       DictBytesCol(sharedAlphabet, idx, idxCol.nulls)
+    }
+
+    /** [[decodeShared]], bounded to rows [from, until): shared-dict is the
+      * one string shape that DECLINES positional reads (alphabet-preserving
+      * by design), so the indexed-lookup fallback was whole-chunk expanding
+      * to verify a handful of candidates. The index sub-stream windows when
+      * its codec seeks (Huffman checkpoints via Codecs.decodeValuesRange);
+      * either way only the window's rows expand through the stripe alphabet
+      * — string materialization, not index decode, is the expensive half. */
+    private def decodeSharedRange(cur: ByteCursor, from: Int, until: Int): (Column, Int) = {
+      ensureSharedAlphabet()
+      val (idxCol0, start0) = Codecs.decodeValuesRange(cur, from, until)
+      val idxCol = idxCol0.asInstanceOf[LongsCol]
+      val lo = from - start0
+      val hi = math.min(until - start0, idxCol.len)
+      val k = hi - lo
+      val idx = new Array[Int](k)
+      var i = 0
+      while (i < k) { idx(i) = idxCol.values(lo + i).toInt; i += 1 }
+      val nulls =
+        if (idxCol.nulls == null) null
+        else java.util.Arrays.copyOfRange(idxCol.nulls, lo, hi)
+      (DictBytesCol(sharedAlphabet, idx, nulls).expand, from)
     }
 
     def next(): Column = {
@@ -1866,7 +1893,7 @@ object Tablet {
       pos = dataPos + compLen
       ord += 1
       val (c, start) =
-        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); (decodeShared(cur).expand, 0) }
+        if (cur.buf(cur.pos) == Codecs.SHAREDDICT) { cur.readByte(); decodeSharedRange(cur, from, until) }
         else Codecs.decodeValuesRange(cur, from, until)
       Codecs.decodedValues.addAndGet(c.len)
       (c, start)

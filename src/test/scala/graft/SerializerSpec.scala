@@ -110,6 +110,34 @@ class SerializerSpec extends SparkTestBase {
       expected.length.toLong)
   }
 
+  test("shared-dict sibling columns window under indexed lookup (string nextRange consumer)") {
+    // shared-dict strings decline positional reads by design, so sibling
+    // materialization takes the nextRange fallback — which must expand a
+    // WINDOW, not the whole chunk (r16: decodeSharedRange). Low-card string
+    // over many small chunks per stripe engages stripe-shared coding.
+    val df = spark.range(4096).selectExpr("id AS k", "concat('cat_', id % 8) AS cat")
+    val dir = tmpDir("lookup_shared")
+    df.coalesce(1).write.format("nimble")
+      .option("indexColumns", "k").option("rowsPerChunk", "256")
+      .mode("overwrite").save(dir)
+    // the premise must hold or the test silently weakens: the cat stream is
+    // actually shared-dict coded (otherwise DICT positional reads would pass
+    // the decode bound without exercising the window path)
+    val r = new graft.format.Tablet.Reader(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gft")).head.getPath)
+    try {
+      val cur = new graft.format.Tablet.ChunkCursor(r.readStreamBytes(0, r.keyId("cat")))
+      assert(cur.peekCodec() == graft.format.Codecs.SHAREDDICT,
+        "premise: cat must be stripe-shared-dict coded")
+    } finally r.close()
+    val (got, m) = graft.format.Lookup.pointLookupMetered(dir, "k", 1234L)
+    assert(got.length == 1 && got.head("cat") == s"cat_${1234 % 8}")
+    // one hit row: k verifies positionally (~1), cat windows (~1) — the
+    // pre-fix whole-chunk expand cost 256 rows for the sibling alone
+    assert(m.rowsDecoded < 64,
+      s"rowsDecoded=${m.rowsDecoded}: shared-dict sibling regressed to whole-chunk expand")
+  }
+
   test("Huffman checkpoints: point lookup decodes a bounded window of the chunk") {
     import graft.format._
     val n = 16384
