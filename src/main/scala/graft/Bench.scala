@@ -721,6 +721,20 @@ object Bench {
     results("size_parquet_files") = dataFileCount(s"$sfDir/lineitem.parquet").toDouble
     results("size_nimble_bytes") = dirBytes(nimbleLi).toDouble
     results("size_parquet_bytes") = dirBytes(s"$sfDir/lineitem.parquet").toDouble
+    // metadata/data A/B (r15 Next #4): per-file footer+directory bytes vs
+    // stripe payload bytes, from the written files' own footers — the split
+    // that decides whether a ratio delta is codec work or file-count tax
+    locally {
+      var dataB = 0L
+      var totB = 0L
+      for (f <- new java.io.File(nimbleLi).listFiles() if f.getName.endsWith(".gft")) {
+        val r = new graft.format.Tablet.Reader(f.getPath)
+        try { dataB += r.footer.stripes.map(_.length).sum; totB += f.length() }
+        finally r.close()
+      }
+      results("size_nimble_data_bytes") = dataB.toDouble
+      results("size_nimble_meta_bytes") = (totB - dataB).toDouble
+    }
     val sizeRatio = results("size_nimble_bytes") / results("size_parquet_bytes")
     // layout-pinned ratio: per-file metadata (footer + NDV blocks + v14 chunk
     // directory) is a whole-percent fraction at sf0.1, so the ratio is only

@@ -237,6 +237,22 @@ object NimbleDump {
               }
             }
           }
+        case "sizes" =>
+          // metadata-vs-data A/B (r15 VERDICT #4): stripe payload bytes vs
+          // everything else (stream directory + chunk-dir stats + file stats
+          // + NDV blocks + schema + postscript), with the NDV block called
+          // out — the per-file fixed costs that small files pay as whole
+          // ratio percents and cluster-scale files amortize to ~0
+          val total = graft.format.GraftIO.status(f).length
+          val data = ft.stripes.map(_.length).sum
+          val ndv = ft.ndvSketches.iterator
+            .map { case (k, regs) => k.getBytes("UTF-8").length + 2 + regs.length }.sum
+          // how much a compressed NDV block would save (registers are
+          // low-entropy rank bytes) — the gate-or-document decision input
+          val ndvZ = ft.ndvSketches.iterator.map { case (_, regs) =>
+            com.github.luben.zstd.Zstd.compress(regs, 3).length }.sum
+          println(f"  total=$total data=$data meta=${total - data} ndv=$ndv ndv_zstd=$ndvZ " +
+            f"meta_frac=${(total - data).toDouble / total}%.5f")
         case "layout" =>
           println(s"  [magic 4B][stripe data ...][footer][postscript 8B][magic]")
           for ((s, i) <- ft.stripes.zipWithIndex)

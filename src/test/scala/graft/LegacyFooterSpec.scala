@@ -317,8 +317,9 @@ class LegacyFooterSpec extends AnyFunSuite {
         newGroups(g) = Tablet.GroupLoc(start.toLong, (out.size - start).toLong)
       }
       // the v13 footer layout IS the v14 layout — only the version byte and
-      // the directory-entry payload differ
-      val fb = Tablet.writeFooter(f.copy(groups = newGroups))
+      // the directory-entry payload differ (raw core: the version byte at
+      // offset 0 is only patchable pre-compression)
+      val fb = Tablet.writeFooterRaw(f.copy(groups = newGroups))
       fb(0) = 13
       out.writeBytes(fb)
       out.writeInt(fb.length)
@@ -394,6 +395,38 @@ class LegacyFooterSpec extends AnyFunSuite {
       }
       raf.close()
     } finally gr.close()
+  }
+
+  test("compressed footer core round-trips; tiny footers stay raw (r16)") {
+    // bulk enough to clear the 512-byte floor AND compress (schema JSON +
+    // NDV registers are the real footer's low-entropy mass)
+    val schema = org.apache.spark.sql.types.StructType((0 until 12).map(i =>
+      org.apache.spark.sql.types.StructField(s"column_name_$i", org.apache.spark.sql.types.LongType)))
+    val ndv = (0 until 12).map(i => s"column_name_$i" -> Hll.empty()).toMap
+    val stats = Array.fill(12)(Tablet.Stats())
+    val f = Tablet.Footer(Tablet.Version, schema.json, Nil, 1000L,
+      (0 until 12).map(i => s"column_name_$i").toArray,
+      Array(Tablet.StripeInfo(4L, 999L, 1000L, 7L)),
+      64, Array(Tablet.GroupLoc(1003L, 50L)), stats, ndvSketches = ndv)
+    val fb = Tablet.writeFooter(f)
+    assert(fb(0) == 0xFF.toByte, "a bulky footer must take the compressed wrapper")
+    assert(fb.length < Tablet.writeFooterRaw(f).length, "wrapper must actually shrink it")
+    val back = Tablet.readFooter(fb)
+    assert(back.version == Tablet.Version)
+    assert(back.schemaJson == schema.json)
+    assert(back.rowCount == 1000L)
+    assert(back.streamKeys.toSeq == (0 until 12).map(i => s"column_name_$i"))
+    assert(back.stripes.head.checksum == 7L)
+    assert(back.ndvSketches.keySet == ndv.keySet)
+    // tiny footer: stays raw (version byte first), parses identically
+    val tiny = Tablet.Footer(Tablet.Version,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType))).json,
+      Nil, 10L, Array("a"), Array(Tablet.StripeInfo(4L, 50L, 10L, 1L)),
+      64, Array(Tablet.GroupLoc(54L, 10L)), Array(Tablet.Stats()))
+    val tb = Tablet.writeFooter(tiny)
+    assert(tb(0) == Tablet.Version.toByte, "tiny footers skip the wrapper")
+    assert(Tablet.readFooter(tb).rowCount == 10L)
   }
 
   test("unknown versions still fail loudly") {
