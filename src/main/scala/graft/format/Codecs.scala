@@ -1418,41 +1418,41 @@ object Codecs {
     * fallback) by GateTrainer part 3 over the corpus + bench-grid shapes,
     * min-support 20 searches, margin pinned midway below each pair's first
     * observed flip. */
-  /** Trained r15 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
-    * 1132 two-candidate searches over corpus + bench-grid + the r15 ranking
-    * extension (fresh seeds/sizes tripling rare-pair support; min support
-    * 12), AFTER the FOR/SIMDFOR estimates became exact (their flat +10
-    * header constant was pessimistic on small streams and caused ~80% of
-    * all top-1 flips — every VARINT/FOR flip sat at n <= 1024). These 21
-    * pairs never flipped below their margin — installing them leaves
-    * encoded sizes BYTE-IDENTICAL on every trainer shape while
-    * single-encodes rise 273 -> 806 of 1132 (production set: remaining
-    * double-encode searches 262 -> 97 across r15; each skipped runner-up
-    * also skips its recursive sub-stream searches, compounding). The
-    * genuinely flippy pairs — SUBINT/TRIVIAL (flips to 0.32), HUFFMAN/DICT
-    * (0.56) — keep the conservative global default: widening them WOULD
-    * change bytes. */
+  /** Trained r16 (`tools/run_main.sh graft.tools.GateTrainer`, part 3):
+    * 1132 labeled searches over corpus + bench-grid + the ranking extension
+    * (nine seeds x two sizes; min support 12). Three r16 rule changes:
+    * (1) pairs where BOTH estimates are exact ([[exactSizeEstimate]])
+    * bypass the margin entirely — 417 of the 1132 searches single-encode by
+    * proof, so they no longer appear in the table; (2) flips BELOW the
+    * production default are recognized as already-accepted single-encode
+    * losses (the default margin emits identical bytes either way), so
+    * margin safety requires flip-freedom only in [default, margin) — this
+    * unlocked SUBINT/TRIVIAL, whose 12 flips all sit below the 0.75 default
+    * (down to ratio 0.32) while its 42 in-band samples never flip; (3) a margin must be backed by
+    * observed flip-free ratios INSIDE the band it opens (HUFFMAN/DICT,
+    * whose every sample flips below the default, trains no override).
+    * Installing this table leaves encoded sizes BYTE-IDENTICAL on every
+    * trainer shape while labeled single-encodes rise 806 -> 1009 of 1132
+    * (production set: 541 of 597 searches single-encode, was 500). The
+    * remaining 123 labeled doubles are dominated by pairs with OBSERVED
+    * in-band flips — DELTABLOCK/DELTA (44 flips in 0.91..0.98),
+    * HUFFMAN/PFOR (20 in 0.75..0.999), FOR/DELTA (8) — where the second
+    * encode is the decision procedure: skipping it changes bytes by
+    * construction, a permanent decline documented in COVERAGE §2.5. */
   private[format] val DefaultTop1PairMax: Map[Int, Double] = Map(
-    pairKey(TRIVIAL, VARINT) -> 0.8750,
-    pairKey(TRIVIAL, SIMDFOR) -> 0.9706,
-    pairKey(TRIVIAL, FOR) -> 0.9629,
     pairKey(TRIVIAL, HUFFMAN) -> 0.9717,
     pairKey(TRIVIAL, DELTABLOCK) -> 0.9210,
-    pairKey(RLE, SIMDFOR) -> 0.8750,
-    pairKey(DICT, TRIVIAL) -> 0.8750,
     pairKey(DICT, FREQPART) -> 0.9793,
-    pairKey(VARINT, FOR) -> 0.9800, // exact-vs-exact estimates: flip-free
-    pairKey(DELTA, SIMDFOR) -> 0.9800,
-    pairKey(DELTA, FOR) -> 0.9800,
+    pairKey(DELTA, SIMDFOR) -> 0.9949,
+    pairKey(DELTA, FOR) -> 0.9950,
     pairKey(MAINLYCONST, HUFFMAN) -> 0.9730,
     pairKey(PFOR, VARINT) -> 0.9016,
-    pairKey(SIMDFOR, TRIVIAL) -> 0.9800,
-    pairKey(SIMDFOR, FOR) -> 0.9250, // payload arithmetic byte-identical
-    pairKey(FOR, VARINT) -> 0.9800,
+    pairKey(SIMDFOR, BLOCKBP) -> 0.9950,
+    pairKey(BLOCKBP, TRIVIAL) -> 0.9476,
+    pairKey(SUBINT, TRIVIAL) -> 0.9950,
     pairKey(FOR, DELTA) -> 0.8892,
-    pairKey(HUFFMAN, PFOR) -> 0.7522,
-    pairKey(HUFFMAN, SIMDFOR) -> 0.9800,
-    pairKey(DELTABLOCK, TRIVIAL) -> 0.9800,
+    pairKey(HUFFMAN, SIMDFOR) -> 0.9938,
+    pairKey(DELTABLOCK, TRIVIAL) -> 0.9950,
     pairKey(DELTABLOCK, DELTA) -> 0.9095)
   @volatile private[format] var Top1PairMax: Map[Int, Double] = DefaultTop1PairMax
   /** Trainer access: null restores the trained defaults; empty disables
@@ -1461,6 +1461,16 @@ object Codecs {
     Top1PairMax = if (t == null) DefaultTop1PairMax else t
   def top1PairTable: Map[Int, Double] = Top1PairMax
   @inline private[graft] def pairKey(a: Byte, b: Byte): Int = ((a & 0xff) << 8) | (b & 0xff)
+
+  /** Ids whose planner size estimate is EXACT — estimate == emitted payload
+    * byte count. TRIVIAL: raw little-endian values (n x width). FOR/SIMDFOR:
+    * zigzag baseline + width byte + ceil-packed residuals (r15 exact
+    * estimates). VARINT: the stats pass sums every value's zigzag varint
+    * length. For a pair of exact ids the estimate ranking IS the exact-size
+    * ranking (same readFactor weighting as emitBest), so double-encoding
+    * them can never flip the winner. */
+  @inline private[graft] def exactSizeEstimate(id: Byte): Boolean =
+    id == TRIVIAL || id == FOR || id == SIMDFOR || id == VARINT
 
   /** When non-null (offline trainer introspection): one entry per candidate
     * search that exact-encoded two candidates — (cost-adjusted estimate
@@ -2315,9 +2325,16 @@ object Codecs {
       if (sorted.length >= 2)
         Top1PairMax.getOrElse(pairKey(sorted(0)._1, sorted(1)._1), Top1RatioMax)
       else Top1RatioMax
+    // r16: when BOTH top candidates carry EXACT size estimates, the ranking
+    // comparison (estSize x readFactor) is the very comparison emitBest
+    // would make on the encoded payloads — the runner-up can never win, so
+    // its encode is skipped at ANY ratio, margin-free and provably
+    // drift-free (ties keep rank-0, matching emitBest's strict-less keep)
+    val bothExact = sorted.length >= 2 &&
+      exactSizeEstimate(sorted(0)._1) && exactSizeEstimate(sorted(1)._1)
     val top =
       if (locked) sorted.filter(_._1 == lockedId).take(1)
-      else if (sorted.length >= 2 && c0 < margin * c1) {
+      else if (sorted.length >= 2 && (bothExact || c0 < margin * c1)) {
         singleEncodes.incrementAndGet()
         sorted.take(1)
       } else sorted.take(2)

@@ -37,7 +37,9 @@ object GateTrainer {
     * weights and estimation thresholds are trained on [[rawPatterns]]
     * alone, and retraining them is not this extension's job. */
   def rankingPatterns(): Seq[(String, Array[Long], Byte)] =
-    rawPatternsSeeded(Seq(99, 123, 2026), Seq(2048, 8192))
+    // r16: three more seeds — the PFOR- and BLOCKBP-second pairs sat at
+    // support 2..11 and defaulted on thinness alone despite zero flips
+    rawPatternsSeeded(Seq(99, 123, 2026, 777, 5150, 31337), Seq(2048, 8192))
 
   private def rawPatternsSeeded(seeds: Seq[Int], sizes: Seq[Int]): Seq[(String, Array[Long], Byte)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Array[Long], Byte)]()
@@ -450,21 +452,52 @@ object GateTrainer {
     for (((id0, id1), ss) <- samples.groupBy(s => (s._3, s._4)).toSeq.sortBy(x => (x._1._1, x._1._2))) {
       val flips = ss.filter(_._2).map(_._1)
       val safe = ss.filterNot(_._2).map(_._1)
-      val minFlip = if (flips.isEmpty) 1.0 else flips.min
+      // r16: flips BELOW the production default are already single-encoded
+      // by the shipping margin — the runner-up is never built there, so the
+      // (sub-optimal) emitted bytes are identical with or without a wider
+      // pair margin. Margin safety therefore only requires flip-freedom in
+      // [default, margin); the below-default flips are reported as the
+      // accepted single-encode losses they already are.
+      val acceptedBelow = flips.count(_ < savedRatio)
+      val flipsAbove = flips.filter(_ >= savedRatio)
+      val minFlip = if (flipsAbove.isEmpty) 1.0 else flipsAbove.min
       val support = ss.size
+      // a margin is only as good as the SAFE evidence inside the band it
+      // opens: hi must be an observed flip-free ratio AT OR ABOVE the
+      // default (a pair whose every sample flipped below the default — e.g.
+      // HUFFMAN/DICT — shows no in-band evidence at all, and extrapolating
+      // flip-freedom into [default, margin) from zero observations is not
+      // pinning)
+      val hiOpt = safe.filter(r => r >= savedRatio && r < minFlip).maxOption
       val status =
         if (support < 12) "thin support, default"
-        else if (minFlip <= savedRatio) "flips under default, default"
+        else if (minFlip <= savedRatio + 1e-9) "flips at default, default"
+        else if (hiOpt.isEmpty) "no in-band safe evidence, default"
         else {
-          val hi = math.max(savedRatio, safe.filter(_ < minFlip).maxOption.getOrElse(0.0))
-          val m = math.min(0.98, hi + (minFlip - hi) / 2.0)
+          val hi = hiOpt.get
+          // cap 0.995 (r16, was 0.98): the midpoint rule already pins the
+          // margin halfway below the first in-band flip; the cap only
+          // guards pairs whose evidence is all-safe up to ~1.0
+          val m = math.min(0.995, hi + (minFlip - hi) / 2.0)
           if (m > savedRatio + 1e-9) { table(Codecs.pairKey(id0, id1)) = m; f"margin=$m%.4f" }
           else "no headroom, default"
         }
-      println(f"  pair ($id0%3d,$id1%3d): n=$support%4d flips=${flips.size}%3d minFlip=$minFlip%.4f -> $status")
+      println(f"  pair ($id0%3d,$id1%3d): n=$support%4d flips=${flips.size}%3d " +
+        f"(accepted-below-default=$acceptedBelow) minFlip=$minFlip%.4f -> $status")
     }
     println("  trained pair table (paste into Codecs.DefaultTop1PairMax):")
     for ((k, v) <- table) println(f"    ${k >> 8} -> ${k & 0xff}: 0x$k%04x -> $v%.4f")
+    // r16: where the remaining doubles live under the trained table — the
+    // demand-#5 worklist (ratios at/above the pair margin double-encode)
+    locally {
+      val inst = table.toMap
+      val doubles = samples.filter { case (r, _, a, b) =>
+        r >= inst.getOrElse(Codecs.pairKey(a, b), savedRatio) }
+      println(s"  remaining doubles under trained table: ${doubles.size}")
+      for (((a, b), ss) <- doubles.groupBy(s => (s._3, s._4)).toSeq.sortBy(-_._2.size))
+        println(f"    pair ($a%3d,$b%3d): ${ss.size}%4d doubles, flips=${ss.count(_._2)}%3d, " +
+          f"ratios ${ss.map(_._1).min}%.4f..${ss.map(_._1).max}%.4f")
+    }
     // verify vs CURRENT production: zero size change on every shape, counted
     // extra single-encodes = the measured work saved
     Codecs.setTop1PairTable(table.toMap)

@@ -936,6 +936,36 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-estimate pairs single-encode at any margin (r16 bypass)") {
+    // TRIVIAL/FOR/SIMDFOR/VARINT carry estimates equal to their emitted
+    // payload bytes; when two of them rank top-2, the estimate comparison
+    // IS emitBest's comparison, so the runner-up encode is provably wasted.
+    // With the global margin forced to 0 (never single-encode by margin)
+    // and the pair table empty, any single-encode that still happens is the
+    // bypass — and no exact-exact pair may appear in the double-encode
+    // trace.
+    val saved = Codecs.top1Ratio
+    val savedT = Codecs.top1PairTable
+    try {
+      Codecs.setTop1Ratio(0.0)
+      Codecs.setTop1PairTable(Map.empty)
+      val s0 = Codecs.singleEncodes.get()
+      val traced = scala.collection.mutable.ArrayBuffer[(Double, Boolean, Byte, Byte)]()
+      for ((_, values, phys) <- graft.tools.GateTrainer.rawPatterns()) {
+        val (_, tr) = Codecs.withRankTrace {
+          val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+        }
+        traced ++= tr
+      }
+      assert(traced.nonEmpty, "corpus must exercise double-encoded searches")
+      for ((_, _, a, b) <- traced)
+        assert(!(Codecs.exactSizeEstimate(a) && Codecs.exactSizeEstimate(b)),
+          s"exact pair ($a,$b) double-encoded despite the bypass")
+      assert(Codecs.singleEncodes.get() - s0 > 0,
+        "the bypass must fire on the corpus even at margin 0")
+    } finally { Codecs.setTop1Ratio(saved); Codecs.setTop1PairTable(savedT) }
+  }
+
   test("trained top-1 pair margins: zero size drift, runner-up encodes measurably skipped") {
     // contract of the shipped DefaultTop1PairMax (GateTrainer part 3): on
     // every trainer shape (corpus + the bench codec-grid generators whose
