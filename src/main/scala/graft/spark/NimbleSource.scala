@@ -698,8 +698,8 @@ object NimbleSource {
   private def confFooterCap(): Int = {
     val v = try {
       org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.scan.footerCacheEntries", "65536").toInt
-    } catch { case _: Throwable => 65536 }
+        .get("spark.graft.scan.footerCacheEntries", DefaultFooterCacheEntries.toString).toInt
+    } catch { case _: Throwable => DefaultFooterCacheEntries }
     math.max(v, 1024)
   }
   private def footerCacheCap: Int = {
@@ -710,6 +710,15 @@ object NimbleSource {
   /** Test hooks: force a tiny cap to exercise eviction; report live size. */
   private[graft] def setFooterCacheCapForTest(n: Int): Unit = footerCacheCapV = n
   private[graft] def footerCacheSize: Int = footerCache.size()
+  /** Default bound for [[footerCache]] — must stay >= [[PlanBatchFiles]] so
+    * a batched plan holds one batch of footers live with zero mid-plan
+    * eviction (PlanScaleSpec pins the inequality). */
+  private[graft] final val DefaultFooterCacheEntries = 65536
+  /** Cache-miss footer reads / eviction-sweep removals since JVM start
+    * (PlanScaleSpec: a plan over N files loads each footer exactly once and
+    * evicts nothing at the default cap). */
+  private[graft] val footerLoads = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val footerEvictions = new java.util.concurrent.atomic.AtomicLong()
   def footerOf(file: String): Tablet.Footer = {
     val mtime = GraftIO.status(file).mtime
     val cached = footerCache.get(file)
@@ -719,6 +728,7 @@ object NimbleSource {
     }
     val r = new Tablet.Reader(file)
     try {
+      footerLoads.incrementAndGet()
       val cf = new CachedFooter(mtime, r.footer)
       cf.tick.set(footerClock.incrementAndGet())
       if (footerCache.size() >= footerCacheCap) {
@@ -735,6 +745,7 @@ object NimbleSource {
         var i = 0
         val evict = entries.size() / 4 + 1
         while (i < evict) { footerCache.remove(entries.get(i)._1); i += 1 }
+        footerEvictions.addAndGet(evict.toLong)
       }
       footerCache.put(file, cf)
       r.footer
