@@ -853,7 +853,7 @@ object Bench {
     // the timings moved for non-code reasons. Compare at the emitted (6
     // significant digit) resolution so re-rounding old full-precision
     // artifacts never reads as drift.
-    val prevRatios = previousBenchRatios()
+    val (ratioBaseline, prevRatios) = previousBenchRatiosWithSource()
     val ratioDrift = results.collect {
       case (k, v) if k.endsWith("_ratio") && k.startsWith("codec_") &&
         prevRatios.get(k).exists(p => fmt6(v) != fmt6(p)) => k
@@ -864,7 +864,7 @@ object Bench {
     writeFullDump(
       results.toMap ++ scaleCalibs.map { case (k, v) => (k + "_calib_ns", v) }
         ++ mainCalibs.map { case (k, v) => (k + "_calib_ns", v) },
-      mins.toMap, suspects, ratioDrift, sfDir, runId)
+      mins.toMap, suspects, ratioDrift, sfDir, runId, ratioBaseline)
     println(renderLine(total, results.toSeq, mins.toSeq, suspects, ratioDrift, sfDir,
       fullName = roundFullDumpName(runId = runId), runId = runId))
     spark.stop()
@@ -984,7 +984,7 @@ object Bench {
 
   private def writeFullDump(results: Map[String, Double], mins: Map[String, Double],
       suspects: Seq[String], ratioDrift: Seq[String], sfDir: String,
-      runId: String): Unit = {
+      runId: String, ratioBaseline: String = "none"): Unit = {
     try {
       val all = results.toSeq.sortBy(_._1) ++
         mins.toSeq.sortBy(_._1).map { case (k, v) => (k + "_min", v) }
@@ -995,7 +995,7 @@ object Bench {
         s""""load_suspect":${suspects.nonEmpty},"suspect_n":${suspects.length},""" +
         s""""suspect_metrics":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""codec_ratio_drift":${ratioDrift.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""sf":"$sfDir"}"""
+        s""""ratio_baseline":"$ratioBaseline","sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         txt.getBytes("UTF-8"))
       // tracked per-round archive, run-id-named: no later run — not even the
@@ -1012,7 +1012,16 @@ object Bench {
     * truncated the bench line, recorded as "parsed": null — round 8) is
     * skipped in favor of the next older one: a driver-side truncation must
     * never fail the spec that guards against it. */
-  private[graft] def previousBenchRatios(dir: String = "."): Map[String, Double] = {
+  private[graft] def previousBenchRatios(dir: String = "."): Map[String, Double] =
+    previousBenchRatiosWithSource(dir)._2
+
+  /** Same, plus the NAME of the artifact that supplied the baseline: the
+    * reference can be several rounds old (a loaded round's summary drops
+    * tier 3 under budget and carries no ratio values — r14 and r15 both
+    * did), so a drift flag is only auditable when the dump says what it was
+    * compared against (r16: BENCH_r16 re-flagged the two known r15
+    * seekability-tail deltas because its baseline was BENCH_r13). */
+  private[graft] def previousBenchRatiosWithSource(dir: String = "."): (String, Map[String, Double]) = {
     try {
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -1025,9 +1034,9 @@ object Bench {
         val ratios = "\"(codec_\\w+_ratio)\\\\?\":\\s*([-0-9.eE+]+)".r.findAllMatchIn(text)
           .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption.map(m.group(1) -> _))
           .toMap
-        if (!truncated && ratios.nonEmpty) return ratios
+        if (!truncated && ratios.nonEmpty) return (f.getName, ratios)
       }
-      Map.empty
-    } catch { case _: Exception => Map.empty }
+      ("none", Map.empty)
+    } catch { case _: Exception => ("none", Map.empty) }
   }
 }
