@@ -516,6 +516,30 @@ object GateTrainer {
     val tookDefault = Codecs.singleEncodes.get() - single1
     println(s"size drift vs production with pair table installed: $drift shapes; " +
       s"single-encodes $tookDefault -> $tookTrained of ${samples.size} searches")
+    // r16: what do the ACCEPTED losses cost? Flips below a margin emit the
+    // rank-0 candidate where the runner-up is smaller — production trades
+    // those bytes for the skipped encode. Exhaustive-top2 (margin 0, no
+    // pair table; the exact-pair bypass stays, it is lossless by proof) is
+    // the best this cost model can emit; the delta vs production is the
+    // total size the margins give up.
+    locally {
+      var prodBytes = 0L
+      var exhBytes = 0L
+      for ((name, values, phys) <- shapes) {
+        val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+        prodBytes += s.size
+      }
+      Codecs.setTop1Ratio(0.0)
+      Codecs.setTop1PairTable(Map.empty)
+      try {
+        for ((_, values, phys) <- shapes) {
+          val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+          exhBytes += s.size
+        }
+      } finally { Codecs.setTop1Ratio(savedRatio); Codecs.setTop1PairTable(savedTable) }
+      println(f"accepted-flip size loss: production $prodBytes B vs exhaustive-top2 $exhBytes B " +
+        f"(+${(prodBytes - exhBytes).toDouble * 100.0 / exhBytes}%.4f%%)")
+    }
     // round-comparable take-rate: the production set alone (the 705-search
     // denominator earlier rounds reported)
     val prodShapes = rawPatterns() ++ benchGridPatterns()
