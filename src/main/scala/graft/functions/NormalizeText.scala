@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,20 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the overwhelmingly common case in web corpora scans every byte once).
   */
 case class NormalizeText(child: Expression, nfkc: Boolean, stripAccents: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_normalize"
 
-  override def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
-    val bytes = u.getBytes
-    var ascii = true
-    var i = 0
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
-    if (ascii) u // NFC/NFKC and accent-strip are identity on ASCII
-    else UTF8String.fromString(NormalizeText.normalize(u.toString, nfkc, stripAccents))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.kernel(input.asInstanceOf[UTF8String], nfkc, stripAccents)
+
+  // r16: real doGenCode — the ASCII fast path (the overwhelmingly common
+  // web-corpus case) now runs inside the whole-stage span instead of
+  // bouncing through the fallback's per-row InternalRow
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.NormalizeText.kernel($text, $nfkc, $stripAccents);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -39,6 +39,16 @@ object NormalizeText {
   import java.text.Normalizer
 
   private val marks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Scalar kernel shared by eval and the generated code. */
+  def kernel(u: UTF8String, nfkc: Boolean, stripAccents: Boolean): UTF8String = {
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) u // NFC/NFKC and accent-strip are identity on ASCII
+    else UTF8String.fromString(normalize(u.toString, nfkc, stripAccents))
+  }
 
   def normalize(s: String, nfkc: Boolean, stripAccents: Boolean): String = {
     val form = if (nfkc) Normalizer.Form.NFKC else Normalizer.Form.NFC

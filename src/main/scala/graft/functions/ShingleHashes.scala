@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,18 +23,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * single fused pass is ~30x faster on the near-dup path, which matters when
   * every document of a 100 TB corpus flows through it. Preferred extension
   * mechanism per SURVEY.md §4 (custom Expression set for §2.8 text ops).
-  */
+  * r16: real doGenCode (one static kernel call) — CodegenFallback broke the
+  * whole-stage span and paid a per-row InternalRow + interpreted tree on
+  * the hottest text path. */
 case class ShingleHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_shingle_hashes"
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  override def nullSafeEval(textAny: Any, nAny: Any): Any =
+    ShingleHashes.kernel(textAny.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
 
-  override def nullSafeEval(textAny: Any, nAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    val text = textAny.asInstanceOf[UTF8String].toLowerCase.toString
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, n) =>
+      s"${ev.value} = graft.functions.ShingleHashes.kernel($text, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Scalar kernel shared by eval and the generated code. */
+  def kernel(textRaw: UTF8String, n: Int): UnsafeArrayData = {
+    val text = textRaw.toLowerCase.toString
     val words = ws.split(text, -1)
     val count = math.max(words.length - n, 0) + 1
     // encode each word ONCE; shingle bytes assemble in a reusable buffer —
@@ -71,11 +85,6 @@ case class ShingleHashes(left: Expression, right: Expression)
       if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-object ShingleHashes {
   /** Register `graft_shingle_hashes(text, n)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Registry.ensure(spark, "graft_shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,19 +16,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * A custom Expression (not a UDF) so the whole computation stays inside the
   * operator without an explode x32 row blowup — the preferred extension
   * mechanism per SURVEY.md §4 (custom Expression set for §2.8 text ops).
-  */
-case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+  * r16: real doGenCode (static kernel call, thread-local MD5 instance —
+  * MessageDigest.getInstance ran once per ROW under the fallback). */
+case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash32"
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash32.kernel(input.asInstanceOf[UTF8String]))
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.SimHash32.kernel($text);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Scalar kernel shared by eval and the generated code. */
+  def kernel(input: UTF8String): Long = {
+    val text = input.toLowerCase.toString
     val tokens = ws.split(text, -1)
     val votes = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
     var t = 0
     while (t < tokens.length) {
       md.reset()
@@ -49,14 +67,9 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
       if (votes(b) > 0) sig |= 1L << b
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash32 {
   /** Register `graft_simhash32` in the session's function registry
     * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

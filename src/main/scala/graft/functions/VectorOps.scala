@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -12,32 +12,55 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * single fused pass per row — Spark's higher-order functions evaluate
   * interpreted per element, which dominates the embedding ops' runtime at
   * 64 dims x millions of pairs.
+  *
+  * r16: CosineSim and LshBucket/LshProbes implement real `doGenCode` —
+  * CodegenFallback kept each call OUT of whole-stage codegen (an
+  * InternalRow is materialized and the expression tree interpreted per
+  * row, per pair in the blocked cosine joins). The generated code shares
+  * the scalar kernels below with the interpreted path, so eval and codegen
+  * are bit-identical by construction.
   */
 
 /** cosine(a, b) over two float arrays; null if lengths differ or any element
   * is null (zip_with padding semantics of the composed form). */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
-    val a = aAny.asInstanceOf[ArrayData]
-    val b = bAny.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (b.numElements() != n) return null
-    var dot = 0.0; var daa = 0.0; var dbb = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; daa += x * x; dbb += y * y
-      i += 1
-    }
-    java.lang.Double.valueOf(dot / (math.sqrt(daa) * math.sqrt(dbb)))
-  }
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    VectorOps.cosineKernel(aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // inline fused loop (no helper call, no boxing): identical statement
+      // order to cosineKernel, so the accumulated doubles are bit-equal
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val daa = ctx.freshName("daa")
+      val dbb = ctx.freshName("dbb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $daa = 0.0; double $dbb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $x = (double) $a.getFloat($i);
+            double $y = (double) $b.getFloat($i);
+            $dot += $x * $y; $daa += $x * $x; $dbb += $y * $y;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+          }
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -48,34 +71,21 @@ case class CosineSim(left: Expression, right: Expression)
   * pmod(d*2654435761 + p*40503 + 7, 1000003) / 500001.5 - 1. Returns 0 when
   * the vector length differs from `dims` (composed-form null semantics). */
 case class LshBucket(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_lsh_bucket"
 
-  override def nullSafeEval(vAny: Any, dimsAny: Any, planesAny: Any): Any = {
-    val v = vAny.asInstanceOf[ArrayData]
-    val dims = dimsAny.asInstanceOf[Int]
-    val planes = planesAny.asInstanceOf[Int]
-    if (v.numElements() != dims) return java.lang.Long.valueOf(0L)
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var acc = 0.0
-      var d = 0
-      while (d < dims) {
-        if (v.isNullAt(d)) { acc = Double.NaN; d = dims }
-        else {
-          val w = ((d.toLong * 2654435761L + p.toLong * 40503L + 7L) % 1000003L).toDouble / 500001.5 - 1.0
-          acc += v.getFloat(d).toDouble * w
-          d += 1
-        }
-      }
-      if (acc >= 0) bucket += 1L << p
-      p += 1
-    }
-    java.lang.Long.valueOf(bucket)
-  }
+  override def nullSafeEval(vAny: Any, dimsAny: Any, planesAny: Any): Any =
+    java.lang.Long.valueOf(VectorOps.lshBucketKernel(vAny.asInstanceOf[ArrayData],
+      dimsAny.asInstanceOf[Int], planesAny.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, dims, planes) =>
+      // one static call on unboxed args: the fallback's per-row InternalRow
+      // + interpreted tree is the cost being removed; the kernel is shared
+      // with eval, so results are identical by construction
+      s"${ev.value} = graft.functions.VectorOps.lshBucketKernel($v, $dims, $planes);")
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
@@ -96,16 +106,71 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
   * so a corpus row joins a query's probe list at most once. */
 case class LshProbes(first: Expression, second: Expression, third: Expression,
     fourth: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_lsh_probes"
 
-  override def nullSafeEval(vAny: Any, dimsAny: Any, planesAny: Any, nprobesAny: Any): Any = {
-    val v = vAny.asInstanceOf[ArrayData]
-    val dims = dimsAny.asInstanceOf[Int]
-    val planes = planesAny.asInstanceOf[Int]
-    val nprobes = math.min(nprobesAny.asInstanceOf[Int], planes + 1)
+  override def nullSafeEval(vAny: Any, dimsAny: Any, planesAny: Any, nprobesAny: Any): Any =
+    VectorOps.lshProbesKernel(vAny.asInstanceOf[ArrayData], dimsAny.asInstanceOf[Int],
+      planesAny.asInstanceOf[Int], nprobesAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, dims, planes, nprobes) =>
+      s"${ev.value} = graft.functions.VectorOps.lshProbesKernel($v, $dims, $planes, $nprobes);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object VectorOps {
+  /** Scalar kernel shared by CosineSim's eval and (statement-for-statement)
+    * its generated code: null if lengths differ or any element is null. */
+  def cosineKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(daa) * math.sqrt(dbb)))
+  }
+
+  /** Shared LshBucket kernel (eval + codegen): sign bits of dot products
+    * with the deterministic pseudo-random hyperplanes; 0 on length
+    * mismatch (composed-form semantics). */
+  def lshBucketKernel(v: ArrayData, dims: Int, planes: Int): Long = {
+    if (v.numElements() != dims) return 0L
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dims) {
+        if (v.isNullAt(d)) { acc = Double.NaN; d = dims }
+        else {
+          val w = ((d.toLong * 2654435761L + p.toLong * 40503L + 7L) % 1000003L).toDouble / 500001.5 - 1.0
+          acc += v.getFloat(d).toDouble * w
+          d += 1
+        }
+      }
+      if (acc >= 0) bucket += 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Shared LshProbes kernel (eval + codegen) — see [[LshProbes]] for the
+    * multi-probe construction and the bit-exact margin-ordering contract. */
+  def lshProbesKernel(v: ArrayData, dims: Int, planes: Int,
+      nprobesRaw: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nprobes = math.min(nprobesRaw, planes + 1)
     if (v.numElements() != dims)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L))
     val margin = new Array[Double](planes)
@@ -140,12 +205,6 @@ case class LshProbes(first: Expression, second: Expression, third: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(f: Expression, s: Expression,
-      t: Expression, q: Expression): Expression =
-    copy(first = f, second = s, third = t, fourth = q)
-}
-
-object VectorOps {
   /** Register `graft_cosine(a, b)`, `graft_lsh_bucket(v, dims, planes)` and
     * `graft_lsh_probes(v, dims, planes, nprobes)` (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

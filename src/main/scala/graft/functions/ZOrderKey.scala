@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, TypeUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
@@ -19,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * min/max scale would collapse a Zipfian column into one bucket).
   */
 case class ZBucket(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_zbucket"
@@ -48,9 +49,12 @@ case class ZBucket(left: Expression, right: Expression)
     (0 until arr.numElements()).map(i => arr.get(i, elemType)).toArray
   }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = left.eval(input)
-    if (v == null) return Integer.valueOf(0)
+  /** Binary search shared by eval and the generated code (the boundary
+    * array and interpreted ordering live on this expression instance, which
+    * codegen reaches via addReferenceObj). Boxed input: the generated call
+    * site autoboxes primitives, and the interpreted ordering compares
+    * internal types exactly as eval does. */
+  def bucketOf(v: AnyRef): Int = {
     // first index whose boundary is > v; that index == count of bounds <= v
     var lo = 0
     var hi = bounds.length
@@ -58,7 +62,26 @@ case class ZBucket(left: Expression, right: Expression)
       val mid = (lo + hi) >>> 1
       if (ordering.lteq(bounds(mid), v)) lo = mid + 1 else hi = mid
     }
-    Integer.valueOf(lo)
+    lo
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return Integer.valueOf(0)
+    Integer.valueOf(bucketOf(v.asInstanceOf[AnyRef]))
+  }
+
+  // r16: real doGenCode — this expression runs once per row per clustered
+  // column in a zorder REWRITE (32M rows in the bench block); the fallback
+  // paid a per-row InternalRow + interpreted tree around a binary search
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val ref = ctx.addReferenceObj("zbucket", this)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        int ${ev.value} = ${l.isNull} ? 0 : $ref.bucketOf(${l.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -75,7 +98,7 @@ case class ZBucket(left: Expression, right: Expression)
   * Lake and Iceberg use for OPTIMIZE ZORDER).
   */
 case class ZInterleave(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
   require(children.nonEmpty && children.length <= 8,
     "graft_zinterleave takes 1..8 bucket-id columns")
   override def dataType: DataType = LongType
@@ -94,19 +117,48 @@ case class ZInterleave(children: Seq[Expression])
     var j = 0
     while (j < k) {
       val v = children(j).eval(input)
-      val id = (if (v == null) 0 else v.asInstanceOf[Int]) & 0xff
-      var b = 0
-      while (b < 8) {
-        out |= ((id >> b) & 1).toLong << (b * k + j)
-        b += 1
-      }
+      out = ZInterleave.scatter(out, if (v == null) 0 else v.asInstanceOf[Int], j, k)
       j += 1
     }
     java.lang.Long.valueOf(out)
   }
 
+  // r16: real doGenCode (shared scatter kernel) — runs once per row of a
+  // zorder rewrite; the fallback boxed every child through an InternalRow
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = children.length
+    val gens = children.map(_.genCode(ctx))
+    val acc = ctx.freshName("zout")
+    val steps = gens.zipWithIndex.map { case (g, j) =>
+      s"""
+        ${g.code}
+        $acc = graft.functions.ZInterleave.scatter($acc, ${g.isNull} ? 0 : ${g.value}, $j, $k);"""
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        long $acc = 0L;
+        $steps
+        long ${ev.value} = $acc;""",
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
+}
+
+object ZInterleave {
+  /** Scatter the 8 bits of bucket id `id` of column `j` into the Morton key
+    * (bit b lands at position b*k + j) — shared by eval and codegen. */
+  def scatter(out: Long, id: Int, j: Int, k: Int): Long = {
+    val v = id & 0xff
+    var acc = out
+    var b = 0
+    while (b < 8) {
+      acc |= ((v >> b) & 1).toLong << (b * k + j)
+      b += 1
+    }
+    acc
+  }
 }
 
 object ZOrderKey {
