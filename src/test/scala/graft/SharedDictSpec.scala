@@ -140,6 +140,49 @@ class SharedDictSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("nextRange with a HUFFMAN-coded index stream windows the index decode too") {
+    // the decodeSharedRange fast half: when the shared-dict INDEX stream is
+    // Huffman-coded (zipf-skewed indices beat DICT/FOR), the index decode
+    // itself windows from the nearest 256-row checkpoint instead of
+    // decoding all n index values — the "Huffman checkpoint range decode"
+    // consumer the r15 verdict asked to wire
+    val rnd = new scala.util.Random(3)
+    def zipfIdx(): Int = {
+      val r = rnd.nextDouble()
+      if (r < 0.55) 0 else if (r < 0.8) 1 else if (r < 0.92) 2 else rnd.nextInt(8)
+    }
+    val chunks = (0 until 3).map(_ => bytesCol((0 until 4000).map(_ => lowCard(zipfIdx()))))
+    val path = tmp("sharedhuff")
+    writeChunks(path, chunks)
+    val r = new Tablet.Reader(path)
+    try {
+      // premise: the index sub-stream actually selected HUFFMAN (viewNext
+      // reports the index encoding for shared-dict chunks) — otherwise this
+      // arm silently degrades to the slice-only path SharedDictSpec already
+      // covers
+      val vcur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      assert(vcur.peekCodec() == Codecs.SHAREDDICT)
+      assert(vcur.viewNext().id == Codecs.HUFFMAN,
+        "premise: zipf-skewed indices must Huffman-code")
+      val full = {
+        val c = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+        c.skip()
+        c.next().asInstanceOf[BytesCol]
+      }
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      cur.skip()
+      val d0 = Codecs.decodedValues.get()
+      val (win, start) = cur.nextRange(3300, 3310)
+      val wb = win.asInstanceOf[BytesCol]
+      assert(start <= 3300 && start + wb.len >= 3310)
+      // checkpoint-aligned window: far smaller than the 4000-row chunk
+      assert(wb.len <= 2 * 256 + 16, s"window ${wb.len} rows — index decode did not window")
+      assert(Codecs.decodedValues.get() - d0 == wb.len.toLong)
+      for (rr <- 3300 until 3310)
+        assert(new String(wb(rr - start), "UTF-8") == new String(full(rr), "UTF-8"), s"row $rr")
+    } finally r.close()
+  }
+
   test("skip() stays chunk-aligned across the alphabet frame") {
     val chunks = (0 until 3).map(k => bytesCol((0 until 200).map(i => lowCard((i * (k + 1)) % 8))))
     val path = tmp("skipalign")
