@@ -1020,12 +1020,19 @@ object Bench {
     * tier 3 under budget and carries no ratio values — r14 and r15 both
     * did), so a drift flag is only auditable when the dump says what it was
     * compared against (r16: BENCH_r16 re-flagged the two known r15
-    * seekability-tail deltas because its baseline was BENCH_r13). */
+    * seekability-tail deltas because its baseline had fallen back to
+    * BENCH_r13). The tracked run-named FULL dumps
+    * (bench_full_r{N}_{id}.json) always carry every ratio at full
+    * precision, so within a round they fill the gap a budget-pinched
+    * summary leaves: candidates are ordered newest round first, driver
+    * summary before that round's full dumps. */
   private[graft] def previousBenchRatiosWithSource(dir: String = "."): (String, Map[String, Double]) = {
     try {
-      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
+      val all = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      def roundOf(n: String): Int = "_r(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(-1)
+      val files = (all.filter(_.getName.matches("BENCH_r\\d+\\.json")) ++
+        all.filter(_.getName.matches("bench_full_r\\d+_[0-9a-f]+\\.json")))
+        .sortBy(f => (-roundOf(f.getName), if (f.getName.startsWith("BENCH_")) 0 else 1, f.getName))
       for (f <- files) {
         val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val truncated = text.contains("\"parsed\": null") || text.contains("\"parsed\":null")

@@ -79,6 +79,25 @@ class BenchSpec extends AnyFunSuite {
     assert(ratios("codec_constant_ratio") == 7.5e-6, "fell back past the truncated artifact")
   }
 
+  test("drift baseline prefers the newest round, summary before full dump, and fills summary gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("benchbase").toFile
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, body.getBytes("UTF-8"))
+    // r5: summary with values AND a full dump — the summary (driver
+    // contract) wins within the round
+    write("BENCH_r5.json", """{"tail":"\"codec_random_ratio\":0.5","parsed":{}}""")
+    write("bench_full_r5_aaaa1111.json", """{"queries":{"codec_random_ratio":0.4}}""")
+    val (src5, r5) = Bench.previousBenchRatiosWithSource(dir.getAbsolutePath)
+    assert(src5 == "BENCH_r5.json" && r5("codec_random_ratio") == 0.5, s"$src5 $r5")
+    // r6: budget-pinched summary with NO ratio values (the r14/r15 shape) —
+    // its own round's committed full dump now fills the gap instead of
+    // falling back rounds and re-flagging known old deltas
+    write("BENCH_r6.json", """{"tail":"\"suspect_metrics\":[\"codec_increasing_ratio\"]","parsed":{}}""")
+    write("bench_full_r6_beef2222.json", """{"queries":{"codec_random_ratio":0.7}}""")
+    val (src6, r6) = Bench.previousBenchRatiosWithSource(dir.getAbsolutePath)
+    assert(src6 == "bench_full_r6_beef2222.json" && r6("codec_random_ratio") == 0.7, s"$src6 $r6")
+  }
+
   test("fmt6 renders compact valid-JSON numbers at 6 significant digits") {
     assert(Bench.fmt6(0.10567234567) == "0.105672")
     assert(Bench.fmt6(1.9889730000000003) == "1.98897")
