@@ -251,6 +251,50 @@ class CodecsFuzzSpec extends AnyFunSuite {
     assert(stringSeeks > 20, s"string point reads engaged only $stringSeeks/60 trials")
   }
 
+  test("range-window parity under fuzz: decodeValuesRange == bulk decode on [from, until)") {
+    // the window decoder (Huffman checkpoint seeks, full-decode fallback for
+    // everything else) must agree with the bulk decoder over every random
+    // window, for every codec/null pattern the generators trigger —
+    // including from==0, until==n and single-row windows
+    var windows = 0
+    for (trial <- 0 until 60) {
+      val r = new scala.util.Random(9000 + trial)
+      val values = genLongs(r)
+      if (values.length >= 2) {
+        val nullFrac = nullFracs(r.nextInt(nullFracs.length))
+        val nulls = if (nullFrac == 0.0) null else values.map(_ => r.nextDouble() < nullFrac)
+        val sink = new ByteSink()
+        Codecs.encodeColumn(LongsCol(values, PhysType.I64, nulls), sink)
+        val enc = sink.toArray
+        val bulk = Codecs.decodeColumn(new ByteCursor(enc)).asInstanceOf[LongsCol]
+        val n = values.length
+        for (_ <- 0 until 4) {
+          val from = r.nextInt(n)
+          val until = r.nextInt(3) match {
+            case 0 => math.min(from + 1, n) // single row
+            case 1 => n // to the end
+            case _ => from + 1 + r.nextInt(n - from)
+          }
+          val (col, start) = Codecs.decodeValuesRange(new ByteCursor(enc), from, until)
+          val win = col.asInstanceOf[LongsCol]
+          assert(start <= from && start + win.len >= until,
+            s"trial $trial window [$start, ${start + win.len}) misses [$from, $until)")
+          windows += 1
+          var p = from
+          while (p < until) {
+            val isNull = bulk.nulls != null && bulk.nulls(p)
+            val winNull = win.nulls != null && win.nulls(p - start)
+            assert(winNull == isNull, s"trial $trial null drift at row $p")
+            if (!isNull)
+              assert(win.values(p - start) == bulk.values(p), s"trial $trial value drift at row $p")
+            p += 1
+          }
+        }
+      }
+    }
+    assert(windows > 100, s"fuzz exercised only $windows windows")
+  }
+
   test("serializer fuzz: random scalar rows round-trip") {
     import org.apache.spark.sql.types._
     for (trial <- 0 until 15) {
