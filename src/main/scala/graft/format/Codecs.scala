@@ -1409,6 +1409,12 @@ object Codecs {
   def setTop1Ratio(r: Double): Unit = Top1RatioMax = r
   def top1Ratio: Double = Top1RatioMax
 
+  /** Trainer diagnostics: exact-encode EVERY gated candidate and emit the
+    * true byte-minimum — the size an oracle ranking would reach. Never on
+    * in production (the point of estimates is not paying this). */
+  @volatile private[format] var ExhaustiveEncodeAll: Boolean = false
+  def setExhaustiveEncodeAll(b: Boolean): Unit = ExhaustiveEncodeAll = b
+
   /** TRAINED per-pair margins overriding [[Top1RatioMax]] for specific
     * (estimate-rank-0, estimate-rank-1) candidate pairs: some pairs rank on
     * near-exact size estimates and never flip even at ratios close to 1
@@ -2333,7 +2339,8 @@ object Codecs {
     val bothExact = sorted.length >= 2 &&
       exactSizeEstimate(sorted(0)._1) && exactSizeEstimate(sorted(1)._1)
     val top =
-      if (locked) sorted.filter(_._1 == lockedId).take(1)
+      if (ExhaustiveEncodeAll) sorted // trainer diagnostics only — never production
+      else if (locked) sorted.filter(_._1 == lockedId).take(1)
       else if (sorted.length >= 2 && (bothExact || c0 < margin * c1)) {
         singleEncodes.incrementAndGet()
         sorted.take(1)

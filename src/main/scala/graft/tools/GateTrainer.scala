@@ -539,6 +539,21 @@ object GateTrainer {
       } finally { Codecs.setTop1Ratio(savedRatio); Codecs.setTop1PairTable(savedTable) }
       println(f"accepted-flip size loss: production $prodBytes B vs exhaustive-top2 $exhBytes B " +
         f"(+${(prodBytes - exhBytes).toDouble * 100.0 / exhBytes}%.4f%%)")
+      // r16: the FULL ranking headroom — exact-encode every candidate (the
+      // oracle ranking). The gap beyond exhaustive-top2 is winners the
+      // estimates never even rank into the top 2 (e.g. a DICT whose
+      // fixed-width estimate overshoots its recursive reality).
+      var oracleBytes = 0L
+      Codecs.setExhaustiveEncodeAll(true)
+      try {
+        for ((_, values, phys) <- shapes) {
+          val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
+          oracleBytes += s.size
+        }
+      } finally Codecs.setExhaustiveEncodeAll(false)
+      println(f"full ranking headroom: oracle-encode-all $oracleBytes B " +
+        f"(production +${(prodBytes - oracleBytes).toDouble * 100.0 / oracleBytes}%.4f%%, " +
+        f"top2 +${(exhBytes - oracleBytes).toDouble * 100.0 / oracleBytes}%.4f%%)")
     }
     // round-comparable take-rate: the production set alone (the 705-search
     // denominator earlier rounds reported)
