@@ -58,7 +58,7 @@ object NimbleDump {
     val cmd = args.headOption.getOrElse("info")
     val path = args.lift(1).getOrElse {
       System.err.println("usage: NimbleDump <info|schema|stripes|streams|ndv|encoding|encodingtree|" +
-        "histogram|index|chunkstats|chunkdir|layout|content|verify> <file> [top] [stripe=N]")
+        "histogram|index|chunkstats|chunkdir|sizes|layout|content|verify> <file> [top] [stripe=N]")
       sys.exit(2)
     }
     for (f <- files(path)) {
