@@ -89,6 +89,23 @@ class DslSpec extends SparkTestBase {
     assert(txt.contains("min=0 max=999"), s"chunkdir must show v14 per-chunk min/max:\n$txt")
   }
 
+  test("sizes: metadata/data split renders and adds up (r16)") {
+    val dir = tmpDir("dsl_sizes")
+    spark.range(50000).selectExpr("id", "CAST(id AS STRING) AS s")
+      .coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.NimbleDump.main(Array("sizes", dir))
+    }
+    val txt = out.toString
+    val m = "total=(\\d+) data=(\\d+) meta=(\\d+) ndv=(\\d+) ndv_zstd=(\\d+)".r
+      .findFirstMatchIn(txt).getOrElse(fail(s"sizes must render the split:\n$txt"))
+    val (total, data, meta, ndv) = (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)
+    assert(total == data + meta, s"split must add up: $txt")
+    assert(data > 0 && meta > 0 && ndv > 0, s"non-trivial file must have all parts: $txt")
+    assert(ndv < meta, s"ndv is part of the metadata: $txt")
+  }
+
   test("SHOW INDEX: index columns, regions, entry counts, bloom inventory") {
     val dir = tmpDir("dsl_idx")
     spark.range(5000).selectExpr("id", "xxhash64(id) AS k")
