@@ -271,11 +271,34 @@ object Bench {
     // rebuild included, at bench scale ----
     {
       val cDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-compacted"
+      // small-scale warmup: drive the whole recover+rewrite path once so the
+      // timed runs measure steady state, not JIT compilation of the writer
+      // (the r15 fix zorder/cc got; compact was still first-touch here)
+      locally {
+        val wSrc = s"${System.getProperty("java.io.tmpdir")}/graft-bench/compact-warm"
+        spark.range(40000).select(col("id"),
+            md5(concat(lit("k"), col("id").cast("string"))).as("skey"),
+            (col("id") * 2654435761L % 1000003).cast("double").as("v"))
+          .repartition(8).write.format("nimble").mode("overwrite")
+          .option("indexColumns", "skey").save(wSrc)
+        graft.ops.Compaction.compact(spark, wSrc, s"$wSrc-out", targetFileBytes = 1L << 31)
+      }
+      // min-of-2 (r16 verdict #2: last single-shot metric — four same-code
+      // runs spread 14.9–21.5 s): a co-tenant burst cannot fake a FAST
+      // sample, so the min of two runs is robust where one is a coin flip
       val (cSec, rep) = cal("scale_compact_sec")(time {
         graft.ops.Compaction.compact(spark, scaleIdxDir, cDir, targetFileBytes = 1L << 31)
       })
       assert(rep.rows == scaleRows, s"compaction changed row count: $rep")
-      results("scale_compact_sec") = cSec
+      val (cSec2, rep2) = cal("scale_compact_sec_r2")(time {
+        graft.ops.Compaction.compact(spark, scaleIdxDir, s"$cDir-r2", targetFileBytes = 1L << 31)
+      })
+      assert(rep2.rows == scaleRows, s"compaction r2 changed row count: $rep2")
+      results("scale_compact_sec") = math.min(cSec, cSec2)
+      // flag only when BOTH runs' brackets drifted (zorder/cc rule)
+      calibs("scale_compact_sec") =
+        math.min(calibs("scale_compact_sec"), calibs("scale_compact_sec_r2"))
+      calibs.remove("scale_compact_sec_r2")
 
       // incremental OPTIMIZE on the same table: a 40-file streaming-style
       // tail appends, then compactSmall merges ONLY the tail — the contrast
@@ -727,11 +750,16 @@ object Bench {
     locally {
       var dataB = 0L
       var totB = 0L
-      for (f <- new java.io.File(nimbleLi).listFiles() if f.getName.endsWith(".gft")) {
-        val r = new graft.format.Tablet.Reader(f.getPath)
-        try { dataB += r.footer.stripes.map(_.length).sum; totB += f.length() }
-        finally r.close()
-      }
+      // recursive + null-guarded (r16 ADVICE: a flat listFiles() NPEs on a
+      // non-local fs and misses nested part files)
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+        else if (f.getName.endsWith(".gft")) {
+          val r = new graft.format.Tablet.Reader(f.getPath)
+          try { dataB += r.footer.stripes.map(_.length).sum; totB += f.length() }
+          finally r.close()
+        }
+      walk(new java.io.File(nimbleLi))
       results("size_nimble_data_bytes") = dataB.toDouble
       results("size_nimble_meta_bytes") = (totB - dataB).toDouble
     }

@@ -564,6 +564,12 @@ object Tablet {
     * scale files amortize this to ~0 either way; small files stop paying. */
   private final val FooterCompressed: Byte = 0xFF.toByte
 
+  /** Hard ceiling on a decompressed footer. The largest legitimate footers
+    * (2000-key flatmap name tables + per-stream stats + NDV registers) sit
+    * well under 16 MB; 256 MB leaves two orders of magnitude of headroom
+    * while keeping a corrupt length varint from forcing a 2 GB allocation. */
+  private final val MaxFooterBytes: Int = 256 << 20
+
   def writeFooter(f: Footer): Array[Byte] = {
     val raw = writeFooterRaw(f)
     if (raw.length < 512) return raw // tiny footers: wrapper overhead territory
@@ -627,9 +633,16 @@ object Tablet {
       val c0 = new ByteCursor(bytes)
       c0.readByte()
       val rawLen = c0.readVarint().toInt
+      // bound before allocating: a corrupt varint must not force an
+      // arbitrary multi-GB allocation, and a short decompress must fail
+      // loudly rather than leave a zero-filled tail that parses as garbage
+      require(rawLen > 0 && rawLen <= MaxFooterBytes,
+        s"nimble: compressed footer claims $rawLen raw bytes (max $MaxFooterBytes); corrupt footer")
       val raw = new Array[Byte](rawLen)
-      com.github.luben.zstd.Zstd.decompressByteArray(raw, 0, rawLen,
+      val got = com.github.luben.zstd.Zstd.decompressByteArray(raw, 0, rawLen,
         bytes, c0.pos, bytes.length - c0.pos)
+      require(!com.github.luben.zstd.Zstd.isError(got) && got == rawLen.toLong,
+        s"nimble: footer decompressed to $got bytes, expected $rawLen; corrupt footer")
       return readFooter(raw, filePath)
     }
     val c = new ByteCursor(bytes)

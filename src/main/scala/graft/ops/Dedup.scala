@@ -227,6 +227,17 @@ object Dedup {
     * diagnostics introspection, same pattern as NimbleSource.chunksSkipped). */
   val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Candidate-set count JOBS the most recent [[dedupClusters]] call ran —
+    * the r16 OOM-gate overhead the r17 hysteresis reclaims; CcProbe and
+    * OpsSpec read it to A/B the skip behavior. */
+  val lastCandCountJobs = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Max consecutive rounds the broadcast gate may reuse a measured
+    * candidate count before re-counting. Bounds the exposure window of the
+    * hysteresis: even a frontier that shrinks monotonically while a
+    * high-degree hub slips in gets re-measured within this many rounds. */
+  private final val CcCountHysteresis = 4
+
   /** Connected-components dedup clustering — the canonicalization step after
     * near-dup pair generation: every document labels with the SMALLEST doc
     * id reachable through the pair graph (so one canonical representative
@@ -268,6 +279,11 @@ object Dedup {
     // is a true fixpoint: any row still able to decrease via neighbor v
     // would have re-evaluated in the round after v last changed.
     var delta: DataFrame = null // null = round 1 evaluates everything
+    // hysteresis state for the broadcast OOM gate (see the cand block)
+    var measuredCand = -1L // last MEASURED candidate count; -1 = disarmed
+    var lastFrontier = Long.MaxValue
+    var skipsSinceCount = 0
+    lastCandCountJobs.set(0)
     while (changed > 0 && iter < maxIters) {
       val frontier = if (delta == null) labels else delta
       // broadcast the delta side once it is small: the candidate joins then
@@ -304,12 +320,32 @@ object Dedup {
       // (the persist makes the count a one-pass overhead — the update join
       // below reads the cache either way); big frontiers go straight to the
       // shuffle join with no extra job.
+      // r17 (r16 verdict #4): count-job hysteresis. The cand count is an
+      // OOM gate, not a result — once a round MEASURES the candidate set at
+      // or under HALF the cap, subsequent rounds whose frontier did not
+      // grow may skip the re-count and broadcast directly (the 2x headroom
+      // absorbs the drift a non-growing frontier can produce). Two re-arm
+      // triggers keep the bound: any round-over-round frontier growth, and
+      // a hard window of CcCountHysteresis consecutive skips (so a hub that
+      // slips into a still-shrinking frontier is re-measured within 4
+      // rounds, never unboundedly later). A hub's FIRST gated round is
+      // always counted — the hysteresis only arms off a measured-small
+      // count, never off frontier size alone (the r15 ADVICE hole).
       val (cand, candCache) =
         if (delta != null && changed <= broadcastMaxRows) {
-          val c = candRaw.persist()
-          val n = c.count()
-          (if (n <= broadcastMaxRows) broadcast(c) else c, c :: Nil)
-        } else (candRaw, Nil)
+          val armed = measuredCand >= 0 && measuredCand <= broadcastMaxRows / 2 &&
+            changed <= lastFrontier && skipsSinceCount < CcCountHysteresis
+          if (armed) { skipsSinceCount += 1; (broadcast(candRaw), Nil) }
+          else {
+            val c = candRaw.persist()
+            val n = c.count()
+            lastCandCountJobs.incrementAndGet()
+            measuredCand = n
+            skipsSinceCount = 0
+            (if (n <= broadcastMaxRows) broadcast(c) else c, c :: Nil)
+          }
+        } else { measuredCand = -1L; skipsSinceCount = 0; (candRaw, Nil) }
+      lastFrontier = changed
       val next = labels.join(cand, Seq("u"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("cm"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * Prints per-iteration wall seconds and the pointer-jumping round count. */
 object CcProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = ProbeEnv.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("cc-probe")

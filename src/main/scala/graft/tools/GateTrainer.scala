@@ -525,6 +525,9 @@ object GateTrainer {
     locally {
       var prodBytes = 0L
       var exhBytes = 0L
+      // the preceding tookDefault loop left the empty pair table installed;
+      // "production" must be measured under the shipped configuration
+      Codecs.setTop1PairTable(savedTable)
       for ((name, values, phys) <- shapes) {
         val s = new ByteSink(); Codecs.encodeColumn(LongsCol(values, phys), s)
         prodBytes += s.size

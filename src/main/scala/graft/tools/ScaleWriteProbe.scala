@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * writes twice each (first = JIT warmup). */
 object ScaleWriteProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = ProbeEnv.cpus
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object SizeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = ProbeEnv.cpus
     val fileCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(32, 16, 4, 1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * split so a regression, if real, lands on one side. */
 object ZOrderProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = ProbeEnv.cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("zorder-probe")

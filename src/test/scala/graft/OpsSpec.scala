@@ -273,6 +273,11 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.forall(_ == 5L), s"star must collapse to 5: $got")
     assert(got.size == 52)
+    // r17 hysteresis must NOT have skipped the hub's gate: arming requires a
+    // prior MEASURED small count, and the hub's first gated round has none —
+    // so at least one count job ran (the one that found cand > cap)
+    assert(Dedup.lastCandCountJobs.get() >= 1,
+      "the changed-hub round must measure its candidate set, not trust frontier size")
   }
 
   test("dedupApply keeps exactly the cluster-min doc per cluster plus singletons") {
@@ -298,6 +303,14 @@ class OpsSpec extends SparkTestBase {
     assert(planNodes < 20, s"dedupClusters result plan must be a leaf+projection, got $planNodes nodes")
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 0L), s"chain must collapse to 0: $labels")
+    // r17 hysteresis: after the first gated round measures a small candidate
+    // set, non-growing-frontier rounds skip the re-count (re-measure at most
+    // every 4 skips) — count jobs must come in well under one-per-round
+    val rounds = Dedup.lastClusterRounds.get()
+    val counts = Dedup.lastCandCountJobs.get()
+    assert(rounds >= 4, s"pointer jumping shape changed? rounds=$rounds")
+    assert(counts >= 1 && counts <= rounds / 4 + 1,
+      s"hysteresis should skip most cand counts: $counts count jobs over $rounds rounds")
     // string ids: binary-min canonicalization, no silent long casts
     val sdocs = Seq("doc-b", "doc-a", "doc-z", "solo").toDF("doc_id")
     val spairs = Seq(("doc-b", "doc-a"), ("doc-z", "doc-b")).toDF("a", "b")
