@@ -173,6 +173,14 @@ object Fields {
     def add(g: SpecializedGetters, ordinal: Int): Unit
     def addNull(): Unit
     def flushChunk(t: Tablet.ChunkSink): Unit
+    /** Write a ZERO-ROW chunk to every stream of this subtree WITHOUT
+      * touching the live buffers. Flatmap absent-backfill needs this: a key
+      * discovered mid-chunk already holds the current chunk's values when
+      * the backfill runs at flush time, so a plain flushChunk would drain
+      * them into the backfill slot one chunk early and misalign every later
+      * chunk of that key's value stream against its inMap stream. */
+    def flushEmptyChunk(t: Tablet.ChunkSink): Unit =
+      throw new UnsupportedOperationException(s"flushEmptyChunk unsupported for $dt")
     def rawSize: Long
     /** Called right after the tablet flushed a stripe (chunk histories reset). */
     def onStripeFlush(): Unit = ()
@@ -278,6 +286,14 @@ object Fields {
       if (bools != null) bools.clear()
       if (bytesB != null) bytesB.clear()
       raw = 0L
+    }
+    override def flushEmptyChunk(t: Tablet.ChunkSink): Unit = {
+      val col: Column =
+        if (longs != null) LongsCol(Array.emptyLongArray, phys, null)
+        else if (doubles != null) DoublesCol(Array.emptyDoubleArray, phys == PhysType.F32, null)
+        else if (bools != null) BoolsCol(Array.emptyBooleanArray, null)
+        else BytesCol(Array(0), Array.emptyByteArray, null)
+      t.writeChunk(id, col)
     }
     def rawSize: Long = raw
   }
@@ -415,10 +431,14 @@ object Fields {
 
     def flushChunk(t: Tablet.ChunkSink): Unit = {
       for (st <- keyStates.valuesIterator) {
-        // backfill absent chunks for keys discovered after earlier flushes
+        // backfill absent chunks for keys discovered after earlier flushes.
+        // flushEmptyChunk, NOT flushChunk: a key discovered mid-chunk already
+        // buffers the current chunk's values here, and draining them into a
+        // backfill slot would shift the value stream one chunk early against
+        // its inMap stream (every later read of the key then misaligns)
         while (st.chunksWritten < chunkRowsHistory.length) {
           t.writeChunk(st.inId, BoolsCol(new Array[Boolean](chunkRowsHistory(st.chunksWritten))))
-          st.valueW.flushChunk(t) // empty -> zero-row chunk
+          st.valueW.flushEmptyChunk(t)
           st.chunksWritten += 1
         }
         st.inMap.padTo(rowsInChunk)

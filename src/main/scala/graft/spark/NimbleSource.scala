@@ -2700,7 +2700,9 @@ class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensit
     dictArray = csvOpt("dictionaryArrayColumns"),
     dedupMap = csvOpt("deduplicatedMapColumns"),
     tsNanos = csvOpt("timestampNanosColumns"),
-    ndv = Option(options.get("ndvSketches")).forall(_.toBoolean))
+    ndv = Option(options.get("ndvSketches")).forall(_.toBoolean),
+    maxFlatMapKeys = Option(options.get("maxFlatMapKeys")).map(_.toInt)
+      .getOrElse(Fields.WriteOptions().maxFlatMapKeys))
 
   /** bucketColumns + numBuckets write options (hash-bucketed table for
     * storage-partitioned joins). Key types restricted to the hash-stable
