@@ -128,7 +128,32 @@ object NimbleLookupTvf {
     }
 
     val rows = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    args.drop(2).zipWithIndex.foreach { case (probeExpr, seq) =>
+    def emit(seq: Int, m: Map[String, Any]): Unit = {
+      val arr = new Array[Any](outSchema.length)
+      arr(0) = seq
+      var i = 1
+      while (i < outSchema.length) {
+        val f = outSchema.fields(i)
+        arr(i) = catalystOf(m.getOrElse(f.name, null), f.dataType)
+        i += 1
+      }
+      rows += InternalRow.fromSeq(arr.toIndexedSeq)
+    }
+    // all-scalar probes on a single-column key take the BATCH path: one
+    // footer parse + one index load per stripe for the whole request batch
+    // instead of per probe — the shape that keeps a 10K-100K key batch on
+    // index-traversal cost (LookupScaleSpec pins it)
+    val probeExprs = args.drop(2)
+    if (cols.length == 1 &&
+        probeExprs.forall(e => !e.dataType.isInstanceOf[StructType])) {
+      val vals = probeExprs.zipWithIndex.map { case (e, i) =>
+        coerce(foldedScala(e, s"probe ${i + 1}"), cols.head)
+      }
+      val (perProbe, _) = Lookup.batchPointLookupMetered(path, cols.head, vals)
+      for (seq <- vals.indices; m <- perProbe(seq)) emit(seq, m)
+      return LocalRelation(DataTypeUtils.toAttributes(outSchema), rows.toSeq)
+    }
+    probeExprs.zipWithIndex.foreach { case (probeExpr, seq) =>
       val what = s"probe ${seq + 1}"
       val (eq: Seq[Any], rangeRaw: Option[(Any, Any)]) = probeExpr.dataType match {
         case dt if isRangeStruct(dt) =>
@@ -160,17 +185,7 @@ object NimbleLookupTvf {
       }
       // request order is insertion order: every row of probe N lands before
       // any row of probe N+1 (SelectiveNimbleIndexReader.h:66-68)
-      for (m <- Lookup.compositeLookup(path, cols, vals, range)) {
-        val arr = new Array[Any](outSchema.length)
-        arr(0) = seq
-        var i = 1
-        while (i < outSchema.length) {
-          val f = outSchema.fields(i)
-          arr(i) = catalystOf(m.getOrElse(f.name, null), f.dataType)
-          i += 1
-        }
-        rows += InternalRow.fromSeq(arr.toIndexedSeq)
-      }
+      for (m <- Lookup.compositeLookup(path, cols, vals, range)) emit(seq, m)
     }
     LocalRelation(DataTypeUtils.toAttributes(outSchema), rows.toSeq)
   }
