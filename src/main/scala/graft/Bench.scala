@@ -166,13 +166,28 @@ object Bench {
     // single-shot write timing (the write stack is JIT-warm from the
     // lineitem runs; 5 repeats of a multi-second write would dominate bench
     // wall time for little extra signal)
+    // r16 verdict #7: encode-time budget — JVM process-CPU around the write,
+    // normalized per MB of encoded output. Selection-policy changes (margins,
+    // exact-pair bypass) trade encode CPU against size; this line puts both
+    // axes of that frontier in the artifact instead of size alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val writeCpu0 = osBean.getProcessCpuTime
     val (scaleWSec, _) = cal("scale_write")(time {
       scaleDf.write.format("nimble").option("indexColumns", "skey")
         .option("bloomFilterColumns", "skey").option("rowsPerChunk", "16384")
         .mode("overwrite").save(scaleIdxDir)
     })
+    val writeCpuSec = (osBean.getProcessCpuTime - writeCpu0) / 1e9
     results("scale_rows") = scaleRows.toDouble
     results("scale_write") = scaleWSec
+    locally {
+      val mb = dirBytes(scaleIdxDir).toDouble / (1 << 20)
+      if (mb > 0 && writeCpuSec > 0) {
+        results("scale_write_cpu_sec") = writeCpuSec
+        results("scale_write_cpu_ms_per_mb") = writeCpuSec * 1000.0 / mb
+      }
+    }
     scaleDf.write.format("nimble").option("rowsPerChunk", "16384")
       .mode("overwrite").save(scaleNoDir)
     scaleDf.unpersist()

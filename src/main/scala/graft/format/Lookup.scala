@@ -142,7 +142,7 @@ object Lookup {
       byChunk.get(ord) match {
         case Some(rowProbes) =>
           val pos = rowProbes.map(_._1).distinct.sorted.toArray
-          val fast = keyCur.nextAtOrNull(pos)
+          val fast = keyCur.nextAtLookup(pos)
           if (fast != null) {
             m.rowsDecoded += fast.len
             val at = pos.zipWithIndex.toMap
@@ -636,11 +636,13 @@ object Lookup {
     /** Positional decode of EXACTLY `pos` (strictly increasing) — r15: an
       * indexed lookup materializes only the verified hit rows instead of a
       * [min, max] window that decodes the whole chunk under most codecs
-      * (strings included, via the bytes point readers). Declines (null,
-      * chunk untouched) when the codec admits no positional decode or the
-      * column is timestamp-split — caller falls back to [[nextRange]]. */
+      * (strings included, via the bytes point readers; r17: shared-dict too,
+      * via the index sub-stream — [[Tablet.ChunkCursor.nextAtLookup]]).
+      * Declines (null, chunk untouched) when the codec admits no positional
+      * decode or the column is timestamp-split — caller falls back to
+      * [[nextRange]]. */
     def nextAt(pos: Array[Int]): Column =
-      if (nanos == null) main.nextAtOrNull(pos) else null
+      if (nanos == null) main.nextAtLookup(pos) else null
   }
 
   private def colCursor(reader: Tablet.Reader, s: Int, keyIdx: Map[String, Int],
@@ -696,7 +698,7 @@ object Lookup {
           // the range decode materialized [min, max] (the whole chunk for
           // most codecs) to test a handful of hash candidates
           val pos = rows.distinct.sorted.toArray
-          val fast = keyCur.nextAtOrNull(pos)
+          val fast = keyCur.nextAtLookup(pos)
           val ok =
             if (fast != null) {
               m.rowsDecoded += fast.len

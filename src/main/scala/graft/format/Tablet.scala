@@ -1991,6 +1991,56 @@ object Tablet {
       fast
     }
 
+    /** [[nextAtOrNull]] for the LOOKUP materialization paths: shared-dict
+      * chunks — the one string shape the cascade keeps alphabet-preserved —
+      * serve positions here through the INDEX sub-stream (positional when
+      * the index codec seeks, checkpoint-windowed otherwise) and expand
+      * ONLY the selected rows through the stripe alphabet. An indexed
+      * lookup materializes its handful of hit rows regardless, so alphabet
+      * preservation buys nothing there and the decline forced a whole-chunk
+      * [min,max] window per hit chunk (r17 LookupProbe: 284 rows decoded
+      * per hit at small batches, almost all of it shared-dict windows).
+      * Non-shared chunks keep the exact nextAtOrNull decline semantics, so
+      * the cascade's dict-preserving dense path is untouched. */
+    def nextAtLookup(positions: Array[Int]): Column = {
+      requirePresent()
+      ensureData()
+      val (compLen, rawLen, kind, _, _, dataPos) = header()
+      val cur = payloadCursor(compLen, rawLen, kind, dataPos)
+      if (cur.buf(cur.pos) != Codecs.SHAREDDICT) return nextAtOrNull(positions)
+      cur.readByte()
+      ensureSharedAlphabet()
+      val n = positions.length
+      val idxSel = new Array[Int](n)
+      var nullsSel: Array[Boolean] = null
+      val fast = Codecs.decodeValuesAt(cur, positions)
+      if (fast != null) {
+        val l = fast.asInstanceOf[LongsCol]
+        var i = 0
+        while (i < n) { idxSel(i) = l.values(i).toInt; i += 1 }
+        nullsSel = l.nulls
+      } else {
+        val (c0, start) = Codecs.decodeValuesRange(cur,
+          positions(0), positions(n - 1) + 1)
+        val l = c0.asInstanceOf[LongsCol]
+        var i = 0
+        while (i < n) {
+          val p = positions(i) - start
+          idxSel(i) = l.values(p).toInt
+          if (l.nulls != null && l.nulls(p)) {
+            if (nullsSel == null) nullsSel = new Array[Boolean](n)
+            nullsSel(i) = true
+          }
+          i += 1
+        }
+        if (l.nulls != null && nullsSel == null) nullsSel = new Array[Boolean](n)
+      }
+      pos = dataPos + compLen
+      ord += 1
+      Codecs.decodedValues.addAndGet(n.toLong)
+      DictBytesCol(sharedAlphabet, idxSel, nullsSel).expand
+    }
+
     /** [[next]] but dictionary-preserving for DICT- or shared-dict-coded
       * bytes chunks (filter columns — predicates then run per alphabet
       * entry, not per row). */

@@ -29,7 +29,8 @@ object CcProbe {
       val out = graft.ops.Dedup.dedupClusters(ccDocs, "doc_id", ccPairs)
       out.unpersist()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"cc_probe iter=$i sec=$sec%.3f rounds=${graft.ops.Dedup.lastClusterRounds.get()}")
+      println(f"cc_probe iter=$i sec=$sec%.3f rounds=${graft.ops.Dedup.lastClusterRounds.get()} " +
+        f"candCountJobs=${graft.ops.Dedup.lastCandCountJobs.get()}")
       i += 1
     }
     spark.stop()

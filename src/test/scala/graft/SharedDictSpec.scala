@@ -140,6 +140,53 @@ class SharedDictSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("nextAtLookup point-reads a shared-dict chunk: positions only, nulls intact, alignment kept") {
+    // r17: the LOOKUP materialization paths no longer fall back to a
+    // [min,max] window for shared-dict — the index sub-stream serves the
+    // exact positions and only those rows expand through the alphabet
+    // (LookupProbe measured 284 rows decoded per hit at small batches,
+    // nearly all shared-dict windows). The cascade's nextAtOrNull decline
+    // is unchanged — alphabet-preserving dense eval stays the filter path.
+    val nulls = Array.tabulate(1000)(_ % 11 == 3)
+    val chunks = (0 until 4).map(k =>
+      bytesCol((0 until 1000).map(i => lowCard((i + k) % 8)), nulls.clone()))
+    val path = tmp("sharedat")
+    writeChunks(path, chunks)
+    val r = new Tablet.Reader(path)
+    try {
+      val full = {
+        val c = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+        c.skip(); c.skip()
+        c.next().asInstanceOf[BytesCol]
+      }
+      // the cascade's decline contract is untouched
+      val dec = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      dec.skip(); dec.skip()
+      assert(dec.nextAtOrNull(Array(3, 700)) == null,
+        "nextAtOrNull must keep declining shared-dict (dict-preserving filter path)")
+      val cur = new Tablet.ChunkCursor(r.readStreamBytes(0, 0))
+      cur.skip(); cur.skip()
+      val pos = Array(3, 14, 694, 700, 707, 999) // includes null rows (3, 14)
+      val d0 = Codecs.decodedValues.get()
+      val got = cur.nextAtLookup(pos)
+      assert(got != null, "nextAtLookup must serve shared-dict positions")
+      val gb = got.asInstanceOf[BytesCol]
+      assert(gb.len == pos.length, s"dense selected column expected, got ${gb.len} rows")
+      assert(Codecs.decodedValues.get() - d0 == pos.length.toLong,
+        "decode cost must be the positions, not a window")
+      pos.zipWithIndex.foreach { case (p, j) =>
+        val isNull = nulls(p)
+        assert((gb.nulls != null && gb.nulls(j)) == isNull, s"null drift at pos $p")
+        if (!isNull)
+          assert(new String(gb(j), "UTF-8") == new String(full(p), "UTF-8"), s"pos $p")
+      }
+      // cursor stays chunk-aligned: the following chunk decodes intact
+      val nxt = cur.next().asInstanceOf[BytesCol]
+      assert(nxt.len == 1000)
+      assert(new String(nxt(0), "UTF-8") == lowCard(3))
+    } finally r.close()
+  }
+
   test("nextRange with a HUFFMAN-coded index stream windows the index decode too") {
     // the decodeSharedRange fast half: when the shared-dict INDEX stream is
     // Huffman-coded (zipf-skewed indices beat DICT/FOR), the index decode
