@@ -417,17 +417,31 @@ object Bench {
         .writeTo("gbenchrl.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
+      // min-of-2 without a second table (r17: same-code runs spread
+      // 0.27-3.7 s across rounds and a 7x sample slipped BETWEEN the
+      // calibration brackets unflagged — the zorder/cc/compact hole): two
+      // disjoint 2M-row retention deletes over the range-partitioned table
+      // are the same work shape — 2 tail-file unlinks + <=1 boundary
+      // rewrite each — so the min is a real sample of identical work
       val (dSec, rep) = cal("scale_delete")(time {
         graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
       })
       assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
-      results("scale_delete") = dSec
-      results("scale_delete_rewritten") = rep.filesRewritten.toDouble
+      val (dSec2, rep2) = cal("scale_delete_r2")(time {
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
+      })
+      assert(rep2.rowsDeleted == 2000000L, s"delete r2 removed wrong count: $rep2")
+      assert(rep2.filesRewritten <= 1, s"delete r2 must be ~metadata-only: $rep2")
+      results("scale_delete") = math.min(dSec, dSec2)
+      calibs("scale_delete") = math.min(calibs("scale_delete"), calibs("scale_delete_r2"))
+      calibs.remove("scale_delete_r2")
+      results("scale_delete_rewritten") = math.max(rep.filesRewritten, rep2.filesRewritten).toDouble
 
       // SQL UPDATE at scale: the runtime group filter must restrict the
       // copy-on-write to the file(s) holding the 100K-row keyhole — wall
-      // clock is one file's rewrite, not six million rows'
+      // clock is one file's rewrite, not six million rows'. min-of-2: the
+      // second run rewrites the same keyhole file(s) again (identical work)
       val filesBefore = graft.spark.NimbleSource.listFiles(dDir).toSet
       val (uSec, _) = cal("scale_sql_update")(time {
         spark.sql("UPDATE gbenchrl.default.scale_del SET v = 0.0 " +
@@ -436,10 +450,17 @@ object Bench {
       val filesAfter = graft.spark.NimbleSource.listFiles(dDir).toSet
       val replaced = (filesBefore -- filesAfter).size
       assert(replaced <= 2, s"group filter should bound the rewrite: $replaced files replaced")
+      val (uSec2, _) = cal("scale_sql_update_r2")(time {
+        spark.sql("UPDATE gbenchrl.default.scale_del SET v = 0.0 " +
+          "WHERE id >= 1000000 AND id < 1100000")
+      })
       assert(spark.table("gbenchrl.default.scale_del")
         .filter(col("id") >= 1000000L && col("id") < 1100000L)
         .agg(sum(org.apache.spark.sql.functions.abs(col("v")))).head().getDouble(0) == 0.0)
-      results("scale_sql_update") = uSec
+      results("scale_sql_update") = math.min(uSec, uSec2)
+      calibs("scale_sql_update") =
+        math.min(calibs("scale_sql_update"), calibs("scale_sql_update_r2"))
+      calibs.remove("scale_sql_update_r2")
       results("scale_sql_update_files") = replaced.toDouble
     }
 
