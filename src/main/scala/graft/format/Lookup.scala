@@ -272,6 +272,129 @@ object Lookup {
     (GraftIO.listGft(path).map(_.path).flatMap(compositeInFile(_, cols, eq, range, m)), m)
   }
 
+  /** Batch composite lookup — the [[batchPointLookupMetered]] treatment for
+    * composite-index probes: N (equality-prefix, optional-range) requests
+    * answered with ONE reader open and ONE `#cidx` load per file-stripe.
+    * Candidates need no re-verification (component encodings are
+    * prefix-free), so the batch is: per-probe binary searches over the
+    * once-loaded memcomparable key run, then ONE chunk-grouped sibling
+    * materialization for all probes' hits. Stripes without the index decode
+    * each probed member column once per chunk and test every probe against
+    * it (the per-probe surface re-decoded the columns per probe). */
+  def batchCompositeLookupMetered(path: String, cols: Seq[String],
+      probes: Seq[(Seq[Any], Option[(Any, Any)])])
+      : (IndexedSeq[Seq[Map[String, Any]]], Metrics) = {
+    for ((eq, range) <- probes)
+      require(eq.length + (if (range.isDefined) 1 else 0) <= cols.length &&
+        (eq.nonEmpty || range.isDefined),
+        "probe components must be a non-empty prefix of the index columns")
+    val m = Metrics()
+    val acc = Array.fill(probes.length)(
+      scala.collection.mutable.ArrayBuffer[Map[String, Any]]())
+    GraftIO.listGft(path).foreach(meta =>
+      batchCompositeInFile(meta.path, cols, probes, acc, m))
+    (acc.map(_.toSeq).toIndexedSeq, m)
+  }
+
+  private def batchCompositeInFile(file: String, cols: Seq[String],
+      probes: Seq[(Seq[Any], Option[(Any, Any)])],
+      acc: Array[scala.collection.mutable.ArrayBuffer[Map[String, Any]]],
+      m: Metrics): Unit = {
+    val reader = new Tablet.Reader(file)
+    try {
+      val footer = reader.footer
+      val schema = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+      val keyIdx = footer.streamKeys.zipWithIndex.toMap
+      if (cols.exists(c => !keyIdx.contains(c))) return
+      val predsOf: Int => Seq[(String, Any, Any)] = { pi =>
+        val (eq, range) = probes(pi)
+        eq.zip(cols).map { case (v, c) => (c, v, v) } ++
+          range.map { case (lo, hi) => (cols(eq.length), lo, hi) }.toSeq
+      }
+      val anySplit = cols.exists(c => reader.nanosSplit(c))
+      val cidxId = if (anySplit) -1
+        else keyIdx.getOrElse(Tablet.compositeIndexStreamKey(cols), -1)
+      val atomicFields = schema.fields.filter(f => keyIdx.contains(f.name))
+      var s = 0
+      while (s < footer.stripes.length) {
+        // member-column stats load once per stripe; per-probe pruning in memory
+        val statsOf = cols.map { c =>
+          val st0 = reader.streamStats(s, keyIdx(c))
+          c -> (if (reader.nanosSplit(c)) Tablet.nanosScaledStats(st0) else st0)
+        }.toMap
+        val survivors = probes.indices.filter(pi =>
+          predsOf(pi).forall { case (c, lo, hi) => rangeOverlaps(statsOf(c), lo, hi) })
+        if (survivors.nonEmpty) {
+          m.stripesProbed += 1
+          m.stripeRows += footer.stripes(s).rowCount
+          val hasIndex = cidxId >= 0 && reader.streamLoc(s, cidxId).length > 0
+          val pairs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // (chunk,row,probe)
+          if (hasIndex) {
+            // ONE cidx load for the whole batch; per-probe binary searches
+            val idx = new ByteCursor(reader.readStreamBytes(s, cidxId))
+            val count = idx.readInt()
+            val posBase = idx.pos
+            val offBase = posBase + 8 * count
+            val bytesBase = offBase + 4 * (count + 1)
+            def posAt(i: Int): Long = { idx.pos = posBase + 8 * i; idx.readLong() }
+            def offAt(i: Int): Int = { idx.pos = offBase + 4 * i; idx.readInt() }
+            def cmpKey(i: Int, t: Array[Byte]): Int = {
+              val o = offAt(i); val e = offAt(i + 1)
+              KeyCodec.compare(idx.buf, bytesBase + o, e - o, t, 0, t.length)
+            }
+            for (pi <- survivors) {
+              m.indexProbes += 1
+              val (eq, range) = probes(pi)
+              val loKey = KeyCodec.encode(eq ++ range.map(_._1).toSeq)
+              val hiExcl = KeyCodec.prefixSuccessor(KeyCodec.encode(eq ++ range.map(_._2).toSeq))
+              var a = 0; var b = count
+              while (a < b) {
+                val mid = (a + b) >>> 1
+                if (cmpKey(mid, loKey) < 0) a = mid + 1 else b = mid
+              }
+              var i = a
+              while (i < count && (hiExcl.isEmpty || cmpKey(i, hiExcl) < 0)) {
+                val p = posAt(i)
+                pairs += (((p >>> 32).toInt, (p & 0xffffffffL).toInt, pi))
+                i += 1
+              }
+            }
+          } else {
+            // batch scan fallback: decode each probed MEMBER column once per
+            // chunk (union of all probes' members), test every probe per row
+            val members = survivors.flatMap(pi => predsOf(pi).map(_._1)).distinct
+            val curs = members.map(c => c -> colCursor(reader, s, keyIdx, c)).toMap
+            val probePreds = survivors.map(pi => pi -> predsOf(pi))
+            var ord = 0
+            while (curs(members.head).hasNext) {
+              val chunkCols = members.map(c => c -> curs(c).next()).toMap
+              chunkCols.valuesIterator.foreach(c => m.rowsDecoded += c.len)
+              val n = chunkCols(members.head).len
+              var r = 0
+              while (r < n) {
+                for ((pi, preds) <- probePreds)
+                  if (preds.forall { case (c, lo, hi) => rowInRange(chunkCols(c), r, lo, hi) })
+                    pairs += ((ord, r, pi))
+                r += 1
+              }
+              ord += 1
+            }
+          }
+          if (pairs.nonEmpty) {
+            val hits = scala.collection.mutable.LinkedHashMap[Int, Seq[Int]]()
+            pairs.map(p => (p._1, p._2)).distinct.sorted
+              .groupBy(_._1).toSeq.sortBy(_._1)
+              .foreach { case (c, rs) => hits(c) = rs.map(_._2).toSeq }
+            val rowsOut = materializeRows(reader, s, keyIdx, atomicFields, hits, m)
+            for ((chunk, row, probe) <- pairs.sortBy(p => (p._3, p._1, p._2)))
+              acc(probe) += rowsOut((chunk, row))
+          }
+        }
+        s += 1
+      }
+    } finally reader.close()
+  }
+
   private def compositeInFile(file: String, cols: Seq[String], eq: Seq[Any],
       range: Option[(Any, Any)], m: Metrics): Seq[Map[String, Any]] = {
     val reader = new Tablet.Reader(file)

@@ -153,7 +153,11 @@ object NimbleLookupTvf {
       for (seq <- vals.indices; m <- perProbe(seq)) emit(seq, m)
       return LocalRelation(DataTypeUtils.toAttributes(outSchema), rows.toSeq)
     }
-    probeExprs.zipWithIndex.foreach { case (probeExpr, seq) =>
+    // every other shape — composite equality tuples, (eq-prefix + range)
+    // structs, single-col ranges — parses per probe, then answers as ONE
+    // batch through the `#cidx` run (one index load per stripe for the
+    // whole request; request order preserved by per-probe result buckets)
+    val parsed = probeExprs.zipWithIndex.map { case (probeExpr, seq) =>
       val what = s"probe ${seq + 1}"
       val (eq: Seq[Any], rangeRaw: Option[(Any, Any)]) = probeExpr.dataType match {
         case dt if isRangeStruct(dt) =>
@@ -183,10 +187,12 @@ object NimbleLookupTvf {
         val rc = cols(eq.length)
         (coerce(lo, rc), coerce(hi, rc))
       }
-      // request order is insertion order: every row of probe N lands before
-      // any row of probe N+1 (SelectiveNimbleIndexReader.h:66-68)
-      for (m <- Lookup.compositeLookup(path, cols, vals, range)) emit(seq, m)
+      (vals, range)
     }
+    // request order is insertion order: every row of probe N lands before
+    // any row of probe N+1 (SelectiveNimbleIndexReader.h:66-68)
+    val (perProbe, _) = Lookup.batchCompositeLookupMetered(path, cols, parsed)
+    for (seq <- parsed.indices; m <- perProbe(seq)) emit(seq, m)
     LocalRelation(DataTypeUtils.toAttributes(outSchema), rows.toSeq)
   }
 }

@@ -64,6 +64,34 @@ class LookupScaleSpec extends SparkTestBase {
       s"all-miss batch decoded ${mm.rowsDecoded} rows — bloom/index not consulted?")
   }
 
+  test("batch composite lookup == per-probe composite, ranges included") {
+    val dir = tmpDir("lookupcomp")
+    // composite index on (g, id): g has 50 groups, id unique within table
+    spark.range(20000).select(
+        (col("id") % 50).cast("long").as("g"),
+        col("id"),
+        (col("id") * 3 % 997).cast("double").as("v"))
+      .coalesce(1)
+      .write.format("nimble").mode("overwrite")
+      .option("indexColumns", "g+id")
+      .option("rowsPerChunk", "2048").option("stripeBytes", (256L << 10).toString)
+      .save(dir)
+    val probes: Seq[(Seq[Any], Option[(Any, Any)])] = Seq(
+      (Seq(7L, 1057L), None),                       // exact composite hit
+      (Seq(3L), Some((100L, 300L))),                // eq prefix + range
+      (Seq(49L), None),                             // whole-group equality (400 rows)
+      (Seq(7L, 999999L), None),                     // miss
+      (Seq(7L, 1057L), None))                       // duplicate probe
+    val (batch, m) = Lookup.batchCompositeLookupMetered(dir, Seq("g", "id"), probes)
+    assert(batch.length == probes.length)
+    probes.zipWithIndex.foreach { case ((eq, range), i) =>
+      val single = Lookup.compositeLookup(dir, Seq("g", "id"), eq, range)
+      assert(batch(i) == single, s"probe $i: batch ${batch(i).size} rows vs single ${single.size}")
+    }
+    assert(batch(0).size == 1 && batch(3).isEmpty && batch(4) == batch(0))
+    assert(m.indexProbes > 0, "batch composite must use the #cidx index")
+  }
+
   test("nimble_lookup TVF batches scalar probes and keeps request order") {
     val (dir, n) = writeIndexed()
     graft.spark.NimbleLookupTvf.install(spark)
