@@ -516,6 +516,23 @@ object SparkEntry {
           7)""")
     }),
 
+    // composite struct probes through the TVF's r17 BATCH path: equality
+    // tuples + an eq-prefix+range request answered with one #cidx load per
+    // stripe for the whole batch (request order via lookup_seq)
+    "q45_lookup_composite_batch" -> ((s, dir) => {
+      val src = Tables.nimble(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val d = Tables.roundTripDir(s, dir, "q45_lookup_composite_batch", src,
+        Map("indexColumns" -> "o_orderstatus+o_custkey"))
+      graft.spark.NimbleLookupTvf.install(s)
+      s.sql(s"""SELECT lookup_seq, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM nimble_lookup('$d', 'o_orderstatus+o_custkey',
+          struct('O', 400),
+          struct('F', named_struct('lo', 10, 'hi', 15)),
+          struct('P', 77),
+          struct('O', 400))""")
+    }),
+
     // ---- LLM-data-pipeline extensions (§2.8) ----
     "x01_dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.nimble(s, dir, "documents"), "doc_id", "text")),
@@ -1220,6 +1237,12 @@ object SparkEntry {
          FROM (VALUES (0, 100, 140), (1, 4000, 4005), (2, 7, 7))
            AS s(lookup_seq, lo, hi)
          JOIN orders o ON o.o_orderkey BETWEEN s.lo AND s.hi""",
+    "q45_lookup_composite_batch" ->
+      """SELECT s.lookup_seq, o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+         FROM (VALUES (0, 'O', 400, 400), (1, 'F', 10, 15), (2, 'P', 77, 77),
+                      (3, 'O', 400, 400))
+           AS s(lookup_seq, st, lo, hi)
+         JOIN orders o ON o.o_orderstatus = s.st AND o.o_custkey BETWEEN s.lo AND s.hi""",
     "x18_decontaminate" -> (shinglesCte +
       """, bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
          corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)

@@ -66,10 +66,26 @@ object Compaction {
         k.substring(0, k.length - 6) }.toSet
       (singles ++ composites, flatMaps, dedupMaps, dictArrays, tsNanos)
     }
-    val (idxCols, flatMaps, dedupMaps, dictArrays, tsNanos) = layoutOf(footers.head)
-    require(footers.forall(layoutOf(_) == (idxCols, flatMaps, dedupMaps, dictArrays, tsNanos)),
+    val layouts = footers.map(layoutOf)
+    val (idxCols, _, dedupMaps, dictArrays, tsNanos) = layouts.head
+    require(layouts.forall(l =>
+      l._1 == idxCols && l._3 == dedupMaps && l._4 == dictArrays && l._5 == tsNanos),
       s"nimble: compact: files under $dir declare conflicting index/layout " +
         "options — compact each layout separately")
+    // flatmap layout is UNION-compatible, not equality (r17): keys discover
+    // from DATA, so a file whose rows held no entries for a flatmap column
+    // legitimately writes only the '#nulls' anchor — no '#in:' streams at
+    // all. Conflict exists only where a file materialized a union column as
+    // a PLAIN map (its '#len' stream is structural, written even for empty
+    // maps).
+    val flatMaps = layouts.iterator.map(_._2).reduce(_ ++ _)
+    for ((file, footer) <- files.zip(footers)) {
+      val keySet = footer.streamKeys.toSet
+      for (c <- flatMaps if keySet.contains(s"$c#len"))
+        throw new IllegalArgumentException(
+          s"nimble: compact: $file stores '$c' as a plain map while sibling files " +
+            "shred it as a flatmap — compact each layout separately")
+    }
 
     // bloom columns: a configured column blooms every data stream entry of
     // the first stripe (read one directory group of the first file)
@@ -92,7 +108,19 @@ object Compaction {
     if (sortCols.nonEmpty) b += "sortColumns" -> sortCols.mkString(",")
     if (idxCols.nonEmpty) b += "indexColumns" -> idxCols.mkString(",")
     if (bloomCols.nonEmpty) b += "bloomFilterColumns" -> bloomCols.mkString(",")
-    if (flatMaps.nonEmpty) b += "flatMapColumns" -> flatMaps.mkString(",")
+    if (flatMaps.nonEmpty) {
+      b += "flatMapColumns" -> flatMaps.mkString(",")
+      // the default key cap would fail a legitimate rewrite of a table
+      // written with a higher explicit cap — the cap is not in the file,
+      // but the ACTUAL key inventory is: the rewrite discovers at most the
+      // union of the footers' keys, so recover the cap from that
+      val defaultCap = graft.format.Fields.WriteOptions().maxFlatMapKeys
+      val maxKeys = flatMaps.iterator.map { c =>
+        footers.iterator.flatMap(
+          _.streamKeys.iterator.filter(_.startsWith(s"$c#in:"))).toSet.size
+      }.max
+      if (maxKeys >= defaultCap) b += "maxFlatMapKeys" -> (maxKeys + 1).toString
+    }
     if (dedupMaps.nonEmpty) b += "deduplicatedMapColumns" -> dedupMaps.mkString(",")
     if (dictArrays.nonEmpty) b += "dictionaryArrayColumns" -> dictArrays.mkString(",")
     if (tsNanos.nonEmpty) b += "timestampNanosColumns" -> tsNanos.mkString(",")

@@ -118,6 +118,59 @@ class WideFlatMapSpec extends SparkTestBase {
       s"3-key projection fetched $projBytes B of a $fullBytes B map — reading unrequested streams")
   }
 
+  test("compaction of a beyond-default-cap flatmap table recovers the cap from the footers") {
+    // written with an explicit 3000 cap and 2500 discovered keys: the cap is
+    // not stored in the file, but the key inventory is — recoverLayout must
+    // derive a sufficient cap or the table cannot survive its own OPTIMIZE
+    val dir = tmpDir("widefmcompact")
+    spark.sql("""
+      SELECT id AS uid,
+        map(concat('k', cast(id % 2500 AS string)), cast(id AS double)) AS features
+      FROM range(10000)
+    """).repartition(3).write.format("nimble").mode("overwrite")
+      .option("flatMapColumns", "features")
+      .option("maxFlatMapKeys", "3000")
+      .save(dir)
+    val layout = graft.ops.Compaction.recoverLayout(dir)
+    assert(layout("flatMapColumns") == "features")
+    assert(layout.get("maxFlatMapKeys").exists(_.toInt > 2500),
+      s"recovered layout must carry a sufficient key cap: $layout")
+    val out = tmpDir("widefmcompact-out")
+    val rep = graft.ops.Compaction.compact(spark, dir, out, targetFileBytes = 1L << 31)
+    assert(rep.rows == 10000)
+    val got = spark.read.format("nimble").load(out)
+      .selectExpr("sum(features[concat('k', cast(uid % 2500 AS string))])").head().getDouble(0)
+    assert(got == (0L until 10000L).map(_.toDouble).sum, "values must survive the rewrite")
+  }
+
+  test("a file whose rows held no flatmap keys is union-compatible; a plain-map file conflicts") {
+    // partition 1 has real keys, partition 2 is ALL-NULL maps — its file has
+    // no '#in:' streams at all, which must read as layout-compatible
+    val dir = tmpDir("widefmnull")
+    spark.sql("""
+      SELECT id AS uid,
+        CASE WHEN id < 100 THEN map(concat('k', cast(id AS string)), cast(id AS double))
+             ELSE CAST(NULL AS map<string,double>) END AS features
+      FROM range(200)
+    """).repartitionByRange(2, col("uid"))
+      .write.format("nimble").mode("overwrite")
+      .option("flatMapColumns", "features").save(dir)
+    assert(graft.spark.NimbleSource.listFiles(dir).size == 2)
+    val layout = graft.ops.Compaction.recoverLayout(dir)
+    assert(layout("flatMapColumns") == "features", s"union-compat recovery failed: $layout")
+    val out = tmpDir("widefmnull-out")
+    val rep = graft.ops.Compaction.compact(spark, dir, out, targetFileBytes = 1L << 31)
+    assert(rep.rows == 200)
+    // genuinely conflicting: a sibling file stores the column as a PLAIN map
+    spark.sql("""
+      SELECT id + 1000 AS uid, map('k1', cast(id AS double)) AS features FROM range(50)
+    """).coalesce(1).write.format("nimble").mode("append").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Compaction.recoverLayout(dir)
+    }
+    assert(e.getMessage.contains("plain map"), e.getMessage)
+  }
+
   test("maxFlatMapKeys cap fires with a clear error") {
     val dir = tmpDir("widefmcap")
     val e = intercept[Exception] {
