@@ -97,6 +97,20 @@ object NimbleLookupTvf {
     })
     for (c <- cols) require(outFields.exists(_.name == c),
       s"$name: key column '$c' is not an atomic lookup-able column")
+    // KEY columns are restricted to the hash-stable equality domain (the
+    // same rule as bucket keys): float/double equality probes disagree with
+    // the stored hash/verify paths (NaN, -0.0, truncating longValue), and
+    // Lookup's verify supports long- and string-backed keys — a float key
+    // would silently return EMPTY rather than wrong, but silent-empty on a
+    // legit probe is still a wrong answer. Reject loudly instead.
+    for (c <- cols) byName(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$name: key column '$c' of type ${dt.simpleString} is not a hash-stable " +
+          "lookup key (integral/string/date/timestamp only) — float/double/boolean/" +
+          "decimal equality does not match the stored index; filter via the scan path instead")
+    }
     val outSchema = StructType(
       StructField("lookup_seq", IntegerType, nullable = false) +: outFields)
 

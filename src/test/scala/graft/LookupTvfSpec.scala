@@ -102,6 +102,12 @@ class LookupTvfSpec extends SparkTestBase {
         s"SELECT * FROM nimble_lookup('$dir', 'k', 'strval')", // type mismatch
         s"SELECT * FROM nimble_lookup('/no/such/dir', 'k', 1)"))
       intercept[Exception](spark.sql(q).collect())
+    // r17: a float/double key column must reject LOUDLY — Lookup's stored
+    // hash/verify paths are long/string-backed, so a double-key probe would
+    // silently return empty on a legitimate probe (wrong answer, not error)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM nimble_lookup('$dir', 'score', 1.5)").collect())
+    assert(e.getMessage.contains("hash-stable"), e.getMessage)
   }
 
   test("the extensions path registers the TVF cluster-wide") {
