@@ -73,24 +73,34 @@ object Filters {
     * the stripe Bloom filter when the column has one (reference:
     * dwio/nimble/index/BloomFilter.h:34). */
   def pruneStripe(f: Filter, stats: String => Option[Tablet.Stats],
-      bloom: String => Option[Tablet.Bloom] = _ => None): Boolean = f match {
+      bloom: String => Option[Tablet.Bloom] = _ => None): Boolean = {
+    // a comparison never matches a NULL row, so a provably all-null stripe
+    // prunes every comparison leaf (r17 — the shape flatmap feature
+    // projections and schema-evolved children produce; valueCount > 0
+    // guards the stats-absent degenerate)
+    def allNull(a: String): Boolean =
+      stats(a).exists(s => s.valueCount > 0 && s.nullCount == s.valueCount)
+    f match {
     case And(l, r) => pruneStripe(l, stats, bloom) || pruneStripe(r, stats, bloom)
     case Or(l, r) => pruneStripe(l, stats, bloom) && pruneStripe(r, stats, bloom)
     case IsNull(a) => stats(a).exists(s => s.nullCount == 0)
-    case IsNotNull(a) => stats(a).exists(s => s.nullCount == s.valueCount)
+    case IsNotNull(a) => allNull(a)
     case EqualTo(a, v) =>
-      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom)
+      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom) ||
+        allNull(a)
     case EqualNullSafe(a, v) if v != null =>
-      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom)
-    case GreaterThan(a, v) => aboveMax(a, v, stats, orEqual = true)
-    case GreaterThanOrEqual(a, v) => aboveMax(a, v, stats, orEqual = false)
-    case LessThan(a, v) => belowMin(a, v, stats, orEqual = true)
-    case LessThanOrEqual(a, v) => belowMin(a, v, stats, orEqual = false)
+      outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom) ||
+        allNull(a)
+    case GreaterThan(a, v) => aboveMax(a, v, stats, orEqual = true) || allNull(a)
+    case GreaterThanOrEqual(a, v) => aboveMax(a, v, stats, orEqual = false) || allNull(a)
+    case LessThan(a, v) => belowMin(a, v, stats, orEqual = true) || allNull(a)
+    case LessThanOrEqual(a, v) => belowMin(a, v, stats, orEqual = false) || allNull(a)
     case In(a, vs) =>
       // a null element never matches any row (SQL three-valued logic), so it
       // doesn't extend the matchable set
-      vs.nonEmpty && vs.forall(v => v == null ||
-        outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))
+      (vs.nonEmpty && vs.forall(v => v == null ||
+        outsideRange(a, v, stats, lo = true, hi = true) || bloomAbsent(a, v, stats, bloom))) ||
+        allNull(a)
     case StringStartsWith(a, v) =>
       // a value with prefix p is >= p and shares its first |p| bytes, so a
       // stripe/chunk is skippable when max < p, or when min's first |p|
@@ -111,7 +121,7 @@ object Filters {
       }
     case AlwaysFalse() => true
     case _ => false
-  }
+  } }
 
   /** True if the filter provably matches EVERY row of the stripe — the
     * all-match side of filtered aggregate pushdown (ValueHook-lite;

@@ -681,6 +681,40 @@ object NimbleSource {
   private[spark] def nanosScaledStats(st: Tablet.Stats): Tablet.Stats =
     Tablet.nanosScaledStats(st)
 
+  /** Stripe-prune stats for a pushed DOTTED path with no stream of its own
+    * (r17). Two shapes land here:
+    *  - a FLATMAP feature projection 'c.k': the per-key value stream
+    *    'c#fm:k' bounds the present non-null values, and the logical column
+    *    is NULL wherever the key is absent — so counts rebase on stripe
+    *    rows (nulls' = explicit + absent). A selective probe on a feature
+    *    column then prunes stripes like any scalar (the 100 TB ML-scan
+    *    shape; previously it full-scanned).
+    *  - a schema-evolved or never-seen child under an existing parent
+    *    anchor: no stream serves the path, the reader null-fills — the
+    *    column is all-null in this stripe, which IsNotNull-style conjuncts
+    *    prune outright. Guarded to parents that shred per child (struct or
+    *    flatmap): a '#len' (plain map) or '#idx' (dict-array/dedup-map)
+    *    parent stores children out-of-band, so no all-null conclusion.
+    * Conservative None anywhere else. */
+  private[spark] def dottedChildStats(r: Tablet.Reader, s: Int, name: String,
+      stripeRows: Long): Option[Tablet.Stats] = {
+    var dot = name.indexOf('.')
+    while (dot > 0) {
+      val c = name.substring(0, dot)
+      val k = name.substring(dot + 1)
+      val fmId = r.keyId(s"$c#fm:$k")
+      if (fmId >= 0) {
+        val st = r.streamStats(s, fmId)
+        return Some(st.copy(valueCount = stripeRows,
+          nullCount = st.nullCount + (stripeRows - st.valueCount)))
+      }
+      if (r.keyId(s"$c#nulls") >= 0 && r.keyId(s"$c#len") < 0 && r.keyId(s"$c#idx") < 0)
+        return Some(Tablet.Stats(valueCount = stripeRows, nullCount = stripeRows))
+      dot = name.indexOf('.', dot + 1)
+    }
+    None
+  }
+
   /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h).
     * BOUNDED: a 100 TB table has 10^5-10^6 files and a footer (stripe
     * stats, chunk directories, NDV registers) runs KBs to tens of KBs — an
@@ -1799,7 +1833,7 @@ class NimbleScan(path: String, dataSchema: StructType, required: StructType, fil
               // nanos-split column: micros-stream stats scale to conservative
               // combined-value bounds (blooms hash micros, so they're off)
               if (r.keyId(name + "#nanos") >= 0) NimbleSource.nanosScaledStats(st) else st
-            }
+            }.orElse(NimbleSource.dottedChildStats(r, s, name, info.rowCount))
           val bloomOf: String => Option[Tablet.Bloom] =
             name => Some(r.keyId(name)).filter(_ >= 0)
               .filterNot(_ => r.keyId(name + "#nanos") >= 0)
