@@ -490,6 +490,25 @@ object NimbleSource {
             }
           }
         }
+      } else {
+        // flatmap feature path 'c.k': the fm value stream's chunk grid is
+        // ordinal-aligned with the logical grid (absent-backfill invariant),
+        // so its per-chunk stats prune the FETCH the same way — with the
+        // +1/+1 count shift keeping null-test leaves sound vs absent keys
+        val fmId = fmStreamCandidates(c).map(reader.keyId).find(_ >= 0).getOrElse(-1)
+        if (fmId >= 0) {
+          val dir = reader.chunkDirOf(stripe, fmId)
+          if (dir != null) {
+            val data = dir.filter(_.isData)
+            if (data.length == totalChunks && data.exists(_.stats != null)) {
+              chunkStats(c) = data.map { cl =>
+                if (cl.stats == null) null
+                else cl.stats.copy(valueCount = cl.stats.valueCount + 1,
+                  nullCount = cl.stats.nullCount + 1)
+              }
+            }
+          }
+        }
       }
     }
     if (chunkStats.isEmpty) return null
@@ -863,7 +882,34 @@ object NimbleSource {
       .filter(c => dataSchema.fieldNames.contains(c))
       .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet)) ++
       statsOnly.flatMap(_.references).distinct
-        .flatMap(p => Seq(p, p + "#nanos"))).filter(footerKeySet(_)).toSet
+        .flatMap(p => Seq(p, p + "#nanos") ++ fmStreamCandidates(p))).filter(footerKeySet(_)).toSet
+
+  /** Dotted filter path → flatmap value-stream key candidates ('c.k' →
+    * 'c#fm:k' for every dot split; flatmap keys may themselves contain
+    * dots). Existence filtering is the caller's job. */
+  private[spark] def fmStreamCandidates(p: String): Seq[String] = {
+    if (p.indexOf('.') < 0) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var dot = p.indexOf('.')
+    while (dot > 0) {
+      out += p.substring(0, dot) + "#fm:" + p.substring(dot + 1)
+      dot = p.indexOf('.', dot + 1)
+    }
+    out.toSeq
+  }
+
+  /** Per-chunk stats for a dotted flatmap-feature path, from the fm value
+    * stream's frame/directory stats via `peek`. Counts shift +1/+1 so
+    * null-test pruning stays sound against absent keys (logical NULLs the
+    * fm stream's counts cannot see): IsNull never prunes, IsNotNull still
+    * prunes exactly the no-present-non-null chunks, min/max stay
+    * authoritative for the comparison leaves. */
+  private[spark] def fmMappedStats(name: String,
+      peek: String => Option[Tablet.Stats]): Option[Tablet.Stats] = {
+    for (k <- fmStreamCandidates(name); st <- peek(k))
+      return Some(st.copy(valueCount = st.valueCount + 1, nullCount = st.nullCount + 1))
+    None
+  }
 
   /** Stream payload bytes fetched from the filesystem by
     * [[readNeededStreams]] (cache hits excluded) — the deferred-fetch
@@ -2534,7 +2580,8 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         val statsOf: String => Option[Tablet.Stats] =
           name => eagerCursors.get(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
-          }
+          }.orElse(NimbleSource.fmMappedStats(name,
+            k => eagerCursors.get(k).flatMap(_.peekStats())))
         var pruned = false
         var pi = 0
         while (pi < filters.length && !pruned) {

@@ -58,6 +58,26 @@ class FlatMapPruneSpec extends SparkTestBase {
     assert(band.toSeq == expect.toSeq, s"pruned band lost rows: ${band.length} vs ${expect.length}")
   }
 
+  test("within a surviving stripe, fm-stream chunk stats skip non-matching chunks") {
+    val (dir, _) = fixture()
+    val df = spark.read.format("nimble")
+      .option("flatMapStruct.features", "a,b").load(dir)
+    // one chunk's worth of band inside one stripe: the stripe survives, and
+    // its other chunks must skip via the fm stream's per-chunk stats (the
+    // +1/+1 count shift keeps null-test leaves sound)
+    val skipped0 = graft.spark.NimbleSource.chunksSkipped.get()
+    val d0 = graft.format.Codecs.decodedValues.get()
+    val band = df.filter(col("features.a") >= 50000.0 && col("features.a") < 50050.0)
+      .select("uid").collect().map(_.getLong(0)).sorted
+    val skipped = graft.spark.NimbleSource.chunksSkipped.get() - skipped0
+    val decoded = graft.format.Codecs.decodedValues.get() - d0
+    assert(band.length >= 49 && band.length <= 51, s"band size drifted: ${band.length}")
+    assert(band.forall(id => id >= 49999 && id <= 50050), s"band rows wrong: ${band.take(5).toSeq}")
+    assert(skipped > 0, "no chunk skipped inside the surviving stripe — fm chunk stats dead")
+    assert(decoded < 30000,
+      s"decoded $decoded values for a one-chunk band — chunk-level fm pruning not engaging")
+  }
+
   test("a key the file never saw is all-null: IsNotNull-bearing filters prune everything") {
     val (dir, _) = fixture()
     val df = spark.read.format("nimble")
