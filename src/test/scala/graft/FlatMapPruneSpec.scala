@@ -78,6 +78,37 @@ class FlatMapPruneSpec extends SparkTestBase {
       s"decoded $decoded values for a one-chunk band — chunk-level fm pruning not engaging")
   }
 
+  test("randomized feature-filter parity: pruned scan == in-memory filter, 20 trials") {
+    val (dir, _) = fixture()
+    val df = spark.read.format("nimble")
+      .option("flatMapStruct.features", "a,b,zz").load(dir)
+    val full = df.select(col("uid"), col("features.a").as("a"), col("features.b").as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val rnd = new scala.util.Random(1917)
+    for (trial <- 0 until 20) {
+      val lo = rnd.nextInt(200000).toDouble
+      val hi = lo + rnd.nextInt(5000)
+      val bEq = rnd.nextInt(7).toDouble
+      val (pred, oracle): (org.apache.spark.sql.Column, ((Long, Double, Double)) => Boolean) =
+        rnd.nextInt(5) match {
+          case 0 => (col("features.a") >= lo && col("features.a") < hi,
+            t => t._2 >= lo && t._2 < hi)
+          case 1 => (col("features.b") === bEq && col("features.a") < hi,
+            t => t._3 == bEq && t._2 < hi)
+          case 2 => (col("features.a") < lo || col("features.b") === bEq,
+            t => t._2 < lo || t._3 == bEq)
+          case 3 => (col("features.a").isNotNull && col("features.a") > hi,
+            t => t._2 > hi)
+          case 4 => (col("features.zz").isNull && col("features.a") >= lo && col("features.a") < hi,
+            t => t._2 >= lo && t._2 < hi) // zz is never-seen: always null
+        }
+      val got = df.filter(pred).select("uid").collect().map(_.getLong(0)).sorted.toSeq
+      val want = full.filter(oracle).map(_._1).sorted.toSeq
+      assert(got == want,
+        s"trial $trial: pruned scan returned ${got.length} rows, expected ${want.length}")
+    }
+  }
+
   test("a key the file never saw is all-null: IsNotNull-bearing filters prune everything") {
     val (dir, _) = fixture()
     val df = spark.read.format("nimble")
