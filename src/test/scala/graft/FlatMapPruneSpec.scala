@@ -67,15 +67,25 @@ class FlatMapPruneSpec extends SparkTestBase {
     // +1/+1 count shift keeps null-test leaves sound)
     val skipped0 = graft.spark.NimbleSource.chunksSkipped.get()
     val d0 = graft.format.Codecs.decodedValues.get()
+    val b0 = graft.spark.NimbleSource.streamBytesFetched.get()
     val band = df.filter(col("features.a") >= 50000.0 && col("features.a") < 50050.0)
       .select("uid").collect().map(_.getLong(0)).sorted
     val skipped = graft.spark.NimbleSource.chunksSkipped.get() - skipped0
     val decoded = graft.format.Codecs.decodedValues.get() - d0
+    val probeBytes = graft.spark.NimbleSource.streamBytesFetched.get() - b0
     assert(band.length >= 49 && band.length <= 51, s"band size drifted: ${band.length}")
     assert(band.forall(id => id >= 49999 && id <= 50050), s"band rows wrong: ${band.take(5).toSeq}")
     assert(skipped > 0, "no chunk skipped inside the surviving stripe — fm chunk stats dead")
     assert(decoded < 30000,
       s"decoded $decoded values for a one-chunk band — chunk-level fm pruning not engaging")
+    // and the sparse FETCH obeys the fm candidates: bytes read stay a small
+    // fraction of the full-scan volume, not just the decode
+    val bf0 = graft.spark.NimbleSource.streamBytesFetched.get()
+    df.select("uid", "features.a").collect()
+    val fullBytes = graft.spark.NimbleSource.streamBytesFetched.get() - bf0
+    assert(probeBytes > 0 && fullBytes > 0)
+    assert(probeBytes < fullBytes / 4,
+      s"band probe fetched $probeBytes B of a $fullBytes B scan — fm candidates not restricting IO")
   }
 
   test("randomized feature-filter parity: pruned scan == in-memory filter, 20 trials") {
