@@ -19,16 +19,66 @@ object DeleteProbe {
       .appName("delete-probe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.scan.blockCacheBytes",
+        sys.env.getOrElse("GRAFT_PROBE_BLOCKCACHE", (256L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val scaleRows = 8000000L
+    // 'late' arg: replicate the bench's forked-JVM context before the timed
+    // deletes — an 8M-row indexed write + a compaction — to test whether the
+    // in-bench 2-3 s (vs 0.15 s fresh) is accumulated JVM/session state
+    if (args.contains("late")) {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/warm"
+      val df = spark.range(scaleRows).toDF("id")
+        .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+        .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+        .repartition(4)
+      df.write.format("nimble").option("indexColumns", "skey")
+        .option("bloomFilterColumns", "skey").option("rowsPerChunk", "16384")
+        .mode("overwrite").save(s"$base/idx")
+      graft.ops.Compaction.compact(spark, s"$base/idx", s"$base/compacted",
+        targetFileBytes = 1L << 31)
+      println("delete_probe late-context warmed (8M write + compact)")
+    }
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/wh"
     spark.conf.set("spark.sql.catalog.gdprobe", "graft.spark.NimbleCatalog")
     spark.conf.set("spark.sql.catalog.gdprobe.warehouse", wh)
-    val src = spark.range(scaleRows).toDF("id")
+    // 'nimblesrc' arg: source the catalog table from a NIMBLE READ exactly
+    // like the bench does (vs the default in-memory range source)
+    val src = if (args.contains("nimblesrc")) {
+      val nd = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/noidx"
+      spark.range(scaleRows).toDF("id")
+        .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+        .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+        .repartition(4).write.format("nimble").option("rowsPerChunk", "16384")
+        .mode("overwrite").save(nd)
+      spark.read.format("nimble").load(nd)
+    } else spark.range(scaleRows).toDF("id")
       .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
       .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+    // 'keep' arg: create once, delete nothing — leaves the table for a
+    // fresh-JVM 'deleteonly' run (isolates file-content vs session-state)
+    if (args.contains("keep")) {
+      spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
+      src.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .writeTo("gdprobe.default.scale_del")
+        .tableProperty("sortColumns", "id").create()
+      println(s"delete_probe kept table at $wh/default/scale_del")
+      spark.stop(); return
+    }
+    if (args.contains("deleteonly")) {
+      val dDir = s"$wh/default/scale_del"
+      val t0 = System.nanoTime()
+      val rep1 = graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
+      val d1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rep2 = graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
+      val d2 = (System.nanoTime() - t1) / 1e9
+      println(f"delete_probe deleteonly d1=$d1%.3f d2=$d2%.3f " +
+        f"rewritten=${rep1.filesRewritten}/${rep2.filesRewritten} rows=${rep1.rowsDeleted}/${rep2.rowsDeleted}")
+      spark.stop(); return
+    }
     var i = 0
     while (i < reps) {
       spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
