@@ -57,6 +57,20 @@ object DeleteProbe {
     } else spark.range(scaleRows).toDF("id")
       .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
       .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+    // 'prescan' arg: run an UNRELATED full nimble scan first, then the
+    // normal range-source iterations — isolates "any prior nimble scan
+    // poisons later deletes" (global session state) from "the create plan's
+    // nimble leaf does" (lineage/plan shape)
+    if (args.contains("prescan")) {
+      val nd = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/prescan"
+      spark.range(scaleRows).toDF("id")
+        .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+        .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+        .repartition(4).write.format("nimble").option("rowsPerChunk", "16384")
+        .mode("overwrite").save(nd)
+      val cnt = spark.read.format("nimble").load(nd).agg(sum("v")).collect()(0)
+      println(s"delete_probe prescan done ($cnt)")
+    }
     // 'keep' arg: create once, delete nothing — leaves the table for a
     // fresh-JVM 'deleteonly' run (isolates file-content vs session-state)
     if (args.contains("keep")) {
@@ -79,10 +93,23 @@ object DeleteProbe {
         f"rewritten=${rep1.filesRewritten}/${rep2.filesRewritten} rows=${rep1.rowsDeleted}/${rep2.rowsDeleted}")
       spark.stop(); return
     }
+    // 'alternate' arg: per-iteration source flips range->nimble->range — if
+    // the slow mode follows the source WITHIN one JVM, the cause travels
+    // with the create's plan, not with accumulated session state
+    val alternate = args.contains("alternate")
+    def srcFor(iter: Int) =
+      if (!alternate) src
+      else if (iter % 2 == 1) {
+        val nd = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/alt-noidx"
+        if (!new java.io.File(nd).exists())
+          src.repartition(4).write.format("nimble").option("rowsPerChunk", "16384")
+            .mode("overwrite").save(nd)
+        spark.read.format("nimble").load(nd)
+      } else src
     var i = 0
     while (i < reps) {
       spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
-      src.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      srcFor(i).repartitionByRange(8, col("id")).sortWithinPartitions("id")
         .writeTo("gdprobe.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
