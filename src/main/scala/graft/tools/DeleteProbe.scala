@@ -113,6 +113,13 @@ object DeleteProbe {
         .writeTo("gdprobe.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
+      // 'settle' arg: drain OS writeback between create and delete — if the
+      // slow mode vanishes, the cost is dirty-page IO from the heavier
+      // nimble-sourced create, not the delete itself
+      if (args.contains("settle")) {
+        new ProcessBuilder("sync").inheritIO().start().waitFor()
+        Thread.sleep(5000)
+      }
       val t0 = System.nanoTime()
       val rep1 = graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
       val d1 = (System.nanoTime() - t0) / 1e9
