@@ -199,7 +199,18 @@ object Delete {
 
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
-    val (allM0, noneM, mixed0) = classify(files, filters, unsignedCols)
+    // GRAFT_DML_PHASES=1: phase wall-times to stderr (DeleteProbe bisects
+    // the bimodal scale_delete with it; zero cost when unset)
+    val phases = sys.env.contains("GRAFT_DML_PHASES")
+    def phase[A](name: String)(body: => A): A =
+      if (!phases) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[dml-phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+    val (allM0, noneM, mixed0) = phase("classify")(classify(files, filters, unsignedCols))
     val (allM, mixed) =
       if (unlinkAllMatch) (allM0, mixed0) else (Nil, allM0 ++ mixed0)
 
@@ -207,7 +218,8 @@ object Delete {
     // rewrite and the possible schema-preserving empty tablet both carry
     val layout: Map[String, String] =
       if (mixed.isEmpty && allM.isEmpty) Map.empty
-      else try Compaction.recoverLayout(dir) catch { case _: Throwable => Map.empty }
+      else phase("recoverLayout")(
+        try Compaction.recoverLayout(dir) catch { case _: Throwable => Map.empty })
 
     var rowsDeleted = allM.map(f => NimbleSource.footerOf(f).rowCount).sum
     var rewritten = 0
@@ -218,13 +230,13 @@ object Delete {
           "store the WIDENED values (a different physical domain) — only " +
           "metadata-only deletes are supported on such tables; this " +
           "predicate needs a row-level rewrite of: " + mixed.take(3).mkString(","))
-      val (rowsBefore, rowsAfter) = rewriteFiles(spark, dir, mixed, files,
-        schema, layout, readOptions, src => transform(src.filter(keep)))
+      val (rowsBefore, rowsAfter) = phase("rewrite")(rewriteFiles(spark, dir, mixed, files,
+        schema, layout, readOptions, src => transform(src.filter(keep))))
       rewritten = mixed.length
       rowsDeleted += rowsBefore - rowsAfter
     }
 
-    allM.foreach(GraftIO.delete(_))
+    phase("unlink")(allM.foreach(GraftIO.delete(_)))
 
     // deleting every row must not delete the SCHEMA: leave one empty tablet
     // carrying the schema and the declared layout (bucketed: one empty file

@@ -97,15 +97,49 @@ object DeleteProbe {
     // the slow mode follows the source WITHIN one JVM, the cause travels
     // with the create's plan, not with accumulated session state
     val alternate = args.contains("alternate")
+    def srcForNimble() = {
+      val nd = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/alt-noidx"
+      if (!new java.io.File(nd).exists())
+        src.repartition(4).write.format("nimble").option("rowsPerChunk", "16384")
+          .mode("overwrite").save(nd)
+      spark.read.format("nimble").load(nd)
+    }
     def srcFor(iter: Int) =
       if (!alternate) src
-      else if (iter % 2 == 1) {
-        val nd = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/alt-noidx"
-        if (!new java.io.File(nd).exists())
-          src.repartition(4).write.format("nimble").option("rowsPerChunk", "16384")
-            .mode("overwrite").save(nd)
-        spark.read.format("nimble").load(nd)
-      } else src
+      else if (iter % 2 == 1) srcForNimble()
+      else src
+    // 'rewritecheck' arg: split the slow rewrite phase — pure filtered READ
+    // of the boundary file vs the full read+rangeshuffle+sort+WRITE shape
+    if (args.contains("rewritecheck")) {
+      for (iter <- 0 until reps) {
+        spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
+        val source = if (iter % 2 == 1) srcForNimble() else src
+        source.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .writeTo("gdprobe.default.scale_del")
+          .tableProperty("sortColumns", "id").create()
+        val dDir = s"$wh/default/scale_del"
+        // the boundary file: the one whose stats straddle id=6M
+        val victim = graft.spark.NimbleSource.listFiles(dDir).find { f =>
+          val st = new graft.format.Tablet.Reader(f)
+          try { val s0 = st.fileStatsOf("id").get; s0.minLong < 6000000L && s0.maxLong >= 6000000L }
+          finally st.close()
+        }.get
+        val t0 = System.nanoTime()
+        spark.read.format("nimble").load(victim)
+          .filter(col("id") < 6000000L).agg(count(lit(1))).collect()
+        val readSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        spark.read.format("nimble").load(victim)
+          .filter(col("id") < 6000000L)
+          .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+          .write.format("nimble").option("sortColumns", "id").mode("overwrite")
+          .save(s"$wh/rewrite-check-$iter")
+        val fullSec = (System.nanoTime() - t1) / 1e9
+        println(f"delete_probe rewritecheck iter=$iter src=${if (iter % 2 == 1) "nimble" else "range"} " +
+          f"read=$readSec%.3f full=$fullSec%.3f")
+      }
+      spark.stop(); return
+    }
     var i = 0
     while (i < reps) {
       spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
