@@ -229,6 +229,13 @@ object Fields {
       nulls.clear(); micros.clear(); rems.clear()
       raw = 0L
     }
+    // zero-row chunks for BOTH split streams, live buffers untouched — a
+    // LongType flatmap value matching opts.tsNanos constructs this writer,
+    // and absent-backfill must not fail (or drain buffers) mid-write
+    override def flushEmptyChunk(t: Tablet.ChunkSink): Unit = {
+      t.writeChunk(microsId, LongsCol(Array.emptyLongArray, PhysType.I64, null))
+      t.writeChunk(nanosId, LongsCol(Array.emptyLongArray, PhysType.I16, null))
+    }
     def rawSize: Long = raw
   }
 

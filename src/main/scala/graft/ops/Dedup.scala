@@ -227,16 +227,18 @@ object Dedup {
     * diagnostics introspection, same pattern as NimbleSource.chunksSkipped). */
   val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Candidate-set count JOBS the most recent [[dedupClusters]] call ran —
-    * the r16 OOM-gate overhead the r17 hysteresis reclaims; CcProbe and
-    * OpsSpec read it to A/B the skip behavior. */
+  /** Candidate-set count JOBS the most recent [[dedupClusters]] call ran.
+    * r18: always 0 — the broadcast gate now runs off a provable per-round
+    * bound (frontier degree-sum + frontier size, folded into the fixpoint
+    * aggregate) instead of measuring the candidate set; the field stays so
+    * CcProbe / OpsSpec pin the no-count-job contract. */
   val lastCandCountJobs = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Max consecutive rounds the broadcast gate may reuse a measured
-    * candidate count before re-counting. Bounds the exposure window of the
-    * hysteresis: even a frontier that shrinks monotonically while a
-    * high-degree hub slips in gets re-measured within this many rounds. */
-  private final val CcCountHysteresis = 4
+  /** Per-round broadcast decisions of the most recent [[dedupClusters]]
+    * call (true = the neighbor/self candidate set was broadcast). OpsSpec
+    * reads it to prove a late-changing hub forces the shuffle path mid-run
+    * while the surrounding small rounds stay broadcast. */
+  @volatile var lastCandBroadcasts: Seq[Boolean] = Nil
 
   /** Connected-components dedup clustering — the canonicalization step after
     * near-dup pair generation: every document labels with the SMALLEST doc
@@ -258,7 +260,16 @@ object Dedup {
     val e = pairs.select(col("a").as("u"), col("b").as("v"))
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
-    var labels = docs.select(col(idCol).as("u"), col(idCol).as("lbl")).persist()
+    // r18 (r17 verdict #2): per-node edge degree rides the label frame from
+    // init on, so every round's fixpoint aggregate yields the NEXT frontier's
+    // degree-sum for free — the broadcast gate below becomes a provable
+    // bound with zero count jobs (was: measure-then-arm hysteresis with a
+    // ≤4-round uncounted window)
+    val degrees = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    var labels = docs.select(col(idCol).as("u"), col(idCol).as("lbl"))
+      .join(degrees, Seq("u"), "left")
+      .select(col("u"), col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist()
     // the frame actually persisted each round (unpersist must target the
     // EXACT cached plan — a projection on top would silently miss the cache)
     var labelsCache = labels
@@ -279,13 +290,14 @@ object Dedup {
     // is a true fixpoint: any row still able to decrease via neighbor v
     // would have re-evaluated in the round after v last changed.
     var delta: DataFrame = null // null = round 1 evaluates everything
-    // hysteresis state for the broadcast OOM gate (see the cand block)
-    var measuredCand = -1L // last MEASURED candidate count; -1 = disarmed
-    var lastFrontier = Long.MaxValue
-    var skipsSinceCount = 0
+    // the NEXT frontier's edge-degree sum, measured by the same aggregate
+    // that detects the fixpoint (zero extra jobs) — the provable broadcast
+    // bound below
+    var frontierDegSum = 0L
+    val bcastLog = scala.collection.mutable.ArrayBuffer[Boolean]()
     lastCandCountJobs.set(0)
     while (changed > 0 && iter < maxIters) {
-      val frontier = if (delta == null) labels else delta
+      val frontier = if (delta == null) labels.select(col("u"), col("lbl")) else delta
       // broadcast the delta side once it is small: the candidate joins then
       // run map-side — no full-frame shuffle. `changed` is EXACTLY the
       // frontier's row count, so this hint is bounded by construction.
@@ -295,10 +307,6 @@ object Dedup {
       val nbrCand = edges
         .join(small(frontier.select(col("u").as("v"), col("lbl").as("nl"))), Seq("v"))
         .select(col("u"), col("nl").as("c"))
-      // (b) rows whose pointer TARGET changed last round take its new label
-      val parentCand = labels
-        .join(small(frontier.select(col("u").as("lbl"), col("lbl").as("pl"))), Seq("lbl"))
-        .select(col("u"), col("pl").as("c"))
       // (c) rows that THEMSELVES changed re-jump through their current
       // pointer against the FULL label frame (label-of-label): without this
       // a node whose target converged rounds ago would creep one hop per
@@ -309,46 +317,38 @@ object Dedup {
       val selfJump = small(frontier)
         .join(labels.select(col("u").as("lbl"), col("lbl").as("sj")), Seq("lbl"))
         .select(col("u"), col("sj").as("c"))
-      val candRaw = nbrCand.union(parentCand).union(selfJump)
-        .groupBy("u").agg(min("c").as("cm"))
-      // r15 ADVICE: `changed` bounds the FRONTIER, not the candidate set —
-      // cand is the union of the frontier's NEIGHBORS (plus pointer rows),
-      // and one changed high-degree hub makes it orders of magnitude larger
-      // than the frontier; a blind broadcast(cand) keyed on frontier size
-      // OOMs the driver. When the frontier is small enough that a broadcast
-      // is even on the table, materialize cand and gate on its OWN count
-      // (the persist makes the count a one-pass overhead — the update join
-      // below reads the cache either way); big frontiers go straight to the
-      // shuffle join with no extra job.
-      // r17 (r16 verdict #4): count-job hysteresis. The cand count is an
-      // OOM gate, not a result — once a round MEASURES the candidate set at
-      // or under HALF the cap, subsequent rounds whose frontier did not
-      // grow may skip the re-count and broadcast directly (the 2x headroom
-      // absorbs the drift a non-growing frontier can produce). Two re-arm
-      // triggers keep the bound: any round-over-round frontier growth, and
-      // a hard window of CcCountHysteresis consecutive skips (so a hub that
-      // slips into a still-shrinking frontier is re-measured within 4
-      // rounds, never unboundedly later). A hub's FIRST gated round is
-      // always counted — the hysteresis only arms off a measured-small
-      // count, never off frontier size alone (the r15 ADVICE hole).
-      val (cand, candCache) =
-        if (delta != null && changed <= broadcastMaxRows) {
-          val armed = measuredCand >= 0 && measuredCand <= broadcastMaxRows / 2 &&
-            changed <= lastFrontier && skipsSinceCount < CcCountHysteresis
-          if (armed) { skipsSinceCount += 1; (broadcast(candRaw), Nil) }
-          else {
-            val c = candRaw.persist()
-            val n = c.count()
-            lastCandCountJobs.incrementAndGet()
-            measuredCand = n
-            skipsSinceCount = 0
-            (if (n <= broadcastMaxRows) broadcast(c) else c, c :: Nil)
-          }
-        } else { measuredCand = -1L; skipsSinceCount = 0; (candRaw, Nil) }
-      lastFrontier = changed
-      val next = labels.join(cand, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("cm"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
+      val candNS = nbrCand.union(selfJump).groupBy("u").agg(min("c").as("cm"))
+      // r18 (r17 verdict #2, closes the r15 ADVICE hole for good): the
+      // broadcast gate is now a PROVABLE bound, not a measured-then-trusted
+      // count. candNS's pre-aggregation row count is exactly
+      //   Σ_{v∈frontier} degree(v)   (nbrCand: each frontier node emits one
+      //                               row per neighbor)
+      // + |frontier|                 (selfJump: one row per frontier node —
+      //                               labels has exactly one row per u)
+      // and both terms come from the previous round's fixpoint aggregate
+      // (frontierDegSum, changed) at zero extra jobs — so a high-degree hub
+      // entering the frontier in ANY round, armed window or not, flips the
+      // decision to the shuffle path BEFORE anything is built on the driver.
+      // The old design's second hole (a node with huge pointer IN-degree —
+      // millions of rows pointing at one converging target, invisible to
+      // edge degree) is closed structurally: the pointer-jump update no
+      // longer routes through the broadcast candidate set at all. It joins
+      // the full label frame against the FRONTIER (size = `changed`,
+      // exact), so the potentially-huge set of re-pointed rows is a
+      // streamed join OUTPUT, never a driver-side build.
+      val candBroadcastable = delta != null && changed <= broadcastMaxRows &&
+        frontierDegSum + changed <= broadcastMaxRows
+      bcastLog += candBroadcastable
+      val cand = if (candBroadcastable) broadcast(candNS) else candNS
+      // pointer-jump side of the update: rows whose pointer TARGET is in the
+      // frontier take its new label (join key = frontier node id)
+      val frontierPtr = small(frontier.select(col("u").as("lbl"), col("lbl").as("pl")))
+      val next = labels.join(frontierPtr, Seq("lbl"), "left")
+        .join(cand, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("pl"), col("lbl")),
+            coalesce(col("cm"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"), col("deg"))
       // Cut the SQL plan: persist() truncates *execution* but not the
       // *logical plan* — each round's `next` references `labels` in three
       // joins, so the plan tree grows ~4^k and deep chains OOM the driver
@@ -368,12 +368,19 @@ object Dedup {
       val cut = org.apache.spark.sql.GraftShims
         .internalCreateDataFrame(docs.sparkSession, next.queryExecution.toRdd, next.schema)
         .persist()
-      changed = cut.filter(col("lbl") < col("prev")).count() // materializes `cut`
-      candCache.foreach(_.unpersist()) // safe: cut is materialized
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round=$iter changed=$changed")
+      // one job materializes the cache, detects the fixpoint, AND measures
+      // the next frontier's degree-sum for the broadcast bound above
+      val fix = cut.agg(
+        count(when(col("lbl") < col("prev"), 1)).as("n"),
+        sum(when(col("lbl") < col("prev"), col("deg")).otherwise(lit(0L))).as("ds"))
+        .collect()(0)
+      changed = fix.getLong(0)
+      frontierDegSum = if (fix.isNullAt(1)) 0L else fix.getLong(1)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC round=$iter changed=$changed degSum=$frontierDegSum")
       labelsCache.unpersist() // safe: cut is materialized, no recompute through it
       labelsCache = cut
-      labels = cut.select(col("u"), col("lbl"))
+      labels = cut.select(col("u"), col("lbl"), col("deg"))
       // next round's frontier: a cheap filter over the round's own cache
       delta = cut.filter(col("lbl") < col("prev")).select(col("u"), col("lbl"))
       iter += 1
@@ -382,6 +389,7 @@ object Dedup {
       s"dedupClusters: not converged after $maxIters rounds — component diameter " +
         s"exceeds 2^$maxIters?! raise maxIters (a silent cut would mislabel clusters)")
     lastClusterRounds.set(iter)
+    lastCandBroadcasts = bcastLog.toList
     edges.unpersist()
     // hand back a persisted, caller-unpersistable result (localCheckpoint
     // blocks are non-recomputable and die with decommissioned executors —

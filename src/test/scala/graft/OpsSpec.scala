@@ -273,11 +273,41 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.forall(_ == 5L), s"star must collapse to 5: $got")
     assert(got.size == 52)
-    // r17 hysteresis must NOT have skipped the hub's gate: arming requires a
-    // prior MEASURED small count, and the hub's first gated round has none —
-    // so at least one count job ran (the one that found cand > cap)
-    assert(Dedup.lastCandCountJobs.get() >= 1,
-      "the changed-hub round must measure its candidate set, not trust frontier size")
+    // r18: the gate is a provable bound (frontier degree-sum + size), so no
+    // count job EVER runs — and the hub's round must still have refused the
+    // broadcast (degree-sum 51 blows the 4-row cap even at frontier size 1)
+    assert(Dedup.lastCandCountJobs.get() == 0,
+      "degree-sum gate must run zero candidate-count jobs")
+    assert(Dedup.lastCandBroadcasts.exists(_ == false),
+      "the hub round must take the shuffle path under a 4-row cap")
+  }
+
+  test("dedupClusters: a hub changing MID-RUN, after broadcast rounds, forces the shuffle path") {
+    import spark.implicits._
+    // r17 verdict #2's demanded arm: under the old measure-then-arm
+    // hysteresis, rounds 2-3 would have MEASURED small candidate sets and
+    // armed a skip window; the hub's change then lands INSIDE that window
+    // with a frontier of exactly 1 row — the old gate would have broadcast
+    // the hub's 51-neighbor candidate set uncounted. The degree-sum bound
+    // sees deg(hub)=51 in the same aggregate that detected the change and
+    // refuses the broadcast BEFORE anything is built on the driver.
+    // Graph: 0—120—150—hub(100), leaves 200..249 on the hub. The min label
+    // 0 needs two relay rounds (120, then 150) before it can reach the hub,
+    // so the hub first changes in round 3 and its leaves fan out in round 4.
+    val ids = (Seq(0L, 100L, 120L, 150L) ++ (200L until 250L)).toDF("doc_id")
+    val pairs = Seq((0L, 120L), (120L, 150L), (150L, 100L)).toDF("a", "b")
+      .union((200L until 250L).map(l => (100L, l)).toDF("a", "b"))
+    val got = Dedup.dedupClusters(ids, "doc_id", pairs, broadcastMaxRows = 30L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L), s"component must collapse to 0: $got")
+    assert(got.size == 54)
+    assert(Dedup.lastCandCountJobs.get() == 0, "no count jobs under the degree-sum gate")
+    val bl = Dedup.lastCandBroadcasts
+    // round 3 (index 2): frontier {150}, degSum 2 — broadcast; round 4
+    // (index 3): frontier {hub}, size 1 but degSum 51 — MUST be shuffle
+    assert(bl.length >= 4, s"expected >=4 rounds, got $bl")
+    assert(bl(2), s"small mid-run round should broadcast: $bl")
+    assert(!bl(3), s"the hub round (frontier=1, degSum=51) must NOT broadcast: $bl")
   }
 
   test("dedupApply keeps exactly the cluster-min doc per cluster plus singletons") {
@@ -303,14 +333,15 @@ class OpsSpec extends SparkTestBase {
     assert(planNodes < 20, s"dedupClusters result plan must be a leaf+projection, got $planNodes nodes")
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 0L), s"chain must collapse to 0: $labels")
-    // r17 hysteresis: after the first gated round measures a small candidate
-    // set, non-growing-frontier rounds skip the re-count (re-measure at most
-    // every 4 skips) — count jobs must come in well under one-per-round
+    // r18 degree-sum gate: the broadcast decision costs ZERO count jobs (the
+    // bound folds into the fixpoint aggregate), and every post-round-1 round
+    // of this low-degree chain qualifies for the broadcast path
     val rounds = Dedup.lastClusterRounds.get()
     val counts = Dedup.lastCandCountJobs.get()
     assert(rounds >= 4, s"pointer jumping shape changed? rounds=$rounds")
-    assert(counts >= 1 && counts <= rounds / 4 + 1,
-      s"hysteresis should skip most cand counts: $counts count jobs over $rounds rounds")
+    assert(counts == 0, s"degree-sum gate must run zero count jobs, ran $counts")
+    assert(Dedup.lastCandBroadcasts.drop(1).forall(identity),
+      s"chain rounds after round 1 should all broadcast: ${Dedup.lastCandBroadcasts}")
     // string ids: binary-min canonicalization, no silent long casts
     val sdocs = Seq("doc-b", "doc-a", "doc-z", "solo").toDF("doc_id")
     val spairs = Seq(("doc-b", "doc-a"), ("doc-z", "doc-b")).toDF("a", "b")
