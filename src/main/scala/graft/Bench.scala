@@ -428,9 +428,18 @@ object Bench {
       })
       assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
+      // per-phase walls of BOTH samples into the dump (r17 verdict #5): a
+      // slow sample adjudicates stall-vs-load from the artifact alone — the
+      // r17 bimodal mystery needed a probe re-run to see WHERE the 2 s went.
+      // (scale_sql_update has no equivalent: its rewrite is Spark's own
+      // group-based row-level plan, not Delete.run.)
+      graft.ops.Delete.lastPhaseSec.foreach { case (ph, sec) =>
+        results(s"scale_delete_r1_$ph") = sec }
       val (dSec2, rep2) = cal("scale_delete_r2")(time {
         graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
       })
+      graft.ops.Delete.lastPhaseSec.foreach { case (ph, sec) =>
+        results(s"scale_delete_r2_$ph") = sec }
       assert(rep2.rowsDeleted == 2000000L, s"delete r2 removed wrong count: $rep2")
       assert(rep2.filesRewritten <= 1, s"delete r2 must be ~metadata-only: $rep2")
       results("scale_delete") = math.min(dSec, dSec2)
@@ -547,6 +556,69 @@ object Bench {
           case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         }
       }
+    }
+
+    // ---- scale block: wide flatmap — the reference's headline shape
+    // ("thousands of streams", velox/FieldWriter.cpp:1415). 2M rows, each
+    // carrying 8 of 400 feature keys, so the table holds ~400 per-key
+    // streams; a single-feature selective probe must fetch ~1 stream and
+    // prune nearly every chunk through the fm directory stats (the r17
+    // FlatMapPrune path), and a 3-feature projection must fetch 3 of 400.
+    // Regressions in either now surface as dump metrics, not just specs. ----
+    {
+      val fmDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-fm"
+      val fmRows = 2000000L
+      // per-row distinct keys: (base + i*50) mod 400 over i=0..7 never
+      // collides; values ride id so chunk stats are range-disjoint and a
+      // high-constant probe is provably prunable everywhere but the tail
+      val fmSrc = spark.range(fmRows)
+        .selectExpr("id",
+          "map_from_arrays(" +
+            "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
+            "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))) AS m")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      // single-shot write timing (same rationale as scale_write: the write
+      // stack is JIT-warm by this point in the block)
+      val (fmwSec, _) = cal("scale_fm_write")(time {
+        fmSrc.write.format("nimble").option("flatMapColumns", "m")
+          .option("rowsPerChunk", "16384").option("sortColumns", "id")
+          .mode("overwrite").save(fmDir)
+      })
+      results("scale_fm_write") = fmwSec
+      // feature projection read: the flatmap surfaces as a struct of named
+      // keys, so `m.f37` is a dotted-path push the fm stats prune on
+      // (FlatMapPruneSpec's shape — plain map getItem reconstructs the map)
+      val fmTable = spark.read.format("nimble")
+        .option("flatMapStruct.m", "f11,f37,f123,f301").load(fmDir)
+      // selective probe: one feature, tail constant — warm once (plan +
+      // footer caches), then min-of-2 with the chunk-skip delta recorded
+      def fmProbe(): Long = fmTable
+        .filter(col("m.f37") > (fmRows - 1000).toDouble)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      fmProbe()
+      val skip0 = graft.spark.NimbleSource.chunksSkipped.get()
+      val (p1, _) = cal("scale_fm_probe")(time(fmProbe()))
+      results("scale_fm_chunks_skipped") =
+        (graft.spark.NimbleSource.chunksSkipped.get() - skip0).toDouble
+      val (p2, _) = cal("scale_fm_probe_r2")(time(fmProbe()))
+      results("scale_fm_probe") = math.min(p1, p2)
+      calibs("scale_fm_probe") =
+        math.min(calibs("scale_fm_probe"), calibs("scale_fm_probe_r2"))
+      calibs.remove("scale_fm_probe_r2")
+      // 3-of-400 feature projection (the training-pipeline read shape)
+      def fmProj(): Unit = {
+        fmTable.select(
+          col("m.f11").as("a"), col("m.f123").as("b"), col("m.f301").as("c"))
+          .agg(sum("a"), sum("b"), sum("c")).collect()
+        ()
+      }
+      fmProj()
+      val (j1, _) = cal("scale_fm_proj")(time(fmProj()))
+      val (j2, _) = cal("scale_fm_proj_r2")(time(fmProj()))
+      results("scale_fm_proj") = math.min(j1, j2)
+      calibs("scale_fm_proj") =
+        math.min(calibs("scale_fm_proj"), calibs("scale_fm_proj_r2"))
+      calibs.remove("scale_fm_proj_r2")
     }
 
     results("scale_calib_base_ns") = calSamples.min

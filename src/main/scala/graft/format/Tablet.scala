@@ -918,7 +918,12 @@ object Tablet {
       bucketColumns: Seq[String] = Nil,
       numBuckets: Int = 0,
       bucketId: Int = -1,
-      ndvSketches: Boolean = true) extends ChunkSink {
+      ndvSketches: Boolean = true,
+      /** Chunk surgery ([[graft.ops.Surgery]]) interleaves raw-copied frames
+        * with re-encoded ones in ONE stream; shared-dict buffering would
+        * reorder the re-encoded chunks behind a flush-time alphabet frame and
+        * break the ordinal/row-order contract — surgery writers disable it. */
+      sharedDict: Boolean = true) extends ChunkSink {
     // Hash-index entries hash long-backed and bytes-backed values only; an
     // unsupported column (double/bool/nested) would silently emit an
     // always-empty index that shadows the reader's scan fallback — reject the
@@ -1073,7 +1078,7 @@ object Tablet {
       * normally. Latin-1 keys round-trip arbitrary bytes losslessly. */
     private def trySharedDict(id: Int, c: BytesCol, cst: Stats): Boolean = {
       import java.nio.charset.StandardCharsets.ISO_8859_1
-      if (sharedOff(id)) return false
+      if (!sharedDict || sharedOff(id)) return false
       val st = sharedActive.getOrElse(id, {
         // stripe-scoped decision on the first chunk: engage only on strong
         // reuse (distinct small in absolute terms AND relative to rows)
@@ -1467,6 +1472,84 @@ object Tablet {
         i += 1
       }
       stripeRows = 0
+    }
+
+    /** Chunk surgery (chunk-granular copy-on-write for DML,
+      * [[graft.ops.Surgery]]): append one data-chunk FRAME byte-for-byte into
+      * stream `id`'s current-stripe buffer. The frame's inline stats (`stats`,
+      * from the source chunk directory) fold into the stripe stats EXACTLY —
+      * stats stay answer-grade for AggScan, not just pruning bounds. Caller
+      * contract: the stream carries no bloom/index/shared-dict (raw frames
+      * bypass all aux collection), grids stay ordinal-aligned across streams,
+      * and `addRows` is called once per chunk row-range. */
+    def copyRawChunk(id: Int, frame: Array[Byte], rows: Long, stats: Stats): Unit = {
+      require(stats != null, "copyRawChunk: frame must carry chunk stats")
+      stripeStats(id).merge(stats)
+      val b = stripeBufs(id)
+      chunkDirRec.getOrElseUpdate(id, mutable.ArrayBuffer[ChunkLoc]()) +=
+        ChunkLoc(b.size.toLong, rows, true, stats)
+      b.writeBytes(frame)
+    }
+
+    /** Stripe surgery (stripe-granular copy-on-write for DML): append stripe
+      * `s` of `src` BYTE-FOR-BYTE. Sound because stripes are self-contained
+      * by construction — every stream's bytes, stats, bloom, chunk
+      * directory, hash/sorted/composite index streams and stripe-scoped
+      * shared-dictionary alphabets live inside the stripe region; only the
+      * absolute stream offsets need rebasing. The checksum is recomputed
+      * under THIS writer's format version (a copied v10 stripe lands in a
+      * v14 file whose verifier hashes per-stream). File-level stats merge
+      * from the stripe's directory stats; NDV sketches fold from the source
+      * footer once via [[mergeNdvFrom]] (HLL registers are max-mergeable; a
+      * source sketch covering dropped rows stays a valid upper-bound
+      * estimate). Stream ids are positional: this writer must be
+      * constructed with the source footer's streamKeys, and must not
+      * interleave its own row data (zero-copy stripes and written stripes
+      * may coexist, but id alignment is the caller's contract). */
+    def appendRawStripe(src: Reader, s: Int): Unit = {
+      flushStripe() // buffered rows (if any) become their own stripe first
+      val sf = src.footer
+      require(sf.nStreams <= nStreams,
+        s"appendRawStripe: source has ${sf.nStreams} streams, writer $nStreams")
+      val info = sf.stripes(s)
+      val span = src.readRange(info.offset, info.length.toInt)
+      val start = fileOffset
+      out.write(span)
+      fileOffset += span.length
+      val locs = new Array[StreamLoc](nStreams)
+      val stats = new Array[Stats](nStreams)
+      val lens = new Array[Long](nStreams)
+      var blooms = Map.empty[Int, Bloom]
+      var chunkDirs = Map.empty[Int, Array[ChunkLoc]]
+      var id = 0
+      while (id < nStreams) {
+        if (id < sf.nStreams) {
+          val loc = src.streamLoc(s, id)
+          val st = src.streamStats(s, id)
+          locs(id) = StreamLoc(loc.offset - info.offset + start, loc.length)
+          stats(id) = st
+          lens(id) = loc.length
+          src.streamBloom(s, id).foreach(b => blooms += id -> b)
+          val cd = src.chunkDirOf(s, id)
+          if (cd != null) chunkDirs += id -> cd
+          fileStats(id).merge(st)
+        } else { // streams this writer knows that the source file lacks
+          locs(id) = StreamLoc(start, 0L)
+          stats(id) = Stats()
+        }
+        id += 1
+      }
+      val checksum = Tablet.stripeChecksumOf(Version, span, lens)
+      stripes += ((start, span.length.toLong, info.rowCount, locs, stats,
+        checksum, blooms, chunkDirs))
+      totalRows += info.rowCount
+    }
+
+    /** Fold the source footer's NDV sketches into this writer's (call ONCE
+      * per source file when raw-copying its stripes). */
+    def mergeNdvFrom(src: Footer): Unit = if (ndvSketches) {
+      for ((name, regs) <- src.ndvSketches; id <- keyIndex.get(name))
+        Hll.merge(ndvRegs.getOrElseUpdate(id, Hll.empty()), regs)
     }
 
     def close(): Long = {

@@ -47,6 +47,13 @@ object Delete {
       filesDeleted: Int, filesRewritten: Int, filesUntouched: Int,
       rowsDeleted: Long, rowsRemaining: Long)
 
+  /** Wall seconds per phase (classify / recoverLayout / rewrite / unlink) of
+    * the most recent [[run]] on this JVM. Bench folds these into its dump so
+    * a slow scale_delete/scale_sql_update sample adjudicates stall-vs-load
+    * from the committed artifact, without a probe re-run (r17 verdict #5).
+    * Probe-only stderr printing stays behind GRAFT_DML_PHASES. */
+  @volatile var lastPhaseSec: Map[String, Double] = Map.empty
+
   // ------------------------------------------------------------ public API
 
   /** DELETE FROM dir WHERE cond. `readOptions` are the table's read options
@@ -56,8 +63,9 @@ object Delete {
   def delete(spark: SparkSession, dir: String, cond: Column,
       readOptions: Map[String, String] = Map.empty): Report = {
     val keep = coalesce(not(cond), lit(true))
-    run(spark, dir, translateCond(spark, dir, cond, readOptions), keep,
-      identity, readOptions)
+    val (filters, complete) = translateCond(spark, dir, cond, readOptions)
+    run(spark, dir, filters, keep, identity, readOptions,
+      exactFilters = complete)
   }
 
   /** The V1-filter entry ([[graft.spark.NimbleSource]]'s SupportsDelete
@@ -67,7 +75,10 @@ object Delete {
       readOptions: Map[String, String] = Map.empty): Report = {
     val cond = if (filters.isEmpty) lit(true)
       else filters.map(toColumn).reduce(_ && _)
-    run(spark, dir, filters, coalesce(not(cond), lit(true)), identity, readOptions)
+    // the filters ARE the condition here (exact by construction), so chunk
+    // surgery may use them for all-match chunk drops
+    run(spark, dir, filters, coalesce(not(cond), lit(true)), identity,
+      readOptions, exactFilters = true)
   }
 
   /** UPDATE dir SET assignments WHERE cond. Files provably untouched by the
@@ -107,7 +118,7 @@ object Delete {
     }
     // update touches all-match files too (rows change, not disappear):
     // reuse run() with all-match folded into the rewrite set
-    run(spark, dir, translateCond(spark, dir, cond, readOptions),
+    run(spark, dir, translateCond(spark, dir, cond, readOptions)._1,
       keep = lit(true), transform = transform, readOptions,
       unlinkAllMatch = false)
   }
@@ -189,7 +200,11 @@ object Delete {
   private def run(spark: SparkSession, dir: String, filters: Array[Filter],
       keep: Column, transform: DataFrame => DataFrame,
       readOptions: Map[String, String],
-      unlinkAllMatch: Boolean = true): Report = {
+      unlinkAllMatch: Boolean = true,
+      /** true only when `filters` EXACTLY represent the condition (SQL
+        * deleteWhere filters; a fully-translated delete Column) — the
+        * precondition for chunk surgery's all-match chunk drops. */
+      exactFilters: Boolean = false): Report = {
     val files = NimbleSource.listFiles(dir)
     if (files.isEmpty) return Report(0, 0, 0, 0L, 0L)
     val unsignedCols = readOptions.collectFirst {
@@ -199,17 +214,18 @@ object Delete {
 
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(NimbleSource.footerOf(files.head).schemaJson).asInstanceOf[StructType]
-    // GRAFT_DML_PHASES=1: phase wall-times to stderr (DeleteProbe bisects
-    // the bimodal scale_delete with it; zero cost when unset)
-    val phases = sys.env.contains("GRAFT_DML_PHASES")
-    def phase[A](name: String)(body: => A): A =
-      if (!phases) body
-      else {
-        val t0 = System.nanoTime()
-        val r = body
-        System.err.println(f"[dml-phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        r
-      }
+    // per-phase walls always record into lastPhaseSec (four nanoTime pairs —
+    // free next to file IO); GRAFT_DML_PHASES=1 additionally prints them
+    val phasePrint = sys.env.contains("GRAFT_DML_PHASES")
+    val phaseWalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      phaseWalls(name) = sec
+      if (phasePrint) System.err.println(f"[dml-phase] $name $sec%.3f s")
+      r
+    }
     val (allM0, noneM, mixed0) = phase("classify")(classify(files, filters, unsignedCols))
     val (allM, mixed) =
       if (unlinkAllMatch) (allM0, mixed0) else (Nil, allM0 ++ mixed0)
@@ -230,10 +246,28 @@ object Delete {
           "store the WIDENED values (a different physical domain) — only " +
           "metadata-only deletes are supported on such tables; this " +
           "predicate needs a row-level rewrite of: " + mixed.take(3).mkString(","))
-      val (rowsBefore, rowsAfter) = phase("rewrite")(rewriteFiles(spark, dir, mixed, files,
-        schema, layout, readOptions, src => transform(src.filter(keep))))
+      // chunk surgery first (delete with exact filters): boundary files
+      // rewrite O(mixed chunks) — raw byte copy for the kept bulk — instead
+      // of O(file); ineligible files fall through to the Spark rewrite
+      var jobFiles = mixed
+      if (exactFilters && filters.nonEmpty) {
+        val tmp = GraftIO.child(dir,
+          s".surgery-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          val (done, before, _, rest) = phase("surgery")(
+            Surgery.deleteFiles(spark, mixed, filters, tmp))
+          if (done.nonEmpty)
+            rowsDeleted += before - commitReplacements(dir, done, tmp)
+          jobFiles = rest
+        } finally GraftIO.delete(tmp, recursive = true)
+      }
+      if (jobFiles.nonEmpty) {
+        val (rowsBefore, rowsAfter) = phase("rewrite")(rewriteFiles(spark, dir,
+          jobFiles, files, schema, layout, readOptions,
+          src => transform(src.filter(keep))))
+        rowsDeleted += rowsBefore - rowsAfter
+      }
       rewritten = mixed.length
-      rowsDeleted += rowsBefore - rowsAfter
     }
 
     phase("unlink")(allM.foreach(GraftIO.delete(_)))
@@ -251,6 +285,7 @@ object Delete {
 
     val remaining = NimbleSource.listFiles(dir)
       .map(f => NimbleSource.footerOf(f).rowCount).sum
+    lastPhaseSec = phaseWalls.toMap
     Report(allM.length, rewritten, noneM.length, rowsDeleted, remaining)
   }
 
@@ -334,18 +369,22 @@ object Delete {
   /** Resolve `cond` against the table (type coercion included), split the
     * conjunction, and translate what translates into V1 filters for
     * classification. Untranslatable conjuncts simply don't help classify —
-    * correctness rides the keep-filter, never this. */
+    * correctness rides the keep-filter, never this. The Boolean reports
+    * COMPLETENESS (every conjunct translated): only then do the filters
+    * exactly equal the condition, the precondition for chunk surgery. */
   private def translateCond(spark: SparkSession, dir: String, cond: Column,
-      readOptions: Map[String, String]): Array[Filter] = {
+      readOptions: Map[String, String]): (Array[Filter], Boolean) = {
     val df = spark.read.format("nimble").options(readOptions).load(dir)
     val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(return Array.empty)
+    }.getOrElse(return (Array.empty, false))
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(resolved).flatMap(translate).toArray
+    val cs = conjuncts(resolved)
+    val translated = cs.flatMap(translate)
+    (translated.toArray, translated.length == cs.length)
   }
 
   /** Catalyst → V1 `sources.Filter`, the subset classification understands.

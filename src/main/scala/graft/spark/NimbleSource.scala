@@ -717,6 +717,11 @@ object NimbleSource {
     * Conservative None anywhere else. */
   private[spark] def dottedChildStats(r: Tablet.Reader, s: Int, name: String,
       stripeRows: Long): Option[Tablet.Stats] = {
+    // pass 1 — EVERY split is checked for a flatmap value stream before any
+    // all-null conclusion (r17 ADVICE: an early anchor return at the first
+    // split would shadow a deeper flatmap, e.g. 'a#nulls' hiding 'a.b#fm:c'
+    // for path a.b.c, and wrongly prune live rows)
+    var anchored = false
     var dot = name.indexOf('.')
     while (dot > 0) {
       val c = name.substring(0, dot)
@@ -728,10 +733,18 @@ object NimbleSource {
           nullCount = st.nullCount + (stripeRows - st.valueCount)))
       }
       if (r.keyId(s"$c#nulls") >= 0 && r.keyId(s"$c#len") < 0 && r.keyId(s"$c#idx") < 0)
-        return Some(Tablet.Stats(valueCount = stripeRows, nullCount = stripeRows))
+        anchored = true
       dot = name.indexOf('.', dot + 1)
     }
-    None
+    // pass 2 — all-null synthesis needs a per-child-shredding anchor on the
+    // prefix chain AND no stream serving the path or anything under it (the
+    // prefix walk is a schema-evolution rarity, never the flatmap hot path,
+    // so the O(streams) key listing is acceptable here)
+    if (anchored && !r.keyProbe.withPrefix(name).exists(sk =>
+        sk.length == name.length ||
+          sk.charAt(name.length) == '.' || sk.charAt(name.length) == '#'))
+      Some(Tablet.Stats(valueCount = stripeRows, nullCount = stripeRows))
+    else None
   }
 
   /** Driver-side footer cache (reference: dwio/nimble/tablet/MetadataCache.h).

@@ -140,6 +140,23 @@ object DeleteProbe {
       }
       spark.stop(); return
     }
+    // 'listener' arg: per-task split of every job inside the timed deletes
+    // (r17 verdict #1): scheduler delay / deserialize / GC / fetch-wait per
+    // stage, per-job walls, and the DRIVER-side time the jobs don't cover —
+    // distinguishes "a task stalls" from "the driver stalls between jobs"
+    val tl = if (args.contains("listener")) {
+      val l = new TaskSplitListener; spark.sparkContext.addSparkListener(l); Some(l)
+    } else None
+    val gcBeans = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans).asScala
+    def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    def timedSplit[A](tag: String)(body: => A): (A, Double) = {
+      tl.foreach(_.reset()); val g0 = if (tl.isDefined) gcMs() else 0L
+      val t0 = System.nanoTime(); val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      tl.foreach { l => Thread.sleep(300); println(l.report(tag, wall, gcMs() - g0)) }
+      (r, wall)
+    }
     var i = 0
     while (i < reps) {
       spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del")
@@ -154,22 +171,113 @@ object DeleteProbe {
         new ProcessBuilder("sync").inheritIO().start().waitFor()
         Thread.sleep(5000)
       }
-      val t0 = System.nanoTime()
-      val rep1 = graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
-      val d1 = (System.nanoTime() - t0) / 1e9
+      // 'layout' arg: per-file id ranges before each delete — tests whether
+      // the bimodal rewrite cost is simply the KEPT-ROW COUNT of the one
+      // mixed file (decided by where create-time range sampling dropped the
+      // boundary relative to the delete predicate)
+      if (args.contains("layout")) {
+        for (f <- graft.spark.NimbleSource.listFiles(dDir).sorted) {
+          val r = new graft.format.Tablet.Reader(f)
+          try {
+            val st = r.fileStatsOf("id").get
+            val rows = r.footer.rowCount
+            val keep1 = if (st.maxLong < 6000000L) rows
+              else if (st.minLong >= 6000000L) 0L
+              else -1L // mixed: boundary file
+            println(f"  [layout] ${f.substring(f.lastIndexOf('/') + 1)} rows=$rows " +
+              f"id=[${st.minLong},${st.maxLong}] keepIfD1=$keep1")
+          } finally r.close()
+        }
+      }
+      val (rep1, d1) = timedSplit(s"iter$i-d1")(
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L))
       assert(rep1.rowsDeleted == 2000000L, s"probe delete drifted: $rep1")
-      val t1 = System.nanoTime()
-      val rep2 = graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
-      val d2 = (System.nanoTime() - t1) / 1e9
+      val (rep2, d2) = timedSplit(s"iter$i-d2")(
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L))
       assert(rep2.rowsDeleted == 2000000L, s"probe delete r2 drifted: $rep2")
-      val t2 = System.nanoTime()
-      spark.sql("UPDATE gdprobe.default.scale_del SET v = 0.0 " +
-        "WHERE id >= 1000000 AND id < 1100000")
-      val u1 = (System.nanoTime() - t2) / 1e9
+      val (_, u1) = timedSplit(s"iter$i-upd")(
+        spark.sql("UPDATE gdprobe.default.scale_del SET v = 0.0 " +
+          "WHERE id >= 1000000 AND id < 1100000"))
       println(f"delete_probe iter=$i d1=$d1%.3f d2=$d2%.3f min=${math.min(d1, d2)}%.3f " +
         f"update=$u1%.3f rewritten=${rep1.filesRewritten}/${rep2.filesRewritten}")
       i += 1
     }
     spark.stop()
+  }
+}
+
+/** Per-task split of every Spark job inside a timed window: per-stage sums
+  * of run / deserialize / GC / shuffle-fetch-wait / scheduler-delay, per-job
+  * walls, and the driver-side time no job covers. schedulerDelay is the
+  * classic UI derivation: task duration minus every metered component. */
+private[tools] class TaskSplitListener extends org.apache.spark.scheduler.SparkListener {
+  import org.apache.spark.scheduler._
+  import scala.collection.mutable
+  private final class StageAgg(val name: String) {
+    var tasks = 0
+    var run, deser, gc, sched, fetchWait, resultSer, maxDur = 0L
+    var firstLaunch = Long.MaxValue
+    var lastFinish = 0L
+  }
+  private val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAgg]
+  private val jobs = mutable.ArrayBuffer[(Int, Long, Long, Seq[Int])]()
+  private val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Seq[Int])]
+
+  def reset(): Unit = { stages.clear(); jobs.synchronized(jobs.clear()); jobStarts.clear() }
+
+  override def onJobStart(e: SparkListenerJobStart): Unit =
+    jobStarts.put(e.jobId, (e.time, e.stageIds.map(_.toInt)))
+  override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+    val (t0, sids) = Option(jobStarts.remove(e.jobId)).getOrElse((e.time, Seq.empty[Int]))
+    jobs.synchronized(jobs += ((e.jobId, t0, e.time, sids)))
+  }
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m == null) return
+    val agg = stages.computeIfAbsent(e.stageId, _ => new StageAgg(e.taskType))
+    agg.synchronized {
+      agg.tasks += 1
+      agg.run += m.executorRunTime
+      agg.deser += m.executorDeserializeTime
+      agg.gc += m.jvmGCTime
+      agg.fetchWait += m.shuffleReadMetrics.fetchWaitTime
+      agg.resultSer += m.resultSerializationTime
+      val dur = e.taskInfo.duration
+      agg.sched += math.max(0L, dur - m.executorRunTime -
+        m.executorDeserializeTime - m.resultSerializationTime -
+        e.taskInfo.gettingResultTime)
+      agg.maxDur = math.max(agg.maxDur, dur)
+      agg.firstLaunch = math.min(agg.firstLaunch, e.taskInfo.launchTime)
+      agg.lastFinish = math.max(agg.lastFinish, e.taskInfo.finishTime)
+    }
+  }
+
+  /** One multi-line report for the window: jobs sorted by start, each with
+    * its stages' task splits; then the wall seconds NOT covered by any job
+    * interval (pure driver time) and the window's JVM GC delta. */
+  def report(tag: String, wallSec: Double, gcDeltaMs: Long): String = {
+    val js = jobs.synchronized(jobs.sortBy(_._2).toVector)
+    val sb = new StringBuilder
+    sb.append(f"[task-split] $tag wall=$wallSec%.3f s jobs=${js.length} jvmGcDelta=${gcDeltaMs}ms\n")
+    for ((jid, t0, t1, sids) <- js) {
+      sb.append(f"  job $jid wall=${(t1 - t0) / 1e3}%.3f s\n")
+      for (sid <- sids; agg <- Option(stages.get(sid))) agg.synchronized {
+        val launchGap = if (agg.firstLaunch == Long.MaxValue) 0L else agg.firstLaunch - t0
+        sb.append(f"    stage $sid (${agg.name}) tasks=${agg.tasks} " +
+          f"run=${agg.run}ms deser=${agg.deser}ms gc=${agg.gc}ms sched=${agg.sched}ms " +
+          f"fetchWait=${agg.fetchWait}ms resultSer=${agg.resultSer}ms " +
+          f"maxTask=${agg.maxDur}ms launchGap=${launchGap}ms " +
+          f"span=${if (agg.lastFinish > 0) agg.lastFinish - (if (agg.firstLaunch == Long.MaxValue) agg.lastFinish else agg.firstLaunch) else 0}ms\n")
+      }
+    }
+    // driver-side time: wall minus the union of job intervals
+    val ivs = js.map(j => (j._2, j._3)).sortBy(_._1)
+    var covered = 0L; var cursor = Long.MinValue
+    for ((a, b) <- ivs) {
+      val s = math.max(a, cursor)
+      if (b > s) { covered += b - s; cursor = b } else cursor = math.max(cursor, b)
+    }
+    sb.append(f"  driver-uncovered=${math.max(0.0, wallSec - covered / 1e3)}%.3f s of $wallSec%.3f s")
+    sb.toString
   }
 }
