@@ -131,12 +131,30 @@ object Compaction {
     b.result()
   }
 
-  /** Compact `dir` into `outDir` at ~`targetFileBytes` per file. Shuffle
-    * shape by layout: bucketed tables re-cluster through the write's own
-    * required distribution (bucket count unchanged); sorted tables
-    * range-repartition on the sort key (one shuffle, globally ordered,
-    * range-disjoint files); plain tables coalesce — no shuffle at all, the
-    * scan's bin-packed splits simply drain into fewer writers. */
+  /** Compact `dir` into `outDir` at ~`targetFileBytes` per file.
+    *
+    * Fast path — RAW STRIPE CONCATENATION: stripes are self-contained by
+    * construction (every stream's bytes, chunk directories, stripe blooms
+    * and index streams live inside the stripe region — the same property
+    * [[Tablet.Writer.appendRawStripe]] documents), so when the inputs are
+    * layout-identical the compaction is a byte-level move: source stripes
+    * append into bin-packed output files with zero decode and zero
+    * re-encode. A 100 TB OPTIMIZE then costs table IO, not table CPU.
+    * Eligibility (checked from footers alone; anything else falls back):
+    * no extra options (they could change the physical layout), not
+    * bucketed (the write path must re-cluster), identical schema AND
+    * positionally identical stream keys across files (stream ids are
+    * positional in the stripe region), and — for sorted tables — strictly
+    * disjoint null-free file ranges on the leading sort column, so
+    * concatenation in range order preserves the global sort the rewrite
+    * path re-establishes by shuffle.
+    *
+    * Fallback — rewrite, shuffle shape by layout: bucketed tables
+    * re-cluster through the write's own required distribution (bucket
+    * count unchanged); sorted tables range-repartition on the sort key
+    * (one shuffle, globally ordered, range-disjoint files); plain tables
+    * coalesce — no shuffle at all, the scan's bin-packed splits simply
+    * drain into fewer writers. */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetFileBytes: Long = 256L << 20,
       extraOptions: Map[String, String] = Map.empty): Report = {
@@ -150,12 +168,25 @@ object Compaction {
     val bytesBefore = before.map(_.length).sum
     val opts = recoverLayout(dir) ++ extraOptions
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    val sortCols = opts.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+
+    if (extraOptions.isEmpty) {
+      rawConcatOrdered(before.map(_.path), sortCols, outDir, targetFileBytes,
+        overwrite = true) match {
+        case Some(written) =>
+          lastCompactRaw.set(true)
+          val after = GraftIO.listGft(outDir)
+          return Report(before.length, after.length, bytesBefore,
+            after.map(_.length).sum, written, opts)
+        case None => () // ineligible: rewrite below
+      }
+    }
+    lastCompactRaw.set(false)
 
     // plain read: the scan auto-detects the nanos split and nested layouts
     // from stream keys; unsigned-widened tables compact losslessly too (the
     // stored bit pattern round-trips signed, and readers re-widen on scan)
     val df = spark.read.format("nimble").load(dir)
-    val sortCols = opts.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
     val shaped =
       if (opts.contains("numBuckets")) df // the bucketed write re-clusters itself
       else if (sortCols.nonEmpty)
@@ -170,6 +201,93 @@ object Compaction {
     val after = GraftIO.listGft(outDir)
     Report(before.length, after.length, bytesBefore, after.map(_.length).sum,
       after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, opts)
+  }
+
+  /** True when the most recent [[compact]]/[[compactSmall]] on this JVM took
+    * the raw stripe-concat path (spec/probe introspection). */
+  val lastCompactRaw = new java.util.concurrent.atomic.AtomicBoolean()
+
+  /** Raw stripe concat when the files are layout-identical (see [[compact]]'s
+    * eligibility list). Returns total rows written, or None when ineligible
+    * (nothing written). Output files bin-pack to ~targetFileBytes in range
+    * order for sorted tables, listing order otherwise. */
+  private def rawConcatOrdered(files: Seq[String], sortCols: Seq[String],
+      outDir: String, targetFileBytes: Long, overwrite: Boolean): Option[Long] = {
+    if (files.isEmpty) return None
+    NimbleSource.prefetchFooters(files)
+    val footers = files.map(NimbleSource.footerOf)
+    if (footers.exists(_.numBucketsSpec > 0)) return None
+    val head = footers.head
+    if (footers.exists(f => f.schemaJson != head.schemaJson)) return None
+    // positional id alignment: appendRawStripe rebases offsets by stream ID,
+    // so every file must enumerate the same keys in the same order (flatmap
+    // key discovery makes per-file orders diverge — those fall back)
+    val headKeys = head.streamKeys
+    if (footers.exists(f => !f.streamKeys.sameElements(headKeys)))
+      return None
+    // sorted tables: concat preserves the global sort ONLY when file ranges
+    // on the leading sort column are null-free and strictly disjoint
+    val ordered: Seq[(String, Tablet.Footer)] =
+      if (sortCols.isEmpty) files.zip(footers)
+      else {
+        val (empties, nonEmpty) = files.zip(footers).partition(_._2.rowCount == 0)
+        val withStats = nonEmpty.map { case (f, ft) =>
+          val r = new Tablet.Reader(f, ft)
+          val st = try r.fileStatsOf(sortCols.head) finally r.close()
+          (f, ft, st)
+        }
+        if (withStats.exists { case (_, _, st) =>
+            st.isEmpty || !st.get.hasMinMax || st.get.nullCount > 0 ||
+              st.get.kind == graft.format.PhysType.Bytes })
+          return None // bytes ranges are TRUNCATED min/max — not order-safe
+        val isFloat = withStats.headOption.exists { case (_, _, st) =>
+          st.get.kind == graft.format.PhysType.F32 ||
+            st.get.kind == graft.format.PhysType.F64 }
+        val sorted =
+          if (isFloat) withStats.sortBy(_._3.get.minDouble)
+          else withStats.sortBy(_._3.get.minLong)
+        var first = true
+        var prevMaxD = 0d
+        var prevMaxL = 0L
+        for ((_, _, st) <- sorted) {
+          if (!first && (if (isFloat) st.get.minDouble <= prevMaxD
+                         else st.get.minLong <= prevMaxL)) return None
+          prevMaxD = st.get.maxDouble
+          prevMaxL = st.get.maxLong
+          first = false
+        }
+        empties ++ sorted.map { case (f, ft, _) => (f, ft) }
+      }
+    // bin-pack in order, one writer per bin
+    GraftIO.mkdirs(outDir)
+    if (overwrite) GraftIO.listGft(outDir).foreach(f => GraftIO.delete(f.path))
+    var rows = 0L
+    var bin = 0
+    var binBytes = 0L
+    var w: Tablet.Writer = null
+    def openWriter(): Unit = {
+      val name = f"part-$bin%05d-${java.util.UUID.randomUUID().toString.take(8)}.gft"
+      w = new Tablet.Writer(GraftIO.child(outDir, name), head.schemaJson,
+        streamKeys = headKeys, sortColumns = head.sortColumns,
+        ndvSketches = head.ndvSketches.nonEmpty, sharedDict = false)
+    }
+    openWriter()
+    for ((f, ft) <- ordered if ft.rowCount > 0) {
+      val fileBytes = GraftIO.status(f).length
+      if (binBytes > 0 && binBytes + fileBytes > targetFileBytes) {
+        w.close(); bin += 1; binBytes = 0L; openWriter()
+      }
+      val r = new Tablet.Reader(f, ft)
+      try {
+        w.mergeNdvFrom(ft)
+        var s = 0
+        while (s < ft.stripes.length) { w.appendRawStripe(r, s); s += 1 }
+      } finally r.close()
+      binBytes += fileBytes
+      rows += ft.rowCount
+    }
+    w.close()
+    Some(rows)
   }
 
   /** Incremental OPTIMIZE — in-place compaction of ONLY the small files.
@@ -211,11 +329,30 @@ object Compaction {
     }
     val vBytes = victims.map(_.length).sum
     val nOut = math.max(1, math.ceil(vBytes.toDouble / targetFileBytes).toInt)
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(NimbleSource.footerOf(all.head.path).schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    Delete.rewriteFiles(spark, dir, victims.map(_.path), all.map(_.path),
-      schema, layout, Map.empty, identity, outFiles = Some(nOut))
+    // raw fast path: victims that are layout-identical (and, when sorted,
+    // range-disjoint among themselves — a raw concat of OVERLAPPING sorted
+    // victims would break the per-file sort contract TopN pushdown relies
+    // on) merge byte-for-byte through the same copy-on-write commit
+    val sortCols = layout.get("sortColumns").map(_.split(",").toSeq).getOrElse(Nil)
+    val tmp = GraftIO.child(dir,
+      s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    val raw = try {
+      rawConcatOrdered(victims.map(_.path), sortCols, tmp, targetFileBytes,
+        overwrite = false) match {
+        case Some(_) =>
+          Delete.commitReplacements(dir, victims.map(_.path), tmp)
+          true
+        case None => false
+      }
+    } finally GraftIO.delete(tmp, recursive = true)
+    lastCompactRaw.set(raw)
+    if (!raw) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(NimbleSource.footerOf(all.head.path).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Delete.rewriteFiles(spark, dir, victims.map(_.path), all.map(_.path),
+        schema, layout, Map.empty, identity, outFiles = Some(nOut))
+    }
     val after = GraftIO.listGft(dir)
     Report(all.length, after.length, bytesBefore, after.map(_.length).sum,
       after.map(f => NimbleSource.footerOf(f.path).rowCount).sum, layout)

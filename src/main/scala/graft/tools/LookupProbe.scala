@@ -60,6 +60,31 @@ object LookupProbe {
         f"hits=$hits decoded=$decoded idxProbes=$idxProbes " +
         f"decodedPerHit=${decoded.toDouble / math.max(1, hits)}%.2f")
     }
+    // all-miss 100K keys (r17 verdict #8): every key above the table's max —
+    // LookupScaleSpec pins zero decodes; this row carries the WALL cost of
+    // pure bloom/index traversal at scale, so regressions in the miss path
+    // (the common shape for decontamination anti-joins) surface in the ledger
+    locally {
+      val maxKey = allKeys.max
+      val probes: Seq[Any] =
+        (1 to 100000).map(i => java.lang.Long.valueOf(maxKey + i.toLong))
+      var best = Double.MaxValue
+      var hits = 0L
+      var decoded = 0L
+      var idxProbes = 0L
+      for (_ <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val (res, m) = Lookup.batchPointLookupMetered(dir, "o_orderkey", probes)
+        val sec = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, sec)
+        hits = res.map(_.size.toLong).sum
+        decoded = m.rowsDecoded
+        idxProbes = m.indexProbes
+      }
+      println(f"lookup_probe all-miss keys=100000 sec=$best%.3f " +
+        f"perKeyUs=${best * 1e6 / 100000}%.2f hits=$hits decoded=$decoded " +
+        f"idxProbes=$idxProbes")
+    }
     // A/B: the pre-batch surface (one reader open + footer parse + index
     // load PER PROBE) at 1K keys — the constant the batch path amortizes
     locally {

@@ -26,7 +26,32 @@ class CompactionSpec extends SparkTestBase {
     val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
     assert(rep.filesBefore == 16 && rep.filesAfter == 1, rep)
     assert(rep.rows == li.count())
+    assert(Compaction.lastCompactRaw.get(),
+      "layout-identical plain files must take the raw stripe-concat path")
     assertSameData(spark.read.format("nimble").load(out), li)
+  }
+
+  test("raw concat falls back when it cannot prove the contract") {
+    val dir = tmpDir("cmp-raw-fb"); val out1 = tmpDir("cmp-raw-fb-o1")
+    // overlapping sorted ranges: two appends covering the same key range —
+    // concat would break the global order the rewrite re-establishes
+    li.repartitionByRange(2, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.format("nimble").option("sortColumns", "l_orderkey")
+      .mode("overwrite").save(dir)
+    li.limit(500).repartitionByRange(1, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.format("nimble").option("sortColumns", "l_orderkey")
+      .mode("append").save(dir)
+    val rep = Compaction.compact(spark, dir, out1, targetFileBytes = 1L << 30)
+    assert(!Compaction.lastCompactRaw.get(),
+      "overlapping sorted file ranges must take the rewrite path")
+    assert(rep.rows == li.count() + 500)
+    // extra options could change the physical layout: always rewrite
+    val out2 = tmpDir("cmp-raw-fb-o2")
+    Compaction.compact(spark, out1, out2,
+      extraOptions = Map("rowsPerChunk" -> "2048"))
+    assert(!Compaction.lastCompactRaw.get(),
+      "extraOptions must force the rewrite path")
   }
 
   test("sorted+indexed table: sort metadata, index streams and probes survive") {
@@ -39,6 +64,8 @@ class CompactionSpec extends SparkTestBase {
       .mode("overwrite").save(dir)
     val rep = Compaction.compact(spark, dir, out, targetFileBytes = 1L << 30)
     assert(rep.filesBefore == 8 && rep.filesAfter == 1, rep)
+    assert(Compaction.lastCompactRaw.get(),
+      "range-disjoint sorted+indexed files must take the raw stripe-concat path")
     assert(rep.writerOptions("sortColumns") == "l_orderkey")
     assert(rep.writerOptions("indexColumns") == "l_orderkey")
     assert(rep.writerOptions("bloomFilterColumns") == "l_returnflag")
