@@ -116,11 +116,27 @@ object Delete {
         }
       }: _*)
     }
+    // literal-only assignments with a fully-translated condition may take
+    // the column-shredded chunk surgery (only the assigned streams' touched
+    // chunks re-encode); anything else rides the Spark rewrite
+    val (filters, complete) = translateCond(spark, dir, cond, readOptions)
+    val lits: Option[Map[String, Any]] =
+      if (!complete) None
+      else {
+        val ex = assignments.map { case (n, c) =>
+          org.apache.spark.sql.GraftShims.columnExpr(c) match {
+            case l: Literal =>
+              Some(n -> CatalystTypeConverters.convertToScala(l.value, l.dataType))
+            case _ => None
+          }
+        }
+        if (ex.forall(_.isDefined)) Some(ex.flatten.toMap) else None
+      }
     // update touches all-match files too (rows change, not disappear):
     // reuse run() with all-match folded into the rewrite set
-    run(spark, dir, translateCond(spark, dir, cond, readOptions)._1,
+    run(spark, dir, filters,
       keep = lit(true), transform = transform, readOptions,
-      unlinkAllMatch = false)
+      unlinkAllMatch = false, exactFilters = complete, updateLits = lits)
   }
 
   /** Driver-side gate for SQL metadata-only DELETE (Spark's
@@ -204,7 +220,11 @@ object Delete {
       /** true only when `filters` EXACTLY represent the condition (SQL
         * deleteWhere filters; a fully-translated delete Column) — the
         * precondition for chunk surgery's all-match chunk drops. */
-      exactFilters: Boolean = false): Report = {
+      exactFilters: Boolean = false,
+      /** Literal-only UPDATE assignments (column -> Scala literal) — routes
+        * the mixed files through [[Surgery.updateFiles]] instead of the
+        * delete surgery; None for deletes and non-literal updates. */
+      updateLits: Option[Map[String, Any]] = None): Report = {
     val files = NimbleSource.listFiles(dir)
     if (files.isEmpty) return Report(0, 0, 0, 0L, 0L)
     val unsignedCols = readOptions.collectFirst {
@@ -250,15 +270,27 @@ object Delete {
       // rewrite O(mixed chunks) — raw byte copy for the kept bulk — instead
       // of O(file); ineligible files fall through to the Spark rewrite
       var jobFiles = mixed
-      if (exactFilters && filters.nonEmpty) {
+      // delete surgery only on DELETE calls (unlinkAllMatch); update surgery
+      // only with literal assignments — a non-literal update with exact
+      // filters must NOT reach the row-dropping path
+      if (exactFilters && filters.nonEmpty &&
+          (unlinkAllMatch || updateLits.isDefined)) {
         val tmp = GraftIO.child(dir,
           s".surgery-${java.util.UUID.randomUUID().toString.take(8)}")
         try {
-          val (done, before, _, rest) = phase("surgery")(
-            Surgery.deleteFiles(spark, mixed, filters, tmp))
-          if (done.nonEmpty)
-            rowsDeleted += before - commitReplacements(dir, done, tmp)
-          jobFiles = rest
+          updateLits match {
+            case Some(assigns) =>
+              val (done, rest) = phase("surgery")(
+                Surgery.updateFiles(spark, mixed, filters, assigns, tmp))
+              if (done.nonEmpty) commitReplacements(dir, done, tmp) // rows unchanged
+              jobFiles = rest
+            case None =>
+              val (done, before, _, rest) = phase("surgery")(
+                Surgery.deleteFiles(spark, mixed, filters, tmp))
+              if (done.nonEmpty)
+                rowsDeleted += before - commitReplacements(dir, done, tmp)
+              jobFiles = rest
+          }
         } finally GraftIO.delete(tmp, recursive = true)
       }
       if (jobFiles.nonEmpty) {

@@ -63,7 +63,7 @@ object Surgery {
   val lastRawChunks = new java.util.concurrent.atomic.AtomicLong()
   val lastDroppedChunks = new java.util.concurrent.atomic.AtomicLong()
   val lastRewrittenChunks = new java.util.concurrent.atomic.AtomicLong()
-  private[ops] def resetCounters(): Unit = {
+  private[graft] def resetCounters(): Unit = {
     lastRawChunks.set(0L); lastDroppedChunks.set(0L); lastRewrittenChunks.set(0L)
   }
 
@@ -89,11 +89,17 @@ object Surgery {
       outcomes.collect { case (f, None) => f })
   }
 
-  /** Surgery on one file. Some((rowsBefore, rowsAfter)) with the replacement
-    * written, None when ineligible (nothing written; caller falls back). */
-  private[ops] def deleteFile(file: String, filters: Array[Filter],
-      sideDir: String): Option[(Long, Long)] = {
-    val footer = NimbleSource.footerOf(file)
+  /** Shared eligibility prologue: flat atomic schema, recognized stream
+    * keys, filter refs on plain columns, per-chunk stats present, aligned
+    * chunk grids, no blooms. Returns the per-stripe chunk directories (or
+    * None = caller falls back to the Spark rewrite). */
+  private final class Prep(
+      val footer: Tablet.Footer, val fieldType: Map[String, DataType],
+      val keys: Array[String], val keyId: Map[String, Int],
+      val dirs: Array[Array[Array[Tablet.ChunkLoc]]])
+
+  private def prep(r: Tablet.Reader, filters: Array[Filter]): Option[Prep] = {
+    val footer = r.footer
     if (footer.stripes.isEmpty || filters.isEmpty) return None
     val schema =
       DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
@@ -109,36 +115,48 @@ object Surgery {
     val nanosSplit: Set[String] =
       keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
     val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(r => fieldType.contains(r) && !nanosSplit(r))) return None
+    if (!refs.forall(n => fieldType.contains(n) && !nanosSplit(n))) return None
+    val nStreams = keys.length
+    // eligibility pass over every stripe's directories (metadata only)
+    val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
+    var s = 0
+    while (s < footer.stripes.length) {
+      var id = 0
+      while (id < nStreams) {
+        if (r.streamBloom(s, id).nonEmpty) return None
+        val d = r.chunkDirOf(s, id)
+        if (d == null || d.exists(c => !c.isData || c.stats == null)) return None
+        if (id > 0) { // ordinal alignment with stream 0's grid
+          val d0 = dirs(s)(0)
+          if (d.length != d0.length) return None
+          var k = 0
+          while (k < d.length) {
+            if (d(k).rows != d0(k).rows) return None
+            k += 1
+          }
+        }
+        dirs(s)(id) = d
+        id += 1
+      }
+      s += 1
+    }
+    Some(new Prep(footer, fieldType, keys, keys.zipWithIndex.toMap, dirs))
+  }
 
+  /** Surgery on one file. Some((rowsBefore, rowsAfter)) with the replacement
+    * written, None when ineligible (nothing written; caller falls back). */
+  private[ops] def deleteFile(file: String, filters: Array[Filter],
+      sideDir: String): Option[(Long, Long)] = {
+    val footer = NimbleSource.footerOf(file)
     val r = new Tablet.Reader(file, footer)
     try {
+      val p = prep(r, filters).getOrElse(return None)
+      val fieldType = p.fieldType
+      val keys = p.keys
+      val keyId = p.keyId
+      val dirs = p.dirs
       val nStreams = keys.length
-      val keyId: Map[String, Int] = keys.zipWithIndex.toMap
-      // -------- eligibility pass over every stripe's directories (metadata
-      // only — no data bytes read until the copy loop below)
-      val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
       var s = 0
-      while (s < footer.stripes.length) {
-        var id = 0
-        while (id < nStreams) {
-          if (r.streamBloom(s, id).nonEmpty) return None
-          val d = r.chunkDirOf(s, id)
-          if (d == null || d.exists(c => !c.isData || c.stats == null)) return None
-          if (id > 0) { // ordinal alignment with stream 0's grid
-            val d0 = dirs(s)(0)
-            if (d.length != d0.length) return None
-            var k = 0
-            while (k < d.length) {
-              if (d(k).rows != d0(k).rows) return None
-              k += 1
-            }
-          }
-          dirs(s)(id) = d
-          id += 1
-        }
-        s += 1
-      }
 
       // -------- surgery
       val name = file.substring(file.lastIndexOf('/') + 1)
@@ -245,6 +263,222 @@ object Surgery {
       w.close()
       Some((footer.rowCount, kept))
     } finally r.close()
+  }
+
+  /** Chunk surgery for UPDATE with LITERAL assignments — the column-shredded
+    * update: row count and order never change, so only the ASSIGNED columns'
+    * chunks re-encode, and only in chunks the condition provably-or-possibly
+    * touches; every other (column, chunk) copies byte-for-byte. A one-column
+    * SET on a wide table rewrites one stream's boundary chunks, not the
+    * table. Same return/fallback contract as [[deleteFiles]]; rows returned
+    * are (rowsBefore, rowsBefore) since UPDATE drops nothing. */
+  def updateFiles(spark: SparkSession, victims: Seq[String],
+      filters: Array[Filter], assigns: Map[String, Any], sideDir: String)
+      : (Seq[String], Seq[String]) = {
+    resetCounters()
+    GraftIO.mkdirs(sideDir)
+    val outcomes: Seq[(String, Boolean)] =
+      if (victims.lengthCompare(1) == 0)
+        victims.map(f => f -> updateFile(f, filters, assigns, sideDir))
+      else
+        spark.sparkContext.parallelize(victims, victims.length)
+          .map(f => f -> updateFile(f, filters, assigns, sideDir))
+          .collect().toSeq
+    (outcomes.collect { case (f, true) => f },
+      outcomes.collect { case (f, false) => f })
+  }
+
+  private[ops] def updateFile(file: String, filters: Array[Filter],
+      assigns: Map[String, Any], sideDir: String): Boolean = {
+    val footer = NimbleSource.footerOf(file)
+    val r = new Tablet.Reader(file, footer)
+    try {
+      val p = prep(r, filters).getOrElse(return false)
+      val keys = p.keys
+      val keyId = p.keyId
+      val dirs = p.dirs
+      val nStreams = keys.length
+      // assigned columns: plain single-stream atomics whose literal type
+      // matches the stored type exactly (no cast semantics to re-implement)
+      val assignIds: Map[Int, Any] = assigns.map { case (n, v) =>
+        val dt = p.fieldType.getOrElse(n, return false)
+        if (keyId.contains(s"$n#nanos")) return false
+        if (!literalFits(v, dt)) return false
+        keyId.getOrElse(n, return false) -> v
+      }
+
+      val name = file.substring(file.lastIndexOf('/') + 1)
+      val w = new Tablet.Writer(GraftIO.child(sideDir, name), footer.schemaJson,
+        streamKeys = keys, sortColumns = footer.sortColumns,
+        bucketColumns = footer.bucketColumns, numBuckets = footer.numBucketsSpec,
+        bucketId = footer.bucketId, ndvSketches = footer.ndvSketches.nonEmpty,
+        sharedDict = false)
+      w.mergeNdvFrom(footer)
+      var s = 0
+      while (s < footer.stripes.length) {
+        val grid = dirs(s)(0)
+        // 0 = provably untouched (no row matches cond) — raw-copy everything;
+        // 2 = the condition may match here — re-encode ASSIGNED streams only
+        val cls = Array.tabulate(grid.length) { k =>
+          val statsOf: String => Option[Tablet.Stats] =
+            n => keyId.get(n).map(id => dirs(s)(id)(k).stats)
+          if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
+          else 2
+        }
+        if (cls.forall(_ == 0)) {
+          w.appendRawStripe(r, s)
+          lastRawChunks.addAndGet(grid.length.toLong)
+        } else {
+          val streamBytes = Array.tabulate(nStreams)(id => r.readStreamBytes(s, id))
+          def frame(id: Int, k: Int): Array[Byte] = {
+            val d = dirs(s)(id)
+            val from = d(k).offset.toInt
+            val until = if (k + 1 < d.length) d(k + 1).offset.toInt else streamBytes(id).length
+            java.util.Arrays.copyOfRange(streamBytes(id), from, until)
+          }
+          def raw(id: Int, k: Int): Unit =
+            w.copyRawChunk(id, frame(id, k), dirs(s)(id)(k).rows, dirs(s)(id)(k).stats)
+          var k = 0
+          while (k < grid.length) {
+            if (cls(k) == 0) {
+              var id = 0
+              while (id < nStreams) { raw(id, k); id += 1 }
+              lastRawChunks.incrementAndGet()
+            } else {
+              // decode only what the mask needs plus the assigned streams
+              val decoded = new Array[Column](nStreams)
+              def colOf(n: String): Column = {
+                val id = keyId(n)
+                if (decoded(id) == null)
+                  decoded(id) = new Tablet.ChunkCursor(frame(id, k)).next() match {
+                    case l: LazyFsstBytesCol => l.expand
+                    case d: DictBytesCol => d.expand
+                    case c => c
+                  }
+                decoded(id)
+              }
+              val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
+              val n = grid(k).rows.toInt
+              val mask = new Array[Boolean](n) // cond TRUE rows take the literal
+              var hits = 0
+              var i = 0
+              while (i < n) {
+                var all = true
+                var q = 0
+                while (all && q < preds.length) { all = preds(q)(i); q += 1 }
+                if (all) { mask(i) = true; hits += 1 }
+                i += 1
+              }
+              if (hits == 0) { // stats could not prove it; the mask did
+                var id = 0
+                while (id < nStreams) { raw(id, k); id += 1 }
+                lastRawChunks.incrementAndGet()
+              } else {
+                var id = 0
+                while (id < nStreams) {
+                  assignIds.get(id) match {
+                    case Some(v) => w.writeChunk(id, assignCol(colOf(keys(id)), mask, v))
+                    case None => raw(id, k)
+                  }
+                  id += 1
+                }
+                lastRewrittenChunks.incrementAndGet()
+              }
+            }
+            w.addRows(grid(k).rows)
+            k += 1
+          }
+          w.flushStripe()
+        }
+        s += 1
+      }
+      w.close()
+      true
+    } finally r.close()
+  }
+
+  /** Does literal `v` store directly into the column's decoded repr? */
+  private def literalFits(v: Any, dt: DataType): Boolean = dt match {
+    case LongType => v == null || v.isInstanceOf[Long]
+    case IntegerType => v == null || v.isInstanceOf[Int]
+    case ShortType => v == null || v.isInstanceOf[Short]
+    case ByteType => v == null || v.isInstanceOf[Byte]
+    case DoubleType => v == null || v.isInstanceOf[Double]
+    case FloatType => v == null || v.isInstanceOf[Float]
+    case BooleanType => v == null || v.isInstanceOf[Boolean]
+    case StringType => v == null || v.isInstanceOf[String]
+    case BinaryType => v == null || v.isInstanceOf[Array[Byte]]
+    case _ => false // dates/timestamps/decimals: cast semantics — fall back
+  }
+
+  /** Overwrite masked rows of a decoded column with a literal. */
+  private def assignCol(c: Column, mask: Array[Boolean], v: Any): Column = {
+    val n = c.len
+    def mergeNulls(old: Array[Boolean], toNull: Boolean): Array[Boolean] = {
+      if (old == null && !toNull) return null
+      val nn = if (old == null) new Array[Boolean](n) else old.clone()
+      var i = 0
+      while (i < n) { if (mask(i)) nn(i) = toNull; i += 1 }
+      if (nn.exists(identity)) nn else null
+    }
+    c match {
+      case LongsCol(values, phys, nulls) =>
+        val out = values.clone()
+        val lv = v match {
+          case null => 0L
+          case x: Long => x
+          case x: Int => x.toLong
+          case x: Short => x.toLong
+          case x: Byte => x.toLong
+          case other => throw new IllegalStateException(s"assign $other to longs")
+        }
+        var i = 0
+        while (i < n) { if (mask(i)) out(i) = lv; i += 1 }
+        LongsCol(out, phys, mergeNulls(nulls, v == null))
+      case DoublesCol(values, isFloat, nulls) =>
+        val out = values.clone()
+        val dv = v match {
+          case null => 0d
+          case x: Double => x
+          case x: Float => x.toDouble
+          case other => throw new IllegalStateException(s"assign $other to doubles")
+        }
+        var i = 0
+        while (i < n) { if (mask(i)) out(i) = dv; i += 1 }
+        DoublesCol(out, isFloat, mergeNulls(nulls, v == null))
+      case BoolsCol(values, nulls) =>
+        val out = values.clone()
+        val bv = v match { case null => false; case x: Boolean => x }
+        var i = 0
+        while (i < n) { if (mask(i)) out(i) = bv; i += 1 }
+        BoolsCol(out, mergeNulls(nulls, v == null))
+      case b: BytesCol =>
+        val bv: Array[Byte] = v match {
+          case null => Array.emptyByteArray
+          case s: String => s.getBytes("UTF-8")
+          case a: Array[Byte] => a
+          case other => throw new IllegalStateException(s"assign $other to bytes")
+        }
+        val offs = new Array[Int](n + 1)
+        var total = 0
+        var i = 0
+        while (i < n) {
+          total += (if (mask(i)) bv.length else b.offsets(i + 1) - b.offsets(i))
+          offs(i + 1) = total
+          i += 1
+        }
+        val bytes = new Array[Byte](total)
+        i = 0
+        while (i < n) {
+          if (mask(i)) System.arraycopy(bv, 0, bytes, offs(i), bv.length)
+          else System.arraycopy(b.bytes, b.offsets(i), bytes, offs(i),
+            b.offsets(i + 1) - b.offsets(i))
+          i += 1
+        }
+        BytesCol(offs, bytes, mergeNulls(b.nulls, v == null))
+      case d: DictBytesCol => assignCol(d.expand, mask, v)
+      case l: LazyFsstBytesCol => assignCol(l.expand, mask, v)
+    }
   }
 
   private def isAtomic(dt: DataType): Boolean = dt match {

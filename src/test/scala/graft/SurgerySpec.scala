@@ -146,6 +146,49 @@ class SurgerySpec extends SparkTestBase {
     assert(rep2.rowsDeleted == 0L && rep2.filesRewritten == 0, s"stats lost: $rep2")
   }
 
+  test("literal UPDATE surgery: only the assigned column's touched chunks re-encode") {
+    val dir = tmpDir("surg-upd")
+    writeSorted(dir)
+    val before = spark.read.format("nimble").load(dir)
+      .agg(sum(length(col("s"))), count(lit(1))).collect()(0)
+    val rep = Delete.update(spark, dir,
+      col("id") >= 40000L && col("id") < 41000L, Map("v" -> lit(-1.0)))
+    assert(rep.rowsDeleted == 0L && rep.rowsRemaining == 100000L, s"update drifted: $rep")
+    // chunk economics: the keyhole touches ~1 chunk per boundary — the bulk
+    // raw-copies; a rewritten chunk re-encodes ONLY column v (counters are
+    // per chunk-range, so just pin the rewrite count is tiny)
+    assert(Surgery.lastRewrittenChunks.get() >= 1L &&
+      Surgery.lastRewrittenChunks.get() <= 2L,
+      s"keyhole update must touch ~1 chunk, got ${Surgery.lastRewrittenChunks.get()}")
+    assert(Surgery.lastRawChunks.get() >= 10L, "the bulk must raw-copy")
+    val after = spark.read.format("nimble").load(dir)
+    assert(after.filter(col("id") >= 40000L && col("id") < 41000L)
+      .filter(col("v") =!= -1.0).count() == 0L, "matched rows must carry the literal")
+    assert(after.filter(col("v") === -1.0).count() == 1000L, "only matched rows change")
+    // untouched column s survives byte-identically; stats stay answer-grade
+    val got = after.agg(sum(length(col("s"))), count(lit(1))).collect()(0)
+    assert(got == before, s"unassigned column drifted: $got vs $before")
+    assert(after.agg(min("v")).collect()(0).getDouble(0) == -1.0,
+      "assigned stream's stripe stats must reflect the new values")
+  }
+
+  test("UPDATE surgery: null literal sets nulls; non-literal assignment falls back") {
+    val dir = tmpDir("surg-updnull")
+    writeSorted(dir, rows = 30000L)
+    Delete.update(spark, dir, col("id") < 100L,
+      Map("s" -> lit(null).cast("string")))
+    val after = spark.read.format("nimble").load(dir)
+    assert(after.filter(col("s").isNull).count() == 100L)
+    assert(after.filter(col("id") >= 100L && col("s").isNull).count() == 0L)
+    // non-literal (expression) assignment: same result through the rewrite job
+    Surgery.resetCounters()
+    Delete.update(spark, dir, col("id") < 50L, Map("v" -> (col("v") + 1000.0)))
+    assert(Surgery.lastRawChunks.get() == 0L && Surgery.lastRewrittenChunks.get() == 0L,
+      "expression assignments must not take the surgery path")
+    assert(spark.read.format("nimble").load(dir)
+      .filter(col("v") >= 1000.0).count() == 50L)
+  }
+
   test("string-predicate surgery: FSST/dict chunks round-trip the keep mask") {
     val dir = tmpDir("surg-str")
     (0L until 30000L).map(i => (i, if (i % 3 == 0) s"drop-$i" else s"keep-$i"))
