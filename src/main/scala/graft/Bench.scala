@@ -571,12 +571,17 @@ object Bench {
       // per-row distinct keys: (base + i*50) mod 400 over i=0..7 never
       // collides; values ride id so chunk stats are range-disjoint and a
       // high-constant probe is provably prunable everywhere but the tail
+      // cache + materialize BEFORE timing: transform()/map_from_arrays are
+      // interpreted higher-order functions — without this the metric times
+      // the generator, not the 400-stream flatmap writer it exists to watch
       val fmSrc = spark.range(fmRows)
         .selectExpr("id",
           "map_from_arrays(" +
             "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
             "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))) AS m")
         .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .cache()
+      fmSrc.count()
       // single-shot write timing (same rationale as scale_write: the write
       // stack is JIT-warm by this point in the block)
       val (fmwSec, _) = cal("scale_fm_write")(time {
@@ -585,6 +590,7 @@ object Bench {
           .mode("overwrite").save(fmDir)
       })
       results("scale_fm_write") = fmwSec
+      fmSrc.unpersist()
       // feature projection read: the flatmap surfaces as a struct of named
       // keys, so `m.f37` is a dotted-path push the fm stats prune on
       // (FlatMapPruneSpec's shape — plain map getItem reconstructs the map)

@@ -238,8 +238,10 @@ object Compaction {
         }
         if (withStats.exists { case (_, _, st) =>
             st.isEmpty || !st.get.hasMinMax || st.get.nullCount > 0 ||
-              st.get.kind == graft.format.PhysType.Bytes })
-          return None // bytes ranges are TRUNCATED min/max — not order-safe
+              st.get.kind == graft.format.PhysType.Bytes || st.get.hasNaN })
+          return None // bytes ranges are TRUNCATED min/max, and NaNs sort
+                      // LAST while being excluded from min/max — neither
+                      // proves concat order
         val isFloat = withStats.headOption.exists { case (_, _, st) =>
           st.get.kind == graft.format.PhysType.F32 ||
             st.get.kind == graft.format.PhysType.F64 }
