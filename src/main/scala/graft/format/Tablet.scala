@@ -1491,6 +1491,18 @@ object Tablet {
       b.writeBytes(frame)
     }
 
+    /** [[copyRawChunk]]'s non-data sibling: append a shared-dictionary
+      * ALPHABET frame byte-for-byte (no stats, no rows — alphabet frames are
+      * not data chunks and do not advance chunk ordinals). Order matters:
+      * copy it before the index chunks that decode through it, exactly where
+      * the source stream placed it. */
+    def copyRawAlphabetFrame(id: Int, frame: Array[Byte]): Unit = {
+      val b = stripeBufs(id)
+      chunkDirRec.getOrElseUpdate(id, mutable.ArrayBuffer[ChunkLoc]()) +=
+        ChunkLoc(b.size.toLong, 0L, false, null)
+      b.writeBytes(frame)
+    }
+
     /** Stripe surgery (stripe-granular copy-on-write for DML): append stripe
       * `s` of `src` BYTE-FOR-BYTE. Sound because stripes are self-contained
       * by construction — every stream's bytes, stats, bloom, chunk

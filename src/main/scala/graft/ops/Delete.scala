@@ -116,19 +116,26 @@ object Delete {
         }
       }: _*)
     }
-    // literal-only assignments with a fully-translated condition may take
-    // the column-shredded chunk surgery (only the assigned streams' touched
-    // chunks re-encode); anything else rides the Spark rewrite
+    // constant assignments with a fully-translated condition may take the
+    // column-shredded chunk surgery (only the assigned streams' touched
+    // chunks re-encode); anything else rides the Spark rewrite. Constants
+    // are recognized the same way translateCond recognizes predicates —
+    // ANALYZED (so `lit(null).cast("long")` and other foldable constant
+    // expressions qualify) and evaluated once here.
     val (filters, complete) = translateCond(spark, dir, cond, readOptions)
     val lits: Option[Map[String, Any]] =
       if (!complete) None
       else {
+        val df0 = spark.read.format("nimble").options(readOptions).load(dir)
         val ex = assignments.map { case (n, c) =>
-          org.apache.spark.sql.GraftShims.columnExpr(c) match {
-            case l: Literal =>
-              Some(n -> CatalystTypeConverters.convertToScala(l.value, l.dataType))
-            case _ => None
-          }
+          df0.select(c).queryExecution.analyzed.collectFirst {
+            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+              p.projectList.head match {
+                case a: expressions.Alias => a.child
+                case other => other
+              }
+          }.filter(e => e.foldable && e.deterministic).map(e =>
+            n -> CatalystTypeConverters.convertToScala(e.eval(null), e.dataType))
         }
         if (ex.forall(_.isDefined)) Some(ex.flatten.toMap) else None
       }

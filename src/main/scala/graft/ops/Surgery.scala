@@ -6,8 +6,8 @@ import org.apache.spark.sql.types._
 import graft.format._
 import graft.spark.{Filters, NimbleSource}
 
-/** Chunk-granular copy-on-write for DELETE — the boundary-file fix for
-  * retention deletes.
+/** Chunk-granular copy-on-write for DELETE / literal UPDATE — the
+  * boundary-file fix for retention deletes and keyhole updates.
   *
   * File-granular classification (Delete.classify) already makes a retention
   * delete on a sorted table ~metadata-only: tail files unlink, head files
@@ -27,30 +27,34 @@ import graft.spark.{Filters, NimbleSource}
   *    (no decompress, no decode, no re-encode); its directory stats fold
   *    into the new stripe stats exactly, so stats stay answer-grade for
   *    aggregate pushdown;
-  *  - chunk provably all-match   -> dropped (zero bytes touched);
-  *  - mixed                      -> decoded, keep-masked row-wise with the
+  *  - chunk provably all-match   -> DELETE drops it (zero bytes touched);
+  *  - mixed                      -> decoded, masked row-wise with the
   *    scan's own compiled predicates ([[Filters.compile]] — identical null
-  *    semantics to the scan), re-encoded; a mask that keeps every row
+  *    semantics to the scan), re-encoded; a mask that touches no row
   *    degrades back to the raw byte copy.
+  *
+  * Shared-dictionary streams participate: the stripe-scoped alphabet frame
+  * copies byte-for-byte at its original position (a superset alphabet is
+  * always valid), kept index chunks copy raw, and mixed chunks decode
+  * through a sequential [[Tablet.ChunkCursor]] (which swallows alphabet
+  * frames transparently) before re-encoding plain.
   *
   * Cost becomes O(boundary chunks), not O(file): the 8 M-row bench shape
   * rewrites one ~16 K-row chunk instead of ~1 M kept rows, and a 100 TB
   * retention delete rewrites one chunk per boundary file regardless of file
-  * size. Raw copy preserves row order, so sorted layout survives; null-
-  * handling rides the same compiled predicates the scan trusts.
+  * size. Raw copy preserves row order, so sorted layout survives.
   *
   * Eligibility is conservative — anything outside it falls back to the
   * whole-file Spark rewrite (correctness never depends on surgery):
-  *  - the pushed filters EXACTLY represent the delete condition (caller
+  *  - the pushed filters EXACTLY represent the condition (caller
   *    guarantees: SQL deleteWhere filters, or a fully-translated Column);
   *  - flat atomic schema (no struct/array/map streams whose child grids
   *    aren't 1:1 with top-level rows);
   *  - no bloom / hash-index / sorted-index / composite streams (stripe-
-  *    scoped structures raw frames can't patch) and no shared-dictionary
-  *    alphabet frames (chunk ordinals must be pure data frames);
-  *  - every chunk carries directory stats (v14 writers);
+  *    scoped structures raw frames can't patch);
+  *  - every data chunk carries directory stats (v14 writers);
   *  - chunk grids ordinal-align across streams (verified per stripe from
-  *    the directories' row counts);
+  *    the directories' data-frame row counts);
   *  - filters don't reference nanos-split columns (their raw stats are in
   *    the micros domain).
   */
@@ -66,6 +70,8 @@ object Surgery {
   private[graft] def resetCounters(): Unit = {
     lastRawChunks.set(0L); lastDroppedChunks.set(0L); lastRewrittenChunks.set(0L)
   }
+
+  // ------------------------------------------------------------ delete
 
   /** Try chunk surgery on each victim; replacements land in `sideDir` under
     * the victim's filename. Returns (files surgered, rowsBefore, rowsAfter,
@@ -89,60 +95,6 @@ object Surgery {
       outcomes.collect { case (f, None) => f })
   }
 
-  /** Shared eligibility prologue: flat atomic schema, recognized stream
-    * keys, filter refs on plain columns, per-chunk stats present, aligned
-    * chunk grids, no blooms. Returns the per-stripe chunk directories (or
-    * None = caller falls back to the Spark rewrite). */
-  private final class Prep(
-      val footer: Tablet.Footer, val fieldType: Map[String, DataType],
-      val keys: Array[String], val keyId: Map[String, Int],
-      val dirs: Array[Array[Array[Tablet.ChunkLoc]]])
-
-  private def prep(r: Tablet.Reader, filters: Array[Filter]): Option[Prep] = {
-    val footer = r.footer
-    if (footer.stripes.isEmpty || filters.isEmpty) return None
-    val schema =
-      DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
-    if (!schema.fields.forall(f => isAtomic(f.dataType))) return None
-    val fieldType: Map[String, DataType] =
-      schema.fields.map(f => f.name -> f.dataType).toMap
-    // every stream must be a schema field or its '#nanos' remainder sibling —
-    // index/composite/list/map/flatmap stream keys make the file ineligible
-    val keys = footer.streamKeys
-    if (!keys.forall(k => fieldType.contains(k) ||
-        (k.endsWith("#nanos") && fieldType.contains(k.stripSuffix("#nanos")))))
-      return None
-    val nanosSplit: Set[String] =
-      keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
-    val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(n => fieldType.contains(n) && !nanosSplit(n))) return None
-    val nStreams = keys.length
-    // eligibility pass over every stripe's directories (metadata only)
-    val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
-    var s = 0
-    while (s < footer.stripes.length) {
-      var id = 0
-      while (id < nStreams) {
-        if (r.streamBloom(s, id).nonEmpty) return None
-        val d = r.chunkDirOf(s, id)
-        if (d == null || d.exists(c => !c.isData || c.stats == null)) return None
-        if (id > 0) { // ordinal alignment with stream 0's grid
-          val d0 = dirs(s)(0)
-          if (d.length != d0.length) return None
-          var k = 0
-          while (k < d.length) {
-            if (d(k).rows != d0(k).rows) return None
-            k += 1
-          }
-        }
-        dirs(s)(id) = d
-        id += 1
-      }
-      s += 1
-    }
-    Some(new Prep(footer, fieldType, keys, keys.zipWithIndex.toMap, dirs))
-  }
-
   /** Surgery on one file. Some((rowsBefore, rowsAfter)) with the replacement
     * written, None when ineligible (nothing written; caller falls back). */
   private[ops] def deleteFile(file: String, filters: Array[Filter],
@@ -151,34 +103,17 @@ object Surgery {
     val r = new Tablet.Reader(file, footer)
     try {
       val p = prep(r, filters).getOrElse(return None)
-      val fieldType = p.fieldType
-      val keys = p.keys
-      val keyId = p.keyId
-      val dirs = p.dirs
-      val nStreams = keys.length
-      var s = 0
-
-      // -------- surgery
-      val name = file.substring(file.lastIndexOf('/') + 1)
-      val w = new Tablet.Writer(GraftIO.child(sideDir, name), footer.schemaJson,
-        streamKeys = keys, sortColumns = footer.sortColumns,
-        bucketColumns = footer.bucketColumns, numBuckets = footer.numBucketsSpec,
-        bucketId = footer.bucketId, ndvSketches = footer.ndvSketches.nonEmpty,
-        sharedDict = false)
-      // HLL registers are max-mergeable; a sketch covering dropped rows stays
-      // a valid upper-bound estimate (same contract as appendRawStripe)
-      w.mergeNdvFrom(footer)
+      val w = newWriter(footer, p.keys, file, sideDir)
       var kept = 0L
-      s = 0
+      var s = 0
       while (s < footer.stripes.length) {
-        val grid = dirs(s)(0)
-        // classify every chunk ordinal from directory stats alone (no data
-        // bytes yet): 0 = provably no row matches the delete condition
-        // (keep whole), 1 = provably every row matches (drop whole),
-        // 2 = mixed (decode + mask)
-        val cls = Array.tabulate(grid.length) { k =>
-          val statsOf: String => Option[Tablet.Stats] =
-            n => keyId.get(n).map(id => dirs(s)(id)(k).stats)
+        val rows = p.dataRows(s)
+        // pass 1: classify every data ordinal from directory stats alone —
+        // 0 = provably no row matches the delete condition (keep whole),
+        // 1 = provably every row matches (drop whole), 2 = mixed
+        val cls = Array.tabulate(rows.length) { k =>
+          val statsOf: String => Option[Tablet.Stats] = n =>
+            p.keyId.get(n).map(id => p.dirs(s)(id)(p.dataIdx(s)(id)(k)).stats)
           if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
           else if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) 1
           else 2
@@ -188,71 +123,61 @@ object Surgery {
           // chunk directories and checksum rebase handled by the writer)
           w.appendRawStripe(r, s)
           kept += footer.stripes(s).rowCount
-          lastRawChunks.addAndGet(grid.length.toLong)
+          lastRawChunks.addAndGet(rows.length.toLong)
         } else if (cls.forall(_ == 1)) {
-          lastDroppedChunks.addAndGet(grid.length.toLong) // whole stripe gone
+          lastDroppedChunks.addAndGet(rows.length.toLong) // whole stripe gone
         } else {
-          // whole-stream bytes per stream: surgery reads the stripe once,
-          // sequentially — the win is skipping DECODE/ENCODE, not IO
-          val streamBytes = Array.tabulate(nStreams)(id => r.readStreamBytes(s, id))
-          def frame(id: Int, k: Int): Array[Byte] = {
-            val d = dirs(s)(id)
-            val from = d(k).offset.toInt
-            val until = if (k + 1 < d.length) d(k + 1).offset.toInt else streamBytes(id).length
-            java.util.Arrays.copyOfRange(streamBytes(id), from, until)
-          }
-          def copyRaw(k: Int): Unit = {
-            var id = 0
-            while (id < nStreams) {
-              w.copyRawChunk(id, frame(id, k), dirs(s)(id)(k).rows, dirs(s)(id)(k).stats)
-              id += 1
+          val bytes = Array.tabulate(p.keys.length)(id => r.readStreamBytes(s, id))
+          // pass 2: keep-masks of the mixed ordinals from the filter-
+          // referenced streams, via sequential cursors (skip over the rest);
+          // keep = NOT cond with SQL null semantics — compiled predicates
+          // return false on null, identical to coalesce(not(cond), true)
+          val masks = new Array[Array[Boolean]](rows.length)
+          val keptN = new Array[Int](rows.length)
+          locally {
+            val refIds = filters.flatMap(_.references).distinct.map(p.keyId)
+            val cursors = refIds.map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
+            var k = 0
+            while (k < rows.length) {
+              if (cls(k) != 2) cursors.valuesIterator.foreach(_.skip())
+              else {
+                val cols = cursors.map { case (id, c) => id -> expand(c.next()) }
+                val colOf: String => Column = n => cols(p.keyId(n))
+                val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
+                val n = rows(k).toInt
+                val keep = new Array[Boolean](n)
+                var kn = 0
+                var i = 0
+                while (i < n) {
+                  var all = true
+                  var q = 0
+                  while (all && q < preds.length) { all = preds(q)(i); q += 1 }
+                  if (!all) { keep(i) = true; kn += 1 }
+                  i += 1
+                }
+                if (kn == n) cls(k) = 0 // stats couldn't prove it; the mask did
+                else if (kn == 0) cls(k) = 1
+                else { masks(k) = keep; keptN(k) = kn }
+              }
+              k += 1
             }
-            w.addRows(grid(k).rows)
-            kept += grid(k).rows
-            lastRawChunks.incrementAndGet()
+          }
+          // pass 3: per stream, walk ALL frames in order — alphabet frames
+          // copy raw at their original position, data frames act per cls
+          var id = 0
+          while (id < p.keys.length) {
+            emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
+              rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
+            id += 1
           }
           var k = 0
-          while (k < grid.length) {
-            if (cls(k) == 0) copyRaw(k)
-            else if (cls(k) == 1) lastDroppedChunks.incrementAndGet()
-            else {
-              // mixed: decode, keep-mask with the scan's compiled predicates
-              val cols = Array.tabulate(nStreams) { id =>
-                new Tablet.ChunkCursor(frame(id, k)).next() match {
-                  case l: LazyFsstBytesCol => l.expand
-                  case d: DictBytesCol => d.expand
-                  case c => c
-                }
-              }
-              val colOf: String => Column = n => cols(keyId(n))
-              val preds = filters.map(f =>
-                Filters.compile(f, fieldType(_), colOf))
-              val n = grid(k).rows.toInt
-              val keep = new Array[Boolean](n)
-              var kn = 0
-              var i = 0
-              while (i < n) {
-                // keep = NOT cond with SQL null semantics: compiled
-                // predicates return false on null, so a null conjunct keeps
-                // the row — identical to coalesce(not(cond), true)
-                var all = true
-                var p = 0
-                while (all && p < preds.length) { all = preds(p)(i); p += 1 }
-                if (!all) { keep(i) = true; kn += 1 }
-                i += 1
-              }
-              if (kn == n) copyRaw(k) // stats couldn't prove it; the mask did
-              else if (kn == 0) lastDroppedChunks.incrementAndGet()
-              else {
-                var id = 0
-                while (id < nStreams) {
-                  w.writeChunk(id, filterCol(cols(id), keep, kn))
-                  id += 1
-                }
-                w.addRows(kn.toLong)
-                kept += kn
+          while (k < rows.length) {
+            cls(k) match {
+              case 0 => w.addRows(rows(k)); kept += rows(k); lastRawChunks.incrementAndGet()
+              case 1 => lastDroppedChunks.incrementAndGet()
+              case _ =>
+                w.addRows(keptN(k).toLong); kept += keptN(k)
                 lastRewrittenChunks.incrementAndGet()
-              }
             }
             k += 1
           }
@@ -265,13 +190,14 @@ object Surgery {
     } finally r.close()
   }
 
+  // ------------------------------------------------------------ update
+
   /** Chunk surgery for UPDATE with LITERAL assignments — the column-shredded
     * update: row count and order never change, so only the ASSIGNED columns'
     * chunks re-encode, and only in chunks the condition provably-or-possibly
     * touches; every other (column, chunk) copies byte-for-byte. A one-column
     * SET on a wide table rewrites one stream's boundary chunks, not the
-    * table. Same return/fallback contract as [[deleteFiles]]; rows returned
-    * are (rowsBefore, rowsBefore) since UPDATE drops nothing. */
+    * table. Same return/fallback contract as [[deleteFiles]]. */
   def updateFiles(spark: SparkSession, victims: Seq[String],
       filters: Array[Filter], assigns: Map[String, Any], sideDir: String)
       : (Seq[String], Seq[String]) = {
@@ -294,98 +220,90 @@ object Surgery {
     val r = new Tablet.Reader(file, footer)
     try {
       val p = prep(r, filters).getOrElse(return false)
-      val keys = p.keys
-      val keyId = p.keyId
-      val dirs = p.dirs
-      val nStreams = keys.length
       // assigned columns: plain single-stream atomics whose literal type
       // matches the stored type exactly (no cast semantics to re-implement)
       val assignIds: Map[Int, Any] = assigns.map { case (n, v) =>
         val dt = p.fieldType.getOrElse(n, return false)
-        if (keyId.contains(s"$n#nanos")) return false
+        if (p.keyId.contains(s"$n#nanos")) return false
         if (!literalFits(v, dt)) return false
-        keyId.getOrElse(n, return false) -> v
+        p.keyId.getOrElse(n, return false) -> v
       }
-
-      val name = file.substring(file.lastIndexOf('/') + 1)
-      val w = new Tablet.Writer(GraftIO.child(sideDir, name), footer.schemaJson,
-        streamKeys = keys, sortColumns = footer.sortColumns,
-        bucketColumns = footer.bucketColumns, numBuckets = footer.numBucketsSpec,
-        bucketId = footer.bucketId, ndvSketches = footer.ndvSketches.nonEmpty,
-        sharedDict = false)
-      w.mergeNdvFrom(footer)
+      // a NULL assignment into a non-nullable field must widen the
+      // REPLACEMENT's declared nullability — exactly what the Spark-rewrite
+      // fallback does implicitly through its transform's output schema
+      // (a reader trusting the old non-nullable declaration would fold
+      // isNull to false and crash on the actual nulls)
+      val schema0 = DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+      val nulled = assigns.collect { case (n, null) => n }.toSet
+      val outSchema =
+        if (nulled.isEmpty) footer.schemaJson
+        else StructType(schema0.fields.map(f =>
+          if (nulled(f.name) && !f.nullable) f.copy(nullable = true) else f)).json
+      val w = newWriter(footer, p.keys, file, sideDir, schemaJson = outSchema)
       var s = 0
       while (s < footer.stripes.length) {
-        val grid = dirs(s)(0)
+        val rows = p.dataRows(s)
         // 0 = provably untouched (no row matches cond) — raw-copy everything;
         // 2 = the condition may match here — re-encode ASSIGNED streams only
-        val cls = Array.tabulate(grid.length) { k =>
-          val statsOf: String => Option[Tablet.Stats] =
-            n => keyId.get(n).map(id => dirs(s)(id)(k).stats)
+        val cls = Array.tabulate(rows.length) { k =>
+          val statsOf: String => Option[Tablet.Stats] = n =>
+            p.keyId.get(n).map(id => p.dirs(s)(id)(p.dataIdx(s)(id)(k)).stats)
           if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
           else 2
         }
         if (cls.forall(_ == 0)) {
           w.appendRawStripe(r, s)
-          lastRawChunks.addAndGet(grid.length.toLong)
+          lastRawChunks.addAndGet(rows.length.toLong)
         } else {
-          val streamBytes = Array.tabulate(nStreams)(id => r.readStreamBytes(s, id))
-          def frame(id: Int, k: Int): Array[Byte] = {
-            val d = dirs(s)(id)
-            val from = d(k).offset.toInt
-            val until = if (k + 1 < d.length) d(k + 1).offset.toInt else streamBytes(id).length
-            java.util.Arrays.copyOfRange(streamBytes(id), from, until)
-          }
-          def raw(id: Int, k: Int): Unit =
-            w.copyRawChunk(id, frame(id, k), dirs(s)(id)(k).rows, dirs(s)(id)(k).stats)
-          var k = 0
-          while (k < grid.length) {
-            if (cls(k) == 0) {
-              var id = 0
-              while (id < nStreams) { raw(id, k); id += 1 }
-              lastRawChunks.incrementAndGet()
-            } else {
-              // decode only what the mask needs plus the assigned streams
-              val decoded = new Array[Column](nStreams)
-              def colOf(n: String): Column = {
-                val id = keyId(n)
-                if (decoded(id) == null)
-                  decoded(id) = new Tablet.ChunkCursor(frame(id, k)).next() match {
-                    case l: LazyFsstBytesCol => l.expand
-                    case d: DictBytesCol => d.expand
-                    case c => c
-                  }
-                decoded(id)
-              }
-              val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
-              val n = grid(k).rows.toInt
-              val mask = new Array[Boolean](n) // cond TRUE rows take the literal
-              var hits = 0
-              var i = 0
-              while (i < n) {
-                var all = true
-                var q = 0
-                while (all && q < preds.length) { all = preds(q)(i); q += 1 }
-                if (all) { mask(i) = true; hits += 1 }
-                i += 1
-              }
-              if (hits == 0) { // stats could not prove it; the mask did
-                var id = 0
-                while (id < nStreams) { raw(id, k); id += 1 }
-                lastRawChunks.incrementAndGet()
-              } else {
-                var id = 0
-                while (id < nStreams) {
-                  assignIds.get(id) match {
-                    case Some(v) => w.writeChunk(id, assignCol(colOf(keys(id)), mask, v))
-                    case None => raw(id, k)
-                  }
-                  id += 1
+          val bytes = Array.tabulate(p.keys.length)(id => r.readStreamBytes(s, id))
+          // pass 2: cond-masks (TRUE rows take the literal)
+          val masks = new Array[Array[Boolean]](rows.length)
+          locally {
+            val refIds = filters.flatMap(_.references).distinct.map(p.keyId)
+            val cursors = refIds.map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
+            var k = 0
+            while (k < rows.length) {
+              if (cls(k) != 2) cursors.valuesIterator.foreach(_.skip())
+              else {
+                val cols = cursors.map { case (id, c) => id -> expand(c.next()) }
+                val colOf: String => Column = n => cols(p.keyId(n))
+                val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
+                val n = rows(k).toInt
+                val mask = new Array[Boolean](n)
+                var hits = 0
+                var i = 0
+                while (i < n) {
+                  var all = true
+                  var q = 0
+                  while (all && q < preds.length) { all = preds(q)(i); q += 1 }
+                  if (all) { mask(i) = true; hits += 1 }
+                  i += 1
                 }
-                lastRewrittenChunks.incrementAndGet()
+                if (hits == 0) cls(k) = 0 // stats couldn't prove it; the mask did
+                else masks(k) = mask
               }
+              k += 1
             }
-            w.addRows(grid(k).rows)
+          }
+          // pass 3: unassigned streams copy every frame raw; assigned streams
+          // re-encode only the masked ordinals
+          var id = 0
+          while (id < p.keys.length) {
+            assignIds.get(id) match {
+              case Some(v) =>
+                emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
+                  rewrite = (k, c) => assignCol(expand(c), masks(k), v))
+              case None =>
+                emitStream(w, id, bytes(id), p.dirs(s)(id),
+                  Array.fill(rows.length)(0), rewrite = (_, _) => null)
+            }
+            id += 1
+          }
+          var k = 0
+          while (k < rows.length) {
+            if (cls(k) == 0) lastRawChunks.incrementAndGet()
+            else lastRewrittenChunks.incrementAndGet()
+            w.addRows(rows(k))
             k += 1
           }
           w.flushStripe()
@@ -395,6 +313,128 @@ object Surgery {
       w.close()
       true
     } finally r.close()
+  }
+
+  // --------------------------------------------------------- shared prep
+
+  /** Eligibility + grid extraction: flat atomic schema, recognized stream
+    * keys, filter refs on plain columns, per-data-chunk stats present,
+    * data-ordinal grids aligned across streams (alphabet frames allowed —
+    * they carry no rows), no blooms. None = fall back to the Spark rewrite. */
+  private final class Prep(
+      val fieldType: Map[String, DataType],
+      val keys: Array[String], val keyId: Map[String, Int],
+      /** (stripe)(stream) -> full frame directory. */
+      val dirs: Array[Array[Array[Tablet.ChunkLoc]]],
+      /** (stripe)(stream)(data ordinal) -> index into dirs. */
+      val dataIdx: Array[Array[Array[Int]]],
+      /** (stripe)(data ordinal) -> row count (identical across streams). */
+      val dataRows: Array[Array[Long]])
+
+  private def prep(r: Tablet.Reader, filters: Array[Filter]): Option[Prep] = {
+    val footer = r.footer
+    if (footer.stripes.isEmpty || filters.isEmpty) return None
+    val schema =
+      DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
+    if (!schema.fields.forall(f => isAtomic(f.dataType))) return None
+    val fieldType: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    // every stream must be a schema field or its '#nanos' remainder sibling —
+    // index/composite/list/map/flatmap stream keys make the file ineligible
+    val keys = footer.streamKeys
+    if (!keys.forall(k => fieldType.contains(k) ||
+        (k.endsWith("#nanos") && fieldType.contains(k.stripSuffix("#nanos")))))
+      return None
+    val nanosSplit: Set[String] =
+      keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
+    val refs = filters.flatMap(_.references).toSet
+    if (!refs.forall(n => fieldType.contains(n) && !nanosSplit(n))) return None
+    val nStreams = keys.length
+    val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
+    val dataIdx = Array.ofDim[Array[Int]](footer.stripes.length, nStreams)
+    val dataRows = new Array[Array[Long]](footer.stripes.length)
+    var s = 0
+    while (s < footer.stripes.length) {
+      var id = 0
+      while (id < nStreams) {
+        if (r.streamBloom(s, id).nonEmpty) return None
+        val d = r.chunkDirOf(s, id)
+        if (d == null || d.exists(c => c.isData && c.stats == null)) return None
+        val di = d.indices.filter(d(_).isData).toArray
+        if (id == 0) dataRows(s) = di.map(d(_).rows)
+        else {
+          if (di.length != dataRows(s).length) return None
+          var k = 0
+          while (k < di.length) {
+            if (d(di(k)).rows != dataRows(s)(k)) return None
+            k += 1
+          }
+        }
+        dirs(s)(id) = d
+        dataIdx(s)(id) = di
+        id += 1
+      }
+      s += 1
+    }
+    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, dirs, dataIdx, dataRows))
+  }
+
+  private def newWriter(footer: Tablet.Footer, keys: Array[String],
+      file: String, sideDir: String,
+      schemaJson: String = null): Tablet.Writer = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    val w = new Tablet.Writer(GraftIO.child(sideDir, name),
+      if (schemaJson != null) schemaJson else footer.schemaJson,
+      streamKeys = keys, sortColumns = footer.sortColumns,
+      bucketColumns = footer.bucketColumns, numBuckets = footer.numBucketsSpec,
+      bucketId = footer.bucketId, ndvSketches = footer.ndvSketches.nonEmpty,
+      sharedDict = false)
+    // HLL registers are max-mergeable; a sketch covering dropped rows stays
+    // a valid upper-bound estimate (same contract as appendRawStripe)
+    w.mergeNdvFrom(footer)
+    w
+  }
+
+  /** Pass 3 worker: walk one stream's frames in order. Alphabet frames copy
+    * raw at their original position (superset alphabets are always valid —
+    * dropped index chunks simply stop referencing entries); data ordinal k
+    * acts per cls(k): 0 = raw frame copy, 1 = skip (deleted), 2 = decode via
+    * the sequential cursor (it swallows alphabet frames transparently) and
+    * write `rewrite(k, decoded)` as a fresh plain chunk. */
+  private def emitStream(w: Tablet.Writer, id: Int, bytes: Array[Byte],
+      dir: Array[Tablet.ChunkLoc], cls: Array[Int],
+      rewrite: (Int, Column) => Column): Unit = {
+    val cursor = if (cls.exists(_ == 2)) new Tablet.ChunkCursor(bytes) else null
+    def frame(pos: Int): Array[Byte] = {
+      val until = if (pos + 1 < dir.length) dir(pos + 1).offset.toInt else bytes.length
+      java.util.Arrays.copyOfRange(bytes, dir(pos).offset.toInt, until)
+    }
+    var k = 0 // data ordinal
+    var pos = 0 // frame position
+    while (pos < dir.length) {
+      if (!dir(pos).isData) w.copyRawAlphabetFrame(id, frame(pos))
+      else {
+        cls(k) match {
+          case 0 => w.copyRawChunk(id, frame(pos), dir(pos).rows, dir(pos).stats)
+            if (cursor != null) cursor.skip()
+          case 1 => if (cursor != null) cursor.skip()
+          case _ => w.writeChunk(id, rewrite(k, cursor.next()))
+        }
+        k += 1
+      }
+      pos += 1
+    }
+  }
+
+  private def expand(c: Column): Column = c match {
+    case l: LazyFsstBytesCol => l.expand
+    case d: DictBytesCol => d.expand
+    case other => other
+  }
+
+  private def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
   }
 
   /** Does literal `v` store directly into the column's decoded repr? */
@@ -409,6 +449,63 @@ object Surgery {
     case StringType => v == null || v.isInstanceOf[String]
     case BinaryType => v == null || v.isInstanceOf[Array[Byte]]
     case _ => false // dates/timestamps/decimals: cast semantics — fall back
+  }
+
+  /** Row-mask a decoded column (kn = number of true slots in keep). */
+  private def filterCol(c: Column, keep: Array[Boolean], kn: Int): Column = c match {
+    case LongsCol(v, phys, nulls) =>
+      val out = new Array[Long](kn)
+      val nn = if (nulls == null) null else new Array[Boolean](kn)
+      var i = 0; var o = 0
+      while (i < v.length) {
+        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
+        i += 1
+      }
+      LongsCol(out, phys, nn)
+    case DoublesCol(v, isFloat, nulls) =>
+      val out = new Array[Double](kn)
+      val nn = if (nulls == null) null else new Array[Boolean](kn)
+      var i = 0; var o = 0
+      while (i < v.length) {
+        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
+        i += 1
+      }
+      DoublesCol(out, isFloat, nn)
+    case BoolsCol(v, nulls) =>
+      val out = new Array[Boolean](kn)
+      val nn = if (nulls == null) null else new Array[Boolean](kn)
+      var i = 0; var o = 0
+      while (i < v.length) {
+        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
+        i += 1
+      }
+      BoolsCol(out, nn)
+    case b @ BytesCol(offsets, bytes, nulls) =>
+      val offs = new Array[Int](kn + 1)
+      val nn = if (nulls == null) null else new Array[Boolean](kn)
+      var total = 0
+      var i = 0; var o = 0
+      while (i < b.len) {
+        if (keep(i)) {
+          total += offsets(i + 1) - offsets(i)
+          offs(o + 1) = total
+          if (nn != null) nn(o) = nulls(i)
+          o += 1
+        }
+        i += 1
+      }
+      val out = new Array[Byte](total)
+      i = 0; o = 0
+      while (i < b.len) {
+        if (keep(i)) {
+          System.arraycopy(bytes, offsets(i), out, offs(o), offsets(i + 1) - offsets(i))
+          o += 1
+        }
+        i += 1
+      }
+      BytesCol(offs, out, nn)
+    case d: DictBytesCol => filterCol(d.expand, keep, kn)
+    case l: LazyFsstBytesCol => filterCol(l.expand, keep, kn)
   }
 
   /** Overwrite masked rows of a decoded column with a literal. */
@@ -479,67 +576,5 @@ object Surgery {
       case d: DictBytesCol => assignCol(d.expand, mask, v)
       case l: LazyFsstBytesCol => assignCol(l.expand, mask, v)
     }
-  }
-
-  private def isAtomic(dt: DataType): Boolean = dt match {
-    case _: ArrayType | _: MapType | _: StructType => false
-    case _ => true
-  }
-
-  /** Row-mask a decoded column (kn = number of true slots in keep). */
-  private def filterCol(c: Column, keep: Array[Boolean], kn: Int): Column = c match {
-    case LongsCol(v, phys, nulls) =>
-      val out = new Array[Long](kn)
-      val nn = if (nulls == null) null else new Array[Boolean](kn)
-      var i = 0; var o = 0
-      while (i < v.length) {
-        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
-        i += 1
-      }
-      LongsCol(out, phys, nn)
-    case DoublesCol(v, isFloat, nulls) =>
-      val out = new Array[Double](kn)
-      val nn = if (nulls == null) null else new Array[Boolean](kn)
-      var i = 0; var o = 0
-      while (i < v.length) {
-        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
-        i += 1
-      }
-      DoublesCol(out, isFloat, nn)
-    case BoolsCol(v, nulls) =>
-      val out = new Array[Boolean](kn)
-      val nn = if (nulls == null) null else new Array[Boolean](kn)
-      var i = 0; var o = 0
-      while (i < v.length) {
-        if (keep(i)) { out(o) = v(i); if (nn != null) nn(o) = nulls(i); o += 1 }
-        i += 1
-      }
-      BoolsCol(out, nn)
-    case b @ BytesCol(offsets, bytes, nulls) =>
-      val offs = new Array[Int](kn + 1)
-      val nn = if (nulls == null) null else new Array[Boolean](kn)
-      var total = 0
-      var i = 0; var o = 0
-      while (i < b.len) {
-        if (keep(i)) {
-          total += offsets(i + 1) - offsets(i)
-          offs(o + 1) = total
-          if (nn != null) nn(o) = nulls(i)
-          o += 1
-        }
-        i += 1
-      }
-      val out = new Array[Byte](total)
-      i = 0; o = 0
-      while (i < b.len) {
-        if (keep(i)) {
-          System.arraycopy(bytes, offsets(i), out, offs(o), offsets(i + 1) - offsets(i))
-          o += 1
-        }
-        i += 1
-      }
-      BytesCol(offs, out, nn)
-    case d: DictBytesCol => filterCol(d.expand, keep, kn)
-    case l: LazyFsstBytesCol => filterCol(l.expand, keep, kn)
   }
 }

@@ -16,10 +16,4 @@ object GraftShims {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
-
-  /** The Catalyst expression behind a classic Column (Spark 4 removed the
-    * public `Column.expr`). Used to recognize pure-literal UPDATE
-    * assignments for the chunk-surgery fast path. */
-  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

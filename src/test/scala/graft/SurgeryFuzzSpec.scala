@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{Delete, Surgery}
+
+/** Seeded randomized parity fuzz for the chunk-surgery DML paths: every
+  * trial draws a layout (chunk size, row count) and a predicate over a
+  * 4-column table (sorted long id, nullable long g, categorical string s,
+  * double v with planted NaNs), then checks Delete.delete / Delete.update
+  * against the Spark-computed oracle on the pre-state. Trials are built so
+  * SOME take the surgery path and some its per-chunk classifications differ
+  * (raw / dropped / rewritten) — the counters are asserted in aggregate so
+  * the suite fails loudly if surgery silently stops engaging. */
+class SurgeryFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture(rnd: scala.util.Random, dir: String): DataFrame = {
+    val n = 20000 + rnd.nextInt(30000)
+    val rpc = Seq(1024, 2048, 4096)(rnd.nextInt(3))
+    val cats = Seq("alpha", "beta", "gamma", "delta")
+    val rows = (0 until n).map { i =>
+      val g: Option[Long] = if (i % 11 == 0) None else Some((i % 1000).toLong)
+      val s = cats(i % cats.length) + "-" + (i % 17)
+      val v = if (i % 997 == 0) Double.NaN else (i % 5000).toDouble / 3.0
+      (i.toLong, g, s, v)
+    }
+    rows.toDF("id", "g", "s", "v")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("rowsPerChunk", rpc.toString).mode("overwrite").save(dir)
+    spark.read.format("nimble").load(dir)
+  }
+
+  private def predicate(rnd: scala.util.Random, n: Int): Column =
+    rnd.nextInt(7) match {
+      case 0 => col("id") >= (n / 2 + rnd.nextInt(n / 4)).toLong
+      case 1 => col("id") >= rnd.nextInt(n / 2).toLong &&
+        col("id") < (n / 2 + rnd.nextInt(n / 2)).toLong
+      case 2 => col("g") >= (200 + rnd.nextInt(600)).toLong // NULL on i%11
+      case 3 => col("s").startsWith(Seq("alpha", "beta", "gamma")(rnd.nextInt(3)))
+      case 4 => col("v") > (rnd.nextInt(1500)).toDouble // NaN rows: Spark NaN > x
+      case 5 => col("id") >= (n - 1000 - rnd.nextInt(2000)).toLong && col("g").isNotNull
+      case 6 => col("s").isin("alpha-3", "beta-7", "gamma-11") || col("id") < 500L
+    }
+
+  test("seeded fuzz: surgery DELETE == Spark keep-filter oracle (nulls, NaN, strings)") {
+    val rnd = new scala.util.Random(18)
+    Surgery.resetCounters()
+    var raw = 0L; var rew = 0L; var drop = 0L
+    for (trial <- 0 until 10) {
+      val dir = tmpDir(s"sfz-del-$trial")
+      val table = fixture(rnd, dir)
+      val n = table.count().toInt
+      val cond = predicate(rnd, n)
+      val expected = table.filter(coalesce(not(cond), lit(true)))
+        .collect().map(_.toString).sorted
+      Delete.delete(spark, dir, cond)
+      raw += Surgery.lastRawChunks.get()
+      rew += Surgery.lastRewrittenChunks.get()
+      drop += Surgery.lastDroppedChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .collect().map(_.toString).sorted
+      assert(got.length == expected.length,
+        s"trial $trial: row count ${got.length} vs ${expected.length} (cond $cond)")
+      assert(got.sameElements(expected), s"trial $trial drifted (cond $cond)")
+    }
+    assert(raw > 0, "no trial raw-copied a chunk — surgery stopped engaging")
+    assert(rew > 0, "no trial rewrote a boundary chunk")
+    assert(drop > 0, "no trial dropped a whole chunk")
+  }
+
+  test("seeded fuzz: surgery UPDATE == Spark when/otherwise oracle") {
+    val rnd = new scala.util.Random(81)
+    Surgery.resetCounters()
+    var raw = 0L; var rew = 0L
+    for (trial <- 0 until 8) {
+      val dir = tmpDir(s"sfz-upd-$trial")
+      val table = fixture(rnd, dir)
+      val n = table.count().toInt
+      val cond = predicate(rnd, n)
+      // round-robin (not a random draw): every assignment type must appear
+      val (assignCol, lit0): (String, Column) = trial % 3 match {
+        case 0 => ("v", lit(-7.5))
+        case 1 => ("s", lit("REDACTED"))
+        case 2 => ("g", lit(null).cast("long"))
+      }
+      val condSafe = coalesce(cond, lit(false))
+      val expected = table.select(
+        col("id"),
+        (if (assignCol == "g") when(condSafe, lit0).otherwise(col("g")) else col("g")).as("g"),
+        (if (assignCol == "s") when(condSafe, lit0).otherwise(col("s")) else col("s")).as("s"),
+        (if (assignCol == "v") when(condSafe, lit0).otherwise(col("v")) else col("v")).as("v"))
+        .collect().map(_.toString).sorted
+      Delete.update(spark, dir, cond, Map(assignCol -> lit0))
+      info(s"trial $trial SET $assignCol cond=$cond -> raw=${Surgery.lastRawChunks.get()} " +
+        s"rew=${Surgery.lastRewrittenChunks.get()}")
+      raw += Surgery.lastRawChunks.get()
+      rew += Surgery.lastRewrittenChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected),
+        s"trial $trial drifted (cond $cond, SET $assignCol)")
+    }
+    assert(raw > 0, "no update trial raw-copied — surgery stopped engaging")
+    assert(rew > 0, "no update trial rewrote an assigned chunk")
+  }
+}
