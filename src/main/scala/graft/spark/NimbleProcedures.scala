@@ -143,8 +143,9 @@ object NimbleProcedures {
   }
 
   /** GC for the crash-recovery leftovers the commit protocols deliberately
-    * leave behind: `.rewrite-*` (DML), `.optimize-*` (CALL maintenance) and
-    * `_temporary` (batch write commit) dirs inside the table directory.
+    * leave behind: `.rewrite-*` (DML), `.surgery-*` (chunk surgery),
+    * `.compact-*` (small-file raw concat), `.optimize-*` (CALL maintenance)
+    * and `_temporary` (batch write commit) dirs inside the table directory.
     * Those dirs hold replacement data after a mid-commit crash, so VACUUM
     * only removes ones untouched for `older_than_hours` (live operations
     * keep writing into theirs) — the same recoverability-vs-hygiene dial as
@@ -171,6 +172,7 @@ object NimbleProcedures {
       val victims = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory &&
           (f.getName.startsWith(".rewrite-") || f.getName.startsWith(".optimize-") ||
+            f.getName.startsWith(".surgery-") || f.getName.startsWith(".compact-") ||
             f.getName == "_temporary") &&
           newestMtime(f) < cutoff) // any recent write inside = live operation
       var reclaimed = 0L

@@ -95,18 +95,24 @@ class ProcedureSpec extends SparkTestBase {
       val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val tdir = new java.io.File(s"$wh/t5")
       // an "aged" orphan (simulated crash leftover) and a fresh one
-      val old = new java.io.File(tdir, ".rewrite-deadbeef")
-      old.mkdirs()
-      java.nio.file.Files.write(new java.io.File(old, "part-x.gft").toPath, Array[Byte](1, 2, 3))
-      old.listFiles().foreach(_.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000))
-      old.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000)
+      def aged(name: String): java.io.File = {
+        val d = new java.io.File(tdir, name)
+        d.mkdirs()
+        java.nio.file.Files.write(new java.io.File(d, "part-x.gft").toPath, Array[Byte](1, 2, 3))
+        d.listFiles().foreach(_.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000))
+        d.setLastModified(System.currentTimeMillis() - 10L * 3600 * 1000)
+        d
+      }
+      // one per commit protocol that can leave a side dir behind
+      val olds = Seq(aged(".rewrite-deadbeef"), aged(".surgery-deadbeef"),
+        aged(".compact-deadbeef"))
       val fresh = new java.io.File(tdir, ".optimize-cafebabe")
       fresh.mkdirs()
       val rep = spark.sql(
         s"CALL $cat.system.vacuum(table => 't5', older_than_hours => 1)").collect().head
-      assert(rep.getAs[Int]("dirs_removed") == 1, rep)
-      assert(rep.getAs[Long]("bytes_reclaimed") == 3L, rep)
-      assert(!old.exists(), "aged orphan must be removed")
+      assert(rep.getAs[Int]("dirs_removed") == 3, rep)
+      assert(rep.getAs[Long]("bytes_reclaimed") == 9L, rep)
+      olds.foreach(old => assert(!old.exists(), s"aged orphan $old must be removed"))
       assert(fresh.exists(), "a fresh dir may belong to a live operation")
       assert(spark.table(s"$cat.t5").count() == 2000)
     }
