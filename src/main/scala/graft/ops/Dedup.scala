@@ -297,6 +297,7 @@ object Dedup {
     val bcastLog = scala.collection.mutable.ArrayBuffer[Boolean]()
     lastCandCountJobs.set(0)
     while (changed > 0 && iter < maxIters) {
+      val roundT0 = System.nanoTime()
       val frontier = if (delta == null) labels.select(col("u"), col("lbl")) else delta
       // broadcast the delta side once it is small: the candidate joins then
       // run map-side — no full-frame shuffle. `changed` is EXACTLY the
@@ -377,7 +378,8 @@ object Dedup {
       changed = fix.getLong(0)
       frontierDegSum = if (fix.isNullAt(1)) 0L else fix.getLong(1)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"CC round=$iter changed=$changed degSum=$frontierDegSum")
+        println(f"CC round=$iter changed=$changed degSum=$frontierDegSum " +
+          f"wall=${(System.nanoTime() - roundT0) / 1e9}%.3f s")
       labelsCache.unpersist() // safe: cut is materialized, no recompute through it
       labelsCache = cut
       labels = cut.select(col("u"), col("lbl"), col("deg"))
