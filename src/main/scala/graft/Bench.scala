@@ -590,7 +590,6 @@ object Bench {
           .mode("overwrite").save(fmDir)
       })
       results("scale_fm_write") = fmwSec
-      fmSrc.unpersist()
       // feature projection read: the flatmap surfaces as a struct of named
       // keys, so `m.f37` is a dotted-path push the fm stats prune on
       // (FlatMapPruneSpec's shape — plain map getItem reconstructs the map)
@@ -625,6 +624,40 @@ object Bench {
       calibs("scale_fm_proj") =
         math.min(calibs("scale_fm_proj"), calibs("scale_fm_proj_r2"))
       calibs.remove("scale_fm_proj_r2")
+      // parquet twin: the same cached rows as a plain MAP column — parquet
+      // has no per-key shredding, so the selective probe and the 3-key
+      // projection must reconstruct every map; the deltas are the flatmap
+      // feature's value at bench scale, same-run same-box
+      val fmPqDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench/scale-fm-pq"
+      val (fmwPq, _) = cal("scale_fm_write_parquet")(time {
+        fmSrc.write.mode("overwrite").parquet(fmPqDir)
+      })
+      results("scale_fm_write_parquet") = fmwPq
+      val fmPq = spark.read.parquet(fmPqDir)
+      def pqProbe(): Long = fmPq
+        .filter(col("m")(lit("f37")) > (fmRows - 1000).toDouble)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      def pqProj(): Unit = {
+        fmPq.select(col("m")(lit("f11")).as("a"), col("m")(lit("f123")).as("b"),
+          col("m")(lit("f301")).as("c"))
+          .agg(sum("a"), sum("b"), sum("c")).collect()
+        ()
+      }
+      pqProbe()
+      val (pp1, _) = cal("scale_fm_probe_parquet")(time(pqProbe()))
+      val (pp2, _) = cal("scale_fm_probe_parquet_r2")(time(pqProbe()))
+      results("scale_fm_probe_parquet") = math.min(pp1, pp2)
+      calibs("scale_fm_probe_parquet") = math.min(
+        calibs("scale_fm_probe_parquet"), calibs("scale_fm_probe_parquet_r2"))
+      calibs.remove("scale_fm_probe_parquet_r2")
+      pqProj()
+      val (pj1, _) = cal("scale_fm_proj_parquet")(time(pqProj()))
+      val (pj2, _) = cal("scale_fm_proj_parquet_r2")(time(pqProj()))
+      results("scale_fm_proj_parquet") = math.min(pj1, pj2)
+      calibs("scale_fm_proj_parquet") = math.min(
+        calibs("scale_fm_proj_parquet"), calibs("scale_fm_proj_parquet_r2"))
+      calibs.remove("scale_fm_proj_parquet_r2")
+      fmSrc.unpersist()
     }
 
     results("scale_calib_base_ns") = calSamples.min
