@@ -1307,7 +1307,19 @@ object Codecs {
           i += 1
         }
       } else if (n > 0) {
-        val capacity = 16384 // > 2x cap, power of two -> low load factor
+        // table sized to the chunk, power of two, >= 4x n for a low load
+        // factor: distinct <= n, and the 4096 cap can only trigger when
+        // n >= 4096 — where the full 16384 table is kept, so the cap
+        // semantics (and every downstream decision) are unchanged. The flat
+        // 16384 table cost a 192 KB allocation+zero PER CHUNK, which
+        // dominated wide-flatmap writes (~330-value per-key chunks, double
+        // bits -> wide range -> always this branch).
+        val capacity = {
+          var c = 64
+          val want = math.min(16384, 4 * n)
+          while (c < want) c <<= 1
+          c
+        }
         val mask = capacity - 1
         val keys = new Array[Long](capacity)
         val cnts = new Array[Int](capacity)

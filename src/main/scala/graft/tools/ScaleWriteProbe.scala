@@ -22,6 +22,61 @@ object ScaleWriteProbe {
       .repartition(4).cache()
     scaleDf.count()
     val tmp = System.getProperty("java.io.tmpdir")
+    // 'fm' arg: the bench's wide-flatmap write shape in isolation (2M rows x
+    // 8-of-400 keys), for stack-sampling the 400-stream writer
+    if (args.contains("fm")) {
+      val fmSrc = spark.range(2000000L)
+        .selectExpr("id",
+          "map_from_arrays(" +
+            "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
+            "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))) AS m")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+        .sortWithinPartitions("id").cache()
+      fmSrc.count()
+      // in-process stack sampler (attach is unavailable in some sandboxes):
+      // leaf-most graft frame of every executor thread, 5 ms cadence
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = false
+      val sampler = new Thread(() => {
+        while (!Thread.currentThread().isInterrupted) {
+          if (sampling) {
+            val it = Thread.getAllStackTraces.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getKey.getName.startsWith("Executor task launch")) {
+                val st = e.getValue
+                var i = 0
+                var found = false
+                while (i < st.length && !found) {
+                  if (st(i).getClassName.startsWith("graft.")) {
+                    val k = st(i).getClassName + "." + st(i).getMethodName
+                    counts.merge(k, 1, (a, b) => a + b)
+                    found = true
+                  }
+                  i += 1
+                }
+              }
+            }
+          }
+          try Thread.sleep(5) catch { case _: InterruptedException => return }
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      for (round <- 1 to 3) {
+        sampling = round >= 2 // skip the JIT-cold round
+        val t0 = System.nanoTime()
+        fmSrc.write.format("nimble").option("flatMapColumns", "m")
+          .option("rowsPerChunk", "16384").option("sortColumns", "id")
+          .mode("overwrite").save(s"$tmp/swp-fm")
+        println(f"fm round=$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      sampler.interrupt()
+      val top = scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toSeq
+        .sortBy(-_._2.intValue).take(25)
+      top.foreach { case (k, n) => println(f"  [hot] $n%6d $k") }
+      spark.stop(); return
+    }
     // r17 verdict #6: the bench's scale_write_cpu_ms_per_mb spread 58-268
     // across same-code runs — pure co-tenant load. This prints the idle-truth
     // twin (fresh JVM, process-CPU around each write, per MB of encoded
