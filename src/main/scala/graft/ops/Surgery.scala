@@ -112,8 +112,7 @@ object Surgery {
         // 0 = provably no row matches the delete condition (keep whole),
         // 1 = provably every row matches (drop whole), 2 = mixed
         val cls = Array.tabulate(rows.length) { k =>
-          val statsOf: String => Option[Tablet.Stats] = n =>
-            p.keyId.get(n).map(id => p.dirs(s)(id)(p.dataIdx(s)(id)(k)).stats)
+          val statsOf = p.chunkStatsOf(s, k) _
           if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
           else if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) 1
           else 2
@@ -135,14 +134,15 @@ object Surgery {
           val masks = new Array[Array[Boolean]](rows.length)
           val keptN = new Array[Int](rows.length)
           locally {
-            val refIds = filters.flatMap(_.references).distinct.map(p.keyId)
-            val cursors = refIds.map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
+            val refCols = filters.flatMap(_.references).distinct
+            val cursors = refCols.flatMap(p.refIds).distinct
+              .map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
             var k = 0
             while (k < rows.length) {
               if (cls(k) != 2) cursors.valuesIterator.foreach(_.skip())
               else {
                 val cols = cursors.map { case (id, c) => id -> expand(c.next()) }
-                val colOf: String => Column = n => cols(p.keyId(n))
+                val colOf: String => Column = n => p.logicalCol(n, cols)
                 val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
                 val n = rows(k).toInt
                 val keep = new Array[Boolean](n)
@@ -246,9 +246,8 @@ object Surgery {
         // 0 = provably untouched (no row matches cond) — raw-copy everything;
         // 2 = the condition may match here — re-encode ASSIGNED streams only
         val cls = Array.tabulate(rows.length) { k =>
-          val statsOf: String => Option[Tablet.Stats] = n =>
-            p.keyId.get(n).map(id => p.dirs(s)(id)(p.dataIdx(s)(id)(k)).stats)
-          if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
+          if (filters.exists(f =>
+              Filters.pruneStripe(f, p.chunkStatsOf(s, k), _ => None))) 0
           else 2
         }
         if (cls.forall(_ == 0)) {
@@ -259,14 +258,15 @@ object Surgery {
           // pass 2: cond-masks (TRUE rows take the literal)
           val masks = new Array[Array[Boolean]](rows.length)
           locally {
-            val refIds = filters.flatMap(_.references).distinct.map(p.keyId)
-            val cursors = refIds.map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
+            val refCols = filters.flatMap(_.references).distinct
+            val cursors = refCols.flatMap(p.refIds).distinct
+              .map(id => id -> new Tablet.ChunkCursor(bytes(id))).toMap
             var k = 0
             while (k < rows.length) {
               if (cls(k) != 2) cursors.valuesIterator.foreach(_.skip())
               else {
                 val cols = cursors.map { case (id, c) => id -> expand(c.next()) }
-                val colOf: String => Column = n => cols(p.keyId(n))
+                val colOf: String => Column = n => p.logicalCol(n, cols)
                 val preds = filters.map(f => Filters.compile(f, p.fieldType(_), colOf))
                 val n = rows(k).toInt
                 val mask = new Array[Boolean](n)
@@ -324,12 +324,44 @@ object Surgery {
   private final class Prep(
       val fieldType: Map[String, DataType],
       val keys: Array[String], val keyId: Map[String, Int],
+      /** Columns stored as the TimestampMicroNano split (micros stream +
+        * '#nanos' remainder sibling); their raw stats are MICROS-domain. */
+      val nanosSplit: Set[String],
       /** (stripe)(stream) -> full frame directory. */
       val dirs: Array[Array[Array[Tablet.ChunkLoc]]],
       /** (stripe)(stream)(data ordinal) -> index into dirs. */
       val dataIdx: Array[Array[Array[Int]]],
       /** (stripe)(data ordinal) -> row count (identical across streams). */
-      val dataRows: Array[Array[Long]])
+      val dataRows: Array[Array[Long]]) {
+    /** Chunk stats for filter classification: nanos-split columns scale
+      * their micros-domain stats to saturating OUTER nanos bounds — sound
+      * for both proofs (a contained range keeps noneMatch conservative and
+      * allMatch's min/max direction correct), same fence as
+      * Delete.classify. */
+    def chunkStatsOf(s: Int, k: Int)(n: String): Option[Tablet.Stats] =
+      keyId.get(n).map { id =>
+        val st = dirs(s)(id)(dataIdx(s)(id)(k)).stats
+        if (nanosSplit(n)) Tablet.nanosScaledStats(st) else st
+      }
+    /** Stream ids the mask pass must decode for filter column `n`. */
+    def refIds(n: String): Seq[Int] =
+      if (nanosSplit(n)) Seq(keyId(n), keyId(n + "#nanos")) else Seq(keyId(n))
+    /** The LOGICAL column for filter evaluation: nanos-split columns
+      * recombine micros*1000 + rem exactly like the reader (TsNanosR). */
+    def logicalCol(n: String, cols: Map[Int, Column]): Column =
+      if (!nanosSplit(n)) cols(keyId(n))
+      else {
+        val m = cols(keyId(n)).asInstanceOf[LongsCol]
+        val r = cols(keyId(n + "#nanos")).asInstanceOf[LongsCol]
+        val out = new Array[Long](m.len)
+        var i = 0
+        while (i < m.len) {
+          if (m.nulls == null || !m.nulls(i)) out(i) = m.values(i) * 1000L + r.values(i)
+          i += 1
+        }
+        LongsCol(out, PhysType.I64, m.nulls)
+      }
+  }
 
   private def prep(r: Tablet.Reader, filters: Array[Filter]): Option[Prep] = {
     val footer = r.footer
@@ -348,7 +380,7 @@ object Surgery {
     val nanosSplit: Set[String] =
       keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
     val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(n => fieldType.contains(n) && !nanosSplit(n))) return None
+    if (!refs.forall(fieldType.contains)) return None
     val nStreams = keys.length
     val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
     val dataIdx = Array.ofDim[Array[Int]](footer.stripes.length, nStreams)
@@ -376,7 +408,8 @@ object Surgery {
       }
       s += 1
     }
-    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, dirs, dataIdx, dataRows))
+    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, nanosSplit,
+      dirs, dataIdx, dataRows))
   }
 
   private def newWriter(footer: Tablet.Footer, keys: Array[String],

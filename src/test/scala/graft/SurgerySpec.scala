@@ -146,6 +146,43 @@ class SurgerySpec extends SparkTestBase {
     assert(rep2.rowsDeleted == 0L && rep2.filesRewritten == 0, s"stats lost: $rep2")
   }
 
+  test("nanos-split retention delete: chunk classification scales micros stats, mask recombines") {
+    val dir = tmpDir("surg-nanos")
+    // ns-domain longs stored as the TimestampMicroNano split — the canonical
+    // event-table retention shape; values NOT multiples of 1000 so the
+    // remainder stream actually matters to the mask
+    val rows = 80000L
+    spark.range(rows).toDF("id")
+      .withColumn("ts", col("id") * 1000000L + (col("id") % 997L))
+      .withColumn("v", (col("id") % 61).cast("double"))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("timestampNanosColumns", "ts")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    // sanity: the split actually engaged
+    locally {
+      val r = new graft.format.Tablet.Reader(graft.spark.NimbleSource.listFiles(dir).head)
+      try assert(r.keyId("ts#nanos") >= 0, "fixture must store ts as the nanos split")
+      finally r.close()
+    }
+    val cutoff = 60000L * 1000000L + 123L // mid-chunk, sub-microsecond part set
+    val expected = spark.read.format("nimble").load(dir)
+      .filter(col("ts") < cutoff).agg(count(lit(1)), sum("v")).collect()(0)
+    val rep = Delete.delete(spark, dir, col("ts") >= cutoff)
+    assert(rep.rowsDeleted == rows - expected.getLong(0), s"nanos delete drifted: $rep")
+    // surgery must have engaged (ts ascends with id, so the micros-domain
+    // chunk stats prune almost everything) and rewritten ~1 boundary chunk
+    assert(Surgery.lastRawChunks.get() > 0, "nanos-split filter must not disqualify surgery")
+    assert(Surgery.lastRewrittenChunks.get() <= 2,
+      s"boundary-chunk economics lost: ${Surgery.lastRewrittenChunks.get()} rewritten")
+    val got = spark.read.format("nimble").load(dir)
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got == expected, s"nanos-split surgery drifted: $got vs $expected")
+    // the sub-microsecond boundary: rows at exactly cutoff-1 ns survive
+    assert(spark.read.format("nimble").load(dir)
+      .agg(max("ts")).collect()(0).getLong(0) < cutoff)
+  }
+
   test("literal UPDATE surgery: only the assigned column's touched chunks re-encode") {
     val dir = tmpDir("surg-upd")
     writeSorted(dir)
