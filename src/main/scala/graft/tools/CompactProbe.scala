@@ -43,7 +43,8 @@ object CompactProbe {
       val r0 = System.nanoTime()
       spark.read.format("nimble").load(srcDir).agg(sum("v")).collect()
       val readSec = (System.nanoTime() - r0) / 1e9
-      println(f"compact_probe iter=$i sec=$sec%.3f scan_only=$readSec%.3f rows=${rep.rows}")
+      println(f"compact_probe iter=$i sec=$sec%.3f scan_only=$readSec%.3f rows=${rep.rows} " +
+        f"raw=${graft.ops.Compaction.lastCompactRaw.get()}")
       i += 1
     }
     spark.stop()
