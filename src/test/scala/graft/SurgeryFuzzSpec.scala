@@ -70,6 +70,41 @@ class SurgeryFuzzSpec extends SparkTestBase {
     assert(drop > 0, "no trial dropped a whole chunk")
   }
 
+  test("seeded fuzz: nanos-split retention deletes == Spark oracle") {
+    val rnd = new scala.util.Random(1818)
+    Surgery.resetCounters()
+    var raw = 0L; var rew = 0L
+    for (trial <- 0 until 5) {
+      val dir = tmpDir(s"sfz-ns-$trial")
+      val n = 30000 + rnd.nextInt(30000)
+      val rpc = Seq(2048, 4096)(rnd.nextInt(2))
+      // ns values NOT multiples of 1000 (the remainder stream must matter),
+      // ascending with id so micros-domain chunk stats actually prune
+      spark.range(n.toLong).toDF("id")
+        .withColumn("ts", col("id") * 1000003L + (col("id") % 991L))
+        .withColumn("v", (col("id") % 83).cast("double"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("timestampNanosColumns", "ts")
+        .option("rowsPerChunk", rpc.toString).mode("overwrite").save(dir)
+      val table = spark.read.format("nimble").load(dir)
+      val cutRow = n / 3 + rnd.nextInt(n / 2)
+      val cut = cutRow.toLong * 1000003L + rnd.nextInt(991)
+      val cond = if (trial % 2 == 0) col("ts") >= cut
+        else col("ts") >= cut && col("ts") < cut + rnd.nextInt(n).toLong * 500000L
+      val expected = table.filter(coalesce(not(cond), lit(true)))
+        .collect().map(_.toString).sorted
+      Delete.delete(spark, dir, cond)
+      raw += Surgery.lastRawChunks.get()
+      rew += Surgery.lastRewrittenChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"nanos trial $trial drifted (cond $cond)")
+    }
+    assert(raw > 0, "nanos trials must raw-copy kept chunks")
+    assert(rew > 0, "nanos trials must rewrite boundary chunks")
+  }
+
   test("seeded fuzz: surgery UPDATE == Spark when/otherwise oracle") {
     val rnd = new scala.util.Random(81)
     Surgery.resetCounters()
