@@ -85,12 +85,15 @@ object Codecs {
     * re-opens every 8th chunk so distribution shifts re-train. Replay
     * applies at the top level of null-free chunks — cascade sub-streams and
     * the Nullable wrapper always select normally. */
-  final class Replay {
+  final class Replay(val deep: Boolean = false) {
     private[format] var lastWinner: Byte = -1
     private[format] var streak = 0
     private[format] var chunk = 0
     private[format] def lockedId: Byte = if (streak >= 3) lastWinner else -1
-    private[format] def reopen: Boolean = chunk % 8 == 0
+    // Deep (layout-tree) replays are shared across the homogeneous sibling
+    // streams of one flatmap column — hundreds of observations per row
+    // sweep — so the re-train probe amortizes over a longer cadence.
+    private[format] def reopen: Boolean = chunk % (if (deep) 64 else 8) == 0
     private[format] def observe(winner: Byte, full: Boolean): Unit = {
       chunk += 1
       if (full) {
@@ -98,10 +101,31 @@ object Codecs {
         if (winner == lastWinner) streak += 1 else { lastWinner = winner; streak = 1 }
       } else Codecs.replayHits.increment()
     }
+    // Layout-TREE replay (reference: dwio/nimble/writer/EncodingLayoutTree
+    // .h:25 — the captured layout is a tree over the encoding's nested
+    // streams, not a single top-level id): each nested stream slot of each
+    // parent codec gets its own child Replay, so a locked ALP chunk also
+    // replays its packed-longs stream's DELTA without re-searching. Children
+    // exist ONLY on deep replays — plain per-stream replays (every non-
+    // flatmap stream) return null and nested encodes search exactly as
+    // before, keeping the standard write path byte-identical.
+    private var kids: mutable.HashMap[Int, Replay] = null
+    private[format] def child(parentId: Byte, pos: Int): Replay =
+      if (!deep) null
+      else {
+        if (kids == null) kids = mutable.HashMap[Int, Replay]()
+        kids.getOrElseUpdate(parentId * 4 + pos, new Replay(deep = true))
+      }
   }
   /** Observability: full candidate selections vs locked-layout replays. */
   val selectionsRun = new java.util.concurrent.atomic.LongAdder
   val replayHits = new java.util.concurrent.atomic.LongAdder
+
+  /** Child replay for a parent codec's nested stream slot — null unless the
+    * replay is a deep (layout-tree) one, so every existing call site that
+    * passes a plain replay keeps its nested searches byte-identical. */
+  @inline private def rchild(r: Replay, parentId: Byte, pos: Int): Replay =
+    if (r == null) null else r.child(parentId, pos)
 
   // ---------------------------------------------------------------- entry
 
@@ -486,7 +510,12 @@ object Codecs {
   def encodeValues(col: Column, sink: ByteSink, depth: Int, replay: Replay = null): Unit = col match {
     case c: LongsCol => encodeLongs(c.values, c.phys, sink, depth, replay)
     case c: DoublesCol => encodeDoubles(c, sink, depth, replay)
-    case c: BoolsCol => encodeBools(c.values, sink, depth)
+    // bool replay is restricted to deep (flatmap-family) replays: giving the
+    // plain per-stream replays a bool lock would change which of the two
+    // bool candidates non-flatmap streams emit — a byte-level change to the
+    // standard write path this optimization must not make
+    case c: BoolsCol => encodeBools(c.values, sink, depth,
+      if (replay != null && replay.deep) replay else null)
     case c: BytesCol => encodeBytes(c, sink, depth, replay)
     case c: DictBytesCol => encodeBytes(c.expand, sink, depth, replay)
   }
@@ -1242,14 +1271,17 @@ object Codecs {
     var dMax = Long.MinValue
     var deltaOverflow = false
     var varintBytes = 0L // exact size of the Varint candidate
-    val distinct = new mutable.HashMap[Long, Int]()
-    var distinctCapped = false
     // Boyer-Moore majority candidate: finds the mode whenever its frequency
     // exceeds n/2, independent of cardinality — keeps MainlyConstant eligible
     // on high-cardinality streams where `distinct` hits its cap (a 95%-common
     // value among otherwise-unique values is exactly MainlyConstant's case).
-    var modeVal = 0L
-    var modeFreq = 0
+    // The candidate rides the main pass; the exact-count pass and the
+    // cardinality pass are LAZY — a replay-locked encode that never consults
+    // the MainlyConstant/Dictionary gates skips both O(n) passes (and the
+    // boxed distinct-map fill, the single most expensive stat), computed on
+    // first access with identical results otherwise.
+    private var bmCandidate = 0L
+    private var bmCount = 0
     locally {
       var mn = Long.MaxValue
       var mx = Long.MinValue
@@ -1258,8 +1290,8 @@ object Codecs {
       var dmx = Long.MinValue
       var dovf = false
       var vb = 0L
-      var bmCandidate = 0L
-      var bmCount = 0
+      var bmCandidate0 = 0L
+      var bmCount0 = 0
       var prev = 0L
       var i = 0
       while (i < n) {
@@ -1268,9 +1300,9 @@ object Codecs {
         if (v > mx) mx = v
         val zz = (v << 1) ^ (v >> 63)
         vb += (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7)
-        if (bmCount == 0) { bmCandidate = v; bmCount = 1 }
-        else if (v == bmCandidate) bmCount += 1
-        else bmCount -= 1
+        if (bmCount0 == 0) { bmCandidate0 = v; bmCount0 = 1 }
+        else if (v == bmCandidate0) bmCount0 += 1
+        else bmCount0 -= 1
         if (i > 0) {
           if (v != prev) rc += 1
           val d = v - prev
@@ -1285,18 +1317,41 @@ object Codecs {
       if (n == 0) { mn = 0L; mx = 0L }
       min = mn; max = mx; runCount = rc
       dMin = dmn; dMax = dmx; deltaOverflow = dovf; varintBytes = vb
-      // exact frequency of the majority candidate (second O(n) pass)
+      bmCandidate = bmCandidate0; bmCount = bmCount0
+    }
+
+    // exact frequency of the majority candidate (lazy second O(n) pass)
+    private var modeDone = false
+    private var _modeVal = 0L
+    private var _modeFreq = 0
+    private def ensureMode(): Unit = if (!modeDone) {
+      modeDone = true
       if (n > 0 && bmCount > 0) {
         val cand = bmCandidate
         var c = 0
-        i = 0
+        var i = 0
         while (i < n) { if (values(i) == cand) c += 1; i += 1 }
-        modeVal = cand
-        modeFreq = c
+        _modeVal = cand
+        _modeFreq = c
       }
-      // cardinality pass: array counts for narrow ranges, open-addressing
-      // long table otherwise — no boxed HashMap ops on the hot path (the
-      // boxed updateWith cost ~100 ns/element on wide-range columns)
+    }
+    def modeVal: Long = { ensureMode(); _modeVal }
+    def modeFreq: Int = { ensureMode(); _modeFreq }
+
+    // cardinality pass (lazy): array counts for narrow ranges, open-
+    // addressing long table otherwise — no boxed HashMap ops on the hot path
+    // (the boxed updateWith cost ~100 ns/element on wide-range columns)
+    private var cardDone = false
+    private val _distinct = new mutable.HashMap[Long, Int]()
+    private var _capped = false
+    def distinct: mutable.HashMap[Long, Int] = { ensureCard(); _distinct }
+    def distinctCapped: Boolean = { ensureCard(); _capped }
+    private def ensureCard(): Unit = if (!cardDone) {
+      cardDone = true
+      val mn = min
+      val mx = max
+      val distinct = _distinct
+      var i = 0
       if (n > 0 && !rangeOverflow && mx - mn <= 65536) {
         val counts = new Array[Int]((mx - mn).toInt + 1)
         i = 0
@@ -1339,7 +1394,7 @@ object Codecs {
           }
           i += 1
         }
-        distinctCapped = capped
+        _capped = capped
         if (!capped) {
           i = 0
           while (i < capacity) { if (cnts(i) > 0) distinct(keys(i)) = cnts(i); i += 1 }
@@ -1928,9 +1983,25 @@ object Codecs {
     // estimation passes (both default-off only under CostSelection)
     val pol = selectionPolicy
     val trace = selectionTrace.get()
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    // Locked fast path: when the replay layout is locked, today's selection
+    // already discards every non-locked candidate AFTER paying for all their
+    // O(n) estimation passes (plus the gate-feature passes and the lazy
+    // stats they force) — so building ONLY the locked plan emits the exact
+    // same bytes while skipping all of that work. Constraints that keep it
+    // provably byte-identical: the stock policies only (TrainedSelection's
+    // skipToTrivialLongs is constant-false, so the policy short-circuit
+    // cannot fire; an externally installed policy falls back to the full
+    // path), never under trainer tracing, and never when the lock is on one
+    // of the skipEstimationMask-gated families (their plan gate depends on
+    // the mask, which depends on the features we want to skip).
+    val fastLock = lockedId >= 0 && trace == null &&
+      ((pol eq TrainedSelection) || (pol eq CostSelection)) &&
+      lockedId != PFOR && lockedId != BLOCKBP && lockedId != SUBINT
     var skipMask = 0
     var traceFeat: ((Double, Double, Double, Double), (Double, Double, Double)) = null
-    if ((pol ne CostSelection) || trace != null) {
+    // returns true when the policy emitted Trivial directly (caller returns)
+    def runPolicyBlock(): Boolean = {
       val gateF = longGateFeatures(values, phys, st)
       val (runFr, uniqueFr, widthFr, deltaFr) = gateF
       val estF = estimationFeatures(values, phys, st)
@@ -1940,7 +2011,7 @@ object Codecs {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         header(sink, TRIVIAL, phys, n)
         trivialLongs(values, phys, sink)
-        return
+        return true
       }
       if (pol ne CostSelection) {
         skipMask = pol.skipEstimationMask(phys, n, runFr, uniqueFr, widthFr, deltaFr,
@@ -1948,13 +2019,13 @@ object Codecs {
         if (skipMask != 0) estimationSkips.incrementAndGet()
       }
       traceFeat = (gateF, estF)
+      false
     }
+    if (!fastLock && ((pol ne CostSelection) || trace != null) && runPolicyBlock()) return
     // Analytic size estimates per gated candidate (reference:
     // dwio/nimble/encodings/selection/EncodingSizeEstimation.h) — only the
     // best two by estimated cost are actually encoded.
     val width = PhysType.byteWidth(phys)
-    val plans = mutable.ArrayBuffer[(Byte, Double, ByteSink => Unit)]()
-    plans += ((TRIVIAL, (n.toLong * width).toDouble, s => trivialLongs(values, phys, s)))
     // exact zigzag-varint length of one value (the FOR/SIMDFOR baseline
     // header): a flat constant here made the FOR estimate pessimistic on
     // small streams, ranking VARINT first on shapes FOR actually won — the
@@ -1963,7 +2034,17 @@ object Codecs {
       val zz = (v << 1) ^ (v >> 63)
       (if (zz == 0) 1 else (70 - java.lang.Long.numberOfLeadingZeros(zz)) / 7).toDouble
     }
-    if (!st.rangeOverflow) {
+    // `only` < 0 builds every gated plan (the full search); a codec id
+    // builds just that plan (the locked fast path) — the gates themselves
+    // are IDENTICAL either way, so a locked id that fails its gate yields an
+    // empty buffer and the caller re-runs the full search, reproducing
+    // exactly the bytes the pre-fast-path code emitted.
+    def buildPlans(only: Byte): mutable.ArrayBuffer[(Byte, Double, ByteSink => Unit)] = {
+    def want(id: Byte): Boolean = only < 0 || only == id
+    val plans = mutable.ArrayBuffer[(Byte, Double, ByteSink => Unit)]()
+    if (want(TRIVIAL))
+      plans += ((TRIVIAL, (n.toLong * width).toDouble, s => trivialLongs(values, phys, s)))
+    if (want(FOR) && !st.rangeOverflow) {
       val w = bitsFor(st.max - st.min)
       // exact payload: baseline zigzag + width byte + packed bits
       if (w < width * 8) plans += ((FOR, zzLen(st.min) + 1 + (n.toLong * w + 7) / 8, { s =>
@@ -1976,7 +2057,7 @@ object Codecs {
     // byte-identical to linear FOR, but the block layout unpacks 8 lanes per
     // vector step (Panama kernel, scalar fallback). Gated on one full block;
     // the 0.85 read factor makes it win the tie against FOR on full chunks.
-    if (!st.rangeOverflow && n >= 512) {
+    if (want(SIMDFOR) && !st.rangeOverflow && n >= 512) {
       val w = bitsFor(st.max - st.min)
       if (w > 0 && w < width * 8)
         // exact payload: baseline zigzag + width byte + lane blocks
@@ -1984,11 +2065,11 @@ object Codecs {
           SimdBitpack.encode(values, st.min, w, s)
         }))
     }
-    if (st.min > -(1L << 40) && st.max < (1L << 40))
+    if (want(VARINT) && st.min > -(1L << 40) && st.max < (1L << 40))
       plans += ((VARINT, st.varintBytes.toDouble, { s =>
         var i = 0; while (i < n) { s.writeZigZag(values(i)); i += 1 }
       }))
-    if (st.runCount <= n / 3 && depth < MaxDepth)
+    if (want(RLE) && st.runCount <= n / 3 && depth < MaxDepth)
       plans += ((RLE, st.runCount * (2.0 + math.min(width, 8)) + 16, { s =>
         val lens = new Array[Long](st.runCount)
         val vals = new Array[Long](st.runCount)
@@ -1997,10 +2078,10 @@ object Codecs {
           if (i == 0 || values(i) != values(i - 1)) { r += 1; vals(r) = values(i); lens(r) = 0 }
           lens(r) += 1; i += 1
         }
-        val ls = new ByteSink(); encodeLongs(lens, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
-        val vs = new ByteSink(); encodeLongs(vals, phys, vs, depth + 1); s.writeBlock(vs.toArray)
+        val ls = new ByteSink(); encodeLongs(lens, PhysType.I64, ls, depth + 1, rchild(replay, RLE, 0)); s.writeBlock(ls.toArray)
+        val vs = new ByteSink(); encodeLongs(vals, phys, vs, depth + 1, rchild(replay, RLE, 1)); s.writeBlock(vs.toArray)
       }))
-    if (!st.distinctCapped && st.distinct.size <= n / 3 && depth < MaxDepth) {
+    if (want(DICT) && !st.distinctCapped && st.distinct.size <= n / 3 && depth < MaxDepth) {
       val ndv = st.distinct.size
       plans += ((DICT, ndv.toDouble * width + n.toLong * bitsFor(math.max(ndv - 1, 1).toLong) / 8.0 + 16, { s =>
         val alphabet = st.distinct.keysIterator.toArray
@@ -2016,18 +2097,18 @@ object Codecs {
           var i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
           i = 0; while (i < n) { indices(i) = index(values(i)).toLong; i += 1 }
         }
-        val as = new ByteSink(); encodeLongs(alphabet, phys, as, depth + 1); s.writeBlock(as.toArray)
-        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); s.writeBlock(is.toArray)
+        val as = new ByteSink(); encodeLongs(alphabet, phys, as, depth + 1, rchild(replay, DICT, 0)); s.writeBlock(as.toArray)
+        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1, rchild(replay, DICT, 1)); s.writeBlock(is.toArray)
       }))
     }
-    if (!st.deltaOverflow && n > 1 && depth < MaxDepth) {
+    if (want(DELTA) && !st.deltaOverflow && n > 1 && depth < MaxDepth) {
       val dw = bitsFor(math.max(math.abs(st.dMin), math.abs(st.dMax)) << 1)
       val nCps = if (n >= 2 * DeltaCheckpointStride) (n - 1) / DeltaCheckpointStride else 0
       if (dw < 32) plans += ((DELTA, 10.0 + (n - 1).toLong * dw / 8.0 + 3.0 * nCps, { s =>
         s.writeZigZag(values(0))
         val deltas = new Array[Long](n - 1)
         var i = 1; while (i < n) { deltas(i - 1) = values(i) - values(i - 1); i += 1 }
-        val ds = new ByteSink(); encodeLongs(deltas, PhysType.I64, ds, depth + 1); s.writeBlock(ds.toArray)
+        val ds = new ByteSink(); encodeLongs(deltas, PhysType.I64, ds, depth + 1, rchild(replay, DELTA, 0)); s.writeBlock(ds.toArray)
         if (nCps > 0) {
           // seekability tail (reference: encodings/DeltaBlockEncoding.h:53
           // checkpoints, Encoding.h:218 skip): absolute values every
@@ -2040,14 +2121,14 @@ object Codecs {
           val cps = new Array[Long](nCps)
           var j = 0
           while (j < nCps) { cps(j) = values((j + 1) * DeltaCheckpointStride); j += 1 }
-          val cs = new ByteSink(); encodeLongs(cps, phys, cs, depth + 1); s.writeBlock(cs.toArray)
+          val cs = new ByteSink(); encodeLongs(cps, phys, cs, depth + 1, rchild(replay, DELTA, 1)); s.writeBlock(cs.toArray)
         }
       }))
     }
     // PFOR: pack most values at a narrow width, patch outliers separately
     // (reference: dwio/nimble/encodings/PFOREncoding.h:74). Gated on the
     // bit-width histogram finding a width that beats plain FOR by >= 12%.
-    if ((skipMask & SkipPfor) == 0 && !st.rangeOverflow && n >= 64 && depth < MaxDepth) {
+    if (want(PFOR) && (skipMask & SkipPfor) == 0 && !st.rangeOverflow && n >= 64 && depth < MaxDepth) {
       val wf = bitsFor(st.max - st.min)
       if (wf > 2 && wf <= 57) {
         val hist = new Array[Int](wf + 1)
@@ -2087,8 +2168,8 @@ object Codecs {
             }
             s.writeZigZag(st.min); s.writeByte(pw)
             packBits(lows, st.min, pw, s)
-            val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1); s.writeBlock(ps.toArray)
-            val hs = new ByteSink(); encodeLongs(highs, PhysType.I64, hs, depth + 1); s.writeBlock(hs.toArray)
+            val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1, rchild(replay, PFOR, 0)); s.writeBlock(ps.toArray)
+            val hs = new ByteSink(); encodeLongs(highs, PhysType.I64, hs, depth + 1, rchild(replay, PFOR, 1)); s.writeBlock(hs.toArray)
           }))
         }
       }
@@ -2096,7 +2177,7 @@ object Codecs {
     // BlockBitPacking: per-1024-row baseline + bit width — adapts to locally
     // narrow regions a single global FOR width can't exploit (reference:
     // dwio/nimble/encodings/BlockBitPackingEncoding.h:56).
-    if ((skipMask & SkipBlockBp) == 0 && !st.rangeOverflow && n >= 2048) {
+    if (want(BLOCKBP) && (skipMask & SkipBlockBp) == 0 && !st.rangeOverflow && n >= 2048) {
       val bsz = 1024
       var est = 4.0
       var b = 0
@@ -2134,7 +2215,7 @@ object Codecs {
     // DeltaBlock: sorted/monotonic ints as checkpoints + per-block packed
     // deltas, preserving O(block) random access (reference:
     // dwio/nimble/encodings/DeltaBlockEncoding.h:53).
-    if (!st.deltaOverflow && st.dMin >= 0 && st.dMax > 0 && bitsFor(st.dMax) <= 57 &&
+    if (want(DELTABLOCK) && !st.deltaOverflow && st.dMin >= 0 && st.dMax > 0 && bitsFor(st.dMax) <= 57 &&
         n >= 256 && depth < MaxDepth) {
       val bsz = 128
       val nBlocks = (n + bsz - 1) / bsz
@@ -2155,7 +2236,7 @@ object Codecs {
         var b = 0
         var k = 0
         while (b < n) { checkpoints(k) = values(b); k += 1; b += bsz }
-        val cs = new ByteSink(); encodeLongs(checkpoints, phys, cs, depth + 1); s.writeBlock(cs.toArray)
+        val cs = new ByteSink(); encodeLongs(checkpoints, phys, cs, depth + 1, rchild(replay, DELTABLOCK, 0)); s.writeBlock(cs.toArray)
         b = 0
         while (b < n) {
           val e = math.min(b + bsz, n)
@@ -2176,7 +2257,7 @@ object Codecs {
     // fixed-width indices when the value distribution is skewed (reference:
     // dwio/nimble/encodings/HuffmanEncoding.h:62). Code lengths double as the
     // exact size estimate.
-    if (!st.distinctCapped && st.distinct.size >= 2 && st.distinct.size <= 256 &&
+    if (want(HUFFMAN) && !st.distinctCapped && st.distinct.size >= 2 && st.distinct.size <= 256 &&
         depth < MaxDepth) {
       val sym = st.distinct.toArray.sortBy(_._1) // (value, freq), stable order
       val lens = Huffman.codeLengths(sym.map(_._2.toLong))
@@ -2189,7 +2270,7 @@ object Codecs {
           (n / Huffman.CheckpointStride) * 3.0
         plans += ((HUFFMAN, est, { s =>
           s.writeVarint(sym.length.toLong)
-          val vs = new ByteSink(); encodeLongs(sym.map(_._1), phys, vs, depth + 1)
+          val vs = new ByteSink(); encodeLongs(sym.map(_._1), phys, vs, depth + 1, rchild(replay, HUFFMAN, 0))
           s.writeBlock(vs.toArray)
           var i = 0
           while (i < sym.length) { s.writeByte(lens(i)); i += 1 }
@@ -2197,7 +2278,7 @@ object Codecs {
         }))
       }
     }
-    if (st.modeFreq >= (n * 7) / 10 && depth < MaxDepth)
+    if (want(MAINLYCONST) && st.modeFreq >= (n * 7) / 10 && depth < MaxDepth)
       plans += ((MAINLYCONST, n / 8.0 + (n - st.modeFreq).toLong * width + 10, { s =>
         val common = st.modeVal
         s.writeZigZag(common)
@@ -2208,8 +2289,8 @@ object Codecs {
         val others = new Array[Long](nOther)
         var j = 0; i = 0
         while (i < n) { if (!isCommon(i)) { others(j) = values(i); j += 1 }; i += 1 }
-        val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1); s.writeBlock(bs.toArray)
-        val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1); s.writeBlock(os.toArray)
+        val bs = new ByteSink(); encodeBools(isCommon, bs, depth + 1, rchild(replay, MAINLYCONST, 0)); s.writeBlock(bs.toArray)
+        val os = new ByteSink(); encodeLongs(others, phys, os, depth + 1, rchild(replay, MAINLYCONST, 1)); s.writeBlock(os.toArray)
       }))
     // FrequencyPartition: the most frequent K values get a narrow code
     // (0..K-1, frequency-ordered so the code stream is skew-friendly for the
@@ -2221,7 +2302,7 @@ object Codecs {
     // index bits for a branch-light O(n) decode). Niche: a skewed head over
     // a long high-cardinality tail — too many distinct values for Huffman
     // (<=256) and a DICT alphabet dominated by rare singletons.
-    if (!st.distinctCapped && st.distinct.size >= 16 && depth < MaxDepth) {
+    if (want(FREQPART) && !st.distinctCapped && st.distinct.size >= 16 && depth < MaxDepth) {
       val byFreq = st.distinct.toArray.sortBy { case (v, f) => (-f, v) }
       var bestK = -1
       var bestEst = Double.MaxValue
@@ -2260,9 +2341,9 @@ object Codecs {
           i = 0
           while (i < n) { if (codes(i) == kSel) { excs(j) = values(i); j += 1 }; i += 1 }
           s.writeVarint(kSel.toLong)
-          val as = new ByteSink(); encodeLongs(head, phys, as, depth + 1); s.writeBlock(as.toArray)
-          val cs = new ByteSink(); encodeLongs(codes, PhysType.I64, cs, depth + 1); s.writeBlock(cs.toArray)
-          val es = new ByteSink(); encodeLongs(excs, phys, es, depth + 1); s.writeBlock(es.toArray)
+          val as = new ByteSink(); encodeLongs(head, phys, as, depth + 1, rchild(replay, FREQPART, 0)); s.writeBlock(as.toArray)
+          val cs = new ByteSink(); encodeLongs(codes, PhysType.I64, cs, depth + 1, rchild(replay, FREQPART, 1)); s.writeBlock(cs.toArray)
+          val es = new ByteSink(); encodeLongs(excs, phys, es, depth + 1, rchild(replay, FREQPART, 2)); s.writeBlock(es.toArray)
         }))
       }
     }
@@ -2275,7 +2356,7 @@ object Codecs {
     // Reconstruction (hi << k) | lo is exact for every long since
     // (v >>> k) << k == v & ~mask. Gated behind the cheap codecs doing
     // poorly, so the extra O(n) neighbor-xor pass only runs on hard chunks.
-    if ((skipMask & SkipSubint) == 0 && width >= 4 && n >= 1024 && depth < MaxDepth &&
+    if (want(SUBINT) && (skipMask & SkipSubint) == 0 && width >= 4 && n >= 1024 && depth < MaxDepth &&
         plans.iterator.map(_._2).min >= 0.45 * n.toLong * width) {
       // histogram of the highest bit differing between neighbors: run counts
       // of EVERY candidate hi-stream fall out of one suffix sum (hi at cut k
@@ -2312,10 +2393,19 @@ object Codecs {
           val lo = new Array[Long](n)
           var i = 0
           while (i < n) { val v = values(i); hi(i) = v >>> kk; lo(i) = v & mask; i += 1 }
-          val hs = new ByteSink(); encodeLongs(hi, PhysType.I64, hs, depth + 1); s.writeBlock(hs.toArray)
-          val ls = new ByteSink(); encodeLongs(lo, PhysType.I64, ls, depth + 1); s.writeBlock(ls.toArray)
+          val hs = new ByteSink(); encodeLongs(hi, PhysType.I64, hs, depth + 1, rchild(replay, SUBINT, 0)); s.writeBlock(hs.toArray)
+          val ls = new ByteSink(); encodeLongs(lo, PhysType.I64, ls, depth + 1, rchild(replay, SUBINT, 1)); s.writeBlock(ls.toArray)
         }))
       }
+    }
+    plans
+    } // buildPlans
+    var plans = buildPlans(if (fastLock) lockedId else -1)
+    if (fastLock && plans.isEmpty) {
+      // the locked codec's gate failed on this chunk — run the full search,
+      // first recovering the policy mask the non-fast path would have used
+      if (((pol ne CostSelection) || trace != null) && runPolicyBlock()) return
+      plans = buildPlans(-1)
     }
     val sorted = plans.sortBy { case (id, estSize, _) => estSize * readFactor(id) }
     if (trace != null && traceFeat != null) {
@@ -2331,8 +2421,7 @@ object Codecs {
       trace += ((phys, n, traceFeat._1, traceFeat._2, elig, sorted.take(2).map(_._1).toSeq))
     }
     // locked layout: encode the replayed winner alone when it is still gated
-    // in; otherwise (or every 8th chunk) run normal selection
-    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    // in; otherwise (or on a reopen probe chunk) run normal selection
     val locked = lockedId >= 0 && sorted.exists(_._1 == lockedId)
     // encode the runner-up only when the estimates are close (composite-codec
     // estimates are approximate; exact ones don't need a second opinion) —
@@ -2452,37 +2541,49 @@ object Codecs {
 
   // ---------------------------------------------------------------- bools
 
-  private def encodeBools(values: Array[Boolean], sink: ByteSink, depth: Int): Unit = {
+  private def encodeBools(values: Array[Boolean], sink: ByteSink, depth: Int,
+      replay: Replay = null): Unit = {
     val n = values.length
     var trues = 0
     var i = 0
     while (i < n) { if (values(i)) trues += 1; i += 1 }
     if (n == 0 || trues == 0 || trues == n) {
+      if (replay != null && n > 0) replay.observe(CONST, full = true)
       header(sink, CONST, PhysType.Bool, n)
       sink.writeByte(if (trues == n && n > 0) 1 else 0)
       return
     }
+    // layout replay over the two bool codecs: a locked winner skips building
+    // the loser (the loser's payload never influenced the emitted bytes, so
+    // the skip is drift-free whenever the locked candidate stays eligible)
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    val minority = math.min(trues, n - trues)
+    val sparseOk = minority <= n / 16 && depth < MaxDepth
+    val locked = lockedId == TRIVIAL || (lockedId == SPARSEBOOL && sparseOk)
+    def want(id: Byte): Boolean = !locked || lockedId == id
     val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
     // Trivial: bit-packed
-    val ts = new ByteSink()
-    val packed = new Array[Byte]((n + 7) / 8)
-    i = 0
-    while (i < n) { if (values(i)) packed(i >> 3) = (packed(i >> 3) | (1 << (i & 7))).toByte; i += 1 }
-    ts.writeBytes(packed)
-    candidates += ((TRIVIAL, ts.toArray))
+    if (want(TRIVIAL)) {
+      val ts = new ByteSink()
+      val packed = new Array[Byte]((n + 7) / 8)
+      i = 0
+      while (i < n) { if (values(i)) packed(i >> 3) = (packed(i >> 3) | (1 << (i & 7))).toByte; i += 1 }
+      ts.writeBytes(packed)
+      candidates += ((TRIVIAL, ts.toArray))
+    }
     // SparseBool: positions of minority value
-    val minority = math.min(trues, n - trues)
-    if (minority <= n / 16 && depth < MaxDepth) {
+    if (want(SPARSEBOOL) && sparseOk) {
       val ss = new ByteSink()
       val sparseVal = trues <= n - trues // true = minority is `true`
       ss.writeByte(if (sparseVal) 1 else 0)
       val pos = new Array[Long](minority)
       var j = 0; i = 0
       while (i < n) { if (values(i) == sparseVal) { pos(j) = i.toLong; j += 1 }; i += 1 }
-      val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1); ss.writeBlock(ps.toArray)
+      val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1, rchild(replay, SPARSEBOOL, 0)); ss.writeBlock(ps.toArray)
       candidates += ((SPARSEBOOL, ss.toArray))
     }
-    emitBest(candidates, PhysType.Bool, n, sink)
+    val winner = emitBest(candidates, PhysType.Bool, n, sink)
+    if (replay != null) replay.observe(winner, full = !locked)
   }
 
   private def decodeBoolPayload(id: Byte, cur: ByteCursor, n: Int): Array[Boolean] = id match {
@@ -2639,10 +2740,10 @@ object Codecs {
         as.writeByte(bestE)
         as.writeByte(bestF)
         as.writeVarint(excPos.length.toLong)
-        val ss = new ByteSink(); encodeLongs(encoded, PhysType.I64, ss, depth + 1); as.writeBlock(ss.toArray)
+        val ss = new ByteSink(); encodeLongs(encoded, PhysType.I64, ss, depth + 1, rchild(replay, ALP, 0)); as.writeBlock(ss.toArray)
         if (excPos.nonEmpty) {
-          val ps = new ByteSink(); encodeLongs(excPos.toArray, PhysType.I64, ps, depth + 1); as.writeBlock(ps.toArray)
-          val vs = new ByteSink(); encodeLongs(excBits.toArray, PhysType.I64, vs, depth + 1); as.writeBlock(vs.toArray)
+          val ps = new ByteSink(); encodeLongs(excPos.toArray, PhysType.I64, ps, depth + 1, rchild(replay, ALP, 1)); as.writeBlock(ps.toArray)
+          val vs = new ByteSink(); encodeLongs(excBits.toArray, PhysType.I64, vs, depth + 1, rchild(replay, ALP, 2)); as.writeBlock(vs.toArray)
         }
         candidates += ((ALP, as.toArray))
       }
@@ -2661,8 +2762,8 @@ object Codecs {
         i = 0; while (i < alphabet.length) { index(alphabet(i)) = i; i += 1 }
         val indices = new Array[Long](n)
         i = 0; while (i < n) { indices(i) = index(bits(i)).toLong; i += 1 }
-        val as2 = new ByteSink(); encodeLongs(alphabet, PhysType.I64, as2, depth + 1); ds.writeBlock(as2.toArray)
-        val is2 = new ByteSink(); encodeLongs(indices, PhysType.I64, is2, depth + 1); ds.writeBlock(is2.toArray)
+        val as2 = new ByteSink(); encodeLongs(alphabet, PhysType.I64, as2, depth + 1, rchild(replay, DICT, 0)); ds.writeBlock(as2.toArray)
+        val is2 = new ByteSink(); encodeLongs(indices, PhysType.I64, is2, depth + 1, rchild(replay, DICT, 1)); ds.writeBlock(is2.toArray)
         candidates += ((DICT, ds.toArray))
       }
     }

@@ -398,17 +398,54 @@ object Fields {
     private val chunkRowsHistory = mutable.ArrayBuffer[Int]() // this stripe
     private final class KeyState(val keyRepr: String) {
       val inId: Int = streamIds(s"$path#in:$keyRepr")
-      val inMap = new BoolBuf
+      // SPARSE inMap: the present-row positions within the current chunk.
+      // A wide flatmap pays O(present entries) per row, not O(keys x rows) —
+      // the dense BoolBuf's per-key padTo dominated 400-key write profiles.
+      private var pos = new Array[Int](64)
+      var nPos = 0
+      /** Record row `r` as present; false when duplicate within the row. */
+      def addPos(r: Int): Boolean = {
+        if (nPos > 0 && pos(nPos - 1) == r) false
+        else {
+          if (nPos == pos.length) pos = java.util.Arrays.copyOf(pos, nPos * 2)
+          pos(nPos) = r; nPos += 1; true
+        }
+      }
+      /** Densify to the chunk's row count (JVM-zeroed alloc + O(present)). */
+      def inMapResult(rows: Int): Array[Boolean] = {
+        val a = new Array[Boolean](rows)
+        var i = 0
+        while (i < nPos) { a(pos(i)) = true; i += 1 }
+        a
+      }
       val valueW: FieldWriter = writerFor(s"$path#fm:$keyRepr", m.valueType, streamIds, opts)
       var chunksWritten = 0 // within current stripe
     }
     private val keyStates = mutable.LinkedHashMap[String, KeyState]()
+    // String-keyed maps: resolve KeyState straight off the row's UTF8String —
+    // no per-entry String materialization on the hit path (the key is cloned
+    // off the row buffer only on first sight)
+    private val utf8Lookup =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, KeyState]()
 
-    private def keyRepr(g: SpecializedGetters, i: Int): String = m.keyType match {
-      case StringType => g.getUTF8String(i).toString
-      case IntegerType => g.getInt(i).toString
-      case LongType => g.getLong(i).toString
-      case ShortType => g.getShort(i).toString
+    private def stateFor(kr: String): KeyState = keyStates.getOrElseUpdate(kr, {
+      require(keyStates.size < opts.maxFlatMapKeys,
+        s"flatmap $path exceeded maxFlatMapKeys=${opts.maxFlatMapKeys}")
+      new KeyState(kr)
+    })
+
+    private def stateOf(g: SpecializedGetters, i: Int): KeyState = m.keyType match {
+      case StringType =>
+        val u = g.getUTF8String(i)
+        var st = utf8Lookup.get(u)
+        if (st == null) {
+          st = stateFor(u.toString)
+          utf8Lookup.put(u.clone(), st)
+        }
+        st
+      case IntegerType => stateFor(g.getInt(i).toString)
+      case LongType => stateFor(g.getLong(i).toString)
+      case ShortType => stateFor(g.getShort(i).toString)
       case other => throw new UnsupportedOperationException(other.toString)
     }
 
@@ -419,17 +456,9 @@ object Fields {
       val ks = mp.keyArray(); val vs = mp.valueArray()
       var i = 0
       while (i < mp.numElements()) {
-        val kr = keyRepr(ks, i)
-        val st = keyStates.getOrElseUpdate(kr, {
-          require(keyStates.size < opts.maxFlatMapKeys,
-            s"flatmap $path exceeded maxFlatMapKeys=${opts.maxFlatMapKeys}")
-          new KeyState(kr)
-        })
-        st.inMap.padTo(rowsInChunk)
-        if (st.inMap.n == rowsInChunk) { // guard duplicate keys within one row
-          st.inMap.add(true)
+        val st = stateOf(ks, i)
+        if (st.addPos(rowsInChunk)) // guard duplicate keys within one row
           st.valueW.add(vs, i)
-        }
         i += 1
       }
       rowsInChunk += 1
@@ -448,9 +477,8 @@ object Fields {
           st.valueW.flushEmptyChunk(t)
           st.chunksWritten += 1
         }
-        st.inMap.padTo(rowsInChunk)
-        t.writeChunk(st.inId, BoolsCol(st.inMap.result()))
-        st.inMap.clear()
+        t.writeChunk(st.inId, BoolsCol(st.inMapResult(rowsInChunk)))
+        st.nPos = 0
         st.valueW.flushChunk(t)
         st.chunksWritten += 1
       }

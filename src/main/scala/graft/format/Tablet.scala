@@ -1182,8 +1182,30 @@ object Tablet {
 
     // per-stream encoding-layout replay (reference:
     // writer/EncodingLayoutTree.h:25): stable streams skip candidate
-    // selection — see Codecs.Replay
+    // selection — see Codecs.Replay. Flatmap-born sibling streams
+    // ('path#fm:<key>' value streams, 'path#in:<key>' presence streams) are
+    // homogeneous by construction — same physical type, same source column —
+    // so they SHARE one deep (layout-tree) replay per family: a 400-key
+    // shred trains one selection instead of 400, and the per-key ~few-
+    // hundred-value chunks replay the whole nested layout instead of
+    // re-searching it (the dominant cost of wide-flatmap writes). A map key
+    // containing '#' can mis-split the family name; the only consequence is
+    // merged families (more reopen probes — never a wrong encoding).
     private val replays = mutable.HashMap[Int, Codecs.Replay]()
+    private val familyReplays = mutable.HashMap[String, Codecs.Replay]()
+    private def replayFor(id: Int): Codecs.Replay = replays.getOrElseUpdate(id, {
+      val k = keys(id)
+      var m = k.indexOf("#fm:")
+      if (m < 0) m = k.indexOf("#in:")
+      if (m < 0) new Codecs.Replay()
+      else {
+        val keyStart = m + 4
+        val h = k.indexOf('#', keyStart)
+        val keyEnd = if (h < 0) k.length else h
+        val family = k.substring(0, keyStart) + "*" + k.substring(keyEnd)
+        familyReplays.getOrElseUpdate(family, new Codecs.Replay(deep = true))
+      }
+    })
 
     /** Append one encoded chunk for stream `id` covering `rows` top-level rows
       * (pass rows only once per row-range, via `addRows`). */
@@ -1199,7 +1221,7 @@ object Tablet {
         case c: BytesCol if trySharedDict(id, c, cst) => () // buffered until flush
         case _ =>
           val enc = new ByteSink(1024)
-          Codecs.encodeColumn(col, enc, replays.getOrElseUpdate(id, new Codecs.Replay))
+          Codecs.encodeColumn(col, enc, replayFor(id))
           emitFrame(id, enc.toArray, cst, 1)
       }
     }
