@@ -470,6 +470,21 @@ object Tablet {
     * the stripe-level stats + in-frame header stats carry the pruning). */
   private[format] val MaxDirStatsFrames = 256
 
+  /** Parse the INLINE stats of the chunk frame starting at `offset` within
+    * a stream's bytes (`[compLen i32][rawLen varint][kind u8][flag u8]
+    * [stats when flag==1]...`) — null when the frame carries none (alphabet
+    * frames). Chunk surgery uses this to RECOVER per-chunk stats on stripes
+    * whose footer directory dropped them ([[MaxDirStatsFrames]]): the frame
+    * header holds the SAME serialized Stats the directory would have, so
+    * recovered stats fold exactly. */
+  private[graft] def frameStats(bytes: Array[Byte], offset: Int): Stats = {
+    val cur = new ByteCursor(bytes, offset + 4, bytes.length)
+    cur.readVarint()
+    cur.readByte()
+    val flag = cur.readByte()
+    if (flag == 1) readStats(cur) else null
+  }
+
   private[format] def writeDirEntry(s: ByteSink, loc: StreamLoc, st: Stats, bloom: Bloom,
       chunks: Array[ChunkLoc]): Unit = {
     s.writeVarint(loc.offset)
@@ -1408,7 +1423,7 @@ object Tablet {
     def addRows(n: Long): Unit = { stripeRows += n; totalRows += n }
 
     def flushStripe(): Unit = {
-      if (stripeRows == 0) return
+      if (stripeRows == 0) { adoptedBlooms.clear(); return }
       flushSharedDict()
       // materialize index streams BEFORE the write loop so they register and
       // flush with this stripe (sorted by hash for binary search; position as
@@ -1480,8 +1495,9 @@ object Tablet {
         var h = 0
         while (h < hashes.size) { bloom.addHash(hashes(h)); h += 1 }
         id -> bloom
-      }.toMap
+      }.toMap ++ adoptedBlooms
       bloomHashes.clear()
+      adoptedBlooms.clear()
       val chunkDirs: Map[Int, Array[ChunkLoc]] =
         chunkDirRec.iterator.map { case (id, b) => id -> b.toArray }.toMap
       chunkDirRec.clear()
@@ -1524,6 +1540,27 @@ object Tablet {
         ChunkLoc(b.size.toLong, 0L, false, null)
       b.writeBytes(frame)
     }
+
+    /** Chunk surgery on index-bearing files ([[graft.ops.Surgery]]): write
+      * one hidden index stream's bytes for the CURRENT stripe verbatim —
+      * index streams are wholesale per-stripe frames with no chunk
+      * directory (read in full by Lookup), so the caller hands the already-
+      * transformed `[count][keys][positions]` bytes and this just lands
+      * them in the stripe buffer. */
+    def writeRawStreamBytes(id: Int, bytes: Array[Byte]): Unit =
+      if (bytes.length > 0) stripeBufs(id).writeBytes(bytes)
+
+    // blooms adopted from a source file's stripe directory for the CURRENT
+    // stripe (chunk surgery): membership supersets stay SOUND for pruning
+    // when surgery only REMOVES rows — false positives cost a probe, never
+    // an answer. Merged over the writer's own built blooms at flush.
+    private val adoptedBlooms = mutable.HashMap[Int, Bloom]()
+
+    /** Adopt a source stripe's bloom for stream `id` into the stripe being
+      * built. Caller contract: the surviving values are a SUBSET of the
+      * values the bloom was built over (delete surgery; update surgery on
+      * non-assigned streams). */
+    def adoptBloom(id: Int, b: Bloom): Unit = adoptedBlooms(id) = b
 
     /** Stripe surgery (stripe-granular copy-on-write for DML): append stripe
       * `s` of `src` BYTE-FOR-BYTE. Sound because stripes are self-contained

@@ -44,14 +44,26 @@ import graft.spark.{Filters, NimbleSource}
   * retention delete rewrites one chunk per boundary file regardless of file
   * size. Raw copy preserves row order, so sorted layout survives.
   *
-  * Eligibility is conservative — anything outside it falls back to the
-  * whole-file Spark rewrite (correctness never depends on surgery):
+  * Bloom- and index-bearing files are eligible (r18 verdict #4 — the
+  * canonical production shape, a retention delete on an indexed event
+  * table, must not pay O(file)):
+  *  - stripe blooms are membership SUPERSETS of the surviving values after
+  *    a delete, so kept stripes adopt the source bloom verbatim — sound for
+  *    pruning (false positives only); UPDATE keeps blooms on unassigned
+  *    streams and drops them on assigned ones (the literal may be absent);
+  *  - hash/sorted/composite index streams remap in the INDEX domain: each
+  *    (key, chunk<<32|row) entry's position follows the chunk's new ordinal
+  *    and the row's kept-rank, deleted entries drop — keys are unchanged
+  *    and the transform is monotone, so sort order survives and no data
+  *    chunk decodes for it; UPDATE copies them verbatim (rows never move,
+  *    and assignments into index-covered columns are refused).
+  *
+  * Remaining eligibility is conservative — anything outside it falls back
+  * to the whole-file Spark rewrite (correctness never depends on surgery):
   *  - the pushed filters EXACTLY represent the condition (caller
   *    guarantees: SQL deleteWhere filters, or a fully-translated Column);
   *  - flat atomic schema (no struct/array/map streams whose child grids
   *    aren't 1:1 with top-level rows);
-  *  - no bloom / hash-index / sorted-index / composite streams (stripe-
-  *    scoped structures raw frames can't patch);
   *  - every data chunk carries directory stats (v14 writers);
   *  - chunk grids ordinal-align across streams (verified per stripe from
   *    the directories' data-frame row counts);
@@ -67,8 +79,11 @@ object Surgery {
   val lastRawChunks = new java.util.concurrent.atomic.AtomicLong()
   val lastDroppedChunks = new java.util.concurrent.atomic.AtomicLong()
   val lastRewrittenChunks = new java.util.concurrent.atomic.AtomicLong()
+  /** Why the most recent [[prep]] refused (diagnosis; empty = eligible). */
+  @volatile var lastRefusal: String = ""
   private[graft] def resetCounters(): Unit = {
     lastRawChunks.set(0L); lastDroppedChunks.set(0L); lastRewrittenChunks.set(0L)
+    lastRefusal = ""
   }
 
   // ------------------------------------------------------------ delete
@@ -103,6 +118,7 @@ object Surgery {
     val r = new Tablet.Reader(file, footer)
     try {
       val p = prep(r, filters).getOrElse(return None)
+      val preCls = bigStripePrePass(p, r, filters, allowDrop = true).getOrElse(return None)
       val w = newWriter(footer, p.keys, file, sideDir)
       var kept = 0L
       var s = 0
@@ -110,13 +126,17 @@ object Surgery {
         val rows = p.dataRows(s)
         // pass 1: classify every data ordinal from directory stats alone —
         // 0 = provably no row matches the delete condition (keep whole),
-        // 1 = provably every row matches (drop whole), 2 = mixed
-        val cls = Array.tabulate(rows.length) { k =>
-          val statsOf = p.chunkStatsOf(s, k) _
-          if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
-          else if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) 1
-          else 2
-        }
+        // 1 = provably every row matches (drop whole), 2 = mixed. Big
+        // stripes whose stats the pre-pass proved at stripe level
+        // short-circuit the same way.
+        val cls =
+          if (preCls(s) != 2) Array.fill(rows.length)(preCls(s))
+          else Array.tabulate(rows.length) { k =>
+            val statsOf = p.chunkStatsOf(s, k) _
+            if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) 0
+            else if (filters.forall(f => Filters.allMatchStripe(f, statsOf))) 1
+            else 2
+          }
         if (cls.forall(_ == 0)) {
           // whole stripe kept: one byte-for-byte stripe-region copy (stats,
           // chunk directories and checksum rebase handled by the writer)
@@ -162,13 +182,76 @@ object Surgery {
               k += 1
             }
           }
-          // pass 3: per stream, walk ALL frames in order — alphabet frames
-          // copy raw at their original position, data frames act per cls
+          // pass 3: per data stream, walk ALL frames in order — alphabet
+          // frames copy raw at their original position, data frames per cls
           var id = 0
           while (id < p.keys.length) {
-            emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
-              rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
+            if (!p.isAux(id))
+              emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
+                rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
             id += 1
+          }
+          var stripeKept = 0L
+          locally {
+            var k = 0
+            while (k < rows.length) {
+              if (cls(k) == 0) stripeKept += rows(k)
+              else if (cls(k) == 2) stripeKept += keptN(k)
+              k += 1
+            }
+          }
+          if (stripeKept > 0) {
+            // hidden index streams: remap each (key, chunk<<32|row) entry in
+            // the INDEX domain — kept-whole chunks keep their row numbers at
+            // the chunk's new ordinal, masked chunks map rows to their kept-
+            // rank, deleted entries drop. Keys never change and the position
+            // transform is monotone, so (key, pos) sort order survives; no
+            // data chunk decodes for this.
+            val newOrd = new Array[Int](rows.length)
+            val ranks = new Array[Array[Int]](rows.length)
+            locally {
+              var o = 0
+              var k = 0
+              while (k < rows.length) {
+                newOrd(k) = o
+                if (cls(k) != 1) o += 1
+                if (cls(k) == 2) {
+                  val m = masks(k)
+                  val rk = new Array[Int](m.length)
+                  var rr = 0
+                  var i = 0
+                  while (i < m.length) { rk(i) = if (m(i)) { val v = rr; rr += 1; v } else -1; i += 1 }
+                  ranks(k) = rk
+                }
+                k += 1
+              }
+            }
+            def keepPos(pos: Long): Long = {
+              val ord = (pos >>> 32).toInt
+              val row = (pos & 0xffffffffL).toInt
+              cls(ord) match {
+                case 0 => (newOrd(ord).toLong << 32) | row
+                case 1 => -1L
+                case _ =>
+                  val rk = ranks(ord)(row)
+                  if (rk < 0) -1L else (newOrd(ord).toLong << 32) | rk
+              }
+            }
+            id = 0
+            while (id < p.keys.length) {
+              if (p.isAux(id)) {
+                val remapped =
+                  if (p.keys(id).startsWith("#cidx:")) remapCompositeIndex(bytes(id), keepPos)
+                  else remapPairIndex(bytes(id), keepPos)
+                w.writeRawStreamBytes(id, remapped)
+              } else {
+                // a stripe bloom is a membership SUPERSET of the surviving
+                // values after a delete — sound for pruning (false positives
+                // only), so kept rows keep their pruning structure for free
+                r.streamBloom(s, id).foreach(b => w.adoptBloom(id, b))
+              }
+              id += 1
+            }
           }
           var k = 0
           while (k < rows.length) {
@@ -220,13 +303,21 @@ object Surgery {
     val r = new Tablet.Reader(file, footer)
     try {
       val p = prep(r, filters).getOrElse(return false)
-      // assigned columns: plain single-stream atomics whose literal type
-      // matches the stored type exactly (no cast semantics to re-implement)
+      val preCls = bigStripePrePass(p, r, filters, allowDrop = false)
+        .getOrElse(return false)
+      // assigned columns: plain single-stream atomics whose literal stores
+      // into the decoded repr without cast semantics (dates/timestamps/
+      // decimals convert to their physical ints/micros/unscaled here —
+      // identity on the stored repr, verdict r18 #5); an assignment into a
+      // column some index stream covers would need an index-domain value
+      // rewrite — refused (Delete.update's layout guard already refuses it
+      // table-wide; this keeps Surgery safe standalone)
       val assignIds: Map[Int, Any] = assigns.map { case (n, v) =>
         val dt = p.fieldType.getOrElse(n, return false)
         if (p.keyId.contains(s"$n#nanos")) return false
         if (!literalFits(v, dt)) return false
-        p.keyId.getOrElse(n, return false) -> v
+        if (p.keys.exists(k => auxCovers(k, n))) return false
+        p.keyId.getOrElse(n, return false) -> toPhysical(v, dt)
       }
       // a NULL assignment into a non-nullable field must widen the
       // REPLACEMENT's declared nullability — exactly what the Spark-rewrite
@@ -245,11 +336,13 @@ object Surgery {
         val rows = p.dataRows(s)
         // 0 = provably untouched (no row matches cond) — raw-copy everything;
         // 2 = the condition may match here — re-encode ASSIGNED streams only
-        val cls = Array.tabulate(rows.length) { k =>
-          if (filters.exists(f =>
-              Filters.pruneStripe(f, p.chunkStatsOf(s, k), _ => None))) 0
-          else 2
-        }
+        val cls =
+          if (preCls(s) == 0) Array.fill(rows.length)(0)
+          else Array.tabulate(rows.length) { k =>
+            if (filters.exists(f =>
+                Filters.pruneStripe(f, p.chunkStatsOf(s, k), _ => None))) 0
+            else 2
+          }
         if (cls.forall(_ == 0)) {
           w.appendRawStripe(r, s)
           lastRawChunks.addAndGet(rows.length.toLong)
@@ -286,16 +379,22 @@ object Surgery {
             }
           }
           // pass 3: unassigned streams copy every frame raw; assigned streams
-          // re-encode only the masked ordinals
+          // re-encode only the masked ordinals. UPDATE never moves or drops
+          // rows, so index streams copy verbatim (their positions AND values
+          // stay valid — assigned columns are never index-covered, guarded
+          // above) and unassigned streams keep their blooms (assigned
+          // streams drop theirs: the literal may not be in the old bloom).
           var id = 0
           while (id < p.keys.length) {
-            assignIds.get(id) match {
+            if (p.isAux(id)) w.writeRawStreamBytes(id, bytes(id))
+            else assignIds.get(id) match {
               case Some(v) =>
                 emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
                   rewrite = (k, c) => assignCol(expand(c), masks(k), v))
               case None =>
                 emitStream(w, id, bytes(id), p.dirs(s)(id),
                   Array.fill(rows.length)(0), rewrite = (_, _) => null)
+                r.streamBloom(s, id).foreach(b => w.adoptBloom(id, b))
             }
             id += 1
           }
@@ -327,6 +426,16 @@ object Surgery {
       /** Columns stored as the TimestampMicroNano split (micros stream +
         * '#nanos' remainder sibling); their raw stats are MICROS-domain. */
       val nanosSplit: Set[String],
+      /** Hidden index streams (#idx:/#sidx:/#cidx:) — no chunk directory;
+        * DELETE remaps their (chunk,row) entries, UPDATE copies them raw. */
+      val isAux: Array[Boolean],
+      /** (stripe) -> whether every data chunk's directory entry carries
+        * stats. False on big stripes (beyond Tablet.MaxDirStatsFrames the
+        * writer drops the per-chunk stats block to bound the footer) —
+        * classification then proves what it can at STRIPE level, and a
+        * mixed stripe recovers chunk stats from the inline frame headers
+        * via [[recoverStats]]. */
+      val hasDirStats: Array[Boolean],
       /** (stripe)(stream) -> full frame directory. */
       val dirs: Array[Array[Array[Tablet.ChunkLoc]]],
       /** (stripe)(stream)(data ordinal) -> index into dirs. */
@@ -339,13 +448,40 @@ object Surgery {
       * allMatch's min/max direction correct), same fence as
       * Delete.classify. */
     def chunkStatsOf(s: Int, k: Int)(n: String): Option[Tablet.Stats] =
-      keyId.get(n).map { id =>
-        val st = dirs(s)(id)(dataIdx(s)(id)(k)).stats
-        if (nanosSplit(n)) Tablet.nanosScaledStats(st) else st
+      keyId.get(n).flatMap { id =>
+        Option(dirs(s)(id)(dataIdx(s)(id)(k)).stats)
+          .map(st => if (nanosSplit(n)) Tablet.nanosScaledStats(st) else st)
       }
     /** Stream ids the mask pass must decode for filter column `n`. */
     def refIds(n: String): Seq[Int] =
       if (nanosSplit(n)) Seq(keyId(n), keyId(n + "#nanos")) else Seq(keyId(n))
+    /** STRIPE-level stats for filter column `n` (always present in the
+      * footer, unlike the capped per-chunk stats block). */
+    def stripeStatsOf(r: Tablet.Reader, s: Int)(n: String): Option[Tablet.Stats] =
+      keyId.get(n).map { id =>
+        val st = r.streamStats(s, id)
+        if (nanosSplit(n)) Tablet.nanosScaledStats(st) else st
+      }
+    /** Patch stripe `s`'s directories with per-chunk stats parsed from the
+      * inline frame headers (one stream-bytes read per data stream; the
+      * frame header carries the SAME serialized Stats the directory
+      * dropped, so downstream classification and stats folding are
+      * identical to the small-stripe path). */
+    def recoverStats(s: Int, r: Tablet.Reader): Unit = {
+      var id = 0
+      while (id < keys.length) {
+        if (!isAux(id)) {
+          val d = dirs(s)(id)
+          if (d.exists(c => c.isData && c.stats == null)) {
+            val bytes = r.readStreamBytes(s, id)
+            dirs(s)(id) = d.map(c =>
+              if (!c.isData || c.stats != null) c
+              else c.copy(stats = Tablet.frameStats(bytes, c.offset.toInt)))
+          }
+        }
+        id += 1
+      }
+    }
     /** The LOGICAL column for filter evaluation: nanos-split columns
       * recombine micros*1000 + rem exactly like the reader (TsNanosR). */
     def logicalCol(n: String, cols: Map[Int, Column]): Column =
@@ -363,53 +499,111 @@ object Surgery {
       }
   }
 
+  /** Is `k` a hidden index stream over known schema columns? (r19: index-
+    * bearing files are surgery-eligible — DELETE remaps the index entries'
+    * (chunk, row) positions in the index domain, UPDATE raw-copies them.) */
+  private def auxIndexKey(k: String, fieldType: Map[String, DataType]): Boolean =
+    if (k.startsWith("#idx:")) fieldType.contains(k.substring(5))
+    else if (k.startsWith("#sidx:")) fieldType.contains(k.substring(6))
+    else if (k.startsWith("#cidx:"))
+      k.substring(6).split("\\+").forall(fieldType.contains)
+    else false
+
   private def prep(r: Tablet.Reader, filters: Array[Filter]): Option[Prep] = {
+    def refuse(why: String): Option[Prep] = { lastRefusal = why; None }
     val footer = r.footer
-    if (footer.stripes.isEmpty || filters.isEmpty) return None
+    if (footer.stripes.isEmpty || filters.isEmpty) return refuse("no stripes/filters")
     val schema =
       DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
-    if (!schema.fields.forall(f => isAtomic(f.dataType))) return None
+    if (!schema.fields.forall(f => isAtomic(f.dataType))) return refuse("nested schema")
     val fieldType: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
-    // every stream must be a schema field or its '#nanos' remainder sibling —
-    // index/composite/list/map/flatmap stream keys make the file ineligible
+    // every stream must be a schema field, its '#nanos' remainder sibling,
+    // or a recognized hidden index stream (remapped/copied as a whole) —
+    // list/map/flatmap stream keys make the file ineligible
     val keys = footer.streamKeys
-    if (!keys.forall(k => fieldType.contains(k) ||
-        (k.endsWith("#nanos") && fieldType.contains(k.stripSuffix("#nanos")))))
-      return None
+    val isAux: Array[Boolean] = keys.map(k => auxIndexKey(k, fieldType))
+    if (!keys.zipWithIndex.forall { case (k, id) => isAux(id) ||
+        fieldType.contains(k) ||
+        (k.endsWith("#nanos") && fieldType.contains(k.stripSuffix("#nanos"))) })
+      return refuse("unrecognized stream key")
     val nanosSplit: Set[String] =
       keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
     val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(fieldType.contains)) return None
+    if (!refs.forall(fieldType.contains)) return refuse("filter ref not a field")
     val nStreams = keys.length
     val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
     val dataIdx = Array.ofDim[Array[Int]](footer.stripes.length, nStreams)
     val dataRows = new Array[Array[Long]](footer.stripes.length)
+    val statsOk = Array.fill(footer.stripes.length)(true)
     var s = 0
     while (s < footer.stripes.length) {
       var id = 0
       while (id < nStreams) {
-        if (r.streamBloom(s, id).nonEmpty) return None
-        val d = r.chunkDirOf(s, id)
-        if (d == null || d.exists(c => c.isData && c.stats == null)) return None
-        val di = d.indices.filter(d(_).isData).toArray
-        if (id == 0) dataRows(s) = di.map(d(_).rows)
+        if (!isAux(id)) {
+          val d = r.chunkDirOf(s, id)
+          if (d == null)
+            return refuse(s"stream '${keys(id)}' stripe $s: missing chunk directory")
+          if (d.exists(c => c.isData && c.stats == null)) statsOk(s) = false
+          val di = d.indices.filter(d(_).isData).toArray
+          if (dataRows(s) == null) dataRows(s) = di.map(d(_).rows)
+          else {
+            if (di.length != dataRows(s).length)
+              return refuse(s"stream '${keys(id)}' stripe $s: grid ${di.length} vs ${dataRows(s).length} chunks")
+            var k = 0
+            while (k < di.length) {
+              if (d(di(k)).rows != dataRows(s)(k))
+                return refuse(s"stream '${keys(id)}' stripe $s chunk $k: rows ${d(di(k)).rows} vs ${dataRows(s)(k)}")
+              k += 1
+            }
+          }
+          dirs(s)(id) = d
+          dataIdx(s)(id) = di
+        }
+        id += 1
+      }
+      if (dataRows(s) == null) return refuse(s"stripe $s: no data streams")
+      s += 1
+    }
+    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, nanosSplit, isAux,
+      statsOk, dirs, dataIdx, dataRows))
+  }
+
+  /** Big-stripe pre-pass (stripes whose footer dropped the per-chunk stats
+    * block beyond Tablet.MaxDirStatsFrames — any stripe over ~4M rows at
+    * the default chunk size): prove what we can at STRIPE level from the
+    * always-present stripe stats; a stripe that stays mixed recovers its
+    * chunk stats from the inline frame headers ([[Prep.recoverStats]]).
+    * Runs BEFORE the writer is created, so a recovery failure (legacy
+    * frames without inline stats) falls back with zero partial state.
+    * Returns per-stripe 0 = provably none-match (keep whole), 1 = provably
+    * all-match (droppable — DELETE only), 2 = take the chunk path. */
+  private def bigStripePrePass(p: Prep, r: Tablet.Reader, filters: Array[Filter],
+      allowDrop: Boolean): Option[Array[Int]] = {
+    val nStripes = r.footer.stripes.length
+    val preCls = Array.fill(nStripes)(2)
+    var s = 0
+    while (s < nStripes) {
+      if (!p.hasDirStats(s)) {
+        val statsOf = p.stripeStatsOf(r, s) _
+        if (filters.exists(f => Filters.pruneStripe(f, statsOf, _ => None))) preCls(s) = 0
+        else if (allowDrop && filters.forall(f => Filters.allMatchStripe(f, statsOf)))
+          preCls(s) = 1
         else {
-          if (di.length != dataRows(s).length) return None
-          var k = 0
-          while (k < di.length) {
-            if (d(di(k)).rows != dataRows(s)(k)) return None
-            k += 1
+          p.recoverStats(s, r)
+          var id = 0
+          while (id < p.keys.length) {
+            if (!p.isAux(id) && p.dirs(s)(id).exists(c => c.isData && c.stats == null)) {
+              lastRefusal = s"stripe $s: frame without inline stats"
+              return None
+            }
+            id += 1
           }
         }
-        dirs(s)(id) = d
-        dataIdx(s)(id) = di
-        id += 1
       }
       s += 1
     }
-    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, nanosSplit,
-      dirs, dataIdx, dataRows))
+    Some(preCls)
   }
 
   private def newWriter(footer: Tablet.Footer, keys: Array[String],
@@ -459,6 +653,70 @@ object Surgery {
     }
   }
 
+  /** Remap a hash/sorted index stream (`[count i32][key 8B*count]
+    * [pos 8B*count]`, little-endian — Tablet.flushStripe's layout): keep
+    * entries whose position survives, rewriting it via `keepPos` (< 0 =
+    * dropped). Monotone remap + unchanged keys preserve (key, pos) order. */
+  private def remapPairIndex(bytes: Array[Byte], keepPos: Long => Long): Array[Byte] = {
+    if (bytes.length < 4) return Array.emptyByteArray
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(0)
+    val ks = new Array[Long](n)
+    val ps = new Array[Long](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val np = keepPos(bb.getLong(4 + 8 * n + 8 * i))
+      if (np >= 0) { ks(o) = bb.getLong(4 + 8 * i); ps(o) = np; o += 1 }
+      i += 1
+    }
+    val s = new ByteSink(4 + 16 * o)
+    s.writeInt(o)
+    i = 0; while (i < o) { s.writeLong(ks(i)); i += 1 }
+    i = 0; while (i < o) { s.writeLong(ps(i)); i += 1 }
+    s.toArray
+  }
+
+  /** Remap a composite index stream (`[count i32][pos 8B*count]
+    * [offsets i32*(count+1)][key bytes]`): same entry filter as
+    * [[remapPairIndex]], carrying each kept entry's key bytes. */
+  private def remapCompositeIndex(bytes: Array[Byte], keepPos: Long => Long): Array[Byte] = {
+    if (bytes.length < 4) return Array.emptyByteArray
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(0)
+    val offBase = 4 + 8 * n
+    val keyBase = offBase + 4 * (n + 1)
+    val ps = new Array[Long](n)
+    val from = new Array[Int](n)
+    val until = new Array[Int](n)
+    var o = 0
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val np = keepPos(bb.getLong(4 + 8 * i))
+      if (np >= 0) {
+        ps(o) = np
+        from(o) = bb.getInt(offBase + 4 * i)
+        until(o) = bb.getInt(offBase + 4 * (i + 1))
+        total += until(o) - from(o)
+        o += 1
+      }
+      i += 1
+    }
+    val s = new ByteSink(4 + 8 * o + 4 * (o + 1) + total)
+    s.writeInt(o)
+    i = 0; while (i < o) { s.writeLong(ps(i)); i += 1 }
+    var acc = 0
+    s.writeInt(acc)
+    i = 0; while (i < o) { acc += until(i) - from(i); s.writeInt(acc); i += 1 }
+    i = 0
+    while (i < o) {
+      s.writeBytes(bytes, keyBase + from(i), until(i) - from(i))
+      i += 1
+    }
+    s.toArray
+  }
+
   private def expand(c: Column): Column = c match {
     case l: LazyFsstBytesCol => l.expand
     case d: DictBytesCol => d.expand
@@ -470,7 +728,17 @@ object Surgery {
     case _ => true
   }
 
-  /** Does literal `v` store directly into the column's decoded repr? */
+  /** Does the index stream key `k` cover column `n`? (An UPDATE assignment
+    * into a covered column would change indexed VALUES — ineligible.) */
+  private def auxCovers(k: String, n: String): Boolean =
+    k == s"#idx:$n" || k == s"#sidx:$n" ||
+      (k.startsWith("#cidx:") && k.substring(6).split("\\+").contains(n))
+
+  /** Does literal `v` store directly into the column's decoded repr — i.e.
+    * is Catalyst's cast the identity on the stored physical value (same int
+    * days / micros / unscaled long)? Scala-converted literal shapes
+    * (java.sql / java.time / java.math) are what
+    * CatalystTypeConverters.convertToScala hands Delete.update. */
   private def literalFits(v: Any, dt: DataType): Boolean = dt match {
     case LongType => v == null || v.isInstanceOf[Long]
     case IntegerType => v == null || v.isInstanceOf[Int]
@@ -481,7 +749,46 @@ object Surgery {
     case BooleanType => v == null || v.isInstanceOf[Boolean]
     case StringType => v == null || v.isInstanceOf[String]
     case BinaryType => v == null || v.isInstanceOf[Array[Byte]]
-    case _ => false // dates/timestamps/decimals: cast semantics — fall back
+    case DateType =>
+      v == null || v.isInstanceOf[java.sql.Date] || v.isInstanceOf[java.time.LocalDate]
+    case TimestampType =>
+      v == null || v.isInstanceOf[java.sql.Timestamp] || v.isInstanceOf[java.time.Instant]
+    case TimestampNTZType =>
+      v == null || v.isInstanceOf[java.time.LocalDateTime]
+    case d: DecimalType if d.precision <= 18 =>
+      // identity on the stored unscaled long: the literal's scale must equal
+      // the column's (rescaling IS a cast) and the unscaled value must fit
+      // the declared precision
+      v == null || (v match {
+        case b: java.math.BigDecimal =>
+          b.scale == d.scale && b.precision <= d.precision
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** Convert an accepted literal ([[literalFits]]) to the column's stored
+    * physical value (int days / long micros / unscaled long) so
+    * [[assignCol]]'s primitive paths apply unchanged. */
+  private def toPhysical(v: Any, dt: DataType): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (v == null) null
+    else dt match {
+      case DateType => v match {
+        case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+        case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+        case t: java.time.Instant => DateTimeUtils.instantToMicros(t)
+      }
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
+      }
+      case _: DecimalType =>
+        v.asInstanceOf[java.math.BigDecimal].unscaledValue().longValueExact()
+      case _ => v
+    }
   }
 
   /** Row-mask a decoded column (kn = number of true slots in keep). */

@@ -23,7 +23,7 @@ object DeleteProbe {
         sys.env.getOrElse("GRAFT_PROBE_BLOCKCACHE", (256L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val reps = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val scaleRows = 8000000L
     // 'late' arg: replicate the bench's forked-JVM context before the timed
     // deletes — an 8M-row indexed write + a compaction — to test whether the
@@ -79,6 +79,47 @@ object DeleteProbe {
         .writeTo("gdprobe.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       println(s"delete_probe kept table at $wh/default/scale_del")
+      spark.stop(); return
+    }
+    // 'bigfile' arg (r18 verdict stretch #7): the O(boundary-chunks) claim
+    // at ~GB-and-beyond single files. One file, many stripes, same retention
+    // cut at two sizes: the SURGERY wall should scale only with raw-copy IO
+    // (kept stripes are byte moves), while the forced REWRITE twin — the
+    // identical cut expressed through an untranslatable predicate, so it
+    // takes the decode+re-encode path on the same bytes — scales with
+    // decode+encode CPU. The printed secs and secs/GB pairs are the 100 TB
+    // extrapolation evidence (PROBES.md ledger row).
+    if (args.contains("bigfile")) {
+      for (m <- Seq(8, 24)) {
+        val rows = m * 1000000L
+        def mk(dir: String): Unit =
+          spark.range(rows).toDF("id")
+            .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+            .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+            .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+            .write.format("nimble").option("sortColumns", "id")
+            .option("rowsPerChunk", "16384").mode("overwrite").save(dir)
+        val sDir = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/big-surg-$m"
+        val rDir = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/big-rw-$m"
+        mk(sDir); mk(rDir)
+        val gb = new java.io.File(sDir).listFiles().map(_.length).sum / 1e9
+        val t0 = System.nanoTime()
+        val rs = graft.ops.Delete.delete(spark, sDir, col("id") >= rows - 1000L)
+        val surgSec = (System.nanoTime() - t0) / 1e9
+        assert(rs.rowsDeleted == 1000L, s"bigfile surgery drifted: $rs")
+        // pmod(id, MaxValue) == id for every row here, but the predicate is
+        // untranslatable -> exactFilters=false -> the full rewrite path
+        val t1 = System.nanoTime()
+        val rr = graft.ops.Delete.delete(spark, rDir,
+          pmod(col("id"), lit(Long.MaxValue)) >= rows - 1000L)
+        val rwSec = (System.nanoTime() - t1) / 1e9
+        assert(rr.rowsDeleted == 1000L, s"bigfile rewrite twin drifted: $rr")
+        println(f"delete_probe bigfile rows=${m}M gb=$gb%.2f " +
+          f"surgery=$surgSec%.3f s (${surgSec / gb}%.3f s/GB) " +
+          f"rewrite=$rwSec%.3f s (${rwSec / gb}%.3f s/GB) " +
+          f"rawChunks=${graft.ops.Surgery.lastRawChunks.get()} " +
+          f"rewrittenChunks=${graft.ops.Surgery.lastRewrittenChunks.get()}")
+      }
       spark.stop(); return
     }
     if (args.contains("deleteonly")) {

@@ -57,9 +57,13 @@ class DeleteSpec extends SparkTestBase {
       col("o_orderkey") >= 100L && col("o_orderkey") <= 200L)
     assert(rep.filesRewritten >= 1 && rep.filesRewritten <= 2, rep.toString)
     assert(rep.filesUntouched >= 6, rep.toString)
-    // untouched files unchanged on disk
+    // untouched files unchanged on disk; the boundary files take chunk
+    // surgery (index-bearing files are eligible since r19) and are replaced
+    // IN PLACE under their original names
     val stillThere = NimbleSource.listFiles(dir).toSet.intersect(filesBefore)
-    assert(stillThere.size == rep.filesUntouched + rep.filesDeleted, rep.toString)
+    assert(stillThere.size >= rep.filesUntouched + rep.filesDeleted, rep.toString)
+    assert(graft.ops.Surgery.lastRewrittenChunks.get() > 0,
+      "keyhole delete on the indexed table should run chunk surgery")
     assert(Compaction.recoverLayout(dir) == layoutBefore, "layout must survive the rewrite")
     assertSameData(readBack(dir),
       orders.filter(!(col("o_orderkey") >= 100L && col("o_orderkey") <= 200L)))
@@ -140,7 +144,8 @@ class DeleteSpec extends SparkTestBase {
       col("o_orderkey") >= 100L && col("o_orderkey") <= 200L,
       Map("o_totalprice" -> lit(0.0)))
     assert(rep.filesUntouched >= 6, rep.toString)
-    assert(NimbleSource.listFiles(dir).toSet.intersect(filesBefore).size == rep.filesUntouched)
+    // surgered keyhole files are replaced in place (same name) since r19
+    assert(NimbleSource.listFiles(dir).toSet.intersect(filesBefore).size >= rep.filesUntouched)
     assert(Compaction.recoverLayout(dir).get("sortColumns").contains("o_orderkey"))
     val expected = orders.withColumn("o_totalprice",
       when(col("o_orderkey") >= 100L && col("o_orderkey") <= 200L, lit(0.0))

@@ -15,7 +15,8 @@ import graft.ops.{Delete, Surgery}
 class SurgeryFuzzSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def fixture(rnd: scala.util.Random, dir: String): DataFrame = {
+  private def fixture(rnd: scala.util.Random, dir: String,
+      indexed: Boolean = false): DataFrame = {
     val n = 20000 + rnd.nextInt(30000)
     val rpc = Seq(1024, 2048, 4096)(rnd.nextInt(3))
     val cats = Seq("alpha", "beta", "gamma", "delta")
@@ -25,10 +26,15 @@ class SurgeryFuzzSpec extends SparkTestBase {
       val v = if (i % 997 == 0) Double.NaN else (i % 5000).toDouble / 3.0
       (i.toLong, g, s, v)
     }
-    rows.toDF("id", "g", "s", "v")
+    var w = rows.toDF("id", "g", "s", "v")
       .repartitionByRange(2, col("id")).sortWithinPartitions("id")
       .write.format("nimble").option("sortColumns", "id")
-      .option("rowsPerChunk", rpc.toString).mode("overwrite").save(dir)
+      .option("rowsPerChunk", rpc.toString).mode("overwrite")
+    // r19: index+bloom-bearing trials — surgery must remap the index
+    // entries' (chunk,row) positions and adopt the stripe blooms; the
+    // post-delete lookup parity below is the index-domain oracle
+    if (indexed) w = w.option("indexColumns", "id").option("bloomFilterColumns", "s")
+    w.save(dir)
     spark.read.format("nimble").load(dir)
   }
 
@@ -48,26 +54,45 @@ class SurgeryFuzzSpec extends SparkTestBase {
     val rnd = new scala.util.Random(18)
     Surgery.resetCounters()
     var raw = 0L; var rew = 0L; var drop = 0L
+    var idxRaw = 0L
     for (trial <- 0 until 10) {
       val dir = tmpDir(s"sfz-del-$trial")
-      val table = fixture(rnd, dir)
+      val indexed = trial % 2 == 1 // half the trials carry a hash index + blooms
+      val table = fixture(rnd, dir, indexed = indexed)
       val n = table.count().toInt
       val cond = predicate(rnd, n)
-      val expected = table.filter(coalesce(not(cond), lit(true)))
-        .collect().map(_.toString).sorted
+      val keep = table.filter(coalesce(not(cond), lit(true))).collect()
+      val expected = keep.map(_.toString).sorted
       Delete.delete(spark, dir, cond)
       raw += Surgery.lastRawChunks.get()
       rew += Surgery.lastRewrittenChunks.get()
       drop += Surgery.lastDroppedChunks.get()
+      if (indexed) idxRaw += Surgery.lastRawChunks.get()
       val got = spark.read.format("nimble").load(dir)
         .collect().map(_.toString).sorted
       assert(got.length == expected.length,
         s"trial $trial: row count ${got.length} vs ${expected.length} (cond $cond)")
       assert(got.sameElements(expected), s"trial $trial drifted (cond $cond)")
+      if (indexed) {
+        // index-domain parity: random surviving + random deleted ids probed
+        // through the remapped hash index must agree with the keep oracle
+        val keptIds = keep.map(_.getLong(0)).toSet
+        val probes = Seq.fill(6)(rnd.nextInt(n).toLong)
+        for (pid <- probes) {
+          val found = graft.format.Lookup.pointLookup(dir, "id", pid)
+          if (keptIds(pid))
+            assert(found.length == 1 && found.head("id") == pid,
+              s"trial $trial: kept id $pid misresolved via index: $found (cond $cond)")
+          else
+            assert(found.isEmpty,
+              s"trial $trial: deleted id $pid still resolves via index (cond $cond)")
+        }
+      }
     }
     assert(raw > 0, "no trial raw-copied a chunk — surgery stopped engaging")
     assert(rew > 0, "no trial rewrote a boundary chunk")
     assert(drop > 0, "no trial dropped a whole chunk")
+    assert(idxRaw > 0, "no indexed trial took the surgery path — index files regressed to fallback")
   }
 
   test("seeded fuzz: nanos-split retention deletes == Spark oracle") {
@@ -139,5 +164,49 @@ class SurgeryFuzzSpec extends SparkTestBase {
     }
     assert(raw > 0, "no update trial raw-copied — surgery stopped engaging")
     assert(rew > 0, "no update trial rewrote an assigned chunk")
+  }
+
+  test("seeded fuzz: typed-literal UPDATE (date/timestamp/decimal) == Spark oracle") {
+    val rnd = new scala.util.Random(1919)
+    Surgery.resetCounters()
+    var rew = 0L
+    for (trial <- 0 until 6) {
+      val dir = tmpDir(s"sfz-typed-$trial")
+      val n = 15000 + rnd.nextInt(15000)
+      val rpc = Seq(1024, 2048, 4096)(rnd.nextInt(3))
+      spark.range(n.toLong).toDF("id")
+        .withColumn("d", date_add(lit("2021-06-01").cast("date"), (col("id") % 365).cast("int")))
+        .withColumn("ts", timestamp_micros(col("id") * 777777L))
+        .withColumn("m", ((col("id") % 9999) / lit(100.0)).cast("decimal(10,2)"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("rowsPerChunk", rpc.toString).mode("overwrite").save(dir)
+      val table = spark.read.format("nimble").load(dir)
+      val lo = rnd.nextInt(n / 2).toLong
+      val hi = lo + 1 + rnd.nextInt(n / 4)
+      val cond = col("id") >= lo && col("id") < hi
+      // round-robin over the r18-verdict-#5 literal types, with a null date
+      // arm (SET d = NULL — the redaction shape — widens nullability)
+      val (acol, alit): (String, Column) = trial match {
+        case 0 => ("d", lit(java.sql.Date.valueOf("1980-05-05")))
+        case 3 => ("d", lit(null).cast("date"))
+        case 1 | 4 => ("ts", lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00.123456")))
+        case _ => ("m", lit(new java.math.BigDecimal("0.00")))
+      }
+      val condSafe = coalesce(cond, lit(false))
+      val expected = table.select(
+        col("id"),
+        (if (acol == "d") when(condSafe, alit).otherwise(col("d")) else col("d")).as("d"),
+        (if (acol == "ts") when(condSafe, alit).otherwise(col("ts")) else col("ts")).as("ts"),
+        (if (acol == "m") when(condSafe, alit).otherwise(col("m")) else col("m")).as("m"))
+        .collect().map(_.toString).sorted
+      Delete.update(spark, dir, cond, Map(acol -> alit))
+      rew += Surgery.lastRewrittenChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected),
+        s"typed trial $trial drifted (SET $acol, cond $cond)")
+    }
+    assert(rew > 0, "no typed-literal trial took the surgery path (r18 verdict #5 regressed)")
   }
 }

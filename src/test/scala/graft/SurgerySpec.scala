@@ -99,19 +99,223 @@ class SurgerySpec extends SparkTestBase {
     assert(rep.rowsDeleted == (0L until 20000L).count(i => i % 7 != 0 && i % 100 >= 50))
   }
 
-  test("ineligible files fall back to the rewrite job (blooms present), same result") {
-    val dir = tmpDir("surg-bloom")
-    spark.range(50000L).toDF("id")
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bloom+index delete surgery: blooms adopted, index positions remapped, lookups exact") {
+    val dir = tmpDir("surg-idx")
+    spark.range(100000L).toDF("id")
       .withColumn("s", md5(concat(lit("k"), col("id").cast("string"))))
+      .withColumn("v", (col("id") % 97).cast("double"))
       .repartitionByRange(1, col("id")).sortWithinPartitions("id")
       .write.format("nimble").option("sortColumns", "id")
-      .option("bloomFilterColumns", "s").option("rowsPerChunk", "4096")
-      .mode("overwrite").save(dir)
-    val rep = Delete.delete(spark, dir, col("id") >= 30000L)
-    assert(rep.rowsDeleted == 20000L, s"fallback path drifted: $rep")
+      .option("indexColumns", "s").option("bloomFilterColumns", "s")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    // tail retention delete, then a HEAD delete: head-dropped chunks shift
+    // every later chunk's ordinal and the head boundary chunk's kept rows
+    // take non-zero ranks — both axes of the index position remap
+    val rep1 = Delete.delete(spark, dir, col("id") >= 70000L)
+    assert(rep1.rowsDeleted == 30000L, s"tail delete drifted: $rep1")
+    assert(Surgery.lastRawChunks.get() > 0,
+      "an index+bloom-bearing file must take the surgery path now")
+    assert(Surgery.lastRewrittenChunks.get() == 1L)
+    val rep2 = Delete.delete(spark, dir, col("id") < 20000L)
+    assert(rep2.rowsDeleted == 20000L, s"head delete drifted: $rep2")
+    assert(Surgery.lastRewrittenChunks.get() <= 1L)
+    // blooms survived into the replacement stripes (adopted supersets)
+    locally {
+      val f = graft.spark.NimbleSource.listFiles(dir).head
+      val r = new graft.format.Tablet.Reader(f)
+      try {
+        val sid = r.keyId("s")
+        assert((0 until r.footer.stripes.length).exists(s => r.streamBloom(s, sid).nonEmpty),
+          "stripe blooms must survive delete surgery")
+        assert(r.footer.streamKeys.exists(_.startsWith("#idx:")), "hash index stream lost")
+        assert(r.footer.streamKeys.exists(_.startsWith("#sidx:")), "sorted index stream lost")
+      } finally r.close()
+    }
+    // point lookups through the remapped index: the head-boundary chunk's
+    // kept rows (rank-shifted), a mid raw chunk (ordinal-shifted), the last
+    // kept row, and two deleted keys (bloom may pass; verification must not)
+    for (id <- Seq(20000L, 20479L, 50000L, 69999L)) {
+      val (rows, m) = graft.format.Lookup.pointLookupMetered(dir, "s", md5hex(s"k$id"))
+      assert(rows.length == 1, s"lookup k$id found ${rows.length} rows")
+      assert(rows.head("id") == id && rows.head("v") == (id % 97).toDouble,
+        s"lookup k$id returned wrong row ${rows.head} — index positions misremapped")
+      assert(m.indexProbes > 0, s"lookup k$id did not use the index")
+      assert(m.rowsDecoded <= 8192, s"lookup k$id decoded ${m.rowsDecoded} rows — index not used")
+    }
+    for (id <- Seq(10000L, 75000L)) {
+      val (rows, _) = graft.format.Lookup.pointLookupMetered(dir, "s", md5hex(s"k$id"))
+      assert(rows.isEmpty, s"deleted key k$id still resolves: $rows")
+    }
+  }
+
+  test("composite-index delete surgery: #cidx entries remap, composite lookups exact") {
+    val dir = tmpDir("surg-cidx")
+    spark.range(60000L).toDF("id")
+      .withColumn("cat", concat(lit("c"), (col("id") % 7).cast("string")))
+      .withColumn("v", (col("id") % 89).cast("double"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("indexColumns", "cat+id")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    val rep = Delete.delete(spark, dir, col("id") >= 40000L)
+    assert(rep.rowsDeleted == 20000L, s"composite delete drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0, "cidx-bearing file must take surgery")
+    for (id <- Seq(5L, 20003L, 39999L)) {
+      val rows = graft.format.Lookup.compositeLookup(dir, Seq("cat", "id"),
+        Seq(s"c${id % 7}", id))
+      assert(rows.length == 1 && rows.head("v") == (id % 89).toDouble,
+        s"composite lookup ($id) wrong after remap: $rows")
+    }
+    assert(graft.format.Lookup.compositeLookup(dir, Seq("cat", "id"),
+      Seq(s"c${45000 % 7}", 45000L)).isEmpty, "deleted composite key still resolves")
+  }
+
+  test("scattered-mask delete on an indexed table: non-prefix kept-ranks remap exactly") {
+    val dir = tmpDir("surg-scatter")
+    spark.range(30000L).toDF("id")
+      .withColumn("s", md5(concat(lit("k"), col("id").cast("string"))))
+      .withColumn("v", (col("id") % 97).cast("double"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("indexColumns", "s")
+      .option("rowsPerChunk", "2048").mode("overwrite").save(dir)
+    // v == 13 scatters through the first chunks: masks with interior holes,
+    // so kept rows map to STRICTLY SMALLER in-chunk ranks
+    val rep = Delete.delete(spark, dir, col("v") === 13.0 && col("id") < 8192L)
+    assert(rep.rowsDeleted > 0 && Surgery.lastRewrittenChunks.get() > 0,
+      s"scattered delete must rewrite mixed chunks: $rep")
+    for (id <- Seq(500L, 5000L, 8191L, 20000L) if id % 97 != 13) {
+      val (rows, _) = graft.format.Lookup.pointLookupMetered(dir, "s", md5hex(s"k$id"))
+      assert(rows.length == 1 && rows.head("id") == id,
+        s"kept key k$id misresolved after scattered remap: $rows")
+    }
+    assert(graft.format.Lookup.pointLookup(dir, "s", md5hex(s"k${13L}")).isEmpty,
+      "deleted scattered key must not resolve")
+  }
+
+  test("UPDATE surgery on an indexed+bloomed table: index copied verbatim, lookups see new values") {
+    val dir = tmpDir("surg-updidx")
+    spark.range(50000L).toDF("id")
+      .withColumn("s", md5(concat(lit("k"), col("id").cast("string"))))
+      .withColumn("v", (col("id") % 97).cast("double"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("indexColumns", "s").option("bloomFilterColumns", "s")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    val rep = Delete.update(spark, dir,
+      col("id") >= 30000L && col("id") < 30500L, Map("v" -> lit(-5.0)))
+    assert(rep.rowsRemaining == 50000L, s"update drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0 && Surgery.lastRewrittenChunks.get() >= 1L,
+      "indexed file must take the UPDATE surgery path")
+    // rows never moved: the verbatim-copied index must resolve keys inside
+    // AND outside the keyhole, with the keyhole rows showing the literal
+    for ((id, want) <- Seq(30200L -> -5.0, 10000L -> (10000L % 97).toDouble)) {
+      val (rows, m) = graft.format.Lookup.pointLookupMetered(dir, "s", md5hex(s"k$id"))
+      assert(rows.length == 1 && rows.head("v") == want,
+        s"post-update lookup k$id wrong: $rows")
+      assert(m.indexProbes > 0, s"post-update lookup k$id did not use the index")
+    }
+    // blooms survived on the unassigned key column
+    locally {
+      val f = graft.spark.NimbleSource.listFiles(dir).head
+      val r = new graft.format.Tablet.Reader(f)
+      try {
+        val sid = r.keyId("s")
+        assert((0 until r.footer.stripes.length).exists(s => r.streamBloom(s, sid).nonEmpty),
+          "unassigned column's blooms must survive update surgery")
+      } finally r.close()
+    }
+  }
+
+  test("UPDATE surgery literals: date / timestamp / decimal store their physical reprs") {
+    val dir = tmpDir("surg-dtdec")
+    spark.range(40000L).toDF("id")
+      .withColumn("d", date_add(lit("2020-01-01").cast("date"), (col("id") % 100).cast("int")))
+      .withColumn("ts", timestamp_micros(col("id") * 1000000L + col("id") % 997L))
+      .withColumn("m", (col("id") % 1000).cast("decimal(12,2)"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    val d0 = java.sql.Date.valueOf("1999-12-31")
+    val t0 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
+    Surgery.resetCounters()
+    val rep = Delete.update(spark, dir,
+      col("id") >= 10000L && col("id") < 10100L,
+      Map("d" -> lit(d0), "ts" -> lit(t0), "m" -> lit(new java.math.BigDecimal("12.34"))))
+    assert(rep.rowsRemaining == 40000L, s"typed-literal update drifted: $rep")
+    assert(Surgery.lastRewrittenChunks.get() >= 1L && Surgery.lastRawChunks.get() > 0,
+      "date/timestamp/decimal literals must take the surgery path (r18 verdict #5)")
+    val after = spark.read.format("nimble").load(dir)
+    val hit = after.filter(col("id") === 10050L).collect()(0)
+    assert(hit.getAs[java.sql.Date]("d").toString == "1999-12-31", s"date literal wrong: $hit")
+    assert(hit.getAs[java.sql.Timestamp]("ts") == t0, s"timestamp literal wrong: $hit")
+    assert(hit.getAs[java.math.BigDecimal]("m").compareTo(new java.math.BigDecimal("12.34")) == 0,
+      s"decimal literal wrong: $hit")
+    // untouched rows keep their original typed values
+    val miss = after.filter(col("id") === 20000L).collect()(0)
+    assert(miss.getAs[java.sql.Date]("d").toString == "2020-01-01", s"untouched date drifted: $miss")
+    assert(miss.getAs[java.math.BigDecimal]("m")
+      .compareTo(new java.math.BigDecimal(20000 % 1000).setScale(2)) == 0)
+    // a scale-mismatched decimal literal is a real cast — must fall back
+    Surgery.resetCounters()
+    Delete.update(spark, dir, col("id") < 50L,
+      Map("m" -> lit(new java.math.BigDecimal("7"))))
+    assert(Surgery.lastRewrittenChunks.get() == 0L,
+      "scale-mismatched decimal must not take the literal-surgery path")
+    assert(spark.read.format("nimble").load(dir)
+      .filter(col("id") < 50L && col("m") =!= new java.math.BigDecimal("7.00")).count() == 0L)
+  }
+
+  test("big-stripe surgery: footer-dropped chunk stats recover from inline frame headers") {
+    val dir = tmpDir("surg-bigstripe")
+    // 313 chunks in one stripe (rowsPerChunk 64): beyond MaxDirStatsFrames
+    // (256) the footer drops the per-chunk stats block — the shape every
+    // multi-GB single file hits at the default 16K-row chunks, which
+    // silently forced O(file) rewrites until r19
+    spark.range(20000L).toDF("id")
+      .withColumn("v", (col("id") % 97).cast("double"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("rowsPerChunk", "64").mode("overwrite").save(dir)
+    locally { // fixture sanity: the footer really dropped the chunk stats
+      val r = new graft.format.Tablet.Reader(graft.spark.NimbleSource.listFiles(dir).head)
+      try assert(r.chunkDirOf(0, r.keyId("id")).exists(c => c.isData && c.stats == null),
+        "fixture must exceed MaxDirStatsFrames")
+      finally r.close()
+    }
+    val expected = spark.read.format("nimble").load(dir)
+      .filter(col("id") < 15000L).agg(count(lit(1)), sum("v")).collect()(0)
+    val rep = Delete.delete(spark, dir, col("id") >= 15000L)
+    assert(rep.rowsDeleted == 5000L, s"big-stripe delete drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 200L,
+      s"recovered-stats classification must raw-copy the kept bulk, got ${Surgery.lastRawChunks.get()}")
+    assert(Surgery.lastRewrittenChunks.get() <= 1L,
+      s"boundary economics lost: ${Surgery.lastRewrittenChunks.get()} rewritten")
+    val got = spark.read.format("nimble").load(dir)
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got == expected, s"big-stripe surgery drifted: $got vs $expected")
+    // recovered stats folded exactly: pushdown still answer-grade
+    assert(spark.read.format("nimble").load(dir)
+      .agg(min("id"), max("id")).collect()(0).toSeq == Seq(0L, 14999L))
+  }
+
+  test("ineligible files fall back to the rewrite job (nested schema), same result") {
+    val dir = tmpDir("surg-nested")
+    spark.range(20000L).toDF("id")
+      .withColumn("a", array(col("id"), col("id") * 2))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    Surgery.resetCounters()
+    val rep = Delete.delete(spark, dir, col("id") >= 15000L)
+    assert(rep.rowsDeleted == 5000L, s"fallback path drifted: $rep")
     assert(Surgery.lastRawChunks.get() == 0L && Surgery.lastRewrittenChunks.get() == 0L,
-      "a bloom-bearing file must not take the surgery path")
-    assert(spark.read.format("nimble").load(dir).count() == 30000L)
+      "a nested-schema file must not take the surgery path")
+    assert(spark.read.format("nimble").load(dir).count() == 15000L)
   }
 
   test("multi-stripe file: fully-kept stripes copy as whole stripe regions, result exact") {
