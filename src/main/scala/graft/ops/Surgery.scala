@@ -183,12 +183,21 @@ object Surgery {
             }
           }
           // pass 3: per data stream, walk ALL frames in order — alphabet
-          // frames copy raw at their original position, data frames per cls
+          // frames copy raw at their original position, data frames per cls.
+          // Flatmap value streams project the row-domain keep-mask through
+          // their sibling in-map chunk (the value chunk stores only the
+          // rows whose in-bit is set).
           var id = 0
           while (id < p.keys.length) {
-            if (!p.isAux(id))
-              emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
-                rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
+            p.streamCls(id) match {
+              case ClsRow =>
+                emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
+                  rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
+              case ClsValue =>
+                emitValueStream(w, id, bytes(id), p.dirs(s)(id),
+                  bytes(p.valueIn(id)), cls, masks)
+              case _ => () // aux: remapped below
+            }
             id += 1
           }
           var stripeKept = 0L
@@ -420,15 +429,24 @@ object Surgery {
     * keys, filter refs on plain columns, per-data-chunk stats present,
     * data-ordinal grids aligned across streams (alphabet frames allowed —
     * they carry no rows), no blooms. None = fall back to the Spark rewrite. */
+  // stream classes (Prep.streamCls)
+  private final val ClsRow = 0 // row-aligned data stream (field, f#nulls, f#in:k)
+  private final val ClsValue = 1 // compacted flatmap value stream (f#fm:k[, #nanos])
+  private final val ClsAux = 2 // hidden index stream
+
   private final class Prep(
       val fieldType: Map[String, DataType],
       val keys: Array[String], val keyId: Map[String, Int],
       /** Columns stored as the TimestampMicroNano split (micros stream +
         * '#nanos' remainder sibling); their raw stats are MICROS-domain. */
       val nanosSplit: Set[String],
-      /** Hidden index streams (#idx:/#sidx:/#cidx:) — no chunk directory;
-        * DELETE remaps their (chunk,row) entries, UPDATE copies them raw. */
-      val isAux: Array[Boolean],
+      /** Per-stream class: ClsRow grids 1:1 with top-level rows; ClsValue
+        * (flatmap value streams) shares the CHUNK grid but stores only the
+        * rows whose in-map bit is set — masks project through the sibling
+        * in-stream ([[valueIn]]); ClsAux index streams remap/copy whole. */
+      val streamCls: Array[Int],
+      /** ClsValue streams: the sibling `f#in:k` stream id; -1 otherwise. */
+      val valueIn: Array[Int],
       /** (stripe) -> whether every data chunk's directory entry carries
         * stats. False on big stripes (beyond Tablet.MaxDirStatsFrames the
         * writer drops the per-chunk stats block to bound the footer) —
@@ -440,8 +458,11 @@ object Surgery {
       val dirs: Array[Array[Array[Tablet.ChunkLoc]]],
       /** (stripe)(stream)(data ordinal) -> index into dirs. */
       val dataIdx: Array[Array[Array[Int]]],
-      /** (stripe)(data ordinal) -> row count (identical across streams). */
+      /** (stripe)(data ordinal) -> row count (identical across ROW-aligned
+        * streams; ClsValue streams share the ordinal grid with their own
+        * compacted row counts). */
       val dataRows: Array[Array[Long]]) {
+    def isAux(id: Int): Boolean = streamCls(id) == ClsAux
     /** Chunk stats for filter classification: nanos-split columns scale
       * their micros-domain stats to saturating OUTER nanos bounds — sound
       * for both proofs (a contained range keeps noneMatch conservative and
@@ -515,22 +536,55 @@ object Surgery {
     if (footer.stripes.isEmpty || filters.isEmpty) return refuse("no stripes/filters")
     val schema =
       DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
-    if (!schema.fields.forall(f => isAtomic(f.dataType))) return refuse("nested schema")
+    // atomics, plus MAP columns stored as the FLATMAP layout (r19): the
+    // flatmap shred's streams are surgery-shaped — in-map streams grid 1:1
+    // with rows, value streams share the chunk grid compacted. A plain map
+    // layout ('#len' stream) stays ineligible.
+    val mapCols: Set[String] = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[MapType] => f.name }.toSet
+    if (!schema.fields.forall(f => isAtomic(f.dataType) ||
+        f.dataType.isInstanceOf[MapType])) return refuse("nested schema")
     val fieldType: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
-    // every stream must be a schema field, its '#nanos' remainder sibling,
-    // or a recognized hidden index stream (remapped/copied as a whole) —
-    // list/map/flatmap stream keys make the file ineligible
     val keys = footer.streamKeys
-    val isAux: Array[Boolean] = keys.map(k => auxIndexKey(k, fieldType))
-    if (!keys.zipWithIndex.forall { case (k, id) => isAux(id) ||
-        fieldType.contains(k) ||
-        (k.endsWith("#nanos") && fieldType.contains(k.stripSuffix("#nanos"))) })
-      return refuse("unrecognized stream key")
+    if (mapCols.exists(c => keys.contains(s"$c#len")))
+      return refuse("plain (non-flatmap) map layout")
+    val keyId: Map[String, Int] = keys.zipWithIndex.toMap
+    // classify every stream; anything unrecognized makes the file ineligible
+    val streamCls = new Array[Int](keys.length)
+    val valueIn = Array.fill(keys.length)(-1)
+    var ci = 0
+    while (ci < keys.length) {
+      val k = keys(ci)
+      val fm = k.indexOf("#fm:")
+      if (auxIndexKey(k, fieldType)) streamCls(ci) = ClsAux
+      else if (fieldType.get(k).exists(!_.isInstanceOf[MapType])) streamCls(ci) = ClsRow
+      else if (k.endsWith("#nanos") && fm < 0 &&
+          fieldType.contains(k.stripSuffix("#nanos"))) streamCls(ci) = ClsRow
+      else if (k.endsWith("#nulls") && mapCols(k.stripSuffix("#nulls"))) streamCls(ci) = ClsRow
+      else if (k.indexOf("#in:") > 0 && mapCols(k.substring(0, k.indexOf("#in:"))) &&
+          k.indexOf('#', k.indexOf("#in:") + 4) < 0) streamCls(ci) = ClsRow
+      else if (fm > 0 && mapCols(k.substring(0, fm))) {
+        // value stream 'c#fm:key' or its '#nanos' sibling; a map key that
+        // itself contains '#' is ambiguous against the suffix grammar -> out
+        val rest0 = k.substring(fm + 4)
+        val rest = if (rest0.endsWith("#nanos")) rest0.dropRight(6) else rest0
+        if (rest.isEmpty || rest.contains('#'))
+          return refuse(s"ambiguous flatmap stream key '$k'")
+        val inKey = k.substring(0, fm) + "#in:" + rest
+        keyId.get(inKey) match {
+          case Some(inId) => streamCls(ci) = ClsValue; valueIn(ci) = inId
+          case None => return refuse(s"flatmap value stream '$k' without '$inKey'")
+        }
+      } else return refuse(s"unrecognized stream key '$k'")
+      ci += 1
+    }
     val nanosSplit: Set[String] =
-      keys.filter(_.endsWith("#nanos")).map(_.stripSuffix("#nanos")).toSet
+      keys.filter(k => k.endsWith("#nanos") && !k.contains("#fm:"))
+        .map(_.stripSuffix("#nanos")).toSet
     val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(fieldType.contains)) return refuse("filter ref not a field")
+    if (!refs.forall(n => fieldType.contains(n) && !mapCols(n)))
+      return refuse("filter ref not an atomic field")
     val nStreams = keys.length
     val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
     val dataIdx = Array.ofDim[Array[Int]](footer.stripes.length, nStreams)
@@ -538,18 +592,25 @@ object Surgery {
     val statsOk = Array.fill(footer.stripes.length)(true)
     var s = 0
     while (s < footer.stripes.length) {
-      var id = 0
-      while (id < nStreams) {
-        if (!isAux(id)) {
+      // row-aligned streams first (they define the grid), then value streams
+      for (pass <- 0 to 1; id <- 0 until nStreams
+           if streamCls(id) == (if (pass == 0) ClsRow else ClsValue)) {
+        if (r.streamLoc(s, id).length == 0L) {
+          // stream absent from this whole stripe (registered later / never):
+          // zero frames to copy, zero grid participation
+          dirs(s)(id) = Array.empty
+          dataIdx(s)(id) = Array.empty
+        } else {
           val d = r.chunkDirOf(s, id)
           if (d == null)
             return refuse(s"stream '${keys(id)}' stripe $s: missing chunk directory")
           if (d.exists(c => c.isData && c.stats == null)) statsOk(s) = false
           val di = d.indices.filter(d(_).isData).toArray
-          if (dataRows(s) == null) dataRows(s) = di.map(d(_).rows)
-          else {
-            if (di.length != dataRows(s).length)
-              return refuse(s"stream '${keys(id)}' stripe $s: grid ${di.length} vs ${dataRows(s).length} chunks")
+          if (dataRows(s) == null) {
+            if (pass == 0) dataRows(s) = di.map(d(_).rows)
+          } else if (di.length != dataRows(s).length)
+            return refuse(s"stream '${keys(id)}' stripe $s: grid ${di.length} vs ${dataRows(s).length} chunks")
+          else if (pass == 0) {
             var k = 0
             while (k < di.length) {
               if (d(di(k)).rows != dataRows(s)(k))
@@ -560,12 +621,11 @@ object Surgery {
           dirs(s)(id) = d
           dataIdx(s)(id) = di
         }
-        id += 1
       }
       if (dataRows(s) == null) return refuse(s"stripe $s: no data streams")
       s += 1
     }
-    Some(new Prep(fieldType, keys, keys.zipWithIndex.toMap, nanosSplit, isAux,
+    Some(new Prep(fieldType, keys, keyId, nanosSplit, streamCls, valueIn,
       statsOk, dirs, dataIdx, dataRows))
   }
 
@@ -715,6 +775,55 @@ object Surgery {
       i += 1
     }
     s.toArray
+  }
+
+  /** [[emitStream]]'s sibling for a COMPACTED flatmap value stream: chunk k
+    * stores only the rows whose in-map bit is set, so a mixed chunk's
+    * row-domain keep-mask first projects through the sibling in-map chunk
+    * (decoded from `inBytes` in lockstep) and then masks the values. Raw
+    * and dropped chunks behave exactly as in [[emitStream]]. */
+  private def emitValueStream(w: Tablet.Writer, id: Int, bytes: Array[Byte],
+      dir: Array[Tablet.ChunkLoc], inBytes: Array[Byte],
+      cls: Array[Int], masks: Array[Array[Boolean]]): Unit = {
+    val anyMixed = cls.exists(_ == 2)
+    val cursor = if (anyMixed && bytes.length > 0) new Tablet.ChunkCursor(bytes) else null
+    val inCursor = if (cursor != null) new Tablet.ChunkCursor(inBytes) else null
+    def frame(pos: Int): Array[Byte] = {
+      val until = if (pos + 1 < dir.length) dir(pos + 1).offset.toInt else bytes.length
+      java.util.Arrays.copyOfRange(bytes, dir(pos).offset.toInt, until)
+    }
+    var k = 0 // data ordinal
+    var pos = 0 // frame position
+    while (pos < dir.length) {
+      if (!dir(pos).isData) w.copyRawAlphabetFrame(id, frame(pos))
+      else {
+        cls(k) match {
+          case 0 => w.copyRawChunk(id, frame(pos), dir(pos).rows, dir(pos).stats)
+            if (cursor != null) { cursor.skip(); inCursor.skip() }
+          case 1 => if (cursor != null) { cursor.skip(); inCursor.skip() }
+          case _ =>
+            val ib = inCursor.next().asInstanceOf[BoolsCol].values
+            val keep = masks(k)
+            val vcol = expand(cursor.next())
+            val vm = new Array[Boolean](vcol.len)
+            var vkn = 0
+            var i = 0
+            var j = 0
+            while (i < ib.length) {
+              if (ib(i)) {
+                if (keep(i)) { vm(j) = true; vkn += 1 }
+                j += 1
+              }
+              i += 1
+            }
+            require(j == vcol.len,
+              s"flatmap value chunk $k: ${vcol.len} values vs $j in-map bits")
+            w.writeChunk(id, filterCol(vcol, vm, vkn))
+        }
+        k += 1
+      }
+      pos += 1
+    }
   }
 
   private def expand(c: Column): Column = c match {

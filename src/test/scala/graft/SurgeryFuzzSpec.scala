@@ -166,6 +166,51 @@ class SurgeryFuzzSpec extends SparkTestBase {
     assert(rew > 0, "no update trial rewrote an assigned chunk")
   }
 
+  test("seeded fuzz: flatmap-table surgery DELETE == Spark oracle") {
+    val rnd = new scala.util.Random(9119)
+    Surgery.resetCounters()
+    var raw = 0L; var rew = 0L
+    for (trial <- 0 until 5) {
+      val dir = tmpDir(s"sfz-fm-$trial")
+      val n = 15000 + rnd.nextInt(20000)
+      val rpc = Seq(1024, 2048, 4096)(rnd.nextInt(3))
+      val nk = Seq(10, 25, 50)(rnd.nextInt(3))
+      spark.range(n.toLong).toDF("id")
+        .selectExpr("id",
+          "map_from_arrays(" +
+            s"transform(sequence(0, 3), i -> concat('f', pmod(id * 3 + i * 7, $nk))), " +
+            "transform(sequence(0, 3), i -> CAST(id + i AS DOUBLE))) AS m",
+          "CAST(id % 101 AS DOUBLE) AS v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("flatMapColumns", "m").option("rowsPerChunk", rpc.toString)
+        .mode("overwrite").save(dir)
+      val table = spark.read.format("nimble").load(dir)
+      val cond = trial % 3 match {
+        case 0 => col("id") >= (n / 2 + rnd.nextInt(n / 3)).toLong
+        case 1 =>
+          val lo = rnd.nextInt(n / 2).toLong
+          col("id") >= lo && col("id") < lo + 1 + rnd.nextInt(n / 3)
+        case _ => col("v") > rnd.nextInt(80).toDouble
+      }
+      // deterministic map fingerprint (raw map toString order is storage-
+      // dependent): value sum + sorted key join
+      val fp = Seq("id", "v",
+        "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms",
+        "array_join(array_sort(map_keys(m)), ',') AS mk")
+      val expected = table.filter(coalesce(not(cond), lit(true)))
+        .selectExpr(fp: _*).collect().map(_.toString).sorted
+      Delete.delete(spark, dir, cond)
+      raw += Surgery.lastRawChunks.get()
+      rew += Surgery.lastRewrittenChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .selectExpr(fp: _*).collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"flatmap trial $trial drifted (cond $cond)")
+    }
+    assert(raw > 0, "no flatmap trial raw-copied — fm surgery stopped engaging")
+    assert(rew > 0, "no flatmap trial rewrote a boundary chunk")
+  }
+
   test("seeded fuzz: typed-literal UPDATE (date/timestamp/decimal) == Spark oracle") {
     val rnd = new scala.util.Random(1919)
     Surgery.resetCounters()

@@ -303,6 +303,100 @@ class SurgerySpec extends SparkTestBase {
       .agg(min("id"), max("id")).collect()(0).toSeq == Seq(0L, 14999L))
   }
 
+  test("flatmap delete surgery: value-stream masks project through the in-map, result exact") {
+    val dir = tmpDir("surg-fm")
+    // 60K rows x 6-of-40 keys: the reference's flagship layout; values ride
+    // id so every chunk is distinguishable, and key presence is scattered
+    // so mixed-chunk value masks have interior holes
+    spark.range(60000L).toDF("id")
+      .selectExpr("id",
+        "map_from_arrays(" +
+          "transform(sequence(0, 5), i -> concat('f', pmod(id * 7 + i * 11, 40))), " +
+          "transform(sequence(0, 5), i -> CAST(id * 10 + i AS DOUBLE))) AS m",
+        "CAST(id % 97 AS DOUBLE) AS v")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("flatMapColumns", "m").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(dir)
+    val table = spark.read.format("nimble").load(dir)
+    val expected = table.filter(col("id") < 40000L)
+      .selectExpr("id", "v", "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .agg(count(lit(1)), sum("v"), sum("ms")).collect()(0)
+    val rep = Delete.delete(spark, dir, col("id") >= 40000L)
+    assert(rep.rowsDeleted == 20000L, s"flatmap delete drifted: $rep")
+    // counters are per row-range: 15 ranges, 9 kept whole, 1 straddles
+    assert(Surgery.lastRawChunks.get() >= 8L,
+      s"flatmap file must take surgery now (raw=${Surgery.lastRawChunks.get()}, refusal='${Surgery.lastRefusal}')")
+    assert(Surgery.lastRewrittenChunks.get() <= 2L,
+      s"boundary economics lost: ${Surgery.lastRewrittenChunks.get()} rewritten")
+    val got = spark.read.format("nimble").load(dir)
+      .selectExpr("id", "v", "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .agg(count(lit(1)), sum("v"), sum("ms")).collect()(0)
+    assert(got == expected, s"flatmap surgery drifted: $got vs $expected")
+    // per-key feature projection still prunes + answers exactly
+    val fmt = spark.read.format("nimble").option("flatMapStruct.m", "f3").load(dir)
+    val exp3 = table.filter(col("id") < 40000L)
+      .select(element_at(col("m"), "f3").as("f3")).agg(sum("f3")).collect()(0)
+    assert(fmt.select(col("m.f3").as("f3")).agg(sum("f3")).collect()(0) == exp3,
+      "per-key projection drifted after flatmap surgery")
+  }
+
+  test("flatmap delete surgery: scattered predicate, per-key chunks keep in-map alignment") {
+    val dir = tmpDir("surg-fm-scatter")
+    spark.range(30000L).toDF("id")
+      .selectExpr("id",
+        "map_from_arrays(" +
+          "transform(sequence(0, 3), i -> concat('k', pmod(id + i * 5, 20))), " +
+          "transform(sequence(0, 3), i -> CAST(id + i AS DOUBLE))) AS m",
+        "CAST(id % 61 AS DOUBLE) AS v")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("flatMapColumns", "m").option("rowsPerChunk", "2048")
+      .mode("overwrite").save(dir)
+    val table = spark.read.format("nimble").load(dir)
+    // v == 13 scatters: every touched chunk's keep-mask has interior holes,
+    // and each key's value mask is a DIFFERENT projection of it
+    val cond = col("v") === 13.0 && col("id") < 10000L
+    val expected = table.filter(coalesce(not(cond), lit(true)))
+      .selectExpr("id", "v", "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .collect().map(_.toString).sorted
+    val rep = Delete.delete(spark, dir, cond)
+    assert(rep.rowsDeleted > 0 && Surgery.lastRewrittenChunks.get() > 0,
+      s"scattered flatmap delete must engage surgery: $rep (refusal='${Surgery.lastRefusal}')")
+    val got = spark.read.format("nimble").load(dir)
+      .selectExpr("id", "v", "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "scattered flatmap surgery drifted")
+  }
+
+  test("UPDATE surgery on a flatmap table: map streams raw-copy, assigned column rewrites") {
+    val dir = tmpDir("surg-fm-upd")
+    spark.range(40000L).toDF("id")
+      .selectExpr("id",
+        "map_from_arrays(" +
+          "transform(sequence(0, 2), i -> concat('g', pmod(id + i * 3, 10))), " +
+          "transform(sequence(0, 2), i -> CAST(id + i AS DOUBLE))) AS m",
+        "CAST(id % 89 AS DOUBLE) AS v")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("flatMapColumns", "m").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(dir)
+    val mapSumBefore = spark.read.format("nimble").load(dir)
+      .selectExpr("aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .agg(sum("ms")).collect()(0)
+    val rep = Delete.update(spark, dir,
+      col("id") >= 20000L && col("id") < 20500L, Map("v" -> lit(-3.0)))
+    assert(rep.rowsRemaining == 40000L, s"flatmap update drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0 && Surgery.lastRewrittenChunks.get() >= 1L,
+      s"flatmap UPDATE must take surgery (refusal='${Surgery.lastRefusal}')")
+    val after = spark.read.format("nimble").load(dir)
+    assert(after.filter(col("v") === -3.0).count() == 500L)
+    assert(after.selectExpr(
+      "aggregate(map_values(m), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ms")
+      .agg(sum("ms")).collect()(0) == mapSumBefore,
+      "map streams must survive UPDATE surgery byte-copied")
+  }
+
   test("ineligible files fall back to the rewrite job (nested schema), same result") {
     val dir = tmpDir("surg-nested")
     spark.range(20000L).toDF("id")
