@@ -2849,13 +2849,14 @@ object Codecs {
 
   /** TRIVIAL bytes payload: lengths sub-stream + varint total + raw bytes
     * (single source of truth for the cost path and the policy gate). */
-  private def trivialBytesPayload(col: BytesCol, depth: Int): Array[Byte] = {
+  private def trivialBytesPayload(col: BytesCol, depth: Int,
+      replay: Replay = null): Array[Byte] = {
     val n = col.len
     val ts = new ByteSink()
     val lengths = new Array[Long](n)
     var i = 0
     while (i < n) { lengths(i) = (col.offsets(i + 1) - col.offsets(i)).toLong; i += 1 }
-    val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1); ts.writeBlock(ls.toArray)
+    val ls = new ByteSink(); encodeLongs(lengths, PhysType.I32, ls, depth + 1, rchild(replay, TRIVIAL, 0)); ts.writeBlock(ls.toArray)
     ts.writeVarint((col.offsets(n) - col.offsets(0)).toLong)
     ts.writeBytes(col.bytes, col.offsets(0), col.offsets(n) - col.offsets(0))
     ts.toArray
@@ -2902,7 +2903,7 @@ object Codecs {
       if (polB.skipToTrivialBytes(n, total, entropy)) {
         if (replay != null) replay.observe(TRIVIAL, full = true)
         header(sink, TRIVIAL, PhysType.Bytes, n)
-        sink.writeBytes(trivialBytesPayload(col, depth))
+        sink.writeBytes(trivialBytesPayload(col, depth, replay))
         return
       }
     }
@@ -2911,7 +2912,7 @@ object Codecs {
     // policy gate — the layouts are provably identical). Built LAST (below):
     // its emitBest cost has an exact floor, so a cheaper candidate skips the
     // whole-payload memcpy.
-    def buildTrivial(): Unit = candidates += ((TRIVIAL, trivialBytesPayload(col, depth)))
+    def buildTrivial(): Unit = candidates += ((TRIVIAL, trivialBytesPayload(col, depth, replay)))
     // bytes candidate pre-filter (GateTrainer part 4): bounded sampled
     // features gate the expensive full build passes; a locked layout and
     // the labeling policy (CostSelection) bypass the gates
@@ -2972,7 +2973,7 @@ object Codecs {
         else {
           val pr = new ByteSink(ps.size + 64)
           pr.writeVarint(stride.toLong)
-          val rs = new ByteSink(); encodeLongs(restarts, PhysType.I32, rs, depth + 1)
+          val rs = new ByteSink(); encodeLongs(restarts, PhysType.I32, rs, depth + 1, rchild(replay, PREFIXR, 0))
           pr.writeBlock(rs.toArray)
           pr.writeVarint(ps.size.toLong)
           pr.writeBytes(ps.toArray)
@@ -3011,8 +3012,8 @@ object Codecs {
         val aBytes = new Array[Byte](total)
         i = 0
         while (i < order.length) { System.arraycopy(col.bytes, order(i)._1, aBytes, aOffs(i), order(i)._2); i += 1 }
-        val as = new ByteSink(); encodeBytes(BytesCol(aOffs, aBytes), as, MaxDepth); ds.writeBlock(as.toArray)
-        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1); ds.writeBlock(is.toArray)
+        val as = new ByteSink(); encodeBytes(BytesCol(aOffs, aBytes), as, MaxDepth, rchild(replay, DICT, 0)); ds.writeBlock(as.toArray)
+        val is = new ByteSink(); encodeLongs(indices, PhysType.I64, is, depth + 1, rchild(replay, DICT, 1)); ds.writeBlock(is.toArray)
         candidates += ((DICT, ds.toArray))
       }
     }
@@ -3065,7 +3066,7 @@ object Codecs {
               encLens(i) = (body.size - before).toLong
               i += 1
             }
-            val lse = new ByteSink(); encodeLongs(encLens, PhysType.I32, lse, depth + 1)
+            val lse = new ByteSink(); encodeLongs(encLens, PhysType.I32, lse, depth + 1, rchild(replay, FSST, 0))
             fs.writeBlock(lse.toArray)
             fs.writeVarint(body.size.toLong)
             fs.writeBytes(body.toArray)

@@ -23,13 +23,19 @@ object ScaleWriteProbe {
     scaleDf.count()
     val tmp = System.getProperty("java.io.tmpdir")
     // 'fm' arg: the bench's wide-flatmap write shape in isolation (2M rows x
-    // 8-of-400 keys), for stack-sampling the 400-stream writer
-    if (args.contains("fm")) {
+    // 8-of-400 keys), for stack-sampling the 400-stream writer.
+    // 'fmstr': same shape with STRING values — exercises the bytes-path
+    // nested replay (dict indices / FSST lengths / prefix restarts).
+    if (args.contains("fm") || args.contains("fmstr")) {
+      val valueExpr =
+        if (args.contains("fmstr"))
+          "transform(sequence(0, 7), i -> concat('v', CAST(pmod(id + i, 1000) AS STRING)))"
+        else "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))"
       val fmSrc = spark.range(2000000L)
         .selectExpr("id",
           "map_from_arrays(" +
             "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
-            "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))) AS m")
+            s"$valueExpr) AS m")
         .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
         .sortWithinPartitions("id").cache()
       fmSrc.count()
