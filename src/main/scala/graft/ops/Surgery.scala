@@ -321,12 +321,25 @@ object Surgery {
       // column some index stream covers would need an index-domain value
       // rewrite — refused (Delete.update's layout guard already refuses it
       // table-wide; this keeps Surgery safe standalone)
-      val assignIds: Map[Int, Any] = assigns.map { case (n, v) =>
+      val assignIds: Map[Int, Any] = assigns.flatMap { case (n, v) =>
         val dt = p.fieldType.getOrElse(n, return false)
-        if (p.keyId.contains(s"$n#nanos")) return false
         if (!literalFits(v, dt)) return false
         if (p.keys.exists(k => auxCovers(k, n))) return false
-        p.keyId.getOrElse(n, return false) -> toPhysical(v, dt)
+        if (p.nanosSplit(n)) {
+          // TimestampMicroNano split (r19): one logical epoch-nanos
+          // assignment writes BOTH streams — micros = floorDiv(ns, 1000),
+          // remainder = floorMod — mirroring TsNanosW exactly (null sets
+          // the null bit on both with zero values, the writer's own
+          // convention)
+          if (dt != LongType) return false
+          v match {
+            case null => Seq(p.keyId(n) -> null, p.keyId(s"$n#nanos") -> null)
+            case x: Long => Seq(
+              p.keyId(n) -> java.lang.Math.floorDiv(x, 1000L),
+              p.keyId(s"$n#nanos") -> java.lang.Math.floorMod(x, 1000L))
+            case _ => return false
+          }
+        } else Seq(p.keyId.getOrElse(n, return false) -> toPhysical(v, dt))
       }
       // a NULL assignment into a non-nullable field must widen the
       // REPLACEMENT's declared nullability — exactly what the Spark-rewrite

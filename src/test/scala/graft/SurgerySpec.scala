@@ -397,6 +397,41 @@ class SurgerySpec extends SparkTestBase {
       "map streams must survive UPDATE surgery byte-copied")
   }
 
+  test("UPDATE surgery on a nanos-split column: one assignment writes both streams") {
+    val dir = tmpDir("surg-upd-nanos")
+    val rows = 50000L
+    spark.range(rows).toDF("id")
+      .withColumn("ts", col("id") * 1000000L + (col("id") % 997L))
+      .withColumn("v", (col("id") % 61).cast("double"))
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("timestampNanosColumns", "ts")
+      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+    // literal with a non-zero sub-microsecond part: floorDiv/floorMod must
+    // land in the micros and remainder streams exactly as TsNanosW would
+    val redacted = 123456789012L * 1000L + 789L
+    Surgery.resetCounters()
+    val rep = Delete.update(spark, dir,
+      col("id") >= 30000L && col("id") < 30200L, Map("ts" -> lit(redacted)))
+    assert(rep.rowsRemaining == rows, s"nanos update drifted: $rep")
+    assert(Surgery.lastRewrittenChunks.get() >= 1L && Surgery.lastRawChunks.get() > 0,
+      s"nanos-split literal must take surgery (refusal='${Surgery.lastRefusal}')")
+    val after = spark.read.format("nimble").load(dir)
+    assert(after.filter(col("ts") === redacted).count() == 200L,
+      "redacted rows must carry the exact nanos literal")
+    assert(after.filter(col("id") === 10000L).collect()(0).getLong(1) ==
+      10000L * 1000000L + (10000L % 997L), "untouched rows drifted")
+    // NULL redaction (the retention shape): nullability widens, both split
+    // streams' null bits agree
+    Surgery.resetCounters()
+    Delete.update(spark, dir, col("id") < 100L, Map("ts" -> lit(null).cast("long")))
+    assert(Surgery.lastRewrittenChunks.get() >= 1L,
+      s"nanos NULL literal must take surgery (refusal='${Surgery.lastRefusal}')")
+    val af2 = spark.read.format("nimble").load(dir)
+    assert(af2.filter(col("ts").isNull).count() == 100L)
+    assert(af2.filter(col("id") >= 100L && col("ts").isNull).count() == 0L)
+  }
+
   test("ineligible files fall back to the rewrite job (nested schema), same result") {
     val dir = tmpDir("surg-nested")
     spark.range(20000L).toDF("id")
