@@ -184,9 +184,10 @@ object Surgery {
           }
           // pass 3: per data stream, walk ALL frames in order — alphabet
           // frames copy raw at their original position, data frames per cls.
-          // Flatmap value streams project the row-domain keep-mask through
-          // their sibling in-map chunk (the value chunk stores only the
-          // rows whose in-bit is set).
+          // Chained streams (flatmap values, array/map elements) fold the
+          // row-domain keep-mask through their Len/In domain chain; store
+          // streams copy raw whenever their aligned index chunk survives
+          // (orphan uniques decode fine — the store is chunk-scoped).
           var id = 0
           while (id < p.keys.length) {
             p.streamCls(id) match {
@@ -194,8 +195,11 @@ object Surgery {
                 emitStream(w, id, bytes(id), p.dirs(s)(id), cls,
                   rewrite = (k, c) => filterCol(expand(c), masks(k), keptN(k)))
               case ClsValue =>
-                emitValueStream(w, id, bytes(id), p.dirs(s)(id),
-                  bytes(p.valueIn(id)), cls, masks)
+                emitChainStream(w, id, bytes(id), p.dirs(s)(id), p.chain(id),
+                  bytes, cls, masks)
+              case ClsStore =>
+                emitStream(w, id, bytes(id), p.dirs(s)(id),
+                  cls.map(c => if (c == 2) 0 else c), rewrite = (_, _) => null)
               case _ => () // aux: remapped below
             }
             id += 1
@@ -443,9 +447,97 @@ object Surgery {
     * data-ordinal grids aligned across streams (alphabet frames allowed —
     * they carry no rows), no blooms. None = fall back to the Spark rewrite. */
   // stream classes (Prep.streamCls)
-  private final val ClsRow = 0 // row-aligned data stream (field, f#nulls, f#in:k)
-  private final val ClsValue = 1 // compacted flatmap value stream (f#fm:k[, #nanos])
+  private final val ClsRow = 0 // row-aligned data stream (field, #nulls, #in:k, #len, struct children)
+  private final val ClsValue = 1 // domain-chained stream: mask projects through Len/In steps
   private final val ClsAux = 2 // hidden index stream
+  private final val ClsStore = 3 // chunk-scoped dedup store (dict-array/SWMap #ddlen/#elem/#key/#val):
+  // the writer resets its dedup state at every flushChunk, so a store chunk
+  // is referenced ONLY by its aligned index chunk — kept/mixed chunks copy
+  // the store raw (orphan uniques decode fine), dropped chunks drop it
+
+  /** Classify every stream key against the schema tree, mirroring
+    * Fields.writerFor's key grammar. Returns (class per stream, the Len/In
+    * domain chain per stream — ('L', lenStreamId) expands a mask by
+    * replication, ('I', inStreamId) selects the set positions — and the
+    * nanos-split top-level column set), or None when any stream is
+    * unrecognized / ambiguous (the conservative fallback). */
+  private def classifyStreams(schema: StructType, keys: Array[String],
+      keyId: Map[String, Int], fieldType: Map[String, DataType])
+      : Option[(Array[Int], Array[List[(Char, Int)]], Set[String])] = {
+    val n = keys.length
+    val cls = Array.fill(n)(-1)
+    val chain = Array.fill[List[(Char, Int)]](n)(Nil)
+    var nanosSplit = Set.empty[String]
+    val keySet = keys.toSet
+    def claimKey(k: String, c: Int, steps: List[(Char, Int)]): Boolean =
+      keyId.get(k) match {
+        case Some(id) if cls(id) == -1 => cls(id) = c; chain(id) = steps; true
+        case _ => false
+      }
+    // a '#nanos' sibling rides along when present (same class and domain)
+    def claimWithNanos(k: String, c: Int, steps: List[(Char, Int)]): Boolean =
+      claimKey(k, c, steps) && {
+        keyId.get(s"$k#nanos").foreach { id =>
+          if (cls(id) == -1) { cls(id) = c; chain(id) = steps } }
+        true
+      }
+    def claim(path: String, dt: DataType, steps: List[(Char, Int)],
+        store: Boolean): Boolean = dt match {
+      case st: StructType =>
+        claimKey(s"$path#nulls", if (store) ClsStore else clsOf(steps), steps) &&
+          st.fields.forall(f => claim(s"$path.${f.name}", f.dataType, steps, store))
+      case a: ArrayType =>
+        if (keySet(s"$path#idx")) // dedup (ArrayWithOffsets): chunk-scoped store
+          claimKey(s"$path#idx", if (store) ClsStore else clsOf(steps), steps) &&
+            claimKey(s"$path#ddlen", ClsStore, Nil) &&
+            claim(s"$path#elem", a.elementType, Nil, store = true)
+        else
+          claimKey(s"$path#len", if (store) ClsStore else clsOf(steps), steps) &&
+            claim(s"$path#elem", a.elementType,
+              if (store) steps else steps :+ (('L', keyId(s"$path#len"))), store)
+      case m: MapType =>
+        if (keys.exists(_.startsWith(s"$path#in:"))) {
+          // flatmap shred; under a dedup store this layout cannot occur —
+          // refuse rather than guess
+          if (store) false
+          else claimKey(s"$path#nulls", clsOf(steps), steps) && {
+            val inKeys = keys.collect {
+              case k if k.startsWith(s"$path#in:") => k.substring(path.length + 4) }
+            inKeys.forall { mk =>
+              !mk.contains('#') && // a map key with '#' breaks the grammar
+                claimKey(s"$path#in:$mk", clsOf(steps), steps) &&
+                claim(s"$path#fm:$mk", m.valueType,
+                  steps :+ (('I', keyId(s"$path#in:$mk"))), store = false)
+            }
+          }
+        } else if (keySet(s"$path#idx")) // SlidingWindowMap: chunk-scoped store
+          claimKey(s"$path#idx", if (store) ClsStore else clsOf(steps), steps) &&
+            claimKey(s"$path#ddlen", ClsStore, Nil) &&
+            claim(s"$path#key", m.keyType, Nil, store = true) &&
+            claim(s"$path#val", m.valueType, Nil, store = true)
+        else
+          claimKey(s"$path#len", if (store) ClsStore else clsOf(steps), steps) && {
+            val lstep = if (store) steps else steps :+ (('L', keyId(s"$path#len")))
+            claim(s"$path#key", m.keyType, lstep, store) &&
+              claim(s"$path#val", m.valueType, lstep, store)
+          }
+      case _ => // atomic leaf
+        claimWithNanos(path, if (store) ClsStore else clsOf(steps), steps) && {
+          if (keySet(s"$path#nanos") && steps.isEmpty && !store) nanosSplit += path
+          true
+        }
+    }
+    def clsOf(steps: List[(Char, Int)]): Int = if (steps.isEmpty) ClsRow else ClsValue
+    var id = 0
+    while (id < n) {
+      if (auxIndexKey(keys(id), fieldType)) cls(id) = ClsAux
+      id += 1
+    }
+    if (!schema.fields.forall(f => claim(f.name, f.dataType, Nil, store = false)))
+      return None
+    if (cls.exists(_ == -1)) return None // an actual stream nothing claimed
+    Some((cls, chain, nanosSplit))
+  }
 
   private final class Prep(
       val fieldType: Map[String, DataType],
@@ -454,12 +546,14 @@ object Surgery {
         * '#nanos' remainder sibling); their raw stats are MICROS-domain. */
       val nanosSplit: Set[String],
       /** Per-stream class: ClsRow grids 1:1 with top-level rows; ClsValue
-        * (flatmap value streams) shares the CHUNK grid but stores only the
-        * rows whose in-map bit is set — masks project through the sibling
-        * in-stream ([[valueIn]]); ClsAux index streams remap/copy whole. */
+        * shares the CHUNK grid in a projected domain (masks fold through
+        * [[chain]]); ClsStore chunks are chunk-scoped dedup stores (raw-
+        * copied whenever their index chunk survives); ClsAux index streams
+        * remap/copy whole. */
       val streamCls: Array[Int],
-      /** ClsValue streams: the sibling `f#in:k` stream id; -1 otherwise. */
-      val valueIn: Array[Int],
+      /** ClsValue streams: the Len/In steps from the row domain to the
+        * stream's own domain ([[classifyStreams]]). */
+      val chain: Array[List[(Char, Int)]],
       /** (stripe) -> whether every data chunk's directory entry carries
         * stats. False on big stripes (beyond Tablet.MaxDirStatsFrames the
         * writer drops the per-chunk stats block to bound the footer) —
@@ -549,54 +643,17 @@ object Surgery {
     if (footer.stripes.isEmpty || filters.isEmpty) return refuse("no stripes/filters")
     val schema =
       DataType.fromJson(footer.schemaJson).asInstanceOf[StructType]
-    // atomics, plus MAP columns stored as the FLATMAP layout (r19): the
-    // flatmap shred's streams are surgery-shaped — in-map streams grid 1:1
-    // with rows, value streams share the chunk grid compacted. A plain map
-    // layout ('#len' stream) stays ineligible.
-    val mapCols: Set[String] = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[MapType] => f.name }.toSet
-    if (!schema.fields.forall(f => isAtomic(f.dataType) ||
-        f.dataType.isInstanceOf[MapType])) return refuse("nested schema")
     val fieldType: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
     val keys = footer.streamKeys
-    if (mapCols.exists(c => keys.contains(s"$c#len")))
-      return refuse("plain (non-flatmap) map layout")
     val keyId: Map[String, Int] = keys.zipWithIndex.toMap
-    // classify every stream; anything unrecognized makes the file ineligible
-    val streamCls = new Array[Int](keys.length)
-    val valueIn = Array.fill(keys.length)(-1)
-    var ci = 0
-    while (ci < keys.length) {
-      val k = keys(ci)
-      val fm = k.indexOf("#fm:")
-      if (auxIndexKey(k, fieldType)) streamCls(ci) = ClsAux
-      else if (fieldType.get(k).exists(!_.isInstanceOf[MapType])) streamCls(ci) = ClsRow
-      else if (k.endsWith("#nanos") && fm < 0 &&
-          fieldType.contains(k.stripSuffix("#nanos"))) streamCls(ci) = ClsRow
-      else if (k.endsWith("#nulls") && mapCols(k.stripSuffix("#nulls"))) streamCls(ci) = ClsRow
-      else if (k.indexOf("#in:") > 0 && mapCols(k.substring(0, k.indexOf("#in:"))) &&
-          k.indexOf('#', k.indexOf("#in:") + 4) < 0) streamCls(ci) = ClsRow
-      else if (fm > 0 && mapCols(k.substring(0, fm))) {
-        // value stream 'c#fm:key' or its '#nanos' sibling; a map key that
-        // itself contains '#' is ambiguous against the suffix grammar -> out
-        val rest0 = k.substring(fm + 4)
-        val rest = if (rest0.endsWith("#nanos")) rest0.dropRight(6) else rest0
-        if (rest.isEmpty || rest.contains('#'))
-          return refuse(s"ambiguous flatmap stream key '$k'")
-        val inKey = k.substring(0, fm) + "#in:" + rest
-        keyId.get(inKey) match {
-          case Some(inId) => streamCls(ci) = ClsValue; valueIn(ci) = inId
-          case None => return refuse(s"flatmap value stream '$k' without '$inKey'")
-        }
-      } else return refuse(s"unrecognized stream key '$k'")
-      ci += 1
-    }
-    val nanosSplit: Set[String] =
-      keys.filter(k => k.endsWith("#nanos") && !k.contains("#fm:"))
-        .map(_.stripSuffix("#nanos")).toSet
+    // classify every stream against the schema tree; anything the grammar
+    // can't place makes the file ineligible
+    val (streamCls, chain, nanosSplit) =
+      classifyStreams(schema, keys, keyId, fieldType).getOrElse(
+        return refuse("unrecognized/ambiguous stream layout"))
     val refs = filters.flatMap(_.references).toSet
-    if (!refs.forall(n => fieldType.contains(n) && !mapCols(n)))
+    if (!refs.forall(n => fieldType.get(n).exists(isAtomic)))
       return refuse("filter ref not an atomic field")
     val nStreams = keys.length
     val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
@@ -605,9 +662,11 @@ object Surgery {
     val statsOk = Array.fill(footer.stripes.length)(true)
     var s = 0
     while (s < footer.stripes.length) {
-      // row-aligned streams first (they define the grid), then value streams
+      // row-aligned streams first (they define the grid), then the chained /
+      // store streams (chunk-count aligned, own row counts)
       for (pass <- 0 to 1; id <- 0 until nStreams
-           if streamCls(id) == (if (pass == 0) ClsRow else ClsValue)) {
+           if (pass == 0 && streamCls(id) == ClsRow) ||
+              (pass == 1 && (streamCls(id) == ClsValue || streamCls(id) == ClsStore))) {
         if (r.streamLoc(s, id).length == 0L) {
           // stream absent from this whole stripe (registered later / never):
           // zero frames to copy, zero grid participation
@@ -638,7 +697,7 @@ object Surgery {
       if (dataRows(s) == null) return refuse(s"stripe $s: no data streams")
       s += 1
     }
-    Some(new Prep(fieldType, keys, keyId, nanosSplit, streamCls, valueIn,
+    Some(new Prep(fieldType, keys, keyId, nanosSplit, streamCls, chain,
       statsOk, dirs, dataIdx, dataRows))
   }
 
@@ -790,20 +849,33 @@ object Surgery {
     s.toArray
   }
 
-  /** [[emitStream]]'s sibling for a COMPACTED flatmap value stream: chunk k
-    * stores only the rows whose in-map bit is set, so a mixed chunk's
-    * row-domain keep-mask first projects through the sibling in-map chunk
-    * (decoded from `inBytes` in lockstep) and then masks the values. Raw
-    * and dropped chunks behave exactly as in [[emitStream]]. */
-  private def emitValueStream(w: Tablet.Writer, id: Int, bytes: Array[Byte],
-      dir: Array[Tablet.ChunkLoc], inBytes: Array[Byte],
-      cls: Array[Int], masks: Array[Array[Boolean]]): Unit = {
+  /** [[emitStream]]'s sibling for a DOMAIN-CHAINED stream (flatmap values,
+    * array/map element streams, arbitrarily nested): chunk k stores values
+    * in a projected domain, so a mixed chunk's row-domain keep-mask folds
+    * through the chain — an ('I', inId) step selects the positions whose
+    * in-map bit is set, an ('L', lenId) step replicates each slot's bit by
+    * its length (null lengths are zero) — and then masks the values. The
+    * step streams' chunks decode in lockstep (ordinal grids align by
+    * construction). Raw and dropped chunks behave exactly as in
+    * [[emitStream]]. */
+  private def emitChainStream(w: Tablet.Writer, id: Int, bytes: Array[Byte],
+      dir: Array[Tablet.ChunkLoc], steps: List[(Char, Int)],
+      allBytes: Array[Array[Byte]], cls: Array[Int],
+      masks: Array[Array[Boolean]]): Unit = {
     val anyMixed = cls.exists(_ == 2)
     val cursor = if (anyMixed && bytes.length > 0) new Tablet.ChunkCursor(bytes) else null
-    val inCursor = if (cursor != null) new Tablet.ChunkCursor(inBytes) else null
+    val stepCursors: Array[Tablet.ChunkCursor] =
+      if (cursor == null) null
+      else steps.map { case (_, sid) => new Tablet.ChunkCursor(allBytes(sid)) }.toArray
+    val stepKinds: Array[Char] = steps.map(_._1).toArray
     def frame(pos: Int): Array[Byte] = {
       val until = if (pos + 1 < dir.length) dir(pos + 1).offset.toInt else bytes.length
       java.util.Arrays.copyOfRange(bytes, dir(pos).offset.toInt, until)
+    }
+    def skipAll(): Unit = if (cursor != null) {
+      cursor.skip()
+      var i = 0
+      while (i < stepCursors.length) { stepCursors(i).skip(); i += 1 }
     }
     var k = 0 // data ordinal
     var pos = 0 // frame position
@@ -812,26 +884,56 @@ object Surgery {
       else {
         cls(k) match {
           case 0 => w.copyRawChunk(id, frame(pos), dir(pos).rows, dir(pos).stats)
-            if (cursor != null) { cursor.skip(); inCursor.skip() }
-          case 1 => if (cursor != null) { cursor.skip(); inCursor.skip() }
+            skipAll()
+          case 1 => skipAll()
           case _ =>
-            val ib = inCursor.next().asInstanceOf[BoolsCol].values
-            val keep = masks(k)
+            var mask = masks(k) // row domain
+            var si = 0
+            while (si < stepCursors.length) {
+              val c = stepCursors(si)
+              stepKinds(si) match {
+                case 'I' =>
+                  val ib = c.next().asInstanceOf[BoolsCol].values
+                  var trues = 0
+                  var i = 0
+                  while (i < ib.length) { if (ib(i)) trues += 1; i += 1 }
+                  val nm = new Array[Boolean](trues)
+                  var j = 0
+                  i = 0
+                  while (i < ib.length) {
+                    if (ib(i)) { nm(j) = mask(i); j += 1 }
+                    i += 1
+                  }
+                  mask = nm
+                case _ => // 'L'
+                  val lc = expand(c.next()).asInstanceOf[LongsCol]
+                  var total = 0L
+                  var i = 0
+                  while (i < lc.len) {
+                    if (lc.nulls == null || !lc.nulls(i)) total += lc.values(i)
+                    i += 1
+                  }
+                  val nm = new Array[Boolean](total.toInt)
+                  var o = 0
+                  i = 0
+                  while (i < lc.len) {
+                    val l = if (lc.nulls != null && lc.nulls(i)) 0L else lc.values(i)
+                    val m = mask(i)
+                    var e = 0
+                    while (e < l) { nm(o) = m; o += 1; e += 1 }
+                    i += 1
+                  }
+                  mask = nm
+              }
+              si += 1
+            }
             val vcol = expand(cursor.next())
-            val vm = new Array[Boolean](vcol.len)
+            require(mask.length == vcol.len,
+              s"chained chunk $k of stream $id: ${vcol.len} values vs ${mask.length} projected slots")
             var vkn = 0
             var i = 0
-            var j = 0
-            while (i < ib.length) {
-              if (ib(i)) {
-                if (keep(i)) { vm(j) = true; vkn += 1 }
-                j += 1
-              }
-              i += 1
-            }
-            require(j == vcol.len,
-              s"flatmap value chunk $k: ${vcol.len} values vs $j in-map bits")
-            w.writeChunk(id, filterCol(vcol, vm, vkn))
+            while (i < mask.length) { if (mask(i)) vkn += 1; i += 1 }
+            w.writeChunk(id, filterCol(vcol, mask, vkn))
         }
         k += 1
       }

@@ -211,6 +211,55 @@ class SurgeryFuzzSpec extends SparkTestBase {
     assert(rew > 0, "no flatmap trial rewrote a boundary chunk")
   }
 
+  test("seeded fuzz: nested-schema surgery DELETE == Spark oracle") {
+    val rnd = new scala.util.Random(4242)
+    Surgery.resetCounters()
+    var raw = 0L; var rew = 0L
+    for (trial <- 0 until 5) {
+      val dir = tmpDir(s"sfz-nest-$trial")
+      val n = 12000 + rnd.nextInt(15000)
+      val rpc = Seq(1024, 2048)(rnd.nextInt(2))
+      val dedup = trial % 2 == 1
+      var w = spark.range(n.toLong).toDF("id")
+        .withColumn("g", (col("id") / (20 + rnd.nextInt(60)).toLong).cast("long"))
+        .selectExpr("id",
+          "named_struct('a', pmod(id, 11), 'b', CAST(id % 3 = 0 AS BOOLEAN)) AS st",
+          "sequence(0, pmod(id, 5)) AS arr",
+          "array(g, g) AS da",
+          "map_from_arrays(array('p', 'q'), array(CAST(id AS DOUBLE), CAST(g AS DOUBLE))) AS mp",
+          "CAST(id % 71 AS DOUBLE) AS v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("rowsPerChunk", rpc.toString).mode("overwrite")
+      if (dedup) w = w.option("dictionaryArrayColumns", "da")
+        .option("deduplicatedMapColumns", "mp")
+      w.save(dir)
+      val table = spark.read.format("nimble").load(dir)
+      val cond = trial % 3 match {
+        case 0 => col("id") >= (n / 2 + rnd.nextInt(n / 3)).toLong
+        case 1 =>
+          val lo = rnd.nextInt(n / 2).toLong
+          col("id") >= lo && col("id") < lo + 1 + rnd.nextInt(n / 3)
+        case _ => col("v") > rnd.nextInt(60).toDouble
+      }
+      val fp = Seq("id", "v", "st.a AS sa", "st.b AS sb",
+        "aggregate(arr, CAST(0 AS LONG), (x, y) -> x + y) AS arrs", "size(arr) AS arrn",
+        "aggregate(da, CAST(0 AS LONG), (x, y) -> x + y) AS das",
+        "element_at(mp, 'p') AS mpp", "element_at(mp, 'q') AS mpq")
+      val expected = table.filter(coalesce(not(cond), lit(true)))
+        .selectExpr(fp: _*).collect().map(_.toString).sorted
+      Delete.delete(spark, dir, cond)
+      raw += Surgery.lastRawChunks.get()
+      rew += Surgery.lastRewrittenChunks.get()
+      val got = spark.read.format("nimble").load(dir)
+        .selectExpr(fp: _*).collect().map(_.toString).sorted
+      assert(got.sameElements(expected),
+        s"nested trial $trial drifted (dedup=$dedup, cond $cond)")
+    }
+    assert(raw > 0, "no nested trial raw-copied — nested surgery stopped engaging")
+    assert(rew > 0, "no nested trial rewrote a boundary chunk")
+  }
+
   test("seeded fuzz: typed-literal UPDATE (date/timestamp/decimal) == Spark oracle") {
     val rnd = new scala.util.Random(1919)
     Surgery.resetCounters()

@@ -432,18 +432,88 @@ class SurgerySpec extends SparkTestBase {
     assert(af2.filter(col("id") >= 100L && col("ts").isNull).count() == 0L)
   }
 
-  test("ineligible files fall back to the rewrite job (nested schema), same result") {
+  test("nested-schema delete surgery: struct children + array elements mask through lens") {
     val dir = tmpDir("surg-nested")
+    // struct of atomics (row-aligned children), variable-length array
+    // (element stream masks through the #len chain), plain map (key/value
+    // element streams share the #len chain)
     spark.range(20000L).toDF("id")
-      .withColumn("a", array(col("id"), col("id") * 2))
+      .withColumn("st", struct((col("id") % 7).as("a"),
+        md5(col("id").cast("string")).as("b")))
+      .withColumn("arr", sequence(lit(0L), pmod(col("id"), lit(4L))))
+      .selectExpr("id", "st", "arr",
+        "map_from_arrays(array('x'), array(CAST(id AS DOUBLE))) AS mp")
       .repartitionByRange(1, col("id")).sortWithinPartitions("id")
       .write.format("nimble").option("sortColumns", "id")
-      .option("rowsPerChunk", "4096").mode("overwrite").save(dir)
+      .option("rowsPerChunk", "2048").mode("overwrite").save(dir)
+    val table = spark.read.format("nimble").load(dir)
+    val fp = Seq("id", "st.a AS sa", "st.b AS sb",
+      "aggregate(arr, CAST(0 AS LONG), (x, y) -> x + y) AS arrsum", "size(arr) AS arrn",
+      "element_at(mp, 'x') AS mx")
+    val expected = table.filter(col("id") < 15000L)
+      .selectExpr(fp: _*).collect().map(_.toString).sorted
+    Surgery.resetCounters()
+    val rep = Delete.delete(spark, dir, col("id") >= 15000L)
+    assert(rep.rowsDeleted == 5000L, s"nested delete drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0L && Surgery.lastRewrittenChunks.get() >= 1L,
+      s"nested schemas must take surgery now (refusal='${Surgery.lastRefusal}')")
+    val got = spark.read.format("nimble").load(dir)
+      .selectExpr(fp: _*).collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "nested-schema surgery drifted")
+  }
+
+  test("dedup layouts: dict-array / sliding-window-map chunk-scoped stores survive surgery") {
+    val dir = tmpDir("surg-dedup")
+    // runs of identical arrays/maps: the dedup layouts store each unique
+    // once per chunk; kept/mixed chunks raw-copy the store (orphans fine),
+    // dropped chunks drop it (chunk-scoped, no cross-references)
+    spark.range(30000L).toDF("id")
+      .withColumn("g", (col("id") / 50L).cast("long")) // 50-row runs
+      .selectExpr("id",
+        "array(g, g + 1, g + 2) AS da",
+        "map_from_arrays(array('k'), array(g)) AS dm",
+        "CAST(id % 43 AS DOUBLE) AS v")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("dictionaryArrayColumns", "da").option("deduplicatedMapColumns", "dm")
+      .option("rowsPerChunk", "2048").mode("overwrite").save(dir)
+    locally { // fixture sanity: the dedup layouts actually engaged
+      val r = new graft.format.Tablet.Reader(graft.spark.NimbleSource.listFiles(dir).head)
+      try {
+        assert(r.keyId("da#idx") >= 0, "dict-array layout must engage")
+        assert(r.keyId("dm#idx") >= 0, "dedup-map layout must engage")
+      } finally r.close()
+    }
+    val table = spark.read.format("nimble").load(dir)
+    val fp = Seq("id", "v", "aggregate(da, CAST(0 AS LONG), (x, y) -> x + y) AS das",
+      "element_at(dm, 'k') AS dmk")
+    val expected = table.filter(col("id") < 21000L)
+      .selectExpr(fp: _*).collect().map(_.toString).sorted
+    Surgery.resetCounters()
+    val rep = Delete.delete(spark, dir, col("id") >= 21000L)
+    assert(rep.rowsDeleted == 9000L, s"dedup-layout delete drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0L,
+      s"dedup layouts must take surgery (refusal='${Surgery.lastRefusal}')")
+    val got = spark.read.format("nimble").load(dir)
+      .selectExpr(fp: _*).collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "dedup-layout surgery drifted")
+  }
+
+  test("ineligible files fall back to the rewrite job (flatmap key containing '#')") {
+    val dir = tmpDir("surg-hashkey")
+    spark.range(20000L).toDF("id")
+      .selectExpr("id",
+        "map_from_arrays(array(concat('a#', CAST(pmod(id, 5) AS STRING))), " +
+          "array(CAST(id AS DOUBLE))) AS m")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("flatMapColumns", "m").option("rowsPerChunk", "4096")
+      .mode("overwrite").save(dir)
     Surgery.resetCounters()
     val rep = Delete.delete(spark, dir, col("id") >= 15000L)
     assert(rep.rowsDeleted == 5000L, s"fallback path drifted: $rep")
     assert(Surgery.lastRawChunks.get() == 0L && Surgery.lastRewrittenChunks.get() == 0L,
-      "a nested-schema file must not take the surgery path")
+      "a '#'-bearing flatmap key is ambiguous against the stream grammar — must fall back")
     assert(spark.read.format("nimble").load(dir).count() == 15000L)
   }
 
