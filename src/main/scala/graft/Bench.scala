@@ -500,6 +500,43 @@ object Bench {
         s
       }
 
+      // r19: the same retention delete on an INDEX+BLOOM-bearing sorted
+      // table — the canonical production shape. Through r18 this regressed
+      // to the O(file) rewrite (surgery refused aux streams); the chunk
+      // surgery now adopts the blooms and remaps the index entries, so the
+      // wall should track scale_delete, not the rewrite. filesRewritten and
+      // the index's survival are asserted, the seconds go in the dump.
+      spark.sql("DROP TABLE IF EXISTS gbenchrl.default.scale_del_idx")
+      spark.read.format("nimble").load(scaleIdxDir)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+        .writeTo("gbenchrl.default.scale_del_idx")
+        .tableProperty("sortColumns", "id")
+        .tableProperty("indexColumns", "skey")
+        .tableProperty("bloomFilterColumns", "skey").create()
+      val diDir = s"$wh/default/scale_del_idx"
+      val (diSec, diRep) = cal("scale_delete_indexed")(time {
+        graft.ops.Delete.delete(spark, diDir, col("id") >= 6000000L)
+      })
+      assert(diRep.rowsDeleted == 2000000L, s"indexed delete drifted: $diRep")
+      assert(diRep.filesRewritten <= 1, s"indexed retention delete must be ~metadata-only: $diRep")
+      results("scale_delete_indexed") = diSec
+      retryIfLoaded("scale_delete_indexed") {
+        val (s2, r2i) = time {
+          graft.ops.Delete.delete(spark, diDir, col("id") >= 4000000L)
+        }
+        assert(r2i.rowsDeleted == 2000000L, s"indexed delete r2 drifted: $r2i")
+        s2
+      }
+      // the surviving files still carry their index streams (remapped, not
+      // dropped) — a regression to drop-on-surgery would show here
+      locally {
+        val f = graft.spark.NimbleSource.listFiles(diDir).head
+        val r = new graft.format.Tablet.Reader(f)
+        try assert(r.footer.streamKeys.exists(_.startsWith("#idx:")),
+          "index streams must survive the surgered retention delete")
+        finally r.close()
+      }
+
       // SQL UPDATE at scale: the runtime group filter must restrict the
       // copy-on-write to the file(s) holding the 100K-row keyhole — wall
       // clock is one file's rewrite, not six million rows'. min-of-2: the

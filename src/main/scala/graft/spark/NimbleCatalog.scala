@@ -87,12 +87,21 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
         case Some((cols, n)) =>
           Map("bucketColumns" -> cols.mkString(","), "numBuckets" -> n.toString) ++ sortProp(files)
         case None if files.isEmpty =>
-          spec.view.filterKeys(k => k == "bucketColumns" || k == "numBuckets" || k == "sortColumns")
-            .toMap
+          spec.view.filterKeys(k => k == "bucketColumns" || k == "numBuckets" ||
+            LayoutPropKeys(k)).toMap
         case None => sortProp(files)
       }
     new NimbleTable(dir, schema, props)
   }
+
+  /** Physical-layout table properties a CREATE TABLE may declare — they
+    * ride the `_table.json` spec until the first write materializes them
+    * into footers (after which the files are authoritative, same contract
+    * as sortColumns/bucket). */
+  private val LayoutPropKeys: Set[String] = Set("sortColumns", "indexColumns",
+    "bloomFilterColumns", "flatMapColumns", "timestampNanosColumns",
+    "dictionaryArrayColumns", "deduplicatedMapColumns", "rowsPerChunk",
+    "stripeBytes")
 
   private def sortProp(files: Seq[String]): Map[String, String] =
     files.headOption.map(f => NimbleSource.footerOf(f).sortColumns) match {
@@ -134,7 +143,7 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
     val spec = Map("schema" -> schema.json) ++
       bucket.map { case (c, n) => Map("bucketColumns" -> c.mkString(","),
         "numBuckets" -> n.toString) }.getOrElse(Map.empty) ++
-      props.get("sortColumns").map(s => Map("sortColumns" -> s)).getOrElse(Map.empty)
+      props.view.filterKeys(LayoutPropKeys).toMap
     GraftIO.mkdirs(dir)
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.JObject(spec.map { case (k, v) => (k, org.json4s.JString(v)) }.toList))

@@ -17,6 +17,31 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("CTAS layout properties: indexColumns/bloomFilterColumns ride the spec into the first write") {
+    val wh = tmpDir("ctas_wh")
+    withConfs(
+      "spark.sql.catalog.gctas" -> classOf[graft.spark.NimbleCatalog].getName,
+      "spark.sql.catalog.gctas.warehouse" -> wh) {
+      spark.range(30000).selectExpr("id",
+        "md5(CAST(id AS STRING)) AS skey", "CAST(id % 7 AS DOUBLE) AS v")
+        .writeTo("gctas.t_idx")
+        .tableProperty("sortColumns", "id")
+        .tableProperty("indexColumns", "skey")
+        .tableProperty("bloomFilterColumns", "skey")
+        .create()
+      val f = graft.spark.NimbleSource.listFiles(s"$wh/t_idx").head
+      val r = new graft.format.Tablet.Reader(f)
+      try {
+        assert(r.footer.sortColumns == Seq("id"), "sortColumns lost in CTAS")
+        assert(r.footer.streamKeys.exists(_.startsWith("#idx:skey")),
+          "indexColumns table property must reach the first write")
+        val sid = r.keyId("skey")
+        assert((0 until r.footer.stripes.length).exists(s => r.streamBloom(s, sid).nonEmpty),
+          "bloomFilterColumns table property must reach the first write")
+      } finally r.close()
+    }
+  }
+
   test("bucketed write: one file per bucket, footers declare the spec, rows round-trip") {
     val dir = tmpDir("bkt_write")
     val df = spark.range(10000).selectExpr("id AS k", "md5(CAST(id AS STRING)) AS s")
