@@ -1396,7 +1396,21 @@ class NimbleTable(path: String, schema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireSingleDir("a write")
-    new NimbleWriteBuilder(path, info.schema(), merged(info.options()))
+    new NimbleWriteBuilder(path, info.schema(), merged(info.options()),
+      appendLayoutFn = () =>
+        // r19: a plain APPEND preserves the table's per-file-LOCAL layout
+        // (index/bloom/flatmap/nanos-split/dedup declarations recovered
+        // from the existing footers) so appended files keep their lookup
+        // and shred structure instead of silently degrading to scans.
+        // Cross-row-ORDER claims (sortColumns, bucket spec) are
+        // deliberately NOT recovered: an unsorted/unclustered append
+        // declaring them would make the footers lie to TopN pushdown and
+        // SPJ — the documented contract stays "a plain append voids the
+        // sort/bucket declaration". Overwrites never consult this (the
+        // doomed files' layout must not leak into a fresh write).
+        try graft.ops.Compaction.recoverLayout(path).view.filterKeys(k =>
+          k != "sortColumns" && k != "bucketColumns" && k != "numBuckets").toMap
+        catch { case _: Throwable => Map.empty[String, String] })
   }
 }
 
@@ -2776,12 +2790,24 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
 
 // ----------------------------------------------------------------- write
 
-class NimbleWriteBuilder(path: String, schema: StructType, options: CaseInsensitiveStringMap,
-    replaceFilesFn: () => Seq[String] = null)
+class NimbleWriteBuilder(path: String, schema: StructType, options0: CaseInsensitiveStringMap,
+    replaceFilesFn: () => Seq[String] = null,
+    appendLayoutFn: () => Map[String, String] = null)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = { truncateFirst = true; this }
+
+  // effective options: appends fold the recovered per-file-local layout
+  // UNDER the explicit options (explicit always wins); resolved once at
+  // first use, which is always after the truncate/overwrite calls
+  private lazy val options: CaseInsensitiveStringMap = {
+    val recovered =
+      if (truncateFirst || appendLayoutFn == null) Map.empty[String, String]
+      else appendLayoutFn()
+    if (recovered.isEmpty) options0
+    else new CaseInsensitiveStringMap((recovered ++ options0.asScala).asJava)
+  }
 
   private def sortCols: Seq[String] =
     Option(options.get("sortColumns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)

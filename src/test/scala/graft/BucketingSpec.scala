@@ -42,6 +42,48 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("plain append preserves per-file-local layout (index/bloom), not sort/bucket claims") {
+    val dir = tmpDir("append_layout")
+    spark.range(20000).selectExpr("id", "md5(CAST(id AS STRING)) AS skey")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .option("indexColumns", "skey").option("bloomFilterColumns", "skey")
+      .mode("overwrite").save(dir)
+    val before = graft.spark.NimbleSource.listFiles(dir).toSet
+    // plain append, NO layout options: new files must keep index + blooms
+    // (per-file-local structures) but must NOT claim the sort order
+    spark.range(20000, 25000).selectExpr("id", "md5(CAST(id AS STRING)) AS skey")
+      .write.format("nimble").mode("append").save(dir)
+    val appended = graft.spark.NimbleSource.listFiles(dir).filterNot(before)
+    assert(appended.nonEmpty)
+    for (f <- appended) {
+      val r = new graft.format.Tablet.Reader(f)
+      try {
+        assert(r.footer.streamKeys.exists(_.startsWith("#idx:skey")),
+          s"appended file $f lost the hash index")
+        val sid = r.keyId("skey")
+        assert((0 until r.footer.stripes.length).exists(s => r.streamBloom(s, sid).nonEmpty),
+          s"appended file $f lost its blooms")
+        assert(r.footer.sortColumns.isEmpty,
+          s"an unsorted append must not claim sortColumns: $f")
+      } finally r.close()
+    }
+    // lookups keep working across old and new files
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("23000".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (rows, m) = graft.format.Lookup.pointLookupMetered(dir, "skey", hex)
+    assert(rows.length == 1 && rows.head("id") == 23000L)
+    assert(m.indexProbes > 0, "appended rows must be index-served")
+    // an overwrite does NOT inherit the doomed files' layout
+    spark.range(100).selectExpr("id", "md5(CAST(id AS STRING)) AS skey")
+      .write.format("nimble").mode("overwrite").save(dir)
+    val fresh = graft.spark.NimbleSource.listFiles(dir).head
+    val r2 = new graft.format.Tablet.Reader(fresh)
+    try assert(!r2.footer.streamKeys.exists(_.startsWith("#idx:")),
+      "overwrite must not inherit the previous contents' index layout")
+    finally r2.close()
+  }
+
   test("bucketed write: one file per bucket, footers declare the spec, rows round-trip") {
     val dir = tmpDir("bkt_write")
     val df = spark.range(10000).selectExpr("id AS k", "md5(CAST(id AS STRING)) AS s")

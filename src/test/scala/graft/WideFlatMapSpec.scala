@@ -161,10 +161,17 @@ class WideFlatMapSpec extends SparkTestBase {
     val out = tmpDir("widefmnull-out")
     val rep = graft.ops.Compaction.compact(spark, dir, out, targetFileBytes = 1L << 31)
     assert(rep.rows == 200)
-    // genuinely conflicting: a sibling file stores the column as a PLAIN map
+    // genuinely conflicting: a sibling file stores the column as a PLAIN
+    // map. Written to a separate dir and DROPPED IN out-of-band — a plain
+    // append now RECOVERS the flatmap layout from the footers (r19), so the
+    // conflict can only arrive via external file placement
+    val plainDir = tmpDir("widefmnull-plain")
     spark.sql("""
       SELECT id + 1000 AS uid, map('k1', cast(id AS double)) AS features FROM range(50)
-    """).coalesce(1).write.format("nimble").mode("append").save(dir)
+    """).coalesce(1).write.format("nimble").mode("overwrite").save(plainDir)
+    val plainFile = graft.spark.NimbleSource.listFiles(plainDir).head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(plainFile),
+      java.nio.file.Paths.get(dir, "zz-plain-conflict.gft"))
     val e = intercept[IllegalArgumentException] {
       graft.ops.Compaction.recoverLayout(dir)
     }
