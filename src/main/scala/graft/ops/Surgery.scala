@@ -58,17 +58,28 @@ import graft.spark.{Filters, NimbleSource}
   *    chunk decodes for it; UPDATE copies them verbatim (rows never move,
   *    and assignments into index-covered columns are refused).
   *
+  * The FULL nested-schema surface is eligible (r19): [[classifyStreams]]
+  * mirrors Fields.writerFor's stream-key grammar — struct #nulls/children
+  * are row-aligned and mask directly; plain array/map element streams
+  * carry a Len/In DOMAIN CHAIN the row mask folds through (composable for
+  * nested collections); flatmap value streams project through their
+  * sibling in-map step; dict-array/SlidingWindowMap stores are
+  * chunk-scoped (the writer resets dedup state per flushChunk), so
+  * kept/mixed chunks raw-copy the store and dropped chunks drop it.
+  * Stripes whose footer dropped the per-chunk stats block (beyond
+  * Tablet.MaxDirStatsFrames) prove what they can at stripe level and
+  * recover chunk stats from the inline frame headers.
+  *
   * Remaining eligibility is conservative — anything outside it falls back
   * to the whole-file Spark rewrite (correctness never depends on surgery):
   *  - the pushed filters EXACTLY represent the condition (caller
   *    guarantees: SQL deleteWhere filters, or a fully-translated Column);
-  *  - flat atomic schema (no struct/array/map streams whose child grids
-  *    aren't 1:1 with top-level rows);
-  *  - every data chunk carries directory stats (v14 writers);
+  *  - filters reference only top-level atomic columns;
+  *  - every stream key parses under the writer grammar (a map key
+  *    containing '#' is ambiguous — refused);
   *  - chunk grids ordinal-align across streams (verified per stripe from
-  *    the directories' data-frame row counts);
-  *  - filters don't reference nanos-split columns (their raw stats are in
-  *    the micros domain).
+  *    the directories' data-frame row counts).
+  * Refusal reasons surface via [[lastRefusal]].
   */
 object Surgery {
 
