@@ -265,14 +265,21 @@ object Dedup {
     // degree-sum for free — the broadcast gate below becomes a provable
     // bound with zero count jobs (was: measure-then-arm hysteresis with a
     // ≤4-round uncounted window)
-    val degrees = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    // r19: `nbrMin` rides the same aggregate — on round 0's identity labels
+    // the min over neighbor LABELS is just the min over neighbor IDS, so the
+    // whole first round collapses to a projection over this init frame (see
+    // the round-0 fast path below) instead of three corpus-sized self-joins
+    val degrees = edges.groupBy("u")
+      .agg(count(lit(1)).as("deg"), min("v").as("nbrMin"))
     var labels = docs.select(col(idCol).as("u"), col(idCol).as("lbl"))
       .join(degrees, Seq("u"), "left")
-      .select(col("u"), col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .persist()
+      .select(col("u"), col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("nbrMin"))
     // the frame actually persisted each round (unpersist must target the
-    // EXACT cached plan — a projection on top would silently miss the cache)
-    var labelsCache = labels
+    // EXACT cached plan — a projection on top would silently miss the cache).
+    // null until round 0 lands: the init frame is read exactly once, by the
+    // round-0 projection, so caching it would be a wasted full-frame write.
+    var labelsCache: DataFrame = null
     var changed = 1L
     var iter = 0
     // r15: DELTA iteration (the Flink/Giraph CC shape). After the first
@@ -298,12 +305,26 @@ object Dedup {
     lastCandCountJobs.set(0)
     while (changed > 0 && iter < maxIters) {
       val roundT0 = System.nanoTime()
-      val frontier = if (delta == null) labels.select(col("u"), col("lbl")) else delta
+      val next = if (delta == null) {
+        // ---- round 0 fast path (r19): on identity labels every candidate
+        // source is degenerate — lbl(v) = v makes the neighbor join the edge
+        // list itself (its per-node min is `nbrMin`, pre-folded into the init
+        // aggregate), and both the pointer jump and the self re-jump resolve
+        // to label-of(u) = u, provable no-ops. What the general path would
+        // compute with three corpus-sized self-joins and a 2|E|-row
+        // aggregate is exactly this projection — at 100 TB, round 0 is the
+        // largest round, and this removes its full-frame shuffles entirely.
+        bcastLog += false // no candidate set was broadcast (none was built)
+        labels.select(col("u"),
+          least(col("lbl"), coalesce(col("nbrMin"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"), col("deg"))
+      } else {
+      val frontier = delta
       // broadcast the delta side once it is small: the candidate joins then
       // run map-side — no full-frame shuffle. `changed` is EXACTLY the
       // frontier's row count, so this hint is bounded by construction.
       def small(df: DataFrame): DataFrame =
-        if (delta != null && changed <= broadcastMaxRows) broadcast(df) else df
+        if (changed <= broadcastMaxRows) broadcast(df) else df
       // (a) min over CHANGED neighbors' labels ...
       val nbrCand = edges
         .join(small(frontier.select(col("u").as("v"), col("lbl").as("nl"))), Seq("v"))
@@ -337,19 +358,20 @@ object Dedup {
       // the full label frame against the FRONTIER (size = `changed`,
       // exact), so the potentially-huge set of re-pointed rows is a
       // streamed join OUTPUT, never a driver-side build.
-      val candBroadcastable = delta != null && changed <= broadcastMaxRows &&
+      val candBroadcastable = changed <= broadcastMaxRows &&
         frontierDegSum + changed <= broadcastMaxRows
       bcastLog += candBroadcastable
       val cand = if (candBroadcastable) broadcast(candNS) else candNS
       // pointer-jump side of the update: rows whose pointer TARGET is in the
       // frontier take its new label (join key = frontier node id)
       val frontierPtr = small(frontier.select(col("u").as("lbl"), col("lbl").as("pl")))
-      val next = labels.join(frontierPtr, Seq("lbl"), "left")
+      labels.join(frontierPtr, Seq("lbl"), "left")
         .join(cand, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("pl"), col("lbl")),
             coalesce(col("cm"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"), col("deg"))
+      }
       // Cut the SQL plan: persist() truncates *execution* but not the
       // *logical plan* — each round's `next` references `labels` in three
       // joins, so the plan tree grows ~4^k and deep chains OOM the driver
@@ -380,7 +402,9 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"CC round=$iter changed=$changed degSum=$frontierDegSum " +
           f"wall=${(System.nanoTime() - roundT0) / 1e9}%.3f s")
-      labelsCache.unpersist() // safe: cut is materialized, no recompute through it
+      // safe: cut is materialized, no recompute through it (null on round 0 —
+      // the init frame was never cached)
+      if (labelsCache != null) labelsCache.unpersist()
       labelsCache = cut
       labels = cut.select(col("u"), col("lbl"), col("deg"))
       // next round's frontier: a cheap filter over the round's own cache
