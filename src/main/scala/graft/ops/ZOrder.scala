@@ -50,6 +50,38 @@ object ZOrder {
       .sample(withReplacement = false, frac, seed = 42)
       .limit((2 * target).toInt) // hard cap: a mis-estimated frac cannot flood the driver
       .collect().map(_.get(0))
+    boundariesOf(sampled, buckets)
+  }
+
+  /** One joint planning sample for every curve column — k per-column sample
+    * scans fold into a single pass over the table, so planning cost stops
+    * scaling with the curve's dimensionality. A column whose non-null yield
+    * lands too thin (a mostly-null column no longer pre-filtered before
+    * sampling) falls back to its own null-filtered pass, restoring the
+    * dedicated sample's boundary quality at the cost of one extra scan for
+    * just that column. */
+  private def sampleAllBoundaries(df: DataFrame, cols: Seq[String], buckets: Int,
+      totalRows: Long): Map[String, Array[Any]] = {
+    val target = 64L * buckets
+    val frac = math.min(1.0, target.toDouble / math.max(1L, totalRows))
+    val sampled = df.select(cols.map(col): _*)
+      .sample(withReplacement = false, frac, seed = 42)
+      .limit((2 * target).toInt) // hard cap: a mis-estimated frac cannot flood the driver
+      .collect()
+    // the yield a dedicated null-filtered pass would have achieved
+    val fullYield = math.min(target, math.max(1L, totalRows))
+    cols.zipWithIndex.map { case (c, i) =>
+      val vals = sampled.map(_.get(i)).filter(_ != null)
+      val bounds =
+        if (vals.length.toLong * 4 < fullYield) sampleBoundaries(df, c, buckets, totalRows)
+        else boundariesOf(vals, buckets)
+      c -> bounds
+    }.toMap
+  }
+
+  /** Equal-frequency boundaries (up to `buckets-1` distinct values) of a
+    * driver-side sample. */
+  private def boundariesOf(sampled: Array[Any], buckets: Int): Array[Any] = {
     if (sampled.isEmpty) return Array.empty
     implicit val ord: Ordering[Any] = new Ordering[Any] {
       @SuppressWarnings(Array("unchecked"))
@@ -100,8 +132,9 @@ object ZOrder {
     }
     graft.functions.ZOrderKey.register(df.sparkSession)
     val rows = if (totalRows >= 0) totalRows else df.count()
+    val allBounds = sampleAllBoundaries(df, cols, buckets, rows)
     val ids = cols.map { c =>
-      val bounds = sampleBoundaries(df, c, buckets, rows)
+      val bounds = allBounds(c)
       if (bounds.isEmpty) lit(0) // all-null or empty column: constant bucket
       else {
         // cast the literal array to the column's exact type (lit() can
@@ -121,7 +154,18 @@ object ZOrder {
     require(new java.io.File(dir).getCanonicalPath !=
         new java.io.File(outDir).getCanonicalPath,
       s"nimble: zorder: outDir must differ from the input directory ($dir)")
-    val layout = Compaction.recoverLayout(dir)
+    // probe-only phase walls, same contract as Delete's GRAFT_DML_PHASES
+    val phasePrint = sys.env.contains("GRAFT_DML_PHASES")
+    def phase[A](name: String)(body: => A): A = {
+      if (!phasePrint) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[zorder-phase] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+    }
+    val layout = phase("recoverLayout")(Compaction.recoverLayout(dir))
     require(!layout.contains("numBuckets"),
       s"nimble: zorder: $dir is hash-bucketed — z-ordering would break the " +
         "storage-partitioned-join layout; compact within buckets instead")
@@ -139,7 +183,7 @@ object ZOrder {
     // survive the rewrite untouched, not be overwritten by the curve key
     var zc = "__zkey"
     while (df.schema.fieldNames.contains(zc)) zc += "_"
-    val keyed = df.withColumn(zc, zkey(df, cols, buckets, totalRows))
+    val keyed = df.withColumn(zc, phase("sampleBoundaries")(zkey(df, cols, buckets, totalRows)))
     val shaped = keyed
       .repartitionByRange(nOut, col(zc))
       .sortWithinPartitions(zc)
@@ -147,7 +191,7 @@ object ZOrder {
 
     var w = shaped.write.format("nimble").mode("overwrite")
     opts.foreach { case (k, v) => w = w.option(k, v) }
-    w.save(outDir)
+    phase("shuffleWrite")(w.save(outDir))
 
     val after = GraftIO.listGft(outDir)
     Compaction.Report(before.length, after.length, bytesBefore,
