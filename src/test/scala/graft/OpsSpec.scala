@@ -351,6 +351,37 @@ class OpsSpec extends SparkTestBase {
       "doc-z" -> "doc-a", "solo" -> "solo"), s"got $sgot")
   }
 
+  test("dedupClusters fuzz: random graphs match a driver-side union-find oracle (seeded)") {
+    import spark.implicits._
+    // property guard over arbitrary topologies (the fixed-shape arms above
+    // pin specific gate behaviors): sparse shuffled ids so component-min
+    // semantics never coincide with index order, self-loops and duplicate
+    // edges allowed, caps rotated so trials cross the broadcast/shuffle
+    // gate both ways. Oracle: driver-side union-find with min-root merges
+    // (the root of every set is its minimum by construction).
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 6) {
+      val n = 30 + rnd.nextInt(170)
+      val m = rnd.nextInt(2 * n) // 0..2n edges — includes edge-free trials
+      val ids = rnd.shuffle((0 until 3 * n).toVector).take(n).map(_.toLong * 7 + 3)
+      val edges = Vector.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.map(i => i -> find(i)).toMap
+      val cap = Seq(4L, 32L, 2000000L)(trial % 3)
+      val got = Dedup.dedupClusters(ids.toDF("doc_id"), "doc_id",
+          edges.toDF("a", "b"), broadcastMaxRows = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial=$trial n=$n m=$m cap=$cap " +
+        s"diff=${(got.toSet diff expect.toSet).take(5)}")
+      assert(Dedup.lastCandCountJobs.get() == 0, s"trial=$trial ran a count job")
+    }
+  }
+
   test("kmeansInt8: Lloyd invariants — deterministic, in-range, nearest-centroid-consistent") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val a = Similarity.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 2)
