@@ -890,7 +890,64 @@ object Tablet {
       val tk = ks(i); ks(i) = ks(j); ks(j) = tk
       val tv = vs(i); vs(i) = vs(j); vs(j) = tv
     }
-    def sortPairs(): Unit = if (n > 1) quick(0, n - 1)
+    def sortPairs(): Unit =
+      if (n > 1) {
+        // Index-entry positions are appended in (chunk, row) order, so within
+        // equal keys insertion order IS ascending value order — a STABLE sort
+        // by key alone yields the full (key asc, value asc) contract without
+        // ever touching the value words. The O(n) prescan makes that
+        // assumption safe for any future caller: non-monotonic values fall
+        // back to the comparison sort. Small buffers also stay on quicksort
+        // (radix's histogram + temp arrays only pay off past ~8K entries;
+        // at the hash-index shape — millions of uniform 64-bit hashes per
+        // stripe flush — radix runs ~3x faster with identical output).
+        var mono = n >= (1 << 13)
+        if (mono) {
+          var i = 1
+          while (mono && i < n) { mono = vs(i - 1) < vs(i); i += 1 }
+        }
+        if (mono) radixByKey() else quick(0, n - 1)
+      }
+
+    /** Stable LSD radix sort by key (16-bit digits, ≤4 passes; constant
+      * digits skip their scatter — small-domain sorted-index keys finish in
+      * 1-2 passes). The top digit XORs the sign bit so signed key order
+      * falls out of unsigned digit order, matching [[quick]]'s comparator
+      * exactly. */
+    private def radixByKey(): Unit = {
+      var srcK = ks; var srcV = vs
+      var dstK: Array[Long] = null; var dstV: Array[Long] = null
+      val count = new Array[Int](1 << 16)
+      var pass = 0
+      while (pass < 4) {
+        val shift = pass << 4
+        val signFlip = if (pass == 3) 0x8000 else 0
+        java.util.Arrays.fill(count, 0)
+        var i = 0
+        while (i < n) {
+          count((((srcK(i) >>> shift) & 0xffffL).toInt) ^ signFlip) += 1
+          i += 1
+        }
+        // a digit shared by every key sorts nothing: skip the scatter
+        val firstDigit = (((srcK(0) >>> shift) & 0xffffL).toInt) ^ signFlip
+        if (count(firstDigit) != n) {
+          if (dstK == null) { dstK = new Array[Long](n); dstV = new Array[Long](n) }
+          var sum = 0; var d = 0
+          while (d < (1 << 16)) { val c = count(d); count(d) = sum; sum += c; d += 1 }
+          i = 0
+          while (i < n) {
+            val dig = (((srcK(i) >>> shift) & 0xffffL).toInt) ^ signFlip
+            val p = count(dig); count(dig) = p + 1
+            dstK(p) = srcK(i); dstV(p) = srcV(i)
+            i += 1
+          }
+          val tk = srcK; srcK = dstK; dstK = tk
+          val tv = srcV; srcV = dstV; dstV = tv
+        }
+        pass += 1
+      }
+      ks = srcK; vs = srcV // capacity n is fine: add() grows from n == length
+    }
     private def quick(lo0: Int, hi0: Int): Unit = {
       var lo = lo0; var hi = hi0
       while (hi - lo >= 24) {

@@ -26,19 +26,23 @@ object ScaleWriteProbe {
     // 8-of-400 keys), for stack-sampling the 400-stream writer.
     // 'fmstr': same shape with STRING values — exercises the bytes-path
     // nested replay (dict indices / FSST lengths / prefix restarts).
-    if (args.contains("fm") || args.contains("fmstr")) {
+    // 'std': the standard scale-write 'both' shape under the same sampler.
+    if (args.contains("fm") || args.contains("fmstr") || args.contains("std")) {
       val valueExpr =
         if (args.contains("fmstr"))
           "transform(sequence(0, 7), i -> concat('v', CAST(pmod(id + i, 1000) AS STRING)))"
         else "transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))"
-      val fmSrc = spark.range(2000000L)
-        .selectExpr("id",
-          "map_from_arrays(" +
-            "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
-            s"$valueExpr) AS m")
-        .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
-        .sortWithinPartitions("id").cache()
-      fmSrc.count()
+      lazy val fmSrc = {
+        val d = spark.range(2000000L)
+          .selectExpr("id",
+            "map_from_arrays(" +
+              "transform(sequence(0, 7), i -> concat('f', pmod(id * 7 + i * 50, 400))), " +
+              s"$valueExpr) AS m")
+          .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+          .sortWithinPartitions("id").cache()
+        d.count()
+        d
+      }
       // in-process stack sampler (attach is unavailable in some sandboxes):
       // leaf-most graft frame of every executor thread, 5 ms cadence
       val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -72,10 +76,16 @@ object ScaleWriteProbe {
       for (round <- 1 to 3) {
         sampling = round >= 2 // skip the JIT-cold round
         val t0 = System.nanoTime()
-        fmSrc.write.format("nimble").option("flatMapColumns", "m")
-          .option("rowsPerChunk", "16384").option("sortColumns", "id")
-          .mode("overwrite").save(s"$tmp/swp-fm")
-        println(f"fm round=$round ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (args.contains("std"))
+          scaleDf.write.format("nimble").option("rowsPerChunk", "16384")
+            .option("indexColumns", "skey").option("bloomFilterColumns", "skey")
+            .mode("overwrite").save(s"$tmp/swp-std")
+        else
+          fmSrc.write.format("nimble").option("flatMapColumns", "m")
+            .option("rowsPerChunk", "16384").option("sortColumns", "id")
+            .mode("overwrite").save(s"$tmp/swp-fm")
+        println(f"${args.headOption.getOrElse("fm")} round=$round " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       sampler.interrupt()
       val top = scala.jdk.CollectionConverters.MapHasAsScala(counts).asScala.toSeq
