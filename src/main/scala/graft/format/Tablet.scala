@@ -1373,7 +1373,44 @@ object Tablet {
 
     private def collectAux(id: Int, col: Column): Unit = {
       collectNdv(id, col)
-      if (bloomColumns(keys(id))) {
+      val wantBloom = bloomColumns(keys(id))
+      val wantIdx = indexCols(keys(id))
+      if (wantBloom && wantIdx) {
+        // the canonical lookup-table shape — bloom AND index on the same key
+        // column — shares one xxh64 per value between both consumers (the
+        // split paths below would hash every value twice; hashing is ~20% of
+        // an indexed write's CPU)
+        val bbuf = bloomHashes.getOrElseUpdate(id, new LongVec())
+        val ord = idxChunkOrd.getOrElse(id, 0)
+        val buf = idxEntries.getOrElseUpdate(id, new LongPairVec())
+        val sbuf = sidxEntries.getOrElseUpdate(id, new LongPairVec())
+        col match {
+          case c: LongsCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i)) {
+                val h = hashLongValue(c.values(i))
+                val pos = (ord.toLong << 32) | i
+                bbuf.add(h); buf.add(h, pos); sbuf.add(c.values(i), pos)
+              }
+              i += 1
+            }
+          case c: BytesCol =>
+            var i = 0
+            while (i < c.len) {
+              if (c.nulls == null || !c.nulls(i)) {
+                val off = c.offsets(i); val len = c.offsets(i + 1) - off
+                val h = hashBytesValue(c.bytes, off, len)
+                val pos = (ord.toLong << 32) | i
+                bbuf.add(h); buf.add(h, pos); sbuf.add(bytesSortKey(c.bytes, off, len), pos)
+              }
+              i += 1
+            }
+          case _ => () // doubles/bools: rejected for index at write time
+        }
+        idxChunkOrd(id) = ord + 1
+      }
+      if (wantBloom && !wantIdx) {
         val buf = bloomHashes.getOrElseUpdate(id, new LongVec())
         col match {
           case c: LongsCol =>
@@ -1392,7 +1429,7 @@ object Tablet {
           case _ => () // doubles/bools: equality pruning not supported
         }
       }
-      if (indexCols(keys(id))) {
+      if (wantIdx && !wantBloom) {
         val ord = idxChunkOrd.getOrElse(id, 0)
         val buf = idxEntries.getOrElseUpdate(id, new LongPairVec())
         val sbuf = sidxEntries.getOrElseUpdate(id, new LongPairVec())
