@@ -35,6 +35,16 @@ final class ByteSink(initial: Int = 1024) {
     while (i < 8) { buf(pos + i) = (v >> (8 * i)).toByte; i += 1 }
     pos += 8
   }
+  /** Bulk little-endian long write — one capacity check and one buffer-level
+    * put instead of n per-call ensure/shift loops (index streams write
+    * millions of longs per stripe flush). Byte layout identical to n
+    * [[writeLong]] calls. */
+  def writeLongs(vs: Array[Long], n: Int): Unit = {
+    ensure(n << 3)
+    ByteBuffer.wrap(buf, pos, n << 3).order(ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().put(vs, 0, n)
+    pos += n << 3
+  }
   def writeDouble(v: Double): Unit = writeLong(java.lang.Double.doubleToRawLongBits(v))
   def writeFloat(v: Float): Unit = writeInt(java.lang.Float.floatToRawIntBits(v))
 

@@ -884,6 +884,9 @@ object Tablet {
     def size: Int = n
     def key(i: Int): Long = ks(i)
     def value(i: Int): Long = vs(i)
+    /** Backing arrays (valid up to [[size]]) — bulk serialization handoff. */
+    def keysArray: Array[Long] = ks
+    def valuesArray: Array[Long] = vs
     private def less(k1: Long, v1: Long, k2: Long, v2: Long): Boolean =
       k1 < k2 || (k1 == k2 && v1 < v2)
     private def swap(i: Int, j: Int): Unit = {
@@ -1528,8 +1531,8 @@ object Tablet {
           entries.sortPairs()
           val b = stripeBufs(idxId)
           b.writeInt(entries.size)
-          var i = 0; while (i < entries.size) { b.writeLong(entries.key(i)); i += 1 }
-          i = 0; while (i < entries.size) { b.writeLong(entries.value(i)); i += 1 }
+          b.writeLongs(entries.keysArray, entries.size)
+          b.writeLongs(entries.valuesArray, entries.size)
         }
         idxEntries.clear()
       }
@@ -1539,8 +1542,8 @@ object Tablet {
           entries.sortPairs()
           val b = stripeBufs(sidxId)
           b.writeInt(entries.size)
-          var i = 0; while (i < entries.size) { b.writeLong(entries.key(i)); i += 1 }
-          i = 0; while (i < entries.size) { b.writeLong(entries.value(i)); i += 1 }
+          b.writeLongs(entries.keysArray, entries.size)
+          b.writeLongs(entries.valuesArray, entries.size)
         }
         sidxEntries.clear()
       }
