@@ -339,7 +339,29 @@ object Dedup {
       val selfJump = small(frontier)
         .join(labels.select(col("u").as("lbl"), col("lbl").as("sj")), Seq("lbl"))
         .select(col("u"), col("sj").as("c"))
-      val candNS = nbrCand.union(selfJump).groupBy("u").agg(min("c").as("cm"))
+      // r19: DEEP pointer jumping — after the one full-frame hop above,
+      // compose extra hops through the FRONTIER's own label map. A target
+      // that is still converging is almost always itself in the frontier, so
+      // each extra hop is a frontier-sized broadcast join (never another
+      // full-frame scan) yet raises the per-round jump composition: with k
+      // frontier hops the pointer exponent grows ~(k+2)^t across rounds, so
+      // a D-hop chain converges in ~log_{k+2}(D) rounds instead of log_2(D)
+      // (the bench's 1000-hop chain: 12 -> ~7 rounds, each tail round being
+      // a fixed multi-job cost). Soundness: lbl(x) <= x always, so every
+      // composed hop only decreases and stays a same-component node id;
+      // misses keep their value (left join + coalesce). The output remains
+      // EXACTLY one row per frontier node, so the degree-sum broadcast bound
+      // below is unchanged.
+      var jump = selfJump
+      var hop = 0
+      while (hop < 3) {
+        val fmap = frontier.select(col("u").as(s"fk$hop"), col("lbl").as(s"fl$hop"))
+        jump = small(jump)
+          .join(small(fmap), col("c") === col(s"fk$hop"), "left")
+          .select(col("u"), coalesce(col(s"fl$hop"), col("c")).as("c"))
+        hop += 1
+      }
+      val candNS = nbrCand.union(jump).groupBy("u").agg(min("c").as("cm"))
       // r18 (r17 verdict #2, closes the r15 ADVICE hole for good): the
       // broadcast gate is now a PROVABLE bound, not a measured-then-trusted
       // count. candNS's pre-aggregation row count is exactly
