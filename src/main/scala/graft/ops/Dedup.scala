@@ -354,7 +354,12 @@ object Dedup {
       // below is unchanged.
       var jump = selfJump
       var hop = 0
-      while (hop < 3) {
+      // hops only pay on SMALL frontiers (the converging tail, where they
+      // cut rounds ~log2 -> ~log5): on a huge frontier each hop is another
+      // frontier-sized broadcast + full-frontier probe, and the measured
+      // round count is unchanged without them (the depth they buy there
+      // arrives one round later through the tail hops anyway)
+      while (hop < (if (changed > 65536) 0 else 3)) {
         val fmap = frontier.select(col("u").as(s"fk$hop"), col("lbl").as(s"fl$hop"))
         jump = small(jump)
           .join(small(fmap), col("c") === col(s"fk$hop"), "left")
