@@ -372,8 +372,9 @@ object Dedup {
       // count. candNS's pre-aggregation row count is exactly
       //   Σ_{v∈frontier} degree(v)   (nbrCand: each frontier node emits one
       //                               row per neighbor)
-      // + |frontier|                 (selfJump: one row per frontier node —
-      //                               labels has exactly one row per u)
+      // + |frontier|                 (jump: one row per frontier node —
+      //                               labels has exactly one row per u, and
+      //                               the frontier hops are 1:1 left joins)
       // and both terms come from the previous round's fixpoint aggregate
       // (frontierDegSum, changed) at zero extra jobs — so a high-degree hub
       // entering the frontier in ANY round, armed window or not, flips the
