@@ -319,7 +319,47 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbrMin"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"), col("deg"))
       } else {
-      val frontier = delta
+      // r19: when the frontier is small enough to broadcast ANYWAY (so its
+      // driver materialization is already paid for and bounded by `changed`,
+      // exact), PATH-COMPRESS it first: the frontier's (u -> lbl) map is a
+      // functional graph with lbl < u strictly (labels only decrease from
+      // identity), so following it to each chain's exit is acyclic — every
+      // frontier label jumps over ALL frontier-internal hops in one round.
+      // Every downstream consumer (neighbor candidates, the full-frame
+      // re-jump, the pointer-jump side) then hands out the compressed label,
+      // which collapses the converging tail: a D-hop chain's interior
+      // resolves in O(1) rounds once the whole chain is in the frontier,
+      // instead of log(D) rounds of pairwise jump doubling. Soundness: the
+      // compressed value is still a same-component node id and only
+      // decreases; the row count and schema are unchanged, so every bound
+      // below (changed, degree-sum) holds verbatim.
+      val frontier =
+        if (changed <= 65536) {
+          val m = new scala.collection.mutable.HashMap[Any, Any]()
+          delta.collect().foreach(r => m.put(r.get(0), r.get(1)))
+          val comp = new scala.collection.mutable.HashMap[Any, Any]()
+          val path = new scala.collection.mutable.ArrayBuffer[Any]()
+          m.keysIterator.foreach { k =>
+            var x: Any = m(k)
+            path.clear(); path += k
+            var steps = 0
+            while (m.contains(x) && !comp.contains(x)) {
+              path += x; x = m(x); steps += 1
+              // labels strictly decrease along the walk, so a cycle is
+              // impossible; a step count past the map size means corrupted
+              // labels — fail loudly rather than hang the driver
+              require(steps <= m.size, "dedupClusters: cycle in label map?!")
+            }
+            val root = comp.getOrElse(x, x)
+            path.foreach(p => comp.put(p, root))
+          }
+          val schema = delta.schema
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.size)
+          m.keysIterator.foreach { k =>
+            rows.add(org.apache.spark.sql.Row(k, comp(k)))
+          }
+          docs.sparkSession.createDataFrame(rows, schema)
+        } else delta
       // broadcast the delta side once it is small: the candidate joins then
       // run map-side — no full-frame shuffle. `changed` is EXACTLY the
       // frontier's row count, so this hint is bounded by construction.
@@ -339,34 +379,7 @@ object Dedup {
       val selfJump = small(frontier)
         .join(labels.select(col("u").as("lbl"), col("lbl").as("sj")), Seq("lbl"))
         .select(col("u"), col("sj").as("c"))
-      // r19: DEEP pointer jumping — after the one full-frame hop above,
-      // compose extra hops through the FRONTIER's own label map. A target
-      // that is still converging is almost always itself in the frontier, so
-      // each extra hop is a frontier-sized broadcast join (never another
-      // full-frame scan) yet raises the per-round jump composition: with k
-      // frontier hops the pointer exponent grows ~(k+2)^t across rounds, so
-      // a D-hop chain converges in ~log_{k+2}(D) rounds instead of log_2(D)
-      // (the bench's 1000-hop chain: 12 -> ~7 rounds, each tail round being
-      // a fixed multi-job cost). Soundness: lbl(x) <= x always, so every
-      // composed hop only decreases and stays a same-component node id;
-      // misses keep their value (left join + coalesce). The output remains
-      // EXACTLY one row per frontier node, so the degree-sum broadcast bound
-      // below is unchanged.
-      var jump = selfJump
-      var hop = 0
-      // hops only pay on SMALL frontiers (the converging tail, where they
-      // cut rounds ~log2 -> ~log5): on a huge frontier each hop is another
-      // frontier-sized broadcast + full-frontier probe, and the measured
-      // round count is unchanged without them (the depth they buy there
-      // arrives one round later through the tail hops anyway)
-      while (hop < (if (changed > 65536) 0 else 3)) {
-        val fmap = frontier.select(col("u").as(s"fk$hop"), col("lbl").as(s"fl$hop"))
-        jump = small(jump)
-          .join(small(fmap), col("c") === col(s"fk$hop"), "left")
-          .select(col("u"), coalesce(col(s"fl$hop"), col("c")).as("c"))
-        hop += 1
-      }
-      val candNS = nbrCand.union(jump).groupBy("u").agg(min("c").as("cm"))
+      val candNS = nbrCand.union(selfJump).groupBy("u").agg(min("c").as("cm"))
       // r18 (r17 verdict #2, closes the r15 ADVICE hole for good): the
       // broadcast gate is now a PROVABLE bound, not a measured-then-trusted
       // count. candNS's pre-aggregation row count is exactly

@@ -338,7 +338,12 @@ class OpsSpec extends SparkTestBase {
     // of this low-degree chain qualifies for the broadcast path
     val rounds = Dedup.lastClusterRounds.get()
     val counts = Dedup.lastCandCountJobs.get()
-    assert(rounds >= 4, s"pointer jumping shape changed? rounds=$rounds")
+    // r19 frontier path compression: once the whole chain is in the frontier,
+    // its interior collapses in ONE round — plain one-hop propagation would
+    // need 40 rounds (and trip the 25-round cap); compression lands in ~3
+    // (round 0, the collapsing round, the empty-delta detection). The upper
+    // bound is the regression tripwire now.
+    assert(rounds >= 2 && rounds <= 6, s"pointer jumping shape changed? rounds=$rounds")
     assert(counts == 0, s"degree-sum gate must run zero count jobs, ran $counts")
     assert(Dedup.lastCandBroadcasts.drop(1).forall(identity),
       s"chain rounds after round 1 should all broadcast: ${Dedup.lastCandBroadcasts}")
