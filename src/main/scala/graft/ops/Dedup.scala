@@ -257,7 +257,23 @@ object Dedup {
       maxIters: Int = 25, broadcastMaxRows: Long = 2000000L): DataFrame = {
     // id-type-generic (string doc ids work like every other Dedup op):
     // labels compare with least()/min(), which order strings binary-wise
-    val e = pairs.select(col("a").as("u"), col("b").as("v"))
+    val e0 = pairs.select(col("a").as("u"), col("b").as("v"))
+    // r20: restrict edges to endpoints that EXIST in docs before anything
+    // aggregates over them. Pre-r19 stray pair ids were silently ignored
+    // (every candidate inner-joined against the docs-derived label frame);
+    // the r19 round-0 fast path folded min-neighbor into the init aggregate,
+    // where a non-doc id could become a cluster's canonical label — and
+    // dedupApply's drop set (members with id != cluster min) would then
+    // delete EVERY member of that cluster. Filtering both endpoints also
+    // keeps the broadcast bound exact: deg(v) counts precisely the rows the
+    // neighbor join emits per frontier node, with no one-sided stray edges.
+    val idsOnly = docs.select(col(idCol))
+    val e = e0
+      .join(idsOnly.select(col(idCol).as("u")), Seq("u"), "left_semi")
+      .join(idsOnly.select(col(idCol).as("v")), Seq("v"), "left_semi")
+      // using-column joins move the join key FIRST — re-pin (u, v) order so
+      // the positional union below genuinely reverses each edge
+      .select(col("u"), col("v"))
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
     // r18 (r17 verdict #2): per-node edge degree rides the label frame from
@@ -333,8 +349,13 @@ object Dedup {
       // compressed value is still a same-component node id and only
       // decreases; the row count and schema are unchanged, so every bound
       // below (changed, degree-sum) holds verbatim.
+      // gate on min(64K, broadcastMaxRows): the driver materialization is
+      // justified as "already paid for by the broadcast", so compression
+      // must only fire when the frontier genuinely IS broadcast-bound —
+      // with a caller cap below 64K the raw 65536 gate would collect a
+      // frontier the join side never broadcasts (r19 ADVICE)
       val frontier =
-        if (changed <= 65536) {
+        if (changed <= math.min(65536L, broadcastMaxRows)) {
           val m = new scala.collection.mutable.HashMap[Any, Any]()
           delta.collect().foreach(r => m.put(r.get(0), r.get(1)))
           val comp = new scala.collection.mutable.HashMap[Any, Any]()
@@ -385,9 +406,9 @@ object Dedup {
       // count. candNS's pre-aggregation row count is exactly
       //   Σ_{v∈frontier} degree(v)   (nbrCand: each frontier node emits one
       //                               row per neighbor)
-      // + |frontier|                 (jump: one row per frontier node —
-      //                               labels has exactly one row per u, and
-      //                               the frontier hops are 1:1 left joins)
+      // + |frontier|                 (selfJump: one row per frontier node —
+      //                               labels has exactly one row per u, so
+      //                               the frontier-to-labels join is 1:1)
       // and both terms come from the previous round's fixpoint aggregate
       // (frontierDegSum, changed) at zero extra jobs — so a high-degree hub
       // entering the frontier in ANY round, armed window or not, flips the

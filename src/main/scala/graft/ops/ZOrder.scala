@@ -68,12 +68,17 @@ object ZOrder {
       .sample(withReplacement = false, frac, seed = 42)
       .limit((2 * target).toInt) // hard cap: a mis-estimated frac cannot flood the driver
       .collect()
-    // the yield a dedicated null-filtered pass would have achieved
+    // the yield a dedicated null-filtered pass would have achieved. The
+    // fallback threshold is 2x (not 4x): nulls are filtered AFTER the
+    // row-level sample, so a moderately-null column (e.g. 26-75% nulls)
+    // yields proportionally fewer boundary samples than the dedicated
+    // null-filtered pass — 2x bounds the quality loss to a halved sample
+    // before the per-column pass restores it (r19 ADVICE)
     val fullYield = math.min(target, math.max(1L, totalRows))
     cols.zipWithIndex.map { case (c, i) =>
       val vals = sampled.map(_.get(i)).filter(_ != null)
       val bounds =
-        if (vals.length.toLong * 4 < fullYield) sampleBoundaries(df, c, buckets, totalRows)
+        if (vals.length.toLong * 2 < fullYield) sampleBoundaries(df, c, buckets, totalRows)
         else boundariesOf(vals, buckets)
       c -> bounds
     }.toMap

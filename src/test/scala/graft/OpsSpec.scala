@@ -356,6 +356,30 @@ class OpsSpec extends SparkTestBase {
       "doc-z" -> "doc-a", "solo" -> "solo"), s"got $sgot")
   }
 
+  test("dedupClusters/dedupApply: stray pair ids absent from docs never become labels") {
+    import spark.implicits._
+    // r20 (r19 ADVICE, medium): a pair endpoint that is NOT a document must
+    // not become a cluster's canonical label. The killer shape: stray id 0
+    // is smaller than every real doc id, so if it leaked through the round-0
+    // nbrMin fold it would label doc 10's cluster as 0 — and dedupApply
+    // (drop everything whose id != cluster min) would then delete EVERY
+    // member of that cluster, including the canonical survivor.
+    val docs = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val pairs = Seq(
+      (10L, 0L),   // stray smaller than all doc ids (the data-loss shape)
+      (20L, 10L),  // real pair
+      (999L, 30L), // stray larger — must not link 30 to anything
+      (0L, 999L)   // edge entirely outside docs
+    ).toDF("a", "b")
+    val got = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 40L), s"got $got")
+    // end to end: exactly the non-canonical member of the one real pair drops
+    val kept = Dedup.dedupApply(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 30L, 40L), s"kept $kept")
+  }
+
   test("dedupClusters fuzz: random graphs match a driver-side union-find oracle (seeded)") {
     import spark.implicits._
     // property guard over arbitrary topologies (the fixed-shape arms above
@@ -369,10 +393,16 @@ class OpsSpec extends SparkTestBase {
       val n = 30 + rnd.nextInt(170)
       val m = rnd.nextInt(2 * n) // 0..2n edges — includes edge-free trials
       val ids = rnd.shuffle((0 until 3 * n).toVector).take(n).map(_.toLong * 7 + 3)
-      val edges = Vector.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      // r20: ~10% of endpoints are STRAY ids absent from docs (including ids
+      // below every doc id) — the oracle ignores those edges, and so must the
+      // engine (r19 ADVICE: a stray must never become a canonical label)
+      def endpoint(): Long =
+        if (rnd.nextInt(10) == 0) rnd.nextInt(3 * n).toLong * 7 + rnd.nextInt(7) - 5
+        else ids(rnd.nextInt(n))
+      val edges = Vector.fill(m)((endpoint(), endpoint()))
       val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
       def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-      for ((a, b) <- edges) {
+      for ((a, b) <- edges if parent.contains(a) && parent.contains(b)) {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
