@@ -176,7 +176,15 @@ object Bench {
     // decodes millions of keys — the per-split shape each of 1000 executors
     // sees at 100 TB — and the wall clock isolates what bloom + hash index
     // save per split. ----
-    val scaleRows = 8000000L
+    // r20 (r19 verdict #1): GRAFT_SCALE_FACTOR multiplies the scale-table and
+    // CC-block row counts — the 10x "sf1-equivalent" extrapolation run uses
+    // factor 10 (80M-row scale table, ~10M CC pairs) in a fresh JVM; the
+    // default driver flow is untouched at factor 1. The factor rides the
+    // dump (scale_factor) so artifacts at different shapes never compare
+    // silently.
+    val scaleFactor = math.max(1L, sys.env.getOrElse("GRAFT_SCALE_FACTOR", "1").toLong)
+    val scaleRows = 8000000L * scaleFactor
+    results("scale_factor") = scaleFactor.toDouble
     val scaleDf = spark.range(scaleRows).toDF("id")
       .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
       .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
@@ -461,6 +469,9 @@ object Bench {
         .writeTo("gbenchrl.default.scale_del")
         .tableProperty("sortColumns", "id").create()
       val dDir = s"$wh/default/scale_del"
+      // retention boundaries scale with the table (quarters of scaleRows),
+      // so each delete removes one quarter at any GRAFT_SCALE_FACTOR
+      val q = scaleRows / 4
       // min-of-2 without a second table (r17: same-code runs spread
       // 0.27-3.7 s across rounds and a 7x sample slipped BETWEEN the
       // calibration brackets unflagged — the zorder/cc/compact hole): two
@@ -468,9 +479,9 @@ object Bench {
       // are the same work shape — 2 tail-file unlinks + <=1 boundary
       // rewrite each — so the min is a real sample of identical work
       val (dSec, rep) = cal("scale_delete")(time {
-        graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 3 * q)
       })
-      assert(rep.rowsDeleted == 2000000L, s"delete removed wrong count: $rep")
+      assert(rep.rowsDeleted == q, s"delete removed wrong count: $rep")
       assert(rep.filesRewritten <= 1, s"retention delete must be ~metadata-only: $rep")
       // per-phase walls of BOTH samples into the dump (r17 verdict #5): a
       // slow sample adjudicates stall-vs-load from the artifact alone — the
@@ -480,22 +491,22 @@ object Bench {
       graft.ops.Delete.lastPhaseSec.foreach { case (ph, sec) =>
         results(s"scale_delete_r1_$ph") = sec }
       val (dSec2, rep2) = cal("scale_delete_r2")(time {
-        graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
+        graft.ops.Delete.delete(spark, dDir, col("id") >= 2 * q)
       })
       graft.ops.Delete.lastPhaseSec.foreach { case (ph, sec) =>
         results(s"scale_delete_r2_$ph") = sec }
-      assert(rep2.rowsDeleted == 2000000L, s"delete r2 removed wrong count: $rep2")
+      assert(rep2.rowsDeleted == q, s"delete r2 removed wrong count: $rep2")
       assert(rep2.filesRewritten <= 1, s"delete r2 must be ~metadata-only: $rep2")
       results("scale_delete") = math.min(dSec, dSec2)
       calibs("scale_delete") = math.min(calibs("scale_delete"), calibs("scale_delete_r2"))
       calibs.remove("scale_delete_r2")
       results("scale_delete_rewritten") = math.max(rep.filesRewritten, rep2.filesRewritten).toDouble
       retryIfLoaded("scale_delete") {
-        // third disjoint 2M-row retention delete: identical work shape
+        // third disjoint quarter-table retention delete: identical work shape
         val (s, r3) = time {
-          graft.ops.Delete.delete(spark, dDir, col("id") >= 2000000L)
+          graft.ops.Delete.delete(spark, dDir, col("id") >= q)
         }
-        assert(r3.rowsDeleted == 2000000L, s"delete r3 removed wrong count: $r3")
+        assert(r3.rowsDeleted == q, s"delete r3 removed wrong count: $r3")
         assert(r3.filesRewritten <= 1, s"delete r3 must be ~metadata-only: $r3")
         s
       }
@@ -515,16 +526,16 @@ object Bench {
         .tableProperty("bloomFilterColumns", "skey").create()
       val diDir = s"$wh/default/scale_del_idx"
       val (diSec, diRep) = cal("scale_delete_indexed")(time {
-        graft.ops.Delete.delete(spark, diDir, col("id") >= 6000000L)
+        graft.ops.Delete.delete(spark, diDir, col("id") >= 3 * q)
       })
-      assert(diRep.rowsDeleted == 2000000L, s"indexed delete drifted: $diRep")
+      assert(diRep.rowsDeleted == q, s"indexed delete drifted: $diRep")
       assert(diRep.filesRewritten <= 1, s"indexed retention delete must be ~metadata-only: $diRep")
       results("scale_delete_indexed") = diSec
       retryIfLoaded("scale_delete_indexed") {
         val (s2, r2i) = time {
-          graft.ops.Delete.delete(spark, diDir, col("id") >= 4000000L)
+          graft.ops.Delete.delete(spark, diDir, col("id") >= 2 * q)
         }
-        assert(r2i.rowsDeleted == 2000000L, s"indexed delete r2 drifted: $r2i")
+        assert(r2i.rowsDeleted == q, s"indexed delete r2 drifted: $r2i")
         s2
       }
       // the surviving files still carry their index streams (remapped, not
@@ -578,12 +589,15 @@ object Bench {
     // persist/cut discipline holds at bench scale ----
     {
       val chain = spark.range(1000).selectExpr("id AS a", "id + 1 AS b")
-      // ~1M two-node clusters: converge in one round, so the chain alone
-      // drives the round count while the data volume stays bench-shaped
-      val rest = spark.range(999000L).selectExpr(
+      // ~1M two-node clusters (x GRAFT_SCALE_FACTOR): converge in one round,
+      // so the chain alone drives the round count while the data volume
+      // stays bench-shaped — at factor 10 this is the ~10M-pair sub-linear
+      // wall evidence the 100 TB extrapolation rests on
+      val restN = 999000L * scaleFactor
+      val rest = spark.range(restN).selectExpr(
         "2000 + id * 2 AS a", "2001 + id * 2 AS b")
       val ccPairs = chain.union(rest)
-      val ccDocs = spark.range(2000L + 2L * 999000L).toDF("doc_id")
+      val ccDocs = spark.range(2000L + 2L * restN).toDF("doc_id")
       // JIT warmup at 1/100 scale (same reasoning as the zorder block: the
       // timed run is single-shot and CcProbe measured ~2x cold-vs-warm)
       graft.ops.Dedup.dedupClusters(
