@@ -56,15 +56,42 @@ object Fields {
     def apply(k: String): Boolean
     def nonEmpty: Boolean
     def withPrefix(prefix: String): Seq[String]
+    /** Whether this file's flatmap keys use the v15 '#'->"##" escape in
+      * stream names (see [[escapeFmKey]]). False only for legacy (v<15)
+      * files, whose '#'-bearing keys keep their historical raw encoding. */
+    def escaped: Boolean = true
   }
   object KeyProbe {
-    def ofSet(s: Set[String]): KeyProbe = new KeyProbe {
+    def ofSet(s: Set[String], esc: Boolean = true): KeyProbe = new KeyProbe {
       def apply(k: String): Boolean = s.contains(k)
       def nonEmpty: Boolean = s.nonEmpty
       def withPrefix(prefix: String): Seq[String] = s.filter(_.startsWith(prefix)).toSeq
+      override def escaped: Boolean = esc
     }
     val empty: KeyProbe = ofSet(Set.empty)
   }
+
+  /** v15 flatmap key escape: a '#' inside a LOGICAL map key doubles to "##"
+    * in stream-key names, so a single '#' is always a grammar separator —
+    * the stream-key grammar becomes prefix-unambiguous (left-to-right scan:
+    * a doubled '#' is key data, a single '#' starts a '#in:'/'#fm:'/'#nanos'
+    * tag). Identity for keys without '#', so the common case is
+    * byte-identical to v14 output. Closes the two '#'-key hazards at once:
+    * the surgery classifier's conservative refusal (r19 verdict #3) and a
+    * latent writer stream-name collision (logical key "x#nanos" vs the
+    * '#nanos' sibling of key "x" under a timestamp value type). */
+  def escapeFmKey(k: String): String =
+    if (k.indexOf('#') < 0) k else k.replace("#", "##")
+
+  /** Inverse of [[escapeFmKey]] for v15+ files (stream-key suffix -> logical
+    * map key). Legacy files pass through raw. */
+  def unescapeFmKey(k: String): String =
+    if (k.indexOf('#') < 0) k else k.replace("##", "#")
+
+  /** Test-only: write flatmap stream keys RAW (the pre-v15 convention), so
+    * specs can synthesize byte-faithful legacy files (paired with
+    * Tablet.testFooterVersionOverride). Always reset in a finally. */
+  private[graft] var testLegacyFmKeys = false
 
   /** Set-based conveniences (serializer, tests). */
   def readerFor(path: String, dt: DataType, streams: String => Tablet.ChunkCursor,
@@ -397,7 +424,9 @@ object Fields {
     private var rowsInChunk = 0
     private val chunkRowsHistory = mutable.ArrayBuffer[Int]() // this stripe
     private final class KeyState(val keyRepr: String) {
-      val inId: Int = streamIds(s"$path#in:$keyRepr")
+      // stream names carry the ESCAPED key (v15); keyRepr stays logical
+      private val esc = if (testLegacyFmKeys) keyRepr else escapeFmKey(keyRepr)
+      val inId: Int = streamIds(s"$path#in:$esc")
       // SPARSE inMap: the present-row positions within the current chunk.
       // A wide flatmap pays O(present entries) per row, not O(keys x rows) —
       // the dense BoolBuf's per-key padTo dominated 400-key write profiles.
@@ -418,7 +447,7 @@ object Fields {
         while (i < nPos) { a(pos(i)) = true; i += 1 }
         a
       }
-      val valueW: FieldWriter = writerFor(s"$path#fm:$keyRepr", m.valueType, streamIds, opts)
+      val valueW: FieldWriter = writerFor(s"$path#fm:$esc", m.valueType, streamIds, opts)
       var chunksWritten = 0 // within current stripe
     }
     private val keyStates = mutable.LinkedHashMap[String, KeyState]()
@@ -672,8 +701,11 @@ object Fields {
     case s: StructType if isFlatMapStruct(path, s, footerKeys) =>
       // flatmap feature projection: the column nulls anchor + only the
       // requested keys' streams (unrequested keys never read)
-      s"$path#nulls" +: s.fields.toSeq.filter(f => footerKeys(s"$path#in:${f.name}")).flatMap(f =>
-        s"$path#in:${f.name}" +: neededKeys(s"$path#fm:${f.name}", f.dataType, footerKeys))
+      s"$path#nulls" +: s.fields.toSeq.map(f =>
+          f -> (if (footerKeys.escaped) escapeFmKey(f.name) else f.name))
+        .filter { case (_, sk) => footerKeys(s"$path#in:$sk") }
+        .flatMap { case (f, sk) =>
+          s"$path#in:$sk" +: neededKeys(s"$path#fm:$sk", f.dataType, footerKeys) }
     case s: StructType =>
       // children with NO streams in the file (nested schema evolution) pull
       // nothing — StructR null-fills them; the guard on nonEmpty keeps
@@ -1136,9 +1168,12 @@ object Fields {
       fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
     private val keys: Seq[String] = flatMapKeysIn(path, fk)
-    private final class KeyCursors(val repr: String) {
-      val in = streams(s"$path#in:$repr")
-      val value = new PrimR(s"$path#fm:$repr", m.valueType, streams)
+    private final class KeyCursors(rawSuffix: String) {
+      // stream lookups use the suffix AS STORED; the reconstructed map's
+      // key VALUES use the logical (unescaped on v15+) form
+      val repr: String = if (fk.escaped) unescapeFmKey(rawSuffix) else rawSuffix
+      val in = streams(s"$path#in:$rawSuffix")
+      val value = new PrimR(s"$path#fm:$rawSuffix", m.valueType, streams)
     }
     private val keyCursors = keys.map(new KeyCursors(_)).toArray
 
@@ -1210,9 +1245,11 @@ object Fields {
       streams: String => Tablet.ChunkCursor, fk: KeyProbe) extends FieldReader {
     private val nullsCursor = streams(s"$path#nulls")
     private final class KeyCursors(val field: StructField) {
-      val exists = fk(s"$path#in:${field.name}")
-      val in = if (exists) streams(s"$path#in:${field.name}") else null
-      val value = if (exists) new PrimR(s"$path#fm:${field.name}", field.dataType, streams) else null
+      // the projected field name is the LOGICAL key; streams store escaped
+      private val sk = if (fk.escaped) escapeFmKey(field.name) else field.name
+      val exists = fk(s"$path#in:$sk")
+      val in = if (exists) streams(s"$path#in:$sk") else null
+      val value = if (exists) new PrimR(s"$path#fm:$sk", field.dataType, streams) else null
     }
     private val keyCursors = s.fields.map(new KeyCursors(_))
 

@@ -39,7 +39,12 @@ object Tablet {
   // reference tablet/ChunkStats.fbs, index/ChunkStats.h) so a selective
   // RANGE predicate prunes candidate chunks BEFORE the byte-range fetch,
   // no hash index required.
-  val Version: Int = 14
+  // v15 escapes '#' inside flatmap map keys as "##" in stream-key names
+  // (Fields.escapeFmKey) — the key grammar becomes unambiguous, so chunk
+  // surgery is total on flatmap schemas and the latent "x#nanos"-key vs
+  // '#nanos'-sibling stream-name collision is closed. Footer/data wire
+  // layout is byte-identical to v14 for keys without '#'.
+  val Version: Int = 15
 
   /** Per-stripe Bloom filter for membership pruning (reference:
     * dwio/nimble/index/BloomFilter.h:34, tablet/BloomFilter.fbs). ~10
@@ -602,7 +607,9 @@ object Tablet {
     * wrapper would corrupt it). */
   private[format] def writeFooterRaw(f: Footer): Array[Byte] = {
     val s = new ByteSink(1 << 16)
-    s.writeByte(Version)
+    // the footer carries the version the WRITER computed (minimum-required
+    // stamping: 14 unless the stream keys need v15 escape semantics)
+    s.writeByte(f.version)
     s.writeBlock(f.schemaJson.getBytes("UTF-8"))
     s.writeVarint(f.sortColumns.length.toLong)
     f.sortColumns.foreach(c => s.writeBlock(c.getBytes("UTF-8")))
@@ -1777,8 +1784,16 @@ object Tablet {
         .map { case (id, regs) => keys(id) -> regs }
         .filter { case (k, _) => !nanosKeys(k) }
         .toMap
+      // minimum-required version stamp: v15 exists only for the flatmap-key
+      // "##" escape, and escaping is identity for keys without '#' — a file
+      // with no "##" in any stream name reads identically under v14 and v15
+      // semantics, so it stamps 14 and stays BYTE-identical to the r19
+      // writer (the version byte rides the zstd-compressed footer, so an
+      // unconditional bump would shift compressed footer sizes and break
+      // the encoded_size_ratio byte-identity invariant on '#'-free corpora).
+      val stampVersion = if (keys.exists(_.contains("##"))) Version else 14
       val footer = if (nStreams <= WideMetaStreams) {
-        Footer(Version, schemaJson, sortColumns, totalRows,
+        Footer(stampVersion, schemaJson, sortColumns, totalRows,
           keys.toArray, slim, DirGroupSize, groups, fileStats.toArray,
           bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId,
           ndvSketches = ndvMap)
@@ -1814,7 +1829,7 @@ object Tablet {
         out.write(bytes)
         val loc = GroupLoc(fileOffset, bytes.length.toLong)
         fileOffset += bytes.length
-        Footer(Version, schemaJson, sortColumns, totalRows, null, slim,
+        Footer(stampVersion, schemaJson, sortColumns, totalRows, null, slim,
           DirGroupSize, groups, null, metaLoc = loc, nBuckets = nB,
           bucketEnds = ends, streamCount = nStreams,
           bucketColumns = bucketColumns, numBucketsSpec = numBuckets, bucketId = bucketId,
@@ -1928,6 +1943,8 @@ object Tablet {
       def nonEmpty: Boolean = footer.nStreams > 0
       def withPrefix(p: String): Seq[String] =
         footer.streamKeys.filter(_.startsWith(p)).toSeq
+      // legacy (v<15) files stored '#'-bearing flatmap keys raw
+      override def escaped: Boolean = footer.version >= 15
     }
 
     /** Below this a group's directory is fetched whole in one read (narrow

@@ -75,8 +75,10 @@ import graft.spark.{Filters, NimbleSource}
   *  - the pushed filters EXACTLY represent the condition (caller
   *    guarantees: SQL deleteWhere filters, or a fully-translated Column);
   *  - filters reference only top-level atomic columns;
-  *  - every stream key parses under the writer grammar (a map key
-  *    containing '#' is ambiguous — refused);
+  *  - every stream key parses under the writer grammar (v15+ files escape
+  *    key-data '#' as "##", so flatmap schemas classify totally; LEGACY
+  *    v<15 files stored '#'-bearing map keys raw — those remain ambiguous
+  *    and refuse);
   *  - chunk grids ordinal-align across streams (verified per stripe from
   *    the directories' data-frame row counts).
   * Refusal reasons surface via [[lastRefusal]].
@@ -473,7 +475,8 @@ object Surgery {
     * nanos-split top-level column set), or None when any stream is
     * unrecognized / ambiguous (the conservative fallback). */
   private def classifyStreams(schema: StructType, keys: Array[String],
-      keyId: Map[String, Int], fieldType: Map[String, DataType])
+      keyId: Map[String, Int], fieldType: Map[String, DataType],
+      escapedKeys: Boolean)
       : Option[(Array[Int], Array[List[(Char, Int)]], Set[String])] = {
     val n = keys.length
     val cls = Array.fill(n)(-1)
@@ -515,7 +518,13 @@ object Surgery {
             val inKeys = keys.collect {
               case k if k.startsWith(s"$path#in:") => k.substring(path.length + 4) }
             inKeys.forall { mk =>
-              !mk.contains('#') && // a map key with '#' breaks the grammar
+              // v15+ files escape key-data '#' as "##" (Fields.escapeFmKey):
+              // any remaining single '#' after stripping pairs would be a
+              // grammar separator inside the key — impossible in a valid
+              // escaped name, refuse. Legacy files stored keys raw, where
+              // ANY '#' is ambiguous — the historical conservative refusal.
+              (if (escapedKeys) mk.replace("##", "").indexOf('#') < 0
+               else !mk.contains('#')) &&
                 claimKey(s"$path#in:$mk", clsOf(steps), steps) &&
                 claim(s"$path#fm:$mk", m.valueType,
                   steps :+ (('I', keyId(s"$path#in:$mk"))), store = false)
@@ -661,7 +670,8 @@ object Surgery {
     // classify every stream against the schema tree; anything the grammar
     // can't place makes the file ineligible
     val (streamCls, chain, nanosSplit) =
-      classifyStreams(schema, keys, keyId, fieldType).getOrElse(
+      classifyStreams(schema, keys, keyId, fieldType,
+        escapedKeys = footer.version >= 15).getOrElse(
         return refuse("unrecognized/ambiguous stream layout"))
     val refs = filters.flatMap(_.references).toSet
     if (!refs.forall(n => fieldType.get(n).exists(isAtomic)))

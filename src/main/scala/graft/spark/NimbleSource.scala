@@ -725,7 +725,10 @@ object NimbleSource {
     var dot = name.indexOf('.')
     while (dot > 0) {
       val c = name.substring(0, dot)
-      val k = name.substring(dot + 1)
+      // v15+: stream names store the escaped key form
+      val k = if (r.footer.version >= 15)
+        graft.format.Fields.escapeFmKey(name.substring(dot + 1))
+      else name.substring(dot + 1)
       val fmId = r.keyId(s"$c#fm:$k")
       if (fmId >= 0) {
         val st = r.streamStats(s, fmId)
@@ -905,7 +908,14 @@ object NimbleSource {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var dot = p.indexOf('.')
     while (dot > 0) {
-      out += p.substring(0, dot) + "#fm:" + p.substring(dot + 1)
+      val k = p.substring(dot + 1)
+      out += p.substring(0, dot) + "#fm:" + k
+      // v15 escape: a '#'-bearing logical key is stored doubled. Emitting
+      // BOTH forms is version-agnostic — every caller existence-filters, a
+      // v15 file only stores escaped names and a legacy file only raw ones,
+      // so exactly one form can match per file.
+      val esc = graft.format.Fields.escapeFmKey(k)
+      if (esc ne k) out += p.substring(0, dot) + "#fm:" + esc
       dot = p.indexOf('.', dot + 1)
     }
     out.toSeq

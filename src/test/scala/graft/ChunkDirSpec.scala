@@ -79,7 +79,9 @@ class ChunkDirSpec extends AnyFunSuite {
     val path = writeFixture(dir, rows = 40000, rowsPerChunk = 4096)
     val r = new Tablet.Reader(path)
     try {
-      assert(r.footer.version == Tablet.Version)
+      // minimum-required stamping: a '#'-free fixture needs no v15 escape
+      // semantics, so it stamps 14 (byte-identical to the r19 writer)
+      assert(r.footer.version == 14)
       assert(r.footer.stripes.nonEmpty)
       for (s <- r.footer.stripes.indices; name <- Seq("id", "cat", "txt")) {
         val id = r.keyId(name)

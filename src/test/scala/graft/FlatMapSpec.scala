@@ -64,6 +64,49 @@ class FlatMapSpec extends SparkTestBase {
     assert(fmt(rows) == fmt(expected))
   }
 
+  test("v15 escape: '#'-bearing flatmap keys round-trip as map and as feature projection") {
+    // keys exercising every escape shape: plain, one '#', a doubled '##',
+    // and a '#nanos'-colliding name (the pre-v15 latent writer hazard when
+    // two keys' stream names met)
+    val df = spark.sql("""
+      SELECT id AS uid, map(
+        'plain', cast(id AS double),
+        concat('a#', id % 3), cast(id * 2 AS double),
+        'x##y', cast(id * 3 AS double),
+        'x#nanos', cast(id * 5 AS double)) AS m
+      FROM range(4000)
+    """)
+    val dir = tmpDir("fm-hash")
+    df.write.format("nimble").mode("overwrite")
+      .option("flatMapColumns", "m").save(dir)
+    // stream names store the escaped form; single '#' only before tags;
+    // the "##"-bearing key table forces the v15 stamp
+    val footer = graft.spark.NimbleSource.footerOf(
+      graft.spark.NimbleSource.listFiles(dir).head)
+    assert(footer.version == 15, s"expected v15 stamp, got ${footer.version}")
+    val keys = footer.streamKeys
+    assert(keys.contains("m#in:a##0") && keys.contains("m#fm:x####y") &&
+      keys.contains("m#in:x##nanos"), keys.mkString(","))
+    // merged map read: logical (unescaped) keys come back
+    val a = df.collect().map(r => r.getLong(0) -> r.getMap[String, Double](1).toMap).sortBy(_._1)
+    val b = spark.read.format("nimble").load(dir).collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Double](1).toMap).sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    // feature projection by LOGICAL key name
+    val proj = spark.read.format("nimble")
+      .option("flatMapStruct.m", "a#1,x##y,x#nanos,missing#key")
+      .load(dir)
+      .selectExpr("uid", "m.`a#1`", "m.`x##y`", "m.`x#nanos`", "m.`missing#key`")
+      .collect()
+    val expected = df.select(col("uid"), col("m")(lit("a#1")), col("m")(lit("x##y")),
+      col("m")(lit("x#nanos")), lit(null)).collect()
+    val fmt = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(fmt(proj) == fmt(expected))
+  }
+
   test("dedup layouts reduce size on repetitive data") {
     // identical array every row; double elements so the win is structural
     // (string element streams now shared-dict-collapse in the plain layout

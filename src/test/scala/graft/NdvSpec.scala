@@ -20,7 +20,7 @@ class NdvSpec extends SparkTestBase {
     df.coalesce(1).write.format("nimble").mode("overwrite").save(dir)
     val footer = graft.spark.NimbleSource.footerOf(
       graft.spark.NimbleSource.listFiles(dir).head)
-    assert(footer.version == graft.format.Tablet.Version)
+    assert(footer.version == 14) // minimum-required stamp ('#'-free keys)
     val sk = footer.ndvSketches
     def est(c: String): Long = graft.format.Hll.estimate(sk(c))
     assert(within(est("id"), 40000, 0.15), s"id ndv=${est("id")}")
@@ -57,7 +57,7 @@ class NdvSpec extends SparkTestBase {
       .option("ndvSketches", "false").mode("overwrite").save(dir)
     val footer = graft.spark.NimbleSource.footerOf(
       graft.spark.NimbleSource.listFiles(dir).head)
-    assert(footer.version == graft.format.Tablet.Version && footer.ndvSketches.isEmpty)
+    assert(footer.version == 14 && footer.ndvSketches.isEmpty)
     val schema = spark.read.format("nimble").load(dir).schema
     val cs = new graft.spark.NimbleScan(dir, schema, schema, Array.empty)
       .estimateStatistics().columnStats()

@@ -499,7 +499,10 @@ class SurgerySpec extends SparkTestBase {
     assert(got.sameElements(expected), "dedup-layout surgery drifted")
   }
 
-  test("ineligible files fall back to the rewrite job (flatmap key containing '#')") {
+  test("v15 '#'-bearing flatmap keys take chunk surgery; values and keys survive") {
+    // r20 (r19 verdict #3): the v15 "##" escape makes the stream grammar
+    // total on flatmap schemas — a '#'-bearing key is no longer ambiguous,
+    // so the delete goes through chunk surgery instead of the rewrite.
     val dir = tmpDir("surg-hashkey")
     spark.range(20000L).toDF("id")
       .selectExpr("id",
@@ -511,9 +514,42 @@ class SurgerySpec extends SparkTestBase {
       .mode("overwrite").save(dir)
     Surgery.resetCounters()
     val rep = Delete.delete(spark, dir, col("id") >= 15000L)
+    assert(rep.rowsDeleted == 5000L, s"delete drifted: $rep")
+    assert(Surgery.lastRawChunks.get() > 0L,
+      s"'#'-bearing keys must take surgery on v15 files (refusal='${Surgery.lastRefusal}')")
+    val back = spark.read.format("nimble").load(dir)
+    assert(back.count() == 15000L)
+    // the unescaped LOGICAL key round-trips through the surgered file
+    assert(back.selectExpr("m['a#3'] AS v").where(col("v").isNotNull).count() == 3000L)
+  }
+
+  test("legacy (v14) '#'-bearing flatmap keys still refuse surgery (conservative)") {
+    // byte-faithful legacy synthesis: raw (unescaped) stream keys; the
+    // minimum-required version stamp then lands on 14 by itself (no "##"
+    // anywhere) — exactly what the r19 writer produced for this shape
+    val dir = tmpDir("surg-hashkey-legacy")
+    graft.format.Fields.testLegacyFmKeys = true
+    try {
+      spark.range(20000L).toDF("id")
+        .selectExpr("id",
+          "map_from_arrays(array(concat('a#', CAST(pmod(id, 5) AS STRING))), " +
+            "array(CAST(id AS DOUBLE))) AS m")
+        .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("flatMapColumns", "m").option("rowsPerChunk", "4096")
+        .mode("overwrite").save(dir)
+    } finally graft.format.Fields.testLegacyFmKeys = false
+    assert(graft.spark.NimbleSource.footerOf(
+      graft.spark.NimbleSource.listFiles(dir).head).version == 14,
+      "raw-key synthesis must land on the v14 minimum-required stamp")
+    // sanity: the synthesized file reads back with raw keys intact
+    assert(spark.read.format("nimble").load(dir)
+      .selectExpr("m['a#3'] AS v").where(col("v").isNotNull).count() == 4000L)
+    Surgery.resetCounters()
+    val rep = Delete.delete(spark, dir, col("id") >= 15000L)
     assert(rep.rowsDeleted == 5000L, s"fallback path drifted: $rep")
     assert(Surgery.lastRawChunks.get() == 0L && Surgery.lastRewrittenChunks.get() == 0L,
-      "a '#'-bearing flatmap key is ambiguous against the stream grammar — must fall back")
+      "a raw '#'-bearing key in a legacy file is ambiguous — must fall back to the rewrite")
     assert(spark.read.format("nimble").load(dir).count() == 15000L)
   }
 
