@@ -34,6 +34,13 @@ object Merge {
       filesRewritten: Int, filesUntouched: Int,
       rowsMatched: Long, rowsInserted: Long)
 
+  /** Deltas at or under this many distinct keys take the broadcast
+    * (shuffle-free) rewrite plan; larger deltas take the shuffled
+    * full_outer. The count is exact — it comes from the cardinality check
+    * that already ran — and 2M keys of row data is comfortably inside
+    * executor broadcast budgets (same bound Dedup uses). */
+  private final val BroadcastMaxSourceKeys = 2000000L
+
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String],
       readOptions: Map[String, String] = Map.empty): Report = {
@@ -141,13 +148,41 @@ object Merge {
           // present (source keys are non-null by the check above), never by
           // per-column coalescing — a legit null update must stick.
           val s2 = src.select(src.columns.toIndexedSeq.map(c => col(s"`$c`").as(s"_s_$c")): _*)
-          val cond = joinKeys.map(c => t(c) <=> s2(s"_s_$c")).reduce(_ && _)
-          val fromSource = col(s"`_s_${keyCols.head}`").isNotNull
-          t.join(s2, cond, "full_outer")
-            .select(schema.fieldNames.toIndexedSeq.map { c =>
-              (if (keyCols.contains(c)) coalesce(col(s"`_s_$c`"), col(s"`$c`"))
-               else when(fromSource, col(s"`_s_$c`")).otherwise(col(s"`$c`"))).as(c)
-            }: _*)
+          if (sourceKeyCount <= BroadcastMaxSourceKeys) {
+            // small-delta plan (the 100 TB common case — corrections/label
+            // fixes against a huge sorted table): a full_outer join cannot
+            // broadcast, so it would SHUFFLE + sort every affected file's
+            // rows against a 1000-row delta. Split it: (a) updates ride a
+            // broadcast LEFT join — the target never shuffles; (b) the
+            // insert set is source ANTI-join the matched keys, where the
+            // matched-key frame is itself ≤ |source| rows (target SEMI
+            // broadcast source), so both joins are map-side. Unmatched-key
+            // soundness is inherited from the bounds pruning: a key absent
+            // from every affected file is absent from the table.
+            val cond = joinKeys.map(c => t(c) <=> s2(s"_s_$c")).reduce(_ && _)
+            val fromSource = col(s"`_s_${keyCols.head}`").isNotNull
+            val updated = t.join(broadcast(s2), cond, "left")
+              .select(schema.fieldNames.toIndexedSeq.map { c =>
+                (if (keyCols.contains(c)) col(s"`$c`")
+                 else when(fromSource, col(s"`_s_$c`")).otherwise(col(s"`$c`"))).as(c)
+              }: _*)
+            val matchedKeys = t.select(keyCols.toIndexedSeq.map(c => col(s"`$c`")): _*)
+              .join(broadcast(src.select(keyCols.toIndexedSeq.map(c => col(s"`$c`")): _*)),
+                keyCols, "left_semi")
+            val inserts = src.join(broadcast(matchedKeys), keyCols, "left_anti")
+              .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+            updated.unionByName(inserts)
+          } else {
+            // big-delta plan: the delta is comparable to the affected set —
+            // a shuffled full_outer is the right shape, honestly
+            val cond = joinKeys.map(c => t(c) <=> s2(s"_s_$c")).reduce(_ && _)
+            val fromSource = col(s"`_s_${keyCols.head}`").isNotNull
+            t.join(s2, cond, "full_outer")
+              .select(schema.fieldNames.toIndexedSeq.map { c =>
+                (if (keyCols.contains(c)) coalesce(col(s"`_s_$c`"), col(s"`$c`"))
+                 else when(fromSource, col(s"`_s_$c`")).otherwise(col(s"`$c`"))).as(c)
+              }: _*)
+          }
         })
 
     val inserted =

@@ -122,6 +122,80 @@ object DeleteProbe {
       }
       spark.stop(); return
     }
+    // 'indexed' arg (r19 verdict #5): idle truth for scale_delete_indexed —
+    // the bench's exact index+bloom-bearing sorted table, same two disjoint
+    // quarter-table retention deletes, fresh table per iteration. Pins the
+    // warm number the wide under-load dump band (0.08-0.59 s) adjudicates
+    // against.
+    if (args.contains("indexed")) {
+      for (iter <- 0 until reps) {
+        spark.sql("DROP TABLE IF EXISTS gdprobe.default.scale_del_idx")
+        src.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .writeTo("gdprobe.default.scale_del_idx")
+          .tableProperty("sortColumns", "id")
+          .tableProperty("indexColumns", "skey")
+          .tableProperty("bloomFilterColumns", "skey").create()
+        val dDir = s"$wh/default/scale_del_idx"
+        val t0 = System.nanoTime()
+        val r1 = graft.ops.Delete.delete(spark, dDir, col("id") >= 6000000L)
+        val d1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val r2 = graft.ops.Delete.delete(spark, dDir, col("id") >= 4000000L)
+        val d2 = (System.nanoTime() - t1) / 1e9
+        assert(r1.rowsDeleted == 2000000L && r2.rowsDeleted == 2000000L,
+          s"indexed probe drifted: $r1 / $r2")
+        assert(r1.filesRewritten <= 1 && r2.filesRewritten <= 1,
+          s"indexed retention delete must be ~metadata-only: $r1 / $r2")
+        // index streams must survive the surgery
+        val f = graft.spark.NimbleSource.listFiles(dDir).head
+        val rd = new graft.format.Tablet.Reader(f)
+        try assert(rd.footer.streamKeys.exists(_.startsWith("#idx:")),
+          "index streams must survive the surgered retention delete")
+        finally rd.close()
+        println(f"delete_probe indexed iter=$iter d1=$d1%.3f d2=$d2%.3f " +
+          f"min=${math.min(d1, d2)}%.3f rewritten=${r1.filesRewritten}/${r2.filesRewritten}")
+      }
+      spark.stop(); return
+    }
+    // 'merge' arg (r19 verdict #6): MERGE at boundary scale — the last DML
+    // op without a slope row. A narrow upsert delta against a key-sorted
+    // 8-file table must rewrite ONLY the boundary file holding the delta's
+    // key range, at ~raw-IO s/GB of that one file, at both table sizes.
+    if (args.contains("merge")) {
+      val mtl = if (args.contains("listener")) {
+        val l = new TaskSplitListener; spark.sparkContext.addSparkListener(l); Some(l)
+      } else None
+      for (m <- Seq(8, 24)) {
+        val rows = m * 1000000L
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dprobe/merge-$m"
+        spark.range(rows).toDF("id")
+          .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+          .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
+          .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+          .write.format("nimble").option("sortColumns", "id")
+          .option("rowsPerChunk", "16384").mode("overwrite").save(dir)
+        val tableGb = new java.io.File(dir).listFiles().map(_.length).sum / 1e9
+        // 1000-row correction delta inside one file's key range + 100 inserts
+        val delta = spark.range(rows / 2, rows / 2 + 1000L).toDF("id")
+          .union(spark.range(rows, rows + 100L).toDF("id"))
+          .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
+          .withColumn("v", lit(-1.0))
+        mtl.foreach(_.reset())
+        val t0 = System.nanoTime()
+        val rep = graft.ops.Merge.upsert(spark, dir, delta, Seq("id"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        mtl.foreach { l => Thread.sleep(300); println(l.report(s"merge-${m}M", sec, 0L)) }
+        assert(rep.rowsMatched == 1000L && rep.rowsInserted == 100L,
+          s"merge probe drifted: $rep")
+        assert(rep.filesRewritten <= 2,
+          s"narrow delta must rewrite only boundary files: $rep")
+        val perFileGb = tableGb / 8
+        println(f"delete_probe merge rows=${m}M tableGb=$tableGb%.2f " +
+          f"rewrittenFiles=${rep.filesRewritten} untouched=${rep.filesUntouched} " +
+          f"sec=$sec%.3f (${sec / (rep.filesRewritten * perFileGb)}%.3f s/GB-rewritten)")
+      }
+      spark.stop(); return
+    }
     if (args.contains("deleteonly")) {
       val dDir = s"$wh/default/scale_del"
       val t0 = System.nanoTime()
