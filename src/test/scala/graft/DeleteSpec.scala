@@ -203,13 +203,39 @@ class DeleteSpec extends SparkTestBase {
     }
   }
 
-  test("unsigned-widened table: metadata-only deletes work, rewrite refuses") {
+  test("unsigned-widened table: stored-domain surgery deletes across the sign boundary") {
+    // r20 (r19 verdict #7 stretch): widened-domain predicates translate into
+    // the stored signed domain, so boundary files take chunk surgery instead
+    // of refusing. Stored shorts -1/-100 read as 65535/65436 widened — the
+    // high half of the unsigned domain, which a signed-naive comparison
+    // would order BELOW the positives.
     val dir = tmpDir("del-unsigned")
-    Seq((1L, 100.toShort), (2L, 200.toShort), (3L, 300.toShort))
-      .toDF("id", "u").write.format("nimble").mode("overwrite").save(dir)
+    Seq((1L, 100.toShort), (2L, 200.toShort), (3L, 300.toShort),
+        (4L, (-100).toShort) /* 65436 */, (5L, (-1).toShort) /* 65535 */,
+        (6L, 0.toShort))
+      .toDF("id", "u")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .mode("overwrite").save(dir)
     val opts = Map("unsignedColumns" -> "u")
+    graft.ops.Surgery.resetCounters()
+    // widened threshold 250: deletes u ∈ {300, 65436, 65535}, keeps {0,100,200}
+    val rep = Delete.delete(spark, dir, col("u") > 250, opts)
+    assert(rep.rowsDeleted == 3L, s"stored-domain delete drifted: $rep")
+    assert(graft.ops.Surgery.lastRewrittenChunks.get() > 0L,
+      s"must go through chunk surgery (refusal='${graft.ops.Surgery.lastRefusal}')")
+    val back = spark.read.format("nimble").options(opts).load(dir)
+      .select("id", "u").as[(Long, Long)].collect().toSet
+    assert(back == Set((1L, 100L), (2L, 200L), (6L, 0L)), s"got $back")
+    // exact widened-domain equality (Int literal — the widened type; a Long
+    // literal would cast-wrap the column and defeat exact translation)
+    val rep2 = Delete.delete(spark, dir, col("u") === 200, opts)
+    assert(rep2.rowsDeleted == 1L, s"equality delete drifted: $rep2")
+    assert(spark.read.format("nimble").options(opts).load(dir).count() == 2L)
+    // an inexact (untranslatable-by-construction) predicate still refuses:
+    // the Spark rewrite would store widened values
     val e = intercept[IllegalArgumentException] {
-      Delete.delete(spark, dir, col("u") > 150, opts)
+      Delete.delete(spark, dir, pmod(col("u"), lit(7L)) === 3L, opts)
     }
     assert(e.getMessage.contains("unsigned"))
   }
