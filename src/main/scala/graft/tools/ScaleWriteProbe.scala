@@ -16,7 +16,11 @@ object ScaleWriteProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val scaleDf = spark.range(8000000L).toDF("id")
+    // GRAFT_SCALE_FACTOR multiplies the table like the bench's scale blocks
+    // (r20): factor 10 = the sf1-equivalent shape, for adjudicating the 10x
+    // run's cpu_ms_per_mb against an isolated measurement
+    val factor = math.max(1L, sys.env.getOrElse("GRAFT_SCALE_FACTOR", "1").toLong)
+    val scaleDf = spark.range(8000000L * factor).toDF("id")
       .withColumn("skey", md5(concat(lit("k"), col("id").cast("string"))))
       .withColumn("v", (col("id") * 2654435761L % 1000003).cast("double"))
       .repartition(4).cache()

@@ -360,6 +360,20 @@ class SerializerSpec extends SparkTestBase {
     // the layouts genuinely differ on the wire
     assert(new String(fmBlob, "ISO-8859-1").contains("m#in:f0"))
     assert(!new String(blob, "ISO-8859-1").contains("m#in:f0"))
+
+    // v15 escape parity: '#'-bearing logical keys ride the serializer's
+    // FlatMap layout too — stream names escape, the read unescapes
+    val hashRows = (0 until 200).map { i =>
+      Row(i.toLong, Map(s"a#${i % 3}" -> i * 0.5, "x##y" -> i * 1.5))
+    }
+    val hashInternal = hashRows.map(r => enc(r).copy())
+    val hBlob = Serializer.serialize(schema, hashInternal.iterator,
+      graft.format.Fields.WriteOptions(flatMap = Set("m")))
+    val (s4, hBack) = Serializer.deserialize(hBlob)
+    assert(s4 == schema)
+    hashRows.zip(hBack.map(dec(_))).foreach { case (a, b) =>
+      assert(norm(a) == norm(b), s"$a vs $b") }
+    assert(new String(hBlob, "ISO-8859-1").contains("m#in:a##0"), "escaped stream name")
   }
 
   test("projector fuzz: random nested/flatmap schemas x random projections x v1/v2 blobs") {
