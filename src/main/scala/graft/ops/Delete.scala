@@ -166,107 +166,12 @@ object Delete {
     }
   }
 
-  // ------------------------------------ unsigned stored-domain translation
-
-  /** Rewrite pushed filters from the WIDENED (unsigned) domain into the
-    * STORED signed domain (r19 verdict #7 stretch): every comparison against
-    * an unsigned-widened column becomes an exactly-equivalent predicate over
-    * the raw sign-reinterpreted values the file actually stores. The mapping
-    * u -> narrow(u) rotates the unsigned order (low half [0, 2^(b-1)) maps
-    * to non-negatives, high half to negatives), so an unsigned range splits
-    * into at most TWO signed ranges joined by Or. Null semantics are
-    * preserved: every emitted form evaluates null -> false exactly like the
-    * original comparison (the "always true" edge emits IsNotNull, never
-    * AlwaysTrue). None = a shape the translation cannot prove (non-integral
-    * literal, unsupported stored type, exotic filter referencing the
-    * column) — callers keep the conservative fence. With Some(tf), the
-    * signed-domain file/chunk stats classify directly and chunk surgery
-    * masks in the stored domain, so deletes on unsigned tables need no
-    * domain-changing rewrite. */
+  /** Stored-domain translation of widened (unsigned) predicates — lives in
+    * [[graft.spark.Filters.unsignedStored]] so the scan's pruning path
+    * shares it; kept here as the ops-side entry point. */
   private[graft] def unsignedStoredFilters(filters: Array[Filter],
-      unsignedCols: Set[String], schema: StructType): Option[Array[Filter]] = {
-    if (unsignedCols.isEmpty) return Some(filters)
-    import java.math.BigInteger
-    def bitsOf(c: String): Option[Int] =
-      schema.fields.find(_.name == c).map(_.dataType).collect {
-        case org.apache.spark.sql.types.ByteType => 8
-        case org.apache.spark.sql.types.ShortType => 16
-        case org.apache.spark.sql.types.IntegerType => 32
-        case org.apache.spark.sql.types.LongType => 64
-      }
-    def big(v: Any): Option[BigInteger] = v match {
-      case b: Byte => Some(BigInteger.valueOf(b.toLong))
-      case s: Short => Some(BigInteger.valueOf(s.toLong))
-      case i: Int => Some(BigInteger.valueOf(i.toLong))
-      case l: Long => Some(BigInteger.valueOf(l))
-      case d: java.math.BigDecimal if d.scale == 0 => Some(d.toBigInteger)
-      case d: BigDecimal if d.scale == 0 => Some(d.underlying.toBigInteger)
-      case _ => None
-    }
-    // signed reinterpretation of u ∈ [0, 2^bits) as a Long literal
-    def narrow(u: BigInteger, bits: Int): Long =
-      (if (u.testBit(bits - 1)) u.subtract(BigInteger.ONE.shiftLeft(bits)) else u)
-        .longValueExact()
-    def tr(f: Filter): Option[Filter] = f match {
-      case And(l, r) => for { a <- tr(l); b <- tr(r) } yield And(a, b)
-      case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield Or(a, b)
-      // pointwise-equivalent child translation stays equivalent under Not
-      case Not(c) => tr(c).map(Not)
-      case IsNull(_) | IsNotNull(_) => Some(f)
-      case EqualTo(a, v) if unsignedCols(a) =>
-        for { bits <- bitsOf(a); u <- big(v) } yield
-          if (u.signum < 0 || u.bitLength > bits) AlwaysFalse()
-          else EqualTo(a, narrow(u, bits))
-      case EqualNullSafe(a, null) if unsignedCols(a) => Some(f)
-      case EqualNullSafe(a, v) if unsignedCols(a) =>
-        for { bits <- bitsOf(a); u <- big(v) } yield
-          if (u.signum < 0 || u.bitLength > bits) AlwaysFalse()
-          else EqualNullSafe(a, narrow(u, bits))
-      case In(a, vs) if unsignedCols(a) =>
-        bitsOf(a).flatMap { bits =>
-          val nn = vs.filter(_ != null) // a null element never matches IN
-          val bs = nn.map(big)
-          if (bs.exists(_.isEmpty)) None
-          else {
-            val inRange = bs.flatten.filter(u => u.signum >= 0 && u.bitLength <= bits)
-            if (inRange.isEmpty) Some(AlwaysFalse())
-            else Some(In(a, inRange.map(u => narrow(u, bits): Any)))
-          }
-        }
-      case GreaterThan(a, v) if unsignedCols(a) => rangeAbove(a, v, strict = true)
-      case GreaterThanOrEqual(a, v) if unsignedCols(a) => rangeAbove(a, v, strict = false)
-      case LessThan(a, v) if unsignedCols(a) => rangeBelow(a, v, strict = true)
-      case LessThanOrEqual(a, v) if unsignedCols(a) => rangeBelow(a, v, strict = false)
-      case other =>
-        if (other.references.exists(unsignedCols)) None else Some(other)
-    }
-    // unsigned (v, HI] / [v, HI]: everything strictly/inclusively above v
-    def rangeAbove(a: String, v: Any, strict: Boolean): Option[Filter] =
-      for { bits <- bitsOf(a); u0 <- big(v) } yield {
-        val u = if (strict) u0.add(BigInteger.ONE) else u0 // now [u, HI]
-        val hi = BigInteger.ONE.shiftLeft(bits).subtract(BigInteger.ONE)
-        if (u.signum <= 0) IsNotNull(a) // every stored value qualifies
-        else if (u.compareTo(hi) > 0) AlwaysFalse()
-        else if (u.testBit(bits - 1)) // [u, HI] entirely in the high half
-          And(GreaterThanOrEqual(a, narrow(u, bits)), LessThan(a, 0L))
-        else // low-half start: [u, maxSigned] ∪ the whole high half
-          Or(GreaterThanOrEqual(a, narrow(u, bits)), LessThan(a, 0L))
-      }
-    // unsigned [0, v) / [0, v]: everything strictly/inclusively below v
-    def rangeBelow(a: String, v: Any, strict: Boolean): Option[Filter] =
-      for { bits <- bitsOf(a); u0 <- big(v) } yield {
-        val u = if (strict) u0.subtract(BigInteger.ONE) else u0 // now [0, u]
-        val hi = BigInteger.ONE.shiftLeft(bits).subtract(BigInteger.ONE)
-        if (u.signum < 0) AlwaysFalse()
-        else if (u.compareTo(hi) >= 0) IsNotNull(a)
-        else if (u.testBit(bits - 1)) // reaches into the high half
-          Or(GreaterThanOrEqual(a, 0L), LessThanOrEqual(a, narrow(u, bits)))
-        else // entirely in the low half: [0, u] signed
-          And(GreaterThanOrEqual(a, 0L), LessThanOrEqual(a, narrow(u, bits)))
-      }
-    val out = filters.map(tr)
-    if (out.forall(_.isDefined)) Some(out.flatten) else None
-  }
+      unsignedCols: Set[String], schema: StructType): Option[Array[Filter]] =
+    graft.spark.Filters.unsignedStored(filters, unsignedCols, schema)
 
   // --------------------------------------------------- classification
 

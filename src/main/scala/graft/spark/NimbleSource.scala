@@ -1489,6 +1489,30 @@ class NimbleScanBuilder(path: String, dataSchema: StructType, maxFilesPerTrigger
     // give exactly.
     statsOnly = residual.filter(f =>
       f.references.nonEmpty && Filters.supported(f, atomicCols ++ nestedLeafCols))
+    // r20: unsigned-widened predicates translate into exactly-equivalent
+    // STORED-signed-domain twins (Filters.unsignedStored) and join the
+    // stats-only channel — stripe stats, chunk directories, blooms, and
+    // hash indexes are all stored-domain, so a selective probe on an
+    // unsigned column prunes instead of full-scanning. Never claimed:
+    // Spark re-evaluates the original on the widened decoded values, and
+    // equivalence makes candidate narrowing exact, not just none-match
+    // sound. The translation needs the STORED schema (footer), not the
+    // widened read schema.
+    if (unsignedCols.nonEmpty) {
+      val cands = residual.filter(f => f.references.nonEmpty &&
+        f.references.exists(unsignedCols) &&
+        Filters.supported(f, atomicCols ++ unsignedCols))
+      if (cands.nonEmpty) {
+        val storedSchema =
+          try NimbleSource.listFiles(path).headOption.map(f =>
+            DataType.fromJson(NimbleSource.footerOf(f).schemaJson).asInstanceOf[StructType])
+          catch { case _: Exception => None }
+        storedSchema.foreach { ss =>
+          statsOnly = statsOnly ++ cands.flatMap(f =>
+            Filters.unsignedStored(Array(f), unsignedCols, ss).toSeq.flatten)
+        }
+      }
+    }
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed

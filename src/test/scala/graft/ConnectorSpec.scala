@@ -310,8 +310,9 @@ class ConnectorSpec extends SparkTestBase {
     assert(rows(1).getDecimal(4) == new java.math.BigDecimal("9223372036854775808"))
     assert(rows(2).getShort(1) == 7 && rows(2).getInt(2) == 7 &&
       rows(2).getLong(3) == 7L && rows(2).getDecimal(4) == new java.math.BigDecimal(7))
-    // filters on unsigned columns evaluate on the WIDENED values (they are
-    // residuals — signed-domain stats must never prune them)
+    // filters on unsigned columns evaluate on the WIDENED values (they stay
+    // residuals; r20 adds stored-domain PRUNING twins, but the row-level
+    // answer always comes from Spark's widened re-evaluation)
     assert(nb.filter(col("u8") === 255).count() == 1L)
     assert(nb.filter(col("u64") > new java.math.BigDecimal("9223372036854775807")).count() == 2L)
     // aggregates compute on widened values too (pushdown refused)
@@ -322,6 +323,35 @@ class ConnectorSpec extends SparkTestBase {
     intercept[Exception] {
       spark.read.format("nimble").option("unsignedColumns", "nope").load(dir).schema
     }
+  }
+
+  test("unsigned predicates prune via stored-domain twins; results stay widened-exact") {
+    import spark.implicits._
+    // r20 (r19 verdict #7): selective scans on unsigned columns used to read
+    // everything (signed stats fenced). The translated stored-domain twin in
+    // the stats-only channel prunes stripes/chunks — with the results still
+    // computed on the widened values Spark re-evaluates.
+    // Two stripes: stored 0..4999 (widened same) and stored -5000..-1
+    // (widened 2^32-5000 .. 2^32-1). Sorted by id so each file is one range.
+    val dir = tmpDir("unsigned-prune")
+    spark.range(10000L)
+      .selectExpr("id", "CAST(CASE WHEN id < 5000 THEN id ELSE id - 10000 END AS INT) AS u32")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.format("nimble").option("sortColumns", "id")
+      .mode("overwrite").save(dir)
+    val nb = spark.read.format("nimble").option("unsignedColumns", "u32").load(dir)
+    // high-half probe: widened > 2^32 - 100 -> only the stored-negative file
+    val hi = nb.filter(col("u32") > (4294967296L - 100L)).agg(count(lit(1))).head().getLong(0)
+    assert(hi == 99L, s"high-half count drifted: $hi")
+    val st = graft.spark.NimbleSource.lastPlanStats(dir).get
+    assert(st.stripesPruned > 0,
+      s"stored-domain twin must prune the low-half stripes: $st")
+    // straddling range: everything except widened [100, 2^32-200] -> both
+    // halves partially survive, values exact across the sign boundary
+    val both = nb.filter(col("u32") < 100L || col("u32") > (4294967296L - 200L))
+      .select("u32").as[Long].collect().toSet
+    val expect = (0L until 100L).toSet ++ (4294967097L to 4294967295L).toSet
+    assert(both == expect, s"diff=${(both diff expect).take(5)} / ${(expect diff both).take(5)}")
   }
 
   test("footer cache stays bounded under many files (approximate LRU eviction)") {
