@@ -262,10 +262,16 @@ object Bench {
           .filter(col("skey") === probeSkey).count()
         spark.read.format("nimble").load(scaleIdxDir)
           .filter(col("skey") =!= probeSkey).count()
+        // drop the block cache between settle and measurement: the metric is
+        // the COLD byte footprint of a point probe vs a scan — at factor-10
+        // heaps the settle pass otherwise leaves the probe's candidate
+        // ranges resident and the fraction reads a meaningless 0.0
+        graft.spark.BlockCache.clear()
         val probeBytes = fetchDelta {
           spark.read.format("nimble").load(scaleIdxDir)
             .filter(col("skey") === probeSkey).count()
         }
+        graft.spark.BlockCache.clear()
         val scanBytes = fetchDelta {
           spark.read.format("nimble").load(scaleIdxDir)
             .filter(col("skey") =!= probeSkey).count()
