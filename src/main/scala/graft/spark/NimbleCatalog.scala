@@ -91,7 +91,24 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
             LayoutPropKeys(k)).toMap
         case None => sortProp(files)
       }
-    new NimbleTable(dir, schema, props)
+    // unsignedColumns is a READ-semantics property — it is never
+    // materialized in footers (the files store the signed narrow domain),
+    // so it rides the spec for the table's whole life. The surfaced schema
+    // widens only once files exist: the CREATE-time write (CTAS) validates
+    // against the STORED narrow schema, so data always lands in the stored
+    // domain (r20; appends after that are refused by NimbleTable's write
+    // guard — they would arrive widened).
+    val unsignedProp = spec.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("unsignedColumns") && v.trim.nonEmpty => v }
+    val uCols = unsignedProp.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val outSchema =
+      if (files.isEmpty || uCols.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        if (uCols(f.name)) f.copy(dataType = graft.format.Fields.unsignedWidened(f.dataType))
+        else f))
+    new NimbleTable(dir, outSchema,
+      props ++ unsignedProp.map("unsignedColumns" -> _))
   }
 
   /** Physical-layout table properties a CREATE TABLE may declare — they
@@ -140,10 +157,22 @@ class NimbleCatalog extends TableCatalog with FunctionCatalog with SupportsNames
         s"nimble: unsupported partitioning ${other.mkString(", ")} (only bucket(n, cols...))")
     }
     val props = properties.asScala.toMap
+    // unsignedColumns validates at CREATE: every named column must exist
+    // and widen (integral stored type) — fail here, not at first read
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase("unsignedColumns") => v }
+      .foreach { v =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"nimble: unsignedColumns: no such column $c"))
+          graft.format.Fields.unsignedWidened(f.dataType) // throws on non-integral
+        }
+      }
     val spec = Map("schema" -> schema.json) ++
       bucket.map { case (c, n) => Map("bucketColumns" -> c.mkString(","),
         "numBuckets" -> n.toString) }.getOrElse(Map.empty) ++
-      props.view.filterKeys(LayoutPropKeys).toMap
+      props.view.filterKeys(k => LayoutPropKeys(k) ||
+        k.equalsIgnoreCase("unsignedColumns")).toMap
     GraftIO.mkdirs(dir)
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.JObject(spec.map { case (k, v) => (k, org.json4s.JString(v)) }.toList))

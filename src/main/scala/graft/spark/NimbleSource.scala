@@ -1287,11 +1287,29 @@ class NimbleRowLevelOperation(path: String, schema: StructType,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // table-level unsignedColumns rides tableProps (catalog tables), the
+    // per-operation options win on conflict — same merge as NimbleTable's
+    val merged = new CaseInsensitiveStringMap(
+      (tableProps ++ options.asScala).asJava)
     new NimbleScanBuilder(path, schema, -1,
-      NimbleSource.unsignedColsOf(options), rowLevel = this)
+      NimbleSource.unsignedColsOf(merged), rowLevel = this)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the group-based copy-on-write reads WIDENED values and would write
+    // them back widened — silently changing the stored physical domain of an
+    // unsigned table. The refusal sits HERE, not in the operation builder:
+    // Spark constructs the row-level plan for every SQL DELETE before
+    // OptimizeMetadataOnlyDeleteFromTable can replace it with the
+    // canDeleteWhere (stored-domain-translated) metadata path, so only a
+    // plan that actually WRITES may fail loudly.
+    require(!tableProps.exists { case (k, v) =>
+        k.equalsIgnoreCase("unsignedColumns") && v.trim.nonEmpty },
+      "nimble: row-level DML on an unsigned-widened table would store the " +
+        "WIDENED values (a different physical domain); only metadata-only " +
+        "DELETE is supported through SQL — use graft.ops.Delete for " +
+        "surgery-eligible stored-domain deletes")
     // replacement files re-declare whatever layout the table's files carry
     val layout =
       try graft.ops.Compaction.recoverLayout(path)
@@ -1344,8 +1362,10 @@ class NimbleTable(path: String, schema: StructType,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     path.indexOf(NimbleSource.MultiPathSep) < 0 &&
       filters.flatMap(_.references).forall(r => schema.fieldNames.contains(r)) &&
-      unsignedColsOfProps.isEmpty &&
-      graft.ops.Delete.metadataOnlyDeletable(path, filters)
+      // unsigned tables participate via the stored-domain translation inside
+      // metadataOnlyDeletable (r20); untranslatable predicates classify
+      // under the stats fence and correctly report non-metadata-only
+      graft.ops.Delete.metadataOnlyDeletable(path, filters, unsignedColsOfProps)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireSingleDir("DELETE")
@@ -1406,6 +1426,14 @@ class NimbleTable(path: String, schema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireSingleDir("a write")
+    // unsigned tables accept only their CREATE-time write (the table is
+    // still empty then, so the schema is the stored narrow one): once files
+    // exist the surfaced schema is WIDENED and any further write would land
+    // widened values — a silent physical-domain change
+    require(unsignedColsOfProps.isEmpty || NimbleSource.listFiles(path).isEmpty,
+      "nimble: writing to an unsigned-widened table would store the WIDENED " +
+        "values (a different physical domain); write the stored-domain data " +
+        "path-based, or drop the unsignedColumns property")
     new NimbleWriteBuilder(path, info.schema(), merged(info.options()),
       appendLayoutFn = () =>
         // r19: a plain APPEND preserves the table's per-file-LOCAL layout

@@ -159,6 +159,48 @@ class RowLevelSpec extends SparkTestBase {
     }
   }
 
+  test("unsigned table: SQL metadata DELETE works; widening row-level DML refuses loudly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.grl", "graft.spark.NimbleCatalog")
+    spark.conf.set("spark.sql.catalog.grl.warehouse", wh)
+    val fq = "grl.default.t_unsigned"
+    spark.sql(s"DROP TABLE IF EXISTS $fq")
+    // stored shorts incl. negatives = unsigned high half; sorted by id so
+    // a retention predicate classifies per file
+    spark.range(4000L)
+      .selectExpr("id", "CAST(CASE WHEN id < 2000 THEN id % 1000 ELSE -(id % 1000) - 1 END AS SHORT) AS u")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .writeTo(fq)
+      .tableProperty("sortColumns", "id")
+      .tableProperty("unsignedColumns", "u").create()
+    // widened read through the catalog: u surfaces as INT with high-half values
+    assert(spark.table(fq).schema("u").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(spark.table(fq).filter(col("u") > 65000).count() > 0)
+    // stats-separable DELETE: canDeleteWhere translates to the stored domain
+    // and unlinks whole files — no rewrite, no widening. The cutoff comes
+    // from the actual file layout (range sampling shifts boundaries), so the
+    // predicate provably classifies every file.
+    val cut = NimbleSource.listFiles(dirOf("t_unsigned")).map { f =>
+      val r = new graft.format.Tablet.Reader(f)
+      try r.fileStatsOf("id").get.minLong finally r.close()
+    }.max
+    assert(cut > 0L && cut < 4000L)
+    spark.sql(s"DELETE FROM $fq WHERE id >= $cut")
+    assert(spark.table(fq).count() == cut)
+    // the stored schema is untouched (still SHORT on disk)
+    val storedType = org.apache.spark.sql.types.DataType
+      .fromJson(NimbleSource.footerOf(
+        NimbleSource.listFiles(dirOf("t_unsigned")).head).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("u").dataType
+    assert(storedType == org.apache.spark.sql.types.ShortType)
+    // row-level UPDATE would write widened values into the table — refused
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $fq SET u = 7 WHERE id = 10")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("unsigned"),
+      s"got: ${e.getMessage}")
+  }
+
   test("a data column named _file shadows the metadata column") {
     val dir = tmpDir("rl-shadow")
     Seq((1L, "real")).toDF("id", "_file").write.format("nimble").mode("overwrite").save(dir)
