@@ -259,6 +259,30 @@ class CompactionSpec extends SparkTestBase {
     assert(new java.io.File(p0.path).lastModified() == m0)
   }
 
+  test("compaction of an unsigned-widened table stays in the stored domain") {
+    import spark.implicits._
+    // compact never sees the unsignedColumns read option — it reads and
+    // rewrites the raw stored values (or byte-moves stripes), so the
+    // physical domain is preserved by construction; pin it: high-half
+    // (stored-negative) values survive value-identically through compact,
+    // and the widened read of the output matches the input's
+    val dir = tmpDir("cmp-unsigned"); val out = tmpDir("cmp-unsigned-out")
+    spark.range(30000L)
+      .selectExpr("id", "CAST(CASE WHEN id % 3 = 0 THEN -(id % 100) - 1 ELSE id % 100 END AS SHORT) AS u")
+      .repartition(6).write.format("nimble").mode("overwrite").save(dir)
+    val before = spark.read.format("nimble").option("unsignedColumns", "u").load(dir)
+      .select("id", "u").as[(Long, Long)].collect().sorted.toSeq
+    Compaction.compact(spark, dir, out, targetFileBytes = 1L << 31)
+    val storedType = org.apache.spark.sql.types.DataType
+      .fromJson(NimbleSource.footerOf(NimbleSource.listFiles(out).head).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("u").dataType
+    assert(storedType == org.apache.spark.sql.types.ShortType, "stored domain must survive")
+    val after = spark.read.format("nimble").option("unsignedColumns", "u").load(out)
+      .select("id", "u").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before)
+    assert(after.exists(_._2 > 65000L), "high-half (stored-negative) values present")
+  }
+
   test("compactSmall refuses bucketed tables") {
     val dir = tmpDir("cmps-bucketed")
     li.write.format("nimble").mode("overwrite")
