@@ -60,7 +60,12 @@ object Merge {
     require(!unsigned, "nimble: merge: unsigned-widened tables cannot rewrite " +
       "(the widened values are a different physical domain)")
 
+    // the delta is consumed by FIVE independent actions (cardinality check,
+    // affected-bounds join, update join, matched-keys semi, insert anti) —
+    // persist it once so a real source (a table scan, a shuffle output)
+    // computes once instead of five times; unpersisted before returning
     val src = source.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+      .persist()
 
     // SQL MERGE cardinality check + null-key rejection, one pass over source
     val keyExprs = keyCols.map(c => col(s"`$c`"))
@@ -70,6 +75,7 @@ object Merge {
         count(lit(1)).as("distinctKeys"))
       .head()
     val sourceKeyCount = card.getLong(2)
+    try {
     if (sourceKeyCount == 0L) return Report(0, files.length, 0L, 0L)
     require(card.getLong(0) <= 1L,
       "nimble: merge: source has duplicate keys — SQL MERGE cardinality violation")
@@ -190,6 +196,7 @@ object Merge {
       else rowsAfter - rowsBefore
     Report(affected.length, files.length - affected.length,
       rowsMatched = sourceKeyCount - inserted, rowsInserted = inserted)
+    } finally src.unpersist()
   }
 
   /** Continuous CDC apply: every micro-batch upserts into the tablet dir
