@@ -98,4 +98,76 @@ class DmlChainFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("unsigned chain: stored-domain deletes + compact + zorder keep widened parity") {
+    // r20: the unsigned stored-domain translation under CHAINED maintenance —
+    // widened-domain deletes (sign boundary crossing), id-range deletes,
+    // raw-concat compaction and a zorder rewrite must all preserve the
+    // stored physical domain and the widened read at every step
+    val rnd = new scala.util.Random(201)
+    val opts = Map("unsignedColumns" -> "u")
+    for (trial <- 0 until 2) {
+      val n = 20000
+      var step = 0
+      var cur = tmpDir(s"dmlchain-u-$trial-$step")
+      spark.range(n.toLong)
+        .selectExpr("id",
+          "CAST(CASE WHEN id % 3 = 0 THEN -(id % 2000) - 1 ELSE id % 2000 END AS SHORT) AS u",
+          "CAST(id % 97 AS DOUBLE) AS v")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+        .write.format("nimble").option("sortColumns", "id")
+        .option("rowsPerChunk", "2048").mode("overwrite").save(cur)
+      // oracle in the WIDENED domain
+      var oracle: Seq[(Long, Long, Double)] = (0L until n.toLong).map { i =>
+        val raw = if (i % 3 == 0) -(i % 2000) - 1 else i % 2000
+        (i, if (raw < 0) raw + 65536 else raw, (i % 97).toDouble)
+      }
+      val ops = scala.collection.mutable.ArrayBuffer[String]()
+      for (_ <- 0 until 4) {
+        rnd.nextInt(4) match {
+          case 0 => // widened-domain delete, threshold can cross the sign boundary
+            val x = 1000 + rnd.nextInt(63000)
+            val rep = Delete.delete(spark, cur, col("u") > x, opts)
+            val before = oracle.size
+            oracle = oracle.filterNot(_._2 > x)
+            assert(rep.rowsDeleted == (before - oracle.size).toLong,
+              s"trial=$trial widened delete count drifted at x=$x: $rep")
+            ops += s"uDelete($x)"
+          case 1 => // id-range delete (non-unsigned reference column)
+            val y = (n / 2 + rnd.nextInt(n / 2)).toLong
+            Delete.delete(spark, cur, col("id") >= y, opts)
+            oracle = oracle.filterNot(_._1 >= y)
+            ops += s"idDelete($y)"
+          case 2 =>
+            step += 1
+            val nxt = tmpDir(s"dmlchain-u-$trial-$step")
+            Compaction.compact(spark, cur, nxt, targetFileBytes = 4L << 20)
+            cur = nxt
+            ops += "compact"
+          case 3 =>
+            step += 1
+            val nxt = tmpDir(s"dmlchain-u-$trial-$step")
+            ZOrder.zorder(spark, cur, nxt, Seq("id", "v"),
+              targetFileBytes = 4L << 20, buckets = 64)
+            cur = nxt
+            ops += "zorder"
+        }
+        // stored domain intact on disk
+        val storedType = org.apache.spark.sql.types.DataType
+          .fromJson(graft.spark.NimbleSource.footerOf(
+            graft.spark.NimbleSource.listFiles(cur).head).schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]("u").dataType
+        assert(storedType == org.apache.spark.sql.types.ShortType,
+          s"trial=$trial after [${ops.mkString(",")}]: stored domain changed to $storedType")
+        // widened read parity
+        val got = spark.read.format("nimble").options(opts).load(cur)
+          .selectExpr("id", "CAST(u AS LONG) AS u", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(identity)
+        assert(got.toSeq == oracle.sortBy(identity),
+          s"trial=$trial after [${ops.mkString(",")}]: widened content diverged " +
+            s"(${got.length} vs ${oracle.size} rows)")
+      }
+    }
+  }
 }
