@@ -404,7 +404,12 @@ class SerializerSpec extends SparkTestBase {
       case BooleanType => i % 3 == 0
       case ArrayType(et, _) => (0 until i % 4).map(j => randValue(et, i + j))
       case MapType(_, vt, _) =>
-        (0 until i % 3).map(j => s"k${(i + j) % 5}" -> randValue(vt, i + j)).toMap
+        // key pool includes '#'/"##" shapes so flatmap trials cross the v15
+        // stream-name escape (identity for the plain keys)
+        (0 until i % 3).map { j =>
+          val keys = Seq("k0", "k1", "k2", "k#3", "k##4")
+          keys((i + j) % 5) -> randValue(vt, i + j)
+        }.toMap
       case st: StructType => Row(st.fields.map(f => valueOrNull(f, i + 1)).toSeq: _*)
     }
     def valueOrNull(f: StructField, i: Int): Any =
