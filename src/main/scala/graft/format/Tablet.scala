@@ -1791,7 +1791,10 @@ object Tablet {
       // writer (the version byte rides the zstd-compressed footer, so an
       // unconditional bump would shift compressed footer sizes and break
       // the encoded_size_ratio byte-identity invariant on '#'-free corpora).
-      val stampVersion = if (keys.exists(_.contains("##"))) Version else 14
+      val stampVersion =
+        if (Fields.testLegacyFmKeys) 14 // byte-faithful legacy synthesis
+        else if (keys.exists(_.contains("##"))) Version
+        else 14
       val footer = if (nStreams <= WideMetaStreams) {
         Footer(stampVersion, schemaJson, sortColumns, totalRows,
           keys.toArray, slim, DirGroupSize, groups, fileStats.toArray,

@@ -225,6 +225,15 @@ object Compaction {
     val headKeys = head.streamKeys
     if (footers.exists(f => !f.streamKeys.sameElements(headKeys)))
       return None
+    // v15 escape semantics: a "##" inside a stream key means ESCAPED key
+    // data on v15+ files but RAW legacy bytes on v<15 — identical stream
+    // NAMES with different logical keys. Raw concat copies the names
+    // verbatim into a CURRENT-version writer (whose minimum-required stamp
+    // would read "##" as v15-escaped), so legacy "##"-bearing sources must
+    // take the shuffle rewrite instead — it decodes the LOGICAL keys under
+    // the source's own convention and re-writes them correctly escaped.
+    if (headKeys.exists(_.contains("##")) && footers.exists(_.version < 15))
+      return None
     // sorted tables: concat preserves the global sort ONLY when file ranges
     // on the leading sort column are null-free and strictly disjoint
     val ordered: Seq[(String, Tablet.Footer)] =

@@ -334,6 +334,11 @@ object Delete {
               // unsigned columns are declared)
               val (done, before, _, rest) = phase("surgery")(
                 Surgery.deleteFiles(spark, mixed, clsFilters, tmp))
+              // unsigned: any surgery-ineligible remainder refuses BEFORE
+              // the commit below — replacements only exist in the side dir
+              // (finally-deleted), so a refused DELETE applies NOTHING
+              // rather than erroring half-applied
+              if (unsignedCols.nonEmpty) refuseUnsigned(rest)
               if (done.nonEmpty)
                 rowsDeleted += before - commitReplacements(dir, done, tmp)
               jobFiles = rest

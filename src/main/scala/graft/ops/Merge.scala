@@ -34,12 +34,15 @@ object Merge {
       filesRewritten: Int, filesUntouched: Int,
       rowsMatched: Long, rowsInserted: Long)
 
-  /** Deltas at or under this many distinct keys take the broadcast
-    * (shuffle-free) rewrite plan; larger deltas take the shuffled
-    * full_outer. The count is exact — it comes from the cardinality check
-    * that already ran — and 2M keys of row data is comfortably inside
-    * executor broadcast budgets (same bound Dedup uses). */
+  /** Deltas at or under this many distinct keys AND this many cached bytes
+    * take the broadcast (shuffle-free) rewrite plan; larger deltas take the
+    * shuffled full_outer. The count is exact (the cardinality check already
+    * ran) and the byte bound comes from the persisted delta's own cache
+    * stats — full-width rows broadcast, so a row-count bound alone would
+    * let a 2M-row × multi-KB-row delta blow the executor broadcast budget
+    * where the shuffled plan works fine. */
   private final val BroadcastMaxSourceKeys = 2000000L
+  private final val BroadcastMaxSourceBytes = 256L << 20
 
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String],
@@ -66,6 +69,8 @@ object Merge {
     // computes once instead of five times; unpersisted before returning
     val src = source.select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
       .persist()
+    try { // every action on src (the cardinality head() included) runs
+          // inside this try, so a failing source never leaks the cache entry
 
     // SQL MERGE cardinality check + null-key rejection, one pass over source
     val keyExprs = keyCols.map(c => col(s"`$c`"))
@@ -75,7 +80,6 @@ object Merge {
         count(lit(1)).as("distinctKeys"))
       .head()
     val sourceKeyCount = card.getLong(2)
-    try {
     if (sourceKeyCount == 0L) return Report(0, files.length, 0L, 0L)
     require(card.getLong(0) <= 1L,
       "nimble: merge: source has duplicate keys — SQL MERGE cardinality violation")
@@ -154,7 +158,13 @@ object Merge {
           // present (source keys are non-null by the check above), never by
           // per-column coalescing — a legit null update must stick.
           val s2 = src.select(src.columns.toIndexedSeq.map(c => col(s"`$c`").as(s"_s_$c")): _*)
-          if (sourceKeyCount <= BroadcastMaxSourceKeys) {
+          // the persisted delta's own plan stats carry its cached byte size
+          // (exact after the cardinality action materialized it)
+          val srcBytes =
+            try src.queryExecution.optimizedPlan.stats.sizeInBytes
+            catch { case _: Exception => BigInt(Long.MaxValue) }
+          if (sourceKeyCount <= BroadcastMaxSourceKeys &&
+              srcBytes <= BroadcastMaxSourceBytes) {
             // small-delta plan (the 100 TB common case — corrections/label
             // fixes against a huge sorted table): a full_outer join cannot
             // broadcast, so it would SHUFFLE + sort every affected file's
@@ -172,9 +182,14 @@ object Merge {
                 (if (keyCols.contains(c)) col(s"`$c`")
                  else when(fromSource, col(s"`_s_$c`")).otherwise(col(s"`$c`"))).as(c)
               }: _*)
+            // distinct() bounds the matched-key frame by |source keys| even
+            // when the TARGET holds duplicate keys (MERGE cardinality
+            // constrains the source only) — without it a dup-key target
+            // could inflate the broadcast below arbitrarily
             val matchedKeys = t.select(keyCols.toIndexedSeq.map(c => col(s"`$c`")): _*)
               .join(broadcast(src.select(keyCols.toIndexedSeq.map(c => col(s"`$c`")): _*)),
                 keyCols, "left_semi")
+              .distinct()
             val inserts = src.join(broadcast(matchedKeys), keyCols, "left_anti")
               .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
             updated.unionByName(inserts)

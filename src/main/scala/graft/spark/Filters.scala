@@ -523,40 +523,67 @@ object Filters {
         else // entirely in the low half: [0, u] signed
           And(GreaterThanOrEqual(a, 0L), LessThanOrEqual(a, narrow(u, bits)))
       }
-    def tr(f: Filter): Option[Filter] = f match {
-      case And(l, r) => for { a <- tr(l); b <- tr(r) } yield And(a, b)
-      case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield Or(a, b)
-      // pointwise-equivalent child translation stays equivalent under Not
-      case Not(c) => tr(c).map(Not)
-      case IsNull(_) | IsNotNull(_) => Some(f)
-      case EqualTo(a, v) if unsignedCols(a) =>
-        for { bits <- bitsOf(a); u <- big(v) } yield
-          if (u.signum < 0 || u.bitLength > bits) AlwaysFalse()
-          else EqualTo(a, narrow(u, bits))
-      case EqualNullSafe(a, null) if unsignedCols(a) => Some(f)
-      case EqualNullSafe(a, v) if unsignedCols(a) =>
-        for { bits <- bitsOf(a); u <- big(v) } yield
-          if (u.signum < 0 || u.bitLength > bits) AlwaysFalse()
-          else EqualNullSafe(a, narrow(u, bits))
-      case In(a, vs) if unsignedCols(a) =>
-        bitsOf(a).flatMap { bits =>
-          val nn = vs.filter(_ != null) // a null element never matches IN
-          val bs = nn.map(big)
-          if (bs.exists(_.isEmpty)) None
-          else {
-            val inRange = bs.flatten.filter(u => u.signum >= 0 && u.bitLength <= bits)
-            if (inRange.isEmpty) Some(AlwaysFalse())
-            else Some(In(a, inRange.map(u => narrow(u, bits): Any)))
-          }
-        }
-      case GreaterThan(a, v) if unsignedCols(a) => rangeAbove(a, v, strict = true)
-      case GreaterThanOrEqual(a, v) if unsignedCols(a) => rangeAbove(a, v, strict = false)
-      case LessThan(a, v) if unsignedCols(a) => rangeBelow(a, v, strict = true)
-      case LessThanOrEqual(a, v) if unsignedCols(a) => rangeBelow(a, v, strict = false)
-      case other =>
-        if (other.references.exists(unsignedCols)) None else Some(other)
+    // `underNot`: the AlwaysFalse()/IsNotNull(a) EDGE forms are equivalent
+    // to the original comparison only POSITIVELY (both evaluate null ->
+    // false). Under an enclosing Not the equivalence breaks — the original
+    // NOT(cmp) is null -> null -> row NOT matched, while Not(AlwaysFalse)
+    // is TRUE on null rows (and three-valued evaluators treat the
+    // reference-free AlwaysFalse as null-blind), which would classify
+    // NULL-bearing stripes all-match and DELETE rows the predicate must
+    // keep. So inside any Not, an edge-form translation refuses instead.
+    def isEdgeForm(t: Filter): Boolean = t match {
+      case AlwaysFalse() | IsNotNull(_) => true
+      case _ => false
     }
-    val out = filters.map(tr)
+    def tr(f: Filter, underNot: Boolean): Option[Filter] = {
+      def edge(t: Filter): Option[Filter] =
+        if (underNot) None else Some(t)
+      def noEdgeUnderNot(t: Filter): Option[Filter] =
+        if (underNot && isEdgeForm(t)) None else Some(t)
+      f match {
+        case And(l, r) => for { a <- tr(l, underNot); b <- tr(r, underNot) } yield And(a, b)
+        case Or(l, r) => for { a <- tr(l, underNot); b <- tr(r, underNot) } yield Or(a, b)
+        // non-edge translations are pointwise-equivalent INCLUDING null
+        // (comparisons evaluate null -> false on both sides), so Not stays
+        // exact; the edge forms refuse via `edge` above
+        case Not(c) => tr(c, underNot = true).map(Not)
+        case IsNull(_) | IsNotNull(_) => Some(f)
+        case EqualTo(a, v) if unsignedCols(a) =>
+          (for { bits <- bitsOf(a); u <- big(v) } yield
+            if (u.signum < 0 || u.bitLength > bits) edge(AlwaysFalse())
+            else Some(EqualTo(a, narrow(u, bits)))).flatten
+        case EqualNullSafe(a, null) if unsignedCols(a) => Some(f)
+        case EqualNullSafe(a, v) if unsignedCols(a) =>
+          // EqualNullSafe is genuinely two-valued (null <=> v is FALSE, and
+          // NOT of that is TRUE — matching AlwaysFalse/Not(AlwaysFalse)
+          // exactly), so its out-of-range edge is safe even under Not
+          for { bits <- bitsOf(a); u <- big(v) } yield
+            if (u.signum < 0 || u.bitLength > bits) AlwaysFalse()
+            else EqualNullSafe(a, narrow(u, bits))
+        case In(a, vs) if unsignedCols(a) =>
+          bitsOf(a).flatMap { bits =>
+            val nn = vs.filter(_ != null) // a null element never matches IN
+            val bs = nn.map(big)
+            if (bs.exists(_.isEmpty)) None
+            else {
+              val inRange = bs.flatten.filter(u => u.signum >= 0 && u.bitLength <= bits)
+              if (inRange.isEmpty) edge(AlwaysFalse())
+              else Some(In(a, inRange.map(u => narrow(u, bits): Any)))
+            }
+          }
+        case GreaterThan(a, v) if unsignedCols(a) =>
+          rangeAbove(a, v, strict = true).flatMap(noEdgeUnderNot)
+        case GreaterThanOrEqual(a, v) if unsignedCols(a) =>
+          rangeAbove(a, v, strict = false).flatMap(noEdgeUnderNot)
+        case LessThan(a, v) if unsignedCols(a) =>
+          rangeBelow(a, v, strict = true).flatMap(noEdgeUnderNot)
+        case LessThanOrEqual(a, v) if unsignedCols(a) =>
+          rangeBelow(a, v, strict = false).flatMap(noEdgeUnderNot)
+        case other =>
+          if (other.references.exists(unsignedCols)) None else Some(other)
+      }
+    }
+    val out = filters.map(f => tr(f, underNot = false))
     if (out.forall(_.isDefined)) Some(out.flatten) else None
   }
 }

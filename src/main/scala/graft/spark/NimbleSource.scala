@@ -495,7 +495,8 @@ object NimbleSource {
         // ordinal-aligned with the logical grid (absent-backfill invariant),
         // so its per-chunk stats prune the FETCH the same way — with the
         // +1/+1 count shift keeping null-test leaves sound vs absent keys
-        val fmId = fmStreamCandidates(c).map(reader.keyId).find(_ >= 0).getOrElse(-1)
+        val fmId = fmStreamCandidates(c, reader.footer.version >= 15)
+          .map(reader.keyId).find(_ >= 0).getOrElse(-1)
         if (fmId >= 0) {
           val dir = reader.chunkDirOf(stripe, fmId)
           if (dir != null) {
@@ -898,24 +899,26 @@ object NimbleSource {
       .filter(c => dataSchema.fieldNames.contains(c))
       .flatMap(c => Fields.neededKeys(c, dataSchema(c).dataType, footerKeySet)) ++
       statsOnly.flatMap(_.references).distinct
-        .flatMap(p => Seq(p, p + "#nanos") ++ fmStreamCandidates(p))).filter(footerKeySet(_)).toSet
+        .flatMap(p => Seq(p, p + "#nanos") ++ fmStreamCandidates(p, footerKeySet.escaped)))
+      .filter(footerKeySet(_)).toSet
 
   /** Dotted filter path → flatmap value-stream key candidates ('c.k' →
     * 'c#fm:k' for every dot split; flatmap keys may themselves contain
     * dots). Existence filtering is the caller's job. */
-  private[spark] def fmStreamCandidates(p: String): Seq[String] = {
+  private[spark] def fmStreamCandidates(p: String, escaped: Boolean): Seq[String] = {
+    // per-file VERSION-GATED key form: inside a v15 file the RAW form of a
+    // '#'-bearing logical key can collide with the ESCAPED form of a
+    // SIBLING key (raw "x##y" = escaped "x#y"), so emitting both forms and
+    // existence-filtering would let the wrong key's stats drive pruning —
+    // the form must match the file's own convention, exactly like the
+    // dotted-stats path above
     if (p.indexOf('.') < 0) return Nil
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var dot = p.indexOf('.')
     while (dot > 0) {
-      val k = p.substring(dot + 1)
+      val k0 = p.substring(dot + 1)
+      val k = if (escaped) graft.format.Fields.escapeFmKey(k0) else k0
       out += p.substring(0, dot) + "#fm:" + k
-      // v15 escape: a '#'-bearing logical key is stored doubled. Emitting
-      // BOTH forms is version-agnostic — every caller existence-filters, a
-      // v15 file only stores escaped names and a legacy file only raw ones,
-      // so exactly one form can match per file.
-      val esc = graft.format.Fields.escapeFmKey(k)
-      if (esc ne k) out += p.substring(0, dot) + "#fm:" + esc
       dot = p.indexOf('.', dot + 1)
     }
     out.toSeq
@@ -927,9 +930,9 @@ object NimbleSource {
     * fm stream's counts cannot see): IsNull never prunes, IsNotNull still
     * prunes exactly the no-present-non-null chunks, min/max stay
     * authoritative for the comparison leaves. */
-  private[spark] def fmMappedStats(name: String,
+  private[spark] def fmMappedStats(name: String, escaped: Boolean,
       peek: String => Option[Tablet.Stats]): Option[Tablet.Stats] = {
-    for (k <- fmStreamCandidates(name); st <- peek(k))
+    for (k <- fmStreamCandidates(name, escaped); st <- peek(k))
       return Some(st.copy(valueCount = st.valueCount + 1, nullCount = st.nullCount + 1))
     None
   }
@@ -2669,7 +2672,7 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
         val statsOf: String => Option[Tablet.Stats] =
           name => eagerCursors.get(name).flatMap(_.peekStats()).map { st =>
             if (footerKeySet(name + "#nanos")) NimbleSource.nanosScaledStats(st) else st
-          }.orElse(NimbleSource.fmMappedStats(name,
+          }.orElse(NimbleSource.fmMappedStats(name, footerKeySet.escaped,
             k => eagerCursors.get(k).flatMap(_.peekStats())))
         var pruned = false
         var pi = 0

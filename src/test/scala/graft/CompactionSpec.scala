@@ -283,6 +283,37 @@ class CompactionSpec extends SparkTestBase {
     assert(after.exists(_._2 > 65000L), "high-half (stored-negative) values present")
   }
 
+  test("legacy raw '##' flatmap keys never raw-concat into a v15 stamp (r20 review)") {
+    import spark.implicits._
+    // a pre-v15 writer stored logical key "x##y" RAW as "m#in:x##y"; raw
+    // concat copies stream names verbatim into a current writer whose
+    // minimum-required stamp would read "##" as v15-escaped — the compacted
+    // file would silently rename the key to "x#y". Such sources must take
+    // the shuffle rewrite, which decodes logical keys under the source's
+    // own convention and re-writes them correctly escaped.
+    val dir = tmpDir("cmp-legacy-hash"); val out = tmpDir("cmp-legacy-hash-out")
+    graft.format.Fields.testLegacyFmKeys = true
+    try {
+      spark.range(6000L)
+        .selectExpr("id", "map('x##y', CAST(id AS DOUBLE)) AS m")
+        .repartition(3).write.format("nimble")
+        .option("flatMapColumns", "m").mode("overwrite").save(dir)
+    } finally graft.format.Fields.testLegacyFmKeys = false
+    val srcFooter = NimbleSource.footerOf(NimbleSource.listFiles(dir).head)
+    assert(srcFooter.version == 14 && srcFooter.streamKeys.contains("m#in:x##y"),
+      s"legacy synthesis drifted: v${srcFooter.version} ${srcFooter.streamKeys.mkString(",")}")
+    Compaction.compact(spark, dir, out, targetFileBytes = 1L << 31)
+    assert(!Compaction.lastCompactRaw.get(),
+      "legacy '##' keys must NOT take the raw stripe-concat path")
+    // the rewritten output is v15-escaped and the LOGICAL key survives
+    val outFooter = NimbleSource.footerOf(NimbleSource.listFiles(out).head)
+    assert(outFooter.version == 15 && outFooter.streamKeys.contains("m#in:x####y"),
+      s"rewrite must re-escape: v${outFooter.version} ${outFooter.streamKeys.mkString(",")}")
+    val got = spark.read.format("nimble").load(out)
+      .selectExpr("sum(m['x##y'])").collect()(0).getDouble(0)
+    assert(got == (0L until 6000L).sum.toDouble, s"logical key drifted: $got")
+  }
+
   test("compactSmall refuses bucketed tables") {
     val dir = tmpDir("cmps-bucketed")
     li.write.format("nimble").mode("overwrite")

@@ -239,4 +239,39 @@ class DeleteSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("unsigned"))
   }
+
+  test("unsigned NOT over an out-of-range literal never deletes NULL rows (r20 review)") {
+    import org.apache.spark.sql.sources.{Not, EqualTo, GreaterThan, EqualNullSafe}
+    // the AlwaysFalse/IsNotNull edge translations are null-equivalent only
+    // POSITIVELY: NOT(u = 70000) is NULL (not true) on a NULL u, while
+    // Not(AlwaysFalse()) would be TRUE — classification would then unlink
+    // whole files and destroy the NULL rows the predicate must keep. The
+    // translation must refuse edge forms under Not.
+    val dir = tmpDir("del-unsigned-not")
+    Seq[(Long, Option[Short])]((1L, Some(100.toShort)), (2L, None),
+        (3L, Some((-1).toShort)), (4L, None))
+      .toDF("id", "u").coalesce(1)
+      .write.format("nimble").mode("overwrite").save(dir)
+    val opts = Map("unsignedColumns" -> "u")
+    // unit level: edge forms refuse under Not, exact forms survive
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.ShortType)))
+    def trOne(f: org.apache.spark.sql.sources.Filter) =
+      graft.spark.Filters.unsignedStored(Array(f), Set("u"), sch)
+    assert(trOne(Not(EqualTo("u", 70000))).isEmpty, "out-of-range Not(=) must refuse")
+    assert(trOne(Not(GreaterThan("u", -5))).isEmpty, "always-true-under-Not must refuse")
+    assert(trOne(Not(GreaterThan("u", 100))).isDefined, "in-range Not(>) translates")
+    assert(trOne(EqualTo("u", 70000)).isDefined, "positive out-of-range is fine")
+    // EqualNullSafe is two-valued — its edge form stays exact under Not
+    assert(trOne(Not(EqualNullSafe("u", 70000))).isDefined)
+    // end to end through the SQL-filter entry (exact filters by contract):
+    // must refuse loudly, leaving every row (NULLs included) intact
+    val e = intercept[IllegalArgumentException] {
+      Delete.deleteFilters(spark, dir, Array(Not(EqualTo("u", 70000))), opts)
+    }
+    assert(e.getMessage.contains("unsigned"))
+    assert(spark.read.format("nimble").options(opts).load(dir).count() == 4L)
+    // and metadata-only classification reports false, not a bogus all-match
+    assert(!Delete.metadataOnlyDeletable(dir, Array(Not(EqualTo("u", 70000))), Set("u")))
+  }
 }
