@@ -107,6 +107,31 @@ class FlatMapSpec extends SparkTestBase {
     assert(fmt(proj) == fmt(expected))
   }
 
+  test("sibling raw/escaped key collision: pruning uses the file's own form (r20 review)") {
+    // logical keys "x#y" (stored m#fm:x##y) and "x##y" (stored m#fm:x####y):
+    // the RAW candidate form of "x##y" equals the ESCAPED stream of "x#y",
+    // so un-gated candidate lookup would let x#y's stats prune a filter on
+    // x##y. Values are disjoint (x#y in [0,100), x##y in [1000,1100)) — a
+    // threshold killing all of x#y's range but none of x##y's must still
+    // return every row.
+    val dir = tmpDir("fm-collide")
+    spark.sql("""
+      SELECT id AS uid, map(
+        'x#y',  CAST(id % 100 AS DOUBLE),
+        'x##y', CAST(1000 + id % 100 AS DOUBLE)) AS m
+      FROM range(8000)
+    """).repartitionByRange(2, org.apache.spark.sql.functions.col("uid"))
+      .sortWithinPartitions("uid")
+      .write.format("nimble").option("flatMapColumns", "m")
+      .option("rowsPerChunk", "1024").mode("overwrite").save(dir)
+    val proj = spark.read.format("nimble")
+      .option("flatMapStruct.m", "x##y").load(dir)
+    val n = proj.filter(col("m.`x##y`") >= 500.0).count()
+    assert(n == 8000L, s"wrong-key stats pruned live rows: $n of 8000")
+    // and the inverse: a filter below BOTH ranges still prunes everything
+    assert(proj.filter(col("m.`x##y`") < 0.0).count() == 0L)
+  }
+
   test("dedup layouts reduce size on repetitive data") {
     // identical array every row; double elements so the win is structural
     // (string element streams now shared-dict-collapse in the plain layout
