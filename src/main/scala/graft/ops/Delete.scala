@@ -345,9 +345,9 @@ object Delete {
           }
         } finally GraftIO.delete(tmp, recursive = true)
       }
-      // surgery-ineligible unsigned remainder: the Spark rewrite would
-      // change the physical domain — refuse rather than silently widen
-      if (unsignedCols.nonEmpty) refuseUnsigned(jobFiles)
+      // (no unsigned re-check here: unsignedSurgeryOk gates every unsigned
+      // flow into the surgery branch above, whose pre-commit refusal is the
+      // load-bearing one — jobFiles is provably empty for unsigned by now)
       if (jobFiles.nonEmpty) {
         val (rowsBefore, rowsAfter) = phase("rewrite")(rewriteFiles(spark, dir,
           jobFiles, files, schema, layout, readOptions,

@@ -90,11 +90,13 @@ object Merge {
     // pruning); files without usable bounds are conservatively affected
     val k0 = keyCols.head
     val k0Type = schema(k0).dataType
-    val bounds: Seq[(String, Option[(Any, Any)], Boolean)] = files.map { f =>
+    // (a file's null target keys never match any source key — keys are
+    // checked non-null above — so bounds exclusion stays sound without
+    // tracking per-file null counts)
+    val bounds: Seq[(String, Option[(Any, Any)])] = files.map { f =>
       val r = new Tablet.Reader(f, NimbleSource.footerOf(f))
       try {
         val st = r.fileStatsOf(k0)
-        val hasNullKeys = st.exists(s => s.nullCount > 0)
         val b = st.filter(_.hasMinMax).flatMap { s =>
           k0Type match {
             // integral domains only: cast-to-long on the source side is
@@ -111,11 +113,11 @@ object Merge {
             case _ => None // float/ts/date/binary/nested keys: no metadata pruning
           }
         }
-        (f, b, hasNullKeys)
+        (f, b)
       } finally r.close()
     }
-    val unbounded = bounds.collect { case (f, None, _) => f }
-    val boundRows = bounds.collect { case (f, Some((lo, hi)), _) => (f, lo, hi) }
+    val unbounded = bounds.collect { case (f, None) => f }
+    val boundRows = bounds.collect { case (f, Some((lo, hi))) => (f, lo, hi) }
     val affected: Seq[String] =
       if (boundRows.isEmpty) files
       else {

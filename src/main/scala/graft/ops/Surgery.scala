@@ -676,6 +676,12 @@ object Surgery {
     val refs = filters.flatMap(_.references).toSet
     if (!refs.forall(n => fieldType.get(n).exists(isAtomic)))
       return refuse("filter ref not an atomic field")
+    // null IN-literals make predicates NULL on non-null values — the
+    // two-valued compile cannot mask them (see Filters.hasNullInLiteral);
+    // the Spark-rewrite fallback's Column keep-filter is natively
+    // three-valued, so it handles them
+    if (filters.exists(graft.spark.Filters.hasNullInLiteral))
+      return refuse("null IN-literal filter (three-valued)")
     val nStreams = keys.length
     val dirs = Array.ofDim[Array[Tablet.ChunkLoc]](footer.stripes.length, nStreams)
     val dataIdx = Array.ofDim[Array[Int]](footer.stripes.length, nStreams)

@@ -17,6 +17,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Filters {
 
+  /** Does the tree hold an In with a NULL element? Such an In evaluates
+    * NULL even on NON-null column values (the null element's comparison),
+    * which the two-valued evaluators here cannot represent: compile()
+    * returns false for both FALSE and NULL, and its Not recovers null-ness
+    * from the REFERENCED COLUMNS only — a null LITERAL slips that guard, so
+    * NOT(u IN (1, NULL)) would wrongly claim TRUE on non-null u where SQL
+    * says NULL (never true). Every proof/claim surface refuses such trees
+    * outright: supported() leaves them to Spark, allMatchStripe() never
+    * proves them, Surgery falls back to the Spark rewrite (whose Column
+    * keep-filter is natively three-valued). */
+  private[graft] def hasNullInLiteral(f: Filter): Boolean = f match {
+    case In(_, vs) => vs.contains(null)
+    case And(l, r) => hasNullInLiteral(l) || hasNullInLiteral(r)
+    case Or(l, r) => hasNullInLiteral(l) || hasNullInLiteral(r)
+    case Not(c) => hasNullInLiteral(c)
+    case _ => false
+  }
+
   /** Is this filter fully evaluable by our scan (so Spark need not re-run it)? */
   def supported(f: Filter, atomicCols: Set[String]): Boolean = f match {
     case EqualTo(a, _) => atomicCols(a)
@@ -25,7 +43,10 @@ object Filters {
     case GreaterThanOrEqual(a, _) => atomicCols(a)
     case LessThan(a, _) => atomicCols(a)
     case LessThanOrEqual(a, _) => atomicCols(a)
-    case In(a, _) => atomicCols(a)
+    // an In carrying a NULL element stays residual (see hasNullInLiteral);
+    // positive evaluation would be exact, but a claimed filter may sit
+    // under a later Not and the blanket refusal is the simple sound rule
+    case In(a, vs) => atomicCols(a) && !vs.contains(null)
     case IsNull(a) => atomicCols(a)
     case IsNotNull(a) => atomicCols(a)
     case StringStartsWith(a, _) => atomicCols(a)
@@ -139,9 +160,12 @@ object Filters {
       // either side matching every row is sufficient (conservative)
       case Or(l, r) => allMatchStripe(l, stats) || allMatchStripe(r, stats)
       // Not(inner) matches a row only when inner is FALSE there, not null —
-      // so inner must match no row AND the referenced columns carry no nulls
+      // so inner must match no row, the referenced columns must carry no
+      // nulls, AND inner must be free of null IN-literals (those make inner
+      // NULL — never FALSE — on every non-matching row, so Not never holds)
       case Not(inner) =>
-        pruneStripe(inner, stats) && inner.references.forall(noNulls)
+        pruneStripe(inner, stats) && inner.references.forall(noNulls) &&
+          !hasNullInLiteral(inner)
       case IsNotNull(a) => noNulls(a)
       case IsNull(a) => stats(a).exists(s => s.valueCount > 0 && s.nullCount == s.valueCount)
       case GreaterThan(a, v) => noNulls(a) && noNaN(a) && belowMin(a, v, stats, orEqual = false)
@@ -305,6 +329,12 @@ object Filters {
       val cl = compile(l, dts, col); val cr = compile(r, dts, col)
       i => cl(i) || cr(i)
     case Not(c) =>
+      // the reference-null guard below cannot see a null IN-LITERAL (inner
+      // NULL on non-null columns); supported() keeps such filters residual
+      // and Surgery refuses them, so reaching here is a caller bug — fail
+      // loudly rather than silently over-match
+      require(!hasNullInLiteral(c),
+        s"nimble: compile: Not over a null IN-literal is not two-valued: $c")
       val cc = compile(c, dts, col)
       // SQL boolean logic: Not(null) is null (not true) — our compiled
       // predicates return false for null inputs, and Not must not turn that
@@ -562,13 +592,20 @@ object Filters {
             else EqualNullSafe(a, narrow(u, bits))
         case In(a, vs) if unsignedCols(a) =>
           bitsOf(a).flatMap { bits =>
-            val nn = vs.filter(_ != null) // a null element never matches IN
-            val bs = nn.map(big)
-            if (bs.exists(_.isEmpty)) None
+            // a null element never matches IN, so dropping it is exact
+            // POSITIVELY — but it makes the IN yield NULL (never FALSE) on
+            // non-matching rows, so under Not the drop is non-equivalent:
+            // refuse, like the other edge forms
+            if (underNot && vs.contains(null)) None
             else {
-              val inRange = bs.flatten.filter(u => u.signum >= 0 && u.bitLength <= bits)
-              if (inRange.isEmpty) edge(AlwaysFalse())
-              else Some(In(a, inRange.map(u => narrow(u, bits): Any)))
+              val nn = vs.filter(_ != null)
+              val bs = nn.map(big)
+              if (bs.exists(_.isEmpty)) None
+              else {
+                val inRange = bs.flatten.filter(u => u.signum >= 0 && u.bitLength <= bits)
+                if (inRange.isEmpty) edge(AlwaysFalse())
+                else Some(In(a, inRange.map(u => narrow(u, bits): Any)))
+              }
             }
           }
         case GreaterThan(a, v) if unsignedCols(a) =>

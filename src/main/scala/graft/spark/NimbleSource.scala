@@ -726,7 +726,9 @@ object NimbleSource {
     var dot = name.indexOf('.')
     while (dot > 0) {
       val c = name.substring(0, dot)
-      // v15+: stream names store the escaped key form
+      // v15+: stream names store the escaped key form (keep in lockstep
+      // with fmStreamCandidates — this loop interleaves the per-split
+      // anchor checks below, so it builds its candidate inline)
       val k = if (r.footer.version >= 15)
         graft.format.Fields.escapeFmKey(name.substring(dot + 1))
       else name.substring(dot + 1)

@@ -240,6 +240,28 @@ class DeleteSpec extends SparkTestBase {
     assert(e.getMessage.contains("unsigned"))
   }
 
+  test("DELETE WHERE col NOT IN (x, NULL) deletes nothing — three-valued IN (r20 review)") {
+    import org.apache.spark.sql.sources.{Not, In}
+    // SQL: v IN (1, NULL) is TRUE or NULL, never FALSE — so NOT of it is
+    // never TRUE and the delete must remove ZERO rows. The null LITERAL
+    // slips compile's reference-null guard, so pre-fix classification
+    // proved a bogus all-match and unlinked whole files (data loss on any
+    // table — no unsigned columns involved).
+    val dir = tmpDir("del-notin-null")
+    spark.range(1000L).toDF("id").withColumn("v", col("id") % 7)
+      .coalesce(1).write.format("nimble").mode("overwrite").save(dir)
+    val f: org.apache.spark.sql.sources.Filter = Not(In("v", Array(1L, null)))
+    assert(!Delete.metadataOnlyDeletable(dir, Array(f)),
+      "NOT IN with a null literal must never classify metadata-only")
+    val rep = Delete.deleteFilters(spark, dir, Array(f))
+    assert(rep.rowsDeleted == 0L, s"NOT IN (x, NULL) must delete nothing: $rep")
+    assert(spark.read.format("nimble").load(dir).count() == 1000L)
+    // the positive direction still behaves: IN (1, NULL) matches v=1 only
+    val rep2 = Delete.deleteFilters(spark, dir, Array(In("v", Array(1L, null))))
+    assert(rep2.rowsDeleted == 1000L / 7 + (if (1000 % 7 > 1) 1 else 0),
+      s"positive IN with null element drifted: $rep2")
+  }
+
   test("unsigned NOT over an out-of-range literal never deletes NULL rows (r20 review)") {
     import org.apache.spark.sql.sources.{Not, EqualTo, GreaterThan, EqualNullSafe}
     // the AlwaysFalse/IsNotNull edge translations are null-equivalent only
