@@ -211,7 +211,7 @@ object Compaction {
     * eligibility list). Returns total rows written, or None when ineligible
     * (nothing written). Output files bin-pack to ~targetFileBytes in range
     * order for sorted tables, listing order otherwise. */
-  private def rawConcatOrdered(files: Seq[String], sortCols: Seq[String],
+  private[ops] def rawConcatOrdered(files: Seq[String], sortCols: Seq[String],
       outDir: String, targetFileBytes: Long, overwrite: Boolean): Option[Long] = {
     if (files.isEmpty) return None
     NimbleSource.prefetchFooters(files)

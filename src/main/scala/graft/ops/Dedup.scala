@@ -268,13 +268,29 @@ object Dedup {
     // keeps the broadcast bound exact: deg(v) counts precisely the rows the
     // neighbor join emits per frontier node, with no one-sided stray edges.
     val idsOnly = docs.select(col(idCol))
-    val e = e0
+    // r21 OPT (guide §2.3/§2.4): build the symmetric edge frame with HALF the
+    // shuffled volume of the old union-then-distinct shape. Normalizing each
+    // pair to (min, max) first means the distinct dedupes 1x|E| rows instead
+    // of the 2x|E| symmetric frame (and catches (a,b)/(b,a) input twins in
+    // one pass); the two stray-endpoint semi-joins then run once over the
+    // deduped frame; and the reversal is a narrow explode over that result —
+    // the old `e.union(e.reversed)` re-evaluated e's whole lineage (both
+    // semi-joins) a second time. Self-loops are dropped up front: an (x, x)
+    // edge can never change a min-label, and dropping it keeps deg(x) equal
+    // to exactly the rows the neighbor join emits for x. Null endpoints die
+    // in the normalize filter just as they died in the semi-joins before
+    // (null join keys never match). The resulting symmetric edge SET is
+    // identical to the old build's minus self-loops.
+    val eNorm = e0.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
       .join(idsOnly.select(col(idCol).as("u")), Seq("u"), "left_semi")
       .join(idsOnly.select(col(idCol).as("v")), Seq("v"), "left_semi")
-      // using-column joins move the join key FIRST — re-pin (u, v) order so
-      // the positional union below genuinely reverses each edge
       .select(col("u"), col("v"))
-    val edges = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val edges = eNorm.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     // r18 (r17 verdict #2): per-node edge degree rides the label frame from
     // init on, so every round's fixpoint aggregate yields the NEXT frontier's

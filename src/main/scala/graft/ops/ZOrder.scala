@@ -155,7 +155,9 @@ object ZOrder {
     * ~`targetFileBytes` per output file. */
   def zorder(spark: SparkSession, dir: String, outDir: String, cols: Seq[String],
       targetFileBytes: Long = 256L << 20, buckets: Int = 256,
-      extraOptions: Map[String, String] = Map.empty): Compaction.Report = {
+      extraOptions: Map[String, String] = Map.empty,
+      minTaskBytes: Long = 4L << 20): Compaction.Report = {
+    require(minTaskBytes > 0, "nimble: zorder: minTaskBytes must be positive")
     require(new java.io.File(dir).getCanonicalPath !=
         new java.io.File(outDir).getCanonicalPath,
       s"nimble: zorder: outDir must differ from the input directory ($dir)")
@@ -182,6 +184,20 @@ object ZOrder {
     val bytesBefore = before.map(_.length).sum
     val totalRows = before.map(f => NimbleSource.footerOf(f.path).rowCount).sum
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    // r21 OPT (guide §2.2/§6): the rewrite's shuffle/sort parallelism used to
+    // BE the output file count (nOut = bytes/targetFileBytes), so any table
+    // smaller than parallelism x targetFileBytes sorted and encoded on a
+    // handful of tasks while the rest of the cluster idled (bench shape:
+    // 111 MB / 64 MB target = 2 tasks on 32 cores — the sort alone was ~9 s
+    // of the ~10 s wall). The curve shuffle now range-partitions at cluster
+    // parallelism (floored at ~4 MB per task so tiny tables keep one task),
+    // and when that exceeds nOut the sorted parts are stitched back to
+    // ~targetFileBytes by the raw stripe concat (adjacent parts are adjacent
+    // curve ranges, so the concat preserves curve order and every stripe's
+    // stats stay exactly as tight as the direct nOut-file write's). At
+    // cluster scale nOut >= parallelism and the plan is unchanged.
+    val nPart = math.max(nOut, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(bytesBefore.toDouble / minTaskBytes).toInt))
 
     val df = spark.read.format("nimble").load(dir)
     // collision-proof key name: a data column literally named __zkey must
@@ -190,13 +206,39 @@ object ZOrder {
     while (df.schema.fieldNames.contains(zc)) zc += "_"
     val keyed = df.withColumn(zc, phase("sampleBoundaries")(zkey(df, cols, buckets, totalRows)))
     val shaped = keyed
-      .repartitionByRange(nOut, col(zc))
+      .repartitionByRange(nPart, col(zc))
       .sortWithinPartitions(zc)
       .select(df.schema.fieldNames.map(col).toIndexedSeq: _*) // narrow: drops the key, keeps order
 
-    var w = shaped.write.format("nimble").mode("overwrite")
-    opts.foreach { case (k, v) => w = w.option(k, v) }
-    phase("shuffleWrite")(w.save(outDir))
+    if (nPart == nOut) {
+      var w = shaped.write.format("nimble").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      phase("shuffleWrite")(w.save(outDir))
+    } else {
+      // two-stage: parallel sorted write into a side dir, then byte-level
+      // concat of name-ordered (= curve-ordered) parts into ~targetFileBytes
+      // files. Ineligible layouts (e.g. per-part flatmap key divergence)
+      // keep the parts as the output — correct, merely smaller files.
+      val partsDir = s"$outDir.zparts-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        var w = shaped.write.format("nimble").mode("overwrite")
+        opts.foreach { case (k, v) => w = w.option(k, v) }
+        phase("shuffleWrite")(w.save(partsDir))
+        val parts = GraftIO.listGft(partsDir).map(_.path)
+          .sortBy(p => p.substring(p.lastIndexOf('/') + 1))
+        phase("concatParts") {
+          GraftIO.delete(outDir, recursive = true)
+          Compaction.rawConcatOrdered(parts, Nil, outDir, targetFileBytes,
+            overwrite = true) match {
+            case Some(_) => ()
+            case None =>
+              GraftIO.mkdirs(outDir)
+              parts.foreach(p => GraftIO.rename(p,
+                GraftIO.child(outDir, p.substring(p.lastIndexOf('/') + 1))))
+          }
+        }
+      } finally GraftIO.delete(partsDir, recursive = true)
+    }
 
     val after = GraftIO.listGft(outDir)
     Compaction.Report(before.length, after.length, bytesBefore,

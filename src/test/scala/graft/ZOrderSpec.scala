@@ -86,6 +86,51 @@ class ZOrderSpec extends SparkTestBase {
     assert(bZ > 0.4, s"z-ordered table should prune on b: $bZ")
   }
 
+  test("two-stage rewrite (parallelism > output files) stitches curve-ordered parts " +
+      "to targetFileBytes: values, file count, pruning and index all match the direct write") {
+    val n = 200000
+    val df = spark.range(n).select(
+      (col("id") % 512).cast("int").as("a"),
+      pmod(hash(col("id")), lit(512)).as("b"),
+      col("id").as("payload"))
+    val srcDir = tmpDir("zo2-src")
+    df.repartitionByRange(4, col("a")).sortWithinPartitions("a")
+      .write.format("nimble").mode("overwrite")
+      .option("stripeBytes", "65536").option("rowsPerChunk", "2048")
+      .option("sortColumns", "a").save(srcDir)
+    // minTaskBytes = 1 forces nPart = defaultParallelism >> nOut = 1, so the
+    // shuffle writes many sorted parts and the concat stage must stitch them
+    val out = tmpDir("zo2-out")
+    val rep = ZOrder.zorder(spark, srcDir, out, Seq("a", "b"),
+      targetFileBytes = 1L << 30,
+      extraOptions = Map("stripeBytes" -> "65536", "rowsPerChunk" -> "2048"),
+      minTaskBytes = 1L)
+    assert(rep.rows == n)
+    assert(rep.filesAfter == 1, s"concat must bin-pack to targetFileBytes: $rep")
+    val z = spark.read.format("nimble").load(out)
+    assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty)
+    // stitched file still prunes on BOTH curve dimensions from stripe stats
+    def prunedFrac(pred: org.apache.spark.sql.Column): Double = {
+      z.filter(pred).select("payload").rdd.getNumPartitions
+      val st = NimbleSource.lastPlanStats(out).get
+      st.stripesPruned.toDouble / (st.stripesPruned + st.stripesPlanned)
+    }
+    assert(prunedFrac(col("a") === 7) > 0.4)
+    assert(prunedFrac(col("b") === 7) > 0.4)
+
+    // index/bloom layouts survive the two-stage path (concat is raw-stripe)
+    val iDir = tmpDir("zo2-idx")
+    spark.range(10000).select(col("id").as("k"), (col("id") % 97).cast("int").as("v"))
+      .write.format("nimble").mode("overwrite")
+      .option("indexColumns", "k").option("bloomFilterColumns", "v").save(iDir)
+    val iOut = tmpDir("zo2-idx-out")
+    val iRep = ZOrder.zorder(spark, iDir, iOut, Seq("k", "v"), minTaskBytes = 1L)
+    assert(iRep.writerOptions.get("indexColumns").contains("k"))
+    val got = spark.read.format("nimble").load(iOut).filter(col("k") === 1234L)
+      .select("v").as[Int].collect().toSeq
+    assert(got == Seq((1234 % 97)))
+  }
+
   test("zorder refuses bucketed tables and preserves index/bloom layout") {
     val df = spark.range(10000).select(
       col("id").as("k"), (col("id") % 97).cast("int").as("v"))
