@@ -1,7 +1,5 @@
 package graft.format
 
-import java.nio.charset.StandardCharsets.ISO_8859_1
-
 /** FSST-lite: per-chunk trained symbol-table string compression
   * (reference: dwio/nimble/encodings/FsstEncoding.h:79; algorithm after
   * Boncz/Neumann/Leis, "FSST: Fast Random Access String Compression").
@@ -40,6 +38,15 @@ object Fsst {
     val one = new Array[Int](256)
     val two = new Array[Int](65536)
     val long3 = new Array[Array[Int]](256)
+    /** Each symbol's bytes packed little-endian into a long (len <= 8) —
+      * lets the trainer derive a matched unit's map key from the code alone. */
+    val packed = Array.tabulate(symbols.length) { c =>
+      val s = symbols(c)
+      var p = 0L
+      var k = 0
+      while (k < s.length) { p |= (s(k) & 0xffL) << (k << 3); k += 1 }
+      p
+    }
     java.util.Arrays.fill(one, -1)
     java.util.Arrays.fill(two, -1)
     locally {
@@ -89,44 +96,180 @@ object Fsst {
     }
   }
 
+  /** Reusable per-thread training state: an open-addressed (payload, len) →
+    * count map over candidate units packed little-endian into a long
+    * (len <= MaxLen = 8, unused high bytes zero — len disambiguates
+    * zero-padded prefixes). The first cut of the trainer keyed a
+    * java.util.HashMap by String, allocating ~2 Strings + a boxed count cell
+    * per sample unit per iteration — at 3 iterations over a 16 KB sample per
+    * chunk that was ~35-40% of whole-table write CPU on hash-shaped string
+    * schemas. The used-slot stack makes per-iteration reset O(distinct). */
+  private final class TrainState(var cap: Int) {
+    var mask = cap - 1
+    var keys = new Array[Long](cap)
+    var lens = new Array[Byte](cap)
+    var cnts = new Array[Int](cap)
+    var used = new Array[Int](cap)
+    var nUsed = 0
+    def ensure(minCap: Int): Unit = if (cap < minCap) {
+      cap = java.lang.Integer.highestOneBit(minCap - 1) << 1
+      mask = cap - 1
+      keys = new Array[Long](cap); lens = new Array[Byte](cap)
+      cnts = new Array[Int](cap); used = new Array[Int](cap)
+      nUsed = 0
+    }
+    def reset(): Unit = {
+      var i = 0
+      while (i < nUsed) { val s = used(i); lens(s) = 0; cnts(s) = 0; i += 1 }
+      nUsed = 0
+    }
+    def bump(payload: Long, l: Int): Unit = {
+      var h = (payload + l) * -0x61c8864680b583ebL
+      h ^= h >>> 32
+      var s = h.toInt & mask
+      while (lens(s) != 0 && (keys(s) != payload || (lens(s) & 0xff) != l))
+        s = (s + 1) & mask
+      if (lens(s) == 0) { keys(s) = payload; lens(s) = l.toByte; used(nUsed) = s; nUsed += 1 }
+      cnts(s) += 1
+    }
+    // iteration 0 (empty table = all units single bytes) counts bytes and
+    // byte-pairs direct-indexed, no hashing; entries are re-zeroed as the
+    // rank pass consumes them, so the arrays stay clean across calls
+    val cnt1 = new Array[Int](256)
+    val cnt2 = new Array[Int](65536)
+    var rank = new Array[Long](1 << 15)
+    def ensureRank(n: Int): Unit =
+      if (rank.length < n) rank = new Array[Long](java.lang.Integer.highestOneBit(n - 1) << 1)
+  }
+  private val trainState: ThreadLocal[TrainState] =
+    ThreadLocal.withInitial(() => new TrainState(1 << 14))
+
+  /** Quickselect + suffix sort: places the nSel largest keys, sorted
+    * ascending, in rank[n-nSel, n). Exactly equivalent to a full sort for a
+    * consumer that reads only the top nSel — rank keys are unique (the low
+    * bits carry the slot/id), so the selected set is a total-order property,
+    * not an algorithm artifact. A full sort of ~16K candidates per iteration
+    * was the trainer's largest remaining cost after the hash-map rewrite. */
+  private def selectTop(rank: Array[Long], n: Int, nSel: Int): Unit = {
+    if (n <= nSel + 32) { java.util.Arrays.sort(rank, 0, n); return }
+    val kth = n - nSel
+    var lo = 0
+    var hi = n - 1
+    while (lo < hi) {
+      val pivot = rank((lo + hi) >>> 1)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (rank(i) < pivot) i += 1
+        while (rank(j) > pivot) j -= 1
+        if (i <= j) { val t = rank(i); rank(i) = rank(j); rank(j) = t; i += 1; j -= 1 }
+      }
+      if (kth <= j) hi = j else if (kth >= i) lo = i else lo = hi
+    }
+    java.util.Arrays.sort(rank, kth, n)
+  }
+
   def train(bytes: Array[Byte], off: Int, len: Int): Table = {
+    // slot indices must fit the 26-bit field of the packed rank key below;
+    // cap <= 4*len, so len <= 2^24 keeps slots < 2^26 (callers sample <= 16 KB)
+    require(len <= (1 << 24), s"FSST training sample too large: $len")
     var table = new Table(Array.empty)
+    val st = trainState.get()
+    // distinct keys <= 2*len (units + adjacent pairs); cap 4*len = load <= 0.5
+    st.ensure(math.max(1024, len * 4))
+    val end = off + len
     var iter = 0
     while (iter < 3) {
-      val counts = new java.util.HashMap[String, Array[Int]]()
-      def bump(s: String): Unit = {
-        val c = counts.get(s)
-        if (c != null) c(0) += 1 else counts.put(s, Array(1))
-      }
-      var pos = off
-      var prev: String = null
-      while (pos < off + len) {
-        val m = table.matchAt(bytes, pos, off + len)
-        val ulen = if (m < 0) 1 else m & 0xff
-        val cur = new String(bytes, pos, ulen, ISO_8859_1)
-        bump(cur)
-        if (prev != null && prev.length + cur.length <= MaxLen) bump(prev + cur)
-        prev = cur
-        pos += ulen
-      }
       // gain = bytes saved: a len-1 symbol turns a 2-byte escape into 1 byte;
-      // a len-k symbol turns k bytes into 1
-      val ranked = new java.util.ArrayList[(String, Long)](counts.size)
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val s = e.getKey
-        val gain = if (s.length == 1) e.getValue()(0).toLong
-          else e.getValue()(0).toLong * (s.length - 1)
-        if (gain > 0) ranked.add((s, gain))
+      // a len-k symbol turns k bytes into 1. Rank keys pack (gain << 26 | id)
+      // so one primitive sort orders by gain with a deterministic tie-break
+      // (id order is a pure function of the sample bytes).
+      var nR = 0
+      if (table.symbols.isEmpty) {
+        // empty table (iteration 0): every unit is a single byte — count
+        // bytes and adjacent byte-pairs direct-indexed instead of hashing
+        val c1 = st.cnt1
+        val c2 = st.cnt2
+        var p = off
+        var prev = -1
+        while (p < end) {
+          val b = bytes(p) & 0xff
+          c1(b) += 1
+          if (prev >= 0) c2((prev << 8) | b) += 1
+          prev = b
+          p += 1
+        }
+        st.ensureRank(256 + 65536)
+        val rank = st.rank
+        var id = 0
+        while (id < 256) {
+          val g = c1(id) // 1-byte gain = count (2-byte escape -> 1 byte)
+          if (g > 0) { rank(nR) = (g.toLong << 26) | id; nR += 1; c1(id) = 0 }
+          id += 1
+        }
+        id = 0
+        while (id < 65536) {
+          val g = c2(id) // 2-byte gain = count * (2 - 1)
+          if (g > 0) { rank(nR) = (g.toLong << 26) | (256 + id); nR += 1; c2(id) = 0 }
+          id += 1
+        }
+        selectTop(rank, nR, MaxSymbols)
+        val nSym = math.min(MaxSymbols, nR)
+        val syms = new Array[Array[Byte]](nSym)
+        var j = 0
+        while (j < nSym) {
+          val v = (rank(nR - 1 - j) & ((1 << 26) - 1)).toInt
+          syms(j) =
+            if (v < 256) Array(v.toByte)
+            else Array(((v - 256) >>> 8).toByte, ((v - 256) & 0xff).toByte)
+          j += 1
+        }
+        table = new Table(syms)
+      } else {
+        st.reset()
+        var pos = off
+        var prevPayload = 0L
+        var prevLen = 0
+        while (pos < end) {
+          val m = table.matchAt(bytes, pos, end)
+          val ulen = if (m < 0) 1 else m & 0xff
+          val payload = if (m < 0) bytes(pos) & 0xffL else table.packed(m >>> 8)
+          st.bump(payload, ulen)
+          if (prevLen != 0 && prevLen + ulen <= MaxLen)
+            st.bump(prevPayload | (payload << (prevLen << 3)), prevLen + ulen)
+          prevPayload = payload
+          prevLen = ulen
+          pos += ulen
+        }
+        st.ensureRank(st.nUsed)
+        val rank = st.rank
+        var i = 0
+        while (i < st.nUsed) {
+          val s = st.used(i)
+          val l = st.lens(s) & 0xff
+          val gain = if (l == 1) st.cnts(s).toLong else st.cnts(s).toLong * (l - 1)
+          if (gain > 0) { rank(nR) = (gain << 26) | s; nR += 1 }
+          i += 1
+        }
+        selectTop(rank, nR, MaxSymbols)
+        val nSym = math.min(MaxSymbols, nR)
+        val syms = new Array[Array[Byte]](nSym)
+        var j = 0
+        while (j < nSym) {
+          val s = (rank(nR - 1 - j) & ((1 << 26) - 1)).toInt
+          val l = st.lens(s) & 0xff
+          val payload = st.keys(s)
+          val sym = new Array[Byte](l)
+          var k = 0
+          while (k < l) { sym(k) = (payload >>> (k << 3)).toByte; k += 1 }
+          syms(j) = sym
+          j += 1
+        }
+        table = new Table(syms)
       }
-      val arr = new Array[(String, Long)](ranked.size)
-      ranked.toArray(arr)
-      java.util.Arrays.sort(arr, (a: (String, Long), b: (String, Long)) =>
-        java.lang.Long.compare(b._2, a._2))
-      table = new Table(arr.take(MaxSymbols).map(_._1.getBytes(ISO_8859_1)))
       iter += 1
     }
+    st.reset()
     if (table.symbols.isEmpty) null else table
   }
 
