@@ -185,11 +185,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val spark = df.sparkSession
     val p = 4294967311L // first prime > 2^32
     val rows = numPerms / bands
     val perms = (0 until numPerms).map(j => (j, 2L * j + 1L, (j * 12582917L + 3L) % p))
-    val permDf = spark.createDataFrame(perms).toDF("j", "pa", "pb")
 
     // hashed shingle sets (native single-pass; see ngramJaccardPairs) —
     // minhash permutations run over the low 32 bits, candidate verification
@@ -199,19 +197,44 @@ object Dedup {
       call_function("graft_shingle_hashes", col(textCol), lit(n)).as("sh"))
     val ids = docs.select(col("doc"), explode(col("sh")).as("s"))
       .withColumn("h", col("s").bitwiseAND(lit(0xffffffffL)))
-    // minhash per (doc, perm)
-    val mh = ids.crossJoin(broadcast(permDf))
-      .groupBy("doc", "j")
-      .agg(min((col("pa") * col("h") + col("pb")) % p).as("mh"))
-      .withColumn("band", (col("j") / rows).cast("int"))
-    // band signature
-    val sigs = mh.groupBy("doc", "band")
-      .agg(concat_ws(",", sort_array(collect_list(concat_ws(":", col("j"), col("mh"))))).as("sig"))
-    val l = sigs.select(col("band"), col("sig"), col("doc").as("a"))
-    val r = sigs.select(col("band"), col("sig"), col("doc").as("b"))
-    val candidates = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+    // r21 OPT (guide §2.3/§2.4): all numPerms minhashes fold into ONE
+    // map-side-combining groupBy(doc) — numPerms parallel min aggregates
+    // over the same shingle rows, each permutation a literal affine map of
+    // `h` (identical 64-bit wraparound arithmetic to the old broadcast-join
+    // form). The previous shape crossJoin-exploded every (doc, shingle) row
+    // numPerms times and shuffled that 32x frame to a (doc, j) aggregate,
+    // then shuffled AGAIN to group (doc, band) signatures; both corpus-sized
+    // shuffles and the 32x row blowup are gone. Band signatures stay as
+    // long arrays in fixed j order (two docs share a band iff every minhash
+    // in the band matches — exactly the old sorted "j:mh" string equality,
+    // minus the per-row string building), and candidates come from ONE
+    // bucket aggregate instead of a self-join: the old l/r join evaluated
+    // the whole shingle+minhash pipeline twice (no exchange reuse across
+    // the differently-aliased sides); grouping (band, sig) and exploding
+    // within-bucket pairs computes it once and shuffles the same bytes the
+    // join's one side shuffled. A degenerate hot bucket costs O(|B|^2)
+    // pairs either way (join or explode) — the explode holds one |B|-long
+    // id array per bucket, the join an equal-size hash/sort run.
+    val mhCols = perms.map { case (j, pa, pb) =>
+      min((lit(pa) * col("h") + lit(pb)) % p).as(s"mh$j") }
+    val mh = ids.groupBy("doc").agg(mhCols.head, mhCols.tail: _*)
+    val sigOf = (b: Int) =>
+      array((b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*)
+    val sigs = mh.select(col("doc"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), sigOf(b).as("sig"))): _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col("doc"))
+    val candidates = sigs.groupBy("band", "sig")
+      .agg(collect_list(col("doc")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact verify
+    // exact verify (kept as the two-join shape: a measured A/B of the
+    // single-join explode-regroup alternative ran 1.4x slower unhinted —
+    // the max-over-array regroup is a SortAggregate — and 4x slower with a
+    // broadcast-pinned candidate side, so the classic broadcast-candidates
+    // double join stays)
     val sets = docs.select(col("doc"), col("sh"))
     candidates
       .join(sets.withColumnRenamed("doc", "a").withColumnRenamed("sh", "sha"), Seq("a"))
