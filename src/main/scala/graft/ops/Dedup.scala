@@ -95,16 +95,29 @@ object Dedup {
       // optional recall-trading cap for adversarial corpora: drop prefix
       // entries whose shingle is hotter than maxDf (maxDf <= 0 keeps exact)
       .filter(if (maxDf > 0) col("df") <= maxDf else lit(true))
-    val a = ranked.select(col("s"), col("doc").as("a"), col("sz").as("sza"), col("pos").as("pa"))
-    val b = ranked.select(col("s"), col("doc").as("b"), col("sz").as("szb"), col("pos").as("pb"))
     // PPJoin positional filter (exact): a shared shingle at sorted positions
     // (pa, pb) caps the possible overlap at 1 + min(remaining_a, remaining_b);
     // Jaccard >= t needs overlap >= t/(1+t) * (|A|+|B|).
-    val candidates = a.join(b, Seq("s"))
-      .filter(col("a") < col("b"))
-      .filter((lit(1) + least(col("sza") - col("pa") - 1, col("szb") - col("pb") - 1)) >=
-        ceil(lit(threshold / (1 + threshold)) * (col("sza") + col("szb"))))
-      .select("a", "b").distinct()
+    // r21 OPT (guide §2.4): candidates come from ONE posting-bucket
+    // aggregate instead of the a/b self-join on s — the join's two aliased
+    // sides each re-evaluated the whole inverted-index + window pipeline
+    // (no exchange reuse fires across the renames), which was the single
+    // largest x02 stage. Grouping the prefix postings per shingle and
+    // exploding within-bucket ordered pairs emits exactly the join's
+    // (a < b)-filtered pair set under the same positional bound; a hot
+    // bucket costs O(|B|^2) pairs either way, and the collected list is
+    // the PPJoin PREFIX posting list (rarity-ordered, length-capped), not
+    // the full inverted list.
+    val buckets = ranked.groupBy("s")
+      .agg(collect_list(struct(col("doc"), col("sz"), col("pos"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val candidates = buckets
+      .select(explode(col("ps")).as("x"), col("ps"))
+      .select(col("x"), explode(col("ps")).as("y"))
+      .filter(col("x.doc") < col("y.doc"))
+      .filter((lit(1) + least(col("x.sz") - col("x.pos") - 1, col("y.sz") - col("y.pos") - 1)) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("x.sz") + col("y.sz"))))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
     // exact verification on full shingle sets
     val sets = docs.select(col("doc"), col("sh"), col("sz"))
     candidates
