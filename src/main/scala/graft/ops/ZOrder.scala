@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, call_function, col, lit}
+import org.apache.spark.sql.functions.{array, call_function, col, element_at, lit, typedLit}
 import graft.format.GraftIO
 import graft.spark.NimbleSource
 
@@ -61,7 +61,7 @@ object ZOrder {
     * dedicated sample's boundary quality at the cost of one extra scan for
     * just that column. */
   private def sampleAllBoundaries(df: DataFrame, cols: Seq[String], buckets: Int,
-      totalRows: Long): Map[String, Array[Any]] = {
+      totalRows: Long): (Map[String, Array[Any]], Array[org.apache.spark.sql.Row]) = {
     val target = 64L * buckets
     val frac = math.min(1.0, target.toDouble / math.max(1L, totalRows))
     val sampled = df.select(cols.map(col): _*)
@@ -75,27 +75,31 @@ object ZOrder {
     // null-filtered pass — 2x bounds the quality loss to a halved sample
     // before the per-column pass restores it (r19 ADVICE)
     val fullYield = math.min(target, math.max(1L, totalRows))
-    cols.zipWithIndex.map { case (c, i) =>
+    (cols.zipWithIndex.map { case (c, i) =>
       val vals = sampled.map(_.get(i)).filter(_ != null)
       val bounds =
         if (vals.length.toLong * 2 < fullYield) sampleBoundaries(df, c, buckets, totalRows)
         else boundariesOf(vals, buckets)
       c -> bounds
-    }.toMap
+    }.toMap, sampled)
+  }
+
+  /** Driver-side ordering over external (collected) values — the sort the
+    * boundary quantiles and the sample-derived curve-key splits share. */
+  private def externalOrdering: Ordering[Any] = new Ordering[Any] {
+    @SuppressWarnings(Array("unchecked"))
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
   }
 
   /** Equal-frequency boundaries (up to `buckets-1` distinct values) of a
     * driver-side sample. */
   private def boundariesOf(sampled: Array[Any], buckets: Int): Array[Any] = {
     if (sampled.isEmpty) return Array.empty
-    implicit val ord: Ordering[Any] = new Ordering[Any] {
-      @SuppressWarnings(Array("unchecked"))
-      def compare(a: Any, b: Any): Int = (a, b) match {
-        case (x: Float, y: Float) => java.lang.Float.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
-      }
-    }
+    implicit val ord: Ordering[Any] = externalOrdering
     val sorted = sampled.sorted
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = 1
@@ -124,7 +128,20 @@ object ZOrder {
 
   /** The Z-curve key column for `cols` over `df` (exposed for specs). */
   def zkey(df: DataFrame, cols: Seq[String], buckets: Int = 256,
-      totalRows: Long = -1L): org.apache.spark.sql.Column = {
+      totalRows: Long = -1L): org.apache.spark.sql.Column =
+    planKey(df, cols, buckets, totalRows)._1
+
+  /** The zkey column PLUS the driver-side curve keys of the joint planning
+    * sample — the rewrite derives its range split points from these instead
+    * of paying RangePartitioner's own whole-table sampling job (r21 OPT,
+    * guide §2.4: the sampling pass re-evaluated scan + zkey over every row).
+    * Driver keys replay the exact ZBucket binary search + ZInterleave
+    * scatter; the only divergence is the external (Comparable) ordering for
+    * strings vs UTF8String's byte ordering — a split-quality nuance on
+    * non-ASCII data, never a correctness input (splits only balance
+    * partitions; the within-partition sort is the real order). */
+  private def planKey(df: DataFrame, cols: Seq[String], buckets: Int,
+      totalRows: Long): (org.apache.spark.sql.Column, Array[Long]) = {
     require(cols.nonEmpty && cols.length <= 8, "zorder takes 1..8 columns")
     require(buckets >= 2 && buckets <= 256,
       s"zorder: buckets must be in [2, 256] (8-bit curve ids), got $buckets")
@@ -137,7 +154,7 @@ object ZOrder {
     }
     graft.functions.ZOrderKey.register(df.sparkSession)
     val rows = if (totalRows >= 0) totalRows else df.count()
-    val allBounds = sampleAllBoundaries(df, cols, buckets, rows)
+    val (allBounds, sampleRows) = sampleAllBoundaries(df, cols, buckets, rows)
     val ids = cols.map { c =>
       val bounds = allBounds(c)
       if (bounds.isEmpty) lit(0) // all-null or empty column: constant bucket
@@ -148,7 +165,32 @@ object ZOrder {
         call_function("graft_zbucket", col(c), array(bounds.map(lit(_)): _*).cast(bt))
       }
     }
-    call_function("graft_zinterleave", ids: _*)
+    val k = cols.length
+    val ord = externalOrdering
+    val sampleKeys = sampleRows.map { row =>
+      var key = 0L
+      var j = 0
+      while (j < k) {
+        val bounds = allBounds(cols(j))
+        val v = row.get(j)
+        val bucket =
+          if (v == null || bounds.isEmpty) 0
+          else {
+            // same "count of bounds <= v" binary search as ZBucket.bucketOf
+            var lo = 0
+            var hi = bounds.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ord.compare(bounds(mid), v) <= 0) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+        key = graft.functions.ZInterleave.scatter(key, bucket, j, k)
+        j += 1
+      }
+      key
+    }
+    (call_function("graft_zinterleave", ids: _*), sampleKeys)
   }
 
   /** Rewrite `dir` into `outDir`, z-order-clustered on `cols`, at
@@ -204,9 +246,54 @@ object ZOrder {
     // survive the rewrite untouched, not be overwritten by the curve key
     var zc = "__zkey"
     while (df.schema.fieldNames.contains(zc)) zc += "_"
-    val keyed = df.withColumn(zc, phase("sampleBoundaries")(zkey(df, cols, buckets, totalRows)))
-    val shaped = keyed
-      .repartitionByRange(nPart, col(zc))
+    val (keyCol, sampleKeys) =
+      phase("sampleBoundaries")(planKey(df, cols, buckets, totalRows))
+    val keyed = df.withColumn(zc, keyCol)
+    // r21 OPT (guide §2.4): range-distribute on DRIVER-DERIVED splits
+    // instead of repartitionByRange — RangePartitioner's sampling runs a
+    // whole extra job that re-evaluates scan + curve key over every row
+    // (measured 1.5-4.7 s of the bench rewrite's wall; a full table pass at
+    // cluster scale). The boundary sample already collected is quantiled
+    // into nPart curve-key ranges, each range maps to its own partition
+    // through a hash-inverted token (repartition(n, expr) places rows at
+    // pmod(murmur3(expr), n) — token t_b is chosen so bucket b lands in
+    // partition b), so partitions stay curve-monotone exactly as
+    // repartitionByRange's and the name-ordered concat below stays valid.
+    // The expression is a pure function of the row (retry-safe), and split
+    // quality only balances partitions — the within-partition sort is the
+    // real order.
+    java.util.Arrays.sort(sampleKeys)
+    val splits = {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 1
+      while (i < nPart && sampleKeys.nonEmpty) {
+        val v = sampleKeys(((i.toLong * sampleKeys.length) / nPart).toInt
+          .min(sampleKeys.length - 1))
+        if (out.isEmpty || out.last != v) out += v
+        i += 1
+      }
+      out.toArray
+    }
+    val distributed =
+      if (splits.isEmpty) keyed.repartition(1)
+      else {
+        val nB = splits.length + 1
+        val tokens = new Array[Int](nB)
+        var b = 0
+        var t = 0
+        while (b < nB) {
+          // pmod(murmur3(t), nPart) == b picks the token for bucket b
+          while ((((org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashInt(t, 42) % nPart) + nPart) % nPart) != b) t += 1
+          tokens(b) = t
+          b += 1
+          t = 0
+        }
+        val bucketId = call_function("graft_zbucket", col(zc),
+          array(splits.map(lit(_)).toIndexedSeq: _*))
+        keyed.repartition(nPart, element_at(typedLit(tokens), bucketId + 1))
+      }
+    val shaped = distributed
       .sortWithinPartitions(zc)
       .select(df.schema.fieldNames.map(col).toIndexedSeq: _*) // narrow: drops the key, keeps order
 

@@ -72,6 +72,18 @@ object ZSplitProbe {
         shaped.write.format("nimble").mode("overwrite")
           .option("stripeBytes", (2L << 20).toString).save(s"$base/zsplit-out32")
       }
+      time("F zorder r20 shape") {
+        // the pre-r21 two-job plan: repartitionByRange (its own sampling
+        // pass) + sort + nimble write, at the same 32-way parallelism the
+        // current rewrite uses — the in-JVM baseline for C
+        val shaped = keyed.repartitionByRange(32, col("__zkey"))
+          .sortWithinPartitions("__zkey")
+          .select(df.schema.fieldNames.map(col).toIndexedSeq: _*)
+        shaped.write.format("nimble").mode("overwrite")
+          .option("stripeBytes", (2L << 20).toString).save(s"$base/zsplit-outF")
+        graft.ops.Compaction.compact(spark, s"$base/zsplit-outF",
+          s"$base/zsplit-outF2", targetFileBytes = 64L << 20)
+      }
     }
     spark.stop()
   }
