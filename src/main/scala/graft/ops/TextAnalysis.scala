@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count. */
-  def wsTokens(text: Column): Column = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+  def wsTokens(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** BPE-ish token count: letter runs, digit runs, punctuation singles. */
   def bpeTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Quality metrics per document. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -23,8 +23,13 @@ object TextAnalysis {
       length(t).as("n_chars_m"),
       wsTokens(t).as("n_tokens"),
       size(array_distinct(split(lower(t), "\\s+"))).as("n_uniq_tokens"),
-      size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).as("n_punct"),
-      size(regexp_extract_all(t, lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0))).as("n_stopwords"),
+      // r21 OPT (guide §2.3 narrow the work): count matches without
+      // materializing the match arrays — regexp_count is the same
+      // non-overlapping scan regexp_extract_all runs, minus the per-row
+      // array allocation; the punctuation count is a single translate pass
+      // (length delta over the 6 stripped chars — exactly the class count)
+      (length(t) - length(translate(t, ".,;:!?", ""))).as("n_punct"),
+      regexp_count(t, lit("\\b(the|a|of|and|in|to|is)\\b")).as("n_stopwords"),
       // single division of exact ints -> bit-deterministic double
       (size(array_distinct(split(lower(t), "\\s+"))).cast("double") /
         wsTokens(t).cast("double")).as("uniq_ratio"))
@@ -33,7 +38,7 @@ object TextAnalysis {
   /** Heuristic language id from stopword evidence; deterministic argmax with
     * fixed precedence (en > de > fr > es > zh). */
   def langId(text: Column): Column = {
-    def hits(pat: String) = size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    def hits(pat: String) = regexp_count(lower(text), lit(pat))
     val en = hits("\\b(the|and|of|is|was|a)\\b")
     val de = hits("\\b(der|die|das|und|ist)\\b")
     val fr = hits("\\b(le|la|les|et|est)\\b")
@@ -244,7 +249,7 @@ object TextAnalysis {
     val nTok = wsTokens(t)
     val nUniq = size(array_distinct(split(lower(t), "\\s+")))
     val rep = lit(1.0) - nUniq.cast("double") / nTok.cast("double")
-    val nStop = size(regexp_extract_all(t, lit("\\b(the|a|of|and|in|to|is)\\b"), lit(0)))
+    val nStop = regexp_count(t, lit("\\b(the|a|of|and|in|to|is)\\b"))
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     val reasons = concat_ws(",",
       when(nTok < minTokens, lit("too_short")),
