@@ -1586,11 +1586,18 @@ object Tablet {
       val streamHashes = scala.collection.mutable.ArrayBuffer[Long]()
       var i = 0
       while (i < nStreams) {
-        val bytes = stripeBufs(i).toArray
-        locs(i) = StreamLoc(fileOffset, bytes.length.toLong)
-        out.write(bytes)
-        if (bytes.length > 0) streamHashes += Tablet.xxh3(bytes, 0, bytes.length)
-        fileOffset += bytes.length
+        // r21 OPT: hash + write straight off the sink's live buffer —
+        // toArray duplicated every written byte (alloc + full copy per
+        // stripe flush). Hash before write; both read the same region, and
+        // the buffer is untouched until the post-loop reset below.
+        val b = stripeBufs(i)
+        val len = b.size
+        locs(i) = StreamLoc(fileOffset, len.toLong)
+        if (len > 0) {
+          streamHashes += Tablet.xxh3(b.buffer, 0, len)
+          out.write(b.buffer, 0, len)
+        }
+        fileOffset += len
         i += 1
       }
       val stripeChecksum = Tablet.combineStreamHashes(streamHashes.toArray)
