@@ -76,6 +76,12 @@ object Dedup {
     // ceil(t*|A|)) (below that Jaccard can't reach t), so the required
     // overlap is at least ceil(t/(1+t) * (|A| + that bound)) — which shortens
     // the indexed prefix well below the naive |A| - ceil(t*|A|) + 1.
+    // r21: folding this min into the df-count aggregate (one fewer corpus
+    // pass on paper) was MEASURED AND REJECTED — column pruning strips the
+    // extra min from the join-back branch, the two aggregate subtrees then
+    // canonicalize differently, exchange reuse never fires (runtime AQE plan:
+    // Reused=0), and the "shared" pass re-runs the whole explode+shuffle:
+    // warm A/B 1.06 s (this shape) vs 1.16 s (fused). tools/X02MinSzAB.scala.
     val minSz = docs.agg(min(col("sz")).as("lmin"))
     // rank each doc's shingles by ascending global frequency with a window
     // (one shuffle on doc; no per-doc array materialization — the previous

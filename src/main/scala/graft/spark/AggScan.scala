@@ -803,10 +803,17 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
     // input; reference: docs/develop/nimble_selective_reader.rst:163-199,
     // which applies to the ValueHook fold path too)
     val decoded = scala.collection.mutable.HashMap[String, graft.format.Column]()
+    // r21: filter-ONLY equality-family string columns keep FSST chunks
+    // encoded (compare in the encoded domain — Filters.fsstEqPred); columns
+    // the fold itself consumes stay on the dict/bulk path so a
+    // mostly-surviving chunk folds off one bulk decode, not per-row decodes
+    val fetchSet0 = fetchCols.toSet
     def decodeCol(name: String): graft.format.Column =
       decoded.getOrElseUpdate(name, readerOf(name) match {
         case p: Fields.PrimR if typeOf(name) == StringType ||
-            typeOf(name) == BinaryType => p.decodeRawDict()
+            typeOf(name) == BinaryType =>
+          if (!fetchSet0.contains(name) && cascade.eqOnlyCols(name)) p.decodeRawLazy()
+          else p.decodeRawDict()
         case other => other.decodeRaw()
       })
     // aggregate inputs decline point reads mid-cascade: their chunk feeds
@@ -907,8 +914,13 @@ class NimbleAggStripeReader(items: Array[NimbleStripePartition], dataSchema: Str
       // reused below; filter-only columns cascade in selectivity order and
       // may point-decode under sparse survivors
       val fetchSet = fetchCols.toSet
+      // r21: filter-ONLY equality-family string columns keep FSST chunks
+      // encoded (encoded-domain compare); group/agg inputs stay on the
+      // dict-preserving path the keyed fast fold depends on
       def decodeCascade(name: String): graft.format.Column =
-        decoded.getOrElseUpdate(name, decodeDict(name))
+        decoded.getOrElseUpdate(name,
+          if (!fetchSet.contains(name) && cascade.eqOnlyCols(name)) decodeLazy(name)
+          else decodeDict(name))
       def pointRead(name: String, positions: Array[Int]): graft.format.Column =
         if (fetchSet.contains(name)) null
         else readerOf(name) match {

@@ -55,6 +55,34 @@ final class FilterCascade(
   val tailConjuncts: Array[Filter] = filters.filter(presentRefsOf(_).length >= 2)
   val tailRefSet: Set[String] = tailConjuncts.flatMap(_.references).toSet
 
+  // r21 OPT: equality-family filter tree — every leaf tests (in)equality or
+  // null-ness, never order or substring. Such predicates evaluate EXACTLY in
+  // the FSST-encoded domain (the per-chunk symbol table makes encoding a
+  // deterministic injection: equal strings encode to equal bytes, different
+  // strings must differ or decode would be ambiguous), so an FSST filter
+  // chunk never needs row-wise string materialization.
+  private def eqOnlyTree(f: Filter): Boolean = f match {
+    case And(l, r) => eqOnlyTree(l) && eqOnlyTree(r)
+    case Or(l, r) => eqOnlyTree(l) && eqOnlyTree(r)
+    case Not(c) => eqOnlyTree(c)
+    case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull | _: IsNotNull => true
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case _ => false
+  }
+
+  /** Columns whose every pushed conjunct (cascade AND tail) is
+    * equality-family — safe to keep FSST filter chunks encoded
+    * ([[graft.format.LazyFsstBytesCol]]) and compare in the encoded domain.
+    * `graft.fsst.eq.filter=false` (JVM property) disables the path — the
+    * in-JVM A/B switch (tools/ProbeScanAB) and an operational safety valve. */
+  val eqOnlyCols: Set[String] =
+    if (!java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.fsst.eq.filter", "true"))) Set.empty
+    else {
+      val poisoned = filters.filterNot(eqOnlyTree).flatMap(_.references).toSet
+      filters.flatMap(_.references).toSet -- poisoned
+    }
+
   // adaptive selectivity evidence: rows evaluated / rows passed per column
   private val evaluated = mutable.HashMap[String, Long]()
   private val passed = mutable.HashMap[String, Long]()

@@ -360,11 +360,17 @@ object Filters {
       i => c.nulls == null || !c.nulls(i)
     case AlwaysTrue() => _ => true
     case AlwaysFalse() => _ => false
-    case EqualTo(a, v) => cmpPred(col(a), v, r => r == 0)
+    case EqualTo(a, v) => col(a) match {
+      case lz: graft.format.LazyFsstBytesCol => fsstEqPred(lz, Array(toBytes(v)))
+      case c => cmpPred(c, v, r => r == 0)
+    }
     case EqualNullSafe(a, v) =>
       val c = col(a)
       if (v == null) { i => c.nulls != null && c.nulls(i) }
-      else cmpPred(c, v, r => r == 0)
+      else c match {
+        case lz: graft.format.LazyFsstBytesCol => fsstEqPred(lz, Array(toBytes(v)))
+        case _ => cmpPred(c, v, r => r == 0)
+      }
     case GreaterThan(a, v) => cmpPred(col(a), v, r => r > 0)
     case GreaterThanOrEqual(a, v) => cmpPred(col(a), v, r => r >= 0)
     case LessThan(a, v) => cmpPred(col(a), v, r => r < 0)
@@ -391,6 +397,8 @@ object Filters {
         case bl: BoolsCol =>
           val set = vs.map { case b: Boolean => b }.toSet
           i => notNull(bl, i) && set.contains(bl.values(i))
+        case lz: graft.format.LazyFsstBytesCol =>
+          fsstEqPred(lz, vs.map(toBytes).toArray)
       }
     case StringStartsWith(a, p) =>
       val pb = p.getBytes("UTF-8")
@@ -437,6 +445,42 @@ object Filters {
     i => notNull(dc, i) && pass(idx(i))
   }
 
+  /** Encoded-domain (in)equality over an FSST chunk kept encoded: each
+    * literal is encoded ONCE with the chunk's own symbol table (the same
+    * `Fsst.Table` construction + greedy matcher the writer ran, so an equal
+    * string reproduces the stored bytes exactly, and — since decode is a
+    * function — a different string cannot collide); rows then compare
+    * encoded regions, which fail on the first byte for selective probes
+    * instead of materializing every string. Only reachable for columns
+    * [[FilterCascade.eqOnlyCols]] admits (equality-family trees). */
+  private def fsstEqPred(lz: graft.format.LazyFsstBytesCol,
+      lits: Array[Array[Byte]]): Int => Boolean = {
+    val table = new graft.format.Fsst.Table(lz.symbols)
+    val encLits: Array[Array[Byte]] = lits.map { x =>
+      val out = new graft.format.ByteSink(x.length + 8)
+      graft.format.Fsst.encode(table, x, 0, x.length, out)
+      out.toArray
+    }
+    val offs = lz.encOffs
+    val bytes = lz.enc
+    i => {
+      val o = offs(i)
+      val l = offs(i + 1) - o
+      var li = 0
+      var hit = false
+      while (li < encLits.length && !hit) {
+        val e = encLits(li)
+        if (e.length == l) {
+          var k = 0
+          while (k < l && bytes(o + k) == e(k)) k += 1
+          hit = k == l
+        }
+        li += 1
+      }
+      hit
+    }
+  }
+
   private def cmpPred(c: Column, v: Any, test: Int => Boolean): Int => Boolean = c match {
     case lc: LongsCol =>
       val x = toLong(v)
@@ -453,6 +497,10 @@ object Filters {
     case bl: BoolsCol =>
       val x = v.asInstanceOf[Boolean]
       i => notNull(bl, i) && test(java.lang.Boolean.compare(bl.values(i), x))
+    // ORDER comparisons on a lazily-kept FSST chunk: unreachable under the
+    // eqOnlyCols gate (only equality-family trees keep FSST encoded), but
+    // kept total — expand once at compile time, never per row
+    case lz: graft.format.LazyFsstBytesCol => cmpPred(lz.expand, v, test)
   }
 
   private def compareRegion(c: BytesCol, i: Int, x: Array[Byte]): Int = {

@@ -2730,11 +2730,16 @@ class NimbleBatchReader(file: String, stripe: Int, dataSchema: StructType,
     val decoded = mutable.HashMap[String, graft.format.Column]()
     val dts: String => DataType = n => dataSchema(n).dataType
     // string columns decode dictionary-preserving (DictBytesCol) so
-    // low-cardinality predicates cost alphabet-size compares per chunk
+    // low-cardinality predicates cost alphabet-size compares per chunk;
+    // r21: equality-family predicate columns decode LAZY instead — an FSST
+    // chunk stays encoded and the probe compares in the encoded domain
+    // (Filters.fsstEqPred); DICT and every other shape decode identically
+    // either way, and a projected survivor set still fills from the lazy
+    // column (survivors-only string materialization)
     def decodeCol(name: String): graft.format.Column = decoded.getOrElseUpdate(name,
       cascadeReaderOf(name) match {
         case p: Fields.PrimR if dts(name) == StringType || dts(name) == BinaryType =>
-          p.decodeRawDict()
+          if (cascade.eqOnlyCols(name)) p.decodeRawLazy() else p.decodeRawDict()
         case other => other.decodeRaw()
       })
     // projected refs decline point reads — their full chunk stays pending
