@@ -146,6 +146,57 @@ class BenchSpec extends AnyFunSuite {
     assert(worst.length <= 1880, s"worst-case line ${worst.length} chars")
   }
 
+  test("r22: the FULL driver-scale metric set renders under budget with every timing kept") {
+    // the exact key set the r21 driver run emitted (BENCH_r21.json parsed
+    // 63 keys, 2203 chars — past the 2000-char tail window; r18-r20 recorded
+    // parsed:null the same way) plus this round's additions. Timings and the
+    // ratio pin must survive; counters/flags/phase walls may demote to the
+    // full dump.
+    val r21Keys = Seq("write_lineitem", "write_parquet_sec", "scan_full_nimble",
+      "scan_full_parquet", "agg_sum_fold", "agg_group_fold", "scan_pruned_nimble",
+      "scan_pruned_parquet", "agg_from_stats", "point_probe_chunks_skipped",
+      "point_probe_indexed", "point_probe_scan", "scale_factor", "scale_write",
+      "scale_write_cpu_sec", "scale_write_cpu_ms_per_mb", "scale_probe_chunks_skipped",
+      "scale_probe_indexed", "scale_probe_fetch_frac", "scale_probe_scan",
+      "scale_cascade_col2_frac", "scale_scan_full", "scale_compact_sec",
+      "scale_compact_small_sec", "scale_zorder_sec", "scale_zorder_sec_retried",
+      "scale_zorder_probe_b", "scale_linear_probe_b", "scale_zorder_prune_frac",
+      "scale_delete_r1_classify", "scale_delete_r1_recoverLayout",
+      "scale_delete_r1_surgery", "scale_delete_r1_unlink", "scale_delete_r2_classify",
+      "scale_delete_r2_recoverLayout", "scale_delete_r2_surgery",
+      "scale_delete_r2_unlink", "scale_delete", "scale_delete_indexed",
+      "scale_delete_indexed_r1", "scale_sql_update", "scale_cc_sec",
+      "scale_cc_sec_retried", "scale_cc_rounds", "scale_spj_join",
+      "scale_shuffle_join", "scale_fm_write_cpu_sec", "scale_fm_write",
+      "scale_fm_write_retried", "scale_fm_chunks_skipped", "scale_fm_probe",
+      "scale_fm_proj", "scale_fm_write_parquet", "scale_fm_probe_parquet",
+      "scale_fm_proj_parquet", "encoded_size_ratio", "q13_tpch_q1", "q14_tpch_q6",
+      "q15_join_agg", "q16_window", "x01_dedup_fingerprint", "x02_neardup_jaccard",
+      "x05_embed_topk", "x07_text_quality")
+    val results = r21Keys.map(k => k -> 0.123456789)
+    val qx = r21Keys.filter(_.matches("q\\d\\d_.*|x\\d\\d_.*"))
+    val mins = r21Keys.filter(k => k.matches("q\\d\\d_.*|x\\d\\d_.*") ||
+      k.matches("write_lineitem|scan_full_nimble|scan_pruned_nimble|" +
+        "point_probe_indexed|point_probe_scan|scale_probe_indexed|scale_probe_scan|" +
+        "scale_spj_join|scale_shuffle_join|scale_zorder_probe_b|scale_linear_probe_b"))
+      .map(k => k -> 0.111111111)
+    // worst realistic case: 6 suspects emitted, long sf path, full dump name
+    val line = Bench.renderLine(5.89731, results, mins,
+      Seq("scale_compact_small_sec", "scale_zorder_sec", "scale_probe_scan",
+        "x05_embed_topk", "x07_text_quality", "x02_neardup_jaccard"), Nil,
+      "/root/testdata/sf0.1", fullName = "bench_full_r22_db1ab488.json",
+      runId = "db1ab488")
+    assert(line.length <= 1880, s"line ${line.length} chars:\n$line")
+    // every genuinely TIMED metric and the byte-ratio pin stay on the line
+    val timed = r21Keys.filterNot(_.matches(
+      "scale_delete_r\\d_.*|.*_retried|scale_factor|.*_chunks_skipped|" +
+        "scale_probe_fetch_frac|scale_cascade_col2_frac|scale_zorder_prune_frac|" +
+        "scale_write_cpu_ms_per_mb|scale_cc_rounds|scale_delete_indexed_r1"))
+    for (k <- timed) assert(line.contains("\"" + k + "\":"), s"missing timing $k in:\n$line")
+    // the falsifiability contract: every q/x query min rides along
+    for (k <- qx) assert(line.contains("\"" + k + "_min\":"), s"missing min twin $k in:\n$line")
+  }
+
   test("suspects rank worst-drift-first and the summary carries the true count") {
     // r15 hole: the 6-capped flag list was insertion-ordered — scale_cc_sec
     // at 7x idle truth hid behind six milder flags and the summary gave no
