@@ -282,6 +282,14 @@ object Dedup {
     * while the surrounding small rounds stay broadcast. */
   @volatile var lastCandBroadcasts: Seq[Boolean] = Nil
 
+  /** Rounds of the most recent [[dedupClusters]] call that ran as
+    * delta-OVERLAY rounds (driver-side patch over the persisted base frame,
+    * zero full-frame persists) / overlay rounds that had to BAIL back to the
+    * dense machinery mid-round (pointer-in-degree past the driver budget).
+    * Diagnostics, same pattern as [[lastClusterRounds]]. */
+  val lastOverlayRounds = new java.util.concurrent.atomic.AtomicInteger()
+  val lastOverlayBails = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Connected-components dedup clustering — the canonicalization step after
     * near-dup pair generation: every document labels with the SMALLEST doc
     * id reachable through the pair graph (so one canonical representative
@@ -377,8 +385,198 @@ object Dedup {
     var frontierDegSum = 0L
     val bcastLog = scala.collection.mutable.ArrayBuffer[Boolean]()
     lastCandCountJobs.set(0)
+    lastOverlayRounds.set(0)
+    lastOverlayBails.set(0)
+
+    // ---- r22 OPT: delta-OVERLAY tail rounds (guide §2.4/§5). Once the
+    // frontier is driver-small, a round's full-frame rebuild + re-persist
+    // touches ~|labels| rows to patch ~|frontier| of them (bench shape:
+    // rounds 1-3 each re-persisted the 2M-row cache to patch ~1K rows; at
+    // 100 TB a full-frame pass per round). Instead, tail rounds keep the
+    // last persisted frame as an immutable BASE and accumulate changes in a
+    // driver-side overlay map, applying the IDENTICAL per-round update rule
+    // (min over changed-neighbor labels, self re-jump through the pointer
+    // target, pointer-jump for rows whose target changed) with three
+    // delta-sized jobs against the cached base/edges — no shuffle, no
+    // persist. Every driver structure is bounded BEFORE it is built:
+    //  - frontier rows = `changed` and candidate rows = frontierDegSum +
+    //    changed, both from the previous round's aggregate (the r18
+    //    provable-bound contract, zero count jobs);
+    //  - the one bound with no pre-folded witness — pointer IN-degree of
+    //    the frontier (the r18 hub hole) — is probed with a LIMIT job and
+    //    the round BAILS to the dense machinery when it overflows, before
+    //    any driver state mutates.
+    // The overlay folds back into a real frame (one broadcast join over the
+    // cached base) on bail or at convergence. Labels, round count and every
+    // broadcast decision are bit-identical to the dense path by
+    // construction.
+    val ovGate = math.min(65536L, broadcastMaxRows)
+    val ov = scala.collection.mutable.LinkedHashMap.empty[Any, (Any, Long)]
+    var ovFrontier = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+    var ovMode = false
+    // Spark's binary string ordering (UTF8String), not Java's UTF-16 order
+    def ltAny(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case (x: java.lang.Long, y: java.lang.Long) => x.longValue() < y.longValue()
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.intValue() < y.intValue()
+      case (x: Comparable[Any] @unchecked, _) => x.compareTo(b) < 0
+      case _ => throw new IllegalArgumentException(
+        s"dedupClusters: unorderable id type ${a.getClass}")
+    }
+    def mkDF(rows: Seq[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+      rows.foreach(l.add)
+      docs.sparkSession.createDataFrame(l, schema)
+    }
+    def ulSchema = org.apache.spark.sql.types.StructType(
+      Seq(labels.schema("u"), labels.schema("lbl")))
+    // base + overlay as one logical frame: a single broadcast-join pass over
+    // the cached base, built lazily on bail / at convergence
+    def overlayFrame(): DataFrame = {
+      val ovDF = mkDF(ov.toSeq.map { case (u, (l, _)) =>
+        org.apache.spark.sql.Row(u, l) }, ulSchema)
+        .withColumnRenamed("lbl", "olbl")
+      labels.join(broadcast(ovDF), Seq("u"), "left")
+        .select(col("u"), coalesce(col("olbl"), col("lbl")).as("lbl"), col("deg"))
+    }
+    // one overlay round over frontier `f` (u -> current lbl, all present in
+    // cur-resolution). Some(patch) with (u, newLbl, deg) rows, or None when
+    // the pointer-in-degree probe overflows (nothing mutated).
+    def overlayRound(f: scala.collection.mutable.LinkedHashMap[Any, Any])
+        : Option[Seq[(Any, Any, Long)]] = {
+      // path compression (identical to the dense branch's: the frontier map
+      // is a functional graph with lbl < u strictly, so walks terminate)
+      val comp = new scala.collection.mutable.HashMap[Any, Any]()
+      val path = new scala.collection.mutable.ArrayBuffer[Any]()
+      f.keysIterator.foreach { k =>
+        var x: Any = f(k)
+        path.clear(); path += k
+        var steps = 0
+        while (f.contains(x) && !comp.contains(x)) {
+          path += x; x = f(x); steps += 1
+          require(steps <= f.size, "dedupClusters: cycle in label map?!")
+        }
+        val root = comp.getOrElse(x, x)
+        path.foreach(p => comp.put(p, root))
+      }
+      val fIds = f.keySet
+      // (a) neighbor candidates: edges into the frontier — exactly
+      // frontierDegSum rows, bounded by the entry gate
+      val fDF = mkDF(comp.toSeq.map { case (u, l) =>
+        org.apache.spark.sql.Row(u, l) }, ulSchema)
+      val nbrRows = edges
+        .join(broadcast(fDF.select(col("u").as("v"), col("lbl").as("nl"))), Seq("v"))
+        .select(col("u"), col("nl")).collect()
+      // (b) pointer-jump in-edges: rows whose CURRENT label is a frontier
+      // node id. Overlay rows resolve driver-side; base rows come from a
+      // LIMIT-probed scan (current label = base label exactly when u is not
+      // overlaid). Overflow -> bail before any state mutates.
+      val tDF = mkDF(fIds.toSeq.map(org.apache.spark.sql.Row(_)),
+        org.apache.spark.sql.types.StructType(Seq(labels.schema("lbl"))))
+      val inPtrRaw = labels.join(broadcast(tDF), Seq("lbl"))
+        .select(col("u"), col("lbl"), col("deg"))
+        .limit(ovGate.toInt + 1).collect()
+      // overflow check BEFORE dropping overlaid rows: past the limit there
+      // may be arbitrarily many more in-pointers the probe never saw
+      if (inPtrRaw.length > ovGate) return None
+      val inPtrBase = inPtrRaw.filterNot(r => ov.contains(r.get(0)))
+      val inPtrOv = ov.iterator
+        .filter { case (_, (l, _)) => fIds.contains(l) }
+        .map { case (u, (l, d)) => (u, l, d) }.toSeq
+      // (c) batched base lookups for every key the round needs a current
+      // label/degree for and the overlay does not cover
+      val selfTargets = f.keysIterator.map(comp(_)).toSet
+      val lookKeys = (nbrRows.iterator.map(_.get(0)) ++
+        f.keysIterator ++ selfTargets.iterator)
+        .filterNot(ov.contains).toSet
+      val lookups = new scala.collection.mutable.HashMap[Any, (Any, Long)]()
+      if (lookKeys.nonEmpty) {
+        val kDF = mkDF(lookKeys.toSeq.map(org.apache.spark.sql.Row(_)),
+          org.apache.spark.sql.types.StructType(Seq(labels.schema("u"))))
+        labels.join(broadcast(kDF), Seq("u"))
+          .select(col("u"), col("lbl"), col("deg")).collect()
+          .foreach(r => lookups.put(r.get(0), (r.get(1), r.getLong(2))))
+      }
+      inPtrBase.foreach(r => lookups.put(r.get(0), (r.get(1), r.getLong(2))))
+      def cur(u: Any): (Any, Long) = ov.getOrElse(u, lookups(u))
+      // min-merge all three candidate sources, then patch strictly-smaller
+      val cand = new scala.collection.mutable.HashMap[Any, Any]()
+      def offer(u: Any, c: Any): Unit = cand.get(u) match {
+        case Some(old) => if (ltAny(c, old)) cand.put(u, c)
+        case None => cand.put(u, c)
+      }
+      nbrRows.foreach(r => offer(r.get(0), r.get(1)))
+      f.keysIterator.foreach(u => offer(u, cur(comp(u))._1))
+      inPtrBase.foreach(r => offer(r.get(0), comp(r.get(1))))
+      inPtrOv.foreach { case (u, l, _) => offer(u, comp(l)) }
+      val patch = Vector.newBuilder[(Any, Any, Long)]
+      cand.foreach { case (u, c) =>
+        val (cl, cd) = cur(u)
+        if (ltAny(c, cl)) patch += ((u, c, cd))
+      }
+      Some(patch.result())
+    }
+
     while (changed > 0 && iter < maxIters) {
       val roundT0 = System.nanoTime()
+      // overlay eligibility: every driver structure bounded up front
+      val overlayEligible = delta != null && changed <= ovGate &&
+        frontierDegSum + changed <= ovGate && ov.size + changed <= 4 * ovGate
+      if (overlayEligible) {
+        if (!ovMode) {
+          // entering overlay: collect the dense delta as the first frontier
+          // (bounded by `changed` <= ovGate, the same bound the dense path's
+          // compression collect uses)
+          ovFrontier = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+          delta.collect().foreach(r => ovFrontier.put(r.get(0), r.get(1)))
+          ovMode = true
+        }
+        overlayRound(ovFrontier) match {
+          case Some(patch) =>
+            bcastLog += true // candidate set driver-bounded, no shuffle
+            patch.foreach { case (u, l, d) => ov.put(u, (l, d)) }
+            changed = patch.length.toLong
+            frontierDegSum = patch.iterator.map(_._3).sum
+            ovFrontier = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+            patch.foreach { case (u, l, _) => ovFrontier.put(u, l) }
+            lastOverlayRounds.incrementAndGet()
+            if (sys.env.contains("GRAFT_CC_DEBUG"))
+              println(f"CC round=$iter changed=$changed degSum=$frontierDegSum " +
+                f"wall=${(System.nanoTime() - roundT0) / 1e9}%.3f s overlay")
+            iter += 1
+          case None =>
+            // pointer-in-degree overflow: fold the overlay back into a real
+            // frame and run THIS round on the dense machinery
+            lastOverlayBails.incrementAndGet()
+            if (ov.nonEmpty) {
+              labels = overlayFrame()
+              delta = mkDF(ovFrontier.toSeq.map { case (u, l) =>
+                org.apache.spark.sql.Row(u, l) }, ulSchema)
+              ov.clear()
+            }
+            ovMode = false
+            denseRound(roundT0)
+        }
+      } else {
+        if (ovMode) {
+          // frontier/overlay outgrew the driver bounds: materialize and
+          // hand back to the dense machinery
+          if (ov.nonEmpty) {
+            labels = overlayFrame()
+            delta = mkDF(ovFrontier.toSeq.map { case (u, l) =>
+              org.apache.spark.sql.Row(u, l) }, ulSchema)
+            ov.clear()
+          }
+          ovMode = false
+        }
+        denseRound(roundT0)
+      }
+    }
+
+    def denseRound(roundT0: Long): Unit = {
       val next = if (delta == null) {
         // ---- round 0 fast path (r19): on identity labels every candidate
         // source is degenerate — lbl(v) = v makes the neighbor join the edge
@@ -534,6 +732,10 @@ object Dedup {
     require(changed == 0,
       s"dedupClusters: not converged after $maxIters rounds — component diameter " +
         s"exceeds 2^$maxIters?! raise maxIters (a silent cut would mislabel clusters)")
+    // converged while in overlay mode: fold the accumulated patch back over
+    // the persisted base in ONE broadcast-join pass (the per-round full-frame
+    // rebuilds this replaces)
+    if (ovMode && ov.nonEmpty) labels = overlayFrame()
     lastClusterRounds.set(iter)
     lastCandBroadcasts = bcastLog.toList
     edges.unpersist()

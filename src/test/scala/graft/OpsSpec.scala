@@ -380,6 +380,47 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(10L, 30L, 40L), s"kept $kept")
   }
 
+  test("dedupClusters: overlay tail rounds run without full-frame rebuilds; pointer-in-degree overflow bails to dense") {
+    import spark.implicits._
+    // r22 delta-overlay: a converging chain's tail rounds must run as
+    // driver-side overlay rounds (frontier <= gate), and the one bound the
+    // gate cannot pre-fold — pointer IN-degree of a frontier node — must
+    // bail to the dense machinery before any driver state mutates.
+    // Shape: 61 leaves star onto hub 100 and settle on label 50 (the hub's
+    // neighbor min) by round 1; the two-hop-removed node 50 has edge degree
+    // 2, and a descending chain 90-85-80-75-10 hung off it keeps a tiny
+    // frontier alive for the tail rounds (overlay territory), then drags 50
+    // to 10 — the round after that has frontier {50} (size 1, degSum 2,
+    // well under the gate) but 62 POINTER in-edges under a 12-row budget:
+    // exactly the bound the gate cannot pre-fold, so the round must bail to
+    // dense, still converging every label to 10.
+    val leaves = (200L until 261L)
+    val chain = Seq(90L, 85L, 80L, 75L, 10L)
+    val ids = (leaves ++ Seq(100L, 50L) ++ chain).toDF("doc_id")
+    val pairs = (leaves.map(l => (100L, l)) ++ Seq((100L, 50L), (50L, 90L)) ++
+      chain.sliding(2).map(s => (s(0), s(1))).toSeq).toDF("a", "b")
+    val got = Dedup.dedupClusters(ids, "doc_id", pairs, broadcastMaxRows = 12L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 10L), s"component must collapse to 10: $got")
+    assert(got.size == 68)
+    assert(Dedup.lastOverlayRounds.get() >= 1,
+      s"tail rounds should have run as overlay rounds: ${Dedup.lastOverlayRounds.get()}")
+    assert(Dedup.lastOverlayBails.get() >= 1,
+      s"the 62-in-pointer round under a 12-row budget must bail: ${Dedup.lastOverlayBails.get()}")
+    assert(Dedup.lastCandCountJobs.get() == 0, "overlay rounds must run zero count jobs")
+
+    // default caps: a plain 40-hop chain's tail rounds all qualify for the
+    // overlay (no bail), with labels identical to the dense result
+    val chainDocs = (0L to 40L).toDF("doc_id")
+    val chainPairs = (0L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    val labels = Dedup.dedupClusters(chainDocs, "doc_id", chainPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.forall(_ == 0L), s"chain must collapse to 0: $labels")
+    assert(Dedup.lastOverlayRounds.get() >= 1, "chain tail rounds should overlay")
+    assert(Dedup.lastOverlayBails.get() == 0,
+      s"low-degree chain must never bail: ${Dedup.lastOverlayBails.get()}")
+  }
+
   test("dedupClusters fuzz: random graphs match a driver-side union-find oracle (seeded)") {
     import spark.implicits._
     // property guard over arbitrary topologies (the fixed-shape arms above
