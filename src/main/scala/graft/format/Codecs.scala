@@ -426,6 +426,7 @@ object Codecs {
     case c: LongsCol => c.phys
     case c: DoublesCol => if (c.isFloat) PhysType.F32 else PhysType.F64
     case _: BoolsCol => PhysType.Bool
+    case _: SparseBoolsCol => PhysType.Bool
     case _: BytesCol => PhysType.Bytes
     case _: DictBytesCol => PhysType.Bytes
   }
@@ -434,6 +435,7 @@ object Codecs {
     case c: LongsCol => if (c.nulls == null) c else c.copy(nulls = null)
     case c: DoublesCol => if (c.nulls == null) c else c.copy(nulls = null)
     case c: BoolsCol => if (c.nulls == null) c else c.copy(nulls = null)
+    case c: SparseBoolsCol => c // never carries nulls
     case c: BytesCol => if (c.nulls == null) c else c.copy(nulls = null)
     case c: DictBytesCol => if (c.nulls == null) c else c.copy(nulls = null)
   }
@@ -515,6 +517,8 @@ object Codecs {
     // bool candidates non-flatmap streams emit — a byte-level change to the
     // standard write path this optimization must not make
     case c: BoolsCol => encodeBools(c.values, sink, depth,
+      if (replay != null && replay.deep) replay else null)
+    case c: SparseBoolsCol => encodeBoolsSparse(c, sink, depth,
       if (replay != null && replay.deep) replay else null)
     case c: BytesCol => encodeBytes(c, sink, depth, replay)
     case c: DictBytesCol => encodeBytes(c.expand, sink, depth, replay)
@@ -2579,6 +2583,66 @@ object Codecs {
       val pos = new Array[Long](minority)
       var j = 0; i = 0
       while (i < n) { if (values(i) == sparseVal) { pos(j) = i.toLong; j += 1 }; i += 1 }
+      val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1, rchild(replay, SPARSEBOOL, 0)); ss.writeBlock(ps.toArray)
+      candidates += ((SPARSEBOOL, ss.toArray))
+    }
+    val winner = emitBest(candidates, PhysType.Bool, n, sink)
+    if (replay != null) replay.observe(winner, full = !locked)
+  }
+
+  /** [[encodeBools]] off a sparse positions buffer (the first `nPos`
+    * strictly-increasing TRUE-row positions over `len` rows) — byte-IDENTICAL
+    * output to the dense form by construction: same CONST short-circuit,
+    * same candidate payloads (the TRIVIAL bitpack sets exactly the same
+    * bits; SPARSEBOOL's position list is the buffer itself when true is the
+    * minority, the complement walk when false is), same emitBest/replay
+    * flow. Exists so a wide FlatMap's per-key presence streams skip the
+    * per-chunk Array[Boolean] densify (O(keys x rows) allocation + rescan). */
+  private def encodeBoolsSparse(c: SparseBoolsCol, sink: ByteSink, depth: Int,
+      replay: Replay = null): Unit = {
+    val n = c.len
+    val trues = c.nPos
+    if (n == 0 || trues == 0 || trues == n) {
+      if (replay != null && n > 0) replay.observe(CONST, full = true)
+      header(sink, CONST, PhysType.Bool, n)
+      sink.writeByte(if (trues == n && n > 0) 1 else 0)
+      return
+    }
+    val lockedId: Byte = if (replay != null && !replay.reopen) replay.lockedId else -1
+    val minority = math.min(trues, n - trues)
+    val sparseOk = minority <= n / 16 && depth < MaxDepth
+    val locked = lockedId == TRIVIAL || (lockedId == SPARSEBOOL && sparseOk)
+    def want(id: Byte): Boolean = !locked || lockedId == id
+    val candidates = mutable.ArrayBuffer[(Byte, Array[Byte])]()
+    if (want(TRIVIAL)) {
+      val ts = new ByteSink()
+      val packed = new Array[Byte]((n + 7) / 8)
+      var i = 0
+      while (i < trues) {
+        val p = c.pos(i)
+        packed(p >> 3) = (packed(p >> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+      ts.writeBytes(packed)
+      candidates += ((TRIVIAL, ts.toArray))
+    }
+    if (want(SPARSEBOOL) && sparseOk) {
+      val ss = new ByteSink()
+      val sparseVal = trues <= n - trues // true = minority is `true`
+      ss.writeByte(if (sparseVal) 1 else 0)
+      val pos = new Array[Long](minority)
+      if (sparseVal) {
+        var i = 0
+        while (i < trues) { pos(i) = c.pos(i).toLong; i += 1 }
+      } else {
+        // minority is FALSE: positions are the complement of the buffer
+        var i = 0; var j = 0; var k = 0
+        while (i < n) {
+          if (k < trues && c.pos(k) == i) k += 1
+          else { pos(j) = i.toLong; j += 1 }
+          i += 1
+        }
+      }
       val ps = new ByteSink(); encodeLongs(pos, PhysType.I64, ps, depth + 1, rchild(replay, SPARSEBOOL, 0)); ss.writeBlock(ps.toArray)
       candidates += ((SPARSEBOOL, ss.toArray))
     }

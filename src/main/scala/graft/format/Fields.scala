@@ -440,13 +440,12 @@ object Fields {
           pos(nPos) = r; nPos += 1; true
         }
       }
-      /** Densify to the chunk's row count (JVM-zeroed alloc + O(present)). */
-      def inMapResult(rows: Int): Array[Boolean] = {
-        val a = new Array[Boolean](rows)
-        var i = 0
-        while (i < nPos) { a(pos(i)) = true; i += 1 }
-        a
-      }
+      /** The chunk's presence column, straight off the positions buffer —
+        * r22: no per-key Array[Boolean] densify; [[Codecs]] encodes
+        * [[SparseBoolsCol]] byte-identically to the dense form. The buffer
+        * is consumed synchronously inside writeChunk (encode + stats), so
+        * handing out the live array is safe; nPos resets after the flush. */
+      def inMapResult(rows: Int): SparseBoolsCol = SparseBoolsCol(pos, nPos, rows)
       val valueW: FieldWriter = writerFor(s"$path#fm:$esc", m.valueType, streamIds, opts)
       var chunksWritten = 0 // within current stripe
     }
@@ -502,11 +501,12 @@ object Fields {
         // backfill slot would shift the value stream one chunk early against
         // its inMap stream (every later read of the key then misaligns)
         while (st.chunksWritten < chunkRowsHistory.length) {
-          t.writeChunk(st.inId, BoolsCol(new Array[Boolean](chunkRowsHistory(st.chunksWritten))))
+          t.writeChunk(st.inId,
+            SparseBoolsCol(Array.emptyIntArray, 0, chunkRowsHistory(st.chunksWritten)))
           st.valueW.flushEmptyChunk(t)
           st.chunksWritten += 1
         }
-        t.writeChunk(st.inId, BoolsCol(st.inMapResult(rowsInChunk)))
+        t.writeChunk(st.inId, st.inMapResult(rowsInChunk))
         st.nPos = 0
         st.valueW.flushChunk(t)
         st.chunksWritten += 1

@@ -54,6 +54,15 @@ final case class DoublesCol(values: Array[Double], isFloat: Boolean, nulls: Arra
 final case class BoolsCol(values: Array[Boolean], nulls: Array[Boolean] = null) extends Column {
   def len: Int = values.length
 }
+/** WRITE-side sparse bool column: the strictly-increasing row positions of
+  * the TRUE values (first `nPos` entries of `pos`), over `len` rows, no
+  * nulls. Exists so a wide FlatMap's per-key presence streams encode
+  * straight off the writer's position buffers instead of densifying one
+  * Array[Boolean] per key per chunk ([[Codecs]] encodes it byte-identically
+  * to the equivalent dense BoolsCol). Never appears on the read path. */
+final case class SparseBoolsCol(pos: Array[Int], nPos: Int, override val len: Int) extends Column {
+  def nulls: Array[Boolean] = null
+}
 /** offsets.length == len+1; value i = bytes[offsets(i) until offsets(i+1)). */
 final case class BytesCol(offsets: Array[Int], bytes: Array[Byte], nulls: Array[Boolean] = null) extends Column {
   def len: Int = offsets.length - 1

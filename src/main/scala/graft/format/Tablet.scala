@@ -171,6 +171,7 @@ object Tablet {
             i += 1
           }
         case _: BoolsCol => kind = PhysType.Bool
+        case _: SparseBoolsCol => kind = PhysType.Bool
         case c: DictBytesCol => // write path never dict-preserves; kept total
           nullCount -= nc; valueCount -= col.len
           mergeColumn(c.expand)

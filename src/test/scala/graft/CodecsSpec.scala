@@ -1090,4 +1090,33 @@ class CodecsSpec extends AnyFunSuite {
     } finally Codecs.setSelectionPolicy(null)
   }
 
+
+  test("SparseBoolsCol encodes byte-identically to the dense BoolsCol (r22 flatmap presence)") {
+    def denseBytes(values: Array[Boolean]): Array[Byte] = {
+      val s = new ByteSink(); Codecs.encodeColumn(BoolsCol(values), s); s.toArray
+    }
+    def sparseBytes(values: Array[Boolean]): Array[Byte] = {
+      val pos = values.indices.filter(values(_)).toArray
+      // oversized buffer on purpose: only the first nPos entries are real
+      val buf = java.util.Arrays.copyOf(pos, pos.length + 7)
+      val s = new ByteSink()
+      Codecs.encodeColumn(SparseBoolsCol(buf, pos.length, values.length), s)
+      s.toArray
+    }
+    val shapes: Seq[(String, Array[Boolean])] = Seq(
+      "empty" -> Array.empty[Boolean],
+      "all-false" -> Array.fill(100)(false),
+      "all-true" -> Array.fill(100)(true),
+      "one-true" -> Array.tabulate(1000)(_ == 371),
+      "sparse-true" -> Array.tabulate(5000)(i => i % 97 == 0),          // SPARSEBOOL territory
+      "dense-mixed" -> Array.tabulate(5000)(i => rnd.nextBoolean()),    // TRIVIAL territory
+      "sparse-false" -> Array.tabulate(5000)(i => i % 97 != 0),         // complement-walk arm
+      "single-row-true" -> Array(true),
+      "single-row-false" -> Array(false))
+    for ((name, values) <- shapes) {
+      val d = denseBytes(values); val s = sparseBytes(values)
+      assert(java.util.Arrays.equals(d, s),
+        s"$name: sparse encode differs (dense ${d.length}B vs sparse ${s.length}B)")
+    }
+  }
 }
