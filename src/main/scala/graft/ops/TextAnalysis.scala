@@ -39,16 +39,28 @@ object TextAnalysis {
     * fixed precedence (en > de > fr > es > zh). */
   def langId(text: Column): Column = {
     def hits(pat: String) = regexp_count(lower(text), lit(pat))
-    val en = hits("\\b(the|and|of|is|was|a)\\b")
-    val de = hits("\\b(der|die|das|und|ist)\\b")
-    val fr = hits("\\b(le|la|les|et|est)\\b")
-    val es = hits("\\b(el|los|las|es|y)\\b")
-    val zh = hits("[\\u4e00-\\u9fff]")
-    when(zh > en && zh > de && zh > fr && zh > es, "zh")
-      .when(de > en && de > fr && de > es, "de")
-      .when(fr > en && fr > es, "fr")
-      .when(es > en, "es")
-      .otherwise("en")
+    // r22 (guide §2.3): the former when-chain referenced each hit count up
+    // to 4 times and codegen re-evaluated the regexp per reference — the
+    // committed plan ran 20 regexp scans per row. The chain's semantics —
+    // "first language in (zh, de, fr, es, en) order strictly greater than
+    // every LATER one" — is exactly argmax over the counts with ties going
+    // to the later language: for any earlier E and the last max L*, E > L*
+    // would need count(E) > max (impossible), so every earlier entry fails
+    // its chain test, and L* strictly beats everything after it (all < max
+    // by L* being last). array_max over (count, priority, lang) structs
+    // evaluates each regexp ONCE and picks the same language, including the
+    // all-zero -> 'en' case (en carries the top priority). A null text made
+    // every chain condition null and fell through to 'en'; the explicit
+    // isNull arm keeps that exact behavior.
+    val langs = Seq(
+      ("zh", "[\\u4e00-\\u9fff]", 0),
+      ("de", "\\b(der|die|das|und|ist)\\b", 1),
+      ("fr", "\\b(le|la|les|et|est)\\b", 2),
+      ("es", "\\b(el|los|las|es|y)\\b", 3),
+      ("en", "\\b(the|and|of|is|was|a)\\b", 4))
+    val best = array_max(array(langs.map { case (l, pat, pri) =>
+      struct(hits(pat).as("c"), lit(pri).as("p"), lit(l).as("l")) }: _*))
+    when(text.isNull, lit("en")).otherwise(best.getField("l"))
   }
 
   /** Rolling polynomial fingerprint over token lengths (mod 1e9+7) plus an
