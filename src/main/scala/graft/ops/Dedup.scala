@@ -203,7 +203,19 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      /** r22 (guide §5): when > 0, (band, sig) buckets larger than this take
+        * a salted two-level pair explosion so no aggregation-buffer row ever
+        * holds more than ~maxBucket ids — a degenerate corpus (mass
+        * near-identical docs) otherwise concentrates the whole corpus's ids
+        * into ONE collect_list row. The pair set is EXACT either way (unlike
+        * jaccard's recall-trading maxDf). Off (<= 0) by default: the routing
+        * needs a bucket-size count pass plus semi/anti splits that
+        * re-evaluate the signature pipeline several times (no exchange reuse
+        * fires across the branches — measured 30 -> 142 Exchanges), a tax
+        * the common corpus must not pay; a 100 TB pipeline with boilerplate
+        * duplicate storms sets it explicitly. */
+      maxBucket: Int = -1): DataFrame = {
     val p = 4294967311L // first prime > 2^32
     val rows = numPerms / bands
     val perms = (0 until numPerms).map(j => (j, 2L * j + 1L, (j * 12582917L + 3L) % p))
@@ -242,13 +254,47 @@ object Dedup {
     val sigs = mh.select(col("doc"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), sigOf(b).as("sig"))): _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col("doc"))
-    val candidates = sigs.groupBy("band", "sig")
-      .agg(collect_list(col("doc")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // maxBucket > 0 (guide §5): bound the bucket aggregate's per-row memory.
+    // A map-side-combining COUNT pass finds oversized (band, sig) buckets
+    // (empty at any realistic dup rate — the broadcast is a handful of keys
+    // at most); ordinary buckets keep the one-aggregate explode, while
+    // oversized ones split into salted sub-buckets (expected |B|/64 ids per
+    // aggregation row) whose within- and cross-group pair explosions emit
+    // exactly the same unordered pair set: sub-groups PARTITION the bucket,
+    // so each {a, b} appears once — in its own group when salts collide, in
+    // the one ordered (ga < gb) group product otherwise.
+    val candidates = if (maxBucket <= 0) {
+      sigs.groupBy("band", "sig")
+        .agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+    } else {
+      val big = sigs.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("band", "sig")
+      val smallPairs = sigs.join(broadcast(big), Seq("band", "sig"), "left_anti")
+        .groupBy("band", "sig")
+        .agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      val sub = sigs.join(broadcast(big), Seq("band", "sig"), "left_semi")
+        .withColumn("g", pmod(xxhash64(col("doc")), lit(64)))
+        .groupBy("band", "sig", "g").agg(collect_list(col("doc")).as("ds"))
+      val bigPairs = sub.select(col("band"), col("sig"), col("g").as("ga"), col("ds").as("dsa"))
+        .join(sub.select(col("band"), col("sig"), col("g").as("gb"), col("ds").as("dsb")),
+          Seq("band", "sig"))
+        .filter(col("ga") <= col("gb"))
+        .select(col("ga"), col("gb"), explode(col("dsa")).as("a"), col("dsb"))
+        .select(col("ga"), col("gb"), col("a"), explode(col("dsb")).as("b"))
+        .filter(col("ga") < col("gb") || col("a") < col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      smallPairs.union(bigPairs).distinct()
+    }
     // exact verify (kept as the two-join shape: a measured A/B of the
     // single-join explode-regroup alternative ran 1.4x slower unhinted —
     // the max-over-array regroup is a SortAggregate — and 4x slower with a

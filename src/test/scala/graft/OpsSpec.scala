@@ -380,6 +380,35 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(10L, 30L, 40L), s"kept $kept")
   }
 
+  test("minhashPairs: maxBucket salting bounds bucket rows and preserves the exact pair set") {
+    import spark.implicits._
+    // mixed corpus: one degenerate 60-doc identical cluster (every band
+    // bucket holds all 60 ids) + 40 distinct docs. maxBucket=16 forces the
+    // salted two-level path for the hot buckets; the full output (pairs AND
+    // jaccard values) must equal the default unsalted run's.
+    val texts = (0 until 60).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again")) ++
+      (100 until 140).map(i => (i.toLong, s"unique document number $i with words w$i x$i y$i z$i q$i"))
+    val df = texts.toDF("doc_id", "text")
+    def run(mb: Int) = Dedup.minhashPairs(df, "doc_id", "text", maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = run(-1)
+    val salted = run(16)
+    assert(salted == unsalted,
+      s"salted pair set diverged: only-salted=${(salted diff unsalted).take(5)} " +
+        s"only-unsalted=${(unsalted diff salted).take(5)}")
+    assert(unsalted.count(p => p._1 < 60 && p._2 < 60) == 60 * 59 / 2,
+      "identical cluster must pair completely")
+
+    // degenerate-corpus arm: 1500 identical docs — the unsalted shape holds
+    // all 1500 ids in ONE aggregation-buffer row per band bucket; with
+    // maxBucket=128 every buffer row holds an expected ~1500/64 ids and the
+    // exact C(1500,2) pair set still comes out.
+    val big = (0 until 1500).map(i => (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val n = Dedup.minhashPairs(big, "doc_id", "text", maxBucket = 128).count()
+    assert(n == 1500L * 1499 / 2, s"degenerate corpus must pair completely, got $n")
+  }
+
   test("dedupClusters: overlay tail rounds run without full-frame rebuilds; pointer-in-degree overflow bails to dense") {
     import spark.implicits._
     // r22 delta-overlay: a converging chain's tail rounds must run as
